@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Native Catalyst expressions for the pairwise float-vector math that sits in
+ * every hot path of the engine (kNN scoring, near-dup joins, the inversion
+ * attack loop — reference: cosine at /root/reference/src/app.py:52-59, squared
+ * L2 as the store metric at /root/reference/src/cod.py:125-139).
+ *
+ * These are full whole-stage-codegen expressions (`doGenCode` emits a tight
+ * primitive loop over the unsafe array data, no boxing, no lambda dispatch) —
+ * at 100 TB the brute-force scoring kernel is the dominant cost, and a
+ * codegen'd loop is ~10-50x faster than the equivalent higher-order-function
+ * composition (`aggregate(zip_with(...))`, kept in [[VectorFunctions]] as the
+ * cross-check reference implementation).
+ *
+ * Determinism contract (shared with the DuckDB oracle SQL): all accumulation
+ * is sequential left-to-right in DOUBLE, so results are bitwise reproducible
+ * across engines given the same float inputs.
+ */
+abstract class VectorPairExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def compute(a: Array[Float], b: Array[Float]): Double
+
+  /** Java source for the loop body; `a`/`b` are ArrayData variable names. */
+  protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"$prettyName: vector dims differ (${a.length} vs ${b.length})")
+    compute(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException("$prettyName: vector dims differ");
+         |}
+         |${genLoop(ctx, a, b, ev.value)}
+       """.stripMargin
+    })
+}
+
+/** cosine(a, b) = dot/(sqrt(na)*sqrt(nb)); -1.0 when either norm is zero
+  * (zero-norm guard per /root/reference/src/app.py:57-58). */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorPairExpression {
+  override def prettyName: String = "cosine_sim"
+
+  override protected def compute(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) -1.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    s"""
+       |int $n = $a.numElements();
+       |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double) $a.getFloat($i);
+       |  double $y = (double) $b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |$result = ($na == 0.0 || $nb == 0.0)
+       |  ? -1.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared euclidean distance — the reference store's kNN metric (Chroma
+  * default `hnsw:space=l2`, /root/reference/src/chromadb_store.py:4). */
+case class L2SquaredDistance(left: Expression, right: Expression) extends VectorPairExpression {
+  override def prettyName: String = "l2_sq"
+
+  override protected def compute(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      val d = a(i).toDouble - b(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+    s"""
+       |int $n = $a.numElements();
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+       |  $acc += $d * $d;
+       |}
+       |$result = $acc;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plain dot product (inner product similarity). */
+case class DotProduct(left: Expression, right: Expression) extends VectorPairExpression {
+  override def prettyName: String = "dot_product"
+
+  override protected def compute(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) {
+      acc += a(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def genLoop(ctx: CodegenContext, a: String, b: String, result: String): String = {
+    val i = ctx.freshName("i"); val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    s"""
+       |int $n = $a.numElements();
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+       |}
+       |$result = $acc;
+     """.stripMargin
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a single vector. */
+case class VectorNorm(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_norm"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    var acc = 0.0
+    var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc"); val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  $acc += $x * $x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Column-level API over the vector expressions, plus SQL registration.
+ *
+ * Two implementations of each kernel:
+ *  - `cosine / l2Sq / dot / norm`   — native codegen expressions (hot path)
+ *  - `*Hof`                         — built-in higher-order-function
+ *    compositions (`aggregate(zip_with(...))`), the reference implementation
+ *    used by tests to cross-check the codegen kernels bit-for-bit.
+ */
+object VectorFunctions {
+
+  private def expr2(f: (org.apache.spark.sql.catalyst.expressions.Expression,
+                        org.apache.spark.sql.catalyst.expressions.Expression) =>
+                       org.apache.spark.sql.catalyst.expressions.Expression)
+                   (a: Column, b: Column): Column =
+    Bridge.column(f(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine similarity in [-1, 1]; -1.0 on zero-norm input
+    * (reference: /root/reference/src/app.py:52-59). */
+  def cosine(a: Column, b: Column): Column = expr2(CosineSimilarity.apply)(a, b)
+
+  /** Squared L2 distance — the reference store's kNN metric. */
+  def l2Sq(a: Column, b: Column): Column = expr2(L2SquaredDistance.apply)(a, b)
+
+  /** Dot product. */
+  def dot(a: Column, b: Column): Column = expr2(DotProduct.apply)(a, b)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    Bridge.column(VectorNorm(Bridge.expression(a)))
+
+  // ---- reference implementations via built-in higher-order functions ----
+
+  private def asDouble(x: Column): Column = x.cast("double")
+
+  /** Sequential left-fold sum in DOUBLE — same accumulation order as the
+    * codegen kernels, so results are bitwise identical. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dotHof(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => asDouble(x) * asDouble(y)))
+
+  def l2SqHof(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => {
+      val d = asDouble(x) - asDouble(y)
+      d * d
+    }))
+
+  def normSqHof(a: Column): Column =
+    foldSum(zip_with(a, a, (x, y) => asDouble(x) * asDouble(y)))
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val na = normSqHof(a)
+    val nb = normSqHof(b)
+    when(na === 0.0 || nb === 0.0, lit(-1.0))
+      .otherwise(dotHof(a, b) / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** L2-normalize a float vector (zero vector passes through unchanged). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    when(n === 0.0, a).otherwise(transform(a, x => (x.cast("double") / n).cast("float")))
+  }
+
+  /** Register `cosine_sim`, `l2_sq`, `dot_product`, `vec_norm` for SQL use. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("l2_sq", es => L2SquaredDistance(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("vec_norm", es => VectorNorm(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Relational coverage over the TPC-H-ish harness tables. The reference itself
+ * has no SQL layer (SURVEY.md §0); these queries exercise the engine surface
+ * Spark supplies — filtered aggregation, multi-way joins, windows, semi/anti
+ * joins, rollup, event-time bucketing — each with a DuckDB oracle.
+ *
+ * Scale notes: dimension tables (region/nation/customer/supplier/part) are
+ * explicitly `broadcast()`; the fact tables (lineitem/orders/events) are only
+ * touched in a single scan each, with filters and column pruning pushed into
+ * the parquet reader. Aggregations rely on map-side partial aggregation, so
+ * the shuffle carries one row per group, not per input row.
+ */
+object RelationalQueries {
+  import Registry.tbl
+
+  private val ship = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1 shape: filtered scan → hash agg (partial+final) → sort.
+    Q(
+      "q_pricing_summary",
+      "pricing summary report (filter, multi-agg, group, sort)",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate") <= lit(ship))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            round(sum("l_extendedprice"), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+            round(avg("l_quantity"), 4).as("avg_qty"),
+            round(avg("l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  CAST(count(*) AS BIGINT) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // 3-way join: fact ⋈ fact (shuffle, AQE-planned) ⋈ broadcast dim.
+    Q(
+      "q_top_customers",
+      "top-10 customers by discounted revenue (join fact-fact + broadcast dim)",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_custkey"), col("c_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(desc("revenue"), asc("c_custkey"))
+          .limit(10)
+      },
+      Some("""SELECT c_custkey, c_name,
+             |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             |  CAST(count(*) AS BIGINT) AS n_items
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey, c_name
+             |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin)),
+
+    // 4-way star join up the region hierarchy, all dims broadcast.
+    Q(
+      "q_nation_revenue",
+      "revenue per nation via star join (broadcast hierarchy dims)",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem")
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        val n = tbl(s, dir, "nation")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("n_name")
+      },
+      Some("""SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // Window function: per-supplier best-priced line item.
+    Q(
+      "q_supplier_best_item",
+      "per-supplier top line item by price (window rank)",
+      (s, dir) => {
+        val li = tbl(s, dir, "lineitem").filter(col("l_suppkey") < 20)
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(desc("l_extendedprice"), asc("l_orderkey"), asc("l_linenumber"))
+        li.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice"), 2).as("price"))
+          .orderBy("l_suppkey")
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+             |FROM (SELECT *, row_number() OVER (PARTITION BY l_suppkey
+             |        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+             |      FROM lineitem WHERE l_suppkey < 20)
+             |WHERE rn = 1 ORDER BY l_suppkey""".stripMargin)),
+
+    // Semi join (EXISTS): customers that placed a big-ticket order. The
+    // filter is pushed below the join so the build side is tiny.
+    Q(
+      "q_semi_join",
+      "customers with a big-ticket order (left semi = EXISTS)",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 480000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE EXISTS (SELECT 1 FROM orders
+             |              WHERE o_custkey = c_custkey AND o_totalprice > 480000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Anti join (NOT EXISTS): customers with no big-ticket order.
+    Q(
+      "q_anti_join",
+      "customers without a big-ticket order (left anti = NOT EXISTS)",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 480000.0)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey, round(c_acctbal, 2) AS acctbal FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_totalprice > 480000.0)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Rollup: subtotal hierarchy (grouping-sets surface).
+    Q(
+      "q_rollup",
+      "rollup subtotals over returnflag/linestatus",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
+    // Distinct aggregation: exact distinct counts per segment.
+    Q(
+      "q_distinct_count",
+      "exact distinct order count per market segment",
+      (s, dir) => {
+        val o = tbl(s, dir, "orders")
+        val c = tbl(s, dir, "customer")
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(countDistinct(col("o_custkey")).as("n_customers"),
+            count(lit(1)).as("n_orders"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             |  CAST(count(*) AS BIGINT) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Event-time tumbling window aggregation (batch form; the streaming form
+    // in graft.streaming.Ingest produces the identical frame).
+    Q(
+      "q_events_hourly",
+      "hourly tumbling-window event counts and value sums",
+      (s, dir) =>
+        EventsTable.load(s, dir)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+          .select(col("w.start").cast("string").as("win_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy("win_start", "event_type"),
+      Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS win_start, event_type,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum("value"), 2) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+  )
+}
