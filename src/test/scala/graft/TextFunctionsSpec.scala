@@ -1,0 +1,79 @@
+package graft
+
+import graft.functions.{TextFunctions => TF, TextHashOps}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextFunctionsSpec extends AnyFunSuite with SparkTest {
+  import spark.implicits._
+
+  test("polyHash: hand-computed value and empty-string init") {
+    // ((7*31+97)*31+98)*31+99 = 304891 — same value DuckDB's fold produces.
+    val df = Seq("abc", "").toDF("s").select(TF.polyHash(col("s")).as("h"))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(304891L, 7L))
+  }
+
+  test("tokens: lowercases, strips punctuation, drops empties") {
+    val got = Seq("  Hello, World!  a1 ").toDF("s")
+      .select(TF.tokens(col("s"))).as[Seq[String]].head()
+    assert(got == Seq("hello", "world", "a1"))
+  }
+
+  test("shingles: k-grams with short-document fallback") {
+    val df = Seq("a b c d", "a b").toDF("s")
+      .select(TF.shingles(TF.tokens(col("s")), 3).as("sh")).as[Seq[String]]
+    assert(df.collect().toSeq == Seq(Seq("a b c", "b c d"), Seq("a b")))
+  }
+
+  test("minhashSig: 12 elements, deterministic, sensitive to content") {
+    val sig1 = TextHashOps.minhashSig(Array(1L, 2L, 3L))
+    val sig2 = TextHashOps.minhashSig(Array(1L, 2L, 3L))
+    val sig3 = TextHashOps.minhashSig(Array(4L, 5L, 6L))
+    assert(sig1.length == TextHashOps.NumMinHashes)
+    assert(sig1.toSeq == sig2.toSeq)
+    assert(sig1.toSeq != sig3.toSeq)
+    assert(TextHashOps.minhashSig(Array.empty[Long]).forall(_ == TextHashOps.P))
+  }
+
+  test("minhash: near-identical sets agree on most signature positions") {
+    val base = Array.tabulate(200)(i => (i * 7919L + 13) % TextHashOps.P)
+    val near = base.take(190) ++ Array.tabulate(10)(i => (i * 104729L + 7) % TextHashOps.P)
+    val s1 = TextHashOps.minhashSig(base)
+    val s2 = TextHashOps.minhashSig(near)
+    val agree = s1.zip(s2).count { case (a, b) => a == b }
+    assert(agree >= 8, s"expected J~0.9 sets to agree on >=8/12 positions, got $agree")
+  }
+
+  test("simhash32: identical input -> distance 0; near input -> small distance") {
+    val base = Array.tabulate(150)(i => (i * 7919L + 13) % TextHashOps.P)
+    val near = base.take(145) ++ Array.tabulate(5)(i => (i * 104729L + 7) % TextHashOps.P)
+    val far = Array.tabulate(150)(i => (i * 99991L + 3) % TextHashOps.P)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val (sb, sn, sf) = (TextHashOps.simhash32(base), TextHashOps.simhash32(near), TextHashOps.simhash32(far))
+    assert(ham(sb, sb) == 0)
+    assert(ham(sb, sn) < ham(sb, sf), s"near=${ham(sb, sn)} far=${ham(sb, sf)}")
+    assert((sb & 0xFFFFFFFFL) == sb, "simhash32 fits in 32 bits")
+  }
+
+  test("expressions survive codegen over real data (no fallback errors)") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        TF.polyHash(col("text")).as("ph"),
+        TF.hashCombine(TF.tokenHashes(TF.tokens(col("text")))).as("fp"),
+        TF.simhash32(TF.tokenHashes(TF.tokens(col("text")))).as("sh"),
+        TF.minhashSig(TF.tokenHashes(TF.shingles(TF.tokens(col("text")), 3))).as("sig"))
+    val rows = d.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getSeq[Long](4).length == TextHashOps.NumMinHashes))
+    // interpreted (no-codegen) path must agree
+    val offRows = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try d.collect() finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(rows.map(_.toString).toSeq == offRows.map(_.toString).toSeq)
+  }
+}
