@@ -1,0 +1,89 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Codegen Catalyst expressions over [[TextHashOps]] kernels. Each emits a
+ * single static-dispatch call inside whole-stage codegen (the loop itself is
+ * JIT-compiled Scala — no per-element virtual dispatch, no boxing), keeping
+ * the dedup/fingerprint pipeline fully codegen'd end to end.
+ */
+private object TextExprGen {
+  /** Fully-qualified codegen reference to the TextHashOps module instance. */
+  val Ops = "graft.functions.TextHashOps$.MODULE$"
+}
+
+/** poly_hash(STRING) -> BIGINT — rolling polynomial hash mod 1e9+7. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "poly_hash"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"$prettyName expects STRING")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.polyHash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** minhash_sig(ARRAY<BIGINT>) -> ARRAY<BIGINT> — 12-permutation MinHash
+  * signature of a shingle-hash array, single pass over the input. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.minhashSigAD(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.minhashSigAD($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash32(ARRAY<BIGINT>) -> BIGINT — 32-bit SimHash with multiplicity
+  * weighting over token hashes. */
+case class SimHash32(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "simhash32"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.simhash32AD(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.simhash32AD($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** hash_combine(ARRAY<BIGINT>) -> BIGINT — order-sensitive rolling combine
+  * (document fingerprint over token hashes). */
+case class HashCombine(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "hash_combine"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.combineAD(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.combineAD($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

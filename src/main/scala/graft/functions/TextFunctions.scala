@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+
+/**
+ * Column-level text-analysis API. Tokenization/shingling are pure built-in
+ * compositions (stay in whole-stage codegen, prunable, pushdown-friendly);
+ * the hashing kernels are the codegen expressions in [[TextExpressions]].
+ *
+ * Every function has an exactly-matching DuckDB SQL fragment generator in
+ * `graft.queries.OracleText` — same formula, same integer math — so query
+ * results hash-match the oracle.
+ */
+object TextFunctions {
+
+  private def expr1(f: org.apache.spark.sql.catalyst.expressions.Expression =>
+      org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
+    Bridge.column(f(Bridge.expression(c)))
+
+  /** Lowercased alphanumeric tokens (empty tokens filtered). */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "[^a-z0-9]+"), t => t =!= lit(""))
+
+  /** Rolling polynomial hash of a string, mod 1e9+7. */
+  def polyHash(s: Column): Column = expr1(PolyHash.apply)(s)
+
+  /** Hash each token: ARRAY<STRING> -> ARRAY<BIGINT>. */
+  def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))
+
+  /** Word k-shingles joined by single spaces; documents with fewer than k
+    * tokens collapse to one shingle (the whole token stream) so every doc
+    * has a non-empty shingle set. */
+  def shingles(toks: Column, k: Int): Column = {
+    val n = size(toks)
+    val idx = sequence(lit(0), n - k) // 0-based start positions, inclusive
+    val grams = transform(idx, i =>
+      concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*))
+    when(n < k, array(concat_ws(" ", toks))).otherwise(grams)
+  }
+
+  /** 12-permutation MinHash signature of a shingle-hash array. */
+  def minhashSig(shingleHashes: Column): Column = expr1(MinHashSig.apply)(shingleHashes)
+
+  /** 32-bit SimHash over token hashes (multiplicity = weight). */
+  def simhash32(toksHashes: Column): Column = expr1(SimHash32.apply)(toksHashes)
+
+  /** Order-sensitive rolling fingerprint of a hash array. */
+  def hashCombine(hashes: Column): Column = expr1(HashCombine.apply)(hashes)
+
+  /** Fold-sum of a BIGINT array (left-to-right, matches DuckDB list_sum order
+    * irrelevance for ints). */
+  def sumLong(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Deterministic text-hashing kernels shared (by formula) with the DuckDB
+ * oracle SQL in [[graft.queries.OracleText]]. Every function here is pure
+ * integer math over Unicode code points, so Spark and DuckDB produce
+ * bit-identical results — the foundation for hash-verifiable dedup
+ * (MinHash/SimHash/fingerprints) and the hashing embedder.
+ *
+ * All arithmetic stays within Long range: values are reduced mod
+ * [[P]] (= 1e9+7) after every combine step, so `acc*31 + x < 3.2e10` and
+ * `a*h + b < 1e18 + 1e9` — no overflow on either engine (DuckDB BIGINT).
+ *
+ * Capability parity with the reference's text processing (tokenize → embed →
+ * score, /root/reference/src/embeddings.py:5-6, /root/reference/src/app.py:43-59)
+ * plus the large-scale training-data dedup family the reference lacks.
+ */
+object TextHashOps {
+
+  /** Modulus for all polynomial hashing (prime, fits comfortably in BIGINT). */
+  val P: Long = 1000000007L
+
+  /** Initial accumulator — makes hash("") = 7 distinct from hash of nothing. */
+  val Init: Long = 7L
+
+  /** MinHash configuration: 12 permutations = 3 bands x 4 rows. With the
+    * standard S-curve, collision probability at Jaccard 0.5 per band is
+    * 0.5^4 = 6.25%, across 3 bands ~17.6% per pair per band set — tuned for
+    * high precision (few false candidates) since verification re-checks
+    * exact Jaccard anyway. */
+  val NumMinHashes: Int = 12
+  val MinHashBands: Int = 3
+  val MinHashRows: Int = 4
+
+  /** Permutation constants h_i(x) = (A(i)*x + B(i)) mod P, fixed and shared
+    * with the oracle SQL as literals. */
+  val MinHashA: Array[Long] = Array.tabulate(NumMinHashes)(i => (654435747L * (i + 1) + 1) % P)
+  val MinHashB: Array[Long] = Array.tabulate(NumMinHashes)(i => (368040503L * (i + 7) + 11) % P)
+
+  /** Polynomial rolling hash over Unicode code points (matches DuckDB
+    * `unicode(substr(s,i,1))` iteration). */
+  def polyHash(u: UTF8String): Long = {
+    val s = u.toString
+    var acc = Init
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  /** Order-sensitive combine of a hash sequence (rolling doc fingerprint). */
+  def combine(hashes: Array[Long]): Long = {
+    var acc = Init
+    var i = 0
+    while (i < hashes.length) { acc = (acc * 31 + hashes(i)) % P; i += 1 }
+    acc
+  }
+
+  /** 12-element MinHash signature of a shingle-hash set, one pass. */
+  def minhashSig(hashes: Array[Long]): Array[Long] = {
+    val sig = Array.fill(NumMinHashes)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var j = 0
+      while (j < NumMinHashes) {
+        val v = (MinHashA(j) * h + MinHashB(j)) % P
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    // Empty input -> all-P sentinel (cannot collide with a real min, which is < P).
+    if (hashes.isEmpty) java.util.Arrays.fill(sig, P)
+    sig
+  }
+
+  /** Scramble a poly-hash into 32 unbiased-ish bits (Knuth multiplicative). */
+  def scramble32(h: Long): Long = (h * 2654435761L) % 4294967296L
+
+  /** 32-bit SimHash over token hashes WITH multiplicity (token counts act as
+    * weights). Bit j is 1 when the signed sum of bit-j votes is >= 0. */
+  def simhash32(hashes: Array[Long]): Long = {
+    val votes = new Array[Int](32)
+    var i = 0
+    while (i < hashes.length) {
+      val h2 = scramble32(hashes(i))
+      var j = 0
+      while (j < 32) {
+        if (((h2 >> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 32) { if (votes(j) >= 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+
+  // ---- ArrayData adapters for codegen call sites ----
+
+  def minhashSigAD(a: ArrayData): ArrayData =
+    new GenericArrayData(minhashSig(a.toLongArray()))
+
+  def simhash32AD(a: ArrayData): Long = simhash32(a.toLongArray())
+
+  def combineAD(a: ArrayData): Long = combine(a.toLongArray())
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, TextHashOps, VectorFunctions => VF}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication family for training-data pipelines: exact (hash-groupBy),
+ * word-shingle Jaccard, MinHash+LSH (shingle → signature → band → bucket
+ * join → exact verify), SimHash (banded Hamming join), and embedding-cosine
+ * near-dup. Every variant is a `queries()` entry with a DuckDB oracle built
+ * from the same integer math ([[OracleText]]).
+ *
+ * Scale notes (100 TB):
+ *  - exact dedup shuffles one (fp, count, min) row per group after map-side
+ *    partial aggregation;
+ *  - MinHash LSH is THE scalable near-dup path: the only shuffle is on
+ *    (band, bucket) pairs, candidates are verified with exact Jaccard only
+ *    within buckets — never O(N^2);
+ *  - SimHash uses 4x8-bit banding, which by pigeonhole is EXACT for
+ *    Hamming distance <= 3 (some band must match), again avoiding O(N^2);
+ *  - brute-force variants (q_dedup_jaccard on a sampled subset,
+ *    q_neardup_embedding blocked by label) document the blocking strategy a
+ *    full-scale run would replace with the LSH path.
+ */
+object DedupQueries {
+  import Registry.tbl
+
+  private val K = 3 // word-shingle width
+
+  /** doc_id + distinct shingle-hash set (the unit of Jaccard identity). */
+  private def shingleSets(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        array_sort(array_distinct(TF.tokenHashes(
+          TF.shingles(TF.tokens(col("text")), K)))).as("sh"))
+
+  private def shingleSetsSql(extra: String = ""): String = {
+    val sh = OracleText.tokenHashes(OracleText.shingles(OracleText.tokens("text"), K))
+    s"SELECT doc_id, lang, list_sort(list_distinct($sh)) AS sh FROM documents$extra"
+  }
+
+  private def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
+
+  private val jaccardSql =
+    "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact dedup: hash-groupBy on the token-sequence fingerprint. Map-side
+    // partial agg -> one row per fingerprint over the wire.
+    Q(
+      "q_dedup_exact",
+      "exact dedup via hash-groupBy on token-sequence fingerprint",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TF.hashCombine(TF.tokenHashes(TF.tokens(col("text")))).as("fp"))
+          .groupBy("fp")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_dups"))
+          .orderBy("keeper"),
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        s"""WITH f AS (SELECT doc_id, ${OracleText.combine(th)} AS fp FROM documents)
+           |SELECT fp, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_dups
+           |FROM f GROUP BY fp ORDER BY keeper""".stripMargin
+      }),
+
+    // n-gram Jaccard on a deterministic sample (doc_id % 5 = 0), blocked by
+    // language; top-20 most similar pairs. The full-corpus path is
+    // q_dedup_minhash_lsh below.
+    Q(
+      "q_dedup_jaccard",
+      "word 3-gram Jaccard similarity, top-20 pairs (sampled, lang-blocked)",
+      (s, dir) => {
+        val d = shingleSets(s, dir).filter(col("doc_id") % 5 === 0)
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+        a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
+          .withColumn("jac_raw", jaccard(col("sh_a"), col("sh_b")))
+          .orderBy(desc("jac_raw"), asc("doc_a"), asc("doc_b"))
+          .limit(20)
+          .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+      },
+      Some(
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql(" WHERE doc_id % 5 = 0")})
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jaccardSql, 4) AS jac
+           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |ORDER BY $jaccardSql DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
+
+    // MinHash + LSH: signature -> 3 band buckets -> bucket equi-join ->
+    // exact Jaccard verify >= 0.5. The shuffle carries only (band, bucket)
+    // keys; candidate verification is per-bucket, never all-pairs.
+    Q(
+      "q_dedup_minhash_lsh",
+      "MinHash(12)+LSH(3x4) near-dup pairs, exact-Jaccard-verified >= 0.5",
+      (s, dir) => {
+        val d = shingleSets(s, dir)
+        val sigs = d.select(col("doc_id"), col("sh"), TF.minhashSig(col("sh")).as("sig"))
+        val buckets = array((0 until TextHashOps.MinHashBands).map { j =>
+          TF.hashCombine(concat(
+            array(lit(j.toLong)),
+            slice(col("sig"), j * TextHashOps.MinHashRows + 1, TextHashOps.MinHashRows)))
+        }: _*)
+        val bands = sigs
+          .select(col("doc_id"), posexplode(buckets).as(Seq("band", "bucket")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        cand.join(a, "doc_a").join(b, "doc_b")
+          .withColumn("jac_raw", jaccard(col("sh_a"), col("sh_b")))
+          .filter(col("jac_raw") >= 0.5)
+          .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val bandSelects = (0 until TextHashOps.MinHashBands).map { j =>
+          s"SELECT doc_id, $j AS band, ${OracleText.bandBucket("sh", j)} AS bucket FROM d"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql()}),
+           |bands AS MATERIALIZED (
+           |$bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+           |SELECT doc_a, doc_b, round($jaccardSql, 4) AS jac
+           |FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b
+           |WHERE $jaccardSql >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // SimHash: 32-bit signature, 4x8-bit banded join (EXACT for Hamming<=3
+    // by pigeonhole), then Hamming filter. Oracle cross-joins directly —
+    // identical result set, different (non-scalable) plan.
+    Q(
+      "q_dedup_simhash",
+      "SimHash32 near-dup pairs with Hamming distance <= 3 (banded join)",
+      (s, dir) => {
+        val sims = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            TF.simhash32(TF.tokenHashes(TF.tokens(col("text")))).as("sig"))
+        val bands = sims.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(j =>
+            struct(lit(j).as("band"), shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bb"))
+          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.byte"))
+        bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+            col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+          .distinct()
+          .withColumn("ham", expr("bit_count(sig_a ^ sig_b)"))
+          .filter(col("ham") <= 3)
+          .select(col("doc_a"), col("doc_b"), col("ham"))
+          .orderBy("doc_a", "doc_b")
+      },
+      Some {
+        val sig = OracleText.simhash32(OracleText.tokenHashes(OracleText.tokens("text")))
+        s"""WITH sims AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM documents)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS ham
+           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    // Embedding-cosine near-dup, blocked by label (the cluster/category a
+    // real pipeline would block on); top-20 most similar pairs. The
+    // unblocked scale path is LSH bucketing (see AnnQueries).
+    Q(
+      "q_neardup_embedding",
+      "embedding-cosine near-dup: top-20 same-label pairs by similarity",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("eb"))
+        a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
+          .withColumn("cos_raw", VF.cosine(col("ea"), col("eb")))
+          .orderBy(desc("cos_raw"), asc("vec_a"), asc("vec_b"))
+          .limit(20)
+          .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos_raw"), 6).as("cos"))
+      },
+      Some {
+        val cos = OracleSql.cosine("a.embedding", "b.embedding")
+        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, round($cos, 6) AS cos
+           |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           |ORDER BY $cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
+      })
+  )
+}

@@ -27,7 +27,7 @@ object Registry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   lazy val all: Seq[Q] =
-    VectorQueries.all ++ RelationalQueries.all
+    VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

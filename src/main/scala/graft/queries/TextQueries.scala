@@ -1,0 +1,175 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: language
+ * identification (stopword-profile heuristic), quality scoring, token
+ * counting (whitespace + BPE-ish estimate), and document fingerprinting
+ * (rolling polynomial hash). All run over the `documents` table; every
+ * formula is mirrored exactly in DuckDB SQL via [[OracleText]].
+ *
+ * Scale notes: each query is one narrow scan — per-row expressions only, no
+ * shuffle except the final presentation sort. At 100 TB these run as a single
+ * pass with full column pruning (only `doc_id`/`text` read).
+ */
+object TextQueries {
+  import Registry.tbl
+
+  /** Stopword profiles for the language-ID heuristic — tiny per-language
+    * word-gram profiles, shared verbatim with the oracle SQL. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les"))
+
+  /** English stopwords used by the quality score. */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+
+  private def sqlHits(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  val all: Seq[Q] = Seq(
+
+    // Language ID: argmax of stopword-profile hits with fixed precedence
+    // (en > de > es > fr), 'und' when no profile matches.
+    Q(
+      "q_lang_id",
+      "language identification via stopword-profile hits",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        val d = tbl(s, dir, "documents")
+          .withColumn("toks", toks)
+        val withHits = LangProfiles.foldLeft(d) { case (df, (lang, words)) =>
+          df.withColumn(s"hits_$lang", hits(col("toks"), words))
+        }
+        val Seq(en, de, es, fr) = LangProfiles.map(p => col(s"hits_${p._1}"))
+        withHits
+          .withColumn("pred_lang",
+            when(en + de + es + fr === 0, "und")
+              .when(en >= de && en >= es && en >= fr, "en")
+              .when(de >= es && de >= fr, "de")
+              .when(es >= fr, "es")
+              .otherwise("fr"))
+          .select(col("doc_id"), col("lang"), col("pred_lang"),
+            col("hits_en"), col("hits_de"), col("hits_es"), col("hits_fr"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        val hitCols = LangProfiles
+          .map { case (lang, words) => s"${sqlHits(toks, words)} AS hits_$lang" }
+          .mkString(",\n  ")
+        s"""WITH h AS (SELECT doc_id, lang,
+           |  $hitCols
+           |FROM documents)
+           |SELECT doc_id, lang,
+           |  CASE WHEN hits_en + hits_de + hits_es + hits_fr = 0 THEN 'und'
+           |       WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+           |       WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+           |       WHEN hits_es >= hits_fr THEN 'es'
+           |       ELSE 'fr' END AS pred_lang,
+           |  CAST(hits_en AS INT) AS hits_en, CAST(hits_de AS INT) AS hits_de,
+           |  CAST(hits_es AS INT) AS hits_es, CAST(hits_fr AS INT) AS hits_fr
+           |FROM h ORDER BY doc_id""".stripMargin
+      }),
+
+    // Quality scoring: alphabetic ratio, stopword ratio, average token
+    // length — combined into one bounded [0,1] score.
+    Q(
+      "q_quality_score",
+      "document quality score (alpha/stopword/token-length ratios)",
+      (s, dir) => {
+        val lt = lower(col("text"))
+        val toks = TF.tokens(col("text"))
+        tbl(s, dir, "documents")
+          .withColumn("toks", toks)
+          .withColumn("n_toks", size(col("toks")))
+          .withColumn("alpha_ratio",
+            length(regexp_replace(lt, "[^a-z]", "")).cast("double") / length(col("text")))
+          .withColumn("stop_ratio",
+            hits(col("toks"), StopEn).cast("double") / greatest(col("n_toks"), lit(1)))
+          .withColumn("avg_tok_len",
+            TF.sumLong(transform(col("toks"), t => length(t).cast("long"))).cast("double") /
+              greatest(col("n_toks"), lit(1)))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("alpha_ratio"), 4).as("alpha_ratio"),
+            round(col("stop_ratio"), 4).as("stop_ratio"),
+            round(col("avg_tok_len"), 4).as("avg_tok_len"),
+            round(col("alpha_ratio") * 0.4 + col("stop_ratio") * 0.3 +
+              least(col("avg_tok_len") / 8.0, lit(1.0)) * 0.3, 4).as("quality"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH q AS (SELECT doc_id,
+           |  len($toks) AS n_toks,
+           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+           |  CAST(${sqlHits(toks, StopEn)} AS DOUBLE) / greatest(len($toks), 1) AS stop_ratio,
+           |  CAST(coalesce(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))), 0) AS DOUBLE)
+           |    / greatest(len($toks), 1) AS avg_tok_len
+           |FROM documents)
+           |SELECT doc_id, CAST(n_toks AS INT) AS n_toks,
+           |  round(alpha_ratio, 4) AS alpha_ratio,
+           |  round(stop_ratio, 4) AS stop_ratio,
+           |  round(avg_tok_len, 4) AS avg_tok_len,
+           |  round(alpha_ratio * 0.4 + stop_ratio * 0.3 + least(avg_tok_len / 8.0, 1.0) * 0.3, 4) AS quality
+           |FROM q ORDER BY doc_id""".stripMargin
+      }),
+
+    // Token counting: whitespace tokens, alphanumeric tokens, and a BPE-ish
+    // subword estimate (ceil(len/4) pieces per token).
+    Q(
+      "q_token_count",
+      "token counts: whitespace, alphanumeric, BPE-ish subword estimate",
+      (s, dir) => {
+        val toks = TF.tokens(col("text"))
+        tbl(s, dir, "documents")
+          .withColumn("toks", toks)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("n_ws"),
+            size(col("toks")).as("n_alnum"),
+            TF.sumLong(transform(col("toks"),
+              t => ceil(length(t).cast("double") / 4.0).cast("long"))).as("n_bpe_est"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INT) AS n_ws,
+           |  CAST(len($toks) AS INT) AS n_alnum,
+           |  CAST(coalesce(list_sum(list_transform($toks, t -> CAST(ceil(length(t) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_est
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // Document fingerprinting: order-sensitive rolling hash over token
+    // hashes (exact-sequence identity) + order-insensitive set fingerprint
+    // (bag-of-tokens identity).
+    Q(
+      "q_fingerprint",
+      "rolling-hash document fingerprints (sequence + token-set)",
+      (s, dir) => {
+        val th = TF.tokenHashes(TF.tokens(col("text")))
+        tbl(s, dir, "documents")
+          .withColumn("th", th)
+          .select(col("doc_id"),
+            TF.hashCombine(col("th")).as("fp_seq"),
+            TF.hashCombine(array_sort(array_distinct(col("th")))).as("fp_set"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        s"""WITH t AS (SELECT doc_id, $th AS th FROM documents)
+           |SELECT doc_id,
+           |  ${OracleText.combine("th")} AS fp_seq,
+           |  ${OracleText.combine("list_sort(list_distinct(th))")} AS fp_set
+           |FROM t ORDER BY doc_id""".stripMargin
+      })
+  )
+}
