@@ -54,6 +54,24 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** minhash_band_buckets(ARRAY<BIGINT>) -> ARRAY<BIGINT> — MinHash signature
+  * folded into its 3 LSH band buckets in a single pass (signature never
+  * materialized as a column; see [[TextHashOps.minhashBandBuckets]]). */
+case class MinHashBandBuckets(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "minhash_band_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.minhashBandBucketsAD(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.minhashBandBucketsAD($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** simhash32(ARRAY<BIGINT>) -> BIGINT — 32-bit SimHash with multiplicity
   * weighting over token hashes. */
 case class SimHash32(child: Expression) extends UnaryExpression {

@@ -31,7 +31,12 @@ object TextFunctions {
 
   /** Word k-shingles joined by single spaces; documents with fewer than k
     * tokens collapse to one shingle (the whole token stream) so every doc
-    * has a non-empty shingle set. */
+    * has a non-empty shingle set.
+    *
+    * PERFORMANCE: pass `toks` as a NAMED COLUMN (a prior projection), never
+    * an inline `tokens(...)` expression — this function references `toks`
+    * several times per gram, and an inlined expression tree is re-evaluated
+    * at every reference (measured ~50x slowdown on the dedup pipeline). */
   def shingles(toks: Column, k: Int): Column = {
     val n = size(toks)
     val idx = sequence(lit(0), n - k) // 0-based start positions, inclusive
@@ -42,6 +47,10 @@ object TextFunctions {
 
   /** 12-permutation MinHash signature of a shingle-hash array. */
   def minhashSig(shingleHashes: Column): Column = expr1(MinHashSig.apply)(shingleHashes)
+
+  /** LSH band buckets of the MinHash signature, single pass. */
+  def minhashBandBuckets(shingleHashes: Column): Column =
+    expr1(MinHashBandBuckets.apply)(shingleHashes)
 
   /** 32-bit SimHash over token hashes (multiplicity = weight). */
   def simhash32(toksHashes: Column): Column = expr1(SimHash32.apply)(toksHashes)

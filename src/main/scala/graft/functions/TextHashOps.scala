@@ -81,6 +81,22 @@ object TextHashOps {
     sig
   }
 
+  /** LSH band buckets straight from shingle hashes, one pass: bucket b is the
+    * rolling combine (init [[Init]]) of [b, sig(4b), sig(4b+1), sig(4b+2),
+    * sig(4b+3)]. Keeping signature+banding in ONE expression keeps the
+    * candidate-generation stage fully codegen'd — composing it from
+    * slice/concat column expressions inlines the whole shingle pipeline per
+    * band and falls back to interpreted eval (measured 20x slower). */
+  def minhashBandBuckets(hashes: Array[Long]): Array[Long] = {
+    val sig = minhashSig(hashes)
+    Array.tabulate(MinHashBands) { b =>
+      var acc = (Init * 31 + b) % P
+      var r = 0
+      while (r < MinHashRows) { acc = (acc * 31 + sig(b * MinHashRows + r)) % P; r += 1 }
+      acc
+    }
+  }
+
   /** Scramble a poly-hash into 32 unbiased-ish bits (Knuth multiplicative). */
   def scramble32(h: Long): Long = (h * 2654435761L) % 4294967296L
 
@@ -108,6 +124,9 @@ object TextHashOps {
 
   def minhashSigAD(a: ArrayData): ArrayData =
     new GenericArrayData(minhashSig(a.toLongArray()))
+
+  def minhashBandBucketsAD(a: ArrayData): ArrayData =
+    new GenericArrayData(minhashBandBuckets(a.toLongArray()))
 
   def simhash32AD(a: ArrayData): Long = simhash32(a.toLongArray())
 

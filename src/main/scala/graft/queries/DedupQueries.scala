@@ -28,12 +28,18 @@ object DedupQueries {
 
   private val K = 3 // word-shingle width
 
-  /** doc_id + distinct shingle-hash set (the unit of Jaccard identity). */
+  /** doc_id + distinct shingle-hash set (the unit of Jaccard identity).
+    * Each stage is a separate projection: `shingles` references its token
+    * array many times (size/sequence/element_at per gram), so tokens MUST be
+    * a named column — inlining the regex-split expression would re-evaluate
+    * it per lambda element (measured ~50x slowdown). CollapseProject leaves
+    * multi-referenced non-cheap aliases staged, so this layout is stable. */
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), TF.shingles(col("toks"), K).as("sg"))
       .select(col("doc_id"), col("lang"),
-        array_sort(array_distinct(TF.tokenHashes(
-          TF.shingles(TF.tokens(col("text")), K)))).as("sh"))
+        array_sort(array_distinct(TF.tokenHashes(col("sg")))).as("sh"))
 
   private def shingleSetsSql(extra: String = ""): String = {
     val sh = OracleText.tokenHashes(OracleText.shingles(OracleText.tokens("text"), K))
@@ -76,11 +82,15 @@ object DedupQueries {
       "q_dedup_jaccard",
       "word 3-gram Jaccard similarity, top-20 pairs (sampled, lang-blocked)",
       (s, dir) => {
+        // Persist the (small) shingle-set side once; the self-join would
+        // otherwise recompute the tokenize->shingle->hash pipeline per side.
         val d = shingleSets(s, dir).filter(col("doc_id") % 5 === 0)
-        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+          .withColumn("n", size(col("sh"))).persist()
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("n").as("n_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("n").as("n_b"))
         a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
-          .withColumn("jac_raw", jaccard(col("sh_a"), col("sh_b")))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("jac_raw", col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .orderBy(desc("jac_raw"), asc("doc_a"), asc("doc_b"))
           .limit(20)
           .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
@@ -98,15 +108,14 @@ object DedupQueries {
       "q_dedup_minhash_lsh",
       "MinHash(12)+LSH(3x4) near-dup pairs, exact-Jaccard-verified >= 0.5",
       (s, dir) => {
-        val d = shingleSets(s, dir)
-        val sigs = d.select(col("doc_id"), col("sh"), TF.minhashSig(col("sh")).as("sig"))
-        val buckets = array((0 until TextHashOps.MinHashBands).map { j =>
-          TF.hashCombine(concat(
-            array(lit(j.toLong)),
-            slice(col("sig"), j * TextHashOps.MinHashRows + 1, TextHashOps.MinHashRows)))
-        }: _*)
-        val bands = sigs
-          .select(col("doc_id"), posexplode(buckets).as(Seq("band", "bucket")))
+        // Shingle sets computed ONCE and persisted: reused by band explode
+        // (x and y sides) and both verify sides. Band buckets come from the
+        // single-pass MinHashBandBuckets expression — composing them from
+        // slice(minhashSig(...)) inlines the shingle pipeline per band and
+        // drops out of codegen (measured 20x slower).
+        val d = shingleSets(s, dir).persist()
+        val bands = d
+          .select(col("doc_id"), posexplode(TF.minhashBandBuckets(col("sh"))).as(Seq("band", "bucket")))
         val cand = bands.as("x")
           .join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
@@ -144,9 +153,13 @@ object DedupQueries {
       "q_dedup_simhash",
       "SimHash32 near-dup pairs with Hamming distance <= 3 (banded join)",
       (s, dir) => {
+        // Persisted signature table (2 longs/doc): the band explode and the
+        // self-join both read the cached signatures instead of re-running
+        // the tokenize+simhash pipeline per reference.
         val sims = tbl(s, dir, "documents")
           .select(col("doc_id"),
             TF.simhash32(TF.tokenHashes(TF.tokens(col("text")))).as("sig"))
+          .persist()
         val bands = sims.select(col("doc_id"), col("sig"),
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("band"), shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bb"))

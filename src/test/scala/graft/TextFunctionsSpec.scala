@@ -44,6 +44,16 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(agree >= 8, s"expected J~0.9 sets to agree on >=8/12 positions, got $agree")
   }
 
+  test("minhashBandBuckets: one-pass buckets equal combine over sig slices") {
+    val hs = Array.tabulate(50)(i => (i * 7919L + 13) % TextHashOps.P)
+    val sig = TextHashOps.minhashSig(hs)
+    val expected = (0 until TextHashOps.MinHashBands).map { b =>
+      TextHashOps.combine(
+        Array(b.toLong) ++ sig.slice(b * TextHashOps.MinHashRows, (b + 1) * TextHashOps.MinHashRows))
+    }
+    assert(TextHashOps.minhashBandBuckets(hs).toSeq == expected)
+  }
+
   test("simhash32: identical input -> distance 0; near input -> small distance") {
     val base = Array.tabulate(150)(i => (i * 7919L + 13) % TextHashOps.P)
     val near = base.take(145) ++ Array.tabulate(5)(i => (i * 104729L + 7) % TextHashOps.P)
