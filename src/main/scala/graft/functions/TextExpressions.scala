@@ -89,6 +89,23 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** hash_embed(ARRAY<STRING>, dim) -> ARRAY<FLOAT> — L2-normalized hashed
+  * bag-of-tokens embedding (see [[TextHashOps.hashEmbed]]). */
+case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
+  override def prettyName: String = "hash_embed"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.hashEmbedAD(v.asInstanceOf[ArrayData], dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.hashEmbedAD($c, $dim)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** hash_combine(ARRAY<BIGINT>) -> BIGINT — order-sensitive rolling combine
   * (document fingerprint over token hashes). */
 case class HashCombine(child: Expression) extends UnaryExpression {

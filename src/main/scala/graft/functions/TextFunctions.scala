@@ -58,6 +58,10 @@ object TextFunctions {
   /** Order-sensitive rolling fingerprint of a hash array. */
   def hashCombine(hashes: Column): Column = expr1(HashCombine.apply)(hashes)
 
+  /** L2-normalized hashed bag-of-tokens embedding (dim buckets). */
+  def hashEmbed(toks: Column, dim: Int): Column =
+    expr1(e => HashEmbed(e, dim))(toks)
+
   /** Fold-sum of a BIGINT array (left-to-right, matches DuckDB list_sum order
     * irrelevance for ints). */
   def sumLong(arr: Column): Column =

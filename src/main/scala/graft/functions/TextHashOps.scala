@@ -120,6 +120,32 @@ object TextHashOps {
     sig
   }
 
+  /** Hashing embedder: token array -> L2-normalized `dim`-bucket count
+    * vector (FLOAT). Deterministic, similarity-preserving capability parity
+    * with the reference's text encoder (/root/reference/src/embeddings.py:5-6)
+    * — the specific torch model weights are out of scope for a hermetic JVM
+    * build; what matters is text -> fixed-dim vector with stable cosine
+    * structure. Zero tokens -> zero vector (mirrors l2Normalize's guard). */
+  def hashEmbed(toks: Array[UTF8String], dim: Int): Array[Float] = {
+    val counts = new Array[Double](dim)
+    var i = 0
+    while (i < toks.length) {
+      counts((polyHash(toks(i)) % dim).toInt) += 1.0
+      i += 1
+    }
+    var nsq = 0.0
+    var j = 0
+    while (j < dim) { nsq += counts(j) * counts(j); j += 1 }
+    val nrm = math.sqrt(nsq)
+    val out = new Array[Float](dim)
+    j = 0
+    while (j < dim) {
+      out(j) = if (nrm == 0.0) 0.0f else (counts(j) / nrm).toFloat
+      j += 1
+    }
+    out
+  }
+
   // ---- ArrayData adapters for codegen call sites ----
 
   def minhashSigAD(a: ArrayData): ArrayData =
@@ -131,4 +157,11 @@ object TextHashOps {
   def simhash32AD(a: ArrayData): Long = simhash32(a.toLongArray())
 
   def combineAD(a: ArrayData): Long = combine(a.toLongArray())
+
+  def hashEmbedAD(a: ArrayData, dim: Int): ArrayData = {
+    val toks = new Array[UTF8String](a.numElements())
+    var i = 0
+    while (i < toks.length) { toks(i) = a.getUTF8String(i); i += 1 }
+    new GenericArrayData(hashEmbed(toks, dim))
+  }
 }

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, SparkSession}
+
+/**
+ * Approximate-nearest-neighbor scale paths over the embeddings table, plus
+ * the hashing text embedder. Brute-force exact kNN (the baseline) is
+ * q_knn_cosine / q_knn_l2 in [[VectorQueries]].
+ *
+ * Scale design (100 TB):
+ *  - IVF: centroids are index metadata — tiny, driver-resident, folded into
+ *    the plan as literals. Cell assignment is then a NARROW map (argmin over
+ *    a literal centroid array, whole-stage codegen), cell-probe is a NARROW
+ *    filter, and the only data movement in the whole query is the final
+ *    top-k (TakeOrderedAndProject). A production index would precompute the
+ *    assignment and partition the table by cell; the query shape is the same.
+ *  - LSH: 6 deterministic sign-random-projection hyperplanes derived from an
+ *    integer formula (no stored model!), bucket = 6-bit signature. Probe
+ *    bucket computed driver-side; candidate filter is narrow; exact cosine
+ *    re-rank only within the bucket.
+ * Both oracles replicate the identical integer/float math in DuckDB SQL.
+ */
+object AnnQueries {
+  import Registry.tbl
+
+  val EmbDim = 64 // embeddings.parquet vector width
+  val NumCentroids = 16
+  val NProbe = 4
+  val NumPlanes = 6
+  val TextEmbDim = 64 // hashing embedder output width
+
+  /** Deterministic LSH hyperplane component w[p][d] — shared with the oracle:
+    * scramble32(p*EmbDim+d) reduced to a float in [-1, 1]. */
+  def plane(p: Int): Array[Float] =
+    Array.tabulate(EmbDim) { d =>
+      val h = ((p.toLong * EmbDim + d) * 2654435761L) % 4294967296L
+      (((h % 2001) - 1000).toDouble / 1000.0).toFloat
+    }
+
+  private def planeSql(p: String, i: String): String =
+    s"CAST(CAST((((($p*$EmbDim + ($i-1)) * 2654435761) % 4294967296) % 2001) - 1000 AS DOUBLE) / 1000.0 AS FLOAT)"
+
+  /** Sequential-fold dot(embedding, w_p) in DOUBLE — matches VF.dot. */
+  private def dotPlaneSql(emb: String, p: String): String =
+    s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> " +
+      s"CAST($emb[i] AS DOUBLE) * CAST(${planeSql(p, "i")} AS DOUBLE)), (x, y) -> x + y)"
+
+  /** 6-bit LSH bucket of an embedding, SQL side. */
+  private def bucketSql(emb: String): String =
+    s"CAST(coalesce(list_sum(list_transform(range(0, $NumPlanes), p -> " +
+      s"CASE WHEN ${dotPlaneSql(emb, "p")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
+
+  /** 6-bit LSH bucket, driver-side Scala (same float/double math). */
+  def bucketOf(emb: Array[Float]): Long = {
+    var bucket = 0L
+    var p = 0
+    while (p < NumPlanes) {
+      val w = plane(p)
+      var dot = 0.0
+      var d = 0
+      while (d < EmbDim) { dot += emb(d).toDouble * w(d).toDouble; d += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  val all: Seq[Q] = Seq(
+
+    // Hashing embedder + kNN over the embedded documents: capability parity
+    // with the reference's embed->store->query pipeline
+    // (/root/reference/src/main.py:6-20) on a hermetic JVM encoder.
+    Q(
+      "q_embed_knn",
+      "hash-embed documents, top-5 nearest to embedded probe doc by cosine",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), TF.hashEmbed(col("toks"), TextEmbDim).as("emb"))
+        val probe = docs.filter(col("doc_id") === 0).select(col("emb").as("qe"))
+        docs.crossJoin(broadcast(probe))
+          .filter(col("doc_id") =!= 0)
+          .withColumn("cos_raw", VF.cosine(col("emb"), col("qe")))
+          .orderBy(desc("cos_raw"), asc("doc_id"))
+          .limit(5)
+          .select(col("doc_id"), round(col("cos_raw"), 6).as("cos"))
+      },
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        val cnt = s"list_transform(range(0, $TextEmbDim), j -> " +
+          s"CAST(len(list_filter(th, h -> h % $TextEmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |c AS MATERIALIZED (SELECT doc_id, $cnt AS cnt FROM t),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM c),
+           |probe AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+           |SELECT e.doc_id, round(${OracleSql.cosine("e.emb", "probe.qe")}, 6) AS cos
+           |FROM e CROSS JOIN probe WHERE e.doc_id <> 0
+           |ORDER BY ${OracleSql.cosine("e.emb", "probe.qe")} DESC, e.doc_id LIMIT 5""".stripMargin
+      }),
+
+    // IVF cell-probe ANN: argmin-assign to 16 literal centroids (narrow),
+    // probe the 4 nearest cells (narrow filter), exact top-5 within.
+    Q(
+      "q_ann_ivf",
+      "IVF ANN: assign to 16 centroid cells, probe 4 nearest, top-5 by L2",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        // Index metadata: centroids + probe, collected driver-side (tiny).
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        def l2sq(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+        val probeCells: Seq[Long] =
+          cents.map { case (cid, c) => (l2sq(c, qe), cid) }.sorted.take(NProbe).map(_._2).toSeq
+        // Narrow argmin assignment over literal centroids (struct min is
+        // lexicographic -> deterministic (dist, cid) tie-break).
+        val distStructs: Seq[Column] = cents.toSeq.map { case (cid, c) =>
+          struct(VF.l2Sq(col("embedding"), typedlit(c)).as("d"), lit(cid).as("cid"))
+        }
+        e.withColumn("cell", array_min(array(distStructs: _*)).getField("cid"))
+          .filter(col("cell").isin(probeCells: _*))
+          .withColumn("dist_raw", VF.l2Sq(col("embedding"), typedlit(qe)))
+          .orderBy(asc("dist_raw"), asc("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("cell"), round(col("dist_raw"), 6).as("dist"))
+      },
+      Some {
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val dCent = OracleSql.l2Sq("cent.cemb", "probe.qe")
+        val dFinal = OracleSql.l2Sq("a.embedding", "probe.qe")
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCentroids),
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |pcells AS (SELECT cid FROM cent CROSS JOIN probe ORDER BY $dCent, cid LIMIT $NProbe)
+           |SELECT a.vec_id, a.cell, round($dFinal, 6) AS dist
+           |FROM assign a JOIN pcells ON a.cell = pcells.cid CROSS JOIN probe
+           |ORDER BY $dFinal ASC, a.vec_id LIMIT 5""".stripMargin
+      }),
+
+    // LSH-bucketed ANN: 6-bit sign-random-projection signature; candidates
+    // share the probe's bucket; exact cosine re-rank within.
+    Q(
+      "q_ann_lsh",
+      "LSH ANN: 6-plane sign signature bucket filter + exact cosine top-5",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val bucketCol: Column = (0 until NumPlanes).map { p =>
+          when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        e.withColumn("bucket", bucketCol)
+          .filter(col("bucket") === lit(bucketOf(qe)))
+          .filter(col("vec_id") =!= 0)
+          .withColumn("cos_raw", VF.cosine(col("embedding"), typedlit(qe)))
+          .orderBy(desc("cos_raw"), asc("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), round(col("cos_raw"), 6).as("cos"))
+      },
+      Some {
+        val cos = OracleSql.cosine("s.embedding", "probe.qe")
+        s"""WITH sigs AS MATERIALIZED (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |probe AS (SELECT embedding AS qe, bucket FROM sigs WHERE vec_id = 0)
+           |SELECT s.vec_id, round($cos, 6) AS cos
+           |FROM sigs s JOIN probe ON s.bucket = probe.bucket
+           |WHERE s.vec_id <> 0
+           |ORDER BY $cos DESC, s.vec_id LIMIT 5""".stripMargin
+      })
+  )
+}

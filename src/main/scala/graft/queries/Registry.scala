@@ -27,7 +27,8 @@ object Registry {
     spark.read.parquet(s"$dir/$name.parquet")
 
   lazy val all: Seq[Q] =
-    VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all
+    VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      AnnQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
