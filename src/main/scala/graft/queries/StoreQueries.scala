@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.functions.{TextFunctions => TF}
+import graft.store.{EncryptedStore, VectorStore}
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver-checkable queries over the store modules ([[graft.store.VectorStore]]
+ * / [[graft.store.EncryptedStore]]). Each runs a full write -> read cycle in
+ * a temp directory and emits a deterministic result the DuckDB oracle can
+ * recompute from the source tables alone — verifying the store's round-trip
+ * fidelity, duplicate-id rejection, and encrypt/decrypt identity.
+ */
+object StoreQueries {
+  import Registry.tbl
+
+  private val TestKey = "0123456789abcdef" // 16-byte AES key (test fixture)
+
+  val all: Seq[Q] = Seq(
+
+    // S4-S6/P1-P3 + kNN: ingest documents (hash-embedded) into a parquet
+    // collection, add AGAIN (dup-id rejection must keep count stable), then
+    // run the store's top-5 L2 query for the embedded probe doc.
+    Q(
+      "q_store_roundtrip",
+      "vector store ingest (with dup-id rejection) + top-5 L2 query",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_store").toString
+        val store = new VectorStore(s, base)
+        val coll = store.createOrGet("docs")
+        val rows = tbl(s, dir, "documents")
+          .select(col("doc_id").cast("string").as("id"), col("text").as("doc"),
+            map(lit("lang"), col("lang")).as("meta"), TF.tokens(col("text")).as("toks"))
+          .select(col("id"), col("doc"), col("meta"),
+            TF.hashEmbed(col("toks"), AnnQueries.TextEmbDim).as("emb"))
+        coll.add(rows)
+        coll.add(rows) // duplicate ids -> all rejected, count unchanged
+        val qe = coll.get(ids = Seq("0"), include = Seq("emb"))
+          .head().getSeq[Float](1).toArray
+        coll.query(qe, k = 5, metric = "l2")
+          .select(col("id"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        val dim = AnnQueries.TextEmbDim
+        val cnt = s"list_transform(range(0, $dim), j -> " +
+          s"CAST(len(list_filter(th, h -> h % $dim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val dist = OracleSql.l2Sq("e.emb", "probe.qe")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |c AS MATERIALIZED (SELECT doc_id, $cnt AS cnt FROM t),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM c),
+           |probe AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+           |SELECT CAST(e.doc_id AS VARCHAR) AS id, round($dist, 6) AS dist
+           |FROM e CROSS JOIN probe
+           |ORDER BY $dist ASC, CAST(e.doc_id AS VARCHAR) ASC LIMIT 5""".stripMargin
+      }),
+
+    // F11/S7: encrypted store round-trip — encrypt-at-rest (AES-GCM, random
+    // IV per row) then authorized decrypt must reproduce every embedding
+    // bit-for-bit. The oracle states the identity from plaintext alone.
+    Q(
+      "q_encrypt_roundtrip",
+      "AES-GCM encrypt embeddings at rest, decrypt, verify exact identity",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_enc").toString
+        val enc = new EncryptedStore(s, base, TestKey)
+        val rows = tbl(s, dir, "embeddings")
+          .select(col("vec_id").cast("string").as("id"),
+            concat(lit("doc for vector "), col("vec_id")).as("doc"),
+            col("embedding").as("emb"))
+        enc.store(rows, "vectors")
+        val original = tbl(s, dir, "embeddings")
+          .select(col("vec_id").cast("string").as("id"), col("embedding"))
+        enc.open("vectors")
+          .join(original, "id")
+          .select(col("id").cast("long").as("vec_id"),
+            (col("emb") === col("embedding")).as("roundtrip_ok"),
+            round(graft.functions.VectorFunctions.norm(col("emb")), 6).as("nrm"))
+          .orderBy("vec_id")
+      },
+      Some(s"""SELECT vec_id, TRUE AS roundtrip_ok,
+              |  round(sqrt(${OracleSql.normSq("embedding")}), 6) AS nrm
+              |FROM embeddings ORDER BY vec_id""".stripMargin))
+  )
+}

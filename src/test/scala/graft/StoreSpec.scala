@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import graft.store.{EncryptedStore, VectorStore}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StoreSpec extends AnyFunSuite with SparkTest {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_test_store").toString
+
+  private def docRows = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(col("doc_id").cast("string").as("id"), col("text").as("doc"),
+      map(lit("lang"), col("lang")).as("meta"), TF.tokens(col("text")).as("toks"))
+    .select(col("id"), col("doc"), col("meta"), TF.hashEmbed(col("toks"), 64).as("emb"))
+
+  test("createOrGet is idempotent; add rejects duplicate ids") {
+    val store = new VectorStore(spark, tmp())
+    val c1 = store.createOrGet("c")
+    assert(c1.count() == 0)
+    val n = docRows.count()
+    c1.add(docRows)
+    assert(store.createOrGet("c").count() == n, "create-or-get must not wipe data")
+    c1.add(docRows) // all ids duplicate
+    assert(c1.count() == n, "duplicate ids must be rejected")
+    c1.add(docRows.withColumn("id", concat(lit("x"), col("id"))))
+    assert(c1.count() == 2 * n, "fresh ids append")
+  }
+
+  test("point-get, include-projection, full extraction") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    val pt = c.get(ids = Seq("3", "7"), include = Seq("doc"))
+    assert(pt.columns.toSeq == Seq("id", "doc"))
+    assert(pt.count() == 2)
+    assert(c.get().count() == docRows.count(), "no ids -> full extraction (the leak)")
+  }
+
+  test("query returns k nearest with distances; cosine and l2 metrics") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    val qe = c.get(ids = Seq("0"), include = Seq("emb")).head().getSeq[Float](1).toArray
+    val l2 = c.query(qe, 3, "l2").collect()
+    assert(l2.length == 3)
+    assert(l2.head.getString(0) == "0", "nearest to own vector is itself")
+    assert(l2.head.getDouble(2) == 0.0)
+    assert(l2.map(_.getDouble(2)).toSeq.sorted == l2.map(_.getDouble(2)).toSeq)
+    val cos = c.query(qe, 3, "cosine").collect()
+    assert(cos.head.getString(0) == "0")
+    intercept[IllegalArgumentException](c.query(qe, 3, "hamming"))
+  }
+
+  test("encrypted store: round-trip identity, unique IVs, useless without key") {
+    val base = tmp()
+    val enc = new EncryptedStore(spark, base, "0123456789abcdef")
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"),
+        concat(lit("d"), col("vec_id")).as("doc"), col("embedding").as("emb"))
+    enc.store(rows, "v")
+
+    // round-trip identity
+    val back = enc.open("v").select(col("id"), col("emb"))
+      .join(rows.select(col("id"), col("emb").as("orig")), "id")
+      .filter(not(col("emb") === col("orig")))
+    assert(back.count() == 0, "decrypt(encrypt(x)) must equal x exactly")
+
+    // GCM random IV -> every ciphertext distinct even for equal plaintexts
+    val ct = enc.extractSecure("v")
+    assert(ct.select("emb_ct").distinct().count() == ct.count())
+
+    // without the key the extraction is useless: wrong-key decrypt -> null
+    val stolen = ct.withColumn("attempt",
+      expr("try_aes_decrypt(emb_ct, 'ffffffffffffffff', 'GCM')"))
+    assert(stolen.filter(col("attempt").isNotNull).count() == 0)
+
+    // kNN over decrypted view works for key holders
+    val qe = rows.filter(col("id") === "0").head().getSeq[Float](2).toArray
+    val knn = enc.query("v", qe, 3).collect()
+    assert(knn.head.getString(0) == "0" && knn.head.getDouble(2) == 0.0)
+  }
+}
