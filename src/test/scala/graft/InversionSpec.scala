@@ -1,0 +1,66 @@
+package graft
+
+import graft.attack.Inversion
+import graft.attack.Inversion.Params
+import org.scalatest.funsuite.AnyFunSuite
+
+class InversionSpec extends AnyFunSuite with SparkTest {
+
+  private val small = Params(
+    popSize = 16, generations = 5, eliteFrac = 0.25,
+    restarts = 2, iters = 25, topK = 8, dim = 64, seed = 7L)
+
+  test("mutations are pure functions of (text, seed)") {
+    assert(Inversion.mutateChar("spark query", 99L) == Inversion.mutateChar("spark query", 99L))
+    assert(Inversion.mutateWord("spark query", 99L) == Inversion.mutateWord("spark query", 99L))
+    assert(Inversion.crossover("aaaa", "bbbb", 5L) == Inversion.crossover("aaaa", "bbbb", 5L))
+    // alphabet closure for char mutation of alphabet-only input
+    val m = Inversion.mutateChar("spark and 42 queries", 3L)
+    assert(m.forall(c => c.isLower || c.isDigit || c == ' '))
+  }
+
+  test("embedText matches the Spark-side hashEmbed column exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.functions.{TextFunctions => TF}
+    val texts = Seq("Spark, the query engine!", "vector 42 search", "")
+    val fromCol = texts.toDF("t")
+      .select(TF.hashEmbed(TF.tokens(col("t")), 64).as("e"))
+      .collect().map(_.getSeq[Float](0).toArray)
+    texts.zip(fromCol).foreach { case (t, e) =>
+      assert(Inversion.embedText(t, 64).toSeq == e.toSeq, s"mismatch for '$t'")
+    }
+  }
+
+  test("evolutionary best-score trajectory is monotone non-decreasing") {
+    val target = Inversion.embedText("spark query vector table join filter", 64)
+    val (_, traj) = Inversion.evolutionarySearch(spark, target, small)
+    assert(traj.nonEmpty)
+    assert(traj.zip(traj.tail).forall { case (a, b) => b >= a }, s"trajectory $traj")
+  }
+
+  test("early stop cuts the loop once the threshold is crossed") {
+    val target = Inversion.embedText("spark join batch query", 64)
+    // Unreachable threshold -> all generations run.
+    val full = small.copy(generations = 8, earlyStop = 2.0)
+    val (_, trajFull) = Inversion.evolutionarySearch(spark, target, full)
+    assert(trajFull.length == 8)
+    // Threshold below what generation 0 already achieves -> stop immediately.
+    val quick = small.copy(generations = 8, earlyStop = trajFull.head - 1e-9)
+    val (cands, trajQuick) = Inversion.evolutionarySearch(spark, target, quick)
+    assert(trajQuick.length == 1, s"expected immediate stop, got $trajQuick")
+    assert(cands.head.score > quick.earlyStop)
+  }
+
+  test("full invert is reproducible and ranked") {
+    val target = Inversion.embedText("spark query vector table", 64)
+    val r1 = Inversion.invert(spark, target, small).collect().map(_.toSeq)
+    val r2 = Inversion.invert(spark, target, small).collect().map(_.toSeq)
+    assert(r1.toSeq == r2.toSeq, "seeded attack must be bit-reproducible")
+    assert(r1.length <= small.topK && r1.nonEmpty)
+    val scores = r1.map(_(1).asInstanceOf[Double]).toSeq
+    assert(scores == scores.sorted.reverse, "ranked by descending score")
+    val texts = r1.map(_(2).asInstanceOf[String]).toSeq
+    assert(texts.distinct.length == texts.length, "dedup-keep-max leaves no dup texts")
+  }
+}
