@@ -195,6 +195,38 @@ object RelationalQueries {
           .orderBy("win_start", "event_type"),
       Some("""SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS win_start, event_type,
              |  CAST(count(*) AS BIGINT) AS n, round(sum("value"), 2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // Gap-based sessionization via session_window (the batch twin of the
+    // Structured Streaming session operator). All timestamps compared in
+    // epoch MICROSECONDS on both engines (the fixture is nanos parquet;
+    // comparing at different precisions would drift at window edges).
+    // State per (user, open session) only — watermark-boundable in the
+    // streaming form.
+    Q(
+      "q_sessionize",
+      "6-hour-gap sessions per user: start, size, duration, value sum",
+      (s, dir) =>
+        EventsTable.load(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+          .agg(count(lit(1)).as("n_events"),
+            round(sum("value"), 2).as("sum_value"),
+            unix_micros(min(col("ts"))).as("start_us"),
+            (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("dur_us"))
+          .select(col("user_id"), col("start_us"), col("n_events"), col("dur_us"), col("sum_value"))
+          .orderBy("user_id", "start_us"),
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu, "value" FROM events),
+             |flagged AS (
+             |  SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+             |                   OR tsu - lag(tsu) OVER w >= 21600000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+             |sessioned AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+             |                             ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flagged)
+             |SELECT user_id, min(tsu) AS start_us, CAST(count(*) AS BIGINT) AS n_events,
+             |       max(tsu) - min(tsu) AS dur_us, round(sum("value"), 2) AS sum_value
+             |FROM sessioned GROUP BY user_id, sid
+             |ORDER BY user_id, start_us""".stripMargin))
   )
 }

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.functions.{TextFunctions => TF}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/**
+ * Structured Streaming surface of the engine — the planned extension the
+ * reference is batch-only for (SURVEY.md §2.9): continuous ingest of new
+ * documents into the vector store, watermarked event-time aggregation, and
+ * custom keyed state.
+ *
+ * Scale notes: the ingest pipeline is stateless and narrow (per-row embed),
+ * so it scales with source partitions; the windowed aggregation carries one
+ * state row per (window, event_type); the keyed-state operator carries one
+ * row per user. Watermarks bound all state.
+ */
+object StreamOps {
+
+  val DocSourceSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Continuous document ingest: parquet file source -> hash-embed ->
+    * vector-store collection layout, Trigger.AvailableNow (drain-then-stop,
+    * the batch-friendly incremental trigger). */
+  def ingestDocuments(
+      spark: SparkSession, srcDir: String, destPath: String, checkpoint: String,
+      dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .select(col("doc_id").cast(StringType).as("id"), col("text").as("doc"),
+        map(lit("lang"), col("lang"), lit("source"), col("source")).as("meta"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("id"), col("doc"), col("meta"), TF.hashEmbed(col("toks"), dim).as("emb"))
+      .writeStream
+      .format("parquet")
+      .option("path", destPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Watermarked hourly tumbling-window counts — the streaming twin of the
+    * batch q_events_hourly frame (identical results on closed windows). */
+  def hourlyEventCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserMax(user_id: Long, max_value: Double, n_events: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user max/count
+    * across micro-batches (the KeyValueGroupedDataset state surface). */
+  def runningUserMax(events: Dataset[UserEvent]): Dataset[UserMax] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserMax, UserMax](GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[UserEvent], state: GroupState[UserMax]) =>
+          val prev = state.getOption.getOrElse(UserMax(uid, Double.NegativeInfinity, 0L))
+          val next = it.foldLeft(prev) { (acc, e) =>
+            UserMax(uid, math.max(acc.max_value, e.value), acc.n_events + 1)
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming Dataset to completion into a named memory sink and
+    * return the sink table (test/dev utility; Update mode suits stateful
+    * operators, Complete suits aggregations). */
+  def drainToMemory(spark: SparkSession, ds: Dataset[_], name: String, mode: OutputMode): DataFrame = {
+    val q = ds.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

@@ -1,0 +1,79 @@
+package graft
+
+import graft.queries.EventsTable
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{UserEvent, UserMax}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite with SparkTest {
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("graft_stream").toString
+
+  test("AvailableNow document ingest embeds and lands every row") {
+    // file stream source wants a DIRECTORY of files
+    val srcDir = tmp()
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/batch0.parquet"))
+    val n = spark.read.parquet(srcDir).count()
+    val dest = tmp(); val ckpt = tmp()
+    val q = StreamOps.ingestDocuments(spark, srcDir, dest, ckpt)
+    q.awaitTermination()
+    val out = spark.read.parquet(dest)
+    assert(out.count() == n)
+    assert(out.columns.toSeq == Seq("id", "doc", "meta", "emb"))
+    assert(out.filter(size(col("emb")) =!= 64).count() == 0)
+    // incremental: re-running with same checkpoint ingests nothing new...
+    val q2 = StreamOps.ingestDocuments(spark, srcDir, dest, ckpt)
+    q2.awaitTermination()
+    assert(spark.read.parquet(dest).count() == n, "checkpoint must prevent re-ingest")
+    // ...but a newly arrived file is picked up
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$srcDir/batch1.parquet"))
+    val q3 = StreamOps.ingestDocuments(spark, srcDir, dest, ckpt)
+    q3.awaitTermination()
+    assert(spark.read.parquet(dest).count() == 2 * n, "new file must be ingested")
+  }
+
+  test("streaming hourly window agg equals the batch frame") {
+    import spark.implicits._
+    val events = EventsTable.load(spark, sf0001)
+      .select(col("ts"), col("event_type"), col("value"))
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    mem.addData(events.as[(java.sql.Timestamp, String, Double)].collect().toSeq)
+    val streamed = StreamOps.hourlyEventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val got = StreamOps.drainToMemory(spark, streamed, "hourly_t", OutputMode.Complete())
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
+  }
+
+  test("mapGroupsWithState keeps running per-user max across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = StreamOps.runningUserMax(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("umax_t")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(UserEvent(1, 5.0), UserEvent(1, 3.0), UserEvent(2, 7.0))
+    q.processAllAvailable()
+    mem.addData(UserEvent(1, 9.0), UserEvent(2, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    // Update mode emits one row per key per batch; last row per key wins.
+    val last = spark.table("umax_t").as[UserMax].collect()
+      .groupBy(_.user_id).map { case (k, v) => k -> v.last }
+    assert(last(1L) == UserMax(1, 9.0, 3))
+    assert(last(2L) == UserMax(2, 7.0, 2))
+  }
+}
