@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/**
+ * Multimodal column plumbing: media (image/audio/video) travels as an opaque
+ * BINARY payload column with typed metadata, and feature extraction runs as
+ * a batched per-partition map — the exact shape a real decoder (JPEG, PCM,
+ * frame sampler) plugs into.
+ *
+ * The decode itself is a STUB: this container has no image/audio codecs, so
+ * [[decodeImageStub]] derives deterministic fake dimensions/checksum from
+ * the bytes. Everything AROUND the stub is real and tested: the binary
+ * schema, the mapPartitions batching (fixed-size batches, the shape a
+ * vectorized decoder wants), and the typed output schema.
+ *
+ * Scale: stateless narrow map; batch size bounds decoder memory; at 100 TB
+ * the payload column should be stored in its own parquet column chunk
+ * (column pruning keeps metadata-only queries from touching bytes).
+ */
+object MultimodalOps {
+
+  /** Decoder batch size — bounds per-task decoder memory, and is the unit a
+    * vectorized/native decoder would process at once. */
+  val DecodeBatchSize = 64
+
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, checksum: Long, width: Int, height: Int)
+
+  /** STUB image decode — deterministic fake: a real build would replace the
+    * body with a codec call (e.g. TwelveMonkeys/JavaCV) and keep the
+    * signature. Checksum is the same rolling polynomial as
+    * [[graft.functions.TextHashOps.polyHash]] so the oracle can recompute it
+    * from the source text (payload bytes are ASCII in the fixtures). */
+  def decodeImageStub(bytes: Array[Byte]): (Int, Int, Long) = {
+    var acc = 7L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xff)) % 1000000007L; i += 1 }
+    val width = (acc % 640).toInt + 1
+    val height = (acc % 480).toInt + 1
+    (width, height, acc)
+  }
+
+  /** (doc_id, payload BINARY) -> typed features, decoding in fixed-size
+    * batches per partition. */
+  def extractImageFeatures(payloads: Dataset[(Long, Array[Byte])]): Dataset[MediaFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        // a real decoder would process `batch` as one vectorized call
+        batch.iterator.map { case (id, bytes) =>
+          val (w, h, ck) = decodeImageStub(bytes)
+          MediaFeatures(id, bytes.length, ck, w, h)
+        }
+      }
+    }
+  }
+}
