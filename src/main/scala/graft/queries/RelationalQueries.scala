@@ -197,6 +197,42 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum("value"), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // F12/S3: schema-enforced JSON parsing (from_json) — malformed or
+    // mis-typed props become NULL (fail-fast surface), then aggregate.
+    Q(
+      "q_json_extract",
+      "parse JSON props column with schema enforcement, aggregate by type",
+      (s, dir) =>
+        EventsTable.load(s, dir)
+          .withColumn("k",
+            from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+              .getField("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"),
+            count(col("k")).as("n_parsed"),
+            sum(col("k").cast("long")).as("sum_k"),
+            count(when(col("k") > 50, 1)).as("n_high"))
+          .orderBy("event_type"),
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(count(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS n_parsed,
+             |  CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+             |  CAST(count(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50 THEN 1 END) AS BIGINT) AS n_high
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Full grouping-sets surface: CUBE over two dimensions.
+    Q(
+      "q_cube",
+      "cube subtotals over returnflag x linestatus",
+      (s, dir) =>
+        tbl(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
+
     // Gap-based sessionization via session_window (the batch twin of the
     // Structured Streaming session operator). All timestamps compared in
     // epoch MICROSECONDS on both engines (the fixture is nanos parquet;
