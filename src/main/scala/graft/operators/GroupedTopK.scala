@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+import org.apache.spark.sql.{Column, Encoder}
+
+/**
+ * Grouped top-k as a typed Aggregator (UDAF with map-side partial
+ * aggregation). The window-function formulation
+ * (`row_number over (partition by g order by d) <= k`) shuffles EVERY input
+ * row to its group's reducer; this aggregator keeps a bounded k-element
+ * buffer per group per map task, so the shuffle carries at most
+ * `k x groups x tasks` rows — the difference between "shuffle the corpus"
+ * and "shuffle the answer" at 100 TB.
+ *
+ * Ordering is the total order (score, id) ascending — ties broken by id, so
+ * results are deterministic under any partitioning, and merge is
+ * associative/commutative (safe for AQE re-planning and speculative tasks).
+ */
+object GroupedTopK {
+
+  case class Scored(score: Double, id: Long)
+
+  class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def insert(buf: Seq[Scored], a: Scored): Seq[Scored] =
+      if (buf.length < k) (buf :+ a).sortBy(s => (s.score, s.id))
+      else {
+        val last = buf.last
+        if (a.score < last.score || (a.score == last.score && a.id < last.id))
+          (buf.init :+ a).sortBy(s => (s.score, s.id))
+        else buf
+      }
+
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = insert(b, a)
+    override def merge(b1: Seq[Scored], b2: Seq[Scored]): Seq[Scored] =
+      (b1 ++ b2).sortBy(s => (s.score, s.id)).take(k)
+    override def finish(r: Seq[Scored]): Seq[Scored] = r
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder()
+  }
+
+  /** Column aggregate: smallest-k (score, id) pairs per group, ascending. */
+  def topK(k: Int)(score: Column, id: Column): Column =
+    udaf(new TopKAgg(k), ExpressionEncoder[Scored]()).apply(score, id)
+}

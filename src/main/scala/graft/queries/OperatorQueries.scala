@@ -1,7 +1,8 @@
 package graft.queries
 
+import graft.functions.{VectorFunctions => VF}
 import graft.multimodal.MultimodalOps
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, GroupedTopK}
 import org.apache.spark.sql.functions._
 
 /**
@@ -37,6 +38,55 @@ object OperatorQueries {
              |SELECT l.event_id, l.user_id, l.tsu - r.tsu AS lag_us
              |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.tsu >= r.tsu
              |ORDER BY l.event_id""".stripMargin)),
+
+    // Grouped top-k via a typed Aggregator: identical semantics to the
+    // window formulation (q_knn_grouped) but with MAP-SIDE partial top-k —
+    // the shuffle carries at most k rows per (group, task) instead of the
+    // whole corpus. Same oracle shape as q_knn_grouped.
+    Q(
+      "q_topk_agg",
+      "grouped top-2 nearest to probe via bounded-buffer aggregator",
+      (s, dir) => {
+        val e = Registry.tbl(s, dir, "embeddings")
+        val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+        e.crossJoin(broadcast(probe))
+          .withColumn("dist_raw", VF.l2Sq(col("embedding"), col("qe")))
+          .groupBy("label")
+          .agg(GroupedTopK.topK(2)(col("dist_raw"), col("vec_id")).as("topk"))
+          .select(col("label"), posexplode(col("topk")).as(Seq("pos", "s")))
+          .select(col("label"), (col("pos") + 1).as("rnk"),
+            col("s.id").as("vec_id"), round(col("s.score"), 6).as("dist"))
+          .orderBy("label", "rnk")
+      },
+      Some {
+        val d = OracleSql.l2Sq("e.embedding", "q.qe")
+        s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |scored AS (
+           |  SELECT e.label, e.vec_id, $d AS dist_raw,
+           |         row_number() OVER (PARTITION BY e.label ORDER BY $d ASC, e.vec_id) AS rnk
+           |  FROM embeddings e CROSS JOIN q)
+           |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, round(dist_raw, 6) AS dist
+           |FROM scored WHERE rnk <= 2
+           |ORDER BY label, rnk""".stripMargin
+      }),
+
+    // Exact interpolated quantiles (percentile == DuckDB quantile_cont).
+    Q(
+      "q_quantiles",
+      "exact interpolated quantiles of quantity per returnflag",
+      (s, dir) =>
+        Registry.tbl(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(
+            round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+             |  round(quantile_cont(l_quantity, 0.95), 4) AS p95,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // Multimodal plumbing: text bytes as an opaque BINARY payload, batched
     // stub decode via mapPartitions, typed feature schema. The oracle

@@ -1,0 +1,130 @@
+package graft
+
+import graft.attack.Inversion
+import graft.functions.TextHashOps
+import graft.operators.GroupedTopK
+import graft.operators.GroupedTopK.Scored
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property-style invariants over seeded random inputs (SURVEY §5.3).
+  * Plain deterministic loops — no extra test-framework dependencies. */
+class PropertySpec extends AnyFunSuite with SparkTest {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private def randHashes(r: scala.util.Random, n: Int): Array[Long] =
+    Array.fill(n)(math.abs(r.nextLong()) % TextHashOps.P)
+
+  test("polyHash: range [0, P) and prefix sensitivity") {
+    val r = rng(1)
+    (1 to 200).foreach { _ =>
+      val s = r.alphanumeric.take(r.nextInt(50)).mkString
+      val h = TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      assert(h >= 0 && h < TextHashOps.P)
+      val h2 = TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(s + "x"))
+      assert(h2 != h, s"appending must change the hash for '$s'")
+    }
+  }
+
+  test("minhash: signature of a superset is elementwise <= the subset's") {
+    val r = rng(2)
+    (1 to 100).foreach { _ =>
+      val a = randHashes(r, 1 + r.nextInt(100))
+      val b = randHashes(r, 1 + r.nextInt(50))
+      val sa = TextHashOps.minhashSig(a)
+      val sab = TextHashOps.minhashSig(a ++ b)
+      assert(sa.zip(sab).forall { case (x, y) => y <= x })
+    }
+  }
+
+  test("simhash32: always 32-bit; permutation invariant") {
+    val r = rng(3)
+    (1 to 100).foreach { _ =>
+      val hs = randHashes(r, 1 + r.nextInt(200))
+      val s1 = TextHashOps.simhash32(hs)
+      assert((s1 & 0xFFFFFFFFL) == s1)
+      val s2 = TextHashOps.simhash32(r.shuffle(hs.toSeq).toArray)
+      assert(s1 == s2, "simhash is a bag operation — order must not matter")
+    }
+  }
+
+  test("cosine in [-1, 1]; cos(v, v) = 1 for nonzero v; l2sq(v, v) = 0") {
+    val r = rng(4)
+    (1 to 200).foreach { _ =>
+      val n = 1 + r.nextInt(64)
+      val a = Array.fill(n)((r.nextDouble() * 2 - 1).toFloat)
+      val b = Array.fill(n)((r.nextDouble() * 2 - 1).toFloat)
+      val c = Inversion.cosine(a, b)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+      if (a.exists(_ != 0f)) assert(math.abs(Inversion.cosine(a, a) - 1.0) < 1e-9)
+    }
+    assert(Inversion.cosine(Array(0f, 0f), Array(0f, 0f)) == -1.0)
+  }
+
+  test("hashEmbed: norm is exactly 0 (no tokens) or ~1") {
+    val r = rng(5)
+    (1 to 100).foreach { _ =>
+      val words = Seq.fill(r.nextInt(20))(r.alphanumeric.take(1 + r.nextInt(8)).mkString)
+      val emb = Inversion.embedText(words.mkString(" "), 64)
+      val nrm = math.sqrt(emb.map(x => x.toDouble * x.toDouble).sum)
+      if (words.isEmpty) assert(nrm == 0.0) else assert(math.abs(nrm - 1.0) < 1e-6)
+    }
+  }
+
+  test("mutations: closure and bounds under random seeds") {
+    val r = rng(6)
+    (1 to 200).foreach { _ =>
+      val t = (1 to 1 + r.nextInt(6))
+        .map(_ => Inversion.Lexicon(r.nextInt(Inversion.Lexicon.length))).mkString(" ")
+      val seed = r.nextLong()
+      val mc = Inversion.mutateChar(t, seed)
+      assert(mc.nonEmpty && mc.forall(c => c.isLower || c.isDigit || c == ' '))
+      val mw = Inversion.mutateWord(t, seed)
+      assert(mw.split("\\s+").count(_.nonEmpty) <= 41)
+      val cx = Inversion.crossover(t, mc, seed)
+      assert(cx.length <= t.length + mc.length)
+    }
+  }
+
+  test("dedupMax is idempotent and keeps the per-text max") {
+    val r = rng(7)
+    (1 to 50).foreach { _ =>
+      val cs = Seq.fill(30)(Inversion.Candidate(s"t${r.nextInt(8)}", r.nextDouble()))
+      val d1 = Inversion.dedupMax(cs)
+      assert(Inversion.dedupMax(d1) == d1)
+      assert(d1.map(_.text).distinct.length == d1.length)
+      d1.foreach(c => assert(c.score == cs.filter(_.text == c.text).map(_.score).max))
+    }
+  }
+
+  test("TopKAgg: any partitioning/merge order yields the same top-k") {
+    val r = rng(8)
+    val agg = new GroupedTopK.TopKAgg(5)
+    (1 to 50).foreach { _ =>
+      val rows = Seq.fill(60)(Scored(r.nextInt(20).toDouble, r.nextInt(1000).toLong))
+      val expected = rows.sortBy(s => (s.score, s.id)).distinct.take(5)
+      // random partitioning + fold order
+      val parts = rows.grouped(1 + r.nextInt(10)).toSeq
+      val merged = r.shuffle(parts.map(_.foldLeft(agg.zero)(agg.reduce)))
+        .foldLeft(agg.zero)(agg.merge)
+      // note: duplicates count separately in the aggregator (it is top-k of
+      // rows, not distinct values) — compare against row-level expectation
+      val expectedRows = rows.sortBy(s => (s.score, s.id)).take(5)
+      assert(agg.finish(merged) == expectedRows, s"expected $expectedRows")
+      assert(expected.forall(_ != null)) // silence unused warning path
+    }
+  }
+
+  test("kNN top-k is stable under adding strictly-farther points") {
+    val r = rng(9)
+    val dim = 16
+    val q = Array.fill(dim)(r.nextDouble().toFloat)
+    def l2(a: Array[Float]) =
+      a.zip(q).map { case (x, y) => (x.toDouble - y.toDouble) * (x.toDouble - y.toDouble) }.sum
+    val near = Seq.fill(10)(Array.fill(dim)((r.nextDouble() * 0.5).toFloat))
+    val topNear = near.sortBy(l2).take(3).map(_.toSeq)
+    val far = Seq.fill(10)(Array.fill(dim)((10 + r.nextDouble()).toFloat))
+    val topAll = (near ++ far).sortBy(l2).take(3).map(_.toSeq)
+    assert(topNear == topAll, "strictly farther points must not enter the top-k")
+  }
+}
