@@ -146,43 +146,52 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
-    // SimHash: 32-bit signature, 4x8-bit banded join (EXACT for Hamming<=3
-    // by pigeonhole), then Hamming filter. Oracle cross-joins directly —
-    // identical result set, different (non-scalable) plan.
+    // SimHash: collapse identical signatures to one representative FIRST
+    // (hash-groupBy — bag-identical docs dedup linearly), then a 4x8-bit
+    // banded join over DISTINCT signatures only (exact for Hamming<=3 by
+    // pigeonhole). Emitting all-pairs directly is quadratic in dup-group
+    // size: a 20x-replication stress test produced 36.8M pairs / 417s,
+    // vs linear output after representative collapse. Oracle cross-joins
+    // the (small) representative set — identical results, simpler plan.
     Q(
       "q_dedup_simhash",
-      "SimHash32 near-dup pairs with Hamming distance <= 3 (banded join)",
+      "SimHash32 dedup: identical-sig groups + near pairs of representatives",
       (s, dir) => {
-        // Persisted signature table (2 longs/doc): the band explode and the
-        // self-join both read the cached signatures instead of re-running
-        // the tokenize+simhash pipeline per reference.
-        val sims = tbl(s, dir, "documents")
+        val reps = tbl(s, dir, "documents")
           .select(col("doc_id"),
             TF.simhash32(TF.tokenHashes(TF.tokens(col("text")))).as("sig"))
+          .groupBy("sig")
+          .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_members"))
           .persist()
-        val bands = sims.select(col("doc_id"), col("sig"),
+        val bands = reps.select(col("sig"), col("keeper"),
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("band"), shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bb"))
-          .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.byte"))
+          .select(col("sig"), col("keeper"), col("bb.band"), col("bb.byte"))
         bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
-              col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+              col("x.keeper") < col("y.keeper"))
+          .select(col("x.keeper").as("rep_a"), col("y.keeper").as("rep_b"),
             col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
           .distinct()
           .withColumn("ham", expr("bit_count(sig_a ^ sig_b)"))
           .filter(col("ham") <= 3)
-          .select(col("doc_a"), col("doc_b"), col("ham"))
-          .orderBy("doc_a", "doc_b")
+          .join(reps.select(col("keeper").as("rep_a"), col("n_members").as("n_a")), "rep_a")
+          .join(reps.select(col("keeper").as("rep_b"), col("n_members").as("n_b")), "rep_b")
+          .select(col("rep_a"), col("rep_b"), col("ham"), col("n_a"), col("n_b"))
+          .orderBy("rep_a", "rep_b")
       },
       Some {
         val sig = OracleText.simhash32(OracleText.tokenHashes(OracleText.tokens("text")))
-        s"""WITH sims AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM documents)
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS ham
-           |FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        s"""WITH sims AS MATERIALIZED (SELECT doc_id, $sig AS sig FROM documents),
+           |reps AS MATERIALIZED (
+           |  SELECT sig, min(doc_id) AS keeper, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM sims GROUP BY sig)
+           |SELECT a.keeper AS rep_a, b.keeper AS rep_b,
+           |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS ham,
+           |       a.n_members AS n_a, b.n_members AS n_b
+           |FROM reps a JOIN reps b ON a.keeper < b.keeper
            |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-           |ORDER BY doc_a, doc_b""".stripMargin
+           |ORDER BY rep_a, rep_b""".stripMargin
       }),
 
     // Embedding-cosine near-dup, blocked by label (the cluster/category a

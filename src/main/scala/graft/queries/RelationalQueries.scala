@@ -197,6 +197,34 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum("value"), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // Analytic window frames: lag/lead deltas + running frame aggregate
+    // per user over event time (micros to keep both engines identical).
+    Q(
+      "q_lag_lead",
+      "per-user event deltas (lag) and running value sum (frame)",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        EventsTable.load(s, dir)
+          .filter(col("user_id") < 10)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"), col("value"))
+          .withColumn("gap_us", col("tsu") - lag("tsu", 1).over(w))
+          .withColumn("next_type_n", lead("event_id", 1).over(w))
+          .withColumn("run_sum", round(sum("value").over(run), 2))
+          .select(col("event_id"), col("user_id"), col("gap_us"),
+            col("next_type_n"), col("run_sum"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "value"
+             |          FROM events WHERE user_id < 10)
+             |SELECT event_id, user_id,
+             |  tsu - lag(tsu, 1) OVER w AS gap_us,
+             |  lead(event_id, 1) OVER w AS next_type_n,
+             |  round(sum("value") OVER (PARTITION BY user_id ORDER BY tsu, event_id
+             |        ROWS UNBOUNDED PRECEDING), 2) AS run_sum
+             |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
     // F12/S3: schema-enforced JSON parsing (from_json) — malformed or
     // mis-typed props become NULL (fail-fast surface), then aggregate.
     Q(
