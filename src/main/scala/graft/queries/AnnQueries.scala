@@ -39,18 +39,24 @@ object AnnQueries {
       (((h % 2001) - 1000).toDouble / 1000.0).toFloat
     }
 
-  private def planeSql(p: String, i: String): String =
+  private[queries] def planeSql(p: String, i: String): String =
     s"CAST(CAST((((($p*$EmbDim + ($i-1)) * 2654435761) % 4294967296) % 2001) - 1000 AS DOUBLE) / 1000.0 AS FLOAT)"
 
   /** Sequential-fold dot(embedding, w_p) in DOUBLE — matches VF.dot. */
-  private def dotPlaneSql(emb: String, p: String): String =
+  private[queries] def dotPlaneSql(emb: String, p: String): String =
     s"list_reduce(list_transform(range(1, ${EmbDim + 1}), i -> " +
       s"CAST($emb[i] AS DOUBLE) * CAST(${planeSql(p, "i")} AS DOUBLE)), (x, y) -> x + y)"
 
   /** 6-bit LSH bucket of an embedding, SQL side. */
-  private def bucketSql(emb: String): String =
+  private[queries] def bucketSql(emb: String): String =
     s"CAST(coalesce(list_sum(list_transform(range(0, $NumPlanes), p -> " +
       s"CASE WHEN ${dotPlaneSql(emb, "p")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
+
+  /** 6-bit LSH bucket as a Column over `embedding` (narrow, codegen). */
+  private[queries] def lshBucketCol: org.apache.spark.sql.Column =
+    (0 until NumPlanes).map { p =>
+      when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   /** 6-bit LSH bucket, driver-side Scala (same float/double math). */
   def bucketOf(emb: Array[Float]): Long = {
@@ -161,10 +167,7 @@ object AnnQueries {
         val e = tbl(s, dir, "embeddings")
         val qe: Array[Float] = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
-        val bucketCol: Column = (0 until NumPlanes).map { p =>
-          when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        e.withColumn("bucket", bucketCol)
+        e.withColumn("bucket", lshBucketCol)
           .filter(col("bucket") === lit(bucketOf(qe)))
           .filter(col("vec_id") =!= 0)
           .withColumn("cos_raw", VF.cosine(col("embedding"), typedlit(qe)))

@@ -194,17 +194,24 @@ object DedupQueries {
            |ORDER BY rep_a, rep_b""".stripMargin
       }),
 
-    // Embedding-cosine near-dup, blocked by label (the cluster/category a
-    // real pipeline would block on); top-20 most similar pairs. The
-    // unblocked scale path is LSH bucketing (see AnnQueries).
+    // Embedding-cosine near-dup, blocked on (label x LSH bucket): label is
+    // the category a pipeline blocks on; the 6-plane sign-projection bucket
+    // caps block size as data grows (label-only blocking is quadratic —
+    // measured 7s at a 20x stress replication and unbounded beyond). Sign
+    // LSH puts high-cosine pairs in the same bucket with high probability,
+    // so candidates are exactly where near-dups live; top-20 by cosine.
     Q(
       "q_neardup_embedding",
-      "embedding-cosine near-dup: top-20 same-label pairs by similarity",
+      "embedding-cosine near-dup: top-20 pairs within (label, LSH bucket)",
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
-        val a = e.select(col("vec_id").as("vec_a"), col("label"), col("embedding").as("ea"))
-        val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"), col("embedding").as("eb"))
-        a.join(b, a("label") === b("label_b") && a("vec_a") < b("vec_b"))
+          .withColumn("bucket", AnnQueries.lshBucketCol)
+          .persist() // signature computed once; both join sides read the cache
+        val a = e.select(col("vec_id").as("vec_a"), col("label"), col("bucket"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+          col("bucket").as("bucket_b"), col("embedding").as("eb"))
+        a.join(b, a("label") === b("label_b") && a("bucket") === b("bucket_b") &&
+            a("vec_a") < b("vec_b"))
           .withColumn("cos_raw", VF.cosine(col("ea"), col("eb")))
           .orderBy(desc("cos_raw"), asc("vec_a"), asc("vec_b"))
           .limit(20)
@@ -212,8 +219,10 @@ object DedupQueries {
       },
       Some {
         val cos = OracleSql.cosine("a.embedding", "b.embedding")
-        s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, round($cos, 6) AS cos
-           |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding,
+           |  ${AnnQueries.bucketSql("embedding")} AS bucket FROM embeddings)
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, round($cos, 6) AS cos
+           |FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            |ORDER BY $cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
       })
   )
