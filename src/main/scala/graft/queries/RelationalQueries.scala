@@ -197,6 +197,68 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum("value"), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // Correlated scalar subquery (Catalyst decorrelates to an aggregate +
+    // join): orders priced above their customer's own average.
+    Q(
+      "q_correlated_subquery",
+      "orders above their customer's average order value (decorrelated)",
+      (s, dir) => {
+        tbl(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql(
+          """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+            |FROM orders_v o
+            |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders_v i
+            |                            WHERE i.o_custkey = o.o_custkey)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+             |FROM orders o
+             |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+             |                            WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Bounded range join via time-bucketization: each error event counts the
+    // same user's events within +/-5 minutes. A naive inequality join is
+    // O(|L| x |R|) per user; bucketing to 5-minute cells and probing the 3
+    // adjacent cells makes it an equi-join whose cost tracks the TRUE match
+    // count — the scalable range-join recipe. Oracle does the naive
+    // inequality join (same result, different plan).
+    Q(
+      "q_range_join",
+      "events within +/-5 minutes of each error event (bucketized range join)",
+      (s, dir) => {
+        val win = 300000000L // 5 min in micros
+        val ev = EventsTable.load(s, dir)
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("tsu"),
+            col("event_type"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id"), col("user_id"), col("tsu"))
+        // probe side replicated into its own and both adjacent buckets;
+        // each reference row lives in exactly one bucket, so every true
+        // match is produced exactly once
+        val probes = errors
+          .withColumn("off", explode(array(lit(-1L), lit(0L), lit(1L))))
+          .withColumn("pb", (col("tsu") / win).cast("long") + col("off"))
+        val others = ev.select(col("user_id").as("u2"), col("tsu").as("tsu2"),
+            col("event_id").as("eid2"))
+          .withColumn("ob", (col("tsu2") / win).cast("long"))
+        probes.join(others,
+            col("user_id") === col("u2") && col("pb") === col("ob"))
+          .filter(abs(col("tsu2") - col("tsu")) <= win && col("eid2") =!= col("event_id"))
+          .groupBy("event_id", "user_id")
+          .agg(countDistinct("eid2").as("n_nearby"))
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, event_type FROM events),
+             |err AS (SELECT event_id, user_id, tsu FROM e WHERE event_type = 'error')
+             |SELECT err.event_id, err.user_id, CAST(count(DISTINCT e2.event_id) AS BIGINT) AS n_nearby
+             |FROM err JOIN e e2
+             |  ON err.user_id = e2.user_id
+             | AND abs(e2.tsu - err.tsu) <= 300000000
+             | AND e2.event_id <> err.event_id
+             |GROUP BY err.event_id, err.user_id
+             |ORDER BY err.event_id""".stripMargin)),
+
     // Analytic window frames: lag/lead deltas + running frame aggregate
     // per user over event time (micros to keep both engines identical).
     Q(
