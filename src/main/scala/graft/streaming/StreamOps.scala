@@ -53,6 +53,13 @@ object StreamOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
       .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup: first occurrence of each id wins; the watermark
+    * bounds the dedup state (ids older than the delay are forgotten — the
+    * training-pipeline contract "no duplicate docs within the late window").
+    * Columns: (id, ts, ...). */
+  def dedupStream(docs: DataFrame, lateness: String): DataFrame =
+    docs.withWatermark("ts", lateness).dropDuplicates("id")
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserMax(user_id: Long, max_value: Double, n_events: Long)
 

@@ -58,6 +58,25 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty)
   }
 
+  test("streaming dedup drops repeated ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val deduped = StreamOps.dedupStream(
+      mem.toDF().toDF("id", "ts", "v"), lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_t")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(("a", ts(0), 1.0), ("b", ts(1), 2.0), ("a", ts(2), 99.0))
+    q.processAllAvailable()
+    mem.addData(("b", ts(3), 98.0), ("c", ts(4), 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_t").select("id", "v").as[(String, Double)].collect().sorted
+    assert(got.toSeq == Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)),
+      "first occurrence wins; later duplicates dropped across batches")
+  }
+
   test("mapGroupsWithState keeps running per-user max across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
