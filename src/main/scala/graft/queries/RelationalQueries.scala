@@ -197,6 +197,48 @@ object RelationalQueries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum("value"), 2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
 
+    // Pivot: event-type counts as columns per market-segment-sized user
+    // cohort (groupBy.pivot compiles to conditional aggregates — one pass).
+    Q(
+      "q_pivot",
+      "pivot event types to columns per user cohort",
+      (s, dir) =>
+        EventsTable.load(s, dir)
+          .withColumn("cohort", (col("user_id") % 5).cast("long"))
+          .groupBy("cohort")
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+          .orderBy("cohort"),
+      Some("""SELECT user_id % 5 AS cohort,
+             |  CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+             |  CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+             |  CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+             |  CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+             |  CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+             |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin)),
+
+    // Set operations: INTERSECT / EXCEPT (distinct semantics) between two
+    // customer populations.
+    Q(
+      "q_set_ops",
+      "customers both high-balance and with orders (intersect), and without (except)",
+      (s, dir) => {
+        val c = tbl(s, dir, "customer")
+        val o = tbl(s, dir, "orders")
+        val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        val active = o.select(col("o_custkey").as("c_custkey")).distinct()
+        rich.intersect(active).withColumn("tag", lit("rich_active"))
+          .unionByName(rich.except(active).withColumn("tag", lit("rich_inactive")))
+          .orderBy("tag", "c_custkey")
+      },
+      Some("""WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+             |active AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+             |SELECT c_custkey, 'rich_active' AS tag FROM (SELECT * FROM rich INTERSECT SELECT * FROM active)
+             |UNION ALL
+             |SELECT c_custkey, 'rich_inactive' AS tag FROM (SELECT * FROM rich EXCEPT SELECT * FROM active)
+             |ORDER BY tag, c_custkey""".stripMargin)),
+
     // Correlated scalar subquery (Catalyst decorrelates to an aggregate +
     // join): orders priced above their customer's own average.
     Q(
