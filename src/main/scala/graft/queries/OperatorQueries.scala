@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.functions.{VectorFunctions => VF}
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.multimodal.MultimodalOps
 import graft.operators.{AsOfJoin, GroupedTopK}
 import org.apache.spark.sql.functions._
@@ -68,6 +68,44 @@ object OperatorQueries {
            |SELECT label, CAST(rnk AS INT) AS rnk, vec_id, round(dist_raw, 6) AS dist
            |FROM scored WHERE rnk <= 2
            |ORDER BY label, rnk""".stripMargin
+      }),
+
+    // KMV (k-minimum-values) distinct-count sketch: a DETERMINISTIC sketch
+    // (unlike HLL) — estimate = (k-1) * P / h_k where h_k is the k-th
+    // smallest distinct hash. The k-smallest set is exactly the GroupedTopK
+    // bounded-buffer aggregate, so the sketch gets map-side partials for
+    // free and shuffles k values per group-task. The oracle recomputes the
+    // identical integer/double math, so even the ESTIMATE hash-matches.
+    Q(
+      "q_sketch_distinct",
+      "KMV distinct-token sketch per language vs exact count",
+      (s, dir) => {
+        val k = 64
+        val d = Registry.tbl(s, dir, "documents")
+          .select(col("lang"), TF.tokens(col("text")).as("toks"))
+          .select(col("lang"), explode(col("toks")).as("tok"))
+          .select(col("lang"), graft.functions.TextFunctions.polyHash(col("tok")).as("h"))
+          .distinct()
+        d.groupBy("lang")
+          .agg(count(lit(1)).as("exact_distinct"),
+            GroupedTopK.topK(k)(col("h").cast("double"), col("h")).as("mins"))
+          .select(col("lang"), col("exact_distinct"),
+            round(when(col("exact_distinct") < k, col("exact_distinct").cast("double"))
+              .otherwise(lit((k - 1).toDouble * graft.functions.TextHashOps.P) /
+                element_at(col("mins"), k).getField("score")), 2).as("kmv_estimate"))
+          .orderBy("lang")
+      },
+      Some {
+        val k = 64
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        s"""WITH t AS (SELECT lang, unnest($th) AS h FROM documents),
+           |d AS (SELECT DISTINCT lang, h FROM t),
+           |r AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+           |             count(*) OVER (PARTITION BY lang) AS nd FROM d)
+           |SELECT lang, CAST(any_value(nd) AS BIGINT) AS exact_distinct,
+           |  round(CASE WHEN any_value(nd) < $k THEN CAST(any_value(nd) AS DOUBLE)
+           |        ELSE ${(k - 1).toDouble} * ${graft.functions.TextHashOps.P} / CAST(max(CASE WHEN rn = $k THEN h END) AS DOUBLE) END, 2) AS kmv_estimate
+           |FROM r GROUP BY lang ORDER BY lang""".stripMargin
       }),
 
     // Exact interpolated quantiles (percentile == DuckDB quantile_cont).
