@@ -148,6 +148,55 @@ object TextQueries {
            |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // Deterministic stratified train/test split: the assignment is a pure
+    // hash of (salt, doc_id) — reproducible across runs/retries, no rand(),
+    // and joins/filters on the split column stay narrow. The standard
+    // training-data-pipeline split operator.
+    Q(
+      "q_stratified_split",
+      "hash-based 80/20 train/test split, counts per (lang, split)",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .withColumn("split",
+            when(pmod(TF.polyHash(concat(lit("salt42:"), col("doc_id").cast("string"))), lit(100)) < 80, "train")
+              .otherwise("test"))
+          .groupBy("lang", "split")
+          .agg(count(lit(1)).as("n"), round(avg(col("n_chars")), 2).as("avg_chars"))
+          .orderBy("lang", "split"),
+      Some {
+        val h = OracleText.polyHash("('salt42:' || CAST(doc_id AS VARCHAR))")
+        s"""SELECT lang,
+           |  CASE WHEN ($h) % 100 < 80 THEN 'train' ELSE 'test' END AS split,
+           |  CAST(count(*) AS BIGINT) AS n, round(avg(n_chars), 2) AS avg_chars
+           |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+      }),
+
+    // Vocabulary stats: top-3 tokens by frequency per language (corpus
+    // profiling; grouped top-k over token counts).
+    Q(
+      "q_top_tokens",
+      "top-3 most frequent tokens per language",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(desc("n"), asc("tok"))
+        tbl(s, dir, "documents")
+          .select(col("lang"), explode(TF.tokens(col("text"))).as("tok"))
+          .groupBy("lang", "tok")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("lang"), col("rnk"), col("tok"), col("n"))
+          .orderBy("lang", "rnk")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS (SELECT lang, unnest($toks) AS tok FROM documents),
+           |c AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY lang, tok),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS rnk FROM c)
+           |SELECT lang, CAST(rnk AS INT) AS rnk, tok, n FROM r WHERE rnk <= 3
+           |ORDER BY lang, rnk""".stripMargin
+      }),
+
     // Document fingerprinting: order-sensitive rolling hash over token
     // hashes (exact-sequence identity) + order-insensitive set fingerprint
     // (bag-of-tokens identity).
