@@ -186,3 +186,73 @@ case class VectorNorm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * IVF cell assignment: id of the centroid minimizing squared L2 distance,
+ * ties to the lowest id (the capability behind ChromaDB's ANN index,
+ * /root/reference/src/chromadb_store.py:4, recast as a Spark-native narrow
+ * map). One fused codegen loop over all centroids; the centroid matrix rides
+ * along as a codegen reference object instead of literal sub-expressions, so
+ * the generated source stays O(1) in the number of centroids — 16 separate
+ * `l2_sq(emb, lit(c))` struct-min branches generated ~100 KB of Java and
+ * allocated 16 structs + an array PER ROW; this allocates nothing.
+ */
+case class NearestCentroid(
+    child: Expression,
+    ids: Array[Long],
+    centroids: Array[Array[Float]]) extends UnaryExpression {
+  require(ids.length == centroids.length && ids.nonEmpty,
+    "ids and centroids must align and be non-empty")
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    var bestId = ids(0)
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - cent(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      // strict < keeps the first (lowest-id) centroid on exact ties, matching
+      // lexicographic min over (distance, id) with ids pre-sorted ascending
+      if (acc < bestD) { bestD = acc; bestId = ids(c) }
+      c += 1
+    }
+    bestId
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      val bestD = ctx.freshName("bestD"); val cent = ctx.freshName("cent")
+      s"""
+         |double $bestD = Double.MAX_VALUE;
+         |${ev.value} = $idsRef[0];
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  float[] $cent = $centsRef[$c];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $cent.length; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $cent[$i];
+         |    $acc += $d * $d;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; ${ev.value} = $idsRef[$c]; }
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -35,6 +35,11 @@ object VectorFunctions {
   def norm(a: Column): Column =
     Bridge.column(VectorNorm(Bridge.expression(a)))
 
+  /** IVF cell assignment: id of the squared-L2-nearest centroid, ties to the
+    * lowest id. `cents` must be sorted by id ascending. */
+  def nearestCentroid(emb: Column, cents: Array[(Long, Array[Float])]): Column =
+    Bridge.column(NearestCentroid(Bridge.expression(emb), cents.map(_._1), cents.map(_._2)))
+
   // ---- reference implementations via built-in higher-order functions ----
 
   private def asDouble(x: Column): Column = x.cast("double")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSession
 
 /**
  * Approximate-nearest-neighbor scale paths over the embeddings table, plus
@@ -129,12 +129,9 @@ object AnnQueries {
         }
         val probeCells: Seq[Long] =
           cents.map { case (cid, c) => (l2sq(c, qe), cid) }.sorted.take(NProbe).map(_._2).toSeq
-        // Narrow argmin assignment over literal centroids (struct min is
-        // lexicographic -> deterministic (dist, cid) tie-break).
-        val distStructs: Seq[Column] = cents.toSeq.map { case (cid, c) =>
-          struct(VF.l2Sq(col("embedding"), typedlit(c)).as("d"), lit(cid).as("cid"))
-        }
-        e.withColumn("cell", array_min(array(distStructs: _*)).getField("cid"))
+        // Narrow fused-argmin assignment over the centroid matrix (single
+        // codegen loop, deterministic lowest-id tie-break).
+        e.withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
           .filter(col("cell").isin(probeCells: _*))
           .withColumn("dist_raw", VF.l2Sq(col("embedding"), typedlit(qe)))
           .orderBy(asc("dist_raw"), asc("vec_id"))

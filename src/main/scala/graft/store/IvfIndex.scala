@@ -24,11 +24,9 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
   private def centroidPath = s"$path/_centroids"
   private def dataPath = s"$path/data"
 
-  /** Argmin-over-literal-centroids cell assignment (narrow, codegen). */
+  /** Fused argmin cell assignment (narrow, single codegen loop). */
   private def cellCol(cents: Array[(Long, Array[Float])], emb: Column): Column =
-    array_min(array(cents.toSeq.map { case (cid, c) =>
-      struct(VF.l2Sq(emb, typedlit(c)).as("d"), lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    VF.nearestCentroid(emb, cents)
 
   /** Build from (id LONG, emb ARRAY<FLOAT>): pick deterministic centroids,
     * assign every vector, write cell-partitioned parquet. ONE narrow pass

@@ -94,4 +94,30 @@ class VectorFunctionsSpec extends AnyFunSuite with SparkTest {
       eval(VF.cosine(col("a"), col("b")), Array(1f, 2f), Array(1f, 2f, 3f))
     }
   }
+
+  test("nearest_centroid matches struct-min composition; ties to lowest id") {
+    val cents: Array[(Long, Array[Float])] = Array(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)),
+      (3L, Array(0f, 0f))) // duplicate of centroid 0 -> tie
+    val df = Seq(
+      Tuple1(Array(1f, 1f)),     // nearest 0 (tie with 3 -> 0 wins)
+      Tuple1(Array(9f, 1f)),     // nearest 1
+      Tuple1(Array(1f, 9f)),     // nearest 2
+      Tuple1(Array(6f, 6f))      // equidistant 1 and 2 (52 each) -> 1 wins
+    ).toDF("a")
+    val fused = df.select(VF.nearestCentroid(col("a"), cents).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    val structs = cents.toSeq.map { case (cid, c) =>
+      struct(VF.l2Sq(col("a"), typedlit(c)).as("d"), lit(cid).as("cid"))
+    }
+    val ref = df.select(array_min(array(structs: _*)).getField("cid").as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(fused == ref)
+    assert(fused == Seq(0L, 1L, 2L, 1L))
+    // interpreted path agrees with codegen
+    val lit6 = org.apache.spark.sql.catalyst.expressions.Literal.create(
+      Array(6f, 6f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val interp = graft.functions.NearestCentroid(lit6, cents.map(_._1), cents.map(_._2))
+    assert(interp.eval(null) == 1L)
+  }
 }
