@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.store.IvfIndex
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Analytic-surface extensions beyond reference parity: explicit grouping
+ * sets, ranking window functions, sliding frames, single-pass histograms,
+ * and the persistent cell-partitioned IVF index driven end-to-end.
+ *
+ * Scale notes:
+ *  - grouping sets / histogram are single-shuffle hash aggregates (partial
+ *    map-side combine, then one exchange on the grouping keys);
+ *  - ranking windows shuffle once on the partition key — the per-partition
+ *    sort is the cost, no data explosion;
+ *  - the IVF query's scan volume is nprobe/numCells of the corpus via
+ *    partition pruning (see [[graft.store.IvfIndex]]).
+ */
+object AnalyticsQueries {
+  import Registry.tbl
+
+  val all: Seq[Q] = Seq(
+
+    // Explicit GROUPING SETS with grouping indicators — finer control than
+    // rollup/cube (q_rollup/q_cube): only the requested subtotal combos.
+    Q(
+      "q_grouping_sets",
+      "explicit grouping sets ((flag,status),(flag),()) with grouping flags",
+      (s, dir) => {
+        val l = tbl(s, dir, "lineitem")
+        l.groupingSets(
+            Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).cast("int").as("g_flag"),
+            grouping(col("l_linestatus")).cast("int").as("g_status"),
+            round(sum("l_quantity"), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .select(col("l_returnflag"), col("l_linestatus"), col("g_flag"),
+            col("g_status"), col("sum_qty"), col("n"))
+          .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"),
+            asc("g_flag"), asc("g_status"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+             |  CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+             |  round(sum(l_quantity), 2) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST,
+             |  g_flag ASC, g_status ASC""".stripMargin)),
+
+    // Ranking window family: dense_rank / ntile / percent_rank / cume_dist
+    // per market segment. Total order (acctbal desc, custkey) keeps ntile
+    // deterministic across engines.
+    Q(
+      "q_window_ranks",
+      "dense_rank, ntile(4), percent_rank, cume_dist per market segment",
+      (s, dir) => {
+        val w = Window.partitionBy("c_mktsegment")
+          .orderBy(desc("c_acctbal"), asc("c_custkey"))
+        tbl(s, dir, "customer")
+          .filter(col("c_custkey") < 400)
+          .withColumn("drank", dense_rank().over(w))
+          .withColumn("quartile", ntile(4).over(w))
+          .withColumn("prank", round(percent_rank().over(w), 6))
+          .withColumn("cdist", round(cume_dist().over(w), 6))
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal"), 2).as("acctbal"),
+            col("drank"), col("quartile"), col("prank"), col("cdist"))
+          .orderBy("c_mktsegment", "c_custkey")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+             |  c_acctbal AS raw FROM customer WHERE c_custkey < 400)
+             |SELECT c_custkey, c_mktsegment, acctbal,
+             |  CAST(dense_rank() OVER w AS INT) AS drank,
+             |  CAST(ntile(4) OVER w AS INT) AS quartile,
+             |  round(percent_rank() OVER w, 6) AS prank,
+             |  round(cume_dist() OVER w, 6) AS cdist
+             |FROM c WINDOW w AS (PARTITION BY c_mktsegment ORDER BY raw DESC, c_custkey)
+             |ORDER BY c_mktsegment, c_custkey""".stripMargin)),
+
+    // Sliding ROWS frame: 3-event moving average and frame extrema per user
+    // over event time.
+    Q(
+      "q_moving_avg",
+      "3-row moving average / min / max of event value per user",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("tsu", "event_id")
+          .rowsBetween(-2, Window.currentRow)
+        EventsTable.load(s, dir)
+          .filter(col("user_id") < 10)
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("tsu"), col("value"))
+          .withColumn("mov_avg", round(avg("value").over(w), 4))
+          .withColumn("mov_min", round(min("value").over(w), 4))
+          .withColumn("mov_max", round(max("value").over(w), 4))
+          .select("event_id", "user_id", "mov_avg", "mov_min", "mov_max")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu, "value"
+             |          FROM events WHERE user_id < 10)
+             |SELECT event_id, user_id,
+             |  round(avg("value") OVER w, 4) AS mov_avg,
+             |  round(min("value") OVER w, 4) AS mov_min,
+             |  round(max("value") OVER w, 4) AS mov_max
+             |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id
+             |                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             |ORDER BY user_id, event_id""".stripMargin)),
+
+    // Single-pass fixed-width histogram: one hash aggregate over the bucket
+    // key (arithmetic bucketing pushes no data, shuffles only bucket counts).
+    Q(
+      "q_histogram",
+      "order-value histogram: 60k-wide buckets, count + mass per bucket",
+      (s, dir) =>
+        tbl(s, dir, "orders")
+          .withColumn("bucket",
+            least(floor(col("o_totalprice") / 60000.0), lit(9.0)).cast("long"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("mass"))
+          .orderBy("bucket"),
+      Some("""SELECT CAST(least(floor(o_totalprice / 60000.0), 9.0) AS BIGINT) AS bucket,
+             |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS mass
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
+    // Persistent IVF index end-to-end: build the cell-partitioned layout,
+    // then probe it. Semantically identical to q_ann_ivf (same deterministic
+    // centroids = the 16 lowest ids, same probe vector), so it shares the
+    // oracle — but the scan here is PRUNED BY THE STORAGE LAYOUT: only the
+    // nprobe cell directories are read.
+    Q(
+      "q_ivf_index",
+      "build persistent cell-partitioned IVF index, probe 4 of 16 cells, top-5",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+        val idx = new IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+        idx.query(qe, k = 5, nprobe = 4)
+          .select(col("id"), col("cell"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val dCent = OracleSql.l2Sq("cent.cemb", "probe.qe")
+        val dFinal = OracleSql.l2Sq("a.embedding", "probe.qe")
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |pcells AS (SELECT cid FROM cent CROSS JOIN probe ORDER BY $dCent, cid LIMIT 4)
+           |SELECT a.vec_id AS id, a.cell, round($dFinal, 6) AS dist
+           |FROM assign a JOIN pcells ON a.cell = pcells.cid CROSS JOIN probe
+           |ORDER BY $dFinal ASC, a.vec_id LIMIT 5""".stripMargin
+      })
+  )
+}
