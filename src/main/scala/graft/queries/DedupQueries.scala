@@ -224,6 +224,64 @@ object DedupQueries {
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label, round($cos, 6) AS cos
            |FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
            |ORDER BY $cos DESC, vec_a, vec_b LIMIT 20""".stripMargin
+      }),
+
+    // Cluster resolution: near-dup PAIRS under-merge transitive duplicates
+    // (A~B, B~C but A!~C); connected components over the verified MinHash
+    // edge list turn pairs into GROUPS, each keeping its min-id
+    // representative. Spark side is iterative min-label propagation
+    // (graft.operators.ConnectedComponents — one shuffle + one hash agg per
+    // round, state is one row per vertex); the oracle computes the same
+    // labels via a recursive-CTE transitive closure, which is only feasible
+    // because the verified edge set is tiny — the closure is O(n^2) per
+    // component and exists purely as an independent semantic check.
+    Q(
+      "q_dedup_clusters",
+      "connected components over verified MinHash near-dup pairs",
+      (s, dir) => {
+        val d = shingleSets(s, dir).persist()
+        val bands = d
+          .select(col("doc_id"), posexplode(TF.minhashBandBuckets(col("sh"))).as(Seq("band", "bucket")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        val edges = cand.join(a, "doc_a").join(b, "doc_b")
+          .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        val labels = graft.operators.ConnectedComponents.run(edges)
+        val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
+        labels.join(sizes, "component")
+          .select(col("id").as("doc_id"), col("component"), col("csize"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val bandSelects = (0 until TextHashOps.MinHashBands).map { j =>
+          s"SELECT doc_id, $j AS band, ${OracleText.bandBucket("sh", j)} AS bucket FROM d"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE d AS MATERIALIZED (${shingleSetsSql()}),
+           |bands AS MATERIALIZED (
+           |$bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |edges AS MATERIALIZED (
+           |  SELECT doc_a AS src, doc_b AS dst
+           |  FROM cand JOIN d a ON a.doc_id = doc_a JOIN d b ON b.doc_id = doc_b
+           |  WHERE $jaccardSql >= 0.5),
+           |sym AS (SELECT src AS s, dst AS t FROM edges UNION SELECT dst, src FROM edges),
+           |reach(id, r) AS (
+           |  SELECT DISTINCT s, s FROM sym
+           |  UNION
+           |  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.t),
+           |labeled AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+           |SELECT id AS doc_id, component,
+           |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
+           |FROM labeled ORDER BY doc_id""".stripMargin
       })
   )
 }
