@@ -155,6 +155,79 @@ object AnnQueries {
            |ORDER BY $dFinal ASC, a.vec_id LIMIT 5""".stripMargin
       }),
 
+    // Product quantization + asymmetric distance (ADC): each 64-dim float
+    // vector compresses to 8 nibble codes (4 bytes, 64x), one per 8-dim
+    // subspace, by nearest-codeword argmin (the fused NearestCentroid
+    // kernel over slice()). The query never touches raw vectors: the
+    // driver precomputes an 8x16 lookup table of subspace distances to the
+    // probe, and the approximate distance is 8 literal-array lookups per
+    // row — a fully narrow, zero-shuffle scan ending in TakeOrdered. At
+    // 100 TB this is the memory-bound ANN path: the scan reads 4-byte
+    // codes instead of 256-byte vectors.
+    Q(
+      "q_ann_pq",
+      "product-quantization ANN: 8x4-bit codes + ADC lookup-table top-5",
+      (s, dir) => {
+        val M = 8; val SubDim = EmbDim / M
+        val e = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        def sub(v: Array[Float], m: Int): Array[Float] = v.slice(m * SubDim, (m + 1) * SubDim)
+        def l2sq(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+        // per-subspace codebooks and the probe's distance lookup table
+        val codebooks = Array.tabulate(M)(m => cents.map { case (cid, c) => (cid, sub(c, m)) })
+        val lut: Array[Array[Double]] = Array.tabulate(M)(m =>
+          codebooks(m).map { case (_, c) => l2sq(sub(qe, m), c) })
+        val coded = (0 until M).foldLeft(e) { (df, m) =>
+          df.withColumn(s"c$m",
+            VF.nearestCentroid(slice(col("embedding"), m * SubDim + 1, SubDim), codebooks(m)))
+        }
+        val adist = (0 until M).map(m =>
+          element_at(typedlit(lut(m)), col(s"c$m").cast("int") + 1)).reduce(_ + _)
+        val pqcode = (0 until M).map(m => col(s"c$m") * lit(1L << (4 * m))).reduce(_ + _)
+        coded
+          .withColumn("adist_raw", adist)
+          .withColumn("pqcode", pqcode)
+          .filter(col("vec_id") =!= 0)
+          .orderBy(asc("adist_raw"), asc("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("pqcode"), round(col("adist_raw"), 4).as("adist"))
+      },
+      Some {
+        val M = 8; val SubDim = EmbDim / M
+        def slc(v: String, m: String) = s"list_slice($v, $m*$SubDim + 1, $m*$SubDim + $SubDim)"
+        val dCode = OracleSql.l2Sq(slc("e.embedding", "s.m"), slc("c.cemb", "s.m"))
+        val dLut = OracleSql.l2Sq(slc("probe.qe", "s.m"), slc("c.cemb", "s.m"))
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCentroids),
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |subs AS (SELECT unnest(range(0, $M)) AS m),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, m, cid AS code FROM (
+           |    SELECT e.vec_id, s.m, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id, s.m ORDER BY $dCode, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cent c CROSS JOIN subs s)
+           |  WHERE rn = 1),
+           |lut AS MATERIALIZED (
+           |  SELECT s.m, c.cid, $dLut AS d
+           |  FROM cent c CROSS JOIN probe CROSS JOIN subs s),
+           |scored AS (
+           |  SELECT codes.vec_id,
+           |    CAST(sum(codes.code * (CAST(1 AS BIGINT) << (4*codes.m))) AS BIGINT) AS pqcode,
+           |    sum(lut.d) AS adist_raw
+           |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+           |  GROUP BY codes.vec_id)
+           |SELECT vec_id, pqcode, round(adist_raw, 4) AS adist
+           |FROM scored WHERE vec_id <> 0
+           |ORDER BY adist_raw ASC, vec_id LIMIT 5""".stripMargin
+      }),
+
     // LSH-bucketed ANN: 6-bit sign-random-projection signature; candidates
     // share the probe's bucket; exact cosine re-rank within.
     Q(
