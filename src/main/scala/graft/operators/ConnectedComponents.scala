@@ -63,4 +63,42 @@ object ConnectedComponents {
     sym.unpersist()
     labels
   }
+
+  /** Size-adaptive entry point. Verified near-dup edge lists are sparse
+    * relative to the corpus (LSH banding + jaccard verification has already
+    * pruned ~all pairs), so below `collectThreshold` edges the graph fits on
+    * the driver comfortably and exact union-find there replaces ~2 Spark
+    * jobs per round with ONE collect — same labels (min id per component),
+    * none of the per-round scheduling overhead. Above the threshold it falls
+    * back to the distributed loop. The threshold compares EDGE count, which
+    * the caller's pair-join already materializes cheaply. */
+  def runAuto(edges: DataFrame, src: String = "src", dst: String = "dst",
+              maxIter: Int = 20, collectThreshold: Long = 2000000): DataFrame = {
+    val e = edges.select(col(src).as("s"), col(dst).as("d")).persist()
+    val n = e.count()
+    val out =
+      if (n > collectThreshold) run(e, "s", "d", maxIter)
+      else {
+        val pairs = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val labels = parent.keys.toSeq.map(v => (v, find(v)))
+        val spark = edges.sparkSession
+        import spark.implicits._
+        labels.toDF("id", "component")
+      }
+    e.unpersist()
+    out
+  }
 }

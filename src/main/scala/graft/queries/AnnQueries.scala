@@ -228,6 +228,59 @@ object AnnQueries {
            |ORDER BY adist_raw ASC, vec_id LIMIT 5""".stripMargin
       }),
 
+    // PQ two-stage search, the shape PQ actually deploys as: the cheap
+    // ADC code scan produces a 50-row shortlist, and the exact L2 pass
+    // touches ONLY those 50 raw vectors — so the expensive re-rank cost is
+    // O(shortlist), independent of corpus size. Exercises the reusable
+    // operators.ProductQuantizer (train/encode/adc/searchRefined); iters=0
+    // keeps codebooks = the id-sorted seed rows so the oracle can replicate
+    // them without running k-means in SQL.
+    Q(
+      "q_ann_pq_refine",
+      "PQ ADC 50-row shortlist + exact L2 re-rank to top-5",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val e = tbl(s, dir, "embeddings")
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val codebooks = ProductQuantizer.train(e.orderBy("vec_id"), "embedding",
+          m = 8, k = NumCentroids, iters = 0)
+        val encoded = ProductQuantizer.encode(e, "embedding", codebooks)
+          .filter(col("vec_id") =!= 0)
+        ProductQuantizer.searchRefined(encoded, "embedding", "vec_id", qe, codebooks,
+          k = 5, shortlistFactor = 10)
+          .select(col("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some {
+        val M = 8; val SubDim = EmbDim / M
+        def slc(v: String, m: String) = s"list_slice($v, $m*$SubDim + 1, $m*$SubDim + $SubDim)"
+        val dCode = OracleSql.l2Sq(slc("e.embedding", "s.m"), slc("c.cemb", "s.m"))
+        val dLut = OracleSql.l2Sq(slc("probe.qe", "s.m"), slc("c.cemb", "s.m"))
+        val dExact = OracleSql.l2Sq("e.embedding", "probe.qe")
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCentroids),
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |subs AS (SELECT unnest(range(0, $M)) AS m),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, m, cid AS code FROM (
+           |    SELECT e.vec_id, s.m, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id, s.m ORDER BY $dCode, c.cid) AS rn
+           |    FROM embeddings e CROSS JOIN cent c CROSS JOIN subs s)
+           |  WHERE rn = 1),
+           |lut AS MATERIALIZED (
+           |  SELECT s.m, c.cid, $dLut AS d
+           |  FROM cent c CROSS JOIN probe CROSS JOIN subs s),
+           |scored AS (
+           |  SELECT codes.vec_id, sum(lut.d) AS adist_raw
+           |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+           |  GROUP BY codes.vec_id),
+           |shortlist AS (
+           |  SELECT vec_id FROM scored WHERE vec_id <> 0
+           |  ORDER BY adist_raw ASC, vec_id LIMIT 50)
+           |SELECT e.vec_id, round($dExact, 6) AS dist
+           |FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN probe
+           |ORDER BY $dExact ASC, e.vec_id LIMIT 5""".stripMargin
+      }),
+
     // LSH-bucketed ANN: 6-bit sign-random-projection signature; candidates
     // share the probe's bucket; exact cosine re-rank within.
     Q(

@@ -253,7 +253,7 @@ object DedupQueries {
         val edges = cand.join(a, "doc_a").join(b, "doc_b")
           .filter(jaccard(col("sh_a"), col("sh_b")) >= 0.5)
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        val labels = graft.operators.ConnectedComponents.run(edges)
+        val labels = graft.operators.ConnectedComponents.runAuto(edges)
         val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
         labels.join(sizes, "component")
           .select(col("id").as("doc_id"), col("component"), col("csize"))

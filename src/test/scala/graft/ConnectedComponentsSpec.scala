@@ -31,6 +31,20 @@ class ConnectedComponentsSpec extends AnyFunSuite with SparkTest {
     assert(got(6L) == 5L && got(1L) == 0L)
   }
 
+  test("runAuto (driver union-find) agrees with the distributed loop") {
+    var x = 98765L
+    def next(): Long = { x = (x * 1103515245L + 12345L) % 2147483648L; x }
+    val edges = Seq.fill(60)((next() % 40, next() % 40))
+    val dist = labelsOf(edges)
+    val auto = ConnectedComponents.runAuto(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == dist)
+    // and the big-graph path routes through the distributed loop unchanged
+    val viaDist = ConnectedComponents.runAuto(edges.toDF("src", "dst"), collectThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaDist == dist)
+  }
+
   test("matches transitive closure on a random-ish deterministic graph") {
     // edges from a fixed LCG: 40 edges over 30 vertices
     var x = 12345L
