@@ -29,7 +29,7 @@ object Registry {
   lazy val all: Seq[Q] =
     VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       AnnQueries.all ++ StoreQueries.all ++ AttackQueries.all ++ OperatorQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++ SearchQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -58,6 +58,47 @@ object StoreQueries {
            |ORDER BY $dist ASC, CAST(e.doc_id AS VARCHAR) ASC LIMIT 5""".stripMargin
       }),
 
+    // S4 + Chroma update/upsert/delete parity: seed ids 0-299, upsert
+    // 200-399 (replaces 200-299, inserts 300-399), update 350-449 (only
+    // existing 350-399 touched — unknown ids MUST be ignored, or extra rows
+    // appear and the oracle fails), then predicate-delete id%7=0. Each
+    // mutation is a copy-on-write rewrite behind an atomic directory swap.
+    Q(
+      "q_store_upsert",
+      "collection CRUD: add, upsert, update (unknown ids ignored), delete",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_crud").toString
+        val store = new VectorStore(s, base)
+        val coll = store.createOrGet("docs")
+        val docs = tbl(s, dir, "documents")
+        def rows(lo: Int, hi: Int, prefix: String) = docs
+          .filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .select(col("doc_id").cast("string").as("id"),
+            concat(lit(prefix), col("text")).as("doc"),
+            map(lit("lang"), col("lang")).as("meta"),
+            lit(null).cast("array<float>").as("emb"))
+        coll.add(rows(0, 300, ""))
+        coll.upsert(rows(200, 400, "v2:"))
+        coll.update(rows(350, 450, "v3:"))
+        coll.deleteWhere(col("id").cast("long") % 7 === 0)
+        coll.df.select(col("id").cast("long").as("doc_id"),
+            length(col("doc")).as("dl"),
+            when(substring(col("doc"), 1, 3) === "v3:", 3)
+              .when(substring(col("doc"), 1, 3) === "v2:", 2)
+              .otherwise(1).as("version"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH final AS (
+          |  SELECT doc_id,
+          |         CASE WHEN doc_id >= 350 THEN 'v3:' || text
+          |              WHEN doc_id >= 200 THEN 'v2:' || text
+          |              ELSE text END AS doc
+          |  FROM documents WHERE doc_id < 400 AND doc_id % 7 <> 0)
+          |SELECT doc_id, CAST(length(doc) AS INT) AS dl,
+          |       CASE WHEN doc_id >= 350 THEN 3 WHEN doc_id >= 200 THEN 2 ELSE 1 END AS version
+          |FROM final ORDER BY doc_id""".stripMargin)),
+
     // F11/S7: encrypted store round-trip — encrypt-at-rest (AES-GCM, random
     // IV per row) then authorized decrypt must reproduce every embedding
     // bit-for-bit. The oracle states the identity from plaintext alone.

@@ -49,13 +49,12 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     new Collection(name)
   }
 
-  def dropCollection(name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(path(name)))
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(): Unit
   }
+
+  def dropCollection(name: String): Unit = rm(new java.io.File(path(name)))
 
   final class Collection private[VectorStore] (val name: String) {
 
@@ -80,6 +79,56 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       val base = if (ids.isEmpty) df else df.filter(col("id").isin(ids: _*))
       base.select((col("id") +: include.map(col)): _*)
     }
+
+    /** Copy-on-write rewrite with an atomic directory swap: the new version
+      * is fully materialized to a staging dir (reading the live one), then
+      * swapped in. Readers never see a half-written collection. At 100 TB
+      * the identical pattern applies per id-bucket partition — only buckets
+      * containing touched ids rewrite — or flips to merge-on-read delete
+      * vectors; the collection-grain swap here is the same protocol at the
+      * smallest unit. */
+    private def rewrite(newDf: DataFrame): Unit = {
+      val stage = s"${path(name)}__stage"
+      val old = s"${path(name)}__old"
+      newDf.write.mode("overwrite").parquet(stage)
+      rm(new java.io.File(old))
+      require(new java.io.File(path(name)).renameTo(new java.io.File(old)) &&
+        new java.io.File(stage).renameTo(new java.io.File(path(name))),
+        s"atomic swap failed for collection $name")
+      rm(new java.io.File(old))
+    }
+
+    private def normalized(rows: DataFrame): DataFrame =
+      rows.select(col("id").cast(StringType).as("id"),
+        col("doc"), col("meta"), col("emb"))
+
+    /** Chroma `update`: whole-row replacement for ids already present;
+      * unknown ids are ignored (Chroma warns and skips). */
+    def update(rows: DataFrame): Unit = {
+      val incoming = normalized(rows)
+      // ids present in BOTH store and batch: one store scan with the small
+      // batch broadcast (never broadcast the store side — it's the corpus)
+      val touched = df.select("id")
+        .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
+      val replaced = incoming.join(broadcast(touched), Seq("id"), "left_semi")
+      rewrite(df.join(broadcast(incoming.select("id")), Seq("id"), "left_anti")
+        .unionByName(replaced))
+    }
+
+    /** Chroma `upsert`: replace rows whose id exists, append the rest. */
+    def upsert(rows: DataFrame): Unit = {
+      val incoming = normalized(rows)
+      rewrite(df.join(broadcast(incoming.select("id")), Seq("id"), "left_anti")
+        .unionByName(incoming))
+    }
+
+    /** Chroma `delete(ids=...)`. */
+    def delete(ids: Seq[String]): Unit =
+      deleteWhere(col("id").isin(ids: _*))
+
+    /** Chroma `delete(where=...)`: drop every row matching the predicate. */
+    def deleteWhere(cond: Column): Unit =
+      rewrite(df.filter(!coalesce(cond, lit(false))))
 
     /** Top-k nearest neighbors with distances. metric: "l2" (store default,
       * ascending) or "cosine" (attack metric, descending similarity). */

@@ -1,0 +1,85 @@
+package graft
+
+import graft.queries.{Registry, SearchQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Properties of the retrieval surface (SearchQueries): BM25 ranking
+ * behavior, scalar-quantization soundness, and RRF fusion semantics.
+ * The DuckDB oracle checks exact values; these specs check the
+ * *retrieval-quality* invariants a value-hash can't express.
+ */
+class SearchSpec extends AnyFunSuite with SparkTest {
+
+  private def run(name: String) = Registry.byName(name).fn(spark, sf001)
+
+  test("q_ann_filtered only returns rows matching the pushed-down predicate") {
+    val rows = run("q_ann_filtered").collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => Set(2, 5, 7)(r.getAs[Number]("label").intValue())))
+    assert(rows.forall(_.getLong(0) != 0L), "probe must be excluded")
+  }
+
+  test("q_ann_filtered filter reaches the parquet scan as PushedFilters") {
+    val plan = run("q_ann_filtered").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(label"),
+      s"label IN (...) not pushed to scan:\n$plan")
+  }
+
+  test("SQ8 codes are integers in [0,255] and self-distance is zero") {
+    // quantize is the single source of truth shared with the query + oracle
+    assert(SearchQueries.quantize(0.0, 0.0, 0.0) == 0L)   // degenerate dim
+    assert(SearchQueries.quantize(1.0, 0.0, 1.0) == 255L) // max clamps
+    assert(SearchQueries.quantize(0.0, 0.0, 1.0) == 0L)
+    val mid = SearchQueries.quantize(0.5, 0.0, 1.0)
+    assert(mid == 128L, s"mid-scale code was $mid")
+  }
+
+  test("SQ8 top-5 overlaps exact-L2 top-20 (quantization keeps neighborhood)") {
+    import graft.functions.{VectorFunctions => VF}
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val probe = e.filter(col("vec_id") === 0).head().getAs[Seq[Float]]("embedding").toArray
+    val exact20 = e.filter(col("vec_id") =!= 0)
+      .withColumn("d", VF.l2Sq(col("embedding"), typedlit(probe)))
+      .orderBy(asc("d"), asc("vec_id")).limit(20)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val sq5 = run("q_ann_sq8").collect().map(_.getLong(0)).toSet
+    val overlap = (sq5 intersect exact20).size
+    info(s"SQ8 top-5 ∩ exact top-20 = $overlap/5")
+    assert(overlap >= 3, s"int8 quantization destroyed the neighborhood: $overlap/5")
+  }
+
+  test("BM25 top-10 docs all contain at least one query term") {
+    val top = run("q_bm25").collect()
+    assert(top.length == 10)
+    val ids = top.map(_.getLong(0))
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    ids.foreach { id =>
+      assert(SearchQueries.QueryTerms.exists(docs(id).contains),
+        s"doc $id in BM25 top-10 contains no query term")
+    }
+    // scores strictly positive and non-increasing in rank order
+    val scores = top.map(_.getAs[Double]("bm25"))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("RRF fusion: a doc ranked in both legs beats same-rank single-leg docs") {
+    val rows = run("q_hybrid_rrf").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { r =>
+      val kw = r.getAs[Int]("rank_kw"); val sem = r.getAs[Int]("rank_sem")
+      val expected =
+        (if (kw > 0) 1.0 / (SearchQueries.RrfK + kw) else 0.0) +
+          (if (sem > 0) 1.0 / (SearchQueries.RrfK + sem) else 0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expected) < 1e-6)
+      assert(kw > 0 || sem > 0, "row from neither leg survived the outer join")
+    }
+    val rrfs = rows.map(_.getAs[Double]("rrf"))
+    assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
+  }
+}

@@ -53,6 +53,48 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](c.query(qe, 3, "hamming"))
   }
 
+  test("upsert replaces existing rows and appends new ones") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    val n = docRows.count()
+    val batch = docRows.limit(5).withColumn("doc", lit("UPDATED"))
+      .unionByName(docRows.limit(3).withColumn("id", concat(lit("new"), col("id")))
+        .withColumn("doc", lit("INSERTED")))
+    c.upsert(batch)
+    assert(c.count() == n + 3, "upsert: 5 replaced in place, 3 appended")
+    assert(c.df.filter(col("doc") === "UPDATED").count() == 5)
+    assert(c.df.filter(col("doc") === "INSERTED").count() == 3)
+  }
+
+  test("update touches only existing ids; unknown ids are ignored") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    val n = docRows.count()
+    val batch = docRows.limit(4).withColumn("doc", lit("UPDATED"))
+      .unionByName(docRows.limit(2).withColumn("id", concat(lit("ghost"), col("id"))))
+    c.update(batch)
+    assert(c.count() == n, "update must never change cardinality")
+    assert(c.df.filter(col("doc") === "UPDATED").count() == 4)
+    assert(c.df.filter(col("id").startsWith("ghost")).count() == 0)
+  }
+
+  test("delete by ids and by predicate; store stays readable after each swap") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    val n = docRows.count()
+    c.delete(Seq("1", "2", "nonexistent"))
+    assert(c.count() == n - 2)
+    assert(c.get(ids = Seq("1", "2")).count() == 0)
+    c.deleteWhere(col("id").cast("long") % 2 === 0)
+    assert(c.df.filter(col("id").cast("long") % 2 === 0).count() == 0)
+    val qe = c.get(ids = Seq("3"), include = Seq("emb")).head().getSeq[Float](1).toArray
+    assert(c.query(qe, 3, "l2").head().getString(0) == "3",
+      "query must still work over the rewritten store")
+  }
+
   test("encrypted store: round-trip identity, unique IVs, useless without key") {
     val base = tmp()
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")
