@@ -274,6 +274,34 @@ object SearchQueries {
            |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
            |SELECT doc_id, rank_kw, rank_sem, round(rrf, 6) AS rrf
            |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
-      })
+      }),
+
+    // MMR diversity re-rank (Carbonell & Goldstein 1998) — the standard
+    // post-ANN stage the reference never reaches. Cluster side produces the
+    // bounded cosine top-20 shortlist (TakeOrdered, no shuffle); the greedy
+    // O(K²·k) selection is inherently sequential so it runs on the driver
+    // over ≤20 rows. No oracle: greedy argmax with a growing selected-set
+    // state is not ANSI-SQL-expressible — driver records rows-only; the
+    // selection invariants are spec-checked in SearchSpec.
+    Q(
+      "q_mmr_rerank",
+      "MMR diversity re-rank of the cosine top-20 shortlist (k=5, λ=0.7)",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val shortlist = e.filter(col("vec_id") =!= 0)
+          .withColumn("rel", VF.cosine(col("embedding"), typedlit(qe)))
+          .orderBy(desc("rel"), asc("vec_id")).limit(20)
+          .select(col("vec_id"), col("rel"), col("embedding")).collect()
+          .map(r => graft.operators.Reranker.Candidate(
+            r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+        val sel = graft.operators.Reranker.mmr(shortlist.toSeq, k = 5, lambda = 0.7)
+        import s.implicits._
+        sel.zipWithIndex
+          .map { case ((id, sc), i) => (i + 1, id, math.rint(sc * 1e6) / 1e6) }
+          .toDF("pick", "vec_id", "mmr")
+      },
+      None)
   )
 }

@@ -123,6 +123,78 @@ object TextQueries {
            |FROM q ORDER BY doc_id""".stripMargin
       }),
 
+    // Text normalization — the first stage of every training-data pipeline:
+    // collapse every non-alphanumeric run to one space, trim, lowercase.
+    // After the collapse the string is pure ASCII alnum + spaces, so
+    // lower() is locale-independent in both engines. One narrow codegen
+    // scan; regexes are shared verbatim (Java and RE2 agree on this class).
+    Q(
+      "q_text_clean",
+      "normalize text: strip punctuation, collapse whitespace, lowercase",
+      (s, dir) => {
+        val clean = lower(trim(regexp_replace(col("text"), "[^A-Za-z0-9]+", " ")))
+        tbl(s, dir, "documents")
+          .withColumn("clean", clean)
+          .select(col("doc_id"),
+            length(col("clean")).as("clen"),
+            when(col("clean") === "", 0)
+              .otherwise(size(split(col("clean"), " "))).as("n_words"),
+            substring(col("clean"), 1, 30).as("prefix"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH c AS (
+          |  SELECT doc_id, lower(trim(regexp_replace(text, '[^A-Za-z0-9]+', ' ', 'g'))) AS clean
+          |  FROM documents)
+          |SELECT doc_id, CAST(length(clean) AS INT) AS clen,
+          |       CASE WHEN clean = '' THEN 0 ELSE CAST(len(string_split(clean, ' ')) AS INT) END AS n_words,
+          |       substr(clean, 1, 30) AS prefix
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction. The synthetic corpus carries no PII (verified: no '@',
+    // no digit anywhere), so each engine injects the SAME deterministic
+    // email + phone per row, then the redaction kernel — count + mask via
+    // shared RE2-compatible regexes — must remove every one. `leak_free`
+    // being TRUE for all rows is the property under test; counts/lengths
+    // pin the exact match spans.
+    Q(
+      "q_pii_redact",
+      "PII redaction: inject deterministic email+phone, mask, verify no leak",
+      (s, dir) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+        val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com tel 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val red = regexp_replace(regexp_replace(aug, emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        tbl(s, dir, "documents")
+          .withColumn("aug", aug).withColumn("red", red)
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))).as("n_email"),
+            size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))).as("n_phone"),
+            length(col("red")).as("red_len"),
+            (!col("red").contains("@") && !col("red").rlike(phoneRe)).as("leak_free"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH a AS (
+          |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |    || '@mail.example.com tel 555-123-'
+          |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS aug
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, aug,
+          |         regexp_replace(regexp_replace(aug,
+          |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |           '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS red
+          |  FROM a)
+          |SELECT doc_id,
+          |       CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+          |       CAST(len(regexp_extract_all(aug, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS INT) AS n_phone,
+          |       CAST(length(red) AS INT) AS red_len,
+          |       (NOT contains(red, '@') AND NOT regexp_matches(red, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS leak_free
+          |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Token counting: whitespace tokens, alphanumeric tokens, and a BPE-ish
     // subword estimate (ceil(len/4) pieces per token).
     Q(

@@ -122,6 +122,13 @@ final class VectorStore(spark: SparkSession, basePath: String) {
         .unionByName(incoming))
     }
 
+    /** Compact the file layout to `numFiles` parquet files — small-file
+      * management after many append/CoW cycles (each `add` appends files;
+      * at 100 TB compaction runs per partition on a size trigger, exactly
+      * this rewrite at partition grain). Contents are unchanged. */
+    def compact(numFiles: Int): Unit =
+      rewrite(df.repartition(numFiles))
+
     /** Chroma `delete(ids=...)`. */
     def delete(ids: Seq[String]): Unit =
       deleteWhere(col("id").isin(ids: _*))

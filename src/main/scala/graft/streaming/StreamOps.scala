@@ -60,6 +60,22 @@ object StreamOps {
   def dedupStream(docs: DataFrame, lateness: String): DataFrame =
     docs.withWatermark("ts", lateness).dropDuplicates("id")
 
+  /** Stream-stream interval join (impression→click attribution shape): a
+    * `right` row attaches to the `left` row with equal `key` when `rts` lies
+    * in [lts, lts + within]. Watermarks on BOTH event-time columns let Spark
+    * bound the buffered join state: a left row is evicted once the right
+    * watermark passes `lts + within`, so state is O(rows in flight inside
+    * the interval), never O(stream). Inner join → Append output mode. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lateness: String, within: String): DataFrame = {
+    val l = left.withWatermark("lts", lateness)
+    val r = right.withWatermark("rts", lateness)
+    l.join(r, l(key) === r(key) &&
+        col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr(s"INTERVAL $within"))
+      .drop(r(key))
+  }
+
   case class UserEvent(user_id: Long, value: Double)
   case class UserMax(user_id: Long, max_value: Double, n_events: Long)
 

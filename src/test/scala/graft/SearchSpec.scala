@@ -68,6 +68,35 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("MMR: first pick is pure-relevance argmax; diversity penalty works") {
+    import graft.operators.Reranker
+    import graft.operators.Reranker.Candidate
+    val a = Array(1f, 0f, 0f, 0f)
+    val aDup = Array(0.999f, 0.001f, 0f, 0f) // near-identical to a
+    val b = Array(0f, 1f, 0f, 0f)            // orthogonal, lower relevance
+    val pool = Seq(
+      Candidate(1, 0.99, a), Candidate(2, 0.98, aDup), Candidate(3, 0.80, b))
+    val sel = Reranker.mmr(pool, k = 2, lambda = 0.5)
+    assert(sel.head._1 == 1, "first pick must be the relevance argmax")
+    // 2's marginal score: .5*.98 - .5*~1.0 ≈ -0.01; 3's: .5*.80 - .5*0 = .40
+    assert(sel(1)._1 == 3, "near-duplicate of pick 1 must lose to diverse doc")
+    // determinism + bounded-k behavior
+    assert(Reranker.mmr(pool, 2, 0.5) == sel)
+    assert(Reranker.mmr(pool, 10, 0.5).map(_._1) == Seq(1L, 3L, 2L),
+      "k beyond pool size returns the whole pool, diversity-ordered")
+    // λ=1 degenerates to pure relevance order
+    assert(Reranker.mmr(pool, 3, 1.0).map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("q_mmr_rerank returns 5 deterministic picks from the top-20 shortlist") {
+    val r1 = run("q_mmr_rerank").collect()
+    assert(r1.length == 5)
+    assert(r1.map(_.getInt(0)).toSeq == (1 to 5))
+    val r2 = run("q_mmr_rerank").collect()
+    assert(r1.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      r2.map(r => (r.getInt(0), r.getLong(1))).toSeq)
+  }
+
   test("RRF fusion: a doc ranked in both legs beats same-rank single-leg docs") {
     val rows = run("q_hybrid_rrf").collect()
     assert(rows.nonEmpty && rows.length <= 10)

@@ -95,6 +95,22 @@ class StoreSpec extends AnyFunSuite with SparkTest {
       "query must still work over the rewritten store")
   }
 
+  test("compact merges small files without changing contents") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    // several append cycles -> many small parquet files
+    c.add(docRows.filter(col("id").cast("long") % 3 === 0))
+    c.add(docRows.filter(col("id").cast("long") % 3 === 1))
+    c.add(docRows.filter(col("id").cast("long") % 3 === 2))
+    val before = c.df.orderBy("id").collect()
+    def nFiles = c.df.inputFiles.length
+    assert(nFiles > 2, s"expected many small files, got $nFiles")
+    c.compact(2)
+    assert(nFiles <= 2, s"compact(2) left $nFiles files")
+    assert(c.df.orderBy("id").collect().toSeq == before.toSeq,
+      "compaction must not change contents")
+  }
+
   test("encrypted store: round-trip identity, unique IVs, useless without key") {
     val base = tmp()
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")

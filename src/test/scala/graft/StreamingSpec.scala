@@ -77,6 +77,41 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       "first occurrence wins; later duplicates dropped across batches")
   }
 
+  test("stream-stream interval join matches the batch join and bounds state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // impressions (key, lts) and clicks (key, rts); click joins iff within 5 min
+    val imps = Seq(("a", ts(0)), ("b", ts(10)), ("c", ts(20)))
+    val clks = Seq(
+      ("a", ts(3)),  // in window -> joins
+      ("a", ts(9)),  // 9 > 0+5 -> dropped
+      ("b", ts(10)), // boundary, inclusive -> joins
+      ("d", ts(1)))  // no impression -> dropped
+    val lmem = MemoryStream[(String, java.sql.Timestamp)]
+    val rmem = MemoryStream[(String, java.sql.Timestamp)]
+    val joined = StreamOps.intervalJoin(
+      lmem.toDF().toDF("k", "lts"), rmem.toDF().toDF("k", "rts"),
+      key = "k", lateness = "10 minutes", within = "5 minutes")
+    val q = joined.writeStream.format("memory").queryName("ij_t")
+      .outputMode(OutputMode.Append()).start()
+    lmem.addData(imps); rmem.addData(clks.take(2))
+    q.processAllAvailable()
+    rmem.addData(clks.drop(2)) // late-arriving batch still joins
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_t").select("k", "lts", "rts")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().sorted
+    assert(got.toSeq == Seq(("a", ts(0), ts(3)), ("b", ts(10), ts(10))))
+    // batch reference: identical join condition over the same data
+    val batch = imps.toDF("k", "lts").join(clks.toDF("k2", "rts"),
+      col("k") === col("k2") && col("rts") >= col("lts") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 minutes"))
+      .select("k", "lts", "rts")
+      .as[(String, java.sql.Timestamp, java.sql.Timestamp)].collect().sorted
+    assert(got.toSeq == batch.toSeq, "streaming interval join must equal batch")
+  }
+
   test("mapGroupsWithState keeps running per-user max across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
