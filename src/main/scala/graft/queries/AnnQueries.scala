@@ -281,6 +281,89 @@ object AnnQueries {
            |ORDER BY $dExact ASC, e.vec_id LIMIT 5""".stripMargin
       }),
 
+    // IVF-PQ — the two scale paths composed, which is how billion-vector
+    // indexes actually deploy (coarse quantizer prunes the scan, product
+    // codes compress what remains, exact math touches only a shortlist):
+    //   1. IVF prune: argmin-assign to 16 literal centroids (narrow codegen),
+    //      keep only the 4 cells nearest the probe — at 100 TB the table is
+    //      PARTITIONED by cell so this step is partition pruning, reading
+    //      nProbe/nCells of the data;
+    //   2. PQ ADC scan: surviving rows score as 8 lookup-table reads over
+    //      4-bit codes (zero shuffle, 64x less memory traffic than raw
+    //      vectors);
+    //   3. exact refine: top-30 ADC shortlist re-ranked by true L2 — the
+    //      expensive pass is O(shortlist), independent of corpus size.
+    Q(
+      "q_ann_ivfpq",
+      "IVF-PQ ANN: 4-of-16 cell prune + PQ ADC shortlist + exact L2 top-5",
+      (s, dir) => {
+        import graft.operators.ProductQuantizer
+        val M = 8; val SubDim = EmbDim / M
+        val e = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        def sub(v: Array[Float], m: Int): Array[Float] = v.slice(m * SubDim, (m + 1) * SubDim)
+        def l2sq(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+        val probeCells: Seq[Long] =
+          cents.map { case (cid, c) => (l2sq(c, qe), cid) }.sorted.take(NProbe).map(_._2).toSeq
+        val codebooks: ProductQuantizer.Codebooks =
+          Array.tabulate(M)(m => cents.map { case (cid, c) => (cid, sub(c, m)) })
+        val pruned = e
+          .withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
+          .filter(col("cell").isin(probeCells: _*))
+          .filter(col("vec_id") =!= 0)
+        val encoded = ProductQuantizer.encode(pruned, "embedding", codebooks)
+        ProductQuantizer.searchRefined(encoded, "embedding", "vec_id", qe, codebooks,
+          k = 5, shortlistFactor = 6)
+          .select(col("vec_id"), col("cell"), round(col("dist"), 6).as("dist"))
+      },
+      Some {
+        val M = 8; val SubDim = EmbDim / M
+        def slc(v: String, m: String) = s"list_slice($v, $m*$SubDim + 1, $m*$SubDim + $SubDim)"
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val dCent = OracleSql.l2Sq("cent.cemb", "probe.qe")
+        val dCode = OracleSql.l2Sq(slc("e.embedding", "s.m"), slc("c.cemb", "s.m"))
+        val dLut = OracleSql.l2Sq(slc("probe.qe", "s.m"), slc("c.cemb", "s.m"))
+        val dExact = OracleSql.l2Sq("c.embedding", "probe.qe")
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCentroids),
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |pcells AS (SELECT cid FROM cent CROSS JOIN probe ORDER BY $dCent, cid LIMIT $NProbe),
+           |cand AS MATERIALIZED (
+           |  SELECT a.vec_id, a.embedding, a.cell FROM assign a
+           |  JOIN pcells ON a.cell = pcells.cid WHERE a.vec_id <> 0),
+           |subs AS (SELECT unnest(range(0, $M)) AS m),
+           |codes AS MATERIALIZED (
+           |  SELECT vec_id, m, cid AS code FROM (
+           |    SELECT e.vec_id, s.m, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id, s.m ORDER BY $dCode, c.cid) AS rn
+           |    FROM cand e CROSS JOIN cent c CROSS JOIN subs s)
+           |  WHERE rn = 1),
+           |lut AS MATERIALIZED (
+           |  SELECT s.m, c.cid, $dLut AS d
+           |  FROM cent c CROSS JOIN probe CROSS JOIN subs s),
+           |scored AS (
+           |  SELECT codes.vec_id, sum(lut.d) AS adist_raw
+           |  FROM codes JOIN lut ON codes.m = lut.m AND codes.code = lut.cid
+           |  GROUP BY codes.vec_id),
+           |shortlist AS (
+           |  SELECT vec_id FROM scored ORDER BY adist_raw ASC, vec_id LIMIT 30)
+           |SELECT c.vec_id, c.cell, round($dExact, 6) AS dist
+           |FROM shortlist s JOIN cand c ON c.vec_id = s.vec_id CROSS JOIN probe
+           |ORDER BY $dExact ASC, c.vec_id LIMIT 5""".stripMargin
+      }),
+
     // LSH-bucketed ANN: 6-bit sign-random-projection signature; candidates
     // share the probe's bucket; exact cosine re-rank within.
     Q(

@@ -149,6 +149,56 @@ object RelationalQueries {
              |                  WHERE o_custkey = c_custkey AND o_totalprice > 480000.0)
              |ORDER BY c_custkey""".stripMargin)),
 
+    // Bloom-pruned fact join: the dim filter's keys are sketched into a
+    // broadcast bloom filter and fact rows that cannot match are dropped at
+    // the scan, BEFORE the join exchange. The join still runs, so false
+    // positives are removed exactly — result == plain join (which is what
+    // the oracle states). See operators.BloomJoin for the 100 TB rationale.
+    Q(
+      "q_bloom_join",
+      "bloom-pruned lineitem x large-parts join, revenue by brand",
+      (s, dir) => {
+        val dim = tbl(s, dir, "part").filter(col("p_size") >= 48)
+        val fact = tbl(s, dir, "lineitem")
+        graft.operators.BloomJoin
+          .prunedJoin(fact, dim, "l_partkey", "p_partkey", expectedDimKeys = 20000)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+             |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE p_size >= 48
+             |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // Full outer join: high-balance customers vs big-order counts — both
+    // sides have unmatched rows, keys coalesce.
+    Q(
+      "q_full_outer",
+      "full outer join: rich customers vs big-ticket order counts",
+      (s, dir) => {
+        val rich = tbl(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val big = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+          .groupBy("o_custkey").agg(count(lit(1)).as("n_big"))
+        rich.join(big, rich("c_custkey") === big("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            round(coalesce(col("c_acctbal"), lit(0.0)), 2).as("acctbal"),
+            coalesce(col("n_big"), lit(0L)).as("n_big"))
+          .orderBy("custkey")
+      },
+      Some("""WITH rich AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),
+             |big AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_big
+             |        FROM orders WHERE o_totalprice > 400000.0 GROUP BY o_custkey)
+             |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+             |       round(coalesce(c_acctbal, 0.0), 2) AS acctbal,
+             |       coalesce(n_big, 0) AS n_big
+             |FROM rich FULL OUTER JOIN big ON c_custkey = o_custkey
+             |ORDER BY custkey""".stripMargin)),
+
     // Rollup: subtotal hierarchy (grouping-sets surface).
     Q(
       "q_rollup",

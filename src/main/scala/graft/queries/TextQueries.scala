@@ -291,6 +291,117 @@ object TextQueries {
            |  ${OracleText.combine("th")} AS fp_seq,
            |  ${OracleText.combine("list_sort(list_distinct(th))")} AS fp_set
            |FROM t ORDER BY doc_id""".stripMargin
+      }),
+
+    // Repetition-based quality filters (the Gopher-rule family): documents
+    // dominated by a few tokens or repeated n-grams are low-quality training
+    // data. distinct-token ratio, most-frequent-token fraction, and
+    // duplicate-2-gram fraction — all per-row array math, one narrow codegen
+    // scan, no shuffle but the presentation sort. The top-token count is
+    // O(distinct x n) per row via higher-order functions, which beats an
+    // explode + groupBy(doc_id, tok) + re-join shape at any scale (that
+    // variant shuffles the whole token stream).
+    Q(
+      "q_gopher_repetition",
+      "repetition quality filters: distinct ratio, top-token frac, dup-2gram frac",
+      (s, dir) => {
+        val d = tbl(s, dir, "documents")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("n", size(col("toks")))
+        d
+          .withColumn("n_distinct", size(array_distinct(col("toks"))))
+          .withColumn("top_cnt",
+            when(col("n") === 0, lit(0)).otherwise(
+              array_max(transform(array_distinct(col("toks")),
+                t => size(filter(col("toks"), x => x === t))))))
+          .withColumn("grams",
+            when(col("n") < 2, array().cast("array<string>")).otherwise(
+              transform(sequence(lit(1), col("n") - 1), i =>
+                concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+          .withColumn("distinct_ratio",
+            round(col("n_distinct").cast("double") / greatest(col("n"), lit(1)), 4))
+          .withColumn("top_tok_frac",
+            round(col("top_cnt").cast("double") / greatest(col("n"), lit(1)), 4))
+          .withColumn("dup_2gram_frac",
+            round(when(size(col("grams")) === 0, 0.0).otherwise(
+              lit(1.0) - size(array_distinct(col("grams"))).cast("double") / size(col("grams"))), 4))
+          .select(col("doc_id"), col("n").as("n_toks"),
+            col("distinct_ratio"), col("top_tok_frac"), col("dup_2gram_frac"),
+            (col("distinct_ratio") >= 0.2 && col("top_tok_frac") <= 0.2 &&
+              col("dup_2gram_frac") <= 0.5).as("pass"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+           |m AS (SELECT doc_id, len(toks) AS n,
+           |  len(list_distinct(toks)) AS n_distinct,
+           |  CASE WHEN len(toks) = 0 THEN 0 ELSE
+           |    list_max(list_transform(list_distinct(toks),
+           |      t -> len(list_filter(toks, x -> x = t)))) END AS top_cnt,
+           |  CASE WHEN len(toks) < 2 THEN [] ELSE
+           |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+           |  END AS grams
+           |FROM t),
+           |r AS (SELECT doc_id, n,
+           |  round(CAST(n_distinct AS DOUBLE) / greatest(n, 1), 4) AS distinct_ratio,
+           |  round(CAST(top_cnt AS DOUBLE) / greatest(n, 1), 4) AS top_tok_frac,
+           |  round(CASE WHEN len(grams) = 0 THEN 0.0
+           |        ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams) END, 4) AS dup_2gram_frac
+           |FROM m)
+           |SELECT doc_id, CAST(n AS INT) AS n_toks, distinct_ratio, top_tok_frac, dup_2gram_frac,
+           |  (distinct_ratio >= 0.2 AND top_tok_frac <= 0.2 AND dup_2gram_frac <= 0.5) AS pass
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
+    // Bigram language-model quality score — the perplexity-filter shape:
+    // train bigram/context counts on the corpus itself (two hash aggregates
+    // whose output is O(vocab^2), independent of corpus size), then score
+    // each document by add-one-smoothed average log-probability. The count
+    // tables join back to the bigram stream on its own grain; at 100 TB both
+    // sides shuffle on the bigram key once and AQE picks broadcast when the
+    // vocabulary is small enough.
+    Q(
+      "q_bigram_lm",
+      "bigram LM: add-one smoothed avg log-prob + perplexity per document",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+        val vocabSize: Long = docs
+          .select(explode(col("toks")).as("t")).agg(countDistinct("t")).head().getLong(0)
+        val bi = docs.filter(col("n") >= 2)
+          .select(col("doc_id"), explode(
+            transform(sequence(lit(1), col("n") - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+        val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+        val ctxCounts = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        bi.join(biCounts, "bg").join(ctxCounts, "w1")
+          .withColumn("lp", log((col("c12") + 1.0) / (col("c1") + vocabSize.toDouble)))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(col("lp")), 4).as("avg_logp"),
+            round(exp(-avg(col("lp"))), 2).as("ppl"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+           |v AS (SELECT count(DISTINCT tok) AS vs FROM (SELECT unnest(toks) AS tok FROM t)),
+           |b AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+           |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+           |  FROM t WHERE len(toks) >= 2),
+           |b2 AS (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1 FROM b),
+           |c AS (SELECT bg, count(*) AS c12 FROM b2 GROUP BY bg),
+           |u AS (SELECT w1, count(*) AS c1 FROM b2 GROUP BY w1),
+           |sc AS (
+           |  SELECT b2.doc_id, ln((c.c12 + 1.0) / (u.c1 + v.vs)) AS lp
+           |  FROM b2 JOIN c USING (bg) JOIN u USING (w1) CROSS JOIN v)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           |  round(avg(lp), 4) AS avg_logp, round(exp(-avg(lp)), 2) AS ppl
+           |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
 }

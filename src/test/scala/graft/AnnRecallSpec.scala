@@ -90,4 +90,27 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
   test("exact kNN is its own fixpoint (sanity)") {
     assert(recall(exactTopK) == 1.0)
   }
+
+  test("IVF-PQ composed path: refined dists are true L2, candidates confined to probe cells") {
+    val out = graft.queries.Registry.queries("q_ann_ivfpq")(spark, sf001).collect()
+    assert(out.length == 5)
+    // every returned dist must equal the exact L2 to the probe (the refine
+    // stage scores raw vectors, not codes)
+    val byId = vecs.filter(col("vec_id") =!= 0)
+      .withColumn("d", VF.l2Sq(col("embedding"), typedlit(probe)))
+      .select("vec_id", "d").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      val (id, dist) = (r.getLong(0), r.getDouble(2))
+      assert(math.abs(dist - byId(id)) < 1e-4, s"vec $id: refined dist $dist != exact ${byId(id)}")
+    }
+    // dists ascend (it is a top-k by exact distance)
+    val dists = out.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted)
+    // the composed pruning still finds most of the exact top-5
+    val exact5 = exactTopK // top-20 superset; top-5 of it:
+    val got = out.map(_.getLong(0)).toSet
+    val r5 = (got intersect exact5).size.toDouble / 5
+    info(f"IVF-PQ hit rate vs exact top-20 = $r5%.2f")
+    assert(r5 >= 0.4, s"IVF-PQ recall collapsed: $r5")
+  }
 }
