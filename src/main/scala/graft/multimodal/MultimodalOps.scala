@@ -1,5 +1,6 @@
 package graft.multimodal
 
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, Dataset}
 
 /**
@@ -54,5 +55,43 @@ object MultimodalOps {
         }
       }
     }
+  }
+
+  /** Frame sampling over a "video" payload: the payload is a sequence of
+    * fixed-`frameSize`-byte frames; emit every `stride`-th frame, at most
+    * `maxFrames`, as (frame_idx, frame_offset, frame BINARY) rows. Pure
+    * column-level explode — narrow, whole-stage codegen, no UDF — because
+    * frame EXTRACTION is byte slicing; only frame DECODE (the stub) needs
+    * the mapPartitions batch path above. Short payloads yield fewer (or
+    * zero) frames, never a partial frame. */
+  def sampleFrames(media: DataFrame, idCol: String, payloadCol: String,
+                   frameSize: Int, stride: Int, maxFrames: Int): DataFrame = {
+    val nFrames = least(
+      floor(length(col(payloadCol)) / frameSize).cast("int"),
+      lit((maxFrames - 1) * stride + 1))
+    val idxs = when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nFrames - 1, lit(stride)))
+    media
+      .withColumn("frame_idx", explode(idxs))
+      .withColumn("frame_offset", col("frame_idx") * frameSize)
+      .withColumn("frame", col(payloadCol).substr(col("frame_offset") + 1, lit(frameSize)))
+      .select(col(idCol), col("frame_idx"), col("frame_offset"), col("frame"))
+  }
+
+  /** Overlapping-window chunking of an "audio" payload (window/hop in
+    * bytes, the STFT input shape): emit (chunk_idx, chunk_offset,
+    * chunk BINARY) for every full window. Same narrow-explode design as
+    * [[sampleFrames]]. */
+  def chunkAudio(media: DataFrame, idCol: String, payloadCol: String,
+                 window: Int, hop: Int): DataFrame = {
+    val nChunks = greatest(
+      (floor((length(col(payloadCol)) - window) / hop) + 1).cast("int"), lit(0))
+    val idxs = when(nChunks <= 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), nChunks - 1))
+    media
+      .withColumn("chunk_idx", explode(idxs))
+      .withColumn("chunk_offset", col("chunk_idx") * hop)
+      .withColumn("chunk", col(payloadCol).substr(col("chunk_offset") + 1, lit(window)))
+      .select(col(idCol), col("chunk_idx"), col("chunk_offset"), col("chunk"))
   }
 }

@@ -150,6 +150,71 @@ object OperatorQueries {
            |       CAST(checksum % 640 + 1 AS INT) AS width,
            |       CAST(checksum % 480 + 1 AS INT) AS height
            |FROM f ORDER BY doc_id""".stripMargin
+      }),
+
+    // Video-frame sampling: payload = sequence of 32-byte frames; emit
+    // every 2nd frame, max 4 per doc, fingerprint each frame. The frame
+    // EXTRACTION is a narrow codegen explode (no UDF); the fixture payload
+    // is the UTF-8 text so the oracle re-slices with substr (ASCII: byte
+    // offsets == char offsets).
+    Q(
+      "q_multimodal_frames",
+      "frame sampling: every-2nd 32-byte frame (max 4), per-frame fingerprint",
+      (s, dir) => {
+        val media = Registry.tbl(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        MultimodalOps.sampleFrames(media, "doc_id", "payload",
+            frameSize = 32, stride = 2, maxFrames = 4)
+          .select(col("doc_id"), col("frame_idx"), col("frame_offset"),
+            TF.polyHash(decode(col("frame"), "UTF-8")).as("frame_fp"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some {
+        val fp = OracleText.polyHash("substr(text, frame_offset + 1, 32)")
+        s"""WITH f AS (
+           |  SELECT doc_id,
+           |    unnest(CASE WHEN least(CAST(floor(length(text) / 32) AS INT), 7) <= 0 THEN []
+           |      ELSE range(0, least(CAST(floor(length(text) / 32) AS INT), 7), 2) END) AS frame_idx
+           |  FROM documents),
+           |o AS (SELECT f.doc_id, f.frame_idx, f.frame_idx * 32 AS frame_offset
+           |      FROM f)
+           |SELECT o.doc_id, CAST(o.frame_idx AS INT) AS frame_idx,
+           |       CAST(o.frame_offset AS INT) AS frame_offset,
+           |       $fp AS frame_fp
+           |FROM o JOIN documents USING (doc_id)
+           |ORDER BY doc_id, frame_idx""".stripMargin
+      }),
+
+    // Audio chunking: overlapping 40-byte windows at hop 20 (the STFT input
+    // shape); per-chunk fingerprint + chunk count per doc. Same narrow
+    // explode; only full windows are emitted.
+    Q(
+      "q_multimodal_audio",
+      "audio chunking: 40-byte windows, hop 20, per-chunk fingerprint",
+      (s, dir) => {
+        val media = Registry.tbl(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        MultimodalOps.chunkAudio(media, "doc_id", "payload", window = 40, hop = 20)
+          .select(col("doc_id"), col("chunk_idx"), col("chunk_offset"),
+            TF.polyHash(decode(col("chunk"), "UTF-8")).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+      },
+      Some {
+        val fp = OracleText.polyHash("substr(text, chunk_offset + 1, 40)")
+        s"""WITH n AS (
+           |  SELECT doc_id,
+           |    greatest(CAST(floor((length(text) - 40) / 20) AS INT) + 1, 0) AS n_chunks
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, unnest(CASE WHEN n_chunks <= 0 THEN []
+           |    ELSE range(0, n_chunks) END) AS chunk_idx
+           |  FROM n),
+           |o AS (SELECT doc_id, chunk_idx, chunk_idx * 20 AS chunk_offset FROM c)
+           |SELECT o.doc_id, CAST(o.chunk_idx AS INT) AS chunk_idx,
+           |       CAST(o.chunk_offset AS INT) AS chunk_offset,
+           |       $fp AS chunk_fp
+           |FROM o JOIN documents USING (doc_id)
+           |ORDER BY doc_id, chunk_idx""".stripMargin
       })
   )
 }

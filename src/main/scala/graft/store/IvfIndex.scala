@@ -48,6 +48,20 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     spark.read.parquet(centroidPath).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
+  /** Incremental maintenance: assign new vectors against the EXISTING
+    * centroids and append into the cell-partitioned layout (dynamic
+    * partition overwrite is not needed — cells only gain files). This is
+    * what a streaming ingest calls per micro-batch: one narrow pass over
+    * the batch, no touch of resident data, queries see the union. Cell
+    * balance degrades only as far as the data drifts from the centroids;
+    * a periodic [[build]] re-clusters (the compaction story). */
+  def append(vectors: DataFrame): Unit = {
+    val cents = centroids()
+    vectors
+      .withColumn("cell", cellCol(cents, col("emb")))
+      .write.mode("append").partitionBy("cell").parquet(dataPath)
+  }
+
   /** Top-k by squared L2, scanning only the nprobe nearest cells. */
   def query(qe: Array[Float], k: Int, nprobe: Int): DataFrame = {
     def l2(a: Array[Float], b: Array[Float]): Double = {

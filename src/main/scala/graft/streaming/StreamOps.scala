@@ -60,6 +60,35 @@ object StreamOps {
   def dedupStream(docs: DataFrame, lateness: String): DataFrame =
     docs.withWatermark("ts", lateness).dropDuplicates("id")
 
+  /** Watermark-scoped dedup (`dropDuplicatesWithinWatermark`): rows with the
+    * same id are duplicates only if they arrive within the watermark delay
+    * of each other — the right contract when ids legitimately recur (a doc
+    * re-crawled days later IS a new version) and the state must be
+    * guaranteed to expire. Unlike [[dedupStream]], eviction here does not
+    * depend on the event-time column being part of the key semantics. */
+  def dedupWithinWatermark(docs: DataFrame, lateness: String): DataFrame =
+    docs.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("id")
+
+  /** Incremental ANN-index maintenance: drain a document stream into a
+    * prebuilt [[graft.store.IvfIndex]] via foreachBatch — each micro-batch
+    * is hash-embedded and appended to the cell-partitioned layout against
+    * the index's existing centroids, so queries stay partition-pruned while
+    * the stream runs. foreachBatch (not a parquet sink) because assignment
+    * needs the index's centroid metadata per batch — the "streaming ingest
+    * maintains a queryable index" shape. */
+  def maintainIvfIndex(spark: SparkSession, srcDir: String,
+      index: graft.store.IvfIndex, checkpoint: String, dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .select(col("doc_id").as("id"), TF.tokens(col("text")).as("toks"))
+      .select(col("id"), TF.hashEmbed(col("toks"), dim).as("emb"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => index.append(batch) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (impression→click attribution shape): a
     * `right` row attaches to the `left` row with equal `key` when `rts` lies
     * in [lts, lts + within]. Watermarks on BOTH event-time columns let Spark
@@ -78,6 +107,44 @@ object StreamOps {
 
   case class UserEvent(user_id: Long, value: Double)
   case class UserMax(user_id: Long, max_value: Double, n_events: Long)
+
+  case class TimedEvent(user_id: Long, ts_us: Long, value: Double)
+  case class SessionSummary(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Custom sessionization via flatMapGroupsWithState: events gap-split into
+    * sessions per user; a closed session is EMITTED (0..n rows per
+    * invocation — the flatMap surface) and its state dropped, the open one
+    * stays in state. Complements the built-in `session_window` aggregation
+    * (q_sessionize) by owning the state machine: arbitrary session summaries
+    * and deterministic in-batch ordering by event time. State is one open
+    * session per active user — bounded, like mapGroupsWithState. */
+  def gapSessions(events: Dataset[TimedEvent], gapUs: Long): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionSummary, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[TimedEvent], state: GroupState[SessionSummary]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts_us, e.value))
+          var open = state.getOption
+          val closed = Seq.newBuilder[SessionSummary]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_us - s.end_us <= gapUs =>
+                open = Some(s.copy(end_us = e.ts_us,
+                  n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
+              case Some(s) =>
+                closed += s
+                open = Some(SessionSummary(uid, e.ts_us, e.ts_us, 1L, e.value))
+              case None =>
+                open = Some(SessionSummary(uid, e.ts_us, e.ts_us, 1L, e.value))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
 
   /** Custom keyed state via mapGroupsWithState: running per-user max/count
     * across micro-batches (the KeyValueGroupedDataset state surface). */

@@ -112,6 +112,114 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq == batch.toSeq, "streaming interval join must equal batch")
   }
 
+  test("dropDuplicatesWithinWatermark dedups inside the delay window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val deduped = StreamOps.dedupWithinWatermark(
+      mem.toDF().toDF("id", "ts", "v"), lateness = "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedupw_t")
+      .outputMode(OutputMode.Append()).start()
+    // same id twice within 10 min -> one row survives
+    mem.addData(("a", ts(10, 0), 1.0), ("a", ts(10, 2), 99.0), ("b", ts(10, 1), 2.0))
+    q.processAllAvailable()
+    // advance the watermark far past a's window, then re-emit id a: the
+    // prior state has expired, so this is a NEW record (re-crawl semantics)
+    mem.addData(("c", ts(12, 0), 3.0))
+    q.processAllAvailable()
+    mem.addData(("a", ts(12, 1), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedupw_t").select("id", "v").as[(String, Double)]
+      .collect().sorted.toSeq
+    assert(got == Seq(("a", 1.0), ("a", 4.0), ("b", 2.0), ("c", 3.0)),
+      s"expected re-crawled id to survive after watermark expiry, got $got")
+  }
+
+  test("foreachBatch incremental IVF maintenance: streamed appends == batch-built index") {
+    val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val probe = all.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    // reference: index built over everything in one batch
+    val refPath = tmp()
+    val ref = new graft.store.IvfIndex(spark, refPath, numCells = 8)
+    ref.build(all)
+    val want = ref.query(probe, k = 10, nprobe = 8).collect().map(_.toSeq).toSeq
+    // incremental: build over the first half (centroids come from the lowest
+    // ids, so both indexes agree on them), stream the rest in via
+    // foreachBatch appends
+    val n = all.count()
+    val half = all.filter(col("id") < n / 2)
+    val incPath = tmp()
+    val inc = new graft.store.IvfIndex(spark, incPath, numCells = 8)
+    inc.build(half)
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = mem.toDF().toDF("id", "emb").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        inc.append(batch.select(col("id"), col("emb").cast("array<float>").as("emb")))
+      }
+      .option("checkpointLocation", tmp())
+      .outputMode(OutputMode.Append()).start()
+    val restRows = all.filter(col("id") >= n / 2)
+      .as[(Long, Seq[Float])].collect().toSeq
+    val (b1, b2) = restRows.splitAt(restRows.size / 2)
+    mem.addData(b1); q.processAllAvailable()
+    mem.addData(b2); q.processAllAvailable()
+    q.stop()
+    val got = inc.query(probe, k = 10, nprobe = 8).collect().map(_.toSeq).toSeq
+    assert(got == want, "incrementally-maintained index must answer like the batch build")
+  }
+
+  test("maintainIvfIndex embeds arriving docs and keeps the index queryable") {
+    import graft.functions.{TextFunctions => TF}
+    val docsEmb = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").as("id"),
+        TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val probe = docsEmb.filter(col("id") === 3).head().getSeq[Float](1).toArray
+    val ref = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    ref.build(docsEmb)
+    val want = ref.query(probe, k = 5, nprobe = 8).collect().map(_.toSeq).toSeq
+    // half-built index + the other half arriving as a document stream
+    val inc = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    inc.build(docsEmb.filter(col("id") < 25))
+    val srcDir = tmp()
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") >= 25)
+      .write.mode("overwrite").parquet(srcDir)
+    val q = StreamOps.maintainIvfIndex(spark, srcDir, inc, tmp())
+    q.awaitTermination()
+    val got = inc.query(probe, k = 5, nprobe = 8).collect().map(_.toSeq).toSeq
+    assert(got == want, "stream-maintained index must answer like the batch build")
+  }
+
+  test("flatMapGroupsWithState gap sessionization closes sessions across batches") {
+    import spark.implicits._
+    import graft.streaming.StreamOps.{SessionSummary, TimedEvent}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[TimedEvent]
+    val gapUs = 5L * 60 * 1000000 // 5 minutes
+    def us(m: Int) = m.toLong * 60 * 1000000
+    val out = StreamOps.gapSessions(mem.toDS(), gapUs)
+    val q = out.writeStream.format("memory").queryName("sess_t")
+      .outputMode(OutputMode.Append()).start()
+    // user 1: events at 0,2 then a gap to 20 (closes first session)
+    mem.addData(TimedEvent(1, us(0), 1.0), TimedEvent(1, us(2), 2.0))
+    q.processAllAvailable()
+    mem.addData(TimedEvent(1, us(20), 5.0), TimedEvent(2, us(21), 7.0))
+    q.processAllAvailable()
+    // user 1's second session and user 2's first stay OPEN (in state, not emitted)
+    mem.addData(TimedEvent(1, us(40), 1.0)) // closes session at 20
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess_t").as[SessionSummary].collect().sortBy(s => (s.user_id, s.start_us))
+    assert(got.toSeq == Seq(
+      SessionSummary(1, us(0), us(2), 2, 3.0),
+      SessionSummary(1, us(20), us(20), 1, 5.0)))
+  }
+
   test("mapGroupsWithState keeps running per-user max across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
