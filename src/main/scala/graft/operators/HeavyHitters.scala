@@ -1,0 +1,37 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Exact heavy hitters with a count-min-sketch pruning pass. A plain
+ * `groupBy(key).count().filter(n >= T)` shuffles EVERY distinct key; at
+ * 100 TB the token/bigram key space is billions of groups of which a few
+ * thousand matter. The CMS pass is one narrow scan producing a fixed-size
+ * sketch (merged via treeAggregate — only the sketch crosses the wire), and
+ * rows whose estimated count is below the threshold are dropped BEFORE the
+ * aggregation shuffle.
+ *
+ * Correctness: CMS never under-counts (estimate >= true count), so the
+ * pre-filter has NO false negatives; the exact groupBy + HAVING afterwards
+ * removes the sketch's false positives. The result is therefore exactly the
+ * plain query's — only the shuffle volume changes. Seeded, so task retries
+ * see the same sketch.
+ */
+object HeavyHitters {
+
+  /** Keys of `keyCol` (STRING) occurring at least `minCount` times, with
+    * exact counts. `eps`/`confidence` size the sketch (width ~ 2.7/eps,
+    * depth ~ ln(1/(1-confidence))). */
+  def exactHeavyHitters(items: DataFrame, keyCol: String, minCount: Long,
+                        eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val cms = items.stat.countMinSketch(keyCol, eps, confidence, seed = 42)
+    val cmsB = items.sparkSession.sparkContext.broadcast(cms)
+    val mightBeHeavy = udf((k: String) => k != null && cmsB.value.estimateCount(k) >= minCount)
+    items
+      .filter(mightBeHeavy(col(keyCol)))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+  }
+}

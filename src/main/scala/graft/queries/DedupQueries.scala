@@ -101,6 +101,35 @@ object DedupQueries {
            |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
            |ORDER BY $jaccardSql DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
 
+    // Containment (|A∩B| / |smaller set|) instead of Jaccard: catches
+    // near-SUBSET duplicates — a doc wholly embedded in a longer one scores
+    // containment ~1.0 but Jaccard only |A|/|B|, so symmetric-similarity
+    // dedup misses it. Same sampled lang-blocked candidate generation as
+    // q_dedup_jaccard; at full scale the identical LSH banding applies
+    // (a subset shares its shingles, hence its bands, with its superset).
+    Q(
+      "q_dedup_containment",
+      "word 3-gram containment (near-subset detection), top-20 pairs",
+      (s, dir) => {
+        val d = shingleSets(s, dir).filter(col("doc_id") % 5 === 0)
+          .withColumn("n", size(col("sh"))).persist()
+        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("n").as("n_a"))
+        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+        a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("cont_raw", col("inter") / least(col("n_a"), col("n_b")))
+          .orderBy(desc("cont_raw"), asc("doc_a"), asc("doc_b"))
+          .limit(20)
+          .select(col("doc_a"), col("doc_b"), round(col("cont_raw"), 4).as("containment"))
+      },
+      Some {
+        val contSql = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / least(len(a.sh), len(b.sh))"
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql(" WHERE doc_id % 5 = 0")})
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($contSql, 4) AS containment
+           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+           |ORDER BY $contSql DESC, doc_a, doc_b LIMIT 20""".stripMargin
+      }),
+
     // MinHash + LSH: signature -> 3 band buckets -> bucket equi-join ->
     // exact Jaccard verify >= 0.5. The shuffle carries only (band, bucket)
     // keys; candidate verification is per-bucket, never all-pairs.

@@ -402,6 +402,37 @@ object TextQueries {
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
            |  round(avg(lp), 4) AS avg_logp, round(exp(-avg(lp)), 2) AS ppl
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // Heavy-hitter bigrams via operators.HeavyHitters: a count-min-sketch
+    // pass prunes sub-threshold rows BEFORE the aggregation shuffle (CMS
+    // never under-counts -> no false negatives; the exact HAVING removes
+    // its false positives), so the result is exactly the plain
+    // groupBy+HAVING the oracle states — only the shuffle volume differs.
+    Q(
+      "q_heavy_hitters",
+      "bigrams occurring >= 60 times, CMS-pruned exact counts",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+        val bi = docs.filter(col("n") >= 2)
+          .select(explode(
+            transform(sequence(lit(1), col("n") - 1), i =>
+              concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+        graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 60L)
+          .orderBy(desc("n"), asc("bg"))
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+           |b AS (
+           |  SELECT unnest(list_transform(range(1, len(toks)),
+           |    i -> toks[i] || ' ' || toks[i+1])) AS bg
+           |  FROM t WHERE len(toks) >= 2)
+           |SELECT bg, CAST(count(*) AS BIGINT) AS n FROM b
+           |GROUP BY bg HAVING count(*) >= 60
+           |ORDER BY n DESC, bg""".stripMargin
       })
   )
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{TextFunctions => TF}
+import graft.operators.HeavyHitters
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HeavyHittersSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val toks = spark.read.parquet(s"$sf001/documents.parquet")
+    .select(explode(TF.tokens(col("text"))).as("tok"))
+
+  test("CMS-pruned heavy hitters equal the plain groupBy + HAVING exactly") {
+    val t = 800L
+    val got = HeavyHitters.exactHeavyHitters(toks, "tok", t)
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= t)
+      .orderBy("tok").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "threshold chosen so some hitters exist")
+  }
+
+  test("the sketch pre-filter prunes sub-threshold rows before the shuffle") {
+    val t = 800L
+    val cms = toks.stat.countMinSketch("tok", 0.001, 0.99, 42)
+    val cmsB = spark.sparkContext.broadcast(cms)
+    val heavy = udf((k: String) => k != null && cmsB.value.estimateCount(k) >= t)
+    val total = toks.count()
+    val kept = toks.filter(heavy(col("tok"))).count()
+    info(s"token stream: $total rows, past CMS: $kept")
+    assert(kept < total, "pruning must drop something on this distribution")
+    // no false negatives: every truly-heavy token's rows all survive
+    val trueHeavy = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= t).agg(sum("n")).head().getLong(0)
+    assert(kept >= trueHeavy)
+  }
+}
