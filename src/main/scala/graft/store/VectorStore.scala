@@ -204,4 +204,32 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .limit(k)
       .select(col("id"), col("doc"), col("distance"))
   }
+
+  /** Key rotation: decrypt with this store's key, re-encrypt under
+    * `newKey`, atomically swap the collection directory (write-new +
+    * rename, the Collection.rewrite discipline). Decrypt and re-encrypt
+    * fuse into ONE narrow projection — rotating 100 TB is one read + one
+    * write, no shuffle — and every row gets a fresh random IV. After the
+    * swap only a store opened with `newKey` can read the collection. */
+  def rotateKey(name: String, newKey: String): EncryptedStore = {
+    require(Set(16, 24, 32).contains(newKey.length), "AES key must be 16/24/32 bytes")
+    val next = new EncryptedStore(spark, basePath, newKey)
+    val reEnc = spark.read.parquet(path(name)).select(
+      col("id"),
+      next.encrypt(decryptStr(col("doc_ct"))).as("doc_ct"),
+      next.encrypt(decryptStr(col("emb_ct"))).as("emb_ct"))
+    val stage = s"${path(name)}__stage"
+    val old = s"${path(name)}__old"
+    reEnc.write.mode("overwrite").parquet(stage)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(old))
+    require(new java.io.File(path(name)).renameTo(new java.io.File(old)) &&
+      new java.io.File(stage).renameTo(new java.io.File(path(name))),
+      s"atomic swap failed for collection $name")
+    rm(new java.io.File(old))
+    next
+  }
 }

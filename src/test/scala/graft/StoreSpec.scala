@@ -139,4 +139,29 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     val knn = enc.query("v", qe, 3).collect()
     assert(knn.head.getString(0) == "0" && knn.head.getDouble(2) == 0.0)
   }
+
+  test("encrypted store: key rotation re-encrypts in place; old key locked out") {
+    val base = tmp()
+    val oldKey = "0123456789abcdef"; val newKey = "fedcba9876543210"
+    val enc = new EncryptedStore(spark, base, oldKey)
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"),
+        concat(lit("d"), col("vec_id")).as("doc"), col("embedding").as("emb"))
+    enc.store(rows, "v")
+    val before = enc.open("v").orderBy("id").collect().map(_.toSeq).toSeq
+
+    val rotated = enc.rotateKey("v", newKey)
+
+    // contents identical under the new key
+    val after = rotated.open("v").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(after == before, "rotation must preserve every row")
+    // the old key no longer decrypts anything
+    val stale = rotated.extractSecure("v").withColumn("attempt",
+      expr(s"try_aes_decrypt(emb_ct, '$oldKey', 'GCM')"))
+    assert(stale.filter(col("attempt").isNotNull).count() == 0,
+      "old key must be locked out after rotation")
+    // and kNN still answers for the new key holder
+    val qe = rows.filter(col("id") === "0").head().getSeq[Float](2).toArray
+    assert(rotated.query("v", qe, 1).head().getString(0) == "0")
+  }
 }
