@@ -376,7 +376,12 @@ object TextQueries {
               concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
           .withColumn("w1", substring_index(col("bg"), " ", 1))
         val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
-        val ctxCounts = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+        // context counts derive from the (vocab^2-sized) bigram counts —
+        // c1(w1) = sum of c12 over bigrams starting with w1 — so the token
+        // stream is scanned twice total (score + counts), never a third time
+        val ctxCounts = biCounts
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .groupBy("w1").agg(sum("c12").as("c1"))
         bi.join(biCounts, "bg").join(ctxCounts, "w1")
           .withColumn("lp", log((col("c12") + 1.0) / (col("c1") + vocabSize.toDouble)))
           .groupBy("doc_id")
@@ -416,10 +421,13 @@ object TextQueries {
         val docs = tbl(s, dir, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
           .withColumn("n", size(col("toks")))
+        // HeavyHitters scans `items` twice (sketch pass + exact pass) —
+        // stage the explode so the second pass reads columnar cache
         val bi = docs.filter(col("n") >= 2)
           .select(explode(
             transform(sequence(lit(1), col("n") - 1), i =>
               concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+          .persist()
         graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 60L)
           .orderBy(desc("n"), asc("bg"))
       },
