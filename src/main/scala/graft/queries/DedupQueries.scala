@@ -19,14 +19,45 @@ import org.apache.spark.sql.functions._
  *    within buckets — never O(N^2);
  *  - SimHash uses 4x8-bit banding, which by pigeonhole is EXACT for
  *    Hamming distance <= 3 (some band must match), again avoiding O(N^2);
- *  - brute-force variants (q_dedup_jaccard on a sampled subset,
- *    q_neardup_embedding blocked by label) document the blocking strategy a
- *    full-scale run would replace with the LSH path.
+ *  - q_dedup_jaccard / q_dedup_containment use PREFIX FILTERING (the
+ *    PPJoin family): each doc keeps its R globally-rarest shingles, only
+ *    docs sharing a kept shingle become candidates, and shingles appearing
+ *    in more than `StopShingleCap` docs generate no pairs — so the pair
+ *    count is bounded by sum(bucket^2) over rare-shingle buckets, never
+ *    O(N^2). (A lang-blocked all-pairs variant of the same queries went
+ *    quadratic at the 20x stress scale: 200 s vs ~20 s — §8.3.)
  */
 object DedupQueries {
   import Registry.tbl
+  import org.apache.spark.sql.expressions.Window
 
   private val K = 3 // word-shingle width
+  private val PrefixR = 8 // rarest shingles kept per doc (the PPJoin prefix)
+  private val StopShingleCap = 50 // doc-freq above which a shingle pairs nothing
+
+  /** Prefix-filter candidate keys: (doc_id, s) for each doc's `PrefixR`
+    * globally-rarest shingles, stop-shingles excluded. Guarantees recall
+    * for pairs with Jaccard >= 1 - R/|sh|; below that it is (like LSH) a
+    * high-recall candidate generator whose survivors are exact-verified. */
+  private def prefixKept(d: DataFrame): DataFrame = {
+    val e = d.select(col("doc_id"), explode(col("sh")).as("s"))
+    val f = e.groupBy("s").agg(count(lit(1)).as("nd"))
+      .filter(col("nd") <= StopShingleCap)
+    val w = Window.partitionBy("doc_id").orderBy(asc("nd"), asc("s"))
+    e.join(f, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PrefixR)
+      .select(col("doc_id"), col("s"))
+  }
+
+  /** The identical prefix selection in DuckDB SQL (same (nd, s) ranking). */
+  private def prefixKeptSql: String =
+    s"""e AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM d),
+       |f AS (SELECT s, count(*) AS nd FROM e GROUP BY s HAVING count(*) <= $StopShingleCap),
+       |k AS MATERIALIZED (SELECT doc_id, s FROM (
+       |    SELECT e.doc_id, e.s, row_number() OVER (PARTITION BY e.doc_id ORDER BY f.nd, e.s) AS rn
+       |    FROM e JOIN f USING (s))
+       |  WHERE rn <= $PrefixR)""".stripMargin
 
   /** doc_id + distinct shingle-hash set (the unit of Jaccard identity).
     * Each stage is a separate projection: `shingles` references its token
@@ -75,20 +106,25 @@ object DedupQueries {
            |FROM f GROUP BY fp ORDER BY keeper""".stripMargin
       }),
 
-    // n-gram Jaccard on a deterministic sample (doc_id % 5 = 0), blocked by
-    // language; top-20 most similar pairs. The full-corpus path is
-    // q_dedup_minhash_lsh below.
+    // Full-corpus 3-gram Jaccard, prefix-filtered (PPJoin shape): candidates
+    // share one of each other's R rarest shingles; exact Jaccard verifies.
+    // Complements q_dedup_minhash_lsh (probabilistic banding) with the
+    // deterministic-prefix alternative.
     Q(
       "q_dedup_jaccard",
-      "word 3-gram Jaccard similarity, top-20 pairs (sampled, lang-blocked)",
+      "word 3-gram Jaccard, prefix-filtered candidates, top-20 pairs",
       (s, dir) => {
-        // Persist the (small) shingle-set side once; the self-join would
-        // otherwise recompute the tokenize->shingle->hash pipeline per side.
-        val d = shingleSets(s, dir).filter(col("doc_id") % 5 === 0)
-          .withColumn("n", size(col("sh"))).persist()
-        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("n").as("n_a"))
-        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-        a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
+        // Persist the shingle-set side: it feeds the prefix pipeline and
+        // both verification sides.
+        val d = shingleSets(s, dir).withColumn("n", size(col("sh"))).persist()
+        val kept = prefixKept(d)
+        val ka = kept.select(col("doc_id").as("doc_a"), col("s"))
+        val kb = kept.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+        val cand = ka.join(kb, col("s") === col("sb") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val va = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+        val vb = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+        cand.join(va, "doc_a").join(vb, "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
           .withColumn("jac_raw", col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .orderBy(desc("jac_raw"), asc("doc_a"), asc("doc_b"))
@@ -96,26 +132,35 @@ object DedupQueries {
           .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
       },
       Some(
-        s"""WITH d AS MATERIALIZED (${shingleSetsSql(" WHERE doc_id % 5 = 0")})
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($jaccardSql, 4) AS jac
-           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql()}),
+           |$prefixKeptSql,
+           |cand AS (SELECT DISTINCT ka.doc_id AS doc_a, kb.doc_id AS doc_b
+           |  FROM k ka JOIN k kb ON ka.s = kb.s AND ka.doc_id < kb.doc_id)
+           |SELECT cand.doc_a, cand.doc_b, round($jaccardSql, 4) AS jac
+           |FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
            |ORDER BY $jaccardSql DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
 
     // Containment (|A∩B| / |smaller set|) instead of Jaccard: catches
     // near-SUBSET duplicates — a doc wholly embedded in a longer one scores
     // containment ~1.0 but Jaccard only |A|/|B|, so symmetric-similarity
-    // dedup misses it. Same sampled lang-blocked candidate generation as
-    // q_dedup_jaccard; at full scale the identical LSH banding applies
-    // (a subset shares its shingles, hence its bands, with its superset).
+    // dedup misses it. Candidate generation is ONE-SIDED prefix filtering
+    // (kept prefix joined against the full posting list): if A ⊆ B, A's
+    // rare shingles are IN B even when they are not in B's prefix. Bucket
+    // size stays bounded because kept shingles have doc-freq <= cap.
     Q(
       "q_dedup_containment",
       "word 3-gram containment (near-subset detection), top-20 pairs",
       (s, dir) => {
-        val d = shingleSets(s, dir).filter(col("doc_id") % 5 === 0)
-          .withColumn("n", size(col("sh"))).persist()
-        val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"), col("n").as("n_a"))
-        val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-        a.join(b, a("lang") === b("lang_b") && a("doc_a") < b("doc_b"))
+        val d = shingleSets(s, dir).withColumn("n", size(col("sh"))).persist()
+        val kept = prefixKept(d)
+        val post = d.select(col("doc_id").as("doc_p"), explode(col("sh")).as("sp"))
+        val cand = kept.join(post, col("s") === col("sp") && col("doc_id") =!= col("doc_p"))
+          .select(least(col("doc_id"), col("doc_p")).as("doc_a"),
+            greatest(col("doc_id"), col("doc_p")).as("doc_b"))
+          .distinct()
+        val va = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+        val vb = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+        cand.join(va, "doc_a").join(vb, "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
           .withColumn("cont_raw", col("inter") / least(col("n_a"), col("n_b")))
           .orderBy(desc("cont_raw"), asc("doc_a"), asc("doc_b"))
@@ -124,9 +169,13 @@ object DedupQueries {
       },
       Some {
         val contSql = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / least(len(a.sh), len(b.sh))"
-        s"""WITH d AS MATERIALIZED (${shingleSetsSql(" WHERE doc_id % 5 = 0")})
-           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, round($contSql, 4) AS containment
-           |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql()}),
+           |$prefixKeptSql,
+           |cand AS (SELECT DISTINCT least(k.doc_id, e.doc_id) AS doc_a,
+           |    greatest(k.doc_id, e.doc_id) AS doc_b
+           |  FROM k JOIN e ON k.s = e.s AND k.doc_id <> e.doc_id)
+           |SELECT cand.doc_a, cand.doc_b, round($contSql, 4) AS containment
+           |FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
            |ORDER BY $contSql DESC, doc_a, doc_b LIMIT 20""".stripMargin
       }),
 
