@@ -57,6 +57,30 @@ object MultimodalOps {
     }
   }
 
+  final case class ResizedFeatures(
+      doc_id: Long, width: Int, height: Int, out_w: Int, out_h: Int, scale: Double)
+
+  /** Resize planning: stub-decode each image and compute the aspect-
+    * preserving fit into a `box`x`box` target (the normalization step in
+    * front of any vision encoder). The geometry — scale factor and output
+    * dims — is the real, tested logic; a codec build would add the pixel
+    * resample to the same batched loop. Scale math is plain IEEE-double
+    * min/floor so the oracle reproduces it bit-for-bit. */
+  def resizePlan(payloads: Dataset[(Long, Array[Byte])], box: Int): Dataset[ResizedFeatures] = {
+    import payloads.sparkSession.implicits._
+    payloads.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val (w, h, _) = decodeImageStub(bytes)
+          val scale = math.min(box.toDouble / w, box.toDouble / h)
+          val outW = math.max(1, math.floor(w * scale).toInt)
+          val outH = math.max(1, math.floor(h * scale).toInt)
+          ResizedFeatures(id, w, h, outW, outH, scale)
+        }
+      }
+    }
+  }
+
   /** Frame sampling over a "video" payload: the payload is a sequence of
     * fixed-`frameSize`-byte frames; emit every `stride`-th frame, at most
     * `maxFrames`, as (frame_idx, frame_offset, frame BINARY) rows. Pure

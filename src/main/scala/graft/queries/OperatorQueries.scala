@@ -185,6 +185,41 @@ object OperatorQueries {
            |ORDER BY doc_id, frame_idx""".stripMargin
       }),
 
+    // Resize planning: stub-decoded dims fit into a 224x224 box preserving
+    // aspect ratio (the vision-encoder normalization step). All IEEE-double
+    // min/floor math, so the oracle recomputes it exactly from the
+    // checksum-derived stub dimensions.
+    Q(
+      "q_multimodal_resize",
+      "aspect-preserving resize plan into a 224x224 box per image",
+      (s, dir) => {
+        import s.implicits._
+        val payloads = Registry.tbl(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+          .as[(Long, Array[Byte])]
+        MultimodalOps.resizePlan(payloads, box = 224)
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("out_w"), col("out_h"), round(col("scale"), 6).as("scale"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val ck = OracleText.polyHash("text")
+        s"""WITH f AS (SELECT doc_id, $ck AS checksum FROM documents),
+           |d AS (SELECT doc_id,
+           |        CAST(checksum % 640 + 1 AS INT) AS width,
+           |        CAST(checksum % 480 + 1 AS INT) AS height
+           |      FROM f),
+           |p AS (SELECT doc_id, width, height,
+           |        least(224.0 / width, 224.0 / height) AS scale
+           |      FROM d)
+           |SELECT doc_id, width, height,
+           |       CAST(greatest(1, floor(width * scale)) AS INT) AS out_w,
+           |       CAST(greatest(1, floor(height * scale)) AS INT) AS out_h,
+           |       round(scale, 6) AS scale
+           |FROM p ORDER BY doc_id""".stripMargin
+      }),
+
     // Audio chunking: overlapping 40-byte windows at hop 20 (the STFT input
     // shape); per-chunk fingerprint + chunk count per doc. Same narrow
     // explode; only full windows are emitted.
