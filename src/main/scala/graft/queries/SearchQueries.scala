@@ -43,15 +43,27 @@ object SearchQueries {
   val QueryTerms: Seq[String] = Seq("vector", "merge", "window", "stream")
   val ShortlistK = 20
 
-  /** BM25 score of one doc for QueryTerms, as a fixed left-to-right sum so
-    * the oracle can add in the identical order. idf/avgdl arrive as driver
-    * literals (index metadata); tf/dl are per-row. */
-  private def bm25Col(toks: Column, dl: Column, idf: Map[String, Double], avgdl: Double): Column =
-    QueryTerms.map { t =>
-      val tf = size(filter(toks, x => x === lit(t))).cast("double")
+  /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
+    * sum so the oracle can add in the identical order. idf/avgdl arrive as
+    * driver literals (index metadata); tf/dl are per-row. Each term's tf is
+    * STAGED as a named column: the score formula references tf twice and
+    * `filter` over an array is an interpreted (non-codegen) lambda, so the
+    * single evaluation must be guaranteed structurally (plan-checked: one
+    * filter per term in the staging Project) rather than left to codegen
+    * subexpression elimination, which never sees interpreted projections. */
+  private def withBm25(docs: org.apache.spark.sql.DataFrame, idf: Map[String, Double],
+                       avgdl: Double, outCol: String): org.apache.spark.sql.DataFrame = {
+    val staged = QueryTerms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
+      df.withColumn(s"__tf_$i", size(filter(col("toks"), x => x === lit(t))).cast("double"))
+    }
+    val score = QueryTerms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"__tf_$i")
       lit(idf(t)) * ((tf * lit(K1 + 1.0)) /
-        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * dl.cast("double") / lit(avgdl))))
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
     }.reduce(_ + _)
+    staged.withColumn(outCol, score)
+      .drop(QueryTerms.indices.map(i => s"__tf_$i"): _*)
+  }
 
   /** The same score in DuckDB SQL: stats come from scalar subqueries against
     * the `d` CTE (exact integers, so the derived doubles match the literals
@@ -190,7 +202,7 @@ object SearchQueries {
       (s, dir) => {
         val docs = tokenized(s, dir)
         val (_, avgdl, idf) = bm25Stats(docs)
-        docs.withColumn("score_raw", bm25Col(col("toks"), col("dl"), idf, avgdl))
+        withBm25(docs, idf, avgdl, "score_raw")
           .orderBy(desc("score_raw"), asc("doc_id"))
           .limit(10)
           .select(col("doc_id"), col("dl"), round(col("score_raw"), 4).as("bm25"))
@@ -220,7 +232,7 @@ object SearchQueries {
         val qe: Array[Float] = Seq(qText).toDF("text")
           .select(TF.hashEmbed(TF.tokens(col("text")), EmbDim).as("e"))
           .head().getSeq[Float](0).toArray
-        val kw = docs.withColumn("score", bm25Col(col("toks"), col("dl"), idf, avgdl))
+        val kw = withBm25(docs, idf, avgdl, "score")
           .orderBy(desc("score"), asc("doc_id")).limit(ShortlistK)
           .withColumn("rank_kw", row_number().over(Window.orderBy(desc("score"), asc("doc_id"))))
           .select(col("doc_id"), col("rank_kw"))
