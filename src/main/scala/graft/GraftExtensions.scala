@@ -11,8 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  * `spark.sql.extensions=graft.GraftExtensions` (or
  * `builder.withExtensions(new GraftExtensions)`) makes
  * `cosine_sim`, `l2_sq`, `dot_product`, `vec_norm`, `poly_hash`,
- * `simhash32`, `minhash_sig`, `hash_combine` available to plain SQL without
- * per-session `registerAll` calls.
+ * `simhash32`, `minhash_sig`, `hash_combine`, `tokenize` available to plain
+ * SQL without per-session `registerAll` calls.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     inject("hash_combine", "hash_combine(hashes) - rolling combine of a hash array") {
       es => HashCombine(es.head)
+    }
+    inject("tokenize", "tokenize(s) - lowercased alphanumeric tokens") {
+      es => Tokenize(es.head)
     }
   }
 }

@@ -106,6 +106,52 @@ case class HashEmbed(child: Expression, dim: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** tokenize(STRING) -> ARRAY<STRING> — lowercased maximal [a-z0-9] runs,
+  * bit-identical to `filter(split(lower(trim(s)), "[^a-z0-9]+"), _ != "")`
+  * but one compiled char scan instead of a regex engine + interpreted
+  * per-element lambda (see [[TextHashOps.tokenize]]). Tokenization leads
+  * every text-pipeline query, so this is the hottest scan kernel. */
+case class Tokenize(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "tokenize"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"$prettyName expects STRING")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.tokenize(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.tokenize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** term_freq(ARRAY<STRING>, term) -> BIGINT — occurrences of a literal term
+  * (the BM25 tf kernel): one compiled scan, vs the interpreted lambda of
+  * `size(filter(a, _ === term))`. */
+case class TermFreq(child: Expression, term: String) extends UnaryExpression {
+  override def prettyName: String = "term_freq"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val termU = UTF8String.fromString(term)
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.countTokenAD(v.asInstanceOf[ArrayData], termU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("term", termU, classOf[UTF8String].getName)
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.countTokenAD($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** hash_combine(ARRAY<BIGINT>) -> BIGINT — order-sensitive rolling combine
   * (document fingerprint over token hashes). */
 case class HashCombine(child: Expression) extends UnaryExpression {

@@ -19,12 +19,18 @@ object TextFunctions {
       org.apache.spark.sql.catalyst.expressions.Expression)(c: Column): Column =
     Bridge.column(f(Bridge.expression(c)))
 
-  /** Lowercased alphanumeric tokens (empty tokens filtered). */
-  def tokens(text: Column): Column =
-    filter(split(lower(trim(text)), "[^a-z0-9]+"), t => t =!= lit(""))
+  /** Lowercased alphanumeric tokens (empty tokens filtered). Codegen kernel
+    * ([[Tokenize]]); bit-identical to the composed
+    * `filter(split(lower(trim(text)), "[^a-z0-9]+"), _ != "")` form it
+    * replaced, at one compiled char scan per row. */
+  def tokens(text: Column): Column = expr1(Tokenize.apply)(text)
 
   /** Rolling polynomial hash of a string, mod 1e9+7. */
   def polyHash(s: Column): Column = expr1(PolyHash.apply)(s)
+
+  /** Occurrences of literal `term` in a token array (codegen tf kernel). */
+  def termFreq(toks: Column, term: String): Column =
+    expr1(e => TermFreq(e, term))(toks)
 
   /** Hash each token: ARRAY<STRING> -> ARRAY<BIGINT>. */
   def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))

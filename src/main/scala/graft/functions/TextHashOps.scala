@@ -164,4 +164,45 @@ object TextHashOps {
     while (i < toks.length) { toks(i) = a.getUTF8String(i); i += 1 }
     new GenericArrayData(hashEmbed(toks, dim))
   }
+
+  /** Occurrences of token `t` in a string array — the tf kernel behind
+    * BM25; equivalent to `size(filter(a, x => x === t))` without the
+    * interpreted per-element lambda. */
+  def countTokenAD(a: ArrayData, t: UTF8String): Long = {
+    val n = a.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      if (a.getUTF8String(i) == t) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Tokenize: lowercased maximal runs of [a-z0-9] — EXACTLY equivalent to
+    * `filter(split(lower(trim(s)), "[^a-z0-9]+"), _ != "")` (the regex
+    * splits on non-alnum runs and the filter drops boundary empties; the
+    * leading/trailing whitespace trim is subsumed by run-splitting). Uses
+    * UTF8String.toLowerCase — the same Locale-independent lowering as
+    * Spark's `lower()` — so results are bit-identical to the composed form,
+    * but the scan is ONE compiled char loop instead of a regex engine plus
+    * an interpreted per-element filter lambda. */
+  def tokenize(s: UTF8String): ArrayData = {
+    val str = s.toLowerCase.toString
+    val n = str.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < n && {
+          val d = str.charAt(j); (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += UTF8String.fromString(str.substring(i, j))
+        i = j
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

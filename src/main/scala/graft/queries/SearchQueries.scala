@@ -54,7 +54,7 @@ object SearchQueries {
   private def withBm25(docs: org.apache.spark.sql.DataFrame, idf: Map[String, Double],
                        avgdl: Double, outCol: String): org.apache.spark.sql.DataFrame = {
     val staged = QueryTerms.zipWithIndex.foldLeft(docs) { case (df, (t, i)) =>
-      df.withColumn(s"__tf_$i", size(filter(col("toks"), x => x === lit(t))).cast("double"))
+      df.withColumn(s"__tf_$i", TF.termFreq(col("toks"), t).cast("double"))
     }
     val score = QueryTerms.zipWithIndex.map { case (t, i) =>
       val tf = col(s"__tf_$i")

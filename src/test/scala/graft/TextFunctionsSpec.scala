@@ -19,6 +19,28 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(got == Seq("hello", "world", "a1"))
   }
 
+  test("tokenize kernel is bit-identical to the composed regex form on real data") {
+    val composed = filter(split(lower(trim(col("text"))), "[^a-z0-9]+"), t => t =!= lit(""))
+    val edge = Seq("", "   ", "...", "A", "1a2B!3c", "ä ö ü ß É", "a\tb\nc",
+      "ends with punct!", "!starts", "MiXeD CaSe 42").toDF("text")
+      .select(TF.tokens(col("text")).as("k"), composed.as("r"))
+    edge.collect().foreach(row =>
+      assert(row.getSeq[String](0) == row.getSeq[String](1), row.toString))
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.tokens(col("text")).as("k"), composed.as("r"))
+      .filter(not(col("k") === col("r"))).count()
+    assert(mismatches == 0, "kernel must equal regex pipeline on every fixture doc")
+  }
+
+  test("termFreq counts literal-term occurrences like the filter form") {
+    val df = Seq("a b a c a", "b b", "").toDF("text")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.termFreq(col("toks"), "a").as("k"),
+        size(filter(col("toks"), x => x === lit("a"))).cast("long").as("r"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 0L, 0L))
+  }
+
   test("shingles: k-grams with short-document fallback") {
     val df = Seq("a b c d", "a b").toDF("s")
       .select(TF.shingles(TF.tokens(col("s")), 3).as("sh")).as[Seq[String]]
