@@ -364,6 +364,65 @@ object AnnQueries {
            |ORDER BY $dExact ASC, c.vec_id LIMIT 5""".stripMargin
       }),
 
+    // Johnson-Lindenstrauss random projection 64 -> 16 dims: distances are
+    // preserved within (1±eps) whp, so the projected-space L2 scan ranks a
+    // shortlist at 1/4 the memory traffic, and exact L2 re-ranks only the
+    // shortlist. Projection vectors come from the same deterministic
+    // integer formula as the LSH planes (offset to decorrelate) — index
+    // metadata as literals, zero stored model, fully codegen scan. The
+    // dimensionality-reduction counterpart of PQ's codebook compression.
+    Q(
+      "q_ann_jl",
+      "JL projection 64->16: projected-L2 shortlist 50 + exact L2 top-5",
+      (s, dir) => {
+        val ProjDim = 16; val PlaneOff = 100
+        val e = tbl(s, dir, "embeddings")
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        def dotD(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+          acc
+        }
+        val planes = Array.tabulate(ProjDim)(j => plane(PlaneOff + j))
+        val qProj = planes.map(w => dotD(qe, w))
+        val pdist = (0 until ProjDim).map { j =>
+          val d = VF.dot(col("embedding"), typedlit(planes(j))) - lit(qProj(j))
+          d * d
+        }.reduce(_ + _)
+        val shortlist = e.filter(col("vec_id") =!= 0)
+          .withColumn("pdist_raw", pdist)
+          .orderBy(asc("pdist_raw"), asc("vec_id"))
+          .limit(50)
+        shortlist
+          .withColumn("dist_raw", VF.l2Sq(col("embedding"), typedlit(qe)))
+          .orderBy(asc("dist_raw"), asc("vec_id"))
+          .limit(5)
+          .select(col("vec_id"),
+            round(col("pdist_raw"), 4).as("pdist"),
+            round(col("dist_raw"), 6).as("dist"))
+      },
+      Some {
+        val ProjDim = 16; val PlaneOff = 100
+        def proj(emb: String, j: Int) = dotPlaneSql(emb, (PlaneOff + j).toString)
+        val pdist = (0 until ProjDim).map { j =>
+          s"((${proj("e.embedding", j)} - qp.q$j) * (${proj("e.embedding", j)} - qp.q$j))"
+        }.mkString("(", " + ", ")")
+        val qpCols = (0 until ProjDim).map(j => s"${proj("probe.qe", j)} AS q$j").mkString(", ")
+        val dExact = OracleSql.l2Sq("e.embedding", "probe.qe")
+        s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |qp AS MATERIALIZED (SELECT $qpCols FROM probe),
+           |scored AS MATERIALIZED (
+           |  SELECT e.vec_id, $pdist AS pdist_raw
+           |  FROM embeddings e CROSS JOIN qp WHERE e.vec_id <> 0),
+           |shortlist AS (
+           |  SELECT vec_id, pdist_raw FROM scored
+           |  ORDER BY pdist_raw ASC, vec_id LIMIT 50)
+           |SELECT e.vec_id, round(s.pdist_raw, 4) AS pdist, round($dExact, 6) AS dist
+           |FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN probe
+           |ORDER BY $dExact ASC, e.vec_id LIMIT 5""".stripMargin
+      }),
+
     // LSH-bucketed ANN: 6-bit sign-random-projection signature; candidates
     // share the probe's bucket; exact cosine re-rank within.
     Q(

@@ -91,6 +91,17 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
     assert(recall(exactTopK) == 1.0)
   }
 
+  test("JL projection shortlist recovers most of the exact top-k after refine") {
+    val out = graft.queries.Registry.queries("q_ann_jl")(spark, sf001).collect()
+    assert(out.length == 5)
+    val got = out.map(_.getLong(0)).toSet
+    val r = (got intersect exactTopK).size.toDouble / 5
+    info(f"JL(64->16) refined hit rate vs exact top-20 = $r%.2f")
+    assert(r >= 0.6, s"JL recall collapsed: $r")
+    val dists = out.map(_.getDouble(2)).toSeq
+    assert(dists == dists.sorted)
+  }
+
   test("IVF-PQ composed path: refined dists are true L2, candidates confined to probe cells") {
     val out = graft.queries.Registry.queries("q_ann_ivfpq")(spark, sf001).collect()
     assert(out.length == 5)
