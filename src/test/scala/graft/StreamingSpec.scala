@@ -195,6 +195,26 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == want, "stream-maintained index must answer like the batch build")
   }
 
+  test("streaming session_window agg equals the batch sessionization frame") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val events = EventsTable.load(spark, sf0001)
+      .select(col("ts"), col("user_id"), col("value"))
+    def frame(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("n_events"), col("sum_value"))
+    val batch = frame(events)
+    val mem = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    mem.addData(events.as[(java.sql.Timestamp, Long, Double)].collect().toSeq)
+    val streamed = frame(
+      mem.toDF().toDF("ts", "user_id", "value").withWatermark("ts", "12 hours"))
+    val got = StreamOps.drainToMemory(spark, streamed, "sess_win_t", OutputMode.Complete())
+    assert(got.count() == batch.count())
+    assert(got.exceptAll(batch).isEmpty && batch.exceptAll(got).isEmpty,
+      "streaming session windows must close to the same sessions as batch")
+  }
+
   test("flatMapGroupsWithState gap sessionization closes sessions across batches") {
     import spark.implicits._
     import graft.streaming.StreamOps.{SessionSummary, TimedEvent}
