@@ -115,6 +115,55 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("tokenize kernel: tokens are nonempty lowercase alnum; idempotent under rejoin") {
+    val r = rng(7)
+    val alphabet = "aA1 .!é中-_\t"
+    (1 to 300).foreach { _ =>
+      val s = Array.fill(r.nextInt(40))(alphabet(r.nextInt(alphabet.length))).mkString
+      val toks = TextHashOps.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val seq = (0 until toks.numElements()).map(i => toks.getUTF8String(i).toString)
+      seq.foreach { t =>
+        assert(t.nonEmpty && t.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')), s"'$t' from '$s'")
+      }
+      // re-tokenizing the space-joined tokens is a fixpoint
+      val again = TextHashOps.tokenize(
+        org.apache.spark.unsafe.types.UTF8String.fromString(seq.mkString(" ")))
+      assert((0 until again.numElements()).map(i => again.getUTF8String(i).toString) == seq)
+    }
+  }
+
+  test("Morton z-order: bijective on the grid and locality-monotone on prefixes") {
+    // bijectivity over a 64x64 grid via the spec-reference interleave
+    def morton(a: Int, b: Int): Long = {
+      var z = 0L
+      for (i <- 0 until 8) {
+        z |= ((a >> i) & 1).toLong << (2 * i); z |= ((b >> i) & 1).toLong << (2 * i + 1)
+      }
+      z
+    }
+    val all = for (a <- 0 until 64; b <- 0 until 64) yield morton(a, b)
+    assert(all.distinct.size == 64 * 64, "z-value must be injective on the grid")
+    // quadrant property: both coordinates' high bits determine the z high bits,
+    // so points in the same half-box share the z prefix
+    for (a <- 0 until 32; b <- 0 until 32)
+      assert(morton(a, b) < morton(a + 32, b + 32))
+  }
+
+  test("containment and Jaccard bounds: J <= C <= 1; C = 1 for subsets") {
+    val r = rng(9)
+    (1 to 200).foreach { _ =>
+      val base = Set.fill(r.nextInt(30) + 2)(r.nextInt(100).toLong)
+      val sub = base.take(r.nextInt(base.size) + 1)
+      val other = Set.fill(r.nextInt(30) + 2)(r.nextInt(100).toLong)
+      def jac(x: Set[Long], y: Set[Long]) = x.intersect(y).size.toDouble / x.union(y).size
+      def cont(x: Set[Long], y: Set[Long]) = x.intersect(y).size.toDouble / math.min(x.size, y.size)
+      assert(cont(base, sub) == 1.0, "a subset has containment exactly 1")
+      assert(jac(base, other) <= cont(base, other) + 1e-12)
+      assert(cont(base, other) <= 1.0)
+    }
+  }
+
   test("kNN top-k is stable under adding strictly-farther points") {
     val r = rng(9)
     val dim = 16
