@@ -136,6 +136,43 @@ object SearchQueries {
            |ORDER BY $cos DESC, e.vec_id LIMIT 5""".stripMargin
       }),
 
+    // Document-text-filtered kNN — Chroma's `where_document={"$contains"}`
+    // predicate (the API twin of q_ann_filtered's metadata `where=`): the
+    // substring filter applies BEFORE the vector math, so the similarity
+    // kernel scores only the surviving slice.
+    Q(
+      "q_ann_where_doc",
+      "where_document contains-filtered kNN over hash-embedded docs, top-5",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("text"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), col("text"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
+        val probe = docs.filter(col("doc_id") === 0).select(col("emb").as("qe"))
+        docs.crossJoin(broadcast(probe))
+          .filter(col("doc_id") =!= 0 && col("text").contains("stream"))
+          .withColumn("cos_raw", VF.cosine(col("emb"), col("qe")))
+          .orderBy(desc("cos_raw"), asc("doc_id"))
+          .limit(5)
+          .select(col("doc_id"), round(col("cos_raw"), 6).as("cos"))
+      },
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        val cnt = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter(th, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val cos = OracleSql.cosine("e.emb", "probe.qe")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |c AS MATERIALIZED (SELECT doc_id, $cnt AS cnt FROM t),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM c),
+           |probe AS (SELECT emb AS qe FROM e WHERE doc_id = 0)
+           |SELECT e.doc_id, round($cos, 6) AS cos
+           |FROM e JOIN documents d USING (doc_id) CROSS JOIN probe
+           |WHERE e.doc_id <> 0 AND contains(d.text, 'stream')
+           |ORDER BY $cos DESC, e.doc_id LIMIT 5""".stripMargin
+      }),
+
     // Scalar-quantized ANN: per-dimension min/max (index metadata) map each
     // float to an int8 code; search is integer L2 over codes — EXACT integer
     // arithmetic, so Spark and DuckDB hash-match without rounding. The scan

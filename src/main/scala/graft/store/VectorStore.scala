@@ -138,15 +138,23 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       rewrite(df.filter(!coalesce(cond, lit(false))))
 
     /** Top-k nearest neighbors with distances. metric: "l2" (store default,
-      * ascending) or "cosine" (attack metric, descending similarity). */
-    def query(queryEmb: Array[Float], k: Int, metric: String = "l2"): DataFrame = {
+      * ascending) or "cosine" (attack metric, descending similarity).
+      * `where` / `whereDocument` mirror Chroma's query predicates — a
+      * metadata condition and a document-text condition — and are applied
+      * BEFORE the vector math, so the filters push to the scan and the
+      * distance kernel runs only on surviving rows (at 100 TB this is the
+      * difference between scoring the corpus and scoring a slice). */
+    def query(queryEmb: Array[Float], k: Int, metric: String = "l2",
+              where: Option[Column] = None,
+              whereDocument: Option[Column] = None): DataFrame = {
       val q = typedlit(queryEmb)
+      val base = Seq(where, whereDocument).flatten.foldLeft(df)(_ filter _)
       val scored = metric match {
         case "l2" =>
-          df.withColumn("distance", VF.l2Sq(col("emb"), q))
+          base.withColumn("distance", VF.l2Sq(col("emb"), q))
             .orderBy(asc("distance"), asc("id"))
         case "cosine" =>
-          df.withColumn("distance", -VF.cosine(col("emb"), q))
+          base.withColumn("distance", -VF.cosine(col("emb"), q))
             .orderBy(asc("distance"), asc("id"))
         case other => throw new IllegalArgumentException(s"unknown metric: $other")
       }

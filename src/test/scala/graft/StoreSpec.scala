@@ -111,6 +111,33 @@ class StoreSpec extends AnyFunSuite with SparkTest {
       "compaction must not change contents")
   }
 
+  test("query honors where / whereDocument predicates before scoring") {
+    val base = tmp()
+    val store = new VectorStore(spark, base)
+    val coll = store.createOrGet("filtered")
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"),
+        concat(lit("doc"), col("vec_id"), lit(" topic"), pmod(col("vec_id"), lit(3))).as("doc"),
+        map(lit("label"), col("label").cast("string")).as("meta"),
+        col("embedding").as("emb"))
+    coll.add(rows)
+    val qe = rows.filter(col("id") === "0").head().getSeq[Float](3).toArray
+    // whereDocument: only docs containing "topic1" may appear
+    val byDoc = coll.query(qe, k = 5, whereDocument = Some(col("doc").contains("topic1")))
+      .collect()
+    assert(byDoc.nonEmpty && byDoc.forall(_.getString(1).contains("topic1")))
+    // where: metadata predicate over the meta map
+    val byMeta = coll.query(qe, k = 5, where = Some(element_at(col("meta"), "label") === "2"))
+      .collect()
+    assert(byMeta.nonEmpty)
+    val labelOf = rows.select(col("id"), element_at(col("meta"), "label").as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byMeta.forall(r => labelOf(r.getString(0)) == "2"))
+    // unfiltered query is a superset ranking: its top hit (the probe itself)
+    // outranks anything the filters kept
+    assert(coll.query(qe, k = 1).head().getString(0) == "0")
+  }
+
   test("encrypted store: round-trip identity, unique IVs, useless without key") {
     val base = tmp()
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")
