@@ -62,13 +62,14 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .write.mode("append").partitionBy("cell").parquet(dataPath)
   }
 
+  private def l2(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
   /** Top-k by squared L2, scanning only the nprobe nearest cells. */
   def query(qe: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    def l2(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      acc
-    }
     val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
     spark.read.parquet(dataPath)
@@ -78,5 +79,38 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .limit(k)
       // partition-dir type inference reads `cell` back as INT; pin to LONG
       .select(col("id"), col("cell").cast("long").as("cell"), col("distance"))
+  }
+
+  /** Batched probe: top-k per probe for MANY query vectors in ONE pruned
+    * scan. Each probe contributes its nprobe nearest cells; the index is
+    * read once over the UNION of needed cells (still partition pruning),
+    * probes broadcast with their cell lists, and a row is scored against a
+    * probe only when the row's cell is in that probe's probe set — exactly
+    * the per-probe candidate set of [[query]], so results match it probe
+    * for probe. Per-probe top-k is a window over candidates. Batching
+    * amortizes scan + scheduling across probes: Q probes cost one scan of
+    * |union cells|, not Q scans — the embedding-join shape a training
+    * pipeline runs (score a whole batch of leaked/query vectors at once). */
+  def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int): DataFrame = {
+    require(probes.nonEmpty, "queryBatch needs at least one probe")
+    val cents = centroids()
+    val probeCells: Seq[(Long, Array[Float], Seq[Long])] = probes.map { case (pid, qe) =>
+      (pid, qe, cents.map { case (cid, c) => (l2(c, qe), cid) }.sorted.take(nprobe).map(_._2).toSeq)
+    }
+    val unionCells = probeCells.flatMap(_._3).distinct
+    val probeDf = spark.createDataFrame(
+      probeCells.map { case (pid, qe, cells) => (pid, qe.toSeq, cells) })
+      .toDF("probe_id", "qe", "probe_cells")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+    spark.read.parquet(dataPath)
+      .filter(col("cell").isin(unionCells: _*))
+      .join(broadcast(probeDf),
+        array_contains(col("probe_cells"), col("cell").cast("long")))
+      .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("id"), col("cell").cast("long").as("cell"),
+        col("distance"), col("rn"))
   }
 }

@@ -43,6 +43,28 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       got.length == 5, "IVF results come from within the probed cells, ranked")
   }
 
+  test("queryBatch: one pruned scan answers every probe exactly like query()") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 16)
+    idx.build(vectors)
+    val probes = Seq(3L, 17L, 101L).map { pid =>
+      pid -> vectors.filter(col("id") === pid).head().getSeq[Float](1).toArray
+    }
+    val batched = idx.queryBatch(probes, k = 5, nprobe = 4).collect()
+      .groupBy(_.getLong(0))
+      .map { case (pid, rows) =>
+        pid -> rows.sortBy(_.getInt(4)).map(r => (r.getLong(1), r.getDouble(3))).toSeq
+      }
+    probes.foreach { case (pid, qe) =>
+      val single = idx.query(qe, k = 5, nprobe = 4).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(batched(pid) == single, s"probe $pid: batched != single-probe result")
+      assert(batched(pid).head._1 == pid, "self is the nearest neighbor")
+    }
+  }
+
   test("rebuild is idempotent; query deterministic") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val vectors = spark.read.parquet(s"$sf0001/embeddings.parquet")
