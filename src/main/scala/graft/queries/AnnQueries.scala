@@ -364,6 +364,72 @@ object AnnQueries {
            |ORDER BY $dExact ASC, c.vec_id LIMIT 5""".stripMargin
       }),
 
+    // Batched multi-probe IVF: three probes answered in ONE scan of the
+    // union of their probe cells — rows join probes on cell membership
+    // (broadcast), per-probe top-3 is a window. Q probes cost one pruned
+    // scan, not Q scans; the disk-index twin is IvfIndex.queryBatch.
+    Q(
+      "q_ann_ivf_batch",
+      "multi-probe IVF: 3 probes, one union-of-cells scan, top-3 each",
+      (s, dir) => {
+        val ProbeIds = Seq(3L, 17L, 101L)
+        val e = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val probes: Seq[(Long, Array[Float])] = e.filter(col("vec_id").isin(ProbeIds: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1).toSeq
+        def l2sq(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+        val probeCells = probes.map { case (pid, qe) =>
+          (pid, qe.toSeq,
+            cents.map { case (cid, c) => (l2sq(c, qe), cid) }.sorted.take(NProbe).map(_._2).toSeq)
+        }
+        val unionCells = probeCells.flatMap(_._3).distinct
+        val probeDf = s.createDataFrame(probeCells).toDF("probe_id", "qe", "cells")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(asc("dist_raw"), asc("vec_id"))
+        e.withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
+          .filter(col("cell").isin(unionCells: _*))
+          .join(broadcast(probeDf), array_contains(col("cells"), col("cell")))
+          .withColumn("dist_raw", VF.l2Sq(col("embedding"), col("qe").cast("array<float>")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("probe_id"), col("rnk"), col("vec_id"), col("cell"),
+            round(col("dist_raw"), 6).as("dist"))
+          .orderBy("probe_id", "rnk")
+      },
+      Some {
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val dCent = OracleSql.l2Sq("c.cemb", "p.qe")
+        val dFinal = OracleSql.l2Sq("a.embedding", "probes.qe")
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCentroids),
+           |probes AS MATERIALIZED (SELECT vec_id AS probe_id, embedding AS qe FROM embeddings WHERE vec_id IN (3, 17, 101)),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |pcells AS (
+           |  SELECT probe_id, cid FROM (
+           |    SELECT p.probe_id, c.cid,
+           |           row_number() OVER (PARTITION BY p.probe_id ORDER BY $dCent, c.cid) AS rn
+           |    FROM cent c CROSS JOIN probes p)
+           |  WHERE rn <= $NProbe),
+           |scored AS (
+           |  SELECT pc.probe_id, a.vec_id, a.cell, $dFinal AS dist_raw,
+           |         row_number() OVER (PARTITION BY pc.probe_id ORDER BY $dFinal, a.vec_id) AS rnk
+           |  FROM assign a JOIN pcells pc ON a.cell = pc.cid
+           |  JOIN probes ON probes.probe_id = pc.probe_id)
+           |SELECT probe_id, CAST(rnk AS INT) AS rnk, vec_id, cell, round(dist_raw, 6) AS dist
+           |FROM scored WHERE rnk <= 3
+           |ORDER BY probe_id, rnk""".stripMargin
+      }),
+
     // Johnson-Lindenstrauss random projection 64 -> 16 dims: distances are
     // preserved within (1±eps) whp, so the projected-space L2 scan ranks a
     // shortlist at 1/4 the memory traffic, and exact L2 re-ranks only the
