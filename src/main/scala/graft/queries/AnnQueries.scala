@@ -364,6 +364,51 @@ object AnnQueries {
            |ORDER BY $dExact ASC, c.vec_id LIMIT 5""".stripMargin
       }),
 
+    // Embedding-space outlier mining — the data-quality filter for vector
+    // corpora: assign every vector to its nearest centroid (the same fused
+    // argmin as IVF) and surface the 3 FARTHEST members of each cell. Rows
+    // far from every centroid are mislabeled/garbage embedding candidates a
+    // training pipeline quarantines. Narrow assignment + one window shuffle
+    // on the cell key; entirely deterministic (ranking, no moment
+    // statistics), so the oracle hash-matches.
+    Q(
+      "q_embedding_outliers",
+      "per-cell top-3 farthest-from-centroid vectors (outlier candidates)",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val centMap = typedlit(cents.map { case (cid, c) => cid -> c }.toMap)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("cell").orderBy(desc("dist_raw"), asc("vec_id"))
+        e.withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
+          .withColumn("dist_raw",
+            VF.l2Sq(col("embedding"), element_at(centMap, col("cell"))))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("cell"), col("rnk"), col("vec_id"),
+            round(col("dist_raw"), 6).as("dist"))
+          .orderBy("cell", "rnk")
+      },
+      Some {
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val dOwn = OracleSql.l2Sq("a.embedding", "c2.cemb")
+        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < $NumCentroids),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |scored AS (
+           |  SELECT a.cell, a.vec_id, $dOwn AS dist_raw,
+           |         row_number() OVER (PARTITION BY a.cell ORDER BY $dOwn DESC, a.vec_id) AS rnk
+           |  FROM assign a JOIN cent c2 ON c2.cid = a.cell)
+           |SELECT cell, CAST(rnk AS INT) AS rnk, vec_id, round(dist_raw, 6) AS dist
+           |FROM scored WHERE rnk <= 3
+           |ORDER BY cell, rnk""".stripMargin
+      }),
+
     // Batched multi-probe IVF: three probes answered in ONE scan of the
     // union of their probe cells — rows join probes on cell membership
     // (broadcast), per-probe top-3 is a window. Q probes cost one pruned
