@@ -30,7 +30,9 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
 
   /** Build from (id LONG, emb ARRAY<FLOAT>): pick deterministic centroids,
     * assign every vector, write cell-partitioned parquet. ONE narrow pass
-    * over the input plus the partitioned write. */
+    * over the input plus the partitioned write. The data lands under
+    * `batch=0` so that incremental [[appendBatch]] writes share a uniform
+    * (batch, cell) directory layout. */
   def build(vectors: DataFrame): Unit = {
     val cents = vectors
       .orderBy("id").limit(numCells)
@@ -39,9 +41,10 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
       .toDF("cid", "cemb")
       .write.mode("overwrite").parquet(centroidPath)
+    new java.io.File(dataPath).mkdirs()
     vectors
       .withColumn("cell", cellCol(cents, col("emb")))
-      .write.mode("overwrite").partitionBy("cell").parquet(dataPath)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dataPath/batch=0")
   }
 
   private def centroids(): Array[(Long, Array[Float])] =
@@ -49,17 +52,22 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
   /** Incremental maintenance: assign new vectors against the EXISTING
-    * centroids and append into the cell-partitioned layout (dynamic
-    * partition overwrite is not needed — cells only gain files). This is
-    * what a streaming ingest calls per micro-batch: one narrow pass over
-    * the batch, no touch of resident data, queries see the union. Cell
-    * balance degrades only as far as the data drifts from the centroids;
-    * a periodic [[build]] re-clusters (the compaction story). */
-  def append(vectors: DataFrame): Unit = {
+    * centroids and land them under this batch's OWN directory
+    * (`batch=<id>/cell=...`). Replaying a micro-batch overwrites the same
+    * directory, so the write is IDEMPOTENT — with Structured Streaming's
+    * at-least-once foreachBatch replay this yields exactly-once index
+    * contents (the standard idempotent-sink pattern; batchId comes from the
+    * checkpoint). One narrow pass per batch, resident data untouched,
+    * queries see the union across batch dirs with cell pruning intact.
+    * Cell balance degrades only as far as the data drifts from the
+    * centroids; a periodic [[build]] re-clusters (the compaction story). */
+  def appendBatch(vectors: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
     val cents = centroids()
     vectors
       .withColumn("cell", cellCol(cents, col("emb")))
-      .write.mode("append").partitionBy("cell").parquet(dataPath)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$dataPath/batch=${batchId + 1}")
   }
 
   private def l2(a: Array[Float], b: Array[Float]): Double = {

@@ -84,7 +84,9 @@ object StreamOps {
       .select(col("doc_id").as("id"), TF.tokens(col("text")).as("toks"))
       .select(col("id"), TF.hashEmbed(col("toks"), dim).as("emb"))
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) => index.append(batch) }
+      // batch-keyed directory overwrite: replaying a checkpointed batch
+      // rewrites the same dir -> exactly-once index contents
+      .foreachBatch { (batch: DataFrame, id: Long) => index.appendBatch(batch, id) }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -14,8 +14,8 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     val idx = new IvfIndex(spark, base, numCells = 16)
     idx.build(vectors)
 
-    // cell directories exist on disk
-    val cells = new java.io.File(s"$base/data").listFiles()
+    // cell directories exist on disk (under the initial build's batch dir)
+    val cells = new java.io.File(s"$base/data/batch=0").listFiles()
       .filter(_.getName.startsWith("cell=")).map(_.getName)
     assert(cells.nonEmpty && cells.length <= 16)
 

@@ -158,8 +158,8 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Seq[Float])]
     val q = mem.toDF().toDF("id", "emb").writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        inc.append(batch.select(col("id"), col("emb").cast("array<float>").as("emb")))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        inc.appendBatch(batch.select(col("id"), col("emb").cast("array<float>").as("emb")), id)
       }
       .option("checkpointLocation", tmp())
       .outputMode(OutputMode.Append()).start()
@@ -171,6 +171,13 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     q.stop()
     val got = inc.query(probe, k = 10, nprobe = 8).collect().map(_.toSeq).toSeq
     assert(got == want, "incrementally-maintained index must answer like the batch build")
+    // exactly-once: replaying a batch (same batchId) overwrites its own
+    // directory instead of duplicating rows
+    val before = spark.read.parquet(s"$incPath/data").count()
+    inc.appendBatch(b2.toDF("id", "emb")
+      .select(col("id"), col("emb").cast("array<float>").as("emb")), 1L)
+    val after = spark.read.parquet(s"$incPath/data").count()
+    assert(after == before, s"batch replay must be idempotent: $before -> $after")
   }
 
   test("maintainIvfIndex embeds arriving docs and keeps the index queryable") {
