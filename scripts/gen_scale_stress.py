@@ -14,8 +14,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale20"
-COPIES = 20
+COPIES = int(os.environ.get("STRESS_COPIES", "20"))
+DST = os.environ.get("STRESS_DST", f"/tmp/scale{COPIES}")
 
 
 def main():
