@@ -364,6 +364,47 @@ object AnnQueries {
            |ORDER BY $dExact ASC, c.vec_id LIMIT 5""".stripMargin
       }),
 
+    // Approximate kNN-GRAPH construction — the all-pairs primitive behind
+    // NN-Descent, graph clustering, and graph-based dedup: every vector
+    // gets its top-3 nearest CANDIDATES from within its own sign-LSH
+    // bucket, so the self-join shuffles on the bucket key and each bucket
+    // joins only against itself — never the O(N²) cross product. Output is
+    // restricted to a deterministic node sample (vec_id % 50 = 1) to keep
+    // the verification payload small; the graph over all nodes is the same
+    // plan without that filter.
+    Q(
+      "q_knn_graph",
+      "LSH-bucket-blocked kNN graph: top-3 neighbors per sampled vector",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .withColumn("bucket", lshBucketCol).persist()
+        val left = e.filter(col("vec_id") % 50 === 1)
+          .select(col("vec_id").as("src"), col("embedding").as("semb"), col("bucket"))
+        val right = e.select(col("vec_id").as("dst"), col("embedding").as("demb"),
+          col("bucket").as("dbucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(asc("dist_raw"), asc("dst"))
+        left.join(right, col("bucket") === col("dbucket") && col("src") =!= col("dst"))
+          .withColumn("dist_raw", VF.l2Sq(col("semb"), col("demb")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("src"), col("rnk"), col("dst"), round(col("dist_raw"), 6).as("dist"))
+          .orderBy("src", "rnk")
+      },
+      Some {
+        val d = OracleSql.l2Sq("a.embedding", "b.embedding")
+        s"""WITH sigs AS MATERIALIZED (
+           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |edges AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst, $d AS dist_raw,
+           |         row_number() OVER (PARTITION BY a.vec_id ORDER BY $d, b.vec_id) AS rnk
+           |  FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+           |  WHERE a.vec_id % 50 = 1)
+           |SELECT src, CAST(rnk AS INT) AS rnk, dst, round(dist_raw, 6) AS dist
+           |FROM edges WHERE rnk <= 3
+           |ORDER BY src, rnk""".stripMargin
+      }),
+
     // Embedding-space outlier mining — the data-quality filter for vector
     // corpora: assign every vector to its nearest centroid (the same fused
     // argmin as IVF) and surface the 3 FARTHEST members of each cell. Rows
