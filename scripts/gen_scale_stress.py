@@ -52,7 +52,18 @@ def main():
                         ("label", pa.int32())])
     pq.write_table(pa.Table.from_pylist(er, schema=schema),
                    f"{DST}/embeddings.parquet")
-    print(f"wrote {len(rows)} docs, {len(er)} vectors to {DST}")
+    ev = pq.read_table(f"{SRC}/events.parquet")
+    evl = ev.to_pylist()
+    evr = []
+    for k in range(COPIES):
+        off = k * 10_000_000  # disjoint users/events per copy; same time range
+        for r in evl:
+            evr.append({"event_id": r["event_id"] + off, "ts": r["ts"],
+                        "user_id": r["user_id"] + off,
+                        "event_type": r["event_type"], "value": r["value"],
+                        "props": r["props"]})
+    pq.write_table(pa.Table.from_pylist(evr, schema=ev.schema), f"{DST}/events.parquet")
+    print(f"wrote {len(rows)} docs, {len(er)} vectors, {len(evr)} events to {DST}")
 
 
 if __name__ == "__main__":
