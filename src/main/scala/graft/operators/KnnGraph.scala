@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.functions.{VectorFunctions => VF}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate kNN-graph construction and NN-Descent-style refinement.
+ *
+ * Build: candidates come from LSH sign-bucket blocking (the q_knn_graph
+ * shape) — the self-join shuffles on the bucket key, each bucket joins only
+ * itself. Refine: NN-Descent's core observation is that a neighbor of a
+ * neighbor is likely a neighbor, so each round proposes `dst -> dst2` paths
+ * as new candidate edges, scores them exactly, and keeps the best k of
+ * (old ∪ proposed) per node. Every round is two joins + one window — the
+ * candidate volume is O(N·k²), independent of bucket quality, and the
+ * graph monotonically improves (the kept set per node only ever gets
+ * closer: old edges survive unless beaten).
+ *
+ * At 100 TB: graph and vectors co-partition on the node id; each round
+ * shuffles edge triples, never vectors-cross-vectors.
+ */
+object KnnGraph {
+
+  /** Top-k neighbor edges (src, dst, dist) per vector from LSH-bucket
+    * candidates over SEVERAL hash tables. One bucketing alone partitions
+    * the graph into disconnected blocks (every edge stays inside its
+    * bucket), which starves [[refine]] — a neighbor-of-a-neighbor can
+    * never leave the block. Multiple independent bucketings give each node
+    * neighbors from different blocks, exactly what NN-Descent rounds then
+    * merge toward the true graph. `vectors`: (id LONG, emb ARRAY<FLOAT>). */
+  def build(vectors: DataFrame,
+            bucketFns: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+            k: Int): DataFrame = {
+    require(bucketFns.nonEmpty, "need at least one bucketing")
+    val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+    bucketFns.zipWithIndex.map { case (bucketOf, t) =>
+      val v = vectors.select(col("id"), col("emb"), bucketOf(col("emb")).as("bucket"))
+      val left = v.select(col("id").as("src"), col("emb").as("semb"), col("bucket"))
+      val right = v.select(col("id").as("dst"), col("emb").as("demb"), col("bucket").as("db"))
+      left.join(right, col("bucket") === col("db") && col("src") =!= col("dst"))
+        .withColumn("dist", VF.l2Sq(col("semb"), col("demb")))
+        .select("src", "dst", "dist")
+    }.reduce(_ unionByName _)
+      .groupBy("src", "dst").agg(min("dist").as("dist")) // same pair from 2 tables
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("src", "dst", "dist")
+  }
+
+  /** One NN-Descent round: propose neighbors-of-neighbors, score exactly,
+    * keep best k of old ∪ proposed per src. `graph`: (src, dst, dist). */
+  def refine(graph: DataFrame, vectors: DataFrame, k: Int): DataFrame = {
+    val emb = vectors.select(col("id"), col("emb"))
+    // paths src -> dst -> dst2 (two hops), dst2 becomes a candidate of src
+    val hops = graph.select(col("src"), col("dst"))
+      .join(graph.select(col("src").as("mid"), col("dst").as("dst2")),
+        col("dst") === col("mid"))
+      .filter(col("src") =!= col("dst2"))
+      .select(col("src"), col("dst2").as("dst"))
+      .distinct()
+    val proposed = hops
+      .join(emb.select(col("id").as("src"), col("emb").as("semb")), "src")
+      .join(emb.select(col("id").as("dst"), col("emb").as("demb")), "dst")
+      .select(col("src"), col("dst"), VF.l2Sq(col("semb"), col("demb")).as("dist"))
+    val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+    graph.select("src", "dst", "dist")
+      .unionByName(proposed)
+      .groupBy("src", "dst").agg(min("dist").as("dist")) // dedup re-proposed edges
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("src", "dst", "dist")
+  }
+}
