@@ -46,5 +46,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("tokenize", "tokenize(s) - lowercased alphanumeric tokens") {
       es => Tokenize(es.head)
     }
+    inject("term_freq", "term_freq(toks, 'term') - occurrences of a literal term") { es =>
+      es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          TermFreq(es(0), s.toString)
+        case _ =>
+          throw new IllegalArgumentException("term_freq expects a string-literal term")
+      }
+    }
   }
 }

@@ -41,6 +41,14 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(df.collect().map(_.getLong(0)).toSeq == Seq(3L, 0L, 0L))
   }
 
+  test("tokenize and term_freq are callable from plain SQL (extensions)") {
+    val r = spark.sql(
+      "SELECT term_freq(tokenize('a B a c'), 'a') AS n, tokenize('Hi, there!') AS t")
+      .head()
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[String](1) == Seq("hi", "there"))
+  }
+
   test("shingles: k-grams with short-document fallback") {
     val df = Seq("a b c d", "a b").toDF("s")
       .select(TF.shingles(TF.tokens(col("s")), 3).as("sh")).as[Seq[String]]
