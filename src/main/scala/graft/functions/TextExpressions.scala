@@ -130,6 +130,24 @@ case class Tokenize(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** shingle_hash_set(ARRAY<STRING>, k) -> ARRAY<BIGINT> — fused k-gram
+  * rolling-hash set (sorted, distinct); see [[TextHashOps.shingleHashSet]].
+  * The dedup family's hottest scan kernel. */
+case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "shingle_hash_set"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.shingleHashSet(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.shingleHashSet($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** term_freq(ARRAY<STRING>, term) -> BIGINT — occurrences of a literal term
   * (the BM25 tf kernel): one compiled scan, vs the interpreted lambda of
   * `size(filter(a, _ === term))`. */

@@ -51,6 +51,12 @@ object TextFunctions {
     when(n < k, array(concat_ws(" ", toks))).otherwise(grams)
   }
 
+  /** Fused shingle-hash set: tokens -> sorted distinct k-gram hashes in one
+    * compiled loop (bit-identical to
+    * `array_sort(array_distinct(tokenHashes(shingles(toks, k))))`). */
+  def shingleHashSet(toks: Column, k: Int): Column =
+    expr1(e => ShingleHashSet(e, k))(toks)
+
   /** 12-permutation MinHash signature of a shingle-hash array. */
   def minhashSig(shingleHashes: Column): Column = expr1(MinHashSig.apply)(shingleHashes)
 

@@ -179,6 +179,47 @@ object TextHashOps {
     c
   }
 
+  /** Fused shingle pipeline: tokens -> polyHash of each space-joined k-gram
+    * -> sorted distinct set, one compiled loop. Bit-identical to the
+    * composed `array_sort(array_distinct(tokenHashes(shingles(toks, k))))`
+    * chain it replaces (each gram's hash streams the same code points the
+    * joined string would contain, space = 32 between tokens; short docs
+    * collapse to one whole-stream gram like TextFunctions.shingles). */
+  def shingleHashSet(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val strs = new Array[String](n)
+    var i = 0
+    while (i < n) { strs(i) = toks.getUTF8String(i).toString; i += 1 }
+    def gramHash(lo: Int, hi: Int): Long = { // tokens [lo, hi)
+      var acc = Init
+      var t = lo
+      while (t < hi) {
+        if (t > lo) acc = (acc * 31 + 32L) % P // the joining space
+        val s = strs(t)
+        var j = 0
+        while (j < s.length) {
+          val cp = s.codePointAt(j)
+          acc = (acc * 31 + cp) % P
+          j += Character.charCount(cp)
+        }
+        t += 1
+      }
+      acc
+    }
+    val m = if (n < k) 1 else n - k + 1
+    val out = new Array[Long](m)
+    var g = 0
+    while (g < m) { out(g) = gramHash(g, math.min(g + k, n)); g += 1 }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
   /** Tokenize: lowercased maximal runs of [a-z0-9] — EXACTLY equivalent to
     * `filter(split(lower(trim(s)), "[^a-z0-9]+"), _ != "")` (the regex
     * splits on non-alnum runs and the filter drops boundary empties; the

@@ -68,9 +68,7 @@ object DedupQueries {
   private def shingleSets(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("lang"), TF.shingles(col("toks"), K).as("sg"))
-      .select(col("doc_id"), col("lang"),
-        array_sort(array_distinct(TF.tokenHashes(col("sg")))).as("sh"))
+      .select(col("doc_id"), col("lang"), TF.shingleHashSet(col("toks"), K).as("sh"))
 
   private def shingleSetsSql(extra: String = ""): String = {
     val sh = OracleText.tokenHashes(OracleText.shingles(OracleText.tokens("text"), K))

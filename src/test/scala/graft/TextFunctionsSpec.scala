@@ -32,6 +32,20 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(mismatches == 0, "kernel must equal regex pipeline on every fixture doc")
   }
 
+  test("shingleHashSet kernel is bit-identical to the composed pipeline on real data") {
+    def composed(toks: org.apache.spark.sql.Column) =
+      array_sort(array_distinct(TF.tokenHashes(TF.shingles(toks, 3))))
+    val edge = Seq("", "a", "a b", "a b c", "a b c d e", "x x x x").toDF("text")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.shingleHashSet(col("toks"), 3).as("k"), composed(col("toks")).as("r"))
+    edge.collect().foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.shingleHashSet(col("toks"), 3).as("k"), composed(col("toks")).as("r"))
+      .filter(not(col("k") === col("r"))).count()
+    assert(mismatches == 0, "fused kernel must equal composed pipeline on every fixture doc")
+  }
+
   test("termFreq counts literal-term occurrences like the filter form") {
     val df = Seq("a b a c a", "b b", "").toDF("text")
       .select(TF.tokens(col("text")).as("toks"))
