@@ -148,6 +148,24 @@ case class ShingleHashSet(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** token_grams(ARRAY<STRING>, k) -> ARRAY<STRING> — ordered space-joined
+  * k-grams, duplicates kept, empty when fewer than k tokens (see
+  * [[TextHashOps.tokenGrams]]). */
+case class TokenGrams(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "token_grams"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.tokenGrams(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.tokenGrams($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** term_freq(ARRAY<STRING>, term) -> BIGINT — occurrences of a literal term
   * (the BM25 tf kernel): one compiled scan, vs the interpreted lambda of
   * `size(filter(a, _ === term))`. */

@@ -32,6 +32,10 @@ object TextFunctions {
   def termFreq(toks: Column, term: String): Column =
     expr1(e => TermFreq(e, term))(toks)
 
+  /** Ordered space-joined k-grams, duplicates kept (codegen kernel). */
+  def tokenGrams(toks: Column, k: Int): Column =
+    expr1(e => TokenGrams(e, k))(toks)
+
   /** Hash each token: ARRAY<STRING> -> ARRAY<BIGINT>. */
   def tokenHashes(toks: Column): Column = transform(toks, t => polyHash(t))
 

@@ -220,6 +220,29 @@ object TextHashOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Ordered k-gram STRINGS (space-joined, duplicates kept) — equivalent to
+    * `transform(sequence(1, n-k+1), i -> concat_ws(' ', toks[i..i+k-1]))`
+    * with the n < k case yielding an empty array. The bigram-stream kernel
+    * behind LM scoring, heavy hitters, and repetition filters. */
+  def tokenGrams(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    var i = 0
+    while (i < n - k + 1) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.getUTF8String(i + j).toString)
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Tokenize: lowercased maximal runs of [a-z0-9] — EXACTLY equivalent to
     * `filter(split(lower(trim(s)), "[^a-z0-9]+"), _ != "")` (the regex
     * splits on non-alnum runs and the filter drops boundary empties; the

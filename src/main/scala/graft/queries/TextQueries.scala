@@ -314,10 +314,7 @@ object TextQueries {
             when(col("n") === 0, lit(0)).otherwise(
               array_max(transform(array_distinct(col("toks")),
                 t => size(filter(col("toks"), x => x === t))))))
-          .withColumn("grams",
-            when(col("n") < 2, array().cast("array<string>")).otherwise(
-              transform(sequence(lit(1), col("n") - 1), i =>
-                concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))))
+          .withColumn("grams", TF.tokenGrams(col("toks"), 2))
           .withColumn("distinct_ratio",
             round(col("n_distinct").cast("double") / greatest(col("n"), lit(1)), 4))
           .withColumn("top_tok_frac",
@@ -371,9 +368,7 @@ object TextQueries {
         val vocabSize: Long = docs
           .select(explode(col("toks")).as("t")).agg(countDistinct("t")).head().getLong(0)
         val bi = docs.filter(col("n") >= 2)
-          .select(col("doc_id"), explode(
-            transform(sequence(lit(1), col("n") - 1), i =>
-              concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+          .select(col("doc_id"), explode(TF.tokenGrams(col("toks"), 2)).as("bg"))
           .withColumn("w1", substring_index(col("bg"), " ", 1))
         val biCounts = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
         // context counts derive from the (vocab^2-sized) bigram counts —
@@ -424,9 +419,7 @@ object TextQueries {
         // HeavyHitters scans `items` twice (sketch pass + exact pass) —
         // stage the explode so the second pass reads columnar cache
         val bi = docs.filter(col("n") >= 2)
-          .select(explode(
-            transform(sequence(lit(1), col("n") - 1), i =>
-              concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+          .select(explode(TF.tokenGrams(col("toks"), 2)).as("bg"))
           .persist()
         graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 60L)
           .orderBy(desc("n"), asc("bg"))

@@ -46,6 +46,22 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(mismatches == 0, "fused kernel must equal composed pipeline on every fixture doc")
   }
 
+  test("tokenGrams kernel equals the sequence/concat_ws form on real data") {
+    def composed(toks: org.apache.spark.sql.Column) =
+      when(size(toks) < 2, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+    val edge = Seq("", "a", "a b", "a b c d").toDF("text")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.tokenGrams(col("toks"), 2).as("k"), composed(col("toks")).as("r"))
+    edge.collect().foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r.toString))
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.tokenGrams(col("toks"), 2).as("k"), composed(col("toks")).as("r"))
+      .filter(not(col("k") === col("r"))).count()
+    assert(mismatches == 0)
+  }
+
   test("termFreq counts literal-term occurrences like the filter form") {
     val df = Seq("a b a c a", "b b", "").toDF("text")
       .select(TF.tokens(col("text")).as("toks"))
