@@ -138,6 +138,55 @@ object DedupQueries {
            |FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
            |ORDER BY $jaccardSql DESC, doc_a, doc_b LIMIT 20""".stripMargin)),
 
+    // Sketch calibration: MinHash-ESTIMATED Jaccard (fraction of agreeing
+    // signature positions) against the exact value, per candidate pair —
+    // how a pipeline validates its sketch parameters before trusting the
+    // LSH path at scale. All integer math, so even the estimates
+    // hash-match the oracle.
+    Q(
+      "q_minhash_estimate",
+      "MinHash sig-agreement Jaccard estimate vs exact, top-20 candidate pairs",
+      (s, dir) => {
+        val d = shingleSets(s, dir)
+          .withColumn("n", size(col("sh")))
+          .withColumn("sig", TF.minhashSig(col("sh"))).persist()
+        val kept = prefixKept(d)
+        val ka = kept.select(col("doc_id").as("doc_a"), col("s"))
+        val kb = kept.select(col("doc_id").as("doc_b"), col("s").as("sb"))
+        val cand = ka.join(kb, col("s") === col("sb") && col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b").distinct()
+        val va = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+          col("n").as("n_a"), col("sig").as("sig_a"))
+        val vb = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+          col("n").as("n_b"), col("sig").as("sig_b"))
+        val agree = (0 until graft.functions.TextHashOps.NumMinHashes).map(i =>
+          when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
+            .otherwise(0)).reduce(_ + _)
+        cand.join(va, "doc_a").join(vb, "doc_b")
+          .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+          .withColumn("jac_raw", col("inter") / (col("n_a") + col("n_b") - col("inter")))
+          .withColumn("est_raw", agree.cast("double") / graft.functions.TextHashOps.NumMinHashes)
+          .orderBy(desc("jac_raw"), asc("doc_a"), asc("doc_b"))
+          .limit(20)
+          .select(col("doc_a"), col("doc_b"),
+            round(col("jac_raw"), 4).as("jac"), round(col("est_raw"), 4).as("est_jac"))
+      },
+      Some {
+        val nmh = graft.functions.TextHashOps.NumMinHashes
+        def agree(a: String, b: String) = (0 until nmh).map(i =>
+          s"CASE WHEN ${OracleText.minhash(a, i)} = ${OracleText.minhash(b, i)} THEN 1 ELSE 0 END")
+          .mkString("(", " + ", ")")
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql()}),
+           |$prefixKeptSql,
+           |cand AS (SELECT DISTINCT ka.doc_id AS doc_a, kb.doc_id AS doc_b
+           |  FROM k ka JOIN k kb ON ka.s = kb.s AND ka.doc_id < kb.doc_id)
+           |SELECT cand.doc_a, cand.doc_b,
+           |  round($jaccardSql, 4) AS jac,
+           |  round(CAST(${agree("a.sh", "b.sh")} AS DOUBLE) / $nmh, 4) AS est_jac
+           |FROM cand JOIN d a ON a.doc_id = cand.doc_a JOIN d b ON b.doc_id = cand.doc_b
+           |ORDER BY $jaccardSql DESC, doc_a, doc_b LIMIT 20""".stripMargin
+      }),
+
     // Containment (|A∩B| / |smaller set|) instead of Jaccard: catches
     // near-SUBSET duplicates — a doc wholly embedded in a longer one scores
     // containment ~1.0 but Jaccard only |A|/|B|, so symmetric-similarity
