@@ -38,6 +38,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
   private def path(name: String): String = s"$basePath/$name"
 
+  private def snapshotPath(name: String, tag: String): String =
+    s"$basePath/__snapshots/$name/$tag"
+
   private def exists(name: String): Boolean =
     new java.io.File(s"${path(name)}/_SUCCESS").exists()
 
@@ -136,6 +139,36 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     /** Chroma `delete(where=...)`: drop every row matching the predicate. */
     def deleteWhere(cond: Column): Unit =
       rewrite(df.filter(!coalesce(cond, lit(false))))
+
+    /** Snapshot the collection under `tag`: parquet data files HARDLINK
+      * into `__snapshots/<tag>/` — O(#files) metadata work, zero data
+      * copied, and the copy-on-write [[rewrite]] swap never mutates file
+      * contents, so a snapshot stays immutable while the live collection
+      * moves on (deleting the live dir unlinks names, not the shared
+      * inodes). On object storage at 100 TB the same operation is a
+      * MANIFEST of immutable file paths; hardlinks are its filesystem
+      * twin. Read back with [[readSnapshot]]; re-tagging overwrites. */
+    def snapshot(tag: String): Unit = {
+      require(tag.nonEmpty && !tag.contains('/'), s"bad snapshot tag: $tag")
+      val dest = java.nio.file.Paths.get(snapshotPath(name, tag))
+      rm(dest.toFile)
+      java.nio.file.Files.createDirectories(dest)
+      val src = new java.io.File(path(name))
+      src.listFiles().filter(_.isFile).foreach { f =>
+        java.nio.file.Files.createLink(dest.resolve(f.getName), f.toPath)
+      }
+    }
+
+    /** Immutable read of a snapshot taken with [[snapshot]]. */
+    def readSnapshot(tag: String): DataFrame =
+      spark.read.schema(schema).parquet(snapshotPath(name, tag))
+
+    def listSnapshots(): Seq[String] = {
+      val dir = new java.io.File(s"$basePath/__snapshots/$name")
+      if (!dir.isDirectory) Nil else dir.listFiles().filter(_.isDirectory).map(_.getName).toSeq.sorted
+    }
+
+    def dropSnapshot(tag: String): Unit = rm(new java.io.File(snapshotPath(name, tag)))
 
     /** Top-k nearest neighbors with distances. metric: "l2" (store default,
       * ascending) or "cosine" (attack metric, descending similarity).

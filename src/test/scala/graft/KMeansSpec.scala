@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.KMeans
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite with SparkTest {
+
+  private lazy val vecs = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    .orderBy("id").persist()
+
+  test("Lloyd iterations monotonically decrease inertia; training is reproducible") {
+    val inertias = (0 to 3).map { iters =>
+      KMeans.inertia(vecs, "emb", KMeans.train(vecs, "emb", k = 8, iters = iters))
+    }
+    info("inertia by iteration count: " + inertias.map(d => f"$d%.1f").mkString(" -> "))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-6, s"Lloyd round increased inertia: $a -> $b")
+    }
+    assert(inertias.last < inertias.head, "training must actually improve on the seeds")
+    val a = KMeans.train(vecs, "emb", k = 8, iters = 2)
+    val b = KMeans.train(vecs, "emb", k = 8, iters = 2)
+    assert(a.map { case (i, v) => (i, v.toSeq) }.toSeq == b.map { case (i, v) => (i, v.toSeq) }.toSeq)
+  }
+
+  test("assignment covers every row with a valid cluster id") {
+    val cents = KMeans.train(vecs, "emb", k = 8, iters = 2)
+    val cells = vecs.withColumn("cell", KMeans.assign(col("emb"), cents))
+    assert(cells.filter(col("cell") < 0 || col("cell") >= 8).count() == 0)
+    // all clusters non-trivially populated on this corpus
+    assert(cells.select("cell").distinct().count() == 8)
+  }
+}

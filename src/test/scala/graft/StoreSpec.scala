@@ -138,6 +138,38 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     assert(coll.query(qe, k = 1).head().getString(0) == "0")
   }
 
+  test("snapshots: immutable reads survive upserts, deletes, and compaction") {
+    val base = tmp()
+    val store = new VectorStore(spark, base)
+    val coll = store.createOrGet("versioned")
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"),
+        concat(lit("d"), col("vec_id")).as("doc"),
+        map(lit("k"), lit("v")).as("meta"), col("embedding").as("emb"))
+    coll.add(rows)
+    val before = coll.df.orderBy("id").collect().map(_.toSeq).toSeq
+
+    coll.snapshot("v1")
+    assert(coll.listSnapshots() == Seq("v1"))
+
+    // mutate the live collection every way the CoW path allows
+    coll.delete(Seq("1", "2", "3"))
+    coll.upsert(rows.limit(5).withColumn("doc", lit("REWRITTEN")))
+    coll.compact(2)
+    assert(coll.df.filter(col("doc") === "REWRITTEN").count() == 5)
+
+    // the snapshot still reads the original contents, bit for bit
+    val snap = coll.readSnapshot("v1").orderBy("id").collect().map(_.toSeq).toSeq
+    assert(snap == before, "snapshot must be immutable under live mutations")
+
+    // snapshots are independent: a second tag sees the new state
+    coll.snapshot("v2")
+    assert(coll.listSnapshots() == Seq("v1", "v2"))
+    assert(coll.readSnapshot("v2").filter(col("doc") === "REWRITTEN").count() == 5)
+    coll.dropSnapshot("v1")
+    assert(coll.listSnapshots() == Seq("v2"))
+  }
+
   test("encrypted store: round-trip identity, unique IVs, useless without key") {
     val base = tmp()
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")
