@@ -70,6 +70,27 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .parquet(s"$dataPath/batch=${batchId + 1}")
   }
 
+  /** Merge all accumulated batch directories back into a single `batch=0`
+    * layout (assignments are already materialized in the `cell` partition
+    * column, so compaction is a pure re-write — no vector math). Run this
+    * when streaming has produced many small per-batch files; contents and
+    * query results are unchanged. Stage-and-swap keeps readers safe. */
+  def compact(): Unit = {
+    val all = spark.read.parquet(dataPath).select(col("id"), col("emb"), col("cell"))
+    val stage = s"$path/data__stage"
+    val old = s"$path/data__old"
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(stage)); rm(new java.io.File(old))
+    all.write.mode("overwrite").partitionBy("cell").parquet(s"$stage/batch=0")
+    require(new java.io.File(dataPath).renameTo(new java.io.File(old)) &&
+      new java.io.File(stage).renameTo(new java.io.File(dataPath)),
+      "atomic compaction swap failed")
+    rm(new java.io.File(old))
+  }
+
   private def l2(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }

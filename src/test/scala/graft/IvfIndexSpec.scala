@@ -65,6 +65,28 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("compact merges streaming batch dirs; queries unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    val n = vectors.count()
+    idx.build(vectors.filter(col("id") < n / 2))
+    idx.appendBatch(vectors.filter(col("id") >= n / 2 && col("id") < 3 * n / 4), 0L)
+    idx.appendBatch(vectors.filter(col("id") >= 3 * n / 4), 1L)
+    val probe = vectors.filter(col("id") === 5).head().getSeq[Float](1).toArray
+    val before = idx.query(probe, k = 8, nprobe = 8).collect().map(_.toSeq).toSeq
+    val batchDirsBefore = new java.io.File(s"$base/data").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(batchDirsBefore == 3, s"expected 3 batch dirs, got $batchDirsBefore")
+    idx.compact()
+    val batchDirsAfter = new java.io.File(s"$base/data").listFiles()
+      .count(_.getName.startsWith("batch="))
+    assert(batchDirsAfter == 1, s"compaction must leave one batch dir, got $batchDirsAfter")
+    val after = idx.query(probe, k = 8, nprobe = 8).collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must not change query results")
+  }
+
   test("rebuild is idempotent; query deterministic") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val vectors = spark.read.parquet(s"$sf0001/embeddings.parquet")
