@@ -47,12 +47,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       es => Tokenize(es.head)
     }
     inject("term_freq", "term_freq(toks, 'term') - occurrences of a literal term") { es =>
-      es(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(
-            s: org.apache.spark.unsafe.types.UTF8String, _) =>
-          TermFreq(es(0), s.toString)
+      if (es.length != 2)
+        throw new IllegalArgumentException(
+          s"term_freq expects exactly 2 arguments (toks ARRAY<STRING>, term STRING literal); got ${es.length}")
+      // fold constant expressions (e.g. upper('a')) before requiring a literal
+      val term = es(1) match {
+        case e if e.foldable => e.eval(null)
+        case _ => null
+      }
+      term match {
+        case s: org.apache.spark.unsafe.types.UTF8String => TermFreq(es(0), s.toString)
         case _ =>
-          throw new IllegalArgumentException("term_freq expects a string-literal term")
+          throw new IllegalArgumentException(
+            "term_freq expects a foldable string term as its second argument")
       }
     }
   }

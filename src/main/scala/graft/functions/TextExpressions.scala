@@ -188,6 +188,84 @@ case class TermFreq(child: Expression, term: String) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** count_alpha(STRING) -> BIGINT — [a-z] chars in lower(s); the one-pass
+  * replacement for `length(regexp_replace(lower(s), "[^a-z]", ""))` (see
+  * [[TextHashOps.countAlpha]]). */
+case class CountAlpha(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "count_alpha"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"$prettyName expects STRING")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.countAlpha(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.countAlpha($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** top_token_count(ARRAY<STRING>) -> BIGINT — max token multiplicity via a
+  * per-row hash map, O(n) (see [[TextHashOps.topTokenCount]]). */
+case class TopTokenCount(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "top_token_count"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.topTokenCount(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.topTokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** count_tokens_in(ARRAY<STRING>, terms) -> BIGINT — tokens contained in a
+  * small literal term set (stopword-hit kernel). */
+case class CountTokensIn(child: Expression, terms: Seq[String]) extends UnaryExpression {
+  override def prettyName: String = "count_tokens_in"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  private lazy val termsU: Array[UTF8String] =
+    terms.map(UTF8String.fromString).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.countTokensIn(v.asInstanceOf[ArrayData], termsU)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("terms", termsU,
+      classOf[UTF8String].getName + "[]")
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.countTokensIn($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** token_len_sum(ARRAY<STRING>) -> BIGINT — sum of token char lengths. */
+case class TokenLenSum(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "token_len_sum"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.tokenLenSum(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.tokenLenSum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** hash_combine(ARRAY<BIGINT>) -> BIGINT — order-sensitive rolling combine
   * (document fingerprint over token hashes). */
 case class HashCombine(child: Expression) extends UnaryExpression {

@@ -82,4 +82,18 @@ object TextFunctions {
     * irrelevance for ints). */
   def sumLong(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  /** [a-z] char count of lower(text) — one-pass codegen replacement for
+    * `length(regexp_replace(lower(text), "[^a-z]", ""))`. */
+  def countAlpha(text: Column): Column = expr1(CountAlpha.apply)(text)
+
+  /** Max token multiplicity, O(n) hash-map kernel (0 for empty arrays). */
+  def topTokenCount(toks: Column): Column = expr1(TopTokenCount.apply)(toks)
+
+  /** Tokens contained in the literal `terms` set (stopword-hit kernel). */
+  def countTokensIn(toks: Column, terms: Seq[String]): Column =
+    expr1(e => CountTokensIn(e, terms))(toks)
+
+  /** Sum of token character lengths (codegen). */
+  def tokenLenSum(toks: Column): Column = expr1(TokenLenSum.apply)(toks)
 }

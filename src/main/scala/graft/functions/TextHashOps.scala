@@ -243,6 +243,78 @@ object TextHashOps {
     new GenericArrayData(out)
   }
 
+  /** Count of [a-z] chars in lower(s) — EXACTLY
+    * `length(regexp_replace(lower(s), "[^a-z]", ""))` without allocating the
+    * stripped copy or running the regex engine. (Lowering first, like the
+    * composed form, so pre-lowered and mixed-case inputs agree; chars outside
+    * [a-z] — digits, punctuation, non-ASCII — simply don't count.) The
+    * alpha-ratio term of the quality score runs on every document, making
+    * this the scan kernel of q_quality_score. */
+  def countAlpha(s: UTF8String): Long = {
+    val str = s.toLowerCase.toString
+    var i = 0
+    var c = 0L
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (ch >= 'a' && ch <= 'z') c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Occurrences of the most frequent token — EXACTLY
+    * `array_max(transform(array_distinct(toks), t -> size(filter(toks, x -> x = t))))`
+    * (0 for an empty array) in ONE O(n) hash-map pass instead of the HOF
+    * form's O(distinct·n) nested scans (quadratic for high-diversity docs:
+    * a 10k-unique-token document costs 10^8 comparisons there, 10^4 here).
+    * The top-token-fraction term of the Gopher repetition filters. */
+  def topTokenCount(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](Math.min(n * 2, 1 << 16))
+    var best = 0
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      val prev = counts.get(t)
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      counts.put(t, Integer.valueOf(c))
+      if (c > best) best = c
+      i += 1
+    }
+    best.toLong
+  }
+
+  /** Tokens contained in the (small, literal) `terms` set — EXACTLY
+    * `size(filter(toks, t -> t IN terms))` without the interpreted
+    * per-element lambda. Stopword-hit counting for lang-ID / quality. */
+  def countTokensIn(a: ArrayData, terms: Array[UTF8String]): Long = {
+    val n = a.numElements()
+    var i = 0
+    var c = 0L
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      var j = 0
+      while (j < terms.length) {
+        if (terms(j).equals(t)) { c += 1; j = terms.length }
+        else j += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  /** Sum of token character lengths — EXACTLY
+    * `aggregate(transform(toks, t -> length(t)), 0L, _+_)` in one pass
+    * (the avg-token-length term of the quality score). */
+  def tokenLenSum(a: ArrayData): Long = {
+    val n = a.numElements()
+    var i = 0
+    var s = 0L
+    while (i < n) { s += a.getUTF8String(i).numChars(); i += 1 }
+    s
+  }
+
   /** Tokenize: lowercased maximal runs of [a-z0-9] — EXACTLY equivalent to
     * `filter(split(lower(trim(s)), "[^a-z0-9]+"), _ != "")` (the regex
     * splits on non-alnum runs and the filter drops boundary empties; the

@@ -28,13 +28,25 @@ object BloomJoin {
 
   /** Inner equi-join `fact ⋈ dim ON factKey = dimKey`, with the fact side
     * bloom-pruned first. `expectedDimKeys` sizes the filter; it may be an
-    * upper bound (a loose bound only wastes bits, not correctness). */
+    * upper bound (a loose bound only wastes bits, not correctness).
+    *
+    * Both key columns must be STRING or both integral: the filter is built
+    * from the dim key's representation and probed with the fact key's via
+    * the codegen [[graft.functions.BloomMightContain]] expression — a
+    * string/long mix would hash incompatible representations and silently
+    * drop matching fact rows (the r1 version probed everything as long,
+    * which was only safe for the bigint call sites that existed then). */
   def prunedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
                  expectedDimKeys: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.{BloomMightContain, SketchKeyType}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val factIsString = SketchKeyType.isStringKey(fact.schema(factKey).dataType, "prunedJoin fact key")
+    val dimIsString = SketchKeyType.isStringKey(dim.schema(dimKey).dataType, "prunedJoin dim key")
+    require(factIsString == dimIsString,
+      s"prunedJoin: fact key $factKey and dim key $dimKey must both be STRING or both integral " +
+        "— mixed types hash different sketch representations and drop matching rows")
     val bf = dim.stat.bloomFilter(dimKey, math.max(expectedDimKeys, 1L), fpp)
-    val bfB = fact.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: java.lang.Long) => k != null && bfB.value.mightContainLong(k))
-    fact.filter(mightContain(col(factKey)))
+    fact.filter(Bridge.column(BloomMightContain(Bridge.expression(col(factKey)), bf)))
       .join(dim, col(factKey) === col(dimKey))
   }
 }

@@ -24,6 +24,56 @@ object KMeans {
   def train(vectors: DataFrame, embCol: String, k: Int, iters: Int): Array[(Long, Array[Float])] =
     ProductQuantizer.train(vectors, embCol, m = 1, k = k, iters = iters)(0)
 
+  /** Fixed-point scale for [[trainQuantized]]: 2^20 (a power of two, so
+    * `float × Scale` is EXACT in double — quantization loses nothing but
+    * sub-2^-20 precision of the mean). */
+  val QuantScale: Double = 1048576.0
+
+  /** Lloyd k-means whose centroid update is CROSS-ENGINE DETERMINISTIC:
+    * per-dimension means accumulate as integer sums of `round(x * 2^20)`
+    * (exact, commutative — unlike double sums, whose value depends on the
+    * nondeterministic partition accumulation order), then divide back. Any
+    * engine that repeats the same integer math — e.g. the DuckDB oracle for
+    * q_ivf_index — reproduces the centroids BIT-FOR-BIT, so queries over the
+    * trained index stay hash-verifiable. Seeds are the k lowest-`idCol` rows;
+    * cluster ids are the seed row ids; empty cells keep their previous
+    * centroid; assignment ties go to the lowest cluster id (the
+    * [[graft.functions.NearestCentroid]] contract).
+    *
+    * Scale shape is identical to [[train]]: each round is one narrow fused
+    * argmin pass plus one hash aggregate carrying k·dim longs. */
+  def trainQuantized(vectors: DataFrame, idCol: String, embCol: String,
+                     k: Int, iters: Int): Array[(Long, Array[Float])] = {
+    val dim = vectors.select(size(col(embCol))).head().getInt(0)
+    var cb: Array[(Long, Array[Float])] = vectors
+      .orderBy(idCol).limit(k)
+      .select(col(idCol).cast("long"), col(embCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    require(cb.length == k, s"need at least $k rows to seed $k centroids")
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("n") +: (0 until dim).map { d =>
+        sum(round(element_at(col("__emb"), d + 1).cast("double") * QuantScale)
+          .cast("long")).as(s"q$d")
+      }
+      val byCell = vectors
+        .select(assign(col(embCol), cb).as("__cell"), col(embCol).as("__emb"))
+        .groupBy("__cell")
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => r.getLong(0) -> r).toMap
+      cb = cb.map { case (cid, old) =>
+        byCell.get(cid) match {
+          case Some(r) =>
+            val n = r.getLong(1)
+            (cid, Array.tabulate(dim)(d =>
+              (r.getLong(2 + d).toDouble / (QuantScale * n)).toFloat))
+          case None => (cid, old)
+        }
+      }
+    }
+    cb
+  }
+
   /** Cluster assignment column (narrow fused argmin, codegen). */
   def assign(emb: Column, centroids: Array[(Long, Array[Float])]): Column =
     VF.nearestCentroid(emb, centroids)

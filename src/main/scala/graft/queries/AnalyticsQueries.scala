@@ -125,14 +125,17 @@ object AnalyticsQueries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS mass
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
-    // Persistent IVF index end-to-end: build the cell-partitioned layout,
-    // then probe it. Semantically identical to q_ann_ivf (same deterministic
-    // centroids = the 16 lowest ids, same probe vector), so it shares the
-    // oracle — but the scan here is PRUNED BY THE STORAGE LAYOUT: only the
-    // nprobe cell directories are read.
+    // Persistent IVF index end-to-end: TRAIN centroids (3 rounds of the
+    // cross-engine-deterministic quantized Lloyd — integer dimension sums,
+    // so the oracle reproduces them bit-for-bit by unrolling the same
+    // rounds in SQL), build the cell-partitioned layout, then probe it.
+    // The scan is PRUNED BY THE STORAGE LAYOUT: only the nprobe cell
+    // directories are read — and trained centroids are what make that
+    // pruning effective at scale (untrained first-k-rows centroids leave a
+    // fat cell that a probe re-scans).
     Q(
       "q_ivf_index",
-      "build persistent cell-partitioned IVF index, probe 4 of 16 cells, top-5",
+      "k-means-trained cell-partitioned IVF index, probe 4 of 16 cells, top-5",
       (s, dir) => {
         val base = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
         val idx = new IvfIndex(s, base, numCells = 16)
@@ -144,14 +147,43 @@ object AnalyticsQueries {
           .select(col("id"), col("cell"), round(col("distance"), 6).as("dist"))
       },
       Some {
-        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val iters = IvfIndex.TrainIters
+        val scale = graft.operators.KMeans.QuantScale // 2^20, emitted as literal
+        // One Lloyd round, unrolled: assign to c<t> (argmin L2, ties to the
+        // lowest cid), per-(cell, dim) integer sums of round(x * 2^20)
+        // (exact and order-independent — matches the Spark side's long-sum
+        // aggregate), means re-assembled in dim order, empty cells keeping
+        // their previous centroid.
+        def round(t: Int): String = {
+          val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+          s"""a$t AS MATERIALIZED (
+             |  SELECT vec_id, embedding, cid AS cell FROM (
+             |    SELECT e.vec_id, e.embedding, c.cid,
+             |           row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+             |    FROM embeddings e CROSS JOIN c$t c) WHERE rn = 1),
+             |s$t AS (
+             |  SELECT a.cell, dm.d,
+             |         CAST(sum(CAST(round(CAST(a.embedding[dm.d] AS DOUBLE) * $scale) AS BIGINT)) AS BIGINT) AS q,
+             |         count(*) AS n
+             |  FROM a$t a CROSS JOIN dims dm GROUP BY a.cell, dm.d),
+             |m$t AS (
+             |  SELECT cell, list(CAST(CAST(q AS DOUBLE) / ($scale * n) AS FLOAT) ORDER BY d) AS cemb
+             |  FROM s$t GROUP BY cell),
+             |c${t + 1} AS MATERIALIZED (
+             |  SELECT c.cid, coalesce(m.cemb, c.cemb) AS cemb
+             |  FROM c$t c LEFT JOIN m$t m ON m.cell = c.cid)""".stripMargin
+        }
+        val dAssignF = OracleSql.l2Sq("e.embedding", "c.cemb")
         val dCent = OracleSql.l2Sq("cent.cemb", "probe.qe")
         val dFinal = OracleSql.l2Sq("a.embedding", "probe.qe")
-        s"""WITH cent AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+        s"""WITH dims AS (SELECT unnest(range(1, ${AnnQueries.EmbDim + 1})) AS d),
+           |c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+           |${(0 until iters).map(round).mkString(",\n")},
+           |cent AS MATERIALIZED (SELECT cid, cemb FROM c$iters),
            |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |ranked AS (
            |  SELECT e.vec_id, e.embedding, c.cid,
-           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssign, c.cid) AS rn
+           |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssignF, c.cid) AS rn
            |  FROM embeddings e CROSS JOIN cent c),
            |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
            |pcells AS (SELECT cid FROM cent CROSS JOIN probe ORDER BY $dCent, cid LIMIT 4)

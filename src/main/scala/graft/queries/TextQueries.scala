@@ -29,8 +29,10 @@ object TextQueries {
   /** English stopwords used by the quality score. */
   val StopEn: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
 
+  // Codegen stopword-hit kernel; cast back to INT to keep the output schema
+  // of q_lang_id identical to the (size-based) composed form it replaced.
   private def hits(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words.map(w => w: Any): _*)))
+    TF.countTokensIn(toks, words).cast("int")
 
   private def sqlHits(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
@@ -86,17 +88,19 @@ object TextQueries {
       "q_quality_score",
       "document quality score (alpha/stopword/token-length ratios)",
       (s, dir) => {
-        val lt = lower(col("text"))
         val toks = TF.tokens(col("text"))
         tbl(s, dir, "documents")
           .withColumn("toks", toks)
           .withColumn("n_toks", size(col("toks")))
+          // one-pass codegen char count — same value as the regex-strip form
+          // (length(regexp_replace(lower(text), "[^a-z]", ""))), no regex
+          // engine and no stripped-copy allocation per document
           .withColumn("alpha_ratio",
-            length(regexp_replace(lt, "[^a-z]", "")).cast("double") / length(col("text")))
+            TF.countAlpha(col("text")).cast("double") / length(col("text")))
           .withColumn("stop_ratio",
             hits(col("toks"), StopEn).cast("double") / greatest(col("n_toks"), lit(1)))
           .withColumn("avg_tok_len",
-            TF.sumLong(transform(col("toks"), t => length(t).cast("long"))).cast("double") /
+            TF.tokenLenSum(col("toks")).cast("double") /
               greatest(col("n_toks"), lit(1)))
           .select(col("doc_id"), col("n_toks"),
             round(col("alpha_ratio"), 4).as("alpha_ratio"),
@@ -297,10 +301,10 @@ object TextQueries {
     // dominated by a few tokens or repeated n-grams are low-quality training
     // data. distinct-token ratio, most-frequent-token fraction, and
     // duplicate-2-gram fraction — all per-row array math, one narrow codegen
-    // scan, no shuffle but the presentation sort. The top-token count is
-    // O(distinct x n) per row via higher-order functions, which beats an
-    // explode + groupBy(doc_id, tok) + re-join shape at any scale (that
-    // variant shuffles the whole token stream).
+    // scan, no shuffle but the presentation sort. The top-token count is the
+    // O(n) hash-map kernel [[TextHashOps.topTokenCount]] — an
+    // explode + groupBy(doc_id, tok) + re-join shape would shuffle the whole
+    // token stream, and the HOF form it replaced was O(distinct·n) per row.
     Q(
       "q_gopher_repetition",
       "repetition quality filters: distinct ratio, top-token frac, dup-2gram frac",
@@ -310,10 +314,7 @@ object TextQueries {
           .withColumn("n", size(col("toks")))
         d
           .withColumn("n_distinct", size(array_distinct(col("toks"))))
-          .withColumn("top_cnt",
-            when(col("n") === 0, lit(0)).otherwise(
-              array_max(transform(array_distinct(col("toks")),
-                t => size(filter(col("toks"), x => x === t))))))
+          .withColumn("top_cnt", TF.topTokenCount(col("toks")))
           .withColumn("grams", TF.tokenGrams(col("toks"), 2))
           .withColumn("distinct_ratio",
             round(col("n_distinct").cast("double") / greatest(col("n"), lit(1)), 4))
@@ -411,7 +412,7 @@ object TextQueries {
     // groupBy+HAVING the oracle states — only the shuffle volume differs.
     Q(
       "q_heavy_hitters",
-      "bigrams occurring >= 60 times, CMS-pruned exact counts",
+      "bigrams occurring >= 40 times, CMS-pruned exact counts",
       (s, dir) => {
         val docs = tbl(s, dir, "documents")
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
@@ -421,7 +422,9 @@ object TextQueries {
         val bi = docs.filter(col("n") >= 2)
           .select(explode(TF.tokenGrams(col("toks"), 2)).as("bg"))
           .persist()
-        graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 60L)
+        // threshold 40 yields a non-empty answer at the sf0.01 verify scale
+        // (54 bigrams) while still pruning the long sub-threshold tail
+        graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 40L)
           .orderBy(desc("n"), asc("bg"))
       },
       Some {
@@ -432,7 +435,7 @@ object TextQueries {
            |    i -> toks[i] || ' ' || toks[i+1])) AS bg
            |  FROM t WHERE len(toks) >= 2)
            |SELECT bg, CAST(count(*) AS BIGINT) AS n FROM b
-           |GROUP BY bg HAVING count(*) >= 60
+           |GROUP BY bg HAVING count(*) >= 40
            |ORDER BY n DESC, bg""".stripMargin
       })
   )

@@ -12,13 +12,23 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * partition pruning in the parquet source (visible as `PartitionFilters`
  * in the plan), not by a runtime filter.
  *
- * Centroids are deterministic (the lowest-id vectors) rather than trained —
- * the index layout, assignment argmin, pruning and re-rank are the real
- * machinery; swapping in k-means centroids changes only `build`'s centroid
- * selection. The reference's ANN index (HNSW inside ChromaDB,
+ * Centroids are TRAINED (Lloyd k-means via
+ * [[graft.operators.KMeans.trainQuantized]], seeded deterministically from
+ * the lowest-id vectors) — untrained first-k-rows centroids give skewed
+ * cells, and a hot cell defeats partition pruning: a probe hitting the fat
+ * cell re-scans a large fraction of the corpus. The quantized trainer's
+ * integer-sum centroid update is bit-reproducible across engines, so
+ * queries over the trained index remain DuckDB-hash-verifiable. The
+ * reference's ANN index (HNSW inside ChromaDB,
  * /root/reference/src/chromadb_store.py:4) is the capability being rebuilt;
  * IVF-with-partition-pruning is its Spark-native shape.
  */
+object IvfIndex {
+  /** Lloyd rounds for [[IvfIndex.build]] — few rounds capture most of the
+    * balance win; the count is fixed so the oracle SQL can unroll it. */
+  val TrainIters: Int = 3
+}
+
 final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
 
   private def centroidPath = s"$path/_centroids"
@@ -28,16 +38,15 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
   private def cellCol(cents: Array[(Long, Array[Float])], emb: Column): Column =
     VF.nearestCentroid(emb, cents)
 
-  /** Build from (id LONG, emb ARRAY<FLOAT>): pick deterministic centroids,
-    * assign every vector, write cell-partitioned parquet. ONE narrow pass
-    * over the input plus the partitioned write. The data lands under
-    * `batch=0` so that incremental [[appendBatch]] writes share a uniform
-    * (batch, cell) directory layout. */
+  /** Build from (id LONG, emb ARRAY<FLOAT>): train centroids (deterministic
+    * quantized Lloyd, seeded from the lowest-id rows), assign every vector,
+    * write cell-partitioned parquet. `TrainIters` narrow passes over the
+    * input plus the partitioned write. The data lands under `batch=0` so
+    * that incremental [[appendBatch]] writes share a uniform (batch, cell)
+    * directory layout. */
   def build(vectors: DataFrame): Unit = {
-    val cents = vectors
-      .orderBy("id").limit(numCells)
-      .select(col("id"), col("emb")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val cents = graft.operators.KMeans.trainQuantized(
+      vectors, "id", "emb", numCells, IvfIndex.TrainIters)
     spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
       .toDF("cid", "cemb")
       .write.mode("overwrite").parquet(centroidPath)
@@ -70,25 +79,46 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .parquet(s"$dataPath/batch=${batchId + 1}")
   }
 
-  /** Merge all accumulated batch directories back into a single `batch=0`
+  /** Merge accumulated batch directories back into a single `batch=0`
     * layout (assignments are already materialized in the `cell` partition
     * column, so compaction is a pure re-write — no vector math). Run this
     * when streaming has produced many small per-batch files; contents and
-    * query results are unchanged. Stage-and-swap keeps readers safe. */
+    * query results are unchanged. Stage-and-swap keeps readers safe.
+    *
+    * Safe to run CONCURRENTLY with a streaming [[appendBatch]] writer: the
+    * set of batch directories is SNAPSHOTTED up front, only those batches
+    * are read into the stage and only those are removed afterwards — a
+    * batch dir landing between the stage write and the cleanup survives
+    * untouched (r1 renamed the whole data dir away, silently dropping such
+    * late batches). The compacted data lands as a fresh `batch=<max+1>` dir
+    * (the same idempotent-overwrite namespace appendBatch uses), so readers
+    * always see every row: pre-cleanup both copies are never visible
+    * together because the stage dir is outside `dataPath` until its single
+    * atomic rename. No whole-dir swap, so there is no half-renamed failure
+    * state to roll back — a crash between rename and cleanup only leaves
+    * already-compacted batch dirs that the NEXT compact (or a re-run)
+    * removes after verifying the merged dir is in place. */
   def compact(): Unit = {
-    val all = spark.read.parquet(dataPath).select(col("id"), col("emb"), col("cell"))
-    val stage = s"$path/data__stage"
-    val old = s"$path/data__old"
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    rm(new java.io.File(stage)); rm(new java.io.File(old))
-    all.write.mode("overwrite").partitionBy("cell").parquet(s"$stage/batch=0")
-    require(new java.io.File(dataPath).renameTo(new java.io.File(old)) &&
-      new java.io.File(stage).renameTo(new java.io.File(dataPath)),
-      "atomic compaction swap failed")
-    rm(new java.io.File(old))
+    // snapshot the batch dirs to merge; later-arriving batches are untouched
+    val batchDirs = new java.io.File(dataPath).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).sortBy(_.getName)
+    if (batchDirs.length <= 1) return
+    val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
+    val mergedId = batchIds.max + 1
+    val stage = s"$path/data__stage"
+    rm(new java.io.File(stage))
+    spark.read.option("basePath", dataPath).parquet(batchDirs.map(_.getPath): _*)
+      .select(col("id"), col("emb"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage)
+    // single atomic publish of the merged batch, then drop ONLY the
+    // snapshotted inputs
+    val dest = new java.io.File(s"$dataPath/batch=$mergedId")
+    require(new java.io.File(stage).renameTo(dest), "compaction publish rename failed")
+    batchDirs.foreach(rm)
   }
 
   private def l2(a: Array[Float], b: Array[Float]): Double = {

@@ -21,8 +21,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  *    (/root/reference/src/cod.py:123-139, src/app.py:52-59)
  *
  * Scale design: a collection is a parquet directory (at 100 TB: partitioned
- * by a metadata key and bucketed by id for point-get pushdown); `add` is an
- * append with a broadcast anti-join on existing ids; `query` is one narrow
+ * by a metadata key and bucketed by id for point-get pushdown); `add` dedups
+ * ids with the batch side broadcast (the store is only ever streamed);
+ * `query` is one narrow
  * scan + TakeOrderedAndProject — no shuffle of the corpus. The in-memory
  * vs persisted duality of the reference (src/cod.py:56-62) maps to
  * `DataFrame.cache()` vs the parquet path.
@@ -66,13 +67,27 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     def count(): Long = df.count()
 
     /** Append rows, rejecting ids already present (Chroma add semantics).
-      * The existing-id side is broadcast — at scale the id set per append
-      * batch is small relative to the store. */
+      * NEVER broadcast the store side — it's the corpus (billions of ids at
+      * 100 TB; broadcasting it to every executor on every append is the r1
+      * defect this replaces). Instead: one column-pruned store scan finds
+      * the COLLIDING ids via a semi-join against the broadcast batch (the
+      * collision set is <= the batch size, so it is always small), then the
+      * batch anti-joins the collisions WITHOUT a hint — AQE sees the tiny
+      * runtime size and picks broadcast itself, and the store scan never
+      * sits under a static BroadcastExchange. At scale, bucketing the store
+      * by id turns the collision scan into a pruned per-bucket check. */
     def add(rows: DataFrame): Unit = {
       val incoming = rows.select(col("id").cast(StringType).as("id"),
         col("doc"), col("meta"), col("emb"))
-      val fresh = incoming.join(broadcast(df.select("id")), Seq("id"), "left_anti")
-      fresh.write.mode("append").parquet(path(name))
+      freshRows(incoming).write.mode("append").parquet(path(name))
+    }
+
+    /** The add() dedup plan, exposed for plan assertions: batch rows whose
+      * id is NOT already in the store. */
+    private[graft] def freshRows(incoming: DataFrame): DataFrame = {
+      val collisions = df.select("id")
+        .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
+      incoming.join(collisions, Seq("id"), "left_anti")
     }
 
     /** get(): no ids -> full extraction (the leak); ids -> point lookup.

@@ -18,6 +18,27 @@ class BloomJoinSpec extends AnyFunSuite with SparkTest {
     assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
   }
 
+  test("STRING keys: bloom probe dispatches on type; result equals the plain join") {
+    // the r1 mightContainLong probe would cast string keys to null and drop
+    // every matching fact row — typed dispatch must keep the row-for-row
+    // equality contract for string joins too
+    val factS = fact.withColumn("lk", concat(lit("p"), col("l_partkey").cast("string")))
+    val dimS = dim.withColumn("dk", concat(lit("p"), col("p_partkey").cast("string")))
+    val pruned = BloomJoin.prunedJoin(factS, dimS, "lk", "dk", 20000)
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+    val plain = factS.join(dimS, col("lk") === col("dk"))
+      .select("l_orderkey", "l_linenumber", "p_partkey")
+    assert(pruned.count() > 0)
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+  }
+
+  test("mixed string/long key types are rejected up front") {
+    val dimS = dim.withColumn("dk", col("p_partkey").cast("string"))
+    assertThrows[IllegalArgumentException] {
+      BloomJoin.prunedJoin(fact, dimS, "l_partkey", "dk", 20000)
+    }
+  }
+
   test("the pre-filter prunes non-matching fact rows before the join") {
     val bf = dim.stat.bloomFilter("p_partkey", 20000, 0.01)
     val bfB = spark.sparkContext.broadcast(bf)

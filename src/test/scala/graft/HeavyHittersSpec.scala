@@ -21,6 +21,33 @@ class HeavyHittersSpec extends AnyFunSuite with SparkTest {
     assert(got.nonEmpty, "threshold chosen so some hitters exist")
   }
 
+  test("LONG keys: CMS probe dispatches on type and still equals the plain query") {
+    // the r1 String-typed UDF probe would estimate ~0 for every long key and
+    // prune ALL rows — this asserts the typed dispatch keeps exactness
+    val nums = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .select(col("l_partkey").as("k"))
+    val t = 30L
+    val got = HeavyHitters.exactHeavyHitters(nums, "k", t)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = nums.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= t)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty, "threshold chosen so some hitters exist")
+  }
+
+  test("unsupported key types are rejected; probe stays inside codegen (no UDF)") {
+    import spark.implicits._
+    val doubles = Seq(1.0, 2.0).toDF("k")
+    assertThrows[IllegalArgumentException] {
+      HeavyHitters.exactHeavyHitters(doubles, "k", 1L).collect()
+    }
+    val plan = HeavyHitters.exactHeavyHitters(toks, "tok", 800L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("scalaudf"),
+      s"sketch probe must not be a UDF barrier:\n$plan")
+  }
+
   test("the sketch pre-filter prunes sub-threshold rows before the shuffle") {
     val t = 800L
     val cms = toks.stat.countMinSketch("tok", 0.001, 0.99, 42)

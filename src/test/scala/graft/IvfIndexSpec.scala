@@ -87,6 +87,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(after == before, "compaction must not change query results")
   }
 
+  test("trained centroids balance the cells (and beat untrained seeding)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_bal").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val k = 16
+    val idx = new IvfIndex(spark, base, numCells = k)
+    idx.build(vectors)
+    val sizes = spark.read.parquet(s"$base/data")
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / k
+    // a fat cell defeats partition pruning at scale: cap max/mean skew
+    assert(sizes.max <= 4.0 * mean,
+      s"trained cells too skewed: max=${sizes.max} mean=$mean sizes=${sizes.sorted.toSeq}")
+    // trained assignment must not be worse-balanced than the untrained
+    // (first-k-rows) seeding it replaced
+    val seeds = vectors.orderBy("id").limit(k)
+      .select(col("id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val untrained = vectors
+      .withColumn("cell", graft.operators.KMeans.assign(col("emb"), seeds))
+      .groupBy("cell").count().collect().map(_.getLong(1))
+    info(s"untrained max=${untrained.max}, trained max=${sizes.max} (mean $mean)")
+    assert(sizes.max.toDouble <= untrained.max.toDouble,
+      "training must not increase the largest cell")
+  }
+
+  test("quantized trainer is reproducible and shrinks inertia") {
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val a = graft.operators.KMeans.trainQuantized(vectors, "id", "emb", 8, 3)
+    val b = graft.operators.KMeans.trainQuantized(vectors, "id", "emb", 8, 3)
+    assert(a.map(_._1).toSeq == b.map(_._1).toSeq)
+    assert(a.zip(b).forall { case ((_, ca), (_, cb)) => ca.toSeq == cb.toSeq },
+      "integer-sum centroid update must be bit-reproducible")
+    val seeds = graft.operators.KMeans.trainQuantized(vectors, "id", "emb", 8, 0)
+    val i0 = graft.operators.KMeans.inertia(vectors, "emb", seeds)
+    val i3 = graft.operators.KMeans.inertia(vectors, "emb", a)
+    info(s"inertia: seeds=$i0 trained=$i3")
+    assert(i3 < i0, "three Lloyd rounds must reduce the objective")
+  }
+
   test("rebuild is idempotent; query deterministic") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
     val vectors = spark.read.parquet(s"$sf0001/embeddings.parquet")

@@ -28,6 +28,41 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     assert(c1.count() == 2 * n, "fresh ids append")
   }
 
+  test("add never broadcasts the store side (plan assert)") {
+    val base = tmp()
+    val store = new VectorStore(spark, base)
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    // The store's parquet scan must not sit under any BroadcastExchange: at
+    // 100 TB that would ship the whole corpus id set to every executor on
+    // every append (the r1 defect). Auto-broadcast is disabled so the tiny
+    // test store can't be size-picked for broadcast the way a corpus never
+    // would be — what remains is exactly the add() plan's HINTED broadcasts,
+    // which must all be batch-derived.
+    import org.apache.spark.sql.execution.SparkPlan
+    def scansStore(p: SparkPlan): Boolean = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains(base))
+      case other => other.children.exists(scansStore)
+    }
+    def storeUnderBroadcast(p: SparkPlan): Boolean = p match {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => scansStore(b)
+      case other => other.children.exists(storeUnderBroadcast)
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = c.freshRows(docRows).queryExecution.sparkPlan
+      assert(scansStore(plan), "sanity: the plan reads the store at all")
+      assert(!storeUnderBroadcast(plan),
+        s"store-side file scan under a BroadcastExchange:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // and the dedup result is still exact
+    assert(c.freshRows(docRows).count() == 0, "all ids collide -> nothing fresh")
+    val half = docRows.withColumn("id",
+      when(col("id").cast("long") % 2 === 0, concat(lit("x"), col("id"))).otherwise(col("id")))
+    assert(c.freshRows(half).count() == half.filter(col("id").startsWith("x")).count())
+  }
+
   test("point-get, include-projection, full extraction") {
     val store = new VectorStore(spark, tmp())
     val c = store.createOrGet("c")

@@ -125,6 +125,53 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert((sb & 0xFFFFFFFFL) == sb, "simhash32 fits in 32 bits")
   }
 
+  test("countAlpha kernel equals the regex-strip form on edges and real data") {
+    val composed = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
+    val edge = Seq("", "abc", "A1b2C3", "ä ö ü ß É", "no digits!", "1234", "  MiXeD  ")
+      .toDF("text")
+      .select(TF.countAlpha(col("text")).as("k"), composed.as("r"))
+    edge.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.countAlpha(col("text")).as("k"), composed.as("r"))
+      .filter(not(col("k") === col("r"))).count()
+    assert(mismatches == 0, "countAlpha must equal the regex form on every fixture doc")
+  }
+
+  test("topTokenCount kernel equals the O(distinct*n) HOF form on edges and real data") {
+    def composed(toks: org.apache.spark.sql.Column) =
+      when(size(toks) === 0, lit(0L)).otherwise(
+        array_max(transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)))).cast("long"))
+    val edge = Seq("", "a", "a a a", "a b a c a b", "x y z").toDF("text")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.topTokenCount(col("toks")).as("k"), composed(col("toks")).as("r"))
+    edge.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(edge.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 3L, 3L, 1L))
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(TF.topTokenCount(col("toks")).as("k"), composed(col("toks")).as("r"))
+      .filter(not(col("k") === col("r"))).count()
+    assert(mismatches == 0, "hash-map kernel must equal HOF form on every fixture doc")
+  }
+
+  test("countTokensIn / tokenLenSum kernels equal their composed forms on real data") {
+    val words = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+    def hitsComposed(toks: org.apache.spark.sql.Column) =
+      size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("long")
+    def lenComposed(toks: org.apache.spark.sql.Column) =
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (acc, x) => acc + x)
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.tokens(col("text")).as("toks"))
+      .select(
+        TF.countTokensIn(col("toks"), words).as("hk"), hitsComposed(col("toks")).as("hr"),
+        TF.tokenLenSum(col("toks")).as("lk"), lenComposed(col("toks")).as("lr"))
+      .filter(not(col("hk") === col("hr")) || not(col("lk") === col("lr"))).count()
+    assert(mismatches == 0)
+    val empty = Seq("").toDF("text").select(TF.tokens(col("text")).as("toks"))
+      .select(TF.countTokensIn(col("toks"), words), TF.tokenLenSum(col("toks"))).head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L)
+  }
+
   test("expressions survive codegen over real data (no fallback errors)") {
     val d = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"),
