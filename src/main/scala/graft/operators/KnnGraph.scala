@@ -49,6 +49,43 @@ object KnnGraph {
       .select("src", "dst", "dist")
   }
 
+  /** Query-time graph traversal — the HNSW-class serving capability over a
+    * built kNN graph (the reference's Chroma backend is hnswlib,
+    * /root/reference/src/chromadb_store.py:4): best-first BEAM SEARCH. Each
+    * hop expands the unvisited out-neighbors of the current `beamWidth`
+    * closest visited nodes, scores them EXACTLY against the query, and the
+    * final answer is the exact top-k of everything visited — so the search
+    * touches O(entries + hops·beamWidth·k) vectors instead of the corpus.
+    * Fully deterministic: fixed hop count, ties break by ascending id.
+    *
+    * Scale shape: the beam (≤ beamWidth ids) broadcasts into a join against
+    * the graph, co-partitioned with the vectors on the node id; the visited
+    * set stays bounded by the expansion budget, so every hop is a
+    * small-broadcast join — never a corpus scan. The driver loop carries no
+    * data, only DataFrame handles (for deep walks, localCheckpoint the
+    * visited frame every ~10 hops to cap lineage).
+    *
+    * `graph`: (src, dst, dist) from [[build]]/[[refine]];
+    * `vectors`: (id, emb). */
+  def beamSearch(graph: DataFrame, vectors: DataFrame, qe: Array[Float],
+                 k: Int, beamWidth: Int, hops: Int, entries: Seq[Long]): DataFrame = {
+    require(entries.nonEmpty, "beam search needs at least one entry point")
+    val scored = vectors.select(col("id"),
+      VF.l2Sq(col("emb"), org.apache.spark.sql.functions.typedlit(qe)).as("dist"))
+    var visited = scored.filter(col("id").isin(entries: _*))
+    for (_ <- 1 to hops) {
+      val beam = visited.orderBy(asc("dist"), asc("id")).limit(beamWidth)
+        .select(col("id").as("src"))
+      val fresh = graph.join(broadcast(beam), "src")
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .join(scored, "id") // exact re-score of newly-reached nodes
+        .select("id", "dist")
+      visited = visited.unionByName(fresh)
+    }
+    visited.orderBy(asc("dist"), asc("id")).limit(k)
+  }
+
   /** One NN-Descent round: propose neighbors-of-neighbors, score exactly,
     * keep best k of old ∪ proposed per src. `graph`: (src, dst, dist). */
   def refine(graph: DataFrame, vectors: DataFrame, k: Int): DataFrame = {

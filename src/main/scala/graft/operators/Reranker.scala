@@ -31,7 +31,10 @@ object Reranker {
       nb += b(i).toDouble * b(i).toDouble
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) -1.0 else dot / math.sqrt(na * nb)
+    // dot/(sqrt(na)*sqrt(nb)) — the exact operation order of the engine's
+    // CosineSimilarity kernel and the DuckDB oracle fragment, so the greedy
+    // scores are bitwise cross-engine comparable
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   /** Greedy MMR selection of `k` items from `shortlist`.

@@ -52,6 +52,18 @@ object AnnQueries {
     s"CAST(coalesce(list_sum(list_transform(range(0, $NumPlanes), p -> " +
       s"CASE WHEN ${dotPlaneSql(emb, "p")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
 
+  /** 6-bit LSH bucket over planes [off, off+6) — independent hash tables for
+    * multi-table graph construction (off 0 = [[bucketSql]]'s table). */
+  private[queries] def bucketSqlOff(emb: String, off: Int): String =
+    s"CAST(coalesce(list_sum(list_transform(range(0, $NumPlanes), p -> " +
+      s"CASE WHEN ${dotPlaneSql(emb, s"(p + $off)")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
+
+  /** Column form of [[bucketSqlOff]]'s table (same float/double math). */
+  private[queries] def lshBucketFn(off: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    emb => (0 until NumPlanes).map { p =>
+      when(VF.dot(emb, typedlit(plane(off + p))) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** 6-bit LSH bucket as a Column over `embedding` (narrow, codegen). */
   private[queries] def lshBucketCol: org.apache.spark.sql.Column =
     (0 until NumPlanes).map { p =>
@@ -573,6 +585,76 @@ object AnnQueries {
            |SELECT e.vec_id, round(s.pdist_raw, 4) AS pdist, round($dExact, 6) AS dist
            |FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN probe
            |ORDER BY $dExact ASC, e.vec_id LIMIT 5""".stripMargin
+      }),
+
+    // Graph-based ANN serving — the HNSW-class query path over the
+    // NN-Descent family's kNN graph (the reference's actual index is
+    // hnswlib inside Chroma): build a 2-hash-table LSH-blocked kNN graph
+    // (operators.KnnGraph.build — two independent bucketings so the graph
+    // is not trapped inside one table's blocks), then BEAM SEARCH from
+    // fixed entry points: each hop expands the unvisited neighbors of the
+    // 4 closest visited nodes, scores them exactly, and the answer is the
+    // exact top-5 of the visited set. The search touches O(hops·beam·k)
+    // vectors, not the corpus — the serving win graphs exist for. The
+    // oracle replays the identical walk as a recursive CTE (visited set
+    // carried as a list, fixed 3 hops, ascending-id ties).
+    Q(
+      "q_ann_graph_search",
+      "beam search over a 2-table LSH kNN graph: 3 hops, beam 4, exact top-5",
+      (s, dir) => {
+        import graft.operators.KnnGraph
+        val e = tbl(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val graph = KnnGraph.build(corpus, Seq(lshBucketFn(0), lshBucketFn(200)), k = 4)
+        KnnGraph.beamSearch(graph, corpus, qe,
+          k = 5, beamWidth = 4, hops = 3, entries = Seq(1L, 2L))
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+      },
+      Some {
+        val dEdge = OracleSql.l2Sq("a.embedding", "b.embedding")
+        val dQ = OracleSql.l2Sq("c.embedding", "probe.qe")
+        s"""WITH RECURSIVE
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |sigs AS (
+           |  SELECT vec_id, embedding,
+           |         ${bucketSqlOff("embedding", 0)} AS b0,
+           |         ${bucketSqlOff("embedding", 200)} AS b1
+           |  FROM embeddings WHERE vec_id <> 0),
+           |cand AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
+           |  FROM sigs a JOIN sigs b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+           |  UNION ALL
+           |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
+           |  FROM sigs a JOIN sigs b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id),
+           |edges AS (SELECT src, dst, min(dist) AS dist FROM cand GROUP BY src, dst),
+           |graph AS (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+           |    FROM edges) WHERE rn <= 4),
+           |dists AS (
+           |  SELECT c.vec_id, $dQ AS dist FROM embeddings c CROSS JOIN probe WHERE c.vec_id <> 0),
+           |walk AS (
+           |  SELECT 0 AS hop, [CAST(1 AS BIGINT), CAST(2 AS BIGINT)] AS visited
+           |  UNION ALL
+           |  SELECT s.hop + 1, w.visited
+           |  FROM walk s, LATERAL (
+           |    SELECT list_sort(list_distinct(s.visited || coalesce((
+           |      SELECT list(DISTINCT g.dst)
+           |      FROM graph g
+           |      WHERE NOT list_contains(s.visited, g.dst)
+           |        AND g.src IN (SELECT d.vec_id FROM dists d
+           |                      WHERE list_contains(s.visited, d.vec_id)
+           |                      ORDER BY d.dist, d.vec_id LIMIT 4)
+           |    ), []))) AS visited
+           |  ) w
+           |  WHERE s.hop < 3)
+           |SELECT d.vec_id, round(d.dist, 6) AS dist
+           |FROM dists d, (SELECT visited FROM walk WHERE hop = 3) f
+           |WHERE list_contains(f.visited, d.vec_id)
+           |ORDER BY d.dist, d.vec_id LIMIT 5""".stripMargin
       }),
 
     // LSH-bucketed ANN: 6-bit sign-random-projection signature; candidates

@@ -329,9 +329,10 @@ object SearchQueries {
     // post-ANN stage the reference never reaches. Cluster side produces the
     // bounded cosine top-20 shortlist (TakeOrdered, no shuffle); the greedy
     // O(K²·k) selection is inherently sequential so it runs on the driver
-    // over ≤20 rows. No oracle: greedy argmax with a growing selected-set
-    // state is not ANSI-SQL-expressible — driver records rows-only; the
-    // selection invariants are spec-checked in SearchSpec.
+    // over ≤20 rows. The selection IS oracle-checkable: ascending-id
+    // tie-breaks make it deterministic, and a recursive CTE replays the
+    // greedy argmax pick by pick (the growing selected set carried as a
+    // list), with every double op in the same order as the driver loop.
     Q(
       "q_mmr_rerank",
       "MMR diversity re-rank of the cosine top-20 shortlist (k=5, λ=0.7)",
@@ -348,9 +349,39 @@ object SearchQueries {
         val sel = graft.operators.Reranker.mmr(shortlist.toSeq, k = 5, lambda = 0.7)
         import s.implicits._
         sel.zipWithIndex
-          .map { case ((id, sc), i) => (i + 1, id, math.rint(sc * 1e6) / 1e6) }
-          .toDF("pick", "vec_id", "mmr")
+          .map { case ((id, sc), i) => (i + 1, id, sc) }
+          .toDF("pick", "vec_id", "mmr_raw")
+          .select(col("pick"), col("vec_id"), round(col("mmr_raw"), 6).as("mmr"))
       },
-      None)
+      Some {
+        val Lambda = 0.7
+        // emit the EXACT doubles the driver computes: 1.0 - 0.7 is
+        // 0.30000000000000004 in binary, and Scala's toString round-trips it
+        val oneMinus = (1.0 - Lambda).toString
+        val relCos = OracleSql.cosine("e.embedding", "probe.qe")
+        val pairCos = OracleSql.cosine("c.emb", "p.emb")
+        s"""WITH RECURSIVE
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |short AS MATERIALIZED (
+           |  SELECT e.vec_id, $relCos AS rel, e.embedding AS emb
+           |  FROM embeddings e CROSS JOIN probe
+           |  WHERE e.vec_id <> 0
+           |  ORDER BY $relCos DESC, e.vec_id LIMIT $ShortlistK),
+           |sel AS (
+           |  (SELECT 1 AS pick, vec_id, $Lambda * rel - $oneMinus * 0.0 AS mmr, [vec_id] AS picked
+           |   FROM short ORDER BY rel DESC, vec_id LIMIT 1)
+           |  UNION ALL
+           |  SELECT s.pick + 1, w.vec_id, w.mmr, list_append(s.picked, w.vec_id)
+           |  FROM sel s, LATERAL (
+           |    SELECT c.vec_id,
+           |           $Lambda * c.rel - $oneMinus * (
+           |             SELECT max($pairCos) FROM short p
+           |             WHERE list_contains(s.picked, p.vec_id)) AS mmr
+           |    FROM short c WHERE NOT list_contains(s.picked, c.vec_id)
+           |    ORDER BY mmr DESC, c.vec_id LIMIT 1) w
+           |  WHERE s.pick < 5)
+           |SELECT CAST(pick AS INT) AS pick, vec_id, round(mmr, 6) AS mmr
+           |FROM sel ORDER BY pick""".stripMargin
+      })
   )
 }
