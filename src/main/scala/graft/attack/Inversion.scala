@@ -1,6 +1,6 @@
 package graft.attack
 
-import graft.functions.{TextFunctions => TF, TextHashOps, VectorFunctions => VF}
+import graft.functions.{Embedder, HashEmbedder, TextHashOps, VectorFunctions => VF}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -157,14 +157,14 @@ object Inversion {
     }
   }
 
-  /** One generation scored: candidates -> (text, score), descending.
-    * Embed + cosine run distributed in whole-stage codegen. */
-  private def scoreGeneration(
-      spark: SparkSession, cands: Seq[String], target: Array[Float], p: Params): DataFrame = {
+  /** One generation scored: candidates -> (text, score), descending. The
+    * embed stage goes through the pluggable [[graft.functions.Embedder]]
+    * seam (hash kernel by default; a real model via BatchedModelEmbedder —
+    * either way the scoring plan is the same narrow map + cosine). */
+  private def scoreGeneration(spark: SparkSession, cands: Seq[String],
+                              target: Array[Float], embedder: Embedder): DataFrame = {
     import spark.implicits._
-    cands.toDF("text")
-      .select(col("text"), TF.tokens(col("text")).as("toks"))
-      .select(col("text"), TF.hashEmbed(col("toks"), p.dim).as("emb"))
+    embedder.embed(cands.toDF("text"), "text", "emb")
       .withColumn("score", VF.cosine(col("emb"), typedlit(target)))
       .select("text", "score")
   }
@@ -173,14 +173,16 @@ object Inversion {
     * best-score trajectory). Elitism makes the trajectory monotone
     * non-decreasing — the property the reference only eyeballs in its
     * progress prints (app.py:140-141). */
-  def evolutionarySearch(spark: SparkSession, target: Array[Float], p: Params): (Seq[Candidate], Seq[Double]) = {
+  def evolutionarySearch(spark: SparkSession, target: Array[Float], p: Params,
+                         embedder: Option[Embedder] = None): (Seq[Candidate], Seq[Double]) = {
+    val emb = embedder.getOrElse(HashEmbedder(p.dim))
     val nElite = math.ceil(p.popSize * p.eliteFrac).toInt
     var population = seedPopulation(p)
     val bests = scala.collection.mutable.ArrayBuffer.empty[Candidate]
     var gen = 0
     var stop = false
     while (gen < p.generations && !stop) {
-      val elites = scoreGeneration(spark, population, target, p)
+      val elites = scoreGeneration(spark, population, target, emb)
         .orderBy(desc("score"), asc("text"))
         .limit(nElite)
         .collect()
@@ -211,10 +213,12 @@ object Inversion {
   /** Greedy restarts, each an executor-local loop (no Spark job per step —
     * the reference's one-embed-per-iteration shape, app.py:192, is pure
     * compute and belongs inside the executor). */
-  def greedySearch(spark: SparkSession, target: Array[Float], p: Params): Seq[Candidate] = {
+  def greedySearch(spark: SparkSession, target: Array[Float], p: Params,
+                   embedder: Option[Embedder] = None): Seq[Candidate] = {
     import spark.implicits._
+    val emb = embedder.getOrElse(HashEmbedder(p.dim))
     val bcTarget = spark.sparkContext.broadcast(target)
-    val dim = p.dim; val iters = p.iters; val jumpP = p.jumpP; val seed = p.seed
+    val iters = p.iters; val jumpP = p.jumpP; val seed = p.seed
     val lex = Lexicon
     val out = (0 until p.restarts).toDS()
       .repartition(math.min(p.restarts, spark.sparkContext.defaultParallelism))
@@ -223,14 +227,14 @@ object Inversion {
         it.map { restart =>
           val rng = new Rng(mix(seed + 5000 + restart))
           var cur = (0 until 4).map(_ => lex(rng.nextInt(lex.length))).mkString(" ")
-          var curScore = cosine(embedText(cur, dim), tgt)
+          var curScore = cosine(emb.embedOne(cur), tgt)
           var iter = 0
           while (iter < iters) {
             val cand =
               if (rng.nextDouble() < jumpP)
                 (0 until 4).map(_ => lex(rng.nextInt(lex.length))).mkString(" ")
               else mutate(cur, mix(seed + restart * 100003 + iter))
-            val s = cosine(embedText(cand, dim), tgt)
+            val s = cosine(emb.embedOne(cand), tgt)
             if (s > curScore) { cur = cand; curScore = s }
             iter += 1
           }
@@ -247,11 +251,15 @@ object Inversion {
       .sortBy(c => (-c.score, c.text))
 
   /** Full attack: evolutionary + greedy, union, dedup-keep-max, top-k.
-    * Returns a DataFrame (rank, score, text) for the driver contract. */
-  def invert(spark: SparkSession, target: Array[Float], p: Params = Params()): DataFrame = {
+    * Returns a DataFrame (rank, score, text) for the driver contract.
+    * `embedder` defaults to the hermetic hash kernel; a model-backed
+    * [[graft.functions.BatchedModelEmbedder]] drops in unchanged. */
+  def invert(spark: SparkSession, target: Array[Float], p: Params = Params(),
+             embedder: Option[Embedder] = None): DataFrame = {
     import spark.implicits._
     val merged = dedupMax(
-      evolutionarySearch(spark, target, p)._1 ++ greedySearch(spark, target, p))
+      evolutionarySearch(spark, target, p, embedder)._1 ++
+        greedySearch(spark, target, p, embedder))
       .take(p.topK)
     merged.zipWithIndex
       .map { case (c, i) => (i + 1, BigDecimal(c.score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, c.text) }

@@ -87,24 +87,20 @@ object AnnQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Hashing embedder + kNN over the embedded documents: capability parity
-    // with the reference's embed->store->query pipeline
-    // (/root/reference/src/main.py:6-20) on a hermetic JVM encoder.
+    // Embedder + kNN over the embedded documents: capability parity with
+    // the reference's embed->store->query pipeline
+    // (/root/reference/src/main.py:6-20). Runs through the pluggable
+    // graft.functions.Embedder seam — the hermetic hash kernel here (so the
+    // oracle can replay it); a BatchedModelEmbedder with real MiniLM/ONNX
+    // weights drops into the SAME pipeline without touching this query
+    // (spec-proven via a stub model embedder in EmbedderSpec).
     Q(
       "q_embed_knn",
       "hash-embed documents, top-5 nearest to embedded probe doc by cosine",
-      (s, dir) => {
-        val docs = tbl(s, dir, "documents")
-          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-          .select(col("doc_id"), TF.hashEmbed(col("toks"), TextEmbDim).as("emb"))
-        val probe = docs.filter(col("doc_id") === 0).select(col("emb").as("qe"))
-        docs.crossJoin(broadcast(probe))
-          .filter(col("doc_id") =!= 0)
-          .withColumn("cos_raw", VF.cosine(col("emb"), col("qe")))
-          .orderBy(desc("cos_raw"), asc("doc_id"))
-          .limit(5)
-          .select(col("doc_id"), round(col("cos_raw"), 6).as("cos"))
-      },
+      (s, dir) =>
+        graft.functions.Embedder.knnByText(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          probeId = 0, k = 5, graft.functions.HashEmbedder(TextEmbDim)),
       Some {
         val th = OracleText.tokenHashes(OracleText.tokens("text"))
         val cnt = s"list_transform(range(0, $TextEmbDim), j -> " +

@@ -36,8 +36,16 @@ object DedupQueries {
   private val StopShingleCap = 50 // doc-freq above which a shingle pairs nothing
 
   /** Prefix-filter candidate keys: (doc_id, s) for each doc's `PrefixR`
-    * globally-rarest shingles, stop-shingles excluded. Guarantees recall
-    * for pairs with Jaccard >= 1 - R/|sh|; below that it is (like LSH) a
+    * globally-rarest shingles, stop-shingles excluded. The recall guarantee
+    * — pairs with Jaccard >= 1 - R/|sh| share a kept shingle — holds for
+    * docs that RETAIN at least one sub-cap shingle; a doc whose every
+    * shingle exceeds `StopShingleCap` (pure boilerplate duplicated across
+    * >50 docs) keeps no prefix and pairs with nothing here. That tail is
+    * exactly the population q_dedup_exact's full-fingerprint groupBy
+    * catches (mass-duplicated text collapses to shared fingerprints), so
+    * the family covers it; ranking stop-shingles last instead of excluding
+    * them would restore the guarantee but re-admit the quadratic buckets
+    * the cap exists to prevent. Below the threshold this is (like LSH) a
     * high-recall candidate generator whose survivors are exact-verified. */
   private def prefixKept(d: DataFrame): DataFrame = {
     val e = d.select(col("doc_id"), explode(col("sh")).as("s"))
