@@ -46,6 +46,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("tokenize", "tokenize(s) - lowercased alphanumeric tokens") {
       es => Tokenize(es.head)
     }
+    inject("clean_text", "clean_text(s) - collapse non-alnum runs, trim, lowercase") {
+      es => CleanText(es.head)
+    }
+    inject("count_alpha", "count_alpha(s) - [a-z] chars in lower(s)") {
+      es => CountAlpha(es.head)
+    }
+    inject("top_token_count", "top_token_count(toks) - max token multiplicity") {
+      es => TopTokenCount(es.head)
+    }
+    inject("token_len_sum", "token_len_sum(toks) - summed token lengths") {
+      es => TokenLenSum(es.head)
+    }
     inject("term_freq", "term_freq(toks, 'term') - occurrences of a literal term") { es =>
       if (es.length != 2)
         throw new IllegalArgumentException(

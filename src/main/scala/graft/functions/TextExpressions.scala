@@ -188,6 +188,28 @@ case class TermFreq(child: Expression, term: String) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** clean_text(STRING) -> STRING — one-pass text normalization, identical to
+  * `lower(trim(regexp_replace(s, "[^A-Za-z0-9]+", " ")))` (see
+  * [[TextHashOps.cleanText]]). */
+case class CleanText(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "clean_text"
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == StringType, s"$prettyName expects STRING")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.cleanText(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.cleanText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** count_alpha(STRING) -> BIGINT — [a-z] chars in lower(s); the one-pass
   * replacement for `length(regexp_replace(lower(s), "[^a-z]", ""))` (see
   * [[TextHashOps.countAlpha]]). */

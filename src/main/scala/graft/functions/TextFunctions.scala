@@ -96,4 +96,8 @@ object TextFunctions {
 
   /** Sum of token character lengths (codegen). */
   def tokenLenSum(toks: Column): Column = expr1(TokenLenSum.apply)(toks)
+
+  /** One-pass normalize: collapse non-alnum runs to single spaces, trim,
+    * lowercase (codegen; equals the regex_replace+trim+lower composition). */
+  def cleanText(text: Column): Column = expr1(CleanText.apply)(text)
 }

@@ -315,6 +315,29 @@ object TextHashOps {
     s
   }
 
+  /** Normalize text in one pass — EXACTLY
+    * `lower(trim(regexp_replace(s, "[^A-Za-z0-9]+", " ")))`: every run of
+    * non-ASCII-alnum chars collapses to a single interior space (boundary
+    * runs vanish, which is what the trim contributed), ASCII lowering (the
+    * survivors are ASCII alnum, so full lower() agrees). Replaces two regex
+    * passes + trim with one compiled char scan. */
+  def cleanText(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val sb = new java.lang.StringBuilder(str.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+      } else pendingSpace = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Tokenize: lowercased maximal runs of [a-z0-9] — EXACTLY equivalent to
     * `filter(split(lower(trim(s)), "[^a-z0-9]+"), _ != "")` (the regex
     * splits on non-alnum runs and the filter drops boundary empties; the

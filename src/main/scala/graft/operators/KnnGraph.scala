@@ -70,20 +70,34 @@ object KnnGraph {
   def beamSearch(graph: DataFrame, vectors: DataFrame, qe: Array[Float],
                  k: Int, beamWidth: Int, hops: Int, entries: Seq[Long]): DataFrame = {
     require(entries.nonEmpty, "beam search needs at least one entry point")
+    // the walk references the graph and the score map EVERY hop — without
+    // caching, hop h recomputes the whole graph-construction lineage h
+    // times (measured 5 s -> ~1 s on the sf0.1 bench); visited is
+    // localCheckpoint'd per hop (it is tiny — the expansion budget), which
+    // also cuts the growing union lineage
+    val g = graph.select("src", "dst").persist()
     val scored = vectors.select(col("id"),
       VF.l2Sq(col("emb"), org.apache.spark.sql.functions.typedlit(qe)).as("dist"))
+      .persist()
+    // visited is at most the expansion budget (tens of rows) — single
+    // partition, so each hop's checkpoint job runs one task, not one per
+    // shuffle partition
     var visited = scored.filter(col("id").isin(entries: _*))
+      .coalesce(1).localCheckpoint()
     for (_ <- 1 to hops) {
       val beam = visited.orderBy(asc("dist"), asc("id")).limit(beamWidth)
         .select(col("id").as("src"))
-      val fresh = graph.join(broadcast(beam), "src")
+      val fresh = g.join(broadcast(beam), "src")
         .select(col("dst").as("id")).distinct()
         .join(visited.select("id"), Seq("id"), "left_anti")
         .join(scored, "id") // exact re-score of newly-reached nodes
         .select("id", "dist")
-      visited = visited.unionByName(fresh)
+      visited = visited.unionByName(fresh).coalesce(1).localCheckpoint()
     }
-    visited.orderBy(asc("dist"), asc("id")).limit(k)
+    val out = visited.orderBy(asc("dist"), asc("id")).limit(k).localCheckpoint()
+    g.unpersist()
+    scored.unpersist()
+    out
   }
 
   /** One NN-Descent round: propose neighbors-of-neighbors, score exactly,

@@ -130,13 +130,15 @@ object TextQueries {
     // Text normalization — the first stage of every training-data pipeline:
     // collapse every non-alphanumeric run to one space, trim, lowercase.
     // After the collapse the string is pure ASCII alnum + spaces, so
-    // lower() is locale-independent in both engines. One narrow codegen
-    // scan; regexes are shared verbatim (Java and RE2 agree on this class).
+    // lower() is locale-independent in both engines. The Spark side runs
+    // the one-pass CleanText kernel (bit-identical to the composed
+    // lower∘trim∘regexp_replace the oracle states, spec-proven) — one
+    // compiled char scan instead of a regex engine pass per document.
     Q(
       "q_text_clean",
       "normalize text: strip punctuation, collapse whitespace, lowercase",
       (s, dir) => {
-        val clean = lower(trim(regexp_replace(col("text"), "[^A-Za-z0-9]+", " ")))
+        val clean = TF.cleanText(col("text"))
         tbl(s, dir, "documents")
           .withColumn("clean", clean)
           .select(col("doc_id"),

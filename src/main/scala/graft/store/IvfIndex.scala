@@ -45,15 +45,19 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * that incremental [[appendBatch]] writes share a uniform (batch, cell)
     * directory layout. */
   def build(vectors: DataFrame): Unit = {
-    val cents = graft.operators.KMeans.trainQuantized(
-      vectors, "id", "emb", numCells, IvfIndex.TrainIters)
-    spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
-      .toDF("cid", "cemb")
-      .write.mode("overwrite").parquet(centroidPath)
-    new java.io.File(dataPath).mkdirs()
-    vectors
-      .withColumn("cell", cellCol(cents, col("emb")))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dataPath/batch=0")
+    // training + final assignment scan the input TrainIters + 1 times —
+    // cache it for the duration of the build
+    val v = vectors.persist()
+    try {
+      val cents = graft.operators.KMeans.trainQuantized(
+        v, "id", "emb", numCells, IvfIndex.TrainIters)
+      spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+        .toDF("cid", "cemb")
+        .write.mode("overwrite").parquet(centroidPath)
+      new java.io.File(dataPath).mkdirs()
+      v.withColumn("cell", cellCol(cents, col("emb")))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dataPath/batch=0")
+    } finally v.unpersist(): Unit
   }
 
   private def centroids(): Array[(Long, Array[Float])] =

@@ -125,6 +125,18 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert((sb & 0xFFFFFFFFL) == sb, "simhash32 fits in 32 bits")
   }
 
+  test("cleanText kernel equals lower∘trim∘regexp_replace on edges and real data") {
+    val composed = lower(trim(regexp_replace(col("text"), "[^A-Za-z0-9]+", " ")))
+    val edge = Seq("", "   ", "...", "a", "  Hello,   World! 42 ", "ä-b", "A!B?C",
+      "!leading", "trailing!", "\ttabs\nand\nnewlines\t").toDF("text")
+      .select(TF.cleanText(col("text")).as("k"), composed.as("r"))
+    edge.collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    val mismatches = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(TF.cleanText(col("text")).as("k"), composed.as("r"))
+      .filter(not(col("k") === col("r"))).count()
+    assert(mismatches == 0, "cleanText must equal the composed form on every fixture doc")
+  }
+
   test("countAlpha kernel equals the regex-strip form on edges and real data") {
     val composed = length(regexp_replace(lower(col("text")), "[^a-z]", "")).cast("long")
     val edge = Seq("", "abc", "A1b2C3", "ä ö ü ß É", "no digits!", "1234", "  MiXeD  ")
