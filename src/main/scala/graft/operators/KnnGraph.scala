@@ -29,7 +29,15 @@ object KnnGraph {
     * bucket), which starves [[refine]] — a neighbor-of-a-neighbor can
     * never leave the block. Multiple independent bucketings give each node
     * neighbors from different blocks, exactly what NN-Descent rounds then
-    * merge toward the true graph. `vectors`: (id LONG, emb ARRAY<FLOAT>). */
+    * merge toward the true graph. `vectors`: (id LONG, emb ARRAY<FLOAT>).
+    *
+    * SCALE CALIBRATION: candidate volume is Σ bucket², so the bucket COUNT
+    * must grow with the corpus — pick ~log2(N / targetBucketSize) sign
+    * planes per table (bucket size 8-32). Measured at 40k vectors: a 6-bit
+    * bucketing calibrated for 2k vectors generates 50M pairs (15 s,
+    * quadratic); 12-bit brings it to ~0.8M pairs (2.7 s) — same recall
+    * role, since multi-table union + [[refine]] supply the long-range
+    * edges either way (SURVEY §8.3). */
   def build(vectors: DataFrame,
             bucketFns: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
             k: Int): DataFrame = {

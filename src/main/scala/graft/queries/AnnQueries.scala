@@ -593,7 +593,10 @@ object AnnQueries {
     // exact top-5 of the visited set. The search touches O(hops·beam·k)
     // vectors, not the corpus — the serving win graphs exist for. The
     // oracle replays the identical walk as a recursive CTE (visited set
-    // carried as a list, fixed 3 hops, ascending-id ties).
+    // carried as a list, fixed 3 hops, ascending-id ties). 6-bit buckets
+    // are calibrated to this fixture's 2k vectors; at scale the bucket
+    // count grows with N (see KnnGraph.build's calibration note — measured
+    // 5.5x at 40k vectors), which changes only the bucketFns passed here.
     Q(
       "q_ann_graph_search",
       "beam search over a 2-table LSH kNN graph: 3 hops, beam 4, exact top-5",
