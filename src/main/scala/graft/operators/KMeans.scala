@@ -29,6 +29,32 @@ object KMeans {
     * sub-2^-20 precision of the mean). */
   val QuantScale: Double = 1048576.0
 
+  /** Deterministic farthest-first (k-center) seeding: seed 1 is the
+    * lowest-id row; each next seed maximizes its distance to the chosen set
+    * (ties to the lowest id). The deterministic stand-in for k-means++ —
+    * no RNG, bit-reproducible, and it handles the 100 TB ingest norm of
+    * data arriving SORTED BY DOMAIN, where first-k-rows seeding puts every
+    * seed in one cluster and Lloyd cannot escape the symmetric init
+    * (measured: cells never separate, probes scan MORE than untrained).
+    * k-1 narrow passes over the input (cache it); at corpus scale this
+    * runs on a bounded sample. */
+  def farthestFirstSeeds(vectors: DataFrame, idCol: String, embCol: String,
+                         k: Int): Array[(Long, Array[Float])] = {
+    val first = vectors.orderBy(idCol).limit(1)
+      .select(col(idCol).cast("long"), col(embCol)).head()
+    val seeds = scala.collection.mutable.ArrayBuffer(
+      (first.getLong(0), first.getSeq[Float](1).toArray))
+    while (seeds.length < k) {
+      val minD = seeds.map(s => VF.l2Sq(col(embCol), typedlit(s._2)))
+        .reduce((a, b) => least(a, b))
+      val next = vectors
+        .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"), minD.as("__md"))
+        .orderBy(desc("__md"), asc("__id")).limit(1).head()
+      seeds += ((next.getLong(0), next.getSeq[Float](1).toArray))
+    }
+    seeds.sortBy(_._1).toArray
+  }
+
   /** Lloyd k-means whose centroid update is CROSS-ENGINE DETERMINISTIC:
     * per-dimension means accumulate as integer sums of `round(x * 2^20)`
     * (exact, commutative — unlike double sums, whose value depends on the
@@ -43,12 +69,15 @@ object KMeans {
     * Scale shape is identical to [[train]]: each round is one narrow fused
     * argmin pass plus one hash aggregate carrying k·dim longs. */
   def trainQuantized(vectors: DataFrame, idCol: String, embCol: String,
-                     k: Int, iters: Int): Array[(Long, Array[Float])] = {
+                     k: Int, iters: Int,
+                     seeds: Option[Array[(Long, Array[Float])]] = None): Array[(Long, Array[Float])] = {
     val dim = vectors.select(size(col(embCol))).head().getInt(0)
-    var cb: Array[(Long, Array[Float])] = vectors
-      .orderBy(idCol).limit(k)
-      .select(col(idCol).cast("long"), col(embCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    var cb: Array[(Long, Array[Float])] = seeds.getOrElse {
+      vectors
+        .orderBy(idCol).limit(k)
+        .select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    }.sortBy(_._1)
     require(cb.length == k, s"need at least $k rows to seed $k centroids")
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +: (0 until dim).map { d =>

@@ -125,10 +125,12 @@ object AnalyticsQueries {
              |  CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS mass
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
-    // Persistent IVF index end-to-end: TRAIN centroids (3 rounds of the
-    // cross-engine-deterministic quantized Lloyd — integer dimension sums,
-    // so the oracle reproduces them bit-for-bit by unrolling the same
-    // rounds in SQL), build the cell-partitioned layout, then probe it.
+    // Persistent IVF index end-to-end: TRAIN centroids — deterministic
+    // farthest-first seeding (survives domain-sorted ingest; replayed in
+    // the oracle as a recursive CTE) + 3 rounds of the cross-engine-
+    // deterministic quantized Lloyd (integer dimension sums, so the oracle
+    // reproduces them bit-for-bit by unrolling the same rounds in SQL),
+    // build the cell-partitioned layout, then probe it.
     // The scan is PRUNED BY THE STORAGE LAYOUT: only the nprobe cell
     // directories are read — and trained centroids are what make that
     // pruning effective at scale (untrained first-k-rows centroids leave a
@@ -176,8 +178,27 @@ object AnalyticsQueries {
         val dAssignF = OracleSql.l2Sq("e.embedding", "c.cemb")
         val dCent = OracleSql.l2Sq("cent.cemb", "probe.qe")
         val dFinal = OracleSql.l2Sq("a.embedding", "probe.qe")
-        s"""WITH dims AS (SELECT unnest(range(1, ${AnnQueries.EmbDim + 1})) AS d),
-           |c0 AS MATERIALIZED (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16),
+        val dSeed = OracleSql.l2Sq("e.embedding", "p.embedding")
+        // farthest-first seed selection replayed as a recursive CTE (the
+        // growing seed set carried as a list, like the MMR oracle); the
+        // correlated subqueries reference the raw table, NOT materialized
+        // CTEs (DuckDB 1.0 silently breaks that correlation)
+        s"""WITH RECURSIVE dims AS (SELECT unnest(range(1, ${AnnQueries.EmbDim + 1})) AS d),
+           |seedwalk AS (
+           |  SELECT 1 AS step, [CAST((SELECT min(vec_id) FROM embeddings) AS BIGINT)] AS sids
+           |  UNION ALL
+           |  SELECT s.step + 1, list_append(s.sids, w.vid)
+           |  FROM seedwalk s, LATERAL (
+           |    SELECT e.vec_id AS vid
+           |    FROM embeddings e
+           |    WHERE NOT list_contains(s.sids, e.vec_id)
+           |    ORDER BY (SELECT min($dSeed) FROM embeddings p
+           |              WHERE list_contains(s.sids, p.vec_id)) DESC, e.vec_id
+           |    LIMIT 1) w
+           |  WHERE s.step < 16),
+           |c0 AS MATERIALIZED (
+           |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+           |  WHERE vec_id IN (SELECT unnest(sids) FROM seedwalk WHERE step = 16)),
            |${(0 until iters).map(round).mkString(",\n")},
            |cent AS MATERIALIZED (SELECT cid, cemb FROM c$iters),
            |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -49,8 +49,12 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     // cache it for the duration of the build
     val v = vectors.persist()
     try {
+      // farthest-first seeds survive domain-sorted ingest (first-k-rows
+      // seeding traps every seed in one cluster); quantized Lloyd then
+      // keeps the whole pipeline bit-reproducible for the oracle
+      val seeds = graft.operators.KMeans.farthestFirstSeeds(v, "id", "emb", numCells)
       val cents = graft.operators.KMeans.trainQuantized(
-        v, "id", "emb", numCells, IvfIndex.TrainIters)
+        v, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
       spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "cemb")
         .write.mode("overwrite").parquet(centroidPath)

@@ -49,6 +49,68 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
     assert(r >= 0.5, s"IVF recall collapsed: $r")
   }
 
+  test("trained IVF centroids beat untrained seeding on clustered corpora") {
+    // On the near-uniform fixture vectors, seed choice is statistical noise.
+    // The pathology training exists for is CLUSTERED data arriving sorted by
+    // domain (the 100 TB norm: ingest grouped by source): the first-k-rows
+    // seeds then all land in ONE cluster, cells carve that cluster finely
+    // and lump everything else — probes into other clusters scan huge
+    // fractions or miss. Construct exactly that, deterministically: 16
+    // clusters of 8.0-offset on distinct axes, cluster = vec_id / 31 so the
+    // lowest 16 ids (the untrained seeds) are all cluster 0.
+    val clustered = vecs
+      .withColumn("cluster", (col("vec_id") / 31).cast("int") % 16)
+      .withColumn("emb", transform(col("embedding"),
+        (x, i) => when(i === col("cluster"), x + lit(8.0f)).otherwise(x)))
+      .select(col("vec_id").as("id"), col("emb"))
+      .persist()
+    val untrainedCents = clustered.filter(col("id") < 16)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    // the IvfIndex.build pipeline: farthest-first seeds + quantized Lloyd
+    // (first-k-rows-seeded Lloyd CANNOT escape this init — all seeds sit in
+    // cluster 0, every cell mean converges to the same mixture; measured
+    // before farthest-first seeding: trained scans MORE than untrained)
+    val trainedCents = graft.operators.KMeans.trainQuantized(
+      clustered, "id", "emb", 16, graft.store.IvfIndex.TrainIters,
+      Some(graft.operators.KMeans.farthestFirstSeeds(clustered, "id", "emb", 16)))
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val total = clustered.count().toDouble
+    val probeIds = Seq(45L, 120L, 201L, 333L, 470L) // clusters 1,3,6,10,15
+    def stats(cents: Array[(Long, Array[Float])]): (Double, Double) = {
+      val assigned = clustered
+        .withColumn("cell", VF.nearestCentroid(col("emb"), cents)).persist()
+      val rs = probeIds.map { pid =>
+        val pe = clustered.filter(col("id") === pid).head().getSeq[Float](1).toArray
+        val exact = clustered.filter(col("id") =!= pid)
+          .withColumn("d", VF.l2Sq(col("emb"), typedlit(pe)))
+          .orderBy(asc("d"), asc("id")).limit(K)
+          .select("id").collect().map(_.getLong(0)).toSet
+        val cells = cents.map { case (cid, c) => (l2(c, pe), cid) }.sorted.take(4).map(_._2).toSeq
+        val scanned = assigned.filter(col("cell").isin(cells: _*) && col("id") =!= pid)
+        val frac = scanned.count() / total
+        val got = scanned
+          .withColumn("d", VF.l2Sq(col("emb"), typedlit(pe)))
+          .orderBy(asc("d"), asc("id")).limit(K)
+          .select("id").collect().map(_.getLong(0)).toSet
+        ((got intersect exact).size.toDouble / K, frac)
+      }
+      assigned.unpersist()
+      (rs.map(_._1).sum / rs.size, rs.map(_._2).sum / rs.size)
+    }
+    val (rU, fU) = stats(untrainedCents)
+    val (rT, fT) = stats(trainedCents)
+    info(f"clustered IVF recall@$K (nprobe 4/16, 5 probes): " +
+      f"untrained=$rU%.2f scanning ${fU * 100}%.0f%% vs trained=$rT%.2f scanning ${fT * 100}%.0f%%")
+    clustered.unpersist()
+    assert(rT >= rU, f"training must not lose recall on clustered data: $rU%.2f -> $rT%.2f")
+    assert(rT / math.max(fT, 1e-9) > rU / math.max(fU, 1e-9),
+      f"training must improve recall per scanned row: ${rU / fU}%.2f -> ${rT / fT}%.2f")
+  }
+
   private def pqRecall(codebooks: graft.operators.ProductQuantizer.Codebooks): Double = {
     import graft.operators.ProductQuantizer
     val got = ProductQuantizer.encode(vecs.toDF(), "embedding", codebooks)
