@@ -38,8 +38,19 @@ object KMeans {
     * (measured: cells never separate, probes scan MORE than untrained).
     * k-1 narrow passes over the input (cache it); at corpus scale this
     * runs on a bounded sample. */
+  /** Above this row count the seed selection runs as distributed jobs;
+    * below it the (id, emb) pairs collect and the identical argmax runs
+    * driver-side — k tiny sequential Spark jobs are pure scheduling
+    * overhead on a small input, and both paths are bit-identical (same
+    * double math, same ascending-id ties). */
+  val DriverSeedBound: Long = 131072L
+
   def farthestFirstSeeds(vectors: DataFrame, idCol: String, embCol: String,
                          k: Int): Array[(Long, Array[Float])] = {
+    val n = vectors.count()
+    if (n <= DriverSeedBound) return farthestFirstDriver(
+      vectors.select(col(idCol).cast("long"), col(embCol)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k)
     val first = vectors.orderBy(idCol).limit(1)
       .select(col(idCol).cast("long"), col(embCol)).head()
     val seeds = scala.collection.mutable.ArrayBuffer(
@@ -51,6 +62,42 @@ object KMeans {
         .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"), minD.as("__md"))
         .orderBy(desc("__md"), asc("__id")).limit(1).head()
       seeds += ((next.getLong(0), next.getSeq[Float](1).toArray))
+    }
+    seeds.sortBy(_._1).toArray
+  }
+
+  /** Driver-side farthest-first over collected rows — incremental min-dist
+    * maintenance, O(N·k·dim); argmax scans in ascending-id order with
+    * strict >, matching the distributed orderBy(desc(md), asc(id)). */
+  private def farthestFirstDriver(rows: Array[(Long, Array[Float])],
+                                  k: Int): Array[(Long, Array[Float])] = {
+    val byId = rows.sortBy(_._1)
+    require(byId.length >= k, s"need at least $k rows to seed $k centroids")
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val minD = Array.fill(byId.length)(Double.MaxValue)
+    val chosen = Array.fill(byId.length)(false)
+    var cur = 0 // lowest id first
+    val seeds = scala.collection.mutable.ArrayBuffer(byId(0))
+    chosen(0) = true
+    while (seeds.length < k) {
+      var best = -1
+      var bestD = Double.NegativeInfinity
+      var i = 0
+      while (i < byId.length) {
+        if (!chosen(i)) {
+          val d = math.min(minD(i), l2(byId(i)._2, byId(cur)._2))
+          minD(i) = d
+          if (d > bestD) { bestD = d; best = i }
+        }
+        i += 1
+      }
+      chosen(best) = true
+      cur = best
+      seeds += byId(best)
     }
     seeds.sortBy(_._1).toArray
   }

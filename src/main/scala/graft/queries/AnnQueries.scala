@@ -603,14 +603,19 @@ object AnnQueries {
       (s, dir) => {
         import graft.operators.KnnGraph
         val e = tbl(s, dir, "embeddings")
+        // the build reads the corpus once per hash table plus once for
+        // scoring — cache it for the query's lifetime; beamSearch's result
+        // is localCheckpoint'd (eager), so unpersisting afterwards is safe
         val corpus = e.filter(col("vec_id") =!= 0)
-          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+          .select(col("vec_id").as("id"), col("embedding").as("emb")).persist()
         val qe: Array[Float] = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         val graph = KnnGraph.build(corpus, Seq(lshBucketFn(0), lshBucketFn(200)), k = 4)
-        KnnGraph.beamSearch(graph, corpus, qe,
+        val out = KnnGraph.beamSearch(graph, corpus, qe,
           k = 5, beamWidth = 4, hops = 3, entries = Seq(1L, 2L))
           .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+        corpus.unpersist()
+        out
       },
       Some {
         val dEdge = OracleSql.l2Sq("a.embedding", "b.embedding")
