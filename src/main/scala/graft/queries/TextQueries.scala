@@ -407,6 +407,86 @@ object TextQueries {
            |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }),
 
+    // Benchmark DECONTAMINATION — the training-data operator every LLM
+    // pipeline runs before training: drop documents sharing long n-grams
+    // with held-out evaluation data. Benchmark slice = doc_id % 89 == 0;
+    // overlap unit = distinct 8-gram hashes (the fused ShingleHashSet
+    // kernel; hash-level on BOTH engines so the rare collision cannot
+    // desync the count). The corpus carries little natural overlap, so —
+    // like q_pii_redact — each engine injects the SAME canary sentence
+    // into doc_id % 13 == 0 and benchmark docs; every canary'd doc must
+    // then flag. Scale shape: the benchmark gram set is tiny relative to
+    // the corpus (eval sets are MBs) and broadcasts explicitly; the
+    // per-doc overlap count aggregates ONLY semi-join survivors (bounded
+    // by true contamination volume), then left-joins back to the narrow
+    // all-docs frame.
+    Q(
+      "q_decontaminate",
+      "benchmark decontamination: 8-gram-hash overlap vs held-out slice",
+      (s, dir) => {
+        val canary = " canary alpha bravo charlie delta echo foxtrot golf hotel"
+        val aug = when(col("doc_id") % 13 === 0 || col("doc_id") % 89 === 0,
+          concat(col("text"), lit(canary))).otherwise(col("text"))
+        val d = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(aug).as("toks"))
+          .select(col("doc_id"), TF.shingleHashSet(col("toks"), 8).as("g8"))
+        val bench = d.filter(col("doc_id") % 89 === 0)
+          .select(explode(col("g8")).as("g")).distinct()
+        val corpus = d.filter(col("doc_id") % 89 =!= 0)
+        val overlaps = corpus
+          .select(col("doc_id"), explode(col("g8")).as("g"))
+          .join(broadcast(bench), Seq("g"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+        corpus.select(col("doc_id"), size(col("g8")).as("n_grams"))
+          .join(overlaps, Seq("doc_id"), "left")
+          .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+          .select(col("doc_id"), col("n_grams"), col("n_overlap"),
+            (col("n_overlap") > 0).as("contaminated"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val canary = " canary alpha bravo charlie delta echo foxtrot golf hotel"
+        val aug = s"CASE WHEN doc_id % 13 = 0 OR doc_id % 89 = 0 THEN text || '$canary' ELSE text END"
+        val g8 = "list_sort(list_distinct(" +
+          OracleText.tokenHashes(OracleText.shingles(OracleText.tokens(aug), 8)) + "))"
+        s"""WITH d AS MATERIALIZED (SELECT doc_id, $g8 AS g8 FROM documents),
+           |bench AS (SELECT DISTINCT unnest(g8) AS g FROM d WHERE doc_id % 89 = 0),
+           |corpus AS (SELECT doc_id, g8 FROM d WHERE doc_id % 89 <> 0),
+           |ov AS (
+           |  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           |  FROM (SELECT doc_id, unnest(g8) AS g FROM corpus) c JOIN bench USING (g)
+           |  GROUP BY c.doc_id)
+           |SELECT corpus.doc_id, CAST(len(corpus.g8) AS INT) AS n_grams,
+           |       coalesce(ov.n_overlap, 0) AS n_overlap,
+           |       coalesce(ov.n_overlap, 0) > 0 AS contaminated
+           |FROM corpus LEFT JOIN ov ON ov.doc_id = corpus.doc_id
+           |ORDER BY corpus.doc_id""".stripMargin
+      }),
+
+    // Per-source quota — domain balancing: cap every source's contribution
+    // at its K best documents (web-scale corpora are dominated by a few
+    // hosts; quotas keep the mixture flat). One window shuffle on the
+    // source key; rank = (n_chars desc, doc_id) is total, so the kept set
+    // is deterministic.
+    Q(
+      "q_source_quota",
+      "domain balancing: keep each source's top-5 docs by length",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("n_chars"), asc("doc_id"))
+        tbl(s, dir, "documents")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+          .orderBy("source", "rnk")
+      },
+      Some(
+        """SELECT source, CAST(rnk AS INT) AS rnk, doc_id, n_chars
+          |FROM (SELECT source, doc_id, n_chars,
+          |        row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rnk
+          |      FROM documents)
+          |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)),
+
     // Heavy-hitter bigrams via operators.HeavyHitters: a count-min-sketch
     // pass prunes sub-threshold rows BEFORE the aggregation shuffle (CMS
     // never under-counts -> no false negatives; the exact HAVING removes

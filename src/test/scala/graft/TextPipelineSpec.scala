@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end properties of the training-data pipeline operators that are
+  * easier to state as invariants than to eyeball in the oracle rows. */
+class TextPipelineSpec extends AnyFunSuite with SparkTest {
+
+  test("decontamination flags every canary'd doc and no benchmark doc leaks through") {
+    val out = graft.queries.Registry.queries("q_decontaminate")(spark, sf001).collect()
+    val byId = out.map(r => r.getLong(0) -> r).toMap
+    // benchmark docs are excluded from the output entirely
+    assert(byId.keys.forall(_ % 89 != 0), "benchmark slice must not appear in the corpus output")
+    // every canary'd corpus doc shares the canary's 8-grams with the bench slice
+    val canaried = byId.keys.filter(id => id % 13 == 0).toSeq
+    assert(canaried.nonEmpty)
+    canaried.foreach { id =>
+      val r = byId(id)
+      assert(r.getBoolean(3), s"doc $id carries the canary but was not flagged")
+      assert(r.getLong(2) >= 1, s"doc $id overlap count must be positive")
+    }
+    // contamination is a real subset, not everything
+    val flagged = out.count(_.getBoolean(3))
+    assert(flagged >= canaried.size && flagged < out.length,
+      s"$flagged of ${out.length} flagged")
+  }
+
+  test("source quota keeps exactly the top-5 docs per source by (n_chars, doc_id)") {
+    val out = graft.queries.Registry.queries("q_source_quota")(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val bySource = out.groupBy(_._1)
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    bySource.foreach { case (src, kept) =>
+      assert(kept.length == 5, s"$src kept ${kept.length} docs")
+      val want = docs.filter(_._1 == src).sortBy(d => (-d._3, d._2)).take(5)
+        .map(d => (d._2, d._3)).toSeq
+      assert(kept.sortBy(_._2).map(k => (k._3, k._4)).toSeq == want,
+        s"$src quota must be the exact top-5")
+    }
+    assert(bySource.size == 20)
+  }
+}
