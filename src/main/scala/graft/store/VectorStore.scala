@@ -60,6 +60,32 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
   def dropCollection(name: String): Unit = rm(new java.io.File(path(name)))
 
+  /** Chroma `client.list_collections()`: collection names on this store
+    * (snapshots and staging dirs excluded), sorted. */
+  def listCollections(): Seq[String] = {
+    val base = new java.io.File(basePath)
+    if (!base.isDirectory) Nil
+    else base.listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("__") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .map(_.getName).toSeq.sorted
+  }
+
+  /** Chroma `collection.modify(name=...)`: rename a collection (its
+    * snapshots move with it). */
+  def renameCollection(from: String, to: String): Collection = {
+    require(exists(from), s"no collection named $from")
+    require(!exists(to), s"collection $to already exists")
+    require(new java.io.File(path(from)).renameTo(new java.io.File(path(to))),
+      s"rename $from -> $to failed")
+    val snaps = new java.io.File(s"$basePath/__snapshots/$from")
+    if (snaps.isDirectory) {
+      new java.io.File(s"$basePath/__snapshots").mkdirs()
+      snaps.renameTo(new java.io.File(s"$basePath/__snapshots/$to")): Unit
+    }
+    new Collection(to)
+  }
+
   final class Collection private[VectorStore] (val name: String) {
 
     def df: DataFrame = spark.read.schema(schema).parquet(path(name))
@@ -89,6 +115,11 @@ final class VectorStore(spark: SparkSession, basePath: String) {
         .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
       incoming.join(collisions, Seq("id"), "left_anti")
     }
+
+    /** Chroma `collection.peek(limit)`: first rows by id — a bounded look,
+      * never a full scan. */
+    def peek(limit: Int = 10): DataFrame =
+      df.orderBy(col("id")).limit(limit)
 
     /** get(): no ids -> full extraction (the leak); ids -> point lookup.
       * `include` projects columns (ids always included), mirroring
@@ -239,6 +270,22 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       encrypt(col("doc")).as("doc_ct"),
       encrypt(to_json(col("emb"))).as("emb_ct"))
       .write.mode("overwrite").parquet(path(name))
+
+  /** Incremental encrypted append with duplicate-id rejection — the
+    * VectorStore.add discipline on the encrypted twin: collisions come from
+    * a store-side semi-join against the broadcast batch (only plaintext ids
+    * are read — column pruning keeps ciphertext untouched), never a
+    * store-side broadcast. */
+  def add(rows: DataFrame, name: String): Unit = {
+    val incoming = rows.select(
+      col("id").cast(StringType).as("id"),
+      encrypt(col("doc")).as("doc_ct"),
+      encrypt(to_json(col("emb"))).as("emb_ct"))
+    val collisions = spark.read.parquet(path(name)).select("id")
+      .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
+    incoming.join(collisions, Seq("id"), "left_anti")
+      .write.mode("append").parquet(path(name))
+  }
 
   /** Full extraction WITHOUT the key: ciphertext only — the defense. */
   def extractSecure(name: String): DataFrame =

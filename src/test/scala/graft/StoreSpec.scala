@@ -205,6 +205,43 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     assert(coll.listSnapshots() == Seq("v2"))
   }
 
+  test("listCollections / renameCollection / peek (Chroma client parity)") {
+    val store = new VectorStore(spark, tmp())
+    store.createOrGet("beta")
+    store.createOrGet("alpha")
+    assert(store.listCollections() == Seq("alpha", "beta"))
+    val a = store.createOrGet("alpha")
+    a.add(docRows)
+    a.snapshot("v1")
+    val renamed = store.renameCollection("alpha", "gamma")
+    assert(store.listCollections() == Seq("beta", "gamma"))
+    assert(renamed.count() == docRows.count(), "rename preserves contents")
+    assert(renamed.listSnapshots() == Seq("v1"), "snapshots move with the collection")
+    intercept[IllegalArgumentException](store.renameCollection("alpha", "x"))
+    intercept[IllegalArgumentException](store.renameCollection("beta", "gamma"))
+    val p = renamed.peek(3)
+    assert(p.count() == 3)
+    assert(p.collect().map(_.getString(0)).toSeq ==
+      renamed.df.select("id").orderBy("id").limit(3).collect().map(_.getString(0)).toSeq)
+  }
+
+  test("encrypted store: incremental add rejects duplicate ids") {
+    val enc = new EncryptedStore(spark, tmp(), "0123456789abcdef")
+    val rows = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").cast("string").as("id"),
+        concat(lit("d"), col("vec_id")).as("doc"), col("embedding").as("emb"))
+    val n = rows.count()
+    enc.store(rows.filter(col("id").cast("long") < n / 2), "v")
+    enc.add(rows, "v") // half duplicate, half fresh
+    val opened = enc.open("v")
+    assert(opened.count() == n, "dups rejected, fresh appended")
+    assert(opened.select("id").distinct().count() == n)
+    // round-trip still exact for both the original and appended halves
+    val bad = opened.join(rows.select(col("id"), col("emb").as("orig")), "id")
+      .filter(not(col("emb") === col("orig"))).count()
+    assert(bad == 0)
+  }
+
   test("encrypted store: round-trip identity, unique IVs, useless without key") {
     val base = tmp()
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")
