@@ -487,6 +487,117 @@ object TextQueries {
           |      FROM documents)
           |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin)),
 
+    // The full training-data pipeline as ONE funnel — the composition a
+    // real corpus actually runs, each stage feeding the next: quality gate
+    // (q_quality_score's exact formula) -> MinHash-LSH near-dup drop
+    // (higher id of each verified pair) -> benchmark decontamination
+    // (8-gram hashes vs the held-out doc_id%89 slice, natural overlap) ->
+    // per-source quota (top-15 by quality). Emits the survivor count per
+    // stage. Every stage is the already-verified operator's own math, so
+    // the funnel counts hash-match the oracle's replay of the whole
+    // composition — integration-testing the engine end to end.
+    Q(
+      "q_pipeline_e2e",
+      "pipeline funnel: quality -> near-dup -> decontaminate -> quota survivor counts",
+      (s, dir) => {
+        val base = tbl(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("n_toks", size(col("toks")))
+          .withColumn("quality",
+            TF.countAlpha(col("text")).cast("double") / length(col("text")) * 0.4 +
+              hits(col("toks"), StopEn).cast("double") / greatest(col("n_toks"), lit(1)) * 0.3 +
+              least(TF.tokenLenSum(col("toks")).cast("double") /
+                greatest(col("n_toks"), lit(1)) / 8.0, lit(1.0)) * 0.3)
+          .persist()
+        val q1 = base.filter(col("quality") >= 0.51).persist()
+        // near-dup: band-bucket candidates among survivors, exact verify
+        val sh = q1.select(col("doc_id"), TF.shingleHashSet(col("toks"), 3).as("sh")).persist()
+        val bands = sh.select(col("doc_id"),
+          posexplode(TF.minhashBandBuckets(col("sh"))).as(Seq("band", "bucket")))
+        val cand = bands.as("x")
+          .join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+        val drops = cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+          .withColumn("jac_raw", inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+          .filter(col("jac_raw") >= 0.5)
+          .select(col("doc_b").as("doc_id")).distinct()
+        val q2 = q1.join(drops, Seq("doc_id"), "left_anti").persist()
+        // decontaminate: the %89 slice is eval data — held out AND used to
+        // flag overlapping training docs (natural overlap, no canary)
+        val benchG = base.filter(col("doc_id") % 89 === 0)
+          .select(explode(TF.shingleHashSet(col("toks"), 8)).as("g")).distinct()
+        val cont = q2.filter(col("doc_id") % 89 =!= 0)
+          .select(col("doc_id"), explode(TF.shingleHashSet(col("toks"), 8)).as("g"))
+          .join(broadcast(benchG), Seq("g"), "left_semi")
+          .select("doc_id").distinct()
+        val q3 = q2.filter(col("doc_id") % 89 =!= 0)
+          .join(cont, Seq("doc_id"), "left_anti").persist()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("quality"), asc("doc_id"))
+        val q4 = q3.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 15)
+        val funnel = Seq(
+          (0, "raw", base.count()), (1, "quality", q1.count()),
+          (2, "near_dup", q2.count()), (3, "decontaminated", q3.count()),
+          (4, "quota", q4.count()))
+        Seq(base, q1, sh, q2, q3).foreach(_.unpersist())
+        import s.implicits._
+        funnel.toDF("stage", "name", "n_docs").orderBy("stage")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        val sh3 = "list_sort(list_distinct(" +
+          OracleText.tokenHashes(OracleText.shingles("toks", 3)) + "))"
+        val g8 = "list_sort(list_distinct(" +
+          OracleText.tokenHashes(OracleText.shingles("toks", 8)) + "))"
+        val bandSelects = (0 until 3).map { j =>
+          s"SELECT doc_id, $j AS band, ${OracleText.bandBucket("sh", j)} AS bucket FROM sh"
+        }.mkString("\nUNION ALL\n")
+        val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +
+          "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
+        s"""WITH d AS MATERIALIZED (SELECT doc_id, source, text, $toks AS toks FROM documents),
+           |q AS MATERIALIZED (SELECT doc_id, source, toks,
+           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4 +
+           |  CAST(${sqlHits("toks", StopEn)} AS DOUBLE) / greatest(len(toks), 1) * 0.3 +
+           |  least(CAST(coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))), 0) AS DOUBLE)
+           |    / greatest(len(toks), 1) / 8.0, 1.0) * 0.3 AS quality
+           |FROM d),
+           |q1 AS MATERIALIZED (SELECT * FROM q WHERE quality >= 0.51),
+           |sh AS MATERIALIZED (SELECT doc_id, $sh3 AS sh FROM q1),
+           |bands AS MATERIALIZED (
+           |$bandSelects),
+           |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+           |         FROM bands x JOIN bands y
+           |           ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+           |drops AS (SELECT DISTINCT doc_b FROM cand
+           |          JOIN sh a ON a.doc_id = cand.doc_a JOIN sh b ON b.doc_id = cand.doc_b
+           |          WHERE $jac >= 0.5),
+           |q2 AS MATERIALIZED (SELECT * FROM q1 WHERE doc_id NOT IN (SELECT doc_b FROM drops)),
+           |bench AS (SELECT DISTINCT unnest(g8) AS g FROM
+           |  (SELECT $g8 AS g8 FROM d WHERE doc_id % 89 = 0)),
+           |cont AS (SELECT DISTINCT c.doc_id FROM
+           |  (SELECT doc_id, unnest($g8) AS g FROM q2 WHERE doc_id % 89 <> 0) c
+           |  JOIN bench USING (g)),
+           |q3 AS MATERIALIZED (SELECT * FROM q2
+           |  WHERE doc_id % 89 <> 0 AND doc_id NOT IN (SELECT doc_id FROM cont)),
+           |q4 AS (SELECT doc_id FROM (
+           |    SELECT doc_id, row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rnk
+           |    FROM q3) WHERE rnk <= 15)
+           |SELECT * FROM (
+           |  SELECT 0 AS stage, 'raw' AS name, CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs
+           |  UNION ALL SELECT 1, 'quality', (SELECT count(*) FROM q1)
+           |  UNION ALL SELECT 2, 'near_dup', (SELECT count(*) FROM q2)
+           |  UNION ALL SELECT 3, 'decontaminated', (SELECT count(*) FROM q3)
+           |  UNION ALL SELECT 4, 'quota', (SELECT count(*) FROM q4)
+           |) ORDER BY stage""".stripMargin
+      }),
+
     // Heavy-hitter bigrams via operators.HeavyHitters: a count-min-sketch
     // pass prunes sub-threshold rows BEFORE the aggregation shuffle (CMS
     // never under-counts -> no false negatives; the exact HAVING removes
