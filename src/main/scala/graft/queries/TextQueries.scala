@@ -427,9 +427,12 @@ object TextQueries {
         val canary = " canary alpha bravo charlie delta echo foxtrot golf hotel"
         val aug = when(col("doc_id") % 13 === 0 || col("doc_id") % 89 === 0,
           concat(col("text"), lit(canary))).otherwise(col("text"))
+        // persisted: the gram sets feed the benchmark branch, the overlap
+        // count, and the final all-docs frame — compute the kernel once
         val d = tbl(s, dir, "documents")
           .select(col("doc_id"), TF.tokens(aug).as("toks"))
           .select(col("doc_id"), TF.shingleHashSet(col("toks"), 8).as("g8"))
+          .persist()
         val bench = d.filter(col("doc_id") % 89 === 0)
           .select(explode(col("g8")).as("g")).distinct()
         val corpus = d.filter(col("doc_id") % 89 =!= 0)

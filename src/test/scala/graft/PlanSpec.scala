@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape assertions for the flagship query families — the
+  * scale claims ("no corpus shuffle", "pushdown reaches the scan", "top-k
+  * never global-sorts") checked against the actual planner output, not
+  * prose. Complements the per-operator plan asserts in SearchSpec
+  * (PushedFilters), IvfIndexSpec (PartitionFilters), StoreSpec (no
+  * store-side broadcast), HeavyHittersSpec (no UDF barrier), and
+  * BucketingSpec (zero-shuffle SMJ). */
+class PlanSpec extends AnyFunSuite with SparkTest {
+
+  private def plan(name: String): String =
+    graft.queries.Registry.queries(name)(spark, sf001)
+      .queryExecution.executedPlan.toString
+
+  test("kNN top-k plans use TakeOrderedAndProject, never a global sort") {
+    Seq("q_knn_cosine", "q_knn_l2").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must TakeOrdered, got:\n$p")
+      assert(!p.contains("Sort ["), s"$q must not global-sort the corpus:\n$p")
+    }
+  }
+
+  test("point lookup pushes the id predicate into the parquet scan") {
+    val p = plan("q_point_get")
+    assert(p.contains("PushedFilters") && p.contains("In(doc_id"),
+      s"expected an In(doc_id, ...) pushdown in:\n$p")
+  }
+
+  test("kernel text scans are narrow: one exchange, the presentation sort") {
+    Seq("q_quality_score", "q_token_count", "q_fingerprint", "q_text_clean").foreach { q =>
+      val p = plan(q)
+      val n = "Exchange".r.findAllIn(p).length
+      assert(n <= 1, s"$q must shuffle only for the final sort, found $n exchanges:\n$p")
+      assert(!p.toLowerCase.contains("scalaudf"), s"$q must stay UDF-free")
+    }
+  }
+}
