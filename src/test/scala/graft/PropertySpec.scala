@@ -26,6 +26,46 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("round-2 text kernels: invariants over random unicode strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val r = rng(11)
+    // mixed alphabet incl. multi-byte and surrogate-pair chars
+    val alphabet = "abzAZ09 .,!ä漢👍\t\n-_"
+    def randStr(): String =
+      (0 until r.nextInt(80)).map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+    (1 to 300).foreach { _ =>
+      val s = randStr()
+      val u = UTF8String.fromString(s)
+      // countAlpha == ascii-letter count of lower(s), bounded by length
+      val ca = TextHashOps.countAlpha(u)
+      val naive = s.toLowerCase.count(c => c >= 'a' && c <= 'z')
+      assert(ca == naive, s"countAlpha mismatch on '$s'")
+      // cleanText: only [a-z0-9 ] survive, no double/boundary spaces, idempotent
+      val ct = TextHashOps.cleanText(u).toString
+      assert(ct.forall(c => (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' '))
+      assert(!ct.contains("  ") && ct.trim == ct, s"cleanText spacing on '$s' -> '$ct'")
+      assert(TextHashOps.cleanText(UTF8String.fromString(ct)).toString == ct,
+        "cleanText must be idempotent")
+      // tokenize(s) tokens joined by spaces == cleanText (same normalization)
+      val toks = TextHashOps.tokenize(u)
+      val joined = (0 until toks.numElements()).map(toks.getUTF8String).mkString(" ")
+      assert(joined == ct, s"tokenize∘join must equal cleanText on '$s'")
+    }
+    // topTokenCount / countTokensIn / tokenLenSum vs naive over random bags
+    (1 to 200).foreach { _ =>
+      val vocab = Vector("a", "bb", "ccc", "dd", "e")
+      val bag = Vector.fill(r.nextInt(60))(vocab(r.nextInt(vocab.length)))
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        bag.map(UTF8String.fromString).toArray[Any])
+      val top = TextHashOps.topTokenCount(ad)
+      val naiveTop = if (bag.isEmpty) 0L else bag.groupBy(identity).values.map(_.size).max.toLong
+      assert(top == naiveTop)
+      val terms = Array("a", "ccc").map(UTF8String.fromString)
+      assert(TextHashOps.countTokensIn(ad, terms) == bag.count(t => t == "a" || t == "ccc").toLong)
+      assert(TextHashOps.tokenLenSum(ad) == bag.map(_.length).sum.toLong)
+    }
+  }
+
   test("minhash: signature of a superset is elementwise <= the subset's") {
     val r = rng(2)
     (1 to 100).foreach { _ =>
