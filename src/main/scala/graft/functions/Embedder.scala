@@ -35,10 +35,16 @@ object Embedder {
   def knnByText(docs: DataFrame, idCol: String, textCol: String,
                 probeId: Long, k: Int, embedder: Embedder): DataFrame = {
     val embedded = embedder.embed(docs.select(col(idCol), col(textCol)), textCol, "emb")
-    val probe = embedded.filter(col(idCol) === probeId).select(col("emb").as("qe"))
-    embedded.crossJoin(broadcast(probe))
+    // the probe embeds via embedOne on its fetched text — filtering the
+    // embedded frame instead would run the (model) encode pass over the
+    // whole corpus a second time just to keep one row, since the predicate
+    // cannot push below a mapPartitions embed stage
+    val probeText = docs.filter(col(idCol) === probeId)
+      .select(col(textCol)).head().getString(0)
+    val qe = typedlit(embedder.embedOne(probeText))
+    embedded
       .filter(col(idCol) =!= probeId)
-      .withColumn("cos_raw", VF.cosine(col("emb"), col("qe")))
+      .withColumn("cos_raw", VF.cosine(col("emb"), qe))
       .orderBy(desc("cos_raw"), asc(idCol))
       .limit(k)
       .select(col(idCol), round(col("cos_raw"), 6).as("cos"))
@@ -71,7 +77,9 @@ object BatchedModelEmbedder {
 }
 
 /** Model-backed embedder — the slot where real weights (ONNX MiniLM etc.)
-  * plug in. `loadModel` runs once per executor JVM (cached under `name`);
+  * plug in. `loadModel` runs once per executor JVM, cached under
+  * `(name, dim)` — `name` must identify the model ARTIFACT (two embedders
+  * sharing a key share whichever model loaded first);
   * `encodeBatch` maps a batch of texts to `dim`-width vectors and is called
   * with at most `batchSize` texts at a time inside `mapPartitions` — the
   * batched executor-side shape the reference's own encoder uses
@@ -85,7 +93,7 @@ final class BatchedModelEmbedder[M](
     batchSize: Int = 64) extends Embedder {
   require(batchSize > 0, "batchSize must be positive")
 
-  private def model: M = BatchedModelEmbedder.getOrLoad(name, loadModel)
+  private def model: M = BatchedModelEmbedder.getOrLoad(s"$name/dim=$dim", loadModel)
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val idx = df.schema.fieldIndex(textCol)

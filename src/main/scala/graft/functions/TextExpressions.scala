@@ -238,6 +238,12 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "top_token_count"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == ArrayType(StringType, containsNull = false) ||
+      child.dataType == ArrayType(StringType, containsNull = true),
+      s"$prettyName expects ARRAY<STRING>")
+    super.checkInputDataTypes()
+  }
 
   override def nullSafeEval(v: Any): Any =
     TextHashOps.topTokenCount(v.asInstanceOf[ArrayData])
@@ -255,6 +261,12 @@ case class CountTokensIn(child: Expression, terms: Seq[String]) extends UnaryExp
   override def prettyName: String = "count_tokens_in"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == ArrayType(StringType, containsNull = false) ||
+      child.dataType == ArrayType(StringType, containsNull = true),
+      s"$prettyName expects ARRAY<STRING>")
+    super.checkInputDataTypes()
+  }
 
   private lazy val termsU: Array[UTF8String] =
     terms.map(UTF8String.fromString).toArray
@@ -277,6 +289,12 @@ case class TokenLenSum(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_len_sum"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == ArrayType(StringType, containsNull = false) ||
+      child.dataType == ArrayType(StringType, containsNull = true),
+      s"$prettyName expects ARRAY<STRING>")
+    super.checkInputDataTypes()
+  }
 
   override def nullSafeEval(v: Any): Any =
     TextHashOps.tokenLenSum(v.asInstanceOf[ArrayData])

@@ -60,6 +60,10 @@ object KMeans {
         .reduce((a, b) => least(a, b))
       val next = vectors
         .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"), minD.as("__md"))
+        // exclude chosen seeds, like the driver path and the oracle: with
+        // duplicate vectors every candidate can sit at distance 0, and the
+        // unfiltered argmax would re-pick an existing seed
+        .filter(!col("__id").isin(seeds.map(_._1).toSeq: _*))
         .orderBy(desc("__md"), asc("__id")).limit(1).head()
       seeds += ((next.getLong(0), next.getSeq[Float](1).toArray))
     }

@@ -559,7 +559,7 @@ object TextQueries {
           OracleText.tokenHashes(OracleText.shingles("toks", 3)) + "))"
         val g8 = "list_sort(list_distinct(" +
           OracleText.tokenHashes(OracleText.shingles("toks", 8)) + "))"
-        val bandSelects = (0 until 3).map { j =>
+        val bandSelects = (0 until graft.functions.TextHashOps.MinHashBands).map { j =>
           s"SELECT doc_id, $j AS band, ${OracleText.bandBucket("sh", j)} AS bucket FROM sh"
         }.mkString("\nUNION ALL\n")
         val jac = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / " +

@@ -87,42 +87,51 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .parquet(s"$dataPath/batch=${batchId + 1}")
   }
 
-  /** Merge accumulated batch directories back into a single `batch=0`
-    * layout (assignments are already materialized in the `cell` partition
-    * column, so compaction is a pure re-write — no vector math). Run this
-    * when streaming has produced many small per-batch files; contents and
-    * query results are unchanged. Stage-and-swap keeps readers safe.
+  /** Merge accumulated batch directories into a single compacted dir
+    * (assignments are already materialized in the `cell` partition column,
+    * so compaction is mostly a re-write). Run this when streaming has
+    * produced many small per-batch files; query results are unchanged.
     *
-    * Safe to run CONCURRENTLY with a streaming [[appendBatch]] writer: the
-    * set of batch directories is SNAPSHOTTED up front, only those batches
-    * are read into the stage and only those are removed afterwards — a
-    * batch dir landing between the stage write and the cleanup survives
-    * untouched (r1 renamed the whole data dir away, silently dropping such
-    * late batches). The compacted data lands as a fresh `batch=<max+1>` dir
-    * (the same idempotent-overwrite namespace appendBatch uses), so readers
-    * always see every row: pre-cleanup both copies are never visible
-    * together because the stage dir is outside `dataPath` until its single
-    * atomic rename. No whole-dir swap, so there is no half-renamed failure
-    * state to roll back — a crash between rename and cleanup only leaves
-    * already-compacted batch dirs that the NEXT compact (or a re-run)
-    * removes after verifying the merged dir is in place. */
+    * Safety model with a concurrent [[appendBatch]] writer:
+    *  - the set of batch directories is SNAPSHOTTED up front; only those
+    *    batches are read and only those are removed — a batch landing
+    *    during compaction survives untouched (r1 renamed the whole data
+    *    dir away, silently dropping such late batches);
+    *  - the merged output publishes (one atomic rename) into the NEGATIVE
+    *    id namespace `batch=-<generation>`, which [[appendBatch]] (ids
+    *    >= 1) and [[build]] (id 0) can never overwrite — publishing into
+    *    `batch=<max+1>` would be clobbered by the stream's next
+    *    micro-batch overwrite of that same dir;
+    *  - the merge `dropDuplicates(id)` — vector ids are unique — so the
+    *    brief windows where a row exists both compacted and un-compacted
+    *    self-heal on the NEXT compaction: a crash between publish and
+    *    cleanup re-merges both copies into one row. Readers BETWEEN the
+    *    publish rename and the input cleanup may transiently see a row
+    *    twice; run compaction when (or where) that read anomaly is
+    *    acceptable, exactly like any non-transactional file compactor.
+    *  - a micro-batch that wrote its dir but crashed BEFORE its checkpoint
+    *    commit may be replayed after compaction already merged the
+    *    orphaned dir; those duplicates are likewise removed by the next
+    *    compaction's id-dedup rather than accumulating forever. */
   def compact(): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
     // snapshot the batch dirs to merge; later-arriving batches are untouched
-    val batchDirs = new java.io.File(dataPath).listFiles()
+    val dataDir = new java.io.File(dataPath)
+    val batchDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).sortBy(_.getName)
     if (batchDirs.length <= 1) return
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
-    val mergedId = batchIds.max + 1
+    val mergedId = math.min(batchIds.min, 0L) - 1L // next free negative generation
     val stage = s"$path/data__stage"
     rm(new java.io.File(stage))
     spark.read.option("basePath", dataPath).parquet(batchDirs.map(_.getPath): _*)
       .select(col("id"), col("emb"), col("cell"))
+      .dropDuplicates("id")
       .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    // single atomic publish of the merged batch, then drop ONLY the
+    // single atomic publish of the merged generation, then drop ONLY the
     // snapshotted inputs
     val dest = new java.io.File(s"$dataPath/batch=$mergedId")
     require(new java.io.File(stage).renameTo(dest), "compaction publish rename failed")

@@ -58,7 +58,12 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     f.delete(): Unit
   }
 
-  def dropCollection(name: String): Unit = rm(new java.io.File(path(name)))
+  /** Drop a collection AND its snapshots (leaving them behind would let a
+    * later collection of the same name inherit dead data). */
+  def dropCollection(name: String): Unit = {
+    rm(new java.io.File(path(name)))
+    rm(new java.io.File(s"$basePath/__snapshots/$name"))
+  }
 
   /** Chroma `client.list_collections()`: collection names on this store
     * (snapshots and staging dirs excluded), sorted. */
@@ -72,7 +77,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
   }
 
   /** Chroma `collection.modify(name=...)`: rename a collection (its
-    * snapshots move with it). */
+    * snapshots move with it; any stale snapshot dir under the target name
+    * is removed first so the move cannot silently fail and attach a dead
+    * collection's snapshots). */
   def renameCollection(from: String, to: String): Collection = {
     require(exists(from), s"no collection named $from")
     require(!exists(to), s"collection $to already exists")
@@ -81,7 +88,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     val snaps = new java.io.File(s"$basePath/__snapshots/$from")
     if (snaps.isDirectory) {
       new java.io.File(s"$basePath/__snapshots").mkdirs()
-      snaps.renameTo(new java.io.File(s"$basePath/__snapshots/$to")): Unit
+      rm(new java.io.File(s"$basePath/__snapshots/$to")) // stale leftovers
+      require(snaps.renameTo(new java.io.File(s"$basePath/__snapshots/$to")),
+        s"snapshot move $from -> $to failed")
     }
     new Collection(to)
   }

@@ -85,6 +85,20 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(batchDirsAfter == 1, s"compaction must leave one batch dir, got $batchDirsAfter")
     val after = idx.query(probe, k = 8, nprobe = 8).collect().map(_.toSeq).toSeq
     assert(after == before, "compaction must not change query results")
+    // the stream CONTINUES after compaction with its next checkpoint batch
+    // id — its dir must not collide with the compacted generation (the
+    // merged output lives in the negative-id namespace)
+    val totalBefore = spark.read.parquet(s"$base/data").count()
+    idx.appendBatch(vectors.filter(col("id") < 3).withColumn("id", col("id") + 10000), 2L)
+    val total = spark.read.parquet(s"$base/data").count()
+    assert(total == totalBefore + 3,
+      s"post-compaction append must not clobber the merged data: $totalBefore -> $total")
+    // duplicates from an uncommitted-batch replay self-heal on re-compaction
+    idx.appendBatch(vectors.filter(col("id") < 3).withColumn("id", col("id") + 10000), 7L)
+    assert(spark.read.parquet(s"$base/data").count() == total + 3, "dup rows present pre-compact")
+    idx.compact()
+    assert(spark.read.parquet(s"$base/data").count() == total,
+      "compaction must dedup replayed rows by id")
   }
 
   test("trained centroids balance the cells (and beat untrained seeding)") {

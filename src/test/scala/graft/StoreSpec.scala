@@ -223,6 +223,15 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     assert(p.count() == 3)
     assert(p.collect().map(_.getString(0)).toSeq ==
       renamed.df.select("id").orderBy("id").limit(3).collect().map(_.getString(0)).toSeq)
+    // dropping a collection removes its snapshots too: a later rename onto
+    // the dropped name must NOT inherit dead snapshot data
+    val g2 = store.createOrGet("doomed")
+    g2.add(docRows.limit(5))
+    g2.snapshot("dead")
+    store.dropCollection("doomed")
+    val moved = store.renameCollection("gamma", "doomed")
+    assert(moved.listSnapshots() == Seq("v1"),
+      "renamed collection must carry ONLY its own snapshots")
   }
 
   test("encrypted store: incremental add rejects duplicate ids") {

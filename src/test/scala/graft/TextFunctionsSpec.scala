@@ -79,6 +79,15 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     assert(r.getSeq[String](1) == Seq("hi", "there"))
   }
 
+  test("SQL registrations reject wrong arity with a clear error") {
+    Seq("SELECT clean_text()", "SELECT clean_text('a', 'b')",
+      "SELECT term_freq(tokenize('a'))", "SELECT cosine_sim(array(1.0))").foreach { q =>
+      val e = intercept[Exception](spark.sql(q).collect())
+      assert(e.getMessage.contains("expects exactly"),
+        s"$q should fail with an arity message, got: ${e.getMessage}")
+    }
+  }
+
   test("shingles: k-grams with short-document fallback") {
     val df = Seq("a b c d", "a b").toDF("s")
       .select(TF.shingles(TF.tokens(col("s")), 3).as("sh")).as[Seq[String]]
