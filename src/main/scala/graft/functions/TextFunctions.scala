@@ -100,4 +100,18 @@ object TextFunctions {
   /** One-pass normalize: collapse non-alnum runs to single spaces, trim,
     * lowercase (codegen; equals the regex_replace+trim+lower composition). */
   def cleanText(text: Column): Column = expr1(CleanText.apply)(text)
+
+  /** The composite document quality score shared by q_quality_score,
+    * q_pipeline_e2e, and the streaming ingest gate:
+    * alpha_ratio·0.4 + stopword_ratio·0.3 + min(avg_tok_len/8, 1)·0.3 —
+    * operand order fixed (it is mirrored operation-for-operation in the
+    * DuckDB oracles, so the doubles are bitwise cross-engine comparable).
+    * `toks`/`nToks` must be STAGED columns of tokens(text) / size(toks). */
+  def qualityScore(text: Column, toks: Column, nToks: Column,
+                   stopwords: Seq[String]): Column =
+    countAlpha(text).cast("double") / length(text) * 0.4 +
+      countTokensIn(toks, stopwords).cast("int").cast("double") /
+        greatest(nToks, lit(1)) * 0.3 +
+      least(tokenLenSum(toks).cast("double") / greatest(nToks, lit(1)) / 8.0,
+        lit(1.0)) * 0.3
 }

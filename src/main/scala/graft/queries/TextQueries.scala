@@ -508,10 +508,7 @@ object TextQueries {
           .withColumn("toks", TF.tokens(col("text")))
           .withColumn("n_toks", size(col("toks")))
           .withColumn("quality",
-            TF.countAlpha(col("text")).cast("double") / length(col("text")) * 0.4 +
-              hits(col("toks"), StopEn).cast("double") / greatest(col("n_toks"), lit(1)) * 0.3 +
-              least(TF.tokenLenSum(col("toks")).cast("double") /
-                greatest(col("n_toks"), lit(1)) / 8.0, lit(1.0)) * 0.3)
+            TF.qualityScore(col("text"), col("toks"), col("n_toks"), StopEn))
           .persist()
         val q1 = base.filter(col("quality") >= 0.51).persist()
         // near-dup: band-bucket candidates among survivors, exact verify

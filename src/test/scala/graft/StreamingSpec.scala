@@ -137,6 +137,58 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       s"expected re-crawled id to survive after watermark expiry, got $got")
   }
 
+  test("streaming ingest gate equals the batch quality/decontaminate/dedup filters") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // benchmark grams from a slice of the same corpus (natural overlap)
+    val benchGrams: Array[Long] = spark.createDataFrame(
+        docs.filter(_._1 % 19 == 0).toSeq).toDF("doc_id", "text")
+      .select(explode(TF.shingleHashSet(TF.tokens(col("text")), 8)).as("g"))
+      .distinct().collect().map(_.getLong(0))
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val rows = docs.filter(_._1 % 19 != 0).zipWithIndex.map { case ((id, t), i) =>
+      (id, t, ts(i % 50))
+    }
+    // a duplicate CONTENT row under a fresh id inside the watermark window
+    val dupSource = rows.head
+    val withDup = rows :+ ((99999L, dupSource._2, ts(1)))
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val gated = StreamOps.filterIngest(
+      mem.toDF().toDF("doc_id", "text", "ts"), benchGrams, 0.50, "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("gate_t")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(withDup.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("gate_t").select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch equivalent on the same rows: quality gate + no bench overlap +
+    // one survivor per fingerprint
+    val batch = spark.createDataFrame(withDup.toSeq).toDF("doc_id", "text", "ts")
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("quality", TF.qualityScore(col("text"), col("toks"), col("n_toks"),
+        graft.queries.TextQueries.StopEn))
+      .filter(col("quality") >= 0.50)
+      .withColumn("g8", TF.shingleHashSet(col("toks"), 8))
+      .filter(size(array_intersect(col("g8"), typedlit(benchGrams.sorted.toSeq))) === 0)
+      .withColumn("fp", TF.hashCombine(TF.tokenHashes(col("toks"))))
+    val batchIds = batch.select("doc_id", "fp").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchSurvivors = batchIds.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    // same SET of fingerprints survives; for each fingerprint exactly one id
+    assert(got.size == batchSurvivors.size,
+      s"stream kept ${got.size}, batch ${batchSurvivors.size}")
+    val fpOf = batchIds.toMap
+    assert(got.map(fpOf) == batchSurvivors.map(fpOf),
+      "stream and batch must keep the same fingerprint set")
+    assert(!got.contains(99999L) || !got.contains(dupSource._1),
+      "only one copy of duplicated content may survive")
+    assert(got.nonEmpty && got.size < withDup.length, "the gate must actually filter")
+  }
+
   test("foreachBatch incremental IVF maintenance: streamed appends == batch-built index") {
     val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
