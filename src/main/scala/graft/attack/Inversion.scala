@@ -124,9 +124,11 @@ object Inversion {
 
   // ---- plain-Scala embed/score (identical math to the Spark columns) ---
 
-  /** Tokenize exactly like TextFunctions.tokens (ASCII lower + split). */
+  /** Tokenize exactly like TextFunctions.tokens (ASCII lower + split);
+    * Locale.ROOT so a Turkish-locale JVM can't desync driver-side hashes
+    * from the locale-independent Tokenize kernel. */
   def tokenize(s: String): Array[String] =
-    s.trim.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    s.trim.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
 
   def embedText(s: String, dim: Int): Array[Float] =
     TextHashOps.hashEmbed(tokenize(s).map(org.apache.spark.unsafe.types.UTF8String.fromString),

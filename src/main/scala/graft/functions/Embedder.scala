@@ -39,8 +39,12 @@ object Embedder {
     // embedded frame instead would run the (model) encode pass over the
     // whole corpus a second time just to keep one row, since the predicate
     // cannot push below a mapPartitions embed stage
-    val probeText = docs.filter(col(idCol) === probeId)
-      .select(col(textCol)).head().getString(0)
+    val probeRow = docs.filter(col(idCol) === probeId)
+      .select(col(textCol)).collect().headOption
+    if (probeRow.isEmpty) // unknown probe id -> empty result, not a throw
+      return embedded.filter(lit(false))
+        .select(col(idCol), lit(0.0).as("cos")).limit(0)
+    val probeText = Option(probeRow.get.getString(0)).getOrElse("")
     val qe = typedlit(embedder.embedOne(probeText))
     embedded
       .filter(col(idCol) =!= probeId)
@@ -61,7 +65,11 @@ final case class HashEmbedder(dim: Int) extends Embedder {
     df.withColumn(outCol, TF.hashEmbed(TF.tokens(col(textCol)), dim))
 
   override def embedOne(text: String): Array[Float] = {
-    val toks = text.trim.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    // Locale.ROOT: the default-locale toLowerCase diverges from the
+    // Tokenize kernel on e.g. Turkish-locale JVMs ('I' -> dotless 'ı'),
+    // silently breaking probe/corpus embedding parity
+    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
+      .split("[^a-z0-9]+").filter(_.nonEmpty)
     TextHashOps.hashEmbed(toks.map(UTF8String.fromString), dim)
   }
 }

@@ -238,12 +238,15 @@ case class TopTokenCount(child: Expression) extends UnaryExpression {
   override def prettyName: String = "top_token_count"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def checkInputDataTypes() = {
-    require(child.dataType == ArrayType(StringType, containsNull = false) ||
-      child.dataType == ArrayType(StringType, containsNull = true),
-      s"$prettyName expects ARRAY<STRING>")
-    super.checkInputDataTypes()
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // NullType: a NULL literal argument evaluates to NULL (nullIntolerant)
+      case ArrayType(StringType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<STRING>, got ${other.catalogString}")
+    }
 
   override def nullSafeEval(v: Any): Any =
     TextHashOps.topTokenCount(v.asInstanceOf[ArrayData])
@@ -261,12 +264,15 @@ case class CountTokensIn(child: Expression, terms: Seq[String]) extends UnaryExp
   override def prettyName: String = "count_tokens_in"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def checkInputDataTypes() = {
-    require(child.dataType == ArrayType(StringType, containsNull = false) ||
-      child.dataType == ArrayType(StringType, containsNull = true),
-      s"$prettyName expects ARRAY<STRING>")
-    super.checkInputDataTypes()
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // NullType: a NULL literal argument evaluates to NULL (nullIntolerant)
+      case ArrayType(StringType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<STRING>, got ${other.catalogString}")
+    }
 
   private lazy val termsU: Array[UTF8String] =
     terms.map(UTF8String.fromString).toArray
@@ -289,12 +295,15 @@ case class TokenLenSum(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_len_sum"
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
-  override def checkInputDataTypes() = {
-    require(child.dataType == ArrayType(StringType, containsNull = false) ||
-      child.dataType == ArrayType(StringType, containsNull = true),
-      s"$prettyName expects ARRAY<STRING>")
-    super.checkInputDataTypes()
-  }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // NullType: a NULL literal argument evaluates to NULL (nullIntolerant)
+      case ArrayType(StringType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<STRING>, got ${other.catalogString}")
+    }
 
   override def nullSafeEval(v: Any): Any =
     TextHashOps.tokenLenSum(v.asInstanceOf[ArrayData])

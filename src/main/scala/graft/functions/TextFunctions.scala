@@ -101,17 +101,28 @@ object TextFunctions {
     * lowercase (codegen; equals the regex_replace+trim+lower composition). */
   def cleanText(text: Column): Column = expr1(CleanText.apply)(text)
 
-  /** The composite document quality score shared by q_quality_score,
-    * q_pipeline_e2e, and the streaming ingest gate:
-    * alpha_ratio·0.4 + stopword_ratio·0.3 + min(avg_tok_len/8, 1)·0.3 —
-    * operand order fixed (it is mirrored operation-for-operation in the
-    * DuckDB oracles, so the doubles are bitwise cross-engine comparable).
-    * `toks`/`nToks` must be STAGED columns of tokens(text) / size(toks). */
+  /** Quality-score components, shared by q_quality_score, q_pipeline_e2e,
+    * and the streaming ingest gate — ONE definition so the oracles (which
+    * mirror these operation-for-operation) cannot drift from any consumer.
+    * Every divisor is guarded: an empty document must score 0 in each
+    * term, not NaN (NaN compares greater than any number in Spark, so an
+    * unguarded ratio would sail the worst possible document through every
+    * `quality >= θ` gate). `toks`/`nToks` must be STAGED columns of
+    * tokens(text) / size(toks). */
+  def alphaRatio(text: Column): Column =
+    countAlpha(text).cast("double") / greatest(length(text), lit(1))
+
+  def stopRatio(toks: Column, nToks: Column, stopwords: Seq[String]): Column =
+    countTokensIn(toks, stopwords).cast("int").cast("double") / greatest(nToks, lit(1))
+
+  def avgTokLen(toks: Column, nToks: Column): Column =
+    tokenLenSum(toks).cast("double") / greatest(nToks, lit(1))
+
+  /** alpha·0.4 + stop·0.3 + min(avg_tok_len/8, 1)·0.3, fixed operand order
+    * (bitwise cross-engine comparable). */
   def qualityScore(text: Column, toks: Column, nToks: Column,
                    stopwords: Seq[String]): Column =
-    countAlpha(text).cast("double") / length(text) * 0.4 +
-      countTokensIn(toks, stopwords).cast("int").cast("double") /
-        greatest(nToks, lit(1)) * 0.3 +
-      least(tokenLenSum(toks).cast("double") / greatest(nToks, lit(1)) / 8.0,
-        lit(1.0)) * 0.3
+    alphaRatio(text) * 0.4 +
+      stopRatio(toks, nToks, stopwords) * 0.3 +
+      least(avgTokLen(toks, nToks) / 8.0, lit(1.0)) * 0.3
 }

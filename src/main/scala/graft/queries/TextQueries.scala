@@ -92,16 +92,12 @@ object TextQueries {
         tbl(s, dir, "documents")
           .withColumn("toks", toks)
           .withColumn("n_toks", size(col("toks")))
-          // one-pass codegen char count — same value as the regex-strip form
-          // (length(regexp_replace(lower(text), "[^a-z]", ""))), no regex
-          // engine and no stripped-copy allocation per document
-          .withColumn("alpha_ratio",
-            TF.countAlpha(col("text")).cast("double") / length(col("text")))
-          .withColumn("stop_ratio",
-            hits(col("toks"), StopEn).cast("double") / greatest(col("n_toks"), lit(1)))
-          .withColumn("avg_tok_len",
-            TF.tokenLenSum(col("toks")).cast("double") /
-              greatest(col("n_toks"), lit(1)))
+          // shared component helpers (one-pass codegen kernels, guarded
+          // divisors) — the same definitions the pipeline funnel and the
+          // streaming ingest gate score with
+          .withColumn("alpha_ratio", TF.alphaRatio(col("text")))
+          .withColumn("stop_ratio", TF.stopRatio(col("toks"), col("n_toks"), StopEn))
+          .withColumn("avg_tok_len", TF.avgTokLen(col("toks"), col("n_toks")))
           .select(col("doc_id"), col("n_toks"),
             round(col("alpha_ratio"), 4).as("alpha_ratio"),
             round(col("stop_ratio"), 4).as("stop_ratio"),
@@ -114,7 +110,7 @@ object TextQueries {
         val toks = OracleText.tokens("text")
         s"""WITH q AS (SELECT doc_id,
            |  len($toks) AS n_toks,
-           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) AS alpha_ratio,
            |  CAST(${sqlHits(toks, StopEn)} AS DOUBLE) / greatest(len($toks), 1) AS stop_ratio,
            |  CAST(coalesce(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))), 0) AS DOUBLE)
            |    / greatest(len($toks), 1) AS avg_tok_len
@@ -563,7 +559,7 @@ object TextQueries {
           "(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))"
         s"""WITH d AS MATERIALIZED (SELECT doc_id, source, text, $toks AS toks FROM documents),
            |q AS MATERIALIZED (SELECT doc_id, source, toks,
-           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) * 0.4 +
+           |  CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / greatest(length(text), 1) * 0.4 +
            |  CAST(${sqlHits("toks", StopEn)} AS DOUBLE) / greatest(len(toks), 1) * 0.3 +
            |  least(CAST(coalesce(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))), 0) AS DOUBLE)
            |    / greatest(len(toks), 1) / 8.0, 1.0) * 0.3 AS quality

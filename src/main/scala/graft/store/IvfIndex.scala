@@ -118,10 +118,14 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    // snapshot the batch dirs to merge; later-arriving batches are untouched
+    // snapshot the COMMITTED batch dirs to merge (_SUCCESS present) —
+    // later-arriving batches and dirs a concurrent writer is mid-write
+    // (no _SUCCESS yet) are both left untouched
     val dataDir = new java.io.File(dataPath)
     val batchDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).sortBy(_.getName)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName)
     if (batchDirs.length <= 1) return
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L // next free negative generation

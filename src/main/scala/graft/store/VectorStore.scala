@@ -72,6 +72,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     if (!base.isDirectory) Nil
     else base.listFiles()
       .filter(f => f.isDirectory && !f.getName.startsWith("__") &&
+        // rewrite()'s staging/backup dirs carry _SUCCESS too — they are
+        // transient (mid-CoW or post-crash), not collections
+        !f.getName.endsWith("__stage") && !f.getName.endsWith("__old") &&
         new java.io.File(f, "_SUCCESS").exists())
       .map(_.getName).toSeq.sorted
   }
@@ -85,10 +88,12 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     require(!exists(to), s"collection $to already exists")
     require(new java.io.File(path(from)).renameTo(new java.io.File(path(to))),
       s"rename $from -> $to failed")
+    // clear stale target snapshots UNCONDITIONALLY (a crashed drop can
+    // leave them behind) so a snapshot-less rename cannot inherit them
+    rm(new java.io.File(s"$basePath/__snapshots/$to"))
     val snaps = new java.io.File(s"$basePath/__snapshots/$from")
     if (snaps.isDirectory) {
       new java.io.File(s"$basePath/__snapshots").mkdirs()
-      rm(new java.io.File(s"$basePath/__snapshots/$to")) // stale leftovers
       require(snaps.renameTo(new java.io.File(s"$basePath/__snapshots/$to")),
         s"snapshot move $from -> $to failed")
     }
@@ -118,11 +123,19 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     }
 
     /** The add() dedup plan, exposed for plan assertions: batch rows whose
-      * id is NOT already in the store. */
+      * id is NOT already in the store, one row per id even when the batch
+      * itself repeats an id (deterministic pick: lowest doc; identical
+      * repeats pick identically by construction). Chroma raises on
+      * intra-batch duplicates; dedup keeps the append idempotent instead. */
     private[graft] def freshRows(incoming: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(asc_nulls_first("doc"))
+      val dedupedBatch = incoming
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
       val collisions = df.select("id")
-        .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
-      incoming.join(collisions, Seq("id"), "left_anti")
+        .join(broadcast(dedupedBatch.select("id")), Seq("id"), "left_semi")
+      dedupedBatch.join(collisions, Seq("id"), "left_anti")
     }
 
     /** Chroma `collection.peek(limit)`: first rows by id — a bounded look,
@@ -286,10 +299,18 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * are read — column pruning keeps ciphertext untouched), never a
     * store-side broadcast. */
   def add(rows: DataFrame, name: String): Unit = {
-    val incoming = rows.select(
-      col("id").cast(StringType).as("id"),
-      encrypt(col("doc")).as("doc_ct"),
-      encrypt(to_json(col("emb"))).as("emb_ct"))
+    // intra-batch id dedup happens on the PLAINTEXT (deterministic order by
+    // doc) — after encryption every ciphertext is unique (random IV), so a
+    // post-encryption dedup could not see duplicates at all
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(asc_nulls_first("doc"))
+    val incoming = rows
+      .select(col("id").cast(StringType).as("id"), col("doc"), col("emb"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"),
+        encrypt(col("doc")).as("doc_ct"),
+        encrypt(to_json(col("emb"))).as("emb_ct"))
     val collisions = spark.read.parquet(path(name)).select("id")
       .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
     incoming.join(collisions, Seq("id"), "left_anti")
