@@ -40,7 +40,7 @@ object Embedder {
     // whole corpus a second time just to keep one row, since the predicate
     // cannot push below a mapPartitions embed stage
     val probeRow = docs.filter(col(idCol) === probeId)
-      .select(col(textCol)).collect().headOption
+      .select(col(textCol)).limit(1).collect().headOption
     if (probeRow.isEmpty) // unknown probe id -> empty result, not a throw
       return embedded.filter(lit(false))
         .select(col(idCol), lit(0.0).as("cos")).limit(0)

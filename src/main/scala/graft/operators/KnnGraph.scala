@@ -40,13 +40,23 @@ object KnnGraph {
     * edges either way (SURVEY §8.3). */
   def build(vectors: DataFrame,
             bucketFns: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
-            k: Int): DataFrame = {
+            k: Int): DataFrame =
+    buildDirected(vectors, vectors, bucketFns, k)
+
+  /** [[build]] generalized to distinct sides: top-k edges from each
+    * `srcSide` row to `dstSide` rows sharing a bucket — the self-join form
+    * above AND [[graft.store.GraphIndex]]'s incremental insert (new rows ×
+    * existing ∪ new) are both this one candidate-generation block. */
+  def buildDirected(srcSide: DataFrame, dstSide: DataFrame,
+                    bucketFns: Seq[org.apache.spark.sql.Column => org.apache.spark.sql.Column],
+                    k: Int): DataFrame = {
     require(bucketFns.nonEmpty, "need at least one bucketing")
     val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
-    bucketFns.zipWithIndex.map { case (bucketOf, t) =>
-      val v = vectors.select(col("id"), col("emb"), bucketOf(col("emb")).as("bucket"))
-      val left = v.select(col("id").as("src"), col("emb").as("semb"), col("bucket"))
-      val right = v.select(col("id").as("dst"), col("emb").as("demb"), col("bucket").as("db"))
+    bucketFns.map { bucketOf =>
+      val left = srcSide.select(col("id").as("src"), col("emb").as("semb"),
+        bucketOf(col("emb")).as("bucket"))
+      val right = dstSide.select(col("id").as("dst"), col("emb").as("demb"),
+        bucketOf(col("emb")).as("db"))
       left.join(right, col("bucket") === col("db") && col("src") =!= col("dst"))
         .withColumn("dist", VF.l2Sq(col("semb"), col("demb")))
         .select("src", "dst", "dist")

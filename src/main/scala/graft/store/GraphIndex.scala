@@ -36,11 +36,12 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * join + `refineRounds` NN-Descent passes, persisted. */
   def build(input: DataFrame, refineRounds: Int = 1): Unit = {
     val v = input.select(col("id"), col("emb")).persist()
-    var g = KnnGraph.build(v, bucketFns, k)
-    (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, v, k))
-    v.write.mode("overwrite").parquet(vecPath)
-    g.write.mode("overwrite").parquet(graphPath)
-    v.unpersist(): Unit
+    try {
+      var g = KnnGraph.build(v, bucketFns, k)
+      (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, v, k))
+      v.write.mode("overwrite").parquet(vecPath)
+      g.write.mode("overwrite").parquet(graphPath)
+    } finally v.unpersist(): Unit
   }
 
   /** Beam-search the persisted graph (exact distances, deterministic). */
@@ -60,60 +61,45 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * Both steps are bucket-/key-bounded joins plus one window; the
     * untouched remainder of the graph is carried over unchanged. */
   def insert(batch: DataFrame): Unit = {
-    val newV = batch.select(col("id"), col("emb")).persist()
     val oldV = vectors.persist()
-    val all = oldV.unionByName(newV)
-    // 1. out-edges for new nodes: bucket join, new side only as src
-    val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
-    val newEdges = bucketFns.map { bucketOf =>
-      val left = newV.select(col("id").as("src"), col("emb").as("semb"),
-        bucketOf(col("emb")).as("bucket"))
-      val right = all.select(col("id").as("dst"), col("emb").as("demb"),
-        bucketOf(col("emb")).as("db"))
-      left.join(right, col("bucket") === col("db") && col("src") =!= col("dst"))
-        .withColumn("dist", VF.l2Sq(col("semb"), col("demb")))
-        .select("src", "dst", "dist")
-    }.reduce(_ unionByName _)
-      .groupBy("src", "dst").agg(min("dist").as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("src", "dst", "dist")
+    // replay/overlap safety: ids already indexed are skipped (the same
+    // idempotent-append discipline as VectorStore.add / IvfIndex), and an
+    // intra-batch id repeat keeps one row (a replayed batch carries
+    // identical rows, so the surviving row is identical either way)
+    val newV = batch.select(col("id"), col("emb"))
+      .dropDuplicates("id")
+      .join(oldV.select("id"), Seq("id"), "left_anti")
       .persist()
-    // 2. reverse proposals let existing nodes adopt new neighbors. ONE
-    // window resolves every touched source (new nodes AND proposal
-    // targets) over old edges ∪ proposals ∪ new out-edges — resolving new
-    // and affected nodes separately would give a node reached from both
-    // sides up to 2k edges
-    val proposals = newEdges.select(
-      col("dst").as("src"), col("src").as("dst"), col("dist"))
     val g = graph.persist()
-    val touched = proposals.select("src")
-      .unionByName(newEdges.select("src")).distinct()
-    val refreshed = g.join(touched, Seq("src"), "left_semi")
-      .unionByName(proposals)
-      .unionByName(newEdges)
-      .groupBy("src", "dst").agg(min("dist").as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select("src", "dst", "dist")
-    val untouched = g.join(touched, Seq("src"), "left_anti")
-    val merged = untouched.unionByName(refreshed)
-    // stage-and-swap both stores (same discipline as Collection.rewrite)
-    def swap(df: DataFrame, dest: String): Unit = {
-      val stage = s"${dest}__stage"; val old = s"${dest}__old"
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
-      df.write.mode("overwrite").parquet(stage)
-      rm(new java.io.File(old))
-      require(new java.io.File(dest).renameTo(new java.io.File(old)) &&
-        new java.io.File(stage).renameTo(new java.io.File(dest)),
-        s"atomic swap failed for $dest")
-      rm(new java.io.File(old))
-    }
-    swap(merged, graphPath)
-    swap(all, vecPath)
-    Seq(newV, oldV, newEdges, g).foreach(_.unpersist())
+    val newEdges = KnnGraph.buildDirected(
+      newV, oldV.unionByName(newV), bucketFns, k).persist()
+    try {
+      if (newV.isEmpty) return
+      // reverse proposals let existing nodes adopt new neighbors. ONE
+      // window resolves every touched source (new nodes AND proposal
+      // targets) over old edges ∪ proposals ∪ new out-edges — resolving
+      // new and affected nodes separately would give a node reached from
+      // both sides up to 2k edges
+      val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+      val proposals = newEdges.select(
+        col("dst").as("src"), col("src").as("dst"), col("dist"))
+      val touched = proposals.select("src")
+        .unionByName(newEdges.select("src")).distinct()
+      val refreshed = g.join(touched, Seq("src"), "left_semi")
+        .unionByName(proposals)
+        .unionByName(newEdges)
+        .groupBy("src", "dst").agg(min("dist").as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select("src", "dst", "dist")
+      val untouched = g.join(touched, Seq("src"), "left_anti")
+      val merged = untouched.unionByName(refreshed)
+      // vectors FIRST: a crash between the swaps then leaves only benign
+      // extra vectors with no edges — graph-first would commit edges whose
+      // dst vectors do not exist, silently shrinking touched nodes'
+      // neighbor lists at query time
+      StoreIO.stageAndSwap(oldV.unionByName(newV), vecPath)
+      StoreIO.stageAndSwap(merged, graphPath)
+    } finally Seq(newV, oldV, newEdges, g).foreach(_.unpersist())
   }
 }

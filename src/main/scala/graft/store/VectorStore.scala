@@ -53,10 +53,7 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     new Collection(name)
   }
 
-  private def rm(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rm)
-    f.delete(): Unit
-  }
+  private def rm(f: java.io.File): Unit = StoreIO.rmTree(f)
 
   /** Drop a collection AND its snapshots (leaving them behind would let a
     * later collection of the same name inherit dead data). */
@@ -124,15 +121,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
     /** The add() dedup plan, exposed for plan assertions: batch rows whose
       * id is NOT already in the store, one row per id even when the batch
-      * itself repeats an id (deterministic pick: lowest doc; identical
-      * repeats pick identically by construction). Chroma raises on
-      * intra-batch duplicates; dedup keeps the append idempotent instead. */
+      * itself repeats an id ([[StoreIO.dedupById]]'s deterministic pick). */
     private[graft] def freshRows(incoming: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("id").orderBy(asc_nulls_first("doc"))
-      val dedupedBatch = incoming
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+      val dedupedBatch = StoreIO.dedupById(incoming, Seq("doc", "meta", "emb"))
       val collisions = df.select("id")
         .join(broadcast(dedupedBatch.select("id")), Seq("id"), "left_semi")
       dedupedBatch.join(collisions, Seq("id"), "left_anti")
@@ -158,16 +149,8 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       * containing touched ids rewrite — or flips to merge-on-read delete
       * vectors; the collection-grain swap here is the same protocol at the
       * smallest unit. */
-    private def rewrite(newDf: DataFrame): Unit = {
-      val stage = s"${path(name)}__stage"
-      val old = s"${path(name)}__old"
-      newDf.write.mode("overwrite").parquet(stage)
-      rm(new java.io.File(old))
-      require(new java.io.File(path(name)).renameTo(new java.io.File(old)) &&
-        new java.io.File(stage).renameTo(new java.io.File(path(name))),
-        s"atomic swap failed for collection $name")
-      rm(new java.io.File(old))
-    }
+    private def rewrite(newDf: DataFrame): Unit =
+      StoreIO.stageAndSwap(newDf, path(name))
 
     private def normalized(rows: DataFrame): DataFrame =
       rows.select(col("id").cast(StringType).as("id"),
@@ -299,15 +282,12 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * are read — column pruning keeps ciphertext untouched), never a
     * store-side broadcast. */
   def add(rows: DataFrame, name: String): Unit = {
-    // intra-batch id dedup happens on the PLAINTEXT (deterministic order by
-    // doc) — after encryption every ciphertext is unique (random IV), so a
-    // post-encryption dedup could not see duplicates at all
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(asc_nulls_first("doc"))
-    val incoming = rows
-      .select(col("id").cast(StringType).as("id"), col("doc"), col("emb"))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+    // intra-batch id dedup happens on the PLAINTEXT — after encryption
+    // every ciphertext is unique (random IV), so a post-encryption dedup
+    // could not see duplicates at all
+    val incoming = StoreIO.dedupById(
+        rows.select(col("id").cast(StringType).as("id"), col("doc"), col("emb")),
+        Seq("doc", "emb"))
       .select(col("id"),
         encrypt(col("doc")).as("doc_ct"),
         encrypt(to_json(col("emb"))).as("emb_ct"))
@@ -351,18 +331,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       col("id"),
       next.encrypt(decryptStr(col("doc_ct"))).as("doc_ct"),
       next.encrypt(decryptStr(col("emb_ct"))).as("emb_ct"))
-    val stage = s"${path(name)}__stage"
-    val old = s"${path(name)}__old"
-    reEnc.write.mode("overwrite").parquet(stage)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(old))
-    require(new java.io.File(path(name)).renameTo(new java.io.File(old)) &&
-      new java.io.File(stage).renameTo(new java.io.File(path(name))),
-      s"atomic swap failed for collection $name")
-    rm(new java.io.File(old))
+    StoreIO.stageAndSwap(reEnc, path(name))
     next
   }
 }

@@ -45,8 +45,11 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     idx.build(half, refineRounds = 1)
     val (b1, b2) = (rest.filter(col("id") % 4 === 1), rest.filter(col("id") % 4 === 3))
     idx.insert(b1)
+    idx.insert(b1) // at-least-once replay: already-indexed ids are skipped
     idx.insert(b2)
-    assert(idx.vectors.count() == n, "all vectors present after inserts")
+    assert(idx.vectors.count() == n,
+      "all vectors present exactly once after inserts incl. a replayed batch")
+    assert(idx.vectors.select("id").distinct().count() == n)
     val g = idx.graph.persist()
     // shape invariants survive incremental maintenance
     assert(g.filter(col("src") === col("dst")).count() == 0)
