@@ -72,50 +72,66 @@ object KnnGraph {
     * /root/reference/src/chromadb_store.py:4): best-first BEAM SEARCH. Each
     * hop expands the unvisited out-neighbors of the current `beamWidth`
     * closest visited nodes, scores them EXACTLY against the query, and the
-    * final answer is the exact top-k of everything visited — so the search
-    * touches O(entries + hops·beamWidth·k) vectors instead of the corpus.
-    * Fully deterministic: fixed hop count, ties break by ascending id.
+    * final answer is the exact top-k of everything visited. Fully
+    * deterministic: fixed hop budget, ties break by ascending id.
     *
-    * Scale shape: the beam (≤ beamWidth ids) broadcasts into a join against
-    * the graph, co-partitioned with the vectors on the node id; the visited
-    * set stays bounded by the expansion budget, so every hop is a
-    * small-broadcast join — never a corpus scan. The driver loop carries no
-    * data, only DataFrame handles (for deep walks, localCheckpoint the
-    * visited frame every ~10 hops to cap lineage).
+    * Scale shape: the walk's whole state is the visited set — bounded by
+    * entries + hops·beamWidth·k ids, NEVER the corpus — so the driver
+    * coordinates it and each hop issues two point reads with the id set
+    * pushed INTO the scan (`PushedFilters: In[src]` on the graph,
+    * `In[id]` on the vectors): neighbor lists of the beam, then exact
+    * distances of only the newly-reached ids. On an id-sorted parquet
+    * index (see [[graft.store.GraphIndex]]) those In-filters prune to a
+    * few row groups — per-query cost is O(hops·beam·k) rows touched,
+    * invariant in corpus size. Distances come from the same [[VF.l2Sq]]
+    * codegen kernel as every other query, so results are bit-identical to
+    * a full-corpus scoring formulation.
     *
     * `graph`: (src, dst, dist) from [[build]]/[[refine]];
-    * `vectors`: (id, emb). */
+    * `vectors`: (id, emb) — callers with a non-trivial lineage (an
+    * in-query build) should persist both, since each hop re-reads them. */
   def beamSearch(graph: DataFrame, vectors: DataFrame, qe: Array[Float],
                  k: Int, beamWidth: Int, hops: Int, entries: Seq[Long]): DataFrame = {
+    val visited = beamVisited(graph, vectors, qe, beamWidth, hops, entries)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    visited.toSeq.sortBy { case (id, d) => (d, id) }.take(k).toDF("id", "dist")
+  }
+
+  /** The beam walk itself: every visited node with its exact distance.
+    * Exposed so index-level serving ([[graft.store.GraphIndex]]) can apply
+    * metadata eligibility to the FULL candidate set before taking top-k. */
+  def beamVisited(graph: DataFrame, vectors: DataFrame, qe: Array[Float],
+                  beamWidth: Int, hops: Int, entries: Seq[Long]): Map[Long, Double] = {
     require(entries.nonEmpty, "beam search needs at least one entry point")
-    // the walk references the graph and the score map EVERY hop — without
-    // caching, hop h recomputes the whole graph-construction lineage h
-    // times (measured 5 s -> ~1 s on the sf0.1 bench); visited is
-    // localCheckpoint'd per hop (it is tiny — the expansion budget), which
-    // also cuts the growing union lineage
-    val g = graph.select("src", "dst").persist()
-    val scored = vectors.select(col("id"),
-      VF.l2Sq(col("emb"), org.apache.spark.sql.functions.typedlit(qe)).as("dist"))
-      .persist()
-    // visited is at most the expansion budget (tens of rows) — single
-    // partition, so each hop's checkpoint job runs one task, not one per
-    // shuffle partition
-    var visited = scored.filter(col("id").isin(entries: _*))
-      .coalesce(1).localCheckpoint()
-    for (_ <- 1 to hops) {
-      val beam = visited.orderBy(asc("dist"), asc("id")).limit(beamWidth)
-        .select(col("id").as("src"))
-      val fresh = g.join(broadcast(beam), "src")
-        .select(col("dst").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
-        .join(scored, "id") // exact re-score of newly-reached nodes
-        .select("id", "dist")
-      visited = visited.unionByName(fresh).coalesce(1).localCheckpoint()
+    val qlit = org.apache.spark.sql.functions.typedlit(qe)
+    // point-read + score ONLY the requested ids: the In-filter reaches the
+    // source scan, and l2Sq runs on just the fetched rows
+    def fetch(ids: Seq[Long]): Seq[(Long, Double)] =
+      if (ids.isEmpty) Seq.empty
+      else vectors.filter(col("id").isin(ids: _*))
+        .select(col("id"), VF.l2Sq(col("emb"), qlit).as("dist"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
+    val visited = scala.collection.mutable.HashMap[Long, Double]()
+    visited ++= fetch(entries.distinct.sorted)
+    var hop = 0
+    var frontierOpen = true
+    while (hop < hops && frontierOpen) {
+      val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+        .take(beamWidth).map(_._1)
+      val fresh =
+        if (beam.isEmpty) Seq.empty[Long]
+        else graph.filter(col("src").isin(beam: _*))
+          .select("dst").distinct()
+          .collect().toSeq.map(_.getLong(0))
+          .filterNot(visited.contains).sorted
+      // an empty frontier is a fixed point: the beam cannot change, so no
+      // later hop can reach anything new — stop early, same answer
+      frontierOpen = fresh.nonEmpty
+      visited ++= fetch(fresh)
+      hop += 1
     }
-    val out = visited.orderBy(asc("dist"), asc("id")).limit(k).localCheckpoint()
-    g.unpersist()
-    scored.unpersist()
-    out
+    visited.toMap
   }
 
   /** One NN-Descent round: propose neighbors-of-neighbors, score exactly,

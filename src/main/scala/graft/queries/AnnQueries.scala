@@ -603,17 +603,20 @@ object AnnQueries {
       (s, dir) => {
         import graft.operators.KnnGraph
         val e = tbl(s, dir, "embeddings")
-        // the build reads the corpus once per hash table plus once for
-        // scoring — cache it for the query's lifetime; beamSearch's result
-        // is localCheckpoint'd (eager), so unpersisting afterwards is safe
+        // the build reads the corpus once per hash table, and the walk
+        // point-reads it per hop — cache it for the query's lifetime
         val corpus = e.filter(col("vec_id") =!= 0)
           .select(col("vec_id").as("id"), col("embedding").as("emb")).persist()
         val qe: Array[Float] = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
         val graph = KnnGraph.build(corpus, Seq(lshBucketFn(0), lshBucketFn(200)), k = 4)
+          .persist() // the walk point-reads the graph every hop
         val out = KnnGraph.beamSearch(graph, corpus, qe,
           k = 5, beamWidth = 4, hops = 3, entries = Seq(1L, 2L))
           .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"))
+        // beamSearch's result is a driver-local frame (no lineage on the
+        // graph or corpus), so unpersisting immediately is safe
+        graph.unpersist()
         corpus.unpersist()
         out
       },
