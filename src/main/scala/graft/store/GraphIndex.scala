@@ -1,7 +1,7 @@
 package graft.store
 
 import graft.functions.{VectorFunctions => VF}
-import graft.operators.KnnGraph
+import graft.operators.{KMeans, KnnGraph}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -10,10 +10,25 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * Persistent kNN-graph index — the graph twin of [[IvfIndex]] and the
  * durable form of the reference's HNSW index (hnswlib inside ChromaDB,
  * /root/reference/src/chromadb_store.py:4): vectors and their top-k
- * neighbor edges live as parquet; queries run [[KnnGraph.beamSearch]] over
+ * neighbor edges live as parquet; queries run [[KnnGraph.beamVisited]] over
  * them; NEW vectors are wired in INCREMENTALLY the way HNSW inserts are —
  * find each new node's neighbors, then refresh the reverse direction so
  * existing nodes may adopt a new node into their own top-k.
+ *
+ * Serving shape: both tables are written RANGE-SORTED on their key (vectors
+ * on `id`, edges on `src`), so the walk's per-hop In-filters prune to a few
+ * row groups — per-query cost is O(hops·beam·k) rows touched, invariant in
+ * corpus size. Entry points are chosen AT BUILD TIME (the medoid of each
+ * trained k-means cell, mirroring hnswlib's maintained top-layer entry)
+ * and persisted beside the graph, so callers need no magic ids.
+ *
+ * Vectors keep every extra column of the build input as METADATA;
+ * [[query]]/[[queryBatch]] accept a `where` predicate over those columns
+ * (the Chroma `where`/`where_document` query surface,
+ * /root/reference/src/cod.py:125-129). The walk itself traverses the
+ * UNFILTERED graph — pre-filtering the traversal would strand the beam
+ * inside sparse-filter regions — and eligibility applies to the full
+ * visited candidate set in one pushed-down scan before top-k.
  *
  * Scale shape: build and insert shuffle on LSH bucket keys and on the edge
  * src key only (never vectors-cross-vectors); an insert batch touches
@@ -23,31 +38,164 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * calibration note).
  */
 final class GraphIndex(spark: SparkSession, path: String, k: Int,
-                       bucketFns: Seq[Column => Column]) {
+                       bucketFns: Seq[Column => Column], numEntries: Int = 4) {
   require(bucketFns.nonEmpty, "need at least one LSH bucketing")
+  require(numEntries > 0, "need at least one entry point")
 
   private def vecPath = s"$path/vectors"
   private def graphPath = s"$path/graph"
+  private def entriesPath = s"$path/entries"
+  private def marker = s"$path/_commit"
+
+  // opening the index finishes any insert interrupted between its two
+  // swaps — readers and the replaying writer both see vectors+graph move
+  // together (see StoreIO.commitSwap)
+  StoreIO.recover(marker)
 
   def vectors: DataFrame = spark.read.parquet(vecPath)
   def graph: DataFrame = spark.read.parquet(graphPath)
 
-  /** Build from (id LONG, emb ARRAY<FLOAT>): multi-table LSH candidate
-    * join + `refineRounds` NN-Descent passes, persisted. */
+  /** Build-time entry points: (cell, id) — the medoid of each trained cell. */
+  def entryPoints: DataFrame = spark.read.parquet(entriesPath)
+
+  private def defaultEntries(): Seq[Long] =
+    entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+
+  /** Range-sorted layout: parquet row-group min/max stats on the key make
+    * the walk's In-filters skip everything outside the requested ids. */
+  private def sortedBy(df: DataFrame, key: String): DataFrame =
+    df.repartitionByRange(col(key)).sortWithinPartitions(key)
+
+  /** Build from (id LONG, emb ARRAY<FLOAT>, metadata...): multi-table LSH
+    * candidate join + `refineRounds` NN-Descent passes, plus entry-point
+    * training — `numEntries` quantized-Lloyd cells (the [[IvfIndex]]
+    * trainer), each contributing its MEDOID (closest real vector to the
+    * centroid, ties to the lowest id) as a persisted entry. Medoids spread
+    * across the data's own cluster structure, so a walk starts near every
+    * mode instead of wherever the caller guessed. */
   def build(input: DataFrame, refineRounds: Int = 1): Unit = {
-    val v = input.select(col("id"), col("emb")).persist()
+    val v = input.persist()
     try {
-      var g = KnnGraph.build(v, bucketFns, k)
-      (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, v, k))
-      v.write.mode("overwrite").parquet(vecPath)
-      g.write.mode("overwrite").parquet(graphPath)
+      val ve = v.select(col("id"), col("emb"))
+      var g = KnnGraph.build(ve, bucketFns, k)
+      (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, ve, k))
+      sortedBy(v, "id").write.mode("overwrite").parquet(vecPath)
+      sortedBy(g, "src").write.mode("overwrite").parquet(graphPath)
+      trainEntryPoints(ve).write.mode("overwrite").parquet(entriesPath)
     } finally v.unpersist(): Unit
   }
 
-  /** Beam-search the persisted graph (exact distances, deterministic). */
+  /** Medoids of `numEntries` deterministically-trained k-means cells:
+    * farthest-first seeds + quantized Lloyd (bit-reproducible), then one
+    * window picks each cell's closest vector. */
+  private def trainEntryPoints(ve: DataFrame): DataFrame = {
+    val kE = math.min(numEntries.toLong, ve.count()).toInt
+    val seeds = KMeans.farthestFirstSeeds(ve, "id", "emb", kE)
+    val cents = KMeans.trainQuantized(ve, "id", "emb", kE, IvfIndex.TrainIters, Some(seeds))
+    val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+      .toDF("cell", "cemb")
+    val w = Window.partitionBy("cell").orderBy(asc("d"), asc("id"))
+    ve.withColumn("cell", VF.nearestCentroid(col("emb"), cents))
+      .join(broadcast(centDf), "cell")
+      .withColumn("d", VF.l2Sq(col("emb"), col("cemb").cast("array<float>")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("id"))
+  }
+
+  /** Eligibility fetch for a metadata-filtered query: BOTH the predicate
+    * and the candidate-id In-filter reach the parquet vector scan
+    * (`PushedFilters` — plan-asserted in GraphIndexSpec), so a filtered
+    * query reads only matching row groups, never the corpus. */
+  private[graft] def candidateScan(ids: Seq[Long], pred: Column): DataFrame =
+    vectors.filter(pred).filter(col("id").isin(ids: _*))
+
+  private def eligible(visitedIds: Seq[Long], where: Option[Column]): Long => Boolean =
+    where match {
+      case None => _ => true
+      case Some(pred) =>
+        candidateScan(visitedIds.sorted, pred)
+          .select("id").collect().map(_.getLong(0)).toSet
+    }
+
+  /** Beam-search the persisted graph (exact distances, deterministic).
+    * `entries` defaults to the build-time medoids; `where` restricts the
+    * ANSWER SET to vectors matching the metadata predicate. */
   def query(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
-            entries: Seq[Long]): DataFrame =
-    KnnGraph.beamSearch(graph, vectors, qe, topK, beamWidth, hops, entries)
+            entries: Seq[Long] = Seq.empty,
+            where: Option[Column] = None): DataFrame = {
+    val starts = if (entries.nonEmpty) entries else defaultEntries()
+    val visited = KnnGraph.beamVisited(graph, vectors, qe, beamWidth, hops, starts)
+    val ok = eligible(visited.keys.toSeq, where)
+    import spark.implicits._
+    visited.toSeq.filter { case (id, _) => ok(id) }
+      .sortBy { case (id, d) => (d, id) }.take(topK).toDF("id", "dist")
+  }
+
+  /** Batched serving: one shared walk schedule for MANY probes — per hop,
+    * ONE In-pruned read of the graph (the union of every probe's beam) and
+    * ONE In-pruned, pair-bounded scoring job (vectors × broadcast (probe,
+    * id) pairs), so Q probes cost hops scans, not Q·hops. Results match
+    * [[query]] probe for probe: same entries, same per-probe beam and
+    * visited evolution, same l2Sq kernel. Output: (probe_id, id, dist, rn)
+    * — the [[IvfIndex.queryBatch]] surface. */
+  def queryBatch(probes: Seq[(Long, Array[Float])], topK: Int, beamWidth: Int,
+                 hops: Int, entries: Seq[Long] = Seq.empty,
+                 where: Option[Column] = None): DataFrame = {
+    require(probes.nonEmpty, "queryBatch needs at least one probe")
+    require(probes.map(_._1).distinct.length == probes.length,
+      "probe ids must be unique")
+    val starts = (if (entries.nonEmpty) entries else defaultEntries()).distinct.sorted
+    val g = graph
+    val v = vectors
+    val probeDf = broadcast(
+      spark.createDataFrame(probes.map { case (pid, qe) => (pid, qe.toSeq) })
+        .toDF("probe_id", "qe"))
+    val visited = scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashMap[Long, Double]]()
+    probes.foreach { case (pid, _) => visited(pid) = scala.collection.mutable.HashMap() }
+    def score(pairs: Seq[(Long, Long)]): Unit = if (pairs.nonEmpty) {
+      val ids = pairs.map(_._2).distinct.sorted
+      val pairDf = broadcast(spark.createDataFrame(pairs).toDF("probe_id", "id"))
+      v.filter(col("id").isin(ids: _*))
+        .join(pairDf, "id")
+        .join(probeDf, "probe_id")
+        .select(col("probe_id"), col("id"),
+          VF.l2Sq(col("emb"), col("qe").cast("array<float>")).as("dist"))
+        .collect()
+        .foreach(r => visited(r.getLong(0))(r.getLong(1)) = r.getDouble(2))
+    }
+    score(for { (pid, _) <- probes; e <- starts } yield (pid, e))
+    var hop = 0
+    var open = true
+    while (hop < hops && open) {
+      val beams = probes.map { case (pid, _) =>
+        pid -> visited(pid).toSeq.sortBy { case (id, d) => (d, id) }
+          .take(beamWidth).map(_._1)
+      }
+      val allSrcs = beams.flatMap(_._2).distinct.sorted
+      val adj: Map[Long, Seq[Long]] =
+        if (allSrcs.isEmpty) Map.empty
+        else g.filter(col("src").isin(allSrcs: _*)).select("src", "dst").collect()
+          .groupBy(_.getLong(0)).map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
+      val fresh = for {
+        (pid, beam) <- beams
+        id <- beam.flatMap(adj.getOrElse(_, Seq.empty)).distinct
+        if !visited(pid).contains(id)
+      } yield (pid, id)
+      open = fresh.nonEmpty
+      score(fresh)
+      hop += 1
+    }
+    val ok = eligible(visited.valuesIterator.flatMap(_.keysIterator).toSeq.distinct, where)
+    val out = for {
+      (pid, _) <- probes
+      ((id, d), i) <- visited(pid).toSeq
+        .filter { case (id, _) => ok(id) }
+        .sortBy { case (id, d) => (d, id) }.take(topK).zipWithIndex
+    } yield (pid, id, d, i + 1)
+    import spark.implicits._
+    out.toDF("probe_id", "id", "dist", "rn")
+  }
 
   /** HNSW-style incremental insert, batched and fully distributed:
     *  1. candidate edges for the batch come from the LSH bucket join of
@@ -59,14 +207,23 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     *     be unreachable from the old graph and beam search could never
     *     find them.
     * Both steps are bucket-/key-bounded joins plus one window; the
-    * untouched remainder of the graph is carried over unchanged. */
+    * untouched remainder of the graph is carried over unchanged. Vectors
+    * and edges publish as ONE crash-consistent commit
+    * ([[StoreIO.commitSwap]]): a replayed batch whose ids already landed is
+    * skipped, and a batch interrupted mid-publish is finished at the next
+    * open — no window where committed vectors lack their wiring. Entry
+    * points are left as built (medoids drift only as far as the data does;
+    * a periodic [[build]] re-trains them — the same compaction story as
+    * [[IvfIndex]]). */
   def insert(batch: DataFrame): Unit = {
     val oldV = vectors.persist()
     // replay/overlap safety: ids already indexed are skipped (the same
     // idempotent-append discipline as VectorStore.add / IvfIndex), and an
     // intra-batch id repeat keeps one row (a replayed batch carries
-    // identical rows, so the surviving row is identical either way)
-    val newV = batch.select(col("id"), col("emb"))
+    // identical rows, so the surviving row is identical either way).
+    // Sound because vectors+graph commit TOGETHER below: an id present in
+    // vectors is guaranteed to have been wired.
+    val newV = batch
       .dropDuplicates("id")
       .join(oldV.select("id"), Seq("id"), "left_anti")
       .persist()
@@ -94,12 +251,9 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         .select("src", "dst", "dist")
       val untouched = g.join(touched, Seq("src"), "left_anti")
       val merged = untouched.unionByName(refreshed)
-      // vectors FIRST: a crash between the swaps then leaves only benign
-      // extra vectors with no edges — graph-first would commit edges whose
-      // dst vectors do not exist, silently shrinking touched nodes'
-      // neighbor lists at query time
-      StoreIO.stageAndSwap(oldV.unionByName(newV), vecPath)
-      StoreIO.stageAndSwap(merged, graphPath)
+      StoreIO.commitSwap(Seq(
+        (sortedBy(oldV.unionByName(newV), "id"), vecPath),
+        (sortedBy(merged, "src"), graphPath)), marker)
     } finally Seq(newV, oldV, newEdges, g).foreach(_.unpersist())
   }
 }

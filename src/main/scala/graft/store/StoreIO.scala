@@ -36,13 +36,55 @@ private[store] object StoreIO {
     * crash between the two renames leaves the data recoverable in
     * `<dest>__old`. */
   def stageAndSwap(df: DataFrame, dest: String): Unit = {
-    val stage = s"${dest}__stage"
-    val old = s"${dest}__old"
-    df.write.mode("overwrite").parquet(stage)
-    rmTree(new java.io.File(old))
-    require(new java.io.File(dest).renameTo(new java.io.File(old)) &&
-      new java.io.File(stage).renameTo(new java.io.File(dest)),
-      s"atomic swap failed for $dest")
-    rmTree(new java.io.File(old))
+    df.write.mode("overwrite").parquet(s"${dest}__stage")
+    swapStaged(dest)
+  }
+
+  /** Swap a COMPLETED `<dest>__stage` in for `dest` (idempotent: a missing
+    * stage means the swap already happened — just clear the parked copy). */
+  private def swapStaged(dest: String): Unit = {
+    val stage = new java.io.File(s"${dest}__stage")
+    val old = new java.io.File(s"${dest}__old")
+    val live = new java.io.File(dest)
+    if (stage.exists()) {
+      if (live.exists()) {
+        rmTree(old)
+        require(live.renameTo(old), s"could not park $dest")
+      }
+      require(stage.renameTo(live), s"could not publish staged $dest")
+    }
+    rmTree(old)
+  }
+
+  /** Publish SEVERAL outputs as one crash-consistent unit (the
+    * [[GraphIndex]] insert must swap vectors and edges together — a
+    * vectors-only commit leaves permanently unwired nodes on replay).
+    * Protocol: every `__stage` dir is written FIRST — so all reads of the
+    * live data happen before anything is deleted, and a recomputed cached
+    * partition can never hit removed files — then a marker file records the
+    * dests, then each dest swaps, then the marker clears. A crash before
+    * the marker leaves the live state untouched (stale stages are
+    * overwritten by the next writer); a crash after it is finished by
+    * [[recover]] at the next open, so readers see either all old or all
+    * new. */
+  def commitSwap(outs: Seq[(DataFrame, String)], marker: String): Unit = {
+    outs.foreach { case (df, dest) => df.write.mode("overwrite").parquet(s"${dest}__stage") }
+    java.nio.file.Files.write(java.nio.file.Paths.get(marker),
+      outs.map(_._2).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    outs.foreach { case (_, dest) => swapStaged(dest) }
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(marker)): Unit
+  }
+
+  /** Finish an interrupted [[commitSwap]]: the marker only ever exists once
+    * every stage dir completed, so each listed dest either still has its
+    * stage (swap it in) or already swapped (clear the parked copy). No-op
+    * without a marker. */
+  def recover(marker: String): Unit = {
+    val mf = java.nio.file.Paths.get(marker)
+    if (!java.nio.file.Files.exists(mf)) return
+    new String(java.nio.file.Files.readAllBytes(mf),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").filter(_.nonEmpty).foreach(swapStaged)
+    java.nio.file.Files.delete(mf): Unit
   }
 }

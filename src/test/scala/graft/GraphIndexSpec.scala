@@ -36,6 +36,102 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     assert(got.map(_.getDouble(1)).toSeq == got.map(_.getDouble(1)).sorted.toSeq)
   }
 
+  test("build-time medoid entries beat hand-picked ids on clustered data") {
+    // three well-separated clusters: shift dim 0 by 8*(id%3). Hand-picked
+    // entries Seq(1,2) live in clusters 1 and 2; a probe in cluster 0 then
+    // depends on cross-cluster edges, while the trained medoids (one per
+    // cluster) start the walk next to every mode.
+    val clustered = all.withColumn("emb",
+      expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x + CAST(8.0 * (id % 3) AS FLOAT) ELSE x END)"))
+      .persist()
+    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_ep").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    idx.build(clustered, refineRounds = 1)
+    val eps = idx.entryPoints.collect()
+    assert(eps.length == 3, s"expected one medoid per trained cell, got ${eps.length}")
+    val epClusters = eps.map(_.getLong(1) % 3).toSet
+    assert(epClusters.size == 3, s"medoids collapsed into clusters $epClusters")
+    val probe = clustered.filter(col("id") === 3).head().getSeq[Float](1).toArray
+    val brute = clustered.withColumn("d", VF.l2Sq(col("emb"), typedlit(probe)))
+      .filter(col("id") =!= 3)
+      .orderBy(asc("d"), asc("id")).limit(5).collect().map(_.getLong(0)).toSet
+    def recallOf(entries: Seq[Long]): (Int, Double) = {
+      val got = idx.query(probe, topK = 5, beamWidth = 4, hops = 5, entries = entries)
+        .filter(col("id") =!= 3).collect()
+      (got.count(r => brute.contains(r.getLong(0))), got.head.getDouble(1))
+    }
+    val (rAuto, bestAuto) = recallOf(Seq.empty) // default: trained medoids
+    val (rHand, bestHand) = recallOf(Seq(1L, 2L))
+    info(f"recall@5 auto=$rAuto hand=$rHand; best dist auto=$bestAuto%.4f hand=$bestHand%.4f")
+    assert(rAuto >= rHand, s"medoid entries ($rAuto) must not lose to magic ids ($rHand)")
+    assert(bestAuto <= bestHand + 1e-12, "auto entries must navigate at least as close")
+    clustered.unpersist(): Unit
+  }
+
+  private lazy val sharedIdx: GraphIndex = {
+    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_sh").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    idx.build(all, refineRounds = 1)
+    idx
+  }
+
+  test("queryBatch matches per-probe query results exactly") {
+    val probes = Seq(10L, 20L, 30L).map { pid =>
+      pid -> all.filter(col("id") === pid).head().getSeq[Float](1).toArray
+    }
+    val batch = sharedIdx.queryBatch(probes, topK = 5, beamWidth = 4, hops = 4)
+      .collect().groupBy(_.getLong(0))
+    probes.foreach { case (pid, qe) =>
+      val single = sharedIdx.query(qe, topK = 5, beamWidth = 4, hops = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = batch(pid).sortBy(_.getInt(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      assert(fromBatch == single, s"probe $pid: batch $fromBatch != single $single")
+    }
+  }
+
+  test("metadata-filtered query: predicate reaches the vector scan; answers restricted") {
+    val withMeta = all.withColumn("meta",
+      when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_f").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    idx.build(withMeta, refineRounds = 0)
+    val pred = col("meta") === "even"
+    // the eligibility fetch pushes BOTH the metadata predicate and the
+    // candidate-id In filter into the parquet scan
+    val plan = idx.candidateScan(Seq(2L, 4L, 6L), pred)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("meta"),
+      s"metadata filter did not reach the vector scan:\n$plan")
+    assert(plan.contains("In(id"), s"candidate In-filter not pushed:\n$plan")
+    val got = idx.query(probe, topK = 5, beamWidth = 4, hops = 6, where = Some(pred)).collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) % 2 == 0), "filtered answers must match the predicate")
+    // the filter restricts the ANSWER SET of the same walk, not the traversal
+    val unfiltered = idx.query(probe, topK = 100, beamWidth = 4, hops = 6).collect()
+      .filter(_.getLong(0) % 2 == 0).take(5).map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == unfiltered,
+      "filtered top-k must equal the post-filtered unfiltered walk")
+  }
+
+  test("an insert interrupted between its two swaps is finished at next open") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_rec").toString
+    val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
+    idx.build(all.filter(col("id") <= 100), refineRounds = 0)
+    // simulate a crash mid-commitSwap: both stage dirs fully written, the
+    // marker recorded, but neither swap performed
+    val extra = all.filter(col("id") === 400L)
+    extra.write.mode("overwrite").parquet(s"$dir/vectors__stage")
+    idx.graph.limit(3).write.mode("overwrite").parquet(s"$dir/graph__stage")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_commit"),
+      s"$dir/vectors\n$dir/graph".getBytes("UTF-8"))
+    val reopened = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_commit")),
+      "marker must clear after recovery")
+    assert(reopened.vectors.collect().map(_.getLong(0)).toSeq == Seq(400L),
+      "staged vectors must have swapped in")
+    assert(reopened.graph.count() == 3, "staged graph must have swapped in")
+  }
+
   test("incremental insert wires new nodes in both directions; answers track a rebuild") {
     val n = all.count()
     val half = all.filter(col("id") % 2 === 0)
