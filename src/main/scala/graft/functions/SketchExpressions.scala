@@ -39,6 +39,17 @@ object SketchOps {
 
   def bloomMaybeLong(bf: BloomFilter, v: Long): Boolean =
     bf.mightContainLong(v)
+
+  def anyInSortedLongSet(set: Array[Long],
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Boolean = {
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(set, arr.getLong(i)) >= 0) return true
+      i += 1
+    }
+    false
+  }
 }
 
 private[graft] object SketchKeyType {
@@ -79,6 +90,46 @@ case class CmsAtLeast(child: Expression, cms: CountMinSketch, minCount: Long)
       defineCodeGen(ctx, ev, c => s"${SketchExprGen.Ops}.cmsAtLeastString($ref, ${minCount}L, $c)")
     else
       defineCodeGen(ctx, ev, c => s"${SketchExprGen.Ops}.cmsAtLeastLong($ref, ${minCount}L, (long) $c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** any_in_set(grams ARRAY<LONG>) -> BOOLEAN — true iff ANY element is in
+  * the broadcast sorted long set (binary search per element). The set rides
+  * as a BROADCAST reference, not a plan literal: a decontamination suite
+  * carries millions of 8-gram hashes, and a multi-megabyte `typedlit` array
+  * would be re-analyzed, re-optimized, and re-serialized per task in every
+  * streaming micro-batch plan — the broadcast ships once per executor and
+  * the plan node is a pointer. Exact (no false positives), unlike a bloom
+  * probe, so no verify join is needed — the stateless stream-side shape of
+  * the batch decontaminator's broadcast semi-join. */
+case class AnyInSortedLongSet(child: Expression,
+    set: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def prettyName: String = "any_in_set"
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"$prettyName: needs ARRAY<LONG> gram hashes (got $other)")
+    }
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    SketchOps.anyInSortedLongSet(set.value,
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramSet", set,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"${SketchExprGen.Ops}.anyInSortedLongSet((long[]) $ref.value(), $c)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -71,27 +71,33 @@ object StreamOps {
 
   /** Streaming training-data ingest gate — the stream twin of the batch
     * pipeline funnel's streamable stages (q_pipeline_e2e): the QUALITY gate
-    * and benchmark DECONTAMINATION are stateless narrow filters (the
-    * benchmark gram-hash set is index metadata — eval sets are MBs — and
-    * rides into the plan as a literal; swap in a bloom probe when it
-    * outgrows that), and exact-dup suppression is watermark-bounded state
-    * keyed on the content FINGERPRINT (same token sequence within the late
-    * window = duplicate, whatever its doc_id). Near-dup LSH and per-source
-    * quotas need corpus-global state and stay on the batch/compaction side
-    * — the standard incremental/batch split of a data pipeline.
-    * `docs`: streaming (doc_id, text, ts). Emits
+    * and benchmark DECONTAMINATION are stateless narrow filters, and
+    * exact-dup suppression is watermark-bounded state keyed on the content
+    * FINGERPRINT (same token sequence within the late window = duplicate,
+    * whatever its doc_id). The benchmark gram-hash set is index metadata
+    * (eval suites carry millions of 8-grams) and probes through the exact
+    * broadcast [[graft.functions.AnyInSortedLongSet]] codegen kernel — the
+    * stateless stream-side twin of the batch decontaminator's broadcast
+    * semi-join (TextQueries q_decontaminate); a `typedlit` literal array
+    * here would be re-analyzed and re-shipped in every micro-batch plan.
+    * Near-dup LSH and per-source quotas need corpus-global state and stay
+    * on the batch/compaction side — the standard incremental/batch split
+    * of a data pipeline. `docs`: streaming (doc_id, text, ts). Emits
     * (doc_id, ts, quality, fp). */
   def filterIngest(docs: DataFrame, benchGrams: Array[Long],
                    minQuality: Double, lateness: String): DataFrame = {
+    val gramSet = docs.sparkSession.sparkContext
+      .broadcast(benchGrams.distinct.sorted)
+    val contaminated = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.AnyInSortedLongSet(
+        org.apache.spark.sql.graftbridge.Bridge.expression(TF.shingleHashSet(col("toks"), 8)), gramSet))
     val staged = docs
       .withColumn("toks", TF.tokens(col("text")))
       .withColumn("n_toks", size(col("toks")))
       .withColumn("quality", TF.qualityScore(col("text"), col("toks"), col("n_toks"),
         graft.queries.TextQueries.StopEn))
       .filter(col("quality") >= minQuality)
-      .withColumn("g8", TF.shingleHashSet(col("toks"), 8))
-      .filter(size(array_intersect(col("g8"),
-        typedlit(benchGrams.sorted.toSeq))) === 0)
+      .filter(!contaminated)
       .withColumn("fp", TF.hashCombine(TF.tokenHashes(col("toks"))))
       .select("doc_id", "ts", "quality", "fp")
     staged.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")

@@ -144,11 +144,16 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select(col("doc_id"), col("text")).limit(120).collect()
       .map(r => (r.getLong(0), r.getString(1)))
-    // benchmark grams from a slice of the same corpus (natural overlap)
-    val benchGrams: Array[Long] = spark.createDataFrame(
+    // benchmark grams from a slice of the same corpus (natural overlap),
+    // padded to >100k entries (a realistic eval-suite size — the gate must
+    // hold with a set far too large for a plan literal; the filler hashes
+    // are synthetic so they collide with no real document)
+    val realGrams: Array[Long] = spark.createDataFrame(
         docs.filter(_._1 % 19 == 0).toSeq).toDF("doc_id", "text")
       .select(explode(TF.shingleHashSet(TF.tokens(col("text")), 8)).as("g"))
       .distinct().collect().map(_.getLong(0))
+    val benchGrams: Array[Long] =
+      realGrams ++ Array.tabulate(100000)(i => 0x9E3779B97F4A7C15L * (i + 1))
     def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
     val rows = docs.filter(_._1 % 19 != 0).zipWithIndex.map { case ((id, t), i) =>
       (id, t, ts(i % 50))
