@@ -124,15 +124,23 @@ object Inversion {
 
   // ---- plain-Scala embed/score (identical math to the Spark columns) ---
 
-  /** Tokenize exactly like TextFunctions.tokens (ASCII lower + split);
-    * Locale.ROOT so a Turkish-locale JVM can't desync driver-side hashes
-    * from the locale-independent Tokenize kernel. */
+  /** Tokenize by delegating to THE kernel ([[TextHashOps.tokenize]]) rather
+    * than reimplementing the lowering: a driver-side Locale.ROOT
+    * `toLowerCase` is still not the same function as
+    * `UTF8String.toLowerCase` for every non-ASCII input (Spark's fallback
+    * path uses the default locale), and the only way driver-side hashes
+    * can never desync from the codegen Tokenize kernel is to run the same
+    * code on both sides. */
   def tokenize(s: String): Array[String] =
-    s.trim.toLowerCase(java.util.Locale.ROOT).split("[^a-z0-9]+").filter(_.nonEmpty)
+    tokenizeU(s).map(_.toString)
+
+  private def tokenizeU(s: String): Array[org.apache.spark.unsafe.types.UTF8String] =
+    TextHashOps.tokenize(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      .toArray[org.apache.spark.unsafe.types.UTF8String](
+        org.apache.spark.sql.types.StringType)
 
   def embedText(s: String, dim: Int): Array[Float] =
-    TextHashOps.hashEmbed(tokenize(s).map(org.apache.spark.unsafe.types.UTF8String.fromString),
-      dim)
+    TextHashOps.hashEmbed(tokenizeU(s), dim)
 
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0

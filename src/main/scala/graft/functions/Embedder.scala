@@ -65,12 +65,13 @@ final case class HashEmbedder(dim: Int) extends Embedder {
     df.withColumn(outCol, TF.hashEmbed(TF.tokens(col(textCol)), dim))
 
   override def embedOne(text: String): Array[Float] = {
-    // Locale.ROOT: the default-locale toLowerCase diverges from the
-    // Tokenize kernel on e.g. Turkish-locale JVMs ('I' -> dotless 'ı'),
-    // silently breaking probe/corpus embedding parity
-    val toks = text.trim.toLowerCase(java.util.Locale.ROOT)
-      .split("[^a-z0-9]+").filter(_.nonEmpty)
-    TextHashOps.hashEmbed(toks.map(UTF8String.fromString), dim)
+    // probe/corpus embedding parity holds by CONSTRUCTION: the driver path
+    // runs the same TextHashOps.tokenize kernel the codegen Tokenize
+    // expression runs (a reimplemented lowering — even Locale.ROOT — can
+    // diverge from UTF8String.toLowerCase on non-ASCII input)
+    val toks = TextHashOps.tokenize(UTF8String.fromString(text))
+      .toArray[UTF8String](org.apache.spark.sql.types.StringType)
+    TextHashOps.hashEmbed(toks, dim)
   }
 }
 
