@@ -8,11 +8,20 @@ import org.apache.spark.sql.SparkSession
   * let Catalyst prune projections (a scan-only query's computed columns
   * would never execute) and under-report. A tiny untimed warmup query pays
   * the one-off JVM/codegen setup cost so per-query numbers reflect steady
-  * state. */
+  * state.
+  *
+  * Each query reports the MEDIAN of SPARK_GRAFT_BENCH_REPS runs (default
+  * 3): a single-shot number is hostage to whatever else the machine is
+  * doing — the round-2 driver recorded 128.6 s for a tree whose idle-machine
+  * total was 62.5 s, with the inflation concentrated in queries whose code
+  * had not changed. The median of three keeps one contended run from
+  * dominating the recorded signal while staying robust to the occasional
+  * fast outlier (a partially cached scan). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,7 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(name: String): Double = {
+    def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -29,6 +38,11 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String): Double = {
+      val times = Seq.fill(reps)(runOnce(name))
+      if (times.exists(_ < 0)) -1.0
+      else times.sorted.apply(reps / 2)
     }
     // Untimed warmup: one cheap scan plus one representative query per
     // family (text kernels, vector kernels) so the timed numbers reflect
