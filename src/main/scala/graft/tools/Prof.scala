@@ -1,22 +1,182 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.KnnGraph
+import graft.queries.AnnQueries
+import graft.store.{GraphIndex, IvfIndex}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Dev-only micro-benchmark of named registry queries (not driver contract).
-  * Usage: runMain graft.tools.Prof [sfDir] [queryName ...] */
+/** THE dev profiler (not driver contract) — every measurement family behind
+  * one parameterized main (SURVEY §8.3 numbers regenerate from here).
+  *
+  * Usage: runMain graft.tools.Prof <family> [args]
+  *   queries [sfDir] [name ...]  time registry queries (all when unnamed)
+  *   shingle [sfDir]             shingle-set materialization bisect
+  *   scale   [stressDir]         trained-IVF build/probe + kNN-graph build
+  *                               + beam serve at a /tmp/scaleN fixture
+  *   serve   [stressDir]         persistent GraphIndex: build once, then
+  *                               cold/warm beam serving, batched serving,
+  *                               and fixed-size insert cost — the rows that
+  *                               prove serving and insert are bounded by
+  *                               walk/batch size, not corpus size
+  *
+  * Stress fixtures come from scripts/gen_scale_stress.py
+  * (STRESS_COPIES=20|100 -> /tmp/scale20|/tmp/scale100). */
 object Prof {
-  def main(args: Array[String]): Unit = {
-    val s = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def time[A](tag: String, extra: String = "")(f: => A): A = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"PROF $tag%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s $extra")
+    r
+  }
+
+  /** Sign-LSH bucketing from plane family `off`; the bucket COUNT must grow
+    * with the corpus (KnnGraph.build's calibration note): fixed 6-bit
+    * buckets go quadratic at 20x. */
+  private def bucketFn(off: Int, bits: Int): Column => Column =
+    emb => (0 until bits).map { p =>
+      when(VF.dot(emb, typedlit(AnnQueries.plane(off + p))) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def scaledBits(n: Long): Int =
+    math.max(6, (math.log(n.toDouble / 10.0) / math.log(2.0)).ceil.toInt)
+
+  def main(args: Array[String]): Unit = args.headOption match {
+    case Some("queries") => queries(args.drop(1))
+    case Some("shingle") => shingle(args.drop(1))
+    case Some("scale") => scale(args.drop(1))
+    case Some("serve") => serve(args.drop(1))
+    case other => sys.error(s"unknown family $other — use queries|shingle|scale|serve")
+  }
+
+  private def queries(args: Array[String]): Unit = {
+    val s = session(8)
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else graft.queries.Registry.queries.keys.toSeq.sorted
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else graft.queries.Registry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val t0 = System.nanoTime()
-      val n = graft.queries.Registry.queries(name)(s, dir).count()
-      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s   rows=$n")
+      time(name) {
+        val n = graft.queries.Registry.queries(name)(s, dir).count()
+        print(s"rows=$n ")
+      }
     }
+    s.stop()
+  }
+
+  /** Bisect of shingle-set materialization cost (which stage of the dedup
+    * family's shared token/shingle frames is worth persisting). */
+  private def shingle(args: Array[String]): Unit = {
+    val s = session(8)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    def raw = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("lang"), TF.shingles(col("toks"), 3).as("sg"))
+    def mk = raw.select(col("doc_id"), col("lang"),
+      array_sort(array_distinct(TF.tokenHashes(col("sg")))).as("sh"))
+    time("compute only (agg size)")(mk.select(sum(size(col("sh")))).count())
+    time("compute only (noop write)") {
+      mk.write.format("noop").mode("overwrite").save()
+    }
+    val d1 = mk.persist()
+    time("persist sorted sets")(d1.count())
+    d1.unpersist(true)
+    time("localCheckpoint")(mk.localCheckpoint(true).count())
+    val d2 = raw.select(col("doc_id"), TF.tokenHashes(col("sg")).as("th")).persist()
+    time("persist hashes (no sort)")(d2.count())
+    d2.unpersist(true)
+    val d3 = raw.persist()
+    time("persist shingle strings")(d3.count())
+    d3.unpersist(true)
+    val d4 = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), TF.tokens(col("text")).as("toks")).persist()
+    time("persist tokens only")(d4.count())
+    d4.unpersist(true)
+    s.stop()
+  }
+
+  /** Scale-stress the trained operators (SURVEY §8.3): IVF build + probe,
+    * graph build at calibrated bucket width, in-memory beam serve.
+    * PROF_FIXED6=1 adds the miscalibrated fixed-6-bit build for contrast. */
+  private def scale(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val nTag = s"(n=$n)"
+    val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val base = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+    val idx = new IvfIndex(s, base, 16)
+    time("ivf_build_trained", nTag)(idx.build(corpus))
+    val sizes = s.read.parquet(s"$base/data").groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    println(s"PROF ivf_cells max=${sizes.max} mean=${sizes.sum / sizes.length}")
+    time("ivf_probe", nTag)(idx.query(qe, 5, 4).collect())
+    val bits = scaledBits(n)
+    if (sys.env.contains("PROF_FIXED6"))
+      time("graph_build_6bit_fixed", nTag) {
+        KnnGraph.build(corpus, Seq(bucketFn(0, 6), bucketFn(200, 6)), 4).count()
+      }
+    val cached = corpus.persist()
+    val g = time(s"graph_build_${bits}bit_scaled", nTag) {
+      val g = KnnGraph.build(cached, Seq(bucketFn(0, bits), bucketFn(200, bits)), 4)
+        .persist()
+      g.count(); g
+    }
+    time("beam_inmem_cold", nTag)(
+      KnnGraph.beamSearch(g, cached, qe, 5, 4, 3, Seq(1L, 2L)).collect())
+    time("beam_inmem_warm", nTag)(
+      KnnGraph.beamSearch(g, cached, qe, 5, 4, 3, Seq(1L, 2L)).collect())
+    s.stop()
+  }
+
+  /** Persistent GraphIndex serving + maintenance at scale: after one build,
+    * every number here must be ~invariant in corpus size — the walk touches
+    * O(hops·beam·k) rows via In-pruned point reads, and an insert touches
+    * O(|batch|·bucket) candidates. Compare across /tmp/scale20 vs
+    * /tmp/scale100 runs. */
+  private def serve(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val nTag = s"(n=$n)"
+    val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val bits = scaledBits(n)
+    val base = java.nio.file.Files.createTempDirectory("scale_gidx").toString
+    val idx = new GraphIndex(s, base, 4,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 4)
+    time("gidx_build", nTag)(idx.build(corpus, refineRounds = 1))
+    time("gidx_query_cold", nTag)(idx.query(qe, 5, 4, 6).collect())
+    (1 to 3).foreach { i =>
+      time(s"gidx_query_warm$i", nTag)(idx.query(qe, 5, 4, 6).collect())
+    }
+    val probes = corpus.orderBy("id").limit(16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    time("gidx_batch16", nTag)(idx.queryBatch(probes, 5, 4, 6).collect())
+    // fixed-size insert batch with fresh ids: cost must track the BATCH,
+    // not the corpus
+    val maxId = corpus.agg(max("id")).head().getLong(0)
+    val batch = corpus.orderBy("id").limit(1000)
+      .withColumn("id", col("id") + lit(maxId + 1L))
+    time("gidx_insert_1k", nTag)(idx.insert(batch))
+    time("gidx_query_after_insert", nTag)(idx.query(qe, 5, 4, 6).collect())
     s.stop()
   }
 }
