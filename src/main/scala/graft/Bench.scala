@@ -40,9 +40,10 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def run(name: String): Double = {
-      val times = Seq.fill(reps)(runOnce(name))
-      if (times.exists(_ < 0)) -1.0
-      else times.sorted.apply(reps / 2)
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      while (times.length < reps && times.forall(_ >= 0)) times += runOnce(name)
+      if (times.exists(_ < 0)) -1.0 // failed: don't re-run a broken query
+      else times.sorted.apply(times.length / 2)
     }
     // Untimed warmup: one cheap scan plus one representative query per
     // family (text kernels, vector kernels) so the timed numbers reflect

@@ -122,3 +122,107 @@ final class BatchedModelEmbedder[M](
   override def embedOne(text: String): Array[Float] =
     encodeBatch(model, Seq(text)).head
 }
+
+/** REAL-WEIGHTS demo of the [[BatchedModelEmbedder]] seam: the model is a
+  * binary artifact on disk — magic int, int32 dim, int32 buckets, then
+  * buckets×dim float32 rows, all little-endian — the learned projection
+  * matrix of a bag-of-hashed-tokens encoder (the embedding-layer half of
+  * the reference's MiniLM encode, /root/reference/src/embeddings.py:3-6; a
+  * transformer runtime is out of scope for a zero-dependency JVM build,
+  * but every seam a real model needs is exercised end-to-end: artifact
+  * load ONCE per executor JVM, batched executor-side encode, driver
+  * embedOne parity). Tokens hash into `buckets` with the same kernel hash
+  * as [[HashEmbedder]]; a text embeds as the L2-normalized sum of its
+  * tokens' weight rows. `GRAFT_EMBED_WEIGHTS` points at an artifact to
+  * enable [[fromEnv]]; when unset, callers keep the hermetic default (the
+  * EmbedderSpec wiring proof generates its own artifact, so CI never
+  * depends on external files). */
+object WeightFileEmbedder {
+  val EnvVar = "GRAFT_EMBED_WEIGHTS"
+  private val Magic = 0x47465457 // "GFTW"
+  private val HeaderBytes = 12
+
+  final case class Weights(dim: Int, buckets: Int, rows: Array[Array[Float]])
+
+  /** Write an artifact (dev/test utility and the documented format spec). */
+  def write(path: String, dim: Int, buckets: Int, cell: (Int, Int) => Float): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(HeaderBytes + 4 * buckets * dim)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(Magic).putInt(dim).putInt(buckets)
+    var b = 0
+    while (b < buckets) {
+      var d = 0
+      while (d < dim) { bb.putFloat(cell(b, d)); d += 1 }
+      b += 1
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bb.array()): Unit
+  }
+
+  def load(path: String): Weights = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    require(bb.remaining() >= HeaderBytes && bb.getInt() == Magic,
+      s"$path is not a GFTW weights artifact")
+    val dim = bb.getInt()
+    val buckets = bb.getInt()
+    require(dim > 0 && buckets > 0 && bb.remaining() == 4 * buckets * dim,
+      s"$path: truncated weights (dim=$dim buckets=$buckets rem=${bb.remaining()})")
+    val rows = Array.ofDim[Float](buckets, dim)
+    var b = 0
+    while (b < buckets) {
+      var d = 0
+      while (d < dim) { rows(b)(d) = bb.getFloat(); d += 1 }
+      b += 1
+    }
+    Weights(dim, buckets, rows)
+  }
+
+  /** Dimension from the artifact header only — construction must not pull
+    * the full matrix into the driver (executors load it themselves, once). */
+  private def headerDim(path: String): Int = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    try {
+      val hdr = in.readNBytes(HeaderBytes)
+      val bb = java.nio.ByteBuffer.wrap(hdr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(hdr.length == HeaderBytes && bb.getInt() == Magic,
+        s"$path is not a GFTW weights artifact")
+      bb.getInt()
+    } finally in.close()
+  }
+
+  private def encode(w: Weights, text: String): Array[Float] = {
+    val toks = TextHashOps.tokenize(UTF8String.fromString(text))
+    val acc = new Array[Double](w.dim)
+    var i = 0
+    val n = toks.numElements()
+    while (i < n) {
+      val row = w.rows((TextHashOps.polyHash(toks.getUTF8String(i)) % w.buckets).toInt)
+      var d = 0
+      while (d < w.dim) { acc(d) += row(d); d += 1 }
+      i += 1
+    }
+    var nsq = 0.0
+    var d = 0
+    while (d < w.dim) { nsq += acc(d) * acc(d); d += 1 }
+    val nrm = math.sqrt(nsq)
+    val out = new Array[Float](w.dim)
+    d = 0
+    while (d < w.dim) {
+      out(d) = if (nrm == 0.0) 0.0f else (acc(d) / nrm).toFloat
+      d += 1
+    }
+    out
+  }
+
+  def apply(path: String, batchSize: Int = 64): Embedder =
+    new BatchedModelEmbedder[Weights](
+      name = s"wfile:$path",
+      dim = headerDim(path),
+      loadModel = () => load(path),
+      encodeBatch = (w, texts) => texts.map(encode(w, _)),
+      batchSize = batchSize)
+
+  /** The env-var wiring: Some(embedder) when GRAFT_EMBED_WEIGHTS names an
+    * artifact, None otherwise (hermetic runs keep [[HashEmbedder]]). */
+  def fromEnv(): Option[Embedder] = sys.env.get(EnvVar).map(apply(_))
+}

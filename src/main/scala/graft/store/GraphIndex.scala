@@ -47,9 +47,12 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   private def entriesPath = s"$path/entries"
   private def marker = s"$path/_commit"
 
-  // opening the index finishes any insert interrupted between its two
-  // swaps — readers and the replaying writer both see vectors+graph move
-  // together (see StoreIO.commitSwap)
+  // opening the index finishes any publish interrupted between its swaps —
+  // readers and the replaying writer both see vectors+graph+entries move
+  // together (see StoreIO.commitSwap). Single concurrent WRITER is the
+  // contract (like IvfIndex.compact); an open racing a live writer's swap
+  // phase is tolerated because swapStaged accepts the already-published
+  // end state, but two concurrent insert()s are not.
   StoreIO.recover(marker)
 
   def vectors: DataFrame = spark.read.parquet(vecPath)
@@ -58,8 +61,19 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   /** Build-time entry points: (cell, id) — the medoid of each trained cell. */
   def entryPoints: DataFrame = spark.read.parquet(entriesPath)
 
-  private def defaultEntries(): Seq[Long] =
-    entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+  // entries are immutable between build() calls (insert leaves them as
+  // built), so the serving hot path loads them once per instance instead
+  // of paying a read+collect job on every default-entry query
+  @volatile private var entryCache: Seq[Long] = null
+
+  private def defaultEntries(): Seq[Long] = {
+    var e = entryCache
+    if (e == null) {
+      e = entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq
+      entryCache = e
+    }
+    e
+  }
 
   /** Range-sorted layout: parquet row-group min/max stats on the key make
     * the walk's In-filters skip everything outside the requested ids. */
@@ -79,9 +93,15 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       val ve = v.select(col("id"), col("emb"))
       var g = KnnGraph.build(ve, bucketFns, k)
       (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, ve, k))
-      sortedBy(v, "id").write.mode("overwrite").parquet(vecPath)
-      sortedBy(g, "src").write.mode("overwrite").parquet(graphPath)
-      trainEntryPoints(ve).write.mode("overwrite").parquet(entriesPath)
+      // same crash-consistent publish as insert: a REBUILD over a live
+      // index (the periodic entry-retrain / compaction story) must never
+      // delete the old data before the new data is fully staged, and all
+      // three outputs must move together
+      StoreIO.commitSwap(Seq(
+        (sortedBy(v, "id"), vecPath),
+        (sortedBy(g, "src"), graphPath),
+        (trainEntryPoints(ve), entriesPath)), marker)
+      entryCache = null
     } finally v.unpersist(): Unit
   }
 
@@ -218,13 +238,13 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   def insert(batch: DataFrame): Unit = {
     val oldV = vectors.persist()
     // replay/overlap safety: ids already indexed are skipped (the same
-    // idempotent-append discipline as VectorStore.add / IvfIndex), and an
-    // intra-batch id repeat keeps one row (a replayed batch carries
-    // identical rows, so the surviving row is identical either way).
+    // idempotent-append discipline as VectorStore.add / IvfIndex); an
+    // intra-batch id repeat keeps ONE DETERMINISTIC row (ties by payload
+    // JSON — plain dropDuplicates would keep whichever row the shuffle
+    // surfaces first, wiring the graph differently run to run).
     // Sound because vectors+graph commit TOGETHER below: an id present in
     // vectors is guaranteed to have been wired.
-    val newV = batch
-      .dropDuplicates("id")
+    val newV = StoreIO.dedupById(batch, batch.columns.filter(_ != "id").toSeq)
       .join(oldV.select("id"), Seq("id"), "left_anti")
       .persist()
     val g = graph.persist()

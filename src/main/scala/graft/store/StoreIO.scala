@@ -49,9 +49,12 @@ private[store] object StoreIO {
     if (stage.exists()) {
       if (live.exists()) {
         rmTree(old)
-        require(live.renameTo(old), s"could not park $dest")
+        require(live.renameTo(old) || !live.exists(), s"could not park $dest")
       }
-      require(stage.renameTo(live), s"could not publish staged $dest")
+      // tolerate a concurrent recover() finishing the same swap: a failed
+      // rename is fine iff the end state is already published
+      require(stage.renameTo(live) || (live.exists() && !stage.exists()),
+        s"could not publish staged $dest")
     }
     rmTree(old)
   }
@@ -69,10 +72,17 @@ private[store] object StoreIO {
     * new. */
   def commitSwap(outs: Seq[(DataFrame, String)], marker: String): Unit = {
     outs.foreach { case (df, dest) => df.write.mode("overwrite").parquet(s"${dest}__stage") }
-    java.nio.file.Files.write(java.nio.file.Paths.get(marker),
+    // the marker must appear ATOMICALLY: a torn marker listing only some
+    // dests would make recover() publish a partial commit — stage it and
+    // ATOMIC_MOVE into place
+    val mk = java.nio.file.Paths.get(marker)
+    val mkStage = java.nio.file.Paths.get(s"$marker.tmp")
+    java.nio.file.Files.write(mkStage,
       outs.map(_._2).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(mkStage, mk,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     outs.foreach { case (_, dest) => swapStaged(dest) }
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(marker)): Unit
+    java.nio.file.Files.deleteIfExists(mk): Unit
   }
 
   /** Finish an interrupted [[commitSwap]]: the marker only ever exists once

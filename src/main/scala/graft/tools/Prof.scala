@@ -66,10 +66,9 @@ object Prof {
     val names = if (args.length > 1) args.drop(1).toSeq
       else graft.queries.Registry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      time(name) {
-        val n = graft.queries.Registry.queries(name)(s, dir).count()
-        print(s"rows=$n ")
-      }
+      val t0 = System.nanoTime()
+      val n = graft.queries.Registry.queries(name)(s, dir).count()
+      println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
     }
     s.stop()
   }

@@ -86,6 +86,52 @@ class EmbedderSpec extends AnyFunSuite with SparkTest {
     assert(sizes.exists(_ > 1), "batching must actually batch")
   }
 
+  test("weights-file embedder: real artifact on disk drives the seam end-to-end") {
+    import graft.functions.WeightFileEmbedder
+    val path = java.nio.file.Files.createTempDirectory("graft_wf")
+      .resolve("model.gftw").toString
+    WeightFileEmbedder.write(path, dim = 24, buckets = 97,
+      (b, d) => (((b * 31 + d * 7) % 17) - 8) / 8.0f)
+    val emb = WeightFileEmbedder(path)
+    assert(emb.dim == 24, "dimension must come from the artifact header")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val r1 = Embedder.knnByText(docs, "doc_id", "text", 0, 5, emb)
+      .collect().map(_.toSeq).toSeq
+    val r2 = Embedder.knnByText(docs, "doc_id", "text", 0, 5, emb)
+      .collect().map(_.toSeq).toSeq
+    assert(r1.nonEmpty && r1 == r2, "weights-file kNN must be deterministic")
+    val hash = Embedder.knnByText(docs, "doc_id", "text", 0, 5, HashEmbedder(24))
+      .collect().map(_.toSeq).toSeq
+    assert(r1 != hash, "the learned projection must actually be used")
+    // executor (mapPartitions) and driver (embedOne) paths agree row for row
+    val texts = docs.limit(10).select(col("text")).collect().map(_.getString(0))
+    val viaDf = emb.embed(
+        spark.createDataFrame(texts.toSeq.map(Tuple1(_))).toDF("text"), "text", "e")
+      .collect().map(_.getSeq[Float](1).toSeq)
+    texts.zip(viaDf).foreach { case (t, v) =>
+      assert(emb.embedOne(t).toSeq == v, "driver/executor embedding parity")
+    }
+    viaDf.foreach { v =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(n == 0.0 || math.abs(n - 1.0) < 1e-3, s"not normalized: $n")
+    }
+    // corrupted artifacts fail loudly, not with garbage embeddings
+    val bad = java.nio.file.Files.createTempDirectory("graft_wf_bad")
+      .resolve("bad.gftw")
+    java.nio.file.Files.write(bad, Array.fill[Byte](40)(3))
+    intercept[IllegalArgumentException](WeightFileEmbedder(bad.toString))
+  }
+
+  test("GRAFT_EMBED_WEIGHTS wires an external artifact (skipped when unset)") {
+    import graft.functions.WeightFileEmbedder
+    assume(sys.env.contains(WeightFileEmbedder.EnvVar),
+      s"${WeightFileEmbedder.EnvVar} not set - hermetic run keeps HashEmbedder")
+    val emb = WeightFileEmbedder.fromEnv().get
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val got = Embedder.knnByText(docs, "doc_id", "text", 0, 5, emb).collect()
+    assert(got.length == 5, "env-configured model must serve the kNN pipeline")
+  }
+
   test("attack loop runs end-to-end through a stub model embedder") {
     val p = Inversion.Params(popSize = 12, generations = 4, restarts = 2,
       iters = 15, topK = 10, dim = 26, seed = 7L)
