@@ -36,6 +36,16 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * of affected nodes ∪ proposals). At 100 TB graph and vectors co-partition
  * on the node id; bucket width must scale with N (see [[KnnGraph.build]]'s
  * calibration note).
+ *
+ * DELTA LAYOUT: both tables are epoch-partitioned (`epoch=N` dirs —
+ * [[build]] writes epoch 0, each [[insert]] publishes ONE new epoch holding
+ * only the batch's vectors and the rewritten edge sets of touched sources),
+ * so an insert's write cost is bounded by the BATCH, never the corpus — the
+ * LSM discipline of [[IvfIndex.appendBatch]]. Resolution: vector ids are
+ * disjoint across epochs by construction; for edges the newest epoch
+ * containing a src carries that src's COMPLETE current top-k, so readers
+ * keep max-epoch rows per src (one window whose src In-filters still push
+ * down to the scan). [[compact]] folds all epochs back into one.
  */
 final class GraphIndex(spark: SparkSession, path: String, k: Int,
                        bucketFns: Seq[Column => Column], numEntries: Int = 4) {
@@ -55,8 +65,34 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   // end state, but two concurrent insert()s are not.
   StoreIO.recover(marker)
 
-  def vectors: DataFrame = spark.read.parquet(vecPath)
-  def graph: DataFrame = spark.read.parquet(graphPath)
+  /** All epochs; ids are disjoint across them ([[insert]] anti-joins), so
+    * resolution is just dropping the partition column. */
+  def vectors: DataFrame = spark.read.parquet(vecPath).drop("epoch")
+
+  /** Current edge set: newest epoch wins per src (that epoch holds the
+    * src's complete top-k). The serving walk's `src IN (...)` filters push
+    * BELOW the resolution window (src is its partition key — plan-asserted
+    * in GraphIndexSpec), so per-hop reads stay row-group-pruned point
+    * lookups. */
+  def graph: DataFrame = resolveLatest(rawGraph)
+
+  private def rawGraph: DataFrame = spark.read.parquet(graphPath)
+
+  private def resolveLatest(raw: DataFrame): DataFrame = {
+    val w = Window.partitionBy("src")
+    raw.withColumn("__maxe", max(col("epoch")).over(w))
+      .filter(col("epoch") === col("__maxe"))
+      .drop("epoch", "__maxe")
+  }
+
+  private def epochs(): Seq[Long] = {
+    val root = new java.io.File(vecPath)
+    if (!root.exists()) Seq.empty
+    else root.listFiles().toSeq.collect {
+      case f if f.isDirectory && f.getName.startsWith("epoch=") =>
+        f.getName.stripPrefix("epoch=").toLong
+    }
+  }
 
   /** Build-time entry points: (cell, id) — the medoid of each trained cell. */
   def entryPoints: DataFrame = spark.read.parquet(entriesPath)
@@ -97,13 +133,29 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       // index (the periodic entry-retrain / compaction story) must never
       // delete the old data before the new data is fully staged, and all
       // three outputs must move together
-      StoreIO.commitSwap(Seq(
-        (sortedBy(v, "id"), vecPath),
-        (sortedBy(g, "src"), graphPath),
-        (trainEntryPoints(ve), entriesPath)), marker)
-      entryCache = null
+      publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve))
     } finally v.unpersist(): Unit
   }
+
+  /** Replace all three dirs as one commit, data landing at epoch 0. */
+  private def publishFull(v: DataFrame, g: DataFrame, entries: DataFrame): Unit = {
+    StoreIO.commitStaged(Seq(
+      StoreIO.Staged(s"${vecPath}__stage", vecPath,
+        st => v.write.mode("overwrite").parquet(s"$st/epoch=0")),
+      StoreIO.Staged(s"${graphPath}__stage", graphPath,
+        st => g.write.mode("overwrite").parquet(s"$st/epoch=0")),
+      StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
+        st => entries.write.mode("overwrite").parquet(st))), marker)
+    entryCache = null
+  }
+
+  /** Fold every delta epoch back into a single epoch 0 (the
+    * [[IvfIndex.compact]] story): after a long insert stream the per-hop
+    * In-filters would otherwise consult one file set per epoch. Answers are
+    * unchanged — this rewrites the RESOLVED views; entry points are carried
+    * over as built. Crash-consistent like every other publish. */
+  def compact(): Unit =
+    publishFull(sortedBy(vectors, "id"), sortedBy(graph, "src"), entryPoints)
 
   /** Medoids of `numEntries` deterministically-trained k-means cells:
     * farthest-first seeds + quantized Lloyd (bit-reproducible), then one
@@ -226,15 +278,17 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     *     (its current edges ∪ proposals) — without this, new nodes would
     *     be unreachable from the old graph and beam search could never
     *     find them.
-    * Both steps are bucket-/key-bounded joins plus one window; the
-    * untouched remainder of the graph is carried over unchanged. Vectors
-    * and edges publish as ONE crash-consistent commit
-    * ([[StoreIO.commitSwap]]): a replayed batch whose ids already landed is
-    * skipped, and a batch interrupted mid-publish is finished at the next
-    * open — no window where committed vectors lack their wiring. Entry
-    * points are left as built (medoids drift only as far as the data does;
-    * a periodic [[build]] re-trains them — the same compaction story as
-    * [[IvfIndex]]). */
+    * Both steps are bucket-/key-bounded joins plus one window, and the
+    * publish is a DELTA: one new `epoch=N` dir per table holding only the
+    * batch's vectors and the touched sources' rewritten edge sets — the
+    * untouched graph is never read, never rewritten, so insert cost is
+    * bounded by the batch, not the corpus. Vectors and edges publish as ONE
+    * crash-consistent commit ([[StoreIO.commitStaged]]): a replayed batch
+    * whose ids already landed is skipped, and a batch interrupted
+    * mid-publish is finished at the next open — no window where committed
+    * vectors lack their wiring. Entry points are left as built (medoids
+    * drift only as far as the data does; a periodic [[build]] re-trains
+    * them — the same compaction story as [[IvfIndex]]). */
   def insert(batch: DataFrame): Unit = {
     val oldV = vectors.persist()
     // replay/overlap safety: ids already indexed are skipped (the same
@@ -247,7 +301,6 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     val newV = StoreIO.dedupById(batch, batch.columns.filter(_ != "id").toSeq)
       .join(oldV.select("id"), Seq("id"), "left_anti")
       .persist()
-    val g = graph.persist()
     val newEdges = KnnGraph.buildDirected(
       newV, oldV.unionByName(newV), bucketFns, k).persist()
     try {
@@ -262,18 +315,28 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         col("dst").as("src"), col("src").as("dst"), col("dist"))
       val touched = proposals.select("src")
         .unionByName(newEdges.select("src")).distinct()
-      val refreshed = g.join(touched, Seq("src"), "left_semi")
+      // current edges of touched srcs only: the semi-join (broadcast — the
+      // touched set is batch-bounded) keeps WHOLE src groups from the raw
+      // epoch tree, so resolving after the restriction is exact
+      val current = resolveLatest(
+        rawGraph.join(broadcast(touched), Seq("src"), "left_semi"))
+      val refreshed = current
         .unionByName(proposals)
         .unionByName(newEdges)
         .groupBy("src", "dst").agg(min("dist").as("dist"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= k)
         .select("src", "dst", "dist")
-      val untouched = g.join(touched, Seq("src"), "left_anti")
-      val merged = untouched.unionByName(refreshed)
-      StoreIO.commitSwap(Seq(
-        (sortedBy(oldV.unionByName(newV), "id"), vecPath),
-        (sortedBy(merged, "src"), graphPath)), marker)
-    } finally Seq(newV, oldV, newEdges, g).foreach(_.unpersist())
+      // the delta stages live OUTSIDE the partitioned trees (see
+      // StoreIO.Staged) and an insert deletes nothing — the commit only
+      // ADDS the two epoch dirs, together or not at all
+      val e = epochs().max + 1
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"$path/__stage_vectors_$e", s"$vecPath/epoch=$e",
+          st => sortedBy(newV, "id").write.mode("overwrite").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
+          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st))),
+        marker)
+    } finally Seq(newV, oldV, newEdges).foreach(_.unpersist())
   }
 }

@@ -42,8 +42,10 @@ private[store] object StoreIO {
 
   /** Swap a COMPLETED `<dest>__stage` in for `dest` (idempotent: a missing
     * stage means the swap already happened — just clear the parked copy). */
-  private def swapStaged(dest: String): Unit = {
-    val stage = new java.io.File(s"${dest}__stage")
+  private def swapStaged(dest: String): Unit = swapFrom(s"${dest}__stage", dest)
+
+  private def swapFrom(stagePath: String, dest: String): Unit = {
+    val stage = new java.io.File(stagePath)
     val old = new java.io.File(s"${dest}__old")
     val live = new java.io.File(dest)
     if (stage.exists()) {
@@ -70,31 +72,56 @@ private[store] object StoreIO {
     * overwritten by the next writer); a crash after it is finished by
     * [[recover]] at the next open, so readers see either all old or all
     * new. */
-  def commitSwap(outs: Seq[(DataFrame, String)], marker: String): Unit = {
-    outs.foreach { case (df, dest) => df.write.mode("overwrite").parquet(s"${dest}__stage") }
+  def commitSwap(outs: Seq[(DataFrame, String)], marker: String): Unit =
+    commitStaged(outs.map { case (df, dest) =>
+      Staged(s"${dest}__stage", dest,
+        st => df.write.mode("overwrite").parquet(st))
+    }, marker)
+
+  /** One output of [[commitStaged]]: `write` materializes the data at
+    * `stage`, which is renamed to `dest` once EVERY stage in the commit has
+    * completed. The plain-replace form stages at the SIBLING `<dest>__stage`
+    * ([[commitSwap]]); appends of a new partition dir INTO a live
+    * partitioned tree (the [[GraphIndex]] delta epochs) must stage OUTSIDE
+    * that tree — a `epoch=N__stage` dir nested under the root would be
+    * picked up by a concurrent reader's partition discovery as a bogus
+    * partition value mid-write. */
+  final case class Staged(stage: String, dest: String, write: String => Unit)
+
+  /** [[commitSwap]] generalized to explicit stage locations and writers. */
+  def commitStaged(outs: Seq[Staged], marker: String): Unit = {
+    outs.foreach(o => o.write(o.stage))
     // the marker must appear ATOMICALLY: a torn marker listing only some
     // dests would make recover() publish a partial commit — stage it and
     // ATOMIC_MOVE into place
     val mk = java.nio.file.Paths.get(marker)
     val mkStage = java.nio.file.Paths.get(s"$marker.tmp")
     java.nio.file.Files.write(mkStage,
-      outs.map(_._2).mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      outs.map(o => s"${o.stage}\t${o.dest}").mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(mkStage, mk,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    outs.foreach { case (_, dest) => swapStaged(dest) }
+    outs.foreach(o => swapFrom(o.stage, o.dest))
     java.nio.file.Files.deleteIfExists(mk): Unit
   }
 
-  /** Finish an interrupted [[commitSwap]]: the marker only ever exists once
-    * every stage dir completed, so each listed dest either still has its
-    * stage (swap it in) or already swapped (clear the parked copy). No-op
-    * without a marker. */
+  /** Finish an interrupted [[commitStaged]]: the marker only ever exists
+    * once every stage dir completed, so each listed dest either still has
+    * its stage (swap it in) or already swapped (clear the parked copy).
+    * No-op without a marker. Lines are `stage\tdest`; a line without a tab
+    * is the legacy dest-only form (stage at `<dest>__stage`). */
   def recover(marker: String): Unit = {
     val mf = java.nio.file.Paths.get(marker)
     if (!java.nio.file.Files.exists(mf)) return
     new String(java.nio.file.Files.readAllBytes(mf),
       java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).foreach(swapStaged)
+      .split("\n").filter(_.nonEmpty).foreach { line =>
+        line.split('\t') match {
+          case Array(stage, dest) => swapFrom(stage, dest)
+          case Array(dest) => swapStaged(dest)
+          case other => sys.error(s"malformed marker line: $line")
+        }
+      }
     java.nio.file.Files.delete(mf): Unit
   }
 }

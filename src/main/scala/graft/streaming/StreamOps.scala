@@ -125,6 +125,26 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** [[maintainIvfIndex]]'s graph twin: drain a document stream into a
+    * prebuilt [[graft.store.GraphIndex]] — each micro-batch hash-embeds and
+    * [[graft.store.GraphIndex.insert]]s, which wires the new nodes into the
+    * serving graph in BOTH directions and publishes one bounded delta
+    * epoch. Replay safety comes from the insert itself (already-indexed ids
+    * anti-join away; vectors+edges commit together), so an at-least-once
+    * stream still yields exactly-once index contents. */
+  def maintainGraphIndex(spark: SparkSession, srcDir: String,
+      index: graft.store.GraphIndex, checkpoint: String, dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .select(col("doc_id").as("id"), TF.tokens(col("text")).as("toks"))
+      .select(col("id"), TF.hashEmbed(col("toks"), dim).as("emb"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => index.insert(batch) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (impression→click attribution shape): a
     * `right` row attaches to the `left` row with equal `key` when `rts` lies
     * in [lts, lts + within]. Watermarks on BOTH event-time columns let Spark

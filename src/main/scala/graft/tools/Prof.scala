@@ -176,6 +176,11 @@ object Prof {
       .withColumn("id", col("id") + lit(maxId + 1L))
     time("gidx_insert_1k", nTag)(idx.insert(batch))
     time("gidx_query_after_insert", nTag)(idx.query(qe, 5, 4, 6).collect())
+    val batch2 = corpus.orderBy("id").limit(1000)
+      .withColumn("id", col("id") + lit(2L * (maxId + 1L)))
+    time("gidx_insert_1k_b2", nTag)(idx.insert(batch2))
+    time("gidx_compact", nTag)(idx.compact())
+    time("gidx_query_after_compact", nTag)(idx.query(qe, 5, 4, 6).collect())
     s.stop()
   }
 }

@@ -117,19 +117,88 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     val dir = java.nio.file.Files.createTempDirectory("graft_gidx_rec").toString
     val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(all.filter(col("id") <= 100), refineRounds = 0)
-    // simulate a crash mid-commitSwap: both stage dirs fully written, the
-    // marker recorded, but neither swap performed
+    val nBefore = idx.vectors.count()
+    // simulate a crash mid-commitStaged: both delta stage dirs fully
+    // written (OUTSIDE the partitioned trees, as insert stages them), the
+    // marker recorded, but neither rename performed
     val extra = all.filter(col("id") === 400L)
-    extra.write.mode("overwrite").parquet(s"$dir/vectors__stage")
-    idx.graph.limit(3).write.mode("overwrite").parquet(s"$dir/graph__stage")
+    extra.write.mode("overwrite").parquet(s"$dir/__stage_vectors_1")
+    // a delta that rewires src=2 down to a single edge — resolution must
+    // prefer it over epoch 0's full edge set
+    idx.graph.filter(col("src") === 2).limit(1)
+      .write.mode("overwrite").parquet(s"$dir/__stage_graph_1")
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_commit"),
-      s"$dir/vectors\n$dir/graph".getBytes("UTF-8"))
+      (s"$dir/__stage_vectors_1\t$dir/vectors/epoch=1\n" +
+       s"$dir/__stage_graph_1\t$dir/graph/epoch=1").getBytes("UTF-8"))
     val reopened = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/_commit")),
       "marker must clear after recovery")
-    assert(reopened.vectors.collect().map(_.getLong(0)).toSeq == Seq(400L),
-      "staged vectors must have swapped in")
-    assert(reopened.graph.count() == 3, "staged graph must have swapped in")
+    assert(reopened.vectors.count() == nBefore + 1,
+      "staged vector delta must have swapped in")
+    assert(reopened.vectors.filter(col("id") === 400L).count() == 1)
+    assert(reopened.graph.filter(col("src") === 2).count() == 1,
+      "src=2 must resolve to the recovered epoch-1 rewrite, not epoch 0")
+  }
+
+  test("insert publishes a batch-bounded delta; untouched epoch-0 files never rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_delta").toString
+    val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
+    idx.build(all.filter(col("id") <= 300), refineRounds = 0)
+    def fileSig(sub: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$dir/$sub")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val vSig = fileSig("vectors/epoch=0")
+    val gSig = fileSig("graph/epoch=0")
+    idx.insert(all.filter(col("id") > 300 && col("id") <= 330))
+    assert(fileSig("vectors/epoch=0") == vSig && fileSig("graph/epoch=0") == gSig,
+      "insert must not rewrite the existing epoch")
+    def epochDirs(sub: String): Set[String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    assert(epochDirs("vectors") == Set("epoch=0", "epoch=1"))
+    assert(epochDirs("graph") == Set("epoch=0", "epoch=1"))
+    // the delta's edge rows cover only batch-reachable srcs: |batch ∪
+    // proposal targets| · k is the hard ceiling, far under a full rewrite
+    val deltaRows = spark.read.parquet(s"$dir/graph/epoch=1").count()
+    val fullRows = idx.graph.count()
+    assert(deltaRows < fullRows,
+      s"delta ($deltaRows edge rows) should be smaller than the graph ($fullRows)")
+    // resolution: per-src edge sets still capped at K with no self-loops
+    val g = idx.graph
+    assert(g.groupBy("src").count().agg(max("count")).head().getLong(0) <= K)
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+  }
+
+  test("beam walk's src In-filter pushes below the epoch-resolution window") {
+    val plan = sharedIdx.graph.filter(col("src").isin(1L, 2L, 3L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(src"),
+      s"src In-filter did not reach the graph scan beneath the window:\n$plan")
+  }
+
+  test("compact folds every epoch into one; answers unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_cpt").toString
+    val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _),
+      numEntries = 3)
+    idx.build(all.filter(col("id") % 2 === 0), refineRounds = 0)
+    idx.insert(all.filter(col("id") % 4 === 1))
+    idx.insert(all.filter(col("id") % 4 === 3))
+    val before = idx.query(probe, topK = 5, beamWidth = 4, hops = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val gBefore = idx.graph.collect().map(_.toSeq).toSet
+    idx.compact()
+    def epochDirs(sub: String): Set[String] =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.isDirectory).map(_.getName).toSet
+    assert(epochDirs("vectors") == Set("epoch=0"), "vector epochs must fold")
+    assert(epochDirs("graph") == Set("epoch=0"), "graph epochs must fold")
+    assert(idx.graph.collect().map(_.toSeq).toSet == gBefore,
+      "compaction must preserve the resolved edge set exactly")
+    val after = idx.query(probe, topK = 5, beamWidth = 4, hops = 6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after == before, "compaction must not change answers")
   }
 
   test("incremental insert wires new nodes in both directions; answers track a rebuild") {

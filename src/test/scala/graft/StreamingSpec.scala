@@ -278,6 +278,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == want, "stream-maintained index must answer like the batch build")
   }
 
+  test("maintainGraphIndex wires arriving docs into the serving graph") {
+    import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+    def bucketOf(off: Int)(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 6).map { p =>
+        when(VF.dot(e, typedlit(graft.queries.AnnQueries.plane(off + p))) >= 0,
+          lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val docsEmb = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").as("id"),
+        TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val idx = new graft.store.GraphIndex(spark, tmp(), 4,
+      Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 2)
+    idx.build(docsEmb.filter(col("id") < 25), refineRounds = 0)
+    val srcDir = tmp()
+    spark.read.parquet(s"$sf0001/documents.parquet")
+      .filter(col("doc_id") >= 25)
+      .write.mode("overwrite").parquet(srcDir)
+    val q = StreamOps.maintainGraphIndex(spark, srcDir, idx, tmp())
+    q.awaitTermination()
+    assert(idx.vectors.count() == docsEmb.count(),
+      "every streamed doc must land in the index exactly once")
+    val g = idx.graph.persist()
+    assert(g.filter(col("src") === col("dst")).count() == 0)
+    assert(g.groupBy("src").count().agg(max("count")).head().getLong(0) <= 4)
+    val newIds = docsEmb.filter(col("id") >= 25).select("id")
+    assert(newIds.join(g.select(col("src").as("id")).distinct(),
+      Seq("id"), "left_anti").count() == 0, "every streamed doc has out-edges")
+    // a streamed doc's own embedding must be servable from built entries
+    val probe = docsEmb.filter(col("id") === 30).head().getSeq[Float](1).toArray
+    val hit = idx.query(probe, topK = 3, beamWidth = 4, hops = 6).collect()
+    assert(hit.length == 3, "stream-maintained graph must serve queries")
+    g.unpersist(): Unit
+  }
+
   test("streaming session_window agg equals the batch sessionization frame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
