@@ -415,6 +415,61 @@ object DedupQueries {
            |SELECT id AS doc_id, component,
            |  CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS csize
            |FROM labeled ORDER BY doc_id""".stripMargin
+      }),
+
+    // SemDeDup-style SEMANTIC dedup (Abbas et al. 2023): collapse items
+    // whose EMBEDDINGS nearly coincide even when their bytes differ — the
+    // re-crawl/re-ingest case exact and MinHash dedup both miss. The
+    // fixture models it honestly: the synthetic corpus has no organic
+    // near-dups (max in-block cosine 0.36), so the query unions a
+    // re-ingested slice (every 5th vector, new ids, embeddings shifted
+    // +0.02/dim — cosine ≈ 0.985 to its source, invisible to exact dedup).
+    // Blocking is (label × sign-LSH bucket) as q_neardup_embedding; within
+    // a block an item drops iff ANY lower-id item sits at cosine ≥ 0.95
+    // (chain-collapse semantics — no iteration, so both engines express it
+    // as one EXISTS/anti-join). Scale shape: candidate pairs only within
+    // blocks; the bucket count grows with N like every LSH family here.
+    Q(
+      "q_dedup_semantic",
+      "semantic dedup: re-ingested near-copies collapse within (label, LSH bucket)",
+      (s, dir) => {
+        val base = tbl(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), col("embedding"))
+        val reingest = base.filter(col("vec_id") % 5 === 0)
+          .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+            transform(col("embedding"),
+              x => (x.cast("double") + lit(0.02)).cast("float")).as("embedding"))
+        val e = base.unionByName(reingest)
+          .withColumn("bucket", AnnQueries.lshBucketCol)
+          .persist() // signature computed once; both join sides read the cache
+        val a = e.select(col("vec_id").as("ida"), col("label").as("la"),
+          col("bucket").as("ba"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("idb"), col("label").as("lb"),
+          col("bucket").as("bb"), col("embedding").as("eb"))
+        val dropped = a.join(b, col("la") === col("lb") && col("ba") === col("bb") &&
+            col("ida") < col("idb") && VF.cosine(col("ea"), col("eb")) >= 0.95)
+          .select(col("idb").as("vec_id")).distinct()
+        val kept = e.join(dropped, Seq("vec_id"), "left_anti")
+        e.groupBy("label").agg(count(lit(1)).as("n_total"))
+          .join(kept.groupBy("label").agg(count(lit(1)).as("n_kept")), Seq("label"))
+          .orderBy("label")
+      },
+      Some {
+        val cos = OracleSql.cosine("a.embedding", "b.embedding")
+        s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
+           |reingest AS (SELECT vec_id + 10000 AS vec_id, label,
+           |  list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
+           |  FROM base WHERE vec_id % 5 = 0),
+           |u AS (SELECT * FROM base UNION ALL SELECT * FROM reingest),
+           |e AS MATERIALIZED (SELECT vec_id, label, embedding,
+           |  ${AnnQueries.bucketSql("embedding")} AS bucket FROM u),
+           |dropped AS (SELECT DISTINCT b.vec_id
+           |  FROM e a JOIN e b ON a.label = b.label AND a.bucket = b.bucket
+           |    AND a.vec_id < b.vec_id AND $cos >= 0.95)
+           |SELECT e.label, CAST(count(*) AS BIGINT) AS n_total,
+           |  CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
+           |FROM e LEFT JOIN dropped ON e.vec_id = dropped.vec_id
+           |GROUP BY e.label ORDER BY e.label""".stripMargin
       })
   )
 }

@@ -626,6 +626,93 @@ object TextQueries {
            |SELECT bg, CAST(count(*) AS BIGINT) AS n FROM b
            |GROUP BY bg HAVING count(*) >= 40
            |ORDER BY n DESC, bg""".stripMargin
+      }),
+
+    // Concat-and-chunk SEQUENCE PACKING: the pre-training step that streams
+    // tokenized docs in a fixed order into ctx-sized windows; each doc's
+    // slot is (pack_id, pack_off) of its starting token. The global running
+    // token count is the only cross-row dependency, and a naive
+    // Window.orderBy(doc_id) computes it on ONE partition — a scale-killer.
+    // Two-level scan instead: cumsum WITHIN id-range buckets (parallel,
+    // partitioned window) + bucket-prefix offsets (a window over N/256
+    // bucket TOTALS, 256× smaller; recurse the same trick if that tier ever
+    // dominates) broadcast back. Integer output only — no float hashing
+    // concerns.
+    Q(
+      "q_seq_packing",
+      "sequence packing: (pack, offset) slot of each doc in 512-token windows",
+      (s, dir) => {
+        val ctx = 512
+        val bktW = 256
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tok"))
+          .withColumn("bkt", floor(col("doc_id") / bktW).cast("long"))
+        val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val local = docs.withColumn("lcum", sum("n_tok").over(wLocal))
+        val wBkt = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prefixes = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
+          .withColumn("bpre", coalesce(sum("btot").over(wBkt), lit(0L)))
+          .select(col("bkt"), col("bpre"))
+        local.join(broadcast(prefixes), "bkt")
+          .withColumn("strt", col("bpre") + col("lcum") - col("n_tok"))
+          .select(col("doc_id"), col("n_tok"),
+            expr(s"CAST(strt DIV $ctx AS BIGINT)").as("pack_id"),
+            (col("strt") % ctx).as("pack_off"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
+           |c AS (SELECT doc_id, n_tok,
+           |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+           |  FROM t)
+           |SELECT doc_id, n_tok, CAST(strt // 512 AS BIGINT) AS pack_id,
+           |  CAST(strt % 512 AS BIGINT) AS pack_off
+           |FROM c ORDER BY doc_id""".stripMargin
+      }),
+
+    // RAG-style overlapping CHUNKING: 64-token windows at stride 48 (the
+    // retrieval-index preparation step; every doc yields >= 1 chunk, short
+    // tails keep their partial window). chunk_fp is the rolling-hash
+    // fingerprint of the chunk's tokens — the downstream chunk-level dedup
+    // key — computed by the same codegen kernels as q_fingerprint. One
+    // narrow scan + explode, no shuffle but the presentation sort; chunk
+    // counts scale with token volume, never quadratically.
+    Q(
+      "q_chunk_overlap",
+      "overlapping 64-token chunks at stride 48 with content fingerprints",
+      (s, dir) => {
+        val w = 64
+        val st = 48
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"), col("toks"), col("n"),
+            posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)), lit(st)))
+              .as(Seq("chunk_id", "strt")))
+          .select(col("doc_id"), col("chunk_id"),
+            col("strt").cast("long").as("strt"),
+            least(lit(w), col("n") - col("strt")).cast("long").as("chunk_len"),
+            TF.hashCombine(TF.tokenHashes(
+              slice(col("toks"), col("strt") + 1, lit(w)))).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        val fp = OracleText.combine(
+          OracleText.tokenHashes("list_slice(toks, strt+1, strt+64)"))
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents),
+           |s AS (SELECT doc_id, toks, len(toks) AS n,
+           |  unnest(range(0, greatest(len(toks), 1), 48)) AS strt FROM t)
+           |SELECT doc_id, CAST(strt // 48 AS INT) AS chunk_id,
+           |  CAST(strt AS BIGINT) AS strt,
+           |  CAST(least(64, n - strt) AS BIGINT) AS chunk_len,
+           |  $fp AS chunk_fp
+           |FROM s ORDER BY doc_id, chunk_id""".stripMargin
       })
   )
 }
