@@ -435,8 +435,11 @@ object DedupQueries {
       (s, dir) => {
         val base = tbl(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), col("embedding"))
+        // re-ingest ids start past the corpus max — a fixed literal offset
+        // would silently collide with real ids at larger scale factors
+        val off = base.agg(max("vec_id")).head().getLong(0) + 1L
         val reingest = base.filter(col("vec_id") % 5 === 0)
-          .select((col("vec_id") + 10000L).as("vec_id"), col("label"),
+          .select((col("vec_id") + off).as("vec_id"), col("label"),
             transform(col("embedding"),
               x => (x.cast("double") + lit(0.02)).cast("float")).as("embedding"))
         val e = base.unionByName(reingest)
@@ -457,7 +460,7 @@ object DedupQueries {
       Some {
         val cos = OracleSql.cosine("a.embedding", "b.embedding")
         s"""WITH base AS (SELECT vec_id, label, embedding FROM embeddings),
-           |reingest AS (SELECT vec_id + 10000 AS vec_id, label,
+           |reingest AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, label,
            |  list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) + 0.02 AS FLOAT)) AS embedding
            |  FROM base WHERE vec_id % 5 = 0),
            |u AS (SELECT * FROM base UNION ALL SELECT * FROM reingest),

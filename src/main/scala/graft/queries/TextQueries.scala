@@ -648,6 +648,7 @@ object TextQueries {
         val docs = tbl(s, dir, "documents")
           .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tok"))
           .withColumn("bkt", floor(col("doc_id") / bktW).cast("long"))
+          .persist() // tokenized once; both cumsum tiers read the cache
         val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = docs.withColumn("lcum", sum("n_tok").over(wLocal))

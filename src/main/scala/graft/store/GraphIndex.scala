@@ -298,11 +298,25 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // surfaces first, wiring the graph differently run to run).
     // Sound because vectors+graph commit TOGETHER below: an id present in
     // vectors is guaranteed to have been wired.
-    val newV = StoreIO.dedupById(batch, batch.columns.filter(_ != "id").toSeq)
+    // align the batch to the index's vector schema: metadata columns the
+    // batch doesn't carry (e.g. a stream of bare (id, emb) into a
+    // metadata-bearing index) land as NULLs, so every epoch shares ONE
+    // schema; unknown batch columns are a caller bug, rejected loudly
+    val known = oldV.schema.fieldNames.toSet
+    val unknown = batch.columns.filterNot(known)
+    require(unknown.isEmpty, s"batch columns not in the index schema: ${unknown.mkString(", ")}")
+    val aligned = batch.select(oldV.schema.fields.map { f =>
+      if (batch.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    val newV = StoreIO.dedupById(aligned, aligned.columns.filter(_ != "id").toSeq)
       .join(oldV.select("id"), Seq("id"), "left_anti")
       .persist()
+    // candidate generation needs only (id, emb) — narrow both sides
+    val ve = oldV.select(col("id"), col("emb"))
+      .unionByName(newV.select(col("id"), col("emb")))
     val newEdges = KnnGraph.buildDirected(
-      newV, oldV.unionByName(newV), bucketFns, k).persist()
+      newV.select(col("id"), col("emb")), ve, bucketFns, k).persist()
     try {
       if (newV.isEmpty) return
       // reverse proposals let existing nodes adopt new neighbors. ONE

@@ -113,15 +113,21 @@ private[store] object StoreIO {
   def recover(marker: String): Unit = {
     val mf = java.nio.file.Paths.get(marker)
     if (!java.nio.file.Files.exists(mf)) return
-    new String(java.nio.file.Files.readAllBytes(mf),
-      java.nio.charset.StandardCharsets.UTF_8)
-      .split("\n").filter(_.nonEmpty).foreach { line =>
-        line.split('\t') match {
-          case Array(stage, dest) => swapFrom(stage, dest)
-          case Array(dest) => swapStaged(dest)
-          case other => sys.error(s"malformed marker line: $line")
-        }
+    // two concurrent opens may replay the same crashed commit: if the other
+    // finished first (marker gone mid-read), everything is already
+    // published — swapFrom tolerates the raced renames, and the final
+    // delete must tolerate the raced marker removal the same way
+    val content = try {
+      new String(java.nio.file.Files.readAllBytes(mf),
+        java.nio.charset.StandardCharsets.UTF_8)
+    } catch { case _: java.nio.file.NoSuchFileException => return }
+    content.split("\n").filter(_.nonEmpty).foreach { line =>
+      line.split('\t') match {
+        case Array(stage, dest) => swapFrom(stage, dest)
+        case Array(dest) => swapStaged(dest)
+        case other => sys.error(s"malformed marker line: $line")
       }
-    java.nio.file.Files.delete(mf): Unit
+    }
+    java.nio.file.Files.deleteIfExists(mf): Unit
   }
 }

@@ -178,6 +178,26 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
       s"src In-filter did not reach the graph scan beneath the window:\n$plan")
   }
 
+  test("a bare (id, emb) batch inserts into a metadata-bearing index as NULL metadata") {
+    val withMeta = all.withColumn("meta",
+      when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_nm").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 2)
+    idx.build(withMeta.filter(col("id") <= 300), refineRounds = 0)
+    // the streaming maintenance path produces exactly this shape
+    idx.insert(all.filter(col("id") > 300 && col("id") <= 320).select("id", "emb"))
+    val v = idx.vectors
+    assert(v.filter(col("id") > 300).count() > 0)
+    assert(v.filter(col("id") > 300).filter(col("meta").isNotNull).count() == 0,
+      "absent metadata must land as NULL, not crash the insert")
+    assert(v.filter(col("id") <= 300 && col("meta").isNull).count() == 0,
+      "existing metadata must survive")
+    // unknown batch columns are a caller bug, rejected loudly
+    intercept[IllegalArgumentException] {
+      idx.insert(all.limit(1).withColumn("bogus", lit(1)))
+    }
+  }
+
   test("compact folds every epoch into one; answers unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gidx_cpt").toString
     val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _),
