@@ -152,10 +152,21 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   /** Fold every delta epoch back into a single epoch 0 (the
     * [[IvfIndex.compact]] story): after a long insert stream the per-hop
     * In-filters would otherwise consult one file set per epoch. Answers are
-    * unchanged — this rewrites the RESOLVED views; entry points are carried
-    * over as built. Crash-consistent like every other publish. */
-  def compact(): Unit =
-    publishFull(sortedBy(vectors, "id"), sortedBy(graph, "src"), entryPoints)
+    * unchanged — this rewrites the RESOLVED views. `retrainEntries` also
+    * re-trains the medoid entry points over the compacted corpus (inserts
+    * leave entries as built, so they drift as far as the data does;
+    * compaction is the natural retrain point — cheaper than a full
+    * [[build]], which re-wires every edge too). Crash-consistent like
+    * every other publish. */
+  def compact(retrainEntries: Boolean = false): Unit = {
+    val v = vectors.persist()
+    try {
+      val ent =
+        if (retrainEntries) trainEntryPoints(v.select(col("id"), col("emb")))
+        else entryPoints
+      publishFull(sortedBy(v, "id"), sortedBy(graph, "src"), ent)
+    } finally v.unpersist(): Unit
+  }
 
   /** Medoids of `numEntries` deterministically-trained k-means cells:
     * farthest-first seeds + quantized Lloyd (bit-reproducible), then one

@@ -81,7 +81,19 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
   def appendBatch(vectors: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
     val cents = centroids()
-    vectors
+    // align the batch to the index's stored schema (minus the cell
+    // partition column): metadata the batch doesn't carry lands as NULL so
+    // every batch dir shares ONE schema; unknown columns are a caller bug
+    val stored = spark.read.parquet(dataPath).schema.fields
+      .filter(f => f.name != "cell" && f.name != "batch")
+    val known = stored.map(_.name).toSet
+    val unknown = vectors.columns.filterNot(known)
+    require(unknown.isEmpty, s"batch columns not in the index schema: ${unknown.mkString(", ")}")
+    val aligned = vectors.select(stored.map { f =>
+      if (vectors.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    aligned
       .withColumn("cell", cellCol(cents, col("emb")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dataPath/batch=${batchId + 1}")
@@ -131,8 +143,11 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     val mergedId = math.min(batchIds.min, 0L) - 1L // next free negative generation
     val stage = s"$path/data__stage"
     rm(new java.io.File(stage))
+    // carry EVERY stored column (metadata included — an early version
+    // selected (id, emb, cell) and silently dropped metadata on compaction);
+    // only the synthetic batch partition column goes away
     spark.read.option("basePath", dataPath).parquet(batchDirs.map(_.getPath): _*)
-      .select(col("id"), col("emb"), col("cell"))
+      .drop("batch")
       .dropDuplicates("id")
       .write.mode("overwrite").partitionBy("cell").parquet(stage)
     // single atomic publish of the merged generation, then drop ONLY the
@@ -148,12 +163,18 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     acc
   }
 
-  /** Top-k by squared L2, scanning only the nprobe nearest cells. */
-  def query(qe: Array[Float], k: Int, nprobe: Int): DataFrame = {
+  /** Top-k by squared L2, scanning only the nprobe nearest cells. `where`
+    * restricts the answer set by a predicate over the stored metadata
+    * columns (the Chroma `where=` surface, /root/reference/src/cod.py:125-129);
+    * it is applied BEFORE the vector math, stacked on the cell pruning, so
+    * a filtered probe reads only matching row groups of the probed cells. */
+  def query(qe: Array[Float], k: Int, nprobe: Int,
+            where: Option[Column] = None): DataFrame = {
     val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
-    spark.read.parquet(dataPath)
+    val base = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
+    where.foldLeft(base)(_ filter _)
       .withColumn("distance", VF.l2Sq(col("emb"), typedlit(qe)))
       .orderBy(asc("distance"), asc("id"))
       .limit(k)
@@ -171,7 +192,8 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * amortizes scan + scheduling across probes: Q probes cost one scan of
     * |union cells|, not Q scans — the embedding-join shape a training
     * pipeline runs (score a whole batch of leaked/query vectors at once). */
-  def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int): DataFrame = {
+  def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+                 where: Option[Column] = None): DataFrame = {
     require(probes.nonEmpty, "queryBatch needs at least one probe")
     val cents = centroids()
     val probeCells: Seq[(Long, Array[Float], Seq[Long])] = probes.map { case (pid, qe) =>
@@ -183,8 +205,9 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .toDF("probe_id", "qe", "probe_cells")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-    spark.read.parquet(dataPath)
+    val base = spark.read.parquet(dataPath)
       .filter(col("cell").isin(unionCells: _*))
+    where.foldLeft(base)(_ filter _)
       .join(broadcast(probeDf),
         array_contains(col("probe_cells"), col("cell").cast("long")))
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))

@@ -219,6 +219,17 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     val after = idx.query(probe, topK = 5, beamWidth = 4, hops = 6)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(after == before, "compaction must not change answers")
+    // retraining entries at compaction: medoids re-fit over the FULL
+    // corpus (build saw only half), stay valid ids, and serving still works
+    val entBefore = idx.entryPoints.collect().map(_.getLong(1)).toSet
+    idx.compact(retrainEntries = true)
+    val ents = idx.entryPoints.collect().map(_.getLong(1)).toSeq
+    assert(ents.size == 3 && ents.distinct.size == 3)
+    val ids = idx.vectors.select("id").collect().map(_.getLong(0)).toSet
+    assert(ents.forall(ids.contains), "retrained entries must be real vector ids")
+    val served = idx.query(probe, topK = 5, beamWidth = 4, hops = 6).collect()
+    assert(served.length == 5, "serving must work from retrained entries")
+    info(s"entries before=$entBefore after=${ents.toSet}")
   }
 
   test("incremental insert wires new nodes in both directions; answers track a rebuild") {

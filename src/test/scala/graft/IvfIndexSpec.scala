@@ -43,6 +43,47 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       got.length == 5, "IVF results come from within the probed cells, ranked")
   }
 
+  test("metadata survives build->append->compact; filtered queries push the predicate") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      .withColumn("meta", when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors.filter(col("id") < 300))
+    // a bare (id, emb) streaming batch aligns to the stored schema (NULL meta)
+    idx.appendBatch(vectors.filter(col("id") >= 300 && col("id") < 320)
+      .select("id", "emb"), 1L)
+    // and unknown batch columns are rejected loudly
+    intercept[IllegalArgumentException] {
+      idx.appendBatch(vectors.limit(1).withColumn("bogus", lit(1)), 2L)
+    }
+    val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+    val pred = col("meta") === "even"
+    val filtered = idx.query(qe, k = 5, nprobe = 8, where = Some(pred))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("meta"),
+      s"metadata predicate did not reach the parquet scan:\n$plan")
+    val got = filtered.collect()
+    assert(got.nonEmpty && got.forall(_.getLong(0) % 2 == 0),
+      "filtered answers must match the predicate")
+    // filtered top-k == post-filtered unfiltered ranking (same walk, same cells)
+    val unf = idx.query(qe, k = 500, nprobe = 8).collect()
+      .filter(_.getLong(0) % 2 == 0).take(got.length).map(_.getLong(0)).toSeq
+    assert(got.map(_.getLong(0)).toSeq == unf)
+    // queryBatch honors the same predicate
+    val b = idx.queryBatch(Seq(7L -> qe), k = 5, nprobe = 8, where = Some(pred)).collect()
+    assert(b.map(r => (r.getLong(1), r.getDouble(3))).toSeq ==
+      got.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+    // compaction must carry metadata (an early version dropped it)
+    idx.compact()
+    val compacted = spark.read.parquet(s"$base/data")
+    assert(compacted.columns.contains("meta"))
+    assert(compacted.filter(col("id") < 300 && col("meta").isNull).count() == 0,
+      "compaction must preserve metadata values")
+    assert(compacted.filter(col("id") >= 300 && col("meta").isNotNull).count() == 0,
+      "aligned NULL metadata stays NULL through compaction")
+  }
+
   test("queryBatch: one pruned scan answers every probe exactly like query()") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
