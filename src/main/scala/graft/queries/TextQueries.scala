@@ -714,6 +714,51 @@ object TextQueries {
            |  CAST(least(64, n - strt) AS BIGINT) AS chunk_len,
            |  $fp AS chunk_fp
            |FROM s ORDER BY doc_id, chunk_id""".stripMargin
+      }),
+
+    // tf-idf KEYWORD extraction: the metadata-enrichment step (topic tags,
+    // retrieval boosts) over the whole corpus. Ranking happens on the
+    // ROUNDED score (round 4, ties by term) so a 1-ulp ln() difference
+    // between engines can never flip a rank. Scale shape: tf is one
+    // (doc, term) groupBy; document frequency aggregates from tf (one row
+    // per (doc, term) — never re-scanning the token stream) and is
+    // vocabulary-sized, i.e. sublinear in the corpus, so it BROADCASTS
+    // back instead of shuffling the big tf frame on the skewed term key;
+    // the only other shuffle is the per-doc top-3 window.
+    Q(
+      "q_keywords",
+      "tf-idf keyword extraction: top-3 terms per document",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val nDocs = docs.count().toDouble
+        val tf = docs.select(col("doc_id"), explode(col("toks")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist() // scanned twice: df aggregation + the scored join
+        val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+        tf.join(broadcast(dfc), "term")
+          .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
+          .orderBy("doc_id", "rank")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+           |tf AS MATERIALIZED (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+           |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM t),
+           |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+           |  round(tf.tf * ln(n.nd / dfc.df), 4) AS score
+           |  FROM tf JOIN dfc USING (term) CROSS JOIN n),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+           |  ORDER BY score DESC, term) AS rank FROM sc)
+           |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df, score
+           |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
       })
   )
 }
