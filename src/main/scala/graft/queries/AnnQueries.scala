@@ -458,6 +458,75 @@ object AnnQueries {
            |ORDER BY cell, rnk""".stripMargin
       }),
 
+    // Hard-negative mining — the contrastive-training (DPR/SimCSE-style)
+    // counterpart of near-dup: for every anchor, the most-SIMILAR vectors
+    // with a DIFFERENT label are the negatives worth training on (random
+    // negatives are trivially separable; hard ones carry the gradient).
+    // Scale shape: THREE independent sign-LSH hash tables (the KnnGraph
+    // multi-table trick — one table's recall on near-uniform vectors is
+    // ~5% rank-1 / 35% top-10; three measure 15% / 70%, mined mean cosine
+    // 0.24 vs 0.0003 for random cross-label pairs). Each table is an
+    // EQUI-join on its bucket (hash-joinable — an OR over tables would
+    // degenerate to a nested loop), unioned and collapsed per pair before
+    // one window shuffle on the anchor. Join work is bucket-bounded per
+    // table (bucket count grows with N per KnnGraph's calibration note),
+    // so the whole mine is ~3x a near-dup pass, not the quadratic
+    // all-pairs cross-label join. Top-3 per anchor by exact cosine.
+    Q(
+      "q_hard_negatives",
+      "contrastive hard negatives: per-anchor top-3 cross-label cosine, 3 LSH tables",
+      (s, dir) => {
+        val tables = Seq(0, 200, 400)
+        val e0 = tbl(s, dir, "embeddings")
+        val e = tables.zipWithIndex.foldLeft(e0) { case (d, (off, i)) =>
+          d.withColumn(s"b$i", lshBucketFn(off)(col("embedding")))
+        }.persist() // signatures computed once; all six join sides read the cache
+        val pairs = tables.indices.map { i =>
+          val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+            col(s"b$i").as("ba"), col("embedding").as("ea"))
+          val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+            col(s"b$i").as("bb"), col("embedding").as("eb"))
+          a.join(b, col("ba") === col("bb") && col("label_a") =!= col("label_b"))
+            .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+              VF.cosine(col("ea"), col("eb")).as("cos_raw"))
+        }.reduce(_.unionByName(_))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_a").orderBy(desc("cos_raw"), asc("vec_b"))
+        pairs
+          // a pair found by several tables has the identical cosine in each;
+          // min() collapses duplicates deterministically
+          .groupBy("vec_a", "vec_b", "label_a", "label_b")
+          .agg(min(col("cos_raw")).as("cos_raw"))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("vec_a"), col("rnk"), col("vec_b"), col("label_a"),
+            col("label_b"), round(col("cos_raw"), 6).as("cos"))
+          .orderBy("vec_a", "rnk")
+      },
+      Some {
+        val cos = OracleSql.cosine("a.embedding", "b.embedding")
+        val branches = Seq(0, 200, 400).zipWithIndex.map { case (_, i) =>
+          s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |         a.label AS label_a, b.label AS label_b, $cos AS cos_raw
+             |  FROM e a JOIN e b ON a.b$i = b.b$i AND a.label <> b.label""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        val bcols = Seq(0, 200, 400).zipWithIndex
+          .map { case (off, i) => s"${bucketSqlOff("embedding", off)} AS b$i" }.mkString(",\n  ")
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding,
+           |  $bcols FROM embeddings),
+           |cand AS ($branches),
+           |pairs AS (
+           |  SELECT vec_a, vec_b, label_a, label_b, min(cos_raw) AS cos_raw
+           |  FROM cand GROUP BY vec_a, vec_b, label_a, label_b),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_a ORDER BY cos_raw DESC, vec_b) AS rnk
+           |  FROM pairs)
+           |SELECT vec_a, CAST(rnk AS INT) AS rnk, vec_b, label_a, label_b,
+           |       round(cos_raw, 6) AS cos
+           |FROM ranked WHERE rnk <= 3
+           |ORDER BY vec_a, rnk""".stripMargin
+      }),
+
     // Batched multi-probe IVF: three probes answered in ONE scan of the
     // union of their probe cells — rows join probes on cell membership
     // (broadcast), per-probe top-3 is a window. Q probes cost one pruned

@@ -52,4 +52,52 @@ class AnnSpec extends AnyFunSuite with SparkTest {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(lsh.nonEmpty, "LSH probe bucket should contain at least one neighbor")
   }
+
+  test("hard negatives: cross-label, dense ranks, and useful recall vs unblocked mining") {
+    val dir = sf001
+    val rows = Registry.queries("q_hard_negatives")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // invariants: every pair crosses labels; per-anchor ranks are dense 1..n
+    // with cosine non-increasing (the contract a trainer consumes)
+    rows.foreach(r => assert(r.getAs[Int]("label_a") != r.getAs[Int]("label_b")))
+    rows.groupBy(_.getAs[Long]("vec_a")).foreach { case (anchor, rs) =>
+      val byRank = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(byRank.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length),
+        s"anchor $anchor ranks not dense")
+      val cosines = byRank.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b },
+        s"anchor $anchor cosine not non-increasing")
+    }
+    // recall: LSH-blocked mining should recover a sizable share of the TRUE
+    // (unblocked all-pairs) rank-1 hard negatives — the blocking exists for
+    // scale, but a collapse here means the bucket key is uncorrelated with
+    // cosine and the operator mines easy negatives instead of hard ones
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+      col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("eb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_a").orderBy(desc("c"), asc("vec_b"))
+    val truth = a.join(b, col("label_a") =!= col("label_b"))
+      .withColumn("c", VF.cosine(col("ea"), col("eb")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("vec_a", "vec_b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mined: Map[Long, Set[Long]] = rows.groupBy(_.getAs[Long]("vec_a"))
+      .map { case (k, rs) => k -> rs.map(_.getAs[Long]("vec_b")).toSet }
+    val hits = truth.count { case (anchor, top1) => mined.get(anchor).exists(_.contains(top1)) }
+    val recall = hits.toDouble / truth.size
+    info(f"rank-1 hard-negative recall under 3-table LSH blocking = $recall%.2f (${mined.size}/${truth.size} anchors covered)")
+    // measured 0.15 on the fixture (1 table: 0.05); threshold is the floor
+    // below which the bucketing has stopped correlating with cosine
+    assert(recall >= 0.1, s"hard-negative recall collapsed: $recall")
+    // hardness lift: mined negatives must be far harder than chance — the
+    // fixture's random cross-label pair averages cosine ~0.0003; mined
+    // negatives measure ~0.24. Collapse here = mining easy negatives.
+    val minedMeanCos = rows.map(_.getAs[Double]("cos")).sum / rows.length
+    info(f"mined mean cosine = $minedMeanCos%.4f")
+    assert(minedMeanCos >= 0.15, s"mined negatives not hard: mean cos $minedMeanCos")
+  }
 }
