@@ -68,6 +68,23 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     spark.read.parquet(centroidPath).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
+  /** The index's row schema minus the cell/batch partition columns, cached
+    * per instance and read from ONE committed batch dir: [[appendBatch]]
+    * runs per micro-batch on the ingest hot path, and full-tree partition
+    * discovery — O(batch dirs × cells) file listings just to learn the
+    * column list — grows with stream lifetime. Every batch dir shares the
+    * schema by construction (that is this alignment's invariant), so any
+    * single committed dir is authoritative. */
+  private lazy val storedSchema: Array[org.apache.spark.sql.types.StructField] = {
+    val one = Option(new java.io.File(dataPath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName).headOption
+      .getOrElse(sys.error(s"no committed batch dir under $dataPath — build() first"))
+    spark.read.parquet(one.getPath).schema.fields
+      .filter(f => f.name != "cell" && f.name != "batch")
+  }
+
   /** Incremental maintenance: assign new vectors against the EXISTING
     * centroids and land them under this batch's OWN directory
     * (`batch=<id>/cell=...`). Replaying a micro-batch overwrites the same
@@ -82,15 +99,22 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
     val cents = centroids()
     // align the batch to the index's stored schema (minus the cell
-    // partition column): metadata the batch doesn't carry lands as NULL so
-    // every batch dir shares ONE schema; unknown columns are a caller bug
-    val stored = spark.read.parquet(dataPath).schema.fields
-      .filter(f => f.name != "cell" && f.name != "batch")
+    // partition column): METADATA the batch doesn't carry lands as NULL so
+    // every batch dir shares ONE schema; id and emb are the index's spine —
+    // NULL-filling those would silently route rows to the never-probed
+    // NULL-cell partition (emb) or collapse them under compact()'s id-dedup
+    // (id) — and unknown columns are a caller bug. Present columns are CAST
+    // to the stored type: a same-name-different-type batch dir would break
+    // every later multi-dir read.
+    val stored = storedSchema
     val known = stored.map(_.name).toSet
     val unknown = vectors.columns.filterNot(known)
     require(unknown.isEmpty, s"batch columns not in the index schema: ${unknown.mkString(", ")}")
+    val missingRequired = Seq("id", "emb").filterNot(vectors.columns.contains)
+    require(missingRequired.isEmpty,
+      s"batch is missing required columns: ${missingRequired.mkString(", ")}")
     val aligned = vectors.select(stored.map { f =>
-      if (vectors.columns.contains(f.name)) col(f.name)
+      if (vectors.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toSeq: _*)
     aligned

@@ -13,7 +13,12 @@ import org.apache.spark.sql.functions._
 private[store] object StoreIO {
 
   def rmTree(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(rmTree)
+    if (f.isDirectory) {
+      // listFiles returns null if the dir vanished (a concurrent recover
+      // clearing the same parked copy) — nothing left to delete then
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+    }
     f.delete(): Unit
   }
 
@@ -44,21 +49,33 @@ private[store] object StoreIO {
     * stage means the swap already happened — just clear the parked copy). */
   private def swapStaged(dest: String): Unit = swapFrom(s"${dest}__stage", dest)
 
+  /** Per-destination monitors: two concurrent recover()s (or a recover
+    * racing a writer) replaying the same crashed commit in one JVM must not
+    * interleave inside a swap — the `stage.exists()` check is otherwise a
+    * TOCTOU window in which the loser can park the freshly published dest
+    * at `__old` and fail. Serialized per dest, the loser re-checks under
+    * the lock, sees the stage gone, and only clears the parked copy.
+    * Cross-JVM writers are outside the protocol's contract (single driver
+    * owns a store; recover() runs at open, on that driver). */
+  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private def swapFrom(stagePath: String, dest: String): Unit = {
-    val stage = new java.io.File(stagePath)
-    val old = new java.io.File(s"${dest}__old")
-    val live = new java.io.File(dest)
-    if (stage.exists()) {
-      if (live.exists()) {
-        rmTree(old)
-        require(live.renameTo(old) || !live.exists(), s"could not park $dest")
+    val lock = swapLocks.computeIfAbsent(
+      new java.io.File(dest).getAbsolutePath, _ => new Object)
+    lock.synchronized {
+      val stage = new java.io.File(stagePath)
+      val old = new java.io.File(s"${dest}__old")
+      val live = new java.io.File(dest)
+      if (stage.exists()) {
+        if (live.exists()) {
+          rmTree(old)
+          require(live.renameTo(old) || !live.exists(), s"could not park $dest")
+        }
+        require(stage.renameTo(live) || (live.exists() && !stage.exists()),
+          s"could not publish staged $dest")
       }
-      // tolerate a concurrent recover() finishing the same swap: a failed
-      // rename is fine iff the end state is already published
-      require(stage.renameTo(live) || (live.exists() && !stage.exists()),
-        s"could not publish staged $dest")
+      rmTree(old)
     }
-    rmTree(old)
   }
 
   /** Publish SEVERAL outputs as one crash-consistent unit (the

@@ -66,9 +66,14 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     val got = filtered.collect()
     assert(got.nonEmpty && got.forall(_.getLong(0) % 2 == 0),
       "filtered answers must match the predicate")
-    // filtered top-k == post-filtered unfiltered ranking (same walk, same cells)
+    // filtered top-k == post-filtered unfiltered ranking (same walk, same
+    // cells). The post-filter must mirror the REAL predicate: the bare-
+    // appended rows (id >= 300) carry NULL meta, which fails meta = 'even'
+    // — an id-parity-only proxy would include them and diverge whenever an
+    // appended vector ranks into the top-k
     val unf = idx.query(qe, k = 500, nprobe = 8).collect()
-      .filter(_.getLong(0) % 2 == 0).take(got.length).map(_.getLong(0)).toSeq
+      .filter(r => r.getLong(0) % 2 == 0 && r.getLong(0) < 300)
+      .take(got.length).map(_.getLong(0)).toSeq
     assert(got.map(_.getLong(0)).toSeq == unf)
     // queryBatch honors the same predicate
     val b = idx.queryBatch(Seq(7L -> qe), k = 5, nprobe = 8, where = Some(pred)).collect()
