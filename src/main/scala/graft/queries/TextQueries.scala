@@ -245,6 +245,52 @@ object TextQueries {
            |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
       }),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis A-ES), the
+    // principled way to subsample a corpus proportionally to a quality /
+    // length weight: each row draws a DETERMINISTIC uniform u from a salted
+    // hash of its id, and the k rows with the largest u^(1/w) per stratum
+    // are exactly a weight-proportional sample without replacement. Ranked
+    // in log space (ln(u)/w, same order) for numeric stability. Scale: the
+    // key is a narrow map; selection is per-source top-k — ONE window
+    // shuffle on the stratum key, and because top-k-by-key is associative
+    // it degrades gracefully to partial TakeOrdered per partition when
+    // strata are few. u divides a power of two so it is EXACTLY
+    // representable in both engines; the only libm call (ln) ranks through
+    // round(·, 9) per the q_keywords convention, so a 1-ulp divergence
+    // cannot flip an answer.
+    Q(
+      "q_weighted_sample",
+      "Efraimidis-Spirakis weighted sample: top-5 docs per source by n_chars weight",
+      (s, dir) => {
+        val M = 1048576L // 2^20: u = (h % M + 0.5) / M is exact in DOUBLE
+        val u = ((TF.polyHash(concat(lit("ws:"), col("doc_id").cast("string"))) % lit(M))
+          .cast("double") + lit(0.5)) / lit(M.toDouble)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(desc("kr"), asc("doc_id"))
+        tbl(s, dir, "documents")
+          .withColumn("key_raw", log(u) / greatest(col("n_chars"), lit(1L)).cast("double"))
+          .withColumn("kr", round(col("key_raw"), 9))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"),
+            round(col("key_raw"), 6).as("skey"))
+          .orderBy("source", "rnk")
+      },
+      Some {
+        val h = OracleText.polyHash("('ws:' || CAST(doc_id AS VARCHAR))")
+        s"""WITH k AS (
+           |  SELECT source, doc_id, n_chars,
+           |    ln((($h) % 1048576 + 0.5) / 1048576.0)
+           |      / CAST(greatest(n_chars, 1) AS DOUBLE) AS key_raw
+           |  FROM documents),
+           |r AS (SELECT *, row_number() OVER (
+           |        PARTITION BY source ORDER BY round(key_raw, 9) DESC, doc_id) AS rnk
+           |      FROM k)
+           |SELECT source, CAST(rnk AS INT) AS rnk, doc_id, n_chars,
+           |       round(key_raw, 6) AS skey
+           |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
+      }),
+
     // Vocabulary stats: top-3 tokens by frequency per language (corpus
     // profiling; grouped top-k over token counts).
     Q(

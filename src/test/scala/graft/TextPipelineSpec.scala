@@ -42,4 +42,42 @@ class TextPipelineSpec extends AnyFunSuite with SparkTest {
     }
     assert(bySource.size == 20)
   }
+
+  test("weighted sample: replays driver-side and selection tracks weight across salts") {
+    import graft.functions.TextHashOps
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select("doc_id", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val M = 1048576L
+    def key(salt: String, id: Long, w: Long): Double = {
+      val h = TextHashOps.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$salt$id"))
+      math.log((h % M + 0.5) / M.toDouble) / math.max(w, 1L).toDouble
+    }
+    def pick(salt: String): Seq[(String, Long)] = docs
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        rows.map { case (id, _, w) => (id, BigDecimal(key(salt, id, w))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+          .sortBy { case (id, k) => (-k, id) }.take(5).map(p => (src, p._1))
+      }
+    // the registered query IS the driver-side replication at salt "ws:"
+    val got = graft.queries.Registry.queries("q_weighted_sample")(spark, sf001)
+      .select("source", "doc_id").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == pick("ws:").toSet, "query must equal the independent A-ES replication")
+    // statistics: across many salts, the E-S sample must favor heavy docs —
+    // mean selected weight well above the corpus mean (weight-proportional
+    // inclusion is the operator's whole point; collapse here means the key
+    // formula degenerated to uniform sampling)
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    val salts = (0 until 30).map(i => s"salt$i:")
+    val selMeans = salts.map { s =>
+      val sel = pick(s).map(_._2).toSet
+      val ws = docs.filter(d => sel.contains(d._1)).map(_._3)
+      ws.sum.toDouble / ws.size
+    }
+    val meanSel = selMeans.sum / selMeans.size
+    info(f"corpus mean n_chars = $corpusMean%.1f, mean selected = $meanSel%.1f over ${salts.size} salts")
+    assert(meanSel > corpusMean * 1.1,
+      s"weighted sample does not favor heavy docs: $meanSel vs corpus $corpusMean")
+  }
 }
