@@ -57,7 +57,8 @@ object Prof {
     case Some("shingle") => shingle(args.drop(1))
     case Some("scale") => scale(args.drop(1))
     case Some("serve") => serve(args.drop(1))
-    case other => sys.error(s"unknown family $other — use queries|shingle|scale|serve")
+    case Some("mine") => mine(args.drop(1))
+    case other => sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine")
   }
 
   private def queries(args: Array[String]): Unit = {
@@ -181,6 +182,47 @@ object Prof {
     time("gidx_insert_1k_b2", nTag)(idx.insert(batch2))
     time("gidx_compact", nTag)(idx.compact())
     time("gidx_query_after_compact", nTag)(idx.query(qe, 5, 4, 6).collect())
+    s.stop()
+  }
+
+  /** Mining-operator stress (SURVEY §8.3): hard-negative mining at the
+    * CALIBRATED bucket width (the registry query's fixed 6-bit buckets are
+    * sized to the sf fixtures; production blocks with width growing with N
+    * exactly like the graph build). Sublinear growth across /tmp/scale20 vs
+    * /tmp/scale100 is the pass criterion. */
+  private def mine(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e0.count()
+    val nTag = s"(n=$n)"
+    val bits = scaledBits(n)
+    val tables = Seq(0, 200, 400)
+    val e = tables.zipWithIndex.foldLeft(
+      e0.select(col("vec_id"), col("label"), col("embedding"))) { case (d, (off, i)) =>
+      d.withColumn(s"b$i", bucketFn(off, bits)(col("embedding")))
+    }.persist()
+    time(s"hardneg_${bits}bit_3tab", nTag) {
+      val pairs = tables.indices.map { i =>
+        val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+          col(s"b$i").as("ba"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+          col(s"b$i").as("bb"), col("embedding").as("eb"))
+        a.join(b, col("ba") === col("bb") && col("label_a") =!= col("label_b"))
+          .select(col("vec_a"), col("vec_b"),
+            VF.cosine(col("ea"), col("eb")).as("cos_raw"))
+      }.reduce(_.unionByName(_))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_a").orderBy(desc("cos_raw"), asc("vec_b"))
+      val out = pairs.groupBy("vec_a", "vec_b").agg(min(col("cos_raw")).as("cos_raw"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+      println(s"PROF hardneg_rows rows=${out.count()}")
+    }
+    e.unpersist()
+    time("weighted_sample", nTag) {
+      graft.queries.Registry.queries("q_weighted_sample")(s, dir).count(): Unit
+    }
     s.stop()
   }
 }
