@@ -253,6 +253,50 @@ object SearchQueries {
            |ORDER BY ${bm25Sql("toks", "dl")} DESC, doc_id LIMIT 10""".stripMargin
       }),
 
+    // Persistent inverted index (store.TextIndex): postings partitioned by
+    // term-hash bucket so the query prunes to its terms' partition dirs —
+    // the BM25 twin of the IVF cell probe. Per-posting contributions are
+    // QUANTIZED to integers before the per-doc sum (commutative, so the
+    // distributed aggregation is exact and the oracle replays it
+    // bit-for-bit); ranking is on the integer sum, immune to 1-ulp libm
+    // drift. The oracle rebuilds postings for the query terms from the raw
+    // corpus and scores through the identical quantized pipeline.
+    Q(
+      "q_text_index",
+      "disk inverted index: bucket-pruned postings scan, quantized BM25 top-10",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.query(QueryTerms, 10)
+      },
+      Some {
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val idfCase = QueryTerms.map { t =>
+          val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+          val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+          s"WHEN term = '$t' THEN $idf"
+        }.mkString("CASE ", " ", " END")
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |       FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+           |c AS (SELECT doc_id, dl,
+           |        CAST(round(($idfCase) *
+           |          ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+           |           (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+           |          * 1048576.0) AS BIGINT) AS cq
+           |      FROM tf),
+           |q AS (SELECT doc_id, dl, CAST(sum(cq) AS BIGINT) AS sq
+           |      FROM c GROUP BY doc_id, dl)
+           |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
+           |FROM q ORDER BY sq DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine
     // shortlist for the SAME query string, fused by reciprocal-rank fusion
     // rrf = Σ 1/(60+rank). Each leg is a bounded TakeOrderedAndProject

@@ -223,6 +223,18 @@ object Prof {
     time("weighted_sample", nTag) {
       graft.queries.Registry.queries("q_weighted_sample")(s, dir).count(): Unit
     }
+    // disk inverted index: build is linear in token volume; the query scan
+    // is bucket-pruned, so its cost tracks the QUERY TERMS' posting volume
+    // (a df-proportional slice), not the corpus
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    val tbase = java.nio.file.Files.createTempDirectory("scale_tidx").toString
+    val tidx = new graft.store.TextIndex(s, tbase, 64)
+    time("tidx_build_64buckets", s"(docs=$nd)")(tidx.build(docs))
+    time("tidx_query_cold", s"(docs=$nd)")(
+      tidx.query(graft.queries.SearchQueries.QueryTerms, 10).collect())
+    time("tidx_query_warm", s"(docs=$nd)")(
+      tidx.query(graft.queries.SearchQueries.QueryTerms, 10).collect())
     s.stop()
   }
 }
