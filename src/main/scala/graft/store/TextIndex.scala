@@ -14,15 +14,18 @@ import org.apache.spark.sql.functions._
  * vector store with keyword search nowhere, but every hosted vector DB
  * ships BM25 hybrid ranking (see [[graft.queries.SearchQueries]]).
  *
- * Layout:
- *   `path/postings/bucket=B/` — (term, doc_id, tf, dl): dl is DENORMALIZED
- *     into the posting row so scoring never joins a doc-length table — the
- *     query is a pruned narrow scan + one doc-key aggregation.
- *   `path/_termstats/bucket=B/` — (term, df): per-term document frequency,
- *     bucket-pruned at query time, collected driver-side (≤ q rows) and
- *     folded into the scoring expression as idf literals.
- *   `path/_stats/` — one row (n_docs, sum_dl): exact integers, so the
- *     derived avgdl double is identical on any engine.
+ * Layout (every tree batch-keyed like [[IvfIndex]], so streaming appends
+ * are idempotent directory overwrites):
+ *   `path/postings/batch=N/bucket=B/` — (term, doc_id, tf, dl): dl is
+ *     DENORMALIZED into the posting row so scoring never joins a
+ *     doc-length table — the query is a pruned narrow scan + one doc-key
+ *     aggregation.
+ *   `path/_termstats/batch=N/bucket=B/` — (term, df): per-term document
+ *     frequency, bucket-pruned at query time, summed across batches and
+ *     collected driver-side (≤ q rows) into idf literals.
+ *   `path/_stats/batch=N/` — one row (n_docs, sum_dl) per batch: exact
+ *     integers, summed across batches, so the derived avgdl double is
+ *     identical on any engine.
  *
  * Determinism: per-posting BM25 contributions are QUANTIZED to integers
  * (round(contrib · 2^20)) before the per-doc sum — integer addition is
@@ -30,6 +33,14 @@ import org.apache.spark.sql.functions._
  * bit-for-bit across partitionings and engines (the same recipe as
  * KMeans.trainQuantized), and ranking on the integer sum can never flip on
  * a 1-ulp libm divergence. Scores surface as sum/2^20 rounded to 4.
+ *
+ * The index is APPEND-ONLY over doc_ids (the training-corpus ingest
+ * shape): re-ingesting a changed doc under the same id leaves the old
+ * version's postings in place — updates need a delete-by-doc tombstone
+ * pass, out of scope here. A micro-batch that wrote its dir but crashed
+ * before its checkpoint commit may be replayed into a NEW batch dir after
+ * compaction merged the orphan; [[compact]]'s (term, doc_id) dedup and
+ * stats recompute heal exactly that case.
  *
  * Skew note (100 TB): stopword terms produce fat buckets; production
  * builds either drop df > cap terms at ingest or split hot buckets by
@@ -56,39 +67,114 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   /** Build from (doc_id LONG, text STRING): tokenize, explode to postings
     * with per-(term, doc) tf and denormalized dl, bucket by term hash.
     * One explode + one (term, doc) aggregation — the standard posting
-    * build shuffle, linear in token volume. */
-  def build(docs: DataFrame): Unit = {
+    * build shuffle, linear in token volume. Lands under `batch=0`. */
+  def build(docs: DataFrame): Unit = writeBatch(docs, 0L)
+
+  /** Incremental maintenance ([[IvfIndex.appendBatch]]'s text twin): index
+    * a NEW slice of the corpus under its own `batch=<id+1>` dir in every
+    * tree. Replaying a checkpointed micro-batch overwrites the same three
+    * dirs — idempotent, so an at-least-once stream yields exactly-once
+    * index contents. Cost is one explode + one aggregation over the BATCH;
+    * resident postings are untouched. */
+  def appendBatch(docs: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
+    writeBatch(docs, batchId + 1)
+  }
+
+  private def writeBatch(docs: DataFrame, b: Long): Unit = {
+    require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
+      "TextIndex expects (doc_id, text)")
     val toks = docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
       .persist()
     try {
-      val postings = toks
-        .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      val pDir = s"$postingsPath/batch=$b"
+      toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
         .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
         .withColumn("bucket", pmod(TF.polyHash(col("term")), lit(numBuckets.toLong)))
-      postings.write.mode("overwrite").partitionBy("bucket").parquet(postingsPath)
-      // df per term FROM the written postings (one read of what was just
-      // materialized beats re-shuffling the token stream)
-      spark.read.parquet(postingsPath)
+        .write.mode("overwrite").partitionBy("bucket").parquet(pDir)
+      // df per term FROM the just-written postings (one read of the
+      // materialized batch beats re-shuffling the token stream)
+      spark.read.parquet(pDir)
         .groupBy("bucket", "term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(termstatsPath)
+        .write.mode("overwrite").partitionBy("bucket").parquet(s"$termstatsPath/batch=$b")
       toks.agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-        .write.mode("overwrite").parquet(statsPath)
+        .write.mode("overwrite").parquet(s"$statsPath/batch=$b")
     } finally toks.unpersist(): Unit
   }
 
-  /** Top-k docs for `terms` by quantized BM25. The postings read carries
-    * BOTH the bucket filter (partition pruning — only the terms' bucket
-    * dirs are listed) and the term filter (row-group pruning within); the
-    * only shuffle is the per-doc sum over matching postings. Returns
-    * (doc_id, dl, bm25q) ordered by the exact integer score. */
+  /** Merge accumulated batch dirs into one compacted generation (negative
+    * batch id namespace, same protocol as [[IvfIndex.compact]]: snapshot
+    * committed dirs, stage, one atomic publish rename, drop only the
+    * snapshotted inputs — a concurrently landing batch survives).
+    * `(term, doc_id)` duplicates — replayed orphan micro-batches — merge
+    * to one row, and term/corpus stats are RECOMPUTED from the merged
+    * postings so they heal too. */
+  def compact(): Unit = {
+    val dataDir = new java.io.File(postingsPath)
+    val batchDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName)
+    if (batchDirs.length <= 1) return
+    val names = batchDirs.map(_.getName).toSet
+    val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
+    val mergedId = math.min(batchIds.min, 0L) - 1L
+    val merged = spark.read.option("basePath", postingsPath)
+      .parquet(batchDirs.map(_.getPath): _*)
+      .drop("batch")
+      .dropDuplicates("term", "doc_id")
+      .persist()
+    try {
+      val stage = s"${postingsPath}__stage"
+      StoreIO.rmTree(new java.io.File(stage))
+      merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
+      val tsStage = s"${termstatsPath}__stage"
+      StoreIO.rmTree(new java.io.File(tsStage))
+      spark.read.parquet(stage)
+        .groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").partitionBy("bucket").parquet(tsStage)
+      val stStage = s"${statsPath}__stage"
+      StoreIO.rmTree(new java.io.File(stStage))
+      merged.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+        .write.mode("overwrite").parquet(stStage)
+      // publish postings first (scores stay correct against slightly stale
+      // stats), then swap the stats trees and drop ONLY snapshotted inputs
+      require(new java.io.File(stage).renameTo(
+        new java.io.File(s"$postingsPath/batch=$mergedId")), "compaction publish failed")
+      replaceBatches(termstatsPath, names, mergedId, tsStage)
+      replaceBatches(statsPath, names, mergedId, stStage)
+      batchDirs.foreach(StoreIO.rmTree)
+    } finally merged.unpersist(): Unit
+  }
+
+  /** Publish `stage` as `root/batch=<gen>` and drop this compaction's
+    * snapshotted input dirs under `root`. */
+  private def replaceBatches(root: String, snapNames: Set[String],
+                             gen: Long, stage: String): Unit = {
+    require(new java.io.File(stage).renameTo(
+      new java.io.File(s"$root/batch=$gen")), s"compaction publish failed for $root")
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => snapNames.contains(f.getName))
+      .foreach(StoreIO.rmTree)
+  }
+
+  /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
+    * postings read carries BOTH the bucket filter (partition pruning —
+    * only the terms' bucket dirs are listed, in every batch) and the term
+    * filter (row-group pruning within); the only shuffle is the per-doc
+    * sum over matching postings. Corpus stats sum exactly across batches.
+    * Returns (doc_id, dl, bm25q) ordered by the exact integer score. */
   def query(terms: Seq[String], k: Int): DataFrame = {
-    val st = spark.read.parquet(statsPath).head()
+    val st = spark.read.parquet(statsPath)
+      .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sumdl")).head()
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n.toDouble
     val buckets = terms.map(bucketOf).distinct
     val dfMap: Map[String, Long] = spark.read.parquet(termstatsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     val idf: Map[String, Double] = terms.map { t =>
       val df = dfMap.getOrElse(t, 0L).toDouble

@@ -145,6 +145,23 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** [[maintainIvfIndex]]'s keyword twin: drain a document stream into a
+    * prebuilt [[graft.store.TextIndex]] — each micro-batch lands its
+    * postings/df/corpus-stats under batch-keyed dirs, so checkpoint
+    * replays overwrite the same dirs (exactly-once contents from an
+    * at-least-once stream, the idempotent-sink pattern). */
+  def maintainTextIndex(spark: SparkSession, srcDir: String,
+      index: graft.store.TextIndex, checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .select(col("doc_id"), col("text"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => index.appendBatch(batch, id) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (impression→click attribution shape): a
     * `right` row attaches to the `left` row with equal `key` when `rts` lies
     * in [lts, lts + within]. Watermarks on BOTH event-time columns let Spark

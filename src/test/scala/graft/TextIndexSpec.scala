@@ -51,4 +51,49 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     val mem = Registry.queries("q_bm25")(spark, sf001).collect()
     assert(got.map(_.getLong(0)).toSeq == mem.map(_.getLong(0)).toSeq)
   }
+
+  test("incremental appends + compact rank exactly like one full build") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_inc").toString
+    val idx = new TextIndex(spark, base, 8)
+    idx.build(docs.filter(col("doc_id") < 200))
+    idx.appendBatch(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), 0L)
+    idx.appendBatch(docs.filter(col("doc_id") >= 400), 1L)
+    val full = freshIndex()
+    val wantRows = full.query(SearchQueries.QueryTerms, 10).collect()
+    val want = wantRows.map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // stats (n, avgdl, df) sum exactly across batch dirs, contributions
+    // are quantized integers — incremental must equal the full build
+    // BIT-FOR-BIT, before and after compaction
+    val gotPre = idx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(gotPre == want, "batched index must score exactly like a full build")
+    idx.compact()
+    val batchDirs = new java.io.File(s"$base/postings").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSeq
+    assert(batchDirs == Seq("batch=-1"), s"expected one merged generation, got $batchDirs")
+    val gotPost = idx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(gotPost == want, "compaction must not change scores")
+  }
+
+  test("replayed orphan batch heals at compaction") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_orphan").toString
+    val idx = new TextIndex(spark, base, 8)
+    idx.build(docs.filter(col("doc_id") < 400))
+    val tail = docs.filter(col("doc_id") >= 400)
+    idx.appendBatch(tail, 0L) // the orphan: dir written, checkpoint lost
+    idx.compact()             // merges the orphan
+    idx.appendBatch(tail, 5L) // the replay lands in a fresh dir
+    // pre-compaction reads double-count the replayed docs (documented
+    // anomaly); the next compaction's (term, doc_id) dedup + stats
+    // recompute must restore exact full-build scoring
+    idx.compact()
+    val want = freshIndex().query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val got = idx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == want, "orphan replay must dedup away at compaction")
+  }
 }
