@@ -312,6 +312,24 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     g.unpersist(): Unit
   }
 
+  test("maintainTextIndex scores streamed docs bit-identically to a full build") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select("doc_id", "text")
+    val ref = new graft.store.TextIndex(spark, tmp(), 8)
+    ref.build(docs)
+    val want = ref.query(graft.queries.SearchQueries.QueryTerms, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    // half-built index + the other half arriving as a document stream
+    val inc = new graft.store.TextIndex(spark, tmp(), 8)
+    inc.build(docs.filter(col("doc_id") < 25))
+    val srcDir = tmp()
+    docs.filter(col("doc_id") >= 25).write.mode("overwrite").parquet(srcDir)
+    val q = StreamOps.maintainTextIndex(spark, srcDir, inc, tmp())
+    q.awaitTermination()
+    val got = inc.query(graft.queries.SearchQueries.QueryTerms, 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got == want, "stream-maintained text index must score like the batch build")
+  }
+
   test("streaming session_window agg equals the batch sessionization frame") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
