@@ -77,6 +77,37 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(gotPost == want, "compaction must not change scores")
   }
 
+  test("disk hybrid retrieval (TextIndex + IvfIndex, RRF) matches the in-memory hybrid") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    // keyword leg from the inverted index; quantized ranking is spec-proven
+    // equal to the exact scorer, so ranks transfer
+    val tidx = freshIndex()
+    val kw = tidx.query(SearchQueries.QueryTerms, SearchQueries.ShortlistK)
+      .collect().map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    // semantic leg from the IVF index at nprobe = numCells (exact); unit
+    // hash-embeds make L2-ascending order == cosine-descending order
+    val emb = docs.select(col("doc_id").as("id"),
+      TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val ibase = java.nio.file.Files.createTempDirectory("graft_tidx_ivf").toString
+    val ivf = new graft.store.IvfIndex(spark, ibase, 8)
+    ivf.build(emb)
+    import spark.implicits._
+    val qe = Seq(SearchQueries.QueryTerms.mkString(" ")).toDF("text")
+      .select(TF.hashEmbed(TF.tokens(col("text")), 64).as("e"))
+      .head().getSeq[Float](0).toArray
+    val sem = ivf.query(qe, SearchQueries.ShortlistK, nprobe = 8)
+      .collect().map(_.getLong(0)).zipWithIndex.map { case (d, i) => d -> (i + 1) }.toMap
+    val rrf = (kw.keySet ++ sem.keySet).toSeq.map { d =>
+      val s = kw.get(d).map(r => 1.0 / (SearchQueries.RrfK + r)).getOrElse(0.0) +
+        sem.get(d).map(r => 1.0 / (SearchQueries.RrfK + r)).getOrElse(0.0)
+      (d, s)
+    }.sortBy { case (d, s) => (-s, d) }.take(10).map(_._1)
+    val mem = Registry.queries("q_hybrid_rrf")(spark, sf001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rrf == mem, "disk-index hybrid must reproduce the in-memory hybrid ranking")
+  }
+
   test("replayed orphan batch heals at compaction") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("graft_tidx_orphan").toString
