@@ -76,10 +76,7 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * schema by construction (that is this alignment's invariant), so any
     * single committed dir is authoritative. */
   private lazy val storedSchema: Array[org.apache.spark.sql.types.StructField] = {
-    val one = Option(new java.io.File(dataPath).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName).headOption
+    val one = StoreIO.committedBatchDirs(dataPath).headOption
       .getOrElse(sys.error(s"no committed batch dir under $dataPath — build() first"))
     spark.read.parquet(one.getPath).schema.fields
       .filter(f => f.name != "cell" && f.name != "batch")
@@ -113,9 +110,19 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     val missingRequired = Seq("id", "emb").filterNot(vectors.columns.contains)
     require(missingRequired.isEmpty,
       s"batch is missing required columns: ${missingRequired.mkString(", ")}")
+    // LOSSLESS casts only (int->long etc.): a plain cast is non-ANSI and
+    // NULLs unparseable values — which for id/emb is exactly the silent
+    // NULL-spine hazard the guard above exists to prevent
+    val batchTypes = vectors.schema.fields.map(f => f.name -> f.dataType).toMap
     val aligned = vectors.select(stored.map { f =>
-      if (vectors.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      batchTypes.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) =>
+          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(t, f.dataType),
+            s"batch column ${f.name} has type $t, index stores ${f.dataType} — not a lossless cast")
+          col(f.name).cast(f.dataType).as(f.name)
+      }
     }.toSeq: _*)
     aligned
       .withColumn("cell", cellCol(cents, col("emb")))
@@ -154,14 +161,9 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
     }
-    // snapshot the COMMITTED batch dirs to merge (_SUCCESS present) —
-    // later-arriving batches and dirs a concurrent writer is mid-write
-    // (no _SUCCESS yet) are both left untouched
-    val dataDir = new java.io.File(dataPath)
-    val batchDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName)
+    // snapshot the COMMITTED batch dirs to merge — later-arriving batches
+    // and dirs a concurrent writer is mid-write are both left untouched
+    val batchDirs = StoreIO.committedBatchDirs(dataPath)
     if (batchDirs.length <= 1) return
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L // next free negative generation

@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
  */
 private[store] object StoreIO {
 
+  /** The COMMITTED `batch=N` dirs under `root` (_SUCCESS present), sorted
+    * by name — the shared snapshot rule for every batch-keyed index tree
+    * ([[IvfIndex]], [[TextIndex]]): dirs a concurrent writer is mid-write
+    * have no _SUCCESS yet and are skipped. */
+  def committedBatchDirs(root: String): Array[java.io.File] =
+    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
+        new java.io.File(f, "_SUCCESS").exists())
+      .sortBy(_.getName)
+
   def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
       // listFiles returns null if the dir vanished (a concurrent recover
@@ -55,13 +65,16 @@ private[store] object StoreIO {
     * TOCTOU window in which the loser can park the freshly published dest
     * at `__old` and fail. Serialized per dest, the loser re-checks under
     * the lock, sees the stage gone, and only clears the parked copy.
+    * STRIPED (not per-path interned) so the lock table stays bounded over a
+    * driver lifetime that touches many store paths; a hash collision only
+    * serializes two unrelated swaps, never deadlocks (single lock held).
     * Cross-JVM writers are outside the protocol's contract (single driver
     * owns a store; recover() runs at open, on that driver). */
-  private val swapLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val swapLocks = Array.fill(64)(new Object)
 
   private def swapFrom(stagePath: String, dest: String): Unit = {
-    val lock = swapLocks.computeIfAbsent(
-      new java.io.File(dest).getAbsolutePath, _ => new Object)
+    val h = new java.io.File(dest).getAbsolutePath.hashCode
+    val lock = swapLocks(((h % 64) + 64) % 64)
     lock.synchronized {
       val stage = new java.io.File(stagePath)
       val old = new java.io.File(s"${dest}__old")

@@ -87,20 +87,33 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val toks = docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
       .persist()
+    // a zero-token doc (empty/punctuation-only text) gets a SENTINEL
+    // posting (term "", tf 0 — the tokenizer never emits an empty token, a
+    // tf-0 contribution scores 0 even if probed) so that EVERY doc owns at
+    // least one posting row: compact()'s stats recompute from postings then
+    // counts token-less docs too — without the sentinel, compaction would
+    // silently shrink n/avgdl and shift every score
+    val postings = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .unionByName(toks.filter(size(col("toks")) === 0)
+        .select(lit("").as("term"), col("doc_id"), col("dl"), lit(0L).as("tf")))
+      .withColumn("bucket", pmod(TF.polyHash(col("term")), lit(numBuckets.toLong)))
+      .persist()
     try {
-      val pDir = s"$postingsPath/batch=$b"
-      toks.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-        .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
-        .withColumn("bucket", pmod(TF.polyHash(col("term")), lit(numBuckets.toLong)))
-        .write.mode("overwrite").partitionBy("bucket").parquet(pDir)
-      // df per term FROM the just-written postings (one read of the
-      // materialized batch beats re-shuffling the token stream)
-      spark.read.parquet(pDir)
-        .groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+      postings.write.mode("overwrite").partitionBy("bucket")
+        .parquet(s"$postingsPath/batch=$b")
+      // df from the SAME cached frame (a read-back of the just-written dir
+      // throws on an EMPTY micro-batch — partitionBy of zero rows leaves a
+      // bare _SUCCESS dir Spark cannot infer a schema from)
+      postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$termstatsPath/batch=$b")
-      toks.agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+      // coalesce: sum() of zero rows is NULL, and corpus stats must stay
+      // exact non-null integers for the cross-batch sum
+      toks.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
         .write.mode("overwrite").parquet(s"$statsPath/batch=$b")
-    } finally toks.unpersist(): Unit
+    } finally { postings.unpersist(); toks.unpersist(): Unit }
   }
 
   /** Merge accumulated batch dirs into one compacted generation (negative
@@ -111,11 +124,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * to one row, and term/corpus stats are RECOMPUTED from the merged
     * postings so they heal too. */
   def compact(): Unit = {
-    val dataDir = new java.io.File(postingsPath)
-    val batchDirs = Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("batch=") &&
-        new java.io.File(f, "_SUCCESS").exists())
-      .sortBy(_.getName)
+    val batchDirs = StoreIO.committedBatchDirs(postingsPath)
     if (batchDirs.length <= 1) return
     val names = batchDirs.map(_.getName).toSet
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
@@ -131,8 +140,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
       val tsStage = s"${termstatsPath}__stage"
       StoreIO.rmTree(new java.io.File(tsStage))
-      spark.read.parquet(stage)
-        .groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+      merged.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
         .write.mode("overwrite").partitionBy("bucket").parquet(tsStage)
       val stStage = s"${statsPath}__stage"
       StoreIO.rmTree(new java.io.File(stStage))

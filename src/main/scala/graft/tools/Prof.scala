@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *                               and fixed-size insert cost — the rows that
   *                               prove serving and insert are bounded by
   *                               walk/batch size, not corpus size
+  *   mine    [stressDir]         hard-negative mining at calibrated bucket
+  *                               width, weighted sampling, and TextIndex
+  *                               build + bucket-pruned query
   *
   * Stress fixtures come from scripts/gen_scale_stress.py
   * (STRESS_COPIES=20|100 -> /tmp/scale20|/tmp/scale100). */
@@ -220,14 +223,14 @@ object Prof {
       println(s"PROF hardneg_rows rows=${out.count()}")
     }
     e.unpersist()
-    time("weighted_sample", nTag) {
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    time("weighted_sample", s"(docs=$nd)") {
       graft.queries.Registry.queries("q_weighted_sample")(s, dir).count(): Unit
     }
     // disk inverted index: build is linear in token volume; the query scan
     // is bucket-pruned, so its cost tracks the QUERY TERMS' posting volume
     // (a df-proportional slice), not the corpus
-    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
-    val nd = docs.count()
     val tbase = java.nio.file.Files.createTempDirectory("scale_tidx").toString
     val tidx = new graft.store.TextIndex(s, tbase, 64)
     time("tidx_build_64buckets", s"(docs=$nd)")(tidx.build(docs))

@@ -57,6 +57,15 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException] {
       idx.appendBatch(vectors.limit(1).withColumn("bogus", lit(1)), 2L)
     }
+    // lossless upcasts align silently (int id -> stored long)…
+    idx.appendBatch(vectors.filter(col("id") === 320)
+      .withColumn("id", col("id").cast("int")).select("id", "emb"), 3L)
+    // …but a lossy type (string id could NULL the spine via non-ANSI cast)
+    // is rejected loudly instead of coerced
+    intercept[IllegalArgumentException] {
+      idx.appendBatch(vectors.limit(1)
+        .withColumn("id", col("id").cast("string")).select("id", "emb"), 4L)
+    }
     val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
     val pred = col("meta") === "even"
     val filtered = idx.query(qe, k = 5, nprobe = 8, where = Some(pred))

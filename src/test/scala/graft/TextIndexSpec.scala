@@ -108,6 +108,31 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(rrf == mem, "disk-index hybrid must reproduce the in-memory hybrid ranking")
   }
 
+  test("zero-token docs keep corpus stats through compaction; empty appends are no-ops") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+      // token-less docs: empty text and punctuation-only text — these own a
+      // sentinel posting so compaction's stats recompute still counts them
+      .unionByName(Seq((9001L, ""), (9002L, "!!! ...")).toDF("doc_id", "text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_zero").toString
+    val idx = new TextIndex(spark, base, 8)
+    idx.build(docs.filter(col("doc_id") < 300))
+    idx.appendBatch(docs.filter(col("doc_id") >= 300), 0L)
+    val pre = idx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    idx.compact()
+    val post = idx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(post == pre,
+      "compaction must not change scores when the corpus has token-less docs")
+    // an empty micro-batch (replay of a filtered-out trigger) must neither
+    // crash the append nor perturb scores
+    idx.appendBatch(docs.limit(0), 7L)
+    val after = idx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after == pre, "empty append must be a no-op")
+  }
+
   test("replayed orphan batch heals at compaction") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("graft_tidx_orphan").toString
