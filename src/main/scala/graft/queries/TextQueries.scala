@@ -291,6 +291,53 @@ object TextQueries {
            |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin
       }),
 
+    // Corpus mixture planning — the "data mixing" step between curation
+    // and training: given a global token budget (here 50% of the corpus)
+    // split equally across sources, emit each source's available tokens,
+    // its sampling rate (<1 = downsample), and upsampling epochs (>1 when
+    // the target exceeds availability — the small-source repeat factor).
+    // All plan arithmetic is INTEGER (budget = total/2, per-source target
+    // = budget/#sources, epochs as ceil in exact integer math), so the
+    // oracle agrees bit-for-bit; only the display rate is a rounded
+    // double. One token-count scan + a per-source aggregation; the global
+    // total is a broadcast one-row frame — no corpus-wide window.
+    Q(
+      "q_mixture_plan",
+      "token-budget mixture plan per source: availability, rate, epochs",
+      (s, dir) => {
+        val counts = tbl(s, dir, "documents")
+          .select(col("source"), size(TF.tokens(col("text"))).cast("long").as("ntok"))
+          .groupBy("source")
+          .agg(sum(col("ntok")).as("avail"), count(lit(1)).as("n_docs"))
+        val totals = counts.agg(sum(col("avail")).as("total"),
+          count(lit(1)).as("n_sources"))
+        counts.crossJoin(broadcast(totals))
+          // `/` on longs is fractional in Spark SQL; DIV is the exact
+          // integer division the oracle's `//` mirrors
+          .withColumn("target", expr("(total DIV 2) DIV n_sources"))
+          .withColumn("rate",
+            round(least(lit(1.0), col("target").cast("double") / col("avail").cast("double")), 6))
+          .withColumn("epochs", expr("(target + avail - 1) DIV avail"))
+          .select(col("source"), col("n_docs"), col("avail"), col("target"),
+            col("rate"), col("epochs"))
+          .orderBy("source")
+      },
+      Some {
+        val toks = OracleText.tokens("text")
+        s"""WITH c AS MATERIALIZED (
+           |  SELECT source, CAST(sum(len($toks)) AS BIGINT) AS avail,
+           |         CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY source),
+           |t AS (SELECT CAST(sum(avail) AS BIGINT) AS total,
+           |             CAST(count(*) AS BIGINT) AS n_sources FROM c)
+           |SELECT source, n_docs, avail,
+           |       (total // 2) // n_sources AS target,
+           |       round(least(1.0, CAST((total // 2) // n_sources AS DOUBLE)
+           |                        / CAST(avail AS DOUBLE)), 6) AS rate,
+           |       ((total // 2) // n_sources + avail - 1) // avail AS epochs
+           |FROM c CROSS JOIN t ORDER BY source""".stripMargin
+      }),
+
     // Vocabulary stats: top-3 tokens by frequency per language (corpus
     // profiling; grouped top-k over token counts).
     Q(

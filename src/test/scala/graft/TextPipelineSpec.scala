@@ -43,6 +43,27 @@ class TextPipelineSpec extends AnyFunSuite with SparkTest {
     assert(bySource.size == 20)
   }
 
+  test("mixture plan: rates cap at 1, small sources upsample, budget is conserved") {
+    val rows = graft.queries.Registry.queries("q_mixture_plan")(spark, sf001).collect()
+    assert(rows.length == 20)
+    val target = rows.head.getAs[Long]("target")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("target") == target, "equal split: same target everywhere")
+      val rate = r.getAs[Double]("rate")
+      val epochs = r.getAs[Long]("epochs")
+      val avail = r.getAs[Long]("avail")
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(epochs >= 1L)
+      // the two sides of the plan agree: a source upsamples (epochs > 1)
+      // exactly when its availability falls short of the target
+      assert((epochs > 1L) == (avail < target),
+        s"${r.getAs[String]("source")}: epochs=$epochs avail=$avail target=$target")
+    }
+    // the per-source targets sum back to (no more than) the global budget
+    val total = rows.map(_.getAs[Long]("avail")).sum
+    assert(target * rows.length <= total / 2)
+  }
+
   test("weighted sample: replays driver-side and selection tracks weight across salts") {
     import graft.functions.TextHashOps
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
