@@ -527,6 +527,65 @@ object AnnQueries {
            |ORDER BY vec_a, rnk""".stripMargin
       }),
 
+    // Training-triplet export — the mining family's actual deliverable: a
+    // (anchor, positive, negative) row per anchor, where the positive is
+    // the nearest SAME-label bucket-mate, the negative the nearest
+    // CROSS-label one, plus the margin a triplet/InfoNCE loss would see.
+    // One blocked self-join computes each pair's cosine ONCE; the two
+    // rank-1 picks are windows over label-split slices of that frame, and
+    // the final join is anchor-keyed. Same bucket-bounded cost envelope as
+    // the hard-negative mine (single table here; the 3-table union drops
+    // in unchanged when recall matters more than cost).
+    Q(
+      "q_training_triplets",
+      "contrastive triplets: nearest in-bucket positive + hard negative + margin",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .withColumn("bucket", lshBucketCol)
+          .persist()
+        val a = e.select(col("vec_id").as("vec_a"), col("label").as("label_a"),
+          col("bucket"), col("embedding").as("ea"))
+        val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+          col("bucket").as("bucket_b"), col("embedding").as("eb"))
+        val pairs = a.join(b, col("bucket") === col("bucket_b") &&
+            col("vec_a") =!= col("vec_b"))
+          .withColumn("cos_raw", VF.cosine(col("ea"), col("eb")))
+          .persist() // both rank-1 windows read this one scored frame
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_a").orderBy(desc("cos_raw"), asc("vec_b"))
+        def top1(f: org.apache.spark.sql.DataFrame, id: String, cos: String) = f
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_a"), col("vec_b").as(id), col("cos_raw").as(cos))
+        val pos = top1(pairs.filter(col("label_a") === col("label_b")), "pos_id", "pos_raw")
+        val neg = top1(pairs.filter(col("label_a") =!= col("label_b")), "neg_id", "neg_raw")
+        pos.join(neg, "vec_a")
+          .select(col("vec_a").as("anchor"), col("pos_id"), col("neg_id"),
+            round(col("pos_raw"), 6).as("pos_cos"),
+            round(col("neg_raw"), 6).as("neg_cos"),
+            round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
+          .orderBy("anchor")
+      },
+      Some {
+        val cos = OracleSql.cosine("a.embedding", "b.embedding")
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, label, embedding,
+           |  ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |p AS MATERIALIZED (
+           |  SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS la, b.label AS lb,
+           |         $cos AS cos_raw
+           |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+           |pos AS (SELECT va, vb, cos_raw FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY cos_raw DESC, vb) AS rn
+           |  FROM p WHERE la = lb) WHERE rn = 1),
+           |neg AS (SELECT va, vb, cos_raw FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY va ORDER BY cos_raw DESC, vb) AS rn
+           |  FROM p WHERE la <> lb) WHERE rn = 1)
+           |SELECT pos.va AS anchor, pos.vb AS pos_id, neg.vb AS neg_id,
+           |       round(pos.cos_raw, 6) AS pos_cos, round(neg.cos_raw, 6) AS neg_cos,
+           |       round(pos.cos_raw - neg.cos_raw, 6) AS margin
+           |FROM pos JOIN neg ON pos.va = neg.va
+           |ORDER BY anchor""".stripMargin
+      }),
+
     // Batched multi-probe IVF: three probes answered in ONE scan of the
     // union of their probe cells — rows join probes on cell membership
     // (broadcast), per-probe top-3 is a window. Q probes cost one pruned

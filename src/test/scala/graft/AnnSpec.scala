@@ -100,4 +100,26 @@ class AnnSpec extends AnyFunSuite with SparkTest {
     info(f"mined mean cosine = $minedMeanCos%.4f")
     assert(minedMeanCos >= 0.15, s"mined negatives not hard: mean cos $minedMeanCos")
   }
+
+  test("training triplets: label contract, margin arithmetic, anchor coverage") {
+    val dir = sf001
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Registry.queries("q_training_triplets")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (anchor, pos, neg) =
+        (r.getAs[Long]("anchor"), r.getAs[Long]("pos_id"), r.getAs[Long]("neg_id"))
+      assert(labels(pos) == labels(anchor), s"positive crosses labels at $anchor")
+      assert(labels(neg) != labels(anchor), s"negative shares the label at $anchor")
+      assert(pos != anchor && neg != anchor)
+      // margin is exactly the rounded difference the loss would see
+      assert(math.abs(r.getAs[Double]("margin") -
+        (r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))) < 2e-6)
+    }
+    // every anchor emits at most one triplet, and anchors are exactly those
+    // with BOTH a same-label and a cross-label bucket-mate
+    assert(rows.map(_.getAs[Long]("anchor")).distinct.length == rows.length)
+  }
 }
