@@ -309,15 +309,19 @@ object TextQueries {
           .select(col("source"), size(TF.tokens(col("text"))).cast("long").as("ntok"))
           .groupBy("source")
           .agg(sum(col("ntok")).as("avail"), count(lit(1)).as("n_docs"))
+          .persist() // scanned twice: the totals aggregate + the plan join
         val totals = counts.agg(sum(col("avail")).as("total"),
           count(lit(1)).as("n_sources"))
         counts.crossJoin(broadcast(totals))
           // `/` on longs is fractional in Spark SQL; DIV is the exact
-          // integer division the oracle's `//` mirrors
+          // integer division the oracle's `//` mirrors. An all-empty
+          // source (avail 0) gets rate/epochs 0 — under ANSI mode the
+          // unguarded DIV would throw DIVIDE_BY_ZERO
           .withColumn("target", expr("(total DIV 2) DIV n_sources"))
-          .withColumn("rate",
-            round(least(lit(1.0), col("target").cast("double") / col("avail").cast("double")), 6))
-          .withColumn("epochs", expr("(target + avail - 1) DIV avail"))
+          .withColumn("rate", when(col("avail") === 0L, lit(0.0)).otherwise(
+            round(least(lit(1.0), col("target").cast("double") / col("avail").cast("double")), 6)))
+          .withColumn("epochs", when(col("avail") === 0L, lit(0L)).otherwise(
+            expr("(target + avail - 1) DIV avail")))
           .select(col("source"), col("n_docs"), col("avail"), col("target"),
             col("rate"), col("epochs"))
           .orderBy("source")
@@ -332,9 +336,11 @@ object TextQueries {
            |             CAST(count(*) AS BIGINT) AS n_sources FROM c)
            |SELECT source, n_docs, avail,
            |       (total // 2) // n_sources AS target,
-           |       round(least(1.0, CAST((total // 2) // n_sources AS DOUBLE)
-           |                        / CAST(avail AS DOUBLE)), 6) AS rate,
-           |       ((total // 2) // n_sources + avail - 1) // avail AS epochs
+           |       CASE WHEN avail = 0 THEN 0.0 ELSE
+           |         round(least(1.0, CAST((total // 2) // n_sources AS DOUBLE)
+           |                          / CAST(avail AS DOUBLE)), 6) END AS rate,
+           |       CASE WHEN avail = 0 THEN 0 ELSE
+           |         ((total // 2) // n_sources + avail - 1) // avail END AS epochs
            |FROM c CROSS JOIN t ORDER BY source""".stripMargin
       }),
 

@@ -84,7 +84,12 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def writeBatch(docs: DataFrame, b: Long): Unit = {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       "TextIndex expects (doc_id, text)")
-    val toks = docs.select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+    // coalesce: Tokenize is null-intolerant, so a NULL text would yield
+    // NULL toks — size() NULL, no sentinel row, doc counted in _stats but
+    // absent from postings = the compaction stats drift the sentinel
+    // exists to prevent, just for the NULL variant of token-less
+    val toks = docs.select(col("doc_id"),
+        coalesce(TF.tokens(col("text")), typedlit(Array.empty[String])).as("toks"))
       .withColumn("dl", size(col("toks")))
       .persist()
     // a zero-token doc (empty/punctuation-only text) gets a SENTINEL

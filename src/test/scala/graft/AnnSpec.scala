@@ -118,8 +118,22 @@ class AnnSpec extends AnyFunSuite with SparkTest {
       assert(math.abs(r.getAs[Double]("margin") -
         (r.getAs[Double]("pos_cos") - r.getAs[Double]("neg_cos"))) < 2e-6)
     }
-    // every anchor emits at most one triplet, and anchors are exactly those
-    // with BOTH a same-label and a cross-label bucket-mate
+    // every anchor emits at most one triplet, and anchors are EXACTLY the
+    // vectors with both a same-label and a cross-label bucket-mate —
+    // recomputed independently from the fixture
     assert(rows.map(_.getAs[Long]("anchor")).distinct.length == rows.length)
+    val byBucket = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        graft.queries.AnnQueries.bucketOf(r.getSeq[Float](2).toArray)))
+      .groupBy(_._3)
+    // an anchor qualifies iff its bucket holds another same-label vector
+    // AND any cross-label vector
+    val expected = byBucket.values.flatten.filter { case (id, lab, bkt) =>
+      byBucket(bkt).exists(m => m._1 != id && m._2 == lab) &&
+        byBucket(bkt).exists(_._2 != lab)
+    }.map(_._1).toSet
+    assert(rows.map(_.getAs[Long]("anchor")).toSet == expected,
+      "anchor set must be exactly the dual-mate vectors")
   }
 }
