@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
  * Both oracles replicate the identical integer/float math in DuckDB SQL.
  */
 object AnnQueries {
-  import Registry.tbl
+  import Registry.{freeAfter, tbl}
 
   val EmbDim = 64 // embeddings.parquet vector width
   val NumCentroids = 16
@@ -392,12 +392,12 @@ object AnnQueries {
           col("bucket").as("dbucket"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("src").orderBy(asc("dist_raw"), asc("dst"))
-        left.join(right, col("bucket") === col("dbucket") && col("src") =!= col("dst"))
+        freeAfter(left.join(right, col("bucket") === col("dbucket") && col("src") =!= col("dst"))
           .withColumn("dist_raw", VF.l2Sq(col("semb"), col("demb")))
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 3)
           .select(col("src"), col("rnk"), col("dst"), round(col("dist_raw"), 6).as("dist"))
-          .orderBy("src", "rnk")
+          .orderBy("src", "rnk"), e)
       },
       Some {
         val d = OracleSql.l2Sq("a.embedding", "b.embedding")
@@ -492,7 +492,7 @@ object AnnQueries {
         }.reduce(_.unionByName(_))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_a").orderBy(desc("cos_raw"), asc("vec_b"))
-        pairs
+        freeAfter(pairs
           // a pair found by several tables has the identical cosine in each;
           // min() collapses duplicates deterministically
           .groupBy("vec_a", "vec_b", "label_a", "label_b")
@@ -501,7 +501,7 @@ object AnnQueries {
           .filter(col("rnk") <= 3)
           .select(col("vec_a"), col("rnk"), col("vec_b"), col("label_a"),
             col("label_b"), round(col("cos_raw"), 6).as("cos"))
-          .orderBy("vec_a", "rnk")
+          .orderBy("vec_a", "rnk"), e)
       },
       Some {
         val cos = OracleSql.cosine("a.embedding", "b.embedding")
@@ -558,12 +558,12 @@ object AnnQueries {
           .select(col("vec_a"), col("vec_b").as(id), col("cos_raw").as(cos))
         val pos = top1(pairs.filter(col("label_a") === col("label_b")), "pos_id", "pos_raw")
         val neg = top1(pairs.filter(col("label_a") =!= col("label_b")), "neg_id", "neg_raw")
-        pos.join(neg, "vec_a")
+        freeAfter(pos.join(neg, "vec_a")
           .select(col("vec_a").as("anchor"), col("pos_id"), col("neg_id"),
             round(col("pos_raw"), 6).as("pos_cos"),
             round(col("neg_raw"), 6).as("neg_cos"),
             round(col("pos_raw") - col("neg_raw"), 6).as("margin"))
-          .orderBy("anchor")
+          .orderBy("anchor"), e, pairs)
       },
       Some {
         val cos = OracleSql.cosine("a.embedding", "b.embedding")

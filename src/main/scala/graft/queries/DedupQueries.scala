@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
  *    quadratic at the 20x stress scale: 200 s vs ~20 s — §8.3.)
  */
 object DedupQueries {
-  import Registry.tbl
+  import Registry.{freeAfter, tbl}
   import org.apache.spark.sql.expressions.Window
 
   private val K = 3 // word-shingle width
@@ -130,12 +130,12 @@ object DedupQueries {
           .select("doc_a", "doc_b").distinct()
         val va = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
         val vb = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-        cand.join(va, "doc_a").join(vb, "doc_b")
+        freeAfter(cand.join(va, "doc_a").join(vb, "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
           .withColumn("jac_raw", col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .orderBy(desc("jac_raw"), asc("doc_a"), asc("doc_b"))
           .limit(20)
-          .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
+          .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac")), d)
       },
       Some(
         s"""WITH d AS MATERIALIZED (${shingleSetsSql()}),
@@ -170,14 +170,14 @@ object DedupQueries {
         val agree = (0 until graft.functions.TextHashOps.NumMinHashes).map(i =>
           when(element_at(col("sig_a"), i + 1) === element_at(col("sig_b"), i + 1), 1)
             .otherwise(0)).reduce(_ + _)
-        cand.join(va, "doc_a").join(vb, "doc_b")
+        freeAfter(cand.join(va, "doc_a").join(vb, "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
           .withColumn("jac_raw", col("inter") / (col("n_a") + col("n_b") - col("inter")))
           .withColumn("est_raw", agree.cast("double") / graft.functions.TextHashOps.NumMinHashes)
           .orderBy(desc("jac_raw"), asc("doc_a"), asc("doc_b"))
           .limit(20)
           .select(col("doc_a"), col("doc_b"),
-            round(col("jac_raw"), 4).as("jac"), round(col("est_raw"), 4).as("est_jac"))
+            round(col("jac_raw"), 4).as("jac"), round(col("est_raw"), 4).as("est_jac")), d)
       },
       Some {
         val nmh = graft.functions.TextHashOps.NumMinHashes
@@ -215,12 +215,12 @@ object DedupQueries {
           .distinct()
         val va = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
         val vb = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-        cand.join(va, "doc_a").join(vb, "doc_b")
+        freeAfter(cand.join(va, "doc_a").join(vb, "doc_b")
           .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
           .withColumn("cont_raw", col("inter") / least(col("n_a"), col("n_b")))
           .orderBy(desc("cont_raw"), asc("doc_a"), asc("doc_b"))
           .limit(20)
-          .select(col("doc_a"), col("doc_b"), round(col("cont_raw"), 4).as("containment"))
+          .select(col("doc_a"), col("doc_b"), round(col("cont_raw"), 4).as("containment")), d)
       },
       Some {
         val contSql = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / least(len(a.sh), len(b.sh))"
@@ -257,11 +257,11 @@ object DedupQueries {
           .distinct()
         val a = d.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
         val b = d.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-        cand.join(a, "doc_a").join(b, "doc_b")
+        freeAfter(cand.join(a, "doc_a").join(b, "doc_b")
           .withColumn("jac_raw", jaccard(col("sh_a"), col("sh_b")))
           .filter(col("jac_raw") >= 0.5)
           .select(col("doc_a"), col("doc_b"), round(col("jac_raw"), 4).as("jac"))
-          .orderBy("doc_a", "doc_b")
+          .orderBy("doc_a", "doc_b"), d)
       },
       Some {
         val bandSelects = (0 until TextHashOps.MinHashBands).map { j =>
@@ -300,7 +300,7 @@ object DedupQueries {
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("band"), shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bb"))
           .select(col("sig"), col("keeper"), col("bb.band"), col("bb.byte"))
-        bands.as("x").join(bands.as("y"),
+        freeAfter(bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
               col("x.keeper") < col("y.keeper"))
           .select(col("x.keeper").as("rep_a"), col("y.keeper").as("rep_b"),
@@ -311,7 +311,7 @@ object DedupQueries {
           .join(reps.select(col("keeper").as("rep_a"), col("n_members").as("n_a")), "rep_a")
           .join(reps.select(col("keeper").as("rep_b"), col("n_members").as("n_b")), "rep_b")
           .select(col("rep_a"), col("rep_b"), col("ham"), col("n_a"), col("n_b"))
-          .orderBy("rep_a", "rep_b")
+          .orderBy("rep_a", "rep_b"), reps)
       },
       Some {
         val sig = OracleText.simhash32(OracleText.tokenHashes(OracleText.tokens("text")))
@@ -343,12 +343,12 @@ object DedupQueries {
         val a = e.select(col("vec_id").as("vec_a"), col("label"), col("bucket"), col("embedding").as("ea"))
         val b = e.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
           col("bucket").as("bucket_b"), col("embedding").as("eb"))
-        a.join(b, a("label") === b("label_b") && a("bucket") === b("bucket_b") &&
+        freeAfter(a.join(b, a("label") === b("label_b") && a("bucket") === b("bucket_b") &&
             a("vec_a") < b("vec_b"))
           .withColumn("cos_raw", VF.cosine(col("ea"), col("eb")))
           .orderBy(desc("cos_raw"), asc("vec_a"), asc("vec_b"))
           .limit(20)
-          .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos_raw"), 6).as("cos"))
+          .select(col("vec_a"), col("vec_b"), col("label"), round(col("cos_raw"), 6).as("cos")), e)
       },
       Some {
         val cos = OracleSql.cosine("a.embedding", "b.embedding")
@@ -388,9 +388,9 @@ object DedupQueries {
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val labels = graft.operators.ConnectedComponents.runAuto(edges)
         val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
-        labels.join(sizes, "component")
+        freeAfter(labels.join(sizes, "component")
           .select(col("id").as("doc_id"), col("component"), col("csize"))
-          .orderBy("doc_id")
+          .orderBy("doc_id"), d)
       },
       Some {
         val bandSelects = (0 until TextHashOps.MinHashBands).map { j =>
@@ -453,9 +453,9 @@ object DedupQueries {
             col("ida") < col("idb") && VF.cosine(col("ea"), col("eb")) >= 0.95)
           .select(col("idb").as("vec_id")).distinct()
         val kept = e.join(dropped, Seq("vec_id"), "left_anti")
-        e.groupBy("label").agg(count(lit(1)).as("n_total"))
+        freeAfter(e.groupBy("label").agg(count(lit(1)).as("n_total"))
           .join(kept.groupBy("label").agg(count(lit(1)).as("n_kept")), Seq("label"))
-          .orderBy("label")
+          .orderBy("label"), e)
       },
       Some {
         val cos = OracleSql.cosine("a.embedding", "b.embedding")

@@ -26,6 +26,22 @@ object Registry {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Materialize a BOUNDED query result (top-k / per-group-capped — never
+    * corpus-sized) through its caches, then release them: queries persist()
+    * intermediates that several downstream branches read, but the returned
+    * frame is lazy, so un-persisting before the caller's action would just
+    * recompute everything twice. `localCheckpoint` (eager) runs the plan
+    * once WHILE the caches are hot and returns a lineage-free frame whose
+    * blocks the ContextCleaner frees when the caller drops it — unlike the
+    * persisted intermediates, which the CacheManager would otherwise pin
+    * for the driver's lifetime, accumulating across a bench or notebook
+    * session. */
+  def freeAfter(out: DataFrame, cached: DataFrame*): DataFrame = {
+    val mat = out.localCheckpoint()
+    cached.foreach(_.unpersist())
+    mat
+  }
+
   lazy val all: Seq[Q] =
     VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       AnnQueries.all ++ StoreQueries.all ++ AttackQueries.all ++ OperatorQueries.all ++

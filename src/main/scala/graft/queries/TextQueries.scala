@@ -312,7 +312,7 @@ object TextQueries {
           .persist() // scanned twice: the totals aggregate + the plan join
         val totals = counts.agg(sum(col("avail")).as("total"),
           count(lit(1)).as("n_sources"))
-        counts.crossJoin(broadcast(totals))
+        Registry.freeAfter(counts.crossJoin(broadcast(totals))
           // `/` on longs is fractional in Spark SQL; DIV is the exact
           // integer division the oracle's `//` mirrors. An all-empty
           // source (avail 0) gets rate/epochs 0 — under ANSI mode the
@@ -324,7 +324,7 @@ object TextQueries {
             expr("(target + avail - 1) DIV avail")))
           .select(col("source"), col("n_docs"), col("avail"), col("target"),
             col("rate"), col("epochs"))
-          .orderBy("source")
+          .orderBy("source"), counts)
       },
       Some {
         val toks = OracleText.tokens("text")
@@ -535,12 +535,12 @@ object TextQueries {
           .select(col("doc_id"), explode(col("g8")).as("g"))
           .join(broadcast(bench), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        corpus.select(col("doc_id"), size(col("g8")).as("n_grams"))
+        Registry.freeAfter(corpus.select(col("doc_id"), size(col("g8")).as("n_grams"))
           .join(overlaps, Seq("doc_id"), "left")
           .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
           .select(col("doc_id"), col("n_grams"), col("n_overlap"),
             (col("n_overlap") > 0).as("contaminated"))
-          .orderBy("doc_id")
+          .orderBy("doc_id"), d)
       },
       Some {
         val canary = " canary alpha bravo charlie delta echo foxtrot golf hotel"
@@ -712,8 +712,9 @@ object TextQueries {
           .persist()
         // threshold 40 yields a non-empty answer at the sf0.01 verify scale
         // (54 bigrams) while still pruning the long sub-threshold tail
-        graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 40L)
-          .orderBy(desc("n"), asc("bg"))
+        Registry.freeAfter(
+          graft.operators.HeavyHitters.exactHeavyHitters(bi, "bg", minCount = 40L)
+            .orderBy(desc("n"), asc("bg")), bi)
       },
       Some {
         val toks = OracleText.tokens("text")
@@ -756,12 +757,12 @@ object TextQueries {
         val prefixes = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
           .withColumn("bpre", coalesce(sum("btot").over(wBkt), lit(0L)))
           .select(col("bkt"), col("bpre"))
-        local.join(broadcast(prefixes), "bkt")
+        Registry.freeAfter(local.join(broadcast(prefixes), "bkt")
           .withColumn("strt", col("bpre") + col("lcum") - col("n_tok"))
           .select(col("doc_id"), col("n_tok"),
             expr(s"CAST(strt DIV $ctx AS BIGINT)").as("pack_id"),
             (col("strt") % ctx).as("pack_off"))
-          .orderBy("doc_id")
+          .orderBy("doc_id"), docs)
       },
       Some {
         val toks = OracleText.tokens("text")
@@ -837,12 +838,12 @@ object TextQueries {
           .persist() // scanned twice: df aggregation + the scored join
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-        tf.join(broadcast(dfc), "term")
+        Registry.freeAfter(tf.join(broadcast(dfc), "term")
           .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"), col("score"))
-          .orderBy("doc_id", "rank")
+          .orderBy("doc_id", "rank"), tf)
       },
       Some {
         val toks = OracleText.tokens("text")

@@ -312,14 +312,10 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // align the batch to the index's vector schema: metadata columns the
     // batch doesn't carry (e.g. a stream of bare (id, emb) into a
     // metadata-bearing index) land as NULLs, so every epoch shares ONE
-    // schema; unknown batch columns are a caller bug, rejected loudly
-    val known = oldV.schema.fieldNames.toSet
-    val unknown = batch.columns.filterNot(known)
-    require(unknown.isEmpty, s"batch columns not in the index schema: ${unknown.mkString(", ")}")
-    val aligned = batch.select(oldV.schema.fields.map { f =>
-      if (batch.columns.contains(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }.toSeq: _*)
+    // schema; unknown columns are rejected, and same-name-different-type
+    // columns are lossless-cast or rejected (StoreIO.alignToSchema — a
+    // mis-typed id spine would break every later multi-epoch read)
+    val aligned = StoreIO.alignToSchema(batch, oldV.schema.fields.toSeq, Seq("id", "emb"))
     val newV = StoreIO.dedupById(aligned, aligned.columns.filter(_ != "id").toSeq)
       .join(oldV.select("id"), Seq("id"), "left_anti")
       .persist()

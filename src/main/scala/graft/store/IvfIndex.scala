@@ -103,27 +103,7 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     // (id) — and unknown columns are a caller bug. Present columns are CAST
     // to the stored type: a same-name-different-type batch dir would break
     // every later multi-dir read.
-    val stored = storedSchema
-    val known = stored.map(_.name).toSet
-    val unknown = vectors.columns.filterNot(known)
-    require(unknown.isEmpty, s"batch columns not in the index schema: ${unknown.mkString(", ")}")
-    val missingRequired = Seq("id", "emb").filterNot(vectors.columns.contains)
-    require(missingRequired.isEmpty,
-      s"batch is missing required columns: ${missingRequired.mkString(", ")}")
-    // LOSSLESS casts only (int->long etc.): a plain cast is non-ANSI and
-    // NULLs unparseable values — which for id/emb is exactly the silent
-    // NULL-spine hazard the guard above exists to prevent
-    val batchTypes = vectors.schema.fields.map(f => f.name -> f.dataType).toMap
-    val aligned = vectors.select(stored.map { f =>
-      batchTypes.get(f.name) match {
-        case None => lit(null).cast(f.dataType).as(f.name)
-        case Some(t) if t == f.dataType => col(f.name)
-        case Some(t) =>
-          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(t, f.dataType),
-            s"batch column ${f.name} has type $t, index stores ${f.dataType} — not a lossless cast")
-          col(f.name).cast(f.dataType).as(f.name)
-      }
-    }.toSeq: _*)
+    val aligned = StoreIO.alignToSchema(vectors, storedSchema.toSeq, Seq("id", "emb"))
     aligned
       .withColumn("cell", cellCol(cents, col("emb")))
       .write.mode("overwrite").partitionBy("cell")

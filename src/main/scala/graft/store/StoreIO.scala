@@ -32,6 +32,40 @@ private[store] object StoreIO {
     f.delete(): Unit
   }
 
+  /** Align an incoming batch to an index's stored row schema — the ONE
+    * shared guard for every batch-keyed store ([[IvfIndex.appendBatch]],
+    * [[GraphIndex.insert]], tombstone appends): columns the batch doesn't
+    * carry land as typed NULLs so every batch dir shares one schema;
+    * columns in `required` must be present (NULL-filling an index's spine
+    * would silently route rows to a never-probed NULL partition or
+    * collapse them under compaction dedup); unknown batch columns are a
+    * caller bug, rejected loudly; present columns CAST only when the cast
+    * is LOSSLESS (`Cast.canUpCast`) — a plain cast is non-ANSI and NULLs
+    * unparseable values, and a same-name-different-type dir breaks every
+    * later multi-dir read. */
+  def alignToSchema(batch: DataFrame,
+                    stored: Seq[org.apache.spark.sql.types.StructField],
+                    required: Seq[String]): DataFrame = {
+    val known = stored.map(_.name).toSet
+    val unknown = batch.columns.filterNot(known)
+    require(unknown.isEmpty,
+      s"batch columns not in the index schema: ${unknown.mkString(", ")}")
+    val missingRequired = required.filterNot(batch.columns.contains)
+    require(missingRequired.isEmpty,
+      s"batch is missing required columns: ${missingRequired.mkString(", ")}")
+    val batchTypes = batch.schema.fields.map(f => f.name -> f.dataType).toMap
+    batch.select(stored.map { f =>
+      batchTypes.get(f.name) match {
+        case None => lit(null).cast(f.dataType).as(f.name)
+        case Some(t) if t == f.dataType => col(f.name)
+        case Some(t) =>
+          require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(t, f.dataType),
+            s"batch column ${f.name} has type $t, index stores ${f.dataType} — not a lossless cast")
+          col(f.name).cast(f.dataType).as(f.name)
+      }
+    }.toSeq: _*)
+  }
+
   /** One surviving row per `id`, DETERMINISTIC under intra-batch repeats:
     * ties order by the JSON of the payload columns, so two runs of the same
     * pipeline keep the same row whatever the shuffle layout (repeats with
@@ -118,8 +152,15 @@ private[store] object StoreIO {
     * partition value mid-write. */
   final case class Staged(stage: String, dest: String, write: String => Unit)
 
-  /** [[commitSwap]] generalized to explicit stage locations and writers. */
-  def commitStaged(outs: Seq[Staged], marker: String): Unit = {
+  /** [[commitSwap]] generalized to explicit stage locations and writers.
+    * `cleanup` dirs are removed AFTER every swap, still under the marker's
+    * protection — a compaction that must drop its merged inputs
+    * ([[TextIndex.compact]]) records them here, so a crash between the
+    * publish and the input deletion can no longer leave merged AND
+    * original data co-resident (doubling every aggregate) until the next
+    * compaction: [[recover]] finishes the deletion at the next open. */
+  def commitStaged(outs: Seq[Staged], marker: String,
+                   cleanup: Seq[String] = Seq.empty): Unit = {
     outs.foreach(o => o.write(o.stage))
     // the marker must appear ATOMICALLY: a torn marker listing only some
     // dests would make recover() publish a partial commit — stage it and
@@ -127,19 +168,22 @@ private[store] object StoreIO {
     val mk = java.nio.file.Paths.get(marker)
     val mkStage = java.nio.file.Paths.get(s"$marker.tmp")
     java.nio.file.Files.write(mkStage,
-      outs.map(o => s"${o.stage}\t${o.dest}").mkString("\n")
+      (outs.map(o => s"${o.stage}\t${o.dest}") ++ cleanup.map(p => s"RM\t$p"))
+        .mkString("\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     java.nio.file.Files.move(mkStage, mk,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     outs.foreach(o => swapFrom(o.stage, o.dest))
+    cleanup.foreach(p => rmTree(new java.io.File(p)))
     java.nio.file.Files.deleteIfExists(mk): Unit
   }
 
   /** Finish an interrupted [[commitStaged]]: the marker only ever exists
     * once every stage dir completed, so each listed dest either still has
     * its stage (swap it in) or already swapped (clear the parked copy).
-    * No-op without a marker. Lines are `stage\tdest`; a line without a tab
-    * is the legacy dest-only form (stage at `<dest>__stage`). */
+    * No-op without a marker. Lines are `stage\tdest`, `RM\tpath` (a
+    * cleanup deletion, replayed in order after the swaps it follows), or
+    * the legacy tab-less dest-only form (stage at `<dest>__stage`). */
   def recover(marker: String): Unit = {
     val mf = java.nio.file.Paths.get(marker)
     if (!java.nio.file.Files.exists(mf)) return
@@ -153,6 +197,7 @@ private[store] object StoreIO {
     } catch { case _: java.nio.file.NoSuchFileException => return }
     content.split("\n").filter(_.nonEmpty).foreach { line =>
       line.split('\t') match {
+        case Array("RM", p) => rmTree(new java.io.File(p))
         case Array(stage, dest) => swapFrom(stage, dest)
         case Array(dest) => swapStaged(dest)
         case other => sys.error(s"malformed marker line: $line")

@@ -54,6 +54,14 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def postingsPath = s"$path/postings"
   private def termstatsPath = s"$path/_termstats"
   private def statsPath = s"$path/_stats"
+  private def marker = s"$path/_commit"
+
+  // opening the index finishes any compaction publish interrupted between
+  // its swaps or before its input cleanup (the GraphIndex protocol): a
+  // crash after the merged postings landed but before the original batch
+  // dirs were dropped would otherwise leave BOTH co-resident, silently
+  // doubling every tf/df/stats contribution until another compact ran
+  StoreIO.recover(marker)
 
   /** BM25 free parameters — shared with the in-memory scorer. */
   private val K1 = graft.queries.SearchQueries.K1
@@ -123,11 +131,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
 
   /** Merge accumulated batch dirs into one compacted generation (negative
     * batch id namespace, same protocol as [[IvfIndex.compact]]: snapshot
-    * committed dirs, stage, one atomic publish rename, drop only the
-    * snapshotted inputs — a concurrently landing batch survives).
-    * `(term, doc_id)` duplicates — replayed orphan micro-batches — merge
-    * to one row, and term/corpus stats are RECOMPUTED from the merged
-    * postings so they heal too. */
+    * committed dirs, stage, publish, drop only the snapshotted inputs — a
+    * concurrently landing batch survives). `(term, doc_id)` duplicates —
+    * replayed orphan micro-batches — merge to one row, and term/corpus
+    * stats are RECOMPUTED from the merged postings so they heal too. The
+    * three trees AND the input deletion publish as ONE crash-consistent
+    * [[StoreIO.commitStaged]] unit (marker + open-time recover): without
+    * the marker, a crash between the merged-postings rename and the input
+    * cleanup left merged and original postings co-resident, doubling
+    * every tf/df/stats contribution for all queries until another compact
+    * happened to run. Stages live OUTSIDE the batch-keyed trees (a
+    * `batch=N__stage` dir nested under the root would be picked up by a
+    * concurrent reader's partition discovery mid-write). */
   def compact(): Unit = {
     val batchDirs = StoreIO.committedBatchDirs(postingsPath)
     if (batchDirs.length <= 1) return
@@ -140,37 +155,22 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .dropDuplicates("term", "doc_id")
       .persist()
     try {
-      val stage = s"${postingsPath}__stage"
-      StoreIO.rmTree(new java.io.File(stage))
-      merged.write.mode("overwrite").partitionBy("bucket").parquet(stage)
-      val tsStage = s"${termstatsPath}__stage"
-      StoreIO.rmTree(new java.io.File(tsStage))
-      merged.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").partitionBy("bucket").parquet(tsStage)
-      val stStage = s"${statsPath}__stage"
-      StoreIO.rmTree(new java.io.File(stStage))
-      merged.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
-        .write.mode("overwrite").parquet(stStage)
-      // publish postings first (scores stay correct against slightly stale
-      // stats), then swap the stats trees and drop ONLY snapshotted inputs
-      require(new java.io.File(stage).renameTo(
-        new java.io.File(s"$postingsPath/batch=$mergedId")), "compaction publish failed")
-      replaceBatches(termstatsPath, names, mergedId, tsStage)
-      replaceBatches(statsPath, names, mergedId, stStage)
-      batchDirs.foreach(StoreIO.rmTree)
+      val snapped = Seq(postingsPath, termstatsPath, statsPath).flatMap { root =>
+        Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+          .filter(f => names.contains(f.getName)).map(_.getPath)
+      }
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=$mergedId",
+          st => merged.write.mode("overwrite").partitionBy("bucket").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=$mergedId",
+          st => merged.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+            .write.mode("overwrite").partitionBy("bucket").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=$mergedId",
+          st => merged.select(col("doc_id"), col("dl")).distinct()
+            .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+            .write.mode("overwrite").parquet(st))),
+        marker, cleanup = snapped)
     } finally merged.unpersist(): Unit
-  }
-
-  /** Publish `stage` as `root/batch=<gen>` and drop this compaction's
-    * snapshotted input dirs under `root`. */
-  private def replaceBatches(root: String, snapNames: Set[String],
-                             gen: Long, stage: String): Unit = {
-    require(new java.io.File(stage).renameTo(
-      new java.io.File(s"$root/batch=$gen")), s"compaction publish failed for $root")
-    Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-      .filter(f => snapNames.contains(f.getName))
-      .foreach(StoreIO.rmTree)
   }
 
   /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
@@ -180,8 +180,15 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * sum over matching postings. Corpus stats sum exactly across batches.
     * Returns (doc_id, dl, bm25q) ordered by the exact integer score. */
   def query(terms: Seq[String], k: Int): DataFrame = {
+    // an unbuilt path or a stats tree with zero committed rows would
+    // otherwise NPE on the NULL sum and divide into a NaN avgdl — fail
+    // with a diagnosable message instead
+    require(StoreIO.committedBatchDirs(statsPath).nonEmpty,
+      s"TextIndex at $path has no committed corpus stats — build() first")
     val st = spark.read.parquet(statsPath)
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sumdl")).head()
+    require(!st.isNullAt(0) && st.getLong(0) > 0,
+      s"TextIndex at $path indexes zero documents — build() over a non-empty corpus first")
     val n = st.getLong(0)
     val avgdl = st.getLong(1).toDouble / n.toDouble
     val buckets = terms.map(bucketOf).distinct
