@@ -55,6 +55,7 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   private def vecPath = s"$path/vectors"
   private def graphPath = s"$path/graph"
   private def entriesPath = s"$path/entries"
+  private def tombstonePath = s"$path/_tombstones"
   private def marker = s"$path/_commit"
 
   // opening the index finishes any publish interrupted between its swaps —
@@ -65,16 +66,37 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   // end state, but two concurrent insert()s are not.
   StoreIO.recover(marker)
 
+  /** Pending deletes (ids) — None when there are none, so the serving
+    * path pays nothing until a delete lands. Explicit schema: an empty
+    * delete batch leaves a bare-_SUCCESS dir schema inference cannot
+    * read. */
+  private def tombstones(): Option[DataFrame] = {
+    val dirs = StoreIO.committedBatchDirs(tombstonePath)
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath): _*)
+      .select("id").dropDuplicates("id"))
+  }
+
   /** All epochs; ids are disjoint across them ([[insert]] anti-joins), so
-    * resolution is just dropping the partition column. */
-  def vectors: DataFrame = spark.read.parquet(vecPath).drop("epoch")
+    * resolution is just dropping the partition column. Tombstoned ids
+    * ([[delete]]) are excluded until [[compact]] drops them physically. */
+  def vectors: DataFrame = {
+    val v = spark.read.parquet(vecPath).drop("epoch")
+    tombstones().fold(v)(ts => v.join(broadcast(ts), Seq("id"), "left_anti"))
+  }
 
   /** Current edge set: newest epoch wins per src (that epoch holds the
     * src's complete top-k). The serving walk's `src IN (...)` filters push
     * BELOW the resolution window (src is its partition key — plan-asserted
     * in GraphIndexSpec), so per-hop reads stay row-group-pruned point
-    * lookups. */
-  def graph: DataFrame = resolveLatest(rawGraph)
+    * lookups. Tombstoned SRCs drop here; edges INTO a tombstoned node
+    * cannot exist in live rows — [[delete]] repairs every in-neighbor in
+    * the same commit that writes the tombstones. */
+  def graph: DataFrame = {
+    val g = resolveLatest(rawGraph)
+    tombstones().fold(g)(ts =>
+      g.join(broadcast(ts.withColumnRenamed("id", "src")), Seq("src"), "left_anti"))
+  }
 
   private def rawGraph: DataFrame = spark.read.parquet(graphPath)
 

@@ -33,6 +33,13 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
 
   private def centroidPath = s"$path/_centroids"
   private def dataPath = s"$path/data"
+  private def tombstonePath = s"$path/_tombstones"
+  private def marker = s"$path/_commit"
+
+  // finish any compaction publish interrupted between its swap and its
+  // input cleanup — without this, merged and original batch dirs stay
+  // co-resident and every query double-counts the merged rows
+  StoreIO.recover(marker)
 
   /** Fused argmin cell assignment (narrow, single codegen loop). */
   private def cellCol(cents: Array[(Long, Array[Float])], emb: Column): Column =
@@ -104,10 +111,60 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     // to the stored type: a same-name-different-type batch dir would break
     // every later multi-dir read.
     val aligned = StoreIO.alignToSchema(vectors, storedSchema.toSeq, Seq("id", "emb"))
+    // a batch re-adding a TOMBSTONED id would be hidden by the query-time
+    // anti-join and then silently dropped with the tombstone at the next
+    // compact() — refuse loudly; re-adds are legal once compact() has
+    // cleared the tombstones. Zero cost on the hot path while no deletes
+    // are pending (no tombstone dirs -> no check).
+    tombstones().foreach { ts =>
+      require(aligned.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
+        "batch re-adds tombstoned ids — run compact() before re-adding deleted vectors")
+    }
     aligned
       .withColumn("cell", cellCol(cents, col("emb")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dataPath/batch=${batchId + 1}")
+  }
+
+  /** Pending deletes as one deduplicated (id) frame — None when there are
+    * none, so the serving path pays NOTHING until a delete actually lands.
+    * Explicit schema: an empty delete micro-batch leaves a bare-_SUCCESS
+    * dir that schema inference cannot read. */
+  private def tombstones(): Option[DataFrame] = {
+    val dirs = StoreIO.committedBatchDirs(tombstonePath)
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath): _*)
+      .select("id").dropDuplicates("id"))
+  }
+
+  /** Delete by id, batch-keyed like [[appendBatch]] (the
+    * `Collection.deleteWhere` propagation path): the batch's ids land as a
+    * TOMBSTONE dir `_tombstones/batch=<id>` — an idempotent directory
+    * overwrite, so an at-least-once delete stream yields exactly-once
+    * semantics. Queries anti-join the tombstones immediately (a deleted
+    * vector stops being served the moment the dir commits); [[compact]]
+    * drops the rows physically and clears the tombstones. Ids not in the
+    * index are harmless (the anti-join never matches them) — Chroma's
+    * delete ignores unknown ids the same way. Write cost is O(batch),
+    * never a corpus read. */
+  def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative")
+    require(ids.columns.contains("id"), "delete batch needs an id column")
+    // lossless-cast the id to the index's LONG spine (alignToSchema's
+    // guard) — a lossy coercion could tombstone the wrong row
+    StoreIO.alignToSchema(ids.select("id"), Seq(org.apache.spark.sql.types.StructField(
+      "id", org.apache.spark.sql.types.LongType)), Seq("id"))
+      .dropDuplicates("id")
+      .write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
+  }
+
+  /** Driver-side convenience delete: next free tombstone batch id. */
+  def delete(ids: Seq[Long]): Unit = {
+    val next = StoreIO.committedBatchDirs(tombstonePath)
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+    import spark.implicits._
+    deleteBatch(ids.toDF("id"), next)
   }
 
   /** Merge accumulated batch directories into a single compacted dir
@@ -137,30 +194,35 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     *    orphaned dir; those duplicates are likewise removed by the next
     *    compaction's id-dedup rather than accumulating forever. */
   def compact(): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    // snapshot the COMMITTED batch dirs to merge — later-arriving batches
-    // and dirs a concurrent writer is mid-write are both left untouched
+    // snapshot the COMMITTED batch and tombstone dirs to fold — batches
+    // and deletes landing during the merge both survive untouched
     val batchDirs = StoreIO.committedBatchDirs(dataPath)
-    if (batchDirs.length <= 1) return
+    val tsDirs = StoreIO.committedBatchDirs(tombstonePath)
+    if (batchDirs.length <= 1 && tsDirs.isEmpty) return
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L // next free negative generation
-    val stage = s"$path/data__stage"
-    rm(new java.io.File(stage))
     // carry EVERY stored column (metadata included — an early version
     // selected (id, emb, cell) and silently dropped metadata on compaction);
-    // only the synthetic batch partition column goes away
-    spark.read.option("basePath", dataPath).parquet(batchDirs.map(_.getPath): _*)
+    // only the synthetic batch partition column goes away. Tombstoned rows
+    // are dropped PHYSICALLY here, and the snapshotted tombstone dirs clear
+    // in the same crash-consistent commit — a crash between the publish and
+    // either cleanup is finished by recover() at the next open, so merged
+    // and original rows (or a dropped row and its tombstone) can never end
+    // up separated.
+    val merged = spark.read.option("basePath", dataPath)
+      .parquet(batchDirs.map(_.getPath): _*)
       .drop("batch")
       .dropDuplicates("id")
-      .write.mode("overwrite").partitionBy("cell").parquet(stage)
-    // single atomic publish of the merged generation, then drop ONLY the
-    // snapshotted inputs
-    val dest = new java.io.File(s"$dataPath/batch=$mergedId")
-    require(new java.io.File(stage).renameTo(dest), "compaction publish rename failed")
-    batchDirs.foreach(rm)
+    val purged = if (tsDirs.isEmpty) merged
+    else merged.join(
+      broadcast(spark.read.schema("id LONG").parquet(tsDirs.map(_.getPath): _*)
+        .select("id").dropDuplicates("id")),
+      Seq("id"), "left_anti")
+    StoreIO.commitStaged(Seq(
+      StoreIO.Staged(s"$path/__stage_data", s"$dataPath/batch=$mergedId",
+        st => purged.write.mode("overwrite").partitionBy("cell").parquet(st))),
+      marker,
+      cleanup = (batchDirs ++ tsDirs).map(_.getPath).toSeq)
   }
 
   private def l2(a: Array[Float], b: Array[Float]): Double = {
@@ -178,8 +240,12 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
             where: Option[Column] = None): DataFrame = {
     val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
-    val base = spark.read.parquet(dataPath)
+    val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
+    // pending deletes stop being served IMMEDIATELY: anti-join the (small,
+    // broadcast) tombstone set — zero plan change while none are pending
+    val base = tombstones().fold(pruned)(ts =>
+      pruned.join(broadcast(ts), Seq("id"), "left_anti"))
     where.foldLeft(base)(_ filter _)
       .withColumn("distance", VF.l2Sq(col("emb"), typedlit(qe)))
       .orderBy(asc("distance"), asc("id"))
@@ -211,8 +277,10 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .toDF("probe_id", "qe", "probe_cells")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-    val base = spark.read.parquet(dataPath)
+    val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(unionCells: _*))
+    val base = tombstones().fold(pruned)(ts =>
+      pruned.join(broadcast(ts), Seq("id"), "left_anti"))
     where.foldLeft(base)(_ filter _)
       .join(broadcast(probeDf),
         array_contains(col("probe_cells"), col("cell").cast("long")))

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
  *   `path/_stats/batch=N/` — one row (n_docs, sum_dl) per batch: exact
  *     integers, summed across batches, so the derived avgdl double is
  *     identical on any engine.
+ *   `path/_doclens/batch=N/` — (doc_id, dl): one narrow row per doc, the
+ *     delete path's dl lookup (tombstones must carry the doc's length for
+ *     exact query-time stat corrections).
+ *   `path/_tombstones/batch=N/` — (doc_id, dl): pending deletes; queries
+ *     correct stats and anti-join these until [[compact]] drops the
+ *     postings physically.
  *
  * Determinism: per-posting BM25 contributions are QUANTIZED to integers
  * (round(contrib · 2^20)) before the per-doc sum — integer addition is
@@ -34,10 +40,11 @@ import org.apache.spark.sql.functions._
  * KMeans.trainQuantized), and ranking on the integer sum can never flip on
  * a 1-ulp libm divergence. Scores surface as sum/2^20 rounded to 4.
  *
- * The index is APPEND-ONLY over doc_ids (the training-corpus ingest
- * shape): re-ingesting a changed doc under the same id leaves the old
- * version's postings in place — updates need a delete-by-doc tombstone
- * pass, out of scope here. A micro-batch that wrote its dir but crashed
+ * Ingest is APPEND + DELETE over doc_ids (the training-corpus shape with
+ * takedown/re-crawl removal — [[deleteBatch]]): re-ingesting a changed doc
+ * under the same id without deleting it first leaves the old version's
+ * postings in place; an update is delete + compact + re-add. A micro-batch
+ * that wrote its dir but crashed
  * before its checkpoint commit may be replayed into a NEW batch dir after
  * compaction merged the orphan; [[compact]]'s (term, doc_id) dedup and
  * stats recompute heal exactly that case.
@@ -54,6 +61,8 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def postingsPath = s"$path/postings"
   private def termstatsPath = s"$path/_termstats"
   private def statsPath = s"$path/_stats"
+  private def doclensPath = s"$path/_doclens"
+  private def tombstonePath = s"$path/_tombstones"
   private def marker = s"$path/_commit"
 
   // opening the index finishes any compaction publish interrupted between
@@ -86,7 +95,61 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * resident postings are untouched. */
   def appendBatch(docs: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
+    // re-adding a TOMBSTONED doc_id would be hidden at query time and then
+    // silently dropped with its tombstone at the next compact() — refuse
+    // loudly (re-adds are legal once compact() cleared the tombstones).
+    // No-op while no deletes are pending.
+    tombstones().foreach { ts =>
+      require(docs.select("doc_id").join(broadcast(ts.select("doc_id")),
+        Seq("doc_id"), "left_semi").isEmpty,
+        "batch re-adds tombstoned doc_ids — run compact() before re-adding deleted docs")
+    }
     writeBatch(docs, batchId + 1)
+  }
+
+  /** Pending deletes as one deduplicated (doc_id, dl) frame. Tombstones
+    * CARRY the deleted doc's length (looked up from `_doclens` at delete
+    * time) so query-time corpus-stat corrections need no postings scan.
+    * Explicit schema: an empty delete micro-batch leaves a bare-_SUCCESS
+    * dir schema inference cannot read. */
+  private def tombstones(): Option[DataFrame] = {
+    val dirs = StoreIO.committedBatchDirs(tombstonePath)
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema("doc_id LONG, dl INT")
+      .parquet(dirs.map(_.getPath): _*)
+      .groupBy("doc_id").agg(max("dl").as("dl")))
+  }
+
+  /** Delete docs by id — the [[graft.store.IvfIndex.deleteBatch]] protocol
+    * on the text side: ids resolve against `_doclens` (unknown ids are
+    * ignored, Chroma-style; the lookup also attaches each doc's dl so
+    * [[query]] can correct n/avgdl exactly), then land as an idempotent
+    * batch-keyed tombstone dir. Queries exclude the docs IMMEDIATELY with
+    * exact BM25 scores (stats corrected, postings anti-joined);
+    * [[compact]] drops the postings physically and clears the tombstones.
+    * Cost: one narrow `_doclens` scan (one row per doc) per delete batch —
+    * never a postings scan. */
+  def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative")
+    require(ids.columns.contains("doc_id"), "delete batch needs a doc_id column")
+    val del = StoreIO.alignToSchema(ids.select("doc_id"),
+      Seq(org.apache.spark.sql.types.StructField(
+        "doc_id", org.apache.spark.sql.types.LongType)), Seq("doc_id"))
+      .dropDuplicates("doc_id")
+    spark.read.schema("doc_id LONG, dl INT")
+      .parquet(StoreIO.committedBatchDirs(doclensPath).map(_.getPath): _*)
+      .groupBy("doc_id").agg(max("dl").as("dl"))
+      .join(broadcast(del), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
+  }
+
+  /** Driver-side convenience delete: next free tombstone batch id. */
+  def delete(ids: Seq[Long]): Unit = {
+    val next = StoreIO.committedBatchDirs(tombstonePath)
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(-1L)(math.max) + 1L
+    import spark.implicits._
+    deleteBatch(ids.toDF("doc_id"), next)
   }
 
   private def writeBatch(docs: DataFrame, b: Long): Unit = {
@@ -126,6 +189,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       toks.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
         .write.mode("overwrite").parquet(s"$statsPath/batch=$b")
+      // per-doc lengths (one narrow row per doc): the delete path's lookup
+      // table — a tombstone must carry its doc's dl so query-time n/avgdl
+      // corrections stay exact without ever scanning postings
+      toks.select(col("doc_id"), col("dl"))
+        .write.mode("overwrite").parquet(s"$doclensPath/batch=$b")
     } finally { postings.unpersist(); toks.unpersist(): Unit }
   }
 
@@ -144,21 +212,34 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * `batch=N__stage` dir nested under the root would be picked up by a
     * concurrent reader's partition discovery mid-write). */
   def compact(): Unit = {
+    // snapshot COMMITTED batch and tombstone dirs — batches and deletes
+    // landing during the merge both survive untouched
     val batchDirs = StoreIO.committedBatchDirs(postingsPath)
-    if (batchDirs.length <= 1) return
+    val tsDirs = StoreIO.committedBatchDirs(tombstonePath)
+    if (batchDirs.length <= 1 && tsDirs.isEmpty) return
     val names = batchDirs.map(_.getName).toSet
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L
-    val merged = spark.read.option("basePath", postingsPath)
+    val mergedAll = spark.read.option("basePath", postingsPath)
       .parquet(batchDirs.map(_.getPath): _*)
       .drop("batch")
       .dropDuplicates("term", "doc_id")
-      .persist()
+    // tombstoned docs drop PHYSICALLY here; df/stats/doclens recompute from
+    // the purged postings, so after the commit the index is byte-equivalent
+    // to one built without the deleted docs
+    val merged = (tsDirs match {
+      case Array() => mergedAll
+      case dirs => mergedAll.join(
+        broadcast(spark.read.schema("doc_id LONG, dl INT")
+          .parquet(dirs.map(_.getPath): _*).select("doc_id").dropDuplicates("doc_id")),
+        Seq("doc_id"), "left_anti")
+    }).persist()
     try {
-      val snapped = Seq(postingsPath, termstatsPath, statsPath).flatMap { root =>
-        Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
-          .filter(f => names.contains(f.getName)).map(_.getPath)
-      }
+      val snapped = Seq(postingsPath, termstatsPath, statsPath, doclensPath)
+        .flatMap { root =>
+          Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
+            .filter(f => names.contains(f.getName)).map(_.getPath)
+        } ++ tsDirs.map(_.getPath)
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=$mergedId",
           st => merged.write.mode("overwrite").partitionBy("bucket").parquet(st)),
@@ -168,6 +249,9 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=$mergedId",
           st => merged.select(col("doc_id"), col("dl")).distinct()
             .agg(count(lit(1)).as("n_docs"), sum(col("dl").cast("long")).as("sum_dl"))
+            .write.mode("overwrite").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_doclens", s"$doclensPath/batch=$mergedId",
+          st => merged.select(col("doc_id"), col("dl")).distinct()
             .write.mode("overwrite").parquet(st))),
         marker, cleanup = snapped)
     } finally merged.unpersist(): Unit
@@ -189,23 +273,52 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sumdl")).head()
     require(!st.isNullAt(0) && st.getLong(0) > 0,
       s"TextIndex at $path indexes zero documents — build() over a non-empty corpus first")
-    val n = st.getLong(0)
-    val avgdl = st.getLong(1).toDouble / n.toDouble
+    val ts = tombstones()
+    // pending deletes correct EVERY stat the score depends on, so a
+    // post-delete query is bit-equal to one over a freshly rebuilt index:
+    //  - n / sum_dl shrink by the tombstone rows (they carry dl);
+    //  - df of each QUERIED term shrinks by its tombstoned postings —
+    //    counted inside the same bucket+term-pruned scan the scoring uses;
+    //  - tombstoned postings drop from the scored scan (anti-join).
+    // All correction inputs are bounded by deletes-since-last-compact; the
+    // zero-pending path is byte-identical to the original plan.
+    val (dead, deadDl) = ts match {
+      case None => (0L, 0L)
+      case Some(t) =>
+        val r = t.agg(count(lit(1)), coalesce(sum(col("dl").cast("long")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+    }
+    val n = st.getLong(0) - dead
+    require(n > 0, s"TextIndex at $path has zero live documents — every doc is tombstoned")
+    val avgdl = (st.getLong(1) - deadDl).toDouble / n.toDouble
     val buckets = terms.map(bucketOf).distinct
+    def prunedPostings: DataFrame = spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val deadDf: Map[String, Long] = ts match {
+      case None => Map.empty
+      case Some(t) => prunedPostings
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("ddf"))
+        .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("ddf")).toMap
+    }
     val dfMap: Map[String, Long] = spark.read.parquet(termstatsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     val idf: Map[String, Double] = terms.map { t =>
-      val df = dfMap.getOrElse(t, 0L).toDouble
+      val df = (dfMap.getOrElse(t, 0L) - deadDf.getOrElse(t, 0L)).toDouble
       t -> math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
     }.toMap
     val tf = col("tf").cast("double")
     val contrib = element_at(typedlit(idf), col("term")) *
       ((tf * lit(K1 + 1.0)) /
         (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
-    spark.read.parquet(postingsPath)
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val scored = ts match {
+      case None => prunedPostings
+      case Some(t) => prunedPostings
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    scored
       .withColumn("cq", round(contrib * lit(Scale.toDouble)).cast("long"))
       .groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq"))
       .orderBy(desc("sq"), asc("doc_id")).limit(k)
