@@ -36,7 +36,7 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
-      }
+      } finally queries.Registry.releasePending()
       (System.nanoTime() - t0) / 1e9
     }
     def run(name: String): Double = {

@@ -492,7 +492,8 @@ object AnnQueries {
         }.reduce(_.unionByName(_))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_a").orderBy(desc("cos_raw"), asc("vec_b"))
-        freeAfter(pairs
+        // 3 rows per anchor — O(corpus) output, lazy release
+        Registry.releaseLater(pairs
           // a pair found by several tables has the identical cosine in each;
           // min() collapses duplicates deterministically
           .groupBy("vec_a", "vec_b", "label_a", "label_b")
@@ -558,7 +559,8 @@ object AnnQueries {
           .select(col("vec_a"), col("vec_b").as(id), col("cos_raw").as(cos))
         val pos = top1(pairs.filter(col("label_a") === col("label_b")), "pos_id", "pos_raw")
         val neg = top1(pairs.filter(col("label_a") =!= col("label_b")), "neg_id", "neg_raw")
-        freeAfter(pos.join(neg, "vec_a")
+        // one row per anchor — O(corpus) output, lazy release
+        Registry.releaseLater(pos.join(neg, "vec_a")
           .select(col("vec_a").as("anchor"), col("pos_id"), col("neg_id"),
             round(col("pos_raw"), 6).as("pos_cos"),
             round(col("neg_raw"), 6).as("neg_cos"),

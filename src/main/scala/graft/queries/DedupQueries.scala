@@ -300,7 +300,8 @@ object DedupQueries {
           explode(array((0 until 4).map(j =>
             struct(lit(j).as("band"), shiftright(col("sig"), 8 * j).bitwiseAND(lit(255L)).as("byte"))): _*)).as("bb"))
           .select(col("sig"), col("keeper"), col("bb.band"), col("bb.byte"))
-        freeAfter(bands.as("x").join(bands.as("y"),
+        // O(matching pairs) output — corpus-scale worst case, lazy release
+        Registry.releaseLater(bands.as("x").join(bands.as("y"),
             col("x.band") === col("y.band") && col("x.byte") === col("y.byte") &&
               col("x.keeper") < col("y.keeper"))
           .select(col("x.keeper").as("rep_a"), col("y.keeper").as("rep_b"),
@@ -388,7 +389,8 @@ object DedupQueries {
           .select(col("doc_a").as("src"), col("doc_b").as("dst"))
         val labels = graft.operators.ConnectedComponents.runAuto(edges)
         val sizes = labels.groupBy("component").agg(count(lit(1)).as("csize"))
-        freeAfter(labels.join(sizes, "component")
+        // one row per duplicate doc — O(corpus) worst case, lazy release
+        Registry.releaseLater(labels.join(sizes, "component")
           .select(col("id").as("doc_id"), col("component"), col("csize"))
           .orderBy("doc_id"), d)
       },

@@ -35,11 +35,39 @@ object Registry {
     * blocks the ContextCleaner frees when the caller drops it — unlike the
     * persisted intermediates, which the CacheManager would otherwise pin
     * for the driver's lifetime, accumulating across a bench or notebook
-    * session. */
+    * session.
+    *
+    * Use [[releaseLater]] instead when the output is one-row-per-document:
+    * checkpointing an O(corpus) frame would pin O(corpus) blocks in
+    * executor storage and shift execution eagerly to plan-construction
+    * time — the opposite of the 100 TB discipline. */
   def freeAfter(out: DataFrame, cached: DataFrame*): DataFrame = {
     val mat = out.localCheckpoint()
     cached.foreach(_.unpersist())
     mat
+  }
+
+  private val pendingRelease =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  /** [[freeAfter]]'s lazy twin for CORPUS-SIZED outputs (one row per doc):
+    * the result stays a plain lazy plan (no checkpoint, no eager run, no
+    * pinned blocks), its persisted intermediates stay hot for the caller's
+    * action, and the harness releases them AFTERWARDS via
+    * [[releasePending]] — Verify/Bench call it after each query's action,
+    * so caches never accumulate across a session. A caller that never
+    * calls [[releasePending]] degrades to the pre-r4 behavior (caches pinned
+    * until the session ends), never to recompute. */
+  def releaseLater(out: DataFrame, cached: DataFrame*): DataFrame = {
+    cached.foreach(pendingRelease.add)
+    out
+  }
+
+  /** Unpersist every frame queued by [[releaseLater]] — call after the
+    * action that materializes the query result. */
+  def releasePending(): Unit = {
+    var df = pendingRelease.poll()
+    while (df != null) { df.unpersist(); df = pendingRelease.poll() }
   }
 
   lazy val all: Seq[Q] =

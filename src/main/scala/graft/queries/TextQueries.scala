@@ -535,7 +535,9 @@ object TextQueries {
           .select(col("doc_id"), explode(col("g8")).as("g"))
           .join(broadcast(bench), Seq("g"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
-        Registry.freeAfter(corpus.select(col("doc_id"), size(col("g8")).as("n_grams"))
+        // one row per doc — lazy release (checkpointing O(corpus) would pin
+        // corpus-sized blocks; see Registry.releaseLater)
+        Registry.releaseLater(corpus.select(col("doc_id"), size(col("g8")).as("n_grams"))
           .join(overlaps, Seq("doc_id"), "left")
           .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
           .select(col("doc_id"), col("n_grams"), col("n_overlap"),
@@ -733,10 +735,10 @@ object TextQueries {
     // slot is (pack_id, pack_off) of its starting token. The global running
     // token count is the only cross-row dependency, and a naive
     // Window.orderBy(doc_id) computes it on ONE partition — a scale-killer.
-    // Two-level scan instead: cumsum WITHIN id-range buckets (parallel,
-    // partitioned window) + bucket-prefix offsets (a window over N/256
-    // bucket TOTALS, 256× smaller; recurse the same trick if that tier ever
-    // dominates) broadcast back. Integer output only — no float hashing
+    // Three-level scan instead: cumsum WITHIN id-range buckets (parallel,
+    // partitioned window), bucket-prefix offsets WITHIN super-buckets of
+    // 256 (another partitioned window), and only the N/65536 super-bucket
+    // totals through one task. Integer output only — no float hashing
     // concerns.
     Q(
       "q_seq_packing",
@@ -752,12 +754,29 @@ object TextQueries {
         val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val local = docs.withColumn("lcum", sum("n_tok").over(wLocal))
-        val wBkt = Window.orderBy("bkt")
+        // tiers 2+3: bucket-prefix offsets WITHOUT a single-partition
+        // window over all N/256 bucket totals (that tier was itself a
+        // scale bottleneck at 100 TB). Cumsum of bucket totals runs
+        // WITHIN super-buckets of 256 (partitioned window, parallel);
+        // only the N/65536 super-bucket totals cross one task — ~763k
+        // rows even at 5e10 docs, and the same trick recurses if that
+        // tier ever dominates. Exact integer sums at every tier, so the
+        // decomposition is bit-identical to the flat cumsum.
+        val wIn = Window.partitionBy("sbkt").orderBy("bkt")
           .rowsBetween(Window.unboundedPreceding, -1)
-        val prefixes = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
-          .withColumn("bpre", coalesce(sum("btot").over(wBkt), lit(0L)))
-          .select(col("bkt"), col("bpre"))
-        Registry.freeAfter(local.join(broadcast(prefixes), "bkt")
+        val wSup = Window.orderBy("sbkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val btots = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
+          .withColumn("sbkt", floor(col("bkt") / bktW).cast("long"))
+        val supPre = btots.groupBy("sbkt").agg(sum("btot").as("stot"))
+          .withColumn("spre", coalesce(sum("stot").over(wSup), lit(0L)))
+          .select(col("sbkt"), col("spre"))
+        val prefixes = btots
+          .withColumn("ipre", coalesce(sum("btot").over(wIn), lit(0L)))
+          .join(broadcast(supPre), "sbkt")
+          .select(col("bkt"), (col("spre") + col("ipre")).as("bpre"))
+        // one row per doc — lazy release (Registry.releaseLater)
+        Registry.releaseLater(local.join(broadcast(prefixes), "bkt")
           .withColumn("strt", col("bpre") + col("lcum") - col("n_tok"))
           .select(col("doc_id"), col("n_tok"),
             expr(s"CAST(strt DIV $ctx AS BIGINT)").as("pack_id"),
@@ -838,7 +857,8 @@ object TextQueries {
           .persist() // scanned twice: df aggregation + the scored join
         val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy("doc_id").orderBy(desc("score"), asc("term"))
-        Registry.freeAfter(tf.join(broadcast(dfc), "term")
+        // 3 rows per doc — lazy release (Registry.releaseLater)
+        Registry.releaseLater(tf.join(broadcast(dfc), "term")
           .withColumn("score", round(col("tf") * log(lit(nDocs) / col("df")), 4))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)

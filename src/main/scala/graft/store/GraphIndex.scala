@@ -56,7 +56,20 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   private def graphPath = s"$path/graph"
   private def entriesPath = s"$path/entries"
   private def tombstonePath = s"$path/_tombstones"
+  private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
+
+  /** Per-table LSH bucket PROJECTION trees (`bucketproj/t=<i>/epoch=<e>/
+    * bkt=<v>/` holding narrow (id, emb) rows, partitioned by the table's
+    * bucket value): the insert path's candidate generation reads ONLY the
+    * batch's buckets of each table via partition pruning, so a 1k-row
+    * insert touches O(|batch| · bucket) rows of the corpus instead of
+    * scanning every (id, emb) — the secondary-projection trade (L extra
+    * narrow copies of the vector data) that keeps insert cost flat in
+    * corpus size. Maintained by every publish: build/compact derive all
+    * epochs from the resolved vectors; insert appends one batch-bounded
+    * delta epoch per table. */
+  private def bucketProjPath(t: Int) = s"$path/bucketproj/t=$t"
 
   // opening the index finishes any publish interrupted between its swaps —
   // readers and the replaying writer both see vectors+graph+entries move
@@ -66,12 +79,25 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   // end state, but two concurrent insert()s are not.
   StoreIO.recover(marker)
 
+  /** Highest tombstone batch id already APPLIED by a [[compact]] or
+    * [[build]] — the replay fence shared with [[IvfIndex]]/[[TextIndex]]:
+    * a delete replayed after compaction cleared it, with its ids since
+    * re-inserted, must not resurrect the tombstone against the re-added
+    * rows. Delete batch ids are monotone (checkpoint-driven). */
+  private def tombstoneHwm(): Long = StoreIO.readLongFile(hwmPath, -1L)
+
+  private def liveTombstoneDirs(): Array[java.io.File] = {
+    val hwm = tombstoneHwm()
+    StoreIO.committedBatchDirs(tombstonePath)
+      .filter(_.getName.stripPrefix("batch=").toLong > hwm)
+  }
+
   /** Pending deletes (ids) — None when there are none, so the serving
     * path pays nothing until a delete lands. Explicit schema: an empty
     * delete batch leaves a bare-_SUCCESS dir schema inference cannot
     * read. */
   private def tombstones(): Option[DataFrame] = {
-    val dirs = StoreIO.committedBatchDirs(tombstonePath)
+    val dirs = liveTombstoneDirs()
     if (dirs.isEmpty) None
     else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath): _*)
       .select("id").dropDuplicates("id"))
@@ -107,14 +133,19 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       .drop("epoch", "__maxe")
   }
 
-  private def epochs(): Seq[Long] = {
-    val root = new java.io.File(vecPath)
-    if (!root.exists()) Seq.empty
-    else root.listFiles().toSeq.collect {
-      case f if f.isDirectory && f.getName.startsWith("epoch=") =>
-        f.getName.stripPrefix("epoch=").toLong
-    }
-  }
+  /** Epoch ids across BOTH trees: [[deleteBatch]] publishes graph-only
+    * epochs (a repair touches no vectors), so numbering from the vector
+    * tree alone would hand a later [[insert]] an epoch id that overwrites
+    * the repair. */
+  private def epochs(): Seq[Long] =
+    Seq(vecPath, graphPath).flatMap { p =>
+      val root = new java.io.File(p)
+      if (!root.exists()) Seq.empty
+      else root.listFiles().toSeq.collect {
+        case f if f.isDirectory && f.getName.startsWith("epoch=") =>
+          f.getName.stripPrefix("epoch=").toLong
+      }
+    }.distinct
 
   /** Build-time entry points: (cell, id) — the medoid of each trained cell. */
   def entryPoints: DataFrame = spark.read.parquet(entriesPath)
@@ -159,15 +190,30 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     } finally v.unpersist(): Unit
   }
 
-  /** Replace all three dirs as one commit, data landing at epoch 0. */
+  /** Replace all three dirs as one commit, data landing at epoch 0. The
+    * input views already exclude tombstoned rows, so the snapshotted
+    * tombstone dirs clear in the SAME commit (their ids fence via the hwm
+    * so a replayed delete cannot resurrect them against re-added rows). */
   private def publishFull(v: DataFrame, g: DataFrame, entries: DataFrame): Unit = {
+    val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
+    val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(tombstoneHwm())(math.max)
     StoreIO.commitStaged(Seq(
       StoreIO.Staged(s"${vecPath}__stage", vecPath,
         st => v.write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${graphPath}__stage", graphPath,
         st => g.write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
-        st => entries.write.mode("overwrite").parquet(st))), marker)
+        st => entries.write.mode("overwrite").parquet(st))) ++
+      bucketFns.zipWithIndex.map { case (fn, t) =>
+        StoreIO.Staged(s"$path/__stage_bucketproj_$t", bucketProjPath(t),
+          st => v.select(col("id"), col("emb"), fn(col("emb")).cast("long").as("bkt"))
+            .write.mode("overwrite").partitionBy("bkt").parquet(s"$st/epoch=0"))
+      } ++
+      (if (allTsDirs.isEmpty) Seq.empty
+       else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
+         st => StoreIO.writeLongFile(st, newHwm)))),
+      marker, cleanup = allTsDirs.map(_.getPath).toSeq)
     entryCache = null
   }
 
@@ -302,6 +348,16 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     out.toDF("probe_id", "id", "dist", "rn")
   }
 
+  /** The insert path's existing-side read: table `t`'s bucket projection,
+    * PARTITION-PRUNED to the bucket values `bs` (the filter sits before
+    * any projection so the In reaches partition discovery; the partition
+    * col may be inferred narrower than LONG — the cast back happens after
+    * the prune). Exposed for the GraphIndexSpec plan assertion. */
+  private[graft] def prunedProjection(t: Int, bs: Seq[Long]): DataFrame =
+    spark.read.parquet(bucketProjPath(t))
+      .filter(col("bkt").isin(bs: _*))
+      .select(col("id"), col("emb"), col("bkt").cast("long").as("bkt"))
+
   /** HNSW-style incremental insert, batched and fully distributed:
     *  1. candidate edges for the batch come from the LSH bucket join of
     *     new vectors against (existing ∪ new) — new nodes get their own
@@ -323,7 +379,7 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * drift only as far as the data does; a periodic [[build]] re-trains
     * them — the same compaction story as [[IvfIndex]]). */
   def insert(batch: DataFrame): Unit = {
-    val oldV = vectors.persist()
+    val oldV = vectors
     // replay/overlap safety: ids already indexed are skipped (the same
     // idempotent-append discipline as VectorStore.add / IvfIndex); an
     // intra-batch id repeat keeps ONE DETERMINISTIC row (ties by payload
@@ -338,14 +394,47 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // columns are lossless-cast or rejected (StoreIO.alignToSchema — a
     // mis-typed id spine would break every later multi-epoch read)
     val aligned = StoreIO.alignToSchema(batch, oldV.schema.fields.toSeq, Seq("id", "emb"))
+    // the skip set is the PHYSICAL id spine (tombstoned rows included):
+    // a replayed insert whose ids were deleted in the interim must skip
+    // them (the content already landed; the delete wins), not re-wire
+    // them into an index that will drop them at compact. Re-adding a
+    // deleted id is legal once compact() has cleared it physically.
+    val physIds = spark.read.parquet(vecPath).select("id")
     val newV = StoreIO.dedupById(aligned, aligned.columns.filter(_ != "id").toSeq)
-      .join(oldV.select("id"), Seq("id"), "left_anti")
+      .join(physIds, Seq("id"), "left_anti")
       .persist()
-    // candidate generation needs only (id, emb) — narrow both sides
-    val ve = oldV.select(col("id"), col("emb"))
-      .unionByName(newV.select(col("id"), col("emb")))
-    val newEdges = KnnGraph.buildDirected(
-      newV.select(col("id"), col("emb")), ve, bucketFns, k).persist()
+    // candidate generation: the EXISTING side comes from the persisted
+    // bucket projections, PARTITION-PRUNED to the batch's own bucket
+    // values per table (`bkt IN (...)` on the partition column — a 1k-row
+    // insert reads only its buckets, plan-asserted in GraphIndexSpec).
+    // The earlier formulation scanned the whole (id, emb) corpus per
+    // batch to compute buckets in flight — a scan that grew with the
+    // corpus (measured 4.8 s @20× → 6.9 s @100× for a fixed 1k batch).
+    // The batch side still computes its buckets in flight (batch-bounded).
+    val ts = tombstones()
+    val wTop = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+    val newEdges = bucketFns.zipWithIndex.map { case (fn, t) =>
+      val newB = newV.select(col("id"), col("emb"),
+        fn(col("emb")).cast("long").as("bkt"))
+      val bs = newB.select("bkt").distinct().collect().map(_.getLong(0)).toSeq
+      val pruned = prunedProjection(t, bs)
+      // tombstoned ids must not be offered as neighbors (they are absent
+      // from `vectors` but linger in the projections until compact)
+      val existing = ts.fold(pruned)(dead =>
+        pruned.join(broadcast(dead), Seq("id"), "left_anti"))
+      val dstSide = existing.unionByName(newB)
+      newB.select(col("id").as("src"), col("emb").as("semb"), col("bkt"))
+        .join(dstSide.select(col("id").as("dst"), col("emb").as("demb"),
+          col("bkt").as("db")),
+          col("bkt") === col("db") && col("src") =!= col("dst"))
+        .withColumn("dist", VF.l2Sq(col("semb"), col("demb")))
+        .select("src", "dst", "dist")
+    }.reduce(_ unionByName _)
+      .groupBy("src", "dst").agg(min("dist").as("dist")) // same pair from 2 tables
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= k)
+      .select("src", "dst", "dist")
+      .persist()
     try {
       if (newV.isEmpty) return
       // reverse proposals let existing nodes adopt new neighbors. ONE
@@ -378,8 +467,124 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         StoreIO.Staged(s"$path/__stage_vectors_$e", s"$vecPath/epoch=$e",
           st => sortedBy(newV, "id").write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
-          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st))),
+          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st))) ++
+        // the bucket projections gain the SAME delta epoch, so the next
+        // insert's pruned reads see this batch too — all trees move in one
+        // commit
+        bucketFns.zipWithIndex.map { case (fn, t) =>
+          StoreIO.Staged(s"$path/__stage_bucketproj_${t}_$e",
+            s"${bucketProjPath(t)}/epoch=$e",
+            st => newV.select(col("id"), col("emb"),
+                fn(col("emb")).cast("long").as("bkt"))
+              .write.mode("overwrite").partitionBy("bkt").parquet(st))
+        },
         marker)
-    } finally Seq(newV, oldV, newEdges).foreach(_.unpersist())
+    } finally Seq(newV, newEdges).foreach(_.unpersist())
+  }
+
+  /** Delete by id with EDGE HYGIENE, batch-keyed like
+    * [[IvfIndex.deleteBatch]] (the `Collection.deleteWhere` propagation
+    * path — Chroma's `collection.delete`,
+    * /root/reference/src/cod.py:92-139, drops rows from its HNSW index
+    * transparently): the batch's ids land as a tombstone dir AND every
+    * live in-neighbor of a deleted node gets its edge list rewritten in
+    * the SAME [[StoreIO.commitStaged]] unit, so no live row ever points
+    * into a deleted one and beam walks cannot dead-end on a ghost.
+    *
+    * Repair is the HNSW bridge: an in-neighbor `s -> d` (d deleted) is
+    * offered d's own live out-neighbors `n` as candidates (`s -> n`,
+    * scored exactly), and keeps the best k of (its surviving edges ∪
+    * bridges) — connectivity THROUGH the deleted node is preserved, not
+    * just truncated away. Tombstoned vectors stop being served
+    * immediately ([[vectors]]/[[graph]] anti-join); [[compact]] drops
+    * them physically and fences the batch ids against replay.
+    *
+    * Cost: the in-neighbor probe is one narrow (src, dst) scan of the
+    * edge tree with a `dst IN batch` filter — dst is not the sort key, so
+    * at 100 TB this is the one full-tree (columnar, two-column) read per
+    * delete batch; a dst-bucketed reverse-edge projection would make it a
+    * pruned probe, the same secondary-projection trade as the insert-path
+    * bucket pruning. Everything downstream is bounded by
+    * |in-neighbors| · k. */
+  def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
+    require(batchId >= 0, "batchId must be non-negative")
+    require(ids.columns.contains("id"), "delete batch needs an id column")
+    // replay fence: already applied physically by a compact/build — a
+    // rewrite would resurrect the tombstone against re-added rows
+    if (batchId <= tombstoneHwm()) return
+    val del = StoreIO.alignToSchema(ids.select("id"),
+      Seq(org.apache.spark.sql.types.StructField(
+        "id", org.apache.spark.sql.types.LongType)), Seq("id"))
+      .dropDuplicates("id").persist()
+    // delete before any build: nothing to repair — record the tombstones
+    // (idempotent dir write); a later [[build]] sweeps them, since a full
+    // rebuild's input defines the new truth
+    if (!new java.io.File(graphPath).exists()) {
+      try del.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
+      finally del.unpersist(): Unit
+      return
+    }
+    val g = graph.persist()
+    try {
+      val delAsSrc = del.withColumnRenamed("id", "src")
+      val delAsDst = del.withColumnRenamed("id", "dst")
+      // live srcs with an edge into the deleted set — the rows to rewire
+      val inEdges = g.join(broadcast(delAsDst), Seq("dst"), "left_semi")
+        .join(broadcast(delAsSrc), Seq("src"), "left_anti")
+        .select(col("src"), col("dst").as("d")).persist()
+      try {
+        // bridge candidates s -> n via each deleted d: d's live out-edges
+        val delOut = g.join(broadcast(delAsSrc), Seq("src"), "left_semi")
+          .select(col("src").as("d"), col("dst").as("n"))
+          .join(broadcast(del.withColumnRenamed("id", "n")), Seq("n"), "left_anti")
+        val bridge = inEdges.join(delOut, "d")
+          .filter(col("src") =!= col("n"))
+          .select(col("src"), col("n").as("dst"))
+          .distinct()
+        // exact distances — point-joins against the live vectors, bounded
+        // by |in-edges| · k pairs
+        val ve = vectors.select(col("id"), col("emb"))
+        val scored = bridge
+          .join(ve.select(col("id").as("src"), col("emb").as("semb")), "src")
+          .join(ve.select(col("id").as("dst"), col("emb").as("demb")), "dst")
+          .select(col("src"), col("dst"), VF.l2Sq(col("semb"), col("demb")).as("dist"))
+        val touched = inEdges.select("src").distinct()
+        val survivors = g.join(broadcast(touched), Seq("src"), "left_semi")
+          .join(broadcast(delAsDst), Seq("dst"), "left_anti")
+        val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+        val repaired = survivors.unionByName(scored)
+          .groupBy("src", "dst").agg(min("dist").as("dist"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= k)
+          .select("src", "dst", "dist")
+        // tombstones + repaired edge epoch publish together or not at all:
+        // a crash can never leave a tombstone whose in-neighbors still
+        // point at it (the invariant [[graph]]'s doc asserts)
+        val e = epochs().max + 1
+        StoreIO.commitStaged(Seq(
+          StoreIO.Staged(s"$path/__stage_tombstones_$batchId",
+            s"$tombstonePath/batch=$batchId",
+            st => del.write.mode("overwrite").parquet(st)),
+          StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
+            st => sortedBy(repaired, "src").write.mode("overwrite").parquet(st))),
+          marker)
+      } finally inEdges.unpersist(): Unit
+    } finally { g.unpersist(); del.unpersist(): Unit }
+  }
+
+  /** Driver-side convenience delete: next free tombstone batch id (past
+    * both the live dirs and the compaction fence). */
+  def delete(ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    delete(ids.toDF("id"))
+  }
+
+  /** [[delete]] for a distributed id frame (the `Collection.deleteWhere`
+    * propagation path). */
+  def delete(ids: DataFrame): Unit = {
+    val next = (StoreIO.committedBatchDirs(tombstonePath)
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(tombstoneHwm())(math.max)) + 1L
+    deleteBatch(ids, next)
   }
 }

@@ -34,6 +34,7 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
   private def centroidPath = s"$path/_centroids"
   private def dataPath = s"$path/data"
   private def tombstonePath = s"$path/_tombstones"
+  private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
 
   // finish any compaction publish interrupted between its swap and its
@@ -45,12 +46,18 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
   private def cellCol(cents: Array[(Long, Array[Float])], emb: Column): Column =
     VF.nearestCentroid(emb, cents)
 
-  /** Build from (id LONG, emb ARRAY<FLOAT>): train centroids (deterministic
-    * quantized Lloyd, seeded from the lowest-id rows), assign every vector,
-    * write cell-partitioned parquet. `TrainIters` narrow passes over the
-    * input plus the partitioned write. The data lands under `batch=0` so
-    * that incremental [[appendBatch]] writes share a uniform (batch, cell)
-    * directory layout. */
+  /** Build from (id LONG, emb ARRAY<FLOAT>, metadata...): train centroids
+    * (deterministic quantized Lloyd, seeded from the lowest-id rows),
+    * assign every vector, write cell-partitioned parquet. `TrainIters`
+    * narrow passes over the input plus the partitioned write. The data
+    * lands under `batch=0` so that incremental [[appendBatch]] writes
+    * share a uniform (batch, cell) directory layout.
+    *
+    * A REBUILD over a live index replaces it completely: centroids and
+    * batch 0 publish as one crash-consistent commit whose cleanup sweeps
+    * every stale append batch and tombstone dir (the rebuild's input
+    * defines the new truth — leaving old append dirs behind would serve
+    * rows the rebuild dropped). */
   def build(vectors: DataFrame): Unit = {
     // training + final assignment scan the input TrainIters + 1 times —
     // cache it for the duration of the build
@@ -62,12 +69,25 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       val seeds = graft.operators.KMeans.farthestFirstSeeds(v, "id", "emb", numCells)
       val cents = graft.operators.KMeans.trainQuantized(
         v, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
-      spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
+      val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "cemb")
-        .write.mode("overwrite").parquet(centroidPath)
       new java.io.File(dataPath).mkdirs()
-      v.withColumn("cell", cellCol(cents, col("emb")))
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$dataPath/batch=0")
+      val staleBatches = StoreIO.committedBatchDirs(dataPath)
+        .filter(_.getName != "batch=0")
+      val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
+      val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
+        .foldLeft(tombstoneHwm())(math.max)
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
+          st => centDf.write.mode("overwrite").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
+          st => v.withColumn("cell", cellCol(cents, col("emb")))
+            .write.mode("overwrite").partitionBy("cell").parquet(st))) ++
+        (if (allTsDirs.isEmpty) Seq.empty
+         else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
+           st => StoreIO.writeLongFile(st, newHwm)))),
+        marker,
+        cleanup = (staleBatches ++ allTsDirs).map(_.getPath).toSeq)
     } finally v.unpersist(): Unit
   }
 
@@ -111,12 +131,19 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     // to the stored type: a same-name-different-type batch dir would break
     // every later multi-dir read.
     val aligned = StoreIO.alignToSchema(vectors, storedSchema.toSeq, Seq("id", "emb"))
-    // a batch re-adding a TOMBSTONED id would be hidden by the query-time
-    // anti-join and then silently dropped with the tombstone at the next
-    // compact() — refuse loudly; re-adds are legal once compact() has
-    // cleared the tombstones. Zero cost on the hot path while no deletes
-    // are pending (no tombstone dirs -> no check).
-    tombstones().foreach { ts =>
+    // a FRESH batch re-adding a TOMBSTONED id would be hidden by the
+    // query-time anti-join and then silently dropped with the tombstone at
+    // the next compact() — refuse loudly; re-adds are legal once compact()
+    // has cleared the tombstones. A REPLAY of this same batch dir (it
+    // already exists — a micro-batch that wrote but crashed before its
+    // checkpoint commit) is exempt: its rows predate the delete, the
+    // overwrite is byte-idempotent, and the delete still wins at query
+    // time — throwing here would permanently wedge an at-least-once stream
+    // whose ids were deleted between the write and the replay. Zero cost on
+    // the hot path while no deletes are pending (no tombstone dirs -> no
+    // check).
+    val isReplay = new java.io.File(s"$dataPath/batch=${batchId + 1}").exists()
+    if (!isReplay) tombstones().foreach { ts =>
       require(aligned.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() before re-adding deleted vectors")
     }
@@ -126,12 +153,30 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .parquet(s"$dataPath/batch=${batchId + 1}")
   }
 
+  /** Highest tombstone batch id already APPLIED by a [[compact]] — the
+    * replay fence: a delete batch replayed after compaction cleared it
+    * (and its ids were legitimately re-added) must not resurrect the
+    * tombstone and silently drop the re-added rows at the next compact.
+    * Delete batch ids are monotone (checkpoint-driven), so id <= hwm means
+    * "already physically applied" — ignored by queries, dropped unapplied
+    * by compact, and refused at [[deleteBatch]] write time. Persisted
+    * crash-consistently in the same commit that clears the tombstones. */
+  private def tombstoneHwm(): Long = StoreIO.readLongFile(hwmPath, -1L)
+
+  /** The committed tombstone dirs BEHIND the fence (id > hwm) — the only
+    * ones with pending effect. */
+  private def liveTombstoneDirs(): Array[java.io.File] = {
+    val hwm = tombstoneHwm()
+    StoreIO.committedBatchDirs(tombstonePath)
+      .filter(_.getName.stripPrefix("batch=").toLong > hwm)
+  }
+
   /** Pending deletes as one deduplicated (id) frame — None when there are
     * none, so the serving path pays NOTHING until a delete actually lands.
     * Explicit schema: an empty delete micro-batch leaves a bare-_SUCCESS
     * dir that schema inference cannot read. */
   private def tombstones(): Option[DataFrame] = {
-    val dirs = StoreIO.committedBatchDirs(tombstonePath)
+    val dirs = liveTombstoneDirs()
     if (dirs.isEmpty) None
     else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath): _*)
       .select("id").dropDuplicates("id"))
@@ -150,6 +195,12 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
   def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative")
     require(ids.columns.contains("id"), "delete batch needs an id column")
+    // replay fence: a delete batch at or below the compaction high-water
+    // mark was already applied PHYSICALLY — rewriting its dir would
+    // resurrect the tombstone against rows legitimately re-added since,
+    // silently dropping them at the next compact. Exactly-once across the
+    // compaction boundary requires dropping the replay here.
+    if (batchId <= tombstoneHwm()) return
     // lossless-cast the id to the index's LONG spine (alignToSchema's
     // guard) — a lossy coercion could tombstone the wrong row
     StoreIO.alignToSchema(ids.select("id"), Seq(org.apache.spark.sql.types.StructField(
@@ -158,13 +209,30 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
   }
 
-  /** Driver-side convenience delete: next free tombstone batch id. */
+  /** Driver-side convenience delete: next free tombstone batch id (past
+    * both the live dirs and the compaction fence). */
   def delete(ids: Seq[Long]): Unit = {
-    val next = StoreIO.committedBatchDirs(tombstonePath)
-      .map(_.getName.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max) + 1L
     import spark.implicits._
-    deleteBatch(ids.toDF("id"), next)
+    delete(ids.toDF("id"))
+  }
+
+  /** [[delete]] for a distributed id frame (the `Collection.deleteWhere`
+    * propagation path — the deleted set may be predicate-derived and
+    * corpus-sized, never collected to the driver). */
+  def delete(ids: DataFrame): Unit = {
+    val next = (StoreIO.committedBatchDirs(tombstonePath)
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(tombstoneHwm())(math.max)) + 1L
+    deleteBatch(ids, next)
+  }
+
+  /** Driver-side convenience append: next free batch id (the streaming
+    * path passes its checkpointed batch id to [[appendBatch]] instead). */
+  def append(vectors: DataFrame): Unit = {
+    val next = StoreIO.committedBatchDirs(dataPath)
+      .map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(0L)(math.max)
+    appendBatch(vectors, next) // appendBatch lands at batchId + 1
   }
 
   /** Merge accumulated batch directories into a single compacted dir
@@ -195,10 +263,28 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     *    compaction's id-dedup rather than accumulating forever. */
   def compact(): Unit = {
     // snapshot the COMMITTED batch and tombstone dirs to fold — batches
-    // and deletes landing during the merge both survive untouched
+    // and deletes landing during the merge both survive untouched. The
+    // tombstones APPLIED are only those behind the replay fence; stale
+    // dirs (id <= hwm, already physically applied) are swept unapplied.
     val batchDirs = StoreIO.committedBatchDirs(dataPath)
-    val tsDirs = StoreIO.committedBatchDirs(tombstonePath)
-    if (batchDirs.length <= 1 && tsDirs.isEmpty) return
+    val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
+    val tsDirs = liveTombstoneDirs()
+    if (batchDirs.length <= 1 && allTsDirs.isEmpty) return
+    // the hwm stage publishes in the SAME commit that clears the tombstone
+    // dirs — a crash between them could otherwise re-apply (or fail to
+    // fence) a delete batch
+    val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(tombstoneHwm())(math.max)
+    def hwmStage = StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
+      st => StoreIO.writeLongFile(st, newHwm))
+    if (batchDirs.isEmpty) {
+      // deletes landed before (or without) any build: nothing to purge —
+      // sweep the snapshotted tombstone dirs and fence their ids. (The
+      // unguarded form threw on batchIds.min here.)
+      StoreIO.commitStaged(Seq(hwmStage), marker,
+        cleanup = allTsDirs.map(_.getPath).toSeq)
+      return
+    }
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L // next free negative generation
     // carry EVERY stored column (metadata included — an early version
@@ -220,9 +306,10 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       Seq("id"), "left_anti")
     StoreIO.commitStaged(Seq(
       StoreIO.Staged(s"$path/__stage_data", s"$dataPath/batch=$mergedId",
-        st => purged.write.mode("overwrite").partitionBy("cell").parquet(st))),
+        st => purged.write.mode("overwrite").partitionBy("cell").parquet(st))) ++
+      (if (allTsDirs.isEmpty) Seq.empty else Seq(hwmStage)),
       marker,
-      cleanup = (batchDirs ++ tsDirs).map(_.getPath).toSeq)
+      cleanup = (batchDirs ++ allTsDirs).map(_.getPath).toSeq)
   }
 
   private def l2(a: Array[Float], b: Array[Float]): Double = {
@@ -235,9 +322,13 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * restricts the answer set by a predicate over the stored metadata
     * columns (the Chroma `where=` surface, /root/reference/src/cod.py:125-129);
     * it is applied BEFORE the vector math, stacked on the cell pruning, so
-    * a filtered probe reads only matching row groups of the probed cells. */
+    * a filtered probe reads only matching row groups of the probed cells.
+    * `include` carries stored metadata columns into the result (the
+    * Chroma `include=` projection — lets an index-routed collection query
+    * return documents without a second corpus read). */
   def query(qe: Array[Float], k: Int, nprobe: Int,
-            where: Option[Column] = None): DataFrame = {
+            where: Option[Column] = None,
+            include: Seq[String] = Nil): DataFrame = {
     val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
     val pruned = spark.read.parquet(dataPath)
@@ -251,7 +342,8 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .orderBy(asc("distance"), asc("id"))
       .limit(k)
       // partition-dir type inference reads `cell` back as INT; pin to LONG
-      .select(col("id"), col("cell").cast("long").as("cell"), col("distance"))
+      .select(col("id") +: include.map(col) :+
+        col("cell").cast("long").as("cell") :+ col("distance"): _*)
   }
 
   /** Batched probe: top-k per probe for MANY query vectors in ONE pruned

@@ -22,6 +22,23 @@ private[store] object StoreIO {
         new java.io.File(f, "_SUCCESS").exists())
       .sortBy(_.getName)
 
+  /** Read a single long from a small text file — the tombstone replay
+    * fence's high-water mark. `default` when the file doesn't exist (no
+    * compaction has applied a tombstone yet). */
+  def readLongFile(p: String, default: Long): Long = {
+    val f = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(f)) default
+    else new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  }
+
+  /** Write a single long as a small text file (a [[Staged]] writer: the
+    * stage-then-rename publish makes the update atomic like the dirs it
+    * commits beside). */
+  def writeLongFile(p: String, v: Long): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+
   def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
       // listFiles returns null if the dir vanished (a concurrent recover
@@ -114,6 +131,10 @@ private[store] object StoreIO {
       val old = new java.io.File(s"${dest}__old")
       val live = new java.io.File(dest)
       if (stage.exists()) {
+        // a stage publishing INTO a tree that doesn't exist yet (the first
+        // tombstone batch under `_tombstones/`) needs its parent created —
+        // rename into a missing parent fails
+        Option(live.getParentFile).foreach(_.mkdirs())
         if (live.exists()) {
           rmTree(old)
           require(live.renameTo(old) || !live.exists(), s"could not park $dest")

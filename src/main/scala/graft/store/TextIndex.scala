@@ -63,6 +63,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def statsPath = s"$path/_stats"
   private def doclensPath = s"$path/_doclens"
   private def tombstonePath = s"$path/_tombstones"
+  private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
 
   // opening the index finishes any compaction publish interrupted between
@@ -95,16 +96,34 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * resident postings are untouched. */
   def appendBatch(docs: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
-    // re-adding a TOMBSTONED doc_id would be hidden at query time and then
-    // silently dropped with its tombstone at the next compact() — refuse
-    // loudly (re-adds are legal once compact() cleared the tombstones).
-    // No-op while no deletes are pending.
-    tombstones().foreach { ts =>
+    // a FRESH batch re-adding a TOMBSTONED doc_id would be hidden at query
+    // time and then silently dropped with its tombstone at the next
+    // compact() — refuse loudly (re-adds are legal once compact() cleared
+    // the tombstones). A REPLAY of this same batch dir (it already exists —
+    // crashed before its checkpoint commit) is exempt: its rows predate the
+    // delete, the overwrite is idempotent, and the delete still wins —
+    // throwing would permanently wedge an at-least-once stream whose docs
+    // were deleted between the write and the replay.
+    val isReplay = new java.io.File(s"$postingsPath/batch=${batchId + 1}").exists()
+    if (!isReplay) tombstones().foreach { ts =>
       require(docs.select("doc_id").join(broadcast(ts.select("doc_id")),
         Seq("doc_id"), "left_semi").isEmpty,
         "batch re-adds tombstoned doc_ids — run compact() before re-adding deleted docs")
     }
     writeBatch(docs, batchId + 1)
+  }
+
+  /** Highest tombstone batch id already APPLIED by a [[compact]] — the
+    * replay fence ([[graft.store.IvfIndex]] protocol): a delete replayed
+    * after compaction cleared it, with its docs since re-added, must not
+    * resurrect the tombstone and drop the re-added docs. Delete batch ids
+    * are monotone (checkpoint-driven); id <= hwm means already applied. */
+  private def tombstoneHwm(): Long = StoreIO.readLongFile(hwmPath, -1L)
+
+  private def liveTombstoneDirs(): Array[java.io.File] = {
+    val hwm = tombstoneHwm()
+    StoreIO.committedBatchDirs(tombstonePath)
+      .filter(_.getName.stripPrefix("batch=").toLong > hwm)
   }
 
   /** Pending deletes as one deduplicated (doc_id, dl) frame. Tombstones
@@ -113,7 +132,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * Explicit schema: an empty delete micro-batch leaves a bare-_SUCCESS
     * dir schema inference cannot read. */
   private def tombstones(): Option[DataFrame] = {
-    val dirs = StoreIO.committedBatchDirs(tombstonePath)
+    val dirs = liveTombstoneDirs()
     if (dirs.isEmpty) None
     else Some(spark.read.schema("doc_id LONG, dl INT")
       .parquet(dirs.map(_.getPath): _*)
@@ -132,22 +151,36 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative")
     require(ids.columns.contains("doc_id"), "delete batch needs a doc_id column")
+    // replay fence: a delete at or below the compaction high-water mark was
+    // already applied physically — rewriting its dir would resurrect the
+    // tombstone against docs legitimately re-added since
+    if (batchId <= tombstoneHwm()) return
     val del = StoreIO.alignToSchema(ids.select("doc_id"),
       Seq(org.apache.spark.sql.types.StructField(
         "doc_id", org.apache.spark.sql.types.LongType)), Seq("doc_id"))
       .dropDuplicates("doc_id")
-    spark.read.schema("doc_id LONG, dl INT")
-      .parquet(StoreIO.committedBatchDirs(doclensPath).map(_.getPath): _*)
-      .groupBy("doc_id").agg(max("dl").as("dl"))
+    val dlDirs = StoreIO.committedBatchDirs(doclensPath)
+    // delete before (or without) any build: no doc is known, so every id is
+    // unknown — record an EMPTY tombstone batch (Chroma ignores unknown
+    // ids) instead of crashing on a zero-path read
+    val known =
+      if (dlDirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, dl INT"))
+      else spark.read.schema("doc_id LONG, dl INT")
+        .parquet(dlDirs.map(_.getPath): _*)
+        .groupBy("doc_id").agg(max("dl").cast("int").as("dl"))
+    known
       .join(broadcast(del), Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
   }
 
-  /** Driver-side convenience delete: next free tombstone batch id. */
+  /** Driver-side convenience delete: next free tombstone batch id (past
+    * both the live dirs and the compaction fence). */
   def delete(ids: Seq[Long]): Unit = {
-    val next = StoreIO.committedBatchDirs(tombstonePath)
+    val next = (StoreIO.committedBatchDirs(tombstonePath)
       .map(_.getName.stripPrefix("batch=").toLong)
-      .foldLeft(-1L)(math.max) + 1L
+      .foldLeft(tombstoneHwm())(math.max)) + 1L
     import spark.implicits._
     deleteBatch(ids.toDF("doc_id"), next)
   }
@@ -213,10 +246,25 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * concurrent reader's partition discovery mid-write). */
   def compact(): Unit = {
     // snapshot COMMITTED batch and tombstone dirs — batches and deletes
-    // landing during the merge both survive untouched
+    // landing during the merge both survive untouched. Only tombstones
+    // behind the replay fence are APPLIED; stale dirs (id <= hwm, already
+    // physically applied) are swept unapplied.
     val batchDirs = StoreIO.committedBatchDirs(postingsPath)
-    val tsDirs = StoreIO.committedBatchDirs(tombstonePath)
-    if (batchDirs.length <= 1 && tsDirs.isEmpty) return
+    val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
+    val tsDirs = liveTombstoneDirs()
+    if (batchDirs.length <= 1 && allTsDirs.isEmpty) return
+    val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
+      .foldLeft(tombstoneHwm())(math.max)
+    def hwmStage = StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
+      st => StoreIO.writeLongFile(st, newHwm))
+    if (batchDirs.isEmpty) {
+      // deletes landed before (or without) any build: nothing to purge —
+      // sweep the snapshotted tombstone dirs and fence their ids. (The
+      // unguarded form threw on batchIds.min here.)
+      StoreIO.commitStaged(Seq(hwmStage), marker,
+        cleanup = allTsDirs.map(_.getPath).toSeq)
+      return
+    }
     val names = batchDirs.map(_.getName).toSet
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L
@@ -239,8 +287,8 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         .flatMap { root =>
           Option(new java.io.File(root).listFiles()).getOrElse(Array.empty)
             .filter(f => names.contains(f.getName)).map(_.getPath)
-        } ++ tsDirs.map(_.getPath)
-      StoreIO.commitStaged(Seq(
+        } ++ allTsDirs.map(_.getPath)
+      StoreIO.commitStaged((if (allTsDirs.isEmpty) Seq.empty else Seq(hwmStage)) ++ Seq(
         StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=$mergedId",
           st => merged.write.mode("overwrite").partitionBy("bucket").parquet(st)),
         StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=$mergedId",

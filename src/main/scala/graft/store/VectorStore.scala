@@ -28,6 +28,22 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * vs persisted duality of the reference (src/cod.py:56-62) maps to
  * `DataFrame.cache()` vs the parquet path.
  */
+object VectorStore {
+  /** An ANN index ATTACHED to a collection — the Chroma serving model,
+    * where `collection.query` IS index-backed (hnswlib inside ChromaDB,
+    * /root/reference/src/cod.py:125-129) and the caller never chooses
+    * between brute force and the index. Attachment is in-process (the
+    * index instance itself holds unserializable state — a GraphIndex's
+    * bucket functions — exactly like its own constructor); a fresh
+    * session re-attaches by reopening the index at its path. */
+  sealed trait AttachedIndex
+  /** Routed probes read `nprobe` cells of `idx`. */
+  final case class AttachedIvf(idx: IvfIndex, nprobe: Int) extends AttachedIndex
+  /** Routed probes beam-walk `idx` with the given budget. */
+  final case class AttachedGraph(idx: GraphIndex, beamWidth: Int, hops: Int,
+                                 refineRounds: Int = 1) extends AttachedIndex
+}
+
 final class VectorStore(spark: SparkSession, basePath: String) {
 
   /** Collection record schema (reference data model, SURVEY.md §1.4). */
@@ -36,6 +52,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     StructField("doc", StringType, nullable = true),
     StructField("meta", MapType(StringType, StringType), nullable = true),
     StructField("emb", ArrayType(FloatType, containsNull = false), nullable = true)))
+
+  private val attachedIdx =
+    scala.collection.concurrent.TrieMap.empty[String, VectorStore.AttachedIndex]
 
   private def path(name: String): String = s"$basePath/$name"
 
@@ -116,7 +135,19 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     def add(rows: DataFrame): Unit = {
       val incoming = rows.select(col("id").cast(StringType).as("id"),
         col("doc"), col("meta"), col("emb"))
-      freshRows(incoming).write.mode("append").parquet(path(name))
+      attachedIdx.get(name) match {
+        case None => freshRows(incoming).write.mode("append").parquet(path(name))
+        case Some(ai) =>
+          // materialize the (batch-bounded) fresh set ONCE so the store
+          // append and the index append see the same rows — recomputing
+          // after the append would find them all colliding
+          val staged = freshRows(incoming).localCheckpoint()
+          staged.write.mode("append").parquet(path(name))
+          ai match {
+            case VectorStore.AttachedIvf(idx, _) => idx.append(indexRowsOf(staged))
+            case VectorStore.AttachedGraph(idx, _, _, _) => idx.insert(indexRowsOf(staged))
+          }
+      }
     }
 
     /** The add() dedup plan, exposed for plan assertions: batch rows whose
@@ -157,7 +188,10 @@ final class VectorStore(spark: SparkSession, basePath: String) {
         col("doc"), col("meta"), col("emb"))
 
     /** Chroma `update`: whole-row replacement for ids already present;
-      * unknown ids are ignored (Chroma warns and skips). */
+      * unknown ids are ignored (Chroma warns and skips). An attached index
+      * REBUILDS afterwards — embeddings may have changed, and the CoW
+      * rewrite already rewrote the whole collection, so the rebuild
+      * matches the operation's cost shape. */
     def update(rows: DataFrame): Unit = {
       val incoming = normalized(rows)
       // ids present in BOTH store and batch: one store scan with the small
@@ -167,13 +201,16 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       val replaced = incoming.join(broadcast(touched), Seq("id"), "left_semi")
       rewrite(df.join(broadcast(incoming.select("id")), Seq("id"), "left_anti")
         .unionByName(replaced))
+      reindex()
     }
 
-    /** Chroma `upsert`: replace rows whose id exists, append the rest. */
+    /** Chroma `upsert`: replace rows whose id exists, append the rest.
+      * Rebuilds an attached index like [[update]]. */
     def upsert(rows: DataFrame): Unit = {
       val incoming = normalized(rows)
       rewrite(df.join(broadcast(incoming.select("id")), Seq("id"), "left_anti")
         .unionByName(incoming))
+      reindex()
     }
 
     /** Compact the file layout to `numFiles` parquet files — small-file
@@ -187,9 +224,23 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     def delete(ids: Seq[String]): Unit =
       deleteWhere(col("id").isin(ids: _*))
 
-    /** Chroma `delete(where=...)`: drop every row matching the predicate. */
-    def deleteWhere(cond: Column): Unit =
+    /** Chroma `delete(where=...)`: drop every row matching the predicate.
+      * PROPAGATES into an attached index first (batch-keyed tombstones —
+      * the index stops serving the rows immediately, its `compact()`
+      * drops them physically), so a deleted document is never served from
+      * either path. The matching set stays a distributed frame — never
+      * collected. */
+    def deleteWhere(cond: Column): Unit = {
+      attachedIdx.get(name).foreach { ai =>
+        val dead = df.filter(coalesce(cond, lit(false)))
+          .select(xxhash64(col("id")).as("id"))
+        ai match {
+          case VectorStore.AttachedIvf(idx, _) => idx.delete(dead)
+          case VectorStore.AttachedGraph(idx, _, _, _) => idx.delete(dead)
+        }
+      }
       rewrite(df.filter(!coalesce(cond, lit(false))))
+    }
 
     /** Snapshot the collection under `tag`: parquet data files HARDLINK
       * into `__snapshots/<tag>/` — O(#files) metadata work, zero data
@@ -221,16 +272,86 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
     def dropSnapshot(tag: String): Unit = rm(new java.io.File(snapshotPath(name, tag)))
 
+    // ------------------------------------------------------ index routing
+
+    /** The collection's rows keyed by the index spine: a deterministic
+      * 64-bit hash of the string id becomes the index's LONG `id`, the
+      * string id rides along as `cid`, and doc/meta land as index metadata
+      * so routed queries answer (and filter) without a second store read.
+      * `src` is any frame with the collection schema. */
+    private def indexRowsOf(src: DataFrame): DataFrame =
+      src.select(xxhash64(col("id")).as("id"), col("emb"),
+        col("id").as("cid"), col("doc"), col("meta"))
+
+    private def requireUniqueKeys(rows: DataFrame): Unit =
+      require(rows.groupBy("id").count().filter(col("count") > 1).isEmpty,
+        "xxhash64 collision between collection ids — cannot key an index")
+
+    /** Build an [[IvfIndex]] over this collection and ATTACH it: from now
+      * on [[query]] routes through the index (Chroma's model — the caller
+      * never chooses between brute force and the index), and
+      * add/update/upsert/delete keep it in sync. Detach with
+      * [[detachIndex]]; reopen-and-reattach with [[attach]]. */
+    def attachIvfIndex(indexPath: String, numCells: Int, nprobe: Int): IvfIndex = {
+      val rows = indexRowsOf(df)
+      requireUniqueKeys(rows)
+      val idx = new IvfIndex(spark, indexPath, numCells)
+      idx.build(rows)
+      attach(VectorStore.AttachedIvf(idx, nprobe))
+      idx
+    }
+
+    /** [[attachIvfIndex]]'s graph twin. */
+    def attachGraphIndex(indexPath: String, k: Int,
+        bucketFns: Seq[Column => Column], beamWidth: Int, hops: Int,
+        refineRounds: Int = 1): GraphIndex = {
+      val rows = indexRowsOf(df)
+      requireUniqueKeys(rows)
+      val idx = new GraphIndex(spark, indexPath, k, bucketFns)
+      idx.build(rows, refineRounds)
+      attach(VectorStore.AttachedGraph(idx, beamWidth, hops, refineRounds))
+      idx
+    }
+
+    /** Attach an ALREADY-BUILT index (a fresh session reopening the index
+      * at its path — the caller supplies the same parameters the index's
+      * own constructor needs). */
+    def attach(ai: VectorStore.AttachedIndex): Unit = attachedIdx.put(name, ai): Unit
+
+    def detachIndex(): Unit = attachedIdx.remove(name): Unit
+
+    /** Rebuild the attached index from the current collection state
+      * (update/upsert may have changed embeddings). */
+    private def reindex(): Unit = attachedIdx.get(name).foreach {
+      case VectorStore.AttachedIvf(idx, _) => idx.build(indexRowsOf(df))
+      case VectorStore.AttachedGraph(idx, _, _, rr) => idx.build(indexRowsOf(df), rr)
+    }
+
     /** Top-k nearest neighbors with distances. metric: "l2" (store default,
       * ascending) or "cosine" (attack metric, descending similarity).
       * `where` / `whereDocument` mirror Chroma's query predicates — a
       * metadata condition and a document-text condition — and are applied
       * BEFORE the vector math, so the filters push to the scan and the
       * distance kernel runs only on surviving rows (at 100 TB this is the
-      * difference between scoring the corpus and scoring a slice). */
+      * difference between scoring the corpus and scoring a slice).
+      *
+      * With an index ATTACHED, l2 queries ROUTE through it (cell-pruned
+      * probe / beam walk instead of a corpus scan — the Chroma serving
+      * model), predicates included: the index stores doc/meta, so `where`/
+      * `whereDocument` apply inside the pruned index scan. Cosine queries
+      * keep the exact brute-force path (the indexes are L2-keyed). */
     def query(queryEmb: Array[Float], k: Int, metric: String = "l2",
               where: Option[Column] = None,
-              whereDocument: Option[Column] = None): DataFrame = {
+              whereDocument: Option[Column] = None): DataFrame =
+      attachedIdx.get(name) match {
+        case Some(ai) if metric == "l2" =>
+          routedQuery(ai, queryEmb, k, where, whereDocument)
+        case _ => bruteQuery(queryEmb, k, metric, where, whereDocument)
+      }
+
+    private def bruteQuery(queryEmb: Array[Float], k: Int, metric: String,
+                           where: Option[Column],
+                           whereDocument: Option[Column]): DataFrame = {
       val q = typedlit(queryEmb)
       val base = Seq(where, whereDocument).flatten.foldLeft(df)(_ filter _)
       val scored = metric match {
@@ -243,6 +364,27 @@ final class VectorStore(spark: SparkSession, basePath: String) {
         case other => throw new IllegalArgumentException(s"unknown metric: $other")
       }
       scored.limit(k).select(col("id"), col("doc"), col("distance"))
+    }
+
+    private def routedQuery(ai: VectorStore.AttachedIndex, qe: Array[Float],
+                            k: Int, where: Option[Column],
+                            whereDocument: Option[Column]): DataFrame = {
+      val pred = (where.toSeq ++ whereDocument.toSeq).reduceOption(_ && _)
+      ai match {
+        case VectorStore.AttachedIvf(idx, nprobe) =>
+          idx.query(qe, k, nprobe, pred, include = Seq("cid", "doc"))
+            .select(col("cid").as("id"), col("doc"), col("distance"))
+        case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
+          val hits = idx.query(qe, k, beamWidth, hops, where = pred)
+          val lids = hits.select("id").collect().map(_.getLong(0)).toSeq
+          // payload comes from an In-PRUNED point read of the index's own
+          // id-sorted vectors — never a store scan
+          idx.vectors.filter(col("id").isin(lids: _*))
+            .select(col("id"), col("cid"), col("doc"))
+            .join(broadcast(hits.withColumnRenamed("dist", "distance")), "id")
+            .orderBy(asc("distance"), asc("cid"))
+            .select(col("cid").as("id"), col("doc"), col("distance"))
+      }
     }
   }
 }

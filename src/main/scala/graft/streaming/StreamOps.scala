@@ -162,6 +162,27 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Delete-stream maintenance — the takedown/re-crawl/GDPR half of the
+    * index-maintenance trio: drain a stream of ids (one LONG `id` column)
+    * into batch-keyed tombstones via the index's `deleteBatch`. The
+    * checkpoint-driven batch ids make the tombstone writes idempotent
+    * (at-least-once stream → exactly-once deletes), and each index's
+    * compaction high-water mark fences replays that arrive after the
+    * tombstones were already applied physically. `applyBatch` adapts the
+    * id column name per index ([[graft.store.IvfIndex.deleteBatch]] /
+    * [[graft.store.GraphIndex.deleteBatch]] take `id`,
+    * [[graft.store.TextIndex.deleteBatch]] takes `doc_id`). */
+  def maintainDeletes(spark: SparkSession, srcDir: String,
+      applyBatch: (DataFrame, Long) => Unit, checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema("id LONG")
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) => applyBatch(batch, id) }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (impression→click attribution shape): a
     * `right` row attaches to the `left` row with equal `key` when `rts` lies
     * in [lts, lts + within]. Watermarks on BOTH event-time columns let Spark

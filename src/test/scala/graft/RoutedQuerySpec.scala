@@ -1,0 +1,106 @@
+package graft
+
+import graft.store.VectorStore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Index-routed `Collection.query` — Chroma API parity for the serving
+ * story: in the reference's backend `collection.query` IS index-backed
+ * (hnswlib inside ChromaDB, /root/reference/src/cod.py:125-129); here an
+ * attached [[graft.store.IvfIndex]]/[[graft.store.GraphIndex]] takes over
+ * l2 queries transparently, predicates flow into the pruned index scan,
+ * and add/update/delete keep the index in sync.
+ */
+class RoutedQuerySpec extends AnyFunSuite with SparkTest {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private lazy val rows = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .select(col("vec_id").cast("string").as("id"),
+      concat(lit("doc "), col("vec_id")).as("doc"),
+      map(lit("label"), col("label").cast("string")).as("meta"),
+      col("embedding").as("emb"))
+    .persist()
+
+  private lazy val probe = spark.read.parquet(s"$sf001/embeddings.parquet")
+    .filter(col("vec_id") === 17).head().getAs[Seq[Float]]("embedding").toArray
+
+  private def got(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+    df.select("id", "distance").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(p => (p._2, p._1))
+
+  test("routed IVF query: full-probe equals brute force; filters flow into the index scan") {
+    val store = new VectorStore(spark, tmp("vs_ivf"))
+    val c = store.createOrGet("col")
+    c.add(rows)
+    c.attachIvfIndex(tmp("vs_ivf_idx"), numCells = 8, nprobe = 8)
+
+    val routed = got(c.query(probe, k = 5))
+    c.detachIndex()
+    val brute = got(c.query(probe, k = 5))
+    assert(routed == brute, "full-probe routed query must equal the exact brute-force path")
+
+    // predicates: where (meta) and whereDocument both flow through
+    c.attachIvfIndex(tmp("vs_ivf_idx2"), numCells = 8, nprobe = 8)
+    val where = Some(element_at(col("meta"), "label") === "1")
+    val whereDoc = Some(col("doc").endsWith("3"))
+    val routedF = got(c.query(probe, k = 5, where = where, whereDocument = whereDoc))
+    c.detachIndex()
+    val bruteF = got(c.query(probe, k = 5, where = where, whereDocument = whereDoc))
+    assert(routedF == bruteF && routedF.nonEmpty,
+      "filtered routed query must equal the filtered brute-force path")
+  }
+
+  test("routed graph query equals the explicit index query mapped back to string ids") {
+    val store = new VectorStore(spark, tmp("vs_g"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") <= 200))
+    def bucketOf(off: Int)(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 6).map { p =>
+        when(graft.functions.VectorFunctions.dot(
+          e, typedlit(graft.queries.AnnQueries.plane(off + p))) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val idx = c.attachGraphIndex(tmp("vs_g_idx"), k = 4,
+      Seq(bucketOf(0) _, bucketOf(200) _), beamWidth = 8, hops = 3)
+
+    val routed = got(c.query(probe, k = 5))
+    val explicit = idx.query(probe, topK = 5, beamWidth = 8, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(routed.size == explicit.size)
+    // every routed row maps to an explicit hit through the id hash
+    val lidOf = rows.select(col("id"), xxhash64(col("id")).as("lid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    routed.foreach { case (cid, d) =>
+      assert(explicit(lidOf(cid)) == d, s"routed row $cid must carry the index's distance")
+    }
+  }
+
+  test("add and deleteWhere keep the attached index in sync; upsert rebuilds it") {
+    val store = new VectorStore(spark, tmp("vs_sync"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") < 100))
+    c.attachIvfIndex(tmp("vs_sync_idx"), numCells = 4, nprobe = 4)
+
+    // add: the new rows are served by the routed path
+    val extra = rows.filter(col("id").cast("long") === 300)
+    c.add(extra)
+    val pe = extra.head().getAs[Seq[Float]]("emb").toArray
+    assert(got(c.query(pe, k = 1)).head._1 == "300", "added row must be index-served")
+
+    // delete: stops being served immediately, pre-compact
+    c.deleteWhere(col("id") === "300")
+    assert(got(c.query(pe, k = 3)).forall(_._1 != "300"),
+      "deleted row must stop being served by the routed path")
+
+    // upsert: moves a row's embedding; the rebuild must serve the new one
+    val newEmb = Array.fill(64)(9.5f)
+    import spark.implicits._
+    c.upsert(Seq(("5", "doc 5 moved", Map("label" -> "9"), newEmb.toSeq))
+      .toDF("id", "doc", "meta", "emb"))
+    val hit = got(c.query(newEmb, k = 1)).head
+    assert(hit._1 == "5" && hit._2 == 0.0, "upserted embedding must be re-indexed")
+  }
+}

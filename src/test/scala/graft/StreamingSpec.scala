@@ -278,6 +278,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got == want, "stream-maintained index must answer like the batch build")
   }
 
+  test("maintainDeletes drains a delete stream into the index; replays are idempotent") {
+    import graft.functions.{TextFunctions => TF}
+    val docsEmb = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").as("id"),
+        TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val idx = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    idx.build(docsEmb)
+    val dead = Seq(3L, 7L)
+    val probe = docsEmb.filter(col("id") === 3).head().getSeq[Float](1).toArray
+    // nprobe = numCells: exact top-k, comparable against a rebuild
+    val want = {
+      val ref = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+      ref.build(docsEmb.filter(!col("id").isin(dead: _*)))
+      ref.query(probe, k = 5, nprobe = 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    }
+    val srcDir = tmp()
+    val ckpt = tmp()
+    import spark.implicits._
+    dead.toDF("id").write.mode("overwrite").parquet(srcDir)
+    StreamOps.maintainDeletes(spark, srcDir,
+      (b, id) => idx.deleteBatch(b, id), ckpt).awaitTermination()
+    def got() = idx.query(probe, k = 5, nprobe = 8).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(got() == want, "stream-deleted index must answer like a rebuild without the rows")
+    // replay the whole stream from a FRESH checkpoint (the at-least-once
+    // worst case): same tombstone dirs rewritten, answers unchanged
+    StreamOps.maintainDeletes(spark, srcDir,
+      (b, id) => idx.deleteBatch(b, id), tmp()).awaitTermination()
+    assert(got() == want, "replayed delete stream must be idempotent")
+    idx.compact()
+    assert(got() == want, "compaction after streamed deletes must not change answers")
+  }
+
   test("maintainGraphIndex wires arriving docs into the serving graph") {
     import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
     def bucketOf(off: Int)(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
