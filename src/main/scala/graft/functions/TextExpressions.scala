@@ -37,6 +37,28 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ahash_bands(BINARY) -> ARRAY<BIGINT> — 64-bit perceptual average-hash
+  * of a media payload over an 8×8 stub cell grid, as 4 16-bit LSH band
+  * values ([[TextHashOps.aHashBands]]). */
+case class AHashBands(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "ahash_bands"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes() = {
+    require(child.dataType == BinaryType, s"$prettyName expects BINARY")
+    super.checkInputDataTypes()
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.aHashBandsAD(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.aHashBandsAD($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** minhash_sig(ARRAY<BIGINT>) -> ARRAY<BIGINT> — 12-permutation MinHash
   * signature of a shingle-hash array, single pass over the input. */
 case class MinHashSig(child: Expression) extends UnaryExpression {

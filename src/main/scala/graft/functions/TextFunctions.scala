@@ -28,6 +28,10 @@ object TextFunctions {
   /** Rolling polynomial hash of a string, mod 1e9+7. */
   def polyHash(s: Column): Column = expr1(PolyHash.apply)(s)
 
+  /** Perceptual average-hash of a BINARY media payload as 4 16-bit LSH
+    * band values (codegen kernel [[AHashBands]]). */
+  def aHashBands(payload: Column): Column = expr1(AHashBands.apply)(payload)
+
   /** Occurrences of literal `term` in a token array (codegen tf kernel). */
   def termFreq(toks: Column, term: String): Column =
     expr1(e => TermFreq(e, term))(toks)

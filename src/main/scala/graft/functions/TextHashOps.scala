@@ -146,7 +146,41 @@ object TextHashOps {
     out
   }
 
+  /** Perceptual average-hash (aHash) of a binary media payload over an
+    * 8×8 stub cell grid, folded into 4 16-bit LSH band values: byte i
+    * lands in cell `i·64/n` (the stub "decode" — a codec build would
+    * substitute real 8×8 downsampled luminance and keep everything
+    * downstream), bit j of the hash is set iff cell j's mean byte value
+    * exceeds the payload's grand mean (compared in EXACT integer
+    * cross-multiplication — `sum_j · n > total · count_j` — so any engine
+    * reproduces the bits), and band k packs bits [16k, 16k+16). Near-
+    * duplicate payloads differ in few cells → few bits → usually share a
+    * band, exactly the [[simhash32]] banding story for images. */
+  def aHashBands(b: Array[Byte]): Array[Long] = {
+    val n = b.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      val v = (b(i) & 0xff).toLong
+      val j = ((i.toLong << 6) / n).toInt
+      total += v; sums(j) += v; cnts(j) += 1
+      i += 1
+    }
+    val bands = new Array[Long](4)
+    var j = 0
+    while (j < 64) {
+      if (sums(j) * n > total * cnts(j))
+        bands(j >> 4) |= (1L << (j & 15))
+      j += 1
+    }
+    bands
+  }
+
   // ---- ArrayData adapters for codegen call sites ----
+
+  def aHashBandsAD(b: Array[Byte]): ArrayData = new GenericArrayData(aHashBands(b))
 
   def minhashSigAD(a: ArrayData): ArrayData =
     new GenericArrayData(minhashSig(a.toLongArray()))

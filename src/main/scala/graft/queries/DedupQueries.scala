@@ -328,6 +328,102 @@ object DedupQueries {
            |ORDER BY rep_a, rep_b""".stripMargin
       }),
 
+    // Perceptual-hash (aHash) dedup over BINARY media payloads — the
+    // multimodal counterpart of q_dedup_simhash. The fixture has no binary
+    // near-duplicates, so the query PLANTS them (the q_decontaminate
+    // canary discipline): every 7th sufficiently-long doc contributes a
+    // corrupted twin with 3 bytes overwritten at fixed offsets — the
+    // LENGTH-PRESERVING sensor-noise/re-encode model aHash is built for
+    // (an insertion shifts every later cell; real decoders normalize that
+    // away by resampling to the 8x8 grid, which the stub's relative-
+    // position cells emulate). Hash: one codegen kernel pass per payload
+    // (TextHashOps.aHashBands — exact integer cell-vs-grand-mean
+    // compares, so DuckDB reproduces every bit); banding: 4x16-bit bands,
+    // identical-hash groups collapse to a representative FIRST (linear in
+    // dup-group size, the q_dedup_simhash discipline), exact hamming
+    // verify <= 6 on candidates only.
+    Q(
+      "q_dedup_phash",
+      "perceptual aHash near-dup pairs over planted noisy media payloads",
+      (s, dir) => {
+        val mut = "concat(substr(text,1,50),'x',substr(text,52,49),'x'," +
+          "substr(text,102,49),'x',substr(text,152,1000000))"
+        val base = tbl(s, dir, "documents").select(col("doc_id").as("img_id"), col("text"))
+        val imgs = base.unionByName(
+          base.filter(col("img_id") % 7 === 0 && length(col("text")) >= 160)
+            .select((col("img_id") + 1000000L).as("img_id"), expr(mut).as("text")))
+        val reps = imgs
+          .select(col("img_id"), TF.aHashBands(encode(col("text"), "UTF-8")).as("hb"))
+          .groupBy("hb").agg(min("img_id").as("keeper"), count(lit(1)).as("n_members"))
+          .persist()
+        val bands = reps.select(col("hb"), col("keeper"),
+          posexplode(col("hb")).as(Seq("band", "bval")))
+        // O(matching pairs) output — corpus-scale worst case, lazy release
+        Registry.releaseLater(bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+              col("x.keeper") < col("y.keeper"))
+          .select(col("x.keeper").as("rep_a"), col("y.keeper").as("rep_b"),
+            col("x.hb").as("ha"), col("y.hb").as("hb2"))
+          .distinct()
+          .withColumn("ham", (0 until 4).map(i =>
+            expr(s"bit_count(ha[$i] ^ hb2[$i])")).reduce(_ + _).cast("int"))
+          .filter(col("ham") <= 6)
+          .join(reps.select(col("keeper").as("rep_a"), col("n_members").as("n_a")), "rep_a")
+          .join(reps.select(col("keeper").as("rep_b"), col("n_members").as("n_b")), "rep_b")
+          .select(col("rep_a"), col("rep_b"), col("ham"), col("n_a"), col("n_b"))
+          .orderBy("rep_a", "rep_b"), reps)
+      },
+      Some {
+        val mut = "concat(substr(text,1,50),'x',substr(text,52,49),'x'," +
+          "substr(text,102,49),'x',substr(text,152,1000000))"
+        s"""WITH imgs AS MATERIALIZED (
+           |  SELECT doc_id AS img_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS img_id, $mut AS text FROM documents
+           |  WHERE doc_id % 7 = 0 AND length(text) >= 160),
+           |pos AS (SELECT img_id, unnest(range(0, length(text))) AS i FROM imgs),
+           |b AS (SELECT p.img_id, CAST(p.i AS BIGINT) AS i,
+           |             CAST(unicode(substr(m.text, CAST(p.i + 1 AS INT), 1)) AS BIGINT) AS v,
+           |             CAST(length(m.text) AS BIGINT) AS n
+           |      FROM pos p JOIN imgs m USING (img_id)),
+           |cells AS (SELECT img_id, n, (i * 64) // n AS cell,
+           |                 sum(v) AS cs, CAST(count(*) AS BIGINT) AS cc
+           |          FROM b GROUP BY img_id, n, (i * 64) // n),
+           |tot AS (SELECT img_id, sum(cs) AS ts FROM cells GROUP BY img_id),
+           |hbRaw AS (SELECT c.img_id, c.cell // 16 AS band,
+           |               sum(CASE WHEN c.cs * c.n > t.ts * c.cc
+           |                   THEN (CAST(1 AS BIGINT) << CAST(c.cell % 16 AS INT))
+           |                   ELSE 0 END) AS bval
+           |         FROM cells c JOIN tot t USING (img_id)
+           |         GROUP BY c.img_id, c.cell // 16),
+           |spine AS (SELECT img_id, unnest([0, 1, 2, 3]) AS band FROM imgs),
+           |hb AS (SELECT s.img_id, CAST(s.band AS BIGINT) AS band,
+           |              CAST(coalesce(h.bval, 0) AS BIGINT) AS bval
+           |       FROM spine s LEFT JOIN hbRaw h
+           |         ON h.img_id = s.img_id AND h.band = s.band),
+           |sig AS (SELECT img_id,
+           |               string_agg(CAST(bval AS VARCHAR), '_' ORDER BY band) AS sg
+           |        FROM hb GROUP BY img_id),
+           |reps AS MATERIALIZED (
+           |  SELECT sg, min(img_id) AS keeper, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM sig GROUP BY sg),
+           |rb AS (SELECT r.keeper, h.band, h.bval FROM reps r JOIN hb h ON h.img_id = r.keeper),
+           |cand AS (SELECT DISTINCT x.keeper AS rep_a, y.keeper AS rep_b
+           |         FROM rb x JOIN rb y
+           |           ON x.band = y.band AND x.bval = y.bval AND x.keeper < y.keeper),
+           |hm AS (SELECT c.rep_a, c.rep_b,
+           |              CAST(sum(bit_count(xor(a.bval, b.bval))) AS INT) AS ham
+           |       FROM cand c
+           |       JOIN rb a ON a.keeper = c.rep_a
+           |       JOIN rb b ON b.keeper = c.rep_b AND b.band = a.band
+           |       GROUP BY c.rep_a, c.rep_b)
+           |SELECT h.rep_a, h.rep_b, h.ham, ra.n_members AS n_a, rbs.n_members AS n_b
+           |FROM hm h JOIN reps ra ON ra.keeper = h.rep_a
+           |          JOIN reps rbs ON rbs.keeper = h.rep_b
+           |WHERE h.ham <= 6
+           |ORDER BY rep_a, rep_b""".stripMargin
+      }),
+
     // Embedding-cosine near-dup, blocked on (label x LSH bucket): label is
     // the category a pipeline blocks on; the 6-plane sign-projection bucket
     // caps block size as data grows (label-only blocking is quadratic —

@@ -88,6 +88,39 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("aHashBands: noise-robust on length-preserving edits, sensitive to rewrites") {
+    def bands(s: String): Seq[Long] =
+      TextHashOps.aHashBands(s.getBytes("UTF-8")).toSeq
+    def ham(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+    // empty payload: all-zero hash, no crash
+    assert(bands("") == Seq(0L, 0L, 0L, 0L))
+    // bands are 16-bit values
+    val base = "the quick brown fox jumps over the lazy dog " * 10
+    assert(bands(base).forall(b => b >= 0 && b <= 0xffffL))
+    // a 3-byte length-preserving corruption (the planted-noise model of
+    // q_dedup_phash) moves few bits; a different payload moves many
+    val noisy = base.updated(50, 'x').updated(100, 'x').updated(150, 'x')
+    assert(ham(bands(base), bands(noisy)) <= 6,
+      "length-preserving noise must stay within the dedup threshold")
+    val other = "completely different content about spark query planning " * 8
+    assert(ham(bands(base), bands(other)) > 6)
+    // the codegen path equals the kernel
+    val viaCol = Seq(base).toDF("t")
+      .select(TF.aHashBands(encode(col("t"), "UTF-8"))).as[Seq[Long]].head()
+    assert(viaCol == bands(base))
+  }
+
+  test("q_dedup_phash finds the planted noisy twins") {
+    val out = graft.queries.Registry.queries("q_dedup_phash")(spark, sf001).collect()
+    graft.queries.Registry.releasePending()
+    assert(out.nonEmpty, "planted near-duplicate payloads must be found")
+    // most pairs pair a doc with its planted twin (img_id + 1000000)
+    val planted = out.count(r => r.getLong(1) == r.getLong(0) + 1000000L)
+    assert(planted >= out.length / 2,
+      s"expected mostly planted pairs, got $planted of ${out.length}")
+  }
+
   test("shingles: k-grams with short-document fallback") {
     val df = Seq("a b c d", "a b").toDF("s")
       .select(TF.shingles(TF.tokens(col("s")), 3).as("sh")).as[Seq[String]]
