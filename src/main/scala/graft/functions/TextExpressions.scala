@@ -37,6 +37,51 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** bpe_count(ARRAY<STRING>) -> BIGINT — total BPE subword tokens of a
+  * token array under a fixed merge table ([[BpeOps.countTokensAD]]); the
+  * merge arrays ride into codegen as reference objects, so the encode
+  * loop runs inside whole-stage codegen with zero per-row setup. */
+case class BpeCount(child: Expression, mergesA: Array[String],
+                    mergesB: Array[String]) extends UnaryExpression {
+  override def prettyName: String = "bpe_count"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BpeOps.countTokensAD(v.asInstanceOf[ArrayData], mergesA, mergesB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("bpeMergesA", mergesA, "java.lang.String[]")
+    val refB = ctx.addReferenceObj("bpeMergesB", mergesB, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeOps$$.MODULE$$.countTokensAD($c, $refA, $refB)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** bpe_encode_word(STRING) -> ARRAY<STRING> — one word's BPE symbols. */
+case class BpeEncodeWord(child: Expression, mergesA: Array[String],
+                         mergesB: Array[String]) extends UnaryExpression {
+  override def prettyName: String = "bpe_encode_word"
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    BpeOps.encodeWordAD(v.asInstanceOf[UTF8String], mergesA, mergesB)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val refA = ctx.addReferenceObj("bpeMergesA", mergesA, "java.lang.String[]")
+    val refB = ctx.addReferenceObj("bpeMergesB", mergesB, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.BpeOps$$.MODULE$$.encodeWordAD($c, $refA, $refB)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** ahash_bands(BINARY) -> ARRAY<BIGINT> — 64-bit perceptual average-hash
   * of a media payload over an 8×8 stub cell grid, as 4 16-bit LSH band
   * values ([[TextHashOps.aHashBands]]). */

@@ -328,6 +328,68 @@ object DedupQueries {
            |ORDER BY rep_a, rep_b""".stripMargin
       }),
 
+    // Substring-level EXACT dedup — cross-document repeated >=K-token
+    // spans (the "Deduplicating Training Data Makes Language Models
+    // Better" pre-training step; doc-level exact/near/semantic dedup
+    // misses boilerplate shared INSIDE otherwise-distinct docs). Shape:
+    // every K-token window fingerprints with the rolling hash (at 100 TB
+    // the candidate shuffle moves 8-byte fps, never text); fp matches
+    // verify EXACTLY on the gram text (hash collisions die here); and
+    // overlapping window matches merge into MAXIMAL spans by
+    // gaps-and-islands on the (doc_a, doc_b, pos_a - pos_b) diagonal —
+    // consecutive windows of one long repeat share a diagonal with
+    // consecutive positions, so `pos_a - row_number()` groups each run.
+    // Never an all-pairs doc join: candidates are fp-bucketed, and a df
+    // cap on pathological boilerplate fps composes if a corpus needs it.
+    Q(
+      "q_dedup_substring",
+      "repeated >=20-token cross-document spans, merged to maximal spans",
+      (s, dir) => {
+        val K = 20
+        import org.apache.spark.sql.expressions.Window
+        val grams = tbl(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(TF.tokenGrams(TF.tokens(col("text")), K)).as(Seq("pos", "gram")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"),
+            col("gram"), TF.polyHash(col("gram")).as("fp"))
+          .persist() // both sides of the candidate self-join
+        val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+          col("fp"), col("gram").as("gram_a"))
+        val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+          col("fp"), col("gram").as("gram_b"))
+        val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+        Registry.releaseLater(a.join(b, Seq("fp"))
+          .filter(col("doc_a") < col("doc_b") && col("gram_a") === col("gram_b"))
+          .withColumn("diag", col("pos_a") - col("pos_b"))
+          .withColumn("run", col("pos_a") - row_number().over(w))
+          .groupBy("doc_a", "doc_b", "diag", "run")
+          .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+            (count(lit(1)) + lit(K - 1)).as("span_tokens"))
+          .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+          .orderBy("doc_a", "doc_b", "start_a", "start_b"), grams)
+      },
+      Some {
+        val K = 20
+        val toks = OracleText.tokens("text")
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM documents),
+           |p AS (SELECT doc_id, unnest(range(1, len(toks) - ${K - 2})) AS i FROM t),
+           |g AS MATERIALIZED (
+           |  SELECT p.doc_id, CAST(p.i - 1 AS BIGINT) AS pos,
+           |         array_to_string(t.toks[CAST(p.i AS INT):CAST(p.i + ${K - 1} AS INT)], ' ') AS gram
+           |  FROM p JOIN t USING (doc_id)),
+           |m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |             a.pos AS pos_a, b.pos AS pos_b
+           |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+           |runs AS (SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+           |                pos_a - row_number() OVER (
+           |                  PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS run
+           |         FROM m)
+           |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+           |       CAST(count(*) + ${K - 1} AS BIGINT) AS span_tokens
+           |FROM runs GROUP BY doc_a, doc_b, diag, run
+           |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin
+      }),
+
     // Perceptual-hash (aHash) dedup over BINARY media payloads — the
     // multimodal counterpart of q_dedup_simhash. The fixture has no binary
     // near-duplicates, so the query PLANTS them (the q_decontaminate

@@ -37,6 +37,62 @@ object TextQueries {
   private def sqlHits(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** The sequence-packing pipeline over an arbitrary per-doc token-count
+    * column (shared by the whitespace and BPE denominations): the global
+    * running token count is the only cross-row dependency, and a naive
+    * Window.orderBy(doc_id) computes it on ONE partition — a scale-killer.
+    * Three-level scan instead: cumsum WITHIN id-range buckets (parallel,
+    * partitioned window), bucket-prefix offsets WITHIN super-buckets of
+    * 256 (another partitioned window), and only the N/65536 super-bucket
+    * totals through one task (~763k rows even at 5e10 docs; the same
+    * trick recurses if that tier ever dominates). Exact integer sums at
+    * every tier, so the decomposition is bit-identical to the flat
+    * cumsum. */
+  private def packSlots(s: org.apache.spark.sql.SparkSession, dir: String,
+                        nTok: Column, ctx: Int): org.apache.spark.sql.DataFrame = {
+    val bktW = 256
+    import org.apache.spark.sql.expressions.Window
+    val docs = tbl(s, dir, "documents")
+      .select(col("doc_id"), nTok.cast("long").as("n_tok"))
+      .withColumn("bkt", floor(col("doc_id") / bktW).cast("long"))
+      .persist() // tokenized once; all cumsum tiers read the cache
+    val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wIn = Window.partitionBy("sbkt").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wSup = Window.orderBy("sbkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = docs.withColumn("lcum", sum("n_tok").over(wLocal))
+    val btots = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
+      .withColumn("sbkt", floor(col("bkt") / bktW).cast("long"))
+    val supPre = btots.groupBy("sbkt").agg(sum("btot").as("stot"))
+      .withColumn("spre", coalesce(sum("stot").over(wSup), lit(0L)))
+      .select(col("sbkt"), col("spre"))
+    val prefixes = btots
+      .withColumn("ipre", coalesce(sum("btot").over(wIn), lit(0L)))
+      .join(broadcast(supPre), "sbkt")
+      .select(col("bkt"), (col("spre") + col("ipre")).as("bpre"))
+    // one row per doc — lazy release (Registry.releaseLater)
+    Registry.releaseLater(local.join(broadcast(prefixes), "bkt")
+      .withColumn("strt", col("bpre") + col("lcum") - col("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        expr(s"CAST(strt DIV $ctx AS BIGINT)").as("pack_id"),
+        (col("strt") % ctx).as("pack_off"))
+      .orderBy("doc_id"), docs)
+  }
+
+  /** [[packSlots]]'s oracle: the flat single-window cumsum (DuckDB runs at
+    * verify scale) over the same per-doc token-count fragment. */
+  private def packSql(nTokSql: String, ctx: Int): String =
+    s"""WITH t AS (SELECT doc_id, CAST($nTokSql AS BIGINT) AS n_tok FROM documents),
+       |c AS (SELECT doc_id, n_tok,
+       |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+       |  FROM t)
+       |SELECT doc_id, n_tok, CAST(strt // $ctx AS BIGINT) AS pack_id,
+       |  CAST(strt % $ctx AS BIGINT) AS pack_off
+       |FROM c ORDER BY doc_id""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Language ID: argmax of stopword-profile hits with fixed precedence
@@ -730,69 +786,58 @@ object TextQueries {
            |ORDER BY n DESC, bg""".stripMargin
       }),
 
+    // REAL subword tokenization (BPE): token counts, packing, and mixture
+    // budgets are denominated in MODEL tokens in practice, and model
+    // tokens are subwords. Train is distributed word counts + a
+    // deterministic driver fold (graft.functions.Bpe.train); encode is
+    // one codegen kernel pass per row under the FROZEN trained merge
+    // table (a model artifact, like a shipped tokenizer vocab), and the
+    // oracle REPLAYS the identical merges as chained replace() on a
+    // char-framed form — exact, not approximate, parity.
+    Q(
+      "q_bpe_encode",
+      "BPE subword token counts per doc under the frozen trained merges",
+      (s, dir) =>
+        tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            size(col("toks")).cast("long").as("n_words"),
+            graft.functions.Bpe.countTokens(col("toks"),
+              graft.functions.Bpe.TrainedMerges).as("n_bpe"))
+          .orderBy("doc_id"),
+      Some {
+        val toks = OracleText.tokens("text")
+        val cnt = graft.functions.Bpe.countSql("w", graft.functions.Bpe.TrainedMerges)
+        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+           |       CAST(coalesce(list_sum(list_transform(toks, w -> $cnt)), 0) AS BIGINT) AS n_bpe
+           |FROM t ORDER BY doc_id""".stripMargin
+      }),
+
     // Concat-and-chunk SEQUENCE PACKING: the pre-training step that streams
     // tokenized docs in a fixed order into ctx-sized windows; each doc's
-    // slot is (pack_id, pack_off) of its starting token. The global running
-    // token count is the only cross-row dependency, and a naive
-    // Window.orderBy(doc_id) computes it on ONE partition — a scale-killer.
-    // Three-level scan instead: cumsum WITHIN id-range buckets (parallel,
-    // partitioned window), bucket-prefix offsets WITHIN super-buckets of
-    // 256 (another partitioned window), and only the N/65536 super-bucket
-    // totals through one task. Integer output only — no float hashing
-    // concerns.
+    // slot is (pack_id, pack_off) of its starting token. See [[packSlots]]
+    // for the three-tier distributed cumsum both denominations share.
     Q(
       "q_seq_packing",
       "sequence packing: (pack, offset) slot of each doc in 512-token windows",
-      (s, dir) => {
-        val ctx = 512
-        val bktW = 256
-        import org.apache.spark.sql.expressions.Window
-        val docs = tbl(s, dir, "documents")
-          .select(col("doc_id"), size(TF.tokens(col("text"))).cast("long").as("n_tok"))
-          .withColumn("bkt", floor(col("doc_id") / bktW).cast("long"))
-          .persist() // tokenized once; both cumsum tiers read the cache
-        val wLocal = Window.partitionBy("bkt").orderBy("doc_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val local = docs.withColumn("lcum", sum("n_tok").over(wLocal))
-        // tiers 2+3: bucket-prefix offsets WITHOUT a single-partition
-        // window over all N/256 bucket totals (that tier was itself a
-        // scale bottleneck at 100 TB). Cumsum of bucket totals runs
-        // WITHIN super-buckets of 256 (partitioned window, parallel);
-        // only the N/65536 super-bucket totals cross one task — ~763k
-        // rows even at 5e10 docs, and the same trick recurses if that
-        // tier ever dominates. Exact integer sums at every tier, so the
-        // decomposition is bit-identical to the flat cumsum.
-        val wIn = Window.partitionBy("sbkt").orderBy("bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val wSup = Window.orderBy("sbkt")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val btots = docs.groupBy("bkt").agg(sum("n_tok").as("btot"))
-          .withColumn("sbkt", floor(col("bkt") / bktW).cast("long"))
-        val supPre = btots.groupBy("sbkt").agg(sum("btot").as("stot"))
-          .withColumn("spre", coalesce(sum("stot").over(wSup), lit(0L)))
-          .select(col("sbkt"), col("spre"))
-        val prefixes = btots
-          .withColumn("ipre", coalesce(sum("btot").over(wIn), lit(0L)))
-          .join(broadcast(supPre), "sbkt")
-          .select(col("bkt"), (col("spre") + col("ipre")).as("bpre"))
-        // one row per doc — lazy release (Registry.releaseLater)
-        Registry.releaseLater(local.join(broadcast(prefixes), "bkt")
-          .withColumn("strt", col("bpre") + col("lcum") - col("n_tok"))
-          .select(col("doc_id"), col("n_tok"),
-            expr(s"CAST(strt DIV $ctx AS BIGINT)").as("pack_id"),
-            (col("strt") % ctx).as("pack_off"))
-          .orderBy("doc_id"), docs)
-      },
+      (s, dir) => packSlots(s, dir, size(TF.tokens(col("text"))), ctx = 512),
+      Some(packSql(s"len(${OracleText.tokens("text")})", ctx = 512))),
+
+    // The SAME packing pipeline denominated in MODEL tokens: training-data
+    // budgets are counted in subword tokens in practice, and whitespace
+    // words under-count them (q_bpe_encode's ratio). Identical three-tier
+    // plan; only the per-doc count kernel changes.
+    Q(
+      "q_bpe_pack",
+      "sequence packing denominated in BPE subword tokens",
+      (s, dir) => packSlots(s, dir,
+        graft.functions.Bpe.countTokens(TF.tokens(col("text")),
+          graft.functions.Bpe.TrainedMerges), ctx = 512),
       Some {
-        val toks = OracleText.tokens("text")
-        s"""WITH t AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tok FROM documents),
-           |c AS (SELECT doc_id, n_tok,
-           |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
-           |  FROM t)
-           |SELECT doc_id, n_tok, CAST(strt // 512 AS BIGINT) AS pack_id,
-           |  CAST(strt % 512 AS BIGINT) AS pack_off
-           |FROM c ORDER BY doc_id""".stripMargin
+        val cnt = graft.functions.Bpe.countSql("w", graft.functions.Bpe.TrainedMerges)
+        packSql("coalesce(list_sum(list_transform(" +
+          s"${OracleText.tokens("text")}, w -> $cnt)), 0)", ctx = 512)
       }),
 
     // RAG-style overlapping CHUNKING: 64-token windows at stride 48 (the

@@ -171,22 +171,22 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     assert(g.filter(col("src") === col("dst")).count() == 0)
   }
 
-  test("insert's existing-side read is partition-pruned to the batch's buckets") {
+  test("insert's existing-side read pushes the batch's bucket set into the scan") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gidx_prune").toString
     val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(all.filter(col("id") <= 100), refineRounds = 0)
-    val pruned = idx.prunedProjection(0, Seq(1L, 2L, 3L))
+    val some = spark.read.parquet(s"$dir/bucketproj/t=0")
+      .select("bkt").distinct().orderBy("bkt").limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    val pruned = idx.prunedProjection(0, some)
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [") && plan.contains("bkt"),
-      s"the bucket In-filter must reach partition discovery:\n$plan")
-    // and the filter is NOT a post-scan row filter re-reading everything:
-    // the scanned partitions are a strict subset of the projection's dirs
-    val allBkts = new java.io.File(s"$dir/bucketproj/t=0/epoch=0").listFiles()
-      .count(_.getName.startsWith("bkt="))
-    assert(allBkts > 3, "fixture needs more buckets than the probe set")
+    assert(plan.contains("PushedFilters: [In(bkt") || plan.contains("PushedFilters: [bkt"),
+      s"the bucket In-filter must push into the projection scan:\n$plan")
+    // correctness of the pruned read: exactly the rows of those buckets
     assert(pruned.count() ==
       spark.read.parquet(s"$dir/bucketproj/t=0")
-        .filter(col("bkt").isin(1L, 2L, 3L)).count())
+        .filter(col("bkt").isin(some: _*)).count())
+    assert(pruned.count() > 0)
   }
 
   test("beam walk's src In-filter pushes below the epoch-resolution window") {
