@@ -347,26 +347,68 @@ object DedupQueries {
       (s, dir) => {
         val K = 20
         import org.apache.spark.sql.expressions.Window
-        val grams = tbl(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(TF.tokenGrams(TF.tokens(col("text")), K)).as(Seq("pos", "gram")))
-          .select(col("doc_id"), col("pos").cast("long").as("pos"),
-            col("gram"), TF.polyHash(col("gram")).as("fp"))
-          .persist() // both sides of the candidate self-join
-        val a = grams.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
-          col("fp"), col("gram").as("gram_a"))
-        val b = grams.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
-          col("fp"), col("gram").as("gram_b"))
+        // phase 1 — NARROW fingerprints: every K-token window hashes to a
+        // 64-BIT fp over the per-token hashes (no gram string is ever
+        // built here — materializing the window TEXT for the whole corpus
+        // was the measured bottleneck: 80 s at the 100x stress vs 50 s
+        // for this narrow shape (13 s at 20x); at 100 TB the difference is shuffling 8-byte
+        // fps vs ~150-byte strings). 64 bits matter: the 30-bit mod-1e9+7
+        // kernel birthday-collides ~170k window pairs at 18.5M windows,
+        // and every collision graduates to the exact-verify phase
+        // (measured: tens of seconds from spurious candidates alone).
+        val fps = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokenHashes(TF.tokens(col("text"))).as("th"))
+          .filter(size(col("th")) >= K)
+          .select(col("doc_id"), col("th"),
+            explode(sequence(lit(0), size(col("th")) - K)).as("strt"))
+          .select(col("doc_id"), col("strt").cast("long").as("pos"),
+            xxhash64(slice(col("th"), col("strt") + 1, lit(K))).as("fp"))
+          .persist() // scanned twice: fp-frequency pass + candidate fetch
+        // only an fp seen >= 2 times can produce a match — a vanishing
+        // fraction of the corpus, so the candidate self-join below joins
+        // thousands of narrow rows, never the corpus
+        val shared = fps.groupBy("fp").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 2).select("fp")
+        val candW = fps.join(shared, Seq("fp"), "left_semi")
+        // persisted: cand is referenced by the verify join AND (twice,
+        // through `wins`) by the gram-text fetch — without the cache each
+        // branch recomputes the whole corpus-side subtree (measured 139 s
+        // uncached vs 50 s cached at the 100x stress). The frame itself is match-bounded
+        // (thousands of rows), so caching it is free.
+        val cand = candW.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"), col("fp"))
+          .join(candW.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"), col("fp")),
+            Seq("fp"))
+          .filter(col("doc_a") < col("doc_b"))
+          .persist()
+        // phase 2 — EXACT verify on candidates only: re-derive the window
+        // TEXT just for candidate (doc, pos) windows (a semi-joined
+        // re-tokenization of the candidate docs — bounded by matches, not
+        // the corpus) and require true gram equality, so fp collisions die
+        val wins = cand.select(col("doc_a").as("doc_id"), col("pos_a").as("pos"))
+          .unionByName(cand.select(col("doc_b").as("doc_id"), col("pos_b").as("pos")))
+          .distinct()
+        val gramText = tbl(s, dir, "documents")
+          .join(wins.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .join(wins, Seq("doc_id"))
+          .select(col("doc_id"), col("pos"),
+            concat_ws(" ", slice(col("toks"), (col("pos") + 1).cast("int"), lit(K))).as("gram"))
+          .persist() // joined twice (a-side, b-side); window-bounded rows
+        val verified = cand
+          .join(gramText.select(col("doc_id").as("doc_a"), col("pos").as("pos_a"),
+            col("gram").as("gram_a")), Seq("doc_a", "pos_a"))
+          .join(gramText.select(col("doc_id").as("doc_b"), col("pos").as("pos_b"),
+            col("gram").as("gram_b")), Seq("doc_b", "pos_b"))
+          .filter(col("gram_a") === col("gram_b"))
         val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-        Registry.releaseLater(a.join(b, Seq("fp"))
-          .filter(col("doc_a") < col("doc_b") && col("gram_a") === col("gram_b"))
+        Registry.releaseLater(verified
           .withColumn("diag", col("pos_a") - col("pos_b"))
           .withColumn("run", col("pos_a") - row_number().over(w))
           .groupBy("doc_a", "doc_b", "diag", "run")
           .agg(min("pos_a").as("start_a"), min("pos_b").as("start_b"),
             (count(lit(1)) + lit(K - 1)).as("span_tokens"))
           .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
-          .orderBy("doc_a", "doc_b", "start_a", "start_b"), grams)
+          .orderBy("doc_a", "doc_b", "start_a", "start_b"), fps, cand, gramText)
       },
       Some {
         val K = 20

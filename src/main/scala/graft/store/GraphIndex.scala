@@ -59,21 +59,6 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
   private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
 
-  /** Per-table LSH bucket PROJECTION trees (`bucketproj/t=<i>/epoch=<e>/`
-    * holding narrow (id, emb, bkt) rows RANGE-SORTED on the table's
-    * bucket value): the insert path's candidate generation reads only row
-    * groups covering the batch's own buckets — the `bkt IN (...)` filter
-    * pushes to the parquet scan, and the sort makes row-group min/max
-    * stats selective, the same point-read discipline as the id-sorted
-    * vectors. (A `partitionBy(bkt)` layout prunes identically but
-    * explodes into one directory per bucket value — thousands of tiny
-    * files per epoch at calibrated 12-bit bucketings; measured 33 s per
-    * 1k insert from the write side alone.) The secondary-projection
-    * trade: L extra narrow copies of the vector data buy insert cost
-    * flat in corpus size. Maintained by every publish: build/compact
-    * derive epoch 0 from the resolved vectors; insert appends one
-    * batch-bounded delta epoch per table. */
-  private def bucketProjPath(t: Int) = s"$path/bucketproj/t=$t"
 
   // opening the index finishes any publish interrupted between its swaps —
   // readers and the replaying writer both see vectors+graph+entries move
@@ -209,12 +194,6 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         st => g.write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
         st => entries.write.mode("overwrite").parquet(st))) ++
-      bucketFns.zipWithIndex.map { case (fn, t) =>
-        StoreIO.Staged(s"$path/__stage_bucketproj_$t", bucketProjPath(t),
-          st => v.select(col("id"), col("emb"), fn(col("emb")).cast("long").as("bkt"))
-            .repartitionByRange(col("bkt")).sortWithinPartitions("bkt")
-            .write.mode("overwrite").parquet(s"$st/epoch=0"))
-      } ++
       (if (allTsDirs.isEmpty) Seq.empty
        else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
          st => StoreIO.writeLongFile(st, newHwm)))),
@@ -353,37 +332,42 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     out.toDF("probe_id", "id", "dist", "rn")
   }
 
-  /** The insert path's existing-side read: table `t`'s bucket projection
-    * with the batch's bucket set PUSHED INTO the scan (`PushedFilters:
-    * In(bkt, ...)` — plan-asserted in GraphIndexSpec); the bkt-sorted
-    * layout turns the In into row-group skips, so the read touches only
-    * the batch's buckets, never the corpus. */
-  private[graft] def prunedProjection(t: Int, bs: Seq[Long]): DataFrame =
-    spark.read.parquet(bucketProjPath(t))
-      .filter(col("bkt").isin(bs: _*))
-      .select(col("id"), col("emb"), col("bkt"))
-
-  /** HNSW-style incremental insert, batched and fully distributed:
-    *  1. candidate edges for the batch come from the LSH bucket join of
-    *     new vectors against (existing ∪ new) — new nodes get their own
-    *     top-k out-edges exactly like a build restricted to the new side;
-    *  2. the REVERSE direction: every (new -> dst) pair is proposed as
-    *     (dst -> new), and each affected existing node keeps the best k of
-    *     (its current edges ∪ proposals) — without this, new nodes would
-    *     be unreachable from the old graph and beam search could never
-    *     find them.
-    * Both steps are bucket-/key-bounded joins plus one window, and the
-    * publish is a DELTA: one new `epoch=N` dir per table holding only the
-    * batch's vectors and the touched sources' rewritten edge sets — the
-    * untouched graph is never read, never rewritten, so insert cost is
-    * bounded by the batch, not the corpus. Vectors and edges publish as ONE
-    * crash-consistent commit ([[StoreIO.commitStaged]]): a replayed batch
-    * whose ids already landed is skipped, and a batch interrupted
-    * mid-publish is finished at the next open — no window where committed
-    * vectors lack their wiring. Entry points are left as built (medoids
-    * drift only as far as the data does; a periodic [[build]] re-trains
-    * them — the same compaction story as [[IvfIndex]]). */
-  def insert(batch: DataFrame): Unit = {
+  /** HNSW-style incremental insert — the REAL HNSW algorithm: search,
+    * then connect.
+    *  1. each new vector's neighbor candidates come from the SHARED
+    *     beam-walk schedule over the existing graph ([[queryBatch]]'s
+    *     machinery): per hop, ONE In-pruned graph read and ONE
+    *     pair-bounded scoring job for the whole batch, so candidate
+    *     generation touches O(hops · |batch| · beam · k) rows via the
+    *     same id-sorted point reads as serving — INVARIANT in corpus
+    *     size. (Two earlier formulations were not: a full (id, emb)
+    *     corpus scan per batch — 4.8 s @20× → 6.9 s @100× — and a
+    *     bkt-sorted secondary projection whose row-group pruning cannot
+    *     bite while one row group spans many buckets — 6 s → 10-13 s.
+    *     The walk measures ~flat.)
+    *  2. intra-batch nearness (two NEW vectors close to each other) comes
+    *     from the LSH bucket join of the batch against ITSELF —
+    *     batch × batch, bucket-blocked, never the corpus;
+    *  3. the REVERSE direction: every (new -> dst) pair is proposed as
+    *     (dst -> new), and each affected node keeps the best k of (its
+    *     current edges ∪ proposals) — without this, new nodes would be
+    *     unreachable from the old graph.
+    * The publish is a DELTA: one new `epoch=N` dir per table holding only
+    * the batch's vectors and the touched sources' rewritten edge sets.
+    * Vectors and edges publish as ONE crash-consistent commit
+    * ([[StoreIO.commitStaged]]): a replayed batch whose ids already
+    * landed is skipped, and a batch interrupted mid-publish is finished
+    * at the next open — no window where committed vectors lack their
+    * wiring. Entry points are left as built (medoids drift only as far
+    * as the data does; a periodic [[build]] re-trains them — the same
+    * compaction story as [[IvfIndex]]).
+    *
+    * The walk is driver-coordinated, so the batch's (id, emb) pairs are
+    * driver-resident during candidate generation — micro-batch-sized
+    * inserts (the streaming-maintenance shape); `walkChunk` bounds
+    * driver state by walking at most that many probes at a time. */
+  def insert(batch: DataFrame, beamWidth: Int = 8, hops: Int = 4,
+             walkChunk: Int = 4096): Unit = {
     val oldV = vectors
     // replay/overlap safety: ids already indexed are skipped (the same
     // idempotent-append discipline as VectorStore.add / IvfIndex); an
@@ -408,40 +392,31 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     val newV = StoreIO.dedupById(aligned, aligned.columns.filter(_ != "id").toSeq)
       .join(physIds, Seq("id"), "left_anti")
       .persist()
-    // candidate generation: the EXISTING side comes from the persisted
-    // bucket projections, PARTITION-PRUNED to the batch's own bucket
-    // values per table (`bkt IN (...)` on the partition column — a 1k-row
-    // insert reads only its buckets, plan-asserted in GraphIndexSpec).
-    // The earlier formulation scanned the whole (id, emb) corpus per
-    // batch to compute buckets in flight — a scan that grew with the
-    // corpus (measured 4.8 s @20× → 6.9 s @100× for a fixed 1k batch).
-    // The batch side still computes its buckets in flight (batch-bounded).
-    val ts = tombstones()
+    // candidate generation 1/2: WALK the existing graph for each new
+    // vector (chunked to bound driver state), exactly the serving path —
+    // the result rows (probe_id, id, dist, rn<=k) ARE the new nodes'
+    // out-edge candidates into the old graph
+    val probes = newV.select(col("id"), col("emb")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    if (probes.isEmpty) { newV.unpersist(); return }
     val wTop = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
-    val newEdges = bucketFns.zipWithIndex.map { case (fn, t) =>
-      val newB = newV.select(col("id"), col("emb"),
-        fn(col("emb")).cast("long").as("bkt"))
-      val bs = newB.select("bkt").distinct().collect().map(_.getLong(0)).toSeq
-      val pruned = prunedProjection(t, bs)
-      // tombstoned ids must not be offered as neighbors (they are absent
-      // from `vectors` but linger in the projections until compact)
-      val existing = ts.fold(pruned)(dead =>
-        pruned.join(broadcast(dead), Seq("id"), "left_anti"))
-      val dstSide = existing.unionByName(newB)
-      newB.select(col("id").as("src"), col("emb").as("semb"), col("bkt"))
-        .join(dstSide.select(col("id").as("dst"), col("emb").as("demb"),
-          col("bkt").as("db")),
-          col("bkt") === col("db") && col("src") =!= col("dst"))
-        .withColumn("dist", VF.l2Sq(col("semb"), col("demb")))
-        .select("src", "dst", "dist")
-    }.reduce(_ unionByName _)
-      .groupBy("src", "dst").agg(min("dist").as("dist")) // same pair from 2 tables
+    val walked: Seq[DataFrame] = probes.grouped(walkChunk).map { chunk =>
+      queryBatch(chunk, topK = k, beamWidth = beamWidth, hops = hops)
+        .select(col("probe_id").as("src"), col("id").as("dst"), col("dist"))
+    }.toSeq
+    // candidate generation 2/2: intra-batch nearness via the LSH bucket
+    // join of the batch against ITSELF (batch-bounded)
+    val intra = KnnGraph.buildDirected(
+      newV.select(col("id"), col("emb")),
+      newV.select(col("id"), col("emb")), bucketFns, k)
+    val newEdges = (walked :+ intra)
+      .reduce(_ unionByName _)
+      .groupBy("src", "dst").agg(min("dist").as("dist")) // walk ∪ intra overlap
       .withColumn("rn", row_number().over(wTop))
       .filter(col("rn") <= k)
       .select("src", "dst", "dist")
       .persist()
     try {
-      if (newV.isEmpty) return
       // reverse proposals let existing nodes adopt new neighbors. ONE
       // window resolves every touched source (new nodes AND proposal
       // targets) over old edges ∪ proposals ∪ new out-edges — resolving
@@ -472,18 +447,7 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         StoreIO.Staged(s"$path/__stage_vectors_$e", s"$vecPath/epoch=$e",
           st => sortedBy(newV, "id").write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
-          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st))) ++
-        // the bucket projections gain the SAME delta epoch, so the next
-        // insert's pruned reads see this batch too — all trees move in one
-        // commit
-        bucketFns.zipWithIndex.map { case (fn, t) =>
-          StoreIO.Staged(s"$path/__stage_bucketproj_${t}_$e",
-            s"${bucketProjPath(t)}/epoch=$e",
-            st => newV.select(col("id"), col("emb"),
-                fn(col("emb")).cast("long").as("bkt"))
-              .repartitionByRange(col("bkt")).sortWithinPartitions("bkt")
-              .write.mode("overwrite").parquet(st))
-        },
+          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st))),
         marker)
     } finally Seq(newV, newEdges).foreach(_.unpersist())
   }

@@ -171,22 +171,37 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     assert(g.filter(col("src") === col("dst")).count() == 0)
   }
 
-  test("insert's existing-side read pushes the batch's bucket set into the scan") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_prune").toString
-    val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
+  test("insert wires new nodes from the serving beam walk plus intra-batch candidates") {
+    import org.apache.spark.sql.expressions.Window
+    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_walk").toString
+    val fns = Seq(bucketOf(0) _, bucketOf(200) _)
+    val idx = new GraphIndex(spark, dir, K, fns)
     idx.build(all.filter(col("id") <= 100), refineRounds = 0)
-    val some = spark.read.parquet(s"$dir/bucketproj/t=0")
-      .select("bkt").distinct().orderBy("bkt").limit(2)
-      .collect().map(_.getLong(0)).toSeq
-    val pruned = idx.prunedProjection(0, some)
-    val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters: [In(bkt") || plan.contains("PushedFilters: [bkt"),
-      s"the bucket In-filter must push into the projection scan:\n$plan")
-    // correctness of the pruned read: exactly the rows of those buckets
-    assert(pruned.count() ==
-      spark.read.parquet(s"$dir/bucketproj/t=0")
-        .filter(col("bkt").isin(some: _*)).count())
-    assert(pruned.count() > 0)
+    val batch = all.filter(col("id") > 100 && col("id") <= 110)
+      .select(col("id"), col("emb"))
+    // expected out-edges: EXACTLY the insert's candidate formula — the
+    // pre-insert beam walk ∪ intra-batch LSH candidates ∪ the reverse of
+    // the intra edges (the proposal pass re-offers them), best K by
+    // (dist, dst). This pins insert to the corpus-flat serving path: a
+    // corpus-scan formulation would find candidates the walk cannot.
+    val probes = batch.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val walk = idx.queryBatch(probes, K, beamWidth = 8, hops = 4)
+      .select(col("probe_id").as("src"), col("id").as("dst"), col("dist"))
+    val intra = graft.operators.KnnGraph.buildDirected(batch, batch, fns, K)
+    val cands = walk.unionByName(intra)
+      .unionByName(intra.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+    val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+    val expected = cands.groupBy("src", "dst").agg(min("dist").as("dist"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= K)
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    idx.insert(batch)
+    val got = idx.graph
+      .join(broadcast(batch.select(col("id").as("src"))), Seq("src"), "left_semi")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"new nodes' out-edges must come from the walk+intra candidate set\n" +
+        s"unexpected: ${(got -- expected).take(5)}  missing: ${(expected -- got).take(5)}")
   }
 
   test("beam walk's src In-filter pushes below the epoch-resolution window") {
