@@ -47,6 +47,14 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * keep max-epoch rows per src (one window whose src In-filters still push
  * down to the scan). [[compact]] folds all epochs back into one.
  */
+object GraphIndex {
+  /** [[GraphIndex.deleteBatch]] batches up to this size resolve their
+    * in-neighbors via reverse-tree point reads; larger batches fall back
+    * to one resolved-graph scan (a delete that big reads the corpus
+    * whatever the structure). */
+  val PointDeleteCap: Int = 65536
+}
+
 final class GraphIndex(spark: SparkSession, path: String, k: Int,
                        bucketFns: Seq[Column => Column], numEntries: Int = 4) {
   require(bucketFns.nonEmpty, "need at least one LSH bucketing")
@@ -54,6 +62,19 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
 
   private def vecPath = s"$path/vectors"
   private def graphPath = s"$path/graph"
+
+  /** Reverse-edge tree (`graphRev/epoch=N`, rows (dst, src) RANGE-SORTED
+    * on dst): [[deleteBatch]]'s in-neighbor discovery. Finding "who points
+    * INTO these ids" on the src-sorted graph is a full edge scan (dst is
+    * not the sort key); this tree turns it into the same In-pruned point
+    * read the beam walk uses, keyed by dst. It is a candidate SUPERSET,
+    * not a resolved view — a src's rewritten edge set in a newer epoch
+    * does not erase its older reverse rows — so every hit is VERIFIED
+    * against the src-resolved truth (a second In-pruned read, bounded by
+    * the candidate srcs) before repair; stale rows fold away at
+    * [[compact]]. Maintained by every publish that writes a graph epoch,
+    * from the same frame, in the same crash-consistent commit. */
+  private def graphRevPath = s"$path/graphRev"
   private def entriesPath = s"$path/entries"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
@@ -192,6 +213,9 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         st => v.write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${graphPath}__stage", graphPath,
         st => g.write.mode("overwrite").parquet(s"$st/epoch=0")),
+      StoreIO.Staged(s"${graphRevPath}__stage", graphRevPath,
+        st => sortedBy(g.select(col("dst"), col("src")), "dst")
+          .write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
         st => entries.write.mode("overwrite").parquet(st))) ++
       (if (allTsDirs.isEmpty) Seq.empty
@@ -447,7 +471,10 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         StoreIO.Staged(s"$path/__stage_vectors_$e", s"$vecPath/epoch=$e",
           st => sortedBy(newV, "id").write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
-          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st))),
+          st => sortedBy(refreshed, "src").write.mode("overwrite").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_graphrev_$e", s"$graphRevPath/epoch=$e",
+          st => sortedBy(refreshed.select(col("dst"), col("src")), "dst")
+            .write.mode("overwrite").parquet(st))),
         marker)
     } finally Seq(newV, newEdges).foreach(_.unpersist())
   }
@@ -469,13 +496,13 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * immediately ([[vectors]]/[[graph]] anti-join); [[compact]] drops
     * them physically and fences the batch ids against replay.
     *
-    * Cost: the in-neighbor probe is one narrow (src, dst) scan of the
-    * edge tree with a `dst IN batch` filter — dst is not the sort key, so
-    * at 100 TB this is the one full-tree (columnar, two-column) read per
-    * delete batch; a dst-bucketed reverse-edge projection would make it a
-    * pruned probe, the same secondary-projection trade as the insert-path
-    * bucket pruning. Everything downstream is bounded by
-    * |in-neighbors| · k. */
+    * Cost: the in-neighbor probe is an In-pruned POINT READ of the
+    * dst-sorted reverse-edge tree (a historical candidate superset whose
+    * hits verify against the src-resolved truth — another In-pruned
+    * read), so a delete batch touches O((|in-neighbors| + |batch|) · k)
+    * rows, never the corpus; batches beyond [[GraphIndex.PointDeleteCap]]
+    * fall back to one resolved-graph scan. Everything downstream is
+    * bounded by |in-neighbors| · k. */
   def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative")
     require(ids.columns.contains("id"), "delete batch needs an id column")
@@ -494,19 +521,50 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       finally del.unpersist(): Unit
       return
     }
-    val g = graph.persist()
     try {
-      val delAsSrc = del.withColumnRenamed("id", "src")
-      val delAsDst = del.withColumnRenamed("id", "dst")
-      // live srcs with an edge into the deleted set — the rows to rewire
-      val inEdges = g.join(broadcast(delAsDst), Seq("dst"), "left_semi")
-        .join(broadcast(delAsSrc), Seq("src"), "left_anti")
-        .select(col("src"), col("dst").as("d")).persist()
+      val delIds = del.collect().map(_.getLong(0)).sorted.toSeq
+      if (delIds.isEmpty) {
+        del.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
+        return
+      }
+      // in-neighbor discovery: an In-pruned POINT READ of the dst-sorted
+      // reverse-edge tree ([[graphRevPath]]) — never a full edge scan. The
+      // rev tree is a historical superset, so candidates VERIFY against
+      // the src-resolved truth below (their current edge sets, another
+      // In-pruned read). Falls back to the resolved-graph scan for
+      // point-read-unfriendly batches (huge deletes read the corpus
+      // anyway) or a pre-rev-tree index.
+      val delSet = delIds.toSet
+      val candSrcs: Seq[Long] =
+        if (delIds.length <= GraphIndex.PointDeleteCap &&
+            new java.io.File(graphRevPath).exists())
+          spark.read.parquet(graphRevPath)
+            .filter(col("dst").isin(delIds: _*))
+            .select("src").distinct()
+            .collect().map(_.getLong(0)).filterNot(delSet).sorted.toSeq
+        else
+          graph.join(broadcast(del.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
+            .select("src").distinct()
+            .collect().map(_.getLong(0)).filterNot(delSet).sorted.toSeq
+      // current LIVE edge sets of every id the repair touches (candidate
+      // in-neighbors + the deleted nodes themselves) — src In-filter
+      // pushes below the epoch-resolution window, bounded by
+      // (|candidates| + |batch|) · k rows
+      val touchedAll = (candSrcs ++ delIds).distinct.sorted
+      val curRaw = resolveLatest(rawGraph.filter(col("src").isin(touchedAll: _*)))
+      val cur = tombstones().fold(curRaw)(ts =>
+        curRaw.join(broadcast(ts.withColumnRenamed("id", "src")), Seq("src"), "left_anti"))
+        .persist()
       try {
+        // the rows to rewire: live srcs whose CURRENT edges point into the
+        // deleted set (stale rev candidates die here)
+        val inEdges = cur
+          .filter(col("dst").isin(delIds: _*) && !col("src").isin(delIds: _*))
+          .select(col("src"), col("dst").as("d"))
         // bridge candidates s -> n via each deleted d: d's live out-edges
-        val delOut = g.join(broadcast(delAsSrc), Seq("src"), "left_semi")
+        val delOut = cur
+          .filter(col("src").isin(delIds: _*) && !col("dst").isin(delIds: _*))
           .select(col("src").as("d"), col("dst").as("n"))
-          .join(broadcast(del.withColumnRenamed("id", "n")), Seq("n"), "left_anti")
         val bridge = inEdges.join(delOut, "d")
           .filter(col("src") =!= col("n"))
           .select(col("src"), col("n").as("dst"))
@@ -519,27 +577,35 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
           .join(ve.select(col("id").as("dst"), col("emb").as("demb")), "dst")
           .select(col("src"), col("dst"), VF.l2Sq(col("semb"), col("demb")).as("dist"))
         val touched = inEdges.select("src").distinct()
-        val survivors = g.join(broadcast(touched), Seq("src"), "left_semi")
-          .join(broadcast(delAsDst), Seq("dst"), "left_anti")
+        val survivors = cur
+          .join(broadcast(touched), Seq("src"), "left_semi")
+          .filter(!col("dst").isin(delIds: _*))
         val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
         val repaired = survivors.unionByName(scored)
           .groupBy("src", "dst").agg(min("dist").as("dist"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= k)
           .select("src", "dst", "dist")
-        // tombstones + repaired edge epoch publish together or not at all:
-        // a crash can never leave a tombstone whose in-neighbors still
-        // point at it (the invariant [[graph]]'s doc asserts)
-        val e = epochs().max + 1
-        StoreIO.commitStaged(Seq(
-          StoreIO.Staged(s"$path/__stage_tombstones_$batchId",
-            s"$tombstonePath/batch=$batchId",
-            st => del.write.mode("overwrite").parquet(st)),
-          StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
-            st => sortedBy(repaired, "src").write.mode("overwrite").parquet(st))),
-          marker)
-      } finally inEdges.unpersist(): Unit
-    } finally { g.unpersist(); del.unpersist(): Unit }
+          .persist() // written twice: forward epoch + reverse epoch
+        // tombstones + repaired edge epoch (forward AND reverse) publish
+        // together or not at all: a crash can never leave a tombstone
+        // whose in-neighbors still point at it (the invariant [[graph]]'s
+        // doc asserts)
+        try {
+          val e = epochs().max + 1
+          StoreIO.commitStaged(Seq(
+            StoreIO.Staged(s"$path/__stage_tombstones_$batchId",
+              s"$tombstonePath/batch=$batchId",
+              st => del.write.mode("overwrite").parquet(st)),
+            StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
+              st => sortedBy(repaired, "src").write.mode("overwrite").parquet(st)),
+            StoreIO.Staged(s"$path/__stage_graphrev_$e", s"$graphRevPath/epoch=$e",
+              st => sortedBy(repaired.select(col("dst"), col("src")), "dst")
+                .write.mode("overwrite").parquet(st))),
+            marker)
+        } finally repaired.unpersist(): Unit
+      } finally cur.unpersist(): Unit
+    } finally del.unpersist(): Unit
   }
 
   /** Driver-side convenience delete: next free tombstone batch id (past

@@ -183,6 +183,11 @@ object Prof {
     val batch2 = corpus.orderBy("id").limit(1000)
       .withColumn("id", col("id") + lit(2L * (maxId + 1L)))
     time("gidx_insert_1k_b2", nTag)(idx.insert(batch2))
+    // fixed-size delete with edge repair: cost must track the BATCH (the
+    // in-neighbor probe is a reverse-tree point read), not the corpus
+    val deadIds = corpus.orderBy("id").limit(200).collect().map(_.getLong(0)).toSeq
+    time("gidx_delete_200", nTag)(idx.delete(deadIds))
+    time("gidx_query_after_delete", nTag)(idx.query(qe, 5, 4, 6).collect())
     time("gidx_compact", nTag)(idx.compact())
     time("gidx_query_after_compact", nTag)(idx.query(qe, 5, 4, 6).collect())
     s.stop()
