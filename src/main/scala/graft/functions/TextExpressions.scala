@@ -104,6 +104,23 @@ case class AHashBands(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** window_hashes(ARRAY<BIGINT>) -> ARRAY<BIGINT> — 64-bit rolling hash of
+  * every k-wide window, one pass ([[TextHashOps.windowHashes]]). */
+case class WindowHashes(child: Expression, k: Int) extends UnaryExpression {
+  override def prettyName: String = "window_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.windowHashes(v.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.windowHashes($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** minhash_sig(ARRAY<BIGINT>) -> ARRAY<BIGINT> — 12-permutation MinHash
   * signature of a shingle-hash array, single pass over the input. */
 case class MinHashSig(child: Expression) extends UnaryExpression {

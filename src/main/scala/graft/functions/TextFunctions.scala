@@ -32,6 +32,11 @@ object TextFunctions {
     * band values (codegen kernel [[AHashBands]]). */
   def aHashBands(payload: Column): Column = expr1(AHashBands.apply)(payload)
 
+  /** 64-bit rolling hash of every k-wide window of a hash array, one
+    * pass (codegen kernel [[WindowHashes]]). */
+  def windowHashes(hashes: Column, k: Int): Column =
+    expr1(e => WindowHashes(e, k))(hashes)
+
   /** Occurrences of literal `term` in a token array (codegen tf kernel). */
   def termFreq(toks: Column, term: String): Column =
     expr1(e => TermFreq(e, term))(toks)

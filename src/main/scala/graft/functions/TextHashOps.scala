@@ -178,6 +178,47 @@ object TextHashOps {
     bands
   }
 
+  /** 64-bit hashes of EVERY k-wide window over a hash array in ONE pass —
+    * the q_dedup_substring fingerprint kernel. Rolling polynomial over
+    * 2^64 (odd multiplier, wrap-around): push = `h·B + x`, pop =
+    * `h − x·B^(k−1)`, so each window costs O(1) instead of an O(k) slice
+    * + re-hash (the slice form allocates a k-element array per window —
+    * hundreds of millions of allocations at stress scale). Each emitted
+    * value passes through a bijective finalizer, so the linear structure
+    * of the polynomial never shows up in shuffle-partition or groupBy
+    * distributions; 64 bits keep birthday collisions negligible at
+    * billions of windows (a 30-bit kernel measurably collided at 18M),
+    * and every collision that does occur dies in the query's exact-text
+    * verify. */
+  def windowHashes(th: ArrayData, k: Int): ArrayData = {
+    val n = th.numElements()
+    if (k <= 0 || n < k) return new GenericArrayData(Array.empty[Long])
+    val B = 0x9E3779B97F4A7C15L
+    var bk = 1L // B^(k-1), wrapping
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val out = new Array[Long](n - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + th.getLong(i); i += 1 }
+    out(0) = mix64(h)
+    i = 0
+    while (i + k < n) {
+      h = (h - th.getLong(i) * bk) * B + th.getLong(i + k)
+      out(i + 1) = mix64(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Murmur3 finalizer — bijective, so it cannot introduce collisions. */
+  private def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 33); z *= 0xff51afd7ed558ccdL
+    z ^= (z >>> 33); z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
   // ---- ArrayData adapters for codegen call sites ----
 
   def aHashBandsAD(b: Array[Byte]): ArrayData = new GenericArrayData(aHashBands(b))

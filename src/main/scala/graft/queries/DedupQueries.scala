@@ -357,12 +357,10 @@ object DedupQueries {
         // and every collision graduates to the exact-verify phase
         // (measured: tens of seconds from spurious candidates alone).
         val fps = tbl(s, dir, "documents")
-          .select(col("doc_id"), TF.tokenHashes(TF.tokens(col("text"))).as("th"))
-          .filter(size(col("th")) >= K)
-          .select(col("doc_id"), col("th"),
-            explode(sequence(lit(0), size(col("th")) - K)).as("strt"))
-          .select(col("doc_id"), col("strt").cast("long").as("pos"),
-            xxhash64(slice(col("th"), col("strt") + 1, lit(K))).as("fp"))
+          .select(col("doc_id"),
+            posexplode(TF.windowHashes(TF.tokenHashes(TF.tokens(col("text"))), K))
+              .as(Seq("pos", "fp")))
+          .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
           .persist() // scanned twice: fp-frequency pass + candidate fetch
         // only an fp seen >= 2 times can produce a match — a vanishing
         // fraction of the corpus, so the candidate self-join below joins

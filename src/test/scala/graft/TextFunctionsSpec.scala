@@ -121,6 +121,25 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
       s"expected mostly planted pairs, got $planted of ${out.length}")
   }
 
+  test("windowHashes: one rolling pass equals per-window identity semantics") {
+    def wh(xs: Seq[Long], k: Int): Seq[Long] = {
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      TextHashOps.windowHashes(new GenericArrayData(xs.toArray), k).toLongArray().toSeq
+    }
+    // length n-k+1; short input -> empty
+    assert(wh(Seq(1L, 2L, 3L, 4L), 2).length == 3)
+    assert(wh(Seq(1L, 2L), 3).isEmpty)
+    // equal windows hash equal, regardless of position (rolling must not
+    // leak absolute position): [a,b,c,a,b,c] windows 0 and 3 coincide
+    val h = wh(Seq(7L, 8L, 9L, 7L, 8L, 9L), 3)
+    assert(h.length == 4 && h(0) == h(3) && h.distinct.length == 3,
+      s"identical windows must collide, distinct ones must not: $h")
+    // codegen column path equals the kernel
+    val viaCol = Seq(Seq(7L, 8L, 9L, 7L, 8L, 9L)).toDF("th")
+      .select(TF.windowHashes(col("th"), 3)).as[Seq[Long]].head()
+    assert(viaCol == h)
+  }
+
   test("shingles: k-grams with short-document fallback") {
     val df = Seq("a b c d", "a b").toDF("s")
       .select(TF.shingles(TF.tokens(col("s")), 3).as("sh")).as[Seq[String]]
