@@ -587,10 +587,39 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
           .filter(col("rn") <= k)
           .select("src", "dst", "dist")
           .persist() // written twice: forward epoch + reverse epoch
-        // tombstones + repaired edge epoch (forward AND reverse) publish
-        // together or not at all: a crash can never leave a tombstone
-        // whose in-neighbors still point at it (the invariant [[graph]]'s
-        // doc asserts)
+        // ENTRY-POINT hygiene: a deleted id that is a build-time medoid
+        // entry would leave every walk starting from a node the vector
+        // anti-join hides — with all entries deleted, queries would return
+        // NOTHING over a live corpus. Each dead entry hands its slot to
+        // its nearest LIVE out-neighbor (the same bridge discipline as the
+        // edge repair, exact distances from `cur`); an entry with no live
+        // neighbor drops.
+        val entriesNow = entryPoints.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val deadEntryIds = entriesNow.collect { case (_, id) if delSet(id) => id }
+        val entryStages: Seq[StoreIO.Staged] =
+          if (deadEntryIds.isEmpty) Seq.empty
+          else {
+            val repl: Map[Long, Long] = cur
+              .filter(col("src").isin(deadEntryIds: _*) && !col("dst").isin(delIds: _*))
+              .collect()
+              .groupBy(_.getLong(0))
+              .map { case (s0, rows) =>
+                s0 -> rows.minBy(r => (r.getDouble(2), r.getLong(1))).getLong(1)
+              }
+            val newEntries = entriesNow.flatMap { case (cell, id) =>
+              if (!delSet(id)) Some((cell, id)) else repl.get(id).map((cell, _))
+            }
+            require(newEntries.nonEmpty,
+              "delete would leave the index without any entry point — rebuild instead")
+            Seq(StoreIO.Staged(s"$path/__stage_entries_$batchId", entriesPath,
+              st => spark.createDataFrame(newEntries.toSeq).toDF("cell", "id")
+                .write.mode("overwrite").parquet(st)))
+          }
+        // tombstones + repaired edge epoch (forward AND reverse) + any
+        // entry replacement publish together or not at all: a crash can
+        // never leave a tombstone whose in-neighbors still point at it
+        // (the invariant [[graph]]'s doc asserts) or whose entries are
+        // ghosts
         try {
           val e = epochs().max + 1
           StoreIO.commitStaged(Seq(
@@ -601,8 +630,9 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
               st => sortedBy(repaired, "src").write.mode("overwrite").parquet(st)),
             StoreIO.Staged(s"$path/__stage_graphrev_$e", s"$graphRevPath/epoch=$e",
               st => sortedBy(repaired.select(col("dst"), col("src")), "dst")
-                .write.mode("overwrite").parquet(st))),
+                .write.mode("overwrite").parquet(st))) ++ entryStages,
             marker)
+          if (deadEntryIds.nonEmpty) entryCache = null
         } finally repaired.unpersist(): Unit
       } finally cur.unpersist(): Unit
     } finally del.unpersist(): Unit

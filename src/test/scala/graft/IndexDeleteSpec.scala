@@ -252,6 +252,22 @@ class IndexDeleteSpec extends AnyFunSuite with SparkTest {
       "re-added id must be wired into the graph")
   }
 
+  test("GraphIndex: deleting every entry point hands the slots to live neighbors") {
+    val dir = tmp("gidx_entries")
+    val idx = newGraph(dir)
+    idx.build(vecs.filter(col("id") <= 150), refineRounds = 0)
+    val entryIds = idx.entryPoints.select("id").collect().map(_.getLong(0)).toSeq
+    assert(entryIds.nonEmpty)
+    idx.delete(entryIds) // every walk would otherwise start from a ghost
+    val newEntries = idx.entryPoints.select("id").collect().map(_.getLong(0)).toSeq
+    assert(newEntries.nonEmpty && newEntries.forall(id => !entryIds.contains(id)),
+      "dead entries must be replaced by live neighbors in the same commit")
+    val got = idx.query(probeOf(entryIds.head), topK = 5, beamWidth = 8, hops = 3)
+      .select("id").collect().map(_.getLong(0))
+    assert(got.nonEmpty, "queries must survive the deletion of every entry point")
+    assert(got.forall(id => !entryIds.contains(id)))
+  }
+
   test("GraphIndex: a replayed insert whose ids were deleted in the interim skips them") {
     val dir = tmp("gidx_replay")
     val idx = newGraph(dir)
