@@ -638,6 +638,14 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     } finally del.unpersist(): Unit
   }
 
+  /** Does this (id LONG, ...) batch re-add ids with PENDING tombstones?
+    * ([[IvfIndex.readdsTombstoned]]'s graph twin — the routed
+    * `Collection.add` compacts first, since [[insert]] would silently
+    * skip ids that are physically present but tombstoned.) */
+  private[store] def readdsTombstoned(ids: DataFrame): Boolean =
+    tombstones().exists(ts =>
+      !ids.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
+
   /** Driver-side convenience delete: next free tombstone batch id (past
     * both the live dirs and the compaction fence). */
   def delete(ids: Seq[Long]): Unit = {

@@ -226,6 +226,14 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     deleteBatch(ids, next)
   }
 
+  /** Does this (id LONG, ...) batch re-add ids with PENDING tombstones?
+    * The routed `Collection.add` compacts first when so — appending the
+    * rows directly would either refuse (here) or silently lose the
+    * re-add to the next compact. Free while no deletes are pending. */
+  private[store] def readdsTombstoned(ids: DataFrame): Boolean =
+    tombstones().exists(ts =>
+      !ids.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty)
+
   /** Driver-side convenience append: next free batch id (the streaming
     * path passes its checkpointed batch id to [[appendBatch]] instead). */
   def append(vectors: DataFrame): Unit = {

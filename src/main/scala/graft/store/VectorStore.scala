@@ -143,9 +143,19 @@ final class VectorStore(spark: SparkSession, basePath: String) {
           // after the append would find them all colliding
           val staged = freshRows(incoming).localCheckpoint()
           staged.write.mode("append").parquet(path(name))
+          // re-adding an id whose DELETE is still pending in the index
+          // (tombstoned, not yet compacted) must compact first: a direct
+          // append would refuse (IVF) or silently skip (graph), leaving
+          // the store serving a row the index never will. Chroma's
+          // delete-then-add sequence is legal; this keeps it legal here.
+          val irows = indexRowsOf(staged)
           ai match {
-            case VectorStore.AttachedIvf(idx, _) => idx.append(indexRowsOf(staged))
-            case VectorStore.AttachedGraph(idx, _, _, _) => idx.insert(indexRowsOf(staged))
+            case VectorStore.AttachedIvf(idx, _) =>
+              if (idx.readdsTombstoned(irows)) idx.compact()
+              idx.append(irows)
+            case VectorStore.AttachedGraph(idx, _, _, _) =>
+              if (idx.readdsTombstoned(irows)) idx.compact()
+              idx.insert(irows)
           }
       }
     }

@@ -95,6 +95,13 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     assert(got(c.query(pe, k = 3)).forall(_._1 != "300"),
       "deleted row must stop being served by the routed path")
 
+    // delete-then-re-add before any compact (the Chroma-legal sequence):
+    // the routed add must compact the pending tombstone away and serve
+    // the re-added row instead of refusing or silently skipping it
+    c.add(extra)
+    assert(got(c.query(pe, k = 1)).head._1 == "300",
+      "re-adding a deleted id must be served by the routed path")
+
     // upsert: moves a row's embedding; the rebuild must serve the new one
     val newEmb = Array.fill(64)(9.5f)
     import spark.implicits._
