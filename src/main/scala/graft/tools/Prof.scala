@@ -71,7 +71,8 @@ object Prof {
       else graft.queries.Registry.queries.keys.toSeq.sorted
     names.foreach { name =>
       val t0 = System.nanoTime()
-      val n = graft.queries.Registry.queries(name)(s, dir).count()
+      val n = try graft.queries.Registry.queries(name)(s, dir).count()
+        finally graft.queries.Registry.releasePending()
       println(f"PROF $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s rows=$n")
     }
     s.stop()
