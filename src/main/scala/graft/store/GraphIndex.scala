@@ -53,6 +53,17 @@ object GraphIndex {
     * to one resolved-graph scan (a delete that big reads the corpus
     * whatever the structure). */
   val PointDeleteCap: Int = 65536
+
+  /** A src whose ENTIRE rewritten edge set is empty (every edge pointed
+    * into a delete batch and no bridge candidate survived — e.g. a whole
+    * cluster deleted around one node) still needs a row in the repair
+    * epoch, or max-epoch resolution would resurrect its stale edges into
+    * the deleted ids. The sentinel IS that row: (src, dst = -1) means
+    * "this src's complete current edge set is empty". Readers strip it
+    * after resolution; the reverse tree never carries it (nothing points
+    * INTO the sentinel id); [[compact]] folds such srcs away entirely.
+    * Real ids are non-negative everywhere in the store, so -1 is free. */
+  val EmptyEdgeSentinel: Long = -1L
 }
 
 final class GraphIndex(spark: SparkSession, path: String, k: Int,
@@ -129,10 +140,16 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * cannot exist in live rows — [[delete]] repairs every in-neighbor in
     * the same commit that writes the tombstones. */
   def graph: DataFrame = {
-    val g = resolveLatest(rawGraph)
+    val g = stripSentinel(resolveLatest(rawGraph))
     tombstones().fold(g)(ts =>
       g.join(broadcast(ts.withColumnRenamed("id", "src")), Seq("src"), "left_anti"))
   }
+
+  /** Drop empty-edge-set sentinel rows ([[GraphIndex.EmptyEdgeSentinel]])
+    * AFTER epoch resolution — the sentinel must first win its src's
+    * max-epoch window (that is its whole job), then vanish from view. */
+  private def stripSentinel(g: DataFrame): DataFrame =
+    g.filter(col("dst") =!= lit(GraphIndex.EmptyEdgeSentinel))
 
   private def rawGraph: DataFrame = spark.read.parquet(graphPath)
 
@@ -240,7 +257,15 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       val ent =
         if (retrainEntries) trainEntryPoints(v.select(col("id"), col("emb")))
         else entryPoints
-      publishFull(sortedBy(v, "id"), sortedBy(graph, "src"), ent)
+      // invariant enforcement at the fold point: an edge whose dst has no
+      // live vector (possible only in an index written before the
+      // empty-set sentinel repair existed) is dropped here rather than
+      // persisted forever — dead dsts never score, but they waste beam
+      // slots on every walk
+      val gLive = graph
+        .join(v.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select("src", "dst", "dist")
+      publishFull(sortedBy(v, "id"), sortedBy(gLive, "src"), ent)
     } finally v.unpersist(): Unit
   }
 
@@ -454,8 +479,8 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       // current edges of touched srcs only: the semi-join (broadcast — the
       // touched set is batch-bounded) keeps WHOLE src groups from the raw
       // epoch tree, so resolving after the restriction is exact
-      val current = resolveLatest(
-        rawGraph.join(broadcast(touched), Seq("src"), "left_semi"))
+      val current = stripSentinel(resolveLatest(
+        rawGraph.join(broadcast(touched), Seq("src"), "left_semi")))
       val refreshed = current
         .unionByName(proposals)
         .unionByName(newEdges)
@@ -509,133 +534,215 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // replay fence: already applied physically by a compact/build — a
     // rewrite would resurrect the tombstone against re-added rows
     if (batchId <= tombstoneHwm()) return
-    val del = StoreIO.alignToSchema(ids.select("id"),
+    val delReq = StoreIO.alignToSchema(ids.select("id"),
       Seq(org.apache.spark.sql.types.StructField(
         "id", org.apache.spark.sql.types.LongType)), Seq("id"))
-      .dropDuplicates("id").persist()
-    // delete before any build: nothing to repair — record the tombstones
-    // (idempotent dir write); a later [[build]] sweeps them, since a full
-    // rebuild's input defines the new truth
+      .dropDuplicates("id")
+    // delete before any build: nothing to repair and no id spine to check
+    // against — record the tombstones (idempotent dir write); a later
+    // [[build]] sweeps them, since a full rebuild's input defines the new
+    // truth
     if (!new java.io.File(graphPath).exists()) {
-      try del.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
-      finally del.unpersist(): Unit
+      delReq.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
       return
     }
+    // ids never inserted are IGNORED (Chroma semantics; TextIndex
+    // .deleteBatch filters the same way): tombstoning an unknown id would
+    // silently swallow a LATER direct insert() of that id — the anti-join
+    // hides the new row, then the next compact drops it physically
+    val del = delReq
+      .join(spark.read.parquet(vecPath).select("id"), Seq("id"), "left_semi")
+      .persist()
     try {
-      val delIds = del.collect().map(_.getLong(0)).sorted.toSeq
-      if (delIds.isEmpty) {
+      val nDel = del.count()
+      if (nDel == 0L)
         del.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
-        return
-      }
-      // in-neighbor discovery: an In-pruned POINT READ of the dst-sorted
-      // reverse-edge tree ([[graphRevPath]]) — never a full edge scan. The
-      // rev tree is a historical superset, so candidates VERIFY against
-      // the src-resolved truth below (their current edge sets, another
-      // In-pruned read). Falls back to the resolved-graph scan for
-      // point-read-unfriendly batches (huge deletes read the corpus
-      // anyway) or a pre-rev-tree index.
-      val delSet = delIds.toSet
-      val candSrcs: Seq[Long] =
-        if (delIds.length <= GraphIndex.PointDeleteCap &&
-            new java.io.File(graphRevPath).exists())
-          spark.read.parquet(graphRevPath)
-            .filter(col("dst").isin(delIds: _*))
-            .select("src").distinct()
-            .collect().map(_.getLong(0)).filterNot(delSet).sorted.toSeq
-        else
-          graph.join(broadcast(del.withColumnRenamed("id", "dst")), Seq("dst"), "left_semi")
-            .select("src").distinct()
-            .collect().map(_.getLong(0)).filterNot(delSet).sorted.toSeq
-      // current LIVE edge sets of every id the repair touches (candidate
-      // in-neighbors + the deleted nodes themselves) — src In-filter
-      // pushes below the epoch-resolution window, bounded by
-      // (|candidates| + |batch|) · k rows
-      val touchedAll = (candSrcs ++ delIds).distinct.sorted
-      val curRaw = resolveLatest(rawGraph.filter(col("src").isin(touchedAll: _*)))
-      val cur = tombstones().fold(curRaw)(ts =>
-        curRaw.join(broadcast(ts.withColumnRenamed("id", "src")), Seq("src"), "left_anti"))
-        .persist()
-      try {
-        // the rows to rewire: live srcs whose CURRENT edges point into the
-        // deleted set (stale rev candidates die here)
-        val inEdges = cur
-          .filter(col("dst").isin(delIds: _*) && !col("src").isin(delIds: _*))
-          .select(col("src"), col("dst").as("d"))
-        // bridge candidates s -> n via each deleted d: d's live out-edges
-        val delOut = cur
-          .filter(col("src").isin(delIds: _*) && !col("dst").isin(delIds: _*))
-          .select(col("src").as("d"), col("dst").as("n"))
-        val bridge = inEdges.join(delOut, "d")
-          .filter(col("src") =!= col("n"))
-          .select(col("src"), col("n").as("dst"))
-          .distinct()
-        // exact distances — point-joins against the live vectors, bounded
-        // by |in-edges| · k pairs
-        val ve = vectors.select(col("id"), col("emb"))
-        val scored = bridge
-          .join(ve.select(col("id").as("src"), col("emb").as("semb")), "src")
-          .join(ve.select(col("id").as("dst"), col("emb").as("demb")), "dst")
-          .select(col("src"), col("dst"), VF.l2Sq(col("semb"), col("demb")).as("dist"))
-        val touched = inEdges.select("src").distinct()
-        val survivors = cur
-          .join(broadcast(touched), Seq("src"), "left_semi")
-          .filter(!col("dst").isin(delIds: _*))
-        val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
-        val repaired = survivors.unionByName(scored)
-          .groupBy("src", "dst").agg(min("dist").as("dist"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= k)
-          .select("src", "dst", "dist")
-          .persist() // written twice: forward epoch + reverse epoch
-        // ENTRY-POINT hygiene: a deleted id that is a build-time medoid
-        // entry would leave every walk starting from a node the vector
-        // anti-join hides — with all entries deleted, queries would return
-        // NOTHING over a live corpus. Each dead entry hands its slot to
-        // its nearest LIVE out-neighbor (the same bridge discipline as the
-        // edge repair, exact distances from `cur`); an entry with no live
-        // neighbor drops.
-        val entriesNow = entryPoints.collect().map(r => (r.getLong(0), r.getLong(1)))
-        val deadEntryIds = entriesNow.collect { case (_, id) if delSet(id) => id }
-        val entryStages: Seq[StoreIO.Staged] =
-          if (deadEntryIds.isEmpty) Seq.empty
-          else {
-            val repl: Map[Long, Long] = cur
-              .filter(col("src").isin(deadEntryIds: _*) && !col("dst").isin(delIds: _*))
-              .collect()
-              .groupBy(_.getLong(0))
-              .map { case (s0, rows) =>
-                s0 -> rows.minBy(r => (r.getDouble(2), r.getLong(1))).getLong(1)
-              }
-            val newEntries = entriesNow.flatMap { case (cell, id) =>
-              if (!delSet(id)) Some((cell, id)) else repl.get(id).map((cell, _))
-            }
-            require(newEntries.nonEmpty,
-              "delete would leave the index without any entry point — rebuild instead")
-            Seq(StoreIO.Staged(s"$path/__stage_entries_$batchId", entriesPath,
-              st => spark.createDataFrame(newEntries.toSeq).toDF("cell", "id")
-                .write.mode("overwrite").parquet(st)))
-          }
-        // tombstones + repaired edge epoch (forward AND reverse) + any
-        // entry replacement publish together or not at all: a crash can
-        // never leave a tombstone whose in-neighbors still point at it
-        // (the invariant [[graph]]'s doc asserts) or whose entries are
-        // ghosts
-        try {
-          val e = epochs().max + 1
-          StoreIO.commitStaged(Seq(
-            StoreIO.Staged(s"$path/__stage_tombstones_$batchId",
-              s"$tombstonePath/batch=$batchId",
-              st => del.write.mode("overwrite").parquet(st)),
-            StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
-              st => sortedBy(repaired, "src").write.mode("overwrite").parquet(st)),
-            StoreIO.Staged(s"$path/__stage_graphrev_$e", s"$graphRevPath/epoch=$e",
-              st => sortedBy(repaired.select(col("dst"), col("src")), "dst")
-                .write.mode("overwrite").parquet(st))) ++ entryStages,
-            marker)
-          if (deadEntryIds.nonEmpty) entryCache = null
-        } finally repaired.unpersist(): Unit
-      } finally cur.unpersist(): Unit
+      else if (nDel <= GraphIndex.PointDeleteCap &&
+               new java.io.File(graphRevPath).exists())
+        deletePointRead(del, batchId)
+      else
+        deleteScan(del, batchId)
     } finally del.unpersist(): Unit
+  }
+
+  /** Small-batch delete: in-neighbor discovery is an In-pruned POINT READ
+    * of the dst-sorted reverse-edge tree ([[graphRevPath]]) — never a full
+    * edge scan. The rev tree is a historical superset, so candidates
+    * VERIFY against the src-resolved truth (their current edge sets,
+    * another In-pruned read). A batch touches
+    * O((|in-neighbors| + |batch|) · k) rows, never the corpus. */
+  private[store] def deletePointRead(del: DataFrame, batchId: Long): Unit = {
+    val delIds = del.collect().map(_.getLong(0)).sorted.toSeq
+    val delSet = delIds.toSet
+    val candSrcs: Seq[Long] =
+      spark.read.parquet(graphRevPath)
+        .filter(col("dst").isin(delIds: _*))
+        .select("src").distinct()
+        .collect().map(_.getLong(0)).filterNot(delSet).sorted.toSeq
+    // current LIVE edge sets of every id the repair touches (candidate
+    // in-neighbors + the deleted nodes themselves) — src In-filter
+    // pushes below the epoch-resolution window, bounded by
+    // (|candidates| + |batch|) · k rows
+    val touchedAll = (candSrcs ++ delIds).distinct.sorted
+    val curRaw = stripSentinel(
+      resolveLatest(rawGraph.filter(col("src").isin(touchedAll: _*))))
+    val cur = tombstones().fold(curRaw)(ts =>
+      curRaw.join(broadcast(ts.withColumnRenamed("id", "src")), Seq("src"), "left_anti"))
+      .persist()
+    try {
+      // the rows to rewire: live srcs whose CURRENT edges point into the
+      // deleted set (stale rev candidates die here)
+      val inEdges = cur
+        .filter(col("dst").isin(delIds: _*) && !col("src").isin(delIds: _*))
+        .select(col("src"), col("dst").as("d"))
+      // bridge candidates s -> n via each deleted d: d's live out-edges
+      val delOut = cur
+        .filter(col("src").isin(delIds: _*) && !col("dst").isin(delIds: _*))
+        .select(col("src").as("d"), col("dst").as("n"))
+      val bridge = inEdges.join(delOut, "d")
+        .filter(col("src") =!= col("n"))
+        .select(col("src"), col("n").as("dst"))
+        .distinct()
+      // exact distances — point-joins against the live vectors, bounded
+      // by |in-edges| · k pairs
+      val ve = vectors.select(col("id"), col("emb"))
+      val scored = bridge
+        .join(ve.select(col("id").as("src"), col("emb").as("semb")), "src")
+        .join(ve.select(col("id").as("dst"), col("emb").as("demb")), "dst")
+        .select(col("src"), col("dst"), VF.l2Sq(col("semb"), col("demb")).as("dist"))
+      val touched = inEdges.select("src").distinct()
+      val survivors = cur
+        .join(broadcast(touched), Seq("src"), "left_semi")
+        .filter(!col("dst").isin(delIds: _*))
+      val repaired = withEmptySentinels(
+        rankTopK(survivors.unionByName(scored)), touched).persist()
+      try {
+        val entryStages = entryRepairStages(batchId, del,
+          dead => cur.filter(col("src").isin(dead: _*) &&
+            !col("dst").isin(delIds: _*)))
+        publishDelete(del, batchId, repaired, entryStages)
+      } finally repaired.unpersist(): Unit
+    } finally cur.unpersist(): Unit
+  }
+
+  /** Large-batch fallback (past [[GraphIndex.PointDeleteCap]], or a
+    * pre-rev-tree index): ONE resolved-graph scan (a delete that big reads
+    * the corpus whatever the structure), and everything downstream stays a
+    * DISTRIBUTED semi/anti-join against the delete frame — no driver-side
+    * id list, no isin over corpus-scale literal lists (a 10%-of-corpus
+    * delete must not OOM the driver or blow up the plan). */
+  private[store] def deleteScan(del: DataFrame, batchId: Long): Unit = {
+    val delSrc = del.withColumnRenamed("id", "src")
+    val delDst = del.withColumnRenamed("id", "dst")
+    val g = graph.persist() // resolved live edges: one scan, reused below
+    try {
+      val inEdges = g.join(delDst, Seq("dst"), "left_semi")
+        .join(delSrc, Seq("src"), "left_anti")
+        .select(col("src"), col("dst").as("d"))
+      val delOut = g.join(delSrc, Seq("src"), "left_semi")
+        .join(delDst, Seq("dst"), "left_anti")
+        .select(col("src").as("d"), col("dst").as("n"))
+      val bridge = inEdges.join(delOut, "d")
+        .filter(col("src") =!= col("n"))
+        .select(col("src"), col("n").as("dst"))
+        .distinct()
+      val ve = vectors.select(col("id"), col("emb"))
+      val scored = bridge
+        .join(ve.select(col("id").as("src"), col("emb").as("semb")), "src")
+        .join(ve.select(col("id").as("dst"), col("emb").as("demb")), "dst")
+        .select(col("src"), col("dst"), VF.l2Sq(col("semb"), col("demb")).as("dist"))
+      val touched = inEdges.select("src").distinct()
+      val survivors = g.join(touched, Seq("src"), "left_semi")
+        .join(delDst, Seq("dst"), "left_anti")
+      val repaired = withEmptySentinels(
+        rankTopK(survivors.unionByName(scored)), touched).persist()
+      try {
+        val entryStages = entryRepairStages(batchId, del,
+          dead => g.filter(col("src").isin(dead: _*))
+            .join(delDst, Seq("dst"), "left_anti"))
+        publishDelete(del, batchId, repaired, entryStages)
+      } finally repaired.unpersist(): Unit
+    } finally g.unpersist(): Unit
+  }
+
+  /** Best k of (surviving edges ∪ bridge candidates) per src. */
+  private def rankTopK(edges: DataFrame): DataFrame = {
+    val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
+    edges.groupBy("src", "dst").agg(min("dist").as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("src", "dst", "dist")
+  }
+
+  /** Every src in `touched` MUST appear in the repair epoch — a src whose
+    * whole edge set died and gained no bridges gets the empty-set sentinel
+    * row ([[GraphIndex.EmptyEdgeSentinel]]), or max-epoch resolution would
+    * keep its stale edges into the deleted ids and [[compact]] would
+    * persist them forever. */
+  private def withEmptySentinels(repaired: DataFrame, touched: DataFrame): DataFrame =
+    repaired.unionByName(
+      touched.join(repaired.select("src").distinct(), Seq("src"), "left_anti")
+        .withColumn("dst", lit(GraphIndex.EmptyEdgeSentinel))
+        .withColumn("dist", lit(0.0)))
+
+  /** ENTRY-POINT hygiene: a deleted id that is a build-time medoid entry
+    * would leave every walk starting from a node the vector anti-join
+    * hides — with all entries deleted, queries would return NOTHING over a
+    * live corpus. Each dead entry hands its slot to its nearest LIVE
+    * out-neighbor (the same bridge discipline as the edge repair, exact
+    * distances); an entry with no live neighbor drops. `liveOut(dead)`
+    * supplies the dead entries' live out-edges (src, dst, dist) — the
+    * entry list is tiny (numEntries), so the collect is bounded by
+    * numEntries · k rows. */
+  private def entryRepairStages(batchId: Long, del: DataFrame,
+                                liveOut: Seq[Long] => DataFrame): Seq[StoreIO.Staged] = {
+    val entriesNow = entryPoints.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // no broadcast hint on `del` — it is corpus-scale in the fallback
+    // path; the entry list is the tiny side and AQE picks the strategy
+    val deadEntryIds = entryPoints
+      .join(del, Seq("id"), "left_semi")
+      .select("id").collect().map(_.getLong(0)).toSet
+    if (deadEntryIds.isEmpty) Seq.empty
+    else {
+      val repl: Map[Long, Long] = liveOut(deadEntryIds.toSeq.sorted)
+        .select("src", "dst", "dist")
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (s0, rows) =>
+          s0 -> rows.minBy(r => (r.getDouble(2), r.getLong(1))).getLong(1)
+        }
+      val newEntries = entriesNow.flatMap { case (cell, id) =>
+        if (!deadEntryIds(id)) Some((cell, id)) else repl.get(id).map((cell, _))
+      }
+      require(newEntries.nonEmpty,
+        "delete would leave the index without any entry point — rebuild instead")
+      Seq(StoreIO.Staged(s"$path/__stage_entries_$batchId", entriesPath,
+        st => spark.createDataFrame(newEntries.toSeq).toDF("cell", "id")
+          .write.mode("overwrite").parquet(st)))
+    }
+  }
+
+  /** Tombstones + repaired edge epoch (forward AND reverse) + any entry
+    * replacement publish together or not at all: a crash can never leave a
+    * tombstone whose in-neighbors still point at it (the invariant
+    * [[graph]]'s doc asserts) or whose entries are ghosts. The reverse
+    * epoch excludes sentinel rows — nothing points INTO the sentinel id,
+    * and a rev point read keyed by it would be noise. */
+  private def publishDelete(del: DataFrame, batchId: Long,
+                            repaired: DataFrame,
+                            entryStages: Seq[StoreIO.Staged]): Unit = {
+    val e = epochs().max + 1
+    StoreIO.commitStaged(Seq(
+      StoreIO.Staged(s"$path/__stage_tombstones_$batchId",
+        s"$tombstonePath/batch=$batchId",
+        st => del.write.mode("overwrite").parquet(st)),
+      StoreIO.Staged(s"$path/__stage_graph_$e", s"$graphPath/epoch=$e",
+        st => sortedBy(repaired, "src").write.mode("overwrite").parquet(st)),
+      StoreIO.Staged(s"$path/__stage_graphrev_$e", s"$graphRevPath/epoch=$e",
+        st => sortedBy(stripSentinel(repaired).select(col("dst"), col("src")), "dst")
+          .write.mode("overwrite").parquet(st))) ++ entryStages,
+      marker)
+    if (entryStages.nonEmpty) entryCache = null
   }
 
   /** Does this (id LONG, ...) batch re-add ids with PENDING tombstones?
