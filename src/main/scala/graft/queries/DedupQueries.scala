@@ -451,9 +451,16 @@ object DedupQueries {
         val mut = "concat(substr(text,1,50),'x',substr(text,52,49),'x'," +
           "substr(text,102,49),'x',substr(text,152,1000000))"
         val base = tbl(s, dir, "documents").select(col("doc_id").as("img_id"), col("text"))
+        // second plant: a NON-ASCII twin (multi-byte UTF-8 prefix), so the
+        // oracle's parity is proven over BYTES, not just the ASCII subset
+        // where bytes and code points coincide
         val imgs = base.unionByName(
           base.filter(col("img_id") % 7 === 0 && length(col("text")) >= 160)
             .select((col("img_id") + 1000000L).as("img_id"), expr(mut).as("text")))
+          .unionByName(
+            base.filter(col("img_id") % 11 === 0 && length(col("text")) >= 160)
+              .select((col("img_id") + 2000000L).as("img_id"),
+                concat(lit("åß∂é☃"), col("text")).as("text")))
         val reps = imgs
           .select(col("img_id"), TF.aHashBands(encode(col("text"), "UTF-8")).as("hb"))
           .groupBy("hb").agg(min("img_id").as("keeper"), count(lit(1)).as("n_members"))
@@ -482,12 +489,23 @@ object DedupQueries {
            |  SELECT doc_id AS img_id, text FROM documents
            |  UNION ALL
            |  SELECT doc_id + 1000000 AS img_id, $mut AS text FROM documents
-           |  WHERE doc_id % 7 = 0 AND length(text) >= 160),
-           |pos AS (SELECT img_id, unnest(range(0, length(text))) AS i FROM imgs),
+           |  WHERE doc_id % 7 = 0 AND length(text) >= 160
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS img_id, 'åß∂é☃' || text AS text FROM documents
+           |  WHERE doc_id % 11 = 0 AND length(text) >= 160),
+           |hx AS MATERIALIZED (
+           |  SELECT img_id, hex(encode(text)) AS h,
+           |         CAST(strlen(text) AS BIGINT) AS n
+           |  FROM imgs),
+           |pos AS (SELECT img_id, unnest(range(0, n)) AS i FROM hx),
            |b AS (SELECT p.img_id, CAST(p.i AS BIGINT) AS i,
-           |             CAST(unicode(substr(m.text, CAST(p.i + 1 AS INT), 1)) AS BIGINT) AS v,
-           |             CAST(length(m.text) AS BIGINT) AS n
-           |      FROM pos p JOIN imgs m USING (img_id)),
+           |             CAST(16 * (strpos('0123456789ABCDEF',
+           |                               substr(m.h, CAST(2 * p.i + 1 AS INT), 1)) - 1)
+           |                     + (strpos('0123456789ABCDEF',
+           |                               substr(m.h, CAST(2 * p.i + 2 AS INT), 1)) - 1)
+           |                  AS BIGINT) AS v,
+           |             m.n
+           |      FROM pos p JOIN hx m USING (img_id)),
            |cells AS (SELECT img_id, n, (i * 64) // n AS cell,
            |                 sum(v) AS cs, CAST(count(*) AS BIGINT) AS cc
            |          FROM b GROUP BY img_id, n, (i * 64) // n),
