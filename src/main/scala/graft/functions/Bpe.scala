@@ -45,6 +45,12 @@ object Bpe {
     ("ct", "or"), ("d", "er"), ("e", "ctor"), ("or", "der"),
     ("v", "ector"))
 
+  /** The vocab-scale artifact (1000 rules — see [[BpeMerges1k]]): the
+    * table the shipped queries encode under. [[TrainedMerges]] (48 rules)
+    * remains the small training-recipe fixture; encode cost is INVARIANT
+    * in which table is used (rank-table greedy merging). */
+  val TrainedMerges1k: Seq[(String, String)] = BpeMerges1k.merges
+
   /** Learn `numMerges` merge rules from `docs(textCol)`. Tokenization is
     * the engine-wide alnum kernel ([[TextFunctions.tokens]]), so BPE
     * symbols never cross the same word boundaries every other operator
@@ -131,15 +137,180 @@ object Bpe {
     }
     s"((length($replaced) - length(replace($replaced, '|', ''))) // 2)"
   }
+
+  /** DuckDB WITH-clause fragments replaying the merge table as DATA: the
+    * rules live in a VALUES relation and a recursive CTE applies rule i at
+    * iteration i to the char-framed form — the SAME chained-replace
+    * semantics as [[countSql]], expressed iteratively so a 1000-rule
+    * table stays linear in SQL size instead of one nested replace() call
+    * per rule (which would exceed expression depth). Yields CTEs
+    * `bpe_mg(rk, pat, rep)` and `bpe_cnt(w, n_bpe)` over the DISTINCT
+    * words of `wordsSql` (a `SELECT ... AS w` query). The caller's WITH
+    * clause must be RECURSIVE. */
+  def recursiveCountCtes(wordsSql: String, merges: Seq[(String, String)]): String = {
+    def lit(s: String) = s.replace("'", "''")
+    val rows = merges.zipWithIndex.map { case ((a, b), i) =>
+      s"($i, '|${lit(a)}||${lit(b)}|', '|${lit(a + b)}|')"
+    }.mkString(", ")
+    s"""bpe_mg(rk, pat, rep) AS (VALUES $rows),
+       |bpe_w AS MATERIALIZED (SELECT DISTINCT w FROM ($wordsSql)),
+       |bpe_e AS (
+       |  SELECT w, regexp_replace(w, '(.)', '|\\1|', 'g') AS s, 0 AS i FROM bpe_w
+       |  UNION ALL
+       |  SELECT e.w, replace(e.s, m.pat, m.rep), e.i + 1
+       |  FROM bpe_e e JOIN bpe_mg m ON m.rk = e.i),
+       |bpe_cnt AS MATERIALIZED (
+       |  SELECT w, CAST((length(s) - length(replace(s, '|', ''))) // 2 AS BIGINT) AS n_bpe
+       |  FROM bpe_e WHERE i = ${merges.length})""".stripMargin
+  }
 }
 
 /** Encode kernels shared by eval and codegen call sites. */
 object BpeOps {
 
-  /** Apply merge rules in priority order to one word — one left-to-right
-    * non-overlapping pass per rule (replace() semantics). */
+  /** Pre-resolved rank table for one merge list: pair -> rank lookup plus
+    * the per-rank symbol triples. Built once and cached per merge-array
+    * INSTANCE (weak identity keys — the arrays live in the expression
+    * objects), so per-word encode never touches the table size. */
+  private final class Ranks(val a: Array[String], val b: Array[String]) {
+    val merged: Array[String] = Array.tabulate(a.length)(i => a(i) + b(i))
+    private val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    // reverse so the LOWEST rank wins should a pair ever repeat (a trained
+    // table never repeats one — merging removes every occurrence, and no
+    // later merge can recreate a plain-symbol adjacency)
+    var i = a.length - 1
+    while (i >= 0) {
+      m.computeIfAbsent(a(i), _ => new java.util.HashMap[String, Integer]())
+        .put(b(i), Integer.valueOf(i))
+      i -= 1
+    }
+    def rank(x: String, y: String): Int = {
+      val s = m.get(x)
+      if (s == null) -1
+      else { val r = s.get(y); if (r == null) -1 else r.intValue() }
+    }
+  }
+
+  private val rankCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Array[String], Ranks]())
+
+  private def ranksFor(a: Array[String], b: Array[String]): Ranks = {
+    var r = rankCache.get(a)
+    if (r == null) { r = new Ranks(a, b); rankCache.put(a, r) }
+    r
+  }
+
+  /** Encode one word: GREEDY lowest-rank-first pair merging over a linked
+    * symbol list with a candidate min-heap — O(len · log len) per word,
+    * INDEPENDENT of the merge-table size (the per-rule-pass formulation
+    * was O(|merges| · len): ~1000x the work under a real 32k-merge vocab).
+    *
+    * Identical output to the sequential per-rule replace() passes for any
+    * WELL-FORMED table (each rule's symbols are single chars or products
+    * of EARLIER rules — every [[Bpe.train]] output, like every trained
+    * tokenizer artifact): a merge can only create adjacencies involving
+    * its output symbol, and any rule consuming that symbol has a later
+    * rank, so no merge ever creates a lower-or-equal-rank candidate —
+    * both algorithms apply the same rule set in the same priority order.
+    * (BpeSpec cross-checks against the sequential reference.) Heap order
+    * is (rank, leftmost position), reproducing the left-to-right
+    * non-overlapping scan within each rule. */
   def encodeWord(word: String, mergesA: Array[String],
                  mergesB: Array[String]): Array[String] = {
+    val L = word.length
+    if (L == 0) return Array.empty
+    val sym = new Array[String](L)
+    var i = 0
+    while (i < L) { sym(i) = String.valueOf(word.charAt(i)); i += 1 }
+    if (L == 1 || mergesA.length == 0) return sym
+    val rt = ranksFor(mergesA, mergesB)
+    val next = new Array[Int](L)
+    val prev = new Array[Int](L)
+    val alive = new Array[Boolean](L)
+    i = 0
+    while (i < L) {
+      next(i) = if (i + 1 < L) i + 1 else -1
+      prev(i) = i - 1
+      alive(i) = true
+      i += 1
+    }
+    // min-heap of (rank << 32 | leftIndex): lowest rank first, then
+    // leftmost occurrence — candidate entries are lazily invalidated
+    // (symbol re-check at pop), never removed
+    var heap = new Array[Long](2 * L)
+    var hn = 0
+    def push(v: Long): Unit = {
+      if (hn == heap.length) heap = java.util.Arrays.copyOf(heap, hn * 2)
+      heap(hn) = v
+      var c = hn; hn += 1
+      while (c > 0 && heap((c - 1) / 2) > heap(c)) {
+        val p = (c - 1) / 2
+        val t = heap(p); heap(p) = heap(c); heap(c) = t
+        c = p
+      }
+    }
+    def pop(): Long = {
+      val top = heap(0)
+      hn -= 1
+      heap(0) = heap(hn)
+      var c = 0
+      var done = false
+      while (!done) {
+        val l = 2 * c + 1; val r = l + 1
+        var s = c
+        if (l < hn && heap(l) < heap(s)) s = l
+        if (r < hn && heap(r) < heap(s)) s = r
+        if (s == c) done = true
+        else { val t = heap(s); heap(s) = heap(c); heap(c) = t; c = s }
+      }
+      top
+    }
+    i = 0
+    while (i + 1 < L) {
+      val r = rt.rank(sym(i), sym(i + 1))
+      if (r >= 0) push((r.toLong << 32) | i)
+      i += 1
+    }
+    var live = L
+    while (hn > 0 && live > 1) {
+      val v = pop()
+      val r = (v >>> 32).toInt
+      val p = (v & 0xFFFFFFFFL).toInt
+      if (alive(p) && sym(p) == rt.a(r)) {
+        val q = next(p)
+        if (q >= 0 && sym(q) == rt.b(r)) {
+          sym(p) = rt.merged(r)
+          alive(q) = false
+          live -= 1
+          val qq = next(q)
+          next(p) = qq
+          if (qq >= 0) prev(qq) = p
+          val pp = prev(p)
+          if (pp >= 0) {
+            val nr = rt.rank(sym(pp), sym(p))
+            if (nr >= 0) push((nr.toLong << 32) | pp)
+          }
+          if (qq >= 0) {
+            val nr = rt.rank(sym(p), sym(qq))
+            if (nr >= 0) push((nr.toLong << 32) | p)
+          }
+        }
+      }
+    }
+    val out = new Array[String](live)
+    var j = 0
+    i = 0
+    while (i < L) { if (alive(i)) { out(j) = sym(i); j += 1 }; i += 1 }
+    out
+  }
+
+  /** The per-rule-pass reference implementation (exact replace()
+    * semantics, O(|merges| · len) per word) — the SEMANTIC SPEC of
+    * [[encodeWord]], kept for the cross-check in BpeSpec and as the
+    * executable definition the DuckDB oracle replays. Not on any hot
+    * path. */
+  def encodeWordSequential(word: String, mergesA: Array[String],
+                           mergesB: Array[String]): Array[String] = {
     var syms = new java.util.ArrayList[String](word.length)
     var i = 0
     while (i < word.length) { syms.add(String.valueOf(word.charAt(i))); i += 1 }

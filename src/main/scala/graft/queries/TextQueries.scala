@@ -48,11 +48,11 @@ object TextQueries {
     * trick recurses if that tier ever dominates). Exact integer sums at
     * every tier, so the decomposition is bit-identical to the flat
     * cumsum. */
-  private def packSlots(s: org.apache.spark.sql.SparkSession, dir: String,
+  private def packSlots(docs0: org.apache.spark.sql.DataFrame,
                         nTok: Column, ctx: Int): org.apache.spark.sql.DataFrame = {
     val bktW = 256
     import org.apache.spark.sql.expressions.Window
-    val docs = tbl(s, dir, "documents")
+    val docs = docs0
       .select(col("doc_id"), nTok.cast("long").as("n_tok"))
       .withColumn("bkt", floor(col("doc_id") / bktW).cast("long"))
       .persist() // tokenized once; all cumsum tiers read the cache
@@ -82,9 +82,11 @@ object TextQueries {
   }
 
   /** [[packSlots]]'s oracle: the flat single-window cumsum (DuckDB runs at
-    * verify scale) over the same per-doc token-count fragment. */
-  private def packSql(nTokSql: String, ctx: Int): String =
-    s"""WITH t AS (SELECT doc_id, CAST($nTokSql AS BIGINT) AS n_tok FROM documents),
+    * verify scale). `withPrefix` is the full WITH-clause body defining a
+    * CTE `t(doc_id, n_tok)` — free-form so the BPE denomination can bring
+    * its recursive merge-replay CTEs. */
+  private def packSqlWith(withPrefix: String, ctx: Int): String =
+    s"""WITH $withPrefix,
        |c AS (SELECT doc_id, n_tok,
        |  CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
@@ -92,6 +94,28 @@ object TextQueries {
        |SELECT doc_id, n_tok, CAST(strt // $ctx AS BIGINT) AS pack_id,
        |  CAST(strt % $ctx AS BIGINT) AS pack_off
        |FROM c ORDER BY doc_id""".stripMargin
+
+  private def packSql(nTokSql: String, ctx: Int): String =
+    packSqlWith(
+      s"t AS (SELECT doc_id, CAST($nTokSql AS BIGINT) AS n_tok FROM documents)", ctx)
+
+  /** The BPE fixture surface: documents plus one row per customer NAME —
+    * the name column's ~1.5k distinct numeric words keep the vocab-scale
+    * merge table ([[graft.functions.Bpe.TrainedMerges1k]]) discriminating
+    * (the 31-word documents vocabulary fully collapses under 1000 rules,
+    * which would make every n_bpe equal n_words and let a broken encoder
+    * pass the oracle). Both engines construct the union identically — the
+    * q_dedup_phash plant discipline. */
+  private def bpeDocs(s: org.apache.spark.sql.SparkSession,
+                      dir: String): org.apache.spark.sql.DataFrame =
+    tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      .unionByName(tbl(s, dir, "customer")
+        .select((col("c_custkey") + 5000000L).as("doc_id"),
+          col("c_name").as("text")))
+
+  private val bpeDocsSql: String =
+    "SELECT doc_id, text FROM documents UNION ALL " +
+      "SELECT c_custkey + 5000000 AS doc_id, c_name AS text FROM customer"
 
   val all: Seq[Q] = Seq(
 
@@ -790,28 +814,39 @@ object TextQueries {
     // budgets are denominated in MODEL tokens in practice, and model
     // tokens are subwords. Train is distributed word counts + a
     // deterministic driver fold (graft.functions.Bpe.train); encode is
-    // one codegen kernel pass per row under the FROZEN trained merge
-    // table (a model artifact, like a shipped tokenizer vocab), and the
-    // oracle REPLAYS the identical merges as chained replace() on a
-    // char-framed form — exact, not approximate, parity.
+    // one codegen kernel pass per row — rank-table GREEDY pair merging,
+    // O(len log len) per word INDEPENDENT of the merge-table size — under
+    // the frozen VOCAB-SCALE artifact (1000 rules, BpeMerges1k; a model
+    // artifact, like a shipped tokenizer vocab). The oracle replays the
+    // identical table with chained-replace semantics expressed as a
+    // recursive CTE over the distinct words (rule i at iteration i), so
+    // oracle SQL stays linear in |merges| — exact, not approximate,
+    // parity.
     Q(
       "q_bpe_encode",
-      "BPE subword token counts per doc under the frozen trained merges",
+      "BPE subword token counts per doc under the frozen 1000-rule merges",
       (s, dir) =>
-        tbl(s, dir, "documents")
+        bpeDocs(s, dir)
           .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
           .select(col("doc_id"),
             size(col("toks")).cast("long").as("n_words"),
             graft.functions.Bpe.countTokens(col("toks"),
-              graft.functions.Bpe.TrainedMerges).as("n_bpe"))
+              graft.functions.Bpe.TrainedMerges1k).as("n_bpe"))
           .orderBy("doc_id"),
       Some {
         val toks = OracleText.tokens("text")
-        val cnt = graft.functions.Bpe.countSql("w", graft.functions.Bpe.TrainedMerges)
-        s"""WITH t AS (SELECT doc_id, $toks AS toks FROM documents)
-           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
-           |       CAST(coalesce(list_sum(list_transform(toks, w -> $cnt)), 0) AS BIGINT) AS n_bpe
-           |FROM t ORDER BY doc_id""".stripMargin
+        val ctes = graft.functions.Bpe.recursiveCountCtes(
+          "SELECT unnest(toks) AS w FROM t",
+          graft.functions.Bpe.TrainedMerges1k)
+        s"""WITH RECURSIVE src AS ($bpeDocsSql),
+           |t AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM src),
+           |$ctes,
+           |x AS (SELECT doc_id, unnest(toks) AS w FROM t),
+           |j AS (SELECT doc_id, sum(n_bpe) AS nb
+           |      FROM x JOIN bpe_cnt USING (w) GROUP BY doc_id)
+           |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_words,
+           |       CAST(coalesce(j.nb, 0) AS BIGINT) AS n_bpe
+           |FROM t LEFT JOIN j USING (doc_id) ORDER BY doc_id""".stripMargin
       }),
 
     // Concat-and-chunk SEQUENCE PACKING: the pre-training step that streams
@@ -821,7 +856,8 @@ object TextQueries {
     Q(
       "q_seq_packing",
       "sequence packing: (pack, offset) slot of each doc in 512-token windows",
-      (s, dir) => packSlots(s, dir, size(TF.tokens(col("text"))), ctx = 512),
+      (s, dir) => packSlots(tbl(s, dir, "documents"),
+        size(TF.tokens(col("text"))), ctx = 512),
       Some(packSql(s"len(${OracleText.tokens("text")})", ctx = 512))),
 
     // The SAME packing pipeline denominated in MODEL tokens: training-data
@@ -831,13 +867,23 @@ object TextQueries {
     Q(
       "q_bpe_pack",
       "sequence packing denominated in BPE subword tokens",
-      (s, dir) => packSlots(s, dir,
+      (s, dir) => packSlots(bpeDocs(s, dir),
         graft.functions.Bpe.countTokens(TF.tokens(col("text")),
-          graft.functions.Bpe.TrainedMerges), ctx = 512),
+          graft.functions.Bpe.TrainedMerges1k), ctx = 512),
       Some {
-        val cnt = graft.functions.Bpe.countSql("w", graft.functions.Bpe.TrainedMerges)
-        packSql("coalesce(list_sum(list_transform(" +
-          s"${OracleText.tokens("text")}, w -> $cnt)), 0)", ctx = 512)
+        val toks = OracleText.tokens("text")
+        val ctes = graft.functions.Bpe.recursiveCountCtes(
+          "SELECT unnest(toks) AS w FROM tt",
+          graft.functions.Bpe.TrainedMerges1k)
+        packSqlWith(
+          s"""RECURSIVE src AS ($bpeDocsSql),
+             |tt AS MATERIALIZED (SELECT doc_id, $toks AS toks FROM src),
+             |$ctes,
+             |x AS (SELECT doc_id, unnest(toks) AS w FROM tt),
+             |j AS (SELECT doc_id, sum(n_bpe) AS nb
+             |      FROM x JOIN bpe_cnt USING (w) GROUP BY doc_id),
+             |t AS (SELECT tt.doc_id, CAST(coalesce(j.nb, 0) AS BIGINT) AS n_tok
+             |      FROM tt LEFT JOIN j USING (doc_id))""".stripMargin, ctx = 512)
       }),
 
     // RAG-style overlapping CHUNKING: 64-token windows at stride 48 (the
