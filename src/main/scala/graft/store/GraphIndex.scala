@@ -66,7 +66,7 @@ object GraphIndex {
   val EmptyEdgeSentinel: Long = -1L
 }
 
-final class GraphIndex(spark: SparkSession, path: String, k: Int,
+final class GraphIndex(spark: SparkSession, val path: String, k: Int,
                        bucketFns: Seq[Column => Column], numEntries: Int = 4) {
   require(bucketFns.nonEmpty, "need at least one LSH bucketing")
   require(numEntries > 0, "need at least one entry point")
@@ -203,7 +203,8 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * centroid, ties to the lowest id) as a persisted entry. Medoids spread
     * across the data's own cluster structure, so a walk starts near every
     * mode instead of wherever the caller guessed. */
-  def build(input: DataFrame, refineRounds: Int = 1): Unit = {
+  def build(input: DataFrame, refineRounds: Int = 1): Unit =
+      WriterLease.withLease(path, "GraphIndex.build") {
     val v = input.persist()
     try {
       val ve = v.select(col("id"), col("emb"))
@@ -215,7 +216,7 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
       // three outputs must move together
       publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve))
     } finally v.unpersist(): Unit
-  }
+  }: Unit
 
   /** Replace all three dirs as one commit, data landing at epoch 0. The
     * input views already exclude tombstoned rows, so the snapshotted
@@ -251,7 +252,8 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * compaction is the natural retrain point — cheaper than a full
     * [[build]], which re-wires every edge too). Crash-consistent like
     * every other publish. */
-  def compact(retrainEntries: Boolean = false): Unit = {
+  def compact(retrainEntries: Boolean = false): Unit =
+      WriterLease.withLease(path, "GraphIndex.compact") {
     val v = vectors.persist()
     try {
       val ent =
@@ -267,7 +269,7 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
         .select("src", "dst", "dist")
       publishFull(sortedBy(v, "id"), sortedBy(gLive, "src"), ent)
     } finally v.unpersist(): Unit
-  }
+  }: Unit
 
   /** Medoids of `numEntries` deterministically-trained k-means cells:
     * farthest-first seeds + quantized Lloyd (bit-reproducible), then one
@@ -416,7 +418,8 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     * inserts (the streaming-maintenance shape); `walkChunk` bounds
     * driver state by walking at most that many probes at a time. */
   def insert(batch: DataFrame, beamWidth: Int = 8, hops: Int = 4,
-             walkChunk: Int = 4096): Unit = {
+             walkChunk: Int = 4096): Unit =
+      WriterLease.withLease(path, "GraphIndex.insert") {
     val oldV = vectors
     // replay/overlap safety: ids already indexed are skipped (the same
     // idempotent-append discipline as VectorStore.add / IvfIndex); an
@@ -447,7 +450,8 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // out-edge candidates into the old graph
     val probes = newV.select(col("id"), col("emb")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-    if (probes.isEmpty) { newV.unpersist(); return }
+    if (probes.isEmpty) { newV.unpersist(): Unit }
+    else {
     val wTop = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
     val walked: Seq[DataFrame] = probes.grouped(walkChunk).map { chunk =>
       queryBatch(chunk, topK = k, beamWidth = beamWidth, hops = hops)
@@ -502,7 +506,8 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
             .write.mode("overwrite").parquet(st))),
         marker)
     } finally Seq(newV, newEdges).foreach(_.unpersist())
-  }
+    }
+  }: Unit
 
   /** Delete by id with EDGE HYGIENE, batch-keyed like
     * [[IvfIndex.deleteBatch]] (the `Collection.deleteWhere` propagation
@@ -534,6 +539,7 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // replay fence: already applied physically by a compact/build — a
     // rewrite would resurrect the tombstone against re-added rows
     if (batchId <= tombstoneHwm()) return
+    WriterLease.withLease(path, "GraphIndex.delete") {
     val delReq = StoreIO.alignToSchema(ids.select("id"),
       Seq(org.apache.spark.sql.types.StructField(
         "id", org.apache.spark.sql.types.LongType)), Seq("id"))
@@ -542,27 +548,28 @@ final class GraphIndex(spark: SparkSession, path: String, k: Int,
     // against — record the tombstones (idempotent dir write); a later
     // [[build]] sweeps them, since a full rebuild's input defines the new
     // truth
-    if (!new java.io.File(graphPath).exists()) {
+    if (!new java.io.File(graphPath).exists())
       delReq.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
-      return
+    else {
+      // ids never inserted are IGNORED (Chroma semantics; TextIndex
+      // .deleteBatch filters the same way): tombstoning an unknown id would
+      // silently swallow a LATER direct insert() of that id — the anti-join
+      // hides the new row, then the next compact drops it physically
+      val del = delReq
+        .join(spark.read.parquet(vecPath).select("id"), Seq("id"), "left_semi")
+        .persist()
+      try {
+        val nDel = del.count()
+        if (nDel == 0L)
+          del.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
+        else if (nDel <= GraphIndex.PointDeleteCap &&
+                 new java.io.File(graphRevPath).exists())
+          deletePointRead(del, batchId)
+        else
+          deleteScan(del, batchId)
+      } finally del.unpersist(): Unit
     }
-    // ids never inserted are IGNORED (Chroma semantics; TextIndex
-    // .deleteBatch filters the same way): tombstoning an unknown id would
-    // silently swallow a LATER direct insert() of that id — the anti-join
-    // hides the new row, then the next compact drops it physically
-    val del = delReq
-      .join(spark.read.parquet(vecPath).select("id"), Seq("id"), "left_semi")
-      .persist()
-    try {
-      val nDel = del.count()
-      if (nDel == 0L)
-        del.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
-      else if (nDel <= GraphIndex.PointDeleteCap &&
-               new java.io.File(graphRevPath).exists())
-        deletePointRead(del, batchId)
-      else
-        deleteScan(del, batchId)
-    } finally del.unpersist(): Unit
+    }
   }
 
   /** Small-batch delete: in-neighbor discovery is an In-pruned POINT READ

@@ -29,7 +29,7 @@ object IvfIndex {
   val TrainIters: Int = 3
 }
 
-final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
+final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
 
   private def centroidPath = s"$path/_centroids"
   private def dataPath = s"$path/data"
@@ -59,6 +59,11 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * defines the new truth — leaving old append dirs behind would serve
     * rows the rebuild dropped). */
   def build(vectors: DataFrame): Unit = {
+    val l = WriterLease.acquire(path, "IvfIndex.build")
+    try buildUnleased(vectors) finally l.release()
+  }
+
+  private def buildUnleased(vectors: DataFrame): Unit = {
     // training + final assignment scan the input TrainIters + 1 times —
     // cache it for the duration of the build
     val v = vectors.persist()
@@ -120,6 +125,11 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * Cell balance degrades only as far as the data drifts from the
     * centroids; a periodic [[build]] re-clusters (the compaction story). */
   def appendBatch(vectors: DataFrame, batchId: Long): Unit = {
+    val l = WriterLease.acquire(path, "IvfIndex.append")
+    try appendBatchUnleased(vectors, batchId) finally l.release()
+  }
+
+  private def appendBatchUnleased(vectors: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
     val cents = centroids()
     // align the batch to the index's stored schema (minus the cell
@@ -182,6 +192,22 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
       .select("id").dropDuplicates("id"))
   }
 
+  /** LIVE ids currently served (physical rows minus pending tombstones) —
+    * the reconciliation spine for `Collection.attach` (store ids anti-join
+    * against this to find rows a crashed add left unindexed). One narrow
+    * id-column scan. */
+  private[store] def liveIds: DataFrame = {
+    val dirs = StoreIO.committedBatchDirs(dataPath)
+    if (dirs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("id LONG"))
+    else {
+      val ids = spark.read.parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+        .select("id").dropDuplicates("id")
+      tombstones().fold(ids)(ts => ids.join(broadcast(ts), Seq("id"), "left_anti"))
+    }
+  }
+
   /** Delete by id, batch-keyed like [[appendBatch]] (the
     * `Collection.deleteWhere` propagation path): the batch's ids land as a
     * TOMBSTONE dir `_tombstones/batch=<id>` — an idempotent directory
@@ -193,6 +219,11 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     * delete ignores unknown ids the same way. Write cost is O(batch),
     * never a corpus read. */
   def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
+    val l = WriterLease.acquire(path, "IvfIndex.delete")
+    try deleteBatchUnleased(ids, batchId) finally l.release()
+  }
+
+  private def deleteBatchUnleased(ids: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative")
     require(ids.columns.contains("id"), "delete batch needs an id column")
     // replay fence: a delete batch at or below the compaction high-water
@@ -270,6 +301,11 @@ final class IvfIndex(spark: SparkSession, path: String, numCells: Int) {
     *    orphaned dir; those duplicates are likewise removed by the next
     *    compaction's id-dedup rather than accumulating forever. */
   def compact(): Unit = {
+    val l = WriterLease.acquire(path, "IvfIndex.compact")
+    try compactUnleased() finally l.release()
+  }
+
+  private def compactUnleased(): Unit = {
     // snapshot the COMMITTED batch and tombstone dirs to fold — batches
     // and deletes landing during the merge both survive untouched. The
     // tombstones APPLIED are only those behind the replay fence; stale

@@ -39,6 +39,27 @@ private[store] object StoreIO {
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
 
+  /** Recursively HARDLINK `src` into `dest` — the snapshot primitive:
+    * O(#files) metadata work, zero data copied, and because every publish
+    * in this package replaces files by whole-directory rename (never
+    * in-place mutation), the linked inodes stay immutable while the live
+    * tree moves on. Skips writer-transient names (lease files, commit
+    * markers, stage dirs): a snapshot is a READ view, and a hardlinked
+    * commit marker would make a later recover() replay renames against
+    * the LIVE tree's absolute paths. */
+  def hardlinkTree(src: java.io.File, dest: java.io.File): Unit = {
+    val name = src.getName
+    if (name.startsWith("_writer_lease") || name == "_commit" ||
+        name.contains("__stage")) return
+    if (src.isDirectory) {
+      dest.mkdirs()
+      val kids = src.listFiles()
+      if (kids != null)
+        kids.foreach(c => hardlinkTree(c, new java.io.File(dest, c.getName)))
+    } else
+      java.nio.file.Files.createLink(dest.toPath, src.toPath): Unit
+  }
+
   def rmTree(f: java.io.File): Unit = {
     if (f.isDirectory) {
       // listFiles returns null if the dir vanished (a concurrent recover

@@ -86,7 +86,8 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * with per-(term, doc) tf and denormalized dl, bucket by term hash.
     * One explode + one (term, doc) aggregation — the standard posting
     * build shuffle, linear in token volume. Lands under `batch=0`. */
-  def build(docs: DataFrame): Unit = writeBatch(docs, 0L)
+  def build(docs: DataFrame): Unit =
+    WriterLease.withLease(path, "TextIndex.build") { writeBatch(docs, 0L) }
 
   /** Incremental maintenance ([[IvfIndex.appendBatch]]'s text twin): index
     * a NEW slice of the corpus under its own `batch=<id+1>` dir in every
@@ -95,6 +96,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * index contents. Cost is one explode + one aggregation over the BATCH;
     * resident postings are untouched. */
   def appendBatch(docs: DataFrame, batchId: Long): Unit = {
+    val l = WriterLease.acquire(path, "TextIndex.append")
+    try appendBatchUnleased(docs, batchId) finally l.release()
+  }
+
+  private def appendBatchUnleased(docs: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative (batch 0 is the initial build)")
     // a FRESH batch re-adding a TOMBSTONED doc_id would be hidden at query
     // time and then silently dropped with its tombstone at the next
@@ -149,6 +155,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * Cost: one narrow `_doclens` scan (one row per doc) per delete batch —
     * never a postings scan. */
   def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
+    val l = WriterLease.acquire(path, "TextIndex.delete")
+    try deleteBatchUnleased(ids, batchId) finally l.release()
+  }
+
+  private def deleteBatchUnleased(ids: DataFrame, batchId: Long): Unit = {
     require(batchId >= 0, "batchId must be non-negative")
     require(ids.columns.contains("doc_id"), "delete batch needs a doc_id column")
     // replay fence: a delete at or below the compaction high-water mark was
@@ -245,6 +256,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * `batch=N__stage` dir nested under the root would be picked up by a
     * concurrent reader's partition discovery mid-write). */
   def compact(): Unit = {
+    val l = WriterLease.acquire(path, "TextIndex.compact")
+    try compactUnleased() finally l.release()
+  }
+
+  private def compactUnleased(): Unit = {
     // snapshot COMMITTED batch and tombstone dirs — batches and deletes
     // landing during the merge both survive untouched. Only tombstones
     // behind the replay fence are APPLIED; stale dirs (id <= hwm, already

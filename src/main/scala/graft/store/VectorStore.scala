@@ -132,7 +132,17 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       * runtime size and picks broadcast itself, and the store scan never
       * sits under a static BroadcastExchange. At scale, bucketing the store
       * by id turns the collision scan into a pruned per-bucket check. */
-    def add(rows: DataFrame): Unit = {
+    /** Single-writer lease for this collection's mutators. The lease file
+      * lives BESIDE the collection dir (not inside): [[rewrite]] swaps the
+      * whole dir, which would erase an in-dir lease mid-hold. Nested index
+      * operations take their own lease at the index path (reentrancy makes
+      * the nesting safe either way). */
+    private def withColLease[T](op: String)(body: => T): T =
+      WriterLease.withLeaseFile(
+        java.nio.file.Paths.get(basePath, s"_writer_lease_$name"),
+        op, path(name))(body)
+
+    def add(rows: DataFrame): Unit = withColLease("Collection.add") {
       val incoming = rows.select(col("id").cast(StringType).as("id"),
         col("doc"), col("meta"), col("emb"))
       attachedIdx.get(name) match {
@@ -202,7 +212,7 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       * REBUILDS afterwards — embeddings may have changed, and the CoW
       * rewrite already rewrote the whole collection, so the rebuild
       * matches the operation's cost shape. */
-    def update(rows: DataFrame): Unit = {
+    def update(rows: DataFrame): Unit = withColLease("Collection.update") {
       val incoming = normalized(rows)
       // ids present in BOTH store and batch: one store scan with the small
       // batch broadcast (never broadcast the store side — it's the corpus)
@@ -216,7 +226,7 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
     /** Chroma `upsert`: replace rows whose id exists, append the rest.
       * Rebuilds an attached index like [[update]]. */
-    def upsert(rows: DataFrame): Unit = {
+    def upsert(rows: DataFrame): Unit = withColLease("Collection.upsert") {
       val incoming = normalized(rows)
       rewrite(df.join(broadcast(incoming.select("id")), Seq("id"), "left_anti")
         .unionByName(incoming))
@@ -227,8 +237,9 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       * management after many append/CoW cycles (each `add` appends files;
       * at 100 TB compaction runs per partition on a size trigger, exactly
       * this rewrite at partition grain). Contents are unchanged. */
-    def compact(numFiles: Int): Unit =
+    def compact(numFiles: Int): Unit = withColLease("Collection.compact") {
       rewrite(df.repartition(numFiles))
+    }
 
     /** Chroma `delete(ids=...)`. */
     def delete(ids: Seq[String]): Unit =
@@ -240,7 +251,7 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       * drops them physically), so a deleted document is never served from
       * either path. The matching set stays a distributed frame — never
       * collected. */
-    def deleteWhere(cond: Column): Unit = {
+    def deleteWhere(cond: Column): Unit = withColLease("Collection.delete") {
       attachedIdx.get(name).foreach { ai =>
         val dead = df.filter(coalesce(cond, lit(false)))
           .select(xxhash64(col("id")).as("id"))
@@ -260,7 +271,7 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       * inodes). On object storage at 100 TB the same operation is a
       * MANIFEST of immutable file paths; hardlinks are its filesystem
       * twin. Read back with [[readSnapshot]]; re-tagging overwrites. */
-    def snapshot(tag: String): Unit = {
+    def snapshot(tag: String): Unit = withColLease("Collection.snapshot") {
       require(tag.nonEmpty && !tag.contains('/'), s"bad snapshot tag: $tag")
       val dest = java.nio.file.Paths.get(snapshotPath(name, tag))
       rm(dest.toFile)
@@ -268,6 +279,67 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       val src = new java.io.File(path(name))
       src.listFiles().filter(_.isFile).foreach { f =>
         java.nio.file.Files.createLink(dest.resolve(f.getName), f.toPath)
+      }
+      // an ATTACHED index snapshots WITH the collection: the whole index
+      // tree (epoch/batch dirs, tombstone batches, entries, the replay
+      // fence) hardlinks under __index/ — epoch dirs only ever change by
+      // whole-directory swap, so the linked inodes pin exactly the epoch
+      // set and tombstone state of this moment, whatever compactions or
+      // deletes follow. A tiny manifest records how to route, so
+      // [[querySnapshot]] serves the frozen view bit-for-bit.
+      attachedIdx.get(name).foreach { ai =>
+        val (idxPath, meta) = ai match {
+          case VectorStore.AttachedIvf(idx, nprobe) =>
+            (idx.path, s"ivf\t$nprobe")
+          case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
+            (idx.path, s"graph\t$beamWidth\t$hops")
+        }
+        StoreIO.hardlinkTree(new java.io.File(idxPath),
+          dest.resolve("__index").toFile)
+        java.nio.file.Files.write(dest.resolve("__index_meta"),
+          meta.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+      }
+    }
+
+    /** Query a snapshot EXACTLY as [[query]] would have at snapshot time:
+      * if an index was attached, the probe routes through the snapshot's
+      * pinned index tree (same epoch set, same tombstones, same entries);
+      * otherwise brute-force over the snapshot rows. Mutations after the
+      * snapshot — adds, deletes, compactions — cannot change the answer. */
+    def querySnapshot(tag: String, queryEmb: Array[Float], k: Int,
+                      metric: String = "l2",
+                      where: Option[Column] = None,
+                      whereDocument: Option[Column] = None): DataFrame = {
+      val snap = java.nio.file.Paths.get(snapshotPath(name, tag))
+      val metaF = snap.resolve("__index_meta")
+      if (metric == "l2" && java.nio.file.Files.exists(metaF)) {
+        val meta = new String(java.nio.file.Files.readAllBytes(metaF),
+          java.nio.charset.StandardCharsets.UTF_8).split('\t')
+        val idxPath = snap.resolve("__index").toString
+        val ai = meta match {
+          case Array("ivf", nprobe) =>
+            // numCells only matters at build time; the snapshot is a
+            // read-only view, so any value reopens it
+            VectorStore.AttachedIvf(new IvfIndex(spark, idxPath, 1), nprobe.toInt)
+          case Array("graph", beamWidth, hops) =>
+            // k and the bucket functions only matter at build/insert time
+            VectorStore.AttachedGraph(
+              new GraphIndex(spark, idxPath, 1, Seq(_ => lit(0L))),
+              beamWidth.toInt, hops.toInt)
+          case other => sys.error(s"corrupt __index_meta: ${other.mkString("/")}")
+        }
+        routedQuery(ai, queryEmb, k, where, whereDocument)
+      } else {
+        val q = typedlit(queryEmb)
+        val base = Seq(where, whereDocument).flatten
+          .foldLeft(readSnapshot(tag))(_ filter _)
+        val scored = metric match {
+          case "l2" => base.withColumn("distance", VF.l2Sq(col("emb"), q))
+          case "cosine" => base.withColumn("distance", -VF.cosine(col("emb"), q))
+          case other => throw new IllegalArgumentException(s"unknown metric: $other")
+        }
+        scored.orderBy(asc("distance"), asc("id")).limit(k)
+          .select(col("id"), col("doc"), col("distance"))
       }
     }
 
@@ -325,8 +397,36 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
     /** Attach an ALREADY-BUILT index (a fresh session reopening the index
       * at its path — the caller supplies the same parameters the index's
-      * own constructor needs). */
-    def attach(ai: VectorStore.AttachedIndex): Unit = attachedIdx.put(name, ai): Unit
+      * own constructor needs).
+      *
+      * RECOVERY CONTRACT: [[add]] writes the store first, then the index —
+      * two non-atomic writes, so a crash between them leaves rows durable
+      * in the store but absent from the index (and silently unserved,
+      * since l2 queries route through it). The STORE is authoritative:
+      * attach reconciles by anti-joining store ids against the index's
+      * live ids and inserting the missing tail (compacting first if any
+      * of them sit under a pending tombstone — the routed-add discipline).
+      * The same rule rolls back the other crash direction: deleteWhere
+      * tombstones the index before rewriting the store, so a crash
+      * in between re-adds the still-stored rows here. */
+    def attach(ai: VectorStore.AttachedIndex): Unit = {
+      val rows = indexRowsOf(df)
+      ai match {
+        case VectorStore.AttachedIvf(idx, _) =>
+          val missing = rows.join(idx.liveIds, Seq("id"), "left_anti")
+          if (!missing.isEmpty) {
+            if (idx.readdsTombstoned(missing)) idx.compact()
+            idx.append(missing)
+          }
+        case VectorStore.AttachedGraph(idx, _, _, _) =>
+          val missing = rows.join(idx.vectors.select("id"), Seq("id"), "left_anti")
+          if (!missing.isEmpty) {
+            if (idx.readdsTombstoned(missing)) idx.compact()
+            idx.insert(missing)
+          }
+      }
+      attachedIdx.put(name, ai): Unit
+    }
 
     def detachIndex(): Unit = attachedIdx.remove(name): Unit
 
@@ -420,20 +520,108 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   private def decryptStr(c: Column): Column =
     aes_decrypt(c, keyCol, lit("GCM")).cast(StringType)
 
+  /** Single-writer lease for the encrypted twin's mutators — beside the
+    * collection dir for the same swap reason as Collection's. */
+  private def withEncLease[T](name: String, op: String)(body: => T): T =
+    WriterLease.withLeaseFile(
+      java.nio.file.Paths.get(basePath, s"_writer_lease_enc_$name"),
+      op, path(name))(body)
+
+  // tombstones and the compaction marker live BESIDE the collection dir:
+  // compact() and rotateKey() swap the whole dir, which would silently
+  // drop in-dir state
+  private def tombstonePath(name: String) = s"$basePath/__enc_tombstones/$name"
+  private def encMarker(name: String) = s"$basePath/__enc_commit_$name"
+
+  /** Pending deletes (plaintext ids — the lookup key is the one column
+    * stored in the clear). None while no delete is pending, so reads pay
+    * nothing until one lands. */
+  private def encTombstones(name: String): Option[DataFrame] = {
+    val dirs = StoreIO.committedBatchDirs(tombstonePath(name))
+    if (dirs.isEmpty) None
+    else Some(spark.read.schema("id STRING")
+      .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+      .select("id").dropDuplicates("id"))
+  }
+
+  /** Live ciphertext rows: physical rows minus pending tombstones (the
+    * GDPR read path — a deleted id stops being served from EVERY surface,
+    * ciphertext extraction included, the moment its tombstone commits). */
+  private def liveRaw(name: String): DataFrame = {
+    StoreIO.recover(encMarker(name))
+    val raw = spark.read.parquet(path(name))
+    encTombstones(name).fold(raw)(ts =>
+      raw.join(broadcast(ts), Seq("id"), "left_anti"))
+  }
+
+  private def writeTombstoneBatch(name: String, ids: DataFrame): Unit = {
+    val next = StoreIO.committedBatchDirs(tombstonePath(name))
+      .map(_.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max) + 1
+    // only KNOWN ids tombstone (Chroma ignores unknown ids; a tombstone
+    // for a never-stored id would block a later add of that id for no
+    // reason) — the matching set stays a distributed frame
+    spark.read.parquet(path(name)).select("id")
+      .join(ids.select("id"), Seq("id"), "left_semi")
+      .dropDuplicates("id")
+      .write.mode("overwrite").parquet(s"${tombstonePath(name)}/batch=$next")
+  }
+
+  /** GDPR delete on the encrypted twin: the ids land as a tombstone batch
+    * — every read surface ([[extractSecure]], [[open]], [[query]])
+    * excludes them immediately; [[compact]] purges the ciphertext rows
+    * physically. Write cost is O(batch). */
+  def delete(name: String, ids: Seq[String]): Unit =
+    withEncLease(name, "EncryptedStore.delete") {
+      import spark.implicits._
+      writeTombstoneBatch(name, ids.toDF("id"))
+    }
+
+  /** [[delete]] by predicate over the DECRYPTED view (the store holds the
+    * key — deletion criteria are usually about content, which only exists
+    * in the clear): matching ids are derived with one narrow scan and
+    * never collected to the driver. */
+  def deleteWhere(name: String, cond: Column): Unit =
+    withEncLease(name, "EncryptedStore.deleteWhere") {
+      writeTombstoneBatch(name,
+        open(name).filter(coalesce(cond, lit(false))).select("id"))
+    }
+
+  /** Fold pending deletes into the physical store: rewrite without the
+    * tombstoned rows and clear the tombstone dirs in ONE crash-consistent
+    * commit ([[StoreIO.commitStaged]] + open-time recover), so a crash
+    * can never re-apply a delete against re-added rows or leave purged
+    * rows co-resident with their tombstones. After compact, the
+    * ciphertext is GONE — the physical purge the GDPR story requires
+    * (the reference's whole thesis is the encrypted path,
+    * /root/reference/src/cyborgdb_store.py:1-11). */
+  def compact(name: String): Unit = withEncLease(name, "EncryptedStore.compact") {
+    StoreIO.recover(encMarker(name))
+    val tsDirs = StoreIO.committedBatchDirs(tombstonePath(name))
+    if (tsDirs.nonEmpty) {
+      val live = liveRaw(name)
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"${path(name)}__stage", path(name),
+          st => live.write.mode("overwrite").parquet(st))),
+        encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq)
+    }
+  }
+
   /** Encrypt and store (id, doc, emb) rows. */
   def store(rows: DataFrame, name: String): Unit =
-    rows.select(
-      col("id").cast(StringType).as("id"),
-      encrypt(col("doc")).as("doc_ct"),
-      encrypt(to_json(col("emb"))).as("emb_ct"))
-      .write.mode("overwrite").parquet(path(name))
+    withEncLease(name, "EncryptedStore.store") {
+      rows.select(
+        col("id").cast(StringType).as("id"),
+        encrypt(col("doc")).as("doc_ct"),
+        encrypt(to_json(col("emb"))).as("emb_ct"))
+        .write.mode("overwrite").parquet(path(name))
+    }
 
   /** Incremental encrypted append with duplicate-id rejection — the
     * VectorStore.add discipline on the encrypted twin: collisions come from
     * a store-side semi-join against the broadcast batch (only plaintext ids
     * are read — column pruning keeps ciphertext untouched), never a
     * store-side broadcast. */
-  def add(rows: DataFrame, name: String): Unit = {
+  def add(rows: DataFrame, name: String): Unit = withEncLease(name, "EncryptedStore.add") {
     // intra-batch id dedup happens on the PLAINTEXT — after encryption
     // every ciphertext is unique (random IV), so a post-encryption dedup
     // could not see duplicates at all
@@ -443,19 +631,28 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .select(col("id"),
         encrypt(col("doc")).as("doc_ct"),
         encrypt(to_json(col("emb"))).as("emb_ct"))
+    // a FRESH add of a TOMBSTONED id would be silently swallowed by the
+    // collision anti-join (the physical row still exists) and then purged
+    // with it at compact — refuse loudly, like IvfIndex.appendBatch
+    encTombstones(name).foreach { ts =>
+      require(incoming.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
+        "batch re-adds tombstoned ids — run compact() before re-adding deleted ids")
+    }
     val collisions = spark.read.parquet(path(name)).select("id")
       .join(broadcast(incoming.select("id")), Seq("id"), "left_semi")
     incoming.join(collisions, Seq("id"), "left_anti")
       .write.mode("append").parquet(path(name))
   }
 
-  /** Full extraction WITHOUT the key: ciphertext only — the defense. */
+  /** Full extraction WITHOUT the key: ciphertext only — the defense.
+    * Tombstoned rows are excluded here too: after a delete, not even the
+    * ciphertext is served. */
   def extractSecure(name: String): DataFrame =
-    spark.read.parquet(path(name)).select("id", "doc_ct", "emb_ct")
+    liveRaw(name).select("id", "doc_ct", "emb_ct")
 
   /** Authorized read: decrypt back to (id, doc, emb). */
   def open(name: String): DataFrame =
-    spark.read.parquet(path(name)).select(
+    liveRaw(name).select(
       col("id"),
       decryptStr(col("doc_ct")).as("doc"),
       from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
@@ -476,9 +673,13 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * fuse into ONE narrow projection — rotating 100 TB is one read + one
     * write, no shuffle — and every row gets a fresh random IV. After the
     * swap only a store opened with `newKey` can read the collection. */
-  def rotateKey(name: String, newKey: String): EncryptedStore = {
+  def rotateKey(name: String, newKey: String): EncryptedStore =
+      withEncLease(name, "EncryptedStore.rotateKey") {
     require(Set(16, 24, 32).contains(newKey.length), "AES key must be 16/24/32 bytes")
+    StoreIO.recover(encMarker(name))
     val next = new EncryptedStore(spark, basePath, newKey)
+    // rotation re-encrypts the PHYSICAL rows; pending tombstones ride
+    // along untouched (still excluded at read, still purged at compact)
     val reEnc = spark.read.parquet(path(name)).select(
       col("id"),
       next.encrypt(decryptStr(col("doc_ct"))).as("doc_ct"),
