@@ -60,7 +60,29 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // build/probe sub-timings for the index-compound queries (the r5
+    // verdict watch item: attribute drift to build or probe). Median of
+    // the same rep count; failures degrade to an absent entry, never a
+    // broken line.
+    val subs = queries.BenchSplits.splits.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      try {
+        val reps0 = (1 to reps).map { _ =>
+          try f(spark, sfDir) finally queries.Registry.releasePending()
+        }
+        val phases = reps0.head.map(_._1)
+        Some(name -> phases.map { ph =>
+          val ts = reps0.map(_.toMap.apply(ph)).sorted
+          ph -> ts(ts.length / 2)
+        })
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] split $name failed: ${e.getMessage}"); None
+      }
+    }
+    val subJson = subs.map { case (name, phases) =>
+      "\"" + name + "\":" + phases.map { case (ph, v) => "\"" + ph + "\":" + v }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"subtimings":$subJson,"sf":"$sfDir"}"""
     // stdout line for the driver, PLUS a whole-file copy: the r1 stdout tail
     // was truncated by log interleaving, losing 17 of 82 per-query times —
     // a file written in one shot survives intact for round-over-round

@@ -61,7 +61,10 @@ object Prof {
     case Some("scale") => scale(args.drop(1))
     case Some("serve") => serve(args.drop(1))
     case Some("mine") => mine(args.drop(1))
-    case other => sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine")
+    case Some("delstress") => delstress(args.drop(1))
+    case Some("bpe") => bpe(args.drop(1))
+    case other =>
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine|delstress|bpe")
   }
 
   private def queries(args: Array[String]): Unit = {
@@ -191,6 +194,78 @@ object Prof {
     time("gidx_query_after_delete", nTag)(idx.query(qe, 5, 4, 6).collect())
     time("gidx_compact", nTag)(idx.compact())
     time("gidx_query_after_compact", nTag)(idx.query(qe, 5, 4, 6).collect())
+    s.stop()
+  }
+
+  /** Delete-at-scale ladder (round-6 verdict item 4): 1% / 10% / 35% of
+    * the corpus deleted from a live GraphIndex, with post-delete query
+    * latency after each rung. The 35% rung crosses
+    * [[GraphIndex.PointDeleteCap]] at the 100x fixture (84k ids > 65536)
+    * and exercises the DISTRIBUTED fallback path; the smaller rungs stay
+    * on the reverse-tree point reads. Pass criterion across scale20 vs
+    * scale100: each rung's cost tracks its BATCH (and its in-neighbor
+    * count), never the corpus, and query latency stays flat. */
+  private def delstress(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val bits = scaledBits(n)
+    val base = java.nio.file.Files.createTempDirectory("scale_delstress").toString
+    val idx = new GraphIndex(s, base, 4,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 4)
+    time("gidx_build", s"(n=$n)")(idx.build(corpus, refineRounds = 1))
+    // disjoint id slices by rank (setup cost, untimed)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val ranked = corpus.select(col("id"))
+      .withColumn("rn", row_number().over(w)).persist()
+    ranked.count()
+    var offset = 0L
+    Seq(0.01, 0.10, 0.35).foreach { frac =>
+      val cnt = (n * frac).toLong
+      val slice = ranked.filter(col("rn") > offset && col("rn") <= offset + cnt)
+        .select("id")
+      offset += cnt
+      val path = if (cnt <= GraphIndex.PointDeleteCap) "point" else "scan"
+      time(f"gidx_delete_${(frac * 100).toInt}%dpct",
+        s"(n=$n, del=$cnt, path=$path)")(idx.delete(slice))
+      time(f"gidx_query_after_${(frac * 100).toInt}%dpct", s"(n=$n)")(
+        idx.query(qe, 5, 4, 6).collect())
+    }
+    time("gidx_compact_after_46pct", s"(n=$n)")(idx.compact())
+    time("gidx_query_after_compact", s"(n=$n)")(idx.query(qe, 5, 4, 6).collect())
+    ranked.unpersist()
+    s.stop()
+  }
+
+  /** BPE encode cost vs merge-table size (round-6 verdict item 1): the
+    * corpus-wide token count under the 48-rule and the 1000-rule tables
+    * must cost ~the same — the greedy rank-table encoder touches the
+    * table only through O(len) hash lookups. (The old per-rule-pass
+    * encoder scaled linearly: ~20x at 1000 rules.) */
+  private def bpe(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val s = session(8)
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(TF.tokens(col("text")).as("toks")).persist()
+    val nToks = docs.select(sum(size(col("toks")))).head().getLong(0)
+    val tag = s"(tokens=$nToks)"
+    time("bpe_warmup", tag)(docs.select(sum(graft.functions.Bpe.countTokens(
+      col("toks"), graft.functions.Bpe.TrainedMerges))).head().getLong(0))
+    Seq(1, 2).foreach { r =>
+      val n48 = time(s"bpe_encode_48rules_r$r", tag)(
+        docs.select(sum(graft.functions.Bpe.countTokens(
+          col("toks"), graft.functions.Bpe.TrainedMerges))).head().getLong(0))
+      val n1k = time(s"bpe_encode_1000rules_r$r", tag)(
+        docs.select(sum(graft.functions.Bpe.countTokens(
+          col("toks"), graft.functions.Bpe.TrainedMerges1k))).head().getLong(0))
+      println(s"PROF bpe_tokens n48=$n48 n1k=$n1k")
+    }
+    docs.unpersist()
     s.stop()
   }
 
