@@ -49,10 +49,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  */
 object GraphIndex {
   /** [[GraphIndex.deleteBatch]] batches up to this size resolve their
-    * in-neighbors via reverse-tree point reads; larger batches fall back
-    * to one resolved-graph scan (a delete that big reads the corpus
-    * whatever the structure). */
-  val PointDeleteCap: Int = 65536
+    * in-neighbors via reverse-tree point reads; larger batches run the
+    * fully distributed resolved-graph scan. MEASURED crossover (Prof
+    * delstress, 200k vectors): the point path is linear in the batch
+    * (200 ids ≈ 5 s, 2k ≈ 49 s — the isin point reads and the
+    * driver-resident candidate set grow with it) while the scan path is
+    * ~flat in the batch (70k ids ≈ 13 s, corpus-bounded), so point reads
+    * win only for small interactive deletes. 2048 sits safely below the
+    * measured ~1k-4k crossover band at both 40k and 200k vectors. */
+  val PointDeleteCap: Int = 2048
 
   /** A src whose ENTIRE rewritten edge set is empty (every edge pointed
     * into a delete batch and no bridge candidate survived — e.g. a whole
@@ -381,6 +386,116 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     } yield (pid, id, d, i + 1)
     import spark.implicits._
     out.toDF("probe_id", "id", "dist", "rn")
+  }
+
+  // ------------------------------------------------------- hot serving
+
+  /** JVM-resident serving state: the RESOLVED adjacency, the live
+    * vectors, the entry points, and (when the index carries the routed
+    * collection's metadata) the (cid, doc) payload — everything a probe
+    * touches, pinned in memory so a warm query is pure computation, zero
+    * Spark jobs. Keyed by the on-disk publish state; any commit (insert,
+    * delete, compact, build) changes the key and the next probe reloads.
+    * In local mode driver == executor; on a cluster this same state is
+    * what a broadcast (or an executor-side singleton per index shard)
+    * would pin — memory is bounded by the INDEX, not the query. */
+  private final class HotState(
+      val key: String,
+      val adj: java.util.HashMap[java.lang.Long, Array[Long]],
+      val vecs: java.util.HashMap[java.lang.Long, Array[Float]],
+      val payload: java.util.HashMap[java.lang.Long, (String, String)],
+      val entries: Seq[Long])
+
+  @volatile private var hot: HotState = null
+
+  /** Publish fingerprint: epoch ids, tombstone batch dirs, the replay
+    * fence, and the tree mtimes (swaps rename into the parent, bumping
+    * it) — every mutator changes at least one component. */
+  private def hotKey(): String = {
+    val eps = epochs().sorted.mkString(",")
+    val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")
+    def mt(p: String) = new java.io.File(p).lastModified()
+    s"$eps|$ts|${tombstoneHwm()}|${mt(vecPath)}|${mt(graphPath)}|${mt(entriesPath)}"
+  }
+
+  private def hotState(): HotState = {
+    val key = hotKey()
+    var h = hot
+    if (h == null || h.key != key) {
+      val adj = new java.util.HashMap[java.lang.Long, Array[Long]]()
+      graph.select("src", "dst").collect()
+        .groupBy(_.getLong(0))
+        .foreach { case (s0, rows) => adj.put(s0, rows.map(_.getLong(1)).sorted) }
+      val vecs = new java.util.HashMap[java.lang.Long, Array[Float]]()
+      val payload = new java.util.HashMap[java.lang.Long, (String, String)]()
+      val v = vectors
+      val hasPayload = v.columns.contains("cid") && v.columns.contains("doc")
+      val cols = if (hasPayload) v.select("id", "emb", "cid", "doc")
+                 else v.select("id", "emb")
+      cols.collect().foreach { r =>
+        vecs.put(r.getLong(0), r.getSeq[Float](1).toArray)
+        if (hasPayload) payload.put(r.getLong(0), (r.getString(2), r.getString(3)))
+      }
+      h = new HotState(key,
+        adj, vecs, payload,
+        entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq)
+      hot = h
+    }
+    h
+  }
+
+  /** [[query]] served ENTIRELY from JVM memory — identical semantics
+    * (same walk schedule, same double-accumulated l2 distances, same tie
+    * breaks as [[KnnGraph.beamVisited]]), so hot and cold answers are
+    * bit-equal; RoutedQuerySpec pins it. Warm cost is O(hops·beam·k) map
+    * lookups and float math — sub-millisecond, invariant in corpus
+    * size. */
+  def hotQuery(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
+               entries: Seq[Long] = Seq.empty): Seq[(Long, Double)] = {
+    val h = hotState()
+    val starts = (if (entries.nonEmpty) entries else h.entries).distinct.sorted
+    def dist(id: Long): Double = {
+      val v = h.vecs.get(id)
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        val d = v(i).toDouble - qe(i).toDouble
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+    val visited = scala.collection.mutable.HashMap[Long, Double]()
+    starts.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
+    var hop = 0
+    var open = true
+    while (hop < hops && open) {
+      val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
+        .take(beamWidth).map(_._1)
+      val fresh = beam
+        .flatMap(b => Option(h.adj.get(b)).getOrElse(Array.empty[Long]))
+        .distinct.filterNot(visited.contains).sorted
+      open = fresh.nonEmpty
+      fresh.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
+      hop += 1
+    }
+    visited.toSeq.sortBy { case (id, d) => (d, id) }.take(topK)
+  }
+
+  /** Hot-path ROUTED serving: top-k with the collection payload, ordered
+    * like `Collection.routedQuery` ((distance, cid) ascending). None when
+    * the index does not carry routing metadata — the caller falls back to
+    * the Spark point-read path. */
+  private[store] def hotServe(qe: Array[Float], topK: Int, beamWidth: Int,
+                              hops: Int): Option[Seq[(String, String, Double)]] = {
+    val h = hotState()
+    if (h.payload.isEmpty) None
+    else Some(
+      hotQuery(qe, topK, beamWidth, hops)
+        .flatMap { case (id, d) =>
+          Option(h.payload.get(id)).map { case (cid, doc) => (cid, doc, d) }
+        }
+        .sortBy { case (cid, _, d) => (d, cid) })
   }
 
   /** HNSW-style incremental insert — the REAL HNSW algorithm: search,

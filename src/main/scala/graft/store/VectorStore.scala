@@ -485,15 +485,27 @@ final class VectorStore(spark: SparkSession, basePath: String) {
           idx.query(qe, k, nprobe, pred, include = Seq("cid", "doc"))
             .select(col("cid").as("id"), col("doc"), col("distance"))
         case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
-          val hits = idx.query(qe, k, beamWidth, hops, where = pred)
-          val lids = hits.select("id").collect().map(_.getLong(0)).toSeq
-          // payload comes from an In-PRUNED point read of the index's own
-          // id-sorted vectors — never a store scan
-          idx.vectors.filter(col("id").isin(lids: _*))
-            .select(col("id"), col("cid"), col("doc"))
-            .join(broadcast(hits.withColumnRenamed("dist", "distance")), "id")
-            .orderBy(asc("distance"), asc("cid"))
-            .select(col("cid").as("id"), col("doc"), col("distance"))
+          // unfiltered probes serve from the JVM-resident hot tier (zero
+          // Spark jobs warm; answers bit-equal to the cold path —
+          // RoutedQuerySpec pins it); predicates keep the pushed-down
+          // index scan, which is where a filter belongs
+          val hotRows =
+            if (pred.isEmpty) idx.hotServe(qe, k, beamWidth, hops) else None
+          hotRows match {
+            case Some(rows) =>
+              import spark.implicits._
+              rows.toDF("id", "doc", "distance")
+            case None =>
+              val hits = idx.query(qe, k, beamWidth, hops, where = pred)
+              val lids = hits.select("id").collect().map(_.getLong(0)).toSeq
+              // payload comes from an In-PRUNED point read of the index's
+              // own id-sorted vectors — never a store scan
+              idx.vectors.filter(col("id").isin(lids: _*))
+                .select(col("id"), col("cid"), col("doc"))
+                .join(broadcast(hits.withColumnRenamed("dist", "distance")), "id")
+                .orderBy(asc("distance"), asc("cid"))
+                .select(col("cid").as("id"), col("doc"), col("distance"))
+          }
       }
     }
   }

@@ -110,4 +110,51 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     val hit = got(c.query(newEmb, k = 1)).head
     assert(hit._1 == "5" && hit._2 == 0.0, "upserted embedding must be re-indexed")
   }
+
+  test("hot serving tier: hotQuery equals the Spark walk; every mutation invalidates it") {
+    val store = new VectorStore(spark, tmp("vs_hot"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") <= 200))
+    def bucketOf(off: Int)(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 6).map { p =>
+        when(graft.functions.VectorFunctions.dot(
+          e, typedlit(graft.queries.AnnQueries.plane(off + p))) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val idx = c.attachGraphIndex(tmp("vs_hot_idx"), k = 4,
+      Seq(bucketOf(0) _, bucketOf(200) _), beamWidth = 8, hops = 3)
+
+    def cold() = idx.query(probe, topK = 5, beamWidth = 8, hops = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // bit-equal answers, warm and cold
+    assert(idx.hotQuery(probe, 5, 8, 3) == cold())
+    assert(idx.hotQuery(probe, 5, 8, 3) == cold(), "second (warm) probe stays equal")
+    // warm probes are pure computation: far under the 150ms budget
+    idx.hotQuery(probe, 5, 8, 3)
+    val t0 = System.nanoTime()
+    idx.hotQuery(probe, 5, 8, 3)
+    assert((System.nanoTime() - t0) / 1e6 < 150.0, "warm hot probe must be sub-150ms")
+
+    // every mutation class invalidates: insert, delete, compact
+    val dead = cold().head._1
+    idx.delete(Seq(dead))
+    assert(idx.hotQuery(probe, 5, 8, 3) == cold(),
+      "hot tier must reload after a delete epoch")
+    assert(!idx.hotQuery(probe, 5, 8, 3).exists(_._1 == dead))
+    idx.compact()
+    assert(idx.hotQuery(probe, 5, 8, 3) == cold(),
+      "hot tier must reload after compact")
+    // routed Collection.query serves from the hot tier and matches the
+    // explicit index walk payload for payload (the "routed graph query"
+    // test pins the same equality on an unmutated index)
+    val routed = got(c.query(probe, k = 5))
+    val explicit = cold().toMap
+    val lidOf = rows.select(col("id"), xxhash64(col("id")).as("lid"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(routed.nonEmpty)
+    routed.foreach { case (cid, d) =>
+      assert(explicit(lidOf(cid)) == d,
+        s"hot routed row $cid must carry the index walk's distance")
+    }
+  }
 }
