@@ -51,13 +51,15 @@ object GraphIndex {
   /** [[GraphIndex.deleteBatch]] batches up to this size resolve their
     * in-neighbors via reverse-tree point reads; larger batches run the
     * fully distributed resolved-graph scan. MEASURED crossover (Prof
-    * delstress, 200k vectors): the point path is linear in the batch
-    * (200 ids ≈ 5 s, 2k ≈ 49 s — the isin point reads and the
-    * driver-resident candidate set grow with it) while the scan path is
-    * ~flat in the batch (70k ids ≈ 13 s, corpus-bounded), so point reads
-    * win only for small interactive deletes. 2048 sits safely below the
-    * measured ~1k-4k crossover band at both 40k and 200k vectors. */
-  val PointDeleteCap: Int = 2048
+    * delstress): the point path is ~linear in the batch at ~0.02-0.03 s
+    * per id REGARDLESS of corpus size (200 ids ≈ 5-8 s, 2k ids ≈ 63 s —
+    * the isin point reads and the driver-resident candidate set grow
+    * with the batch) while the scan path is corpus-bounded and ~flat in
+    * the batch (4k-70k ids all ≈ 5-10 s at 40k-200k vectors), putting
+    * the crossover near ~300 ids at BOTH measured scales. 512 keeps the
+    * low-latency point path for small interactive deletes (takedowns,
+    * single documents) and hands everything bigger to the scan. */
+  val PointDeleteCap: Int = 512
 
   /** A src whose ENTIRE rewritten edge set is empty (every edge pointed
     * into a delete batch and no bridge candidate survived — e.g. a whole
@@ -394,7 +396,10 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * vectors, the entry points, and (when the index carries the routed
     * collection's metadata) the (cid, doc) payload — everything a probe
     * touches, pinned in memory so a warm query is pure computation, zero
-    * Spark jobs. Keyed by the on-disk publish state; any commit (insert,
+    * Spark jobs. This is the reference's ACTUAL serving shape: hnswlib
+    * inside ChromaDB keeps the whole graph memory-resident per process
+    * (/root/reference/src/chromadb_store.py:4), and the Spark walk is its
+    * durable, corpus-scale complement. Keyed by the on-disk publish state; any commit (insert,
     * delete, compact, build) changes the key and the next probe reloads.
     * In local mode driver == executor; on a cluster this same state is
     * what a broadcast (or an executor-side singleton per index shard)
