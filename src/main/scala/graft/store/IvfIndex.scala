@@ -202,7 +202,10 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL("id LONG"))
     else {
-      val ids = spark.read.parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+      // basePath: the batch dirs nest cell=N partitions — reading several
+      // of them directly trips partition-structure inference
+      val ids = spark.read.option("basePath", dataPath)
+        .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
         .select("id").dropDuplicates("id")
       tombstones().fold(ids)(ts => ids.join(broadcast(ts), Seq("id"), "left_anti"))
     }
@@ -214,10 +217,12 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * overwrite, so an at-least-once delete stream yields exactly-once
     * semantics. Queries anti-join the tombstones immediately (a deleted
     * vector stops being served the moment the dir commits); [[compact]]
-    * drops the rows physically and clears the tombstones. Ids not in the
-    * index are harmless (the anti-join never matches them) — Chroma's
-    * delete ignores unknown ids the same way. Write cost is O(batch),
-    * never a corpus read. */
+    * drops the rows physically and clears the tombstones. Ids never
+    * INSERTED are filtered against the physical id spine before
+    * tombstoning (Chroma ignores unknown ids): an unknown-id tombstone
+    * would make [[readdsTombstoned]]/[[appendBatch]] refuse a
+    * legitimately FRESH append of that id until a pointless compact.
+    * Write cost is O(batch) plus one narrow id-column scan. */
   def deleteBatch(ids: DataFrame, batchId: Long): Unit = {
     val l = WriterLease.acquire(path, "IvfIndex.delete")
     try deleteBatchUnleased(ids, batchId) finally l.release()
@@ -234,10 +239,21 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     if (batchId <= tombstoneHwm()) return
     // lossless-cast the id to the index's LONG spine (alignToSchema's
     // guard) — a lossy coercion could tombstone the wrong row
-    StoreIO.alignToSchema(ids.select("id"), Seq(org.apache.spark.sql.types.StructField(
-      "id", org.apache.spark.sql.types.LongType)), Seq("id"))
+    val del = StoreIO.alignToSchema(ids.select("id"),
+      Seq(org.apache.spark.sql.types.StructField(
+        "id", org.apache.spark.sql.types.LongType)), Seq("id"))
       .dropDuplicates("id")
-      .write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
+    // restrict to ids the index has PHYSICALLY seen (tombstoned included
+    // — re-deleting a pending-delete id is an idempotent no-op, not
+    // unknown); pre-build deletes record verbatim — build() sweeps them
+    val dirs = StoreIO.committedBatchDirs(dataPath)
+    val known =
+      if (dirs.isEmpty) del
+      else del.join(
+        spark.read.option("basePath", dataPath)
+          .parquet(dirs.map(_.getPath).toIndexedSeq: _*).select("id"),
+        Seq("id"), "left_semi")
+    known.write.mode("overwrite").parquet(s"$tombstonePath/batch=$batchId")
   }
 
   /** Driver-side convenience delete: next free tombstone batch id (past
@@ -360,6 +376,88 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     var acc = 0.0; var i = 0
     while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
     acc
+  }
+
+  // ------------------------------------------------------- hot serving
+
+  /** JVM-resident serving state — [[GraphIndex]]'s hot tier, IVF shape:
+    * live rows grouped by cell, the centroids, and (when the index
+    * carries the routed collection's metadata) the (cid, doc) payload.
+    * Keyed on the publish fingerprint; every append/delete/compact/build
+    * invalidates. The reference serves exactly this way — hnswlib keeps
+    * its whole index memory-resident per process
+    * (/root/reference/src/chromadb_store.py:4). */
+  private final class HotState(
+      val key: String,
+      val cells: java.util.HashMap[java.lang.Long, Array[(Long, Array[Float])]],
+      val payload: java.util.HashMap[java.lang.Long, (String, String)],
+      val cents: Array[(Long, Array[Float])])
+
+  @volatile private var hot: HotState = null
+
+  private def hotKey(): String = {
+    val bs = StoreIO.committedBatchDirs(dataPath).map(_.getName).mkString(",")
+    val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")
+    def mt(p: String) = new java.io.File(p).lastModified()
+    s"$bs|$ts|${tombstoneHwm()}|${mt(dataPath)}|${mt(centroidPath)}"
+  }
+
+  private def hotState(): HotState = {
+    val key = hotKey()
+    var h = hot
+    if (h == null || h.key != key) {
+      // the same read [[query]] runs (whole tree + tombstone anti-join),
+      // so hot and cold serve identical row sets
+      val raw = spark.read.parquet(dataPath)
+      val live = tombstones().fold(raw)(ts =>
+        raw.join(broadcast(ts), Seq("id"), "left_anti"))
+      val hasPayload = live.columns.contains("cid") && live.columns.contains("doc")
+      // partition-dir type inference reads `cell` back as INT; pin to LONG
+      val cellL = col("cell").cast("long").as("cell")
+      val sel =
+        if (hasPayload) live.select(cellL, col("id"), col("emb"), col("cid"), col("doc"))
+        else live.select(cellL, col("id"), col("emb"))
+      val cells = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Float])]]()
+      val payload = new java.util.HashMap[java.lang.Long, (String, String)]()
+      sel.collect().groupBy(_.getLong(0)).foreach { case (cid, rows) =>
+        cells.put(cid, rows.map { r =>
+          if (hasPayload) payload.put(r.getLong(1), (r.getString(3), r.getString(4)))
+          (r.getLong(1), r.getSeq[Float](2).toArray)
+        })
+      }
+      h = new HotState(key, cells, payload, centroids())
+      hot = h
+    }
+    h
+  }
+
+  /** [[query]] served entirely from JVM memory: same nprobe cell choice,
+    * same double-accumulated l2, same (distance, id) tie-break — bit-equal
+    * answers (spec-pinned), zero Spark jobs warm. Returns
+    * (id, cell, distance) like the no-include [[query]] projection. */
+  def hotQuery(qe: Array[Float], k: Int, nprobe: Int): Seq[(Long, Long, Double)] = {
+    val h = hotState()
+    val probed = h.cents.map { case (cid, c) => (l2(c, qe), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+    probed.foreach { cid =>
+      val arr = h.cells.get(cid)
+      if (arr != null) arr.foreach { case (id, emb) => buf += ((l2(emb, qe), id, cid)) }
+    }
+    buf.sortBy { case (d, id, _) => (d, id) }.take(k)
+      .map { case (d, id, c) => (id, c, d) }.toSeq
+  }
+
+  /** Hot routed serving (the `Collection.query` path): top-k with the
+    * collection payload in the cold path's exact order ((distance, id)).
+    * None when the index has no routing metadata. */
+  private[store] def hotServe(qe: Array[Float], k: Int,
+                              nprobe: Int): Option[Seq[(String, String, Double)]] = {
+    val h = hotState()
+    if (h.payload.isEmpty) None
+    else Some(hotQuery(qe, k, nprobe).flatMap { case (id, _, d) =>
+      Option(h.payload.get(id)).map { case (cid, doc) => (cid, doc, d) }
+    })
   }
 
   /** Top-k by squared L2, scanning only the nprobe nearest cells. `where`

@@ -482,8 +482,16 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       val pred = (where.toSeq ++ whereDocument.toSeq).reduceOption(_ && _)
       ai match {
         case VectorStore.AttachedIvf(idx, nprobe) =>
-          idx.query(qe, k, nprobe, pred, include = Seq("cid", "doc"))
-            .select(col("cid").as("id"), col("doc"), col("distance"))
+          // unfiltered probes serve from the JVM-resident hot tier (the
+          // GraphIndex discipline; bit-equal to the pruned scan)
+          (if (pred.isEmpty) idx.hotServe(qe, k, nprobe) else None) match {
+            case Some(rows) =>
+              import spark.implicits._
+              rows.toDF("id", "doc", "distance")
+            case None =>
+              idx.query(qe, k, nprobe, pred, include = Seq("cid", "doc"))
+                .select(col("cid").as("id"), col("doc"), col("distance"))
+          }
         case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
           // unfiltered probes serve from the JVM-resident hot tier (zero
           // Spark jobs warm; answers bit-equal to the cold path —

@@ -132,6 +132,8 @@ object Prof {
       .collect().map(_.getLong(1))
     println(s"PROF ivf_cells max=${sizes.max} mean=${sizes.sum / sizes.length}")
     time("ivf_probe", nTag)(idx.query(qe, 5, 4).collect())
+    time("ivf_hot_load", nTag)(idx.hotQuery(qe, 5, 4))
+    time("ivf_hot_probe", nTag)(idx.hotQuery(qe, 5, 4))
     val bits = scaledBits(n)
     if (sys.env.contains("PROF_FIXED6"))
       time("graph_build_6bit_fixed", nTag) {

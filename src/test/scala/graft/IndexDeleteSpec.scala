@@ -105,6 +105,23 @@ class IndexDeleteSpec extends AnyFunSuite with SparkTest {
       "the next compact must keep the re-added row")
   }
 
+  test("IvfIndex: deleting ids never inserted is a no-op; a later fresh append of them sticks") {
+    val base = tmp("ivf_unknown")
+    val idx = new IvfIndex(spark, base, numCells = 4)
+    idx.build(vecs.filter(col("id") <= 100))
+    // 150 was NEVER indexed: an unknown-id tombstone would make the
+    // later legitimate append refuse until a pointless compact
+    idx.delete(Seq(150L, 3L)) // one unknown-to-the-index, one real
+    assert(idx.query(probeOf(3L), k = 5, nprobe = 4)
+      .filter(col("id") === 3L).count() == 0, "known id must be deleted")
+    idx.append(vecs.filter(col("id") === 150L)) // must NOT throw
+    assert(idx.query(probeOf(150L), k = 1, nprobe = 4).head().getLong(0) == 150L,
+      "a fresh append of a never-present id must be served")
+    idx.compact()
+    assert(idx.query(probeOf(150L), k = 1, nprobe = 4).head().getLong(0) == 150L,
+      "compact must NOT drop the appended row (no stale tombstone)")
+  }
+
   test("IvfIndex: compact with tombstones but zero data batches sweeps them (no crash)") {
     val base = tmp("ivf_nobatch")
     val idx = new IvfIndex(spark, base, numCells = 4)

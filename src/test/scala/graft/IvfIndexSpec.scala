@@ -43,6 +43,33 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       got.length == 5, "IVF results come from within the probed cells, ranked")
   }
 
+  test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_hot").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors.filter(col("id") <= 300))
+    val qe = vectors.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    def cold(np: Int) = idx.query(qe, k = 5, nprobe = np)
+      .select("id", "cell", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // bit-equal, partial and full probe, warm and cold
+    assert(idx.hotQuery(qe, 5, 2) == cold(2))
+    assert(idx.hotQuery(qe, 5, 8) == cold(8))
+    assert(idx.hotQuery(qe, 5, 8) == cold(8), "warm probe stays equal")
+    val t0 = System.nanoTime()
+    idx.hotQuery(qe, 5, 8)
+    assert((System.nanoTime() - t0) / 1e6 < 150.0, "warm hot probe must be sub-150ms")
+    // append, delete, compact each invalidate
+    idx.append(vectors.filter(col("id") > 300 && col("id") <= 320))
+    assert(idx.hotQuery(qe, 5, 8) == cold(8), "hot tier must reload after append")
+    idx.delete(Seq(7L))
+    assert(idx.hotQuery(qe, 5, 8) == cold(8), "hot tier must reload after delete")
+    assert(!idx.hotQuery(qe, 5, 8).exists(_._1 == 7L))
+    idx.compact()
+    assert(idx.hotQuery(qe, 5, 8) == cold(8), "hot tier must reload after compact")
+  }
+
   test("metadata survives build->append->compact; filtered queries push the predicate") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
