@@ -117,6 +117,75 @@ object AnnQueries {
            |ORDER BY ${OracleSql.cosine("e.emb", "probe.qe")} DESC, e.doc_id LIMIT 5""".stripMargin
       }),
 
+    // ONNX inference, ORACLE-GATED: the same knn pipeline through
+    // functions.OnnxEmbedder — a real serialized ModelProto (protobuf
+    // bytes) is loaded once per executor JVM and evaluated
+    // (Gather → ReduceMean → MatMul+bias → Relu → MatMul) per batch.
+    // The artifact's weights are DYADIC (k/1024, OnnxModels) so every op
+    // rounds only at its float-cast boundary, identically in any
+    // evaluation order — which lets DuckDB replay the ENTIRE inference
+    // bit-for-bit with plain relational joins over the weight tables.
+    Q(
+      "q_onnx_embed",
+      "ONNX embedding-bag inference + top-5 cosine knn, oracle-replayed",
+      (s, dir) =>
+        graft.functions.Embedder.knnByText(
+          tbl(s, dir, "documents"), "doc_id", "text",
+          probeId = 0, k = 5, graft.functions.OnnxModels.embedder),
+      Some {
+        import graft.functions.{OnnxModels => M}
+        val ph = OracleText.polyHash("tkn")
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |ix AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+           |tok AS (SELECT doc_id, unnest(toks) AS tkn FROM t),
+           |tid AS MATERIALIZED (
+           |  SELECT doc_id, CAST($ph % ${M.Vocab} AS BIGINT) AS id FROM tok),
+           |tb(ti, tk) AS (VALUES ${M.valuesSql(0L, M.Vocab * M.Hid)}),
+           |w1t(wi, wk) AS (VALUES ${M.valuesSql(100000L, M.Hid * M.Mid)}),
+           |b1t(bj, bk) AS (VALUES ${M.valuesSql(200000L, M.Mid)}),
+           |w2t(vi, vk) AS (VALUES ${M.valuesSql(300000L, M.Mid * M.Dim)}),
+           |d16(d) AS (SELECT unnest(range(0, ${M.Hid}))),
+           |d24(j) AS (SELECT unnest(range(0, ${M.Mid}))),
+           |d8(j8) AS (SELECT unnest(range(0, ${M.Dim}))),
+           |pooledS AS ( -- Gather + sum: integer-exact, so order-free
+           |  SELECT tid.doc_id, d16.d, CAST(sum(tb.tk) AS BIGINT) AS sk
+           |  FROM tid CROSS JOIN d16 JOIN tb ON tb.ti = tid.id * ${M.Hid} + d16.d
+           |  GROUP BY tid.doc_id, d16.d),
+           |pooled AS MATERIALIZED ( -- ReduceMean (empty docs pool to zeros)
+           |  SELECT ix.doc_id, d16.d,
+           |         CAST(CASE WHEN ix.n = 0 OR p.sk IS NULL THEN 0.0
+           |              ELSE (CAST(p.sk AS DOUBLE) / 1024) / ix.n END AS FLOAT) AS pv
+           |  FROM ix CROSS JOIN d16
+           |  LEFT JOIN pooledS p ON p.doc_id = ix.doc_id AND p.d = d16.d),
+           |h AS ( -- MatMul: float×dyadic products are exact in DOUBLE
+           |  SELECT p.doc_id, d24.j,
+           |         CAST(sum(CAST(p.pv AS DOUBLE) * CAST(w.wk AS DOUBLE)) / 1024
+           |              AS FLOAT) AS hv
+           |  FROM pooled p CROSS JOIN d24 JOIN w1t w ON w.wi = p.d * ${M.Mid} + d24.j
+           |  GROUP BY p.doc_id, d24.j),
+           |hr AS MATERIALIZED ( -- Add bias (exact double, one float round) + Relu
+           |  SELECT h.doc_id, h.j,
+           |         CASE WHEN CAST(CAST(h.hv AS DOUBLE) + CAST(b.bk AS DOUBLE) / 1024
+           |                        AS FLOAT) > 0
+           |              THEN CAST(CAST(h.hv AS DOUBLE) + CAST(b.bk AS DOUBLE) / 1024
+           |                        AS FLOAT)
+           |              ELSE CAST(0.0 AS FLOAT) END AS rv
+           |  FROM h JOIN b1t b ON b.bj = h.j),
+           |emb AS (
+           |  SELECT hr.doc_id, d8.j8,
+           |         CAST(sum(CAST(hr.rv AS DOUBLE) * CAST(w.vk AS DOUBLE)) / 1024
+           |              AS FLOAT) AS ev
+           |  FROM hr CROSS JOIN d8 JOIN w2t w ON w.vi = hr.j * ${M.Dim} + d8.j8
+           |  GROUP BY hr.doc_id, d8.j8),
+           |evec AS MATERIALIZED (
+           |  SELECT doc_id, list(ev ORDER BY j8) AS emb FROM emb GROUP BY doc_id),
+           |probe AS (SELECT emb AS qe FROM evec WHERE doc_id = 0)
+           |SELECT e.doc_id, round(${OracleSql.cosine("e.emb", "probe.qe")}, 6) AS cos
+           |FROM evec e CROSS JOIN probe WHERE e.doc_id <> 0
+           |ORDER BY ${OracleSql.cosine("e.emb", "probe.qe")} DESC, e.doc_id LIMIT 5""".stripMargin
+      }),
+
     // IVF cell-probe ANN: argmin-assign to 16 literal centroids (narrow),
     // probe the 4 nearest cells (narrow filter), exact top-5 within.
     Q(
