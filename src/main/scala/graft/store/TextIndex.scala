@@ -321,6 +321,105 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     } finally merged.unpersist(): Unit
   }
 
+  // ------------------------------------------------------- hot serving
+
+  /** JVM-resident serving state — the [[GraphIndex]]/[[IvfIndex]] hot
+    * tier, text shape: corpus stats corrected for pending tombstones at
+    * load, the dead-doc set, and postings loaded PER TERM on first use
+    * (one bucket+term-pruned read each, then pure memory — the common
+    * serving case is a stable query vocabulary). Keyed on the publish
+    * fingerprint; append/delete/compact/build invalidate wholesale. */
+  private final class HotText(
+      val key: String, val n: Long, val avgdl: Double,
+      val dead: java.util.HashSet[java.lang.Long],
+      val postings: java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Int, Long)]],
+      val dfs: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
+
+  @volatile private var hotCache: HotText = null
+
+  private def hotKey(): String = {
+    def names(p: String) = StoreIO.committedBatchDirs(p).map(_.getName).mkString(",")
+    def mt(p: String) = new java.io.File(p).lastModified()
+    s"${names(postingsPath)}|${names(tombstonePath)}|${tombstoneHwm()}|" +
+      s"${mt(postingsPath)}|${mt(statsPath)}|${mt(termstatsPath)}"
+  }
+
+  private def hotState(): HotText = {
+    val key = hotKey()
+    var h = hotCache
+    if (h == null || h.key != key) {
+      require(StoreIO.committedBatchDirs(statsPath).nonEmpty,
+        s"TextIndex at $path has no committed corpus stats — build() first")
+      val st = spark.read.parquet(statsPath)
+        .agg(sum(col("n_docs")).as("n"), sum(col("sum_dl")).as("sumdl")).head()
+      val dead = new java.util.HashSet[java.lang.Long]()
+      var deadDl = 0L
+      tombstones().foreach(_.select("doc_id", "dl").collect().foreach { r =>
+        dead.add(r.getLong(0)); deadDl += r.getInt(1).toLong
+      })
+      val n = st.getLong(0) - dead.size()
+      require(n > 0, s"TextIndex at $path has zero live documents")
+      val avgdl = (st.getLong(1) - deadDl).toDouble / n.toDouble
+      h = new HotText(key, n, avgdl, dead,
+        new java.util.concurrent.ConcurrentHashMap(),
+        new java.util.concurrent.ConcurrentHashMap())
+      hotCache = h
+    }
+    h
+  }
+
+  /** Load one term's postings + corrected df into the hot state (one
+    * pruned read on first use). */
+  private def hotTerm(h: HotText, term: String): (Array[(Long, Int, Long)], Long) = {
+    val arr = h.postings.computeIfAbsent(term, { t =>
+      val rows = spark.read.parquet(postingsPath)
+        .filter(col("bucket") === bucketOf(t) && col("term") === t)
+        .select("doc_id", "dl", "tf").collect()
+      var deadCnt = 0L
+      val live = rows.flatMap { r =>
+        if (h.dead.contains(r.getLong(0))) { deadCnt += 1; None }
+        else Some((r.getLong(0), r.getInt(1), r.getLong(2)))
+      }
+      val dfRaw = spark.read.parquet(termstatsPath)
+        .filter(col("bucket") === bucketOf(t) && col("term") === t)
+        .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
+      h.dfs.put(t, java.lang.Long.valueOf(dfRaw - deadCnt))
+      live
+    })
+    (arr, h.dfs.get(term).longValue())
+  }
+
+  /** [[query]] served from JVM memory after each term's first load —
+    * identical arithmetic (same stat corrections, same double expression
+    * tree per contribution, same HALF_UP quantization, same integer sum
+    * and tie-break), so hot and cold answers are bit-equal
+    * (spec-pinned). */
+  def hotQuery(terms: Seq[String], k: Int): Seq[(Long, Int, Double)] = {
+    val h = hotState()
+    val uniq = terms.distinct
+    val loaded = uniq.map(t => t -> hotTerm(h, t)).toMap
+    val acc = scala.collection.mutable.HashMap.empty[(Long, Int), Long]
+    uniq.foreach { t =>
+      val (arr, df) = loaded(t)
+      val idf = math.log((h.n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+      arr.foreach { case (doc, dl, tfL) =>
+        val tf = tfL.toDouble
+        // mirror query()'s expression tree op for op
+        val contrib = idf * ((tf * (K1 + 1.0)) /
+          (tf + K1 * ((1.0 - B) + B * dl.toDouble / h.avgdl)))
+        val cq = java.math.BigDecimal.valueOf(contrib * Scale.toDouble)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        val key0 = (doc, dl)
+        acc(key0) = acc.getOrElse(key0, 0L) + cq
+      }
+    }
+    acc.toSeq.sortBy { case ((doc, _), sq) => (-sq, doc) }.take(k)
+      .map { case ((doc, dl), sq) =>
+        (doc, dl, java.math.BigDecimal.valueOf(sq.toDouble / Scale.toDouble)
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+      }
+  }
+
   /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
     * postings read carries BOTH the bucket filter (partition pruning —
     * only the terms' bucket dirs are listed, in every batch) and the term

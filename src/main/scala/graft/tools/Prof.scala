@@ -327,6 +327,10 @@ object Prof {
       tidx.query(graft.queries.SearchQueries.QueryTerms, 10).collect())
     time("tidx_query_warm", s"(docs=$nd)")(
       tidx.query(graft.queries.SearchQueries.QueryTerms, 10).collect())
+    time("tidx_hot_load", s"(docs=$nd)")(
+      tidx.hotQuery(graft.queries.SearchQueries.QueryTerms, 10))
+    time("tidx_hot_query", s"(docs=$nd)")(
+      tidx.hotQuery(graft.queries.SearchQueries.QueryTerms, 10))
     s.stop()
   }
 }

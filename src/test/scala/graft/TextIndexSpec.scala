@@ -40,6 +40,28 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("hot serving tier: hotQuery equals the pruned-scan query; mutations invalidate it") {
+    val idx = freshIndex()
+    def cold(terms: Seq[String]) = idx.query(terms, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val terms = SearchQueries.QueryTerms
+    assert(idx.hotQuery(terms, 10) == cold(terms), "hot must equal cold (first load)")
+    assert(idx.hotQuery(terms, 10) == cold(terms), "hot must equal cold (warm)")
+    val t0 = System.nanoTime()
+    idx.hotQuery(terms, 10)
+    assert((System.nanoTime() - t0) / 1e6 < 150.0, "warm hot query must be sub-150ms")
+    // a delete corrects every stat the score depends on — hot included
+    val dead = cold(terms).take(2).map(_._1)
+    idx.delete(dead)
+    assert(idx.hotQuery(terms, 10) == cold(terms), "hot must reload after delete")
+    assert(!idx.hotQuery(terms, 10).exists(r => dead.contains(r._1)))
+    idx.compact()
+    assert(idx.hotQuery(terms, 10) == cold(terms), "hot must reload after compact")
+    // unseen terms load lazily; absent terms score nothing
+    assert(idx.hotQuery(Seq("zzz_not_in_corpus"), 5) ==
+      cold(Seq("zzz_not_in_corpus")))
+  }
+
   test("terms absent from the corpus yield an empty result, not an error") {
     val idx = freshIndex()
     assert(idx.query(Seq("zzzznotaword", "qqqqneither"), 5).collect().isEmpty)
