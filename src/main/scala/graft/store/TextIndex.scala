@@ -329,11 +329,17 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * (one bucket+term-pruned read each, then pure memory — the common
     * serving case is a stable query vocabulary). Keyed on the publish
     * fingerprint; append/delete/compact/build invalidate wholesale. */
+  /** One term's postings with the quantized contribution PRE-COMPUTED:
+    * idf and avgdl are constants of the hot state, so the per-posting
+    * double pipeline + HALF_UP quantization run ONCE at term load —
+    * every later probe is a pure primitive-array integer-sum loop. */
+  private final class TermPostings(
+      val docIds: Array[Long], val dls: Array[Int], val cqs: Array[Long])
+
   private final class HotText(
       val key: String, val n: Long, val avgdl: Double,
       val dead: java.util.HashSet[java.lang.Long],
-      val postings: java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Int, Long)]],
-      val dfs: java.util.concurrent.ConcurrentHashMap[String, java.lang.Long])
+      val postings: java.util.concurrent.ConcurrentHashMap[String, TermPostings])
 
   @volatile private var hotCache: HotText = null
 
@@ -361,61 +367,102 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       require(n > 0, s"TextIndex at $path has zero live documents")
       val avgdl = (st.getLong(1) - deadDl).toDouble / n.toDouble
       h = new HotText(key, n, avgdl, dead,
-        new java.util.concurrent.ConcurrentHashMap(),
         new java.util.concurrent.ConcurrentHashMap())
       hotCache = h
     }
     h
   }
 
-  /** Load one term's postings + corrected df into the hot state (one
-    * pruned read on first use). */
-  private def hotTerm(h: HotText, term: String): (Array[(Long, Int, Long)], Long) = {
-    val arr = h.postings.computeIfAbsent(term, { t =>
+  /** Load one term's postings (one pruned read on first use), fold the
+    * tombstone df correction into idf, and pre-quantize every posting's
+    * contribution with [[query]]'s EXACT arithmetic — same stat
+    * corrections, same double expression tree, same HALF_UP rounding. */
+  private def hotTerm(h: HotText, term: String): TermPostings =
+    h.postings.computeIfAbsent(term, { t =>
       val rows = spark.read.parquet(postingsPath)
         .filter(col("bucket") === bucketOf(t) && col("term") === t)
         .select("doc_id", "dl", "tf").collect()
       var deadCnt = 0L
-      val live = rows.flatMap { r =>
-        if (h.dead.contains(r.getLong(0))) { deadCnt += 1; None }
-        else Some((r.getLong(0), r.getInt(1), r.getLong(2)))
+      val live = rows.filter { r =>
+        val isDead = h.dead.contains(r.getLong(0))
+        if (isDead) deadCnt += 1
+        !isDead
       }
       val dfRaw = spark.read.parquet(termstatsPath)
         .filter(col("bucket") === bucketOf(t) && col("term") === t)
         .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
-      h.dfs.put(t, java.lang.Long.valueOf(dfRaw - deadCnt))
-      live
-    })
-    (arr, h.dfs.get(term).longValue())
-  }
-
-  /** [[query]] served from JVM memory after each term's first load —
-    * identical arithmetic (same stat corrections, same double expression
-    * tree per contribution, same HALF_UP quantization, same integer sum
-    * and tie-break), so hot and cold answers are bit-equal
-    * (spec-pinned). */
-  def hotQuery(terms: Seq[String], k: Int): Seq[(Long, Int, Double)] = {
-    val h = hotState()
-    val uniq = terms.distinct
-    val loaded = uniq.map(t => t -> hotTerm(h, t)).toMap
-    val acc = scala.collection.mutable.HashMap.empty[(Long, Int), Long]
-    uniq.foreach { t =>
-      val (arr, df) = loaded(t)
-      val idf = math.log((h.n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
-      arr.foreach { case (doc, dl, tfL) =>
-        val tf = tfL.toDouble
+      val df = (dfRaw - deadCnt).toDouble
+      val idf = math.log((h.n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+      val docIds = new Array[Long](live.length)
+      val dls = new Array[Int](live.length)
+      val cqs = new Array[Long](live.length)
+      var i = 0
+      while (i < live.length) {
+        val r = live(i)
+        val dl = r.getInt(1)
+        val tf = r.getLong(2).toDouble
         // mirror query()'s expression tree op for op
         val contrib = idf * ((tf * (K1 + 1.0)) /
           (tf + K1 * ((1.0 - B) + B * dl.toDouble / h.avgdl)))
-        val cq = java.math.BigDecimal.valueOf(contrib * Scale.toDouble)
+        docIds(i) = r.getLong(0)
+        dls(i) = dl
+        cqs(i) = java.math.BigDecimal.valueOf(contrib * Scale.toDouble)
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-        val key0 = (doc, dl)
-        acc(key0) = acc.getOrElse(key0, 0L) + cq
+        i += 1
+      }
+      new TermPostings(docIds, dls, cqs)
+    })
+
+  /** [[query]] served from JVM memory after each term's first load — the
+    * probe itself is a primitive integer-sum loop over the pre-quantized
+    * postings (no doubles, no allocation per posting), with [[query]]'s
+    * exact integer scores and (score desc, doc asc) tie-break, so hot and
+    * cold answers are bit-equal (spec-pinned). */
+  def hotQuery(terms: Seq[String], k: Int): Seq[(Long, Int, Double)] = {
+    val h = hotState()
+    val uniq = terms.distinct
+    val loaded = uniq.map(t => hotTerm(h, t))
+    val sums = new scala.collection.mutable.LongMap[Long]()
+    val dlOf = new scala.collection.mutable.LongMap[Int]()
+    loaded.foreach { tp =>
+      var i = 0
+      while (i < tp.docIds.length) {
+        val doc = tp.docIds(i)
+        sums(doc) = sums.getOrElse(doc, 0L) + tp.cqs(i)
+        dlOf(doc) = tp.dls(i)
+        i += 1
       }
     }
-    acc.toSeq.sortBy { case ((doc, _), sq) => (-sq, doc) }.take(k)
-      .map { case ((doc, dl), sq) =>
-        (doc, dl, java.math.BigDecimal.valueOf(sq.toDouble / Scale.toDouble)
+    // bounded top-k selection (score desc, doc asc): a full sort of the
+    // candidate docs would dominate the probe at corpus scale (common
+    // terms accumulate hundreds of thousands of docs)
+    def better(sqA: Long, docA: Long, sqB: Long, docB: Long): Boolean =
+      sqA > sqB || (sqA == sqB && docA < docB)
+    val topDoc = new Array[Long](k)
+    val topSq = new Array[Long](k)
+    var nTop = 0
+    var worst = -1
+    def recomputeWorst(): Unit = {
+      worst = 0
+      var i = 1
+      while (i < nTop) {
+        if (better(topSq(worst), topDoc(worst), topSq(i), topDoc(i))) worst = i
+        i += 1
+      }
+    }
+    sums.foreach { case (doc, sq) =>
+      if (nTop < k) {
+        topDoc(nTop) = doc; topSq(nTop) = sq; nTop += 1
+        if (nTop == k) recomputeWorst()
+      } else if (better(sq, doc, topSq(worst), topDoc(worst))) {
+        topDoc(worst) = doc; topSq(worst) = sq
+        recomputeWorst()
+      }
+    }
+    (0 until nTop).map(i => (topDoc(i), topSq(i)))
+      .sortBy { case (doc, sq) => (-sq, doc) }
+      .map { case (doc, sq) =>
+        (doc, dlOf(doc), java.math.BigDecimal.valueOf(sq.toDouble / Scale.toDouble)
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
       }
   }
