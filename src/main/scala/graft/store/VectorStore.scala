@@ -545,7 +545,10 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   private def withEncLease[T](name: String, op: String)(body: => T): T =
     WriterLease.withLeaseFile(
       java.nio.file.Paths.get(basePath, s"_writer_lease_enc_$name"),
-      op, path(name))(body)
+      // rootKey distinct from a plain Collection at the same basePath+name:
+      // they hold DIFFERENT lease files, so thread-reentrancy must not
+      // conflate them (a holder of one would silently skip the other)
+      op, s"enc:${path(name)}")(body)
 
   // tombstones and the compaction marker live BESIDE the collection dir:
   // compact() and rotateKey() swap the whole dir, which would silently
