@@ -487,6 +487,17 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     visited.toSeq.sortBy { case (id, d) => (d, id) }.take(topK)
   }
 
+  /** Batched hot probes against ONE state load — [[queryBatch]]'s output
+    * shape (probe_id, id, dist, rn) with [[hotQuery]]'s per-probe answers
+    * (≡ [[query]]'s ≡ [[queryBatch]]'s, all spec-pinned). */
+  def hotQueryBatch(probes: Seq[(Long, Array[Float])], topK: Int, beamWidth: Int,
+                    hops: Int): Seq[(Long, Long, Double, Int)] =
+    probes.flatMap { case (pid, qe) =>
+      hotQuery(qe, topK, beamWidth, hops).zipWithIndex.map { case ((id, d), i) =>
+        (pid, id, d, i + 1)
+      }
+    }
+
   /** Hot-path ROUTED serving: top-k with the collection payload, ordered
     * like `Collection.routedQuery` ((distance, cid) ascending). None when
     * the index does not carry routing metadata — the caller falls back to

@@ -448,6 +448,18 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .map { case (d, id, c) => (id, c, d) }.toSeq
   }
 
+  /** Batched hot probes: Q probes against ONE state load — the bulk
+    * scoring shape a training pipeline runs. Per-probe results are
+    * [[hotQuery]]'s (≡ [[query]]'s ≡ [[queryBatch]]'s, both spec-pinned),
+    * returned as (probe_id, id, cell, distance, rn) like [[queryBatch]]. */
+  def hotQueryBatch(probes: Seq[(Long, Array[Float])], k: Int,
+                    nprobe: Int): Seq[(Long, Long, Long, Double, Int)] =
+    probes.flatMap { case (pid, qe) =>
+      hotQuery(qe, k, nprobe).zipWithIndex.map { case ((id, cell, d), i) =>
+        (pid, id, cell, d, i + 1)
+      }
+    }
+
   /** Hot routed serving (the `Collection.query` path): top-k with the
     * collection payload in the cold path's exact order ((distance, id)).
     * None when the index has no routing metadata. */

@@ -68,6 +68,16 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(!idx.hotQuery(qe, 5, 8).exists(_._1 == 7L))
     idx.compact()
     assert(idx.hotQuery(qe, 5, 8) == cold(8), "hot tier must reload after compact")
+    // batched hot probes equal the one-scan batch path probe for probe
+    val probes = (1L to 4L).map(i =>
+      i -> vectors.filter(col("id") === i * 3).head().getSeq[Float](1).toArray)
+    val batchCold = idx.queryBatch(probes, k = 5, nprobe = 4)
+      .select("probe_id", "id", "cell", "distance", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+      .toSeq.sortBy(t => (t._1, t._5))
+    assert(idx.hotQueryBatch(probes, k = 5, nprobe = 4)
+      .sortBy(t => (t._1, t._5)) == batchCold,
+      "hotQueryBatch must equal queryBatch probe for probe")
   }
 
   test("metadata survives build->append->compact; filtered queries push the predicate") {

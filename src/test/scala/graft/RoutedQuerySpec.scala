@@ -144,6 +144,15 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     idx.compact()
     assert(idx.hotQuery(probe, 5, 8, 3) == cold(),
       "hot tier must reload after compact")
+    // batched hot probes equal the shared-schedule batch walk
+    val bprobes = Seq(1L, 2L).map(i => i -> probe)
+    val batchCold = idx.queryBatch(bprobes, topK = 5, beamWidth = 8, hops = 3)
+      .select("probe_id", "id", "dist", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    assert(idx.hotQueryBatch(bprobes, topK = 5, beamWidth = 8, hops = 3)
+      .sortBy(t => (t._1, t._4)) == batchCold,
+      "hotQueryBatch must equal queryBatch probe for probe")
     // routed Collection.query serves from the hot tier and matches the
     // explicit index walk payload for payload (the "routed graph query"
     // test pins the same equality on an unmutated index)

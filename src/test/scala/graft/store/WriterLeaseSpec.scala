@@ -87,6 +87,32 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
     assert(col1.df.filter(col("id") === "id51").count() == 0)
   }
 
+  test("hammer: N threads x M cycles never observe two concurrent holders") {
+    val root = tmp("lease_hammer")
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val violations = new java.util.concurrent.atomic.AtomicInteger(0)
+    val acquired = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ts = (1 to 8).map { i =>
+      new Thread(() => {
+        (1 to 40).foreach { _ =>
+          try {
+            val l = WriterLease.acquire(root, s"w$i", ttlMs = 60000L)
+            acquired.incrementAndGet()
+            if (inside.incrementAndGet() != 1) violations.incrementAndGet()
+            Thread.sleep(0, 50000)
+            inside.decrementAndGet()
+            l.release()
+          } catch { case _: LeaseHeldException => () }
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(violations.get() == 0, s"${violations.get()} mutual-exclusion violations")
+    assert(acquired.get() > 0, "hammer never acquired — test is vacuous")
+    // the lease is free afterwards
+    WriterLease.acquire(root, "after").release()
+  }
+
   test("crash row: a dead holder's lease expires and the next writer takes over") {
     val root = tmp("lease_crash")
     // the holder 'crashes' (never releases) with a short TTL
