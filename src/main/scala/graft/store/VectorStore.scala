@@ -609,6 +609,48 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         open(name).filter(coalesce(cond, lit(false))).select("id"))
     }
 
+  /** Snapshot the encrypted collection under `tag`: ciphertext files
+    * hardlink (zero data copied) and the PENDING TOMBSTONE state pins
+    * with them, so the frozen view serves exactly what the live one
+    * served at tag time — deletes already pending stay excluded, deletes
+    * issued later do not reach it. NOTE the GDPR interplay, by design:
+    * a snapshot holds references to ciphertext that a later
+    * delete+compact purges from the LIVE store; full erasure requires
+    * dropping (or re-tagging) snapshots that predate the delete —
+    * the same contract as any backup, surfaced here explicitly. */
+  def snapshot(name: String, tag: String): Unit =
+    withEncLease(name, "EncryptedStore.snapshot") {
+      require(tag.nonEmpty && !tag.contains('/'), s"bad snapshot tag: $tag")
+      StoreIO.recover(encMarker(name))
+      val dest = java.nio.file.Paths.get(s"$basePath/__enc_snapshots/$name/$tag")
+      StoreIO.rmTree(dest.toFile)
+      java.nio.file.Files.createDirectories(dest)
+      StoreIO.hardlinkTree(new java.io.File(path(name)),
+        dest.resolve("data").toFile)
+      val tsDirs = StoreIO.committedBatchDirs(tombstonePath(name))
+      tsDirs.foreach(d => StoreIO.hardlinkTree(d,
+        dest.resolve("tombstones").resolve(d.getName).toFile))
+    }
+
+  /** Read a snapshot's live rows (decrypted), tombstone state included. */
+  def openSnapshot(name: String, tag: String): DataFrame = {
+    val snap = s"$basePath/__enc_snapshots/$name/$tag"
+    val raw = spark.read.parquet(s"$snap/data")
+    val tsDirs = StoreIO.committedBatchDirs(s"$snap/tombstones")
+    val live =
+      if (tsDirs.isEmpty) raw
+      else raw.join(broadcast(
+        spark.read.schema("id STRING").parquet(tsDirs.map(_.getPath).toIndexedSeq: _*)
+          .select("id").dropDuplicates("id")), Seq("id"), "left_anti")
+    live.select(
+      col("id"),
+      decryptStr(col("doc_ct")).as("doc"),
+      from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+  }
+
+  def dropSnapshot(name: String, tag: String): Unit =
+    StoreIO.rmTree(new java.io.File(s"$basePath/__enc_snapshots/$name/$tag"))
+
   /** Fold pending deletes into the physical store: rewrite without the
     * tombstoned rows and clear the tombstone dirs in ONE crash-consistent
     * commit ([[StoreIO.commitStaged]] + open-time recover), so a crash

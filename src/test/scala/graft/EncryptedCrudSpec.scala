@@ -74,6 +74,27 @@ class EncryptedCrudSpec extends AnyFunSuite with SparkTest {
       "a re-add after compact must be served")
   }
 
+  test("encrypted snapshots pin rows AND pending-delete state; later purges don't reach them") {
+    val base = tmp()
+    val enc = new EncryptedStore(spark, base, "0123456789abcdef")
+    enc.store(rows(1 to 25), "c")
+    enc.delete("c", Seq("id4")) // pending at snapshot time: stays excluded
+    enc.snapshot("c", "s1")
+    // later mutations: delete + physical purge + new adds
+    enc.delete("c", Seq("id10"))
+    enc.compact("c")
+    enc.add(rows(26 to 30), "c")
+    val snap = enc.openSnapshot("c", "s1").select("id").collect()
+      .map(_.getString(0)).toSet
+    assert(!snap.contains("id4"), "pre-snapshot pending delete must hold in the snapshot")
+    assert(snap.contains("id10"), "post-snapshot deletes must NOT reach the frozen view")
+    assert(!snap.contains("id26"), "post-snapshot adds must NOT reach the frozen view")
+    assert(snap.size == 24)
+    // the documented GDPR contract: dropping the snapshot releases the refs
+    enc.dropSnapshot("c", "s1")
+    assert(!new java.io.File(s"$base/__enc_snapshots/c/s1").exists())
+  }
+
   test("key rotation preserves pending tombstones; compact after rotation purges under the new key") {
     val base = tmp()
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")
