@@ -514,6 +514,17 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         .sortBy { case (cid, _, d) => (d, cid) })
   }
 
+  /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot
+    * path): one state check, rows tagged by query index. */
+  private[store] def hotServeBatch(probes: Seq[(Long, Array[Float])], k: Int,
+                                   beamWidth: Int, hops: Int): Option[Seq[(Long, String, String, Double)]] = {
+    if (hotState().payload.isEmpty) None
+    else Some(probes.flatMap { case (qi, qe) =>
+      hotServe(qe, k, beamWidth, hops).getOrElse(Seq.empty)
+        .map { case (cid, doc, d) => (qi, cid, doc, d) }
+    })
+  }
+
   /** HNSW-style incremental insert — the REAL HNSW algorithm: search,
     * then connect.
     *  1. each new vector's neighbor candidates come from the SHARED

@@ -460,6 +460,17 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       }
     }
 
+  /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot
+    * path): one state check, rows tagged by query index. */
+  private[store] def hotServeBatch(probes: Seq[(Long, Array[Float])], k: Int,
+                                   nprobe: Int): Option[Seq[(Long, String, String, Double)]] = {
+    if (hotState().payload.isEmpty) None
+    else Some(probes.flatMap { case (qi, qe) =>
+      hotServe(qe, k, nprobe).getOrElse(Seq.empty)
+        .map { case (cid, doc, d) => (qi, cid, doc, d) }
+    })
+  }
+
   /** Hot routed serving (the `Collection.query` path): top-k with the
     * collection payload in the cold path's exact order ((distance, id)).
     * None when the index has no routing metadata. */

@@ -459,6 +459,65 @@ final class VectorStore(spark: SparkSession, basePath: String) {
         case _ => bruteQuery(queryEmb, k, metric, where, whereDocument)
       }
 
+    /** Chroma `query(query_embeddings=[...])` — the reference API takes a
+      * LIST of query embeddings; this is that surface. Output:
+      * (query_idx, id, doc, distance), top-k per probe. Unfiltered l2
+      * probes against an attached index serve from the hot tier (one
+      * state load for the whole batch); the brute path scores every probe
+      * in ONE corpus scan (broadcast probe frame + per-probe window), not
+      * Q scans. */
+    def queryBatch(queryEmbs: Seq[Array[Float]], k: Int, metric: String = "l2",
+                   where: Option[Column] = None,
+                   whereDocument: Option[Column] = None): DataFrame = {
+      require(queryEmbs.nonEmpty, "queryBatch needs at least one embedding")
+      val probes = queryEmbs.zipWithIndex.map { case (qe, i) => (i.toLong, qe) }
+      val pred = (where.toSeq ++ whereDocument.toSeq).reduceOption(_ && _)
+      import spark.implicits._
+      attachedIdx.get(name) match {
+        case Some(ai) if metric == "l2" && pred.isEmpty =>
+          val hotRows: Option[Seq[(Long, String, String, Double)]] = ai match {
+            case VectorStore.AttachedIvf(idx, nprobe) =>
+              idx.hotServeBatch(probes, k, nprobe)
+            case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
+              idx.hotServeBatch(probes, k, beamWidth, hops)
+          }
+          hotRows match {
+            case Some(rows) => rows.toDF("query_idx", "id", "doc", "distance")
+            case None => // no routing payload: per-probe routed fallback
+              probes.map { case (qi, qe) =>
+                routedQuery(ai, qe, k, None, None)
+                  .select(lit(qi).as("query_idx"), col("id"), col("doc"), col("distance"))
+              }.reduce(_ unionByName _)
+          }
+        case Some(ai) if metric == "l2" =>
+          // predicate probes keep the pushed-down index scans, per probe
+          probes.map { case (qi, qe) =>
+            routedQuery(ai, qe, k, where, whereDocument)
+              .select(lit(qi).as("query_idx"), col("id"), col("doc"), col("distance"))
+          }.reduce(_ unionByName _)
+        case _ =>
+          // brute: ONE scan for the whole batch
+          val probeDf = broadcast(
+            spark.createDataFrame(probes.map { case (i, qe) => (i, qe.toSeq) })
+              .toDF("query_idx", "qe"))
+          val base = Seq(where, whereDocument).flatten.foldLeft(df)(_ filter _)
+          val qc = col("qe").cast("array<float>")
+          val scored = metric match {
+            case "l2" => base.crossJoin(probeDf)
+              .withColumn("distance", VF.l2Sq(col("emb"), qc))
+            case "cosine" => base.crossJoin(probeDf)
+              .withColumn("distance", -VF.cosine(col("emb"), qc))
+            case other => throw new IllegalArgumentException(s"unknown metric: $other")
+          }
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("query_idx").orderBy(asc("distance"), asc("id"))
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k)
+            .select(col("query_idx"), col("id"), col("doc"), col("distance"))
+            .orderBy("query_idx", "distance", "id")
+      }
+    }
+
     private def bruteQuery(queryEmb: Array[Float], k: Int, metric: String,
                            where: Option[Column],
                            whereDocument: Option[Column]): DataFrame = {

@@ -111,6 +111,45 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     assert(hit._1 == "5" && hit._2 == 0.0, "upserted embedding must be re-indexed")
   }
 
+  test("queryBatch (Chroma multi-embedding query): per-probe equal to query() on every path") {
+    val store = new VectorStore(spark, tmp("vs_qb"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") <= 300))
+    val embs = Seq(17L, 42L, 99L).map(i =>
+      spark.read.parquet(s"$sf001/embeddings.parquet")
+        .filter(col("vec_id") === i).head().getAs[Seq[Float]]("embedding").toArray)
+    def batchRows(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[(String, Double)]] =
+      df.select("query_idx", "id", "distance").collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (qi, a) => qi -> a.map(_._2).toSeq.sortBy(p => (p._2, p._1)) }
+    def single(qe: Array[Float], metric: String, where: Option[org.apache.spark.sql.Column] = None) =
+      got(c.query(qe, k = 4, metric = metric, where = where))
+
+    // brute, both metrics
+    for (metric <- Seq("l2", "cosine")) {
+      val b = batchRows(c.queryBatch(embs, k = 4, metric = metric))
+      embs.zipWithIndex.foreach { case (qe, i) =>
+        assert(b(i.toLong) == single(qe, metric), s"brute $metric probe $i diverges")
+      }
+    }
+    // brute, filtered
+    val where = Some(element_at(col("meta"), "label") === "1")
+    val bf = batchRows(c.queryBatch(embs, k = 4, where = where))
+    embs.zipWithIndex.foreach { case (qe, i) =>
+      assert(bf(i.toLong) == single(qe, "l2", where), s"filtered probe $i diverges")
+    }
+    // routed (IVF hot tier), unfiltered and filtered
+    c.attachIvfIndex(tmp("vs_qb_idx"), numCells = 4, nprobe = 4)
+    val br = batchRows(c.queryBatch(embs, k = 4))
+    embs.zipWithIndex.foreach { case (qe, i) =>
+      assert(br(i.toLong) == single(qe, "l2"), s"routed probe $i diverges")
+    }
+    val brf = batchRows(c.queryBatch(embs, k = 4, where = where))
+    embs.zipWithIndex.foreach { case (qe, i) =>
+      assert(brf(i.toLong) == single(qe, "l2", where), s"routed filtered probe $i diverges")
+    }
+  }
+
   test("hot serving tier: hotQuery equals the Spark walk; every mutation invalidates it") {
     val store = new VectorStore(spark, tmp("vs_hot"))
     val c = store.createOrGet("col")
