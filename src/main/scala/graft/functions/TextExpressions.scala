@@ -374,6 +374,42 @@ case class CountTokensIn(child: Expression, terms: Seq[String]) extends UnaryExp
     copy(child = newChild)
 }
 
+/** bucket_logit(ARRAY<BIGINT>) -> BIGINT — hashed-linear-model inference
+  * (see [[TextHashOps.bucketLogit]]): exact integer logit of a quantized
+  * hashing-trick classifier over the row's token hashes. The weight table
+  * is a plan-static reference object (one `long[]` per codegen'd stage,
+  * not a per-row literal), so the whole classifier runs as a single
+  * codegen'd scan — the shape model-based quality filtering needs at
+  * corpus scale: no shuffle, no explode, no join. */
+case class BucketLogit(child: Expression, weights: Seq[Long], bias: Long)
+    extends UnaryExpression {
+  override def prettyName: String = "bucket_logit"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      // NullType: a NULL literal argument evaluates to NULL (nullIntolerant)
+      case ArrayType(LongType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  private lazy val wArr: Array[Long] = weights.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.bucketLogit(v.asInstanceOf[ArrayData], wArr, bias)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("weights", wArr, "long[]")
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.bucketLogit($c, $ref, ${bias}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** token_len_sum(ARRAY<STRING>) -> BIGINT — sum of token char lengths. */
 case class TokenLenSum(child: Expression) extends UnaryExpression {
   override def prettyName: String = "token_len_sum"

@@ -89,6 +89,9 @@ object TextFunctions {
 
   /** Fold-sum of a BIGINT array (left-to-right, matches DuckDB list_sum order
     * irrelevance for ints). */
+  def bucketLogit(hashes: Column, weights: Seq[Long], bias: Long): Column =
+    expr1(BucketLogit(_, weights, bias))(hashes)
+
   def sumLong(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
 

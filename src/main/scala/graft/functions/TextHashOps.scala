@@ -100,6 +100,23 @@ object TextHashOps {
   /** Scramble a poly-hash into 32 unbiased-ish bits (Knuth multiplicative). */
   def scramble32(h: Long): Long = (h * 2654435761L) % 4294967296L
 
+  /** Hashed-linear-model logit: `bias + Σ_token w[hash % |w|]` in EXACT
+    * integer arithmetic (weights are pre-quantized longs). The inference
+    * kernel of the DSIR/CCNet-style quality classifier — one pass over
+    * the token-hash array, no allocation, no floats, so Spark and the
+    * DuckDB oracle agree bit-for-bit. polyHash is non-negative (mod P),
+    * so plain `%` indexing matches the SQL replay. */
+  def bucketLogit(hashes: ArrayData, w: Array[Long], bias: Long): Long = {
+    var s = bias
+    var i = 0
+    val n = hashes.numElements()
+    while (i < n) {
+      s += w((hashes.getLong(i) % w.length).toInt)
+      i += 1
+    }
+    s
+  }
+
   /** 32-bit SimHash over token hashes WITH multiplicity (token counts act as
     * weights). Bit j is 1 when the signed sum of bit-j votes is >= 0. */
   def simhash32(hashes: Array[Long]): Long = {

@@ -203,6 +203,44 @@ object TextQueries {
            |FROM q ORDER BY doc_id""".stripMargin
       }),
 
+    // MODEL-based quality filtering — the stage production pipelines run
+    // after the heuristics: a linear classifier over hashed bag-of-token
+    // features (fastText/CCNet shape; with log-odds weights it is exactly
+    // DSIR's hashed importance ratio). The frozen QualityModel artifact is
+    // QualityTrainer's output (spec retrains against drift); inference is
+    // ONE codegen'd scan — BucketLogit folds the 128-entry weight table
+    // over the token hashes in exact integer arithmetic, so there is no
+    // shuffle, no explode, no join, and the oracle replays the entire
+    // model bit-for-bit via the same literal weight list.
+    Q(
+      "q_quality_classifier",
+      "model-based quality filter: hashed-bucket linear classifier, exact integer logits",
+      (s, dir) => {
+        val m = graft.functions.QualityModel
+        tbl(s, dir, "documents")
+          .withColumn("toks", TF.tokens(col("text")))
+          .withColumn("logit",
+            TF.bucketLogit(TF.tokenHashes(col("toks")),
+              m.Weights.toSeq, m.Bias))
+          .select(col("doc_id"), size(col("toks")).as("n_toks"), col("logit"),
+            (col("logit") > 0).cast("int").as("keep"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val m = graft.functions.QualityModel
+        val wlist = m.Weights.map(v => s"CAST($v AS BIGINT)").mkString("[", ", ", "]")
+        val hashes = OracleText.tokenHashes(OracleText.tokens("text"))
+        s"""WITH lg AS (
+           |  SELECT doc_id,
+           |    len(${OracleText.tokens("text")}) AS n_toks,
+           |    CAST(${m.Bias} AS BIGINT) + CAST(coalesce(list_sum(
+           |      list_transform($hashes, h -> wl.l[CAST(h % ${m.Dim} + 1 AS INT)])), 0) AS BIGINT) AS logit
+           |  FROM documents, (SELECT $wlist AS l) wl)
+           |SELECT doc_id, CAST(n_toks AS INT) AS n_toks, logit,
+           |  CAST(logit > 0 AS INT) AS keep
+           |FROM lg ORDER BY doc_id""".stripMargin
+      }),
+
     // Text normalization — the first stage of every training-data pipeline:
     // collapse every non-alphanumeric run to one space, trim, lowercase.
     // After the collapse the string is pure ASCII alnum + spaces, so

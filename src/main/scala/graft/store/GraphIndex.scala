@@ -498,12 +498,23 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       }
     }
 
+  /** Admission check for ROUTED hot serving: the on-disk index tree must
+    * fit the [[StoreIO.hotBudgetBytes]] budget. Jobless (driver-side file
+    * metadata), so the check itself is free per probe. Over budget, the
+    * router falls back to the Spark walk — corpus-flat, never OOM — and
+    * the explicit [[hotQuery]] surface stays available to callers who
+    * know their index fits. */
+  private def hotFits(): Boolean =
+    StoreIO.treeBytes(vecPath) + StoreIO.treeBytes(graphPath) <=
+      StoreIO.hotBudgetBytes()
+
   /** Hot-path ROUTED serving: top-k with the collection payload, ordered
     * like `Collection.routedQuery` ((distance, cid) ascending). None when
-    * the index does not carry routing metadata — the caller falls back to
-    * the Spark point-read path. */
+    * the index does not carry routing metadata or is over the hot-tier
+    * byte budget — the caller falls back to the Spark point-read path. */
   private[store] def hotServe(qe: Array[Float], topK: Int, beamWidth: Int,
                               hops: Int): Option[Seq[(String, String, Double)]] = {
+    if (!hotFits()) return None
     val h = hotState()
     if (h.payload.isEmpty) None
     else Some(
@@ -518,6 +529,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * path): one state check, rows tagged by query index. */
   private[store] def hotServeBatch(probes: Seq[(Long, Array[Float])], k: Int,
                                    beamWidth: Int, hops: Int): Option[Seq[(Long, String, String, Double)]] = {
+    if (!hotFits()) return None
     if (hotState().payload.isEmpty) None
     else Some(probes.flatMap { case (qi, qe) =>
       hotServe(qe, k, beamWidth, hops).getOrElse(Seq.empty)

@@ -462,8 +462,17 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
 
   /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot
     * path): one state check, rows tagged by query index. */
+  /** Admission check for routed hot serving — see
+    * [[GraphIndex]]: jobless driver-side size probe against
+    * [[StoreIO.hotBudgetBytes]]; over budget the router falls back to
+    * the partition-pruned Spark probe, and the explicit [[hotQuery]]
+    * surface stays available. */
+  private def hotFits(): Boolean =
+    StoreIO.treeBytes(dataPath) <= StoreIO.hotBudgetBytes()
+
   private[store] def hotServeBatch(probes: Seq[(Long, Array[Float])], k: Int,
                                    nprobe: Int): Option[Seq[(Long, String, String, Double)]] = {
+    if (!hotFits()) return None
     if (hotState().payload.isEmpty) None
     else Some(probes.flatMap { case (qi, qe) =>
       hotServe(qe, k, nprobe).getOrElse(Seq.empty)
@@ -476,6 +485,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * None when the index has no routing metadata. */
   private[store] def hotServe(qe: Array[Float], k: Int,
                               nprobe: Int): Option[Seq[(String, String, Double)]] = {
+    if (!hotFits()) return None
     val h = hotState()
     if (h.payload.isEmpty) None
     else Some(hotQuery(qe, k, nprobe).flatMap { case (id, _, d) =>

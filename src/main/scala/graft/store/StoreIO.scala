@@ -22,6 +22,28 @@ private[store] object StoreIO {
         new java.io.File(f, "_SUCCESS").exists())
       .sortBy(_.getName)
 
+  /** Total on-disk bytes under `root` (0 when absent) — the cheap,
+    * jobless size probe behind the hot-tier admission budget: file
+    * lengths are driver-side metadata, so deciding "does this index fit
+    * in one JVM?" costs a directory walk, never a Spark job. */
+  def treeBytes(root: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.foldLeft(0L)(_ + walk(_))).getOrElse(0L)
+    walk(new java.io.File(root))
+  }
+
+  /** The hot-tier admission budget in bytes (default 1 GiB), read from
+    * the JVM property `graft.hot.maxBytes`. The hot tiers pin a whole
+    * index (Graph/IVF) or a growing term cache (Text) in JVM memory —
+    * the right call for a serving-sized index, an OOM for a 100 TB one.
+    * Routing consults this budget and falls back to the Spark pruned
+    * path when the on-disk tree is larger; the EXPLICIT `hotQuery`
+    * entry points stay available regardless (the caller opted in). */
+  def hotBudgetBytes(): Long =
+    java.lang.Long.parseLong(
+      System.getProperty("graft.hot.maxBytes", (1L << 30).toString))
+
   /** Read a single long from a small text file — the tombstone replay
     * fence's high-water mark. `default` when the file doesn't exist (no
     * compaction has applied a tombstone yet). */

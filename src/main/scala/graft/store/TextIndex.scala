@@ -339,7 +339,9 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private final class HotText(
       val key: String, val n: Long, val avgdl: Double,
       val dead: java.util.HashSet[java.lang.Long],
-      val postings: java.util.concurrent.ConcurrentHashMap[String, TermPostings])
+      val postings: java.util.concurrent.ConcurrentHashMap[String, TermPostings],
+      val bytes: java.util.concurrent.atomic.AtomicLong =
+        new java.util.concurrent.atomic.AtomicLong(0L))
 
   @volatile private var hotCache: HotText = null
 
@@ -373,11 +375,35 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     h
   }
 
+  /** ~bytes a loaded term pins: 20 bytes/posting (long id + int dl +
+    * long quantized contribution) + fixed overhead. */
+  private def termBytes(tp: TermPostings): Long = 20L * tp.docIds.length + 64L
+
   /** Load one term's postings (one pruned read on first use), fold the
     * tombstone df correction into idf, and pre-quantize every posting's
     * contribution with [[query]]'s EXACT arithmetic — same stat
-    * corrections, same double expression tree, same HALF_UP rounding. */
-  private def hotTerm(h: HotText, term: String): TermPostings =
+    * corrections, same double expression tree, same HALF_UP rounding.
+    *
+    * The cache is BYTE-BOUNDED by [[StoreIO.hotBudgetBytes]]: unlike the
+    * Graph/IVF hot tiers (whole-index, admission-checked up front), the
+    * text tier grows with the query vocabulary, so an unbounded cache
+    * would eventually pin every posting list — at 100 TB a df≈n term
+    * alone is corpus-sized. Over budget, the cache resets wholesale
+    * keeping only the term just loaded (generation flip, not LRU —
+    * entries are immutable derived state, so eviction can never be
+    * wrong, only cause a reload). */
+  private def hotTerm(h: HotText, term: String): TermPostings = {
+    val tp = hotTermLoad(h, term)
+    if (h.bytes.get() > StoreIO.hotBudgetBytes()) {
+      h.postings.clear()
+      h.bytes.set(0L)
+      h.postings.put(term, tp)
+      h.bytes.addAndGet(termBytes(tp))
+    }
+    tp
+  }
+
+  private def hotTermLoad(h: HotText, term: String): TermPostings =
     h.postings.computeIfAbsent(term, { t =>
       val rows = spark.read.parquet(postingsPath)
         .filter(col("bucket") === bucketOf(t) && col("term") === t)
@@ -410,7 +436,9 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
         i += 1
       }
-      new TermPostings(docIds, dls, cqs)
+      val tp = new TermPostings(docIds, dls, cqs)
+      h.bytes.addAndGet(termBytes(tp))
+      tp
     })
 
   /** [[query]] served from JVM memory after each term's first load — the

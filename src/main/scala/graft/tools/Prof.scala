@@ -63,8 +63,19 @@ object Prof {
     case Some("mine") => mine(args.drop(1))
     case Some("delstress") => delstress(args.drop(1))
     case Some("bpe") => bpe(args.drop(1))
+    case Some("qualitytrain") => qualitytrain(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine|delstress|bpe")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine|delstress|bpe|qualitytrain")
+  }
+
+  /** Regenerate the frozen QualityModel artifact from the sf0.01 fixture
+    * (paste the printed Scala into functions/QualityModel.scala). */
+  private def qualitytrain(args: Array[String]): Unit = {
+    val s = session(8)
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    graft.operators.QualityTrainer.printArtifact(
+      s.read.parquet(s"$dir/documents.parquet"))
+    s.stop()
   }
 
   private def queries(args: Array[String]): Unit = {
