@@ -374,6 +374,33 @@ case class CountTokensIn(child: Expression, terms: Seq[String]) extends UnaryExp
     copy(child = newChild)
 }
 
+/** cross_proj(ARRAY<BIGINT> aHash bands) -> ARRAY<BIGINT> — 64 exact
+  * integer numerators of the formulaic image→text-space projection (see
+  * [[TextHashOps.crossProjNums]]); divide by 4.0 for the shared-space
+  * vector. */
+case class CrossProj(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "cross_proj"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | NullType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    TextHashOps.crossProjNums(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"${TextExprGen.Ops}.crossProjNums($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** bucket_logit(ARRAY<BIGINT>) -> BIGINT — hashed-linear-model inference
   * (see [[TextHashOps.bucketLogit]]): exact integer logit of a quantized
   * hashing-trick classifier over the row's token hashes. The weight table

@@ -92,6 +92,8 @@ object TextFunctions {
   def bucketLogit(hashes: Column, weights: Seq[Long], bias: Long): Column =
     expr1(BucketLogit(_, weights, bias))(hashes)
 
+  def crossProj(bands: Column): Column = expr1(CrossProj.apply)(bands)
+
   def sumLong(arr: Column): Column =
     aggregate(arr, lit(0L), (acc, x) => acc + x)
 

@@ -100,6 +100,31 @@ object TextHashOps {
   /** Scramble a poly-hash into 32 unbiased-ish bits (Knuth multiplicative). */
   def scramble32(h: Long): Long = (h * 2654435761L) % 4294967296L
 
+  /** Cross-modal projection numerators: map an aHash band signature (4 ×
+    * 16-bit, [[aHashBands]]) into the 64-dim text-embedding space through
+    * a FORMULAIC dyadic projection — the hermetic stand-in for a learned
+    * CLIP-style image tower (a real deployment swaps in trained weights;
+    * the Spark-side shape — codegen per-row projection, then relational
+    * top-k — is identical). Bit j of the signature contributes ±1, and
+    * W[i][j] has integer numerator `((i·131 + j·17) % 7) − 3` over a
+    * fixed denominator 4, so `num[i] = Σ_j feat_j · W_num[i][j]` is EXACT
+    * integer arithmetic and `num[i]/4.0` is an exact dyadic double —
+    * the oracle replays the whole tower bit-for-bit. */
+  def crossProjNums(bands: ArrayData): ArrayData = {
+    val out = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      val feat = (((bands.getLong(j >> 4) >> (j & 15)) & 1L) << 1) - 1L
+      var i = 0
+      while (i < 64) {
+        out(i) += feat * (((i * 131 + j * 17) % 7) - 3)
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Hashed-linear-model logit: `bias + Σ_token w[hash % |w|]` in EXACT
     * integer arithmetic (weights are pre-quantized longs). The inference
     * kernel of the DSIR/CCNet-style quality classifier — one pass over

@@ -888,6 +888,60 @@ object AnnQueries {
            |FROM sigs s JOIN probe ON s.bucket = probe.bucket
            |WHERE s.vec_id <> 0
            |ORDER BY $cos DESC, s.vec_id LIMIT 5""".stripMargin
+      }),
+
+    // kNN label propagation — semi-supervised auto-labeling, the
+    // annotation-bootstrap stage of a training pipeline: a small batch of
+    // "unlabeled" vectors takes the majority label of its 5 exact nearest
+    // labeled neighbors (ties: fewest-distance neighbor set is fixed by
+    // (dist, id); vote ties break to the smallest label). The probe batch
+    // is tiny and BROADCAST — the corpus side never shuffles for the
+    // join; the only wide ops are the per-probe top-5 window and the
+    // vote, both keyed on the probe id (cardinality = batch, not
+    // corpus). At 100 TB the exact scan swaps for the attached IVF/graph
+    // route exactly like q_ann_ivf_batch; voting is unchanged.
+    Q(
+      "q_knn_classifier",
+      "kNN label propagation: majority label of 5 nearest labeled neighbors",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = tbl(s, dir, "embeddings")
+        val probes = e.filter(col("vec_id") % 50 === 7)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("label").as("true_label"))
+        val labeled = e.filter(col("vec_id") % 50 =!= 7)
+          .select(col("vec_id").as("nid"), col("embedding").as("ne"),
+            col("label").as("nlabel"))
+        val knn = labeled.crossJoin(broadcast(probes))
+          .withColumn("dist", VF.l2Sq(col("ne"), col("pe")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("pid").orderBy(asc("dist"), asc("nid"))))
+          .filter(col("rn") <= 5)
+        knn.groupBy("pid", "true_label", "nlabel")
+          .agg(count(lit(1)).as("votes"))
+          .withColumn("vr", row_number().over(
+            Window.partitionBy("pid").orderBy(desc("votes"), asc("nlabel"))))
+          .filter(col("vr") === 1)
+          .select(col("pid").as("vec_id"), col("nlabel").as("pred_label"),
+            col("votes"), col("true_label"))
+          .orderBy("vec_id")
+      },
+      Some {
+        val dist = OracleSql.l2Sq("l.ne", "p.pe")
+        s"""WITH p AS (SELECT vec_id AS pid, embedding AS pe, label AS true_label
+           |           FROM embeddings WHERE vec_id % 50 = 7),
+           |l AS (SELECT vec_id AS nid, embedding AS ne, label AS nlabel
+           |      FROM embeddings WHERE vec_id % 50 <> 7),
+           |d AS (SELECT p.pid, p.true_label, l.nid, l.nlabel, $dist AS dist
+           |      FROM l CROSS JOIN p),
+           |k AS (SELECT *, row_number() OVER (PARTITION BY pid
+           |                                   ORDER BY dist, nid) AS rn FROM d),
+           |v AS (SELECT pid, true_label, nlabel, CAST(count(*) AS BIGINT) AS votes
+           |      FROM k WHERE rn <= 5 GROUP BY pid, true_label, nlabel),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY pid
+           |                                   ORDER BY votes DESC, nlabel) AS vr FROM v)
+           |SELECT pid AS vec_id, nlabel AS pred_label, votes, true_label
+           |FROM r WHERE vr = 1 ORDER BY vec_id""".stripMargin
       })
   )
 }

@@ -185,6 +185,80 @@ object OperatorQueries {
            |ORDER BY doc_id, frame_idx""".stripMargin
       }),
 
+    // Cross-modal retrieval — the CLIP serving shape: an image tower maps
+    // each binary payload into the TEXT embedding space (aHash signature
+    // → formulaic dyadic projection, one codegen scan — a real deployment
+    // swaps trained weights into the same plan), then relational top-k
+    // against the text embeddings. The probe side is tiny and BROADCAST;
+    // the corpus side never shuffles (window per img over the broadcast
+    // theta-join, TakeOrdered shape). Every arithmetic step is exact
+    // (integer projection numerators, dyadic /4, in-order double dot), so
+    // the oracle replays image tower + retrieval bit-for-bit. At 100 TB
+    // the brute scan swaps for the attached IVF/graph index route
+    // (q_ann_*); the tower and ranking stay as-is.
+    Q(
+      "q_crossmodal",
+      "cross-modal retrieval: image payloads -> shared space -> top-3 texts each",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val probes = Registry.tbl(s, dir, "documents")
+          .filter(col("doc_id") % 50 === 1)
+          .select(col("doc_id").as("img_id"),
+            TF.crossProj(TF.aHashBands(encode(col("text"), "UTF-8"))).as("nums"))
+          .withColumn("sh", transform(col("nums"), n => n.cast("double") / 4.0))
+          .select("img_id", "sh")
+        val scored = Registry.tbl(s, dir, "embeddings")
+          .crossJoin(broadcast(probes))
+          .withColumn("score_raw",
+            aggregate(zip_with(col("sh"), col("embedding"),
+              (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x))
+        val w = Window.partitionBy("img_id").orderBy(desc("score_raw"), asc("vec_id"))
+        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+          .select(col("img_id"), col("rn"), col("vec_id"),
+            round(col("score_raw"), 6).as("score"))
+          .orderBy("img_id", "rn")
+      },
+      Some(
+        """WITH imgs AS (SELECT doc_id AS img_id, text FROM documents WHERE doc_id % 50 = 1),
+          |hx AS MATERIALIZED (
+          |  SELECT img_id, hex(encode(text)) AS h, CAST(strlen(text) AS BIGINT) AS n
+          |  FROM imgs),
+          |pos AS (SELECT img_id, unnest(range(0, n)) AS i FROM hx),
+          |b AS (SELECT p.img_id, CAST(p.i AS BIGINT) AS i,
+          |        CAST(16 * (strpos('0123456789ABCDEF',
+          |                          substr(m.h, CAST(2 * p.i + 1 AS INT), 1)) - 1)
+          |                + (strpos('0123456789ABCDEF',
+          |                          substr(m.h, CAST(2 * p.i + 2 AS INT), 1)) - 1)
+          |             AS BIGINT) AS v,
+          |        m.n
+          |      FROM pos p JOIN hx m USING (img_id)),
+          |cells AS (SELECT img_id, n, (i * 64) // n AS cell,
+          |                 sum(v) AS cs, CAST(count(*) AS BIGINT) AS cc
+          |          FROM b GROUP BY img_id, n, (i * 64) // n),
+          |tot AS (SELECT img_id, sum(cs) AS ts FROM cells GROUP BY img_id),
+          |bits AS (SELECT c.img_id, CAST(c.cell AS BIGINT) AS j,
+          |                CASE WHEN c.cs * c.n > t.ts * c.cc THEN 1 ELSE -1 END AS f
+          |         FROM cells c JOIN tot t USING (img_id)),
+          |spine AS (SELECT img_id, CAST(unnest(range(0, 64)) AS BIGINT) AS j FROM imgs),
+          |feats AS (SELECT s.img_id, s.j, CAST(coalesce(b2.f, -1) AS BIGINT) AS f
+          |          FROM spine s LEFT JOIN bits b2 ON b2.img_id = s.img_id AND b2.j = s.j),
+          |dims AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS i),
+          |nums AS (SELECT f2.img_id, d.i,
+          |                sum(f2.f * (((d.i * 131 + f2.j * 17) % 7) - 3)) AS num
+          |         FROM feats f2, dims d GROUP BY f2.img_id, d.i),
+          |sh AS (SELECT img_id, list(num / 4.0 ORDER BY i) AS sh FROM nums GROUP BY img_id),
+          |sc AS (SELECT s2.img_id, e.vec_id,
+          |              list_reduce(list_transform(range(1, 65),
+          |                i -> s2.sh[i] * CAST(e.embedding[i] AS DOUBLE)),
+          |                (x, y) -> x + y) AS score_raw
+          |       FROM sh s2 CROSS JOIN embeddings e),
+          |rk AS (SELECT img_id, vec_id, score_raw,
+          |              row_number() OVER (PARTITION BY img_id
+          |                                 ORDER BY score_raw DESC, vec_id) AS rn
+          |       FROM sc)
+          |SELECT img_id, CAST(rn AS INT) AS rn, vec_id, round(score_raw, 6) AS score
+          |FROM rk WHERE rn <= 3 ORDER BY img_id, rn""".stripMargin)),
+
     // Resize planning: stub-decoded dims fit into a 224x224 box preserving
     // aspect ratio (the vision-encoder normalization step). All IEEE-double
     // min/floor math, so the oracle recomputes it exactly from the

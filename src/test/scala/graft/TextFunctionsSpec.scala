@@ -266,4 +266,43 @@ class TextFunctionsSpec extends AnyFunSuite with SparkTest {
     }
     assert(rows.map(_.toString).toSeq == offRows.map(_.toString).toSeq)
   }
+
+  test("crossProj: independent replay, codegen parity, and zero-signature shape") {
+    // independent replay of the projection on real aHash signatures
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+        TF.aHashBands(encode(col("text"), "UTF-8")).as("hb"))
+      .select(col("doc_id"), col("hb"), TF.crossProj(col("hb")).as("nums"))
+    val rows = d.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hb = r.getSeq[Long](1)
+      val nums = r.getSeq[Long](2)
+      assert(nums.length == 64)
+      val expect = Array.tabulate(64) { i =>
+        (0 until 64).map { j =>
+          val bit = (hb(j / 16) >> (j % 16)) & 1L
+          (bit * 2 - 1) * (((i * 131 + j * 17) % 7) - 3)
+        }.sum
+      }
+      assert(nums == expect.toSeq, s"projection mismatch at doc ${r.getLong(0)}")
+    }
+    // interpreted path must agree with codegen
+    val offRows = {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      try d.collect() finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(rows.map(_.toString).toSeq == offRows.map(_.toString).toSeq)
+    // all-zero signature: every feature is -1, so num[i] = -Σ_j w_num[i][j]
+    val z = Seq(Tuple1(Seq(0L, 0L, 0L, 0L))).toDF("hb")
+      .select(TF.crossProj(col("hb")).as("nums")).head().getSeq[Long](0)
+    val zExpect = Array.tabulate(64) { i =>
+      -(0 until 64).map(j => ((i * 131 + j * 17) % 7) - 3).sum
+    }
+    assert(z == zExpect.toSeq)
+  }
 }
