@@ -187,10 +187,30 @@ final class VectorStore(spark: SparkSession, basePath: String) {
 
     /** get(): no ids -> full extraction (the leak); ids -> point lookup.
       * `include` projects columns (ids always included), mirroring
-      * chromadb_store.py:10-12 / cod.py:108. */
-    def get(ids: Seq[String] = Nil, include: Seq[String] = Seq("doc", "meta", "emb")): DataFrame = {
-      val base = if (ids.isEmpty) df else df.filter(col("id").isin(ids: _*))
-      base.select((col("id") +: include.map(col)): _*)
+      * chromadb_store.py:10-12 / cod.py:108. `where`/`whereDocument`
+      * complete the Chroma get() surface (metadata and document
+      * predicates, applied before projection — they reach the parquet
+      * scan as pushed filters); `limit`/`offset` page deterministically
+      * by id. Offset paging is a SORT at the driver's k — fine for the
+      * client-paging use it mirrors, not a scale path (a 100 TB scan
+      * pages by id-range predicates instead). */
+    def get(ids: Seq[String] = Nil,
+            include: Seq[String] = Seq("doc", "meta", "emb"),
+            where: Option[Column] = None,
+            whereDocument: Option[Column] = None,
+            limit: Int = -1, offset: Int = 0): DataFrame = {
+      var base = if (ids.isEmpty) df else df.filter(col("id").isin(ids: _*))
+      where.foreach(p => base = base.filter(p))
+      whereDocument.foreach(p => base = base.filter(p))
+      val proj = base.select((col("id") +: include.map(col)): _*)
+      if (limit < 0 && offset <= 0) proj
+      else {
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+        val paged = proj.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") > offset)
+        (if (limit >= 0) paged.filter(col("__rn") <= offset + limit) else paged)
+          .drop("__rn")
+      }
     }
 
     /** Copy-on-write rewrite with an atomic directory swap: the new version

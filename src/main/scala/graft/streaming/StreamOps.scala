@@ -103,6 +103,23 @@ object StreamOps {
     staged.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Model-based quality gate — the streaming twin of
+    * `q_quality_classifier`: the frozen [[graft.functions.QualityModel]]
+    * scores each document's token hashes through the same codegen
+    * BucketLogit kernel (exact integer logits), entirely STATELESS, so
+    * it composes with any downstream watermark/dedup stage and is
+    * batch≡stream by construction (spec-pinned). Emits
+    * (doc_id, ts, logit, keep). */
+  def classifyIngest(docs: DataFrame): DataFrame = {
+    val m = graft.functions.QualityModel
+    docs
+      .withColumn("toks", TF.tokens(col("text")))
+      .withColumn("logit",
+        TF.bucketLogit(TF.tokenHashes(col("toks")), m.Weights.toSeq, m.Bias))
+      .select(col("doc_id"), col("ts"), col("logit"),
+        (col("logit") > 0).cast("int").as("keep"))
+  }
+
   /** Incremental ANN-index maintenance: drain a document stream into a
     * prebuilt [[graft.store.IvfIndex]] via foreachBatch — each micro-batch
     * is hash-embedded and appended to the cell-partitioned layout against

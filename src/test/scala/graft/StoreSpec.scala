@@ -73,6 +73,31 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     assert(c.get().count() == docRows.count(), "no ids -> full extraction (the leak)")
   }
 
+  test("get with where/whereDocument predicates and limit/offset paging") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("c")
+    c.add(docRows)
+    val n = docRows.count()
+    // predicate over the document column flows into the scan
+    val pref = c.get(include = Seq("doc"),
+      whereDocument = Some(col("doc").contains("spark")))
+    val expect = docRows.filter(col("doc").contains("spark")).count()
+    assert(pref.count() == expect && expect > 0 && expect < n)
+    // metadata predicate composes with ids
+    val both = c.get(ids = Seq("3", "7", "11"),
+      where = Some(col("id") =!= "7"))
+    assert(both.select("id").collect().map(_.getString(0)).toSet == Set("3", "11"))
+    // deterministic id-ordered paging: pages tile the full extraction
+    val all = c.get(include = Seq("doc")).orderBy("id")
+      .collect().map(_.getString(0)).toSeq
+    val paged = (0L until n by 4).flatMap(off =>
+      c.get(include = Seq("doc"), limit = 4, offset = off.toInt)
+        .collect().map(_.getString(0)))
+    assert(paged == all, "limit/offset pages must tile the id-ordered extraction")
+    assert(c.get(limit = 3).count() == 3)
+    assert(c.get(offset = (n - 2).toInt).count() == 2)
+  }
+
   test("query returns k nearest with distances; cosine and l2 metrics") {
     val store = new VectorStore(spark, tmp())
     val c = store.createOrGet("c")

@@ -194,6 +194,35 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.nonEmpty && got.size < withDup.length, "the gate must actually filter")
   }
 
+  test("classifyIngest: streamed model-based quality gate equals the batch classifier") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .filter(col("doc_id") < 120)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), ts(1))).toSeq
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val scored = StreamOps.classifyIngest(mem.toDF().toDF("doc_id", "text", "ts"))
+    val q = scored.writeStream.format("memory").queryName("clf_t")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(docs.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("clf_t").select("doc_id", "logit", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    val m = graft.functions.QualityModel
+    val batch = spark.createDataFrame(docs).toDF("doc_id", "text", "ts")
+      .withColumn("logit", TF.bucketLogit(
+        TF.tokenHashes(TF.tokens(col("text"))), m.Weights.toSeq, m.Bias))
+      .select(col("doc_id"), col("logit"), (col("logit") > 0).cast("int").as("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(got == batch, "stream and batch classifier must agree row for row")
+    assert(got.exists(_._3 == 1) && got.exists(_._3 == 0),
+      "fixture slice must exercise both classes")
+  }
+
   test("foreachBatch incremental IVF maintenance: streamed appends == batch-built index") {
     val all = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
