@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.GroupedTopK
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
@@ -912,11 +913,20 @@ object AnnQueries {
         val labeled = e.filter(col("vec_id") % 50 =!= 7)
           .select(col("vec_id").as("nid"), col("embedding").as("ne"),
             col("label").as("nlabel"))
+        // shuffle the ANSWER, not the corpus: map-side bounded top-5 per
+        // probe (GroupedTopK), carrying the neighbor's label packed into
+        // the tie-break id (nid*16 + label — labels are 0..9, and the
+        // packing is monotone in nid, so (dist, packed) ties ==
+        // (dist, nid) ties); the exchange carries 5 x probes x tasks
+        // rows instead of the N x probes window input
         val knn = labeled.crossJoin(broadcast(probes))
           .withColumn("dist", VF.l2Sq(col("ne"), col("pe")))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy("pid").orderBy(asc("dist"), asc("nid"))))
-          .filter(col("rn") <= 5)
+          .groupBy("pid", "true_label")
+          .agg(GroupedTopK.topK(5)(col("dist"),
+            col("nid") * 16 + col("nlabel")).as("topk"))
+          .select(col("pid"), col("true_label"), explode(col("topk")).as("sc"))
+          .select(col("pid"), col("true_label"),
+            pmod(col("sc.id"), lit(16L)).cast("int").as("nlabel"))
         knn.groupBy("pid", "true_label", "nlabel")
           .agg(count(lit(1)).as("votes"))
           .withColumn("vr", row_number().over(

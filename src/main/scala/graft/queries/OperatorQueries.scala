@@ -200,22 +200,28 @@ object OperatorQueries {
       "q_crossmodal",
       "cross-modal retrieval: image payloads -> shared space -> top-3 texts each",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         val probes = Registry.tbl(s, dir, "documents")
           .filter(col("doc_id") % 50 === 1)
           .select(col("doc_id").as("img_id"),
             TF.crossProj(TF.aHashBands(encode(col("text"), "UTF-8"))).as("nums"))
-          .withColumn("sh", transform(col("nums"), n => n.cast("double") / 4.0))
+          // quarters with |x| <= 48 — exact in FLOAT, so the codegen
+          // DotProduct kernel (double accumulation, index order) computes
+          // the same bits as the oracle's in-order double fold
+          .withColumn("sh",
+            transform(col("nums"), n => (n.cast("double") / 4.0).cast("float")))
           .select("img_id", "sh")
         val scored = Registry.tbl(s, dir, "embeddings")
           .crossJoin(broadcast(probes))
-          .withColumn("score_raw",
-            aggregate(zip_with(col("sh"), col("embedding"),
-              (a, b) => a * b.cast("double")), lit(0.0), (acc, x) => acc + x))
-        val w = Window.partitionBy("img_id").orderBy(desc("score_raw"), asc("vec_id"))
-        scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
-          .select(col("img_id"), col("rn"), col("vec_id"),
-            round(col("score_raw"), 6).as("score"))
+          .withColumn("score_raw", VF.dot(col("sh"), col("embedding")))
+        // shuffle the ANSWER, not the corpus: map-side bounded top-k per
+        // image (GroupedTopK over the NEGATED score — (-score, id) asc ==
+        // (score desc, id asc); double negation is bit-exact), so the
+        // exchange carries k x images x tasks rows instead of N x images
+        scored.groupBy("img_id")
+          .agg(GroupedTopK.topK(3)(negate(col("score_raw")), col("vec_id")).as("topk"))
+          .select(col("img_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+          .select(col("img_id"), (col("pos") + 1).cast("int").as("rn"),
+            col("s.id").as("vec_id"), round(-col("s.score"), 6).as("score"))
           .orderBy("img_id", "rn")
       },
       Some(
