@@ -952,6 +952,78 @@ object AnnQueries {
            |                                   ORDER BY votes DESC, nlabel) AS vr FROM v)
            |SELECT pid AS vec_id, nlabel AS pred_label, votes, true_label
            |FROM r WHERE vr = 1 ORDER BY vec_id""".stripMargin
+      }),
+
+    // In-engine ANN quality measurement — recall@10 of the nprobe=1 IVF
+    // route against the exact scan, per probe. The metric every ANN
+    // deployment must monitor (probe/recall tuning), computed as a query:
+    // ONE scored broadcast theta-join feeds both arms (exact, and
+    // cell-filtered IVF), each reduced by the map-side bounded
+    // GroupedTopK, then hits = |ivf ∩ exact| in exact integer arithmetic.
+    // Probes are corpus vectors, so their nprobe-1 cell IS their assigned
+    // cell — no separate probe-assignment pass. Oracle replays argmin
+    // assignment, both top-10s, and the intersection relationally.
+    Q(
+      "q_ann_recall",
+      "ANN quality metric: recall@10 of nprobe-1 IVF vs the exact scan",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val assigned = e.withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
+        val probes = assigned.filter(col("vec_id") % 25 === 3)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("cell").as("pcell"))
+        val scored = assigned.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .withColumn("dist", VF.l2Sq(col("embedding"), col("pe")))
+        def ids(c: org.apache.spark.sql.Column) =
+          transform(c, s0 => s0.getField("id"))
+        val exact = scored.groupBy("pid")
+          .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("ex"))
+          .select(col("pid"), ids(col("ex")).as("ex"))
+        val ivf = scored.filter(col("cell") === col("pcell")).groupBy("pid")
+          .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("iv"))
+          .select(col("pid"), ids(col("iv")).as("iv"))
+        exact.join(ivf, Seq("pid"), "left")
+          .withColumn("hits", size(array_intersect(col("ex"),
+            coalesce(col("iv"), array().cast("array<bigint>")))))
+          .select(col("pid"), col("hits"),
+            round(col("hits") / 10.0, 2).as("recall"))
+          .orderBy("pid")
+      },
+      Some {
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        s"""WITH cent AS MATERIALIZED (
+           |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+           |  WHERE vec_id < $NumCentroids),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |p AS (SELECT vec_id AS pid, embedding AS pe, cell AS pcell
+           |      FROM assign WHERE vec_id % 25 = 3),
+           |d AS MATERIALIZED (
+           |  SELECT p.pid, a.vec_id AS nid, a.cell, p.pcell,
+           |         ${OracleSql.l2Sq("a.embedding", "p.pe")} AS dist
+           |  FROM assign a CROSS JOIN p WHERE a.vec_id <> p.pid),
+           |ex AS (SELECT pid, nid FROM (
+           |         SELECT pid, nid, row_number() OVER (PARTITION BY pid
+           |                                             ORDER BY dist, nid) AS rn
+           |         FROM d) WHERE rn <= 10),
+           |iv AS (SELECT pid, nid FROM (
+           |         SELECT pid, nid, row_number() OVER (PARTITION BY pid
+           |                                             ORDER BY dist, nid) AS rn
+           |         FROM d WHERE cell = pcell) WHERE rn <= 10),
+           |h AS (SELECT e2.pid, CAST(count(i.nid) AS INT) AS hits
+           |      FROM ex e2 LEFT JOIN iv i ON i.pid = e2.pid AND i.nid = e2.nid
+           |      GROUP BY e2.pid)
+           |SELECT pid, hits, round(hits / 10.0, 2) AS recall
+           |FROM h ORDER BY pid""".stripMargin
       })
   )
 }

@@ -259,6 +259,14 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * compaction is the natural retrain point — cheaper than a full
     * [[build]], which re-wires every edge too). Crash-consistent like
     * every other publish. */
+  /** Maintenance introspection — see [[IndexStats]]: live vectors,
+    * pending tombstones, delta-epoch count. */
+  def stats(): IndexStats = {
+    val phys = spark.read.parquet(vecPath).count()
+    val live = vectors.count()
+    IndexStats(live, phys - live, epochs().length)
+  }
+
   def compact(retrainEntries: Boolean = false): Unit =
       WriterLease.withLease(path, "GraphIndex.compact") {
     val v = vectors.persist()

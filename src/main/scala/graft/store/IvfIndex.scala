@@ -316,6 +316,18 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     *    commit may be replayed after compaction already merged the
     *    orphaned dir; those duplicates are likewise removed by the next
     *    compaction's id-dedup rather than accumulating forever. */
+  /** Maintenance introspection — see [[IndexStats]]. Bounded work: two
+    * counts over the index tree (physical rows, live ids). */
+  def stats(): IndexStats = {
+    val dirs = StoreIO.committedBatchDirs(dataPath)
+    if (dirs.isEmpty) IndexStats(0L, 0L, 0)
+    else {
+      val phys = spark.read.parquet(dirs.map(_.getPath): _*).count()
+      val live = liveIds.count()
+      IndexStats(live, phys - live, dirs.length)
+    }
+  }
+
   def compact(): Unit = {
     val l = WriterLease.acquire(path, "IvfIndex.compact")
     try compactUnleased() finally l.release()

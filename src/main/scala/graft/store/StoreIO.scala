@@ -153,6 +153,12 @@ private[store] object StoreIO {
     * stage means the swap already happened — just clear the parked copy). */
   private def swapStaged(dest: String): Unit = swapFrom(s"${dest}__stage", dest)
 
+  /** Publish a caller-populated `<dest>__stage` directory (hardlinked
+    * snapshot files, a restored index tree) through the same serialized
+    * swap protocol as [[stageAndSwap]] — the stage MUST be complete when
+    * called; readers see either all old or all new. */
+  def publishStagedDir(dest: String): Unit = swapStaged(dest)
+
   /** Per-destination monitors: two concurrent recover()s (or a recover
     * racing a writer) replaying the same crashed commit in one JVM must not
     * interleave inside a swap — the `stage.exists()` check is otherwise a

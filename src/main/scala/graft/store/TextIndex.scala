@@ -255,6 +255,20 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * happened to run. Stages live OUTSIDE the batch-keyed trees (a
     * `batch=N__stage` dir nested under the root would be picked up by a
     * concurrent reader's partition discovery mid-write). */
+  /** Maintenance introspection — see [[IndexStats]]: live docs (stats
+    * sum minus pending tombstones), pending tombstones, committed
+    * posting batches. */
+  def stats(): IndexStats = {
+    if (StoreIO.committedBatchDirs(statsPath).isEmpty) IndexStats(0L, 0L, 0)
+    else {
+      val n = spark.read.parquet(statsPath)
+        .agg(sum(col("n_docs"))).head().getLong(0)
+      val dead = tombstones().map(_.count()).getOrElse(0L)
+      IndexStats(n - dead, dead,
+        StoreIO.committedBatchDirs(postingsPath).length)
+    }
+  }
+
   def compact(): Unit = {
     val l = WriterLease.acquire(path, "TextIndex.compact")
     try compactUnleased() finally l.release()

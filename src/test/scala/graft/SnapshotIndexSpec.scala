@@ -54,6 +54,24 @@ class SnapshotIndexSpec extends AnyFunSuite with SparkTest {
     val snap = answers(c.querySnapshot("s1", probe(7), k = 10))
     assert(snap == before,
       "snapshot query must equal the pre-mutation routed query bit-for-bit")
+
+    // RESTORE: promote the snapshot back to live — rows AND index tree
+    c.restoreSnapshot("s1")
+    assert(answers(c.query(probe(7), k = 10)) == before,
+      "restored routed query must equal the pre-mutation answers")
+    assert(c.count() == 200, "restore must bring back the snapshot row set")
+    assert(c.get(ids = Seq("id30")).count() == 1, "deleted row returns after restore")
+    assert(c.get(ids = Seq("id250")).count() == 0, "post-snapshot row gone after restore")
+    assert(c.indexStats().get.pendingDeletes == 0,
+      "restored index must carry the snapshot's clean tombstone state")
+    // restore is repeatable and the snapshot survives it
+    c.restoreSnapshot("s1")
+    assert(answers(c.query(probe(7), k = 10)) == before)
+    assert(answers(c.querySnapshot("s1", probe(7), k = 10)) == before,
+      "the snapshot itself must be untouched by restores")
+    // and the restored collection accepts new writes
+    c.add(rowsOf(500 to 510))
+    assert(c.count() == 211)
   }
 
   test("graph snapshot: pinned epochs and tombstones survive delete + compact") {
