@@ -124,6 +124,41 @@ object StoreQueries {
       },
       Some(s"""SELECT vec_id, TRUE AS roundtrip_ok,
               |  round(sqrt(${OracleSql.normSq("embedding")}), 6) AS nrm
-              |FROM embeddings ORDER BY vec_id""".stripMargin))
+              |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    // The reference's HEADLINE operation (cyborgdb_store.py:1-11):
+    // similarity search over encrypted-at-rest vectors. storeIndexed
+    // lands GCM ciphertext cell-partitioned by a trained IVF assignment
+    // (encrypted centroid sidecar); queryIndexed reads only probed
+    // partitions and decrypts only those rows. Run FULL-probe here so
+    // the answer is the exact kNN — which the oracle recomputes from the
+    // source table alone, checking the whole encrypt → partition →
+    // prune → decrypt → score pipeline end to end. (EncryptedIndexSpec
+    // pins the pruned-probe plan shape and the CRUD matrix.)
+    Q(
+      "q_encrypt_search",
+      "encrypted cell-pruned ANN: storeIndexed + full-probe queryIndexed == exact kNN",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_encidx").toString
+        val enc = new EncryptedStore(s, base, TestKey)
+        val rows = tbl(s, dir, "embeddings")
+          .select(col("vec_id").cast("string").as("id"),
+            concat(lit("doc for vector "), col("vec_id")).as("doc"),
+            col("embedding").as("emb"))
+        enc.storeIndexed(rows, "vectors", numCells = 8)
+        val qe = tbl(s, dir, "embeddings").filter(col("vec_id") === 17)
+          .head().getAs[Seq[Float]]("embedding").toArray
+        enc.queryIndexed("vectors", qe, k = 5, nprobe = 8)
+          .select(col("id"), col("doc"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val dist = OracleSql.l2Sq("e.embedding", "probe.qe")
+        s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17)
+           |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+           |       'doc for vector ' || e.vec_id AS doc,
+           |       round($dist, 6) AS dist
+           |FROM embeddings e CROSS JOIN probe
+           |ORDER BY $dist ASC, CAST(e.vec_id AS VARCHAR) ASC LIMIT 5""".stripMargin
+      })
   )
 }

@@ -64,8 +64,38 @@ object Prof {
     case Some("delstress") => delstress(args.drop(1))
     case Some("bpe") => bpe(args.drop(1))
     case Some("qualitytrain") => qualitytrain(args.drop(1))
+    case Some("encserve") => encserve(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine|delstress|bpe|qualitytrain")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine|delstress|bpe|qualitytrain|encserve")
+  }
+
+  /** Encrypted cell-pruned serving at scale (EncryptedStore.storeIndexed /
+    * queryIndexed): build cost, brute-decrypt query vs pruned probe,
+    * rotation. Cell count scales with the corpus (~2k rows/cell) so the
+    * pass criterion across /tmp/scale20 vs /tmp/scale100 is a ~FLAT
+    * pruned probe (it decrypts one cell either way) while the brute
+    * decrypt query grows with the corpus. */
+  private def encserve(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val cells = math.max(16, (n / 2048L).toInt)
+    val rows = e.select(col("vec_id").cast("string").as("id"),
+      concat(lit("doc "), col("vec_id")).as("doc"), col("embedding").as("emb"))
+    val qe = e.filter(col("vec_id") === 17)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    val base = java.nio.file.Files.createTempDirectory("scale_enc").toString
+    val es = new graft.store.EncryptedStore(s, base, "0123456789abcdef")
+    time(s"enc_build_${cells}cells", nTag)(es.storeIndexed(rows, "c", cells))
+    time("enc_query_brute", nTag)(es.query("c", qe, 5).collect())
+    time("enc_pruned_cold", nTag)(es.queryIndexed("c", qe, 5, nprobe = 1).collect())
+    (1 to 3).foreach(i =>
+      time(s"enc_pruned_warm$i", nTag)(es.queryIndexed("c", qe, 5, nprobe = 1).collect()))
+    time("enc_pruned_nprobe4", nTag)(es.queryIndexed("c", qe, 5, nprobe = 4).collect())
+    time("enc_rotate", nTag)(es.rotateKey("c", "fedcba9876543210"): Unit)
+    s.stop()
   }
 
   /** Regenerate the frozen QualityModel artifact from the sf0.01 fixture
