@@ -1,0 +1,263 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Chroma client filter dialect → Catalyst [[Column]] predicates.
+ *
+ * The reference stack exposes metadata filters as JSON-ish dicts —
+ * `collection.query(..., where={"source": {"$eq": "web"}})` and
+ * `collection.get(where_document={"$contains": "model"})` — a surface the
+ * 505-line demo attaches metadata for but never exercises
+ * (/root/reference/src/cod.py:95 stores `{"source": ...}` per row;
+ * chromadb's `where=` grammar is public client API). The engine's own
+ * predicates are Catalyst [[Column]]s (graft.store.VectorStore.Collection
+ * accepts them directly and they reach the parquet scan as pushed
+ * filters); this translator makes the engine a DROP-IN target for client
+ * code that already speaks the dict dialect.
+ *
+ * Supported `where=` grammar (chroma's operator set):
+ *   {"field": value}                      — equality shorthand
+ *   {"field": {"$eq"|"$ne"|"$gt"|"$gte"|"$lt"|"$lte": operand}}
+ *   {"field": {"$in"|"$nin": [v, ...]}}
+ *   {"$and"|"$or": [where, ...]}
+ *   multiple keys in one object          — implicit $and
+ * and for `where_document=`:
+ *   {"$contains"|"$not_contains": "substr"}
+ *   {"$regex"|"$not_regex": "pattern"}
+ *   {"$and"|"$or": [whereDoc, ...]}
+ *
+ * Numeric operands compare numerically (the field side is cast to DOUBLE —
+ * collection metadata is MAP<STRING,STRING>, so "12" < "9" lexically but
+ * 12 > 9 under the dialect, matching chroma's typed-metadata semantics);
+ * string and boolean operands compare as their own type.
+ *
+ * The JSON parser below is a zero-dependency recursive-descent reader
+ * (the repo convention — functions.Onnx reads protobuf wire format the
+ * same way), so the dialect works without any JSON library on the
+ * classpath.
+ */
+object ChromaWhere {
+
+  // ---------------------------------------------------------------- JSON
+  sealed trait J
+  final case class JStr(v: String) extends J
+  final case class JInt(v: Long) extends J
+  final case class JDbl(v: Double) extends J
+  final case class JBool(v: Boolean) extends J
+  case object JNull extends J
+  final case class JArr(v: Vector[J]) extends J
+  final case class JObj(v: Vector[(String, J)]) extends J
+
+  /** Parse one JSON document (object/array/scalar); throws
+    * IllegalArgumentException with position on malformed input. */
+  def parseJson(s: String): J = {
+    val p = new Parser(s)
+    val v = p.value()
+    p.skipWs()
+    require(p.eof, s"trailing characters at ${p.pos} in where-filter JSON")
+    v
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    private def peek: Char = {
+      require(!eof, s"unexpected end of where-filter JSON at $pos")
+      s.charAt(pos)
+    }
+    private def next(): Char = { val c = peek; pos += 1; c }
+    private def expect(c: Char): Unit = {
+      val g = next()
+      require(g == c, s"expected '$c' at ${pos - 1}, got '$g'")
+    }
+    def skipWs(): Unit =
+      while (!eof && (s.charAt(pos) == ' ' || s.charAt(pos) == '\t' ||
+        s.charAt(pos) == '\n' || s.charAt(pos) == '\r')) pos += 1
+
+    def value(): J = {
+      skipWs()
+      peek match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => JStr(str())
+        case 't' => lit("true"); JBool(true)
+        case 'f' => lit("false"); JBool(false)
+        case 'n' => lit("null"); JNull
+        case c if c == '-' || (c >= '0' && c <= '9') => num()
+        case c => throw new IllegalArgumentException(s"unexpected '$c' at $pos")
+      }
+    }
+
+    private def lit(word: String): Unit = {
+      require(s.regionMatches(pos, word, 0, word.length), s"bad literal at $pos")
+      pos += word.length
+    }
+
+    private def obj(): J = {
+      expect('{'); skipWs()
+      val fields = Vector.newBuilder[(String, J)]
+      if (peek == '}') { pos += 1; return JObj(Vector.empty) }
+      var done = false
+      while (!done) {
+        skipWs()
+        val k = str()
+        skipWs(); expect(':')
+        fields += k -> value()
+        skipWs()
+        next() match {
+          case ',' => ()
+          case '}' => done = true
+          case c => throw new IllegalArgumentException(s"expected ',' or '}' at ${pos - 1}, got '$c'")
+        }
+      }
+      JObj(fields.result())
+    }
+
+    private def arr(): J = {
+      expect('['); skipWs()
+      val xs = Vector.newBuilder[J]
+      if (peek == ']') { pos += 1; return JArr(Vector.empty) }
+      var done = false
+      while (!done) {
+        xs += value()
+        skipWs()
+        next() match {
+          case ',' => ()
+          case ']' => done = true
+          case c => throw new IllegalArgumentException(s"expected ',' or ']' at ${pos - 1}, got '$c'")
+        }
+      }
+      JArr(xs.result())
+    }
+
+    private def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      var done = false
+      while (!done) {
+        next() match {
+          case '"' => done = true
+          case '\\' => next() match {
+            case '"' => sb += '"'
+            case '\\' => sb += '\\'
+            case '/' => sb += '/'
+            case 'b' => sb += '\b'
+            case 'f' => sb += '\f'
+            case 'n' => sb += '\n'
+            case 'r' => sb += '\r'
+            case 't' => sb += '\t'
+            case 'u' =>
+              require(pos + 4 <= s.length, s"truncated \\u escape at $pos")
+              sb += Integer.parseInt(s.substring(pos, pos + 4), 16).toChar
+              pos += 4
+            case c => throw new IllegalArgumentException(s"bad escape '\\$c' at ${pos - 1}")
+          }
+          case c => sb += c
+        }
+      }
+      sb.toString
+    }
+
+    private def num(): J = {
+      val start = pos
+      if (peek == '-') pos += 1
+      while (!eof && s.charAt(pos) >= '0' && s.charAt(pos) <= '9') pos += 1
+      var isInt = true
+      if (!eof && s.charAt(pos) == '.') {
+        isInt = false; pos += 1
+        while (!eof && s.charAt(pos) >= '0' && s.charAt(pos) <= '9') pos += 1
+      }
+      if (!eof && (s.charAt(pos) == 'e' || s.charAt(pos) == 'E')) {
+        isInt = false; pos += 1
+        if (!eof && (s.charAt(pos) == '+' || s.charAt(pos) == '-')) pos += 1
+        while (!eof && s.charAt(pos) >= '0' && s.charAt(pos) <= '9') pos += 1
+      }
+      val text = s.substring(start, pos)
+      require(text.nonEmpty && text != "-", s"bad number at $start")
+      if (isInt) JInt(java.lang.Long.parseLong(text)) else JDbl(java.lang.Double.parseDouble(text))
+    }
+  }
+
+  // ----------------------------------------------------- where= dialect
+
+  /** Translate a `where=` JSON filter; `resolve` maps a metadata key to
+    * its Column (collections pass `element_at(col("meta"), k)`; plain
+    * tables pass `col`). */
+  def where(json: String, resolve: String => Column): Column =
+    pred(parseJson(json), resolve)
+
+  private def pred(j: J, resolve: String => Column): Column = j match {
+    case JObj(fields) if fields.nonEmpty =>
+      fields.map {
+        case ("$and", JArr(xs)) if xs.nonEmpty => xs.map(pred(_, resolve)).reduce(_ && _)
+        case ("$or", JArr(xs)) if xs.nonEmpty => xs.map(pred(_, resolve)).reduce(_ || _)
+        case (op, _) if op.startsWith("$") =>
+          throw new IllegalArgumentException(s"unknown/malformed logical operator '$op'")
+        case (k, JObj(ops)) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
+          ops.map { case (op, operand) => opPred(resolve(k), op, operand) }.reduce(_ && _)
+        case (k, v: JObj) =>
+          throw new IllegalArgumentException(s"nested object for field '$k' is not an operator form: $v")
+        case (k, v) => opPred(resolve(k), "$eq", v)
+      }.reduce(_ && _)
+    case other =>
+      throw new IllegalArgumentException(s"where-filter must be a non-empty object, got $other")
+  }
+
+  /** Field vs operand with chroma's typed comparison: numeric operand →
+    * numeric field compare (cast to DOUBLE), string → string, bool → bool. */
+  private def opPred(field: Column, op: String, operand: J): Column = {
+    def scalar(v: J): (Column, Column) = v match {
+      case JInt(n) => (field.cast("double"), lit(n.toDouble))
+      case JDbl(n) => (field.cast("double"), lit(n))
+      case JStr(x) => (field, lit(x))
+      case JBool(b) => (field.cast("boolean"), lit(b))
+      case other => throw new IllegalArgumentException(s"bad operand for $op: $other")
+    }
+    op match {
+      case "$eq" => val (f, v) = scalar(operand); f === v
+      case "$ne" => val (f, v) = scalar(operand); f =!= v
+      case "$gt" => val (f, v) = scalar(operand); f > v
+      case "$gte" => val (f, v) = scalar(operand); f >= v
+      case "$lt" => val (f, v) = scalar(operand); f < v
+      case "$lte" => val (f, v) = scalar(operand); f <= v
+      case "$in" | "$nin" =>
+        val xs = operand match {
+          case JArr(v) if v.nonEmpty => v
+          case other => throw new IllegalArgumentException(s"$op needs a non-empty array, got $other")
+        }
+        val numeric = xs.forall { case JInt(_) | JDbl(_) => true; case _ => false }
+        val f = if (numeric) field.cast("double") else field
+        val vals: Seq[Any] = xs.map {
+          case JInt(n) => n.toDouble
+          case JDbl(n) => n
+          case JStr(x) => x
+          case JBool(b) => b
+          case other => throw new IllegalArgumentException(s"bad $op element: $other")
+        }
+        if (op == "$in") f.isin(vals: _*) else !f.isin(vals: _*)
+      case other => throw new IllegalArgumentException(s"unknown where operator '$other'")
+    }
+  }
+
+  // -------------------------------------------- where_document= dialect
+
+  /** Translate a `where_document=` JSON filter over the given text column. */
+  def whereDocument(json: String, doc: Column): Column =
+    docPred(parseJson(json), doc)
+
+  private def docPred(j: J, doc: Column): Column = j match {
+    case JObj(Vector((op, operand))) => (op, operand) match {
+      case ("$and", JArr(xs)) if xs.nonEmpty => xs.map(docPred(_, doc)).reduce(_ && _)
+      case ("$or", JArr(xs)) if xs.nonEmpty => xs.map(docPred(_, doc)).reduce(_ || _)
+      case ("$contains", JStr(s0)) => doc.contains(s0)
+      case ("$not_contains", JStr(s0)) => !doc.contains(s0)
+      case ("$regex", JStr(r)) => doc.rlike(r)
+      case ("$not_regex", JStr(r)) => !doc.rlike(r)
+      case _ => throw new IllegalArgumentException(s"unknown where_document operator '$op'")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"where_document filter must be a single-operator object, got $other")
+  }
+}

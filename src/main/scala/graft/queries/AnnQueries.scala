@@ -1024,6 +1024,66 @@ object AnnQueries {
            |      GROUP BY e2.pid)
            |SELECT pid, hits, round(hits / 10.0, 2) AS recall
            |FROM h ORDER BY pid""".stripMargin
+      }),
+
+    // Binary (sign-bit) quantization ANN — the 1-bit end of the quantization
+    // spectrum the suite already covers at 8 bits (q_ann_sq8) and ~0.5
+    // bits/dim (q_ann_pq): each vector compresses to EmbDim sign bits packed
+    // into two 32-bit halves carried in BIGINTs (so neither engine's integer
+    // ever touches its sign bit), candidate ranking is pure Hamming distance
+    // (xor + popcount — two ALU ops per half), and exact cosine re-ranks a
+    // 50-row shortlist. At 100 TB the codes for 64-dim float vectors are
+    // 8 bytes/row — a 32x scan-traffic cut — and the Hamming pass is a
+    // narrow whole-stage-codegen scan into TakeOrdered; the exact pass
+    // touches only the shortlist (broadcast join back to the vector table —
+    // k-bounded point reads in a deployed index).
+    Q(
+      "q_ann_binary",
+      "sign-bit binary codes: Hamming top-50 shortlist + exact cosine top-5",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        // bit j of half `off` = [embedding[off+j] > 0], j in [0,32) — strict
+        // > so ±0.0f agree on both engines; addition of disjoint bits == OR.
+        def packHalf(emb: org.apache.spark.sql.Column, off: Int) =
+          (0 until 32).map { j =>
+            when(element_at(emb, off + j + 1).cast("double") > lit(0.0), lit(1L << j))
+              .otherwise(lit(0L))
+          }.reduce(_ + _)
+        def qPack(off: Int): Long = {
+          var b = 0L; var j = 0
+          while (j < 32) { if (qe(off + j).toDouble > 0.0) b |= (1L << j); j += 1 }
+          b
+        }
+        val ham = (bit_count(packHalf(col("embedding"), 0).bitwiseXOR(lit(qPack(0)))) +
+          bit_count(packHalf(col("embedding"), 32).bitwiseXOR(lit(qPack(32))))).cast("int")
+        val shortlist = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), ham.as("ham"))
+          .orderBy(asc("ham"), asc("vec_id"))
+          .limit(50)
+        e.join(broadcast(shortlist), "vec_id")
+          .withColumn("cos_raw", VF.cosine(col("embedding"), typedlit(qe)))
+          .orderBy(desc("cos_raw"), asc("vec_id"))
+          .limit(5)
+          .select(col("vec_id"), col("ham"), round(col("cos_raw"), 6).as("cos"))
+      },
+      Some {
+        def packSql(emb: String, off: Int) =
+          s"CAST(coalesce(list_sum(list_transform(range(0, 32), j -> " +
+            s"CASE WHEN CAST($emb[$off + j + 1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT)"
+        val cos = OracleSql.cosine("e.embedding", "probe.qe")
+        s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |qc AS (SELECT ${packSql("qe", 0)} AS qlo, ${packSql("qe", 32)} AS qhi FROM probe),
+           |ham AS (
+           |  SELECT e.vec_id,
+           |    CAST(bit_count(xor(${packSql("e.embedding", 0)}, qc.qlo)) +
+           |         bit_count(xor(${packSql("e.embedding", 32)}, qc.qhi)) AS INT) AS ham
+           |  FROM embeddings e CROSS JOIN qc WHERE e.vec_id <> 0),
+           |shortlist AS (SELECT vec_id, ham FROM ham ORDER BY ham ASC, vec_id LIMIT 50)
+           |SELECT s.vec_id, s.ham, round($cos, 6) AS cos
+           |FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN probe
+           |ORDER BY $cos DESC, s.vec_id LIMIT 5""".stripMargin
       })
   )
 }

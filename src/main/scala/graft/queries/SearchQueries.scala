@@ -426,6 +426,113 @@ object SearchQueries {
            |  WHERE s.pick < 5)
            |SELECT CAST(pick AS INT) AS pick, vec_id, round(mmr, 6) AS mmr
            |FROM sel ORDER BY pick""".stripMargin
+      }),
+
+    // Late-interaction retrieval (ColBERT-style MaxSim): every document is a
+    // BAG of per-token vectors, the query is a bag of per-term vectors, and
+    // score(doc) = Σ_q max_t cos(v_q, v_t) — soft term matching that keyword
+    // search (exact tf) and single-vector ANN (one pooled embedding) both
+    // miss. Token vectors here are deterministic hash-derived directions
+    // (polyHash → integer mix per dimension — the LSH-plane recipe, so the
+    // oracle replays them exactly); a learned checkpoint would slot in
+    // through the Embedder seam without changing the query shape.
+    // Scale design: the per-token vector stream is a narrow codegen map over
+    // the exploded token grain (never materialized corpus-wide — computed
+    // inside the scan), the 4 query vectors are driver literals folded into
+    // the plan (no join), the 4 per-term maxes fold in ONE partial-agg
+    // shuffle on doc_id, and the final sum is a fixed left-to-right add of
+    // 4 named columns (deterministic doubles → round 6, not a distributed
+    // float sum). In production the corpus side would be an ANN shortlist;
+    // full-corpus scoring here exercises the operator end to end.
+    Q(
+      "q_maxsim",
+      "ColBERT-style late interaction: sum of per-query-term max token cosine, top-10",
+      (s, dir) => {
+        val Dim = 16
+        def tokVecCol(t: Column): Column = array((0 until Dim).map { d =>
+          ((((TF.polyHash(t) + lit((d + 1) * 1000003L)) * lit(2654435761L))
+            % lit(4294967296L) % lit(2001L) - lit(1000L)).cast("double") / lit(1000.0))
+            .cast("float")
+        }: _*)
+        def tokVecLocal(t: String): Array[Float] = {
+          val g = graft.functions.TextHashOps.polyHash(
+            org.apache.spark.unsafe.types.UTF8String.fromString(t))
+          Array.tabulate(Dim) { d =>
+            val z = ((g + (d + 1) * 1000003L) * 2654435761L) % 4294967296L % 2001L - 1000L
+            (z.toDouble / 1000.0).toFloat
+          }
+        }
+        val docToks = tbl(s, dir, "documents")
+          .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("tok"))
+          .withColumn("dv", tokVecCol(col("tok")))
+        val maxes = QueryTerms.zipWithIndex.map { case (t, i) =>
+          max(VF.cosine(col("dv"), typedlit(tokVecLocal(t)))).as(s"m$i")
+        }
+        val score = QueryTerms.indices.map(i => col(s"m$i")).reduce(_ + _)
+        docToks.groupBy("doc_id")
+          .agg(maxes.head, maxes.tail: _*)
+          .withColumn("score_raw", score)
+          .orderBy(desc("score_raw"), asc("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), round(col("score_raw"), 6).as("maxsim"))
+      },
+      Some {
+        val Dim = 16
+        def vecSql(g: String): String =
+          s"list_transform(range(0, $Dim), d -> CAST(CAST(((($g + (d+1)*1000003) * 2654435761) " +
+            s"% 4294967296) % 2001 - 1000 AS DOUBLE) / 1000.0 AS FLOAT))"
+        val qRows = QueryTerms.zipWithIndex
+          .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+        val cos = OracleSql.cosine("v.dv", "q.qv")
+        val ms = QueryTerms.indices
+          .map(i => s"max(CASE WHEN qi = $i THEN c END) AS m$i").mkString(", ")
+        val scoreSql = QueryTerms.indices.map(i => s"m$i").mkString(" + ")
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id, unnest(list_distinct(${OracleText.tokens("text")})) AS tok
+           |  FROM documents),
+           |v AS MATERIALIZED (SELECT doc_id, ${vecSql(OracleText.polyHash("tok"))} AS dv FROM t),
+           |q AS (SELECT qi, ${vecSql(OracleText.polyHash("term"))} AS qv
+           |      FROM (VALUES $qRows) AS qt(qi, term)),
+           |sc AS MATERIALIZED (SELECT v.doc_id, q.qi, $cos AS c FROM v CROSS JOIN q),
+           |m AS (SELECT doc_id, $ms FROM sc GROUP BY doc_id)
+           |SELECT doc_id, round($scoreSql, 6) AS maxsim
+           |FROM m ORDER BY $scoreSql DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // Chroma dict-dialect filters end to end: the JSON `where=` /
+    // `where_document=` forms a chroma client sends
+    // (/root/reference/src/cod.py:95 attaches the metadata; the filter
+    // grammar is chroma's public client API) are translated by
+    // functions.ChromaWhere into Catalyst predicates — and therefore reach
+    // the parquet scan as PushedFilters like any native Column filter.
+    // The oracle states the same predicate in plain SQL, so a translation
+    // bug in ANY operator ($in, $gte, nested $or, $contains, $not_contains,
+    // numeric-vs-string compare) breaks the hash match.
+    Q(
+      "q_where_dialect",
+      "chroma where=/where_document= dict dialect translated to pushed Catalyst filters",
+      (s, dir) => {
+        val whereJson =
+          """{"$and": [
+            |  {"lang": {"$in": ["en", "de"]}},
+            |  {"n_chars": {"$gte": 250}},
+            |  {"$or": [{"source": "src3"}, {"source": {"$eq": "src7"}},
+            |           {"n_chars": {"$lt": 120}}]}
+            |]}""".stripMargin
+        val docJson =
+          """{"$and": [{"$contains": "data"}, {"$not_contains": "xyzzy"}]}"""
+        tbl(s, dir, "documents")
+          .filter(graft.functions.ChromaWhere.where(whereJson, col))
+          .filter(graft.functions.ChromaWhere.whereDocument(docJson, col("text")))
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some {
+        """SELECT doc_id, lang, source, n_chars FROM documents
+          |WHERE lang IN ('en', 'de') AND CAST(n_chars AS DOUBLE) >= 250.0
+          |  AND (source = 'src3' OR source = 'src7' OR CAST(n_chars AS DOUBLE) < 120.0)
+          |  AND contains(text, 'data') AND NOT contains(text, 'xyzzy')
+          |ORDER BY doc_id""".stripMargin
       })
   )
 }

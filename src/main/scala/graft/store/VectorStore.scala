@@ -213,6 +213,44 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       }
     }
 
+    /** Resolve a chroma `where=` metadata key against this collection's
+      * MAP<STRING,STRING> meta column. */
+    private def metaKey(k: String): Column = element_at(col("meta"), lit(k))
+
+    /** [[get]] taking chroma's dict filter dialect as JSON strings — the
+      * exact client-API form (`collection.get(where={...},
+      * where_document={...})`), translated by
+      * [[graft.functions.ChromaWhere]]: metadata keys resolve into the
+      * meta map, the document predicate applies to `doc`. Null = absent. */
+    def getJson(whereJson: String = null, whereDocumentJson: String = null,
+                ids: Seq[String] = Nil,
+                include: Seq[String] = Seq("doc", "meta", "emb"),
+                limit: Int = -1, offset: Int = 0): DataFrame =
+      get(ids, include,
+        Option(whereJson).map(graft.functions.ChromaWhere.where(_, metaKey)),
+        Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))),
+        limit, offset)
+
+    /** [[query]] taking chroma's dict filter dialect as JSON strings; the
+      * translated predicates flow into the routed/pruned index scan exactly
+      * like Column-form `where`/`whereDocument`. */
+    def queryJson(queryEmb: Array[Float], k: Int, metric: String = "l2",
+                  whereJson: String = null,
+                  whereDocumentJson: String = null): DataFrame =
+      query(queryEmb, k, metric,
+        Option(whereJson).map(graft.functions.ChromaWhere.where(_, metaKey)),
+        Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))))
+
+    /** [[deleteWhere]] in the dict dialect (`collection.delete(where=...,
+      * where_document=...)`). At least one filter must be present —
+      * chroma's delete refuses an unfiltered full wipe through this form. */
+    def deleteJson(whereJson: String = null, whereDocumentJson: String = null): Unit = {
+      val ps = Option(whereJson).map(graft.functions.ChromaWhere.where(_, metaKey)).toSeq ++
+        Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))).toSeq
+      require(ps.nonEmpty, "deleteJson requires a where and/or where_document filter")
+      deleteWhere(ps.reduce(_ && _))
+    }
+
     /** Copy-on-write rewrite with an atomic directory swap: the new version
       * is fully materialized to a staging dir (reading the live one), then
       * swapped in. Readers never see a half-written collection. At 100 TB

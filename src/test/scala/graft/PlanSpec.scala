@@ -30,6 +30,33 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       s"expected an In(doc_id, ...) pushdown in:\n$p")
   }
 
+  test("binary-quantized ANN: Hamming shortlist TakeOrdereds, rerank broadcasts") {
+    val p = plan("q_ann_binary")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"Hamming shortlist must TakeOrdered, got:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"exact rerank must broadcast the 50-row shortlist, got:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), "bit packing must stay codegen")
+  }
+
+  test("chroma where-dialect predicates reach the parquet scan as pushed filters") {
+    val p = plan("q_where_dialect")
+    // $in on lang and the $contains document predicate both push
+    assert(p.contains("PushedFilters") && p.contains("In(lang"),
+      s"expected In(lang, ...) pushdown from the \\$$in dialect operator in:\n$p")
+    assert(p.contains("StringContains(text"),
+      s"expected StringContains(text, ...) pushdown from \\$$contains in:\n$p")
+  }
+
+  test("maxsim folds per-term maxes in one aggregation exchange") {
+    val p = plan("q_maxsim")
+    val n = "Exchange".r.findAllIn(p).length
+    // one shuffle for the doc_id aggregation; top-k is TakeOrdered
+    assert(n <= 1, s"q_maxsim must shuffle once (partial-agg on doc_id), found $n:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"q_maxsim top-10 must TakeOrdered:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), "token vectors must stay codegen")
+  }
+
   test("kernel text scans are narrow: one exchange, the presentation sort") {
     Seq("q_quality_score", "q_token_count", "q_fingerprint", "q_text_clean").foreach { q =>
       val p = plan(q)
