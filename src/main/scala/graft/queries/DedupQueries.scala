@@ -691,6 +691,47 @@ object DedupQueries {
            |  CAST(count(*) - count(dropped.vec_id) AS BIGINT) AS n_kept
            |FROM e LEFT JOIN dropped ON e.vec_id = dropped.vec_id
            |GROUP BY e.label ORDER BY e.label""".stripMargin
+      }),
+
+    // GREEDY first-writer-wins ADMISSION — the dedup POLICY an ingest
+    // actually enforces at arrival time, vs. the pair/cluster ANALYSES
+    // above: documents arrive in doc_id order and one is admitted iff none
+    // of its MinHash-LSH band buckets was already claimed by ANY earlier
+    // document (admitted or not). That "block against everything seen" is
+    // the streaming-feasible variant — blocking only against admitted
+    // survivors feeds each verdict into the next and cannot be keyed.
+    // One shuffle on the (band, bucket) key for the per-bucket first
+    // writer, one per-doc fold — never pairwise. Streaming twin:
+    // streaming.StreamOps.nearDupBandVerdicts keeps ONE long of state per
+    // bucket and is spec-proven verdict-identical across micro-batches.
+    Q(
+      "q_dedup_greedy",
+      "greedy first-writer-wins LSH admission: per-doc band collisions + verdict",
+      (s, dir) => {
+        val d = shingleSets(s, dir)
+        val bands = d.select(col("doc_id"),
+          posexplode(TF.minhashBandBuckets(col("sh"))).as(Seq("band", "bucket")))
+        val w = Window.partitionBy("band", "bucket")
+        bands.withColumn("first_id", min("doc_id").over(w))
+          .withColumn("hit", (col("doc_id") > col("first_id")).cast("int"))
+          .groupBy("doc_id")
+          .agg(sum("hit").cast("int").as("n_coll"))
+          .withColumn("admitted", col("n_coll") === 0)
+          .orderBy("doc_id")
+      },
+      Some {
+        val nb = TextHashOps.NumMinHashes / TextHashOps.MinHashRows
+        val bandRows = (0 until nb).map(j =>
+          s"SELECT doc_id, $j AS band, ${OracleText.bandBucket("sh", j)} AS bucket FROM d")
+          .mkString("\n  UNION ALL ")
+        s"""WITH d AS MATERIALIZED (${shingleSetsSql()}),
+           |b AS MATERIALIZED (
+           |  $bandRows),
+           |f AS (SELECT band, bucket, min(doc_id) AS first_id FROM b GROUP BY band, bucket),
+           |j AS (SELECT b.doc_id, CASE WHEN b.doc_id > f.first_id THEN 1 ELSE 0 END AS hit
+           |      FROM b JOIN f USING (band, bucket))
+           |SELECT doc_id, CAST(sum(hit) AS INT) AS n_coll, sum(hit) = 0 AS admitted
+           |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin
       })
   )
 }

@@ -69,6 +69,53 @@ object StreamOps {
   def dedupWithinWatermark(docs: DataFrame, lateness: String): DataFrame =
     docs.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("id")
 
+  /** Streaming NEAR-dup admission gate — fuzzy dedup moved to ingest time
+    * ([[dedupStream]] catches only byte-identical ids). First-writer-wins
+    * per MinHash-LSH band bucket: keyed by (band, bucket),
+    * flatMapGroupsWithState remembers the SMALLEST doc_id the bucket has
+    * ever seen (one long of state per live bucket) and every arriving doc
+    * reports, per band, whether an earlier doc (lower doc_id, any batch)
+    * already claimed it. A doc is admitted iff no band collides — that
+    * per-doc fold is the caller's bounded downstream aggregation; emitting
+    * per-band verdicts keeps this a single stateful stage (Spark restricts
+    * chained stateful operators' output modes).
+    *
+    * This is the streaming-FEASIBLE greedy policy — block against
+    * everything seen before, admitted or not. The feedback variant (block
+    * only against admitted survivors) makes each verdict depend on every
+    * previous verdict across all buckets and cannot be keyed. Batch twin
+    * with the identical semantics and buckets: q_dedup_greedy
+    * ([[graft.queries.DedupQueries]]); verdict equality and replay
+    * idempotence are spec-proven (StreamingSpec).
+    *
+    * Scale: state is one long per DISTINCT bucket (sharded by the state
+    * store), the only shuffle is on the (band, bucket) key, and verdicts
+    * are append-mode rows — never pairwise, never corpus-resident.
+    * Replays are idempotent: re-delivering a batch finds state minima <=
+    * its ids and emits bit-identical verdicts. */
+  def nearDupBandVerdicts(docs: DataFrame): Dataset[(Long, Int, Boolean)] = {
+    import docs.sparkSession.implicits._
+    val bands = docs
+      .select(col("doc_id").cast(LongType).as("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.shingleHashSet(col("toks"), 3).as("sh")) // K=3: DedupQueries' shingle width
+      .select(col("doc_id"), posexplode(TF.minhashBandBuckets(col("sh"))).as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band").cast(IntegerType).as("band"),
+        col("bucket").cast(LongType).as("bucket"))
+      .as[(Long, Int, Long)]
+    bands.groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case ((band, _), rows, state: GroupState[Long]) =>
+          val ids = rows.map(_._1).toArray.sorted
+          val prior = if (state.exists) state.get else Long.MaxValue
+          val overallMin = math.min(prior, ids.head)
+          state.update(overallMin)
+          // hit = an earlier doc (previous batch OR smaller id this batch)
+          // already claimed this bucket
+          ids.iterator.map(id => (id, band, id > overallMin))
+      }
+  }
+
   /** Streaming training-data ingest gate — the stream twin of the batch
     * pipeline funnel's streamable stages (q_pipeline_e2e): the QUALITY gate
     * and benchmark DECONTAMINATION are stateless narrow filters, and

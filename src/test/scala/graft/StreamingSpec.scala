@@ -1,5 +1,6 @@
 package graft
 
+import graft.functions.{TextFunctions => TF}
 import graft.queries.EventsTable
 import graft.streaming.StreamOps
 import graft.streaming.StreamOps.{UserEvent, UserMax}
@@ -436,6 +437,58 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.toSeq == Seq(
       SessionSummary(1, us(0), us(2), 2, 3.0),
       SessionSummary(1, us(20), us(20), 1, 5.0)))
+  }
+
+  test("streaming near-dup gate: verdicts equal the batch greedy policy; replays idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 30 real docs + 5 planted twins (same text, higher id) so the gate has
+    // true near-dups to reject; fed across batches in id order
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("long"), col("text"))
+      .orderBy("doc_id").limit(30).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val twins = base.take(5).map { case (id, t) => (id + 1000L, t) }
+    val all = (base ++ twins).sortBy(_._1)
+    val (b1, b2) = all.splitAt(18)
+
+    val mem = MemoryStream[(Long, String)]
+    val verdicts = StreamOps.nearDupBandVerdicts(mem.toDF().toDF("doc_id", "text"))
+    val q = verdicts.toDF("doc_id", "band", "hit").writeStream
+      .format("memory").queryName("neardup_t").outputMode(OutputMode.Append()).start()
+    mem.addData(b1.toSeq)
+    q.processAllAvailable()
+    mem.addData(b2.toSeq)
+    q.processAllAvailable()
+    val firstPass = spark.table("neardup_t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    // every doc reported one verdict per band
+    assert(firstPass.size == all.length * 3)
+
+    // batch oracle: the q_dedup_greedy policy on the same frame
+    val docsDf = all.toSeq.toDF("doc_id", "text")
+    val bands = docsDf
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TF.shingleHashSet(col("toks"), 3).as("sh"))
+      .select(col("doc_id"), posexplode(TF.minhashBandBuckets(col("sh"))).as(Seq("band", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val expected = bands.withColumn("first_id", min("doc_id").over(w))
+      .select(col("doc_id"), col("band"), (col("doc_id") > col("first_id")).as("hit"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(firstPass == expected, "stream verdicts must equal the batch greedy policy")
+    // the planted twins are rejected (every band collides), originals admitted
+    val hitsByDoc = firstPass.groupBy(_._1).map { case (k, v) => k -> v.count(_._3) }
+    twins.foreach { case (id, _) => assert(hitsByDoc(id) == 3, s"twin $id must collide on all bands") }
+    base.take(5).foreach { case (id, _) => assert(hitsByDoc(id) == 0, s"original $id must be admitted") }
+
+    // REPLAY batch 2: state minima already cover its ids -> verdicts
+    // re-emitted bit-identically, nothing new invented
+    mem.addData(b2.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val afterReplay = spark.table("neardup_t")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSet
+    assert(afterReplay == firstPass, "replayed batch must emit identical verdicts")
   }
 
   test("mapGroupsWithState keeps running per-user max across micro-batches") {
