@@ -32,6 +32,22 @@ object AnnQueries {
   val NumPlanes = 6
   val TextEmbDim = 64 // hashing embedder output width
 
+  /** Sign-bit packing for binary quantization (q_ann_binary /
+    * q_ann_binary_recall): bit j of half `off` = [embedding[off+j+1] > 0],
+    * j in [0,32) — strict > so ±0.0f agree on both engines; halves of 32
+    * bits so neither engine's 64-bit sign bit is touched; addition of
+    * disjoint bits == OR. */
+  private[queries] def packHalf(emb: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+    (0 until 32).map { j =>
+      when(element_at(emb, off + j + 1).cast("double") > lit(0.0), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** [[packHalf]] in DuckDB SQL — identical bit math. */
+  private[queries] def packSql(emb: String, off: Int): String =
+    s"CAST(coalesce(list_sum(list_transform(range(0, 32), j -> " +
+      s"CASE WHEN CAST($emb[$off + j + 1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT)"
+
   /** Deterministic LSH hyperplane component w[p][d] — shared with the oracle:
     * scramble32(p*EmbDim+d) reduced to a float in [-1, 1]. */
   def plane(p: Int): Array[Float] =
@@ -1044,13 +1060,6 @@ object AnnQueries {
         val e = tbl(s, dir, "embeddings")
         val qe: Array[Float] = e.filter(col("vec_id") === 0)
           .select(col("embedding")).head().getSeq[Float](0).toArray
-        // bit j of half `off` = [embedding[off+j] > 0], j in [0,32) — strict
-        // > so ±0.0f agree on both engines; addition of disjoint bits == OR.
-        def packHalf(emb: org.apache.spark.sql.Column, off: Int) =
-          (0 until 32).map { j =>
-            when(element_at(emb, off + j + 1).cast("double") > lit(0.0), lit(1L << j))
-              .otherwise(lit(0L))
-          }.reduce(_ + _)
         def qPack(off: Int): Long = {
           var b = 0L; var j = 0
           while (j < 32) { if (qe(off + j).toDouble > 0.0) b |= (1L << j); j += 1 }
@@ -1069,9 +1078,6 @@ object AnnQueries {
           .select(col("vec_id"), col("ham"), round(col("cos_raw"), 6).as("cos"))
       },
       Some {
-        def packSql(emb: String, off: Int) =
-          s"CAST(coalesce(list_sum(list_transform(range(0, 32), j -> " +
-            s"CASE WHEN CAST($emb[$off + j + 1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT)"
         val cos = OracleSql.cosine("e.embedding", "probe.qe")
         s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
            |qc AS (SELECT ${packSql("qe", 0)} AS qlo, ${packSql("qe", 32)} AS qhi FROM probe),
@@ -1084,6 +1090,80 @@ object AnnQueries {
            |SELECT s.vec_id, s.ham, round($cos, 6) AS cos
            |FROM shortlist s JOIN embeddings e ON e.vec_id = s.vec_id CROSS JOIN probe
            |ORDER BY $cos DESC, s.vec_id LIMIT 5""".stripMargin
+      }),
+
+    // Quality metric for the binary route — recall@10 of (Hamming top-50
+    // shortlist → exact rerank) against the exact cosine scan, per probe:
+    // the number that tells a deployment whether 1 bit/dim is enough at
+    // this dimensionality before committing to the 32x scan-traffic win.
+    // Same harness as q_ann_recall: one scored broadcast theta-join feeds
+    // both arms, each reduced map-side by the bounded GroupedTopK (the
+    // shuffle carries answers, not the corpus); the shortlist rerank is a
+    // broadcast point-join over 50 ids/probe — the deployed two-phase read.
+    Q(
+      "q_ann_binary_recall",
+      "ANN quality metric: recall@10 of the binary Hamming route vs exact cosine",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val coded = e.select(col("vec_id"), col("embedding"),
+          packHalf(col("embedding"), 0).as("lo"), packHalf(col("embedding"), 32).as("hi"))
+        val probes = coded.filter(col("vec_id") % 25 === 3)
+          .select(col("vec_id").as("pid"), col("embedding").as("pe"),
+            col("lo").as("plo"), col("hi").as("phi"))
+        val pairs = coded.crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("pid"))
+          .withColumn("cos", VF.cosine(col("embedding"), col("pe")))
+          .withColumn("ham", (bit_count(col("lo").bitwiseXOR(col("plo"))) +
+            bit_count(col("hi").bitwiseXOR(col("phi")))).cast("double"))
+        def idsOf(c: org.apache.spark.sql.Column) = transform(c, x => x.getField("id"))
+        val exact = pairs.groupBy("pid")
+          .agg(GroupedTopK.topK(10)(-col("cos"), col("vec_id")).as("ex"))
+          .select(col("pid"), idsOf(col("ex")).as("ex"))
+        val short = pairs.groupBy("pid")
+          .agg(GroupedTopK.topK(50)(col("ham"), col("vec_id")).as("sh"))
+          .select(col("pid"), explode(idsOf(col("sh"))).as("vec_id"))
+        // exact rerank of the bounded shortlist: point-join the vectors back
+        val rer = coded.select(col("vec_id"), col("embedding"))
+          .join(broadcast(short), "vec_id")
+          .join(broadcast(probes.select(col("pid"), col("pe"))), "pid")
+          .withColumn("cos", VF.cosine(col("embedding"), col("pe")))
+        val wRe = org.apache.spark.sql.expressions.Window
+          .partitionBy("pid").orderBy(desc("cos"), asc("vec_id"))
+        val bin = rer.withColumn("rr", row_number().over(wRe)).filter(col("rr") <= 10)
+          .groupBy("pid").agg(sort_array(collect_list(col("vec_id"))).as("bi"))
+        exact.join(bin, "pid")
+          .withColumn("hits", size(array_intersect(col("ex"), col("bi"))))
+          .select(col("pid"), col("hits"), round(col("hits") / 10.0, 2).as("recall"))
+          .orderBy("pid")
+      },
+      Some {
+        val cosD = OracleSql.cosine("c.embedding", "p.pe")
+        s"""WITH c AS MATERIALIZED (
+           |  SELECT vec_id, embedding, ${packSql("embedding", 0)} AS lo, ${packSql("embedding", 32)} AS hi
+           |  FROM embeddings),
+           |p AS (SELECT vec_id AS pid, embedding AS pe, lo AS plo, hi AS phi
+           |      FROM c WHERE vec_id % 25 = 3),
+           |d AS MATERIALIZED (
+           |  SELECT p.pid, c.vec_id, $cosD AS cos,
+           |         bit_count(xor(c.lo, p.plo)) + bit_count(xor(c.hi, p.phi)) AS ham
+           |  FROM c CROSS JOIN p WHERE c.vec_id <> p.pid),
+           |ex AS (SELECT pid, vec_id FROM (
+           |         SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+           |                                               ORDER BY cos DESC, vec_id) AS rn
+           |         FROM d) WHERE rn <= 10),
+           |sh AS (SELECT pid, vec_id, cos FROM (
+           |         SELECT pid, vec_id, cos, row_number() OVER (PARTITION BY pid
+           |                                                    ORDER BY ham, vec_id) AS rn
+           |         FROM d) WHERE rn <= 50),
+           |bi AS (SELECT pid, vec_id FROM (
+           |         SELECT pid, vec_id, row_number() OVER (PARTITION BY pid
+           |                                               ORDER BY cos DESC, vec_id) AS rr
+           |         FROM sh) WHERE rr <= 10),
+           |h AS (SELECT e2.pid, CAST(count(b.vec_id) AS INT) AS hits
+           |      FROM ex e2 LEFT JOIN bi b ON b.pid = e2.pid AND b.vec_id = e2.vec_id
+           |      GROUP BY e2.pid)
+           |SELECT pid, hits, round(hits / 10.0, 2) AS recall
+           |FROM h ORDER BY pid""".stripMargin
       })
   )
 }
