@@ -37,14 +37,14 @@ object AnnQueries {
     * j in [0,32) — strict > so ±0.0f agree on both engines; halves of 32
     * bits so neither engine's 64-bit sign bit is touched; addition of
     * disjoint bits == OR. */
-  private[queries] def packHalf(emb: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
+  private[graft] def packHalf(emb: org.apache.spark.sql.Column, off: Int): org.apache.spark.sql.Column =
     (0 until 32).map { j =>
       when(element_at(emb, off + j + 1).cast("double") > lit(0.0), lit(1L << j))
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** [[packHalf]] in DuckDB SQL — identical bit math. */
-  private[queries] def packSql(emb: String, off: Int): String =
+  private[graft] def packSql(emb: String, off: Int): String =
     s"CAST(coalesce(list_sum(list_transform(range(0, 32), j -> " +
       s"CASE WHEN CAST($emb[$off + j + 1] AS DOUBLE) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)), 0) AS BIGINT)"
 
@@ -1110,11 +1110,16 @@ object AnnQueries {
         val probes = coded.filter(col("vec_id") % 25 === 3)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
             col("lo").as("plo"), col("hi").as("phi"))
+        // ONE scored pass feeds all three arms (exact, shortlist, rerank):
+        // the persisted frame is NARROW (4 scalars) and probe-sample-bounded
+        // (P×N rows for sampled probes — an eval, not a serving path)
         val pairs = coded.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("pid"))
-          .withColumn("cos", VF.cosine(col("embedding"), col("pe")))
-          .withColumn("ham", (bit_count(col("lo").bitwiseXOR(col("plo"))) +
-            bit_count(col("hi").bitwiseXOR(col("phi")))).cast("double"))
+          .select(col("pid"), col("vec_id"),
+            VF.cosine(col("embedding"), col("pe")).as("cos"),
+            (bit_count(col("lo").bitwiseXOR(col("plo"))) +
+              bit_count(col("hi").bitwiseXOR(col("phi")))).cast("double").as("ham"))
+          .persist()
         def idsOf(c: org.apache.spark.sql.Column) = transform(c, x => x.getField("id"))
         val exact = pairs.groupBy("pid")
           .agg(GroupedTopK.topK(10)(-col("cos"), col("vec_id")).as("ex"))
@@ -1122,19 +1127,19 @@ object AnnQueries {
         val short = pairs.groupBy("pid")
           .agg(GroupedTopK.topK(50)(col("ham"), col("vec_id")).as("sh"))
           .select(col("pid"), explode(idsOf(col("sh"))).as("vec_id"))
-        // exact rerank of the bounded shortlist: point-join the vectors back
-        val rer = coded.select(col("vec_id"), col("embedding"))
-          .join(broadcast(short), "vec_id")
-          .join(broadcast(probes.select(col("pid"), col("pe"))), "pid")
-          .withColumn("cos", VF.cosine(col("embedding"), col("pe")))
+        // exact rerank of the bounded shortlist: its cosines are already in
+        // the pair frame — a broadcast semi-join picks them out
+        val rer = pairs.join(broadcast(short), Seq("pid", "vec_id"))
         val wRe = org.apache.spark.sql.expressions.Window
           .partitionBy("pid").orderBy(desc("cos"), asc("vec_id"))
         val bin = rer.withColumn("rr", row_number().over(wRe)).filter(col("rr") <= 10)
           .groupBy("pid").agg(sort_array(collect_list(col("vec_id"))).as("bi"))
-        exact.join(bin, "pid")
-          .withColumn("hits", size(array_intersect(col("ex"), col("bi"))))
-          .select(col("pid"), col("hits"), round(col("hits") / 10.0, 2).as("recall"))
-          .orderBy("pid")
+        freeAfter(
+          exact.join(bin, "pid")
+            .withColumn("hits", size(array_intersect(col("ex"), col("bi"))))
+            .select(col("pid"), col("hits"), round(col("hits") / 10.0, 2).as("recall"))
+            .orderBy("pid"),
+          pairs)
       },
       Some {
         val cosD = OracleSql.cosine("c.embedding", "p.pe")

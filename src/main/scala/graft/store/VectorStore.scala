@@ -44,7 +44,7 @@ object VectorStore {
                                  refineRounds: Int = 1) extends AttachedIndex
 }
 
-final class VectorStore(spark: SparkSession, basePath: String) {
+final class VectorStore(spark: SparkSession, val basePath: String) {
 
   /** Collection record schema (reference data model, SURVEY.md §1.4). */
   val schema: StructType = StructType(Seq(
@@ -72,13 +72,56 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     new Collection(name)
   }
 
+  /** Chroma `get_or_create_collection(name, metadata=...)`: on first
+    * creation the collection-level metadata is persisted; when the
+    * collection already exists its EXISTING metadata is kept and the
+    * argument is ignored (chroma's get-or-create contract — replacing
+    * metadata is [[Collection.modify]]'s job). */
+  def createOrGet(name: String, metadata: Map[String, String]): Collection = {
+    val fresh = !exists(name)
+    val c = createOrGet(name)
+    if (fresh && metadata.nonEmpty) writeColMeta(name, metadata)
+    c
+  }
+
+  // ------------------------------------------------ collection metadata
+  // One tab-separated URL-encoded line per key, written to a temp file and
+  // ATOMIC_MOVE'd in — readers never see a torn metadata file. On object
+  // storage the same write is a single conditional put.
+  private def colMetaPath(name: String): java.nio.file.Path =
+    java.nio.file.Paths.get(basePath, s"__colmeta_$name")
+
+  private def writeColMeta(name: String, md: Map[String, String]): Unit = {
+    val enc = md.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "\t" + java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString("\n")
+    val tmp = java.nio.file.Paths.get(basePath, s"__colmeta_$name.tmp${System.nanoTime()}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath))
+    java.nio.file.Files.writeString(tmp, enc)
+    java.nio.file.Files.move(tmp, colMetaPath(name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  private def readColMeta(name: String): Map[String, String] = {
+    val p = colMetaPath(name)
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else java.nio.file.Files.readString(p).split("\n").iterator
+      .filter(_.nonEmpty)
+      .map { line =>
+        val Array(k, v) = line.split("\t", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+  }
+
   private def rm(f: java.io.File): Unit = StoreIO.rmTree(f)
 
-  /** Drop a collection AND its snapshots (leaving them behind would let a
-    * later collection of the same name inherit dead data). */
+  /** Drop a collection AND its snapshots and metadata (leaving them behind
+    * would let a later collection of the same name inherit dead state). */
   def dropCollection(name: String): Unit = {
     rm(new java.io.File(path(name)))
     rm(new java.io.File(s"$basePath/__snapshots/$name"))
+    java.nio.file.Files.deleteIfExists(colMetaPath(name)): Unit
   }
 
   /** Chroma `client.list_collections()`: collection names on this store
@@ -113,6 +156,11 @@ final class VectorStore(spark: SparkSession, basePath: String) {
       require(snaps.renameTo(new java.io.File(s"$basePath/__snapshots/$to")),
         s"snapshot move $from -> $to failed")
     }
+    // collection metadata travels with the collection; stale target
+    // metadata (crashed drop) is cleared either way
+    java.nio.file.Files.deleteIfExists(colMetaPath(to))
+    if (java.nio.file.Files.exists(colMetaPath(from)))
+      java.nio.file.Files.move(colMetaPath(from), colMetaPath(to)): Unit
     new Collection(to)
   }
 
@@ -121,6 +169,25 @@ final class VectorStore(spark: SparkSession, basePath: String) {
     def df: DataFrame = spark.read.schema(schema).parquet(path(name))
 
     def count(): Long = df.count()
+
+    /** Chroma `collection.metadata`: the collection-level metadata dict
+      * (empty when none was ever set). */
+    def metadata: Map[String, String] = readColMeta(name)
+
+    /** Chroma `collection.modify(name=..., metadata=...)`: rename and/or
+      * REPLACE the collection metadata (chroma modify overwrites the whole
+      * dict, it does not merge). Null = leave unchanged. Returns the
+      * (possibly renamed) collection handle. */
+    def modify(newName: String = null,
+               metadata: Map[String, String] = null): Collection = {
+      Option(metadata).foreach { md =>
+        withColLease("Collection.modify") {
+          if (md.isEmpty) java.nio.file.Files.deleteIfExists(colMetaPath(name)): Unit
+          else writeColMeta(name, md)
+        }
+      }
+      Option(newName).map(renameCollection(name, _)).getOrElse(this)
+    }
 
     /** Append rows, rejecting ids already present (Chroma add semantics).
       * NEVER broadcast the store side — it's the corpus (billions of ids at

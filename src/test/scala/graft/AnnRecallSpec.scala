@@ -186,4 +186,39 @@ class AnnRecallSpec extends AnyFunSuite with SparkTest {
     info(f"IVF-PQ hit rate vs exact top-20 = $r5%.2f")
     assert(r5 >= 0.4, s"IVF-PQ recall collapsed: $r5")
   }
+
+  test("binary Hamming shortlist: recall@20 rises monotonically with shortlist depth") {
+    // The tuning curve a deployment walks before trusting 1 bit/dim: a
+    // deeper Hamming shortlist can only add candidates (supersets), so
+    // recall after exact rerank must be non-decreasing in depth, and at
+    // depth = corpus it equals exact search (recall 1.0) by construction.
+    import graft.queries.AnnQueries
+    val coded = vecs
+      .withColumn("lo", AnnQueries.packHalf(col("embedding"), 0))
+      .withColumn("hi", AnnQueries.packHalf(col("embedding"), 32))
+    def qPack(off: Int): Long = {
+      var b = 0L; var j = 0
+      while (j < 32) { if (probe(off + j).toDouble > 0.0) b |= (1L << j); j += 1 }
+      b
+    }
+    val withHam = coded.filter(col("vec_id") =!= 0)
+      .withColumn("ham", bit_count(col("lo").bitwiseXOR(lit(qPack(0)))) +
+        bit_count(col("hi").bitwiseXOR(lit(qPack(32)))))
+      .persist()
+    val n = withHam.count().toInt
+    val depths = Seq(50, 100, 200, n)
+    val recalls = depths.map { d =>
+      val got = withHam.orderBy(asc("ham"), asc("vec_id")).limit(d)
+        .withColumn("dd", VF.l2Sq(col("embedding"), typedlit(probe)))
+        .orderBy(asc("dd"), asc("vec_id")).limit(K)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      recall(got)
+    }
+    withHam.unpersist()
+    depths.zip(recalls).foreach { case (d, r) => info(f"depth $d%4d -> recall@$K = $r%.2f") }
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be monotone in shortlist depth: $recalls")
+    assert(recalls.last == 1.0, "full-depth shortlist must equal exact search")
+    assert(recalls.head > 0.0, "a 50-deep shortlist must recover something")
+  }
 }

@@ -329,4 +329,28 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     val qe = rows.filter(col("id") === "0").head().getSeq[Float](2).toArray
     assert(rotated.query("v", qe, 1).head().getString(0) == "0")
   }
+
+  test("collection metadata: get_or_create keeps existing, modify replaces, rename carries") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("m", Map("owner" -> "team a", "tier" -> "hot"))
+    assert(c.metadata == Map("owner" -> "team a", "tier" -> "hot"))
+    // chroma get_or_create contract: existing metadata kept, argument ignored
+    assert(store.createOrGet("m", Map("owner" -> "other")).metadata ==
+      Map("owner" -> "team a", "tier" -> "hot"))
+    // modify REPLACES the whole dict (not a merge); separator/control chars survive
+    c.modify(metadata = Map("owner" -> "b\tc\nd", "k=1" -> "v 2"))
+    assert(c.metadata == Map("owner" -> "b\tc\nd", "k=1" -> "v 2"))
+    // rename carries rows + metadata; old name fully gone
+    c.add(docRows.limit(3))
+    val r = c.modify(newName = "m2")
+    assert(r.metadata == Map("owner" -> "b\tc\nd", "k=1" -> "v 2"))
+    assert(r.count() == 3)
+    assert(store.listCollections() == Seq("m2"))
+    // a fresh store instance over the same base reads the same metadata
+    assert(new VectorStore(spark, store.basePath).createOrGet("m2").metadata ==
+      Map("owner" -> "b\tc\nd", "k=1" -> "v 2"))
+    // drop removes metadata: a later same-name collection starts clean
+    store.dropCollection("m2")
+    assert(store.createOrGet("m2").metadata.isEmpty)
+  }
 }
