@@ -99,6 +99,34 @@ object SearchQueries {
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
 
+  /** Late-interaction token-vector dimensionality (q_maxsim family). */
+  private val MaxSimDim = 16
+
+  /** Deterministic hash-derived token vector (the LSH-plane recipe applied
+    * per token): component d mixes polyHash(tok) with an integer formula
+    * both engines replay exactly; magnitudes are irrelevant (cosine
+    * normalizes), direction is token-determined. */
+  private def tokVecCol(t: Column): Column = array((0 until MaxSimDim).map { d =>
+    ((((TF.polyHash(t) + lit((d + 1) * 1000003L)) * lit(2654435761L))
+      % lit(4294967296L) % lit(2001L) - lit(1000L)).cast("double") / lit(1000.0))
+      .cast("float")
+  }: _*)
+
+  /** [[tokVecCol]] driver-side (bit-identical Long math). */
+  private def tokVecLocal(t: String): Array[Float] = {
+    val g = graft.functions.TextHashOps.polyHash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t))
+    Array.tabulate(MaxSimDim) { d =>
+      val z = ((g + (d + 1) * 1000003L) * 2654435761L) % 4294967296L % 2001L - 1000L
+      (z.toDouble / 1000.0).toFloat
+    }
+  }
+
+  /** [[tokVecCol]] in DuckDB SQL over a hash expression `g`. */
+  private def tokVecSql(g: String): String =
+    s"list_transform(range(0, $MaxSimDim), d -> CAST(CAST(((($g + (d+1)*1000003) * 2654435761) " +
+      s"% 4294967296) % 2001 - 1000 AS DOUBLE) / 1000.0 AS FLOAT))"
+
   /** int8 quantization code for one dimension, identical double math on the
     * Spark, oracle, and driver sides: floor((x-mn)*256/(mx-mn)) clamped. */
   private[graft] def quantize(x: Double, mn: Double, mx: Double): Long =
@@ -448,20 +476,6 @@ object SearchQueries {
       "q_maxsim",
       "ColBERT-style late interaction: sum of per-query-term max token cosine, top-10",
       (s, dir) => {
-        val Dim = 16
-        def tokVecCol(t: Column): Column = array((0 until Dim).map { d =>
-          ((((TF.polyHash(t) + lit((d + 1) * 1000003L)) * lit(2654435761L))
-            % lit(4294967296L) % lit(2001L) - lit(1000L)).cast("double") / lit(1000.0))
-            .cast("float")
-        }: _*)
-        def tokVecLocal(t: String): Array[Float] = {
-          val g = graft.functions.TextHashOps.polyHash(
-            org.apache.spark.unsafe.types.UTF8String.fromString(t))
-          Array.tabulate(Dim) { d =>
-            val z = ((g + (d + 1) * 1000003L) * 2654435761L) % 4294967296L % 2001L - 1000L
-            (z.toDouble / 1000.0).toFloat
-          }
-        }
         val docToks = tbl(s, dir, "documents")
           .select(col("doc_id"), explode(array_distinct(TF.tokens(col("text")))).as("tok"))
           .withColumn("dv", tokVecCol(col("tok")))
@@ -477,10 +491,6 @@ object SearchQueries {
           .select(col("doc_id"), round(col("score_raw"), 6).as("maxsim"))
       },
       Some {
-        val Dim = 16
-        def vecSql(g: String): String =
-          s"list_transform(range(0, $Dim), d -> CAST(CAST(((($g + (d+1)*1000003) * 2654435761) " +
-            s"% 4294967296) % 2001 - 1000 AS DOUBLE) / 1000.0 AS FLOAT))"
         val qRows = QueryTerms.zipWithIndex
           .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
         val cos = OracleSql.cosine("v.dv", "q.qv")
@@ -490,12 +500,83 @@ object SearchQueries {
         s"""WITH t AS MATERIALIZED (
            |  SELECT doc_id, unnest(list_distinct(${OracleText.tokens("text")})) AS tok
            |  FROM documents),
-           |v AS MATERIALIZED (SELECT doc_id, ${vecSql(OracleText.polyHash("tok"))} AS dv FROM t),
-           |q AS (SELECT qi, ${vecSql(OracleText.polyHash("term"))} AS qv
+           |v AS MATERIALIZED (SELECT doc_id, ${tokVecSql(OracleText.polyHash("tok"))} AS dv FROM t),
+           |q AS (SELECT qi, ${tokVecSql(OracleText.polyHash("term"))} AS qv
            |      FROM (VALUES $qRows) AS qt(qi, term)),
            |sc AS MATERIALIZED (SELECT v.doc_id, q.qi, $cos AS c FROM v CROSS JOIN q),
            |m AS (SELECT doc_id, $ms FROM sc GROUP BY doc_id)
            |SELECT doc_id, round($scoreSql, 6) AS maxsim
+           |FROM m ORDER BY $scoreSql DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // The DEPLOYED late-interaction shape (how ColBERT-class systems
+    // actually serve): cheap single-vector candidate generation first —
+    // pooled hash-embedding cosine top-50 via TakeOrdered — then the
+    // expensive per-token MaxSim scores ONLY the candidates. Stage-2 cost
+    // is bounded by shortlist × doc length at ANY corpus size; q_maxsim
+    // (the full-corpus scan above) is the ground-truth harness this
+    // pipeline approximates. Both stages deterministic, so the whole
+    // two-stage pipeline hash-matches the oracle.
+    Q(
+      "q_maxsim_rerank",
+      "two-stage retrieval: pooled-embedding top-50 candidates + MaxSim rerank to top-10",
+      (s, dir) => {
+        import s.implicits._
+        val qe: Array[Float] = Seq(QueryTerms.mkString(" ")).toDF("t")
+          .select(TF.hashEmbed(TF.tokens(col("t")), EmbDim).as("e"))
+          .head().getSeq[Float](0).toArray
+        val cand = tokenized(s, dir)
+          .select(col("doc_id"), col("toks"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
+          .withColumn("rel", VF.cosine(col("emb"), typedlit(qe)))
+          .orderBy(desc("rel"), asc("doc_id")).limit(50)
+          .select(col("doc_id"), col("rel"), col("toks"))
+        val toks50 = cand
+          .select(col("doc_id"), col("rel"), explode(array_distinct(col("toks"))).as("tok"))
+          .withColumn("dv", tokVecCol(col("tok")))
+        val maxes = QueryTerms.zipWithIndex.map { case (t, i) =>
+          max(VF.cosine(col("dv"), typedlit(tokVecLocal(t)))).as(s"m$i")
+        }
+        val score = QueryTerms.indices.map(i => col(s"m$i")).reduce(_ + _)
+        toks50.groupBy("doc_id", "rel")
+          .agg(maxes.head, maxes.tail: _*)
+          .withColumn("score_raw", score)
+          .orderBy(desc("score_raw"), asc("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), round(col("rel"), 6).as("rel"),
+            round(col("score_raw"), 6).as("maxsim"))
+      },
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        val cnt = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter(th, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val qLit = s"'${QueryTerms.mkString(" ")}'"
+        val rel = OracleSql.cosine("e.emb", "qp.qe")
+        val qRows = QueryTerms.zipWithIndex
+          .map { case (t, i) => s"($i, '$t')" }.mkString(", ")
+        val cos = OracleSql.cosine("v.dv", "q.qv")
+        val ms = QueryTerms.indices
+          .map(i => s"max(CASE WHEN qi = $i THEN c END) AS m$i").mkString(", ")
+        val scoreSql = QueryTerms.indices.map(i => s"m$i").mkString(" + ")
+        s"""WITH t0 AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |c0 AS MATERIALIZED (SELECT doc_id, $cnt AS cnt FROM t0),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM c0),
+           |qt0 AS (SELECT ${OracleText.tokenHashes(OracleText.tokens(qLit))} AS th),
+           |qc0 AS (SELECT $cnt AS cnt FROM qt0),
+           |qp AS (SELECT $emb AS qe FROM qc0),
+           |cand AS MATERIALIZED (
+           |  SELECT e.doc_id, $rel AS rel FROM e CROSS JOIN qp
+           |  ORDER BY $rel DESC, e.doc_id LIMIT 50),
+           |ct AS (SELECT c.doc_id, c.rel, unnest(list_distinct(${OracleText.tokens("d.text")})) AS tok
+           |       FROM cand c JOIN documents d USING (doc_id)),
+           |v AS MATERIALIZED (SELECT doc_id, rel, ${tokVecSql(OracleText.polyHash("tok"))} AS dv FROM ct),
+           |q AS (SELECT qi, ${tokVecSql(OracleText.polyHash("term"))} AS qv
+           |      FROM (VALUES $qRows) AS qt(qi, term)),
+           |sc AS MATERIALIZED (SELECT v.doc_id, v.rel, q.qi, $cos AS c FROM v CROSS JOIN q),
+           |m AS (SELECT doc_id, rel, $ms FROM sc GROUP BY doc_id, rel)
+           |SELECT doc_id, round(rel, 6) AS rel, round($scoreSql, 6) AS maxsim
            |FROM m ORDER BY $scoreSql DESC, doc_id LIMIT 10""".stripMargin
       }),
 
