@@ -111,4 +111,51 @@ class SearchSpec extends AnyFunSuite with SparkTest {
     val rrfs = rows.map(_.getAs[Double]("rrf"))
     assert(rrfs.zip(rrfs.tail).forall { case (a, b) => a >= b })
   }
+
+  test("MaxScore pruning: identical answer to the full BM25 scan, and it prunes") {
+    import graft.queries.Registry
+    for (sf <- Seq(sf0001, sf001)) {
+      val full = Registry.queries("q_bm25")(spark, sf).collect().toSeq
+      val pruned = Registry.queries("q_bm25_maxscore")(spark, sf).collect().toSeq
+      assert(pruned == full, s"MaxScore must be lossless at $sf")
+    }
+    // measure the pruned fraction with the same bound math, independently:
+    // UB(doc) = sum of idf(t)*(k1+1) over query terms present; theta = 10th
+    // best exact score among docs containing the rarest term
+    import graft.functions.{TextFunctions => TF}
+    import graft.queries.SearchQueries.{B, K1, QueryTerms}
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val n = docs.count()
+    val idf = QueryTerms.map { t =>
+      val df = docs.filter(array_contains(col("toks"), t)).count()
+      t -> math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    }.toMap
+    val avgdl = docs.agg(sum(col("dl").cast("long"))).head().getLong(0).toDouble / n
+    val score = QueryTerms.map { t =>
+      val tf = TF.termFreq(col("toks"), t).cast("double")
+      lit(idf(t)) * ((tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
+    }.reduce(_ + _)
+    val rarest = QueryTerms.maxBy(idf)
+    val theta = docs.filter(array_contains(col("toks"), rarest))
+      .withColumn("sc", score).orderBy(desc("sc")).limit(10)
+      .collect().map(_.getAs[Double]("sc")).min
+    // per-term max impact (re-derived): max over docs of the term's exact
+    // contribution — the bound the query's metadata pass computes
+    val mc: Map[String, Double] = QueryTerms.map { t =>
+      val tf = TF.termFreq(col("toks"), t).cast("double")
+      val contrib = lit(idf(t)) * ((tf * lit(K1 + 1.0)) /
+        (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
+      t -> docs.filter(array_contains(col("toks"), t))
+        .agg(max(contrib)).head().getDouble(0)
+    }.toMap
+    val ub = QueryTerms.map(t =>
+      when(array_contains(col("toks"), t), lit(mc(t))).otherwise(lit(0.0))).reduce(_ + _)
+    val survivors = docs.filter(ub >= theta).count()
+    val frac = 1.0 - survivors.toDouble / n
+    info(f"pruned fraction at sf0.01 = $frac%.2f ($survivors of $n survive)")
+    assert(frac > 0.5, s"the max-impact bound must prune most of the corpus, pruned only $frac")
+  }
 }
