@@ -209,10 +209,10 @@ object ChromaWhere {
     * numeric field compare (cast to DOUBLE), string → string, bool → bool. */
   private def opPred(field: Column, op: String, operand: J): Column = {
     def scalar(v: J): (Column, Column) = v match {
-      case JInt(n) => (field.cast("double"), lit(n.toDouble))
-      case JDbl(n) => (field.cast("double"), lit(n))
+      case JInt(n) => (field.try_cast("double"), lit(n.toDouble))
+      case JDbl(n) => (field.try_cast("double"), lit(n))
       case JStr(x) => (field, lit(x))
-      case JBool(b) => (field.cast("boolean"), lit(b))
+      case JBool(b) => (field.try_cast("boolean"), lit(b))
       case other => throw new IllegalArgumentException(s"bad operand for $op: $other")
     }
     op match {
@@ -228,7 +228,7 @@ object ChromaWhere {
           case other => throw new IllegalArgumentException(s"$op needs a non-empty array, got $other")
         }
         val numeric = xs.forall { case JInt(_) | JDbl(_) => true; case _ => false }
-        val f = if (numeric) field.cast("double") else field
+        val f = if (numeric) field.try_cast("double") else field
         val vals: Seq[Any] = xs.map {
           case JInt(n) => n.toDouble
           case JDbl(n) => n
@@ -246,6 +246,119 @@ object ChromaWhere {
   /** Translate a `where_document=` JSON filter over the given text column. */
   def whereDocument(json: String, doc: Column): Column =
     docPred(parseJson(json), doc)
+
+  // ------------------------------- hot-tier compiled evaluators
+  // The SAME dialect compiled to plain JVM closures — what the in-memory
+  // serving tier (GraphIndex/IvfIndex hot state) evaluates per candidate
+  // with zero Spark jobs. This is the payoff of a DECLARATIVE filter
+  // grammar: an opaque Catalyst Column cannot be introspected, but the
+  // dict form compiles to BOTH backends. Catalyst-cast parity is pinned
+  // by ChromaWhereSpec: a missing key or failed cast behaves like SQL
+  // NULL — the row never matches, under ANY operator including $ne/$nin.
+
+  /** Compile a `where=` filter to a metadata-map evaluator. */
+  def compileWhere(json: String): Map[String, String] => Boolean = {
+    val j = parseJson(json)
+    pred(j, col) // validate operators eagerly with the Column translator
+    m => evalPred(j, m)
+  }
+
+  /** Compile a `where_document=` filter to a document-text evaluator
+    * (null document == SQL NULL: never matches). */
+  def compileWhereDocument(json: String): String => Boolean = {
+    val j = parseJson(json)
+    docPred(j, col("doc")) // eager operator validation
+    d => evalDocPred(j, d)
+  }
+
+  /** Spark's StringType→DoubleType cast semantics (trim; null on parse
+    * failure). */
+  private def toDoubleOpt(s: String): Option[Double] = {
+    val t = s.trim
+    if (t.isEmpty) None
+    else try Some(java.lang.Double.parseDouble(t))
+    catch { case _: NumberFormatException => None }
+  }
+
+  /** Spark's StringType→BooleanType cast token set. */
+  private def toBoolOpt(s: String): Option[Boolean] = s.trim.toLowerCase match {
+    case "t" | "true" | "y" | "yes" | "1" => Some(true)
+    case "f" | "false" | "n" | "no" | "0" => Some(false)
+    case _ => None
+  }
+
+  private def evalPred(j: J, m: Map[String, String]): Boolean = j match {
+    case JObj(fields) if fields.nonEmpty => fields.forall {
+      case ("$and", JArr(xs)) if xs.nonEmpty => xs.forall(evalPred(_, m))
+      case ("$or", JArr(xs)) if xs.nonEmpty => xs.exists(evalPred(_, m))
+      case (k, JObj(ops)) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
+        ops.forall { case (op, operand) => evalOp(m.get(k), op, operand) }
+      case (k, v) => evalOp(m.get(k), "$eq", v)
+    }
+    case other =>
+      throw new IllegalArgumentException(s"where-filter must be a non-empty object, got $other")
+  }
+
+  /** Spark's `nanSafeCompareDoubles`: -0.0 == 0.0, NaN == NaN, NaN
+    * greater than everything else. */
+  private def sparkCmp(x: Double, y: Double): Int =
+    if (x < y) -1 else if (x > y) 1 else if (x == y) 0
+    else if (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y)) 0
+    else if (java.lang.Double.isNaN(x)) 1 else -1
+
+  private def evalOp(field: Option[String], op: String, operand: J): Boolean = {
+    def num(f: Int => Boolean): Boolean = operand match {
+      case JInt(n) => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, n.toDouble)))
+      case JDbl(n) => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, n)))
+      case JStr(x) => field.exists(v => f(v.compareTo(x)))
+      case JBool(b) => field.flatMap(toBoolOpt).exists(v => f(v.compareTo(b)))
+      case other => throw new IllegalArgumentException(s"bad operand for $op: $other")
+    }
+    op match {
+      case "$eq" => num(_ == 0)
+      case "$ne" => num(_ != 0)
+      case "$gt" => num(_ > 0)
+      case "$gte" => num(_ >= 0)
+      case "$lt" => num(_ < 0)
+      case "$lte" => num(_ <= 0)
+      case "$in" | "$nin" =>
+        val xs = operand match {
+          case JArr(v) if v.nonEmpty => v
+          case other => throw new IllegalArgumentException(s"$op needs a non-empty array, got $other")
+        }
+        val numeric = xs.forall { case JInt(_) | JDbl(_) => true; case _ => false }
+        val hit =
+          if (numeric) {
+            val set = xs.map { case JInt(n) => n.toDouble; case JDbl(n) => n; case _ => 0.0 }.toSet
+            field.flatMap(toDoubleOpt).exists(set.contains)
+          } else {
+            val set = xs.map {
+              case JStr(x) => x
+              case other => throw new IllegalArgumentException(s"bad $op element: $other")
+            }.toSet
+            field.exists(set.contains)
+          }
+        // SQL NULL discipline: a missing/uncastable field matches NEITHER
+        // $in NOR $nin (NOT(null IN ...) is null)
+        if (op == "$in") hit
+        else (if (numeric) field.flatMap(toDoubleOpt).isDefined else field.isDefined) && !hit
+      case other => throw new IllegalArgumentException(s"unknown where operator '$other'")
+    }
+  }
+
+  private def evalDocPred(j: J, d: String): Boolean = j match {
+    case JObj(Vector((op, operand))) => (op, operand) match {
+      case ("$and", JArr(xs)) if xs.nonEmpty => xs.forall(evalDocPred(_, d))
+      case ("$or", JArr(xs)) if xs.nonEmpty => xs.exists(evalDocPred(_, d))
+      case ("$contains", JStr(s0)) => d != null && d.contains(s0)
+      case ("$not_contains", JStr(s0)) => d != null && !d.contains(s0)
+      case ("$regex", JStr(r)) => d != null && java.util.regex.Pattern.compile(r).matcher(d).find()
+      case ("$not_regex", JStr(r)) => d != null && !java.util.regex.Pattern.compile(r).matcher(d).find()
+      case _ => throw new IllegalArgumentException(s"unknown where_document operator '$op'")
+    }
+    case other =>
+      throw new IllegalArgumentException(s"where_document filter must be a single-operator object, got $other")
+  }
 
   private def docPred(j: J, doc: Column): Column = j match {
     case JObj(Vector((op, operand))) => (op, operand) match {

@@ -416,7 +416,8 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val key: String,
       val adj: java.util.HashMap[java.lang.Long, Array[Long]],
       val vecs: java.util.HashMap[java.lang.Long, Array[Float]],
-      val payload: java.util.HashMap[java.lang.Long, (String, String)],
+      val payload: java.util.HashMap[java.lang.Long, (String, String, Map[String, String])],
+      val hasMeta: Boolean,
       val entries: Seq[Long])
 
   @volatile private var hot: HotState = null
@@ -440,17 +441,25 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         .groupBy(_.getLong(0))
         .foreach { case (s0, rows) => adj.put(s0, rows.map(_.getLong(1)).sorted) }
       val vecs = new java.util.HashMap[java.lang.Long, Array[Float]]()
-      val payload = new java.util.HashMap[java.lang.Long, (String, String)]()
+      val payload = new java.util.HashMap[java.lang.Long, (String, String, Map[String, String])]()
       val v = vectors
       val hasPayload = v.columns.contains("cid") && v.columns.contains("doc")
-      val cols = if (hasPayload) v.select("id", "emb", "cid", "doc")
-                 else v.select("id", "emb")
+      val hasMeta = hasPayload && v.columns.contains("meta")
+      val cols =
+        if (hasMeta) v.select("id", "emb", "cid", "doc", "meta")
+        else if (hasPayload) v.select("id", "emb", "cid", "doc")
+        else v.select("id", "emb")
       cols.collect().foreach { r =>
         vecs.put(r.getLong(0), r.getSeq[Float](1).toArray)
-        if (hasPayload) payload.put(r.getLong(0), (r.getString(2), r.getString(3)))
+        if (hasPayload) {
+          val meta: Map[String, String] =
+            if (hasMeta && !r.isNullAt(4)) r.getMap[String, String](4).toMap
+            else Map.empty
+          payload.put(r.getLong(0), (r.getString(2), r.getString(3), meta))
+        }
       }
       h = new HotState(key,
-        adj, vecs, payload,
+        adj, vecs, payload, hasMeta,
         entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq)
       hot = h
     }
@@ -464,8 +473,15 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * lookups and float math — sub-millisecond, invariant in corpus
     * size. */
   def hotQuery(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
-               entries: Seq[Long] = Seq.empty): Seq[(Long, Double)] = {
-    val h = hotState()
+               entries: Seq[Long] = Seq.empty): Seq[(Long, Double)] =
+    hotVisited(hotState(), qe, beamWidth, hops, entries).take(topK)
+
+  /** The FULL visited set of the hot walk, sorted (dist, id) ascending —
+    * [[hotQuery]] truncates it to top-k; the filtered serving path
+    * ([[hotServeFiltered]]) filters it FIRST, exactly like the Spark
+    * path's `eligible` restriction over `beamVisited`. */
+  private def hotVisited(h: HotState, qe: Array[Float], beamWidth: Int,
+                         hops: Int, entries: Seq[Long] = Seq.empty): Seq[(Long, Double)] = {
     val starts = (if (entries.nonEmpty) entries else h.entries).distinct.sorted
     def dist(id: Long): Double = {
       val v = h.vecs.get(id)
@@ -492,7 +508,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       fresh.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
       hop += 1
     }
-    visited.toSeq.sortBy { case (id, d) => (d, id) }.take(topK)
+    visited.toSeq.sortBy { case (id, d) => (d, id) }
   }
 
   /** Batched hot probes against ONE state load — [[queryBatch]]'s output
@@ -528,7 +544,41 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     else Some(
       hotQuery(qe, topK, beamWidth, hops)
         .flatMap { case (id, d) =>
-          Option(h.payload.get(id)).map { case (cid, doc) => (cid, doc, d) }
+          Option(h.payload.get(id)).map { case (cid, doc, _) => (cid, doc, d) }
+        }
+        .sortBy { case (cid, _, d) => (d, cid) })
+  }
+
+  /** FILTERED hot serving — the payoff of chroma's declarative filter
+    * dialect: an opaque Catalyst `Column` cannot run off-Spark, but the
+    * dict grammar compiles to BOTH a Catalyst predicate (the pushed-down
+    * index scan) and a plain JVM closure (graft.functions.ChromaWhere
+    * `compileWhere`/`compileWhereDocument`), so a filtered probe stays on
+    * the sub-millisecond hot tier. Semantics replicate the Spark path
+    * EXACTLY ([[query]] with `where`): the predicate restricts the
+    * ANSWER SET of the unfiltered walk's visited pool — filter first,
+    * THEN top-k by (dist, id), then the routed (dist, cid) presentation
+    * order. None when the index has no routing payload / no metadata for
+    * a metadata filter / exceeds the hot byte budget — the router falls
+    * back to the Spark scan. */
+  private[store] def hotServeFiltered(qe: Array[Float], topK: Int, beamWidth: Int,
+                                      hops: Int,
+                                      whereOk: Option[Map[String, String] => Boolean],
+                                      docOk: Option[String => Boolean]): Option[Seq[(String, String, Double)]] = {
+    if (!hotFits()) return None
+    val h = hotState()
+    if (h.payload.isEmpty) return None
+    if (whereOk.nonEmpty && !h.hasMeta) return None // meta-less index: Spark path decides
+    Some(
+      hotVisited(h, qe, beamWidth, hops)
+        .filter { case (id, _) =>
+          Option(h.payload.get(id)).exists { case (_, doc, meta) =>
+            whereOk.forall(_(meta)) && docOk.forall(f => f(doc))
+          }
+        }
+        .take(topK)
+        .flatMap { case (id, d) =>
+          Option(h.payload.get(id)).map { case (cid, doc, _) => (cid, doc, d) }
         }
         .sortBy { case (cid, _, d) => (d, cid) })
   }

@@ -402,7 +402,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private final class HotState(
       val key: String,
       val cells: java.util.HashMap[java.lang.Long, Array[(Long, Array[Float])]],
-      val payload: java.util.HashMap[java.lang.Long, (String, String)],
+      val payload: java.util.HashMap[java.lang.Long, (String, String, Map[String, String])],
+      val hasMeta: Boolean,
       val cents: Array[(Long, Array[Float])])
 
   @volatile private var hot: HotState = null
@@ -424,20 +425,27 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       val live = tombstones().fold(raw)(ts =>
         raw.join(broadcast(ts), Seq("id"), "left_anti"))
       val hasPayload = live.columns.contains("cid") && live.columns.contains("doc")
+      val hasMeta = hasPayload && live.columns.contains("meta")
       // partition-dir type inference reads `cell` back as INT; pin to LONG
       val cellL = col("cell").cast("long").as("cell")
       val sel =
-        if (hasPayload) live.select(cellL, col("id"), col("emb"), col("cid"), col("doc"))
+        if (hasMeta) live.select(cellL, col("id"), col("emb"), col("cid"), col("doc"), col("meta"))
+        else if (hasPayload) live.select(cellL, col("id"), col("emb"), col("cid"), col("doc"))
         else live.select(cellL, col("id"), col("emb"))
       val cells = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Float])]]()
-      val payload = new java.util.HashMap[java.lang.Long, (String, String)]()
+      val payload = new java.util.HashMap[java.lang.Long, (String, String, Map[String, String])]()
       sel.collect().groupBy(_.getLong(0)).foreach { case (cid, rows) =>
         cells.put(cid, rows.map { r =>
-          if (hasPayload) payload.put(r.getLong(1), (r.getString(3), r.getString(4)))
+          if (hasPayload) {
+            val meta: Map[String, String] =
+              if (hasMeta && !r.isNullAt(5)) r.getMap[String, String](5).toMap
+              else Map.empty
+            payload.put(r.getLong(1), (r.getString(3), r.getString(4), meta))
+          }
           (r.getLong(1), r.getSeq[Float](2).toArray)
         })
       }
-      h = new HotState(key, cells, payload, centroids())
+      h = new HotState(key, cells, payload, hasMeta, centroids())
       hot = h
     }
     h
@@ -501,8 +509,39 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     val h = hotState()
     if (h.payload.isEmpty) None
     else Some(hotQuery(qe, k, nprobe).flatMap { case (id, _, d) =>
-      Option(h.payload.get(id)).map { case (cid, doc) => (cid, doc, d) }
+      Option(h.payload.get(id)).map { case (cid, doc, _) => (cid, doc, d) }
     })
+  }
+
+  /** FILTERED hot serving — [[GraphIndex.hotServeFiltered]]'s IVF twin,
+    * enabled by the compilable dict filter dialect
+    * (graft.functions.ChromaWhere). Semantics replicate the Spark path
+    * exactly ([[query]] with `where`): the predicate applies BEFORE the
+    * top-k, within the probed cells. None when the index lacks payload /
+    * metadata for a metadata filter / exceeds the hot byte budget. */
+  private[store] def hotServeFiltered(qe: Array[Float], k: Int, nprobe: Int,
+                                      whereOk: Option[Map[String, String] => Boolean],
+                                      docOk: Option[String => Boolean]): Option[Seq[(String, String, Double)]] = {
+    if (!hotFits()) return None
+    val h = hotState()
+    if (h.payload.isEmpty) return None
+    if (whereOk.nonEmpty && !h.hasMeta) return None // meta-less index: Spark path decides
+    val probed = h.cents.map { case (cid, c) => (l2(c, qe), cid) }
+      .sorted.take(nprobe).map(_._2)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+    probed.foreach { cid =>
+      val arr = h.cells.get(cid)
+      if (arr != null) arr.foreach { case (id, emb) =>
+        val keep = Option(h.payload.get(id)).exists { case (_, doc, meta) =>
+          whereOk.forall(_(meta)) && docOk.forall(f => f(doc))
+        }
+        if (keep) buf += ((l2(emb, qe), id))
+      }
+    }
+    Some(buf.sortBy { case (d, id) => (d, id) }.take(k).toSeq
+      .flatMap { case (d, id) =>
+        Option(h.payload.get(id)).map { case (cid, doc, _) => (cid, doc, d) }
+      })
   }
 
   /** Top-k by squared L2, scanning only the nprobe nearest cells. `where`

@@ -280,6 +280,26 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       }
     }
 
+    /** Keyset pagination — the 100 TB form of [[get]]'s limit/offset
+      * paging: `afterId` is the last id of the previous page (null/empty
+      * for the first), the filter `id > afterId` reaches the parquet
+      * scan as a pushed range predicate, and the page sort is bounded by
+      * `pageSize` (TakeOrdered) — no global row_number window, no
+      * offset-deep scan. Walking pages visits every row exactly once
+      * (spec-pinned). */
+    def getPage(afterId: String = null, pageSize: Int = 1000,
+                include: Seq[String] = Seq("doc", "meta", "emb"),
+                where: Option[Column] = None,
+                whereDocument: Option[Column] = None): DataFrame = {
+      require(pageSize > 0, "pageSize must be positive")
+      var base = if (afterId == null || afterId.isEmpty) df
+                 else df.filter(col("id") > afterId)
+      where.foreach(p => base = base.filter(p))
+      whereDocument.foreach(p => base = base.filter(p))
+      base.orderBy(col("id")).limit(pageSize)
+        .select((col("id") +: include.map(col)): _*)
+    }
+
     /** Resolve a chroma `where=` metadata key against this collection's
       * MAP<STRING,STRING> meta column. */
     private def metaKey(k: String): Column = element_at(col("meta"), lit(k))
@@ -300,13 +320,40 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
 
     /** [[query]] taking chroma's dict filter dialect as JSON strings; the
       * translated predicates flow into the routed/pruned index scan exactly
-      * like Column-form `where`/`whereDocument`. */
+      * like Column-form `where`/`whereDocument` — EXCEPT that the dict
+      * form also compiles to a plain JVM evaluator
+      * (ChromaWhere.compileWhere), so a FILTERED probe against an attached
+      * graph index can stay on the sub-millisecond hot tier. An opaque
+      * Column predicate can never do that (only Catalyst can run it);
+      * declarative filters are strictly more servable. Falls back to the
+      * Spark path whenever the hot tier declines (no payload/meta, over
+      * byte budget). Answers are identical either way — the hot filter
+      * applies the Catalyst cast/NULL semantics (ChromaWhereSpec pins the
+      * parity, RoutedQuerySpec the end-to-end equality). */
     def queryJson(queryEmb: Array[Float], k: Int, metric: String = "l2",
                   whereJson: String = null,
-                  whereDocumentJson: String = null): DataFrame =
+                  whereDocumentJson: String = null): DataFrame = {
+      if (metric == "l2" && (whereJson != null || whereDocumentJson != null)) {
+        val wOk = Option(whereJson).map(graft.functions.ChromaWhere.compileWhere)
+        val dOk = Option(whereDocumentJson).map(graft.functions.ChromaWhere.compileWhereDocument)
+        val served = attachedIdx.get(name) match {
+          case Some(VectorStore.AttachedGraph(idx, beamWidth, hops, _)) =>
+            idx.hotServeFiltered(queryEmb, k, beamWidth, hops, wOk, dOk)
+          case Some(VectorStore.AttachedIvf(idx, nprobe)) =>
+            idx.hotServeFiltered(queryEmb, k, nprobe, wOk, dOk)
+          case _ => None
+        }
+        served match {
+          case Some(rows) =>
+            import spark.implicits._
+            return rows.toDF("id", "doc", "distance")
+          case None => ()
+        }
+      }
       query(queryEmb, k, metric,
         Option(whereJson).map(graft.functions.ChromaWhere.where(_, metaKey)),
         Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))))
+    }
 
     /** [[deleteWhere]] in the dict dialect (`collection.delete(where=...,
       * where_document=...)`). At least one filter must be present —

@@ -79,6 +79,61 @@ class ChromaWhereSpec extends AnyFunSuite with SparkTest {
     assert(inGot == Seq("b", "c"))
   }
 
+  test("compiled JVM evaluators match Catalyst semantics (casts, NULLs, NaN, -0.0)") {
+    import spark.implicits._
+    val metas: Seq[Map[String, String]] = Seq(
+      Map("a" -> "5", "b" -> "x"),
+      Map("a" -> "12.5"),
+      Map("a" -> "not a number", "b" -> "y"),
+      Map("a" -> "", "b" -> ""),
+      Map("a" -> " 7 ", "b" -> "X"),
+      Map("b" -> "x"), // a missing
+      Map.empty[String, String],
+      Map("a" -> "NaN"),
+      Map("a" -> "-0.0"),
+      Map("a" -> "1e2", "b" -> "yes"),
+      Map("f" -> "true"), Map("f" -> "YES"), Map("f" -> "0"), Map("f" -> "maybe"))
+    val df = metas.zipWithIndex.map { case (m, i) => (i.toLong, m) }.toDF("rid", "meta")
+    val filters = Seq(
+      """{"a": {"$gt": 4}}""",
+      """{"a": {"$gte": 0}}""",
+      """{"a": {"$eq": 100}}""",
+      """{"a": {"$ne": 5}}""",
+      """{"a": {"$lte": 12.5}}""",
+      """{"a": "5"}""",
+      """{"b": {"$in": ["x", "z"]}}""",
+      """{"b": {"$nin": ["x", "z"]}}""",
+      """{"a": {"$in": [5, 100]}}""",
+      """{"a": {"$nin": [5]}}""",
+      """{"f": true}""",
+      """{"f": {"$ne": false}}""",
+      """{"$or": [{"a": {"$lt": 6}}, {"b": "y"}]}""",
+      """{"$and": [{"a": {"$gte": 5}}, {"a": {"$lte": 100}}]}""",
+      """{"b": {"$gt": "w"}}""")
+    for (f <- filters) {
+      val viaColumn = df.filter(ChromaWhere.where(f, k => element_at(col("meta"), lit(k))))
+        .select("rid").collect().map(_.getLong(0)).toSet
+      val ev = ChromaWhere.compileWhere(f)
+      val viaClosure = metas.zipWithIndex.collect { case (m, i) if ev(m) => i.toLong }.toSet
+      assert(viaColumn == viaClosure, s"filter $f: Catalyst=$viaColumn compiled=$viaClosure")
+    }
+    val docsSeq = Seq("alpha data beta", "no match here", null, "DATA upper", "doc 42")
+    val ddf = docsSeq.zipWithIndex.map { case (d, i) => (i.toLong, d) }.toDF("rid", "doc")
+    val dFilters = Seq(
+      """{"$contains": "data"}""",
+      """{"$not_contains": "data"}""",
+      """{"$regex": "d[ao]ta"}""",
+      """{"$not_regex": "^no"}""",
+      """{"$and": [{"$contains": "a"}, {"$or": [{"$contains": "42"}, {"$contains": "beta"}]}]}""")
+    for (f <- dFilters) {
+      val viaColumn = ddf.filter(ChromaWhere.whereDocument(f, col("doc")))
+        .select("rid").collect().map(_.getLong(0)).toSet
+      val ev = ChromaWhere.compileWhereDocument(f)
+      val viaClosure = docsSeq.zipWithIndex.collect { case (d, i) if ev(d) => i.toLong }.toSet
+      assert(viaColumn == viaClosure, s"doc filter $f: Catalyst=$viaColumn compiled=$viaClosure")
+    }
+  }
+
   test("malformed filters refuse loudly") {
     intercept[IllegalArgumentException](ChromaWhere.where("""{}""", col))
     intercept[IllegalArgumentException](ChromaWhere.where("""{"a": {"$bogus": 1}}""", col))

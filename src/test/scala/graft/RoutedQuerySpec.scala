@@ -205,4 +205,67 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
         s"hot routed row $cid must carry the index walk's distance")
     }
   }
+
+  test("FILTERED hot serving (queryJson): identical to the Spark filtered index scan") {
+    val store = new VectorStore(spark, tmp("vs_hf"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") <= 300))
+    def bucketOf(off: Int)(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (0 until 6).map { p =>
+        when(graft.functions.VectorFunctions.dot(
+          e, typedlit(graft.queries.AnnQueries.plane(off + p))) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val idx = c.attachGraphIndex(tmp("vs_hf_idx"), k = 4,
+      Seq(bucketOf(0) _, bucketOf(200) _), beamWidth = 8, hops = 3)
+
+    val filters = Seq(
+      ("""{"label": {"$in": ["1", "3", "5"]}}""", null),
+      ("""{"label": {"$gte": 2}}""", null),                    // numeric compare on string meta
+      ("""{"label": {"$ne": "2"}}""", """{"$contains": "doc"}"""),
+      (null, """{"$regex": "doc [0-9]*[02468]$"}"""),
+      ("""{"missing_key": {"$nin": ["x"]}}""", null))          // NULL semantics: matches nothing
+    for ((w, d) <- filters) {
+      // hot path (queryJson compiles the dialect to the JVM evaluator)
+      val hot = got(c.queryJson(probe, k = 5, whereJson = w, whereDocumentJson = d))
+      // Spark path: same dialect translated to Catalyst Columns through
+      // the routed pruned index scan (force it by an over-budget hot tier)
+      val prev = System.getProperty("graft.hot.maxBytes")
+      System.setProperty("graft.hot.maxBytes", "1")
+      try {
+        val cold = got(c.queryJson(probe, k = 5, whereJson = w, whereDocumentJson = d))
+        assert(hot == cold, s"hot filtered serving must equal the Spark path for ($w, $d)")
+      } finally {
+        if (prev == null) System.clearProperty("graft.hot.maxBytes")
+        else System.setProperty("graft.hot.maxBytes", prev)
+      }
+    }
+    // the $gte-on-string filter really selects (sanity: non-empty somewhere)
+    assert(got(c.queryJson(probe, k = 5, whereJson = """{"label": {"$gte": 2}}""")).nonEmpty)
+    idx.toString: Unit // keep idx referenced
+  }
+
+  test("FILTERED hot serving, IVF twin: identical to the partition-pruned Spark scan") {
+    val store = new VectorStore(spark, tmp("vs_hfi"))
+    val c = store.createOrGet("col")
+    c.add(rows)
+    c.attachIvfIndex(tmp("vs_hfi_idx"), numCells = 8, nprobe = 8)
+    val filters = Seq(
+      ("""{"label": {"$in": ["1", "3", "5"]}}""", null),
+      ("""{"label": {"$gte": 2}}""", """{"$contains": "doc"}"""),
+      (null, """{"$not_contains": "doc 1"}"""))
+    for ((w, d) <- filters) {
+      val hot = got(c.queryJson(probe, k = 5, whereJson = w, whereDocumentJson = d))
+      val prev = System.getProperty("graft.hot.maxBytes")
+      System.setProperty("graft.hot.maxBytes", "1")
+      try {
+        val cold = got(c.queryJson(probe, k = 5, whereJson = w, whereDocumentJson = d))
+        assert(hot == cold && hot.nonEmpty,
+          s"IVF hot filtered serving must equal the Spark path for ($w, $d)")
+      } finally {
+        if (prev == null) System.clearProperty("graft.hot.maxBytes")
+        else System.setProperty("graft.hot.maxBytes", prev)
+      }
+    }
+  }
 }

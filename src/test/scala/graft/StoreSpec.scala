@@ -353,4 +353,29 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     store.dropCollection("m2")
     assert(store.createOrGet("m2").metadata.isEmpty)
   }
+
+  test("getPage keyset pagination: every row exactly once, pushed range predicate") {
+    val store = new VectorStore(spark, tmp())
+    val c = store.createOrGet("pg")
+    c.add(docRows)
+    val all = c.df.select("id").collect().map(_.getString(0)).sorted.toSeq
+    // walk pages of 7 until exhausted
+    var after: String = null
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    var page = c.getPage(after, pageSize = 7).select("id").collect().map(_.getString(0))
+    while (page.nonEmpty) {
+      seen ++= page
+      after = page.last
+      page = c.getPage(after, pageSize = 7).select("id").collect().map(_.getString(0))
+    }
+    assert(seen.toSeq == all, "pagination must visit every row exactly once, in id order")
+    // the range predicate reaches the scan; the page sort is TakeOrdered
+    val plan = c.getPage("m", pageSize = 7).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id"),
+      s"afterId must push down as a range filter:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"), s"page sort must TakeOrdered:\n$plan")
+    // filters compose
+    assert(c.getPage(null, 1000, where = Some(element_at(col("meta"), lit("lang")) === "en"))
+      .count() > 0)
+  }
 }
