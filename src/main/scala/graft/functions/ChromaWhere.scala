@@ -306,11 +306,28 @@ object ChromaWhere {
     else if (java.lang.Double.isNaN(x) && java.lang.Double.isNaN(y)) 0
     else if (java.lang.Double.isNaN(x)) 1 else -1
 
+  /** Spark's StringType ordering: UNSIGNED BYTE-wise over UTF-8
+    * (UTF8String.binaryCompare) — Java String.compareTo diverges on
+    * supplementary characters (UTF-16 code-unit order), so it cannot be
+    * used here without breaking hot-vs-Spark answer parity. */
+  private def strCmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
   private def evalOp(field: Option[String], op: String, operand: J): Boolean = {
     def num(f: Int => Boolean): Boolean = operand match {
       case JInt(n) => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, n.toDouble)))
       case JDbl(n) => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, n)))
-      case JStr(x) => field.exists(v => f(v.compareTo(x)))
+      case JStr(x) => field.exists(v => f(strCmp(v, x)))
       case JBool(b) => field.flatMap(toBoolOpt).exists(v => f(v.compareTo(b)))
       case other => throw new IllegalArgumentException(s"bad operand for $op: $other")
     }

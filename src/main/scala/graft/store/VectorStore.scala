@@ -714,6 +714,44 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       * state load for the whole batch); the brute path scores every probe
       * in ONE corpus scan (broadcast probe frame + per-probe window), not
       * Q scans. */
+    /** [[queryBatch]] in the dict filter dialect — and, like
+      * [[queryJson]], FILTERED batches stay on the hot tier when the
+      * dialect compiles and the attached index accepts (all probes share
+      * one JVM state load); any per-probe decline falls the whole batch
+      * back to the Spark path so the answer source is uniform. */
+    def queryBatchJson(queryEmbs: Seq[Array[Float]], k: Int, metric: String = "l2",
+                       whereJson: String = null,
+                       whereDocumentJson: String = null): DataFrame = {
+      require(queryEmbs.nonEmpty, "queryBatch needs at least one embedding")
+      if (metric == "l2" && (whereJson != null || whereDocumentJson != null)) {
+        val wOk = Option(whereJson).map(graft.functions.ChromaWhere.compileWhere)
+        val dOk = Option(whereDocumentJson).map(graft.functions.ChromaWhere.compileWhereDocument)
+        def gather(serve: Array[Float] => Option[Seq[(String, String, Double)]])
+          : Option[Seq[(Long, String, String, Double)]] = {
+          val per = queryEmbs.zipWithIndex.map { case (qe, i) =>
+            serve(qe).map(_.map { case (cid, doc, d) => (i.toLong, cid, doc, d) })
+          }
+          if (per.forall(_.isDefined)) Some(per.flatMap(_.get)) else None
+        }
+        val served = attachedIdx.get(name) match {
+          case Some(VectorStore.AttachedGraph(idx, beamWidth, hops, _)) =>
+            gather(idx.hotServeFiltered(_, k, beamWidth, hops, wOk, dOk))
+          case Some(VectorStore.AttachedIvf(idx, nprobe)) =>
+            gather(idx.hotServeFiltered(_, k, nprobe, wOk, dOk))
+          case _ => None
+        }
+        served match {
+          case Some(rows) =>
+            import spark.implicits._
+            return rows.toDF("query_idx", "id", "doc", "distance")
+          case None => ()
+        }
+      }
+      queryBatch(queryEmbs, k, metric,
+        Option(whereJson).map(graft.functions.ChromaWhere.where(_, metaKey)),
+        Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))))
+    }
+
     def queryBatch(queryEmbs: Seq[Array[Float]], k: Int, metric: String = "l2",
                    where: Option[Column] = None,
                    whereDocument: Option[Column] = None): DataFrame = {

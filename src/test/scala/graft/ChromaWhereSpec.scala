@@ -92,7 +92,10 @@ class ChromaWhereSpec extends AnyFunSuite with SparkTest {
       Map("a" -> "NaN"),
       Map("a" -> "-0.0"),
       Map("a" -> "1e2", "b" -> "yes"),
-      Map("f" -> "true"), Map("f" -> "YES"), Map("f" -> "0"), Map("f" -> "maybe"))
+      Map("f" -> "true"), Map("f" -> "YES"), Map("f" -> "0"), Map("f" -> "maybe"),
+      // supplementary-plane char: UTF-8 binary order (Spark) disagrees
+      // with Java String.compareTo (UTF-16 code units) here
+      Map("b" -> "😀"))
     val df = metas.zipWithIndex.map { case (m, i) => (i.toLong, m) }.toDF("rid", "meta")
     val filters = Seq(
       """{"a": {"$gt": 4}}""",
@@ -109,7 +112,8 @@ class ChromaWhereSpec extends AnyFunSuite with SparkTest {
       """{"f": {"$ne": false}}""",
       """{"$or": [{"a": {"$lt": 6}}, {"b": "y"}]}""",
       """{"$and": [{"a": {"$gte": 5}}, {"a": {"$lte": 100}}]}""",
-      """{"b": {"$gt": "w"}}""")
+      """{"b": {"$gt": "w"}}""",
+      """{"b": {"$gt": "�"}}""")
     for (f <- filters) {
       val viaColumn = df.filter(ChromaWhere.where(f, k => element_at(col("meta"), lit(k))))
         .select("rid").collect().map(_.getLong(0)).toSet

@@ -242,6 +242,24 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     }
     // the $gte-on-string filter really selects (sanity: non-empty somewhere)
     assert(got(c.queryJson(probe, k = 5, whereJson = """{"label": {"$gte": 2}}""")).nonEmpty)
+
+    // batch surface: same filter, all probes on ONE hot state load
+    def gotB(df: org.apache.spark.sql.DataFrame): Set[(Long, String, Double)] =
+      df.select("query_idx", "id", "distance").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val probes2 = Seq(probe, probe.map(x => -x))
+    val bw = """{"label": {"$in": ["1", "3", "5"]}}"""
+    val hotB = gotB(c.queryBatchJson(probes2, k = 5, whereJson = bw))
+    val prevB = System.getProperty("graft.hot.maxBytes")
+    System.setProperty("graft.hot.maxBytes", "1")
+    try {
+      val coldB = gotB(c.queryBatchJson(probes2, k = 5, whereJson = bw))
+      assert(hotB == coldB && hotB.nonEmpty,
+        "filtered hot queryBatchJson must equal the Spark path")
+    } finally {
+      if (prevB == null) System.clearProperty("graft.hot.maxBytes")
+      else System.setProperty("graft.hot.maxBytes", prevB)
+    }
     idx.toString: Unit // keep idx referenced
   }
 
