@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
  * Numeric operands compare numerically (the field side is cast to DOUBLE —
  * collection metadata is MAP<STRING,STRING>, so "12" < "9" lexically but
  * 12 > 9 under the dialect, matching chroma's typed-metadata semantics);
- * string and boolean operands compare as their own type.
+ * string and boolean operands compare as their own type. $in/$nin lists
+ * must be HOMOGENEOUS (all numbers, all strings, or all booleans) — a
+ * mixed list has no single coercion, and rejecting it keeps the two
+ * backends (Catalyst predicate and compiled JVM closure — see
+ * [[compileWhere]]) incapable of disagreeing.
  *
  * The JSON parser below is a zero-dependency recursive-descent reader
  * (the repo convention — functions.Onnx reads protobuf wire format the
@@ -223,23 +227,37 @@ object ChromaWhere {
       case "$lt" => val (f, v) = scalar(operand); f < v
       case "$lte" => val (f, v) = scalar(operand); f <= v
       case "$in" | "$nin" =>
-        val xs = operand match {
-          case JArr(v) if v.nonEmpty => v
-          case other => throw new IllegalArgumentException(s"$op needs a non-empty array, got $other")
-        }
-        val numeric = xs.forall { case JInt(_) | JDbl(_) => true; case _ => false }
-        val f = if (numeric) field.try_cast("double") else field
-        val vals: Seq[Any] = xs.map {
-          case JInt(n) => n.toDouble
-          case JDbl(n) => n
-          case JStr(x) => x
-          case JBool(b) => b
-          case other => throw new IllegalArgumentException(s"bad $op element: $other")
-        }
+        val (f, vals) = inOperands(field, op, operand)
         if (op == "$in") f.isin(vals: _*) else !f.isin(vals: _*)
       case other => throw new IllegalArgumentException(s"unknown where operator '$other'")
     }
   }
+
+  /** $in/$nin operand classification, shared by both backends: the list
+    * must be HOMOGENEOUS (all numeric, all string, or all boolean) so the
+    * Catalyst and hot-tier evaluations can never disagree on coercion. */
+  private def inKind(op: String, operand: J): (Char, Vector[J]) = {
+    val xs = operand match {
+      case JArr(v) if v.nonEmpty => v
+      case other => throw new IllegalArgumentException(s"$op needs a non-empty array, got $other")
+    }
+    val kind =
+      if (xs.forall { case JInt(_) | JDbl(_) => true; case _ => false }) 'n'
+      else if (xs.forall { case JStr(_) => true; case _ => false }) 's'
+      else if (xs.forall { case JBool(_) => true; case _ => false }) 'b'
+      else throw new IllegalArgumentException(
+        s"$op needs a homogeneous array (all numbers, all strings, or all booleans), got $xs")
+    (kind, xs)
+  }
+
+  private def inOperands(field: Column, op: String, operand: J): (Column, Seq[Any]) =
+    inKind(op, operand) match {
+      case ('n', xs) => (field.try_cast("double"),
+        xs.map { case JInt(n) => n.toDouble; case JDbl(n) => n; case _ => 0.0 })
+      case ('b', xs) => (field.try_cast("boolean"),
+        xs.map { case JBool(b) => b; case _ => false })
+      case (_, xs) => (field, xs.map { case JStr(x) => x; case _ => "" })
+    }
 
   // -------------------------------------------- where_document= dialect
 
@@ -256,28 +274,41 @@ object ChromaWhere {
   // by ChromaWhereSpec: a missing key or failed cast behaves like SQL
   // NULL — the row never matches, under ANY operator including $ne/$nin.
 
-  /** Compile a `where=` filter to a metadata-map evaluator. */
+  /** Compile a `where=` filter to a metadata-map evaluator. All constant
+    * work — operand parsing, set materialization, closure wiring —
+    * happens HERE, once; the returned closure does only map lookups and
+    * comparisons, which is what a sub-millisecond hot probe can afford. */
   def compileWhere(json: String): Map[String, String] => Boolean = {
     val j = parseJson(json)
     pred(j, col) // validate operators eagerly with the Column translator
-    m => evalPred(j, m)
+    compilePred(j)
   }
 
   /** Compile a `where_document=` filter to a document-text evaluator
-    * (null document == SQL NULL: never matches). */
+    * (null document == SQL NULL: never matches). Regex patterns compile
+    * ONCE here, not per candidate row. */
   def compileWhereDocument(json: String): String => Boolean = {
     val j = parseJson(json)
     docPred(j, col("doc")) // eager operator validation
-    d => evalDocPred(j, d)
+    compileDocPred(j)
   }
 
-  /** Spark's StringType→DoubleType cast semantics (trim; null on parse
-    * failure). */
+  /** Spark's StringType→DoubleType cast semantics: trim, the special
+    * floating-point literals Cast accepts case-insensitively
+    * (inf/infinity/nan with optional sign —
+    * Cast.processFloatingPointSpecialLiterals), then Java parse; null on
+    * failure. */
   private def toDoubleOpt(s: String): Option[Double] = {
     val t = s.trim
-    if (t.isEmpty) None
-    else try Some(java.lang.Double.parseDouble(t))
-    catch { case _: NumberFormatException => None }
+    if (t.isEmpty) return None
+    t.toLowerCase match {
+      case "inf" | "+inf" | "infinity" | "+infinity" => Some(Double.PositiveInfinity)
+      case "-inf" | "-infinity" => Some(Double.NegativeInfinity)
+      case "nan" => Some(Double.NaN)
+      case _ =>
+        try Some(java.lang.Double.parseDouble(t))
+        catch { case _: NumberFormatException => None }
+    }
   }
 
   /** Spark's StringType→BooleanType cast token set. */
@@ -287,14 +318,23 @@ object ChromaWhere {
     case _ => None
   }
 
-  private def evalPred(j: J, m: Map[String, String]): Boolean = j match {
-    case JObj(fields) if fields.nonEmpty => fields.forall {
-      case ("$and", JArr(xs)) if xs.nonEmpty => xs.forall(evalPred(_, m))
-      case ("$or", JArr(xs)) if xs.nonEmpty => xs.exists(evalPred(_, m))
-      case (k, JObj(ops)) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
-        ops.forall { case (op, operand) => evalOp(m.get(k), op, operand) }
-      case (k, v) => evalOp(m.get(k), "$eq", v)
-    }
+  private def compilePred(j: J): Map[String, String] => Boolean = j match {
+    case JObj(fields) if fields.nonEmpty =>
+      val parts: Vector[Map[String, String] => Boolean] = fields.map {
+        case ("$and", JArr(xs)) if xs.nonEmpty =>
+          val cs = xs.map(compilePred)
+          (m: Map[String, String]) => cs.forall(_(m))
+        case ("$or", JArr(xs)) if xs.nonEmpty =>
+          val cs = xs.map(compilePred)
+          (m: Map[String, String]) => cs.exists(_(m))
+        case (k, JObj(ops)) if ops.nonEmpty && ops.forall(_._1.startsWith("$")) =>
+          val cs = ops.map { case (op, operand) => compileOp(op, operand) }
+          (m: Map[String, String]) => { val f = m.get(k); cs.forall(_(f)) }
+        case (k, v) =>
+          val c = compileOp("$eq", v)
+          (m: Map[String, String]) => c(m.get(k))
+      }
+      m => parts.forall(_(m))
     case other =>
       throw new IllegalArgumentException(s"where-filter must be a non-empty object, got $other")
   }
@@ -323,54 +363,67 @@ object ChromaWhere {
     x.length - y.length
   }
 
-  private def evalOp(field: Option[String], op: String, operand: J): Boolean = {
-    def num(f: Int => Boolean): Boolean = operand match {
-      case JInt(n) => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, n.toDouble)))
-      case JDbl(n) => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, n)))
-      case JStr(x) => field.exists(v => f(strCmp(v, x)))
-      case JBool(b) => field.flatMap(toBoolOpt).exists(v => f(v.compareTo(b)))
+  private def compileOp(op: String, operand: J): Option[String] => Boolean = {
+    def cmp(f: Int => Boolean): Option[String] => Boolean = operand match {
+      case JInt(n) =>
+        val y = n.toDouble
+        field => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, y)))
+      case JDbl(y) =>
+        field => field.flatMap(toDoubleOpt).exists(v => f(sparkCmp(v, y)))
+      case JStr(x) =>
+        field => field.exists(v => f(strCmp(v, x)))
+      case JBool(b) =>
+        field => field.flatMap(toBoolOpt).exists(v => f(v.compareTo(b)))
       case other => throw new IllegalArgumentException(s"bad operand for $op: $other")
     }
     op match {
-      case "$eq" => num(_ == 0)
-      case "$ne" => num(_ != 0)
-      case "$gt" => num(_ > 0)
-      case "$gte" => num(_ >= 0)
-      case "$lt" => num(_ < 0)
-      case "$lte" => num(_ <= 0)
+      case "$eq" => cmp(_ == 0)
+      case "$ne" => cmp(_ != 0)
+      case "$gt" => cmp(_ > 0)
+      case "$gte" => cmp(_ >= 0)
+      case "$lt" => cmp(_ < 0)
+      case "$lte" => cmp(_ <= 0)
       case "$in" | "$nin" =>
-        val xs = operand match {
-          case JArr(v) if v.nonEmpty => v
-          case other => throw new IllegalArgumentException(s"$op needs a non-empty array, got $other")
+        // SQL NULL discipline either way: a missing/uncastable field
+        // matches NEITHER $in NOR $nin (NOT(null IN ...) is null).
+        // Numeric membership goes through sparkCmp, not Set[Double] —
+        // doubleToLongBits hashing would split -0.0 from 0.0, which
+        // Spark's In (nan-safe equality) does not.
+        inKind(op, operand) match {
+          case ('n', xs) =>
+            val vals = xs.map { case JInt(n) => n.toDouble; case JDbl(n) => n; case _ => 0.0 }.toArray
+            val neg = op == "$nin"
+            field => field.flatMap(toDoubleOpt)
+              .exists(v => vals.exists(sparkCmp(v, _) == 0) != neg)
+          case ('b', xs) =>
+            val set = xs.map { case JBool(b) => b; case _ => false }.toSet
+            val neg = op == "$nin"
+            field => field.flatMap(toBoolOpt).exists(set.contains(_) != neg)
+          case (_, xs) =>
+            val set = xs.map { case JStr(x) => x; case _ => "" }.toSet
+            val neg = op == "$nin"
+            field => field.exists(set.contains(_) != neg)
         }
-        val numeric = xs.forall { case JInt(_) | JDbl(_) => true; case _ => false }
-        val hit =
-          if (numeric) {
-            val set = xs.map { case JInt(n) => n.toDouble; case JDbl(n) => n; case _ => 0.0 }.toSet
-            field.flatMap(toDoubleOpt).exists(set.contains)
-          } else {
-            val set = xs.map {
-              case JStr(x) => x
-              case other => throw new IllegalArgumentException(s"bad $op element: $other")
-            }.toSet
-            field.exists(set.contains)
-          }
-        // SQL NULL discipline: a missing/uncastable field matches NEITHER
-        // $in NOR $nin (NOT(null IN ...) is null)
-        if (op == "$in") hit
-        else (if (numeric) field.flatMap(toDoubleOpt).isDefined else field.isDefined) && !hit
       case other => throw new IllegalArgumentException(s"unknown where operator '$other'")
     }
   }
 
-  private def evalDocPred(j: J, d: String): Boolean = j match {
+  private def compileDocPred(j: J): String => Boolean = j match {
     case JObj(Vector((op, operand))) => (op, operand) match {
-      case ("$and", JArr(xs)) if xs.nonEmpty => xs.forall(evalDocPred(_, d))
-      case ("$or", JArr(xs)) if xs.nonEmpty => xs.exists(evalDocPred(_, d))
-      case ("$contains", JStr(s0)) => d != null && d.contains(s0)
-      case ("$not_contains", JStr(s0)) => d != null && !d.contains(s0)
-      case ("$regex", JStr(r)) => d != null && java.util.regex.Pattern.compile(r).matcher(d).find()
-      case ("$not_regex", JStr(r)) => d != null && !java.util.regex.Pattern.compile(r).matcher(d).find()
+      case ("$and", JArr(xs)) if xs.nonEmpty =>
+        val cs = xs.map(compileDocPred)
+        d => cs.forall(_(d))
+      case ("$or", JArr(xs)) if xs.nonEmpty =>
+        val cs = xs.map(compileDocPred)
+        d => cs.exists(_(d))
+      case ("$contains", JStr(s0)) => d => d != null && d.contains(s0)
+      case ("$not_contains", JStr(s0)) => d => d != null && !d.contains(s0)
+      case ("$regex", JStr(r)) =>
+        val p = java.util.regex.Pattern.compile(r)
+        d => d != null && p.matcher(d).find()
+      case ("$not_regex", JStr(r)) =>
+        val p = java.util.regex.Pattern.compile(r)
+        d => d != null && !p.matcher(d).find()
       case _ => throw new IllegalArgumentException(s"unknown where_document operator '$op'")
     }
     case other =>

@@ -64,11 +64,18 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
   private def exists(name: String): Boolean =
     new java.io.File(s"${path(name)}/_SUCCESS").exists()
 
-  /** Create-or-get by name (reference create/except-get, cod.py:79-84). */
-  def createOrGet(name: String): Collection = {
-    if (!exists(name))
+  /** Create-or-get by name (reference create/except-get, cod.py:79-84).
+    * A fresh creation clears any ORPHANED metadata file (a crashed
+    * create-with-metadata of an earlier collection of this name) so the
+    * new collection cannot silently adopt a dead collection's dict. */
+  def createOrGet(name: String): Collection = createOrGetImpl(name, clearOrphanMeta = true)
+
+  private def createOrGetImpl(name: String, clearOrphanMeta: Boolean): Collection = {
+    if (!exists(name)) {
+      if (clearOrphanMeta) java.nio.file.Files.deleteIfExists(colMetaPath(name)): Unit
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode("overwrite").parquet(path(name))
+    }
     new Collection(name)
   }
 
@@ -76,13 +83,25 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
     * creation the collection-level metadata is persisted; when the
     * collection already exists its EXISTING metadata is kept and the
     * argument is ignored (chroma's get-or-create contract — replacing
-    * metadata is [[Collection.modify]]'s job). */
-  def createOrGet(name: String, metadata: Map[String, String]): Collection = {
-    val fresh = !exists(name)
-    val c = createOrGet(name)
-    if (fresh && metadata.nonEmpty) writeColMeta(name, metadata)
-    c
-  }
+    * metadata is [[Collection.modify]]'s job).
+    *
+    * Runs under the collection's writer lease (two racing creators
+    * cannot interleave), and the metadata file is written BEFORE the
+    * collection becomes visible: a crash between the two leaves a meta
+    * file without a collection, which the next create-with-metadata
+    * overwrites and [[dropCollection]] clears — never a collection whose
+    * requested metadata was silently lost (the reverse order would,
+    * since a later get-or-create keeps the existing, empty, state). */
+  def createOrGet(name: String, metadata: Map[String, String]): Collection =
+    WriterLease.withLeaseFile(
+      java.nio.file.Paths.get(basePath, s"_writer_lease_$name"),
+      "VectorStore.createOrGet", path(name)) {
+      if (!exists(name)) {
+        java.nio.file.Files.deleteIfExists(colMetaPath(name))
+        if (metadata.nonEmpty) writeColMeta(name, metadata)
+      }
+      createOrGetImpl(name, clearOrphanMeta = false)
+    }
 
   // ------------------------------------------------ collection metadata
   // One tab-separated URL-encoded line per key, written to a temp file and
@@ -707,13 +726,6 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         case _ => bruteQuery(queryEmb, k, metric, where, whereDocument)
       }
 
-    /** Chroma `query(query_embeddings=[...])` — the reference API takes a
-      * LIST of query embeddings; this is that surface. Output:
-      * (query_idx, id, doc, distance), top-k per probe. Unfiltered l2
-      * probes against an attached index serve from the hot tier (one
-      * state load for the whole batch); the brute path scores every probe
-      * in ONE corpus scan (broadcast probe frame + per-probe window), not
-      * Q scans. */
     /** [[queryBatch]] in the dict filter dialect — and, like
       * [[queryJson]], FILTERED batches stay on the hot tier when the
       * dialect compiles and the attached index accepts (all probes share
@@ -752,6 +764,13 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))))
     }
 
+    /** Chroma `query(query_embeddings=[...])` — the reference API takes a
+      * LIST of query embeddings; this is that surface. Output:
+      * (query_idx, id, doc, distance), top-k per probe. Unfiltered l2
+      * probes against an attached index serve from the hot tier (one
+      * state load for the whole batch); the brute path scores every probe
+      * in ONE corpus scan (broadcast probe frame + per-probe window), not
+      * Q scans. */
     def queryBatch(queryEmbs: Seq[Array[Float]], k: Int, metric: String = "l2",
                    where: Option[Column] = None,
                    whereDocument: Option[Column] = None): DataFrame = {

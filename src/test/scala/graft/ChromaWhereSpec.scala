@@ -93,6 +93,7 @@ class ChromaWhereSpec extends AnyFunSuite with SparkTest {
       Map("a" -> "-0.0"),
       Map("a" -> "1e2", "b" -> "yes"),
       Map("f" -> "true"), Map("f" -> "YES"), Map("f" -> "0"), Map("f" -> "maybe"),
+      Map("a" -> "inf"), Map("a" -> "-Infinity"),
       // supplementary-plane char: UTF-8 binary order (Spark) disagrees
       // with Java String.compareTo (UTF-16 code units) here
       Map("b" -> "😀"))
@@ -113,6 +114,11 @@ class ChromaWhereSpec extends AnyFunSuite with SparkTest {
       """{"$or": [{"a": {"$lt": 6}}, {"b": "y"}]}""",
       """{"$and": [{"a": {"$gte": 5}}, {"a": {"$lte": 100}}]}""",
       """{"b": {"$gt": "w"}}""",
+      """{"a": {"$gt": 1000}}""",
+      """{"a": {"$lt": -1000}}""",
+      """{"a": {"$in": [0]}}""",
+      """{"f": {"$in": [true]}}""",
+      """{"f": {"$nin": [false]}}""",
       """{"b": {"$gt": "�"}}""")
     for (f <- filters) {
       val viaColumn = df.filter(ChromaWhere.where(f, k => element_at(col("meta"), lit(k))))
