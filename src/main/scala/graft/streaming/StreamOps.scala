@@ -92,8 +92,19 @@ object StreamOps {
     * store), the only shuffle is on the (band, bucket) key, and verdicts
     * are append-mode rows — never pairwise, never corpus-resident.
     * Replays are idempotent: re-delivering a batch finds state minima <=
-    * its ids and emits bit-identical verdicts. */
-  def nearDupBandVerdicts(docs: DataFrame): Dataset[(Long, Int, Boolean)] = {
+    * its ids and emits bit-identical verdicts.
+    *
+    * `stateTtl` BOUNDS the state (the suite-wide "watermarks bound all
+    * state" discipline): a bucket idle longer than the TTL is evicted,
+    * so total state is one long per bucket seen WITHIN the window, not
+    * ever. The semantic trade is explicit and standard for streaming
+    * dedup ([[dedupStream]]'s lateness contract): a near-dup arriving
+    * after its bucket expired is re-admitted — "no near-dups within the
+    * TTL window", which is usually the real crawler contract anyway
+    * (re-crawls ARE new versions). None = exact forever-state policy
+    * (the batch twin's semantics at any horizon). */
+  def nearDupBandVerdicts(docs: DataFrame,
+                          stateTtl: Option[java.time.Duration] = None): Dataset[(Long, Int, Boolean)] = {
     import docs.sparkSession.implicits._
     val bands = docs
       .select(col("doc_id").cast(LongType).as("doc_id"), TF.tokens(col("text")).as("toks"))
@@ -102,17 +113,27 @@ object StreamOps {
       .select(col("doc_id"), col("band").cast(IntegerType).as("band"),
         col("bucket").cast(LongType).as("bucket"))
       .as[(Long, Int, Long)]
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
     bands.groupByKey { case (_, band, bucket) => (band, bucket) }
       .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeout) {
         case ((band, _), rows, state: GroupState[Long]) =>
-          val ids = rows.map(_._1).toArray.sorted
-          val prior = if (state.exists) state.get else Long.MaxValue
-          val overallMin = math.min(prior, ids.head)
-          state.update(overallMin)
-          // hit = an earlier doc (previous batch OR smaller id this batch)
-          // already claimed this bucket
-          ids.iterator.map(id => (id, band, id > overallMin))
+          if (state.hasTimedOut) {
+            // idle bucket: forget its first writer; the next arrival in
+            // this bucket claims it afresh (bounded-window semantics)
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = rows.map(_._1).toArray.sorted
+            val prior = if (state.exists) state.get else Long.MaxValue
+            val overallMin = math.min(prior, ids.head)
+            state.update(overallMin)
+            stateTtl.foreach(ttl => state.setTimeoutDuration(ttl.toMillis))
+            // hit = an earlier doc (previous batch OR smaller id this
+            // batch) already claimed this bucket
+            ids.iterator.map(id => (id, band, id > overallMin))
+          }
       }
   }
 
