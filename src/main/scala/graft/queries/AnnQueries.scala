@@ -499,6 +499,56 @@ object AnnQueries {
            |ORDER BY src, rnk""".stripMargin
       }),
 
+    // MUTUAL nearest neighbors — the matching primitive (entity/dataset
+    // matching, RNN-pair dedup, the reciprocal-NN eval of representation
+    // learning): a pair qualifies only when each vector is the OTHER's
+    // rank-1 neighbor, which kills the asymmetric hub matches a plain
+    // top-1 join keeps. Same LSH blocking as q_knn_graph (the bucket
+    // self-join is the only corpus-sized shuffle, never all-pairs); the
+    // mutuality test is a self-join of the N-row rank-1 edge set on the
+    // reversed pair — answer-sized, not corpus-squared.
+    Q(
+      "q_mutual_knn",
+      "mutual (reciprocal) rank-1 neighbor pairs within LSH blocks",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+          .withColumn("bucket", lshBucketCol).persist()
+        val a = e.select(col("vec_id").as("src"), col("embedding").as("semb"), col("bucket"))
+        val b = e.select(col("vec_id").as("dst"), col("embedding").as("demb"),
+          col("bucket").as("dbucket"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy(asc("dist_raw"), asc("dst"))
+        val nn1 = a.join(b, col("bucket") === col("dbucket") && col("src") =!= col("dst"))
+          .withColumn("dist_raw", VF.l2Sq(col("semb"), col("demb")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") === 1)
+          .select(col("src"), col("dst"), col("dist_raw"))
+          .persist()
+        val rev = nn1.select(col("src").as("r_dst"), col("dst").as("r_src"))
+        freeAfter(
+          nn1.join(rev, col("src") === col("r_src") && col("dst") === col("r_dst"))
+            .filter(col("src") < col("dst"))
+            .select(col("src").as("vec_a"), col("dst").as("vec_b"),
+              round(col("dist_raw"), 6).as("dist"))
+            .orderBy("vec_a"),
+          e, nn1)
+      },
+      Some {
+        val d = OracleSql.l2Sq("a.embedding", "b.embedding")
+        s"""WITH sigs AS MATERIALIZED (
+           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+           |nn AS MATERIALIZED (
+           |  SELECT src, dst, dist_raw FROM (
+           |    SELECT a.vec_id AS src, b.vec_id AS dst, $d AS dist_raw,
+           |           row_number() OVER (PARTITION BY a.vec_id ORDER BY $d, b.vec_id) AS rnk
+           |    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           |  WHERE rnk = 1)
+           |SELECT x.src AS vec_a, x.dst AS vec_b, round(x.dist_raw, 6) AS dist
+           |FROM nn x JOIN nn y ON x.src = y.dst AND x.dst = y.src
+           |WHERE x.src < x.dst
+           |ORDER BY vec_a""".stripMargin
+      }),
+
     // Embedding-space outlier mining — the data-quality filter for vector
     // corpora: assign every vector to its nearest centroid (the same fused
     // argmin as IVF) and surface the 3 FARTHEST members of each cell. Rows
