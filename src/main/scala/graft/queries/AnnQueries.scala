@@ -503,16 +503,27 @@ object AnnQueries {
     // matching, RNN-pair dedup, the reciprocal-NN eval of representation
     // learning): a pair qualifies only when each vector is the OTHER's
     // rank-1 neighbor, which kills the asymmetric hub matches a plain
-    // top-1 join keeps. Same LSH blocking as q_knn_graph (the bucket
-    // self-join is the only corpus-sized shuffle, never all-pairs); the
+    // top-1 join keeps. LSH blocking like q_knn_graph, but — since BOTH
+    // sides here are the full corpus — the bucket width is CALIBRATED to
+    // the corpus (smallest b >= 6 with 2^b*10 >= N, an exact integer
+    // ladder both engines replay identically), so bucket population stays
+    // ~10 and the self-join stays linear at any scale; a fixed 6-bit
+    // bucket measured 14x time for 5x data at the 100x fixture. The
     // mutuality test is a self-join of the N-row rank-1 edge set on the
     // reversed pair — answer-sized, not corpus-squared.
     Q(
       "q_mutual_knn",
-      "mutual (reciprocal) rank-1 neighbor pairs within LSH blocks",
+      "mutual (reciprocal) rank-1 neighbor pairs within corpus-calibrated LSH blocks",
       (s, dir) => {
-        val e = tbl(s, dir, "embeddings")
-          .withColumn("bucket", lshBucketCol).persist()
+        val raw = tbl(s, dir, "embeddings")
+        val n = raw.count() // index metadata: calibrates the bucket width
+        var bits = 6
+        while ((1L << bits) * 10 < n) bits += 1
+        val bucketCol = (0 until bits).map { p =>
+          when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        val e = raw.withColumn("bucket", bucketCol).persist()
         val a = e.select(col("vec_id").as("src"), col("embedding").as("semb"), col("bucket"))
         val b = e.select(col("vec_id").as("dst"), col("embedding").as("demb"),
           col("bucket").as("dbucket"))
@@ -535,8 +546,15 @@ object AnnQueries {
       },
       Some {
         val d = OracleSql.l2Sq("a.embedding", "b.embedding")
-        s"""WITH sigs AS MATERIALIZED (
-           |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+        // the same exact integer calibration ladder the Spark side walks
+        val ladder = (6 to 24).map(b => s"WHEN n <= ${(1L << b) * 10} THEN $b").mkString(" ")
+        val dynBucket =
+          s"CAST(coalesce(list_sum(list_transform(range(0, (SELECT bits FROM bb)), p -> " +
+            s"CASE WHEN ${dotPlaneSql("embedding", "p")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
+        s"""WITH bb AS (SELECT CASE $ladder ELSE 25 END AS bits
+           |            FROM (SELECT count(*) AS n FROM embeddings)),
+           |sigs AS MATERIALIZED (
+           |  SELECT vec_id, embedding, $dynBucket AS bucket FROM embeddings),
            |nn AS MATERIALIZED (
            |  SELECT src, dst, dist_raw FROM (
            |    SELECT a.vec_id AS src, b.vec_id AS dst, $d AS dist_raw,
