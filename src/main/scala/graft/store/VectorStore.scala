@@ -319,6 +319,17 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         .select((col("id") +: include.map(col)): _*)
     }
 
+    /** [[getPage]] in the dict filter dialect — keyset pagination with
+      * chroma-style filters (the JSON twin, completing the client
+      * surface: get/getPage/query/queryBatch/delete all speak both). */
+    def getPageJson(afterId: String = null, pageSize: Int = 1000,
+                    include: Seq[String] = Seq("doc", "meta", "emb"),
+                    whereJson: String = null,
+                    whereDocumentJson: String = null): DataFrame =
+      getPage(afterId, pageSize, include,
+        Option(whereJson).map(graft.functions.ChromaWhere.where(_, metaKey)),
+        Option(whereDocumentJson).map(graft.functions.ChromaWhere.whereDocument(_, col("doc"))))
+
     /** Resolve a chroma `where=` metadata key against this collection's
       * MAP<STRING,STRING> meta column. */
     private def metaKey(k: String): Column = element_at(col("meta"), lit(k))

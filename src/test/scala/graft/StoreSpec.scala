@@ -374,8 +374,13 @@ class StoreSpec extends AnyFunSuite with SparkTest {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id"),
       s"afterId must push down as a range filter:\n$plan")
     assert(plan.contains("TakeOrderedAndProject"), s"page sort must TakeOrdered:\n$plan")
-    // filters compose
-    assert(c.getPage(null, 1000, where = Some(element_at(col("meta"), lit("lang")) === "en"))
-      .count() > 0)
+    // filters compose, and the JSON dialect form matches the Column form
+    val viaCol = c.getPage(null, 1000,
+      where = Some(element_at(col("meta"), lit("lang")) === "en"))
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(viaCol.nonEmpty)
+    val viaJson = c.getPageJson(null, 1000, whereJson = """{"lang": "en"}""")
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(viaJson == viaCol)
   }
 }
