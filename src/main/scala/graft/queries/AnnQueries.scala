@@ -32,6 +32,15 @@ object AnnQueries {
   val NumPlanes = 6
   val TextEmbDim = 64 // hashing embedder output width
 
+  /** Fixed-COUNT probe panel for the recall evals (q_ann_recall /
+    * q_ann_binary_recall): probes are `vec_id % 25 == 3 AND vec_id <
+    * RecallPanelCap` — at most 64 probes regardless of corpus size, so the
+    * exact-ground-truth pair frame is O(64·N) = O(N), not O(N²/25). The
+    * standard recall protocol measures a fixed probe panel (the metric's
+    * meaning is per-probe, not per-corpus); a corpus-FRACTION panel made the
+    * eval quadratic and was the suite's only non-linear shape. */
+  val RecallPanelCap = 1603L // 3, 28, 53, … , 1578 → 64 probe ids
+
   /** Sign-bit packing for binary quantization (q_ann_binary /
     * q_ann_binary_recall): bit j of half `off` = [embedding[off+j+1] > 0],
     * j in [0,32) — strict > so ±0.0f agree on both engines; halves of 32
@@ -517,8 +526,11 @@ object AnnQueries {
       (s, dir) => {
         val raw = tbl(s, dir, "embeddings")
         val n = raw.count() // index metadata: calibrates the bucket width
+        // capped at 25 bits so both engines walk the IDENTICAL ladder at any
+        // N (the oracle's CASE ladder ends in ELSE 25; an unbounded loop
+        // here would diverge past N > 2^25*10)
         var bits = 6
-        while ((1L << bits) * 10 < n) bits += 1
+        while (bits < 25 && (1L << bits) * 10 < n) bits += 1
         val bucketCol = (0 until bits).map { p =>
           when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p))
             .otherwise(lit(0L))
@@ -1056,7 +1068,8 @@ object AnnQueries {
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
         val assigned = e.withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
-        val probes = assigned.filter(col("vec_id") % 25 === 3)
+        val probes = assigned
+          .filter(col("vec_id") % 25 === 3 && col("vec_id") < RecallPanelCap)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
             col("cell").as("pcell"))
         val scored = assigned.crossJoin(broadcast(probes))
@@ -1090,7 +1103,7 @@ object AnnQueries {
            |assign AS MATERIALIZED (
            |  SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
            |p AS (SELECT vec_id AS pid, embedding AS pe, cell AS pcell
-           |      FROM assign WHERE vec_id % 25 = 3),
+           |      FROM assign WHERE vec_id % 25 = 3 AND vec_id < $RecallPanelCap),
            |d AS MATERIALIZED (
            |  SELECT p.pid, a.vec_id AS nid, a.cell, p.pcell,
            |         ${OracleSql.l2Sq("a.embedding", "p.pe")} AS dist
@@ -1175,12 +1188,13 @@ object AnnQueries {
         val e = tbl(s, dir, "embeddings")
         val coded = e.select(col("vec_id"), col("embedding"),
           packHalf(col("embedding"), 0).as("lo"), packHalf(col("embedding"), 32).as("hi"))
-        val probes = coded.filter(col("vec_id") % 25 === 3)
+        val probes = coded
+          .filter(col("vec_id") % 25 === 3 && col("vec_id") < RecallPanelCap)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
             col("lo").as("plo"), col("hi").as("phi"))
         // ONE scored pass feeds all three arms (exact, shortlist, rerank):
-        // the persisted frame is NARROW (4 scalars) and probe-sample-bounded
-        // (P×N rows for sampled probes — an eval, not a serving path)
+        // the persisted frame is NARROW (4 scalars) and panel-bounded
+        // (≤64·N rows — O(N) — for the fixed probe panel)
         val pairs = coded.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("pid"))
           .select(col("pid"), col("vec_id"),
@@ -1215,7 +1229,7 @@ object AnnQueries {
            |  SELECT vec_id, embedding, ${packSql("embedding", 0)} AS lo, ${packSql("embedding", 32)} AS hi
            |  FROM embeddings),
            |p AS (SELECT vec_id AS pid, embedding AS pe, lo AS plo, hi AS phi
-           |      FROM c WHERE vec_id % 25 = 3),
+           |      FROM c WHERE vec_id % 25 = 3 AND vec_id < $RecallPanelCap),
            |d AS MATERIALIZED (
            |  SELECT p.pid, c.vec_id, $cosD AS cos,
            |         bit_count(xor(c.lo, p.plo)) + bit_count(xor(c.hi, p.phi)) AS ham

@@ -67,8 +67,18 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
   /** Create-or-get by name (reference create/except-get, cod.py:79-84).
     * A fresh creation clears any ORPHANED metadata file (a crashed
     * create-with-metadata of an earlier collection of this name) so the
-    * new collection cannot silently adopt a dead collection's dict. */
-  def createOrGet(name: String): Collection = createOrGetImpl(name, clearOrphanMeta = true)
+    * new collection cannot silently adopt a dead collection's dict.
+    * Runs under the same writer lease as the metadata variant: lock-free,
+    * this path could race a concurrent createOrGet(name, metadata) —
+    * observe "not exists", then delete the metadata file the other
+    * creator just wrote before its parquet landed. */
+  def createOrGet(name: String): Collection =
+    if (exists(name)) new Collection(name)
+    else WriterLease.withLeaseFile(
+      java.nio.file.Paths.get(basePath, s"_writer_lease_$name"),
+      "VectorStore.createOrGet", path(name)) {
+      createOrGetImpl(name, clearOrphanMeta = true)
+    }
 
   private def createOrGetImpl(name: String, clearOrphanMeta: Boolean): Collection = {
     if (!exists(name)) {
@@ -316,7 +326,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       where.foreach(p => base = base.filter(p))
       whereDocument.foreach(p => base = base.filter(p))
       base.orderBy(col("id")).limit(pageSize)
-        .select((col("id") +: include.map(col)): _*)
+        .select((Seq("id") ++ include.filterNot(_ == "id")).map(col): _*)
     }
 
     /** [[getPage]] in the dict filter dialect — keyset pagination with
