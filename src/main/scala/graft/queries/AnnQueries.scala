@@ -1067,14 +1067,21 @@ object AnnQueries {
         val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-        val assigned = e.withColumn("cell", VF.nearestCentroid(col("embedding"), cents))
+        // persisted so the 16-centroid argmin runs ONCE PER ROW (projection
+        // collapse would otherwise inline it into the cross join and
+        // recompute it per PAIR), and the NARROW scored frame (5 scalars)
+        // is persisted so the two arms share one scoring pass
+        val assigned = e.withColumn("cell",
+          VF.nearestCentroid(col("embedding"), cents)).persist()
         val probes = assigned
           .filter(col("vec_id") % 25 === 3 && col("vec_id") < RecallPanelCap)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
             col("cell").as("pcell"))
         val scored = assigned.crossJoin(broadcast(probes))
           .filter(col("vec_id") =!= col("pid"))
-          .withColumn("dist", VF.l2Sq(col("embedding"), col("pe")))
+          .select(col("pid"), col("vec_id"), col("cell"), col("pcell"),
+            VF.l2Sq(col("embedding"), col("pe")).as("dist"))
+          .persist()
         def ids(c: org.apache.spark.sql.Column) =
           transform(c, s0 => s0.getField("id"))
         val exact = scored.groupBy("pid")
@@ -1083,12 +1090,14 @@ object AnnQueries {
         val ivf = scored.filter(col("cell") === col("pcell")).groupBy("pid")
           .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("iv"))
           .select(col("pid"), ids(col("iv")).as("iv"))
-        exact.join(ivf, Seq("pid"), "left")
-          .withColumn("hits", size(array_intersect(col("ex"),
-            coalesce(col("iv"), array().cast("array<bigint>")))))
-          .select(col("pid"), col("hits"),
-            round(col("hits") / 10.0, 2).as("recall"))
-          .orderBy("pid")
+        freeAfter(
+          exact.join(ivf, Seq("pid"), "left")
+            .withColumn("hits", size(array_intersect(col("ex"),
+              coalesce(col("iv"), array().cast("array<bigint>")))))
+            .select(col("pid"), col("hits"),
+              round(col("hits") / 10.0, 2).as("recall"))
+            .orderBy("pid"),
+          assigned, scored)
       },
       Some {
         val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
@@ -1186,8 +1195,13 @@ object AnnQueries {
       "ANN quality metric: recall@10 of the binary Hamming route vs exact cosine",
       (s, dir) => {
         val e = tbl(s, dir, "embeddings")
+        // persisted so the sign-packing runs ONCE PER ROW: unpersisted,
+        // projection collapse inlines the 64-term packHalf expression into
+        // the cross join's output and recomputes it per PAIR (measured
+        // 35.7 s vs 1.5 s for the pair materialization at the 20× fixture)
         val coded = e.select(col("vec_id"), col("embedding"),
           packHalf(col("embedding"), 0).as("lo"), packHalf(col("embedding"), 32).as("hi"))
+          .persist()
         val probes = coded
           .filter(col("vec_id") % 25 === 3 && col("vec_id") < RecallPanelCap)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
@@ -1221,7 +1235,7 @@ object AnnQueries {
             .withColumn("hits", size(array_intersect(col("ex"), col("bi"))))
             .select(col("pid"), col("hits"), round(col("hits") / 10.0, 2).as("recall"))
             .orderBy("pid"),
-          pairs)
+          coded, pairs)
       },
       Some {
         val cosD = OracleSql.cosine("c.embedding", "p.pe")
