@@ -991,12 +991,15 @@ object AnnQueries {
     // annotation-bootstrap stage of a training pipeline: a small batch of
     // "unlabeled" vectors takes the majority label of its 5 exact nearest
     // labeled neighbors (ties: fewest-distance neighbor set is fixed by
-    // (dist, id); vote ties break to the smallest label). The probe batch
-    // is tiny and BROADCAST — the corpus side never shuffles for the
-    // join; the only wide ops are the per-probe top-5 window and the
-    // vote, both keyed on the probe id (cardinality = batch, not
-    // corpus). At 100 TB the exact scan swaps for the attached IVF/graph
-    // route exactly like q_ann_ivf_batch; voting is unchanged.
+    // (dist, id); vote ties break to the smallest label). The probe side
+    // pairs via ProbeJoin — broadcast while small, chunked
+    // CartesianProduct once it outgrows the broadcast limit (the probe
+    // set here is a corpus FRACTION, so a bare broadcast would grow with
+    // N); the corpus side never shuffles either way, and the only wide
+    // ops are the per-probe top-5 and the vote, both keyed on the probe
+    // id (cardinality = batch, not corpus). At 100 TB the exact scan
+    // swaps for the attached IVF/graph route exactly like
+    // q_ann_ivf_batch; voting is unchanged.
     Q(
       "q_knn_classifier",
       "kNN label propagation: majority label of 5 nearest labeled neighbors",
@@ -1015,7 +1018,7 @@ object AnnQueries {
         // packing is monotone in nid, so (dist, packed) ties ==
         // (dist, nid) ties); the exchange carries 5 x probes x tasks
         // rows instead of the N x probes window input
-        val knn = labeled.crossJoin(broadcast(probes))
+        val knn = graft.operators.ProbeJoin.cross(labeled, probes)
           .withColumn("dist", VF.l2Sq(col("ne"), col("pe")))
           .groupBy("pid", "true_label")
           .agg(GroupedTopK.topK(5)(col("dist"),

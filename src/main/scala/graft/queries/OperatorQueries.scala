@@ -189,9 +189,10 @@ object OperatorQueries {
     // each binary payload into the TEXT embedding space (aHash signature
     // → formulaic dyadic projection, one codegen scan — a real deployment
     // swaps trained weights into the same plan), then relational top-k
-    // against the text embeddings. The probe side is tiny and BROADCAST;
-    // the corpus side never shuffles (window per img over the broadcast
-    // theta-join, TakeOrdered shape). Every arithmetic step is exact
+    // against the text embeddings. The probe side pairs via ProbeJoin
+    // (broadcast while small, chunked CartesianProduct once the
+    // corpus-fraction probe set outgrows the broadcast limit); the corpus
+    // side never shuffles either way. Every arithmetic step is exact
     // (integer projection numerators, dyadic /4, in-order double dot), so
     // the oracle replays image tower + retrieval bit-for-bit. At 100 TB
     // the brute scan swaps for the attached IVF/graph index route
@@ -210,8 +211,8 @@ object OperatorQueries {
           .withColumn("sh",
             transform(col("nums"), n => (n.cast("double") / 4.0).cast("float")))
           .select("img_id", "sh")
-        val scored = Registry.tbl(s, dir, "embeddings")
-          .crossJoin(broadcast(probes))
+        val scored = graft.operators.ProbeJoin
+          .cross(Registry.tbl(s, dir, "embeddings"), probes)
           .withColumn("score_raw", VF.dot(col("sh"), col("embedding")))
         // shuffle the ANSWER, not the corpus: map-side bounded top-k per
         // image (GroupedTopK over the NEGATED score — (-score, id) asc ==

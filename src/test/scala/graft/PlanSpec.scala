@@ -65,4 +65,25 @@ class PlanSpec extends AnyFunSuite with SparkTest {
       assert(!p.toLowerCase.contains("scalaudf"), s"$q must stay UDF-free")
     }
   }
+
+  test("fraction-probe queries drop the broadcast once probes exceed the limit") {
+    // Probe sets carved out of the corpus (q_knn_classifier, q_crossmodal)
+    // grow with N: above graft.probe.broadcastLimit, ProbeJoin must plan a
+    // chunked CartesianProduct — no broadcast exchange anywhere on the
+    // probe path — and return the identical rows.
+    Seq("q_knn_classifier", "q_crossmodal").foreach { q =>
+      val viaBroadcast = graft.queries.Registry.queries(q)(spark, sf001).collect()
+      spark.conf.set(graft.operators.ProbeJoin.LimitKey, "3")
+      try {
+        val df = graft.queries.Registry.queries(q)(spark, sf001)
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("CartesianProduct"),
+          s"$q over-limit must pair via CartesianProduct, got:\n$p")
+        assert(!p.contains("BroadcastNestedLoop") && !p.contains("BroadcastExchange"),
+          s"$q must not broadcast a corpus-fraction probe frame:\n$p")
+        assert(df.collect().toSeq == viaBroadcast.toSeq,
+          s"$q rows must be identical on both probe routes")
+      } finally spark.conf.unset(graft.operators.ProbeJoin.LimitKey)
+    }
+  }
 }
