@@ -256,3 +256,121 @@ case class NearestCentroid(
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * Scalar (int8) quantization encode — the storage side of the SQ8 scan path
+ * in the persistent IVF index: each float maps through frozen per-dimension
+ * (min, max) index metadata to a code in [0, 255], stored shifted by -128 as
+ * one BYTE, the whole vector as a BINARY of dim bytes — 4x less scan traffic
+ * than the raw ARRAY<FLOAT> (16 for a float64 source). Codes are EXACT
+ * integer arithmetic end to end (floor over double, clamp), so the DuckDB
+ * oracle replays them bit-for-bit (the q_ann_sq8 discipline; capability
+ * envelope: ChromaDB's compact in-memory HNSW layout,
+ * /root/reference/src/chromadb_store.py:4). Out-of-range inputs (a query
+ * vector beyond the indexed corpus' range) clamp to the boundary codes.
+ */
+case class Sq8Encode(child: Expression, mn: Array[Double], mx: Array[Double])
+    extends UnaryExpression {
+  require(mn.length == mx.length && mn.nonEmpty, "per-dim stats must align")
+
+  override def prettyName: String = "sq8_encode"
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    Sq8Encode.encode(v.asInstanceOf[ArrayData].toFloatArray(), mn, mx)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mnRef = ctx.addReferenceObj("sq8mn", mn, "double[]")
+    val mxRef = ctx.addReferenceObj("sq8mx", mx, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n")
+      val out = ctx.freshName("out"); val x = ctx.freshName("x")
+      val code = ctx.freshName("code")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n != $mnRef.length) {
+         |  throw new IllegalArgumentException("sq8_encode: vector dim != stats dim");
+         |}
+         |byte[] $out = new byte[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  long $code;
+         |  if ($mxRef[$i] <= $mnRef[$i]) { $code = 0L; }
+         |  else {
+         |    $code = (long) java.lang.Math.max(0.0, java.lang.Math.min(255.0,
+         |      java.lang.Math.floor(($x - $mnRef[$i]) * 256.0 / ($mxRef[$i] - $mnRef[$i]))));
+         |  }
+         |  $out[$i] = (byte) ($code - 128L);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Sq8Encode {
+  /** Driver-side twin of the codegen loop (query-vector encoding) —
+    * identical arithmetic, used by IvfIndex.queryQuantized. */
+  def encode(a: Array[Float], mn: Array[Double], mx: Array[Double]): Array[Byte] = {
+    require(a.length == mn.length, "sq8_encode: vector dim != stats dim")
+    val out = new Array[Byte](a.length)
+    var i = 0
+    while (i < a.length) {
+      val code =
+        if (mx(i) <= mn(i)) 0L
+        else math.max(0.0, math.min(255.0,
+          math.floor((a(i).toDouble - mn(i)) * 256.0 / (mx(i) - mn(i))))).toLong
+      out(i) = (code - 128L).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/**
+ * Integer squared L2 over two SQ8 code vectors (BINARY) — the candidate
+ * scoring kernel of the quantized IVF probe. The -128 storage shift cancels
+ * in the difference, so the loop works on the signed bytes directly: one
+ * subtract + one multiply-add per dimension, no float math, EXACT (a 64-dim
+ * worst case is 64 * 255^2 << Long.Max), hence DuckDB-hash-verifiable.
+ */
+case class Sq8L2Distance(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "sq8_l2"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]
+    val b = r.asInstanceOf[Array[Byte]]
+    if (a.length != b.length)
+      throw new IllegalArgumentException(s"$prettyName: code dims differ")
+    var acc = 0L
+    var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toLong; acc += d * d; i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |if ($a.length != $b.length) {
+         |  throw new IllegalArgumentException("sq8_l2: code dims differ");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $a.length; $i++) {
+         |  long $d = (long) $a[$i] - (long) $b[$i];
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

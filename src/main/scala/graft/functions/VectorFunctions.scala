@@ -40,6 +40,14 @@ object VectorFunctions {
   def nearestCentroid(emb: Column, cents: Array[(Long, Array[Float])]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(emb), cents.map(_._1), cents.map(_._2)))
 
+  /** SQ8 quantization encode: ARRAY<FLOAT> -> BINARY codes through frozen
+    * per-dim (min, max) index metadata (persistent IVF scan path). */
+  def sq8Encode(emb: Column, mn: Array[Double], mx: Array[Double]): Column =
+    Bridge.column(Sq8Encode(Bridge.expression(emb), mn, mx))
+
+  /** Integer squared L2 over two SQ8 code BINARYs — exact, codegen. */
+  def sq8L2(a: Column, b: Column): Column = expr2(Sq8L2Distance.apply)(a, b)
+
   // ---- reference implementations via built-in higher-order functions ----
 
   private def asDouble(x: Column): Column = x.cast("double")

@@ -148,7 +148,71 @@ object AnalyticsQueries {
         idx.query(qe, k = 5, nprobe = 4)
           .select(col("id"), col("cell"), round(col("distance"), 6).as("dist"))
       },
+      Some(ivfProbeOracle(
+        s"""SELECT a.vec_id AS id, a.cell, round(${OracleSql.l2Sq("a.embedding", "probe.qe")}, 6) AS dist
+           |FROM assign a JOIN pcells ON a.cell = pcells.cid CROSS JOIN probe
+           |ORDER BY ${OracleSql.l2Sq("a.embedding", "probe.qe")} ASC, a.vec_id LIMIT 5""".stripMargin))),
+
+    // SQ8-quantized IVF probe — the same trained, cell-partitioned index,
+    // served through its 1-byte/dim codes column: phase 1 ranks the probed
+    // cells by EXACT integer L2 over SQ8 codes (the raw float column never
+    // leaves disk — 4x less scan traffic, column-pruning asserted in
+    // IvfIndexSpec), phase 2 exact-reranks the 64-row shortlist via an
+    // In-pushed point read. Codes quantize through frozen per-dim (min,
+    // max) index metadata with floor/clamp integer arithmetic, so the
+    // oracle replays training AND quantization bit-for-bit. This is the
+    // 100 TB serving shape: at petabyte scale the pruned cells themselves
+    // outgrow page cache and the probe cost is the bytes of the CODES
+    // column, not the floats.
+    Q(
+      "q_ivf_sq8_probe",
+      "SQ8 codes probe of the trained IVF index: int8 shortlist + exact rerank, top-5",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8q").toString
+        val idx = new IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+        idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = 64)
+          .select(col("id"), col("cell"), round(col("distance"), 6).as("dist"))
+      },
       Some {
+        val dFinal = OracleSql.l2Sq("a.embedding", "probe.qe")
+        // the Sq8Encode grid replayed relationally: per-dim (min, max) over
+        // the build input, code = clamp(floor((x - mn) * 256 / (mx - mn)))
+        def codeSql(x: String): String =
+          s"CASE WHEN s.mx <= s.mn THEN 0 ELSE greatest(0, least(255, " +
+            s"CAST(floor((CAST($x AS DOUBLE) - s.mn) * 256.0 / (s.mx - s.mn)) AS BIGINT))) END"
+        ivfProbeOracle(
+          s"""sstats AS MATERIALIZED (
+             |  SELECT dm.d, min(CAST(e.embedding[dm.d] AS DOUBLE)) AS mn,
+             |         max(CAST(e.embedding[dm.d] AS DOUBLE)) AS mx
+             |  FROM embeddings e CROSS JOIN dims dm GROUP BY dm.d),
+             |qcodes AS MATERIALIZED (
+             |  SELECT s.d, ${codeSql("probe.qe[s.d]")} AS qc
+             |  FROM sstats s CROSS JOIN probe),
+             |cand AS MATERIALIZED (
+             |  SELECT a.vec_id, ${codeSql("a.embedding[s.d]")} AS code, s.d
+             |  FROM assign a JOIN pcells ON a.cell = pcells.cid CROSS JOIN sstats s),
+             |qd AS (
+             |  SELECT cand.vec_id, CAST(sum((code - qc) * (code - qc)) AS BIGINT) AS qdist
+             |  FROM cand JOIN qcodes q ON q.d = cand.d GROUP BY cand.vec_id),
+             |short AS (SELECT vec_id FROM qd ORDER BY qdist, vec_id LIMIT 64)
+             |SELECT a.vec_id AS id, a.cell, round($dFinal, 6) AS dist
+             |FROM assign a JOIN short USING (vec_id) CROSS JOIN probe
+             |ORDER BY $dFinal ASC, a.vec_id LIMIT 5""".stripMargin,
+          extraCte = true)
+      })
+  )
+
+  /** DuckDB replay of `IvfIndex.build` + the probe-cell choice, shared by
+    * the IVF probe oracles: farthest-first seeding (recursive CTE) + the
+    * unrolled quantized-Lloyd rounds + final assignment + the probe's
+    * nprobe=4 cell list. Exposes CTEs `dims, cent, probe, ranked, assign,
+    * pcells` to the caller's tail; with `extraCte` the tail may open with
+    * its own CTE definitions (it is appended after a comma). */
+  private def ivfProbeOracle(tail: String, extraCte: Boolean = false): String = {
         val iters = IvfIndex.TrainIters
         val scale = graft.operators.KMeans.QuantScale // 2^20, emitted as literal
         // One Lloyd round, unrolled: assign to c<t> (argmin L2, ties to the
@@ -177,7 +241,6 @@ object AnalyticsQueries {
         }
         val dAssignF = OracleSql.l2Sq("e.embedding", "c.cemb")
         val dCent = OracleSql.l2Sq("cent.cemb", "probe.qe")
-        val dFinal = OracleSql.l2Sq("a.embedding", "probe.qe")
         val dSeed = OracleSql.l2Sq("e.embedding", "p.embedding")
         // farthest-first seed selection replayed as a recursive CTE (the
         // growing seed set carried as a list, like the MMR oracle); the
@@ -207,10 +270,7 @@ object AnalyticsQueries {
            |         row_number() OVER (PARTITION BY e.vec_id ORDER BY $dAssignF, c.cid) AS rn
            |  FROM embeddings e CROSS JOIN cent c),
            |assign AS (SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
-           |pcells AS (SELECT cid FROM cent CROSS JOIN probe ORDER BY $dCent, cid LIMIT 4)
-           |SELECT a.vec_id AS id, a.cell, round($dFinal, 6) AS dist
-           |FROM assign a JOIN pcells ON a.cell = pcells.cid CROSS JOIN probe
-           |ORDER BY $dFinal ASC, a.vec_id LIMIT 5""".stripMargin
-      })
-  )
+           |pcells AS MATERIALIZED (SELECT cid FROM cent CROSS JOIN probe ORDER BY $dCent, cid LIMIT 4)${if (extraCte) "," else ""}
+           |$tail""".stripMargin
+  }
 }

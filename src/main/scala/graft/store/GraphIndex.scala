@@ -48,6 +48,17 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * down to the scan). [[compact]] folds all epochs back into one.
  */
 object GraphIndex {
+  /** Walk diagnostics for one probe — the r6-verdict hop-count question
+    * ("does routing from fixed entries degrade as the graph grows?"),
+    * answerable by measurement instead of speculation:
+    * `hopsExecuted` (walk length until the frontier died or the budget
+    * ran out), `nodesScored` (total visited — the per-query cost), and
+    * `topKStableAt` (the hop after which the final top-k never changed
+    * again — the number that grows with graph diameter if fixed-entry
+    * routing stops being enough and HNSW-style layers become worth
+    * building). */
+  final case class WalkStats(hopsExecuted: Int, nodesScored: Int, topKStableAt: Int)
+
   /** [[GraphIndex.deleteBatch]] batches up to this size resolve their
     * in-neighbors via reverse-tree point reads; larger batches run the
     * fully distributed resolved-graph scan. MEASURED crossover (Prof
@@ -476,12 +487,32 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
                entries: Seq[Long] = Seq.empty): Seq[(Long, Double)] =
     hotVisited(hotState(), qe, beamWidth, hops, entries).take(topK)
 
+  /** [[hotQuery]] plus [[GraphIndex.WalkStats]] — identical answers (the
+    * same walk runs; spec-pinned), tracked per hop. */
+  def hotQueryStats(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
+                    entries: Seq[Long] = Seq.empty): (Seq[(Long, Double)], GraphIndex.WalkStats) = {
+    val h = hotState()
+    val stats = new StatsAcc(topK)
+    val visited = hotVisited(h, qe, beamWidth, hops, entries, stats)
+    (visited.take(topK), GraphIndex.WalkStats(stats.hops, visited.size, stats.stableAt))
+  }
+
+  /** Mutable per-hop tracker threaded through [[hotVisited]] when stats
+    * are requested; `stableAt` = first hop whose end state already held
+    * the final top-k (0 = the entry points alone did). */
+  private final class StatsAcc(val topK: Int) {
+    var hops = 0
+    var stableAt = 0
+    var lastTop: Seq[Long] = Seq.empty
+  }
+
   /** The FULL visited set of the hot walk, sorted (dist, id) ascending —
     * [[hotQuery]] truncates it to top-k; the filtered serving path
     * ([[hotServeFiltered]]) filters it FIRST, exactly like the Spark
     * path's `eligible` restriction over `beamVisited`. */
   private def hotVisited(h: HotState, qe: Array[Float], beamWidth: Int,
-                         hops: Int, entries: Seq[Long] = Seq.empty): Seq[(Long, Double)] = {
+                         hops: Int, entries: Seq[Long] = Seq.empty,
+                         stats: StatsAcc = null): Seq[(Long, Double)] = {
     val starts = (if (entries.nonEmpty) entries else h.entries).distinct.sorted
     def dist(id: Long): Double = {
       val v = h.vecs.get(id)
@@ -496,6 +527,10 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     }
     val visited = scala.collection.mutable.HashMap[Long, Double]()
     starts.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
+    def topIds(): Seq[Long] =
+      visited.toSeq.sortBy { case (id, d) => (d, id) }
+        .take(stats.topK).map(_._1)
+    if (stats != null) stats.lastTop = topIds()
     var hop = 0
     var open = true
     while (hop < hops && open) {
@@ -507,6 +542,11 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       open = fresh.nonEmpty
       fresh.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
       hop += 1
+      if (stats != null && open) {
+        stats.hops = hop
+        val t = topIds()
+        if (t != stats.lastTop) { stats.stableAt = hop; stats.lastTop = t }
+      }
     }
     visited.toSeq.sortBy { case (id, d) => (d, id) }
   }

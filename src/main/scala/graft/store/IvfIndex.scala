@@ -32,6 +32,7 @@ object IvfIndex {
 final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
 
   private def centroidPath = s"$path/_centroids"
+  private def sq8Path = s"$path/_sq8"
   private def dataPath = s"$path/data"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
@@ -76,6 +77,18 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         v, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
       val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "cemb")
+      // SQ8 sidecar: per-dim (min, max) over the build input — dim rows of
+      // driver-resident metadata, frozen until the next rebuild (codes from
+      // later appendBatch calls must stay comparable). One map-side-partial
+      // aggregate pass; the codes column it parameterizes shrinks the
+      // quantized probe's scan to 1 byte/dim vs the raw float's 4.
+      val sq8 = v.select(posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val sq8Df = spark.createDataFrame(sq8.toSeq).toDF("d", "mn", "mx")
+      val mn = sq8.map(_._2); val mx = sq8.map(_._3)
       new java.io.File(dataPath).mkdirs()
       val staleBatches = StoreIO.committedBatchDirs(dataPath)
         .filter(_.getName != "batch=0")
@@ -85,8 +98,11 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
           st => centDf.write.mode("overwrite").parquet(st)),
+        StoreIO.Staged(s"$path/__stage_sq8", sq8Path,
+          st => sq8Df.write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
           st => v.withColumn("cell", cellCol(cents, col("emb")))
+            .withColumn("codes", VF.sq8Encode(col("emb"), mn, mx))
             .write.mode("overwrite").partitionBy("cell").parquet(st))) ++
         (if (allTsDirs.isEmpty) Seq.empty
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
@@ -99,6 +115,16 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private def centroids(): Array[(Long, Array[Float])] =
     spark.read.parquet(centroidPath).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+
+  /** Frozen per-dim SQ8 stats (mn, mx arrays in dim order) — None for an
+    * index built before the codes column existed (rebuild to add it). */
+  private def sq8Stats(): Option[(Array[Double], Array[Double])] =
+    if (!new java.io.File(s"$sq8Path/_SUCCESS").exists()) None
+    else {
+      val rows = spark.read.parquet(sq8Path).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      Some((rows.map(_._2), rows.map(_._3)))
+    }
 
   /** The index's row schema minus the cell/batch partition columns, cached
     * per instance and read from ONE committed batch dir: [[appendBatch]]
@@ -157,7 +183,13 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       require(aligned.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() before re-adding deleted vectors")
     }
-    aligned
+    // codes recompute against the FROZEN build-time stats (alignToSchema
+    // null-filled the column; every batch must quantize through the same
+    // grid or cross-batch code distances stop meaning anything)
+    val coded = sq8Stats().fold(aligned) { case (mn, mx) =>
+      aligned.withColumn("codes", VF.sq8Encode(col("emb"), mn, mx))
+    }
+    coded
       .withColumn("cell", cellCol(cents, col("emb")))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dataPath/batch=${batchId + 1}")
@@ -568,6 +600,60 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .orderBy(asc("distance"), asc("id"))
       .limit(k)
       // partition-dir type inference reads `cell` back as INT; pin to LONG
+      .select(col("id") +: include.map(col) :+
+        col("cell").cast("long").as("cell") :+ col("distance"): _*)
+  }
+
+  /** Phase 1 of [[queryQuantized]] as a lazy frame — the CODES-ONLY pruned
+    * scan (id, qdist), exposed so specs can pin its plan: the scan's
+    * ReadSchema must carry `codes` and NOT `emb` (column pruning is the
+    * whole point — 1 byte/dim instead of 4 off disk). */
+  private[graft] def codesShortlist(qe: Array[Float], nprobe: Int,
+                                    shortlist: Int,
+                                    where: Option[Column] = None): DataFrame = {
+    val (mn, mx) = sq8Stats().getOrElse(
+      sys.error(s"index at $path has no SQ8 sidecar — rebuild with build()"))
+    val qb = graft.functions.Sq8Encode.encode(qe, mn, mx)
+    val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    val pruned = spark.read.parquet(dataPath)
+      .filter(col("cell").isin(cells: _*))
+    val base = tombstones().fold(pruned)(ts =>
+      pruned.join(broadcast(ts), Seq("id"), "left_anti"))
+    where.foldLeft(base)(_ filter _)
+      .select(col("id"), VF.sq8L2(col("codes"), lit(qb)).as("qdist"))
+      .orderBy(asc("qdist"), asc("id"))
+      .limit(shortlist)
+  }
+
+  /** [[query]] through the SQ8 codes — the 100 TB scan path: phase 1 ranks
+    * the probed cells by EXACT integer L2 over the 1-byte/dim codes column
+    * (the raw float column never leaves disk — 4x less scan traffic,
+    * column-pruning plan-asserted in IvfIndexSpec), phase 2 re-ranks the
+    * `shortlist` survivors by exact float L2 through an In-pushed point
+    * read of the raw column. With `shortlist` >= the probed cells'
+    * population the result is EXACTLY [[query]]'s (spec-pinned); at
+    * bounded depth it is the standard quantize-then-rerank trade
+    * (recall curve in IvfIndexSpec). The shortlist id collect is bounded
+    * by `shortlist` — never corpus-sized. */
+  def queryQuantized(qe: Array[Float], k: Int, nprobe: Int,
+                     shortlist: Int = 256,
+                     where: Option[Column] = None,
+                     include: Seq[String] = Nil): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val shortIds = codesShortlist(qe, nprobe, shortlist, where)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    val pruned = spark.read.parquet(dataPath)
+      .filter(col("cell").isin(cells: _*))
+      .filter(col("id").isin(shortIds: _*))
+    val base = tombstones().fold(pruned)(ts =>
+      pruned.join(broadcast(ts), Seq("id"), "left_anti"))
+    where.foldLeft(base)(_ filter _)
+      .withColumn("distance", VF.l2Sq(col("emb"), typedlit(qe)))
+      .orderBy(asc("distance"), asc("id"))
+      .limit(k)
       .select(col("id") +: include.map(col) :+
         col("cell").cast("long").as("cell") :+ col("distance"): _*)
   }

@@ -957,7 +957,15 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * ciphertext extraction included, the moment its tombstone commits). */
   private def liveRaw(name: String): DataFrame = {
     StoreIO.recover(encMarker(name))
-    val raw = spark.read.parquet(path(name))
+    // indexed layouts are batch-keyed (batch=N/cell=M): read only the
+    // COMMITTED batch dirs, so a crashed half-written streaming append is
+    // never served (flat layouts have no batch dirs and read whole-tree —
+    // they are swapped atomically)
+    val batchDirs = StoreIO.committedBatchDirs(path(name))
+    val raw =
+      if (batchDirs.isEmpty) spark.read.parquet(path(name))
+      else spark.read.option("basePath", path(name))
+        .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
     encTombstones(name).fold(raw)(ts =>
       raw.join(broadcast(ts), Seq("id"), "left_anti"))
   }
@@ -1047,14 +1055,29 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   def compact(name: String): Unit = withEncLease(name, "EncryptedStore.compact") {
     StoreIO.recover(encMarker(name))
     val tsDirs = StoreIO.committedBatchDirs(tombstonePath(name))
-    if (tsDirs.nonEmpty) {
-      val live = liveRaw(name)
-      // an indexed layout keeps its cell partitioning through compaction
-      val w0 = live.write.mode("overwrite")
-      val w = if (live.columns.contains("cell")) w0.partitionBy("cell") else w0
+    val batchDirs = StoreIO.committedBatchDirs(path(name))
+    val live = liveRaw(name)
+    if (live.columns.contains("cell")) {
+      // indexed layout: fold every streaming batch dir AND the pending
+      // tombstones into one merged batch=0 tree; the append fence advances
+      // to the highest folded batch id IN THE SAME commit, so a replayed
+      // micro-batch cannot re-land rows the merge already carries
+      if (tsDirs.nonEmpty || batchDirs.length > 1) {
+        val maxBatch = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
+          .foldLeft(encAppendHwm(name))(math.max)
+        val folded = live.drop("batch")
+        StoreIO.commitStaged(Seq(
+          StoreIO.Staged(s"${path(name)}__stage", path(name),
+            st => folded.write.mode("overwrite").partitionBy("cell")
+              .parquet(s"$st/batch=0")),
+          StoreIO.Staged(s"${encAppendHwmPath(name)}__stage", encAppendHwmPath(name),
+            st => StoreIO.writeLongFile(st, maxBatch))),
+          encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq)
+      }
+    } else if (tsDirs.nonEmpty) {
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${path(name)}__stage", path(name),
-          st => w.parquet(st))),
+          st => live.write.mode("overwrite").parquet(st))),
         encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq)
     }
   }
@@ -1070,6 +1093,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     }
 
   private def encCentroidPath(name: String) = s"$basePath/__enc_centroids/$name"
+  private def encSq8Path(name: String) = s"$basePath/__enc_sq8/$name"
 
   /** The reference's CORE promise — encrypted vector SEARCH, not just
     * encrypted vector storage (cyborgdb_store.py:1-11 markets exactly
@@ -1102,17 +1126,112 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
           .toDF("cid", "cemb")
           .select(col("cid"), encrypt(to_json(col("cemb"))).as("cemb_ct"))
+        // SQ8 sidecar, ENCRYPTED like the centroids: plaintext codes beside
+        // ciphertext would hand the attacker the quantized geometry — the
+        // exact leak the store exists to prevent. codes_ct rows are ~1/7 the
+        // ciphertext of the JSON-float emb_ct, so the quantized probe
+        // decrypts that much less per candidate.
+        val sq8 = v.select(posexplode(col("emb")).as(Seq("d", "x")))
+          .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
+            max(col("x").cast("double")).as("mx"))
+          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+          .sortBy(_._1)
+        val mn = sq8.map(_._2); val mx = sq8.map(_._3)
+        val sq8Df = spark.createDataFrame(Seq(
+            (mn.mkString("[", ",", "]"), mx.mkString("[", ",", "]"))))
+          .toDF("mn_j", "mx_j")
+          .select(encrypt(col("mn_j")).as("mn_ct"), encrypt(col("mx_j")).as("mx_ct"))
         StoreIO.commitStaged(Seq(
           StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
             st => centDf.write.mode("overwrite").parquet(st)),
+          StoreIO.Staged(s"${encSq8Path(name)}__stage", encSq8Path(name),
+            st => sq8Df.write.mode("overwrite").parquet(st)),
           StoreIO.Staged(s"${path(name)}__stage", path(name),
+            // batch=0 level so streaming appendIndexedBatch shares one
+            // uniform (batch, cell) tree with the build
             st => v.withColumn("cell", VF.nearestCentroid(col("emb"), cents))
               .select(col("id"), col("cell"),
                 encrypt(col("doc")).as("doc_ct"),
-                encrypt(to_json(col("emb"))).as("emb_ct"))
-              .write.mode("overwrite").partitionBy("cell").parquet(st))),
-          encMarker(name))
+                encrypt(to_json(col("emb"))).as("emb_ct"),
+                encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct"))
+              .write.mode("overwrite").partitionBy("cell").parquet(s"$st/batch=0"))),
+          encMarker(name),
+          // a REBUILD resets the append fence: the old generation's folded
+          // batch ids must not fence a new stream starting from batch 0
+          cleanup = Seq(encAppendHwmPath(name)))
       } finally v.unpersist(): Unit
+    }
+
+  // append replay fence for the indexed encrypted layout: highest batch
+  // dir index already FOLDED by compact() — a checkpointed micro-batch
+  // replayed after compaction merged its dir must not re-land its rows
+  // (they already live in the merged batch=0). Monotone stream batch ids
+  // make "id <= hwm" exactly "already physically applied".
+  private def encAppendHwmPath(name: String) = s"$basePath/__enc_append_hwm_$name"
+  private def encAppendHwm(name: String): Long =
+    StoreIO.readLongFile(encAppendHwmPath(name), 0L)
+
+  /** Batch-keyed encrypted append into a [[storeIndexed]] collection — the
+    * streaming ingest path ([[graft.streaming.StreamOps.maintainEncrypted]]):
+    * rows assign against the EXISTING encrypted centroids, quantize against
+    * the frozen SQ8 grid, encrypt, and land under this batch's OWN
+    * directory (`batch=<id+1>/cell=...`). Replaying a micro-batch
+    * overwrites the same directory (idempotent; at-least-once stream →
+    * exactly-once ciphertext contents), the compaction high-water mark
+    * fences replays of already-folded batches, and fresh batches refuse
+    * tombstoned or duplicate ids exactly like [[add]]/IvfIndex.appendBatch.
+    * Queries stay cell-pruned throughout — `cell` remains a partition
+    * column at every batch level. */
+  def appendIndexedBatch(rows: DataFrame, name: String, batchId: Long): Unit =
+    withEncLease(name, "EncryptedStore.appendIndexed") {
+      require(batchId >= 0, "batchId must be non-negative")
+      if (batchId + 1 > encAppendHwm(name)) {
+        val cents = centroidsOf(name)
+        require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+        val (mn, mx) = sq8StatsOf(name).getOrElse(
+          sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
+        val incoming0 = StoreIO.dedupById(
+          rows.select(col("id").cast(StringType).as("id"), col("doc"), col("emb")),
+          Seq("doc", "emb"))
+        val dir = s"${path(name)}/batch=${batchId + 1}"
+        val isReplay = new java.io.File(dir).exists()
+        if (!isReplay) encTombstones(name).foreach { ts =>
+          require(incoming0.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
+            "batch re-adds tombstoned ids — run compact() before re-adding deleted ids")
+        }
+        // duplicate-id rejection against the PHYSICAL store (plaintext id
+        // column only — ciphertext untouched); a replay skips it, since its
+        // own previous write would collide every row away
+        val incoming =
+          if (isReplay) incoming0
+          else {
+            // physical ids from COMMITTED batch dirs only (same discipline
+            // as liveRaw — a crashed partial dir must not veto fresh rows)
+            val dirs = StoreIO.committedBatchDirs(path(name))
+            val collisions = spark.read.option("basePath", path(name))
+              .parquet(dirs.map(_.getPath).toIndexedSeq: _*).select("id")
+              .join(broadcast(incoming0.select("id")), Seq("id"), "left_semi")
+            incoming0.join(collisions, Seq("id"), "left_anti")
+          }
+        incoming
+          .withColumn("cell", VF.nearestCentroid(col("emb"), cents))
+          .select(col("id"), col("cell"),
+            encrypt(col("doc")).as("doc_ct"),
+            encrypt(to_json(col("emb"))).as("emb_ct"),
+            encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      }
+    }
+
+  /** Decrypted SQ8 grid of an indexed collection (key holders only). */
+  private def sq8StatsOf(name: String): Option[(Array[Double], Array[Double])] =
+    if (!new java.io.File(s"${encSq8Path(name)}/_SUCCESS").exists()) None
+    else {
+      val r = spark.read.parquet(encSq8Path(name))
+        .select(from_json(decryptStr(col("mn_ct")), ArrayType(DoubleType)).as("mn"),
+          from_json(decryptStr(col("mx_ct")), ArrayType(DoubleType)).as("mx"))
+        .head()
+      Some((r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
     }
 
   /** Decrypted centroids of an indexed collection (key holders only). */
@@ -1145,6 +1264,63 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
       .withColumn("emb", from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)))
       .withColumn("distance", VF.l2Sq(col("emb"), q))
+      .orderBy(asc("distance"), asc("id"))
+      .limit(k)
+      .select(col("id"), decryptStr(col("doc_ct")).as("doc"), col("distance"))
+  }
+
+  /** Phase 1 of [[queryIndexedQuantized]] as a lazy frame, exposed for the
+    * plan assert: its scan must read (id, codes_ct) and neither emb_ct nor
+    * doc_ct — the full-fat ciphertext stays on disk until the rerank. */
+  private[graft] def encCodesShortlist(name: String, queryEmb: Array[Float],
+                                       nprobe: Int, shortlist: Int): DataFrame = {
+    val (mn, mx) = sq8StatsOf(name).getOrElse(
+      sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
+    val qb = graft.functions.Sq8Encode.encode(queryEmb, mn, mx)
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val cells = cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    liveRaw(name)
+      .filter(col("cell").isin(cells: _*))
+      .select(col("id"),
+        VF.sq8L2(unbase64(decryptStr(col("codes_ct"))), lit(qb)).as("qdist"))
+      .orderBy(asc("qdist"), asc("id"))
+      .limit(shortlist)
+  }
+
+  /** [[queryIndexed]] through the encrypted SQ8 codes — cell pruning AND
+    * quantized candidate ranking on the encrypted store: phase 1 decrypts
+    * only the compact codes_ct of the probed cells (~1/7 the bytes of the
+    * JSON-float emb_ct) and ranks by exact integer L2; phase 2 decrypts
+    * the full embedding for the `shortlist` survivors only and re-ranks
+    * exactly. With `shortlist` >= the probed cells' population the answer
+    * IS [[queryIndexed]]'s (spec-pinned). At 100 TB the per-query decrypt
+    * cost drops from nprobe/numCells of the full ciphertext to
+    * nprobe/numCells of the codes plus a bounded-shortlist point read. */
+  def queryIndexedQuantized(name: String, queryEmb: Array[Float], k: Int,
+                            nprobe: Int, shortlist: Int = 256): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val shortIds = encCodesShortlist(name, queryEmb, nprobe, shortlist)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val cents = centroidsOf(name)
+    def l2sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+    val cells = cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
+      .sorted.take(nprobe).map(_._2).toSeq
+    liveRaw(name)
+      .filter(col("cell").isin(cells: _*))
+      .filter(col("id").isin(shortIds: _*))
+      .withColumn("emb", from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)))
+      .withColumn("distance", VF.l2Sq(col("emb"), typedlit(queryEmb)))
       .orderBy(asc("distance"), asc("id"))
       .limit(k)
       .select(col("id"), decryptStr(col("doc_ct")).as("doc"), col("distance"))
@@ -1216,21 +1392,49 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     // along untouched (still excluded at read, still purged at compact)
     val raw = spark.read.parquet(path(name))
     val indexed = raw.columns.contains("cell")
+    // codes_ct rotates as the base64 TEXT it encrypts (decryptStr yields
+    // the base64 string back) — the code bytes themselves are untouched
+    val hasCodes = raw.columns.contains("codes_ct")
+    // an indexed layout's streaming batch dirs FOLD into batch=0 here —
+    // rotation rewrites every row anyway — and the append fence advances
+    // past the folded ids in the same commit (a micro-batch replayed
+    // after rotation folded its dir must not re-land rows)
+    val hasBatch = raw.columns.contains("batch")
     val reEnc = raw.select(
       (col("id") +: (if (indexed) Seq(col("cell")) else Nil)) ++ Seq(
         next.encrypt(decryptStr(col("doc_ct"))).as("doc_ct"),
-        next.encrypt(decryptStr(col("emb_ct"))).as("emb_ct")): _*)
+        next.encrypt(decryptStr(col("emb_ct"))).as("emb_ct")) ++
+        (if (hasCodes) Seq(next.encrypt(decryptStr(col("codes_ct"))).as("codes_ct"))
+         else Nil): _*)
     if (indexed) {
-      // an indexed layout rotates rows AND the centroid sidecar, keeping
-      // the cell partitioning (queryIndexed must stay partition-pruned
-      // under the new key)
+      // an indexed layout rotates rows AND the sidecars (centroids, SQ8
+      // grid), keeping the cell partitioning (queryIndexed must stay
+      // partition-pruned under the new key)
       val cents = spark.read.parquet(encCentroidPath(name)).select(
         col("cid"), next.encrypt(decryptStr(col("cemb_ct"))).as("cemb_ct"))
+      val sq8Stages =
+        if (!new java.io.File(s"${encSq8Path(name)}/_SUCCESS").exists()) Seq.empty
+        else Seq(StoreIO.Staged(s"${encSq8Path(name)}__stage", encSq8Path(name),
+          st => spark.read.parquet(encSq8Path(name))
+            .select(next.encrypt(decryptStr(col("mn_ct"))).as("mn_ct"),
+              next.encrypt(decryptStr(col("mx_ct"))).as("mx_ct"))
+            .write.mode("overwrite").parquet(st)))
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
           st => cents.write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"${path(name)}__stage", path(name),
-          st => reEnc.write.mode("overwrite").partitionBy("cell").parquet(st))),
+          st => reEnc.write.mode("overwrite").partitionBy("cell")
+            .parquet(if (hasBatch) s"$st/batch=0" else st))) ++
+        sq8Stages ++
+        (if (!hasBatch) Seq.empty
+         else {
+           val maxBatch = StoreIO.committedBatchDirs(path(name))
+             .map(_.getName.stripPrefix("batch=").toLong)
+             .foldLeft(encAppendHwm(name))(math.max)
+           Seq(StoreIO.Staged(s"${encAppendHwmPath(name)}__stage",
+             encAppendHwmPath(name),
+             st => StoreIO.writeLongFile(st, maxBatch)))
+         }),
         encMarker(name))
     } else StoreIO.stageAndSwap(reEnc, path(name))
     next

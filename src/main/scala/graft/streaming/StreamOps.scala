@@ -210,6 +210,34 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** [[maintainIvfIndex]]'s ENCRYPTED twin — streaming ingest into the
+    * reference's secure path (cyborgdb_store.py:1-11): each micro-batch
+    * hash-embeds, then
+    * [[graft.store.EncryptedStore.appendIndexedBatch]] assigns it against
+    * the collection's encrypted centroid sidecar, quantizes against the
+    * frozen SQ8 grid, encrypts (GCM, random IV per row), and lands it
+    * under a batch-keyed cell-partitioned dir UNDER THE WRITER LEASE.
+    * Replaying a checkpointed batch overwrites its own dir and the
+    * compaction fence drops post-fold replays, so an at-least-once stream
+    * yields exactly-once ciphertext contents; [[graft.store.EncryptedStore.queryIndexed]]
+    * stays cell-pruned while the stream runs. */
+  def maintainEncrypted(spark: SparkSession, srcDir: String,
+      store: graft.store.EncryptedStore, name: String, checkpoint: String,
+      dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .select(col("doc_id").cast(StringType).as("id"), col("text").as("doc"),
+        TF.tokens(col("text")).as("toks"))
+      .select(col("id"), col("doc"), TF.hashEmbed(col("toks"), dim).as("emb"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        store.appendIndexedBatch(batch, name, id)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[maintainIvfIndex]]'s graph twin: drain a document stream into a
     * prebuilt [[graft.store.GraphIndex]] — each micro-batch hash-embeds and
     * [[graft.store.GraphIndex.insert]]s, which wires the new nodes into the

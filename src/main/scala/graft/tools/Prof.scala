@@ -60,13 +60,14 @@ object Prof {
     case Some("shingle") => shingle(args.drop(1))
     case Some("scale") => scale(args.drop(1))
     case Some("serve") => serve(args.drop(1))
+    case Some("sq8serve") => sq8serve(args.drop(1))
     case Some("mine") => mine(args.drop(1))
     case Some("delstress") => delstress(args.drop(1))
     case Some("bpe") => bpe(args.drop(1))
     case Some("qualitytrain") => qualitytrain(args.drop(1))
     case Some("encserve") => encserve(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|mine|delstress|bpe|qualitytrain|encserve")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|mine|delstress|bpe|qualitytrain|encserve")
   }
 
   /** Encrypted cell-pruned serving at scale (EncryptedStore.storeIndexed /
@@ -198,6 +199,37 @@ object Prof {
     * O(hops·beam·k) rows via In-pruned point reads, and an insert touches
     * O(|batch|·bucket) candidates. Compare across /tmp/scale20 vs
     * /tmp/scale100 runs. */
+  /** SQ8 probe path of the persistent IvfIndex at scale: build (includes
+    * the stats pass + codes column), then warm raw probe vs warm quantized
+    * probe (codes shortlist + exact rerank). Cells scale with the corpus
+    * (~2k rows/cell) so both probes read a ~fixed row count per cell and
+    * the pass criterion across /tmp/scale20 vs /tmp/scale100 is ~FLAT
+    * probe times; the quantized probe's phase-1 bytes are the codes
+    * column's (3.7x smaller on disk, IvfIndexSpec). */
+  private def sq8serve(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val nTag = s"(n=$n)"
+    val cells = math.max(16, (n / 2048L).toInt)
+    val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val base = java.nio.file.Files.createTempDirectory("scale_sq8idx").toString
+    val idx = new graft.store.IvfIndex(s, base, cells)
+    time("sq8_build", nTag)(idx.build(corpus))
+    time("sq8_raw_cold", nTag)(idx.query(qe, 5, 4).collect())
+    (1 to 3).foreach { i =>
+      time(s"sq8_raw_warm$i", nTag)(idx.query(qe, 5, 4).collect())
+    }
+    time("sq8_quant_cold", nTag)(idx.queryQuantized(qe, 5, 4, shortlist = 64).collect())
+    (1 to 3).foreach { i =>
+      time(s"sq8_quant_warm$i", nTag)(idx.queryQuantized(qe, 5, 4, shortlist = 64).collect())
+    }
+    s.stop()
+  }
+
   private def serve(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale20")
     val s = session(32)
@@ -226,6 +258,17 @@ object Prof {
     val probes = corpus.orderBy("id").limit(16).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
     time("gidx_batch16", nTag)(idx.queryBatch(probes, 5, 4, 6).collect())
+    // hop-count curve (r6 verdict): does fixed-entry routing degrade as
+    // the graph grows? Report mean walk stats over the probe panel —
+    // hops executed, nodes scored (per-query cost), and the hop after
+    // which the final top-5 stopped changing (routing depth). Growth of
+    // stableAt across scale20 -> scale100 is the signal that HNSW-style
+    // entry layers would pay for themselves.
+    val ws = probes.map { case (_, pe) => idx.hotQueryStats(pe, 5, 4, 6)._2 }
+    def mean(f: graft.store.GraphIndex.WalkStats => Int): Double =
+      ws.map(f(_).toDouble).sum / ws.size
+    println(f"PROF gidx_walkstats              hops=${mean(_.hopsExecuted)}%.1f " +
+      f"scored=${mean(_.nodesScored)}%.0f stableAt=${mean(_.topKStableAt)}%.1f $nTag")
     // fixed-size insert batch with fresh ids: cost must track the BATCH,
     // not the corpus
     val maxId = corpus.agg(max("id")).head().getLong(0)

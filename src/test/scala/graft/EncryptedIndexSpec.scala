@@ -97,4 +97,98 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
       s"rotation must keep the cell partitioning:\n$plan2")
     intercept[Exception] { got(es.queryIndexed("c", probe(5), k = 8, nprobe = 4)) }
   }
+
+  test("SQ8 codes route: full-depth == queryIndexed, codes-only phase-1 scan, survives rotation") {
+    val es = new EncryptedStore(spark, tmp("enc_sq8"), Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6)
+
+    // full shortlist depth: the quantized route IS queryIndexed (the
+    // rerank decrypts every probed-cell row, so code error cannot bite)
+    val raw = got(es.queryIndexed("c", probe(7), k = 10, nprobe = 2))
+    val quant = got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 2, shortlist = 300))
+    assert(quant == raw, "full-depth quantized encrypted probe must equal queryIndexed")
+
+    // bounded depth stays exact here (codes separate these vectors well)
+    val q32 = got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 2, shortlist = 32))
+    assert(q32.map(_._1).toSet.intersect(raw.map(_._1).toSet).size >= 8,
+      "depth-32 recall collapsed on fixture data")
+
+    // phase 1 reads (id, codes_ct) ONLY: the full-fat emb_ct/doc_ct
+    // ciphertext never leaves disk until the bounded rerank
+    val p = es.encCodesShortlist("c", probe(7), nprobe = 2, shortlist = 32)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("codes_ct"), s"phase 1 must read codes_ct:\n$p")
+    assert(!readSchema.contains("emb_ct") && !readSchema.contains("doc_ct"),
+      s"phase 1 must NOT read emb_ct/doc_ct:\n$p")
+
+    // deletes hit the codes route immediately
+    val victim = raw.head._1
+    es.delete("c", Seq(victim))
+    val afterDel = got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 2, shortlist = 300))
+    assert(!afterDel.exists(_._1 == victim), "deleted id must not surface via codes")
+
+    // rotation re-encrypts codes_ct and the SQ8 sidecar: same answers
+    // under the new key, old key locked out
+    val es2 = es.rotateKey("c", "fedcba9876543210")
+    assert(got(es2.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 2, shortlist = 300)) == afterDel,
+      "rotated store must serve identical quantized answers")
+    intercept[Exception] {
+      got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 2, shortlist = 300))
+    }
+  }
+
+  test("streaming encrypted ingest: stream == batch (decrypted), replay-idempotent, fenced, tombstoned") {
+    import graft.functions.{TextFunctions => TF}
+    def docRows(r: Range) = r.map(i =>
+      (i.toLong, s"confidential record $i about topic ${i % 7}", "en", "demo", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def asStoreRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id").cast("string").as("id"), col("text").as("doc"),
+        TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    def decrypted(es: graft.store.EncryptedStore) =
+      es.open("c").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2).toSeq))
+        .sortBy(_._1).toSeq
+
+    // batch-built truth: every row through storeIndexed in one shot
+    val esA = new graft.store.EncryptedStore(spark, tmp("enc_strA"), Key)
+    esA.storeIndexed(asStoreRows(docRows(1 to 120)), "c", numCells = 4)
+
+    // stream-maintained: seed with the first 80, drain the remaining 40
+    // from a parquet source through maintainEncrypted (AvailableNow)
+    val esB = new graft.store.EncryptedStore(spark, tmp("enc_strB"), Key)
+    esB.storeIndexed(asStoreRows(docRows(1 to 80)), "c", numCells = 4)
+    val src = tmp("enc_src")
+    docRows(81 to 100).write.mode("append").parquet(src)
+    docRows(101 to 120).write.mode("append").parquet(src)
+    val q = graft.streaming.StreamOps.maintainEncrypted(
+      spark, src, esB, "c", tmp("enc_ckpt"))
+    q.awaitTermination()
+    // decrypted CONTENT equality — layout (cells/batches) legitimately
+    // differs (centroids trained on different seeds), the data must not
+    assert(decrypted(esB) == decrypted(esA),
+      "stream-maintained store must decrypt to the batch-built contents")
+    // and the streamed rows serve cell-pruned: full-probe == brute force
+    assert(got(esB.queryIndexed("c", probe(3), k = 8, nprobe = 4)) ==
+      got(esB.query("c", probe(3), k = 8)),
+      "full-probe indexed query must equal brute force after streaming")
+
+    // replay idempotence: re-delivering a micro-batch (same batch id)
+    // leaves the decrypted contents bit-identical
+    val before = decrypted(esB)
+    esB.appendIndexedBatch(asStoreRows(docRows(101 to 120)), "c", batchId = 1L)
+    assert(decrypted(esB) == before, "batch replay must be idempotent")
+
+    // compaction fence: a replay arriving AFTER compact folded its dir is
+    // dropped (no duplicate rows, contents unchanged)
+    esB.compact("c")
+    esB.appendIndexedBatch(asStoreRows(docRows(101 to 120)), "c", batchId = 1L)
+    assert(decrypted(esB) == before, "post-compact replay must be fenced")
+
+    // tombstones reach streamed rows: delete one, every surface drops it
+    esB.delete("c", Seq("110"))
+    assert(!esB.extractSecure("c").collect().map(_.getString(0)).contains("110"))
+    assert(!got(esB.queryIndexed("c", probe(3), k = 120, nprobe = 4)).exists(_._1 == "110"))
+  }
 }

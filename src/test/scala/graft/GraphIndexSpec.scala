@@ -315,4 +315,20 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     assert(hit.getDouble(1) < median,
       s"beam should navigate below the median distance ${median}, got ${hit.getDouble(1)}")
   }
+
+  test("hotQueryStats: identical answers to hotQuery, sane walk diagnostics") {
+    val idx = new GraphIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_gidx_ws").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _))
+    idx.build(all, refineRounds = 1)
+    val plain = idx.hotQuery(probe, topK = 5, beamWidth = 4, hops = 6)
+    val (instr, ws) = idx.hotQueryStats(probe, topK = 5, beamWidth = 4, hops = 6)
+    assert(instr == plain, "instrumented walk must return hotQuery's exact answer")
+    info(s"walk stats: $ws")
+    assert(ws.hopsExecuted >= 1 && ws.hopsExecuted <= 6)
+    assert(ws.topKStableAt <= ws.hopsExecuted,
+      "top-k cannot stabilize after the last executed hop")
+    assert(ws.nodesScored >= instr.size && ws.nodesScored <= all.count(),
+      "scored count is bounded by the corpus and at least the answer")
+  }
 }

@@ -5,6 +5,8 @@ import graft.store.IvfIndex
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 class IvfIndexSpec extends AnyFunSuite with SparkTest {
 
   test("cell-partitioned IVF: partition pruning + correct within-cell top-k") {
@@ -245,5 +247,87 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     idx.build(vectors) // rebuild over the same data
     val r2 = idx.query(qe, 3, 2).collect().map(_.toSeq).toSeq
     assert(r1 == r2)
+  }
+
+  test("SQ8 codes path: full-depth == raw probe, codes-only scan, 4x smaller column") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 16)
+    idx.build(vectors)
+    val n = vectors.count().toInt
+    val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+
+    // 1. at full shortlist depth the quantized route IS query() — the
+    //    rerank covers every probed-cell row, so quantization error cannot
+    //    change the answer
+    val raw = idx.query(qe, k = 5, nprobe = 4).collect().map(_.toSeq).toSeq
+    val quant = idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = n)
+      .collect().map(_.toSeq).toSeq
+    assert(quant == raw, "full-depth quantized probe must equal the raw probe")
+
+    // 2. phase 1 reads ONLY the codes column: ReadSchema carries codes,
+    //    never emb (the 4x scan-traffic claim is column pruning)
+    val p = idx.codesShortlist(qe, nprobe = 4, shortlist = 64)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("codes"), s"codes scan must read codes:\n$p")
+    assert(!readSchema.contains("emb"), s"codes scan must NOT read emb:\n$p")
+
+    // 3. on-disk codes column is >= 3x smaller than the raw float column
+    //    (exact parquet column-chunk compressed sizes from the footers;
+    //    1 byte/dim vs 4, minus container overhead)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def columnBytes(prefix: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(s"$base/data")).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString.startsWith(prefix))
+          .map(_.getTotalSize).sum
+        finally r.close()
+      }.sum
+    }
+    val embBytes = columnBytes("emb")
+    val codeBytes = columnBytes("codes")
+    info(s"on-disk column bytes: emb=$embBytes codes=$codeBytes " +
+      f"(${embBytes.toDouble / codeBytes}%.1fx)")
+    assert(codeBytes > 0 && embBytes >= 3L * codeBytes,
+      s"codes column must be >=3x smaller than emb ($codeBytes vs $embBytes)")
+
+    // 4. bounded shortlist: recall@5 vs the raw probe is high and monotone
+    //    in depth (the quantize-then-rerank tuning curve)
+    val rawIds = raw.map(_.head.asInstanceOf[Long]).toSet
+    def recallAt(depth: Int): Double = {
+      val ids = idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = depth)
+        .collect().map(_.getLong(0)).toSet
+      ids.intersect(rawIds).size / 5.0
+    }
+    val r16 = recallAt(16); val r64 = recallAt(64)
+    info(s"recall@5: depth16=$r16 depth64=$r64")
+    assert(r16 >= 0.6, s"depth-16 recall collapsed: $r16")
+    assert(r64 >= r16 && r64 >= 0.8, s"recall must improve with depth: $r16 -> $r64")
+
+    // 5. appended batches carry codes quantized through the FROZEN stats:
+    //    the full-depth equality still holds over build + append
+    val extra = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select((col("vec_id") + 100000L).as("id"), col("embedding").as("emb"))
+    idx.append(extra)
+    val n2 = n + extra.count().toInt
+    val raw2 = idx.query(qe, k = 5, nprobe = 4).collect().map(_.toSeq).toSeq
+    val quant2 = idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = n2)
+      .collect().map(_.toSeq).toSeq
+    assert(quant2 == raw2, "quantized probe must stay exact-at-depth after append")
+
+    // 6. pending tombstones stop being served on the quantized route too
+    val victim = raw2.head.head.asInstanceOf[Long]
+    idx.delete(Seq(victim))
+    val afterDel = idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = n2)
+      .collect().map(_.getLong(0)).toSet
+    assert(!afterDel.contains(victim), "deleted id must not surface via codes")
   }
 }
