@@ -436,6 +436,15 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
   /** Publish fingerprint: epoch ids, tombstone batch dirs, the replay
     * fence, and the tree mtimes (swaps rename into the parent, bumping
     * it) — every mutator changes at least one component. */
+  /** Publish fingerprint — the MULTI-PROCESS hot-tier contract: validity
+    * is decided per probe from SHARED on-disk state (epoch/tombstone dir
+    * names, the replay fence, sidecar mtimes), never from in-process
+    * events, so N serving replicas need no invalidation channel — a
+    * writer in ANY process lands a commit and every replica's next probe
+    * reloads (HotInvalidationSpec drives two instances over one path).
+    * The check is driver-side file metadata: no Spark job per probe. On
+    * object storage the same fingerprint is a LIST of the commit markers
+    * (their etags play the mtime role). */
   private def hotKey(): String = {
     val eps = epochs().sorted.mkString(",")
     val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")

@@ -440,6 +440,10 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
 
   @volatile private var hot: HotState = null
 
+  /** Publish fingerprint — see [[GraphIndex]]'s hotKey for the
+    * multi-process contract (HotInvalidationSpec): per-probe validity from
+    * shared on-disk state only, so serving replicas reload without any
+    * invalidation channel. */
   private def hotKey(): String = {
     val bs = StoreIO.committedBatchDirs(dataPath).map(_.getName).mkString(",")
     val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")

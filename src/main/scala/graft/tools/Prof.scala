@@ -61,13 +61,14 @@ object Prof {
     case Some("scale") => scale(args.drop(1))
     case Some("serve") => serve(args.drop(1))
     case Some("sq8serve") => sq8serve(args.drop(1))
+    case Some("dim384") => dim384(args.drop(1))
     case Some("mine") => mine(args.drop(1))
     case Some("delstress") => delstress(args.drop(1))
     case Some("bpe") => bpe(args.drop(1))
     case Some("qualitytrain") => qualitytrain(args.drop(1))
     case Some("encserve") => encserve(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|mine|delstress|bpe|qualitytrain|encserve")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve")
   }
 
   /** Encrypted cell-pruned serving at scale (EncryptedStore.storeIndexed /
@@ -199,6 +200,49 @@ object Prof {
     * O(hops·beam·k) rows via In-pruned point reads, and an insert touches
     * O(|batch|·bucket) candidates. Compare across /tmp/scale20 vs
     * /tmp/scale100 runs. */
+  /** Reference-dim envelope (r6 verdict item 7): the fixtures fix dim 64,
+    * the reference embeds at 384 (all-MiniLM-L6-v2, src/embeddings.py:3).
+    * Expand the stress corpus to 384 dims (six deterministic scaled tiles
+    * of each 64-dim vector — same row count, 6x the floats), land it as
+    * parquet so scans are real, and measure the kNN + IVF family at the
+    * reference's operating point. Pass criterion: ~linear in dim vs the
+    * same measurements at 64 (the kernels are per-dim loops; nothing in
+    * the plan shape depends on dim). */
+  private def dim384(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e64 = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e64.count()
+    val nTag = s"(n=$n dim=384)"
+    val tiles = (0 until 6).map { j =>
+      transform(col("embedding"), x => (x * lit(1.0f / (j + 1))).cast("float"))
+    }
+    val out = java.nio.file.Files.createTempDirectory("dim384").toString
+    time("d384_expand_write", nTag)(
+      e64.select(col("vec_id"), concat(tiles: _*).as("embedding"))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
+    val e = s.read.parquet(s"$out/embeddings.parquet")
+    val qe = e.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    (1 to 3).foreach { i =>
+      time(s"d384_knn_cosine$i", nTag)(
+        e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), VF.cosine(col("embedding"), typedlit(qe)).as("c"))
+          .orderBy(desc("c"), asc("vec_id")).limit(5).collect())
+    }
+    val cells = math.max(16, (n / 2048L).toInt)
+    val base = java.nio.file.Files.createTempDirectory("dim384_ivf").toString
+    val idx = new IvfIndex(s, base, cells)
+    time("d384_ivf_build", nTag)(
+      idx.build(e.select(col("vec_id").as("id"), col("embedding").as("emb"))))
+    (1 to 3).foreach { i =>
+      time(s"d384_ivf_probe$i", nTag)(idx.query(qe, 5, 4).collect())
+    }
+    (1 to 3).foreach { i =>
+      time(s"d384_sq8_probe$i", nTag)(idx.queryQuantized(qe, 5, 4, shortlist = 64).collect())
+    }
+    s.stop()
+  }
+
   /** SQ8 probe path of the persistent IvfIndex at scale: build (includes
     * the stats pass + codes column), then warm raw probe vs warm quantized
     * probe (codes shortlist + exact rerank). Cells scale with the corpus

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Multi-process hot-tier contract (r6 verdict item 8): the hot tier is a
+ * per-JVM singleton, but its validity is decided per probe by a publish
+ * FINGERPRINT computed from shared on-disk state (committed batch/epoch
+ * dir names, tombstone dirs, the compaction high-water mark, sidecar
+ * mtimes) — never from in-process events. So N serving replicas need no
+ * invalidation channel: a writer (any process) lands a commit, every
+ * replica's next probe sees a changed fingerprint and reloads. The
+ * fingerprint check is driver-side file metadata — no Spark job per probe.
+ *
+ * Two index INSTANCES over the same path are exactly two processes as far
+ * as the hot tier is concerned (each holds an independent @volatile state,
+ * they share only the disk), so the spec drives instance A's hot path
+ * while instance B mutates.
+ */
+class HotInvalidationSpec extends AnyFunSuite with SparkTest {
+
+  private def vecs(r: Range) = {
+    import spark.implicits._
+    r.map(i => (i.toLong, Array.tabulate(64)(j => ((i * 37 + j * 11) % 101).toFloat / 101f)))
+      .toDF("id", "emb")
+  }
+
+  private def probe(i: Int): Array[Float] =
+    Array.tabulate(64)(j => ((i * 37 + j * 11) % 101).toFloat / 101f)
+
+  test("IvfIndex: instance A's warm hot tier sees instance B's append and delete") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hotinv_ivf").toString
+    val a = new graft.store.IvfIndex(spark, base, numCells = 4)
+    a.build(vecs(1 to 200))
+    val warm = a.hotQuery(probe(7), k = 5, nprobe = 4)
+    assert(warm.nonEmpty)
+
+    // "another process" appends a batch that contains the probe itself
+    val b = new graft.store.IvfIndex(spark, base, numCells = 4)
+    b.append(vecs(1000 to 1010)
+      .union(vecs(7 to 7).select((col("id") + 2000L).as("id"), col("emb"))))
+    val afterAppend = a.hotQuery(probe(7), k = 5, nprobe = 4)
+    assert(afterAppend.map(_._1).contains(2007L),
+      s"A's hot tier must reload after B's append, got ${afterAppend.map(_._1)}")
+    assert(afterAppend == b.hotQuery(probe(7), k = 5, nprobe = 4),
+      "both replicas must serve the same answer from the same publish")
+
+    // and B's delete disappears from A's hot path at the next probe
+    val victim = afterAppend.head._1
+    b.delete(Seq(victim))
+    assert(!a.hotQuery(probe(7), k = 5, nprobe = 4).map(_._1).contains(victim),
+      "A's hot tier must drop B's tombstoned id")
+  }
+
+  test("GraphIndex: instance A's warm hot tier sees instance B's insert") {
+    val bucket: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      e => (0 until 6).map { p =>
+        when(graft.functions.VectorFunctions.dot(e,
+          typedlit(graft.queries.AnnQueries.plane(p))) >= 0, lit(1L << p))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+    val base = java.nio.file.Files.createTempDirectory("graft_hotinv_g").toString
+    val a = new graft.store.GraphIndex(spark, base, 4, Seq(bucket))
+    a.build(vecs(1 to 150), refineRounds = 1)
+    a.hotQuery(probe(5), topK = 3, beamWidth = 4, hops = 6) // warm A
+
+    val b = new graft.store.GraphIndex(spark, base, 4, Seq(bucket))
+    b.insert(vecs(5 to 5).select((col("id") + 3000L).as("id"), col("emb")))
+    val after = a.hotQuery(probe(5), topK = 3, beamWidth = 4, hops = 6)
+    assert(after == b.hotQuery(probe(5), topK = 3, beamWidth = 4, hops = 6),
+      "replicas must converge on the post-insert publish")
+    assert(after.map(_._1).contains(3005L) || after.map(_._1).contains(5L),
+      "the probe's twin must be reachable after the insert")
+  }
+}

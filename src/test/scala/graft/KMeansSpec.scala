@@ -31,4 +31,18 @@ class KMeansSpec extends AnyFunSuite with SparkTest {
     // all clusters non-trivially populated on this corpus
     assert(cells.select("cell").distinct().count() == 8)
   }
+
+  test("distributed farthest-first seeding is bit-identical to the driver arm") {
+    // the size dispatch must never change the chosen seeds: run BOTH arms
+    // on the same input (the distributed arm forced explicitly) and
+    // compare ids and vectors exactly. The distributed arm is the O(k·N)
+    // incremental-min rewrite — the r7 fix for the O(k²·N) per-round
+    // recompute that stalled 97-cell seeding at 200k rows.
+    val viaDispatch = KMeans.farthestFirstSeeds(vecs, "id", "emb", 16) // driver (N small)
+    val distributed = KMeans.farthestFirstDistributed(vecs, "id", "emb", 16)
+    assert(distributed.map(_._1).toSeq == viaDispatch.map(_._1).toSeq,
+      "both arms must choose the same seed ids")
+    assert(distributed.zip(viaDispatch).forall { case ((_, a), (_, b)) => a.toSeq == b.toSeq },
+      "both arms must carry identical seed vectors")
+  }
 }
