@@ -66,39 +66,36 @@ object KMeans {
       (first.getLong(0), first.getSeq[Float](1).toArray))
     // INCREMENTAL min-distance maintenance, the driver path's discipline
     // distributed: the per-row nearest-seed distance is CARRIED in a
-    // persisted narrow frame and folded with only the NEWEST seed each
-    // round — one cached pass per seed, O(k·N·dim) total. (The original
+    // materialized narrow frame and folded with only the NEWEST seed each
+    // round — one pass per seed, O(k·N·dim) total. (The original
     // formulation recomputed the distance to EVERY chosen seed per round —
     // O(k²·N·dim) with a k-term codegen expression tree; at 97 cells over
     // 200k rows it ran for 40+ minutes where this finishes in under a
-    // minute.) least() is an exact min, so the fold order cannot change
-    // any value and the DuckDB oracle's min-over-all-seeds replay still
+    // minute.) localCheckpoint — not persist — because the frame must also
+    // CUT ITS LINEAGE each round: a 97-deep persisted chain overflowed the
+    // task-deserialization stack (measured StackOverflowError at ~seed
+    // 90). least() is an exact min, so the fold order cannot change any
+    // value and the DuckDB oracle's min-over-all-seeds replay still
     // hash-matches.
     var cur = vectors
       .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"))
       .withColumn("__md", VF.l2Sq(col("__e"), typedlit(seeds.head._2)))
-      .persist()
-    cur.count(): Unit
-    try {
-      while (seeds.length < k) {
-        // exclude chosen seeds, like the driver path and the oracle: with
-        // duplicate vectors every candidate can sit at distance 0, and the
-        // unfiltered argmax would re-pick an existing seed
-        val next = cur
-          .filter(!col("__id").isin(seeds.map(_._1).toSeq: _*))
-          .orderBy(desc("__md"), asc("__id")).limit(1).head()
-        seeds += ((next.getLong(0), next.getSeq[Float](1).toArray))
-        if (seeds.length < k) {
-          val upd = cur
-            .withColumn("__md",
-              least(col("__md"), VF.l2Sq(col("__e"), typedlit(seeds.last._2))))
-            .persist()
-          upd.count(): Unit
-          cur.unpersist()
-          cur = upd
-        }
+      .localCheckpoint(true)
+    while (seeds.length < k) {
+      // exclude chosen seeds, like the driver path and the oracle: with
+      // duplicate vectors every candidate can sit at distance 0, and the
+      // unfiltered argmax would re-pick an existing seed
+      val next = cur
+        .filter(!col("__id").isin(seeds.map(_._1).toSeq: _*))
+        .orderBy(desc("__md"), asc("__id")).limit(1).head()
+      seeds += ((next.getLong(0), next.getSeq[Float](1).toArray))
+      if (seeds.length < k) {
+        cur = cur
+          .withColumn("__md",
+            least(col("__md"), VF.l2Sq(col("__e"), typedlit(seeds.last._2))))
+          .localCheckpoint(true)
       }
-    } finally cur.unpersist(): Unit
+    }
     seeds.sortBy(_._1).toArray
   }
 
