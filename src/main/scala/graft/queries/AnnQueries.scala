@@ -579,6 +579,91 @@ object AnnQueries {
            |ORDER BY vec_a""".stripMargin
       }),
 
+    // Similarity-graph CENTRALITY — PageRank over the corpus' calibrated
+    // top-3 kNN graph, the boilerplate/template detector of web-corpus
+    // curation: a document whose neighbors' neighbors keep pointing back
+    // (near-dup clusters, mirrored templates) accumulates rank, and the
+    // top of the ranking is exactly the "crawl junk gravity wells" a
+    // pipeline quarantines. Spark-first iterative fixpoint: the edge
+    // frame (O(3N), persisted) is built once with the SAME corpus-
+    // calibrated LSH ladder as q_mutual_knn, then each power iteration is
+    // two keyed equi-joins + one aggregation — shuffles keyed on src/dst,
+    // linear per iteration, no driver-side graph. ALL arithmetic is
+    // integer (rank quantized to 1e6, damping as *85 div 100, per-edge
+    // share by integer DIV — Spark `div` ≡ DuckDB `//` on non-negatives),
+    // so three unrolled iterations hash-match the oracle bit-for-bit.
+    // Dangling mass follows the drop-dangling convention in BOTH engines.
+    Q(
+      "q_pagerank",
+      "PageRank centrality over the calibrated top-3 similarity graph, 3 exact iterations",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val raw = tbl(s, dir, "embeddings")
+        val n = raw.count()
+        var bits = 6
+        while (bits < 25 && (1L << bits) * 10 < n) bits += 1
+        val bucketCol = (0 until bits).map { p =>
+          when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+        val e = raw.withColumn("bucket", bucketCol).persist()
+        val a = e.select(col("vec_id").as("src"), col("embedding").as("semb"), col("bucket"))
+        val b = e.select(col("vec_id").as("dst"), col("embedding").as("demb"),
+          col("bucket").as("dbucket"))
+        val w = Window.partitionBy("src").orderBy(asc("dist_raw"), asc("dst"))
+        val edges = a.join(b, col("bucket") === col("dbucket") && col("src") =!= col("dst"))
+          .withColumn("dist_raw", VF.l2Sq(col("semb"), col("demb")))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select("src", "dst").persist()
+        val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+        val nodes = e.select(col("vec_id"))
+        var ranks = nodes.select(col("vec_id"), lit(1000000L).as("pr"))
+        (1 to 3).foreach { _ =>
+          val contrib = edges.join(outdeg, "src")
+            .join(ranks.select(col("vec_id").as("src"), col("pr")), "src")
+            .select(col("dst"), expr("pr * 85 div (100 * od)").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("cin"))
+          ranks = nodes.join(contrib, nodes("vec_id") === contrib("dst"), "left")
+            .select(col("vec_id"),
+              (lit(150000L) + coalesce(col("cin"), lit(0L))).as("pr"))
+        }
+        freeAfter(
+          ranks.orderBy(desc("pr"), asc("vec_id")).limit(20)
+            .select(col("vec_id"), col("pr")),
+          e, edges)
+      },
+      Some {
+        val d = OracleSql.l2Sq("a.embedding", "b.embedding")
+        val ladder = (6 to 24).map(b0 => s"WHEN n <= ${(1L << b0) * 10} THEN $b0").mkString(" ")
+        val dynBucket =
+          s"CAST(coalesce(list_sum(list_transform(range(0, (SELECT bits FROM bb)), p -> " +
+            s"CASE WHEN ${dotPlaneSql("embedding", "p")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
+        def iter(t: Int): String =
+          s"""r$t AS MATERIALIZED (
+             |  SELECT s.vec_id,
+             |         CAST(150000 + coalesce(sum((r.pr * 85) // (100 * o.od)), 0) AS BIGINT) AS pr
+             |  FROM sigs s
+             |  LEFT JOIN edges e2 ON e2.dst = s.vec_id
+             |  LEFT JOIN od o ON o.src = e2.src
+             |  LEFT JOIN r${t - 1} r ON r.vec_id = e2.src
+             |  GROUP BY s.vec_id)""".stripMargin
+        s"""WITH bb AS (SELECT CASE $ladder ELSE 25 END AS bits
+           |            FROM (SELECT count(*) AS n FROM embeddings)),
+           |sigs AS MATERIALIZED (
+           |  SELECT vec_id, embedding, $dynBucket AS bucket FROM embeddings),
+           |edges AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT a.vec_id AS src, b.vec_id AS dst,
+           |           row_number() OVER (PARTITION BY a.vec_id ORDER BY $d, b.vec_id) AS rnk
+           |    FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+           |  WHERE rnk <= 3),
+           |od AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY src),
+           |r0 AS MATERIALIZED (SELECT vec_id, CAST(1000000 AS BIGINT) AS pr FROM sigs),
+           |${(1 to 3).map(iter).mkString(",\n")}
+           |SELECT vec_id, pr FROM r3 ORDER BY pr DESC, vec_id LIMIT 20""".stripMargin
+      }),
+
     // Embedding-space outlier mining — the data-quality filter for vector
     // corpora: assign every vector to its nearest centroid (the same fused
     // argmin as IVF) and surface the 3 FARTHEST members of each cell. Rows

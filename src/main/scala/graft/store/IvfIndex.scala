@@ -662,6 +662,67 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         col("cell").cast("long").as("cell") :+ col("distance"): _*)
   }
 
+  /** [[queryBatch]] through the SQ8 codes — the bulk-scoring twin of
+    * [[queryQuantized]]: Q probes share ONE codes-only scan of the union
+    * of their probe cells (each row Hamming^W integer-L2-scored only
+    * against probes whose cell set contains it), per-probe shortlists cut
+    * by a window, then ONE In-pushed exact rerank of the union shortlist
+    * finishes every probe. The id collect is bounded by Q × `shortlist`.
+    * With `shortlist` >= the probed cells' population the result is
+    * EXACTLY [[queryBatch]]'s (spec-pinned). */
+  def queryBatchQuantized(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+                          shortlist: Int = 256): DataFrame = {
+    require(probes.nonEmpty, "queryBatchQuantized needs at least one probe")
+    require(shortlist >= k, "shortlist must be at least k")
+    val (mn, mx) = sq8Stats().getOrElse(
+      sys.error(s"index at $path has no SQ8 sidecar — rebuild with build()"))
+    val cents = centroids()
+    val probeCells = probes.map { case (pid, qe) =>
+      (pid, qe, cents.map { case (cid, c) => (l2(c, qe), cid) }
+        .sorted.take(nprobe).map(_._2).toSeq)
+    }
+    val unionCells = probeCells.flatMap(_._3).distinct
+    val probeDf = spark.createDataFrame(
+      probeCells.map { case (pid, qe, cells) =>
+        (pid, qe.toSeq, cells, graft.functions.Sq8Encode.encode(qe, mn, mx))
+      }).toDF("probe_id", "qe", "probe_cells", "qcodes")
+    def livePruned() = {
+      val pruned = spark.read.parquet(dataPath)
+        .filter(col("cell").isin(unionCells: _*))
+      tombstones().fold(pruned)(ts =>
+        pruned.join(broadcast(ts), Seq("id"), "left_anti"))
+    }
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
+    val short = livePruned()
+      .select(col("id"), col("cell"), col("codes"))
+      .join(broadcast(probeDf),
+        array_contains(col("probe_cells"), col("cell").cast("long")))
+      .withColumn("qdist", VF.sq8L2(col("codes"), col("qcodes")))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select(col("probe_id"), col("id"))
+      .collect()
+    val shortIds = short.map(_.getLong(1)).distinct.toSeq
+    val pairKeep = short.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val keepUdfFree = spark.createDataFrame(pairKeep.toSeq.sortBy(identity))
+      .toDF("probe_id", "id")
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+    livePruned()
+      .filter(col("id").isin(shortIds: _*))
+      .join(broadcast(probeDf),
+        array_contains(col("probe_cells"), col("cell").cast("long")))
+      // restrict the rerank to each probe's OWN shortlist (a row may sit
+      // in another probe's cells without having made its shortlist)
+      .join(broadcast(keepUdfFree), Seq("probe_id", "id"), "left_semi")
+      .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("id"), col("cell").cast("long").as("cell"),
+        col("distance"), col("rn"))
+  }
+
   /** Batched probe: top-k per probe for MANY query vectors in ONE pruned
     * scan. Each probe contributes its nprobe nearest cells; the index is
     * read once over the UNION of needed cells (still partition pruning),

@@ -330,4 +330,27 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.getLong(0)).toSet
     assert(!afterDel.contains(victim), "deleted id must not surface via codes")
   }
+
+  test("queryBatchQuantized at full depth equals queryBatch probe for probe") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8b").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors)
+    val n = vectors.count().toInt
+    val probes = vectors.orderBy("id").limit(6).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+    assert(rows(idx.queryBatchQuantized(probes, k = 4, nprobe = 3, shortlist = n)) ==
+      rows(idx.queryBatch(probes, k = 4, nprobe = 3)),
+      "full-depth quantized batch must equal the raw batch probe")
+    // bounded depth keeps high agreement on fixture data
+    val q = rows(idx.queryBatchQuantized(probes, k = 4, nprobe = 3, shortlist = 32))
+      .map(r => (r.head, r(1))).toSet
+    val r = rows(idx.queryBatch(probes, k = 4, nprobe = 3))
+      .map(r0 => (r0.head, r0(1))).toSet
+    assert(q.intersect(r).size >= (r.size * 3) / 4,
+      s"depth-32 batch recall collapsed: ${q.intersect(r).size}/${r.size}")
+  }
 }
