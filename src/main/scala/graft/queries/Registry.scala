@@ -73,7 +73,7 @@ object Registry {
   lazy val all: Seq[Q] =
     VectorQueries.all ++ RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       AnnQueries.all ++ StoreQueries.all ++ AttackQueries.all ++ OperatorQueries.all ++
-      AnalyticsQueries.all ++ SearchQueries.all
+      AnalyticsQueries.all ++ SearchQueries.all ++ MonitorQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 
