@@ -37,8 +37,12 @@ object VectorStore {
     * bucket functions — exactly like its own constructor); a fresh
     * session re-attaches by reopening the index at its path. */
   sealed trait AttachedIndex
-  /** Routed probes read `nprobe` cells of `idx`. */
-  final case class AttachedIvf(idx: IvfIndex, nprobe: Int) extends AttachedIndex
+  /** Routed probes read `nprobe` cells of `idx`; with `quantShortlist`
+    * set, the probe goes through the SQ8 codes route
+    * ([[IvfIndex.queryQuantized]]): codes-only candidate scan + bounded
+    * exact rerank — the 100 TB serving shape on the CLIENT path too. */
+  final case class AttachedIvf(idx: IvfIndex, nprobe: Int,
+                               quantShortlist: Option[Int] = None) extends AttachedIndex
   /** Routed probes beam-walk `idx` with the given budget. */
   final case class AttachedGraph(idx: GraphIndex, beamWidth: Int, hops: Int,
                                  refineRounds: Int = 1) extends AttachedIndex
@@ -256,7 +260,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
           // delete-then-add sequence is legal; this keeps it legal here.
           val irows = indexRowsOf(staged)
           ai match {
-            case VectorStore.AttachedIvf(idx, _) =>
+            case VectorStore.AttachedIvf(idx, _, _) =>
               if (idx.readdsTombstoned(irows)) idx.compact()
               idx.append(irows)
             case VectorStore.AttachedGraph(idx, _, _, _) =>
@@ -379,7 +383,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         val served = attachedIdx.get(name) match {
           case Some(VectorStore.AttachedGraph(idx, beamWidth, hops, _)) =>
             idx.hotServeFiltered(queryEmb, k, beamWidth, hops, wOk, dOk)
-          case Some(VectorStore.AttachedIvf(idx, nprobe)) =>
+          case Some(VectorStore.AttachedIvf(idx, nprobe, None)) =>
             idx.hotServeFiltered(queryEmb, k, nprobe, wOk, dOk)
           case _ => None
         }
@@ -468,7 +472,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         val dead = df.filter(coalesce(cond, lit(false)))
           .select(xxhash64(col("id")).as("id"))
         ai match {
-          case VectorStore.AttachedIvf(idx, _) => idx.delete(dead)
+          case VectorStore.AttachedIvf(idx, _, _) => idx.delete(dead)
           case VectorStore.AttachedGraph(idx, _, _, _) => idx.delete(dead)
         }
       }
@@ -501,8 +505,8 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       // [[querySnapshot]] serves the frozen view bit-for-bit.
       attachedIdx.get(name).foreach { ai =>
         val (idxPath, meta) = ai match {
-          case VectorStore.AttachedIvf(idx, nprobe) =>
-            (idx.path, s"ivf\t$nprobe")
+          case VectorStore.AttachedIvf(idx, nprobe, qs) =>
+            (idx.path, s"ivf\t$nprobe" + qs.map(sl => s"\t$sl").getOrElse(""))
           case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
             (idx.path, s"graph\t$beamWidth\t$hops")
         }
@@ -533,6 +537,9 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
             // numCells only matters at build time; the snapshot is a
             // read-only view, so any value reopens it
             VectorStore.AttachedIvf(new IvfIndex(spark, idxPath, 1), nprobe.toInt)
+          case Array("ivf", nprobe, qs) =>
+            VectorStore.AttachedIvf(new IvfIndex(spark, idxPath, 1),
+              nprobe.toInt, Some(qs.toInt))
           case Array("graph", beamWidth, hops) =>
             // k and the bucket functions only matter at build/insert time
             VectorStore.AttachedGraph(
@@ -591,7 +598,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       val metaF = new java.io.File(snap, "__index_meta")
       attachedIdx.get(name).foreach { ai =>
         val (idxPath, kind) = ai match {
-          case VectorStore.AttachedIvf(idx, _) => (idx.path, "ivf")
+          case VectorStore.AttachedIvf(idx, _, _) => (idx.path, "ivf")
           case VectorStore.AttachedGraph(idx, _, _, _) => (idx.path, "graph")
         }
         val snapKind =
@@ -631,12 +638,13 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       * never chooses between brute force and the index), and
       * add/update/upsert/delete keep it in sync. Detach with
       * [[detachIndex]]; reopen-and-reattach with [[attach]]. */
-    def attachIvfIndex(indexPath: String, numCells: Int, nprobe: Int): IvfIndex = {
+    def attachIvfIndex(indexPath: String, numCells: Int, nprobe: Int,
+                       quantizedShortlist: Option[Int] = None): IvfIndex = {
       val rows = indexRowsOf(df)
       requireUniqueKeys(rows)
       val idx = new IvfIndex(spark, indexPath, numCells)
       idx.build(rows)
-      attach(VectorStore.AttachedIvf(idx, nprobe))
+      attach(VectorStore.AttachedIvf(idx, nprobe, quantizedShortlist))
       idx
     }
 
@@ -669,7 +677,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
     def attach(ai: VectorStore.AttachedIndex): Unit = {
       val rows = indexRowsOf(df)
       ai match {
-        case VectorStore.AttachedIvf(idx, _) =>
+        case VectorStore.AttachedIvf(idx, _, _) =>
           val missing = rows.join(idx.liveIds, Seq("id"), "left_anti")
           if (!missing.isEmpty) {
             if (idx.readdsTombstoned(missing)) idx.compact()
@@ -690,14 +698,14 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
     /** Rebuild the attached index from the current collection state
       * (update/upsert may have changed embeddings). */
     private def reindex(): Unit = attachedIdx.get(name).foreach {
-      case VectorStore.AttachedIvf(idx, _) => idx.build(indexRowsOf(df))
+      case VectorStore.AttachedIvf(idx, _, _) => idx.build(indexRowsOf(df))
       case VectorStore.AttachedGraph(idx, _, _, rr) => idx.build(indexRowsOf(df), rr)
     }
 
     /** Attached-index maintenance stats ([[IndexStats]]); None when no
       * index is attached. */
     def indexStats(): Option[IndexStats] = attachedIdx.get(name).map {
-      case VectorStore.AttachedIvf(idx, _) => idx.stats()
+      case VectorStore.AttachedIvf(idx, _, _) => idx.stats()
       case VectorStore.AttachedGraph(idx, _, _, _) => idx.stats()
     }
 
@@ -714,12 +722,12 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
     def maintain(maxPendingRatio: Double = 0.2, maxUnits: Int = 8): Boolean =
       attachedIdx.get(name).exists { ai =>
         val st = ai match {
-          case VectorStore.AttachedIvf(idx, _) => idx.stats()
+          case VectorStore.AttachedIvf(idx, _, _) => idx.stats()
           case VectorStore.AttachedGraph(idx, _, _, _) => idx.stats()
         }
         val due = st.pendingRatio > maxPendingRatio || st.units > maxUnits
         if (due) ai match {
-          case VectorStore.AttachedIvf(idx, _) => idx.compact()
+          case VectorStore.AttachedIvf(idx, _, _) => idx.compact()
           case VectorStore.AttachedGraph(idx, _, _, _) => idx.compact()
         }
         due
@@ -769,7 +777,7 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         val served = attachedIdx.get(name) match {
           case Some(VectorStore.AttachedGraph(idx, beamWidth, hops, _)) =>
             gather(idx.hotServeFiltered(_, k, beamWidth, hops, wOk, dOk))
-          case Some(VectorStore.AttachedIvf(idx, nprobe)) =>
+          case Some(VectorStore.AttachedIvf(idx, nprobe, None)) =>
             gather(idx.hotServeFiltered(_, k, nprobe, wOk, dOk))
           case _ => None
         }
@@ -802,8 +810,9 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       attachedIdx.get(name) match {
         case Some(ai) if metric == "l2" && pred.isEmpty =>
           val hotRows: Option[Seq[(Long, String, String, Double)]] = ai match {
-            case VectorStore.AttachedIvf(idx, nprobe) =>
+            case VectorStore.AttachedIvf(idx, nprobe, None) =>
               idx.hotServeBatch(probes, k, nprobe)
+            case VectorStore.AttachedIvf(_, _, Some(_)) => None
             case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
               idx.hotServeBatch(probes, k, beamWidth, hops)
           }
@@ -866,16 +875,22 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
                             whereDocument: Option[Column]): DataFrame = {
       val pred = (where.toSeq ++ whereDocument.toSeq).reduceOption(_ && _)
       ai match {
-        case VectorStore.AttachedIvf(idx, nprobe) =>
+        case VectorStore.AttachedIvf(idx, nprobe, qs) =>
           // unfiltered probes serve from the JVM-resident hot tier (the
-          // GraphIndex discipline; bit-equal to the pruned scan)
-          (if (pred.isEmpty) idx.hotServe(qe, k, nprobe) else None) match {
+          // GraphIndex discipline; bit-equal to the pruned scan); the
+          // quantized route goes straight to the two-phase codes probe
+          (if (pred.isEmpty && qs.isEmpty) idx.hotServe(qe, k, nprobe) else None) match {
             case Some(rows) =>
               import spark.implicits._
               rows.toDF("id", "doc", "distance")
             case None =>
-              idx.query(qe, k, nprobe, pred, include = Seq("cid", "doc"))
-                .select(col("cid").as("id"), col("doc"), col("distance"))
+              val hits = qs match {
+                case Some(sl) =>
+                  idx.queryQuantized(qe, k, nprobe, sl, pred, include = Seq("cid", "doc"))
+                case None =>
+                  idx.query(qe, k, nprobe, pred, include = Seq("cid", "doc"))
+              }
+              hits.select(col("cid").as("id"), col("doc"), col("distance"))
           }
         case VectorStore.AttachedGraph(idx, beamWidth, hops, _) =>
           // unfiltered probes serve from the JVM-resident hot tier (zero

@@ -286,4 +286,28 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("quantized-routed query: full-depth equals the raw route, filters included, snapshot carries it") {
+    val n = rows.count().toInt
+    val store = new VectorStore(spark, tmp("vs_qivf"))
+    val c = store.createOrGet("col")
+    c.add(rows)
+    c.attachIvfIndex(tmp("vs_qivf_idx"), numCells = 8, nprobe = 8,
+      quantizedShortlist = Some(n))
+    val quantRouted = got(c.query(probe, k = 5))
+    val quantFiltered = got(c.query(probe, k = 5,
+      where = Some(element_at(col("meta"), lit("label")) === "3")))
+    c.snapshot("q1")
+    c.detachIndex()
+    c.attachIvfIndex(tmp("vs_qivf_idx2"), numCells = 8, nprobe = 8)
+    assert(quantRouted == got(c.query(probe, k = 5)),
+      "full-depth quantized route must equal the raw route")
+    assert(quantFiltered == got(c.query(probe, k = 5,
+      where = Some(element_at(col("meta"), lit("label")) === "3"))),
+      "filtered quantized route must equal the raw filtered route")
+    // the snapshot manifest recorded the quantized routing: replaying the
+    // snapshot serves the same frozen answer through the codes route
+    assert(got(c.querySnapshot("q1", probe, k = 5)) == quantRouted,
+      "snapshot must replay the quantized route's answers")
+  }
 }
