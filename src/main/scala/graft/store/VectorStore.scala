@@ -1405,7 +1405,14 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     val next = new EncryptedStore(spark, basePath, newKey)
     // rotation re-encrypts the PHYSICAL rows; pending tombstones ride
     // along untouched (still excluded at read, still purged at compact)
-    val raw = spark.read.parquet(path(name))
+    // committed batch dirs only (the liveRaw discipline): a crashed
+    // half-written streaming append must not get rotated INTO the store.
+    // Pending tombstones still ride along — no tombstone anti-join here.
+    val rotBatchDirs = StoreIO.committedBatchDirs(path(name))
+    val raw =
+      if (rotBatchDirs.isEmpty) spark.read.parquet(path(name))
+      else spark.read.option("basePath", path(name))
+        .parquet(rotBatchDirs.map(_.getPath).toIndexedSeq: _*)
     val indexed = raw.columns.contains("cell")
     // codes_ct rotates as the base64 TEXT it encrypts (decryptStr yields
     // the base64 string back) — the code bytes themselves are untouched
