@@ -68,9 +68,13 @@ object Bench {
         if (reps > 1 && times.max / math.max(times.min, 1e-9) > 2.0) {
           respread += name
           var extra = 0
-          while (extra < reps) { val t = runOnce(name); if (t >= 0) times += t; extra += 1 }
+          while (extra < reps && times.forall(_ >= 0)) { times += runOnce(name); extra += 1 }
         }
-        times.sorted.apply(times.length / 2)
+        // a failure during re-measurement marks the query failed exactly
+        // like a first-batch failure — an intermittently crashing query
+        // must not hide behind a healthy-looking median
+        if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.length / 2)
       }
     }
     // Untimed warmup: one cheap scan plus one representative query per
@@ -123,9 +127,12 @@ object Bench {
         (100.0 * d(7) / tot, 100.0 * (tot - d(3)) / tot)
       case _ => (-1.0, -1.0)
     }
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma decimal separator would corrupt the JSON line
+    def pct(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val contention =
       s"""{"load_start":$loadStart,"load_end":$loadEnd,"cpus":${Runtime.getRuntime.availableProcessors},""" +
-      s""""steal_pct":${f"$stealPct%.2f"},"busy_pct":${f"$busyPct%.2f"},""" +
+      s""""steal_pct":${pct(stealPct)},"busy_pct":${pct(busyPct)},""" +
       s""""respread":${respread.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"subtimings":$subJson,"contention":$contention,"sf":"$sfDir"}"""
     // stdout line for the driver, PLUS a whole-file copy: the r1 stdout tail

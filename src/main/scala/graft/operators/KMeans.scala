@@ -71,16 +71,21 @@ object KMeans {
     // formulation recomputed the distance to EVERY chosen seed per round —
     // O(k²·N·dim) with a k-term codegen expression tree; at 97 cells over
     // 200k rows it ran for 40+ minutes where this finishes in under a
-    // minute.) localCheckpoint — not persist — because the frame must also
-    // CUT ITS LINEAGE each round: a 97-deep persisted chain overflowed the
-    // task-deserialization stack (measured StackOverflowError at ~seed
-    // 90). least() is an exact min, so the fold order cannot change any
+    // minute.) Storage discipline: each round persists the updated frame,
+    // materializes it, and UNPERSISTS the previous one (≤2 copies live);
+    // every 16th round goes through localCheckpoint instead, which CUTS
+    // THE LINEAGE — an unbounded persisted chain overflowed the
+    // task-deserialization stack at ~depth 90, and localCheckpoint blocks
+    // are freed by the ContextCleaner, bounding the pinned checkpoints to
+    // ~k/16. least() is an exact min, so the fold order cannot change any
     // value and the DuckDB oracle's min-over-all-seeds replay still
     // hash-matches.
     var cur = vectors
       .select(col(idCol).cast("long").as("__id"), col(embCol).as("__e"))
       .withColumn("__md", VF.l2Sq(col("__e"), typedlit(seeds.head._2)))
-      .localCheckpoint(true)
+      .persist()
+    cur.count(): Unit
+    var round = 0
     while (seeds.length < k) {
       // exclude chosen seeds, like the driver path and the oracle: with
       // duplicate vectors every candidate can sit at distance 0, and the
@@ -90,12 +95,17 @@ object KMeans {
         .orderBy(desc("__md"), asc("__id")).limit(1).head()
       seeds += ((next.getLong(0), next.getSeq[Float](1).toArray))
       if (seeds.length < k) {
-        cur = cur
-          .withColumn("__md",
-            least(col("__md"), VF.l2Sq(col("__e"), typedlit(seeds.last._2))))
-          .localCheckpoint(true)
+        round += 1
+        val upd0 = cur.withColumn("__md",
+          least(col("__md"), VF.l2Sq(col("__e"), typedlit(seeds.last._2))))
+        val upd =
+          if (round % 16 == 0) upd0.localCheckpoint(true)
+          else { val u = upd0.persist(); u.count(): Unit; u }
+        cur.unpersist() // no-op after a checkpoint round (not CacheManager-held)
+        cur = upd
       }
     }
+    cur.unpersist()
     seeds.sortBy(_._1).toArray
   }
 

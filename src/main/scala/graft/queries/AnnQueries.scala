@@ -1091,9 +1091,12 @@ object AnnQueries {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val e = tbl(s, dir, "embeddings")
+        // persisted: ProbeJoin's routing count and the join itself both
+        // evaluate this frame — one scan, not two
         val probes = e.filter(col("vec_id") % 50 === 7)
           .select(col("vec_id").as("pid"), col("embedding").as("pe"),
             col("label").as("true_label"))
+          .persist()
         val labeled = e.filter(col("vec_id") % 50 =!= 7)
           .select(col("vec_id").as("nid"), col("embedding").as("ne"),
             col("label").as("nlabel"))
@@ -1111,14 +1114,19 @@ object AnnQueries {
           .select(col("pid"), col("true_label"), explode(col("topk")).as("sc"))
           .select(col("pid"), col("true_label"),
             pmod(col("sc.id"), lit(16L)).cast("int").as("nlabel"))
-        knn.groupBy("pid", "true_label", "nlabel")
-          .agg(count(lit(1)).as("votes"))
-          .withColumn("vr", row_number().over(
-            Window.partitionBy("pid").orderBy(desc("votes"), asc("nlabel"))))
-          .filter(col("vr") === 1)
-          .select(col("pid").as("vec_id"), col("nlabel").as("pred_label"),
-            col("votes"), col("true_label"))
-          .orderBy("vec_id")
+        // releaseLater (not freeAfter): the result must stay a LAZY plan so
+        // PlanSpec can assert the probe-join shape; the harness unpersists
+        // the probe cache after the action
+        Registry.releaseLater(
+          knn.groupBy("pid", "true_label", "nlabel")
+            .agg(count(lit(1)).as("votes"))
+            .withColumn("vr", row_number().over(
+              Window.partitionBy("pid").orderBy(desc("votes"), asc("nlabel"))))
+            .filter(col("vr") === 1)
+            .select(col("pid").as("vec_id"), col("nlabel").as("pred_label"),
+              col("votes"), col("true_label"))
+            .orderBy("vec_id"),
+          probes)
       },
       Some {
         val dist = OracleSql.l2Sq("l.ne", "p.pe")

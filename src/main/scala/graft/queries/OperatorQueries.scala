@@ -211,6 +211,9 @@ object OperatorQueries {
           .withColumn("sh",
             transform(col("nums"), n => (n.cast("double") / 4.0).cast("float")))
           .select("img_id", "sh")
+          // persisted: ProbeJoin's routing count and the join both
+          // evaluate the image tower — one pass, not two
+          .persist()
         val scored = graft.operators.ProbeJoin
           .cross(Registry.tbl(s, dir, "embeddings"), probes)
           .withColumn("score_raw", VF.dot(col("sh"), col("embedding")))
@@ -218,12 +221,14 @@ object OperatorQueries {
         // image (GroupedTopK over the NEGATED score — (-score, id) asc ==
         // (score desc, id asc); double negation is bit-exact), so the
         // exchange carries k x images x tasks rows instead of N x images
-        scored.groupBy("img_id")
-          .agg(GroupedTopK.topK(3)(negate(col("score_raw")), col("vec_id")).as("topk"))
-          .select(col("img_id"), posexplode(col("topk")).as(Seq("pos", "s")))
-          .select(col("img_id"), (col("pos") + 1).cast("int").as("rn"),
-            col("s.id").as("vec_id"), round(-col("s.score"), 6).as("score"))
-          .orderBy("img_id", "rn")
+        Registry.releaseLater(
+          scored.groupBy("img_id")
+            .agg(GroupedTopK.topK(3)(negate(col("score_raw")), col("vec_id")).as("topk"))
+            .select(col("img_id"), posexplode(col("topk")).as(Seq("pos", "s")))
+            .select(col("img_id"), (col("pos") + 1).cast("int").as("rn"),
+              col("s.id").as("vec_id"), round(-col("s.score"), 6).as("score"))
+            .orderBy("img_id", "rn"),
+          probes)
       },
       Some(
         """WITH imgs AS (SELECT doc_id AS img_id, text FROM documents WHERE doc_id % 50 = 1),

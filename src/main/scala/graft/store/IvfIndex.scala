@@ -615,11 +615,24 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private[graft] def codesShortlist(qe: Array[Float], nprobe: Int,
                                     shortlist: Int,
                                     where: Option[Column] = None): DataFrame = {
+    val (qb, cells) = quantProbe(qe, nprobe)
+    codesShortlistImpl(qb, cells, shortlist, where)
+  }
+
+  /** One driver-side pass over the sidecars shared by both phases of a
+    * quantized probe: the encoded query vector and its nprobe cell list. */
+  private def quantProbe(qe: Array[Float], nprobe: Int): (Array[Byte], Seq[Long]) = {
     val (mn, mx) = sq8Stats().getOrElse(
       sys.error(s"index at $path has no SQ8 sidecar — rebuild with build()"))
     val qb = graft.functions.Sq8Encode.encode(qe, mn, mx)
     val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
+    (qb, cells)
+  }
+
+  private def codesShortlistImpl(qb: Array[Byte], cells: Seq[Long],
+                                 shortlist: Int,
+                                 where: Option[Column]): DataFrame = {
     val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*))
     val base = tombstones().fold(pruned)(ts =>
@@ -645,10 +658,9 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                      where: Option[Column] = None,
                      include: Seq[String] = Nil): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val shortIds = codesShortlist(qe, nprobe, shortlist, where)
+    val (qb, cells) = quantProbe(qe, nprobe)
+    val shortIds = codesShortlistImpl(qb, cells, shortlist, where)
       .select("id").collect().map(_.getLong(0)).toSeq
-    val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
-      .sorted.take(nprobe).map(_._2).toSeq
     val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*))
       .filter(col("id").isin(shortIds: _*))

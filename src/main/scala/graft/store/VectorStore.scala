@@ -990,8 +990,15 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .map(_.getName.stripPrefix("batch=").toLong).foldLeft(-1L)(math.max) + 1
     // only KNOWN ids tombstone (Chroma ignores unknown ids; a tombstone
     // for a never-stored id would block a later add of that id for no
-    // reason) — the matching set stays a distributed frame
-    spark.read.parquet(path(name)).select("id")
+    // reason) — the matching set stays a distributed frame, read from
+    // COMMITTED batch dirs only (liveRaw discipline: a crashed partial
+    // append dir must not wedge deletes on a torn footer)
+    val tsBatchDirs = StoreIO.committedBatchDirs(path(name))
+    val known =
+      if (tsBatchDirs.isEmpty) spark.read.parquet(path(name)).select("id")
+      else spark.read.option("basePath", path(name))
+        .parquet(tsBatchDirs.map(_.getPath).toIndexedSeq: _*).select("id")
+    known
       .join(ids.select("id"), Seq("id"), "left_semi")
       .dropDuplicates("id")
       .write.mode("overwrite").parquet(s"${tombstonePath(name)}/batch=$next")
@@ -1197,9 +1204,31 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * tombstoned or duplicate ids exactly like [[add]]/IvfIndex.appendBatch.
     * Queries stay cell-pruned throughout — `cell` remains a partition
     * column at every batch level. */
+  /** Start a NEW stream lineage against an existing indexed collection:
+    * clears the append-replay fence so a fresh checkpoint's batch ids
+    * (restarting at 0) are accepted again. The fence cannot distinguish
+    * "replay of a folded batch" from "first batches of a new stream" —
+    * both present already-folded ids — so the operator states the intent
+    * explicitly here, after terminating the old stream (the writer lease
+    * serializes against any straggler). Same contract as reusing a
+    * FileStreamSink directory with a fresh checkpoint. */
+  def resetAppendFence(name: String): Unit =
+    withEncLease(name, "EncryptedStore.resetAppendFence") {
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(encAppendHwmPath(name))): Unit
+    }
+
   def appendIndexedBatch(rows: DataFrame, name: String, batchId: Long): Unit =
     withEncLease(name, "EncryptedStore.appendIndexed") {
       require(batchId >= 0, "batchId must be non-negative")
+      if (batchId + 1 <= encAppendHwm(name))
+        // fenced: either a replay of a compaction-folded batch (correct to
+        // drop) or a NEW stream lineage reusing low batch ids (data loss —
+        // call resetAppendFence after terminating the old stream). Loud so
+        // the second case is diagnosable.
+        System.err.println(s"[graft] EncryptedStore.appendIndexedBatch($name, " +
+          s"batchId=$batchId) dropped by the append fence (hwm=${encAppendHwm(name)}); " +
+          "if this is a NEW stream lineage, call resetAppendFence first")
       if (batchId + 1 > encAppendHwm(name)) {
         val cents = centroidsOf(name)
         require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
@@ -1215,16 +1244,20 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
             "batch re-adds tombstoned ids — run compact() before re-adding deleted ids")
         }
         // duplicate-id rejection against the PHYSICAL store (plaintext id
-        // column only — ciphertext untouched); a replay skips it, since its
-        // own previous write would collide every row away
+        // column only — ciphertext untouched). The collision set comes from
+        // the committed batch dirs EXCLUDING this batch's own dir — never
+        // skipped on replay: a replayed micro-batch that dropped id X as a
+        // collision on first delivery must drop it again, or the overwrite
+        // stops being idempotent and X serves twice. (A crashed partial
+        // dir lacks _SUCCESS and cannot veto fresh rows — the liveRaw
+        // discipline.)
+        val otherDirs = StoreIO.committedBatchDirs(path(name))
+          .filter(_.getName != s"batch=${batchId + 1}")
         val incoming =
-          if (isReplay) incoming0
+          if (otherDirs.isEmpty) incoming0
           else {
-            // physical ids from COMMITTED batch dirs only (same discipline
-            // as liveRaw — a crashed partial dir must not veto fresh rows)
-            val dirs = StoreIO.committedBatchDirs(path(name))
             val collisions = spark.read.option("basePath", path(name))
-              .parquet(dirs.map(_.getPath).toIndexedSeq: _*).select("id")
+              .parquet(otherDirs.map(_.getPath).toIndexedSeq: _*).select("id")
               .join(broadcast(incoming0.select("id")), Seq("id"), "left_semi")
             incoming0.join(collisions, Seq("id"), "left_anti")
           }
@@ -1289,6 +1322,14 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * doc_ct — the full-fat ciphertext stays on disk until the rerank. */
   private[graft] def encCodesShortlist(name: String, queryEmb: Array[Float],
                                        nprobe: Int, shortlist: Int): DataFrame = {
+    val (qb, cells) = encQuantProbe(name, queryEmb, nprobe)
+    encCodesShortlistImpl(name, qb, cells, shortlist)
+  }
+
+  /** One driver-side sidecar pass shared by both phases of an encrypted
+    * quantized probe (decrypted SQ8 grid + decrypted centroids). */
+  private def encQuantProbe(name: String, queryEmb: Array[Float],
+                            nprobe: Int): (Array[Byte], Seq[Long]) = {
     val (mn, mx) = sq8StatsOf(name).getOrElse(
       sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
     val qb = graft.functions.Sq8Encode.encode(queryEmb, mn, mx)
@@ -1299,15 +1340,18 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
       acc
     }
-    val cells = cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
-      .sorted.take(nprobe).map(_._2).toSeq
+    (qb, cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
+      .sorted.take(nprobe).map(_._2).toSeq)
+  }
+
+  private def encCodesShortlistImpl(name: String, qb: Array[Byte],
+                                    cells: Seq[Long], shortlist: Int): DataFrame =
     liveRaw(name)
       .filter(col("cell").isin(cells: _*))
       .select(col("id"),
         VF.sq8L2(unbase64(decryptStr(col("codes_ct"))), lit(qb)).as("qdist"))
       .orderBy(asc("qdist"), asc("id"))
       .limit(shortlist)
-  }
 
   /** [[queryIndexed]] through the encrypted SQ8 codes — cell pruning AND
     * quantized candidate ranking on the encrypted store: phase 1 decrypts
@@ -1321,16 +1365,9 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   def queryIndexedQuantized(name: String, queryEmb: Array[Float], k: Int,
                             nprobe: Int, shortlist: Int = 256): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val shortIds = encCodesShortlist(name, queryEmb, nprobe, shortlist)
+    val (qb, cells) = encQuantProbe(name, queryEmb, nprobe)
+    val shortIds = encCodesShortlistImpl(name, qb, cells, shortlist)
       .select("id").collect().map(_.getString(0)).toSeq
-    val cents = centroidsOf(name)
-    def l2sq(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      acc
-    }
-    val cells = cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
-      .sorted.take(nprobe).map(_._2).toSeq
     liveRaw(name)
       .filter(col("cell").isin(cells: _*))
       .filter(col("id").isin(shortIds: _*))
