@@ -171,6 +171,42 @@ object StreamOps {
     staged.withWatermark("ts", lateness).dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming twin of the q_token_drift monitor's counting stage: per
+    * watermarked event-time window, token counts restricted to the
+    * REFERENCE vocabulary (the frozen top-K tokens of the last good
+    * snapshot — index metadata, folded into the plan). One stateful
+    * windowed aggregation whose state is bounded by |vocab| × live
+    * windows; the PSI fold over a closed window's ≤|vocab| rows is the
+    * caller's bounded driver-side step ([[psiOf]]) — the
+    * nearDupBandVerdicts discipline of emitting per-key rows from the one
+    * stateful stage. Closed windows are batch≡stream by construction
+    * (spec-pinned). */
+  def tokenDriftCounts(docs: DataFrame, refVocab: Seq[String],
+                       windowLen: String, lateness: String): DataFrame =
+    docs
+      .withWatermark("ts", lateness)
+      .select(col("ts"), explode(TF.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isInCollection(refVocab))
+      .groupBy(window(col("ts"), windowLen).as("w"), col("tok"))
+      .agg(count(lit(1)).as("c_p"))
+      .select(col("w.start").as("win_start"), col("tok"), col("c_p"))
+
+  /** The PSI fold both monitors share (add-one smoothing over the
+    * reference vocabulary, natural log) — a pure function of the two
+    * count maps so batch (q_token_drift) and stream
+    * ([[tokenDriftCounts]]) land on identical numbers given identical
+    * counts. `refTotal`/`prodTotal` are the UNRESTRICTED token totals of
+    * each side (the smoothing denominators). */
+  def psiOf(refVocab: Seq[String], refCounts: Map[String, Long], refTotal: Long,
+            prodCounts: Map[String, Long], prodTotal: Long): Double = {
+    val k = refVocab.size.toDouble
+    refVocab.map { tok =>
+      val p = (refCounts.getOrElse(tok, 0L).toDouble + 1.0) / (refTotal.toDouble + k)
+      val q = (prodCounts.getOrElse(tok, 0L).toDouble + 1.0) / (prodTotal.toDouble + k)
+      (p - q) * math.log(p / q)
+    }.sum
+  }
+
   /** Model-based quality gate — the streaming twin of
     * `q_quality_classifier`: the frozen [[graft.functions.QualityModel]]
     * scores each document's token hashes through the same codegen

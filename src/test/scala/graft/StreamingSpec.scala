@@ -544,4 +544,44 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(last(1L) == UserMax(1, 9.0, 3))
     assert(last(2L) == UserMax(2, 7.0, 2))
   }
+
+  test("streaming token-drift counts equal the batch counts; psiOf folds both to one number") {
+    import spark.implicits._
+    // a shifted vocabulary: hour 0 speaks alpha/beta, hour 1 floods gamma
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val rows = (0 until 30).map(i => (i.toLong, "alpha beta alpha", ts(0, i))) ++
+      (0 until 30).map(i => (100L + i, "gamma gamma beta", ts(1, i))) ++
+      Seq((999L, "omega", ts(3, 0))) // closes hour-0/1 windows past the watermark
+    val refVocab = Seq("alpha", "beta", "gamma")
+    val batch = rows.toDF("doc_id", "text", "ts")
+      .select(col("ts"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .filter(col("tok").isInCollection(refVocab))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("tok"))
+      .agg(count(lit(1)).as("c_p"))
+      .select(col("w.start").as("win_start"), col("tok"), col("c_p"))
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    mem.addData(rows)
+    val streamed = StreamOps.tokenDriftCounts(
+      mem.toDF().toDF("doc_id", "text", "ts"), refVocab, "1 hour", "10 minutes")
+    val got = StreamOps.drainToMemory(spark, streamed, "tokdrift_t", OutputMode.Append())
+    // Append mode emits CLOSED windows; compare against the batch frame
+    // restricted to them — they must agree row for row
+    val closed = got.select("win_start").distinct().collect().map(_.getTimestamp(0)).toSet
+    val batchClosed = batch.collect().filter(r => closed.contains(r.getTimestamp(0)))
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    val gotSet = got.collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(closed.nonEmpty, "the watermark must have closed at least one window")
+    assert(gotSet == batchClosed, "closed-window stream counts must equal batch counts")
+
+    // the shared PSI fold flags the hour-1 window as shifted vs hour 0
+    def countsOf(h: Int) = gotSet.filter(_._1 == ts(h, 0))
+      .map(t => t._2 -> t._3).toMap
+    val (h0, h1) = (countsOf(0), countsOf(1))
+    val psiSame = StreamOps.psiOf(refVocab, h0, h0.values.sum, h0, h0.values.sum)
+    val psiShift = StreamOps.psiOf(refVocab, h0, h0.values.sum, h1, h1.values.sum)
+    assert(math.abs(psiSame) < 1e-12, "identical distributions must fold to PSI 0")
+    assert(psiShift > 0.2, s"the gamma flood must register as drift, got $psiShift")
+  }
 }
