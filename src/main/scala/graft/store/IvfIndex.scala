@@ -27,6 +27,15 @@ object IvfIndex {
   /** Lloyd rounds for [[IvfIndex.build]] — few rounds capture most of the
     * balance win; the count is fixed so the oracle SQL can unroll it. */
   val TrainIters: Int = 3
+
+  /** Default training-sample cap for [[IvfIndex.build]]: above this row
+    * count, centroid training (seeding + Lloyd) runs on a DETERMINISTIC
+    * hash-thinned sample instead of the full corpus — at 100 TB, k-means
+    * quality saturates at a few hundred rows per centroid while full-input
+    * training costs TrainIters+1 corpus scans. The final cell ASSIGNMENT
+    * always covers every row. Fixtures sit far below the cap, so the
+    * training-replay oracles are unaffected. */
+  val DefaultTrainCap: Long = 1L << 20
 }
 
 final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
@@ -59,22 +68,37 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * every stale append batch and tombstone dir (the rebuild's input
     * defines the new truth — leaving old append dirs behind would serve
     * rows the rebuild dropped). */
-  def build(vectors: DataFrame): Unit = {
+  def build(vectors: DataFrame,
+            trainSampleCap: Long = IvfIndex.DefaultTrainCap): Unit = {
     val l = WriterLease.acquire(path, "IvfIndex.build")
-    try buildUnleased(vectors) finally l.release()
+    try buildUnleased(vectors, trainSampleCap) finally l.release()
   }
 
-  private def buildUnleased(vectors: DataFrame): Unit = {
+  private def buildUnleased(vectors: DataFrame, trainSampleCap: Long): Unit = {
+    require(trainSampleCap > 0, "trainSampleCap must be positive")
     // training + final assignment scan the input TrainIters + 1 times —
     // cache it for the duration of the build
     val v = vectors.persist()
     try {
+      // centroid TRAINING runs on a bounded, DETERMINISTIC sample above
+      // the cap (xxhash64(id) thinning — reproducible across rebuilds and
+      // engines, no RNG): the sample only shapes the centroids, the
+      // assignment below still covers every row, and query()'s contract
+      // ("exact within the probed cells") is centroid-agnostic
+      val n = v.count()
+      val trainSet =
+        if (n <= trainSampleCap) v
+        else {
+          val m = math.ceil(n.toDouble / trainSampleCap).toLong
+          v.filter(pmod(xxhash64(col("id")), lit(m)) === 0).persist()
+        }
       // farthest-first seeds survive domain-sorted ingest (first-k-rows
       // seeding traps every seed in one cluster); quantized Lloyd then
       // keeps the whole pipeline bit-reproducible for the oracle
-      val seeds = graft.operators.KMeans.farthestFirstSeeds(v, "id", "emb", numCells)
+      val seeds = graft.operators.KMeans.farthestFirstSeeds(trainSet, "id", "emb", numCells)
       val cents = graft.operators.KMeans.trainQuantized(
-        v, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
+        trainSet, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
+      if (!(trainSet eq v)) trainSet.unpersist(): Unit
       val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "cemb")
       // SQ8 sidecar: per-dim (min, max) over the build input — dim rows of

@@ -331,6 +331,37 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(!afterDel.contains(victim), "deleted id must not surface via codes")
   }
 
+  test("capped training: deterministic sample, balanced cells, exact probes intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cap").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = vectors.count().toInt
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors, trainSampleCap = 128) // ~1/4 of the fixture trains
+    val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+
+    // every row is assigned even though only the sample trained
+    val cellsDf = spark.read.parquet(s"$base/data")
+    assert(cellsDf.count() == n, "assignment must cover every input row")
+    // sampled centroids still balance the cells (the pruning guarantee);
+    // full training measures max/mean ~1.2 on this fixture — allow slack
+    val sizes = cellsDf.groupBy("cell").count().collect().map(_.getLong(1))
+    val ratio = sizes.max.toDouble / (sizes.sum.toDouble / sizes.length)
+    info(f"sampled-train cell balance max/mean = $ratio%.2f")
+    assert(ratio < 2.5, s"sampled training lost cell balance: $ratio")
+
+    // deterministic: a rebuild with the same cap serves identical answers
+    val r1 = idx.query(qe, 5, 3).collect().map(_.toSeq).toSeq
+    idx.build(vectors, trainSampleCap = 128)
+    assert(idx.query(qe, 5, 3).collect().map(_.toSeq).toSeq == r1,
+      "hash-thinned sampling must make capped builds reproducible")
+
+    // the serving contract is centroid-agnostic: quantized full depth
+    // still equals the raw probe on the sampled-train index
+    assert(idx.queryQuantized(qe, 5, 3, shortlist = n).collect().map(_.toSeq).toSeq ==
+      idx.query(qe, 5, 3).collect().map(_.toSeq).toSeq)
+  }
+
   test("queryBatchQuantized at full depth equals queryBatch probe for probe") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8b").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
