@@ -50,6 +50,18 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_ivf_sq8_probe" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_sq8_split").toString
+      val idx = new IvfIndex(s, base, numCells = 16)
+      val vectors = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val (_, tb) = timed(idx.build(vectors))
+      val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+      val (_, tp) = timed(
+        idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = 64)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
     "q_ann_graph_search" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") =!= 0)
