@@ -45,8 +45,12 @@ object MonitorQueries {
         e.select(col("d"),
             (col("s_r") / col("n_r")).as("mean_ref"),
             (col("s_p") / col("n_p")).as("mean_prod"),
-            sqrt((col("q_r") / col("n_r")) -
-              (col("s_r") / col("n_r")) * (col("s_r") / col("n_r"))).as("std_ref"))
+            // clamp before sqrt: for a near-constant dimension catastrophic
+            // cancellation can push the variance fractionally negative —
+            // Spark would return NaN while DuckDB's sqrt raises out-of-range,
+            // so the oracle replay would hard-fail instead of hash-matching
+            sqrt(greatest(lit(0.0), (col("q_r") / col("n_r")) -
+              (col("s_r") / col("n_r")) * (col("s_r") / col("n_r")))).as("std_ref"))
           .select(col("d"),
             round(col("mean_ref"), 4).as("mean_ref"),
             round(col("mean_prod"), 4).as("mean_prod"),
@@ -71,7 +75,7 @@ object MonitorQueries {
            |         count(CASE WHEN side = 0 THEN 1 END) AS n_p
            |  FROM v GROUP BY dz),
            |m AS (SELECT dz, s_r / n_r AS mean_ref, s_p / n_p AS mean_prod,
-           |             sqrt(q_r / n_r - (s_r / n_r) * (s_r / n_r)) AS std_ref
+           |             sqrt(greatest(0.0, q_r / n_r - (s_r / n_r) * (s_r / n_r))) AS std_ref
            |      FROM agg)
            |SELECT CAST(dz AS INT) AS d, round(mean_ref, 4) AS mean_ref,
            |       round(mean_prod, 4) AS mean_prod,
@@ -99,7 +103,13 @@ object MonitorQueries {
         val totals = docs.agg(sum("c_r"), sum("c_p")).head()
         val (tr, tp) = (totals.getLong(0), totals.getLong(1))
         val top = docs.orderBy(desc("c_r"), asc("tok")).limit(200)
-        val k = lit(200.0)
+        // smoothing denominator k = the ACTUAL reference-vocabulary size
+        // (≤ 200), not the hard-coded limit: StreamOps.psiOf smooths with
+        // refVocab.size, and the documented "identical numbers given
+        // identical counts" contract with the streaming twin needs batch
+        // and stream to share one k even when the reference slice has
+        // fewer than 200 distinct tokens
+        val k = lit(top.count().toDouble)
         val p = (col("c_r").cast("double") + 1.0) / (lit(tr.toDouble) + k)
         val q = (col("c_p").cast("double") + 1.0) / (lit(tp.toDouble) + k)
         Registry.freeAfter(
@@ -121,11 +131,12 @@ object MonitorQueries {
            |         CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS c_p
            |  FROM t GROUP BY tok),
            |tot AS (SELECT CAST(sum(c_r) AS DOUBLE) AS tr, CAST(sum(c_p) AS DOUBLE) AS tp FROM c),
-           |top AS (SELECT tok, c_r, c_p FROM c ORDER BY c_r DESC, tok LIMIT 200),
+           |top AS MATERIALIZED (SELECT tok, c_r, c_p FROM c ORDER BY c_r DESC, tok LIMIT 200),
+           |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM top),
            |s AS (SELECT tok, c_r, c_p,
-           |             (CAST(c_r AS DOUBLE) + 1.0) / (tot.tr + 200.0) AS p,
-           |             (CAST(c_p AS DOUBLE) + 1.0) / (tot.tp + 200.0) AS q
-           |      FROM top CROSS JOIN tot)
+           |             (CAST(c_r AS DOUBLE) + 1.0) / (tot.tr + kk.k) AS p,
+           |             (CAST(c_p AS DOUBLE) + 1.0) / (tot.tp + kk.k) AS q
+           |      FROM top CROSS JOIN tot CROSS JOIN kk)
            |SELECT tok, c_r, c_p, round((p - q) * ln(p / q), 6) AS psi
            |FROM s ORDER BY psi DESC, tok LIMIT 15""".stripMargin
       })

@@ -90,7 +90,15 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         if (n <= trainSampleCap) v
         else {
           val m = math.ceil(n.toDouble / trainSampleCap).toLong
-          v.filter(pmod(xxhash64(col("id")), lit(m)) === 0).persist()
+          val thinned = v.filter(pmod(xxhash64(col("id")), lit(m)) === 0).persist()
+          // the thinned sample must still seat every centroid: a tiny
+          // user-supplied trainSampleCap (or unlucky thinning near the cap)
+          // can leave fewer rows than numCells, and farthest-first seeding
+          // would then die on an empty frame mid-build — fall back to the
+          // full input instead (training cost over an opaque crash; the
+          // fallback only fires when the cap was under ~numCells anyway)
+          if (thinned.count() >= numCells) thinned
+          else { thinned.unpersist(); v }
         }
       // farthest-first seeds survive domain-sorted ingest (first-k-rows
       // seeding traps every seed in one cluster); quantized Lloyd then
@@ -202,7 +210,10 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     // whose ids were deleted between the write and the replay. Zero cost on
     // the hot path while no deletes are pending (no tombstone dirs -> no
     // check).
-    val isReplay = new java.io.File(s"$dataPath/batch=${batchId + 1}").exists()
+    // committed dirs only: a crashed PARTIAL first delivery (dir present,
+    // no _SUCCESS) must re-run the check — its rows don't provably predate
+    // the delete, and exempting it would land a tombstoned re-add silently
+    val isReplay = StoreIO.isCommittedDir(s"$dataPath/batch=${batchId + 1}")
     if (!isReplay) tombstones().foreach { ts =>
       require(aligned.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() before re-adding deleted vectors")

@@ -22,6 +22,16 @@ private[store] object StoreIO {
         new java.io.File(f, "_SUCCESS").exists())
       .sortBy(_.getName)
 
+  /** Is `dir` a COMMITTED batch dir (_SUCCESS present)? The shared replay
+    * test for the batch-keyed appenders ([[IvfIndex]], [[TextIndex]],
+    * EncryptedStore): only a dir whose write COMPLETED proves the batch's
+    * rows predate any pending delete. A bare dir without _SUCCESS is a
+    * crashed PARTIAL first delivery — its rows may be arbitrarily stale or
+    * missing, so the re-delivery must re-run the tombstone re-add check
+    * rather than inherit the replay exemption. */
+  def isCommittedDir(dir: String): Boolean =
+    new java.io.File(dir, "_SUCCESS").exists()
+
   /** Total on-disk bytes under `root` (0 when absent) — the cheap,
     * jobless size probe behind the hot-tier admission budget: file
     * lengths are driver-side metadata, so deciding "does this index fit

@@ -110,7 +110,9 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     // delete, the overwrite is idempotent, and the delete still wins —
     // throwing would permanently wedge an at-least-once stream whose docs
     // were deleted between the write and the replay.
-    val isReplay = new java.io.File(s"$postingsPath/batch=${batchId + 1}").exists()
+    // committed dirs only (StoreIO.isCommittedDir): a crashed PARTIAL
+    // first delivery must still re-run the check — see IvfIndex.appendBatch
+    val isReplay = StoreIO.isCommittedDir(s"$postingsPath/batch=${batchId + 1}")
     if (!isReplay) tombstones().foreach { ts =>
       require(docs.select("doc_id").join(broadcast(ts.select("doc_id")),
         Seq("doc_id"), "left_semi").isEmpty,

@@ -1238,7 +1238,9 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           rows.select(col("id").cast(StringType).as("id"), col("doc"), col("emb")),
           Seq("doc", "emb"))
         val dir = s"${path(name)}/batch=${batchId + 1}"
-        val isReplay = new java.io.File(dir).exists()
+        // committed dirs only (StoreIO.isCommittedDir): a crashed PARTIAL
+        // first delivery must still re-run the check — see IvfIndex.appendBatch
+        val isReplay = StoreIO.isCommittedDir(dir)
         if (!isReplay) encTombstones(name).foreach { ts =>
           require(incoming0.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
             "batch re-adds tombstoned ids — run compact() before re-adding deleted ids")
