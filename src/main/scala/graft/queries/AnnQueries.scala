@@ -111,6 +111,34 @@ object AnnQueries {
     bucket
   }
 
+  /** INDEX-ROUTED bulk labeling — the scale path `q_knn_classifier`'s
+    * design note promises: the probe batch feeds through
+    * [[graft.store.IvfIndex.queryBatchQuantized]] (one codes-only scan of
+    * the union of probed cells + one In-pushed exact rerank, neighbor
+    * labels carried by the rerank's `include` projection) instead of the
+    * exact P×N ProbeJoin scan, then the SAME majority vote: per probe, the
+    * most frequent label of the k nearest (neighbor order (distance, id);
+    * vote ties break to the smallest label — both identical to the exact
+    * path, so at full probe depth routed votes ≡ exact votes, spec-pinned
+    * in IvfIndexSpec). The index must carry the label as stored metadata
+    * (an `nlabel` column in its build input). At 100 TB the routed path's
+    * scan volume is `nprobe / numCells` of the corpus per probe batch,
+    * against the exact path's full corpus per batch. */
+  def routedKnnVotes(idx: graft.store.IvfIndex,
+                     probes: Seq[(Long, Array[Float])],
+                     k: Int, nprobe: Int, shortlist: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    idx.queryBatchQuantized(probes, k, nprobe, shortlist, include = Seq("nlabel"))
+      .groupBy("probe_id", "nlabel")
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("probe_id").orderBy(desc("votes"), asc("nlabel"))))
+      .filter(col("vr") === 1)
+      .select(col("probe_id").as("vec_id"),
+        col("nlabel").cast("int").as("pred_label"), col("votes"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
 
     // Embedder + kNN over the embedded documents: capability parity with
@@ -1083,8 +1111,12 @@ object AnnQueries {
     // N); the corpus side never shuffles either way, and the only wide
     // ops are the per-probe top-5 and the vote, both keyed on the probe
     // id (cardinality = batch, not corpus). At 100 TB the exact scan
-    // swaps for the attached IVF/graph route exactly like
-    // q_ann_ivf_batch; voting is unchanged.
+    // swaps for the attached-index route: [[routedKnnVotes]] feeds the
+    // probe batch through IvfIndex.queryBatchQuantized (codes-only union
+    // scan + In-pushed rerank) with the identical vote — routed ≡ exact
+    // at full probe depth (spec-pinned), and the routed scan volume is
+    // nprobe/numCells of the corpus instead of all of it (measured in
+    // SURVEY §8.3's routedlabel stress row).
     Q(
       "q_knn_classifier",
       "kNN label propagation: majority label of 5 nearest labeled neighbors",

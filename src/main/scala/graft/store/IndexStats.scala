@@ -21,3 +21,12 @@ final case class IndexStats(liveRows: Long, pendingDeletes: Long, units: Int) {
     if (liveRows <= 0L) (if (pendingDeletes > 0) Double.PositiveInfinity else 0.0)
     else pendingDeletes.toDouble / liveRows.toDouble
 }
+
+/**
+ * Cell-geometry health of an [[IvfIndex]] — the retrain-trigger numbers
+ * (see `IvfIndex.balance` for semantics). Kept separate from
+ * [[IndexStats]]: computing it reads the emb column (one narrow pass),
+ * where [[IndexStats]] is counts only, and only the IVF index has cells.
+ */
+final case class IvfBalance(liveRows: Long, liveCells: Int,
+                            maxOverMean: Double, sq8ClipRate: Double)

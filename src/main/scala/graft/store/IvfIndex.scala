@@ -389,7 +389,10 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     val dirs = StoreIO.committedBatchDirs(dataPath)
     if (dirs.isEmpty) IndexStats(0L, 0L, 0)
     else {
-      val phys = spark.read.parquet(dirs.map(_.getPath): _*).count()
+      // basePath: the batch dirs nest cell=N partitions — reading several
+      // of them directly trips partition-structure inference
+      val phys = spark.read.option("basePath", dataPath)
+        .parquet(dirs.map(_.getPath).toIndexedSeq: _*).count()
       val live = liveIds.count()
       IndexStats(live, phys - live, dirs.length)
     }
@@ -398,6 +401,97 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   def compact(): Unit = {
     val l = WriterLease.acquire(path, "IvfIndex.compact")
     try compactUnleased() finally l.release()
+  }
+
+  /** The index's LIVE contents with every stored metadata column, minus
+    * the synthetic partition/derived columns (batch, cell, codes) — the
+    * input a rebuild or retrain re-derives those from. */
+  private def liveRows(): DataFrame = {
+    val dirs = StoreIO.committedBatchDirs(dataPath)
+    require(dirs.nonEmpty, s"no committed data under $dataPath — build() first")
+    val all = spark.read.option("basePath", dataPath)
+      .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+      .drop("batch", "cell", "codes")
+      .dropDuplicates("id")
+    tombstones().fold(all)(ts => all.join(broadcast(ts), Seq("id"), "left_anti"))
+  }
+
+  /** RETRAIN the centroids on the index's CURRENT live rows and republish —
+    * the cell-balance remedy [[appendBatch]] cannot provide: appends assign
+    * against centroids frozen at [[build]] time, so months of drifting
+    * ingest (the scenario the monitoring family detects) grows a hot cell
+    * that defeats partition pruning, and SQ8 codes silently clip once
+    * values leave the build-time per-dim range. Retraining re-runs the
+    * capped deterministic trainer on what the index ACTUALLY holds now,
+    * re-assigns every live row, re-freezes the SQ8 grid over the live
+    * value range, and publishes through [[build]]'s crash-consistent
+    * commit — which also subsumes a [[compact]] (tombstoned rows drop
+    * physically, batch dirs fold to one, the tombstone fence advances).
+    * Answers are unchanged by construction: a full-depth probe before and
+    * after retrain both equal brute force over the live rows (spec-pinned
+    * in IvfIndexSpec); only the CELL GEOMETRY moves. Cost is a [[build]]
+    * over live rows — maintenance cadence, triggered by
+    * `Collection.maintain` when [[balance]] crosses its thresholds. */
+  def retrain(trainSampleCap: Long = IvfIndex.DefaultTrainCap): Unit = {
+    val l = WriterLease.acquire(path, "IvfIndex.retrain")
+    try {
+      val live = liveRows().persist()
+      try buildUnleased(live, trainSampleCap)
+      finally live.unpersist(): Unit
+    } finally l.release()
+  }
+
+  /** Cell-geometry health — the numbers [[retrain]]'s trigger policy
+    * decides on, computed in ONE pass over the live rows (narrow columns:
+    * cell + emb; maintenance-cadence cost, like [[stats]]):
+    *
+    *  - `maxOverMean`: live rows in the fattest cell over the mean across
+    *    NON-EMPTY cells. 1.0 is perfectly balanced; a hot cell defeats
+    *    partition pruning — every probe that hits it re-scans
+    *    `maxOverMean / liveCells` of the corpus instead of `1 / numCells`.
+    *  - `sq8ClipRate`: fraction of (row, dim) values strictly outside the
+    *    FROZEN SQ8 grid (build-time per-dim min/max). Clipped values all
+    *    collapse to code 0 or 255, so the quantized shortlist silently
+    *    loses resolution exactly where the data drifted; 0.0 when the
+    *    index carries no codes sidecar.
+    *  - `liveCells`: non-empty cells (empty cells waste probe fan-out). */
+  def balance(): IvfBalance = {
+    val dirs = StoreIO.committedBatchDirs(dataPath)
+    if (dirs.isEmpty) return IvfBalance(0L, 0, 0.0, 0.0)
+    val all = spark.read.option("basePath", dataPath)
+      .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
+      .select(col("id"), col("cell").cast("long").as("cell"), col("emb"))
+      .dropDuplicates("id")
+    val live = tombstones().fold(all)(ts =>
+      all.join(broadcast(ts), Seq("id"), "left_anti"))
+    // clip detection runs inside the same aggregation pass: per-row clipped
+    // dim count via codegen'd array HOFs against the frozen grid literals —
+    // no explode, no join, the emb column is read once for both numbers
+    val clipCol = sq8Stats().fold(lit(0L)) { case (mn, mx) =>
+      val embD = transform(col("emb"), x => x.cast("double"))
+      (aggregate(zip_with(embD, typedlit(mn.toSeq),
+          (x, m) => when(x < m, 1).otherwise(0)), lit(0), (a, v) => a + v) +
+        aggregate(zip_with(embD, typedlit(mx.toSeq),
+          (x, m) => when(x > m, 1).otherwise(0)), lit(0), (a, v) => a + v))
+        .cast("long")
+    }
+    val perCell = live
+      .groupBy("cell").agg(count(lit(1)).as("n"), sum(clipCol).as("clipped"),
+        sum(size(col("emb")).cast("long")).as("vals"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("rows"),
+        count(lit(1)).as("cells"), sum(col("clipped")).as("clipped"),
+        sum(col("vals")).as("vals"))
+      .head()
+    val rows = perCell.getLong(1)
+    if (rows == 0L) IvfBalance(0L, 0, 0.0, 0.0)
+    else {
+      val cells = perCell.getLong(2).toInt
+      val mean = rows.toDouble / cells
+      val clipRate =
+        if (perCell.getLong(4) == 0L) 0.0
+        else perCell.getLong(3).toDouble / perCell.getLong(4)
+      IvfBalance(rows, cells, perCell.getLong(0) / mean, clipRate)
+    }
   }
 
   private def compactUnleased(): Unit = {
@@ -716,9 +810,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * by a window, then ONE In-pushed exact rerank of the union shortlist
     * finishes every probe. The id collect is bounded by Q × `shortlist`.
     * With `shortlist` >= the probed cells' population the result is
-    * EXACTLY [[queryBatch]]'s (spec-pinned). */
+    * EXACTLY [[queryBatch]]'s (spec-pinned). `include` carries stored
+    * metadata columns of the NEIGHBOR rows into the result (read during
+    * the exact rerank, which touches the full rows anyway) — the routed
+    * bulk-labeling path (`AnnQueries.routedKnnVotes`) pulls neighbor
+    * labels through it instead of a second corpus join. */
   def queryBatchQuantized(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
-                          shortlist: Int = 256): DataFrame = {
+                          shortlist: Int = 256,
+                          include: Seq[String] = Nil): DataFrame = {
     require(probes.nonEmpty, "queryBatchQuantized needs at least one probe")
     require(shortlist >= k, "shortlist must be at least k")
     val (mn, mx) = sq8Stats().getOrElse(
@@ -766,8 +865,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
       .withColumn("rn", row_number().over(wK))
       .filter(col("rn") <= k)
-      .select(col("probe_id"), col("id"), col("cell").cast("long").as("cell"),
-        col("distance"), col("rn"))
+      .select(col("probe_id") +: col("id") +: include.map(col) :+
+        col("cell").cast("long").as("cell") :+ col("distance") :+ col("rn"): _*)
   }
 
   /** Batched probe: top-k per probe for MANY query vectors in ONE pruned

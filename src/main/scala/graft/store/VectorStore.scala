@@ -709,28 +709,47 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       case VectorStore.AttachedGraph(idx, _, _, _) => idx.stats()
     }
 
-    /** Auto-compaction policy — the maintenance call a scheduler (or a
-      * streaming maintainer's batch hook) runs periodically: compact the
-      * attached index when pending tombstones exceed `maxPendingRatio` of
-      * live rows (each pending delete costs query-time work until purged)
-      * or when delta publish units exceed `maxUnits` (partition-discovery
-      * and merge fan-in grow with them). Returns true iff a compaction
-      * ran. The compaction itself takes the index writer lease, so a
-      * maintainer and this policy cannot interleave; answers are
-      * unchanged by construction (compact ≡ rebuild, spec-pinned in
-      * IndexDeleteSpec). */
-    def maintain(maxPendingRatio: Double = 0.2, maxUnits: Int = 8): Boolean =
+    /** Auto-maintenance policy — the call a scheduler (or a streaming
+      * maintainer's batch hook) runs periodically: compact the attached
+      * index when pending tombstones exceed `maxPendingRatio` of live rows
+      * (each pending delete costs query-time work until purged) or when
+      * delta publish units exceed `maxUnits` (partition-discovery and
+      * merge fan-in grow with them). For an attached IVF index the policy
+      * additionally watches CELL GEOMETRY (`IvfIndex.balance`, one narrow
+      * pass): when the fattest cell exceeds `maxCellImbalance`× the mean
+      * (a hot cell defeats partition pruning) or more than `maxClipRate`
+      * of values sit outside the frozen SQ8 grid (drifted values collapse
+      * to code 0/255 and the quantized shortlist silently loses recall),
+      * it RETRAINS instead of compacting — `IvfIndex.retrain` re-clusters
+      * the live rows and re-freezes the grid, and subsumes a compaction.
+      * This is Chroma's implicit keep-the-index-healthy-under-inserts
+      * behavior (hnswlib, /root/reference/src/chromadb_store.py:4) made an
+      * explicit, thresholded policy. Returns true iff maintenance ran.
+      * Retrain/compact take the index writer lease, so a maintainer and
+      * this policy cannot interleave; answers are unchanged by
+      * construction (compact ≡ rebuild and full-depth probe ≡ brute force
+      * before and after retrain, both spec-pinned). */
+    def maintain(maxPendingRatio: Double = 0.2, maxUnits: Int = 8,
+                 maxCellImbalance: Double = 3.0,
+                 maxClipRate: Double = 0.05): Boolean =
       attachedIdx.get(name).exists { ai =>
         val st = ai match {
           case VectorStore.AttachedIvf(idx, _, _) => idx.stats()
           case VectorStore.AttachedGraph(idx, _, _, _) => idx.stats()
         }
-        val due = st.pendingRatio > maxPendingRatio || st.units > maxUnits
-        if (due) ai match {
-          case VectorStore.AttachedIvf(idx, _, _) => idx.compact()
-          case VectorStore.AttachedGraph(idx, _, _, _) => idx.compact()
+        val compactDue = st.pendingRatio > maxPendingRatio || st.units > maxUnits
+        ai match {
+          case VectorStore.AttachedIvf(idx, _, _) =>
+            val bal = idx.balance()
+            val retrainDue = bal.maxOverMean > maxCellImbalance ||
+              bal.sq8ClipRate > maxClipRate
+            if (retrainDue) idx.retrain()
+            else if (compactDue) idx.compact()
+            retrainDue || compactDue
+          case VectorStore.AttachedGraph(idx, _, _, _) =>
+            if (compactDue) idx.compact()
+            compactDue
         }
-        due
       }
 
     /** Top-k nearest neighbors with distances. metric: "l2" (store default,

@@ -384,4 +384,87 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(q.intersect(r).size >= (r.size * 3) / 4,
       s"depth-32 batch recall collapsed: ${q.intersect(r).size}/${r.size}")
   }
+
+  test("routed bulk labeling: routedKnnVotes at full depth equals the exact kNN vote") {
+    import org.apache.spark.sql.expressions.Window
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_lbl").toString
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val labeled = e.filter(col("vec_id") % 50 =!= 7)
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        col("label").cast("long").as("nlabel"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(labeled)
+    val probes = e.filter(col("vec_id") % 50 === 7)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(probes.nonEmpty)
+    val n = labeled.count().toInt
+
+    val routed = graft.queries.AnnQueries
+      .routedKnnVotes(idx, probes, k = 5, nprobe = 8, shortlist = n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    // exact reference: the q_knn_classifier vote over the brute-force scan
+    val p = e.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe"))
+    val exact = labeled.crossJoin(broadcast(p))
+      .withColumn("dist", VF.l2Sq(col("emb"), col("pe")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pid").orderBy(asc("dist"), asc("id"))))
+      .filter(col("rn") <= 5)
+      .groupBy("pid", "nlabel").agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("pid").orderBy(desc("votes"), asc("nlabel"))))
+      .filter(col("vr") === 1)
+      .select(col("pid"), col("nlabel").cast("int"), col("votes"))
+      .orderBy("pid")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+    assert(routed == exact,
+      "full-depth routed labeling must reproduce the exact kNN majority vote")
+  }
+
+  test("retrain collapses drift-induced cell skew and SQ8 clipping; answers preserved") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors.filter(col("id") < 300))
+    assert(idx.balance().sq8ClipRate == 0.0,
+      "the build-time grid covers the build input by construction")
+
+    // planted drift flood: shifted copies land far outside the build-time
+    // value range (every dim clips) and pile into the shift-direction cells
+    val flood = vectors.filter(col("id") >= 300 && col("id") < 700)
+      .select((col("id") + 100000L).as("id"),
+        transform(col("emb"), x => (x + lit(4.0f)).cast("float")).as("emb"))
+    idx.append(flood)
+    idx.delete(Seq(0L, 3L, 100300L)) // retrain must also purge tombstones
+    val bal1 = idx.balance()
+    assert(bal1.maxOverMean > 2.0, s"flood should skew cells, got ${bal1.maxOverMean}")
+    assert(bal1.sq8ClipRate > 0.1, s"flood should clip codes, got ${bal1.sq8ClipRate}")
+
+    val qe = vectors.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    def fullProbe() = idx.query(qe, k = 10, nprobe = 8)
+      .select("id", "distance").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = fullProbe()
+
+    idx.retrain()
+    val bal2 = idx.balance()
+    assert(bal2.liveRows == bal1.liveRows, "retrain must not change the live row set")
+    assert(bal2.sq8ClipRate == 0.0,
+      s"the re-frozen grid covers the live rows exactly, got ${bal2.sq8ClipRate}")
+    assert(bal2.maxOverMean < bal1.maxOverMean * 0.7,
+      s"retrain should collapse skew: ${bal1.maxOverMean} -> ${bal2.maxOverMean}")
+    assert(fullProbe() == before,
+      "full-depth probe ≡ brute force over live rows before AND after retrain")
+    val st = idx.stats()
+    assert(st.units == 1 && st.pendingDeletes == 0,
+      "retrain subsumes compaction: one batch dir, tombstones purged")
+    // the quantized path serves through the re-frozen grid
+    val n = bal2.liveRows.toInt
+    assert(idx.queryQuantized(qe, 5, 8, shortlist = n).collect().map(_.toSeq).toSeq ==
+      idx.query(qe, 5, 8).collect().map(_.toSeq).toSeq)
+  }
 }

@@ -77,6 +77,34 @@ class MaintenanceSpec extends AnyFunSuite with SparkTest {
       "maintenance must not change answers")
   }
 
+  test("drift flood trips the cell-geometry trigger: maintain retrains, answers hold") {
+    val store = new VectorStore(spark, tmp("vs_rt"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") < 300))
+    val idx = c.attachIvfIndex(tmp("vs_rt_idx"), numCells = 8, nprobe = 8)
+    assert(!c.maintain(), "clean index must not trigger maintenance")
+
+    // drift flood through the ROUTED add (keeps the index in sync): far
+    // outside the build-time grid and piled into the shift direction
+    val flood = rows.filter(col("id").cast("long") >= 300 && col("id").cast("long") < 700)
+      .withColumn("id", concat(lit("drift-"), col("id")))
+      .withColumn("emb", transform(col("emb"), x => (x + lit(4.0f)).cast("float")))
+    c.add(flood)
+    val bal1 = idx.balance()
+    assert(bal1.sq8ClipRate > 0.1, s"flood should clip codes, got ${bal1.sq8ClipRate}")
+    val before = c.query(probe, k = 5).collect().map(_.getString(0)).toSeq
+
+    assert(c.maintain(), "clip-rate breach must trigger a retrain")
+    val bal2 = idx.balance()
+    assert(bal2.sq8ClipRate == 0.0 && bal2.liveRows == bal1.liveRows,
+      s"retrain re-freezes the grid over live rows: $bal2")
+    assert(bal2.maxOverMean <= bal1.maxOverMean,
+      s"retrain must not worsen skew: ${bal1.maxOverMean} -> ${bal2.maxOverMean}")
+    assert(c.query(probe, k = 5).collect().map(_.getString(0)).toSeq == before,
+      "maintenance must not change answers (full-probe ≡ brute force)")
+    assert(!c.maintain(), "maintenance must be idempotent once rebalanced")
+  }
+
   test("TextIndex.stats reflects deletes and compaction") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"), col("text"))
