@@ -67,8 +67,102 @@ object Prof {
     case Some("bpe") => bpe(args.drop(1))
     case Some("qualitytrain") => qualitytrain(args.drop(1))
     case Some("encserve") => encserve(args.drop(1))
+    case Some("retrain") => retrainStress(args.drop(1))
+    case Some("routedlabel") => routedlabel(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel")
+  }
+
+  /** Drift-retrain at scale (r7 verdict item 1): build a trained IVF index,
+    * flood it with a 30%-of-corpus shifted append (every value outside the
+    * frozen SQ8 grid, piled into the shift-direction cells), then measure
+    * the skew/clip the flood planted, the probe cost it degraded, the
+    * retrain that repairs both, and the probe cost after. Pass criterion
+    * across /tmp/scale20 vs /tmp/scale100: retrain cost tracks the corpus
+    * ~linearly (it IS a rebuild over live rows); post-retrain skew and
+    * clip-rate collapse at every scale; probe cost recovers to ~the
+    * pre-flood number. */
+  private def retrainStress(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val nTag = s"(n=$n)"
+    val cells = math.max(16, (n / 2048L).toInt)
+    val qe = e.filter(col("vec_id") === 17)
+      .head().getAs[Seq[Float]]("embedding").toArray
+    val base = java.nio.file.Files.createTempDirectory("scale_retrain").toString
+    val idx = new IvfIndex(s, base, cells)
+    time(s"rt_build_${cells}cells", nTag)(idx.build(corpus))
+    time("rt_probe_preflood", nTag)(idx.query(qe, 5, 4).collect())
+    val flood = corpus.filter(col("id") % 10 < 3)
+      .select((col("id") + lit(10L * n)).as("id"),
+        transform(col("emb"), x => (x + lit(4.0f)).cast("float")).as("emb"))
+    time("rt_flood_append_30pct", nTag)(idx.append(flood))
+    val bal1 = time("rt_balance_postflood", nTag)(idx.balance())
+    println(f"PROF rt_skew_postflood maxOverMean=${bal1.maxOverMean}%.2f clip=${bal1.sq8ClipRate}%.3f $nTag")
+    // a probe toward the drifted mass hits the flood's fat cell
+    val qDrift = qe.map(_ + 4.0f)
+    time("rt_probe_drifted_cell", nTag)(idx.query(qDrift, 5, 4).collect())
+    time("rt_retrain", nTag)(idx.retrain())
+    val bal2 = time("rt_balance_postretrain", nTag)(idx.balance())
+    println(f"PROF rt_skew_postretrain maxOverMean=${bal2.maxOverMean}%.2f clip=${bal2.sq8ClipRate}%.3f $nTag")
+    time("rt_probe_postretrain", nTag)(idx.query(qe, 5, 4).collect())
+    time("rt_probe_drifted_postretrain", nTag)(idx.query(qDrift, 5, 4).collect())
+    s.stop()
+  }
+
+  /** Index-routed bulk labeling vs the exact scan (r7 verdict item 2): a
+    * FIXED 64-probe labeling batch against a growing labeled corpus. The
+    * exact path (q_knn_classifier's ProbeJoin + GroupedTopK vote) computes
+    * P×N distances — linear in N at fixed P; the routed path
+    * (AnnQueries.routedKnnVotes through IvfIndex.queryBatchQuantized)
+    * scans the union of probed cells' CODES plus a bounded rerank — the
+    * per-cell row count is ~fixed (cells scale with the corpus), so the
+    * pass criterion across /tmp/scale20 vs /tmp/scale100 is a ~FLAT routed
+    * vote where the exact vote grows ~5x. */
+  private def routedlabel(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val probeDf = e.filter(col("vec_id") % 25 === 3 && col("vec_id") < AnnQueries.RecallPanelCap)
+      .select(col("vec_id").as("pid"), col("embedding").as("pe")).persist()
+    val probes = probeDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val labeled = e.filter(!(col("vec_id") % 25 === 3 && col("vec_id") < AnnQueries.RecallPanelCap))
+      .select(col("vec_id").as("id"), col("embedding").as("emb"),
+        col("label").cast("long").as("nlabel"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pid").orderBy(desc("votes"), asc("nlabel"))
+    time(s"lbl_exact_${probes.length}probes", nTag) {
+      val knn = graft.operators.ProbeJoin.cross(labeled, probeDf)
+        .withColumn("dist", VF.l2Sq(col("emb"), col("pe")))
+        .groupBy("pid")
+        .agg(graft.operators.GroupedTopK.topK(5)(col("dist"),
+          col("id") * 16 + col("nlabel")).as("topk"))
+        .select(col("pid"), explode(col("topk")).as("sc"))
+        .select(col("pid"), pmod(col("sc.id"), lit(16L)).as("nlabel"))
+      val out = knn.groupBy("pid", "nlabel").agg(count(lit(1)).as("votes"))
+        .withColumn("vr", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("vr") === 1)
+      println(s"PROF lbl_exact_rows rows=${out.count()}")
+    }
+    val cells = math.max(16, (n / 2048L).toInt)
+    val base = java.nio.file.Files.createTempDirectory("scale_lbl").toString
+    val idx = new IvfIndex(s, base, cells)
+    time(s"lbl_index_build_${cells}cells", nTag)(idx.build(labeled))
+    time("lbl_routed_cold", nTag) {
+      println(s"PROF lbl_routed_rows rows=${AnnQueries.routedKnnVotes(idx, probes, 5, 4, 64).count()}")
+    }
+    (1 to 2).foreach { i =>
+      time(s"lbl_routed_warm$i", nTag)(
+        AnnQueries.routedKnnVotes(idx, probes, 5, 4, 64).count(): Unit)
+    }
+    probeDf.unpersist()
+    s.stop()
   }
 
   /** Encrypted cell-pruned serving at scale (EncryptedStore.storeIndexed /
