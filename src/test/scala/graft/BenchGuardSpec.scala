@@ -1,0 +1,26 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * The bench cross-run guard's decision function (Bench.sustainedOutlier):
+ * a query is flagged against the COMMITTED artifact only when it is both
+ * >2x slower AND >0.25 s absolute — sub-second queries jitter past 2x on
+ * scheduler noise alone, and an absent/failed committed number disarms.
+ * (The end-to-end flag firing is demonstrated by running Bench with a
+ * planted baseline — recorded in SURVEY §8.3.)
+ */
+class BenchGuardSpec extends AnyFunSuite {
+  test("sustained-outlier decision: ratio AND absolute floor AND armed baseline") {
+    assert(Bench.sustainedOutlier(now = 2.75, base = 0.72), "the r7 q_sessionize case must flag")
+    assert(!Bench.sustainedOutlier(now = 1.3, base = 0.72), "under 2x: not an outlier")
+    assert(!Bench.sustainedOutlier(now = 0.20, base = 0.05),
+      "4x on a 50 ms query is scheduler noise, absolute floor holds it back")
+    assert(Bench.sustainedOutlier(now = 0.50, base = 0.05),
+      "10x and +0.45 s clears both gates even from a small base")
+    assert(!Bench.sustainedOutlier(now = 5.0, base = -1.0), "no committed number disarms")
+    assert(!Bench.sustainedOutlier(now = 5.0, base = 0.0), "zero committed disarms")
+    assert(Bench.sustainedOutlier(now = 1.0, base = 0.4), "2.5x and +0.6 s: flags")
+    assert(!Bench.sustainedOutlier(now = 0.8, base = 0.4), "exactly 2x: not strictly over")
+  }
+}
