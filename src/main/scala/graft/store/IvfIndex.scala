@@ -709,6 +709,104 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       })
   }
 
+  // ------------------------------------- codes-resident hot tier (SQ8)
+
+  /** JVM-resident CODES — the hot tier for an index whose raw floats
+    * exceed `graft.hot.maxBytes`: 1 byte/dim instead of 4, so ~4x more
+    * corpus serves hot under the same admission budget. A probe runs
+    * phase 1 (integer L2 over the resident codes, the
+    * [[codesShortlist]] semantics) entirely in memory — zero Spark jobs —
+    * and phase 2 as the same bounded In-pushed exact rerank
+    * [[queryQuantized]] runs ([[exactRerank]], ≤ shortlist rows off
+    * disk). */
+  private final class HotCodesState(
+      val key: String,
+      val cells: java.util.HashMap[java.lang.Long, Array[(Long, Array[Byte])]],
+      val cents: Array[(Long, Array[Float])],
+      val mn: Array[Double], val mx: Array[Double],
+      val estBytes: Long)
+
+  @volatile private var hotCodes: HotCodesState = null
+  // code-bytes estimate cached per publish fingerprint (the estimate costs
+  // one narrow count job — don't re-pay it per refused probe); the BUDGET
+  // is re-read per probe so a raised/lowered graft.hot.maxBytes takes
+  // effect immediately, like the raw tier's per-probe hotFits()
+  @volatile private var hotCodesEst: (String, Long) = null
+
+  /** Signed-byte integer L2 — the driver-side twin of
+    * [[graft.functions.Sq8L2Distance]]'s loop (identical arithmetic, so
+    * the in-memory shortlist is bit-equal to the codes-only scan's). */
+  private def sq8l2(a: Array[Byte], b: Array[Byte]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toLong; acc += d * d; i += 1 }
+    acc
+  }
+
+  private def hotCodesState(): Option[HotCodesState] = {
+    val key = hotKey()
+    val h0 = hotCodes
+    if (h0 != null && h0.key == key)
+      return if (h0.estBytes <= StoreIO.hotBudgetBytes()) Some(h0) else None
+    val e0 = hotCodesEst
+    if (e0 != null && e0._1 == key && e0._2 > StoreIO.hotBudgetBytes()) return None
+    // no codes sidecar (pre-SQ8 index): permanently refused at this key
+    val stats = sq8Stats().getOrElse {
+      hotCodesEst = (key, Long.MaxValue); return None
+    }
+    // ADMISSION MATH COUNTS CODE BYTES: resident cost per row is the
+    // 1-byte/dim code + the 8-byte id + ~32 B of JVM tuple/array headers —
+    // the raw floats never load, which is the whole point (~4x more corpus
+    // under the same budget). One narrow id-count job per publish
+    // fingerprint.
+    val est =
+      if (e0 != null && e0._1 == key) e0._2
+      else {
+        val v = liveIds.count() * (stats._1.length + 40L)
+        hotCodesEst = (key, v); v
+      }
+    if (est > StoreIO.hotBudgetBytes()) return None
+    // same read rule as [[query]]/[[queryQuantized]] (whole tree +
+    // tombstone anti-join), so hot and cold serve identical row sets
+    val raw = spark.read.parquet(dataPath)
+    val live = tombstones().fold(raw)(ts =>
+      raw.join(broadcast(ts), Seq("id"), "left_anti"))
+    val cells = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Byte])]]()
+    live.select(col("cell").cast("long"), col("id"), col("codes")).collect()
+      .groupBy(_.getLong(0)).foreach { case (cid, rows) =>
+        cells.put(cid, rows.map(r => (r.getLong(1), r.getAs[Array[Byte]](2))))
+      }
+    val h = new HotCodesState(key, cells, centroids(), stats._1, stats._2, est)
+    hotCodes = h
+    Some(h)
+  }
+
+  /** [[queryQuantized]] with phase 1 served from JVM-resident CODES: the
+    * integer-L2 shortlist over the nprobe nearest cells runs in memory
+    * (zero Spark jobs), then the SAME bounded exact rerank finishes off
+    * disk. Bit-equal to [[queryQuantized]] (spec-pinned) — same shortlist
+    * ((qdist, id)-ordered, cut at `shortlist`), same rerank code path.
+    * None when the index has no codes sidecar or the resident code bytes
+    * exceed `graft.hot.maxBytes`. Returns (id, cell, distance) rows. */
+  def hotQueryQuantized(qe: Array[Float], k: Int, nprobe: Int,
+                        shortlist: Int = 256): Option[Seq[(Long, Long, Double)]] = {
+    require(shortlist >= k, "shortlist must be at least k")
+    hotCodesState().map { h =>
+      val qb = graft.functions.Sq8Encode.encode(qe, h.mn, h.mx)
+      val probed = h.cents.map { case (cid, c) => (l2(c, qe), cid) }
+        .sorted.take(nprobe).map(_._2)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      probed.foreach { cid =>
+        val arr = h.cells.get(cid)
+        if (arr != null) arr.foreach { case (id, codes) =>
+          buf += ((sq8l2(codes, qb), id))
+        }
+      }
+      val shortIds = buf.sortBy(identity).take(shortlist).map(_._2).toSeq
+      exactRerank(qe, probed.toSeq, shortIds, k, None, Nil)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+  }
+
   /** Top-k by squared L2, scanning only the nprobe nearest cells. `where`
     * restricts the answer set by a predicate over the stored metadata
     * columns (the Chroma `where=` surface, /root/reference/src/cod.py:125-129);
@@ -790,6 +888,17 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     val (qb, cells) = quantProbe(qe, nprobe)
     val shortIds = codesShortlistImpl(qb, cells, shortlist, where)
       .select("id").collect().map(_.getLong(0)).toSeq
+    exactRerank(qe, cells, shortIds, k, where, include)
+  }
+
+  /** Phase 2 of a quantized probe — the bounded exact rerank: an In-pushed
+    * point read of the ≤ shortlist surviving raw rows within the probed
+    * cells, float-L2-scored and cut to k. Shared by [[queryQuantized]] and
+    * the codes-resident hot tier ([[hotQueryQuantized]]), so the two paths
+    * cannot drift. */
+  private def exactRerank(qe: Array[Float], cells: Seq[Long],
+                          shortIds: Seq[Long], k: Int,
+                          where: Option[Column], include: Seq[String]): DataFrame = {
     val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*))
       .filter(col("id").isin(shortIds: _*))

@@ -365,6 +365,23 @@ object Prof {
     (1 to 3).foreach { i =>
       time(s"sq8_quant_warm$i", nTag)(idx.queryQuantized(qe, 5, 4, shortlist = 64).collect())
     }
+    // codes-resident hot tier (r8): pin the budget INSIDE the window —
+    // above the code-bytes estimate, below the raw file tree — so this is
+    // the index a raw hot tier could NOT pin, now serving hot: phase 1
+    // in-memory over codes, phase 2 the bounded In-pushed rerank
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    val treeBytes = walk(new java.io.File(s"$base/data"))
+    val codesEst = n * (64 + 40L)
+    println(s"PROF sq8_hot_window codes_est=$codesEst tree_bytes=$treeBytes $nTag")
+    System.setProperty("graft.hot.maxBytes", ((codesEst + treeBytes) / 2).toString)
+    try {
+      time("sq8_hot_load", nTag)(idx.hotQueryQuantized(qe, 5, 4, shortlist = 64))
+      (1 to 3).foreach { i =>
+        time(s"sq8_hot_warm$i", nTag)(idx.hotQueryQuantized(qe, 5, 4, shortlist = 64))
+      }
+    } finally System.clearProperty("graft.hot.maxBytes"): Unit
     s.stop()
   }
 

@@ -424,6 +424,66 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       "full-depth routed labeling must reproduce the exact kNN majority vote")
   }
 
+  test("codes-resident hot tier: bit-equal to queryQuantized; serves in the codes-size budget window") {
+    def withBudget[A](bytes: Long)(body: => A): A = {
+      val prev = System.getProperty("graft.hot.maxBytes")
+      System.setProperty("graft.hot.maxBytes", bytes.toString)
+      try body
+      finally {
+        if (prev == null) System.clearProperty("graft.hot.maxBytes")
+        else System.setProperty("graft.hot.maxBytes", prev)
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_hotq").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors)
+    val n = vectors.count().toInt
+    val qe = vectors.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    def cold(np: Int, sl: Int) = idx.queryQuantized(qe, 5, np, shortlist = sl)
+      .select("id", "cell", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    withBudget(Long.MaxValue) {
+      // bit-equal at partial and full shortlist, warm and cold
+      assert(idx.hotQueryQuantized(qe, 5, 2, shortlist = 32).get == cold(2, 32))
+      assert(idx.hotQueryQuantized(qe, 5, 2, shortlist = 32).get == cold(2, 32))
+      assert(idx.hotQueryQuantized(qe, 5, 8, shortlist = n).get == cold(8, n))
+      // at full shortlist the quantized path IS query()
+      val raw = idx.query(qe, 5, 8).select("id", "cell", "distance").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(idx.hotQueryQuantized(qe, 5, 8, shortlist = n).get == raw)
+    }
+    // the budget WINDOW: the codes-resident estimate admits where the raw
+    // file tree (what the routed raw tier consults) would not — the ~4x
+    // headroom the 1-byte/dim codes buy
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    val treeBytes = walk(new java.io.File(s"$base/data"))
+    val codesEst = n.toLong * (64 + 40)
+    assert(codesEst < treeBytes, "window must exist: codes estimate under the tree bytes")
+    withBudget((codesEst + treeBytes) / 2) {
+      assert(idx.hotQueryQuantized(qe, 5, 2, shortlist = 32).nonEmpty,
+        "codes tier must serve inside the window where raw floats would not fit")
+    }
+    withBudget(codesEst / 2) {
+      assert(idx.hotQueryQuantized(qe, 5, 2, shortlist = 32).isEmpty,
+        "over the code-bytes budget the tier must refuse")
+    }
+    // mutation invalidates: an appended better neighbor shows up hot
+    withBudget(Long.MaxValue) {
+      val before = idx.hotQueryQuantized(qe, 1, 8, shortlist = n).get
+      assert(before.head._1 == 7L)
+      val exact = vectors.filter(col("id") === 7)
+        .select(lit(999999L).as("id"), col("emb"))
+      idx.append(exact)
+      val after = idx.hotQueryQuantized(qe, 2, 8, shortlist = n + 1).get
+      assert(after.map(_._1).toSet == Set(7L, 999999L),
+        s"appended duplicate must serve from the refreshed hot codes: $after")
+    }
+  }
+
   test("retrain collapses drift-induced cell skew and SQ8 clipping; answers preserved") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
