@@ -1399,6 +1399,120 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .select(col("id"), decryptStr(col("doc_ct")).as("doc"), col("distance"))
   }
 
+  private def encL2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  private def encProbeCells(cents: Array[(Long, Array[Float])],
+                            probes: Seq[(Long, Array[Float])],
+                            nprobe: Int): Seq[(Long, Array[Float], Seq[Long])] =
+    probes.map { case (pid, qe) =>
+      (pid, qe, cents.map { case (cid, c) => (encL2sq(c, qe), cid) }
+        .sorted.take(nprobe).map(_._2).toSeq)
+    }
+
+  /** Batched [[queryIndexed]] — Q probes share ONE decrypt pass over the
+    * UNION of their probed cells: the pruned ciphertext decrypts once per
+    * ROW (the decrypted frame is materialized via localCheckpoint before
+    * the probe join — projection collapse would otherwise inline the
+    * AES-GCM decrypt into the join and re-decrypt each row once per
+    * matching PROBE, the per-pair-recompute trap), then each row is scored
+    * only against probes whose cell set contains it and cut to top-k by a
+    * probe-keyed window. Per-probe results are [[queryIndexed]]'s
+    * (spec-pinned). A bulk encrypted workload pays ~one probe's decrypt
+    * cost for the whole batch instead of Q× it. Returns
+    * (probe_id, id, doc, distance, rn). */
+  def queryIndexedBatch(name: String, probes: Seq[(Long, Array[Float])], k: Int,
+                        nprobe: Int): DataFrame = {
+    require(probes.nonEmpty, "queryIndexedBatch needs at least one probe")
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val probeCells = encProbeCells(cents, probes, nprobe)
+    val unionCells = probeCells.flatMap(_._3).distinct
+    val probeDf = spark.createDataFrame(
+      probeCells.map { case (pid, qe, cells) => (pid, qe.toSeq, cells) })
+      .toDF("probe_id", "qe", "probe_cells")
+    val dec = liveRaw(name)
+      .filter(col("cell").isin(unionCells: _*))
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        col("doc_ct"),
+        from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+    dec.join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
+      .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("id"), decryptStr(col("doc_ct")).as("doc"),
+        col("distance"), col("rn"))
+  }
+
+  /** Batched [[queryIndexedQuantized]] — the `q_ann_ivf_batch` shape on
+    * ciphertext: phase 1 decrypts only the compact codes_ct of the UNION
+    * of probed cells ONCE (materialized, same per-pair-recompute guard as
+    * [[queryIndexedBatch]]), ranks per probe by exact integer L2 and cuts
+    * per-probe shortlists by a window; phase 2 decrypts the full
+    * embedding for the union of shortlist survivors only — one In-pushed
+    * bounded pass — and finishes every probe exactly. With `shortlist` >=
+    * the probed cells' population the result is EXACTLY
+    * [[queryIndexedBatch]]'s (spec-pinned). The id collect is bounded by
+    * Q × `shortlist`. */
+  def queryIndexedBatchQuantized(name: String, probes: Seq[(Long, Array[Float])],
+                                 k: Int, nprobe: Int,
+                                 shortlist: Int = 256): DataFrame = {
+    require(probes.nonEmpty, "queryIndexedBatchQuantized needs at least one probe")
+    require(shortlist >= k, "shortlist must be at least k")
+    val (mn, mx) = sq8StatsOf(name).getOrElse(
+      sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val probeCells = encProbeCells(cents, probes, nprobe)
+    val unionCells = probeCells.flatMap(_._3).distinct
+    val probeDf = spark.createDataFrame(
+      probeCells.map { case (pid, qe, cells) =>
+        (pid, qe.toSeq, cells, graft.functions.Sq8Encode.encode(qe, mn, mx))
+      }).toDF("probe_id", "qe", "probe_cells", "qcodes")
+    val codes = liveRaw(name)
+      .filter(col("cell").isin(unionCells: _*))
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        unbase64(decryptStr(col("codes_ct"))).as("codes"))
+      .localCheckpoint()
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
+    val short = codes
+      .join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
+      .withColumn("qdist", VF.sq8L2(col("codes"), col("qcodes")))
+      .withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= shortlist)
+      .select(col("probe_id"), col("id"))
+      .collect()
+    val shortIds = short.map(_.getString(1)).distinct.toSeq
+    val keep = spark.createDataFrame(
+      short.map(r => (r.getLong(0), r.getString(1))).toSeq.distinct.sortBy(identity))
+      .toDF("probe_id", "id")
+    val dec = liveRaw(name)
+      .filter(col("cell").isin(unionCells: _*))
+      .filter(col("id").isin(shortIds: _*))
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        col("doc_ct"),
+        from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+      .localCheckpoint()
+    val wK = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+    dec.join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
+      // restrict the rerank to each probe's OWN shortlist (a row may sit
+      // in another probe's cells without having made its shortlist)
+      .join(broadcast(keep), Seq("probe_id", "id"), "left_semi")
+      .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= k)
+      .select(col("probe_id"), col("id"), decryptStr(col("doc_ct")).as("doc"),
+        col("distance"), col("rn"))
+  }
+
   /** Incremental encrypted append with duplicate-id rejection — the
     * VectorStore.add discipline on the encrypted twin: collisions come from
     * a store-side semi-join against the broadcast batch (only plaintext ids

@@ -190,6 +190,18 @@ object Prof {
     (1 to 3).foreach(i =>
       time(s"enc_pruned_warm$i", nTag)(es.queryIndexed("c", qe, 5, nprobe = 1).collect()))
     time("enc_pruned_nprobe4", nTag)(es.queryIndexed("c", qe, 5, nprobe = 4).collect())
+    // batch probes (r8): 16 probes through ONE union-of-cells decrypt pass
+    // vs the same 16 through the per-probe loop — the loop decrypts each
+    // probed cell once per probe, the batch once per row
+    val probes16 = e.orderBy("vec_id").limit(16).collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Float]]("embedding").toArray)).toSeq
+    time("enc_batch16_raw", nTag)(
+      es.queryIndexedBatch("c", probes16, 5, nprobe = 4).collect())
+    time("enc_batch16_quant", nTag)(
+      es.queryIndexedBatchQuantized("c", probes16, 5, nprobe = 4, shortlist = 64).collect())
+    time("enc_loop16", nTag)(probes16.foreach { case (_, pe) =>
+      es.queryIndexed("c", pe, 5, nprobe = 4).collect(): Unit
+    })
     time("enc_rotate", nTag)(es.rotateKey("c", "fedcba9876543210"): Unit)
     s.stop()
   }

@@ -138,6 +138,38 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("batch probes: one union-of-cells decrypt pass equals the per-probe loop on both routes") {
+    val base = tmp("enc_batch")
+    val es = new EncryptedStore(spark, base, Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6)
+    val probes: Seq[(Long, Array[Float])] = Seq(7L, 31L, 113L, 250L).map(i => (i, probe(i.toInt)))
+    def batchRows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Double, Int)] =
+      df.orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))).toSeq
+
+    // raw batch == per-probe queryIndexed, probe for probe (partial and full nprobe)
+    Seq(2, 6).foreach { np =>
+      val batch = batchRows(es.queryIndexedBatch("c", probes, k = 5, nprobe = np))
+      val loop = probes.flatMap { case (pid, qe) =>
+        got(es.queryIndexed("c", qe, k = 5, nprobe = np)).zipWithIndex
+          .map { case ((id, doc, d), i) => (pid, id, doc, d, i + 1) }
+      }
+      assert(batch == loop, s"nprobe=$np: batch must equal the per-probe loop")
+    }
+
+    // quantized batch at full depth == raw batch; bounded depth == the
+    // per-probe quantized loop
+    val full = batchRows(es.queryIndexedBatchQuantized("c", probes, k = 5, nprobe = 6, shortlist = 300))
+    assert(full == batchRows(es.queryIndexedBatch("c", probes, k = 5, nprobe = 6)),
+      "full-depth quantized batch must equal the raw batch")
+    val qb = batchRows(es.queryIndexedBatchQuantized("c", probes, k = 5, nprobe = 2, shortlist = 32))
+    val qLoop = probes.flatMap { case (pid, qe) =>
+      got(es.queryIndexedQuantized("c", qe, k = 5, nprobe = 2, shortlist = 32)).zipWithIndex
+        .map { case ((id, doc, d), i) => (pid, id, doc, d, i + 1) }
+    }
+    assert(qb == qLoop, "bounded-depth quantized batch must equal the per-probe quantized loop")
+  }
+
   test("streaming encrypted ingest: stream == batch (decrypted), replay-idempotent, fenced, tombstoned") {
     import graft.functions.{TextFunctions => TF}
     def docRows(r: Range) = r.map(i =>
