@@ -41,6 +41,11 @@ object SearchQueries {
   val RrfK = 60
   /** Fixed keyword query, also hash-embedded for the semantic leg. */
   val QueryTerms: Seq[String] = Seq("vector", "merge", "window", "stream")
+
+  /** q_phrase's quoted phrase — a bigram the synthetic corpus actually
+    * contains (~45 occurrences at sf0.01), so the ranked result is
+    * non-trivial at every fixture scale. */
+  val PhraseTerms: Seq[String] = Seq("table", "hash")
   val ShortlistK = 20
 
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
@@ -382,6 +387,40 @@ object SearchQueries {
            |      FROM c GROUP BY doc_id, dl)
            |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
            |FROM q ORDER BY sq DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // Exact-phrase ranked search over the positional postings of the disk
+    // inverted index — the most user-visible search surface ("quoted
+    // phrase"). The index stores sorted position arrays per (term, doc);
+    // a phrase occurrence at start s exists iff every slot j finds its
+    // term at s + j, so the probe is: bucket-pruned postings of the
+    // phrase's terms (PartitionFilters, same pruning as q_text_index),
+    // positions shifted by slot offset, (doc, start) groups covering all
+    // slots counted per doc. Exact integer occurrence counts — the oracle
+    // replays positions relationally from the raw corpus.
+    Q(
+      "q_phrase",
+      "exact-phrase ranked search from bucket-pruned positional postings",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx_ph").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.phraseQuery(PhraseTerms, 10)
+      },
+      Some {
+        val slotRows = PhraseTerms.zipWithIndex
+          .map { case (t, j) => s"('$t', $j)" }.mkString(", ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |i AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i1, toks FROM d),
+           |tok AS (SELECT doc_id, CAST(i1 AS INT) - 1 AS p,
+           |               toks[CAST(i1 AS INT)] AS term FROM i),
+           |s AS (SELECT t.doc_id, t.p - sl.j AS start, sl.j
+           |      FROM tok t JOIN (VALUES $slotRows) AS sl(term, j) ON t.term = sl.term),
+           |occ AS (SELECT doc_id, start FROM s
+           |        GROUP BY doc_id, start HAVING count(DISTINCT j) = ${PhraseTerms.length})
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+           |FROM occ GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 10""".stripMargin
       }),
 
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine

@@ -215,11 +215,17 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     // least one posting row: compact()'s stats recompute from postings then
     // counts token-less docs too — without the sentinel, compaction would
     // silently shrink n/avgdl and shift every score
+    // positions ride the posting row (sorted ascending — collect_list is
+    // order-nondeterministic across partitionings, sort_array pins it):
+    // tf stays the BM25 scan's narrow column, pos serves phraseQuery's
+    // consecutive-position join; BM25 reads column-prune pos away
     val postings = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
-      .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("dl"), posexplode(col("toks")).as(Seq("p", "term")))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"), sort_array(collect_list(col("p"))).as("pos"))
       .unionByName(toks.filter(size(col("toks")) === 0)
-        .select(lit("").as("term"), col("doc_id"), col("dl"), lit(0L).as("tf")))
+        .select(lit("").as("term"), col("doc_id"), col("dl"), lit(0L).as("tf"),
+          typedlit(Array.empty[Int]).as("pos")))
       .withColumn("bucket", pmod(TF.polyHash(col("term")), lit(numBuckets.toLong)))
       .persist()
     try {
@@ -509,6 +515,49 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         (doc, dlOf(doc), java.math.BigDecimal.valueOf(sq.toDouble / Scale.toDouble)
           .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
       }
+  }
+
+  /** Ranked EXACT-PHRASE search — the first thing a search user types,
+    * served from the SAME pruned term buckets as [[query]] (the postings
+    * carry sorted position arrays): a phrase occurrence at start position
+    * s exists iff every phrase slot j finds its term at position s + j, so
+    * each queried term's positions shift by its slot offset and a
+    * (doc, start) group counting all |phrase| distinct slots is a match.
+    * Docs rank by exact integer occurrence count (ties: doc_id asc).
+    *
+    * Scale shape: the scan is bucket-PRUNED to the phrase terms' partition
+    * dirs (PartitionFilters — spec-asserted) with the term filter inside,
+    * so the exploded position volume is df-bounded by the QUERIED terms
+    * (the q/numBuckets contract of [[query]], never the corpus); the only
+    * shuffles are keyed on (doc, start) and doc — cardinality bounded by
+    * the phrase terms' posting volume. A duplicated term in the phrase
+    * ("the cat the") is handled by slot offsets: each occurrence must
+    * cover all slots, including both of a repeated term's. Pending
+    * deletes anti-join exactly like [[query]]. Requires an index built
+    * after positions landed (rebuild adds them). */
+  def phraseQuery(phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    val terms = phrase.distinct
+    val buckets = terms.map(bucketOf).distinct
+    val slots = spark.createDataFrame(phrase.zipWithIndex.map { case (t, j) => (t, j) })
+      .toDF("term", "j")
+    val pruned = spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    require(pruned.columns.contains("pos"),
+      s"TextIndex at $path predates positional postings — rebuild to serve phrase queries")
+    val live = tombstones() match {
+      case None => pruned
+      case Some(t) => pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    live.select(col("doc_id"), col("term"), explode(col("pos")).as("p"))
+      .join(broadcast(slots), Seq("term"))
+      .select(col("doc_id"), (col("p") - col("j")).as("start"), col("j"))
+      .groupBy("doc_id", "start")
+      .agg(countDistinct(col("j")).as("hits"))
+      .filter(col("hits") === phrase.length)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+      .orderBy(desc("n_occ"), asc("doc_id"))
+      .limit(k)
   }
 
   /** Top-k docs for `terms` by quantized BM25 across every batch dir. The

@@ -69,8 +69,39 @@ object Prof {
     case Some("encserve") => encserve(args.drop(1))
     case Some("retrain") => retrainStress(args.drop(1))
     case Some("routedlabel") => routedlabel(args.drop(1))
+    case Some("phrase") => phrase(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase")
+  }
+
+  /** Phrase search at scale (r7 verdict item 6): positional-postings build
+    * vs the plain build, then the phrase probe. Pass criterion across
+    * /tmp/scale20 vs /tmp/scale100: probe cost tracks the queried terms'
+    * POSTING VOLUME (df-bounded — the same q/numBuckets contract as the
+    * BM25 probe), never the corpus; the build's position arrays cost a
+    * ~constant factor. */
+  private def phrase(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    val nTag = s"(docs=$nd)"
+    val tbase = java.nio.file.Files.createTempDirectory("scale_tidx_ph").toString
+    val tidx = new graft.store.TextIndex(s, tbase, 64)
+    time("phr_build_64buckets", nTag)(tidx.build(docs))
+    val ph = graft.queries.SearchQueries.PhraseTerms
+    time("phr_query_cold", nTag)(
+      println(s"PROF phr_rows rows=${tidx.phraseQuery(ph, 10).count()}"))
+    (1 to 2).foreach { i =>
+      time(s"phr_query_warm$i", nTag)(tidx.phraseQuery(ph, 10).collect(): Unit)
+    }
+    // 3-term phrase: one more pruned term's postings, same shape
+    time("phr_query3_warm", nTag)(
+      tidx.phraseQuery(Seq("big", "table", "hash"), 10).collect(): Unit)
+    // the BM25 probe for comparison (same pruning contract)
+    time("phr_bm25_warm", nTag)(
+      tidx.query(graft.queries.SearchQueries.QueryTerms, 10).collect(): Unit)
+    s.stop()
   }
 
   /** Drift-retrain at scale (r7 verdict item 1): build a trained IVF index,

@@ -74,6 +74,47 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(got.map(_.getLong(0)).toSeq == mem.map(_.getLong(0)).toSeq)
   }
 
+  test("phrase query: consecutive-position matches only, pruned scan, deletes/appends honored") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_phr").toString
+    val idx = new TextIndex(spark, base, numBuckets = 8)
+    idx.build(Seq(
+      (1L, "big data engine runs big data jobs"),   // "big data" x2
+      (2L, "data big engine"),                      // reversed: no match
+      (3L, "big blue data"),                        // gap: no match
+      (4L, "the big data"),                         // x1
+      (5L, "go go go stop"),                        // repeated-term phrase fodder
+      (6L, "go go")                                 // "go go go" must NOT match
+    ).toDF("doc_id", "text"))
+
+    val hits = idx.phraseQuery(Seq("big", "data"), 10)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket#") ||
+      plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"phrase probe must stay bucket-pruned:\n$plan")
+    assert(hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (4L, 1L)),
+      "exact consecutive positions only, ranked by occurrence count")
+
+    // repeated term in the phrase: every slot must be covered
+    assert(idx.phraseQuery(Seq("go", "go", "go"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((5L, 1L)),
+      "'go go go' matches doc 5 once (positions 0-2), never the 2-token doc 6")
+
+    // a delete stops serving immediately; an appended doc joins the ranking
+    idx.delete(Seq(1L))
+    assert(idx.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(_.getLong(0)).toSeq == Seq(4L))
+    idx.appendBatch(Seq((7L, "big data big data big data")).toDF("doc_id", "text"), 1L)
+    assert(idx.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 3L), (4L, 1L)),
+      "cross-batch phrase ranking: appended doc outranks by occurrence count")
+    // compact preserves positions
+    idx.compact()
+    assert(idx.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 3L), (4L, 1L)))
+  }
+
   test("incremental appends + compact rank exactly like one full build") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("graft_tidx_inc").toString
