@@ -207,6 +207,29 @@ object StreamOps {
     }.sum
   }
 
+  /** The monitor→maintenance wiring — what makes the drift monitors a
+    * TRIGGER INPUT rather than a dashboard number: compute the token PSI
+    * of a production slice against the frozen reference vocabulary
+    * ([[psiOf]] — identical arithmetic to the q_token_drift batch monitor
+    * and the [[tokenDriftCounts]] streaming twin), and at or above
+    * `threshold` run `action` (typically `IvfIndex.retrain()` or
+    * `Collection.maintain` with tightened geometry thresholds — the
+    * r8 remedy for exactly the degradation this shift causes: appends
+    * assigned against stale centroids skew cells and clip SQ8 codes).
+    * Returns (psi, fired). PSI ≥ 0.25 is the standard "significant
+    * population shift" line; pass the threshold explicitly so policies
+    * stay tunable. End-to-end (flood → stream ingest → PSI fires →
+    * retrain repairs geometry) is spec-pinned in StreamingSpec. */
+  def psiTriggeredMaintenance(refVocab: Seq[String],
+                              refCounts: Map[String, Long], refTotal: Long,
+                              prodCounts: Map[String, Long], prodTotal: Long,
+                              threshold: Double)(action: => Unit): (Double, Boolean) = {
+    val psi = psiOf(refVocab, refCounts, refTotal, prodCounts, prodTotal)
+    val fired = psi >= threshold
+    if (fired) action
+    (psi, fired)
+  }
+
   /** Model-based quality gate — the streaming twin of
     * `q_quality_classifier`: the frozen [[graft.functions.QualityModel]]
     * scores each document's token hashes through the same codegen

@@ -584,4 +584,79 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(math.abs(psiSame) < 1e-12, "identical distributions must fold to PSI 0")
     assert(psiShift > 0.2, s"the gamma flood must register as drift, got $psiShift")
   }
+
+  test("monitor-to-maintenance loop: a streamed vocabulary shift fires PSI and drives the retrain") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    def embOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"), TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    def tokCounts(df: org.apache.spark.sql.DataFrame): (Map[String, Long], Long) = {
+      val rows = df.select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c")).collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      (rows.toMap, rows.map(_._2).sum)
+    }
+    // the "last good snapshot" side: fixture docs build the index and
+    // freeze the reference vocabulary (top-200, the q_token_drift rule)
+    val refDocs = spark.read.parquet(s"$sf001/documents.parquet")
+    val idx = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    idx.build(embOf(refDocs))
+    assert(idx.balance().sq8ClipRate == 0.0)
+    val (refCounts, refTotal) = tokCounts(refDocs)
+    val refVocab = refCounts.toSeq.sortBy { case (t, c) => (-c, t) }.take(200).map(_._1)
+
+    // CONTROL: a clean slice streamed in must NOT fire the trigger
+    val cleanSrc = tmp()
+    refDocs.filter(col("doc_id") % 7 === 3).write.mode("overwrite").parquet(cleanSrc)
+    StreamOps.maintainIvfIndex(spark, cleanSrc, idx, tmp()).awaitTermination()
+    val (cleanCounts, cleanTotal) =
+      tokCounts(refDocs.filter(col("doc_id") % 7 === 3))
+    val (psiClean, firedClean) = StreamOps.psiTriggeredMaintenance(
+      refVocab, refCounts, refTotal, cleanCounts, cleanTotal, threshold = 0.25)(
+      fail("a clean slice must not trigger maintenance"))
+    assert(!firedClean && psiClean < 0.05, s"control PSI should be ~0, got $psiClean")
+
+    // PLANTED SHIFT: a crawler-gone-wrong flood — new vocabulary, so the
+    // hash embeddings concentrate in new directions (the embedding shift
+    // rides the vocabulary shift)
+    val floodDocs = (1 to 400).map { i =>
+      (900000L + i, "zzcrawl botspam zzcrawl relentless botspam zzcrawl", "xx", "spam", 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val floodSrc = tmp()
+    floodDocs.write.mode("overwrite").parquet(floodSrc)
+    StreamOps.maintainIvfIndex(spark, floodSrc, idx, tmp()).awaitTermination()
+
+    // both monitors register the shift: token PSI over the frozen
+    // vocabulary, and the embedding mean-shift (the q_embedding_drift
+    // statistic) on the worst dimension
+    val (floodCounts, floodTotal) = tokCounts(floodDocs)
+    val balShift = idx.balance()
+    val maxDrift = embOf(refDocs).withColumn("side", lit(1))
+      .unionByName(embOf(floodDocs).withColumn("side", lit(0)))
+      .select(col("side"), posexplode(col("emb")).as(Seq("d", "x")))
+      .groupBy("d").agg(
+        avg(when(col("side") === 1, col("x").cast("double"))).as("m_r"),
+        stddev_pop(when(col("side") === 1, col("x").cast("double"))).as("s_r"),
+        avg(when(col("side") === 0, col("x").cast("double"))).as("m_p"))
+      .select(max(abs(col("m_p") - col("m_r")) / (col("s_r") + lit(1e-9))))
+      .head().getDouble(0)
+    assert(maxDrift > 3.0, s"embedding monitor must flag the shift, got z=$maxDrift")
+
+    // the trigger drives the retrain; geometry repairs, answers preserved
+    val probe = embOf(refDocs).filter(col("id") === 3).head().getSeq[Float](1).toArray
+    def full() = idx.query(probe, k = 10, nprobe = 8)
+      .select("id", "distance").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = full()
+    val (psiShifted, fired) = StreamOps.psiTriggeredMaintenance(
+      refVocab, refCounts, refTotal, floodCounts, floodTotal, threshold = 0.25)(
+      idx.retrain())
+    assert(fired && psiShifted > 0.25, s"flood PSI must fire the trigger, got $psiShifted")
+    val balAfter = idx.balance()
+    assert(balAfter.sq8ClipRate == 0.0 && balAfter.liveRows == balShift.liveRows,
+      s"retrain must re-freeze the grid over the live rows: $balAfter")
+    assert(balAfter.maxOverMean <= balShift.maxOverMean,
+      s"retrain must not worsen skew: ${balShift.maxOverMean} -> ${balAfter.maxOverMean}")
+    assert(full() == before, "full-depth answers must be preserved across the loop")
+  }
 }
