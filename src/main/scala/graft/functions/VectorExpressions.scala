@@ -374,3 +374,133 @@ case class Sq8L2Distance(left: Expression, right: Expression) extends BinaryExpr
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * Product-quantization encode — the 32x companion of [[Sq8Encode]] for the
+ * scale where 1 byte/dim is still too much scan traffic: each vector splits
+ * into `m` contiguous subspaces and each subspace stores the index of its
+ * nearest codeword (k <= 256 -> one BYTE per subspace, m bytes per vector;
+ * dim 64 / m 8 is 8 B vs the raw 256 B). `books` is the flattened codebook
+ * tensor [(mi*k + code)*subDim + d]. Argmin ties break to the LOWEST code
+ * (strict less-than), matching [[NearestCentroid]]'s discipline, so encoding
+ * is deterministic given the stored codebooks. Codes store as the raw
+ * two's-complement byte of the 0..k-1 index; readers mask with 0xFF.
+ */
+case class PqEncode(child: Expression, books: Array[Float], m: Int, k: Int)
+    extends UnaryExpression {
+  require(m > 0 && k > 1 && k <= 256, "PQ needs 0 < m and 1 < k <= 256")
+  require(books.length % (m * k) == 0, "codebook tensor must be m*k*subDim floats")
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  private def subDim: Int = books.length / (m * k)
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    require(a.length == m * subDim, s"pq_encode: dim ${a.length} != m*subDim ${m * subDim}")
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var acc = 0.0; var d = 0
+        val base = (mi * k + c) * subDim
+        while (d < subDim) {
+          val df = a(mi * subDim + d).toDouble - books(base + d).toDouble
+          acc += df * df; d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("pqbooks", books, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val mi = ctx.freshName("mi"); val c = ctx.freshName("c")
+      val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base"); val out = ctx.freshName("out")
+      val df = ctx.freshName("df")
+      s"""
+         |if ($a.numElements() != ${m * subDim}) {
+         |  throw new IllegalArgumentException("pq_encode: vector dim != m*subDim");
+         |}
+         |byte[] $out = new byte[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $acc = 0.0;
+         |    int $base = ($mi * $k + $c) * $subDim;
+         |    for (int $d = 0; $d < $subDim; $d++) {
+         |      double $df = (double) $a.getFloat($mi * $subDim + $d) - (double) $bRef[$base + $d];
+         |      $acc += $df * $df;
+         |    }
+         |    if ($acc < $bestD) { $bestD = $acc; $best = $c; }
+         |  }
+         |  $out[$mi] = (byte) $best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Asymmetric-distance (ADC) scoring over PQ codes — the q_ann_pq lookup
+ * discipline as a codegen kernel for the persistent index's phase-1 scan:
+ * the query-side LUT (per-subspace squared L2 from the query's subvector to
+ * every codeword — m*k doubles, computed once on the driver and folded into
+ * the plan) turns per-row scoring into m array reads + adds, no float-vector
+ * math at scan time. Accumulation is a fixed left-to-right subspace loop, so
+ * the score is deterministic.
+ */
+case class PqAdc(child: Expression, lut: Array[Double], k: Int)
+    extends UnaryExpression {
+  require(k > 1 && k <= 256 && lut.length % k == 0, "LUT must be m*k doubles")
+
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[Array[Byte]]
+    require(codes.length * k == lut.length, s"pq_adc: ${codes.length} codes vs ${lut.length / k}-subspace LUT")
+    var acc = 0.0; var mi = 0
+    while (mi < codes.length) {
+      acc += lut(mi * k + (codes(mi) & 0xFF))
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lRef = ctx.addReferenceObj("pqlut", lut, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val mi = ctx.freshName("mi"); val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length * $k != $lRef.length) {
+         |  throw new IllegalArgumentException("pq_adc: code count vs LUT mismatch");
+         |}
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $a.length; $mi++) {
+         |  $acc += $lRef[$mi * $k + (((int) $a[$mi]) & 0xFF)];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -48,6 +48,15 @@ object VectorFunctions {
   /** Integer squared L2 over two SQ8 code BINARYs — exact, codegen. */
   def sq8L2(a: Column, b: Column): Column = expr2(Sq8L2Distance.apply)(a, b)
 
+  /** PQ encode: ARRAY<FLOAT> -> m-byte BINARY codes through a flattened
+    * codebook tensor (persistent IVF 32x scan path). */
+  def pqEncode(emb: Column, books: Array[Float], m: Int, k: Int): Column =
+    Bridge.column(PqEncode(Bridge.expression(emb), books, m, k))
+
+  /** ADC score over PQ code BINARYs against a driver-computed LUT. */
+  def pqAdc(codes: Column, lut: Array[Double], k: Int): Column =
+    Bridge.column(PqAdc(Bridge.expression(codes), lut, k))
+
   // ---- reference implementations via built-in higher-order functions ----
 
   private def asDouble(x: Column): Column = x.cast("double")

@@ -36,12 +36,17 @@ object IvfIndex {
     * always covers every row. Fixtures sit far below the cap, so the
     * training-replay oracles are unaffected. */
   val DefaultTrainCap: Long = 1L << 20
+
+  /** PQ codewords per subspace — fixed at 256 so every code is ONE byte
+    * (the `codes = "pq"` build option). */
+  val PqK: Int = 256
 }
 
 final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
 
   private def centroidPath = s"$path/_centroids"
   private def sq8Path = s"$path/_sq8"
+  private def pqPath = s"$path/_pq"
   private def dataPath = s"$path/data"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
@@ -68,14 +73,23 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * every stale append batch and tombstone dir (the rebuild's input
     * defines the new truth — leaving old append dirs behind would serve
     * rows the rebuild dropped). */
+  /** `codes` selects the quantized scan path's code column: "sq8" (default
+    * — 1 byte/dim, exact integer phase-1 distances, oracle-replayable) or
+    * "pq" (product quantization, `pqM` bytes/VECTOR regardless of dim —
+    * the 32× story for the scale where SQ8's 4× is still too much scan
+    * traffic; phase 1 scores by ADC lookup, phase 2's exact rerank is
+    * identical, so full-depth answers still equal [[query]]'s). */
   def build(vectors: DataFrame,
-            trainSampleCap: Long = IvfIndex.DefaultTrainCap): Unit = {
+            trainSampleCap: Long = IvfIndex.DefaultTrainCap,
+            codes: String = "sq8", pqM: Int = 8): Unit = {
     val l = WriterLease.acquire(path, "IvfIndex.build")
-    try buildUnleased(vectors, trainSampleCap) finally l.release()
+    try buildUnleased(vectors, trainSampleCap, codes, pqM) finally l.release()
   }
 
-  private def buildUnleased(vectors: DataFrame, trainSampleCap: Long): Unit = {
+  private def buildUnleased(vectors: DataFrame, trainSampleCap: Long,
+                            codes: String = "sq8", pqM: Int = 8): Unit = {
     require(trainSampleCap > 0, "trainSampleCap must be positive")
+    require(codes == "sq8" || codes == "pq", s"codes must be sq8 or pq, got $codes")
     // training + final assignment scan the input TrainIters + 1 times —
     // cache it for the duration of the build
     val v = vectors.persist()
@@ -109,18 +123,40 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       if (!(trainSet eq v)) trainSet.unpersist(): Unit
       val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "cemb")
-      // SQ8 sidecar: per-dim (min, max) over the build input — dim rows of
-      // driver-resident metadata, frozen until the next rebuild (codes from
-      // later appendBatch calls must stay comparable). One map-side-partial
-      // aggregate pass; the codes column it parameterizes shrinks the
-      // quantized probe's scan to 1 byte/dim vs the raw float's 4.
-      val sq8 = v.select(posexplode(col("emb")).as(Seq("d", "x")))
-        .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
-          max(col("x").cast("double")).as("mx"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-        .sortBy(_._1)
-      val sq8Df = spark.createDataFrame(sq8.toSeq).toDF("d", "mn", "mx")
-      val mn = sq8.map(_._2); val mx = sq8.map(_._3)
+      // quantizer sidecar, frozen until the next rebuild (codes from later
+      // appendBatch calls must stay comparable):
+      //  - sq8: per-dim (min, max) over the build input — dim rows of
+      //    driver-resident metadata, one map-side-partial aggregate pass;
+      //    codes shrink the quantized scan to 1 byte/dim vs the float's 4.
+      //  - pq: per-subspace 256-codeword Lloyd codebooks trained on the
+      //    (id-ordered, deterministic-seed) sample — m*256*subDim floats
+      //    of driver-resident metadata; codes are pqM bytes per VECTOR.
+      // A rebuild switching kinds sweeps the other sidecar in the same
+      // crash-consistent commit.
+      val (codesStage, codesCol, otherSidecar) =
+        if (codes == "sq8") {
+          val sq8 = v.select(posexplode(col("emb")).as(Seq("d", "x")))
+            .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
+              max(col("x").cast("double")).as("mx"))
+            .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+            .sortBy(_._1)
+          val sq8Df = spark.createDataFrame(sq8.toSeq).toDF("d", "mn", "mx")
+          val mn = sq8.map(_._2); val mx = sq8.map(_._3)
+          (StoreIO.Staged(s"$path/__stage_sq8", sq8Path,
+            st => sq8Df.write.mode("overwrite").parquet(st)),
+            VF.sq8Encode(col("emb"), mn, mx), pqPath)
+        } else {
+          val books = graft.operators.ProductQuantizer.train(
+            trainSet.orderBy("id"), "emb", pqM, IvfIndex.PqK, IvfIndex.TrainIters)
+          val flat = flattenBooks(books)
+          val rows = books.zipWithIndex.flatMap { case (cb, mi) =>
+            cb.map { case (code, cw) => (mi, code, cw.toSeq) }
+          }
+          val pqDf = spark.createDataFrame(rows.toSeq).toDF("mi", "code", "cw")
+          (StoreIO.Staged(s"$path/__stage_pq", pqPath,
+            st => pqDf.write.mode("overwrite").parquet(st)),
+            VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK), sq8Path)
+        }
       new java.io.File(dataPath).mkdirs()
       val staleBatches = StoreIO.committedBatchDirs(dataPath)
         .filter(_.getName != "batch=0")
@@ -130,32 +166,77 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
           st => centDf.write.mode("overwrite").parquet(st)),
-        StoreIO.Staged(s"$path/__stage_sq8", sq8Path,
-          st => sq8Df.write.mode("overwrite").parquet(st)),
+        codesStage,
         StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
           st => v.withColumn("cell", cellCol(cents, col("emb")))
-            .withColumn("codes", VF.sq8Encode(col("emb"), mn, mx))
+            .withColumn("codes", codesCol)
             .write.mode("overwrite").partitionBy("cell").parquet(st))) ++
         (if (allTsDirs.isEmpty) Seq.empty
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
            st => StoreIO.writeLongFile(st, newHwm)))),
         marker,
-        cleanup = (staleBatches ++ allTsDirs).map(_.getPath).toSeq)
+        cleanup = (staleBatches ++ allTsDirs).map(_.getPath).toSeq :+ otherSidecar)
     } finally v.unpersist(): Unit
   }
+
+  private def flattenBooks(books: graft.operators.ProductQuantizer.Codebooks): Array[Float] =
+    books.flatMap(cb => cb.sortBy(_._1).flatMap(_._2))
 
   private def centroids(): Array[(Long, Array[Float])] =
     spark.read.parquet(centroidPath).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
   /** Frozen per-dim SQ8 stats (mn, mx arrays in dim order) — None for an
-    * index built before the codes column existed (rebuild to add it). */
+    * index built before the codes column existed (rebuild to add it) or
+    * built with `codes = "pq"`. */
   private def sq8Stats(): Option[(Array[Double], Array[Double])] =
     if (!new java.io.File(s"$sq8Path/_SUCCESS").exists()) None
     else {
       val rows = spark.read.parquet(sq8Path).collect()
         .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
       Some((rows.map(_._2), rows.map(_._3)))
+    }
+
+  /** Frozen PQ codebooks (code-sorted per subspace) — None unless the
+    * index was built with `codes = "pq"`. */
+  private def pqBooks(): Option[graft.operators.ProductQuantizer.Codebooks] =
+    if (!new java.io.File(s"$pqPath/_SUCCESS").exists()) None
+    else Some(
+      spark.read.parquet(pqPath).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)) })
+
+  /** The query-side ADC lookup table for the frozen codebooks: per
+    * subspace, squared L2 from the query's subvector to every codeword —
+    * m·256 doubles, driver-computed, folded into the plan as a literal. */
+  private def pqLut(qe: Array[Float],
+                    books: graft.operators.ProductQuantizer.Codebooks): Array[Double] = {
+    val subDim = books(0).head._2.length
+    books.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.sortBy(_._1).map { case (_, cw) =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) {
+          val d = qe(mi * subDim + i).toDouble - cw(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+  }
+
+  /** Phase-1 scoring column over the stored `codes` BINARY for query
+    * vector `qe` — dispatches on the frozen quantizer: exact integer L2
+    * over SQ8 codes, or ADC lookup over PQ codes. Either way the column
+    * orders the shortlist; [[exactRerank]] makes the final answer exact. */
+  private def phase1Score(qe: Array[Float]): Column =
+    sq8Stats() match {
+      case Some((mn, mx)) =>
+        VF.sq8L2(col("codes"), lit(graft.functions.Sq8Encode.encode(qe, mn, mx)))
+      case None => pqBooks() match {
+        case Some(books) => VF.pqAdc(col("codes"), pqLut(qe, books), IvfIndex.PqK)
+        case None => sys.error(s"index at $path has no codes sidecar — rebuild with build()")
+      }
     }
 
   /** The index's row schema minus the cell/batch partition columns, cached
@@ -218,11 +299,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       require(aligned.select("id").join(broadcast(ts), Seq("id"), "left_semi").isEmpty,
         "batch re-adds tombstoned ids — run compact() before re-adding deleted vectors")
     }
-    // codes recompute against the FROZEN build-time stats (alignToSchema
+    // codes recompute against the FROZEN build-time quantizer (alignToSchema
     // null-filled the column; every batch must quantize through the same
-    // grid or cross-batch code distances stop meaning anything)
-    val coded = sq8Stats().fold(aligned) { case (mn, mx) =>
-      aligned.withColumn("codes", VF.sq8Encode(col("emb"), mn, mx))
+    // grid/codebooks or cross-batch code distances stop meaning anything)
+    val coded = sq8Stats() match {
+      case Some((mn, mx)) => aligned.withColumn("codes", VF.sq8Encode(col("emb"), mn, mx))
+      case None => pqBooks().fold(aligned)(books =>
+        aligned.withColumn("codes",
+          VF.pqEncode(col("emb"), flattenBooks(books), books.length, IvfIndex.PqK)))
     }
     coded
       .withColumn("cell", cellCol(cents, col("emb")))
@@ -435,8 +519,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   def retrain(trainSampleCap: Long = IvfIndex.DefaultTrainCap): Unit = {
     val l = WriterLease.acquire(path, "IvfIndex.retrain")
     try {
+      // preserve the index's code KIND across the retrain: a pq index
+      // re-trains its codebooks on the live rows, an sq8 (or pre-codes)
+      // index re-freezes the grid
+      val (kind, m) =
+        if (new java.io.File(s"$sq8Path/_SUCCESS").exists()) ("sq8", 8)
+        else pqBooks().map(b => ("pq", b.length)).getOrElse(("sq8", 8))
       val live = liveRows().persist()
-      try buildUnleased(live, trainSampleCap)
+      try buildUnleased(live, trainSampleCap, kind, m)
       finally live.unpersist(): Unit
     } finally l.release()
   }
@@ -841,23 +931,16 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * whole point — 1 byte/dim instead of 4 off disk). */
   private[graft] def codesShortlist(qe: Array[Float], nprobe: Int,
                                     shortlist: Int,
-                                    where: Option[Column] = None): DataFrame = {
-    val (qb, cells) = quantProbe(qe, nprobe)
-    codesShortlistImpl(qb, cells, shortlist, where)
-  }
+                                    where: Option[Column] = None): DataFrame =
+    codesShortlistImpl(phase1Score(qe), probeCellsOf(qe, nprobe), shortlist, where)
 
-  /** One driver-side pass over the sidecars shared by both phases of a
-    * quantized probe: the encoded query vector and its nprobe cell list. */
-  private def quantProbe(qe: Array[Float], nprobe: Int): (Array[Byte], Seq[Long]) = {
-    val (mn, mx) = sq8Stats().getOrElse(
-      sys.error(s"index at $path has no SQ8 sidecar — rebuild with build()"))
-    val qb = graft.functions.Sq8Encode.encode(qe, mn, mx)
-    val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
+  /** The probe's nprobe nearest cells — the driver-side centroid pass
+    * every quantized phase shares. */
+  private def probeCellsOf(qe: Array[Float], nprobe: Int): Seq[Long] =
+    centroids().map { case (cid, c) => (l2(c, qe), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
-    (qb, cells)
-  }
 
-  private def codesShortlistImpl(qb: Array[Byte], cells: Seq[Long],
+  private def codesShortlistImpl(score: Column, cells: Seq[Long],
                                  shortlist: Int,
                                  where: Option[Column]): DataFrame = {
     val pruned = spark.read.parquet(dataPath)
@@ -865,7 +948,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     val base = tombstones().fold(pruned)(ts =>
       pruned.join(broadcast(ts), Seq("id"), "left_anti"))
     where.foldLeft(base)(_ filter _)
-      .select(col("id"), VF.sq8L2(col("codes"), lit(qb)).as("qdist"))
+      .select(col("id"), score.as("qdist"))
       .orderBy(asc("qdist"), asc("id"))
       .limit(shortlist)
   }
@@ -885,8 +968,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                      where: Option[Column] = None,
                      include: Seq[String] = Nil): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val (qb, cells) = quantProbe(qe, nprobe)
-    val shortIds = codesShortlistImpl(qb, cells, shortlist, where)
+    val cells = probeCellsOf(qe, nprobe)
+    val shortIds = codesShortlistImpl(phase1Score(qe), cells, shortlist, where)
       .select("id").collect().map(_.getLong(0)).toSeq
     exactRerank(qe, cells, shortIds, k, where, include)
   }

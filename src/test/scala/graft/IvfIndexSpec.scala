@@ -424,6 +424,90 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       "full-depth routed labeling must reproduce the exact kNN majority vote")
   }
 
+  test("PQ codes option: full-depth == raw probe, 32x-class codes column, recall vs SQ8") {
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = vectors.count().toInt
+    val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+    val conf = spark.sparkContext.hadoopConfiguration
+    def columnBytes(dataDir: String, prefix: String): Long = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+      walk(new java.io.File(dataDir)).map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+          .filter(_.getPath.toDotString.startsWith(prefix))
+          .map(_.getTotalSize).sum
+        finally r.close()
+      }.sum
+    }
+
+    val pqBase = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+    val pq = new IvfIndex(spark, pqBase, numCells = 8)
+    pq.build(vectors, codes = "pq", pqM = 8)
+    val sqBase = java.nio.file.Files.createTempDirectory("graft_ivf_pq_sq").toString
+    val sq = new IvfIndex(spark, sqBase, numCells = 8)
+    sq.build(vectors)
+
+    // 1. full-depth PQ probe IS query() — the exact rerank covers every
+    //    probed row, so ADC approximation cannot change the answer
+    val raw = pq.query(qe, k = 5, nprobe = 4).collect().map(_.toSeq).toSeq
+    assert(pq.queryQuantized(qe, k = 5, nprobe = 4, shortlist = n)
+      .collect().map(_.toSeq).toSeq == raw,
+      "full-depth PQ probe must equal the raw probe")
+
+    // 2. phase 1 stays a codes-only scan under the ADC kernel
+    val p = pq.codesShortlist(qe, nprobe = 4, shortlist = 64)
+      .queryExecution.executedPlan.toString
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("codes") && !readSchema.contains("emb"),
+      s"PQ phase 1 must read codes only:\n$p")
+
+    // 3. the 32x story on disk: 8 B/vector PQ codes vs 64 B SQ8 vs 256 B
+    //    raw floats (footer-exact column-chunk sizes, minus container
+    //    overhead — assert the conservative 10x/2.5x floors)
+    val embB = columnBytes(s"$pqBase/data", "emb")
+    val pqB = columnBytes(s"$pqBase/data", "codes")
+    val sqB = columnBytes(s"$sqBase/data", "codes")
+    info(f"on-disk bytes: emb=$embB pq_codes=$pqB (${embB.toDouble / pqB}%.1fx) sq8_codes=$sqB")
+    assert(pqB > 0 && embB >= 10L * pqB,
+      s"PQ codes must be >=10x smaller than raw floats ($pqB vs $embB)")
+    assert(sqB >= (5L * pqB) / 2,
+      s"PQ codes must be well under SQ8's at the same rows ($pqB vs $sqB)")
+
+    // 4. recall@5 at bounded depth vs the SQ8 twin — PQ trades recall for
+    //    the 8x byte cut; both recover to 1.0 at full depth by contract
+    val rawIds = raw.map(_.head.asInstanceOf[Long]).toSet
+    def recallOf(idx: IvfIndex, depth: Int): Double =
+      idx.queryQuantized(qe, k = 5, nprobe = 4, shortlist = depth)
+        .collect().map(_.getLong(0)).toSet.intersect(rawIds).size / 5.0
+    val (pq32, sq32) = (recallOf(pq, 32), recallOf(sq, 32))
+    info(s"recall@5 depth32: pq=$pq32 sq8=$sq32")
+    assert(pq32 >= 0.4, s"depth-32 PQ recall collapsed: $pq32")
+
+    // 5. appends quantize through the FROZEN codebooks; retrain preserves
+    //    the pq kind and answers
+    val extra = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select((col("vec_id") + 100000L).as("id"), col("embedding").as("emb"))
+    pq.append(extra)
+    val n2 = n + extra.count().toInt
+    assert(pq.queryQuantized(qe, k = 5, nprobe = 8, shortlist = n2)
+      .collect().map(_.toSeq).toSeq ==
+      pq.query(qe, k = 5, nprobe = 8).collect().map(_.toSeq).toSeq,
+      "full-depth equality must hold across build + append")
+    pq.retrain()
+    assert(new java.io.File(s"$pqBase/_pq/_SUCCESS").exists() &&
+      !new java.io.File(s"$pqBase/_sq8/_SUCCESS").exists(),
+      "retrain must preserve the PQ quantizer kind")
+    assert(pq.queryQuantized(qe, k = 5, nprobe = 8, shortlist = n2)
+      .collect().map(_.toSeq).toSeq ==
+      pq.query(qe, k = 5, nprobe = 8).collect().map(_.toSeq).toSeq,
+      "full-depth equality must hold after a kind-preserving retrain")
+  }
+
   test("codes-resident hot tier: bit-equal to queryQuantized; serves in the codes-size budget window") {
     def withBudget[A](bytes: Long)(body: => A): A = {
       val prev = System.getProperty("graft.hot.maxBytes")
