@@ -504,3 +504,49 @@ case class PqAdc(child: Expression, lut: Array[Double], k: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/**
+ * [[PqAdc]] with the LUT as a COLUMN — the batch-probe variant: each probe
+ * row carries its own driver-computed LUT (ARRAY<DOUBLE>, m*k entries), so
+ * one scan of the codes column scores every (row, probe) pair the probe
+ * join produces. Same fixed left-to-right subspace accumulation.
+ */
+case class PqAdcPair(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k > 1 && k <= 256, "PQ needs 1 < k <= 256")
+
+  override def prettyName: String = "pq_adc_pair"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val lut = r.asInstanceOf[ArrayData]
+    if (codes.length * k != lut.numElements())
+      throw new IllegalArgumentException(s"$prettyName: code count vs LUT mismatch")
+    var acc = 0.0; var mi = 0
+    while (mi < codes.length) {
+      acc += lut.getDouble(mi * k + (codes(mi) & 0xFF))
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mi = ctx.freshName("mi"); val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.length * $k != $b.numElements()) {
+         |  throw new IllegalArgumentException("pq_adc_pair: code count vs LUT mismatch");
+         |}
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $a.length; $mi++) {
+         |  $acc += $b.getDouble($mi * $k + (((int) $a[$mi]) & 0xFF));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -57,6 +57,11 @@ object VectorFunctions {
   def pqAdc(codes: Column, lut: Array[Double], k: Int): Column =
     Bridge.column(PqAdc(Bridge.expression(codes), lut, k))
 
+  /** ADC score with the LUT as a column (batch probes: one LUT per probe
+    * row). */
+  def pqAdcPair(codes: Column, lut: Column, k: Int): Column =
+    Bridge.column(PqAdcPair(Bridge.expression(codes), Bridge.expression(lut), k))
+
   // ---- reference implementations via built-in higher-order functions ----
 
   private def asDouble(x: Column): Column = x.cast("double")

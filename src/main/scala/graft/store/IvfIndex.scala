@@ -809,11 +809,16 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * and phase 2 as the same bounded In-pushed exact rerank
     * [[queryQuantized]] runs ([[exactRerank]], ≤ shortlist rows off
     * disk). */
+  /** `scorerOf` builds the per-query in-memory code scorer — the driver
+    * twin of the scan kernel for whichever quantizer is frozen: SQ8
+    * integer L2 against the encoded query (exact, returned as a double —
+    * values are < 2^53 so the ordering is unchanged), or the PQ ADC fold
+    * over the query's LUT. */
   private final class HotCodesState(
       val key: String,
       val cells: java.util.HashMap[java.lang.Long, Array[(Long, Array[Byte])]],
       val cents: Array[(Long, Array[Float])],
-      val mn: Array[Double], val mx: Array[Double],
+      val scorerOf: Array[Float] => (Array[Byte] => Double),
       val estBytes: Long)
 
   @volatile private var hotCodes: HotCodesState = null
@@ -839,19 +844,40 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       return if (h0.estBytes <= StoreIO.hotBudgetBytes()) Some(h0) else None
     val e0 = hotCodesEst
     if (e0 != null && e0._1 == key && e0._2 > StoreIO.hotBudgetBytes()) return None
-    // no codes sidecar (pre-SQ8 index): permanently refused at this key
-    val stats = sq8Stats().getOrElse {
-      hotCodesEst = (key, Long.MaxValue); return None
-    }
-    // ADMISSION MATH COUNTS CODE BYTES: resident cost per row is the
-    // 1-byte/dim code + the 8-byte id + ~32 B of JVM tuple/array headers —
-    // the raw floats never load, which is the whole point (~4x more corpus
-    // under the same budget). One narrow id-count job per publish
-    // fingerprint.
+    // per-query scorer + resident bytes/code, dispatched on the frozen
+    // quantizer; no sidecar at all (pre-codes index) refuses permanently
+    // at this key
+    val (scorerOf, codeLen): (Array[Float] => (Array[Byte] => Double), Int) =
+      sq8Stats() match {
+        case Some((mn, mx)) =>
+          ((qe: Array[Float]) => {
+            val qb = graft.functions.Sq8Encode.encode(qe, mn, mx)
+            (codes: Array[Byte]) => sq8l2(codes, qb).toDouble
+          }, mn.length)
+        case None => pqBooks() match {
+          case Some(books) =>
+            ((qe: Array[Float]) => {
+              val lut = pqLut(qe, books)
+              (codes: Array[Byte]) => {
+                var acc = 0.0; var mi = 0
+                while (mi < codes.length) {
+                  acc += lut(mi * IvfIndex.PqK + (codes(mi) & 0xFF)); mi += 1
+                }
+                acc
+              }
+            }, books.length)
+          case None => hotCodesEst = (key, Long.MaxValue); return None
+        }
+      }
+    // ADMISSION MATH COUNTS CODE BYTES: resident cost per row is the code
+    // (1 byte/dim for SQ8, pqM bytes/vector for PQ) + the 8-byte id +
+    // ~32 B of JVM tuple/array headers — the raw floats never load, which
+    // is the whole point (~4x more corpus under the same budget for SQ8,
+    // ~32x for PQ). One narrow id-count job per publish fingerprint.
     val est =
       if (e0 != null && e0._1 == key) e0._2
       else {
-        val v = liveIds.count() * (stats._1.length + 40L)
+        val v = liveIds.count() * (codeLen + 40L)
         hotCodesEst = (key, v); v
       }
     if (est > StoreIO.hotBudgetBytes()) return None
@@ -865,7 +891,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .groupBy(_.getLong(0)).foreach { case (cid, rows) =>
         cells.put(cid, rows.map(r => (r.getLong(1), r.getAs[Array[Byte]](2))))
       }
-    val h = new HotCodesState(key, cells, centroids(), stats._1, stats._2, est)
+    val h = new HotCodesState(key, cells, centroids(), scorerOf, est)
     hotCodes = h
     Some(h)
   }
@@ -881,14 +907,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                         shortlist: Int = 256): Option[Seq[(Long, Long, Double)]] = {
     require(shortlist >= k, "shortlist must be at least k")
     hotCodesState().map { h =>
-      val qb = graft.functions.Sq8Encode.encode(qe, h.mn, h.mx)
+      val score = h.scorerOf(qe)
       val probed = h.cents.map { case (cid, c) => (l2(c, qe), cid) }
         .sorted.take(nprobe).map(_._2)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
       probed.foreach { cid =>
         val arr = h.cells.get(cid)
         if (arr != null) arr.foreach { case (id, codes) =>
-          buf += ((sq8l2(codes, qb), id))
+          buf += ((score(codes), id))
         }
       }
       val shortIds = buf.sortBy(identity).take(shortlist).map(_._2).toSeq
@@ -1012,18 +1038,32 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                           include: Seq[String] = Nil): DataFrame = {
     require(probes.nonEmpty, "queryBatchQuantized needs at least one probe")
     require(shortlist >= k, "shortlist must be at least k")
-    val (mn, mx) = sq8Stats().getOrElse(
-      sys.error(s"index at $path has no SQ8 sidecar — rebuild with build()"))
     val cents = centroids()
     val probeCells = probes.map { case (pid, qe) =>
       (pid, qe, cents.map { case (cid, c) => (l2(c, qe), cid) }
         .sorted.take(nprobe).map(_._2).toSeq)
     }
     val unionCells = probeCells.flatMap(_._3).distinct
-    val probeDf = spark.createDataFrame(
-      probeCells.map { case (pid, qe, cells) =>
-        (pid, qe.toSeq, cells, graft.functions.Sq8Encode.encode(qe, mn, mx))
-      }).toDF("probe_id", "qe", "probe_cells", "qcodes")
+    // per-probe quantized scorer, dispatched on the frozen sidecar: an SQ8
+    // probe carries its encoded query bytes (exact integer L2 per pair), a
+    // PQ probe carries its m·256 ADC lookup table (one double[] per probe,
+    // broadcast with the probe frame)
+    val (probeDf, qdistCol) = sq8Stats() match {
+      case Some((mn, mx)) =>
+        (spark.createDataFrame(
+          probeCells.map { case (pid, qe, cells) =>
+            (pid, qe.toSeq, cells, graft.functions.Sq8Encode.encode(qe, mn, mx))
+          }).toDF("probe_id", "qe", "probe_cells", "qcodes"),
+          VF.sq8L2(col("codes"), col("qcodes")))
+      case None =>
+        val books = pqBooks().getOrElse(
+          sys.error(s"index at $path has no codes sidecar — rebuild with build()"))
+        (spark.createDataFrame(
+          probeCells.map { case (pid, qe, cells) =>
+            (pid, qe.toSeq, cells, pqLut(qe, books).toSeq)
+          }).toDF("probe_id", "qe", "probe_cells", "qlut"),
+          VF.pqAdcPair(col("codes"), col("qlut"), IvfIndex.PqK))
+    }
     def livePruned() = {
       val pruned = spark.read.parquet(dataPath)
         .filter(col("cell").isin(unionCells: _*))
@@ -1036,7 +1076,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .select(col("id"), col("cell"), col("codes"))
       .join(broadcast(probeDf),
         array_contains(col("probe_cells"), col("cell").cast("long")))
-      .withColumn("qdist", VF.sq8L2(col("codes"), col("qcodes")))
+      .withColumn("qdist", qdistCol)
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= shortlist)
       .select(col("probe_id"), col("id"))

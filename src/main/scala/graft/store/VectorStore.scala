@@ -638,12 +638,16 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       * never chooses between brute force and the index), and
       * add/update/upsert/delete keep it in sync. Detach with
       * [[detachIndex]]; reopen-and-reattach with [[attach]]. */
+    /** `codes`/`pqM` select the index's quantizer (IvfIndex.build) — a
+      * quantized-routed collection can serve through SQ8 (default) or PQ
+      * codes; the routed query path dispatches on the frozen sidecar. */
     def attachIvfIndex(indexPath: String, numCells: Int, nprobe: Int,
-                       quantizedShortlist: Option[Int] = None): IvfIndex = {
+                       quantizedShortlist: Option[Int] = None,
+                       codes: String = "sq8", pqM: Int = 8): IvfIndex = {
       val rows = indexRowsOf(df)
       requireUniqueKeys(rows)
       val idx = new IvfIndex(spark, indexPath, numCells)
-      idx.build(rows)
+      idx.build(rows, codes = codes, pqM = pqM)
       attach(VectorStore.AttachedIvf(idx, nprobe, quantizedShortlist))
       idx
     }

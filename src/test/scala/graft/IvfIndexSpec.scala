@@ -506,6 +506,31 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       .collect().map(_.toSeq).toSeq ==
       pq.query(qe, k = 5, nprobe = 8).collect().map(_.toSeq).toSeq,
       "full-depth equality must hold after a kind-preserving retrain")
+
+    // 6. the batch probe and the codes-resident hot tier dispatch on the
+    //    PQ sidecar too: batch ≡ per-probe at full depth, hot ≡ the Spark
+    //    quantized probe at partial depth (same ADC arithmetic order)
+    val probes = vectors.orderBy("id").limit(4).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def bRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+    assert(bRows(pq.queryBatchQuantized(probes, k = 4, nprobe = 3, shortlist = n2)) ==
+      bRows(pq.queryBatch(probes, k = 4, nprobe = 3)),
+      "full-depth PQ batch must equal the raw batch probe")
+    val prevB = System.getProperty("graft.hot.maxBytes")
+    System.setProperty("graft.hot.maxBytes", Long.MaxValue.toString)
+    try {
+      def coldQ(np: Int, sl: Int) = pq.queryQuantized(qe, 5, np, shortlist = sl)
+        .select("id", "cell", "distance").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(pq.hotQueryQuantized(qe, 5, 2, shortlist = 32).get == coldQ(2, 32),
+        "PQ hot probe must match the Spark ADC probe at bounded depth")
+      assert(pq.hotQueryQuantized(qe, 5, 8, shortlist = n2).get == coldQ(8, n2),
+        "PQ hot probe must match query() at full depth")
+    } finally {
+      if (prevB == null) System.clearProperty("graft.hot.maxBytes")
+      else System.setProperty("graft.hot.maxBytes", prevB)
+    }
   }
 
   test("codes-resident hot tier: bit-equal to queryQuantized; serves in the codes-size budget window") {

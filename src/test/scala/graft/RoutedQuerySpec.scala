@@ -310,4 +310,26 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     assert(got(c.querySnapshot("q1", probe, k = 5)) == quantRouted,
       "snapshot must replay the quantized route's answers")
   }
+
+  test("quantized-routed query through PQ codes equals the raw route") {
+    val n = rows.count().toInt
+    val store = new VectorStore(spark, tmp("vs_pqivf"))
+    val c = store.createOrGet("col")
+    c.add(rows)
+    // a PQ-coded attached index: the routed quantized path dispatches on
+    // the frozen _pq sidecar (ADC phase 1), and at full shortlist depth
+    // the exact rerank makes the answer the raw route's
+    c.attachIvfIndex(tmp("vs_pqivf_idx"), numCells = 8, nprobe = 8,
+      quantizedShortlist = Some(n), codes = "pq", pqM = 8)
+    val pqRouted = got(c.query(probe, k = 5))
+    val pqFiltered = got(c.query(probe, k = 5,
+      where = Some(element_at(col("meta"), lit("label")) === "3")))
+    c.detachIndex()
+    c.attachIvfIndex(tmp("vs_pqivf_idx2"), numCells = 8, nprobe = 8)
+    assert(pqRouted == got(c.query(probe, k = 5)),
+      "full-depth PQ-quantized route must equal the raw route")
+    assert(pqFiltered == got(c.query(probe, k = 5,
+      where = Some(element_at(col("meta"), lit("label")) === "3"))),
+      "filtered PQ-quantized route must equal the raw filtered route")
+  }
 }
