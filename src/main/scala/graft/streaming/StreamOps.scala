@@ -254,8 +254,21 @@ object StreamOps {
     * the stream runs. foreachBatch (not a parquet sink) because assignment
     * needs the index's centroid metadata per batch — the "streaming ingest
     * maintains a queryable index" shape. */
+  /** `autoMaintainEvery` > 0 arms CONTINUOUS health maintenance: after
+    * every Nth micro-batch the stream checks the index's cell geometry
+    * (`IvfIndex.balance` — one narrow pass) and RETRAINS on breach
+    * (`maxCellImbalance`/`maxClipRate`, `Collection.maintain`'s
+    * thresholds), so a long-running drifting ingest keeps its own index
+    * healthy with no external scheduler — the continuous form of the
+    * PSI-triggered loop ([[psiTriggeredMaintenance]]). Replay semantics
+    * compose exactly like `compact()`: a micro-batch replayed after a
+    * retrain already folded its orphaned dir re-lands as duplicates that
+    * the NEXT retrain/compact's id-dedup heals (the documented
+    * at-least-once trade of the batch-keyed layout). */
   def maintainIvfIndex(spark: SparkSession, srcDir: String,
-      index: graft.store.IvfIndex, checkpoint: String, dim: Int = 64): StreamingQuery =
+      index: graft.store.IvfIndex, checkpoint: String, dim: Int = 64,
+      autoMaintainEvery: Int = 0, maxCellImbalance: Double = 3.0,
+      maxClipRate: Double = 0.05): StreamingQuery =
     spark.readStream
       .schema(DocSourceSchema)
       .parquet(srcDir)
@@ -264,7 +277,14 @@ object StreamOps {
       .writeStream
       // batch-keyed directory overwrite: replaying a checkpointed batch
       // rewrites the same dir -> exactly-once index contents
-      .foreachBatch { (batch: DataFrame, id: Long) => index.appendBatch(batch, id) }
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        index.appendBatch(batch, id)
+        if (autoMaintainEvery > 0 && (id + 1) % autoMaintainEvery == 0) {
+          val bal = index.balance()
+          if (bal.maxOverMean > maxCellImbalance || bal.sq8ClipRate > maxClipRate)
+            index.retrain()
+        }
+      }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

@@ -585,6 +585,40 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(psiShift > 0.2, s"the gamma flood must register as drift, got $psiShift")
   }
 
+  test("auto-maintaining stream: the ingest heals its own index under a drift flood") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    def embOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"), TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val refDocs = spark.read.parquet(s"$sf001/documents.parquet")
+    val idx = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    idx.build(embOf(refDocs))
+    val floodDocs = (1 to 400).map { i =>
+      (910000L + i, "zzcrawl botspam zzcrawl relentless botspam zzcrawl", "xx", "spam", 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val floodSrc = tmp()
+    floodDocs.write.mode("overwrite").parquet(floodSrc)
+    // armed stream: after each micro-batch it checks geometry and retrains
+    // on breach — no manual maintenance call anywhere below
+    StreamOps.maintainIvfIndex(spark, floodSrc, idx, tmp(),
+      autoMaintainEvery = 1, maxClipRate = 0.01).awaitTermination()
+    val bal = idx.balance()
+    assert(bal.sq8ClipRate == 0.0,
+      s"the armed stream must have retrained away the flood's clipping: $bal")
+    assert(idx.stats().units == 1,
+      "the retrain folds the appended batch dirs")
+    // answers equal a fresh rebuild over the same rows at full probe depth
+    val all = embOf(refDocs).unionByName(embOf(floodDocs))
+    val fresh = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    fresh.build(all)
+    val probe = embOf(refDocs).filter(col("id") === 3).head().getSeq[Float](1).toArray
+    def top(ix: graft.store.IvfIndex) = ix.query(probe, k = 10, nprobe = 8)
+      .select("id", "distance").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(idx) == top(fresh),
+      "the self-maintained index must answer like a fresh rebuild")
+  }
+
   test("monitor-to-maintenance loop: a streamed vocabulary shift fires PSI and drives the retrain") {
     import graft.functions.{TextFunctions => TF}
     import spark.implicits._
