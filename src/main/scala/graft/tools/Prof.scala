@@ -70,8 +70,50 @@ object Prof {
     case Some("retrain") => retrainStress(args.drop(1))
     case Some("routedlabel") => routedlabel(args.drop(1))
     case Some("phrase") => phrase(args.drop(1))
+    case Some("pqserve") => pqserve(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve")
+  }
+
+  /** PQ-coded persistent IvfIndex at scale — sq8serve's 32x sibling: build
+    * (IVF training + per-subspace codebooks + the m-byte codes column),
+    * then warm raw vs ADC-quantized probes, and the codes-resident hot
+    * tier with the budget pinned where even SQ8 codes would NOT fit
+    * (between the PQ and SQ8 estimates — the tier only PQ can serve).
+    * Pass criterion across /tmp/scale20 vs /tmp/scale100: ~flat probes
+    * (cells scale with the corpus), build ~linear. */
+  private def pqserve(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = corpus.count()
+    val nTag = s"(n=$n)"
+    val cells = math.max(16, (n / 2048L).toInt)
+    val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head().getSeq[Float](0).toArray
+    val base = java.nio.file.Files.createTempDirectory("scale_pqidx").toString
+    val idx = new graft.store.IvfIndex(s, base, cells)
+    time("pq_build", nTag)(idx.build(corpus, codes = "pq", pqM = 8))
+    time("pq_raw_cold", nTag)(idx.query(qe, 5, 4).collect())
+    (1 to 3).foreach { i =>
+      time(s"pq_raw_warm$i", nTag)(idx.query(qe, 5, 4).collect())
+    }
+    time("pq_adc_cold", nTag)(idx.queryQuantized(qe, 5, 4, shortlist = 64).collect())
+    (1 to 3).foreach { i =>
+      time(s"pq_adc_warm$i", nTag)(idx.queryQuantized(qe, 5, 4, shortlist = 64).collect())
+    }
+    val pqEst = n * (8 + 40L)
+    val sqEst = n * (64 + 40L)
+    println(s"PROF pq_hot_window pq_est=$pqEst sq8_est=$sqEst $nTag")
+    System.setProperty("graft.hot.maxBytes", ((pqEst + sqEst) / 2).toString)
+    try {
+      time("pq_hot_load", nTag)(idx.hotQueryQuantized(qe, 5, 4, shortlist = 64))
+      (1 to 3).foreach { i =>
+        time(s"pq_hot_warm$i", nTag)(idx.hotQueryQuantized(qe, 5, 4, shortlist = 64))
+      }
+    } finally System.clearProperty("graft.hot.maxBytes"): Unit
+    s.stop()
   }
 
   /** Phrase search at scale (r7 verdict item 6): positional-postings build
