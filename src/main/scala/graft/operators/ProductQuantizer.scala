@@ -59,6 +59,30 @@ object ProductQuantizer {
     }.toArray
   }
 
+  /** The codebook tensor FLATTENED code-sorted — the layout the codegen
+    * kernels ([[graft.functions.PqEncode]]/[[graft.functions.PqAdc]])
+    * index as [(mi*k + code)*subDim + d]. */
+  def flatten(codebooks: Codebooks): Array[Float] =
+    codebooks.flatMap(cb => cb.sortBy(_._1).flatMap(_._2))
+
+  /** The query-side ADC lookup table, flattened [mi*k + code]: per
+    * subspace, squared L2 from the probe's subvector to every codeword —
+    * m·k doubles, driver-computed once per probe and folded into the plan
+    * as a literal (the persistent-index twin of [[adcColumn]]'s LUT). */
+  def adcLut(probe: Array[Float], codebooks: Codebooks): Array[Double] = {
+    val subDim = codebooks(0).head._2.length
+    codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.sortBy(_._1).map { case (_, cw) =>
+        var acc = 0.0; var i = 0
+        while (i < subDim) {
+          val d = probe(mi * subDim + i).toDouble - cw(i).toDouble
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+  }
+
   /** Append code columns `c0..c{m-1}` (nearest codeword per subspace). */
   def encode(df: DataFrame, embCol: String, codebooks: Codebooks): DataFrame = {
     val subDim = codebooks(0).head._2.length

@@ -180,7 +180,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   }
 
   private def flattenBooks(books: graft.operators.ProductQuantizer.Codebooks): Array[Float] =
-    books.flatMap(cb => cb.sortBy(_._1).flatMap(_._2))
+    graft.operators.ProductQuantizer.flatten(books)
 
   private def centroids(): Array[(Long, Array[Float])] =
     spark.read.parquet(centroidPath).collect()
@@ -211,19 +211,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * subspace, squared L2 from the query's subvector to every codeword —
     * m·256 doubles, driver-computed, folded into the plan as a literal. */
   private def pqLut(qe: Array[Float],
-                    books: graft.operators.ProductQuantizer.Codebooks): Array[Double] = {
-    val subDim = books(0).head._2.length
-    books.zipWithIndex.flatMap { case (cb, mi) =>
-      cb.sortBy(_._1).map { case (_, cw) =>
-        var acc = 0.0; var i = 0
-        while (i < subDim) {
-          val d = qe(mi * subDim + i).toDouble - cw(i).toDouble
-          acc += d * d; i += 1
-        }
-        acc
-      }
-    }
-  }
+                    books: graft.operators.ProductQuantizer.Codebooks): Array[Double] =
+    graft.operators.ProductQuantizer.adcLut(qe, books)
 
   /** Phase-1 scoring column over the stored `codes` BINARY for query
     * vector `qe` — dispatches on the frozen quantizer: exact integer L2

@@ -1139,6 +1139,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
 
   private def encCentroidPath(name: String) = s"$basePath/__enc_centroids/$name"
   private def encSq8Path(name: String) = s"$basePath/__enc_sq8/$name"
+  private def encPqPath(name: String) = s"$basePath/__enc_pq/$name"
 
   /** The reference's CORE promise — encrypted vector SEARCH, not just
     * encrypted vector storage (cyborgdb_store.py:1-11 markets exactly
@@ -1157,8 +1158,15 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * At 100 TB this is the difference between decrypting the corpus per
     * query ([[query]]'s brute path, key-holder batch analytics) and
     * decrypting ~nprobe/numCells of it (serving). */
-  def storeIndexed(rows: DataFrame, name: String, numCells: Int): Unit =
+  /** `codes`/`pqM` select the quantizer behind `codes_ct` — "sq8"
+    * (default: per-dim grid, 1 byte/dim) or "pq" (per-subspace codebooks,
+    * `pqM` bytes/vector — the 32× ciphertext-scan story). Either way the
+    * quantizer sidecar stores ENCRYPTED: plaintext codebooks/grids beside
+    * ciphertext would hand the attacker the quantized geometry. */
+  def storeIndexed(rows: DataFrame, name: String, numCells: Int,
+                   codes: String = "sq8", pqM: Int = 8): Unit =
     withEncLease(name, "EncryptedStore.storeIndexed") {
+      require(codes == "sq8" || codes == "pq", s"codes must be sq8 or pq, got $codes")
       val v = rows.select(col("id").cast(StringType).as("id"),
         col("doc"), col("emb"))
         // deterministic numeric spine for the trainer (string ids)
@@ -1171,26 +1179,45 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
           .toDF("cid", "cemb")
           .select(col("cid"), encrypt(to_json(col("cemb"))).as("cemb_ct"))
-        // SQ8 sidecar, ENCRYPTED like the centroids: plaintext codes beside
-        // ciphertext would hand the attacker the quantized geometry — the
-        // exact leak the store exists to prevent. codes_ct rows are ~1/7 the
-        // ciphertext of the JSON-float emb_ct, so the quantized probe
-        // decrypts that much less per candidate.
-        val sq8 = v.select(posexplode(col("emb")).as(Seq("d", "x")))
-          .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
-            max(col("x").cast("double")).as("mx"))
-          .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-          .sortBy(_._1)
-        val mn = sq8.map(_._2); val mx = sq8.map(_._3)
-        val sq8Df = spark.createDataFrame(Seq(
-            (mn.mkString("[", ",", "]"), mx.mkString("[", ",", "]"))))
-          .toDF("mn_j", "mx_j")
-          .select(encrypt(col("mn_j")).as("mn_ct"), encrypt(col("mx_j")).as("mx_ct"))
+        // quantizer sidecar, ENCRYPTED like the centroids: plaintext codes
+        // beside ciphertext would hand the attacker the quantized geometry —
+        // the exact leak the store exists to prevent. SQ8 codes_ct rows are
+        // ~1/7 the ciphertext of the JSON-float emb_ct; PQ's are ~1/30.
+        // A rebuild switching kinds sweeps the other sidecar in the same
+        // crash-consistent commit.
+        val (codesStage, codesCt, otherSidecar) =
+          if (codes == "sq8") {
+            val sq8 = v.select(posexplode(col("emb")).as(Seq("d", "x")))
+              .groupBy("d").agg(min(col("x").cast("double")).as("mn"),
+                max(col("x").cast("double")).as("mx"))
+              .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+              .sortBy(_._1)
+            val mn = sq8.map(_._2); val mx = sq8.map(_._3)
+            val sq8Df = spark.createDataFrame(Seq(
+                (mn.mkString("[", ",", "]"), mx.mkString("[", ",", "]"))))
+              .toDF("mn_j", "mx_j")
+              .select(encrypt(col("mn_j")).as("mn_ct"), encrypt(col("mx_j")).as("mx_ct"))
+            (StoreIO.Staged(s"${encSq8Path(name)}__stage", encSq8Path(name),
+              st => sq8Df.write.mode("overwrite").parquet(st)),
+              encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct"),
+              encPqPath(name))
+          } else {
+            val books = graft.operators.ProductQuantizer.train(
+              v.orderBy("kid"), "emb", pqM, IvfIndex.PqK, IvfIndex.TrainIters)
+            val flat = graft.operators.ProductQuantizer.flatten(books)
+            val pqDf = spark.createDataFrame(Seq(
+                (pqM, flat.mkString("[", ",", "]"))))
+              .toDF("m", "books_j")
+              .select(col("m"), encrypt(col("books_j")).as("books_ct"))
+            (StoreIO.Staged(s"${encPqPath(name)}__stage", encPqPath(name),
+              st => pqDf.write.mode("overwrite").parquet(st)),
+              encrypt(base64(VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK))).as("codes_ct"),
+              encSq8Path(name))
+          }
         StoreIO.commitStaged(Seq(
           StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
             st => centDf.write.mode("overwrite").parquet(st)),
-          StoreIO.Staged(s"${encSq8Path(name)}__stage", encSq8Path(name),
-            st => sq8Df.write.mode("overwrite").parquet(st)),
+          codesStage,
           StoreIO.Staged(s"${path(name)}__stage", path(name),
             // batch=0 level so streaming appendIndexedBatch shares one
             // uniform (batch, cell) tree with the build
@@ -1198,12 +1225,12 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
               .select(col("id"), col("cell"),
                 encrypt(col("doc")).as("doc_ct"),
                 encrypt(to_json(col("emb"))).as("emb_ct"),
-                encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct"))
+                codesCt)
               .write.mode("overwrite").partitionBy("cell").parquet(s"$st/batch=0"))),
           encMarker(name),
           // a REBUILD resets the append fence: the old generation's folded
           // batch ids must not fence a new stream starting from batch 0
-          cleanup = Seq(encAppendHwmPath(name)))
+          cleanup = Seq(encAppendHwmPath(name), otherSidecar))
       } finally v.unpersist(): Unit
     }
 
@@ -1255,8 +1282,18 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       if (batchId + 1 > encAppendHwm(name)) {
         val cents = centroidsOf(name)
         require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-        val (mn, mx) = sq8StatsOf(name).getOrElse(
-          sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
+        // codes recompute against the FROZEN quantizer (sq8 grid or pq
+        // codebooks, whichever sidecar the build committed)
+        val codesCt = sq8StatsOf(name) match {
+          case Some((mn, mx)) =>
+            encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct")
+          case None =>
+            val books = pqBooksOf(name).getOrElse(
+              sys.error(s"$name has no encrypted codes sidecar — storeIndexed() first"))
+            encrypt(base64(VF.pqEncode(col("emb"),
+              graft.operators.ProductQuantizer.flatten(books), books.length,
+              IvfIndex.PqK))).as("codes_ct")
+        }
         val incoming0 = StoreIO.dedupById(
           rows.select(col("id").cast(StringType).as("id"), col("doc"), col("emb")),
           Seq("doc", "emb"))
@@ -1291,7 +1328,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           .select(col("id"), col("cell"),
             encrypt(col("doc")).as("doc_ct"),
             encrypt(to_json(col("emb"))).as("emb_ct"),
-            encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct"))
+            codesCt)
           .write.mode("overwrite").partitionBy("cell").parquet(dir)
       }
     }
@@ -1305,6 +1342,25 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           from_json(decryptStr(col("mx_ct")), ArrayType(DoubleType)).as("mx"))
         .head()
       Some((r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
+    }
+
+  /** Decrypted PQ codebooks of an indexed collection (key holders only) —
+    * None unless the collection was stored with `codes = "pq"`. */
+  private def pqBooksOf(name: String): Option[graft.operators.ProductQuantizer.Codebooks] =
+    if (!new java.io.File(s"${encPqPath(name)}/_SUCCESS").exists()) None
+    else {
+      val r = spark.read.parquet(encPqPath(name))
+        .select(col("m"),
+          from_json(decryptStr(col("books_ct")), ArrayType(FloatType)).as("flat"))
+        .head()
+      val m = r.getInt(0)
+      val flat = r.getSeq[Float](1).toArray
+      val k = IvfIndex.PqK
+      val subDim = flat.length / (m * k)
+      Some(Array.tabulate(m)(mi => Array.tabulate(k)(c =>
+        (c.toLong,
+          java.util.Arrays.copyOfRange(flat, (mi * k + c) * subDim,
+            (mi * k + c + 1) * subDim)))))
     }
 
   /** Decrypted centroids of an indexed collection (key holders only). */
@@ -1347,17 +1403,27 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * doc_ct — the full-fat ciphertext stays on disk until the rerank. */
   private[graft] def encCodesShortlist(name: String, queryEmb: Array[Float],
                                        nprobe: Int, shortlist: Int): DataFrame = {
-    val (qb, cells) = encQuantProbe(name, queryEmb, nprobe)
-    encCodesShortlistImpl(name, qb, cells, shortlist)
+    val (score, cells) = encQuantProbe(name, queryEmb, nprobe)
+    encCodesShortlistImpl(name, score, cells, shortlist)
   }
 
   /** One driver-side sidecar pass shared by both phases of an encrypted
-    * quantized probe (decrypted SQ8 grid + decrypted centroids). */
+    * quantized probe: the decrypted centroids pick the cells, and the
+    * frozen quantizer (SQ8 grid or PQ codebooks, whichever sidecar is
+    * committed) builds the phase-1 scoring column over the decrypted
+    * codes_ct bytes. */
   private def encQuantProbe(name: String, queryEmb: Array[Float],
-                            nprobe: Int): (Array[Byte], Seq[Long]) = {
-    val (mn, mx) = sq8StatsOf(name).getOrElse(
-      sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
-    val qb = graft.functions.Sq8Encode.encode(queryEmb, mn, mx)
+                            nprobe: Int): (Column, Seq[Long]) = {
+    val score = sq8StatsOf(name) match {
+      case Some((mn, mx)) =>
+        VF.sq8L2(unbase64(decryptStr(col("codes_ct"))),
+          lit(graft.functions.Sq8Encode.encode(queryEmb, mn, mx)))
+      case None =>
+        val books = pqBooksOf(name).getOrElse(
+          sys.error(s"$name has no encrypted codes sidecar — storeIndexed() first"))
+        VF.pqAdc(unbase64(decryptStr(col("codes_ct"))),
+          graft.operators.ProductQuantizer.adcLut(queryEmb, books), IvfIndex.PqK)
+    }
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
     def l2sq(a: Array[Float], b: Array[Float]): Double = {
@@ -1365,16 +1431,15 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
       acc
     }
-    (qb, cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
+    (score, cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
       .sorted.take(nprobe).map(_._2).toSeq)
   }
 
-  private def encCodesShortlistImpl(name: String, qb: Array[Byte],
+  private def encCodesShortlistImpl(name: String, score: Column,
                                     cells: Seq[Long], shortlist: Int): DataFrame =
     liveRaw(name)
       .filter(col("cell").isin(cells: _*))
-      .select(col("id"),
-        VF.sq8L2(unbase64(decryptStr(col("codes_ct"))), lit(qb)).as("qdist"))
+      .select(col("id"), score.as("qdist"))
       .orderBy(asc("qdist"), asc("id"))
       .limit(shortlist)
 
@@ -1390,8 +1455,8 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   def queryIndexedQuantized(name: String, queryEmb: Array[Float], k: Int,
                             nprobe: Int, shortlist: Int = 256): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val (qb, cells) = encQuantProbe(name, queryEmb, nprobe)
-    val shortIds = encCodesShortlistImpl(name, qb, cells, shortlist)
+    val (score, cells) = encQuantProbe(name, queryEmb, nprobe)
+    val shortIds = encCodesShortlistImpl(name, score, cells, shortlist)
       .select("id").collect().map(_.getString(0)).toSeq
     liveRaw(name)
       .filter(col("cell").isin(cells: _*))
@@ -1469,16 +1534,29 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
                                  shortlist: Int = 256): DataFrame = {
     require(probes.nonEmpty, "queryIndexedBatchQuantized needs at least one probe")
     require(shortlist >= k, "shortlist must be at least k")
-    val (mn, mx) = sq8StatsOf(name).getOrElse(
-      sys.error(s"$name has no encrypted SQ8 sidecar — storeIndexed() first"))
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
     val probeCells = encProbeCells(cents, probes, nprobe)
     val unionCells = probeCells.flatMap(_._3).distinct
-    val probeDf = spark.createDataFrame(
-      probeCells.map { case (pid, qe, cells) =>
-        (pid, qe.toSeq, cells, graft.functions.Sq8Encode.encode(qe, mn, mx))
-      }).toDF("probe_id", "qe", "probe_cells", "qcodes")
+    // per-probe quantized scorer, dispatched on the frozen sidecar (the
+    // IvfIndex.queryBatchQuantized discipline on ciphertext)
+    val (probeDf, qdistCol) = sq8StatsOf(name) match {
+      case Some((mn, mx)) =>
+        (spark.createDataFrame(
+          probeCells.map { case (pid, qe, cells) =>
+            (pid, qe.toSeq, cells, graft.functions.Sq8Encode.encode(qe, mn, mx))
+          }).toDF("probe_id", "qe", "probe_cells", "qcodes"),
+          VF.sq8L2(col("codes"), col("qcodes")))
+      case None =>
+        val books = pqBooksOf(name).getOrElse(
+          sys.error(s"$name has no encrypted codes sidecar — storeIndexed() first"))
+        (spark.createDataFrame(
+          probeCells.map { case (pid, qe, cells) =>
+            (pid, qe.toSeq, cells,
+              graft.operators.ProductQuantizer.adcLut(qe, books).toSeq)
+          }).toDF("probe_id", "qe", "probe_cells", "qlut"),
+          VF.pqAdcPair(col("codes"), col("qlut"), IvfIndex.PqK))
+    }
     val codes = liveRaw(name)
       .filter(col("cell").isin(unionCells: _*))
       .select(col("id"), col("cell").cast("long").as("cell"),
@@ -1488,7 +1566,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
     val short = codes
       .join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
-      .withColumn("qdist", VF.sq8L2(col("codes"), col("qcodes")))
+      .withColumn("qdist", qdistCol)
       .withColumn("rn", row_number().over(wS))
       .filter(col("rn") <= shortlist)
       .select(col("probe_id"), col("id"))
@@ -1617,13 +1695,19 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
             .select(next.encrypt(decryptStr(col("mn_ct"))).as("mn_ct"),
               next.encrypt(decryptStr(col("mx_ct"))).as("mx_ct"))
             .write.mode("overwrite").parquet(st)))
+      val pqStages =
+        if (!new java.io.File(s"${encPqPath(name)}/_SUCCESS").exists()) Seq.empty
+        else Seq(StoreIO.Staged(s"${encPqPath(name)}__stage", encPqPath(name),
+          st => spark.read.parquet(encPqPath(name))
+            .select(col("m"), next.encrypt(decryptStr(col("books_ct"))).as("books_ct"))
+            .write.mode("overwrite").parquet(st)))
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
           st => cents.write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"${path(name)}__stage", path(name),
           st => reEnc.write.mode("overwrite").partitionBy("cell")
             .parquet(if (hasBatch) s"$st/batch=0" else st))) ++
-        sq8Stages ++
+        sq8Stages ++ pqStages ++
         (if (!hasBatch) Seq.empty
          else {
            val maxBatch = StoreIO.committedBatchDirs(path(name))

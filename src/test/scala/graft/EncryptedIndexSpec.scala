@@ -138,6 +138,50 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("encrypted PQ codes route: full-depth == queryIndexed, codes-only phase 1, append + rotation + batch") {
+    val base = tmp("enc_pq")
+    val es = new EncryptedStore(spark, base, Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6, codes = "pq", pqM = 8)
+
+    // full-depth quantized == the raw indexed route == brute force
+    val brute = got(es.query("c", probe(7), k = 10))
+    assert(got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 6,
+      shortlist = 300)) == brute,
+      "full-depth encrypted PQ probe must equal brute force")
+
+    // phase 1 decrypts ONLY codes_ct: the full-fat ciphertext stays on disk
+    val plan = es.encCodesShortlist("c", probe(7), nprobe = 2, shortlist = 32)
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("codes_ct") && !readSchema.contains("emb_ct") &&
+      !readSchema.contains("doc_ct"),
+      s"PQ phase 1 must read (id, codes_ct) only:\n$plan")
+
+    // appends encode through the FROZEN codebooks; equality holds across
+    val es0 = new EncryptedStore(spark, base, Key)
+    es0.appendIndexedBatch(rowsOf(301 to 340), "c", batchId = 0)
+    assert(got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 6,
+      shortlist = 340)) == got(es.queryIndexed("c", probe(7), k = 10, nprobe = 6)),
+      "full-depth equality must hold over build + append")
+
+    // the quantized batch dispatches on the PQ sidecar too
+    val probes: Seq[(Long, Array[Float])] = Seq(7L, 113L).map(i => (i, probe(i.toInt)))
+    def batchRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(batchRows(es.queryIndexedBatchQuantized("c", probes, k = 5, nprobe = 6,
+      shortlist = 340)) ==
+      batchRows(es.queryIndexedBatch("c", probes, k = 5, nprobe = 6)),
+      "full-depth PQ batch must equal the raw encrypted batch")
+
+    // rotation re-encrypts the codebook sidecar; the route survives
+    val want = got(es.queryIndexed("c", probe(7), k = 10, nprobe = 6))
+    val es2 = es.rotateKey("c", "fedcba9876543210")
+    assert(got(es2.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 6,
+      shortlist = 340)) == want,
+      "the encrypted PQ route must serve identically under the rotated key")
+  }
+
   test("batch probes: one union-of-cells decrypt pass equals the per-probe loop on both routes") {
     val base = tmp("enc_batch")
     val es = new EncryptedStore(spark, base, Key)
