@@ -550,3 +550,81 @@ case class PqAdcPair(left: Expression, right: Expression, k: Int)
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/**
+ * ADC scoring directly from (codes BINARY, query ARRAY<FLOAT>) — the
+ * DISTRIBUTED-probe variant: when the probe set is a DataFrame (a corpus
+ * fraction that must never collect to the driver), there is no per-probe
+ * driver-computed LUT to fold in, so the kernel reconstructs each lookup
+ * from the codebook tensor on the fly: per subspace, squared L2 between the
+ * query's subvector and the codeword the code names. Compute is O(dim) per
+ * pair — the same as exact float L2 — but the ROW side reads only the
+ * m-byte codes column off disk (the 32x scan win is I/O, which is what the
+ * phase-1 scan is bound by at 100 TB). Accumulation order matches
+ * [[PqAdc]]/[[PqAdcPair]] bit for bit (subspace-major, dim-minor).
+ */
+case class PqAdcDirect(left: Expression, right: Expression,
+                       books: Array[Float], k: Int)
+    extends BinaryExpression {
+  require(k > 1 && k <= 256, "PQ needs 1 < k <= 256")
+
+  override def prettyName: String = "pq_adc_direct"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val codes = l.asInstanceOf[Array[Byte]]
+    val qe = r.asInstanceOf[ArrayData]
+    val m = codes.length
+    require(m > 0 && books.length % (m * k) == 0 &&
+      qe.numElements() * k == books.length,
+      s"$prettyName: codes/query/codebook shape mismatch")
+    val subDim = books.length / (m * k)
+    // per-subspace local sum, THEN fold into the total — the exact
+    // accumulation grouping of the LUT kernels (a LUT entry is its
+    // subspace's completed sum), so Direct ≡ Pair/PqAdc bit for bit
+    var acc = 0.0; var mi = 0
+    while (mi < m) {
+      val base = (mi * k + (codes(mi) & 0xFF)) * subDim
+      var sub = 0.0
+      var d = 0
+      while (d < subDim) {
+        val df = qe.getFloat(mi * subDim + d).toDouble - books(base + d).toDouble
+        sub += df * df; d += 1
+      }
+      acc += sub
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bRef = ctx.addReferenceObj("pqbooks", books, "float[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val mi = ctx.freshName("mi"); val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc"); val base = ctx.freshName("base")
+      val sub = ctx.freshName("sub"); val df = ctx.freshName("df")
+      val ss = ctx.freshName("ss")
+      s"""
+         |int $sub = $bRef.length / ($a.length * $k);
+         |if ($b.numElements() != $a.length * $sub) {
+         |  throw new IllegalArgumentException("pq_adc_direct: query dim != m*subDim");
+         |}
+         |double $acc = 0.0;
+         |for (int $mi = 0; $mi < $a.length; $mi++) {
+         |  int $base = ($mi * $k + (((int) $a[$mi]) & 0xFF)) * $sub;
+         |  double $ss = 0.0;
+         |  for (int $d = 0; $d < $sub; $d++) {
+         |    double $df = (double) $b.getFloat($mi * $sub + $d) - (double) $bRef[$base + $d];
+         |    $ss += $df * $df;
+         |  }
+         |  $acc += $ss;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

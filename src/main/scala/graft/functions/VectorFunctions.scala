@@ -62,6 +62,11 @@ object VectorFunctions {
   def pqAdcPair(codes: Column, lut: Column, k: Int): Column =
     Bridge.column(PqAdcPair(Bridge.expression(codes), Bridge.expression(lut), k))
 
+  /** ADC score directly from (codes, query vector) — distributed probe
+    * frames where no per-probe driver LUT exists. */
+  def pqAdcDirect(codes: Column, qe: Column, books: Array[Float], k: Int): Column =
+    Bridge.column(PqAdcDirect(Bridge.expression(codes), Bridge.expression(qe), books, k))
+
   // ---- reference implementations via built-in higher-order functions ----
 
   private def asDouble(x: Column): Column = x.cast("double")

@@ -1090,6 +1090,102 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         col("cell").cast("long").as("cell") :+ col("distance") :+ col("rn"): _*)
   }
 
+  /** [[queryBatchQuantized]] with the probes as a DATAFRAME — the
+    * corpus-FRACTION labeling shape: P can be any size because NOTHING
+    * probe-sized ever touches the driver (the only collect is the ≤
+    * numCells distinct probed-cell list, which re-arms partition pruning
+    * as a static filter). Fully distributed pipeline:
+    *
+    *  1. cell routing: probes × the broadcast centroid frame (numCells
+    *     rows), per-probe top-nprobe cells by a probe-keyed window —
+    *     P·numCells narrow pairs;
+    *  2. phase 1: the codes-only pruned scan EQUI-JOINS the probe-cell
+    *     frame on `cell` (a shuffle join — no broadcast side that grows
+    *     with P, the ProbeJoin lesson), scores SQ8 codes against the
+    *     probe's `sq8Encode`d query (or PQ codes via the direct ADC
+    *     kernel — no per-probe LUT exists without a driver pass, so
+    *     [[graft.functions.PqAdcDirect]] reconstructs lookups from the
+    *     codebook tensor: O(dim) compute per pair but still only m bytes
+    *     READ per row, and phase 1 is I/O-bound at 100 TB), and cuts
+    *     per-probe shortlists with the map-side-bounded
+    *     [[graft.operators.GroupedTopK]] (shuffle carries ≤ shortlist ×
+    *     probes × tasks rows, never the candidate volume);
+    *  3. phase 2: the raw rows of the DISTINCT shortlist ids (a
+    *     distributed semi-join, not an In literal) rerank exactly against
+    *     their probes, restricted to each probe's own shortlist pairs by
+    *     another semi-join, top-k per probe.
+    *
+    * Per-probe results equal [[queryBatchQuantized]]'s (spec-pinned);
+    * `include` carries neighbor metadata like the Seq route. */
+  def queryBatchQuantizedDF(probes: DataFrame, k: Int, nprobe: Int,
+                            shortlist: Int = 256,
+                            include: Seq[String] = Nil): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cents = centroids()
+    val centDf = spark.createDataFrame(
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }).toDF("cell", "cemb")
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("cdist"), asc("cell"))
+    val qeF = col("qe").cast("array<float>")
+    val probeCells = probes.select(col("probe_id"), col("qe"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", VF.l2Sq(qeF, col("cemb").cast("array<float>")))
+      .withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= nprobe)
+      .select(col("probe_id"), col("qe"), col("cell"))
+      .persist()
+    try {
+      // the distinct probed cells are ≤ numCells — a driver-BOUNDED
+      // collect that turns back into a static partition-pruning filter
+      val unionCells = probeCells.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      def livePruned() = {
+        val pruned = spark.read.parquet(dataPath)
+          .filter(col("cell").cast("long").isin(unionCells: _*))
+        tombstones().fold(pruned)(ts =>
+          pruned.join(broadcast(ts), Seq("id"), "left_anti"))
+      }
+      val (probeSide, qdistCol) = sq8Stats() match {
+        case Some((mn, mx)) =>
+          (probeCells.withColumn("qcodes", VF.sq8Encode(qeF, mn, mx)),
+            VF.sq8L2(col("codes"), col("qcodes")).cast("double"))
+        case None =>
+          val books = pqBooks().getOrElse(
+            sys.error(s"index at $path has no codes sidecar — rebuild with build()"))
+          (probeCells,
+            VF.pqAdcDirect(col("codes"), qeF, flattenBooks(books), IvfIndex.PqK))
+      }
+      val shortPairs = livePruned()
+        .select(col("id"), col("cell").cast("long").as("cell"), col("codes"))
+        .join(probeSide, Seq("cell"))
+        .withColumn("qdist", qdistCol)
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topK(shortlist)(col("qdist"), col("id")).as("topk"))
+        .select(col("probe_id"), explode(col("topk")).as("sc"))
+        .select(col("probe_id"), col("sc.id").as("id"))
+        .persist()
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+      val out = livePruned()
+        .withColumn("cell", col("cell").cast("long"))
+        .join(shortPairs.select("id").distinct(), Seq("id"), "left_semi")
+        .join(probeCells.select("probe_id", "qe", "cell"), Seq("cell"))
+        .join(shortPairs, Seq("probe_id", "id"), "left_semi")
+        .withColumn("distance", VF.l2Sq(col("emb"), qeF))
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= k)
+        .select(col("probe_id") +: col("id") +: include.map(col) :+
+          col("cell") :+ col("distance") :+ col("rn"): _*)
+      // materialize before releasing the shared probe frames (the caller
+      // gets a plan over the checkpointed result, not the freed caches)
+      val ck = out.localCheckpoint()
+      shortPairs.unpersist()
+      ck
+    } finally {
+      probeCells.unpersist(): Unit
+    }
+  }
+
   /** Batched probe: top-k per probe for MANY query vectors in ONE pruned
     * scan. Each probe contributes its nprobe nearest cells; the index is
     * read once over the UNION of needed cells (still partition pruning),

@@ -235,6 +235,30 @@ object Prof {
         AnnQueries.routedKnnVotes(idx, probes, 5, 4, 64).count(): Unit)
     }
     probeDf.unpersist()
+    // corpus-FRACTION probes (4%) through the fully distributed DF route —
+    // the shape where a Seq probe batch would collect a corpus fraction to
+    // the driver; here NOTHING probe-sized leaves the executors. The exact
+    // path on the same fraction is the P×N ProbeJoin scan (q_knn_classifier)
+    // — linear in P·N; the routed DF path's phase-1 candidate volume is
+    // P × (nprobe/numCells) of the corpus.
+    val fracProbes = e.filter(col("vec_id") % 25 === 3)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qe")).persist()
+    val fp = fracProbes.count()
+    time(s"lbl_routedDF_${fp}probes", nTag) {
+      println("PROF lbl_routedDF_rows rows=" +
+        AnnQueries.routedKnnVotesDF(idx, fracProbes, 5, 4, 64).count())
+    }
+    time(s"lbl_exact_${fp}probes", nTag) {
+      val labeledP = fracProbes
+        .select(col("probe_id").as("pid"), col("qe").as("pe"))
+      val knn = graft.operators.ProbeJoin.cross(labeled, labeledP)
+        .withColumn("dist", VF.l2Sq(col("emb"), col("pe")))
+        .groupBy("pid")
+        .agg(graft.operators.GroupedTopK.topK(5)(col("dist"),
+          col("id") * 16 + col("nlabel")).as("topk"))
+      println(s"PROF lbl_exact_frac_rows rows=${knn.count()}")
+    }
+    fracProbes.unpersist()
     s.stop()
   }
 

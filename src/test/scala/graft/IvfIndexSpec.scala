@@ -593,6 +593,43 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("distributed-probe batch route: DF probes equal the Seq route on both quantizers") {
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"),
+      col("label").cast("long").as("nlabel"))
+    val n = vectors.count().toInt
+    val probesDf = e.filter(col("vec_id") % 50 === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qe"))
+    val probesSeq = probesDf.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "id", "cell", "distance", "rn")
+        .orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+
+    for (kind <- Seq("sq8", "pq")) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft_ivf_df_$kind").toString
+      val idx = new IvfIndex(spark, base, numCells = 8)
+      idx.build(vectors, codes = kind)
+      // bounded AND full depth: the DF route's GroupedTopK shortlist and
+      // the Seq route's window cut share the exact (score, id) order (SQ8
+      // ints are exact as doubles; the PQ ADC kernels share one
+      // accumulation grouping), so the routes agree pair for pair
+      for (depth <- Seq(48, n)) {
+        assert(rows(idx.queryBatchQuantizedDF(probesDf, k = 4, nprobe = 3, shortlist = depth)) ==
+          rows(idx.queryBatchQuantized(probesSeq, k = 4, nprobe = 3, shortlist = depth)),
+          s"$kind at depth $depth: DF route must equal the Seq route")
+      }
+      // the fraction-of-corpus labeling deliverable: DF votes == Seq votes
+      val vDf = graft.queries.AnnQueries
+        .routedKnnVotesDF(idx, probesDf, k = 5, nprobe = 8, shortlist = n)
+        .collect().map(_.toSeq).toSeq
+      val vSeq = graft.queries.AnnQueries
+        .routedKnnVotes(idx, probesSeq, k = 5, nprobe = 8, shortlist = n)
+        .collect().map(_.toSeq).toSeq
+      assert(vDf == vSeq, s"$kind: distributed-probe votes must equal the Seq-route votes")
+    }
+  }
+
   test("retrain collapses drift-induced cell skew and SQ8 clipping; answers preserved") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
