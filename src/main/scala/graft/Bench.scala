@@ -106,7 +106,12 @@ object Bench {
         times.forall(_ >= 0)
       }
       if (!batchOk()) return -1.0
-      def med = times.sorted.apply(times.length / 2)
+      // lower-middle median for EVEN sample counts (odd counts unchanged):
+      // re-measured samples exist because contention was suspected, so the
+      // tie must break toward the quiet-box number — with reps=1 the
+      // upper-middle would return the CONTENDED first run even after a
+      // fast confirming re-run, making the vs_committed flag unclearable
+      def med = times.sorted.apply((times.length - 1) / 2)
       var remeasured = false
       if (reps > 1 && times.max / math.max(times.min, 1e-9) > 2.0) {
         respread += name

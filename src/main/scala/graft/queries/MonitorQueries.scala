@@ -102,7 +102,13 @@ object MonitorQueries {
           .persist()
         val totals = docs.agg(sum("c_r"), sum("c_p")).head()
         val (tr, tp) = (totals.getLong(0), totals.getLong(1))
-        val top = docs.orderBy(desc("c_r"), asc("tok")).limit(200)
+        // the REFERENCE vocabulary only (c_r > 0): a production-only token
+        // is not part of the frozen vocabulary psiOf scores, so it must
+        // neither enter the scored set nor inflate the smoothing k —
+        // otherwise batch and streaming twin diverge exactly when a flood
+        // introduces new tokens (the case the monitor exists for)
+        val top = docs.filter(col("c_r") > 0)
+          .orderBy(desc("c_r"), asc("tok")).limit(200)
         // smoothing denominator k = the ACTUAL reference-vocabulary size
         // (≤ 200), not the hard-coded limit: StreamOps.psiOf smooths with
         // refVocab.size, and the documented "identical numbers given
@@ -131,7 +137,7 @@ object MonitorQueries {
            |         CAST(count(CASE WHEN side = 0 THEN 1 END) AS BIGINT) AS c_p
            |  FROM t GROUP BY tok),
            |tot AS (SELECT CAST(sum(c_r) AS DOUBLE) AS tr, CAST(sum(c_p) AS DOUBLE) AS tp FROM c),
-           |top AS MATERIALIZED (SELECT tok, c_r, c_p FROM c ORDER BY c_r DESC, tok LIMIT 200),
+           |top AS MATERIALIZED (SELECT tok, c_r, c_p FROM c WHERE c_r > 0 ORDER BY c_r DESC, tok LIMIT 200),
            |kk AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM top),
            |s AS (SELECT tok, c_r, c_p,
            |             (CAST(c_r AS DOUBLE) + 1.0) / (tot.tr + kk.k) AS p,

@@ -100,18 +100,21 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       // assignment below still covers every row, and query()'s contract
       // ("exact within the probed cells") is centroid-agnostic
       val n = v.count()
+      // the thinned sample must still seat every TRAINED object: numCells
+      // centroids for the IVF assignment, and — for a pq build — the 256
+      // codeword seeds per subspace ProductQuantizer.train requires
+      val minTrainRows = math.max(numCells, if (codes == "pq") IvfIndex.PqK else 0)
       val trainSet =
         if (n <= trainSampleCap) v
         else {
           val m = math.ceil(n.toDouble / trainSampleCap).toLong
           val thinned = v.filter(pmod(xxhash64(col("id")), lit(m)) === 0).persist()
-          // the thinned sample must still seat every centroid: a tiny
-          // user-supplied trainSampleCap (or unlucky thinning near the cap)
-          // can leave fewer rows than numCells, and farthest-first seeding
-          // would then die on an empty frame mid-build — fall back to the
-          // full input instead (training cost over an opaque crash; the
-          // fallback only fires when the cap was under ~numCells anyway)
-          if (thinned.count() >= numCells) thinned
+          // a tiny user-supplied trainSampleCap (or unlucky thinning near
+          // the cap) can leave fewer rows than the trainers can seed from,
+          // and seeding would then die on an opaque error mid-build — fall
+          // back to the full input instead (training cost over a crash;
+          // the fallback only fires when the cap was that small anyway)
+          if (thinned.count() >= minTrainRows) thinned
           else { thinned.unpersist(); v }
         }
       // farthest-first seeds survive domain-sorted ingest (first-k-rows
@@ -120,7 +123,6 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       val seeds = graft.operators.KMeans.farthestFirstSeeds(trainSet, "id", "emb", numCells)
       val cents = graft.operators.KMeans.trainQuantized(
         trainSet, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
-      if (!(trainSet eq v)) trainSet.unpersist(): Unit
       val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
         .toDF("cid", "cemb")
       // quantizer sidecar, frozen until the next rebuild (codes from later
@@ -157,6 +159,10 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
             st => pqDf.write.mode("overwrite").parquet(st)),
             VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK), sq8Path)
         }
+      // release the thinned training sample only AFTER the codes dispatch:
+      // the pq branch's codebook training reads trainSet again (m·TrainIters
+      // passes that must hit the sample cache, not re-thin the corpus)
+      if (!(trainSet eq v)) trainSet.unpersist(): Unit
       new java.io.File(dataPath).mkdirs()
       val staleBatches = StoreIO.committedBatchDirs(dataPath)
         .filter(_.getName != "batch=0")

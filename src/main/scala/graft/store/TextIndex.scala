@@ -85,9 +85,44 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   /** Build from (doc_id LONG, text STRING): tokenize, explode to postings
     * with per-(term, doc) tf and denormalized dl, bucket by term hash.
     * One explode + one (term, doc) aggregation — the standard posting
-    * build shuffle, linear in token volume. Lands under `batch=0`. */
+    * build shuffle, linear in token volume. Lands under `batch=0`.
+    *
+    * A REBUILD over a live index replaces it completely ([[graft.store.IvfIndex.build]]'s
+    * contract): the four batch-0 trees publish in ONE crash-consistent
+    * commit whose cleanup sweeps every stale append batch and tombstone
+    * dir — the rebuild's input defines the new truth, and leaving old
+    * append dirs behind would double every tf/df/stats contribution. */
   def build(docs: DataFrame): Unit =
-    WriterLease.withLease(path, "TextIndex.build") { writeBatch(docs, 0L) }
+    WriterLease.withLease(path, "TextIndex.build") {
+      val (toks, postings) = postingFrames(docs)
+      try {
+        val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
+        val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
+          .foldLeft(tombstoneHwm())(math.max)
+        val stale = Seq(postingsPath, termstatsPath, statsPath, doclensPath)
+          .flatMap { root =>
+            StoreIO.committedBatchDirs(root)
+              .filter(_.getName != "batch=0").map(_.getPath)
+          } ++ allTsDirs.map(_.getPath)
+        StoreIO.commitStaged(Seq(
+          StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=0",
+            st => postings.write.mode("overwrite").partitionBy("bucket").parquet(st)),
+          StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=0",
+            st => postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+              .write.mode("overwrite").partitionBy("bucket").parquet(st)),
+          StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=0",
+            st => toks.agg(count(lit(1)).as("n_docs"),
+                coalesce(sum(col("dl").cast("long")), lit(0L)).as("sum_dl"))
+              .write.mode("overwrite").parquet(st)),
+          StoreIO.Staged(s"$path/__stage_doclens", s"$doclensPath/batch=0",
+            st => toks.select(col("doc_id"), col("dl"))
+              .write.mode("overwrite").parquet(st))) ++
+          (if (allTsDirs.isEmpty) Seq.empty
+           else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
+             st => StoreIO.writeLongFile(st, newHwm)))),
+          marker, cleanup = stale.toSeq)
+      } finally { postings.unpersist(); toks.unpersist(): Unit }
+    }
 
   /** Incremental maintenance ([[IvfIndex.appendBatch]]'s text twin): index
     * a NEW slice of the corpus under its own `batch=<id+1>` dir in every
@@ -198,27 +233,29 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     deleteBatch(ids.toDF("doc_id"), next)
   }
 
-  private def writeBatch(docs: DataFrame, b: Long): Unit = {
+  /** The (toks, postings) frame pair every index write derives from, both
+    * PERSISTED (the caller unpersists):
+    *  - coalesce: Tokenize is null-intolerant, so a NULL text would yield
+    *    NULL toks — size() NULL, no sentinel row, doc counted in _stats but
+    *    absent from postings = the compaction stats drift the sentinel
+    *    exists to prevent, just for the NULL variant of token-less;
+    *  - a zero-token doc (empty/punctuation-only text) gets a SENTINEL
+    *    posting (term "", tf 0 — the tokenizer never emits an empty token,
+    *    a tf-0 contribution scores 0 even if probed) so that EVERY doc owns
+    *    at least one posting row: compact()'s stats recompute from postings
+    *    then counts token-less docs too — without the sentinel, compaction
+    *    would silently shrink n/avgdl and shift every score;
+    *  - positions ride the posting row (sorted ascending — collect_list is
+    *    order-nondeterministic across partitionings, sort_array pins it):
+    *    tf stays the BM25 scan's narrow column, pos serves phraseQuery's
+    *    consecutive-position join; BM25 reads column-prune pos away. */
+  private def postingFrames(docs: DataFrame): (DataFrame, DataFrame) = {
     require(docs.columns.contains("doc_id") && docs.columns.contains("text"),
       "TextIndex expects (doc_id, text)")
-    // coalesce: Tokenize is null-intolerant, so a NULL text would yield
-    // NULL toks — size() NULL, no sentinel row, doc counted in _stats but
-    // absent from postings = the compaction stats drift the sentinel
-    // exists to prevent, just for the NULL variant of token-less
     val toks = docs.select(col("doc_id"),
         coalesce(TF.tokens(col("text")), typedlit(Array.empty[String])).as("toks"))
       .withColumn("dl", size(col("toks")))
       .persist()
-    // a zero-token doc (empty/punctuation-only text) gets a SENTINEL
-    // posting (term "", tf 0 — the tokenizer never emits an empty token, a
-    // tf-0 contribution scores 0 even if probed) so that EVERY doc owns at
-    // least one posting row: compact()'s stats recompute from postings then
-    // counts token-less docs too — without the sentinel, compaction would
-    // silently shrink n/avgdl and shift every score
-    // positions ride the posting row (sorted ascending — collect_list is
-    // order-nondeterministic across partitionings, sort_array pins it):
-    // tf stays the BM25 scan's narrow column, pos serves phraseQuery's
-    // consecutive-position join; BM25 reads column-prune pos away
     val postings = toks
       .select(col("doc_id"), col("dl"), posexplode(col("toks")).as(Seq("p", "term")))
       .groupBy("term", "doc_id", "dl")
@@ -228,6 +265,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           typedlit(Array.empty[Int]).as("pos")))
       .withColumn("bucket", pmod(TF.polyHash(col("term")), lit(numBuckets.toLong)))
       .persist()
+    (toks, postings)
+  }
+
+  private def writeBatch(docs: DataFrame, b: Long): Unit = {
+    val (toks, postings) = postingFrames(docs)
     try {
       postings.write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$postingsPath/batch=$b")
@@ -306,10 +348,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val names = batchDirs.map(_.getName).toSet
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L
-    val mergedAll = spark.read.option("basePath", postingsPath)
+    val mergedRaw = spark.read.option("basePath", postingsPath)
       .parquet(batchDirs.map(_.getPath): _*)
       .drop("batch")
       .dropDuplicates("term", "doc_id")
+    // MIXED generations (a pre-positions build under positions-carrying
+    // appends): schema inference picks an arbitrary footer, so the merged
+    // pos column would either vanish or carry NULLs for the old docs
+    // nondeterministically — drop it explicitly so the compacted index is
+    // DETERMINISTICALLY non-positional (phraseQuery keeps refusing until a
+    // rebuild; silently serving would drop the pre-upgrade docs)
+    val mergedAll =
+      if (positionsEverywhere()) mergedRaw else mergedRaw.drop("pos")
     // tombstoned docs drop PHYSICALLY here; df/stats/doclens recompute from
     // the purged postings, so after the commit the index is byte-equivalent
     // to one built without the deleted docs
@@ -535,16 +585,38 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * cover all slots, including both of a repeated term's. Pending
     * deletes anti-join exactly like [[query]]. Requires an index built
     * after positions landed (rebuild adds them). */
+  // memoized per committed-dir set (names + mtimes — a rebuild republishes
+  // batch=0 under the same name): one footer read per batch dir, once —
+  // not per probe
+  @volatile private var posCheck: (String, Boolean) = null
+  private def positionsEverywhere(): Boolean = {
+    val dirs = StoreIO.committedBatchDirs(postingsPath)
+    val key = dirs.map(d => s"${d.getName}:${d.lastModified}").mkString(",")
+    val c = posCheck
+    if (c != null && c._1 == key) c._2
+    else {
+      val ok = dirs.nonEmpty && dirs.forall(d =>
+        spark.read.parquet(d.getPath).schema.fieldNames.contains("pos"))
+      posCheck = (key, ok)
+      ok
+    }
+  }
+
   def phraseQuery(phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "phrase needs at least one term")
     val terms = phrase.distinct
     val buckets = terms.map(bucketOf).distinct
     val slots = spark.createDataFrame(phrase.zipWithIndex.map { case (t, j) => (t, j) })
       .toDF("term", "j")
+    // EVERY committed batch must carry positions, not just whichever
+    // footer schema inference happened to pick: on a mixed generation
+    // (pre-positions build + post-positions append) the union read would
+    // surface old postings' pos as NULL and explode() would SILENTLY drop
+    // every pre-upgrade doc from the ranked result — fail loudly instead
+    require(positionsEverywhere(),
+      s"TextIndex at $path has batches without positional postings — rebuild (or compact after a rebuild) to serve phrase queries")
     val pruned = spark.read.parquet(postingsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-    require(pruned.columns.contains("pos"),
-      s"TextIndex at $path predates positional postings — rebuild to serve phrase queries")
     val live = tombstones() match {
       case None => pruned
       case Some(t) => pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")

@@ -23,4 +23,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.sustainedOutlier(now = 1.0, base = 0.4), "2.5x and +0.6 s: flags")
     assert(!Bench.sustainedOutlier(now = 0.8, base = 0.4), "exactly 2x: not strictly over")
   }
+
+  test("even-count medians take the lower middle (the reps=1 confirmation run can clear a flag)") {
+    // the guard adds one batch of reps on a suspected outlier; with
+    // SPARK_GRAFT_BENCH_REPS=1 that leaves TWO samples, and the
+    // upper-middle median would return the CONTENDED first run even after
+    // a fast confirming re-run — the lower middle breaks toward quiet-box
+    val samples = Seq(2.7, 0.7).sorted
+    assert(samples((samples.length - 1) / 2) == 0.7,
+      "two-sample median must be the faster run")
+    val six = Seq(0.5, 0.55, 0.6, 0.62, 2.4, 2.6).sorted
+    assert(six((six.length - 1) / 2) == 0.6,
+      "six-sample median biases toward the quiet-box cluster")
+  }
 }

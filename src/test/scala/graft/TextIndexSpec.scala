@@ -115,6 +115,48 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 3L), (4L, 1L)))
   }
 
+  test("phrase query refuses a mixed-generation index instead of silently dropping old docs") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_mixg").toString
+    val idx = new TextIndex(spark, base, numBuckets = 4)
+    idx.build(Seq((1L, "big data engine")).toDF("doc_id", "text"))
+    // simulate a PRE-positions generation: rewrite batch=0 without pos
+    val b0 = new java.io.File(s"$base/postings/batch=0")
+    val stage = java.nio.file.Files.createTempDirectory("graft_tidx_mixg_st").toString
+    spark.read.parquet(b0.getPath).drop("pos")
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      assert(f.delete() || !f.exists())
+    }
+    rm(b0)
+    assert(new java.io.File(stage).renameTo(b0))
+    // a positions-carrying append lands on top of the old generation
+    idx.appendBatch(Seq((2L, "big data pipeline")).toDF("doc_id", "text"), 1L)
+    // BM25 keeps working across the mixed generations...
+    assert(idx.query(Seq("big", "data"), 10).count() == 2)
+    // ...but the phrase probe must refuse loudly — a silent answer here
+    // would contain ONLY doc 2
+    val ex = intercept[IllegalArgumentException] {
+      idx.phraseQuery(Seq("big", "data"), 10).collect()
+    }
+    assert(ex.getMessage.contains("positional postings"), ex.getMessage)
+    // compact DOWNGRADES a mixed merge to deterministically non-positional
+    // (positions for doc 1 are unrecoverable without its text), so the
+    // phrase probe keeps refusing until a rebuild — never a silent answer
+    idx.compact()
+    assert(idx.query(Seq("big", "data"), 10).count() == 2)
+    val ex2 = intercept[IllegalArgumentException] {
+      idx.phraseQuery(Seq("big", "data"), 10).collect()
+    }
+    assert(ex2.getMessage.contains("positional postings"), ex2.getMessage)
+    // a rebuild restores the positional generation
+    idx.build(Seq((1L, "big data engine"), (2L, "big data pipeline"))
+      .toDF("doc_id", "text"))
+    assert(idx.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
   test("incremental appends + compact rank exactly like one full build") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
     val base = java.nio.file.Files.createTempDirectory("graft_tidx_inc").toString
