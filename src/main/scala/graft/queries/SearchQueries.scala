@@ -46,6 +46,10 @@ object SearchQueries {
     * contains (~45 occurrences at sf0.01), so the ranked result is
     * non-trivial at every fixture scale. */
   val PhraseTerms: Seq[String] = Seq("table", "hash")
+
+  /** q_near's term pair (both frequent corpus words, so windowed
+    * co-occurrence is non-trivial at every fixture scale). */
+  val NearTerms: (String, String) = ("table", "scan")
   val ShortlistK = 20
 
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
@@ -421,6 +425,34 @@ object SearchQueries {
            |        GROUP BY doc_id, start HAVING count(DISTINCT j) = ${PhraseTerms.length})
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
            |FROM occ GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // Proximity ranked search (NEAR/n) over the positional postings — the
+    // second user-visible surface positions buy: docs where two terms
+    // co-occur within a token window, ranked by the exact integer count
+    // of qualifying position pairs. Same bucket-pruned serving shape as
+    // q_phrase; the per-doc position join is tf(A)x tf(B)-bounded.
+    Q(
+      "q_near",
+      "proximity (NEAR/3) ranked search from bucket-pruned positional postings",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx_nr").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.nearQuery(NearTerms._1, NearTerms._2, window = 3, k = 10)
+      },
+      Some {
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |i AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i1, toks FROM d),
+           |tok AS (SELECT doc_id, CAST(i1 AS INT) - 1 AS p,
+           |               toks[CAST(i1 AS INT)] AS term FROM i),
+           |a AS (SELECT doc_id, p AS pa FROM tok WHERE term = '${NearTerms._1}'),
+           |b AS (SELECT doc_id, p AS pb FROM tok WHERE term = '${NearTerms._2}'),
+           |pairs AS (SELECT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+           |          WHERE abs(a.pa - b.pb) <= 3)
+           |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+           |FROM pairs GROUP BY doc_id ORDER BY n_pairs DESC, doc_id LIMIT 10""".stripMargin
       }),
 
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine

@@ -632,6 +632,37 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .limit(k)
   }
 
+  /** Ranked PROXIMITY search (the `NEAR/n` operator): docs where `termA`
+    * and `termB` co-occur within `window` token positions, ranked by the
+    * exact integer count of qualifying (posA, posB) pairs (ties: doc_id
+    * asc). Same serving shape as [[phraseQuery]]: the scan prunes to the
+    * two terms' buckets, the per-doc position join is bounded by
+    * tf(A)·tf(B) of the QUERIED terms (df-bounded, never the corpus), and
+    * pending deletes anti-join. Requires positional postings. */
+  def nearQuery(termA: String, termB: String, window: Int, k: Int): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(termA != termB, "NEAR needs two distinct terms (use phraseQuery for repeats)")
+    require(positionsEverywhere(),
+      s"TextIndex at $path has batches without positional postings — rebuild (or compact after a rebuild) to serve proximity queries")
+    val terms = Seq(termA, termB)
+    val buckets = terms.map(bucketOf).distinct
+    val pruned = spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+    val live = tombstones() match {
+      case None => pruned
+      case Some(t) => pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val a = live.filter(col("term") === termA)
+      .select(col("doc_id"), explode(col("pos")).as("pa"))
+    val b = live.filter(col("term") === termB)
+      .select(col("doc_id"), explode(col("pos")).as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter(abs(col("pa") - col("pb")) <= window)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("doc_id"))
+      .limit(k)
+  }
+
   /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
     * postings read carries BOTH the bucket filter (partition pruning —
     * only the terms' bucket dirs are listed, in every batch) and the term

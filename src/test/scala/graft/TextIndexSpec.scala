@@ -115,6 +115,30 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((7L, 3L), (4L, 1L)))
   }
 
+  test("proximity query: windowed position pairs only, ranked, pruned scan") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_near").toString
+    val idx = new TextIndex(spark, base, numBuckets = 8)
+    idx.build(Seq(
+      (1L, "big gap gap gap data"),  // distance 4 > window 3: no pair
+      (2L, "big gap data"),          // distance 2: one pair
+      (3L, "big data big"),          // two pairs (both bigs within 3 of data)
+      (4L, "data alone here")        // no co-occurrence
+    ).toDF("doc_id", "text"))
+    val hits = idx.nearQuery("big", "data", window = 3, k = 10)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket#") ||
+      plan.contains("PartitionFilters: [isnotnull(bucket"),
+      s"proximity probe must stay bucket-pruned:\n$plan")
+    assert(hits.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((3L, 2L), (2L, 1L)),
+      "only position pairs within the window count, ranked by pair count")
+    idx.delete(Seq(3L))
+    assert(idx.nearQuery("big", "data", window = 3, k = 10).collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "a deleted doc stops serving immediately")
+  }
+
   test("phrase query refuses a mixed-generation index instead of silently dropping old docs") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_tidx_mixg").toString
