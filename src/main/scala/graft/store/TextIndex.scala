@@ -408,10 +408,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private final class TermPostings(
       val docIds: Array[Long], val dls: Array[Int], val cqs: Array[Long])
 
+  /** One term's POSITION lists (the phrase/proximity hot state): doc-sorted
+    * parallel arrays — docIds, per-doc offsets into `flat`, and the
+    * concatenated ascending position arrays. */
+  private final class TermPositions(
+      val docIds: Array[Long], val offs: Array[Int], val flat: Array[Int])
+
   private final class HotText(
       val key: String, val n: Long, val avgdl: Double,
       val dead: java.util.HashSet[java.lang.Long],
       val postings: java.util.concurrent.ConcurrentHashMap[String, TermPostings],
+      val positions: java.util.concurrent.ConcurrentHashMap[String, TermPositions] =
+        new java.util.concurrent.ConcurrentHashMap(),
       val bytes: java.util.concurrent.atomic.AtomicLong =
         new java.util.concurrent.atomic.AtomicLong(0L))
 
@@ -468,11 +476,148 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val tp = hotTermLoad(h, term)
     if (h.bytes.get() > StoreIO.hotBudgetBytes()) {
       h.postings.clear()
+      h.positions.clear()
       h.bytes.set(0L)
       h.postings.put(term, tp)
       h.bytes.addAndGet(termBytes(tp))
     }
     tp
+  }
+
+  /** ~bytes a loaded positions entry pins: 8/doc id + 4/offset + 4/position. */
+  private def posBytes(tp: TermPositions): Long =
+    12L * tp.docIds.length + 4L * tp.flat.length + 64L
+
+  /** Load one term's POSITION lists (one bucket+term-pruned read on first
+    * use) for the hot phrase/proximity probes — tombstoned docs excluded
+    * at load like [[hotTermLoad]]; byte-bounded by the same generation-flip
+    * budget as the BM25 postings cache. */
+  private def hotPosTerm(h: HotText, term: String): TermPositions = {
+    val tp = h.positions.computeIfAbsent(term, { t =>
+      val rows = spark.read.parquet(postingsPath)
+        .filter(col("bucket") === bucketOf(t) && col("term") === t)
+        .select("doc_id", "pos").collect()
+        .filter(r => !h.dead.contains(r.getLong(0)))
+        .sortBy(_.getLong(0))
+      val docIds = rows.map(_.getLong(0))
+      val posArrs = rows.map(_.getSeq[Int](1).toArray)
+      val offs = new Array[Int](rows.length + 1)
+      var i = 0
+      while (i < rows.length) { offs(i + 1) = offs(i) + posArrs(i).length; i += 1 }
+      val flat = new Array[Int](offs(rows.length))
+      i = 0
+      while (i < rows.length) {
+        System.arraycopy(posArrs(i), 0, flat, offs(i), posArrs(i).length); i += 1
+      }
+      val out = new TermPositions(docIds, offs, flat)
+      h.bytes.addAndGet(posBytes(out))
+      out
+    })
+    if (h.bytes.get() > StoreIO.hotBudgetBytes()) {
+      h.postings.clear()
+      h.positions.clear()
+      h.bytes.set(0L)
+      h.positions.put(term, tp)
+      h.bytes.addAndGet(posBytes(tp))
+    }
+    tp
+  }
+
+  /** Is `v` present in `flat[lo, hi)` (an ascending slice)? */
+  private def containsPos(flat: Array[Int], lo: Int, hi: Int, v: Int): Boolean = {
+    var a = lo; var b = hi - 1
+    while (a <= b) {
+      val mid = (a + b) >>> 1
+      val x = flat(mid)
+      if (x == v) return true
+      if (x < v) a = mid + 1 else b = mid - 1
+    }
+    false
+  }
+
+  /** [[phraseQuery]] served from JVM memory after each term's first
+    * position-list load: per candidate doc (slot-0's term postings), a
+    * start s counts iff every slot j finds its term at s + j — binary
+    * searches over the resident ascending position slices, zero Spark
+    * jobs warm. Identical occurrence counts and (n_occ desc, doc asc)
+    * ranking to the Spark path (spec-pinned). Returns (doc_id, n_occ). */
+  def hotPhraseQuery(phrase: Seq[String], k: Int): Seq[(Long, Long)] = {
+    require(phrase.nonEmpty, "phrase needs at least one term")
+    require(positionsEverywhere(),
+      s"TextIndex at $path has batches without positional postings — rebuild to serve phrase queries")
+    val h = hotState()
+    val tps: Map[String, TermPositions] =
+      phrase.distinct.map(t => t -> hotPosTerm(h, t)).toMap
+    val slots = phrase.toArray
+    val t0 = tps(slots(0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var di = 0
+    while (di < t0.docIds.length) {
+      val doc = t0.docIds(di)
+      // per-slot position slices for this doc; a slot whose term misses
+      // the doc kills every start
+      val slotIdx = slots.map { t =>
+        val tp = tps(t)
+        val j = java.util.Arrays.binarySearch(tp.docIds, doc)
+        if (j < 0) -1 else j
+      }
+      if (!slotIdx.contains(-1)) {
+        var cnt = 0L
+        var pi = t0.offs(di)
+        while (pi < t0.offs(di + 1)) {
+          val s = t0.flat(pi)
+          var ok = true
+          var j = 1
+          while (ok && j < slots.length) {
+            val tp = tps(slots(j)); val dj = slotIdx(j)
+            ok = containsPos(tp.flat, tp.offs(dj), tp.offs(dj + 1), s + j)
+            j += 1
+          }
+          if (ok) cnt += 1
+          pi += 1
+        }
+        if (cnt > 0) out += ((doc, cnt))
+      }
+      di += 1
+    }
+    out.sortBy { case (doc, cnt) => (-cnt, doc) }.take(k).toSeq
+  }
+
+  /** [[nearQuery]] served from JVM memory — qualifying position-pair
+    * counts per doc via a bounded two-pointer window walk over the
+    * resident ascending lists. Identical counts and ranking to the Spark
+    * path (spec-pinned). Returns (doc_id, n_pairs). */
+  def hotNearQuery(termA: String, termB: String, window: Int, k: Int): Seq[(Long, Long)] = {
+    require(window >= 1, "window must be at least 1")
+    require(termA != termB, "NEAR needs two distinct terms")
+    require(positionsEverywhere(),
+      s"TextIndex at $path has batches without positional postings — rebuild to serve proximity queries")
+    val h = hotState()
+    val ta = hotPosTerm(h, termA)
+    val tb = hotPosTerm(h, termB)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var ia = 0
+    while (ia < ta.docIds.length) {
+      val doc = ta.docIds(ia)
+      val ib = java.util.Arrays.binarySearch(tb.docIds, doc)
+      if (ib >= 0) {
+        var cnt = 0L
+        var pa = ta.offs(ia)
+        var lo = tb.offs(ib)
+        while (pa < ta.offs(ia + 1)) {
+          val p = ta.flat(pa)
+          // advance the lower fence to the first b-position >= p - window,
+          // then count b-positions <= p + window
+          while (lo < tb.offs(ib + 1) && tb.flat(lo) < p - window) lo += 1
+          var j = lo
+          while (j < tb.offs(ib + 1) && tb.flat(j) <= p + window) { cnt += 1; j += 1 }
+          pa += 1
+        }
+        if (cnt > 0) out += ((doc, cnt))
+      }
+      ia += 1
+    }
+    out.sortBy { case (doc, cnt) => (-cnt, doc) }.take(k).toSeq
   }
 
   private def hotTermLoad(h: HotText, term: String): TermPostings =

@@ -143,6 +143,15 @@ object Prof {
     // the BM25 probe for comparison (same pruning contract)
     time("phr_bm25_warm", nTag)(
       tidx.query(graft.queries.SearchQueries.QueryTerms, 10).collect(): Unit)
+    // hot tier: first call loads the terms' position lists, then probes
+    // are pure in-memory binary-search walks — zero Spark jobs warm
+    time("phr_hot_load", nTag)(tidx.hotPhraseQuery(ph, 10))
+    (1 to 3).foreach { i =>
+      time(s"phr_hot_warm$i", nTag)(tidx.hotPhraseQuery(ph, 10))
+    }
+    val nt = graft.queries.SearchQueries.NearTerms
+    time("phr_hot_near_load", nTag)(tidx.hotNearQuery(nt._1, nt._2, 3, 10))
+    time("phr_hot_near_warm", nTag)(tidx.hotNearQuery(nt._1, nt._2, 3, 10))
     s.stop()
   }
 

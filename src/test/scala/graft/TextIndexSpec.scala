@@ -139,6 +139,38 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       "a deleted doc stops serving immediately")
   }
 
+  test("hot phrase/proximity serving equals the Spark probes; mutations invalidate") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_hotpos").toString
+    val idx = new TextIndex(spark, base, numBuckets = 8)
+    idx.build(Seq(
+      (1L, "big data engine runs big data jobs"),
+      (2L, "data big engine"),
+      (3L, "big blue data"),
+      (4L, "the big data"),
+      (5L, "go go go stop"),
+      (6L, "go go")
+    ).toDF("doc_id", "text"))
+    def sparkPhrase(p: Seq[String]) = idx.phraseQuery(p, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def sparkNear(a: String, b: String, w: Int) = idx.nearQuery(a, b, w, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // warm and cold, incl. a repeated-term phrase
+    assert(idx.hotPhraseQuery(Seq("big", "data"), 10) == sparkPhrase(Seq("big", "data")))
+    assert(idx.hotPhraseQuery(Seq("big", "data"), 10) == sparkPhrase(Seq("big", "data")))
+    assert(idx.hotPhraseQuery(Seq("go", "go", "go"), 10) == sparkPhrase(Seq("go", "go", "go")))
+    assert(idx.hotNearQuery("big", "data", 2, 10) == sparkNear("big", "data", 2))
+    assert(idx.hotNearQuery("blue", "data", 1, 10) == sparkNear("blue", "data", 1))
+    // a delete invalidates the hot state; served sets stay equal
+    idx.delete(Seq(1L))
+    assert(idx.hotPhraseQuery(Seq("big", "data"), 10) == sparkPhrase(Seq("big", "data")))
+    assert(idx.hotPhraseQuery(Seq("big", "data"), 10).map(_._1) == Seq(4L))
+    // an appended doc shows up hot
+    idx.appendBatch(Seq((7L, "big data big data")).toDF("doc_id", "text"), 1L)
+    assert(idx.hotPhraseQuery(Seq("big", "data"), 10) == sparkPhrase(Seq("big", "data")))
+    assert(idx.hotPhraseQuery(Seq("big", "data"), 10).head == ((7L, 2L)))
+  }
+
   test("phrase query refuses a mixed-generation index instead of silently dropping old docs") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_tidx_mixg").toString
