@@ -29,4 +29,5 @@ final case class IndexStats(liveRows: Long, pendingDeletes: Long, units: Int) {
  * where [[IndexStats]] is counts only, and only the IVF index has cells.
  */
 final case class IvfBalance(liveRows: Long, liveCells: Int,
-                            maxOverMean: Double, sq8ClipRate: Double)
+                            maxOverMean: Double, sq8ClipRate: Double,
+                            pqErrRatio: Double = 0.0)

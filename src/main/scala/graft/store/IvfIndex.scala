@@ -151,13 +151,22 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
           val books = graft.operators.ProductQuantizer.train(
             trainSet.orderBy("id"), "emb", pqM, IvfIndex.PqK, IvfIndex.TrainIters)
           val flat = flattenBooks(books)
+          val encodeCol = VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK)
+          // baseline mean reconstruction error over the BUILD input — the
+          // PQ drift reference [[balance]] compares against (the codebooks
+          // have no clip-able grid; what degrades under drift is how well
+          // they reconstruct the data): ADC of a row against its OWN codes
+          // IS its squared quantization error. One extra pass over the
+          // cached input.
+          val baseErr = v.select(avg(VF.pqAdcDirect(encodeCol, col("emb"),
+              flat, IvfIndex.PqK)).as("e")).head().getDouble(0)
           val rows = books.zipWithIndex.flatMap { case (cb, mi) =>
-            cb.map { case (code, cw) => (mi, code, cw.toSeq) }
+            cb.map { case (code, cw) => (mi, code, cw.toSeq, baseErr) }
           }
-          val pqDf = spark.createDataFrame(rows.toSeq).toDF("mi", "code", "cw")
+          val pqDf = spark.createDataFrame(rows.toSeq).toDF("mi", "code", "cw", "base_err")
           (StoreIO.Staged(s"$path/__stage_pq", pqPath,
             st => pqDf.write.mode("overwrite").parquet(st)),
-            VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK), sq8Path)
+            encodeCol, sq8Path)
         }
       // release the thinned training sample only AFTER the codes dispatch:
       // the pq branch's codebook training reads trainSet again (m·TrainIters
@@ -543,16 +552,29 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   def balance(): IvfBalance = {
     val dirs = StoreIO.committedBatchDirs(dataPath)
     if (dirs.isEmpty) return IvfBalance(0L, 0, 0.0, 0.0)
+    // drift detection runs inside the same aggregation pass, dispatched on
+    // the frozen quantizer:
+    //  - sq8: per-row clipped dim count via codegen'd array HOFs against
+    //    the frozen grid literals — no explode, no join;
+    //  - pq: per-row RECONSTRUCTION error (ADC of a row against its own
+    //    codes — the codebooks have no clip-able grid; what drift degrades
+    //    is how well they reconstruct the data), compared against the
+    //    baseline mean error frozen at build time.
+    val sq8 = sq8Stats()
+    val pqInfo = if (sq8.nonEmpty) None else pqBooks().map { b =>
+      val baseErr = spark.read.parquet(pqPath)
+        .agg(max(col("base_err"))).head().getDouble(0)
+      (flattenBooks(b), baseErr)
+    }
+    val baseCols = Seq(col("id"), col("cell").cast("long").as("cell"), col("emb")) ++
+      (if (pqInfo.nonEmpty) Seq(col("codes")) else Nil)
     val all = spark.read.option("basePath", dataPath)
       .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
-      .select(col("id"), col("cell").cast("long").as("cell"), col("emb"))
+      .select(baseCols: _*)
       .dropDuplicates("id")
     val live = tombstones().fold(all)(ts =>
       all.join(broadcast(ts), Seq("id"), "left_anti"))
-    // clip detection runs inside the same aggregation pass: per-row clipped
-    // dim count via codegen'd array HOFs against the frozen grid literals —
-    // no explode, no join, the emb column is read once for both numbers
-    val clipCol = sq8Stats().fold(lit(0L)) { case (mn, mx) =>
+    val clipCol = sq8.fold(lit(0L)) { case (mn, mx) =>
       val embD = transform(col("emb"), x => x.cast("double"))
       (aggregate(zip_with(embD, typedlit(mn.toSeq),
           (x, m) => when(x < m, 1).otherwise(0)), lit(0), (a, v) => a + v) +
@@ -560,12 +582,16 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
           (x, m) => when(x > m, 1).otherwise(0)), lit(0), (a, v) => a + v))
         .cast("long")
     }
+    val errCol = pqInfo.fold(lit(0.0)) { case (flat, _) =>
+      VF.pqAdcDirect(col("codes"), col("emb"), flat, IvfIndex.PqK)
+    }
     val perCell = live
       .groupBy("cell").agg(count(lit(1)).as("n"), sum(clipCol).as("clipped"),
-        sum(size(col("emb")).cast("long")).as("vals"))
+        sum(size(col("emb")).cast("long")).as("vals"),
+        sum(errCol).as("err"))
       .agg(max(col("n")).as("mx"), sum(col("n")).as("rows"),
         count(lit(1)).as("cells"), sum(col("clipped")).as("clipped"),
-        sum(col("vals")).as("vals"))
+        sum(col("vals")).as("vals"), sum(col("err")).as("err"))
       .head()
     val rows = perCell.getLong(1)
     if (rows == 0L) IvfBalance(0L, 0, 0.0, 0.0)
@@ -575,7 +601,11 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       val clipRate =
         if (perCell.getLong(4) == 0L) 0.0
         else perCell.getLong(3).toDouble / perCell.getLong(4)
-      IvfBalance(rows, cells, perCell.getLong(0) / mean, clipRate)
+      val errRatio = pqInfo.fold(0.0) { case (_, baseErr) =>
+        if (baseErr <= 0.0) 0.0
+        else (perCell.getDouble(5) / rows) / baseErr
+      }
+      IvfBalance(rows, cells, perCell.getLong(0) / mean, clipRate, errRatio)
     }
   }
 

@@ -735,7 +735,8 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       * before and after retrain, both spec-pinned). */
     def maintain(maxPendingRatio: Double = 0.2, maxUnits: Int = 8,
                  maxCellImbalance: Double = 3.0,
-                 maxClipRate: Double = 0.05): Boolean =
+                 maxClipRate: Double = 0.05,
+                 maxPqErrRatio: Double = 2.0): Boolean =
       attachedIdx.get(name).exists { ai =>
         val st = ai match {
           case VectorStore.AttachedIvf(idx, _, _) => idx.stats()
@@ -745,8 +746,13 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
         ai match {
           case VectorStore.AttachedIvf(idx, _, _) =>
             val bal = idx.balance()
+            // the PQ drift analog of the SQ8 clip rate: mean reconstruction
+            // error over build-time baseline — codebooks trained on last
+            // year's data reconstruct this year's poorly, and the quantized
+            // shortlist loses recall silently until a retrain re-fits them
             val retrainDue = bal.maxOverMean > maxCellImbalance ||
-              bal.sq8ClipRate > maxClipRate
+              bal.sq8ClipRate > maxClipRate ||
+              bal.pqErrRatio > maxPqErrRatio
             if (retrainDue) idx.retrain()
             else if (compactDue) idx.compact()
             retrainDue || compactDue

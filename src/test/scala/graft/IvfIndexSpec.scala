@@ -593,6 +593,30 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("PQ drift signal: reconstruction-error ratio flags a flood; retrain re-fits the codebooks") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_pqdrift").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors.filter(col("id") < 300), codes = "pq", pqM = 8)
+    val b0 = idx.balance()
+    assert(b0.pqErrRatio > 0.9 && b0.pqErrRatio < 1.1,
+      s"fresh build reconstructs its own input at the baseline: ${b0.pqErrRatio}")
+    // drifted flood: codebooks trained on the base data reconstruct the
+    // shifted mass poorly — the silent recall loss the signal exists for
+    val flood = vectors.filter(col("id") >= 300 && col("id") < 700)
+      .select((col("id") + 100000L).as("id"),
+        transform(col("emb"), x => (x + lit(4.0f)).cast("float")).as("emb"))
+    idx.append(flood)
+    val b1 = idx.balance()
+    assert(b1.pqErrRatio > 2.0, s"flood should inflate reconstruction error: ${b1.pqErrRatio}")
+    assert(b1.sq8ClipRate == 0.0, "a pq index has no grid to clip")
+    idx.retrain()
+    val b2 = idx.balance()
+    assert(b2.pqErrRatio > 0.5 && b2.pqErrRatio < 1.5,
+      s"retrain re-fits the codebooks to the live rows: ${b2.pqErrRatio}")
+  }
+
   test("distributed-probe batch route: DF probes equal the Seq route on both quantizers") {
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"),

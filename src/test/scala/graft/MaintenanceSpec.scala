@@ -105,6 +105,26 @@ class MaintenanceSpec extends AnyFunSuite with SparkTest {
     assert(!c.maintain(), "maintenance must be idempotent once rebalanced")
   }
 
+  test("PQ reconstruction-error breach triggers retrain via maintain") {
+    val store = new VectorStore(spark, tmp("vs_pqrt"))
+    val c = store.createOrGet("col")
+    c.add(rows.filter(col("id").cast("long") < 300))
+    val idx = c.attachIvfIndex(tmp("vs_pqrt_idx"), numCells = 8, nprobe = 8,
+      codes = "pq", pqM = 8)
+    assert(!c.maintain(), "clean pq index must not trigger maintenance")
+    val flood = rows.filter(col("id").cast("long") >= 300 && col("id").cast("long") < 700)
+      .withColumn("id", concat(lit("drift-"), col("id")))
+      .withColumn("emb", transform(col("emb"), x => (x + lit(4.0f)).cast("float")))
+    c.add(flood)
+    assert(idx.balance().pqErrRatio > 2.0)
+    val before = c.query(probe, k = 5).collect().map(_.getString(0)).toSeq
+    assert(c.maintain(), "reconstruction-error breach must trigger a retrain")
+    assert(idx.balance().pqErrRatio < 1.5, "retrain re-fits the codebooks")
+    assert(c.query(probe, k = 5).collect().map(_.getString(0)).toSeq == before,
+      "maintenance must not change answers")
+    assert(!c.maintain(), "idempotent once re-fitted")
+  }
+
   test("TextIndex.stats reflects deletes and compaction") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"), col("text"))
