@@ -601,9 +601,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       val clipRate =
         if (perCell.getLong(4) == 0L) 0.0
         else perCell.getLong(3).toDouble / perCell.getLong(4)
+      // degenerate baseline (codebooks reconstruct the build input
+      // EXACTLY — more codewords than distinct subvectors): any live
+      // error at all is then infinite relative drift, none is healthy
       val errRatio = pqInfo.fold(0.0) { case (_, baseErr) =>
-        if (baseErr <= 0.0) 0.0
-        else (perCell.getDouble(5) / rows) / baseErr
+        val liveMean = perCell.getDouble(5) / rows
+        if (baseErr > 0.0) liveMean / baseErr
+        else if (liveMean > 0.0) Double.PositiveInfinity
+        else 1.0
       }
       IvfBalance(rows, cells, perCell.getLong(0) / mean, clipRate, errRatio)
     }

@@ -1211,10 +1211,17 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
             val books = graft.operators.ProductQuantizer.train(
               v.orderBy("kid"), "emb", pqM, IvfIndex.PqK, IvfIndex.TrainIters)
             val flat = graft.operators.ProductQuantizer.flatten(books)
+            // baseline mean reconstruction error (the IvfIndex pq-drift
+            // reference), encrypted like the codebooks — one pass over the
+            // cached plaintext
+            val baseErr = v.select(avg(VF.pqAdcDirect(
+                VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK), col("emb"),
+                flat, IvfIndex.PqK)).as("e")).head().getDouble(0)
             val pqDf = spark.createDataFrame(Seq(
-                (pqM, flat.mkString("[", ",", "]"))))
-              .toDF("m", "books_j")
-              .select(col("m"), encrypt(col("books_j")).as("books_ct"))
+                (pqM, flat.mkString("[", ",", "]"), baseErr.toString)))
+              .toDF("m", "books_j", "base_err_j")
+              .select(col("m"), encrypt(col("books_j")).as("books_ct"),
+                encrypt(col("base_err_j")).as("base_err_ct"))
             (StoreIO.Staged(s"${encPqPath(name)}__stage", encPqPath(name),
               st => pqDf.write.mode("overwrite").parquet(st)),
               encrypt(base64(VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK))).as("codes_ct"),
@@ -1234,9 +1241,13 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
                 codesCt)
               .write.mode("overwrite").partitionBy("cell").parquet(s"$st/batch=0"))),
           encMarker(name),
-          // a REBUILD resets the append fence: the old generation's folded
-          // batch ids must not fence a new stream starting from batch 0
-          cleanup = Seq(encAppendHwmPath(name), otherSidecar))
+          // a REBUILD resets the append fence (the old generation's folded
+          // batch ids must not fence a new stream starting from batch 0),
+          // sweeps the other quantizer's sidecar, and sweeps pending
+          // tombstone dirs — the rebuild's input defines the new truth
+          // (IvfIndex.build's contract)
+          cleanup = Seq(encAppendHwmPath(name), otherSidecar) ++
+            StoreIO.committedBatchDirs(tombstonePath(name)).map(_.getPath))
       } finally v.unpersist(): Unit
     }
 
@@ -1474,6 +1485,88 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .select(col("id"), decryptStr(col("doc_ct")).as("doc"), col("distance"))
   }
 
+  /** Cell-geometry health of a [[storeIndexed]] collection (key holders
+    * only) — `IvfIndex.balance`'s encrypted twin, ONE decrypt pass at
+    * maintenance cadence: max-over-mean live rows per cell, the SQ8 clip
+    * rate against the decrypted grid, or the PQ reconstruction-error
+    * ratio against the encrypted baseline. The numbers
+    * [[retrainIndexed]]'s trigger policy decides on. */
+  def balanceIndexed(name: String): IvfBalance = {
+    val sq8 = sq8StatsOf(name)
+    val pqInfo = if (sq8.nonEmpty) None else pqBooksOf(name).map { b =>
+      val baseErr = spark.read.parquet(encPqPath(name))
+        .select(decryptStr(col("base_err_ct"))).head().getString(0).toDouble
+      (graft.operators.ProductQuantizer.flatten(b), baseErr)
+    }
+    val rows = liveRaw(name).select(
+      col("cell").cast("long").as("cell") +:
+        from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb") +:
+        (if (pqInfo.nonEmpty) Seq(unbase64(decryptStr(col("codes_ct"))).as("codes"))
+         else Nil): _*)
+    val clipCol = sq8.fold(lit(0L)) { case (mn, mx) =>
+      val embD = transform(col("emb"), x => x.cast("double"))
+      (aggregate(zip_with(embD, typedlit(mn.toSeq),
+          (x, m) => when(x < m, 1).otherwise(0)), lit(0), (a, v) => a + v) +
+        aggregate(zip_with(embD, typedlit(mx.toSeq),
+          (x, m) => when(x > m, 1).otherwise(0)), lit(0), (a, v) => a + v))
+        .cast("long")
+    }
+    val errCol = pqInfo.fold(lit(0.0)) { case (flat, _) =>
+      VF.pqAdcDirect(col("codes"), col("emb"), flat, IvfIndex.PqK)
+    }
+    val perCell = rows
+      .groupBy("cell").agg(count(lit(1)).as("n"), sum(clipCol).as("clipped"),
+        sum(size(col("emb")).cast("long")).as("vals"), sum(errCol).as("err"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("rows"),
+        count(lit(1)).as("cells"), sum(col("clipped")).as("clipped"),
+        sum(col("vals")).as("vals"), sum(col("err")).as("err"))
+      .head()
+    val n = perCell.getLong(1)
+    if (n == 0L) IvfBalance(0L, 0, 0.0, 0.0)
+    else {
+      val cells = perCell.getLong(2).toInt
+      val clipRate =
+        if (perCell.getLong(4) == 0L) 0.0
+        else perCell.getLong(3).toDouble / perCell.getLong(4)
+      // degenerate-baseline rule shared with IvfIndex.balance: exact
+      // build-input reconstruction makes any live error infinite drift
+      val errRatio = pqInfo.fold(0.0) { case (_, baseErr) =>
+        val liveMean = perCell.getDouble(5) / n
+        if (baseErr > 0.0) liveMean / baseErr
+        else if (liveMean > 0.0) Double.PositiveInfinity
+        else 1.0
+      }
+      IvfBalance(n, cells, perCell.getLong(0) / (n.toDouble / cells), clipRate, errRatio)
+    }
+  }
+
+  /** Re-train the collection's cells AND quantizer on its CURRENT live
+    * rows — `IvfIndex.retrain`'s encrypted twin, the drift remedy
+    * [[appendIndexedBatch]] cannot provide (appends assign against
+    * centroids and a quantizer frozen at [[storeIndexed]] time). The live
+    * ciphertext decrypts ONCE (key holder — the reference's client-side
+    * model), materialized before the rebuild swaps the directories it was
+    * read from, then republishes through [[storeIndexed]]'s
+    * crash-consistent commit preserving the quantizer kind; pending
+    * tombstones drop physically with the rebuild (its input is the LIVE
+    * rows) and every row re-encrypts with a fresh random IV. */
+  def retrainIndexed(name: String): Unit =
+    withEncLease(name, "EncryptedStore.retrainIndexed") {
+      val numCells = centroidsOf(name).length
+      require(numCells > 0, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+      val (kind, m) = sq8StatsOf(name) match {
+        case Some(_) => ("sq8", 8)
+        case None => pqBooksOf(name).map(b => ("pq", b.length)).getOrElse(("sq8", 8))
+      }
+      val live = liveRaw(name).select(col("id"),
+          decryptStr(col("doc_ct")).as("doc"),
+          from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+        // materialize the decrypted rows BEFORE storeIndexed's staged
+        // commit replaces the directories this lazy frame reads from
+        .localCheckpoint()
+      storeIndexed(live, name, numCells, kind, m)
+    }
+
   private def encL2sq(a: Array[Float], b: Array[Float]): Double = {
     var acc = 0.0; var i = 0
     while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
@@ -1705,7 +1798,8 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         if (!new java.io.File(s"${encPqPath(name)}/_SUCCESS").exists()) Seq.empty
         else Seq(StoreIO.Staged(s"${encPqPath(name)}__stage", encPqPath(name),
           st => spark.read.parquet(encPqPath(name))
-            .select(col("m"), next.encrypt(decryptStr(col("books_ct"))).as("books_ct"))
+            .select(col("m"), next.encrypt(decryptStr(col("books_ct"))).as("books_ct"),
+              next.encrypt(decryptStr(col("base_err_ct"))).as("base_err_ct"))
             .write.mode("overwrite").parquet(st)))
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),

@@ -182,6 +182,48 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
       "the encrypted PQ route must serve identically under the rotated key")
   }
 
+  test("encrypted retrain: drift flood flags balanceIndexed, retrainIndexed repairs on both quantizers") {
+    import spark.implicits._
+    for (kind <- Seq("sq8", "pq")) {
+      val base = tmp(s"enc_rt_$kind")
+      val es = new EncryptedStore(spark, base, Key)
+      es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6, codes = kind)
+      val b0 = es.balanceIndexed("c")
+      assert(b0.liveRows == 300)
+      if (kind == "sq8") assert(b0.sq8ClipRate == 0.0)
+      // the lattice fixture has only 101 distinct vectors, so 256 PQ
+      // codewords reconstruct it EXACTLY (degenerate zero baseline → ratio
+      // pins to the healthy 1.0); real-valued corpora land near 1.0 too
+      // (IvfIndexSpec's pq-drift test covers that side)
+      else assert(b0.pqErrRatio > 0.9 && b0.pqErrRatio < 1.1, s"$kind baseline: $b0")
+
+      // drifted flood through the streaming append path: shifted far
+      // outside the frozen quantizer's world
+      val flood = (1 to 200).map { i =>
+        (s"fl$i", s"flood $i", probe(i).map(x => x + 4.0f))
+      }.toDF("id", "doc", "emb")
+      es.appendIndexedBatch(flood, "c", batchId = 0)
+      val b1 = es.balanceIndexed("c")
+      assert(b1.liveRows == 500)
+      if (kind == "sq8")
+        assert(b1.sq8ClipRate > 0.1, s"$kind flood must clip: $b1")
+      else assert(b1.pqErrRatio > 2.0, s"$kind flood must inflate error: $b1")
+
+      val want = got(es.queryIndexed("c", probe(7), k = 10, nprobe = 6))
+      es.retrainIndexed("c")
+      val b2 = es.balanceIndexed("c")
+      assert(b2.liveRows == 500, s"retrain must keep the live rows: $b2")
+      if (kind == "sq8") assert(b2.sq8ClipRate == 0.0, s"re-frozen grid covers live rows: $b2")
+      else assert(b2.pqErrRatio > 0.5 && b2.pqErrRatio < 1.5, s"re-fitted codebooks: $b2")
+      assert(b2.maxOverMean <= b1.maxOverMean, s"skew must not worsen: $b1 -> $b2")
+      assert(got(es.queryIndexed("c", probe(7), k = 10, nprobe = 6)) == want,
+        "full-probe answers preserved across the encrypted retrain")
+      assert(got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 6,
+        shortlist = 500)) == want,
+        "the quantized route serves through the re-frozen quantizer")
+    }
+  }
+
   test("batch probes: one union-of-cells decrypt pass equals the per-probe loop on both routes") {
     val base = tmp("enc_batch")
     val es = new EncryptedStore(spark, base, Key)
