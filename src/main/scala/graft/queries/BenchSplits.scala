@@ -71,6 +71,15 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_near" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_near_split").toString
+      val idx = new TextIndex(s, base, numBuckets = 8)
+      val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
+      val (_, tp) = timed(
+        idx.nearQuery(SearchQueries.NearTerms._1, SearchQueries.NearTerms._2, 3, 10)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
     "q_ann_graph_search" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") =!= 0)
