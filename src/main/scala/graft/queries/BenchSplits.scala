@@ -67,7 +67,7 @@ object BenchSplits {
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
-        idx.phraseQuery(SearchQueries.PhraseTerms, 10)
+        idx.phraseQuery(SearchQueries.PhraseTerms, SearchQueries.PhraseK)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
@@ -76,7 +76,8 @@ object BenchSplits {
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
-        idx.nearQuery(SearchQueries.NearTerms._1, SearchQueries.NearTerms._2, 3, 10)
+        idx.nearQuery(SearchQueries.NearTerms._1, SearchQueries.NearTerms._2,
+          SearchQueries.NearWindow, SearchQueries.NearK)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },

@@ -50,6 +50,14 @@ object SearchQueries {
   /** q_near's term pair (both frequent corpus words, so windowed
     * co-occurrence is non-trivial at every fixture scale). */
   val NearTerms: (String, String) = ("table", "scan")
+
+  /** q_phrase / q_near parameters, shared with the oracle SQL AND the
+    * BenchSplits subtimings — one definition so the bench decomposition
+    * can never silently measure a different query than the registered
+    * one. */
+  val PhraseK = 10
+  val NearWindow = 3
+  val NearK = 10
   val ShortlistK = 20
 
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
@@ -409,7 +417,7 @@ object SearchQueries {
         val base = java.nio.file.Files.createTempDirectory("graft_tidx_ph").toString
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
-        idx.phraseQuery(PhraseTerms, 10)
+        idx.phraseQuery(PhraseTerms, PhraseK)
       },
       Some {
         val slotRows = PhraseTerms.zipWithIndex
@@ -424,7 +432,7 @@ object SearchQueries {
            |occ AS (SELECT doc_id, start FROM s
            |        GROUP BY doc_id, start HAVING count(DISTINCT j) = ${PhraseTerms.length})
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
-           |FROM occ GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT 10""".stripMargin
+           |FROM occ GROUP BY doc_id ORDER BY n_occ DESC, doc_id LIMIT $PhraseK""".stripMargin
       }),
 
     // Proximity ranked search (NEAR/n) over the positional postings — the
@@ -439,7 +447,7 @@ object SearchQueries {
         val base = java.nio.file.Files.createTempDirectory("graft_tidx_nr").toString
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
-        idx.nearQuery(NearTerms._1, NearTerms._2, window = 3, k = 10)
+        idx.nearQuery(NearTerms._1, NearTerms._2, window = NearWindow, k = NearK)
       },
       Some {
         s"""WITH d AS MATERIALIZED (
@@ -450,9 +458,9 @@ object SearchQueries {
            |a AS (SELECT doc_id, p AS pa FROM tok WHERE term = '${NearTerms._1}'),
            |b AS (SELECT doc_id, p AS pb FROM tok WHERE term = '${NearTerms._2}'),
            |pairs AS (SELECT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
-           |          WHERE abs(a.pa - b.pb) <= 3)
+           |          WHERE abs(a.pa - b.pb) <= $NearWindow)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
-           |FROM pairs GROUP BY doc_id ORDER BY n_pairs DESC, doc_id LIMIT 10""".stripMargin
+           |FROM pairs GROUP BY doc_id ORDER BY n_pairs DESC, doc_id LIMIT $NearK""".stripMargin
       }),
 
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine

@@ -212,15 +212,31 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       Some((rows.map(_._2), rows.map(_._3)))
     }
 
-  /** Frozen PQ codebooks (code-sorted per subspace) — None unless the
-    * index was built with `codes = "pq"`. */
-  private def pqBooks(): Option[graft.operators.ProductQuantizer.Codebooks] =
+  /** Frozen PQ codebooks (code-sorted per subspace) plus the build-frozen
+    * baseline mean reconstruction error, from ONE sidecar read — None
+    * unless the index was built with `codes = "pq"`. The baseline is None
+    * for a sidecar written before the drift signal existed (pre-`base_err`
+    * schema): [[balance]] then reports `pqErrRatio` 1.0 — no baseline, no
+    * drift verdict — until a [[retrain]] freezes one, instead of crashing
+    * maintenance on the missing column. */
+  private def pqSidecar(): Option[(graft.operators.ProductQuantizer.Codebooks, Option[Double])] =
     if (!new java.io.File(s"$pqPath/_SUCCESS").exists()) None
-    else Some(
-      spark.read.parquet(pqPath).collect()
+    else {
+      val df = spark.read.parquet(pqPath)
+      val errIdx = df.columns.indexOf("base_err")
+      val rows = df.collect()
+      val books = rows
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
         .groupBy(_._1).toArray.sortBy(_._1)
-        .map { case (_, rows) => rows.sortBy(_._2).map(r => (r._2, r._3)) })
+        .map { case (_, rs) => rs.sortBy(_._2).map(r => (r._2, r._3)) }
+      val baseErr = if (errIdx < 0) None else Some(rows.head.getDouble(errIdx))
+      Some((books, baseErr))
+    }
+
+  /** Frozen PQ codebooks — None unless the index was built with
+    * `codes = "pq"`. */
+  private def pqBooks(): Option[graft.operators.ProductQuantizer.Codebooks] =
+    pqSidecar().map(_._1)
 
   /** The query-side ADC lookup table for the frozen codebooks: per
     * subspace, squared L2 from the query's subvector to every codeword —
@@ -561,11 +577,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     //    is how well they reconstruct the data), compared against the
     //    baseline mean error frozen at build time.
     val sq8 = sq8Stats()
-    val pqInfo = if (sq8.nonEmpty) None else pqBooks().map { b =>
-      val baseErr = spark.read.parquet(pqPath)
-        .agg(max(col("base_err"))).head().getDouble(0)
-      (flattenBooks(b), baseErr)
-    }
+    val pqInfo = if (sq8.nonEmpty) None
+      else pqSidecar().map { case (b, baseErr) => (flattenBooks(b), baseErr) }
     val baseCols = Seq(col("id"), col("cell").cast("long").as("cell"), col("emb")) ++
       (if (pqInfo.nonEmpty) Seq(col("codes")) else Nil)
     val all = spark.read.option("basePath", dataPath)
@@ -603,12 +616,16 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         else perCell.getLong(3).toDouble / perCell.getLong(4)
       // degenerate baseline (codebooks reconstruct the build input
       // EXACTLY — more codewords than distinct subvectors): any live
-      // error at all is then infinite relative drift, none is healthy
-      val errRatio = pqInfo.fold(0.0) { case (_, baseErr) =>
+      // error at all is then infinite relative drift, none is healthy.
+      // A pre-base_err sidecar has NO baseline — report 1.0 (healthy)
+      // rather than a spurious trigger off an unknowable reference.
+      val errRatio = pqInfo.fold(0.0) { case (_, baseOpt) =>
         val liveMean = perCell.getDouble(5) / rows
-        if (baseErr > 0.0) liveMean / baseErr
-        else if (liveMean > 0.0) Double.PositiveInfinity
-        else 1.0
+        baseOpt.fold(1.0) { baseErr =>
+          if (baseErr > 0.0) liveMean / baseErr
+          else if (liveMean > 0.0) Double.PositiveInfinity
+          else 1.0
+        }
       }
       IvfBalance(rows, cells, perCell.getLong(0) / mean, clipRate, errRatio)
     }

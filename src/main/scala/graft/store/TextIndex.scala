@@ -498,15 +498,27 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         .filter(col("bucket") === bucketOf(t) && col("term") === t)
         .select("doc_id", "pos").collect()
         .filter(r => !h.dead.contains(r.getLong(0)))
-        .sortBy(_.getLong(0))
-      val docIds = rows.map(_.getLong(0))
-      val posArrs = rows.map(_.getSeq[Int](1).toArray)
-      val offs = new Array[Int](rows.length + 1)
+      // the documented orphan-replay state (a checkpointed micro-batch
+      // replayed after compact() re-lands its postings until the next
+      // fold) can surface the same (term, doc) in TWO batch dirs — merge
+      // to the distinct sorted position set so the probe walks each doc
+      // ONCE, matching the Spark probes' distinct-position counting
+      // (duplicate docIds would otherwise emit duplicate ranked rows AND
+      // break the binary searches' unique-key assumption)
+      val merged = rows.groupBy(_.getLong(0)).toArray.sortBy(_._1).map {
+        case (doc, rs) =>
+          (doc,
+            if (rs.length == 1) rs(0).getSeq[Int](1).toArray
+            else rs.flatMap(_.getSeq[Int](1)).distinct.sorted)
+      }
+      val docIds = merged.map(_._1)
+      val posArrs = merged.map(_._2)
+      val offs = new Array[Int](merged.length + 1)
       var i = 0
-      while (i < rows.length) { offs(i + 1) = offs(i) + posArrs(i).length; i += 1 }
-      val flat = new Array[Int](offs(rows.length))
+      while (i < merged.length) { offs(i + 1) = offs(i) + posArrs(i).length; i += 1 }
+      val flat = new Array[Int](offs(merged.length))
       i = 0
-      while (i < rows.length) {
+      while (i < merged.length) {
         System.arraycopy(posArrs(i), 0, flat, offs(i), posArrs(i).length); i += 1
       }
       val out = new TermPositions(docIds, offs, flat)
@@ -535,12 +547,48 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     false
   }
 
+  /** Bounded top-k (cnt desc, doc asc) selection for the hot positional
+    * probes — [[hotQuery]]'s buffer rationale: a full sort of every
+    * matching doc would dominate the warm probe at corpus scale. */
+  private final class TopCounts(k: Int) {
+    private val doc = new Array[Long](k)
+    private val cnt = new Array[Long](k)
+    private var n = 0
+    private var worst = -1
+    private def better(cA: Long, dA: Long, cB: Long, dB: Long): Boolean =
+      cA > cB || (cA == cB && dA < dB)
+    private def recomputeWorst(): Unit = {
+      worst = 0
+      var i = 1
+      while (i < n) {
+        if (better(cnt(worst), doc(worst), cnt(i), doc(i))) worst = i
+        i += 1
+      }
+    }
+    def push(d: Long, c: Long): Unit =
+      if (k > 0) {
+        if (n < k) {
+          doc(n) = d; cnt(n) = c; n += 1
+          if (n == k) recomputeWorst()
+        } else if (better(c, d, cnt(worst), doc(worst))) {
+          doc(worst) = d; cnt(worst) = c
+          recomputeWorst()
+        }
+      }
+    def result(): Seq[(Long, Long)] =
+      (0 until n).map(i => (doc(i), cnt(i))).sortBy { case (d, c) => (-c, d) }
+  }
+
   /** [[phraseQuery]] served from JVM memory after each term's first
-    * position-list load: per candidate doc (slot-0's term postings), a
-    * start s counts iff every slot j finds its term at s + j — binary
+    * position-list load: candidate docs come from the RAREST phrase
+    * term's postings (a phrase led by a stop-word would otherwise walk
+    * df("the") candidates — the blow-up [[hotQuery]]'s top-k rationale
+    * bounds), each candidate checked against every slot by binary search;
+    * a start s counts iff every slot j finds its term at s + j — binary
     * searches over the resident ascending position slices, zero Spark
-    * jobs warm. Identical occurrence counts and (n_occ desc, doc asc)
-    * ranking to the Spark path (spec-pinned). Returns (doc_id, n_occ). */
+    * jobs warm, selection df-bounded by the rarest term. Identical
+    * occurrence counts and (n_occ desc, doc asc) ranking to the Spark
+    * path (spec-pinned). Returns (doc_id, n_occ). */
   def hotPhraseQuery(phrase: Seq[String], k: Int): Seq[(Long, Long)] = {
     require(phrase.nonEmpty, "phrase needs at least one term")
     require(positionsEverywhere(),
@@ -550,10 +598,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       phrase.distinct.map(t => t -> hotPosTerm(h, t)).toMap
     val slots = phrase.toArray
     val t0 = tps(slots(0))
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val rare = tps.values.minBy(_.docIds.length)
+    val out = new TopCounts(k)
     var di = 0
-    while (di < t0.docIds.length) {
-      val doc = t0.docIds(di)
+    while (di < rare.docIds.length) {
+      val doc = rare.docIds(di)
       // per-slot position slices for this doc; a slot whose term misses
       // the doc kills every start
       val slotIdx = slots.map { t =>
@@ -563,8 +612,9 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       }
       if (!slotIdx.contains(-1)) {
         var cnt = 0L
-        var pi = t0.offs(di)
-        while (pi < t0.offs(di + 1)) {
+        val d0 = slotIdx(0)
+        var pi = t0.offs(d0)
+        while (pi < t0.offs(d0 + 1)) {
           val s = t0.flat(pi)
           var ok = true
           var j = 1
@@ -576,26 +626,29 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           if (ok) cnt += 1
           pi += 1
         }
-        if (cnt > 0) out += ((doc, cnt))
+        if (cnt > 0) out.push(doc, cnt)
       }
       di += 1
     }
-    out.sortBy { case (doc, cnt) => (-cnt, doc) }.take(k).toSeq
+    out.result()
   }
 
   /** [[nearQuery]] served from JVM memory — qualifying position-pair
     * counts per doc via a bounded two-pointer window walk over the
-    * resident ascending lists. Identical counts and ranking to the Spark
-    * path (spec-pinned). Returns (doc_id, n_pairs). */
+    * resident ascending lists, driven from the RARER term's doc list
+    * (the pair count is symmetric in A and B, so the outer loop is
+    * df-bounded by min(df_A, df_B)). Identical counts and ranking to the
+    * Spark path (spec-pinned). Returns (doc_id, n_pairs). */
   def hotNearQuery(termA: String, termB: String, window: Int, k: Int): Seq[(Long, Long)] = {
     require(window >= 1, "window must be at least 1")
     require(termA != termB, "NEAR needs two distinct terms")
     require(positionsEverywhere(),
       s"TextIndex at $path has batches without positional postings — rebuild to serve proximity queries")
     val h = hotState()
-    val ta = hotPosTerm(h, termA)
-    val tb = hotPosTerm(h, termB)
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val la = hotPosTerm(h, termA)
+    val lb = hotPosTerm(h, termB)
+    val (ta, tb) = if (la.docIds.length <= lb.docIds.length) (la, lb) else (lb, la)
+    val out = new TopCounts(k)
     var ia = 0
     while (ia < ta.docIds.length) {
       val doc = ta.docIds(ia)
@@ -613,11 +666,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           while (j < tb.offs(ib + 1) && tb.flat(j) <= p + window) { cnt += 1; j += 1 }
           pa += 1
         }
-        if (cnt > 0) out += ((doc, cnt))
+        if (cnt > 0) out.push(doc, cnt)
       }
       ia += 1
     }
-    out.sortBy { case (doc, cnt) => (-cnt, doc) }.take(k).toSeq
+    out.result()
   }
 
   private def hotTermLoad(h: HotText, term: String): TermPostings =
@@ -797,10 +850,15 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case None => pruned
       case Some(t) => pruned.join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
     }
+    // distinct positions per (doc, term): the orphan-replay state (a
+    // checkpointed batch re-landed after compact()) duplicates postings
+    // across dirs until the next fold — distinct keeps the pair count
+    // exact (and ≡ the hot path's merged lists) instead of 4×-inflating
+    // it; df-bounded frames, so the extra aggregation is probe-sized
     val a = live.filter(col("term") === termA)
-      .select(col("doc_id"), explode(col("pos")).as("pa"))
+      .select(col("doc_id"), explode(col("pos")).as("pa")).distinct()
     val b = live.filter(col("term") === termB)
-      .select(col("doc_id"), explode(col("pos")).as("pb"))
+      .select(col("doc_id"), explode(col("pos")).as("pb")).distinct()
     a.join(b, Seq("doc_id"))
       .filter(abs(col("pa") - col("pb")) <= window)
       .groupBy("doc_id").agg(count(lit(1)).as("n_pairs"))

@@ -1361,24 +1361,37 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       Some((r.getSeq[Double](0).toArray, r.getSeq[Double](1).toArray))
     }
 
-  /** Decrypted PQ codebooks of an indexed collection (key holders only) —
-    * None unless the collection was stored with `codes = "pq"`. */
-  private def pqBooksOf(name: String): Option[graft.operators.ProductQuantizer.Codebooks] =
+  /** Decrypted PQ codebooks plus the build-frozen baseline reconstruction
+    * error of an indexed collection (key holders only), from ONE sidecar
+    * decrypt — None unless the collection was stored with `codes = "pq"`.
+    * The baseline is None for a sidecar written before the drift signal
+    * existed (pre-`base_err_ct` schema): [[EncryptedStore.balanceIndexed]]
+    * reports `pqErrRatio` 1.0 and [[rotateKey]] rotates without it, instead
+    * of crashing on the missing column. */
+  private def pqSidecarOf(name: String): Option[(graft.operators.ProductQuantizer.Codebooks, Option[Double])] =
     if (!new java.io.File(s"${encPqPath(name)}/_SUCCESS").exists()) None
     else {
-      val r = spark.read.parquet(encPqPath(name))
-        .select(col("m"),
-          from_json(decryptStr(col("books_ct")), ArrayType(FloatType)).as("flat"))
-        .head()
+      val df = spark.read.parquet(encPqPath(name))
+      val hasErr = df.columns.contains("base_err_ct")
+      val cols = Seq(col("m"),
+          from_json(decryptStr(col("books_ct")), ArrayType(FloatType)).as("flat")) ++
+        (if (hasErr) Seq(decryptStr(col("base_err_ct")).as("base_err_j")) else Nil)
+      val r = df.select(cols: _*).head()
       val m = r.getInt(0)
       val flat = r.getSeq[Float](1).toArray
       val k = IvfIndex.PqK
       val subDim = flat.length / (m * k)
-      Some(Array.tabulate(m)(mi => Array.tabulate(k)(c =>
+      val books = Array.tabulate(m)(mi => Array.tabulate(k)(c =>
         (c.toLong,
           java.util.Arrays.copyOfRange(flat, (mi * k + c) * subDim,
-            (mi * k + c + 1) * subDim)))))
+            (mi * k + c + 1) * subDim))))
+      Some((books, if (hasErr) Some(r.getString(2).toDouble) else None))
     }
+
+  /** Decrypted PQ codebooks of an indexed collection (key holders only) —
+    * None unless the collection was stored with `codes = "pq"`. */
+  private def pqBooksOf(name: String): Option[graft.operators.ProductQuantizer.Codebooks] =
+    pqSidecarOf(name).map(_._1)
 
   /** Decrypted centroids of an indexed collection (key holders only). */
   private def centroidsOf(name: String): Array[(Long, Array[Float])] =
@@ -1492,12 +1505,13 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * ratio against the encrypted baseline. The numbers
     * [[retrainIndexed]]'s trigger policy decides on. */
   def balanceIndexed(name: String): IvfBalance = {
+    require(new java.io.File(s"${encCentroidPath(name)}/_SUCCESS").exists(),
+      s"$name has no encrypted centroid sidecar — storeIndexed() first")
     val sq8 = sq8StatsOf(name)
-    val pqInfo = if (sq8.nonEmpty) None else pqBooksOf(name).map { b =>
-      val baseErr = spark.read.parquet(encPqPath(name))
-        .select(decryptStr(col("base_err_ct"))).head().getString(0).toDouble
-      (graft.operators.ProductQuantizer.flatten(b), baseErr)
-    }
+    val pqInfo = if (sq8.nonEmpty) None
+      else pqSidecarOf(name).map { case (b, baseErr) =>
+        (graft.operators.ProductQuantizer.flatten(b), baseErr)
+      }
     val rows = liveRaw(name).select(
       col("cell").cast("long").as("cell") +:
         from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb") +:
@@ -1529,12 +1543,16 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         if (perCell.getLong(4) == 0L) 0.0
         else perCell.getLong(3).toDouble / perCell.getLong(4)
       // degenerate-baseline rule shared with IvfIndex.balance: exact
-      // build-input reconstruction makes any live error infinite drift
-      val errRatio = pqInfo.fold(0.0) { case (_, baseErr) =>
+      // build-input reconstruction makes any live error infinite drift;
+      // a pre-base_err_ct sidecar has NO baseline — report 1.0 rather
+      // than a spurious trigger off an unknowable reference
+      val errRatio = pqInfo.fold(0.0) { case (_, baseOpt) =>
         val liveMean = perCell.getDouble(5) / n
-        if (baseErr > 0.0) liveMean / baseErr
-        else if (liveMean > 0.0) Double.PositiveInfinity
-        else 1.0
+        baseOpt.fold(1.0) { baseErr =>
+          if (baseErr > 0.0) liveMean / baseErr
+          else if (liveMean > 0.0) Double.PositiveInfinity
+          else 1.0
+        }
       }
       IvfBalance(n, cells, perCell.getLong(0) / (n.toDouble / cells), clipRate, errRatio)
     }
@@ -1797,10 +1815,17 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       val pqStages =
         if (!new java.io.File(s"${encPqPath(name)}/_SUCCESS").exists()) Seq.empty
         else Seq(StoreIO.Staged(s"${encPqPath(name)}__stage", encPqPath(name),
-          st => spark.read.parquet(encPqPath(name))
-            .select(col("m"), next.encrypt(decryptStr(col("books_ct"))).as("books_ct"),
-              next.encrypt(decryptStr(col("base_err_ct"))).as("base_err_ct"))
-            .write.mode("overwrite").parquet(st)))
+          st => {
+            // pre-base_err_ct sidecars (written before the drift signal)
+            // rotate without the column instead of crashing the rotation
+            val df = spark.read.parquet(encPqPath(name))
+            val errCols =
+              if (!df.columns.contains("base_err_ct")) Nil
+              else Seq(next.encrypt(decryptStr(col("base_err_ct"))).as("base_err_ct"))
+            df.select(Seq(col("m"),
+                next.encrypt(decryptStr(col("books_ct"))).as("books_ct")) ++ errCols: _*)
+              .write.mode("overwrite").parquet(st)
+          }))
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
           st => cents.write.mode("overwrite").parquet(st)),

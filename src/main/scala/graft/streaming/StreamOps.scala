@@ -257,8 +257,10 @@ object StreamOps {
   /** `autoMaintainEvery` > 0 arms CONTINUOUS health maintenance: after
     * every Nth micro-batch the stream checks the index's cell geometry
     * (`IvfIndex.balance` — one narrow pass) and RETRAINS on breach
-    * (`maxCellImbalance`/`maxClipRate`, `Collection.maintain`'s
-    * thresholds), so a long-running drifting ingest keeps its own index
+    * (`maxCellImbalance`/`maxClipRate`/`maxPqErrRatio`,
+    * `Collection.maintain`'s thresholds — the PQ reconstruction-error
+    * ratio covers codes="pq" indexes, whose clip rate is always 0.0),
+    * so a long-running drifting ingest keeps its own index
     * healthy with no external scheduler — the continuous form of the
     * PSI-triggered loop ([[psiTriggeredMaintenance]]). Replay semantics
     * compose exactly like `compact()`: a micro-batch replayed after a
@@ -268,7 +270,7 @@ object StreamOps {
   def maintainIvfIndex(spark: SparkSession, srcDir: String,
       index: graft.store.IvfIndex, checkpoint: String, dim: Int = 64,
       autoMaintainEvery: Int = 0, maxCellImbalance: Double = 3.0,
-      maxClipRate: Double = 0.05): StreamingQuery =
+      maxClipRate: Double = 0.05, maxPqErrRatio: Double = 2.0): StreamingQuery =
     spark.readStream
       .schema(DocSourceSchema)
       .parquet(srcDir)
@@ -281,7 +283,8 @@ object StreamOps {
         index.appendBatch(batch, id)
         if (autoMaintainEvery > 0 && (id + 1) % autoMaintainEvery == 0) {
           val bal = index.balance()
-          if (bal.maxOverMean > maxCellImbalance || bal.sq8ClipRate > maxClipRate)
+          if (bal.maxOverMean > maxCellImbalance || bal.sq8ClipRate > maxClipRate ||
+              bal.pqErrRatio > maxPqErrRatio)
             index.retrain()
         }
       }

@@ -309,4 +309,44 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     assert(!esB.extractSecure("c").collect().map(_.getString(0)).contains("110"))
     assert(!got(esB.queryIndexed("c", probe(3), k = 120, nprobe = 4)).exists(_._1 == "110"))
   }
+
+  test("pre-base_err_ct PQ sidecar: balance and rotation degrade gracefully; balance guards misuse") {
+    val base = tmp("enc_pqlegacy")
+    val es = new EncryptedStore(spark, base, Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6, codes = "pq", pqM = 8)
+    val want = got(es.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 6,
+      shortlist = 300))
+
+    // rewrite the encrypted sidecar in the pre-drift-signal schema
+    val pqDir = s"$base/__enc_pq/c"
+    val legacy = spark.read.parquet(pqDir).drop("base_err_ct")
+    val stage = s"$base/__enc_pq/c_old"
+    legacy.write.parquet(stage)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(pqDir))
+    assert(new java.io.File(stage).renameTo(new java.io.File(pqDir)))
+
+    // no baseline -> ratio 1.0, not an AnalysisException mid-maintenance
+    assert(es.balanceIndexed("c").pqErrRatio == 1.0,
+      "a legacy encrypted sidecar has no baseline — expected ratio 1.0")
+    // the security-critical rotation must not wedge on the missing column
+    val es2 = es.rotateKey("c", "fedcba9876543210")
+    assert(got(es2.queryIndexedQuantized("c", probe(7), k = 10, nprobe = 6,
+      shortlist = 300)) == want,
+      "rotation over a legacy sidecar must preserve the quantized answers")
+    // retrain freezes a real baseline in the new schema under the new key
+    // (the lattice fixture may reconstruct exactly — degenerate-baseline
+    // rule pins a healthy index at 1.0 either way)
+    es2.retrainIndexed("c")
+    val r = es2.balanceIndexed("c").pqErrRatio
+    assert(r >= 0.9 && r <= 1.1, s"post-retrain the drift signal is live again: $r")
+
+    // misuse guard: balance on a never-indexed name is a diagnosable error
+    val e = intercept[IllegalArgumentException](es2.balanceIndexed("nope"))
+    assert(e.getMessage.contains("storeIndexed"),
+      s"expected the storeIndexed() hint, got: ${e.getMessage}")
+  }
 }

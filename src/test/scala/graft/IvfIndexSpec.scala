@@ -697,4 +697,43 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(idx.queryQuantized(qe, 5, 8, shortlist = n).collect().map(_.toSeq).toSeq ==
       idx.query(qe, 5, 8).collect().map(_.toSeq).toSeq)
   }
+
+  test("pre-base_err PQ sidecar: maintenance degrades gracefully, retrain upgrades the schema") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_pqlegacy").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors.filter(col("id") < 300), codes = "pq", pqM = 8)
+    val qe = vectors.filter(col("id") === 7).head().getSeq[Float](1).toArray
+    val want = idx.queryQuantized(qe, k = 5, nprobe = 8, shortlist = 300)
+      .collect().map(_.toSeq).toSeq
+
+    // rewrite the sidecar in the pre-drift-signal schema — what a PQ
+    // index persisted before base_err existed looks like on disk
+    val pqDir = s"$base/_pq"
+    val legacy = spark.read.parquet(pqDir).drop("base_err")
+    val stage = s"$base/_pq_old"
+    legacy.write.parquet(stage)
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(pqDir))
+    assert(new java.io.File(stage).renameTo(new java.io.File(pqDir)))
+
+    // balance() reports "no baseline" as 1.0 instead of crashing on the
+    // missing column; the codes route still serves identically
+    val bal = idx.balance()
+    assert(bal.pqErrRatio == 1.0,
+      s"a legacy sidecar has no baseline — expected ratio 1.0, got ${bal.pqErrRatio}")
+    assert(idx.queryQuantized(qe, k = 5, nprobe = 8, shortlist = 300)
+      .collect().map(_.toSeq).toSeq == want,
+      "the quantized route must keep serving over a legacy sidecar")
+
+    // retrain re-freezes a real baseline in the new schema
+    idx.retrain()
+    val bal2 = idx.balance()
+    assert(bal2.pqErrRatio > 0.9 && bal2.pqErrRatio < 1.1,
+      s"post-retrain the drift signal is live again: ${bal2.pqErrRatio}")
+  }
 }

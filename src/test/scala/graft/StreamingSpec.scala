@@ -619,6 +619,41 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       "the self-maintained index must answer like a fresh rebuild")
   }
 
+  test("auto-maintaining stream retrains a PQ index on reconstruction-error drift") {
+    import graft.functions.{TextFunctions => TF}
+    import spark.implicits._
+    def embOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id").as("id"), TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val refDocs = spark.read.parquet(s"$sf001/documents.parquet")
+    val idx = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    idx.build(embOf(refDocs), codes = "pq", pqM = 8)
+    val floodDocs = (1 to 400).map { i =>
+      (910000L + i, "zzcrawl botspam zzcrawl relentless botspam zzcrawl", "xx", "spam", 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val floodSrc = tmp()
+    floodDocs.write.mode("overwrite").parquet(floodSrc)
+    // a PQ index has no grid to clip (sq8ClipRate is identically 0.0) and
+    // the flood is cell-skew-light — ONLY the reconstruction-error ratio
+    // can see this drift, the blind spot the trigger wiring closes
+    StreamOps.maintainIvfIndex(spark, floodSrc, idx, tmp(),
+      autoMaintainEvery = 1, maxPqErrRatio = 1.5).awaitTermination()
+    val bal = idx.balance()
+    assert(idx.stats().units == 1,
+      s"the armed stream must have retrained on the PQ drift breach: $bal")
+    assert(bal.pqErrRatio < 1.5,
+      s"post-retrain codebooks re-fit the live rows: $bal")
+    // answers equal a fresh rebuild over the same rows at full probe depth
+    val all = embOf(refDocs).unionByName(embOf(floodDocs))
+    val fresh = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    fresh.build(all, codes = "pq", pqM = 8)
+    val probe = embOf(refDocs).filter(col("id") === 3).head().getSeq[Float](1).toArray
+    def top(ix: graft.store.IvfIndex) = ix.query(probe, k = 10, nprobe = 8)
+      .select("id", "distance").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(idx) == top(fresh),
+      "the self-maintained PQ index must answer like a fresh rebuild")
+  }
+
   test("monitor-to-maintenance loop: a streamed vocabulary shift fires PSI and drives the retrain") {
     import graft.functions.{TextFunctions => TF}
     import spark.implicits._

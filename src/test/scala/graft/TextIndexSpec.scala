@@ -313,4 +313,37 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(got == want, "orphan replay must dedup away at compaction")
   }
+
+  test("orphan-replayed postings: phrase/NEAR stay exact and duplicate-free, hot == Spark") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_orphpos").toString
+    val idx = new TextIndex(spark, base, 8)
+    idx.build(docs.filter(col("doc_id") < 400))
+    val tail = docs.filter(col("doc_id") >= 400)
+    idx.appendBatch(tail, 0L) // the orphan: dir written, checkpoint lost
+    idx.compact()             // merges the orphan
+    idx.appendBatch(tail, 5L) // the replay duplicates the tail's postings
+    // PRE-heal (unlike BM25, which double-counts until the next compact):
+    // both positional probes count DISTINCT positions, so the duplicated
+    // postings change nothing and each doc appears exactly once
+    val fresh = freshIndex()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val wantPhrase = rows(fresh.phraseQuery(SearchQueries.PhraseTerms, 10))
+    val gotPhrase = rows(idx.phraseQuery(SearchQueries.PhraseTerms, 10))
+    assert(gotPhrase == wantPhrase, "phrase counts must ignore replayed duplicates")
+    assert(gotPhrase.map(_._1).distinct.length == gotPhrase.length,
+      "no doc may rank twice")
+    val (na, nb) = SearchQueries.NearTerms
+    val w = SearchQueries.NearWindow
+    val wantNear = rows(fresh.nearQuery(na, nb, w, 10))
+    val gotNear = rows(idx.nearQuery(na, nb, w, 10))
+    assert(gotNear == wantNear, "NEAR pair counts must ignore replayed duplicates")
+    // the hot tier merges the duplicated lists to the distinct position
+    // set at load — identical ranked answers, one row per doc
+    assert(idx.hotPhraseQuery(SearchQueries.PhraseTerms, 10) == wantPhrase,
+      "hot phrase must equal the Spark probe over replayed postings")
+    assert(idx.hotNearQuery(na, nb, w, 10) == wantNear,
+      "hot NEAR must equal the Spark probe over replayed postings")
+  }
 }
