@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
   import Registry.tbl
 
+  /** q_ann_range's radius (plain L2; ~1–2 % of the synthetic corpus falls
+    * inside at every fixture scale). One constant, interpolated into the
+    * oracle as its exact double so both engines compare the same bound.
+    * MUST initialize before `all` — the oracle strings capture it
+    * eagerly. */
+  private val RangeRadius: Double = 1.2
+
   val all: Seq[Q] = Seq(
 
     // Explicit GROUPING SETS with grouping indicators — finer control than
@@ -203,6 +210,123 @@ object AnalyticsQueries {
              |FROM assign a JOIN short USING (vec_id) CROSS JOIN probe
              |ORDER BY $dFinal ASC, a.vec_id LIMIT 5""".stripMargin,
           extraCte = true)
+      }),
+
+    // EXACT top-k through the IVF layout: per-cell radius metadata
+    // (`_radii`, one row per cell per batch generation) plus a first
+    // probe's kth-best distance prune cells by the triangle inequality —
+    // d(q, x) >= d(q, centroid) - r_cell, so a pruned cell provably holds
+    // no exact candidate. Unlike every approximate probe, the answer is
+    // INDEPENDENT of training quality, so the oracle is plain brute force
+    // (no k-means replay): exact answers at pruned-scan cost is the whole
+    // point. On this near-equidistant synthetic fixture little prunes —
+    // the clustered-fixture spec and the Prof stress family measure the
+    // pruning; this row pins exactness.
+    Q(
+      "q_ann_exact_pruned",
+      "exact top-5 kNN via triangle-inequality cell pruning on the IVF index",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_exq").toString
+        val idx = new IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+        idx.queryExact(qe, k = 5, probe0 = 4)
+          .select(col("id"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val d = OracleSql.l2Sq("e.embedding", "probe.qe")
+        s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id AS id, round($d, 6) AS dist
+           |FROM embeddings e CROSS JOIN probe
+           |ORDER BY $d ASC, e.vec_id LIMIT 5""".stripMargin
+      }),
+
+    // EXACT range search (all rows within an L2 radius of the probe) —
+    // the third classic vector-search surface after top-k and filtered
+    // top-k, served from the same radius-pruned cell set. The row filter
+    // compares SQUARED distance against radius² with the exact Scala
+    // double interpolated into the oracle, so the boundary is bit-equal
+    // across engines.
+    Q(
+      "q_ann_range",
+      "exact radius search: every vector within L2 distance 1.2 of the probe",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_rngq").toString
+        val idx = new IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+        idx.rangeSearch(qe, radius = RangeRadius)
+          .select(col("id"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val d = OracleSql.l2Sq("e.embedding", "probe.qe")
+        val r2 = java.lang.Double.toString(RangeRadius * RangeRadius)
+        s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+           |SELECT e.vec_id AS id, round($d, 6) AS dist
+           |FROM embeddings e CROSS JOIN probe
+           |WHERE $d <= $r2
+           |ORDER BY $d ASC, e.vec_id""".stripMargin
+      }),
+
+    // EXACT all-pairs-within-radius similarity SELF-JOIN over the IVF
+    // layout — the near-duplicate join primitive: the qualifying cell-pair
+    // frame (d(centroids) - r_a - r_b <= radius) broadcasts, the row
+    // pairing is an equi-join on the cell key, so total compute is the sum
+    // of qualifying block products instead of N²/2. Run within a filtered
+    // slice (`where` on both sides) to show predicate composition; the
+    // oracle is the brute pair join over the same slice.
+    Q(
+      "q_ann_self_join",
+      "exact near-dup self-join: every pair within L2 1.2 in a 1/8 corpus slice",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_sjq").toString
+        val idx = new IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        idx.selfJoinWithin(RangeRadius, where = Some(col("id") % 8 === 0))
+          .select(col("id_l"), col("id_r"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val d = OracleSql.l2Sq("a.embedding", "b.embedding")
+        val r2 = java.lang.Double.toString(RangeRadius * RangeRadius)
+        s"""SELECT a.vec_id AS id_l, b.vec_id AS id_r, round($d, 6) AS dist
+           |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+           |WHERE a.vec_id % 8 = 0 AND b.vec_id % 8 = 0 AND $d <= $r2
+           |ORDER BY id_l, id_r""".stripMargin
+      }),
+
+    // EXACT index range JOIN — rangeSearch with a DataFrame of probes
+    // (the decontamination shape: drop from a corpus everything within a
+    // radius of any benchmark row). Candidate (probe, cell) pairs come
+    // from a broadcast of the numCells-row centroid+radius metadata under
+    // the probe scan; nothing is per-probe on the driver.
+    Q(
+      "q_ann_range_join",
+      "index range join: all corpus rows within L2 1.2 of each of ~1% probes",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_ivf_rjq").toString
+        val idx = new IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        val probes = tbl(s, dir, "embeddings")
+          .filter(col("vec_id") % 101 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        idx.rangeJoin(probes, RangeRadius)
+          .select(col("qid"), col("id"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val d = OracleSql.l2Sq("e.embedding", "p.embedding")
+        val r2 = java.lang.Double.toString(RangeRadius * RangeRadius)
+        s"""SELECT p.vec_id AS qid, e.vec_id AS id, round($d, 6) AS dist
+           |FROM embeddings p JOIN embeddings e ON $d <= $r2
+           |WHERE p.vec_id % 101 = 0
+           |ORDER BY qid, id""".stripMargin
       })
   )
 

@@ -81,6 +81,55 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_ann_exact_pruned" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_exq_split").toString
+      val idx = new IvfIndex(s, base, numCells = 16)
+      val vectors = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val (_, tb) = timed(idx.build(vectors))
+      val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+      val (_, tp) = timed(
+        idx.queryExact(qe, k = 5, probe0 = 4)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    "q_ann_range" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_rng_split").toString
+      val idx = new IvfIndex(s, base, numCells = 16)
+      val vectors = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val (_, tb) = timed(idx.build(vectors))
+      val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
+      val (_, tp) = timed(
+        idx.rangeSearch(qe, radius = 1.2)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    "q_ann_self_join" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_sj_split").toString
+      val idx = new IvfIndex(s, base, numCells = 16)
+      val vectors = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val (_, tb) = timed(idx.build(vectors))
+      val (_, tp) = timed(
+        idx.selfJoinWithin(1.2, where = Some(col("id") % 8 === 0))
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "join" -> tp)
+    },
+    "q_ann_range_join" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_rj_split").toString
+      val idx = new IvfIndex(s, base, numCells = 16)
+      val vectors = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val (_, tb) = timed(idx.build(vectors))
+      val probes = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") % 101 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val (_, tp) = timed(
+        idx.rangeJoin(probes, 1.2)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "join" -> tp)
+    },
     "q_ann_graph_search" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")
       val corpus = e.filter(col("vec_id") =!= 0)

@@ -47,6 +47,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private def centroidPath = s"$path/_centroids"
   private def sq8Path = s"$path/_sq8"
   private def pqPath = s"$path/_pq"
+  private def radiiPath = s"$path/_radii"
   private def dataPath = s"$path/data"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
@@ -175,6 +176,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       new java.io.File(dataPath).mkdirs()
       val staleBatches = StoreIO.committedBatchDirs(dataPath)
         .filter(_.getName != "batch=0")
+      val staleRadii = StoreIO.committedBatchDirs(radiiPath)
+        .filter(_.getName != "batch=0")
       val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
       val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
         .foldLeft(tombstoneHwm())(math.max)
@@ -182,6 +185,12 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
           st => centDf.write.mode("overwrite").parquet(st)),
         codesStage,
+        // per-cell pruning radii — the metadata [[queryExact]] and
+        // [[rangeSearch]] bound cells with; numCells rows, one narrow
+        // pass over the cached input, published in the same commit
+        StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=0",
+          st => cellRadiiOf(v.withColumn("cell", cellCol(cents, col("emb"))), cents)
+            .write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
           st => v.withColumn("cell", cellCol(cents, col("emb")))
             .withColumn("codes", codesCol)
@@ -190,16 +199,50 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
            st => StoreIO.writeLongFile(st, newHwm)))),
         marker,
-        cleanup = (staleBatches ++ allTsDirs).map(_.getPath).toSeq :+ otherSidecar)
+        cleanup = (staleBatches ++ staleRadii ++ allTsDirs).map(_.getPath).toSeq :+ otherSidecar)
     } finally v.unpersist(): Unit
+  }
+
+  /** (cell, rmax) of an assigned frame: the max PLAIN L2 distance of any
+    * row to its OWN centroid — the triangle-inequality pruning bound
+    * [[queryExact]]/[[rangeSearch]] rest on. One aggregation, output
+    * bounded by numCells rows. */
+  private def cellRadiiOf(assigned: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
+    val cMap = cents.map { case (cid, c) => cid -> c.toSeq }.toMap
+    assigned
+      .withColumn("cd",
+        VF.l2Sq(col("emb"), element_at(typedlit(cMap), col("cell").cast("long"))))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(sqrt(max(col("cd"))).as("rmax"))
   }
 
   private def flattenBooks(books: graft.operators.ProductQuantizer.Codebooks): Array[Float] =
     graft.operators.ProductQuantizer.flatten(books)
 
-  private def centroids(): Array[(Long, Array[Float])] =
-    spark.read.parquet(centroidPath).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+  // Driver-side centroid cache: every probe surface starts with the
+  // centroid pass, and re-running a Spark read job per probe dominates
+  // warm-probe latency at local scale. Revalidated per call from the
+  // on-disk fingerprint alone (dir + _SUCCESS mtimes — a build/retrain
+  // republishes a freshly staged dir), so two processes over one path
+  // see each other's retrains, the hot tiers' invalidation discipline.
+  @volatile private var centCache: (String, Array[(Long, Array[Float])]) = null
+
+  private def centroidFp: String = {
+    val d = new java.io.File(centroidPath)
+    s"${d.lastModified}:${new java.io.File(d, "_SUCCESS").lastModified}"
+  }
+
+  private def centroids(): Array[(Long, Array[Float])] = {
+    val fp = centroidFp
+    val c = centCache
+    if (c != null && c._1 == fp) c._2
+    else {
+      val v = spark.read.parquet(centroidPath).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      centCache = (fp, v)
+      v
+    }
+  }
 
   /** Frozen per-dim SQ8 stats (mn, mx arrays in dim order) — None for an
     * index built before the codes column existed (rebuild to add it) or
@@ -328,8 +371,15 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         aligned.withColumn("codes",
           VF.pqEncode(col("emb"), flattenBooks(books), books.length, IvfIndex.PqK)))
     }
-    coded
-      .withColumn("cell", cellCol(cents, col("emb")))
+    val assigned = coded.withColumn("cell", cellCol(cents, col("emb")))
+    // radii FIRST, data second: an orphan radii dir (crash before the data
+    // commit) only inflates the pruning bound — sound; the reverse order
+    // could leave a committed batch with no radii, which [[cellRadii]]
+    // treats as pruning-disabled (also sound, but exact probes then scan
+    // every cell until the batch replays or the next compact)
+    cellRadiiOf(assigned, cents)
+      .write.mode("overwrite").parquet(s"$radiiPath/batch=${batchId + 1}")
+    assigned
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$dataPath/batch=${batchId + 1}")
   }
@@ -674,12 +724,21 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       broadcast(spark.read.schema("id LONG").parquet(tsDirs.map(_.getPath): _*)
         .select("id").dropDuplicates("id")),
       Seq("id"), "left_anti")
+    // fold the radii with the data: recomputed over the merged rows
+    // (stages run in order, so the radii stage reads the ALREADY-STAGED
+    // merged parquet — no second merge pass), which re-TIGHTENS bounds
+    // that deletes had only conservatively inflated
+    val oldRadii = StoreIO.committedBatchDirs(radiiPath)
+    val cents = centroids()
     StoreIO.commitStaged(Seq(
       StoreIO.Staged(s"$path/__stage_data", s"$dataPath/batch=$mergedId",
-        st => purged.write.mode("overwrite").partitionBy("cell").parquet(st))) ++
+        st => purged.write.mode("overwrite").partitionBy("cell").parquet(st)),
+      StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=$mergedId",
+        st => cellRadiiOf(spark.read.parquet(s"$path/__stage_data"), cents)
+          .write.mode("overwrite").parquet(st))) ++
       (if (allTsDirs.isEmpty) Seq.empty else Seq(hwmStage)),
       marker,
-      cleanup = (batchDirs ++ allTsDirs).map(_.getPath).toSeq)
+      cleanup = (batchDirs ++ oldRadii ++ allTsDirs).map(_.getPath).toSeq)
   }
 
   private def l2(a: Array[Float], b: Array[Float]): Double = {
@@ -980,9 +1039,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * return documents without a second corpus read). */
   def query(qe: Array[Float], k: Int, nprobe: Int,
             where: Option[Column] = None,
-            include: Seq[String] = Nil): DataFrame = {
-    val cells = centroids().map { case (cid, c) => (l2(c, qe), cid) }
-      .sorted.take(nprobe).map(_._2).toSeq
+            include: Seq[String] = Nil): DataFrame =
+    queryCells(qe, k, probeCellsOf(qe, nprobe), where, include)
+
+  /** [[query]] over an EXPLICIT cell set — the shared tail of the probed
+    * and exact surfaces. */
+  private def queryCells(qe: Array[Float], k: Int, cells: Seq[Long],
+                         where: Option[Column],
+                         include: Seq[String] = Nil): DataFrame = {
     val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
     // pending deletes stop being served IMMEDIATELY: anti-join the (small,
@@ -996,6 +1060,237 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       // partition-dir type inference reads `cell` back as INT; pin to LONG
       .select(col("id") +: include.map(col) :+
         col("cell").cast("long").as("cell") :+ col("distance"): _*)
+  }
+
+  // ------------------------------------------------ exact pruned search
+
+  /** Effective per-cell pruning radii: per cell, the max over every
+    * committed batch generation's `_radii` sidecar (numCells-bounded
+    * driver metadata). Deletes only SHRINK a cell's true radius, so stale
+    * maxima stay sound — pruning prunes less, never a live candidate; the
+    * next compact/retrain re-tightens them. None when any committed data
+    * batch has no radii file (an index persisted before radii existed, or
+    * a crash between a batch commit and its radii write): the exact
+    * surfaces then scan every cell rather than trust an unsound bound —
+    * rebuild, retrain, or compact to restore pruning. */
+  // radii cache, same fingerprint discipline as the centroid cache —
+  // keyed on BOTH dir listings because the pruning-soundness verdict
+  // (every data batch has radii?) depends on both
+  @volatile private var radiiCache: (String, Option[Map[Long, Double]]) = null
+
+  private def cellRadii(): Option[Map[Long, Double]] = {
+    val dataNames = StoreIO.committedBatchDirs(dataPath).map(_.getName)
+    val radDirs = StoreIO.committedBatchDirs(radiiPath)
+    val fp = (dataNames ++ radDirs.map(d => s"${d.getName}:${d.lastModified}"))
+      .mkString(",")
+    val c = radiiCache
+    if (c != null && c._1 == fp) c._2
+    else {
+      val radNames = radDirs.map(_.getName).toSet
+      val v =
+        if (dataNames.exists(!radNames.contains(_))) None
+        else if (radDirs.isEmpty) Some(Map.empty[Long, Double])
+        else Some(
+          spark.read.option("basePath", radiiPath)
+            .parquet(radDirs.map(_.getPath).toIndexedSeq: _*)
+            .groupBy("cell").agg(max(col("rmax")).as("r"))
+            .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap)
+      radiiCache = (fp, v)
+      v
+    }
+  }
+
+  /** The EXACT candidate cell set for a top-k probe: the `probe0` nearest
+    * cells by centroid distance, plus every other cell whose triangle-
+    * inequality lower bound — d(q, centroid) − radius — does not beat the
+    * kth-best match found in the probed cells. For any row x of cell c,
+    * d(q, x) ≥ d(q, centroid_c) − r_c, so a pruned cell provably holds no
+    * exact-top-k candidate. With no radii metadata every cell is a
+    * candidate (still exact, nothing pruned). Package-private for the
+    * pruning specs and the stress harness. */
+  private[graft] def exactCandidateCells(qe: Array[Float], k: Int,
+      probe0: Int, where: Option[Column] = None): Seq[Long] = {
+    val ordered = centroids()
+      .map { case (cid, c) => (math.sqrt(l2(c, qe)), cid) }.sorted
+    val p0 = math.min(math.max(1, probe0), ordered.length)
+    val probed = ordered.take(p0)
+    cellRadii() match {
+      case None => ordered.map(_._2).toSeq // no sound bound — scan all
+      case Some(rm) =>
+        // τ: the kth match distance within the probed cells (∞ when they
+        // hold fewer than k matches — then nothing prunes); a k-row collect
+        val kth = queryCells(qe, k, probed.map(_._2).toSeq, where)
+          .select("distance").collect().map(_.getDouble(0))
+        val tau =
+          if (kth.length < k) Double.PositiveInfinity else math.sqrt(kth.max)
+        val rest = ordered.drop(p0).filter { case (d, cid) =>
+          rm.get(cid) match {
+            case None => false // no batch ever landed a row in this cell
+            case Some(r) => d - r <= tau + 1e-9
+          }
+        }
+        (probed ++ rest).map(_._2).toSeq
+    }
+  }
+
+  /** EXACT top-k by squared L2 — brute-force answers at pruned-probe
+    * cost. Two passes: probe the `probe0` nearest cells, then rescan the
+    * candidate set ([[exactCandidateCells]]) that provably contains the
+    * exact answer. On clustered data most cells prune (the bound
+    * tightens as the first probe finds close matches); uniform data or a
+    * pre-radii index degrade to a full scan — still exact, never wrong.
+    * Unlike [[query]], the result is independent of training quality and
+    * probe depth, so it oracle-checks against plain brute force. Same
+    * output columns as [[query]]. */
+  def queryExact(qe: Array[Float], k: Int, probe0: Int = 4,
+                 where: Option[Column] = None,
+                 include: Seq[String] = Nil): DataFrame =
+    queryCells(qe, k, exactCandidateCells(qe, k, probe0, where), where, include)
+
+  /** EXACT range search: every live row within PLAIN L2 distance
+    * `radius` of the probe — the third classic vector-search surface
+    * after top-k and filtered top-k. Cells whose centroid lower bound
+    * d(q, centroid) − r_cell exceeds `radius` never scan; the `distance`
+    * output column stays SQUARED L2 like every other surface (the row
+    * filter compares against radius²). Ordered (distance, id); row count
+    * is data-dependent by nature — callers cap with `.limit`. */
+  /** The cells a range probe must scan: centroid lower bound within
+    * `radius` (every cell when no radii metadata exists). Package-private
+    * for the pruning specs and the stress harness. */
+  private[graft] def rangeCandidateCells(qe: Array[Float], radius: Double): Seq[Long] = {
+    val rm = cellRadii()
+    centroids().filter { case (cid, c) =>
+      rm match {
+        case None => true
+        case Some(m) => m.get(cid) match {
+          case None => false // cell has no rows in any batch
+          case Some(r) => math.sqrt(l2(c, qe)) - r <= radius + 1e-9
+        }
+      }
+    }.map(_._1).toSeq
+  }
+
+  def rangeSearch(qe: Array[Float], radius: Double,
+                  where: Option[Column] = None,
+                  include: Seq[String] = Nil): DataFrame = {
+    require(radius >= 0.0, "radius must be non-negative")
+    val cells = rangeCandidateCells(qe, radius)
+    val pruned = spark.read.parquet(dataPath)
+      .filter(col("cell").isin(cells: _*))
+    val base = tombstones().fold(pruned)(ts =>
+      pruned.join(broadcast(ts), Seq("id"), "left_anti"))
+    where.foldLeft(base)(_ filter _)
+      .withColumn("distance", VF.l2Sq(col("emb"), typedlit(qe)))
+      .filter(col("distance") <= lit(radius * radius))
+      .orderBy(asc("distance"), asc("id"))
+      .select(col("id") +: include.map(col) :+
+        col("cell").cast("long").as("cell") :+ col("distance"): _*)
+  }
+
+  // ------------------------------------------------ index range joins
+
+  /** Qualifying UNORDERED cell pairs (a ≤ b) of [[selfJoinWithin]]: rows
+    * x ∈ a, y ∈ b can satisfy d(x, y) ≤ radius only if
+    * d(μa, μb) − r_a − r_b ≤ radius (the triangle inequality through BOTH
+    * centroids), so every other cell pair is provably empty and never
+    * joins — the blocking that turns the N² near-dup join into a sum of
+    * qualifying block products. No radii metadata → every pair (correct,
+    * nothing pruned); cells with no rows in any batch drop. numCells²/2
+    * driver arithmetic over already-cached metadata. Package-private for
+    * the pruning specs and the stress harness. */
+  private[graft] def selfJoinCellPairs(radius: Double): Seq[(Long, Long)] = {
+    val cs = centroids().toSeq
+    cellRadii() match {
+      case None =>
+        for { a <- cs; b <- cs; if a._1 <= b._1 } yield (a._1, b._1)
+      case Some(rm) =>
+        for {
+          a <- cs; ra <- rm.get(a._1).toSeq
+          b <- cs; if a._1 <= b._1; rb <- rm.get(b._1).toSeq
+          if math.sqrt(l2(a._2, b._2)) - ra - rb <= radius + 1e-9
+        } yield (a._1, b._1)
+    }
+  }
+
+  /** One narrow live side of the range joins: (id, cell, emb) after
+    * tombstones and the metadata predicate (applied on the FULL row like
+    * [[query]]'s `where`, then pruned to the join columns — Catalyst
+    * pushes the projection into the scan). */
+  private def liveNarrow(where: Option[Column]): DataFrame = {
+    val full = spark.read.parquet(dataPath)
+    val live = tombstones().fold(full)(ts =>
+      full.join(broadcast(ts), Seq("id"), "left_anti"))
+    where.foldLeft(live)(_ filter _)
+      .select(col("id"), col("cell").cast("long").as("cell"), col("emb"))
+  }
+
+  /** All-pairs-within-radius similarity SELF-JOIN — the near-duplicate
+    * join primitive (the reference's store has nothing like it; Chroma
+    * users run one query per row, /root/reference/src/cod.py:118-139).
+    * EXACT: every live unordered pair (id_l < id_r) with SQUARED L2
+    * `distance` ≤ radius². Plan: the qualifying cell-pair frame
+    * ([[selfJoinCellPairs]], both orientations so the id_l < id_r
+    * convention never drops a cross-cell pair) BROADCASTS; both row sides
+    * are narrow (id, cell, emb) pruned scans; the pair expansion is a
+    * broadcast hash join and the row pairing an EQUI-join on the cell key
+    * — shuffles partition by cell, never a cartesian product, and total
+    * compute is the sum of qualifying block products instead of N²/2.
+    * `where` restricts BOTH sides (dedup within a filtered slice). */
+  def selfJoinWithin(radius: Double, where: Option[Column] = None): DataFrame = {
+    require(radius >= 0.0, "radius must be non-negative")
+    import spark.implicits._
+    val orient = selfJoinCellPairs(radius).flatMap { case (a, b) =>
+      if (a == b) Seq((a, b)) else Seq((a, b), (b, a)) }
+    val pairs = orient.toDF("ca", "cb")
+    def side(tag: String) = liveNarrow(where).select(
+      col("id").as(s"id_$tag"), col("cell").as(s"cell_$tag"),
+      col("emb").as(s"emb_$tag"))
+    side("l")
+      .join(broadcast(pairs), col("cell_l") === col("ca"))
+      .join(side("r"), col("cb") === col("cell_r"))
+      .filter(col("id_l") < col("id_r"))
+      .withColumn("distance", VF.l2Sq(col("emb_l"), col("emb_r")))
+      .filter(col("distance") <= lit(radius * radius))
+      .select(col("id_l"), col("id_r"), col("distance"))
+      .orderBy(asc("id_l"), asc("id_r"))
+  }
+
+  /** Index range JOIN: for every probe row, every live index row within
+    * PLAIN L2 `radius` — [[rangeSearch]] with a DataFrame of probes, the
+    * decontamination / dedup-against-reference primitive (drop from a
+    * training corpus everything too close to a benchmark embedding).
+    * Probes can be corpus-sized: NOTHING is per-probe on the driver. The
+    * candidate (probe, cell) frame comes from a broadcast of the
+    * numCells-row centroid+radius metadata under the probe scan, filtered
+    * by [[rangeSearch]]'s bound d(q, μc) − r_c ≤ radius; the data pairing
+    * is an EQUI-join on the cell key. `idCol` must not collide with the
+    * index's `id` output column. Output (idCol, id, distance ≤ radius²),
+    * SQUARED distance like every surface. */
+  def rangeJoin(probes: DataFrame, radius: Double,
+                idCol: String = "qid", vecCol: String = "qe",
+                where: Option[Column] = None): DataFrame = {
+    require(radius >= 0.0, "radius must be non-negative")
+    require(idCol != "id" && idCol != "distance",
+      s"idCol '$idCol' collides with an output column of the index side")
+    import spark.implicits._
+    val rm = cellRadii()
+    val meta = centroids().toSeq.flatMap { case (cid, c) =>
+      rm match {
+        case None => Seq((cid, c.toSeq, Double.PositiveInfinity))
+        case Some(m) => m.get(cid).map(r => (cid, c.toSeq, r)).toSeq
+      }
+    }
+    val cellsDf = meta.toDF("cell", "centroid", "rmax")
+    val cand = probes.select(col(idCol), col(vecCol))
+      .join(broadcast(cellsDf),
+        sqrt(VF.l2Sq(col(vecCol), col("centroid"))) - col("rmax") <=
+          lit(radius + 1e-9))
+      .select(col(idCol), col(vecCol), col("cell"))
+    cand.join(liveNarrow(where), Seq("cell"))
+      .withColumn("distance", VF.l2Sq(col(vecCol), col("emb")))
+      .filter(col("distance") <= lit(radius * radius))
+      .select(col(idCol), col("id"), col("distance"))
+      .orderBy(asc(idCol), asc("id"))
   }
 
   /** Phase 1 of [[queryQuantized]] as a lazy frame — the CODES-ONLY pruned

@@ -71,8 +71,86 @@ object Prof {
     case Some("routedlabel") => routedlabel(args.drop(1))
     case Some("phrase") => phrase(args.drop(1))
     case Some("pqserve") => pqserve(args.drop(1))
+    case Some("exactserve") => exactserve(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve")
+  }
+
+  /** Exact-pruned search at scale: triangle-inequality cell pruning
+    * (IvfIndex.queryExact / rangeSearch) on a CLUSTERED corpus of the
+    * fixture's cardinality — the regime the bound exists for (real
+    * embedding spaces cluster; the uniform stress vectors are
+    * near-equidistant in 64-dim and prune nothing, which the honest
+    * `uniform_*` rows measure rather than hide). Pass criterion across
+    * /tmp/scale20 vs /tmp/scale100: the exact pruned probe tracks the
+    * CANDIDATE cells (~flat for a fixed cluster count) while the exact
+    * brute scan grows with the corpus; candidate fractions printed. */
+  private def exactserve(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val C = 64 // clusters AND cells
+    // deterministic clustered corpus: per-(cluster, dim) center on a
+    // coarse integer lattice (multiples of 4), per-(id, dim) jitter < 1
+    val clustered = e.select(col("vec_id").as("id"))
+      .withColumn("cl", pmod(col("id"), lit(C.toLong)))
+      .withColumn("emb", transform(sequence(lit(0), lit(63)), j =>
+        (pmod(col("cl") * 131 + j.cast("long") * 17, lit(23L)).cast("double") * 4.0 +
+          pmod(col("id") * 31 + j.cast("long") * 7, lit(11L)).cast("double") / 11.0)
+          .cast("float")))
+      .select("id", "emb")
+    val base = java.nio.file.Files.createTempDirectory("scale_exidx").toString
+    val idx = new IvfIndex(s, base, C)
+    time("exact_build", nTag)(idx.build(clustered))
+    val qe = clustered.filter(col("id") === 5).select("emb")
+      .head().getSeq[Float](0).toArray
+    val cand = idx.exactCandidateCells(qe, k = 10, probe0 = 2)
+    println(s"PROF exact_cand_cells ${cand.length}/$C $nTag")
+    time("exact_pruned_cold", nTag)(idx.queryExact(qe, 10, probe0 = 2).collect())
+    (1 to 3).foreach { i =>
+      time(s"exact_pruned_warm$i", nTag)(idx.queryExact(qe, 10, probe0 = 2).collect())
+    }
+    (1 to 3).foreach { i =>
+      time(s"exact_brute_warm$i", nTag)(idx.query(qe, 10, nprobe = C).collect())
+    }
+    val rr = 16.0 // covers the probe's whole cluster, excludes the lattice gap
+    println(s"PROF range_cand_cells ${idx.rangeCandidateCells(qe, rr).length}/$C $nTag")
+    (1 to 3).foreach { i =>
+      time(s"range_warm$i", nTag)(idx.rangeSearch(qe, rr).count())
+    }
+    // index range JOINS on the same clustered corpus: the near-dup
+    // self-join blocks to qualifying cell pairs (diagonal-only here — the
+    // N²/2 → sum-of-block-products claim), the probe-frame range join is
+    // linear in probes × their candidate blocks
+    val sjr = 2.5
+    println(s"PROF selfjoin_cand_pairs ${idx.selfJoinCellPairs(sjr).length}/${C * (C + 1) / 2} $nTag")
+    (1 to 3).foreach { i =>
+      val n = time(s"selfjoin_warm$i", nTag)(idx.selfJoinWithin(sjr).count())
+      if (i == 1) println(s"PROF selfjoin_pairs $n $nTag")
+    }
+    val probes = clustered.filter(pmod(col("id"), lit(97L)) === 0)
+      .select(col("id").as("qid"), col("emb").as("qe"))
+    println(s"PROF rangejoin_probes ${probes.count()} $nTag")
+    (1 to 3).foreach { i =>
+      val n = time(s"rangejoin_warm$i", nTag)(idx.rangeJoin(probes, rr).count())
+      if (i == 1) println(s"PROF rangejoin_rows $n $nTag")
+    }
+    // the honest row: uniform fixture vectors are near-equidistant —
+    // τ cannot beat any cell's lower bound and the exact probe IS brute
+    val uniform = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val ubase = java.nio.file.Files.createTempDirectory("scale_exidx_u").toString
+    val uidx = new IvfIndex(s, ubase, math.max(16, (n / 2048L).toInt))
+    time("uniform_build", nTag)(uidx.build(uniform))
+    val uqe = uniform.filter(col("id") === 5).select("emb")
+      .head().getSeq[Float](0).toArray
+    val ucand = uidx.exactCandidateCells(uqe, k = 10, probe0 = 2)
+    println(s"PROF uniform_cand_cells ${ucand.length} $nTag")
+    (1 to 3).foreach { i =>
+      time(s"uniform_exact_warm$i", nTag)(uidx.queryExact(uqe, 10, probe0 = 2).collect())
+    }
+    s.stop()
   }
 
   /** PQ-coded persistent IvfIndex at scale — sq8serve's 32x sibling: build

@@ -736,4 +736,166 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(bal2.pqErrRatio > 0.9 && bal2.pqErrRatio < 1.1,
       s"post-retrain the drift signal is live again: ${bal2.pqErrRatio}")
   }
+
+  // clustered fixture for the exact-pruned surfaces: 8 well-separated
+  // clusters (centers 10·c per dim, intra-cluster spread < 1) so the
+  // triangle-inequality bound actually prunes — uniform hash fixtures
+  // are near-equidistant in 16-dim and prune nothing
+  private def clusteredRows(ids: Range) = {
+    import spark.implicits._
+    ids.map { i =>
+      val cl = i % 8
+      (i.toLong, Array.tabulate(16)(j => 10f * cl + ((i * 31 + j * 7) % 11).toFloat / 11f))
+    }.toDF("id", "emb")
+  }
+
+  test("queryExact / rangeSearch: exact answers with provable cell pruning") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(clusteredRows(0 until 800))
+    val qe = Array.tabulate(16)(j => 10f * 3 + ((5 * 31 + j * 7) % 11).toFloat / 11f)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def brute(k: Int, where: Option[org.apache.spark.sql.Column] = None) =
+      rows(idx.query(qe, k, nprobe = 8, where)) // full probe == brute force
+
+    // exact == brute, while scanning a strict subset of cells
+    assert(rows(idx.queryExact(qe, k = 10, probe0 = 1)) == brute(10))
+    val cand = idx.exactCandidateCells(qe, k = 10, probe0 = 1)
+    assert(cand.length < 8,
+      s"separated clusters must prune cells, candidate set was $cand")
+
+    // filtered exact: the bound composes with metadata predicates
+    val even = Some(col("id") % 2 === 0)
+    assert(rows(idx.queryExact(qe, k = 10, probe0 = 1, where = even)) ==
+      brute(10, even))
+
+    // range search == brute filter at the same radius; pruned cells
+    val r = 2.0
+    val want = brute(800).filter(_._2 <= r * r)
+    assert(rows(idx.rangeSearch(qe, radius = r)) == want)
+    assert(want.nonEmpty, "fixture must make the range non-trivial")
+    assert(idx.rangeCandidateCells(qe, r).length < 8)
+
+    // a probe far from every cluster with a tiny radius prunes EVERY
+    // cell — the empty candidate set serves an empty frame, no error
+    val far = Array.fill(16)(500f)
+    assert(idx.rangeCandidateCells(far, 0.1).isEmpty)
+    assert(idx.rangeSearch(far, 0.1).isEmpty)
+  }
+
+  test("exact surfaces stay sound under appends, deletes, compact, and missing radii") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_exact2").toString
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(clusteredRows(0 until 400))
+    // appended mass lands FAR outside its assigned cell's build-time
+    // radius (a ninth cluster at 10·12) — the per-batch radii sidecar is
+    // what keeps pruning from dropping it
+    import spark.implicits._
+    val outliers = (1000 until 1040).map { i =>
+      (i.toLong, Array.tabulate(16)(j => 10f * 12 + (j % 3).toFloat))
+    }.toDF("id", "emb")
+    idx.appendBatch(outliers, batchId = 0)
+    val qe = Array.tabulate(16)(j => 10f * 12 + 1.5f) // nearest mass: the outliers
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "distance").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def brute(k: Int) = rows(idx.query(qe, k, nprobe = 8))
+    val gotApp = rows(idx.queryExact(qe, k = 10, probe0 = 1))
+    assert(gotApp == brute(10),
+      "append-extended radii must keep the outlier cluster reachable")
+    assert(gotApp.forall(_._1 >= 1000L), "the probe's true neighbors are the appended rows")
+
+    // deletes: stale (larger) radii stay sound, answers track the deletes
+    idx.delete((1000L until 1020L).toSeq)
+    assert(rows(idx.queryExact(qe, k = 10, probe0 = 1)) == brute(10))
+
+    // compact folds the radii generations and re-tightens them
+    idx.compact()
+    assert(new java.io.File(s"$base/_radii").listFiles()
+      .count(_.getName.startsWith("batch=")) == 1,
+      "compact must fold the per-batch radii into the merged generation")
+    assert(rows(idx.queryExact(qe, k = 10, probe0 = 1)) == brute(10))
+
+    // a pre-radii index (or a crash that lost a batch's radii): pruning
+    // disables — every cell is a candidate — and answers stay exact
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$base/_radii"))
+    assert(idx.exactCandidateCells(qe, k = 10, probe0 = 1).length == 8,
+      "no radii metadata -> no pruning, scan every cell")
+    assert(rows(idx.queryExact(qe, k = 10, probe0 = 1)) == brute(10))
+  }
+
+  test("selfJoinWithin / rangeJoin: exact answers with cell-pair pruning") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sj").toString
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    val rows0 = (0 until 800).map { i =>
+      val cl = i % 8
+      (i.toLong, Array.tabulate(16)(j => 10f * cl + ((i * 31 + j * 7) % 11).toFloat / 11f))
+    }
+    idx.build(clusteredRows(0 until 800))
+    // driver-side ground truth with VF.l2Sq's exact fold order (dims in
+    // order, float -> double per element)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0) { (s, j) =>
+        val d = a(j).toDouble - b(j).toDouble; s + d * d }
+    val r = 2.0
+    def brutePairs(pred: Long => Boolean) =
+      (for {
+        (ia, va) <- rows0; if pred(ia)
+        (ib, vb) <- rows0; if ia < ib && pred(ib)
+        d = d2(va, vb); if d <= r * r
+      } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+    def got(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+
+    val all = brutePairs(_ => true)
+    assert(all.nonEmpty, "fixture must make the join non-trivial")
+    assert(got(idx.selfJoinWithin(r)) == all)
+    // 8 well-separated clusters at radius 2: only the diagonal cell pairs
+    // can qualify — a strict subset of the 36 unordered pairs
+    assert(idx.selfJoinCellPairs(r).length < 36,
+      s"separated clusters must prune cell pairs: ${idx.selfJoinCellPairs(r)}")
+    // where composes on BOTH sides
+    assert(got(idx.selfJoinWithin(r, where = Some(col("id") % 2 === 0))) ==
+      brutePairs(_ % 2 == 0))
+
+    // rangeJoin == rangeSearch probe-for-probe, distributed
+    import spark.implicits._
+    val probeIds = Seq(5L, 13L, 200L)
+    val probes = rows0.filter(p => probeIds.contains(p._1))
+      .toDF("qid", "qe")
+    val rj = idx.rangeJoin(probes, radius = 4.0).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSeq
+    val perProbe = probeIds.flatMap { pid =>
+      val qe = rows0.find(_._1 == pid).get._2
+      idx.rangeSearch(qe, radius = 4.0).collect()
+        .map(x => (pid, x.getLong(0), x.getDouble(x.fieldIndex("distance"))))
+    }.sortBy(p => (p._1, p._2))
+    assert(rj.sortBy(p => (p._1, p._2)) == perProbe)
+    // probe id column may not shadow the index's output columns
+    assertThrows[IllegalArgumentException] {
+      idx.rangeJoin(probes.withColumnRenamed("qid", "id"), 1.0, idCol = "id")
+    }
+
+    // tombstones drop pairs immediately on both surfaces
+    idx.delete(Seq(5L))
+    assert(got(idx.selfJoinWithin(r)) == all.filterNot(p => p._1 == 5L || p._2 == 5L))
+    assert(idx.rangeJoin(probes, radius = 4.0)
+      .filter(col("id") === 5L).isEmpty)
+
+    // missing radii: every cell pair is a candidate, answers unchanged
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$base/_radii"))
+    assert(idx.selfJoinCellPairs(r).length == 36,
+      "no radii metadata -> every unordered cell pair joins")
+    assert(got(idx.selfJoinWithin(r)) == all.filterNot(p => p._1 == 5L || p._2 == 5L))
+  }
 }
