@@ -25,7 +25,7 @@ object AnalyticsQueries {
     * oracle as its exact double so both engines compare the same bound.
     * MUST initialize before `all` — the oracle strings capture it
     * eagerly. */
-  private val RangeRadius: Double = 1.2
+  private[queries] val RangeRadius: Double = 1.2
 
   val all: Seq[Q] = Seq(
 

@@ -101,7 +101,7 @@ object BenchSplits {
       val (_, tb) = timed(idx.build(vectors))
       val qe = vectors.filter(col("id") === 0).head().getSeq[Float](1).toArray
       val (_, tp) = timed(
-        idx.rangeSearch(qe, radius = 1.2)
+        idx.rangeSearch(qe, radius = AnalyticsQueries.RangeRadius)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
@@ -112,7 +112,7 @@ object BenchSplits {
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
       val (_, tb) = timed(idx.build(vectors))
       val (_, tp) = timed(
-        idx.selfJoinWithin(1.2, where = Some(col("id") % 8 === 0))
+        idx.selfJoinWithin(AnalyticsQueries.RangeRadius, where = Some(col("id") % 8 === 0))
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "join" -> tp)
     },
@@ -126,7 +126,7 @@ object BenchSplits {
         .filter(col("vec_id") % 101 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val (_, tp) = timed(
-        idx.rangeJoin(probes, 1.2)
+        idx.rangeJoin(probes, AnalyticsQueries.RangeRadius)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "join" -> tp)
     },

@@ -185,16 +185,21 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
           st => centDf.write.mode("overwrite").parquet(st)),
         codesStage,
-        // per-cell pruning radii — the metadata [[queryExact]] and
-        // [[rangeSearch]] bound cells with; numCells rows, one narrow
-        // pass over the cached input, published in the same commit
-        StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=0",
-          st => cellRadiiOf(v.withColumn("cell", cellCol(cents, col("emb"))), cents)
-            .write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
           st => v.withColumn("cell", cellCol(cents, col("emb")))
             .withColumn("codes", codesCol)
-            .write.mode("overwrite").partitionBy("cell").parquet(st))) ++
+            .write.mode("overwrite").partitionBy("cell").parquet(st)),
+        // per-cell pruning radii — the metadata [[queryExact]] and
+        // [[rangeSearch]] bound cells with; numCells rows, derived from
+        // the ALREADY-STAGED data (stage writers run in order before any
+        // rename, and the whole commit is atomic under the marker) so the
+        // assignment pass is never re-run; the narrow explicit schema
+        // keeps an empty build readable (a bare-_SUCCESS staged dir
+        // defeats schema inference)
+        StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=0",
+          st => cellRadiiOf(spark.read.schema("emb ARRAY<FLOAT>, cell LONG")
+            .parquet(s"$path/__stage_build"), cents)
+            .write.mode("overwrite").parquet(st))) ++
         (if (allTsDirs.isEmpty) Seq.empty
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
            st => StoreIO.writeLongFile(st, newHwm)))),
@@ -222,15 +227,19 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   // Driver-side centroid cache: every probe surface starts with the
   // centroid pass, and re-running a Spark read job per probe dominates
   // warm-probe latency at local scale. Revalidated per call from the
-  // on-disk fingerprint alone (dir + _SUCCESS mtimes — a build/retrain
-  // republishes a freshly staged dir), so two processes over one path
-  // see each other's retrains, the hot tiers' invalidation discipline.
+  // on-disk file listing (part filenames carry per-write UUIDs, so a
+  // build/retrain republish ALWAYS changes the fingerprint — no reliance
+  // on mtime granularity); two processes over one path therefore see each
+  // other's retrains, the hot tiers' invalidation discipline.
   @volatile private var centCache: (String, Array[(Long, Array[Float])]) = null
 
-  private def centroidFp: String = {
-    val d = new java.io.File(centroidPath)
-    s"${d.lastModified}:${new java.io.File(d, "_SUCCESS").lastModified}"
-  }
+  /** (name, length, mtime) of every file directly under `dir` — the
+    * rename-proof directory fingerprint behind the centroid/radii caches. */
+  private def dirFileFp(dir: java.io.File): String =
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .map(f => s"${f.getName}:${f.length}:${f.lastModified}").sorted.mkString(";")
+
+  private def centroidFp: String = dirFileFp(new java.io.File(centroidPath))
 
   private def centroids(): Array[(Long, Array[Float])] = {
     val fp = centroidFp
@@ -371,17 +380,23 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
         aligned.withColumn("codes",
           VF.pqEncode(col("emb"), flattenBooks(books), books.length, IvfIndex.PqK)))
     }
-    val assigned = coded.withColumn("cell", cellCol(cents, col("emb")))
-    // radii FIRST, data second: an orphan radii dir (crash before the data
-    // commit) only inflates the pruning bound — sound; the reverse order
-    // could leave a committed batch with no radii, which [[cellRadii]]
-    // treats as pruning-disabled (also sound, but exact probes then scan
-    // every cell until the batch replays or the next compact)
-    cellRadiiOf(assigned, cents)
-      .write.mode("overwrite").parquet(s"$radiiPath/batch=${batchId + 1}")
-    assigned
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dataPath/batch=${batchId + 1}")
+    // one evaluation of the encode+assign lineage for BOTH writes — the
+    // streaming ingest hot path must not read and encode the micro-batch
+    // twice
+    val assigned = coded.withColumn("cell", cellCol(cents, col("emb"))).persist()
+    try {
+      // radii FIRST, data second: an orphan radii dir (crash before the
+      // data commit) only inflates the pruning bound — sound; the reverse
+      // order could leave a committed batch with no radii, which
+      // [[cellRadii]] treats as pruning-disabled (also sound, but exact
+      // probes then scan every cell until the batch replays or the next
+      // compact)
+      cellRadiiOf(assigned, cents)
+        .write.mode("overwrite").parquet(s"$radiiPath/batch=${batchId + 1}")
+      assigned
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$dataPath/batch=${batchId + 1}")
+    } finally assigned.unpersist(): Unit
   }
 
   /** Highest tombstone batch id already APPLIED by a [[compact]] — the
@@ -734,7 +749,11 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       StoreIO.Staged(s"$path/__stage_data", s"$dataPath/batch=$mergedId",
         st => purged.write.mode("overwrite").partitionBy("cell").parquet(st)),
       StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=$mergedId",
-        st => cellRadiiOf(spark.read.parquet(s"$path/__stage_data"), cents)
+        // narrow explicit schema: an all-tombstoned compact stages a
+        // bare-_SUCCESS dir that schema inference cannot read — the
+        // radii generation must come out EMPTY, not crash the commit
+        st => cellRadiiOf(spark.read.schema("emb ARRAY<FLOAT>, cell LONG")
+          .parquet(s"$path/__stage_data"), cents)
           .write.mode("overwrite").parquet(st))) ++
       (if (allTsDirs.isEmpty) Seq.empty else Seq(hwmStage)),
       marker,
@@ -827,6 +846,64 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     }
     buf.sortBy { case (d, id, _) => (d, id) }.take(k)
       .map { case (d, id, c) => (id, c, d) }.toSeq
+  }
+
+  /** In-memory scored scan of `cells` — the shared tail of the hot exact
+    * surfaces: (distance, id, cell) ascending, cut to `k` (negative k =
+    * no cut). */
+  private def hotScanCells(h: HotState, qe: Array[Float], cells: Seq[Long],
+                           k: Int): Seq[(Double, Long, Long)] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Double, Long, Long)]
+    cells.foreach { cid =>
+      val arr = h.cells.get(cid)
+      if (arr != null) arr.foreach { case (id, emb) => buf += ((l2(emb, qe), id, cid)) }
+    }
+    val sorted = buf.sortBy { case (d, id, _) => (d, id) }
+    (if (k < 0) sorted else sorted.take(k)).toSeq
+  }
+
+  /** [[queryExact]] served entirely from JVM memory: the same
+    * triangle-inequality candidate logic over the resident state — probe
+    * the `probe0` nearest cells for τ in-memory, rescan the cells whose
+    * lower bound beats it — so brute-force-EXACT answers cost ZERO Spark
+    * jobs warm (the radii metadata loads once per publish through
+    * [[cellRadii]]'s fingerprint cache; revalidation is a jobless dir
+    * listing). Bit-equal to [[queryExact]] (spec) and independent of
+    * training quality. Returns (id, cell, distance) like [[hotQuery]]. */
+  def hotQueryExact(qe: Array[Float], k: Int, probe0: Int = 4): Seq[(Long, Long, Double)] = {
+    val h = hotState()
+    val cand = cellRadii() match {
+      case None => h.cents.map(_._1).toSeq
+      case Some(rm) =>
+        val ordered = h.cents
+          .map { case (cid, c) => (math.sqrt(l2(c, qe)), cid) }.sorted
+        val p0 = math.min(math.max(1, probe0), ordered.length)
+        val probed = ordered.take(p0)
+        val kth = hotScanCells(h, qe, probed.map(_._2).toSeq, k)
+        val tau =
+          if (kth.length < k) Double.PositiveInfinity
+          else math.sqrt(kth.map(_._1).max)
+        (probed ++ ordered.drop(p0).filter { case (d, cid) =>
+          rm.get(cid) match {
+            case None => false
+            case Some(r) => d - r <= tau + 1e-9
+          }
+        }).map(_._2).toSeq
+    }
+    hotScanCells(h, qe, cand, k).map { case (d, id, c) => (id, c, d) }
+  }
+
+  /** [[rangeSearch]] served entirely from JVM memory — every live row
+    * within PLAIN L2 `radius`, zero Spark jobs warm; the candidate cells
+    * are [[rangeCandidateCells]]' (shared code, cached metadata).
+    * Bit-equal to [[rangeSearch]] (spec). Returns (id, cell, distance)
+    * ordered (distance, id). */
+  def hotRangeSearch(qe: Array[Float], radius: Double): Seq[(Long, Long, Double)] = {
+    require(radius >= 0.0, "radius must be non-negative")
+    val h = hotState()
+    hotScanCells(h, qe, rangeCandidateCells(qe, radius), k = -1)
+      .filter(_._1 <= radius * radius)
+      .map { case (d, id, c) => (id, c, d) }
   }
 
   /** Batched hot probes: Q probes against ONE state load — the bulk
@@ -1042,11 +1119,11 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
             include: Seq[String] = Nil): DataFrame =
     queryCells(qe, k, probeCellsOf(qe, nprobe), where, include)
 
-  /** [[query]] over an EXPLICIT cell set — the shared tail of the probed
-    * and exact surfaces. */
-  private def queryCells(qe: Array[Float], k: Int, cells: Seq[Long],
-                         where: Option[Column],
-                         include: Seq[String] = Nil): DataFrame = {
+  /** The pruned live SCORED frame every cell-scan surface shares
+    * ([[queryCells]], [[rangeSearch]]): partition-pruned scan of `cells`,
+    * tombstone anti-join, metadata predicate, SQUARED L2 distance. */
+  private def scoredCells(qe: Array[Float], cells: Seq[Long],
+                          where: Option[Column]): DataFrame = {
     val pruned = spark.read.parquet(dataPath)
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
     // pending deletes stop being served IMMEDIATELY: anti-join the (small,
@@ -1055,12 +1132,22 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       pruned.join(broadcast(ts), Seq("id"), "left_anti"))
     where.foldLeft(base)(_ filter _)
       .withColumn("distance", VF.l2Sq(col("emb"), typedlit(qe)))
-      .orderBy(asc("distance"), asc("id"))
-      .limit(k)
-      // partition-dir type inference reads `cell` back as INT; pin to LONG
-      .select(col("id") +: include.map(col) :+
-        col("cell").cast("long").as("cell") :+ col("distance"): _*)
   }
+
+  /** The output projection those surfaces share. */
+  private def projectOut(df: DataFrame, include: Seq[String]): DataFrame =
+    // partition-dir type inference reads `cell` back as INT; pin to LONG
+    df.select(col("id") +: include.map(col) :+
+      col("cell").cast("long").as("cell") :+ col("distance"): _*)
+
+  /** [[query]] over an EXPLICIT cell set — the shared tail of the probed
+    * and exact surfaces. */
+  private def queryCells(qe: Array[Float], k: Int, cells: Seq[Long],
+                         where: Option[Column],
+                         include: Seq[String] = Nil): DataFrame =
+    projectOut(scoredCells(qe, cells, where)
+      .orderBy(asc("distance"), asc("id"))
+      .limit(k), include)
 
   // ------------------------------------------------ exact pruned search
 
@@ -1081,7 +1168,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private def cellRadii(): Option[Map[Long, Double]] = {
     val dataNames = StoreIO.committedBatchDirs(dataPath).map(_.getName)
     val radDirs = StoreIO.committedBatchDirs(radiiPath)
-    val fp = (dataNames ++ radDirs.map(d => s"${d.getName}:${d.lastModified}"))
+    val fp = (dataNames ++ radDirs.map(d => s"${d.getName}=${dirFileFp(d)}"))
       .mkString(",")
     val c = radiiCache
     if (c != null && c._1 == fp) c._2
@@ -1174,17 +1261,9 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                   where: Option[Column] = None,
                   include: Seq[String] = Nil): DataFrame = {
     require(radius >= 0.0, "radius must be non-negative")
-    val cells = rangeCandidateCells(qe, radius)
-    val pruned = spark.read.parquet(dataPath)
-      .filter(col("cell").isin(cells: _*))
-    val base = tombstones().fold(pruned)(ts =>
-      pruned.join(broadcast(ts), Seq("id"), "left_anti"))
-    where.foldLeft(base)(_ filter _)
-      .withColumn("distance", VF.l2Sq(col("emb"), typedlit(qe)))
+    projectOut(scoredCells(qe, rangeCandidateCells(qe, radius), where)
       .filter(col("distance") <= lit(radius * radius))
-      .orderBy(asc("distance"), asc("id"))
-      .select(col("id") +: include.map(col) :+
-        col("cell").cast("long").as("cell") :+ col("distance"): _*)
+      .orderBy(asc("distance"), asc("id")), include)
   }
 
   // ------------------------------------------------ index range joins
@@ -1270,8 +1349,14 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                 idCol: String = "qid", vecCol: String = "qe",
                 where: Option[Column] = None): DataFrame = {
     require(radius >= 0.0, "radius must be non-negative")
-    require(idCol != "id" && idCol != "distance",
-      s"idCol '$idCol' collides with an output column of the index side")
+    // reject every internal-frame collision up front — a clash with the
+    // broadcast metadata or data columns would otherwise surface as an
+    // opaque ambiguous-reference AnalysisException deep in Catalyst
+    val reserved = Set("id", "distance", "cell", "centroid", "rmax", "emb")
+    require(!reserved.contains(idCol),
+      s"idCol '$idCol' collides with an internal or output column ($reserved)")
+    require(!reserved.contains(vecCol),
+      s"vecCol '$vecCol' collides with an internal or output column ($reserved)")
     import spark.implicits._
     val rm = cellRadii()
     val meta = centroids().toSeq.flatMap { case (cid, c) =>
@@ -1292,6 +1377,21 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .select(col(idCol), col("id"), col("distance"))
       .orderBy(asc(idCol), asc("id"))
   }
+
+  /** Decontamination FILTER — the anti-form of [[rangeJoin]]: the probe
+    * rows with NO live index row within PLAIN L2 `radius` (drop from a
+    * training corpus everything semantically close to a benchmark row;
+    * [[graft.streaming.StreamOps.filterIngest]]'s n-gram contamination
+    * check upgraded to embedding space, where paraphrased leakage that
+    * shares no 8-gram still lands). Survivors keep the probe frame's full
+    * schema; the matched-id set is [[rangeJoin]]'s pruned candidate join
+    * followed by one distinct + anti-join on `idCol`. */
+  def exceptNear(probes: DataFrame, radius: Double,
+                 idCol: String = "qid", vecCol: String = "qe",
+                 where: Option[Column] = None): DataFrame =
+    probes.join(
+      rangeJoin(probes, radius, idCol, vecCol, where).select(idCol).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Phase 1 of [[queryQuantized]] as a lazy frame — the CODES-ONLY pruned
     * scan (id, qdist), exposed so specs can pin its plan: the scan's

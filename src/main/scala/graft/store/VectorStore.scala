@@ -1117,13 +1117,21 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         val maxBatch = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
           .foldLeft(encAppendHwm(name))(math.max)
         val folded = live.drop("batch")
+        // pruning radii fold with the data: max over the generations
+        // (deletes only SHRINK true radii — stale maxima stay sound) into
+        // the merged batch=0, re-encrypted driver-side. An INCOMPLETE
+        // sidecar (some batch never got its radii) must be DROPPED
+        // instead: folding a partial set over merged data would fabricate
+        // a bound the uncovered rows can exceed — unsound, unlike simply
+        // having no radii at all.
+        val (radStages, radCleanup) = encRadiiFoldStages(name, this)
         StoreIO.commitStaged(Seq(
           StoreIO.Staged(s"${path(name)}__stage", path(name),
             st => folded.write.mode("overwrite").partitionBy("cell")
               .parquet(s"$st/batch=0")),
           StoreIO.Staged(s"${encAppendHwmPath(name)}__stage", encAppendHwmPath(name),
-            st => StoreIO.writeLongFile(st, maxBatch))),
-          encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq)
+            st => StoreIO.writeLongFile(st, maxBatch))) ++ radStages,
+          encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq ++ radCleanup)
       }
     } else if (tsDirs.nonEmpty) {
       StoreIO.commitStaged(Seq(
@@ -1146,6 +1154,25 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   private def encCentroidPath(name: String) = s"$basePath/__enc_centroids/$name"
   private def encSq8Path(name: String) = s"$basePath/__enc_sq8/$name"
   private def encPqPath(name: String) = s"$basePath/__enc_pq/$name"
+  private def encRadiiPath(name: String) = s"$basePath/__enc_radii/$name"
+
+  /** (cell, rmax_ct) of an assigned PLAINTEXT frame — the per-cell
+    * pruning radii behind the encrypted exact surfaces
+    * ([[queryIndexedExact]]/[[rangeSearchIndexed]]/[[selfJoinIndexed]]),
+    * ENCRYPTED like every geometry sidecar: plaintext cell radii beside
+    * ciphertext would leak each cluster's spread. numCells rows, one
+    * narrow aggregation over rows the writer (key holder) already has in
+    * plaintext. */
+  private def encCellRadii(assigned: DataFrame,
+                           cents: Array[(Long, Array[Float])]): DataFrame = {
+    val cMap = cents.map { case (cid, c) => cid -> c.toSeq }.toMap
+    assigned
+      .withColumn("cd",
+        VF.l2Sq(col("emb"), element_at(typedlit(cMap), col("cell").cast("long"))))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(sqrt(max(col("cd"))).as("rmax"))
+      .select(col("cell"), encrypt(col("rmax")).as("rmax_ct"))
+  }
 
   /** The reference's CORE promise — encrypted vector SEARCH, not just
     * encrypted vector storage (cyborgdb_store.py:1-11 markets exactly
@@ -1231,6 +1258,14 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
             st => centDf.write.mode("overwrite").parquet(st)),
           codesStage,
+          // per-cell pruning radii for the exact surfaces, encrypted —
+          // recomputed from the CACHED plaintext (reading them back off
+          // the staged data would cost a decrypt pass); a rebuild replaces
+          // the whole generation tree in this same commit
+          StoreIO.Staged(s"${encRadiiPath(name)}__stage", encRadiiPath(name),
+            st => encCellRadii(
+              v.withColumn("cell", VF.nearestCentroid(col("emb"), cents)), cents)
+              .write.mode("overwrite").parquet(s"$st/batch=0")),
           StoreIO.Staged(s"${path(name)}__stage", path(name),
             // batch=0 level so streaming appendIndexedBatch shares one
             // uniform (batch, cell) tree with the build
@@ -1340,13 +1375,25 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
               .join(broadcast(incoming0.select("id")), Seq("id"), "left_semi")
             incoming0.join(collisions, Seq("id"), "left_anti")
           }
-        incoming
-          .withColumn("cell", VF.nearestCentroid(col("emb"), cents))
-          .select(col("id"), col("cell"),
-            encrypt(col("doc")).as("doc_ct"),
-            encrypt(to_json(col("emb"))).as("emb_ct"),
-            codesCt)
-          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        // one evaluation of the assign lineage for the radii AND data
+        // writes (IvfIndex.appendBatch's discipline)
+        val assigned = incoming
+          .withColumn("cell", VF.nearestCentroid(col("emb"), cents)).persist()
+        try {
+          // radii FIRST, ciphertext second: an orphan radii generation
+          // (crash before the data write) only inflates the pruning bound;
+          // the reverse order would leave a committed batch without radii,
+          // which [[encRadiiOf]] treats as pruning-disabled — sound either
+          // way, this order degrades less
+          encCellRadii(assigned, cents)
+            .write.mode("overwrite").parquet(s"${encRadiiPath(name)}/batch=${batchId + 1}")
+          assigned
+            .select(col("id"), col("cell"),
+              encrypt(col("doc")).as("doc_ct"),
+              encrypt(to_json(col("emb"))).as("emb_ct"),
+              codesCt)
+            .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        } finally assigned.unpersist(): Unit
       }
     }
 
@@ -1401,6 +1448,44 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
 
+  /** Decrypted effective per-cell pruning radii (key holders only): per
+    * cell, the max over every committed generation — deletes only SHRINK
+    * a cell's true radius, so stale maxima stay sound and the next
+    * compact/retrain re-tightens them. None when any committed ciphertext
+    * batch has no radii generation (a pre-radii store, or a crash between
+    * a batch commit and its radii write): the exact surfaces then decrypt
+    * every cell rather than trust an unsound bound. */
+  /** The staged fold of the radii generations into a single batch=0 dir
+    * under `reEncryptor`'s key (`this` for [[compact]], the successor
+    * store for [[rotateKey]]), plus the cleanup for an incomplete sidecar
+    * that must be dropped rather than folded. Empty/empty when there is
+    * no sidecar at all. */
+  private def encRadiiFoldStages(name: String, reEncryptor: EncryptedStore)
+      : (Seq[StoreIO.Staged], Seq[String]) = {
+    val radDirs = StoreIO.committedBatchDirs(encRadiiPath(name))
+    if (radDirs.isEmpty) (Seq.empty, Seq.empty)
+    else encRadiiOf(name) match {
+      case Some(rm) =>
+        val rdf = spark.createDataFrame(rm.toSeq).toDF("cell", "rmax")
+          .select(col("cell"), reEncryptor.encrypt(col("rmax")).as("rmax_ct"))
+        (Seq(StoreIO.Staged(s"${encRadiiPath(name)}__stage", encRadiiPath(name),
+          st => rdf.write.mode("overwrite").parquet(s"$st/batch=0"))), Seq.empty)
+      case None => (Seq.empty, Seq(encRadiiPath(name)))
+    }
+  }
+
+  private def encRadiiOf(name: String): Option[Map[Long, Double]] = {
+    val dataNames = StoreIO.committedBatchDirs(path(name)).map(_.getName)
+    val radDirs = StoreIO.committedBatchDirs(encRadiiPath(name))
+    val radNames = radDirs.map(_.getName).toSet
+    if (dataNames.isEmpty || dataNames.exists(!radNames.contains(_))) None
+    else Some(spark.read.option("basePath", encRadiiPath(name))
+      .parquet(radDirs.map(_.getPath).toIndexedSeq: _*)
+      .select(col("cell"), decryptStr(col("rmax_ct")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1).toDouble))
+      .groupBy(_._1).map { case (c, rs) => (c, rs.map(_._2).max) })
+  }
+
   /** Cell-pruned kNN over a [[storeIndexed]] collection: the probe's
     * nprobe nearest cells come from the (tiny, decrypted-driver-side)
     * centroid sidecar; the scan reads only those PARTITIONS
@@ -1411,21 +1496,147 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
                    nprobe: Int): DataFrame = {
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    def l2sq(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0; var i = 0
-      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-      acc
-    }
-    val cells = cents.map { case (cid, c) => (l2sq(c, queryEmb), cid) }
+    val cells = cents.map { case (cid, c) => (encL2sq(c, queryEmb), cid) }
       .sorted.take(nprobe).map(_._2).toSeq
-    val q = typedlit(queryEmb)
+    encQueryCells(name, queryEmb, k, cells)
+  }
+
+  /** The pruned live SCORED ciphertext frame every encrypted cell-scan
+    * surface shares: partition-pruned scan, decrypt, SQUARED L2. */
+  private def encScanCells(name: String, queryEmb: Array[Float],
+                           cells: Seq[Long]): DataFrame =
     liveRaw(name)
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
       .withColumn("emb", from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)))
-      .withColumn("distance", VF.l2Sq(col("emb"), q))
+      .withColumn("distance", VF.l2Sq(col("emb"), typedlit(queryEmb)))
+
+  /** [[queryIndexed]] over an EXPLICIT cell set — the shared tail of the
+    * probed and exact encrypted surfaces. */
+  private def encQueryCells(name: String, queryEmb: Array[Float], k: Int,
+                            cells: Seq[Long]): DataFrame =
+    encScanCells(name, queryEmb, cells)
       .orderBy(asc("distance"), asc("id"))
       .limit(k)
       .select(col("id"), decryptStr(col("doc_ct")).as("doc"), col("distance"))
+
+  /** [[graft.store.IvfIndex.exactCandidateCells]] on ciphertext: the
+    * `probe0` nearest cells plus every cell whose triangle-inequality
+    * lower bound d(q, centroid) − r_cell does not beat the kth-best match
+    * found in the probed cells. Driver-side over the DECRYPTED
+    * centroid+radius sidecars (key holders only); without radii every
+    * cell is a candidate. Package-private for the pruning specs. */
+  private[graft] def encExactCandidateCells(name: String, queryEmb: Array[Float],
+      k: Int, probe0: Int): Seq[Long] = {
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val ordered = cents
+      .map { case (cid, c) => (math.sqrt(encL2sq(c, queryEmb)), cid) }.sorted
+    val p0 = math.min(math.max(1, probe0), ordered.length)
+    val probed = ordered.take(p0)
+    encRadiiOf(name) match {
+      case None => ordered.map(_._2).toSeq // no sound bound — decrypt all
+      case Some(rm) =>
+        val kth = encQueryCells(name, queryEmb, k, probed.map(_._2).toSeq)
+          .select("distance").collect().map(_.getDouble(0))
+        val tau =
+          if (kth.length < k) Double.PositiveInfinity else math.sqrt(kth.max)
+        val rest = ordered.drop(p0).filter { case (d, cid) =>
+          rm.get(cid) match {
+            case None => false // no generation ever landed a row here
+            case Some(r) => d - r <= tau + 1e-9
+          }
+        }
+        (probed ++ rest).map(_._2).toSeq
+    }
+  }
+
+  /** EXACT top-k on ciphertext — brute-force answers at pruned-DECRYPT
+    * cost, [[graft.store.IvfIndex.queryExact]]'s encrypted twin. Where
+    * the plaintext win is scan bytes, here it is AES-GCM work: only the
+    * candidate cells' rows decrypt, and the candidate set provably
+    * contains the exact answer. Independent of training quality (unlike
+    * [[queryIndexed]] at partial nprobe); a pre-radii store degrades to
+    * the full decrypt — still exact. Same output as [[queryIndexed]]. */
+  def queryIndexedExact(name: String, queryEmb: Array[Float], k: Int,
+                        probe0: Int = 4): DataFrame =
+    encQueryCells(name, queryEmb, k,
+      encExactCandidateCells(name, queryEmb, k, probe0))
+
+  /** The cells an encrypted range probe must decrypt: centroid lower
+    * bound within `radius` (every cell without radii metadata). */
+  private[graft] def encRangeCandidateCells(name: String, queryEmb: Array[Float],
+                                            radius: Double): Seq[Long] = {
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val rm = encRadiiOf(name)
+    cents.filter { case (cid, c) =>
+      rm match {
+        case None => true
+        case Some(m) => m.get(cid) match {
+          case None => false
+          case Some(r) => math.sqrt(encL2sq(c, queryEmb)) - r <= radius + 1e-9
+        }
+      }
+    }.map(_._1).toSeq
+  }
+
+  /** EXACT range search on ciphertext: every live row within PLAIN L2
+    * `radius` of the probe, decrypting only the cells the centroid bound
+    * cannot exclude — [[graft.store.IvfIndex.rangeSearch]]'s twin.
+    * `distance` stays SQUARED like every surface. */
+  def rangeSearchIndexed(name: String, queryEmb: Array[Float],
+                         radius: Double): DataFrame = {
+    require(radius >= 0.0, "radius must be non-negative")
+    encScanCells(name, queryEmb, encRangeCandidateCells(name, queryEmb, radius))
+      .filter(col("distance") <= lit(radius * radius))
+      .orderBy(asc("distance"), asc("id"))
+      .select(col("id"), decryptStr(col("doc_ct")).as("doc"), col("distance"))
+  }
+
+  /** All-pairs-within-radius similarity SELF-JOIN on ciphertext —
+    * [[graft.store.IvfIndex.selfJoinWithin]]'s twin, the near-duplicate
+    * sweep a key holder runs over an encrypted corpus without ever
+    * materializing it decrypted on disk. Only cell pairs with
+    * d(centroids) − r_a − r_b ≤ radius can hold a qualifying pair; the
+    * union of participating cells decrypts ONCE per row (materialized via
+    * localCheckpoint before the pair join — projection collapse would
+    * otherwise re-run AES-GCM per PAIR, the per-pair-recompute trap), and
+    * the row pairing is an equi-join on the cell key. Output
+    * (id_l, id_r, distance ≤ radius²) with id_l < id_r (string order). */
+  def selfJoinIndexed(name: String, radius: Double): DataFrame = {
+    require(radius >= 0.0, "radius must be non-negative")
+    import spark.implicits._
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val rm = encRadiiOf(name)
+    val pairs = rm match {
+      case None =>
+        for { a <- cents.toSeq; b <- cents.toSeq; if a._1 <= b._1 } yield (a._1, b._1)
+      case Some(m) =>
+        for {
+          a <- cents.toSeq; ra <- m.get(a._1).toSeq
+          b <- cents.toSeq; if a._1 <= b._1; rb <- m.get(b._1).toSeq
+          if math.sqrt(encL2sq(a._2, b._2)) - ra - rb <= radius + 1e-9
+        } yield (a._1, b._1)
+    }
+    val orient = pairs.flatMap { case (a, b) =>
+      if (a == b) Seq((a, b)) else Seq((a, b), (b, a)) }
+    val cellsInvolved = orient.map(_._1).distinct
+    val dec = liveRaw(name)
+      .filter(col("cell").isin(cellsInvolved: _*))
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+      .localCheckpoint()
+    val pairsDf = orient.toDF("ca", "cb")
+    dec.select(col("id").as("id_l"), col("cell").as("cell_l"), col("emb").as("emb_l"))
+      .join(broadcast(pairsDf), col("cell_l") === col("ca"))
+      .join(dec.select(col("id").as("id_r"), col("cell").as("cell_r"),
+        col("emb").as("emb_r")), col("cb") === col("cell_r"))
+      .filter(col("id_l") < col("id_r"))
+      .withColumn("distance", VF.l2Sq(col("emb_l"), col("emb_r")))
+      .filter(col("distance") <= lit(radius * radius))
+      .select(col("id_l"), col("id_r"), col("distance"))
+      .orderBy(asc("id_l"), asc("id_r"))
   }
 
   /** Phase 1 of [[queryIndexedQuantized]] as a lazy frame, exposed for the
@@ -1826,13 +2037,17 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
                 next.encrypt(decryptStr(col("books_ct"))).as("books_ct")) ++ errCols: _*)
               .write.mode("overwrite").parquet(st)
           }))
+      // the pruning radii rotate like every geometry sidecar — folded to
+      // the same batch=0 the rows fold to, re-encrypted under the NEW key
+      // (an incomplete sidecar drops, see [[compact]])
+      val (radStages, radCleanup) = encRadiiFoldStages(name, next)
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
           st => cents.write.mode("overwrite").parquet(st)),
         StoreIO.Staged(s"${path(name)}__stage", path(name),
           st => reEnc.write.mode("overwrite").partitionBy("cell")
             .parquet(if (hasBatch) s"$st/batch=0" else st))) ++
-        sq8Stages ++ pqStages ++
+        sq8Stages ++ pqStages ++ radStages ++
         (if (!hasBatch) Seq.empty
          else {
            val maxBatch = StoreIO.committedBatchDirs(path(name))
@@ -1842,7 +2057,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
              encAppendHwmPath(name),
              st => StoreIO.writeLongFile(st, maxBatch)))
          }),
-        encMarker(name))
+        encMarker(name), cleanup = radCleanup)
     } else StoreIO.stageAndSwap(reEnc, path(name))
     next
   }

@@ -292,6 +292,35 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** SEMANTIC decontamination of a streaming document ingest: each
+    * micro-batch hash-embeds and DROPS every row within PLAIN L2 `radius`
+    * of ANY live row of the benchmark index
+    * ([[graft.store.IvfIndex.exceptNear]] per batch) — [[filterIngest]]'s
+    * n-gram contamination check upgraded to embedding space, catching
+    * paraphrased benchmark leakage that shares no 8-gram. Survivors land
+    * under batch-keyed dirs (a replayed checkpointed batch rewrites its
+    * own dir → exactly-once output contents, the [[maintainIvfIndex]]
+    * discipline). Per-batch work is the stateless pruned candidate join —
+    * no stream state, no watermark; at 100 TB the benchmark index is tiny
+    * next to the ingest, and each batch reads only the cells its rows'
+    * candidate bounds touch. */
+  def decontaminateIngest(spark: SparkSession, srcDir: String,
+      index: graft.store.IvfIndex, radius: Double, outDir: String,
+      checkpoint: String, dim: Int = 64): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val emb = batch.withColumn("qe", TF.hashEmbed(TF.tokens(col("text")), dim))
+        index.exceptNear(emb, radius, idCol = "doc_id", vecCol = "qe")
+          .drop("qe")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[maintainIvfIndex]]'s ENCRYPTED twin — streaming ingest into the
     * reference's secure path (cyborgdb_store.py:1-11): each micro-batch
     * hash-embeds, then

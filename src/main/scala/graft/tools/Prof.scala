@@ -72,8 +72,9 @@ object Prof {
     case Some("phrase") => phrase(args.drop(1))
     case Some("pqserve") => pqserve(args.drop(1))
     case Some("exactserve") => exactserve(args.drop(1))
+    case Some("encexact") => encexact(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact")
   }
 
   /** Exact-pruned search at scale: triangle-inequality cell pruning
@@ -119,6 +120,15 @@ object Prof {
     println(s"PROF range_cand_cells ${idx.rangeCandidateCells(qe, rr).length}/$C $nTag")
     (1 to 3).foreach { i =>
       time(s"range_warm$i", nTag)(idx.rangeSearch(qe, rr).count())
+    }
+    // hot exact serving: the resident tier answers the SAME exact probes
+    // with zero Spark jobs warm (state loads once per publish)
+    time("exact_hot_cold", nTag)(idx.hotQueryExact(qe, 10, probe0 = 2))
+    (1 to 3).foreach { i =>
+      time(s"exact_hot_warm$i", nTag)(idx.hotQueryExact(qe, 10, probe0 = 2))
+    }
+    (1 to 3).foreach { i =>
+      time(s"range_hot_warm$i", nTag)(idx.hotRangeSearch(qe, rr).size)
     }
     // index range JOINS on the same clustered corpus: the near-dup
     // self-join blocks to qualifying cell pairs (diagonal-only here — the
@@ -387,6 +397,49 @@ object Prof {
       es.queryIndexed("c", pe, 5, nprobe = 4).collect(): Unit
     })
     time("enc_rotate", nTag)(es.rotateKey("c", "fedcba9876543210"): Unit)
+    s.stop()
+  }
+
+  /** Encrypted EXACT surfaces at scale — where the plaintext exactserve
+    * rows measure scan bytes the fixture is too small to feel, here the
+    * pruned-vs-brute gap is AES-GCM work and shows immediately: exact
+    * top-k / range / self-join decrypt only the radius-bounded candidate
+    * cells of a CLUSTERED corpus (same lattice as exactserve), brute
+    * decrypts everything and grows with the corpus. */
+  private def encexact(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val C = 64
+    val clustered = e.select(col("vec_id").as("kid"))
+      .withColumn("cl", pmod(col("kid"), lit(C.toLong)))
+      .withColumn("emb", transform(sequence(lit(0), lit(63)), j =>
+        (pmod(col("cl") * 131 + j.cast("long") * 17, lit(23L)).cast("double") * 4.0 +
+          pmod(col("kid") * 31 + j.cast("long") * 7, lit(11L)).cast("double") / 11.0)
+          .cast("float")))
+      .select(format_string("id%09d", col("kid")).as("id"),
+        concat(lit("doc "), col("kid")).as("doc"), col("emb"))
+    val base = java.nio.file.Files.createTempDirectory("scale_encex").toString
+    val es = new graft.store.EncryptedStore(s, base, "0123456789abcdef")
+    time("encexact_build", nTag)(es.storeIndexed(clustered, "c", C))
+    val qe = clustered.filter(col("id") === "id000000005")
+      .head().getAs[Seq[Float]]("emb").toArray
+    println(s"PROF encexact_cand_cells ${es.encExactCandidateCells("c", qe, 10, 2).length}/$C $nTag")
+    (1 to 3).foreach(i =>
+      time(s"encexact_pruned_warm$i", nTag)(es.queryIndexedExact("c", qe, 10, probe0 = 2).collect()))
+    (1 to 3).foreach(i =>
+      time(s"encexact_brute_warm$i", nTag)(es.queryIndexed("c", qe, 10, nprobe = C).collect()))
+    val rr = 16.0
+    println(s"PROF encrange_cand_cells ${es.encRangeCandidateCells("c", qe, rr).length}/$C $nTag")
+    (1 to 3).foreach(i =>
+      time(s"encrange_warm$i", nTag)(es.rangeSearchIndexed("c", qe, rr).count()))
+    val sjr = 2.5
+    (1 to 3).foreach { i =>
+      val m = time(s"encselfjoin_warm$i", nTag)(es.selfJoinIndexed("c", sjr).count())
+      if (i == 1) println(s"PROF encselfjoin_pairs $m $nTag")
+    }
     s.stop()
   }
 

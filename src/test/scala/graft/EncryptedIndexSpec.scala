@@ -349,4 +349,94 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     assert(e.getMessage.contains("storeIndexed"),
       s"expected the storeIndexed() hint, got: ${e.getMessage}")
   }
+
+  test("exact surfaces on ciphertext: pruned decrypt, parity, appends, rotation, missing radii") {
+    val base = tmp("enc_exact")
+    val es = new EncryptedStore(spark, base, Key)
+    // clustered fixture (6 well-separated clusters, zero-padded string ids
+    // so the self-join's id_l < id_r string order matches numeric order) —
+    // the uniform rowsOf fixture is near-equidistant and prunes nothing
+    def clustered(r: Range) = r.map { i =>
+      val cl = i % 6
+      (f"id$i%04d", s"doc $i",
+        Array.tabulate(16)(j => 10f * cl + ((i * 31 + j * 7) % 11).toFloat / 11f))
+    }.toDF("id", "doc", "emb")
+    es.storeIndexed(clustered(0 until 300), "c", numCells = 6)
+    val rows0 = clustered(0 until 300).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2).toArray)).toSeq
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.foldLeft(0.0) { (s, j) =>
+        val d = a(j).toDouble - b(j).toDouble; s + d * d }
+    val qe = rows0.find(_._1 == "id0015").get._3 // cluster 3
+
+    // exact == brute decrypt while decrypting a strict subset of cells
+    val brute = got(es.queryIndexed("c", qe, k = 10, nprobe = 6))
+    assert(got(es.queryIndexedExact("c", qe, k = 10, probe0 = 1)) == brute)
+    assert(es.encExactCandidateCells("c", qe, k = 10, probe0 = 1).length < 6,
+      "separated clusters must prune cells on ciphertext")
+
+    // range search == driver brute filter at the same radius
+    val r = 2.0
+    val wantRange = rows0.map(t => (t._1, t._2, d2(t._3, qe)))
+      .filter(_._3 <= r * r).sortBy(t => (t._3, t._1))
+    assert(got(es.rangeSearchIndexed("c", qe, radius = r)) == wantRange)
+    assert(wantRange.nonEmpty)
+    assert(es.encRangeCandidateCells("c", qe, r).length < 6)
+
+    // encrypted near-dup self-join == driver brute pairs; the decrypt is
+    // one localCheckpointed pass, the pair join prunes cell pairs
+    def pairsGot(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSeq
+    val wantPairs = (for {
+      (ia, _, va) <- rows0; (ib, _, vb) <- rows0; if ia < ib
+      d = d2(va, vb); if d <= r * r
+    } yield (ia, ib, d)).sortBy(p => (p._1, p._2))
+    assert(wantPairs.nonEmpty)
+    assert(pairsGot(es.selfJoinIndexed("c", r)) == wantPairs)
+
+    // appended mass lands far outside its cell's build-time radius — the
+    // per-generation radii keep it reachable for exact probes
+    val outliers = (1000 until 1020).map { i =>
+      (f"id$i%04d", s"doc $i", Array.tabulate(16)(j => 10f * 12 + (j % 3).toFloat))
+    }.toDF("id", "doc", "emb")
+    es.appendIndexedBatch(outliers, "c", batchId = 0)
+    val oqe = Array.tabulate(16)(_ => 10f * 12 + 1.5f)
+    val bruteApp = got(es.queryIndexed("c", oqe, k = 5, nprobe = 6))
+    val gotApp = got(es.queryIndexedExact("c", oqe, k = 5, probe0 = 1))
+    assert(gotApp == bruteApp,
+      "append-extended radii must keep the outlier cluster reachable")
+    assert(gotApp.forall(_._1 >= "id1000"))
+
+    // rotation folds + re-encrypts the radii sidecar: the successor store
+    // still prunes (a stale old-key sidecar would fail decryption loudly)
+    val es2 = es.rotateKey("c", "fedcba9876543210")
+    assert(got(es2.queryIndexedExact("c", qe, k = 10, probe0 = 1)) ==
+      got(es2.queryIndexed("c", qe, k = 10, nprobe = 6)))
+    assert(es2.encExactCandidateCells("c", qe, k = 10, probe0 = 1).length < 6,
+      "pruning must survive rotation under the new key")
+
+    // deletes: stale (larger) radii stay sound; compact folds generations
+    es2.delete("c", Seq("id1000", "id1001"))
+    val bruteDel = got(es2.queryIndexed("c", oqe, k = 5, nprobe = 6))
+    assert(got(es2.queryIndexedExact("c", oqe, k = 5, probe0 = 1)) == bruteDel)
+    assert(!bruteDel.exists(p => p._1 == "id1000" || p._1 == "id1001"))
+    es2.compact("c")
+    assert(new java.io.File(s"$base/__enc_radii/c").listFiles()
+      .count(_.getName.startsWith("batch=")) == 1,
+      "compact must fold the radii generations")
+    assert(got(es2.queryIndexedExact("c", qe, k = 10, probe0 = 1)) ==
+      got(es2.queryIndexed("c", qe, k = 10, nprobe = 6)))
+
+    // a store whose radii are missing (pre-radii layout): every cell is a
+    // candidate, answers stay exact
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$base/__enc_radii/c"))
+    assert(es2.encExactCandidateCells("c", qe, k = 10, probe0 = 1).length == 6,
+      "no radii sidecar -> decrypt every cell")
+    assert(got(es2.queryIndexedExact("c", qe, k = 10, probe0 = 1)) ==
+      got(es2.queryIndexed("c", qe, k = 10, nprobe = 6)))
+  }
 }

@@ -830,13 +830,72 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assert(rows(idx.queryExact(qe, k = 10, probe0 = 1)) == brute(10))
   }
 
+  test("hot exact surfaces: bit-equal to the Spark paths, invalidated by every mutation") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_hotex").toString
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(clusteredRows(0 until 400))
+    val qe = Array.tabulate(16)(j => 10f * 3 + ((5 * 31 + j * 7) % 11).toFloat / 11f)
+    def sparkRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cell", "distance").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    assert(idx.hotQueryExact(qe, 10, probe0 = 1) ==
+      sparkRows(idx.queryExact(qe, 10, probe0 = 1)))
+    assert(idx.hotRangeSearch(qe, 2.0) == sparkRows(idx.rangeSearch(qe, 2.0)))
+    assert(idx.hotRangeSearch(qe, 2.0).nonEmpty)
+
+    // appended mass outside every build-time radius: the hot tier reloads
+    // (publish fingerprint) and the radii extension keeps it reachable
+    import spark.implicits._
+    val outliers = (1000 until 1020).map { i =>
+      (i.toLong, Array.tabulate(16)(j => 10f * 12 + (j % 3).toFloat))
+    }.toDF("id", "emb")
+    idx.appendBatch(outliers, batchId = 0)
+    val oqe = Array.tabulate(16)(_ => 10f * 12 + 1.5f)
+    val hotApp = idx.hotQueryExact(oqe, 5, probe0 = 1)
+    assert(hotApp == sparkRows(idx.queryExact(oqe, 5, probe0 = 1)))
+    assert(hotApp.forall(_._1 >= 1000L))
+
+    // deletes invalidate both the resident rows and the answers
+    idx.delete(Seq(hotApp.head._1))
+    assert(idx.hotQueryExact(oqe, 5, probe0 = 1) ==
+      sparkRows(idx.queryExact(oqe, 5, probe0 = 1)))
+    assert(!idx.hotQueryExact(oqe, 5, probe0 = 1).exists(_._1 == hotApp.head._1))
+
+    // missing radii: the hot exact probe scans every resident cell — same
+    // degradation as the Spark path, answers still exact
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf)
+      f.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$base/_radii"))
+    assert(idx.hotQueryExact(oqe, 5, probe0 = 1) ==
+      sparkRows(idx.queryExact(oqe, 5, probe0 = 1)))
+  }
+
+  test("compact with every row tombstoned publishes an empty generation, not a crash") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_allts").toString
+    val idx = new IvfIndex(spark, base, numCells = 4)
+    idx.build(clusteredRows(0 until 64))
+    idx.delete((0L until 64L).toSeq)
+    // the radii stage reads the staged merged data, which is a
+    // bare-_SUCCESS dir here — the explicit schema keeps it readable and
+    // the commit publishes an EMPTY generation instead of crashing
+    idx.compact()
+    assert(new java.io.File(s"$base/_radii").listFiles()
+      .count(d => d.getName.startsWith("batch=") &&
+        new java.io.File(d, "_SUCCESS").exists()) == 1)
+    assert(idx.selfJoinCellPairs(100.0).isEmpty,
+      "an all-empty index has no qualifying cell pairs")
+  }
+
   test("selfJoinWithin / rangeJoin: exact answers with cell-pair pruning") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_sj").toString
     val idx = new IvfIndex(spark, base, numCells = 8)
-    val rows0 = (0 until 800).map { i =>
-      val cl = i % 8
-      (i.toLong, Array.tabulate(16)(j => 10f * cl + ((i * 31 + j * 7) % 11).toFloat / 11f))
-    }
+    // ground truth from the SAME fixture helper the index is built from —
+    // a hand-copied formula could silently diverge from what was indexed
+    val rows0 = clusteredRows(0 until 800).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     idx.build(clusteredRows(0 until 800))
     // driver-side ground truth with VF.l2Sq's exact fold order (dims in
     // order, float -> double per element)
@@ -881,6 +940,19 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     assertThrows[IllegalArgumentException] {
       idx.rangeJoin(probes.withColumnRenamed("qid", "id"), 1.0, idCol = "id")
     }
+
+    // exceptNear: the decontamination filter is exactly probes minus the
+    // range join's matched ids, schema preserved
+    val matched = idx.rangeJoin(probes, radius = 4.0)
+      .select("qid").distinct().collect().map(_.getLong(0)).toSet
+    val kept = idx.exceptNear(probes, radius = 4.0)
+    assert(kept.columns.toSeq == Seq("qid", "qe"),
+      "survivors keep the probe frame's schema")
+    assert(kept.select("qid").collect().map(_.getLong(0)).toSet ==
+      probeIds.toSet -- matched)
+    // a far probe survives even when every near probe is contaminated
+    val farProbes = Seq((999L, Array.fill(16)(500f))).toDF("qid", "qe")
+    assert(idx.exceptNear(farProbes, radius = 4.0).count() == 1)
 
     // tombstones drop pairs immediately on both surfaces
     idx.delete(Seq(5L))

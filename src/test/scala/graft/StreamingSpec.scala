@@ -728,4 +728,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       s"retrain must not worsen skew: ${balShift.maxOverMean} -> ${balAfter.maxOverMean}")
     assert(full() == before, "full-depth answers must be preserved across the loop")
   }
+
+  test("decontaminateIngest drops near-benchmark rows; stream output equals the batch filter") {
+    import graft.functions.{TextFunctions => TF}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    // benchmark index: the first 20 docs' embeddings
+    val bench = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("id"), TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
+    val idx = new graft.store.IvfIndex(spark, tmp(), numCells = 4)
+    idx.build(bench)
+    // ingest: clean docs plus REPLAYED benchmark texts under fresh ids —
+    // exact leakage, distance 0 in embedding space regardless of id
+    val leak = docs.filter(col("doc_id") < 10)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val src = docs.filter(col("doc_id") >= 20).unionByName(leak)
+    val srcDir = tmp(); val outDir = tmp()
+    src.write.mode("overwrite").parquet(srcDir)
+    StreamOps.decontaminateIngest(spark, srcDir, idx, radius = 0.5, outDir, tmp())
+      .awaitTermination()
+    val got = spark.read.parquet(outDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // batch reference: the same anti-filter in one shot
+    val want = idx.exceptNear(
+        src.withColumn("qe", TF.hashEmbed(TF.tokens(col("text")), 64)),
+        radius = 0.5, idCol = "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, "stream output must equal the batch decontamination filter")
+    assert(got.forall(_ < 100000L), "every leaked row must be dropped")
+    assert(got.nonEmpty, "clean rows must survive")
+  }
 }
