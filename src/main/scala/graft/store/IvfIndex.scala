@@ -208,18 +208,11 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     } finally v.unpersist(): Unit
   }
 
-  /** (cell, rmax) of an assigned frame: the max PLAIN L2 distance of any
-    * row to its OWN centroid — the triangle-inequality pruning bound
-    * [[queryExact]]/[[rangeSearch]] rest on. One aggregation, output
-    * bounded by numCells rows. */
-  private def cellRadiiOf(assigned: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame = {
-    val cMap = cents.map { case (cid, c) => cid -> c.toSeq }.toMap
-    assigned
-      .withColumn("cd",
-        VF.l2Sq(col("emb"), element_at(typedlit(cMap), col("cell").cast("long"))))
-      .groupBy(col("cell").cast("long").as("cell"))
-      .agg(sqrt(max(col("cd"))).as("rmax"))
-  }
+  /** (cell, rmax) of an assigned frame — the triangle-inequality pruning
+    * bound [[queryExact]]/[[rangeSearch]] rest on
+    * ([[ExactPrune.cellRadiiFrame]], shared with the encrypted twin). */
+  private def cellRadiiOf(assigned: DataFrame, cents: Array[(Long, Array[Float])]): DataFrame =
+    ExactPrune.cellRadiiFrame(assigned, cents)
 
   private def flattenBooks(books: graft.operators.ProductQuantizer.Codebooks): Array[Float] =
     graft.operators.ProductQuantizer.flatten(books)
@@ -760,11 +753,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       cleanup = (batchDirs ++ oldRadii ++ allTsDirs).map(_.getPath).toSeq)
   }
 
-  private def l2(a: Array[Float], b: Array[Float]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-    acc
-  }
+  private def l2(a: Array[Float], b: Array[Float]): Double = ExactPrune.l2sq(a, b)
 
   // ------------------------------------------------------- hot serving
 
@@ -789,10 +778,23 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * shared on-disk state only, so serving replicas reload without any
     * invalidation channel. */
   private def hotKey(): String = {
-    val bs = StoreIO.committedBatchDirs(dataPath).map(_.getName).mkString(",")
-    val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")
-    def mt(p: String) = new java.io.File(p).lastModified()
-    s"$bs|$ts|${tombstoneHwm()}|${mt(dataPath)}|${mt(centroidPath)}"
+    // recursive listing fingerprint (part filenames carry per-write
+    // UUIDs), NOT dir mtimes: hotQueryExact couples this state with the
+    // listing-keyed radii/centroid caches, and a same-mtime-tick republish
+    // pairing fresh radii with stale resident rows would break exactness,
+    // not just freshness. Driver-side walk, no Spark job.
+    def treeFp(f: java.io.File): String = {
+      val b = new StringBuilder
+      def walk(x: java.io.File): Unit = {
+        b.append(x.getName).append(':').append(x.lastModified).append(':')
+          .append(if (x.isFile) x.length else -1L).append(';')
+        if (x.isDirectory)
+          Option(x.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+      }
+      walk(f); b.toString
+    }
+    s"${treeFp(new java.io.File(dataPath))}|${treeFp(new java.io.File(tombstonePath))}|" +
+      s"${tombstoneHwm()}|${dirFileFp(new java.io.File(centroidPath))}"
   }
 
   private def hotState(): HotState = {
@@ -801,7 +803,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     if (h == null || h.key != key) {
       // the same read [[query]] runs (whole tree + tombstone anti-join),
       // so hot and cold serve identical row sets
-      val raw = spark.read.parquet(dataPath)
+      val raw = dataTree()
       val live = tombstones().fold(raw)(ts =>
         raw.join(broadcast(ts), Seq("id"), "left_anti"))
       val hasPayload = live.columns.contains("cid") && live.columns.contains("doc")
@@ -872,24 +874,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * training quality. Returns (id, cell, distance) like [[hotQuery]]. */
   def hotQueryExact(qe: Array[Float], k: Int, probe0: Int = 4): Seq[(Long, Long, Double)] = {
     val h = hotState()
-    val cand = cellRadii() match {
-      case None => h.cents.map(_._1).toSeq
-      case Some(rm) =>
-        val ordered = h.cents
-          .map { case (cid, c) => (math.sqrt(l2(c, qe)), cid) }.sorted
-        val p0 = math.min(math.max(1, probe0), ordered.length)
-        val probed = ordered.take(p0)
-        val kth = hotScanCells(h, qe, probed.map(_._2).toSeq, k)
-        val tau =
-          if (kth.length < k) Double.PositiveInfinity
-          else math.sqrt(kth.map(_._1).max)
-        (probed ++ ordered.drop(p0).filter { case (d, cid) =>
-          rm.get(cid) match {
-            case None => false
-            case Some(r) => d - r <= tau + 1e-9
-          }
-        }).map(_._2).toSeq
-    }
+    val cand = ExactPrune.topkCells(h.cents, cellRadii(), qe, k, probe0,
+      cells => hotScanCells(h, qe, cells, k).map(_._1))
     hotScanCells(h, qe, cand, k).map { case (d, id, c) => (id, c, d) }
   }
 
@@ -1066,7 +1052,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     if (est > StoreIO.hotBudgetBytes()) return None
     // same read rule as [[query]]/[[queryQuantized]] (whole tree +
     // tombstone anti-join), so hot and cold serve identical row sets
-    val raw = spark.read.parquet(dataPath)
+    val raw = dataTree()
     val live = tombstones().fold(raw)(ts =>
       raw.join(broadcast(ts), Seq("id"), "left_anti"))
     val cells = new java.util.HashMap[java.lang.Long, Array[(Long, Array[Byte])]]()
@@ -1119,12 +1105,33 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
             include: Seq[String] = Nil): DataFrame =
     queryCells(qe, k, probeCellsOf(qe, nprobe), where, include)
 
+  /** The whole data tree as a frame — canonical-empty when no committed
+    * generation holds a single parquet footer: an all-tombstoned
+    * [[compact]] publishes a bare-_SUCCESS generation that schema
+    * inference cannot read, and an index with zero live rows must serve
+    * EMPTY answers, not AnalysisExceptions. The canonical schema carries
+    * the core columns only (a metadata `include`/`where` over a
+    * fully-purged index has nothing to bind to). Jobless driver listing;
+    * the normal path is the same whole-tree read as before. */
+  private def dataTree(): DataFrame = {
+    def hasParquet(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+        kids.exists(k => k.isDirectory && hasParquet(k))
+    }
+    if (hasParquet(new java.io.File(dataPath))) spark.read.parquet(dataPath)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id LONG, emb ARRAY<FLOAT>, codes BINARY, cell LONG"))
+  }
+
   /** The pruned live SCORED frame every cell-scan surface shares
     * ([[queryCells]], [[rangeSearch]]): partition-pruned scan of `cells`,
     * tombstone anti-join, metadata predicate, SQUARED L2 distance. */
   private def scoredCells(qe: Array[Float], cells: Seq[Long],
                           where: Option[Column]): DataFrame = {
-    val pruned = spark.read.parquet(dataPath)
+    val pruned = dataTree()
       .filter(col("cell").isin(cells: _*)) // partition pruning, not a row filter
     // pending deletes stop being served IMMEDIATELY: anti-join the (small,
     // broadcast) tombstone set — zero plan change while none are pending
@@ -1196,29 +1203,12 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * candidate (still exact, nothing pruned). Package-private for the
     * pruning specs and the stress harness. */
   private[graft] def exactCandidateCells(qe: Array[Float], k: Int,
-      probe0: Int, where: Option[Column] = None): Seq[Long] = {
-    val ordered = centroids()
-      .map { case (cid, c) => (math.sqrt(l2(c, qe)), cid) }.sorted
-    val p0 = math.min(math.max(1, probe0), ordered.length)
-    val probed = ordered.take(p0)
-    cellRadii() match {
-      case None => ordered.map(_._2).toSeq // no sound bound — scan all
-      case Some(rm) =>
-        // τ: the kth match distance within the probed cells (∞ when they
-        // hold fewer than k matches — then nothing prunes); a k-row collect
-        val kth = queryCells(qe, k, probed.map(_._2).toSeq, where)
-          .select("distance").collect().map(_.getDouble(0))
-        val tau =
-          if (kth.length < k) Double.PositiveInfinity else math.sqrt(kth.max)
-        val rest = ordered.drop(p0).filter { case (d, cid) =>
-          rm.get(cid) match {
-            case None => false // no batch ever landed a row in this cell
-            case Some(r) => d - r <= tau + 1e-9
-          }
-        }
-        (probed ++ rest).map(_._2).toSeq
-    }
-  }
+      probe0: Int, where: Option[Column] = None): Seq[Long] =
+    // τ: the kth match distance within the probed cells (∞ when they hold
+    // fewer than k matches — then nothing prunes); a k-row collect
+    ExactPrune.topkCells(centroids(), cellRadii(), qe, k, probe0,
+      cells => queryCells(qe, k, cells, where)
+        .select("distance").collect().map(_.getDouble(0)).toSeq)
 
   /** EXACT top-k by squared L2 — brute-force answers at pruned-probe
     * cost. Two passes: probe the `probe0` nearest cells, then rescan the
@@ -1244,18 +1234,8 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   /** The cells a range probe must scan: centroid lower bound within
     * `radius` (every cell when no radii metadata exists). Package-private
     * for the pruning specs and the stress harness. */
-  private[graft] def rangeCandidateCells(qe: Array[Float], radius: Double): Seq[Long] = {
-    val rm = cellRadii()
-    centroids().filter { case (cid, c) =>
-      rm match {
-        case None => true
-        case Some(m) => m.get(cid) match {
-          case None => false // cell has no rows in any batch
-          case Some(r) => math.sqrt(l2(c, qe)) - r <= radius + 1e-9
-        }
-      }
-    }.map(_._1).toSeq
-  }
+  private[graft] def rangeCandidateCells(qe: Array[Float], radius: Double): Seq[Long] =
+    ExactPrune.rangeCells(centroids(), cellRadii(), qe, radius)
 
   def rangeSearch(qe: Array[Float], radius: Double,
                   where: Option[Column] = None,
@@ -1277,26 +1257,15 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * nothing pruned); cells with no rows in any batch drop. numCells²/2
     * driver arithmetic over already-cached metadata. Package-private for
     * the pruning specs and the stress harness. */
-  private[graft] def selfJoinCellPairs(radius: Double): Seq[(Long, Long)] = {
-    val cs = centroids().toSeq
-    cellRadii() match {
-      case None =>
-        for { a <- cs; b <- cs; if a._1 <= b._1 } yield (a._1, b._1)
-      case Some(rm) =>
-        for {
-          a <- cs; ra <- rm.get(a._1).toSeq
-          b <- cs; if a._1 <= b._1; rb <- rm.get(b._1).toSeq
-          if math.sqrt(l2(a._2, b._2)) - ra - rb <= radius + 1e-9
-        } yield (a._1, b._1)
-    }
-  }
+  private[graft] def selfJoinCellPairs(radius: Double): Seq[(Long, Long)] =
+    ExactPrune.cellPairs(centroids(), cellRadii(), radius)
 
   /** One narrow live side of the range joins: (id, cell, emb) after
     * tombstones and the metadata predicate (applied on the FULL row like
     * [[query]]'s `where`, then pruned to the join columns — Catalyst
     * pushes the projection into the scan). */
   private def liveNarrow(where: Option[Column]): DataFrame = {
-    val full = spark.read.parquet(dataPath)
+    val full = dataTree()
     val live = tombstones().fold(full)(ts =>
       full.join(broadcast(ts), Seq("id"), "left_anti"))
     where.foldLeft(live)(_ filter _)
@@ -1318,9 +1287,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   def selfJoinWithin(radius: Double, where: Option[Column] = None): DataFrame = {
     require(radius >= 0.0, "radius must be non-negative")
     import spark.implicits._
-    val orient = selfJoinCellPairs(radius).flatMap { case (a, b) =>
-      if (a == b) Seq((a, b)) else Seq((a, b), (b, a)) }
-    val pairs = orient.toDF("ca", "cb")
+    val pairs = ExactPrune.orient(selfJoinCellPairs(radius)).toDF("ca", "cb")
     def side(tag: String) = liveNarrow(where).select(
       col("id").as(s"id_$tag"), col("cell").as(s"cell_$tag"),
       col("emb").as(s"emb_$tag"))
@@ -1411,7 +1378,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private def codesShortlistImpl(score: Column, cells: Seq[Long],
                                  shortlist: Int,
                                  where: Option[Column]): DataFrame = {
-    val pruned = spark.read.parquet(dataPath)
+    val pruned = dataTree()
       .filter(col("cell").isin(cells: _*))
     val base = tombstones().fold(pruned)(ts =>
       pruned.join(broadcast(ts), Seq("id"), "left_anti"))
@@ -1450,7 +1417,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private def exactRerank(qe: Array[Float], cells: Seq[Long],
                           shortIds: Seq[Long], k: Int,
                           where: Option[Column], include: Seq[String]): DataFrame = {
-    val pruned = spark.read.parquet(dataPath)
+    val pruned = dataTree()
       .filter(col("cell").isin(cells: _*))
       .filter(col("id").isin(shortIds: _*))
     val base = tombstones().fold(pruned)(ts =>
@@ -1507,7 +1474,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
           VF.pqAdcPair(col("codes"), col("qlut"), IvfIndex.PqK))
     }
     def livePruned() = {
-      val pruned = spark.read.parquet(dataPath)
+      val pruned = dataTree()
         .filter(col("cell").isin(unionCells: _*))
       tombstones().fold(pruned)(ts =>
         pruned.join(broadcast(ts), Seq("id"), "left_anti"))
@@ -1593,7 +1560,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       val unionCells = probeCells.select("cell").distinct()
         .collect().map(_.getLong(0)).toSeq
       def livePruned() = {
-        val pruned = spark.read.parquet(dataPath)
+        val pruned = dataTree()
           .filter(col("cell").cast("long").isin(unionCells: _*))
         tombstones().fold(pruned)(ts =>
           pruned.join(broadcast(ts), Seq("id"), "left_anti"))
@@ -1662,7 +1629,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .toDF("probe_id", "qe", "probe_cells")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-    val pruned = spark.read.parquet(dataPath)
+    val pruned = dataTree()
       .filter(col("cell").isin(unionCells: _*))
     val base = tombstones().fold(pruned)(ts =>
       pruned.join(broadcast(ts), Seq("id"), "left_anti"))
@@ -1674,5 +1641,115 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       .filter(col("rn") <= k)
       .select(col("probe_id"), col("id"), col("cell").cast("long").as("cell"),
         col("distance"), col("rn"))
+  }
+}
+
+/**
+ * ONE copy of the triangle-inequality candidate geometry the exact
+ * surfaces rest on — the plaintext ([[IvfIndex.queryExact]]), encrypted
+ * ([[EncryptedStore.queryIndexedExact]]), and hot
+ * ([[IvfIndex.hotQueryExact]]) twins all pin bit-equality contracts that
+ * depend on the SAME epsilon, probe clamp, τ convention, and
+ * missing-radii fallback; a per-copy tweak would silently break parity,
+ * so the copies don't exist.
+ */
+private[store] object ExactPrune {
+  /** Pruning slack: strict float-boundary pruning could drop a row whose
+    * driver-side bound lands within rounding of the threshold. */
+  val Eps = 1e-9
+
+  def l2sq(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Cells ordered by PLAIN centroid distance: (distance, cell) asc. */
+  def orderedCells(cents: Array[(Long, Array[Float])],
+                   qe: Array[Float]): Seq[(Double, Long)] =
+    cents.map { case (cid, c) => (math.sqrt(l2sq(c, qe)), cid) }.sorted.toSeq
+
+  def clampProbe(probe0: Int, numCells: Int): Int =
+    math.min(math.max(1, probe0), numCells)
+
+  /** τ from the probed cells' top-k SQUARED distances: ∞ when they hold
+    * fewer than k matches (nothing prunes) — including k <= 0, where a
+    * strict `length < k` comparison would take max of an empty list. */
+  def tauOf(kthSquared: Seq[Double], k: Int): Double =
+    if (kthSquared.isEmpty || kthSquared.length < k) Double.PositiveInfinity
+    else math.sqrt(kthSquared.max)
+
+  /** The unprobed cells whose lower bound d(q, centroid) − r_cell does
+    * not beat τ — every dropped cell provably holds no top-k candidate.
+    * Cells absent from `rm` never landed a row and drop. */
+  def survivors(rest: Seq[(Double, Long)], rm: Map[Long, Double],
+                tau: Double): Seq[Long] =
+    rest.filter { case (d, cid) => rm.get(cid).exists(r => d - r <= tau + Eps) }
+      .map(_._2)
+
+  /** The full exact-top-k candidate cell set (probed ++ survivors);
+    * `tauScan(cells)` returns the probed cells' top-k SQUARED distances. */
+  def topkCells(cents: Array[(Long, Array[Float])], rm: Option[Map[Long, Double]],
+                qe: Array[Float], k: Int, probe0: Int,
+                tauScan: Seq[Long] => Seq[Double]): Seq[Long] = {
+    val ordered = orderedCells(cents, qe)
+    rm match {
+      case None => ordered.map(_._2) // no sound bound — scan all
+      case Some(m) =>
+        val p0 = clampProbe(probe0, ordered.length)
+        val probed = ordered.take(p0).map(_._2)
+        val tau = tauOf(tauScan(probed), k)
+        probed ++ survivors(ordered.drop(p0), m, tau)
+    }
+  }
+
+  /** The cells a range probe must scan: centroid lower bound within
+    * `radius` (every cell when no radii metadata exists). */
+  def rangeCells(cents: Array[(Long, Array[Float])], rm: Option[Map[Long, Double]],
+                 qe: Array[Float], radius: Double): Seq[Long] =
+    cents.filter { case (cid, c) =>
+      rm match {
+        case None => true
+        case Some(m) =>
+          m.get(cid).exists(r => math.sqrt(l2sq(c, qe)) - r <= radius + Eps)
+      }
+    }.map(_._1).toSeq
+
+  /** Qualifying UNORDERED cell pairs (a ≤ b) of a radius self-join: rows
+    * x ∈ a, y ∈ b can satisfy d(x, y) ≤ radius only if
+    * d(μa, μb) − r_a − r_b ≤ radius (triangle inequality through BOTH
+    * centroids). No radii → every pair. */
+  def cellPairs(cents: Array[(Long, Array[Float])], rm: Option[Map[Long, Double]],
+                radius: Double): Seq[(Long, Long)] = {
+    val cs = cents.toSeq
+    rm match {
+      case None =>
+        for { a <- cs; b <- cs; if a._1 <= b._1 } yield (a._1, b._1)
+      case Some(m) =>
+        for {
+          a <- cs; ra <- m.get(a._1).toSeq
+          b <- cs; if a._1 <= b._1; rb <- m.get(b._1).toSeq
+          if math.sqrt(l2sq(a._2, b._2)) - ra - rb <= radius + Eps
+        } yield (a._1, b._1)
+    }
+  }
+
+  /** Both orientations of the unordered pairs, so the id_l < id_r output
+    * convention never drops a cross-cell pair. */
+  def orient(pairs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    pairs.flatMap { case (a, b) => if (a == b) Seq((a, b)) else Seq((a, b), (b, a)) }
+
+  /** (cell, rmax) of an ASSIGNED frame: the max PLAIN L2 of any row to
+    * its OWN centroid — one narrow aggregation, numCells output rows;
+    * the write-side producer of the radii both twins' sidecars store
+    * (the encrypted twin encrypts the rmax column before landing it). */
+  def cellRadiiFrame(assigned: DataFrame,
+                     cents: Array[(Long, Array[Float])]): DataFrame = {
+    val cMap = cents.map { case (cid, c) => cid -> c.toSeq }.toMap
+    assigned
+      .withColumn("cd",
+        VF.l2Sq(col("emb"), element_at(typedlit(cMap), col("cell").cast("long"))))
+      .groupBy(col("cell").cast("long").as("cell"))
+      .agg(sqrt(max(col("cd"))).as("rmax"))
   }
 }

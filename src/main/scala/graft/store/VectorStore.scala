@@ -1006,10 +1006,25 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     // never served (flat layouts have no batch dirs and read whole-tree —
     // they are swapped atomically)
     val batchDirs = StoreIO.committedBatchDirs(path(name))
+    def hasParquet(f: java.io.File): Boolean = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+        kids.exists(k => k.isDirectory && hasParquet(k))
+    }
     val raw =
       if (batchDirs.isEmpty) spark.read.parquet(path(name))
-      else spark.read.option("basePath", path(name))
-        .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
+      else if (batchDirs.exists(hasParquet))
+        spark.read.option("basePath", path(name))
+          .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
+      else
+        // an all-tombstoned compact publishes a bare-_SUCCESS batch=0 —
+        // no footer to infer from, and a fully-purged collection must
+        // serve EMPTY answers, not AnalysisExceptions
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id STRING, cell LONG, doc_ct BINARY, emb_ct BINARY, " +
+              "codes_ct BINARY, batch LONG"))
     encTombstones(name).fold(raw)(ts =>
       raw.join(broadcast(ts), Seq("id"), "left_anti"))
   }
@@ -1164,15 +1179,9 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * narrow aggregation over rows the writer (key holder) already has in
     * plaintext. */
   private def encCellRadii(assigned: DataFrame,
-                           cents: Array[(Long, Array[Float])]): DataFrame = {
-    val cMap = cents.map { case (cid, c) => cid -> c.toSeq }.toMap
-    assigned
-      .withColumn("cd",
-        VF.l2Sq(col("emb"), element_at(typedlit(cMap), col("cell").cast("long"))))
-      .groupBy(col("cell").cast("long").as("cell"))
-      .agg(sqrt(max(col("cd"))).as("rmax"))
+                           cents: Array[(Long, Array[Float])]): DataFrame =
+    ExactPrune.cellRadiiFrame(assigned, cents)
       .select(col("cell"), encrypt(col("rmax")).as("rmax_ct"))
-  }
 
   /** The reference's CORE promise — encrypted vector SEARCH, not just
     * encrypted vector storage (cyborgdb_store.py:1-11 markets exactly
@@ -1529,38 +1538,43 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       k: Int, probe0: Int): Seq[Long] = {
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    val ordered = cents
-      .map { case (cid, c) => (math.sqrt(encL2sq(c, queryEmb)), cid) }.sorted
-    val p0 = math.min(math.max(1, probe0), ordered.length)
-    val probed = ordered.take(p0)
-    encRadiiOf(name) match {
-      case None => ordered.map(_._2).toSeq // no sound bound — decrypt all
-      case Some(rm) =>
-        val kth = encQueryCells(name, queryEmb, k, probed.map(_._2).toSeq)
-          .select("distance").collect().map(_.getDouble(0))
-        val tau =
-          if (kth.length < k) Double.PositiveInfinity else math.sqrt(kth.max)
-        val rest = ordered.drop(p0).filter { case (d, cid) =>
-          rm.get(cid) match {
-            case None => false // no generation ever landed a row here
-            case Some(r) => d - r <= tau + 1e-9
-          }
-        }
-        (probed ++ rest).map(_._2).toSeq
-    }
+    ExactPrune.topkCells(cents, encRadiiOf(name), queryEmb, k, probe0,
+      cells => encQueryCells(name, queryEmb, k, cells)
+        .select("distance").collect().map(_.getDouble(0)).toSeq)
   }
 
   /** EXACT top-k on ciphertext — brute-force answers at pruned-DECRYPT
     * cost, [[graft.store.IvfIndex.queryExact]]'s encrypted twin. Where
     * the plaintext win is scan bytes, here it is AES-GCM work: only the
-    * candidate cells' rows decrypt, and the candidate set provably
-    * contains the exact answer. Independent of training quality (unlike
-    * [[queryIndexed]] at partial nprobe); a pre-radii store degrades to
-    * the full decrypt — still exact. Same output as [[queryIndexed]]. */
+    * candidate cells' rows decrypt, the candidate set provably contains
+    * the exact answer, and the probed cells' ciphertext decrypts ONCE —
+    * the τ probe's k collected rows are reused as the head start the
+    * surviving-cell scan unions with, instead of re-decrypting the
+    * (typically densest) probed cells a second time. Independent of
+    * training quality (unlike [[queryIndexed]] at partial nprobe); a
+    * pre-radii store degrades to the full decrypt — still exact. Same
+    * output as [[queryIndexed]]. */
   def queryIndexedExact(name: String, queryEmb: Array[Float], k: Int,
-                        probe0: Int = 4): DataFrame =
-    encQueryCells(name, queryEmb, k,
-      encExactCandidateCells(name, queryEmb, k, probe0))
+                        probe0: Int = 4): DataFrame = {
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val ordered = ExactPrune.orderedCells(cents, queryEmb)
+    encRadiiOf(name) match {
+      case None => encQueryCells(name, queryEmb, k, ordered.map(_._2))
+      case Some(rm) =>
+        val p0 = ExactPrune.clampProbe(probe0, ordered.length)
+        val probed = ordered.take(p0).map(_._2)
+        val probeDf = encQueryCells(name, queryEmb, k, probed)
+        val top = probeDf.collect()
+        val tau = ExactPrune.tauOf(top.map(_.getDouble(2)).toSeq, k)
+        val rest = ExactPrune.survivors(ordered.drop(p0), rm, tau)
+        val topDf = spark.createDataFrame(
+          java.util.Arrays.asList(top: _*), probeDf.schema)
+        if (rest.isEmpty) topDf
+        else topDf.union(encQueryCells(name, queryEmb, k, rest))
+          .orderBy(asc("distance"), asc("id")).limit(k)
+    }
+  }
 
   /** The cells an encrypted range probe must decrypt: centroid lower
     * bound within `radius` (every cell without radii metadata). */
@@ -1568,16 +1582,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
                                             radius: Double): Seq[Long] = {
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    val rm = encRadiiOf(name)
-    cents.filter { case (cid, c) =>
-      rm match {
-        case None => true
-        case Some(m) => m.get(cid) match {
-          case None => false
-          case Some(r) => math.sqrt(encL2sq(c, queryEmb)) - r <= radius + 1e-9
-        }
-      }
-    }.map(_._1).toSeq
+    ExactPrune.rangeCells(cents, encRadiiOf(name), queryEmb, radius)
   }
 
   /** EXACT range search on ciphertext: every live row within PLAIN L2
@@ -1608,19 +1613,8 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     import spark.implicits._
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    val rm = encRadiiOf(name)
-    val pairs = rm match {
-      case None =>
-        for { a <- cents.toSeq; b <- cents.toSeq; if a._1 <= b._1 } yield (a._1, b._1)
-      case Some(m) =>
-        for {
-          a <- cents.toSeq; ra <- m.get(a._1).toSeq
-          b <- cents.toSeq; if a._1 <= b._1; rb <- m.get(b._1).toSeq
-          if math.sqrt(encL2sq(a._2, b._2)) - ra - rb <= radius + 1e-9
-        } yield (a._1, b._1)
-    }
-    val orient = pairs.flatMap { case (a, b) =>
-      if (a == b) Seq((a, b)) else Seq((a, b), (b, a)) }
+    val orient = ExactPrune.orient(
+      ExactPrune.cellPairs(cents, encRadiiOf(name), radius))
     val cellsInvolved = orient.map(_._1).distinct
     val dec = liveRaw(name)
       .filter(col("cell").isin(cellsInvolved: _*))
@@ -1796,11 +1790,8 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       storeIndexed(live, name, numCells, kind, m)
     }
 
-  private def encL2sq(a: Array[Float], b: Array[Float]): Double = {
-    var acc = 0.0; var i = 0
-    while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
-    acc
-  }
+  private def encL2sq(a: Array[Float], b: Array[Float]): Double =
+    ExactPrune.l2sq(a, b)
 
   private def encProbeCells(cents: Array[(Long, Array[Float])],
                             probes: Seq[(Long, Array[Float])],

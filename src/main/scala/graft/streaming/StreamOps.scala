@@ -312,10 +312,15 @@ object StreamOps {
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // one evaluation of the tokenize+embed lineage: exceptNear uses
+        // the frame as BOTH the candidate-join side and the anti-join
+        // left side (the appendBatch one-evaluation discipline)
         val emb = batch.withColumn("qe", TF.hashEmbed(TF.tokens(col("text")), dim))
-        index.exceptNear(emb, radius, idCol = "doc_id", vecCol = "qe")
+          .persist()
+        try index.exceptNear(emb, radius, idCol = "doc_id", vecCol = "qe")
           .drop("qe")
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+        finally emb.unpersist(): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -439,4 +439,18 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     assert(got(es2.queryIndexedExact("c", qe, k = 10, probe0 = 1)) ==
       got(es2.queryIndexed("c", qe, k = 10, nprobe = 6)))
   }
+
+  test("GDPR purge-everything: an all-tombstoned compact leaves a SERVING empty store") {
+    val es = new EncryptedStore(spark, tmp("enc_purge"), Key)
+    es.storeIndexed(rowsOf(1 to 60), "c", numCells = 4)
+    es.delete("c", (1 to 60).map(i => s"id$i"))
+    es.compact("c") // physical purge of every row
+    val qe = probe(5)
+    assert(es.queryIndexed("c", qe, k = 3, nprobe = 4).isEmpty,
+      "a fully-purged collection must serve empty answers, not crash")
+    assert(es.queryIndexedExact("c", qe, k = 3, probe0 = 1).isEmpty)
+    assert(es.rangeSearchIndexed("c", qe, radius = 100.0).isEmpty)
+    assert(es.selfJoinIndexed("c", radius = 100.0).isEmpty)
+    assert(es.extractSecure("c").isEmpty)
+  }
 }

@@ -843,6 +843,10 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       sparkRows(idx.queryExact(qe, 10, probe0 = 1)))
     assert(idx.hotRangeSearch(qe, 2.0) == sparkRows(idx.rangeSearch(qe, 2.0)))
     assert(idx.hotRangeSearch(qe, 2.0).nonEmpty)
+    // k = 0 returns empty like every other surface (τ over zero probed
+    // matches must not take max of an empty list)
+    assert(idx.hotQueryExact(qe, k = 0, probe0 = 1).isEmpty)
+    assert(idx.queryExact(qe, k = 0, probe0 = 1).isEmpty)
 
     // appended mass outside every build-time radius: the hot tier reloads
     // (publish fingerprint) and the radii extension keeps it reachable
@@ -887,6 +891,18 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
         new java.io.File(d, "_SUCCESS").exists()) == 1)
     assert(idx.selfJoinCellPairs(100.0).isEmpty,
       "an all-empty index has no qualifying cell pairs")
+    // the purged index SERVES — empty answers, not AnalysisExceptions
+    // from the footerless merged generation
+    val qe = Array.fill(16)(0f)
+    assert(idx.query(qe, k = 3, nprobe = 4).isEmpty)
+    assert(idx.queryExact(qe, k = 3, probe0 = 1).isEmpty)
+    assert(idx.rangeSearch(qe, radius = 100.0).isEmpty)
+    assert(idx.selfJoinWithin(100.0).isEmpty)
+    assert(idx.hotQuery(qe, k = 3, nprobe = 4).isEmpty)
+    assert(idx.hotQueryExact(qe, k = 3, probe0 = 1).isEmpty)
+    import spark.implicits._
+    assert(idx.exceptNear(Seq((1L, Array.fill(16)(0f))).toDF("qid", "qe"),
+      radius = 100.0).count() == 1, "nothing to collide with -> probe survives")
   }
 
   test("selfJoinWithin / rangeJoin: exact answers with cell-pair pruning") {
