@@ -60,6 +60,14 @@ object SearchQueries {
   val NearK = 10
   val ShortlistK = 20
 
+  /** q_boolean's clauses — all corpus-frequent tokens, so every clause
+    * (MUST membership, SHOULD scoring, MUST_NOT exclusion) does real work
+    * at every fixture scale. Shared with the oracle SQL. */
+  val BoolMust: Seq[String] = Seq("table")
+  val BoolShould: Seq[String] = Seq("vector", "stream")
+  val BoolNot: Seq[String] = Seq("hash")
+  val BoolK = 10
+
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
     * sum so the oracle can add in the identical order. idf/avgdl arrive as
     * driver literals (index metadata); tf/dl are per-row. Each term's tf is
@@ -461,6 +469,57 @@ object SearchQueries {
            |          WHERE abs(a.pa - b.pb) <= $NearWindow)
            |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs
            |FROM pairs GROUP BY doc_id ORDER BY n_pairs DESC, doc_id LIMIT $NearK""".stripMargin
+      }),
+
+    // Ranked BOOLEAN retrieval over the disk inverted index — Lucene's
+    // MUST / SHOULD / MUST_NOT model, the filter layer every search box
+    // composes with ranking: result docs contain every MUST term and no
+    // MUST_NOT term, ranked by q_text_index's exact quantized BM25 over
+    // the present scoring (MUST ++ SHOULD) terms. ONE bucket+term-pruned
+    // scan over all three clauses' terms feeds the score sum, the MUST
+    // membership count, and the MUST_NOT exclusion set; every frame is
+    // df-bounded by the QUERIED terms, every join keyed on doc_id. The
+    // oracle replays the same quantized pipeline and applies the clause
+    // predicates on the token arrays.
+    Q(
+      "q_boolean",
+      "boolean retrieval (MUST/SHOULD/MUST_NOT) with quantized BM25 ranking",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx_bq").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.booleanQuery(BoolMust, BoolShould, BoolNot, BoolK)
+      },
+      Some {
+        val scoreTerms = (BoolMust ++ BoolShould).distinct
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val idfCase = scoreTerms.map { t =>
+          val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+          val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+          s"WHEN term = '$t' THEN $idf"
+        }.mkString("CASE ", " ", " END")
+        val termList = scoreTerms.map(t => s"'$t'").mkString(", ")
+        val mustPred = BoolMust.map(t => s"list_contains(d.toks, '$t')").mkString(" AND ")
+        val notPred = BoolNot.map(t => s"NOT list_contains(d.toks, '$t')").mkString(" AND ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |       FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+           |c AS (SELECT doc_id, dl,
+           |        CAST(round(($idfCase) *
+           |          ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+           |           (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+           |          * 1048576.0) AS BIGINT) AS cq
+           |      FROM tf),
+           |q AS (SELECT doc_id, dl, CAST(sum(cq) AS BIGINT) AS sq
+           |      FROM c GROUP BY doc_id, dl),
+           |f AS (SELECT q.doc_id, q.dl, q.sq FROM q JOIN d ON q.doc_id = d.doc_id
+           |      WHERE $mustPred AND $notPred)
+           |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
+           |FROM f ORDER BY sq DESC, doc_id LIMIT $BoolK""".stripMargin
       }),
 
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine

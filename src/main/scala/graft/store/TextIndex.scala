@@ -866,13 +866,13 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .limit(k)
   }
 
-  /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
-    * postings read carries BOTH the bucket filter (partition pruning —
-    * only the terms' bucket dirs are listed, in every batch) and the term
-    * filter (row-group pruning within); the only shuffle is the per-doc
-    * sum over matching postings. Corpus stats sum exactly across batches.
-    * Returns (doc_id, dl, bm25q) ordered by the exact integer score. */
-  def query(terms: Seq[String], k: Int): DataFrame = {
+  /** (live n, avgdl, tombstones) with pending-delete corrections — the
+    * corpus-stat head every ranked query shares. Pending deletes correct
+    * EVERY stat the score depends on, so a post-delete query is bit-equal
+    * to one over a freshly rebuilt index: n / sum_dl shrink by the
+    * tombstone rows (they carry dl); correction inputs are bounded by
+    * deletes-since-last-compact. */
+  private def liveCorpusStats(): (Long, Double, Option[DataFrame]) = {
     // an unbuilt path or a stats tree with zero committed rows would
     // otherwise NPE on the NULL sum and divide into a NaN avgdl — fail
     // with a diagnosable message instead
@@ -883,14 +883,6 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     require(!st.isNullAt(0) && st.getLong(0) > 0,
       s"TextIndex at $path indexes zero documents — build() over a non-empty corpus first")
     val ts = tombstones()
-    // pending deletes correct EVERY stat the score depends on, so a
-    // post-delete query is bit-equal to one over a freshly rebuilt index:
-    //  - n / sum_dl shrink by the tombstone rows (they carry dl);
-    //  - df of each QUERIED term shrinks by its tombstoned postings —
-    //    counted inside the same bucket+term-pruned scan the scoring uses;
-    //  - tombstoned postings drop from the scored scan (anti-join).
-    // All correction inputs are bounded by deletes-since-last-compact; the
-    // zero-pending path is byte-identical to the original plan.
     val (dead, deadDl) = ts match {
       case None => (0L, 0L)
       case Some(t) =>
@@ -899,13 +891,27 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     }
     val n = st.getLong(0) - dead
     require(n > 0, s"TextIndex at $path has zero live documents — every doc is tombstoned")
-    val avgdl = (st.getLong(1) - deadDl).toDouble / n.toDouble
+    (n, (st.getLong(1) - deadDl).toDouble / n.toDouble, ts)
+  }
+
+  /** Bucket+term-pruned postings scan: the bucket filter is partition
+    * pruning (only the terms' bucket dirs are listed, in every batch), the
+    * term filter prunes row groups within. */
+  private def prunedPostingsOf(terms: Seq[String]): DataFrame = {
     val buckets = terms.map(bucketOf).distinct
-    def prunedPostings: DataFrame = spark.read.parquet(postingsPath)
+    spark.read.parquet(postingsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+  }
+
+  /** idf per term with the tombstone df correction: df of each QUERIED
+    * term shrinks by its tombstoned postings — counted inside the same
+    * bucket+term-pruned scan the scoring uses. */
+  private def idfMapOf(terms: Seq[String], n: Long,
+                       ts: Option[DataFrame]): Map[String, Double] = {
+    val buckets = terms.map(bucketOf).distinct
     val deadDf: Map[String, Long] = ts match {
       case None => Map.empty
-      case Some(t) => prunedPostings
+      case Some(t) => prunedPostingsOf(terms)
         .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_semi")
         .groupBy("term").agg(count(lit(1)).as("ddf"))
         .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("ddf")).toMap
@@ -914,24 +920,147 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
-    val idf: Map[String, Double] = terms.map { t =>
+    terms.map { t =>
       val df = (dfMap.getOrElse(t, 0L) - deadDf.getOrElse(t, 0L)).toDouble
       t -> math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
     }.toMap
+  }
+
+  /** The quantized per-posting contribution — ONE expression tree shared
+    * by [[query]] and [[booleanQuery]] (and mirrored op-for-op by the hot
+    * tier), so every ranked surface scores identically. */
+  private def cqColumn(idf: Map[String, Double], avgdl: Double): org.apache.spark.sql.Column = {
     val tf = col("tf").cast("double")
     val contrib = element_at(typedlit(idf), col("term")) *
       ((tf * lit(K1 + 1.0)) /
         (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
-    val scored = ts match {
-      case None => prunedPostings
-      case Some(t) => prunedPostings
-        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
-    }
+    round(contrib * lit(Scale.toDouble)).cast("long")
+  }
+
+  private def rankedResult(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("cq", round(contrib * lit(Scale.toDouble)).cast("long"))
       .groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq"))
       .orderBy(desc("sq"), asc("doc_id")).limit(k)
       .select(col("doc_id"), col("dl"),
         round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"))
+
+  /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
+    * only shuffle is the per-doc sum over the pruned matching postings
+    * ([[prunedPostingsOf]]). Corpus stats sum exactly across batches;
+    * tombstoned postings drop from the scored scan (anti-join); the
+    * zero-pending path is byte-identical to the original plan.
+    * Returns (doc_id, dl, bm25q) ordered by the exact integer score. */
+  def query(terms: Seq[String], k: Int): DataFrame = {
+    val (n, avgdl, ts) = liveCorpusStats()
+    val idf = idfMapOf(terms, n, ts)
+    val scored = ts match {
+      case None => prunedPostingsOf(terms)
+      case Some(t) => prunedPostingsOf(terms)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    rankedResult(scored.withColumn("cq", cqColumn(idf, avgdl)), k)
+  }
+
+  /** Ranked BOOLEAN retrieval — Lucene's MUST / SHOULD / MUST_NOT model,
+    * the filter layer every search box composes with ranking:
+    *   - a result doc contains EVERY `must` term and NO `mustNot` term;
+    *   - docs rank by [[query]]'s exact quantized BM25 over the present
+    *     `must` ++ `should` terms (the scoring terms);
+    *   - with no `must` terms, matching ≥1 `should` term is implied (a
+    *     doc with no scoring posting never enters the sum).
+    * Same output and arithmetic as [[query]] — `booleanQuery(Nil, terms)`
+    * IS `query(terms)` (spec-pinned).
+    *
+    * Scale shape: ONE bucket+term-pruned scan over all three clauses'
+    * terms feeds the score sum, the MUST membership count, and the
+    * MUST_NOT exclusion set — every frame df-bounded by the QUERIED
+    * terms (the q/numBuckets contract), every join keyed on doc_id,
+    * nothing corpus-sized and nothing on the driver. MUST semantics use
+    * countDistinct(term) == |must| over the live postings, so pending
+    * deletes are honored by the same anti-join as scoring. */
+  def booleanQuery(must: Seq[String], should: Seq[String] = Nil,
+                   mustNot: Seq[String] = Nil, k: Int = 10): DataFrame = {
+    val m = must.distinct; val s = should.distinct; val x = mustNot.distinct
+    require(m.nonEmpty || s.nonEmpty,
+      "boolean query needs at least one MUST or SHOULD term")
+    require((m ++ s).intersect(x).isEmpty,
+      s"terms ${ (m ++ s).intersect(x).mkString(", ") } are both scored and MUST_NOT")
+    val scoreTerms = (m ++ s).distinct
+    val (n, avgdl, ts) = liveCorpusStats()
+    val idf = idfMapOf(scoreTerms, n, ts)
+    val base = ts match {
+      case None => prunedPostingsOf(scoreTerms ++ x)
+      case Some(t) => prunedPostingsOf(scoreTerms ++ x)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    var scored = base.filter(col("term").isin(scoreTerms: _*))
+      .withColumn("cq", cqColumn(idf, avgdl))
+    if (m.nonEmpty) {
+      val mustDocs = base.filter(col("term").isin(m: _*))
+        .groupBy("doc_id").agg(countDistinct(col("term")).as("nm"))
+        .filter(col("nm") === m.length).select("doc_id")
+      scored = scored.join(mustDocs, Seq("doc_id"), "left_semi")
+    }
+    if (x.nonEmpty)
+      scored = scored.join(
+        base.filter(col("term").isin(x: _*)).select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti")
+    rankedResult(scored, k)
+  }
+
+  /** [[booleanQuery]] from the classic one-line syntax: `+term` is MUST,
+    * `-term` is MUST_NOT, a bare term is SHOULD ("+table stream -hash").
+    * Terms must already be tokenizer-normalized (the index stores what
+    * [[graft.functions.TextFunctions.tokens]] produced). */
+  def booleanQueryString(q: String, k: Int = 10): DataFrame = {
+    val toks = q.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    booleanQuery(
+      toks.filter(_.startsWith("+")).map(_.drop(1)),
+      toks.filterNot(t => t.startsWith("+") || t.startsWith("-")),
+      toks.filter(_.startsWith("-")).map(_.drop(1)), k)
+  }
+
+  /** [[booleanQuery]] served from the resident tier — [[hotQuery]]'s sum
+    * loop over the pre-quantized postings plus membership predicates from
+    * the same loaded lists (a doc qualifies iff every MUST term's posting
+    * set contains it and no MUST_NOT term's does); tombstoned docs are
+    * excluded at load, so hot and cold answers are bit-equal
+    * (spec-pinned). Zero Spark jobs warm. */
+  def hotBooleanQuery(must: Seq[String], should: Seq[String] = Nil,
+                      mustNot: Seq[String] = Nil, k: Int = 10): Seq[(Long, Int, Double)] = {
+    val m = must.distinct; val s = should.distinct; val x = mustNot.distinct
+    require(m.nonEmpty || s.nonEmpty,
+      "boolean query needs at least one MUST or SHOULD term")
+    require((m ++ s).intersect(x).isEmpty,
+      s"terms ${ (m ++ s).intersect(x).mkString(", ") } are both scored and MUST_NOT")
+    val h = hotState()
+    val mustSets: Seq[scala.collection.mutable.HashSet[Long]] = m.map { t =>
+      val set = new scala.collection.mutable.HashSet[Long]()
+      hotTerm(h, t).docIds.foreach(set.add)
+      set
+    }
+    val notSet = new scala.collection.mutable.HashSet[Long]()
+    x.foreach(t => hotTerm(h, t).docIds.foreach(notSet.add))
+    val sums = new scala.collection.mutable.LongMap[Long]()
+    val dlOf = new scala.collection.mutable.LongMap[Int]()
+    (m ++ s).distinct.map(t => hotTerm(h, t)).foreach { tp =>
+      var i = 0
+      while (i < tp.docIds.length) {
+        val doc = tp.docIds(i)
+        if (mustSets.forall(_.contains(doc)) && !notSet.contains(doc)) {
+          sums(doc) = sums.getOrElse(doc, 0L) + tp.cqs(i)
+          dlOf(doc) = tp.dls(i)
+        }
+        i += 1
+      }
+    }
+    // bounded (score desc, doc asc) selection — [[hotQuery]]'s rationale:
+    // a full sort of every candidate doc would dominate at corpus scale
+    val top = new TopCounts(k)
+    sums.foreach { case (doc, sq) => top.push(doc, sq) }
+    top.result().map { case (doc, sq) =>
+      (doc, dlOf(doc), java.math.BigDecimal.valueOf(sq.toDouble / Scale.toDouble)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
   }
 }

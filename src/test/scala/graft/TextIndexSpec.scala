@@ -346,4 +346,66 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(idx.hotNearQuery(na, nb, w, 10) == wantNear,
       "hot NEAR must equal the Spark probe over replayed postings")
   }
+
+  test("boolean retrieval: MUST/SHOULD/MUST_NOT semantics equal the brute filter; parser maps") {
+    val idx = freshIndex()
+    val must = SearchQueries.BoolMust
+    val should = SearchQueries.BoolShould
+    val not = SearchQueries.BoolNot
+    val got = idx.booleanQuery(must, should, not, 10).collect()
+    assert(got.nonEmpty, "the clause terms are corpus-frequent — matches must exist")
+    // membership semantics against the raw token arrays
+    val toksOf = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    got.foreach { r =>
+      val t = toksOf(r.getLong(0))
+      assert(must.forall(t.contains), s"doc ${r.getLong(0)} misses a MUST term")
+      assert(not.forall(x => !t.contains(x)), s"doc ${r.getLong(0)} carries a MUST_NOT term")
+    }
+    // exhaustiveness + ranking: the boolean result IS query(scoreTerms)
+    // over the membership-filtered corpus — brute-filter the unbounded
+    // ranked list and compare row-for-row
+    val scoreTerms = (must ++ should).distinct
+    val expected = idx.query(scoreTerms, toksOf.size).collect()
+      .filter { r =>
+        val t = toksOf(r.getLong(0))
+        must.forall(t.contains) && not.forall(x => !t.contains(x))
+      }
+      .take(10).map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(got.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq == expected,
+      "boolean top-k must equal the brute membership filter over the full ranking")
+    // the one-line syntax parses to the same clauses
+    val parsed = idx.booleanQueryString(
+      (must.map("+" + _) ++ should ++ not.map("-" + _)).mkString(" "), 10).collect()
+    assert(parsed.map(_.getLong(0)).toSeq == got.map(_.getLong(0)).toSeq,
+      "+/-/bare syntax must map to MUST/MUST_NOT/SHOULD")
+    // degenerate clauses fail loudly
+    intercept[IllegalArgumentException](idx.booleanQuery(Nil, Nil, Seq("table"), 5))
+    intercept[IllegalArgumentException](idx.booleanQuery(Seq("table"), Nil, Seq("table"), 5))
+  }
+
+  test("boolean retrieval: pure-SHOULD is query(); hot equals cold incl. after deletes") {
+    val idx = freshIndex()
+    val terms = SearchQueries.QueryTerms
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(rows(idx.booleanQuery(Nil, terms, Nil, 10)) == rows(idx.query(terms, 10)),
+      "with no MUST/MUST_NOT clauses booleanQuery must BE query")
+    val must = SearchQueries.BoolMust
+    val should = SearchQueries.BoolShould
+    val not = SearchQueries.BoolNot
+    def cold() = rows(idx.booleanQuery(must, should, not, 10))
+    assert(idx.hotBooleanQuery(must, should, not, 10) == cold(),
+      "hot boolean must equal the pruned-scan path (first load)")
+    assert(idx.hotBooleanQuery(must, should, not, 10) == cold(), "and warm")
+    // delete the top result: both paths drop it and re-rank with the
+    // corrected stats (the query()/hotQuery delete discipline)
+    val dead = cold().head._1
+    idx.delete(Seq(dead))
+    val after = cold()
+    assert(!after.exists(_._1 == dead), "a tombstoned doc must leave the ranking")
+    assert(idx.hotBooleanQuery(must, should, not, 10) == after,
+      "hot boolean must reload after a delete")
+  }
 }
