@@ -126,6 +126,43 @@ object StoreQueries {
               |  round(sqrt(${OracleSql.normSq("embedding")}), 6) AS nrm
               |FROM embeddings ORDER BY vec_id""".stripMargin)),
 
+    // Envelope encryption end-to-end: rows encrypt under a random DATA
+    // key that exists at rest only WRAPPED by the master; the master then
+    // ROTATES — an O(metadata) re-wrap, zero data bytes touched — and the
+    // store reopened under the NEW master must serve the exact kNN, which
+    // the oracle recomputes from plaintext alone. The query drives
+    // open (DEK init) → storeIndexed → rotateMaster → reopen → pruned
+    // decrypt search, the whole key-hierarchy lifecycle in one answer.
+    Q(
+      "q_envelope_search",
+      "wrapped-DEK envelope store: master rotation then exact kNN under the new master",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_envq").toString
+        val master = "envelope-master-0123456789abcdef" // 32 bytes
+        val master2 = "ENVELOPE-master-0123456789abcdef"
+        val enc = graft.store.Envelope.open(s, base, master)
+        val rows = tbl(s, dir, "embeddings")
+          .select(col("vec_id").cast("string").as("id"),
+            concat(lit("doc for vector "), col("vec_id")).as("doc"),
+            col("embedding").as("emb"))
+        enc.storeIndexed(rows, "vectors", numCells = 8)
+        graft.store.Envelope.rotateMaster(base, master, master2)
+        val reopened = graft.store.Envelope.open(s, base, master2)
+        val qe = tbl(s, dir, "embeddings").filter(col("vec_id") === 17)
+          .head().getAs[Seq[Float]]("embedding").toArray
+        reopened.queryIndexed("vectors", qe, k = 5, nprobe = 8)
+          .select(col("id"), col("doc"), round(col("distance"), 6).as("dist"))
+      },
+      Some {
+        val dist = OracleSql.l2Sq("e.embedding", "probe.qe")
+        s"""WITH probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 17)
+           |SELECT CAST(e.vec_id AS VARCHAR) AS id,
+           |       'doc for vector ' || e.vec_id AS doc,
+           |       round($dist, 6) AS dist
+           |FROM embeddings e CROSS JOIN probe
+           |ORDER BY $dist ASC, CAST(e.vec_id AS VARCHAR) ASC LIMIT 5""".stripMargin
+      }),
+
     // The reference's HEADLINE operation (cyborgdb_store.py:1-11):
     // similarity search over encrypted-at-rest vectors. storeIndexed
     // lands GCM ciphertext cell-partitioned by a trained IVF assignment

@@ -985,6 +985,13 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   private def tombstonePath(name: String) = s"$basePath/__enc_tombstones/$name"
   private def encMarker(name: String) = s"$basePath/__enc_commit_$name"
 
+  /** Finish any interrupted staged publish on `name` (the [[compact]]/
+    * [[rotateKey]] crash protocol) — [[Envelope.rotateData]]'s resume
+    * must recover BEFORE it samples ciphertext to detect which key a
+    * collection is on, including collections it will then skip. */
+  private[store] def recoverCollection(name: String): Unit =
+    StoreIO.recover(encMarker(name))
+
   /** Pending deletes (plaintext ids — the lookup key is the one column
     * stored in the clear). None while no delete is pending, so reads pay
     * nothing until one lands. */
