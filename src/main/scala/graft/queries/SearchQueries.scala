@@ -68,6 +68,13 @@ object SearchQueries {
   val BoolNot: Seq[String] = Seq("hash")
   val BoolK = 10
 
+  /** q_prefix's query: 's' matches 6 corpus terms and MaxExpansions = 4
+    * keeps two out, so the df-ranked expansion cap does real work at
+    * every fixture scale. Shared with the oracle SQL. */
+  val PrefixStr = "s"
+  val PrefixMax = 4
+  val PrefixK = 10
+
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
     * sum so the oracle can add in the identical order. idf/avgdl arrive as
     * driver literals (index metadata); tf/dl are per-row. Each term's tf is
@@ -520,6 +527,47 @@ object SearchQueries {
            |      WHERE $mustPred AND $notPred)
            |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
            |FROM f ORDER BY sq DESC, doc_id LIMIT $BoolK""".stripMargin
+      }),
+
+    // Ranked PREFIX search (the autocomplete box) — Lucene's MultiTermQuery
+    // rewrite made deterministic: expand the prefix against the
+    // VOCABULARY-bounded term dictionary (_termstats, never the postings),
+    // cap at MaxExpansions by (df desc, term asc), then run q_text_index's
+    // quantized BM25 over the expansion as a multi-term OR. The oracle
+    // replays the expansion (including the cap's tie-break) and the scoring
+    // pipeline relationally.
+    Q(
+      "q_prefix",
+      "prefix (autocomplete) search: df-capped term expansion + quantized BM25",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx_px").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.prefixQuery(PrefixStr, PrefixK, PrefixMax)
+      },
+      Some {
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val idf = s"ln((CAST($n AS DOUBLE) - CAST(e.df AS DOUBLE) + 0.5) / (CAST(e.df AS DOUBLE) + 0.5) + 1.0)"
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |alltf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |          FROM p GROUP BY 1, 2, 3),
+           |vocab AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM alltf GROUP BY term),
+           |exp AS (SELECT term, df FROM vocab WHERE term LIKE '$PrefixStr%'
+           |        ORDER BY df DESC, term ASC LIMIT $PrefixMax),
+           |c AS (SELECT t.doc_id, t.dl,
+           |        CAST(round(($idf) *
+           |          ((CAST(t.tf AS DOUBLE) * ${K1 + 1.0}) /
+           |           (CAST(t.tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(t.dl AS DOUBLE) / ($avgdl))))
+           |          * 1048576.0) AS BIGINT) AS cq
+           |      FROM alltf t JOIN exp e ON t.term = e.term),
+           |q AS (SELECT doc_id, dl, CAST(sum(cq) AS BIGINT) AS sq
+           |      FROM c GROUP BY doc_id, dl)
+           |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
+           |FROM q ORDER BY sq DESC, doc_id LIMIT $PrefixK""".stripMargin
       }),
 
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine

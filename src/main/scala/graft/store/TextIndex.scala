@@ -961,6 +961,36 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     rankedResult(scored.withColumn("cq", cqColumn(idf, avgdl)), k)
   }
 
+  /** Lucene-style prefix expansion: the index terms starting with
+    * `prefix`, capped at `maxExpansions` by (df desc, term asc) —
+    * MultiTermQuery's rewrite discipline made deterministic. ONE scan of
+    * the VOCABULARY-bounded `_termstats` sidecar, never the postings (the
+    * hash buckets can't prune on a prefix; the term dictionary can). The
+    * raw summed df ranks the expansion CHOICE only — scoring recomputes
+    * the exact tombstone-corrected idf per expanded term. */
+  def expandPrefix(prefix: String, maxExpansions: Int = 50): Seq[String] = {
+    require(prefix.nonEmpty, "prefix must be non-empty")
+    require(maxExpansions > 0, "maxExpansions must be positive")
+    spark.read.parquet(termstatsPath)
+      .filter(col("term").startsWith(prefix))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(maxExpansions)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Ranked PREFIX search (the autocomplete box): [[query]]'s quantized
+    * BM25 over the [[expandPrefix]] expansion — the multi-term OR every
+    * prefix query rewrites to. The expansion scan is vocabulary-bounded;
+    * the scoring scan stays bucket-pruned to the EXPANDED terms. An
+    * unmatched prefix yields an empty ranked frame (served as the
+    * prefix's own exact-term query, which by construction has no
+    * postings either). */
+  def prefixQuery(prefix: String, k: Int = 10, maxExpansions: Int = 50): DataFrame = {
+    val terms = expandPrefix(prefix, maxExpansions)
+    query(if (terms.isEmpty) Seq(prefix) else terms, k)
+  }
+
   /** Ranked BOOLEAN retrieval — Lucene's MUST / SHOULD / MUST_NOT model,
     * the filter layer every search box composes with ranking:
     *   - a result doc contains EVERY `must` term and NO `mustNot` term;

@@ -347,6 +347,34 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       "hot NEAR must equal the Spark probe over replayed postings")
   }
 
+  test("prefix search: df-capped expansion, tie-break, appends extend the dictionary") {
+    val idx = freshIndex()
+    // the corpus has 6 terms on 's'; the cap keeps the top-4 by (df desc,
+    // term asc) — verify the choice against an independent df count
+    val exp = idx.expandPrefix("s", maxExpansions = 4)
+    assert(exp.length == 4)
+    val dfOf = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(explode(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = dfOf.keys.filter(_.startsWith("s")).toSeq
+      .sortBy(t => (-dfOf(t), t)).take(4)
+    assert(exp == want, "expansion must rank by (df desc, term asc)")
+    // the ranked result IS query(expansion)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(rows(idx.prefixQuery("s", 10, maxExpansions = 4)) == rows(idx.query(exp, 10)))
+    // an unmatched prefix yields empty, not an error
+    assert(idx.prefixQuery("zzz", 5).collect().isEmpty)
+    assert(idx.expandPrefix("zzz").isEmpty)
+    // an appended batch's new vocabulary joins the dictionary
+    import spark.implicits._
+    idx.appendBatch(Seq((900001L, "squirrel squirrel squirrel")).toDF("doc_id", "text"), 1L)
+    assert(idx.expandPrefix("squi") == Seq("squirrel"))
+    assert(rows(idx.prefixQuery("squi", 5)).map(_._1) == Seq(900001L))
+  }
+
   test("boolean retrieval: MUST/SHOULD/MUST_NOT semantics equal the brute filter; parser maps") {
     val idx = freshIndex()
     val must = SearchQueries.BoolMust
