@@ -75,6 +75,22 @@ object SearchQueries {
   val PrefixMax = 4
   val PrefixK = 10
 
+  /** q_percolate's standing profile registry — every clause shape
+    * exercised (must-only, any-only, must+any, multi-must, with and
+    * without negation), all over corpus-frequent tokens. Shared with the
+    * oracle SQL and the streaming-twin spec. */
+  val PercProfiles: Seq[(Long, Seq[String], Seq[String], Seq[String])] = Seq(
+    (1L, Seq("table", "scan"), Nil, Seq("hash")),
+    (2L, Nil, Seq("vector", "stream"), Seq("slow")),
+    (3L, Seq("merge"), Seq("batch", "big"), Nil),
+    (4L, Seq("the"), Nil, Nil),
+    (5L, Seq("customer", "column", "filter"), Nil, Seq("fast")))
+
+  def percProfilesDf(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    PercProfiles.toDF("profile_id", "must", "any", "must_not")
+  }
+
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
     * sum so the oracle can add in the identical order. idf/avgdl arrive as
     * driver literals (index metadata); tf/dl are per-row. Each term's tf is
@@ -568,6 +584,40 @@ object SearchQueries {
            |      FROM c GROUP BY doc_id, dl)
            |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
            |FROM q ORDER BY sq DESC, doc_id LIMIT $PrefixK""".stripMargin
+      }),
+
+    // PERCOLATION — reverse search (Elasticsearch's percolator): a
+    // registry of STANDING boolean profiles matched against every
+    // document, the alerting/routing primitive of an ingest pipeline.
+    // Never a doc x profile cross join: documents explode to DISTINCT
+    // (doc, term) pairs, the join key is the TERM (so only tokens
+    // appearing in some profile clause survive), one (doc, profile)
+    // aggregation decides all-musts + any-match, negations anti-join.
+    // The oracle replays the clause semantics on the token arrays.
+    Q(
+      "q_percolate",
+      "reverse search: standing boolean profiles matched against every doc",
+      (s, dir) => {
+        graft.operators.Percolate.matches(
+            tbl(s, dir, "documents").select("doc_id", "text"), percProfilesDf(s))
+          .orderBy("doc_id", "profile_id")
+      },
+      Some {
+        def arr(ts: Seq[String]) =
+          if (ts.isEmpty) "[]::VARCHAR[]"
+          else ts.map(t => s"'$t'").mkString("[", ", ", "]")
+        val rows = PercProfiles.map { case (pid, m, a, x) =>
+          s"(CAST($pid AS BIGINT), ${arr(m)}, ${arr(a)}, ${arr(x)})"
+        }.mkString(",\n  ")
+        s"""WITH d AS (SELECT doc_id, list_distinct(${OracleText.tokens("text")}) AS toks
+           |           FROM documents),
+           |pr(profile_id, m, a, x) AS (VALUES
+           |  $rows)
+           |SELECT d.doc_id, pr.profile_id FROM d CROSS JOIN pr
+           |WHERE list_has_all(d.toks, pr.m)
+           |  AND (len(pr.a) = 0 OR list_has_any(d.toks, pr.a))
+           |  AND NOT list_has_any(d.toks, pr.x)
+           |ORDER BY doc_id, profile_id""".stripMargin
       }),
 
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine

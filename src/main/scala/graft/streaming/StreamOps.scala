@@ -326,6 +326,30 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming PERCOLATION — reverse search over the ingest: every
+    * arriving micro-batch is matched against the STANDING boolean profile
+    * registry ([[graft.operators.Percolate.matches]]), emitting
+    * (doc_id, profile_id) alert pairs under batch-keyed dirs (a replayed
+    * checkpointed batch rewrites its own dir → exactly-once output
+    * contents, the [[maintainIvfIndex]] discipline). The matcher is
+    * stateless per batch — no stream state, no watermark — so stream ≡
+    * batch is by construction, and spec-pinned anyway. The alerting/
+    * routing stage of a production ingest: subscriptions fire AS docs
+    * arrive, never by re-scanning the corpus. */
+  def percolate(spark: SparkSession, srcDir: String, profiles: DataFrame,
+                outDir: String, checkpoint: String): StreamingQuery =
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Percolate.matches(batch, profiles)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** [[maintainIvfIndex]]'s ENCRYPTED twin — streaming ingest into the
     * reference's secure path (cyborgdb_store.py:1-11): each micro-batch
     * hash-embeds, then

@@ -73,8 +73,50 @@ object Prof {
     case Some("pqserve") => pqserve(args.drop(1))
     case Some("exactserve") => exactserve(args.drop(1))
     case Some("encexact") => encexact(args.drop(1))
+    case Some("textserve") => textserve(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve")
+  }
+
+  /** Boolean / prefix / percolate at scale (r8): the three new text
+    * surfaces. Pass criteria across /tmp/scale20 vs /tmp/scale100: the
+    * boolean and prefix probes are df-bounded like the BM25 probe (the
+    * q/numBuckets contract — warm probes track posting volume, never the
+    * corpus); percolation is one term-keyed join + one (doc, profile)
+    * aggregation, linear in the corpus with profile count a constant. */
+  private def textserve(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    val nTag = s"(docs=$nd)"
+    val sq = graft.queries.SearchQueries
+    val tbase = java.nio.file.Files.createTempDirectory("scale_tidx_ts").toString
+    val tidx = new graft.store.TextIndex(s, tbase, 64)
+    time("ts_build_64buckets", nTag)(tidx.build(docs))
+    time("ts_boolean_cold", nTag)(println(s"PROF ts_bool_rows rows=" +
+      tidx.booleanQuery(sq.BoolMust, sq.BoolShould, sq.BoolNot, 10).count()))
+    (1 to 2).foreach { i =>
+      time(s"ts_boolean_warm$i", nTag)(
+        tidx.booleanQuery(sq.BoolMust, sq.BoolShould, sq.BoolNot, 10).collect(): Unit)
+    }
+    time("ts_hot_bool_load", nTag)(
+      tidx.hotBooleanQuery(sq.BoolMust, sq.BoolShould, sq.BoolNot, 10): Unit)
+    (1 to 2).foreach { i =>
+      time(s"ts_hot_bool_warm$i", nTag)(
+        tidx.hotBooleanQuery(sq.BoolMust, sq.BoolShould, sq.BoolNot, 10): Unit)
+    }
+    time("ts_expand_prefix", nTag)(
+      println(s"PROF ts_expansion terms=${tidx.expandPrefix(sq.PrefixStr, 4)}"))
+    (1 to 2).foreach { i =>
+      time(s"ts_prefix_warm$i", nTag)(
+        tidx.prefixQuery(sq.PrefixStr, 10, sq.PrefixMax).collect(): Unit)
+    }
+    // percolation: the whole fixture corpus as one arriving batch
+    val profiles = sq.percProfilesDf(s)
+    time("ts_percolate", nTag)(println(s"PROF ts_perc_rows rows=" +
+      graft.operators.Percolate.matches(docs, profiles).count()))
+    s.stop()
   }
 
   /** Exact-pruned search at scale: triangle-inequality cell pruning

@@ -66,6 +66,21 @@ class PlanSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("boolean and prefix probes stay bucket-pruned; percolate never cross-joins") {
+    // the r8 text surfaces inherit the q/numBuckets contract: the postings
+    // scan lists only the queried (or expanded) terms' bucket partitions
+    Seq("q_boolean", "q_prefix").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("PartitionFilters: [bucket#") ||
+        p.contains("PartitionFilters: [isnotnull(bucket"),
+        s"$q must prune to its terms' bucket partitions:\n$p")
+    }
+    // percolation joins on the TERM, never doc x profile
+    val pp = plan("q_percolate")
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoop"),
+      s"q_percolate must never plan a doc x profile cross join:\n$pp")
+  }
+
   test("fraction-probe queries drop the broadcast once probes exceed the limit") {
     // Probe sets carved out of the corpus (q_knn_classifier, q_crossmodal)
     // grow with N: above graft.probe.broadcastLimit, ProbeJoin must plan a

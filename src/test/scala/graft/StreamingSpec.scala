@@ -757,4 +757,33 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     assert(got.forall(_ < 100000L), "every leaked row must be dropped")
     assert(got.nonEmpty, "clean rows must survive")
   }
+
+  test("percolate: standing profiles alert on arriving docs; stream equals batch; replay idempotent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val profiles = graft.queries.SearchQueries.percProfilesDf(spark)
+    val srcDir = tmp(); val outDir = tmp(); val ckpt = tmp()
+    docs.write.mode("overwrite").parquet(srcDir)
+    StreamOps.percolate(spark, srcDir, profiles, outDir, ckpt).awaitTermination()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "profile_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(spark.read.parquet(outDir))
+    val want = pairs(graft.operators.Percolate.matches(
+      docs.select("doc_id", "text"), profiles))
+    assert(got == want, "streamed alerts must equal the batch percolation")
+    assert(want.nonEmpty && want.map(_._2).size > 1,
+      "the fixture profiles must actually fire")
+    // a replayed micro-batch rewrites its own batch dir — identical output
+    val dirs = new java.io.File(outDir).listFiles().filter(_.getName.startsWith("batch="))
+    assert(dirs.nonEmpty)
+    StreamOps.percolate(spark, srcDir, profiles, outDir, tmp()) // fresh checkpoint = full replay
+      .awaitTermination()
+    assert(pairs(spark.read.parquet(outDir)) == want, "replay must be idempotent")
+    // pure-negation profiles are rejected loudly
+    import spark.implicits._
+    val bad = Seq((9L, Seq.empty[String], Seq.empty[String], Seq("the")))
+      .toDF("profile_id", "must", "any", "must_not")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.matches(docs.select("doc_id", "text"), bad).collect())
+  }
 }
