@@ -75,6 +75,9 @@ object SearchQueries {
   val PrefixMax = 4
   val PrefixK = 10
 
+  /** q_snippet's highlight window (tokens). Shared with the oracle SQL. */
+  val SnippetWindow = 16
+
   /** q_percolate's standing profile registry — every clause shape
     * exercised (must-only, any-only, must+any, multi-must, with and
     * without negation), all over corpus-frequent tokens. Shared with the
@@ -584,6 +587,68 @@ object SearchQueries {
            |      FROM c GROUP BY doc_id, dl)
            |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
            |FROM q ORDER BY sq DESC, doc_id LIMIT $PrefixK""".stripMargin
+      }),
+
+    // Snippet/highlight OFFSETS over the disk index — the last stage of a
+    // search UI: for each of the BM25 top-10 docs, the best 16-token
+    // window (max DISTINCT query terms, ties to the earliest start),
+    // computed from the positional postings pruned to the query terms'
+    // buckets AND the 10 ranked ids — cost bounded by the ANSWER, never
+    // the corpus. The oracle replays ranking, positions, window
+    // expansion, and the (n desc, start asc) choice relationally.
+    Q(
+      "q_snippet",
+      "highlight offsets: best window per ranked doc from positional postings",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx_sn").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.highlight(QueryTerms, k = 10, window = SnippetWindow)
+      },
+      Some {
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val idfCase = QueryTerms.map { t =>
+          val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+          val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+          s"WHEN term = '$t' THEN $idf"
+        }.mkString("CASE ", " ", " END")
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |       FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+           |c AS (SELECT doc_id, dl,
+           |        CAST(round(($idfCase) *
+           |          ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+           |           (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+           |          * 1048576.0) AS BIGINT) AS cq
+           |      FROM tf),
+           |q AS (SELECT doc_id, dl, CAST(sum(cq) AS BIGINT) AS sq
+           |      FROM c GROUP BY doc_id, dl),
+           |top AS (SELECT doc_id, dl, sq FROM q ORDER BY sq DESC, doc_id LIMIT 10),
+           |i AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i1, toks FROM d
+           |      WHERE doc_id IN (SELECT doc_id FROM top)),
+           |tok AS (SELECT doc_id, CAST(i1 AS INT) - 1 AS pp,
+           |               toks[CAST(i1 AS INT)] AS term FROM i),
+           |hit AS (SELECT DISTINCT doc_id, term, pp FROM tok WHERE term IN ($termList)),
+           |win AS (SELECT doc_id, CAST(s AS BIGINT) AS s,
+           |               CAST(count(DISTINCT term) AS BIGINT) AS n_terms
+           |        FROM (SELECT doc_id, term,
+           |                unnest(range(greatest(pp - ${SnippetWindow - 1}, 0), pp + 1)) AS s
+           |              FROM hit)
+           |        GROUP BY 1, 2),
+           |best AS (SELECT doc_id, s AS start, n_terms FROM (
+           |           SELECT doc_id, s, n_terms,
+           |                  row_number() OVER (PARTITION BY doc_id
+           |                    ORDER BY n_terms DESC, s ASC) AS rn
+           |           FROM win) WHERE rn = 1)
+           |SELECT t.doc_id, t.dl, round(CAST(t.sq AS DOUBLE) / 1048576.0, 4) AS bm25q,
+           |       b.start, b.n_terms
+           |FROM top t JOIN best b ON t.doc_id = b.doc_id
+           |ORDER BY bm25q DESC, t.doc_id""".stripMargin
       }),
 
     // PERCOLATION — reverse search (Elasticsearch's percolator): a

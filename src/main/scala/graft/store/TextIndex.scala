@@ -961,6 +961,47 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     rankedResult(scored.withColumn("cq", cqColumn(idf, avgdl)), k)
   }
 
+  /** Highlight OFFSETS for [[query]]'s top-k — the snippet stage of a
+    * search UI, served from the index alone (the index stores no text;
+    * offsets are what a UI fetches-and-marks with): for each ranked doc,
+    * the best `window`-token span = the start maximizing the count of
+    * DISTINCT query terms inside [start, start+window), ties to the
+    * EARLIEST start. Returns (doc_id, dl, bm25q, start, n_terms) in
+    * ranking order.
+    *
+    * Cost shape: the ranked ids are a k-row collect; the position read
+    * prunes to the query terms' buckets AND those k doc ids (In-pushed),
+    * so the window expansion is k × window × (per-doc query-term tf)
+    * rows — bounded by the ANSWER, never the corpus. Duplicate postings
+    * from the orphan-replay state dedupe like [[nearQuery]]. */
+  def highlight(terms: Seq[String], k: Int, window: Int = 16): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    require(positionsEverywhere(),
+      s"TextIndex at $path has batches without positional postings — rebuild to serve highlights")
+    val ranked = query(terms, k)
+    val ids = ranked.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val uniq = terms.distinct
+    val buckets = uniq.map(bucketOf).distinct
+    val pruned = spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(uniq: _*) &&
+        col("doc_id").isin(ids: _*))
+    val pos = pruned
+      .select(col("doc_id"), col("term"), explode(col("pos")).as("p")).distinct()
+    // every window start that sees this hit; best per doc = (max distinct
+    // terms, earliest start) via one aggregation + a min-struct fold
+    val wins = pos
+      .select(col("doc_id"), col("term"),
+        explode(sequence(greatest(col("p") - window + 1, lit(0)), col("p"))).as("s"))
+      .groupBy("doc_id", "s").agg(countDistinct(col("term")).as("n_terms"))
+    val best = wins.groupBy("doc_id")
+      .agg(min(struct((-col("n_terms")).as("neg"), col("s").as("s"))).as("b"))
+      .select(col("doc_id"), col("b.s").cast("long").as("start"),
+        (-col("b.neg")).cast("long").as("n_terms"))
+    // inner join: a ranked doc scored, so its terms have positions here
+    ranked.join(best, Seq("doc_id"))
+      .orderBy(desc("bm25q"), asc("doc_id"))
+  }
+
   /** Lucene-style prefix expansion: the index terms starting with
     * `prefix`, capped at `maxExpansions` by (df desc, term asc) —
     * MultiTermQuery's rewrite discipline made deterministic. ONE scan of

@@ -347,6 +347,35 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       "hot NEAR must equal the Spark probe over replayed postings")
   }
 
+  test("highlight: best window per ranked doc equals the brute computation; doc ids push down") {
+    val idx = freshIndex()
+    val terms = SearchQueries.QueryTerms
+    val w = 16
+    val hl = idx.highlight(terms, k = 10, window = w)
+    val got = hl.collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got.length == 10)
+    // the position read prunes to the 10 ranked ids (In-pushed) and the
+    // terms' buckets
+    val plan = hl.queryExecution.executedPlan.toString
+    assert(plan.contains("In(doc_id") || plan.contains("in(doc_id"),
+      s"highlight must push the ranked ids into the postings scan:\n$plan")
+    // brute windows from the raw token arrays
+    val toksOf = spark.read.parquet(s"$sf001/documents.parquet")
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    got.foreach { case (doc, start, nTerms) =>
+      val toks = toksOf(doc)
+      def score(s: Long): Int =
+        toks.slice(s.toInt, s.toInt + w).filter(terms.contains).distinct.size
+      val bestN = (0L until math.max(1, toks.length).toLong).map(score).max
+      assert(nTerms == bestN, s"doc $doc: window [$start) carries $nTerms, best is $bestN")
+      assert(score(start) == bestN, s"doc $doc: reported start must achieve the best count")
+      assert((0L until start).forall(s => score(s) < bestN),
+        s"doc $doc: ties must break to the EARLIEST start")
+    }
+  }
+
   test("prefix search: df-capped expansion, tie-break, appends extend the dictionary") {
     val idx = freshIndex()
     // the corpus has 6 terms on 's'; the cap keeps the top-4 by (df desc,
