@@ -13,55 +13,76 @@ import org.apache.spark.sql.functions._
  *
  * Profile semantics per doc (the [[graft.store.TextIndex.booleanQuery]]
  * clause model, minus ranking — percolation is a match, not a score):
- * every `must` term present, at least one `any` term present when the
- * clause is non-empty, no `must_not` term present. A profile needs at
- * least one positive (must/any) term — a pure-negation profile would
- * match the whole corpus.
+ * every DISTINCT `must` term present, at least one `any` term present
+ * when the clause is non-empty, no `must_not` term present. A profile
+ * needs at least one positive (must/any) term — a pure-negation profile
+ * can never fire (no positive term ever joins it to a doc), which is a
+ * silently-dead subscription, so registration rejects it loudly.
  *
  * Scale shape (docs N can be 100 TB, profiles P is a registry — thousands):
- * NEVER a doc × profile cross join. Documents tokenize once and explode
- * to DISTINCT (doc, term) pairs; the join key is the TERM, so only doc
- * tokens that appear in some profile clause survive the first join (the
- * inverted-index trick run data-side); everything after is keyed on
- * (doc, profile) with cardinality bounded by actual term hits, and the
- * profile metadata (clause sizes) broadcasts. Stateless per batch, so the
- * streaming twin ([[graft.streaming.StreamOps.percolate]]) is the same
- * function applied per micro-batch.
+ * NEVER a doc × profile cross join, and the corpus is read ONCE.
+ * Documents tokenize once and explode to DISTINCT (doc, term) pairs; the
+ * join key is the TERM, so only doc tokens that appear in some profile
+ * clause survive the single join (the inverted-index trick run
+ * data-side); ONE (doc, profile) aggregation then decides all three
+ * clauses at once — must coverage by distinct-count, any-match and
+ * negation by flag-max — and the profile metadata (clause sizes)
+ * broadcasts. Stateless per batch, so the streaming twin
+ * ([[graft.streaming.StreamOps.percolate]]) is the same function applied
+ * per micro-batch (profiles validated ONCE at stream start, not per
+ * batch).
  */
 object Percolate {
+
+  /** Reject profiles with no positive term — registration-time, one tiny
+    * job over the registry (NOT per matched batch). */
+  def validate(profiles: DataFrame): Unit =
+    require(profiles.filter(size(col("must")) + size(col("any")) === 0)
+      .limit(1).isEmpty,
+      "every profile needs at least one positive (must/any) term — " +
+        "a pure-negation profile could never fire (a dead subscription)")
 
   /** Match `docs` (idCol, textCol) against `profiles`
     * (profile_id LONG, must ARRAY<STRING>, any ARRAY<STRING>,
     * must_not ARRAY<STRING>). Returns (idCol, profile_id) pairs. */
   def matches(docs: DataFrame, profiles: DataFrame,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    require(profiles.filter(size(col("must")) + size(col("any")) === 0)
-      .limit(1).isEmpty,
-      "every profile needs at least one positive (must/any) term — " +
-        "a pure-negation profile would match the whole corpus")
+    validate(profiles)
+    matchesValidated(docs, profiles, idCol, textCol)
+  }
+
+  /** [[matches]] without the registry re-validation — the streaming twin
+    * validates once at stream start and calls this per micro-batch. */
+  private[graft] def matchesValidated(docs: DataFrame, profiles: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
     val tf = graft.functions.TextFunctions
     val docTerms = docs
       .select(col(idCol), explode(array_distinct(tf.tokens(col(textCol)))).as("term"))
-    // one unified positive-terms frame: kind 'm' rows count toward the
-    // all-musts requirement, kind 'a' rows toward the any-match bit —
-    // ONE term join + ONE (doc, profile) aggregation decides both
+    // one unified clause-terms frame: kind 'm' rows count toward the
+    // all-musts requirement, 'a' toward the any-match bit, 'x' toward the
+    // negation bit — ONE term join + ONE (doc, profile) aggregation
+    // decides the whole profile, and the corpus-side frame is read once.
+    // Clause arrays dedupe BEFORE the size/count comparison: a duplicated
+    // must term must not demand two distinct matches (the oracle's
+    // list_has_all semantics).
     val posTerms = profiles
-      .select(col("profile_id"), explode(col("must")).as("term"), lit("m").as("kind"))
-      .unionByName(profiles
-        .select(col("profile_id"), explode(col("any")).as("term"), lit("a").as("kind")))
+      .select(col("profile_id"),
+        explode(array_distinct(col("must"))).as("term"), lit("m").as("kind"))
+      .unionByName(profiles.select(col("profile_id"),
+        explode(array_distinct(col("any"))).as("term"), lit("a").as("kind")))
+      .unionByName(profiles.select(col("profile_id"),
+        explode(array_distinct(col("must_not"))).as("term"), lit("x").as("kind")))
     val meta = profiles.select(col("profile_id"),
-      size(col("must")).as("nm"), size(col("any")).as("na"))
-    val hits = docTerms.join(broadcast(posTerms), Seq("term"))
+      size(array_distinct(col("must"))).as("nm"), size(col("any")).as("na"))
+    docTerms.join(broadcast(posTerms), Seq("term"))
       .groupBy(col(idCol), col("profile_id"))
       .agg(
         countDistinct(when(col("kind") === "m", col("term"))).as("mh"),
-        max(when(col("kind") === "a", 1).otherwise(0)).as("ah"))
-    val positive = hits.join(broadcast(meta), Seq("profile_id"))
-      .filter(col("mh") === col("nm") && (col("na") === 0 || col("ah") === 1))
+        max(when(col("kind") === "a", 1).otherwise(0)).as("ah"),
+        max(when(col("kind") === "x", 1).otherwise(0)).as("xh"))
+      .join(broadcast(meta), Seq("profile_id"))
+      .filter(col("mh") === col("nm") &&
+        (col("na") === 0 || col("ah") === 1) && col("xh") === 0)
       .select(col(idCol), col("profile_id"))
-    val notTerms = profiles.select(col("profile_id"), explode(col("must_not")).as("term"))
-    val notPairs = docTerms.join(broadcast(notTerms), Seq("term"))
-      .select(col(idCol), col("profile_id")).distinct()
-    positive.join(notPairs, Seq(idCol, "profile_id"), "left_anti")
   }
 }

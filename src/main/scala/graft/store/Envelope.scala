@@ -99,22 +99,53 @@ object Envelope {
       java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** The handle [[open]]/[[rotateData]] return: keyed by the unwrapped
+    * DEK, with the pre-mutation fence installed — a write from a handle
+    * whose DEK rotated away (or is mid-rotation) refuses loudly instead
+    * of landing old-key ciphertext into a rotated collection. The fence
+    * runs inside the per-collection writer lease, which rotateData's
+    * per-collection rotateKey commits also take, so the check and the
+    * write are one serialized unit against rotation. */
+  private def fencedStore(spark: SparkSession, basePath: String,
+                          master: String, dek: String): EncryptedStore = {
+    val st = new EncryptedStore(spark, basePath, dek)
+    st.mutationFence = () => {
+      require(!java.nio.file.Files.exists(dekNextFile(basePath)),
+        s"a data-key rotation is in progress at $basePath — re-open() when it completes")
+      val cur = unwrap(master,
+        java.nio.file.Files.readAllBytes(dekFile(basePath)), "the data key")
+      require(cur == dek,
+        s"stale envelope handle — the data key at $basePath rotated; re-open()")
+    }
+    st
+  }
+
   /** Open (or initialize) an envelope-encrypted store: unwraps the DEK —
     * creating and wrapping a fresh one on first open — and returns an
-    * [[EncryptedStore]] keyed by it. A pending [[rotateData]] (crash
-    * between its stages) RESUMES here before the store is handed out, so
-    * callers can never serve through a half-rotated keyspace. */
-  def open(spark: SparkSession, basePath: String, master: String): EncryptedStore =
-      withEnvLease(basePath, "Envelope.open") {
+    * [[EncryptedStore]] keyed by it (fence installed, see
+    * [[fencedStore]]). A pending [[rotateData]] (crash between its
+    * stages) RESUMES here before the store is handed out, so callers can
+    * never serve through a half-rotated keyspace. The steady-state path
+    * (envelope exists, nothing pending) is LOCK-FREE — N serving replicas
+    * open concurrently, reading the atomically-replaced key file; the
+    * lease is taken only for first-open initialization and crash resume,
+    * with the state re-checked under it. */
+  def open(spark: SparkSession, basePath: String, master: String): EncryptedStore = {
     requireKey(master, "master key")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath)): Unit
-    if (java.nio.file.Files.exists(dekNextFile(basePath)))
-      resumeRotateData(spark, basePath, master)
     val f = dekFile(basePath)
-    if (!java.nio.file.Files.exists(f))
-      atomicWrite(f, wrap(master, freshDek()))
-    new EncryptedStore(spark, basePath,
+    def steady(): EncryptedStore = fencedStore(spark, basePath, master,
       unwrap(master, java.nio.file.Files.readAllBytes(f), "the data key"))
+    if (java.nio.file.Files.exists(f) &&
+        !java.nio.file.Files.exists(dekNextFile(basePath)))
+      return steady()
+    withEnvLease(basePath, "Envelope.open") {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath)): Unit
+      if (java.nio.file.Files.exists(dekNextFile(basePath)))
+        resumeRotateData(spark, basePath, master)
+      if (!java.nio.file.Files.exists(f))
+        atomicWrite(f, wrap(master, freshDek()))
+      steady()
+    }
   }
 
   /** MASTER-key rotation — the O(metadata) operation envelope encryption
@@ -161,7 +192,7 @@ object Envelope {
       s"no envelope exists at $basePath — open() first")
     stageDataRotation(basePath, master, names): Unit
     resumeRotateData(spark, basePath, master)
-    new EncryptedStore(spark, basePath,
+    fencedStore(spark, basePath, master,
       unwrap(master, java.nio.file.Files.readAllBytes(dekFile(basePath)), "the data key"))
   }
 
@@ -199,15 +230,23 @@ object Envelope {
             lit(r.getAs[Array[Byte]](0)), lit(key), lit("GCM")).as("pt"))
           .head().isNullAt(0)
       }
+    def hasParquet(f: java.io.File): Boolean = StoreIO.hasParquetFooter(f)
+    // COMMITTED dirs only (the liveRaw discipline): a crashed partial
+    // append's ciphertext proves nothing about which key the collection
+    // is on — rotateKey itself only ever rotates committed dirs, so an
+    // uncommitted old-key row sampled from an already-rotated collection
+    // would misclassify it as pending and wedge the resume on a
+    // new-key-under-old-dek decrypt
     val dataDir = new java.io.File(s"$basePath/$name")
-    def hasParquet(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
-        kids.exists(k => k.isDirectory && hasParquet(k))
-    }
+    val batchDirs = StoreIO.committedBatchDirs(dataDir.getPath).filter(hasParquet)
     val fromRows =
-      if (!hasParquet(dataDir)) None
-      else probe(spark.read.parquet(dataDir.getPath), "doc_ct")
+      if (batchDirs.nonEmpty)
+        probe(spark.read.option("basePath", dataDir.getPath)
+          .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*), "doc_ct")
+      else if (StoreIO.committedBatchDirs(dataDir.getPath).isEmpty && hasParquet(dataDir))
+        // flat (non-batch-keyed) layout — swapped atomically as a whole
+        probe(spark.read.parquet(dataDir.getPath), "doc_ct")
+      else None
     fromRows.orElse {
       val cents = new java.io.File(s"$basePath/__enc_centroids/$name")
       if (!hasParquet(cents)) None
@@ -245,11 +284,14 @@ object Envelope {
   }
 
   /** True iff `master` currently unwraps the store at `basePath` — the
-    * health check a key-rotation runbook ends with. */
+    * health check a key-rotation runbook ends with. NEVER throws: a
+    * missing envelope, a wrong-length master, a corrupt key file are all
+    * exactly the broken states the boolean exists to report. */
   def verifies(basePath: String, master: String): Boolean =
     try {
+      requireKey(master, "master key")
       unwrap(master,
         java.nio.file.Files.readAllBytes(dekFile(basePath)), "the data key")
       true
-    } catch { case _: IllegalArgumentException => false }
+    } catch { case scala.util.control.NonFatal(_) => false }
 }

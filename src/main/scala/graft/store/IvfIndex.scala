@@ -49,6 +49,7 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
   private def pqPath = s"$path/_pq"
   private def radiiPath = s"$path/_radii"
   private def dataPath = s"$path/data"
+  private def schemaPath = s"$path/_schema"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
@@ -741,6 +742,12 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     StoreIO.commitStaged(Seq(
       StoreIO.Staged(s"$path/__stage_data", s"$dataPath/batch=$mergedId",
         st => purged.write.mode("overwrite").partitionBy("cell").parquet(st)),
+      // schema sidecar: an all-tombstoned merge stages a footerless
+      // bare-_SUCCESS generation — record the EXACT row schema (metadata
+      // payload columns included) so [[dataTree]]'s canonical-empty frame
+      // binds every column a filtered/projected read will ask for
+      StoreIO.Staged(s"$path/__stage_schema", schemaPath,
+        st => StoreIO.writeStringFile(st, purged.schema.toDDL)),
       StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=$mergedId",
         // narrow explicit schema: an all-tombstoned compact stages a
         // bare-_SUCCESS dir that schema inference cannot read — the
@@ -782,7 +789,12 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     // UUIDs), NOT dir mtimes: hotQueryExact couples this state with the
     // listing-keyed radii/centroid caches, and a same-mtime-tick republish
     // pairing fresh radii with stale resident rows would break exactness,
-    // not just freshness. Driver-side walk, no Spark job.
+    // not just freshness. Driver-side walk, no Spark job; cost per probe
+    // is O(files) = O(generations × cells), and generations stay bounded
+    // because Collection.maintain compacts past maxUnits — a hot-served
+    // index is by definition under that maintenance policy (an unbounded
+    // generation count would degrade the Spark probes' partition
+    // discovery long before this stat walk).
     def treeFp(f: java.io.File): String = {
       val b = new StringBuilder
       def walk(x: java.io.File): Unit = {
@@ -1113,18 +1125,18 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
     * the core columns only (a metadata `include`/`where` over a
     * fully-purged index has nothing to bind to). Jobless driver listing;
     * the normal path is the same whole-tree read as before. */
-  private def dataTree(): DataFrame = {
-    def hasParquet(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
-        kids.exists(k => k.isDirectory && hasParquet(k))
-    }
-    if (hasParquet(new java.io.File(dataPath))) spark.read.parquet(dataPath)
+  private def dataTree(): DataFrame =
+    if (StoreIO.hasParquetFooter(new java.io.File(dataPath)))
+      spark.read.parquet(dataPath)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType.fromDDL(
-        "id LONG, emb ARRAY<FLOAT>, codes BINARY, cell LONG"))
-  }
+        // the schema sidecar compact() publishes beside a footerless
+        // merged generation carries the EXACT row schema (metadata
+        // payload included), so filtered/projected reads over a purged
+        // index bind; the core columns remain the pre-sidecar fallback
+        StoreIO.readStringFile(schemaPath).getOrElse(
+          "id LONG, emb ARRAY<FLOAT>, codes BINARY, cell LONG")))
 
   /** The pruned live SCORED frame every cell-scan surface shares
     * ([[queryCells]], [[rangeSearch]]): partition-pruned scan of `cells`,

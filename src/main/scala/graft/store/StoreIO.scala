@@ -71,6 +71,29 @@ private[store] object StoreIO {
     java.nio.file.Files.write(java.nio.file.Paths.get(p),
       v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
 
+  /** Small text-file twins of read/writeLongFile — the schema sidecar a
+    * compact publishes beside a possibly-footerless merged generation. */
+  def writeStringFile(p: String, v: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      v.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+
+  def readStringFile(p: String): Option[String] = {
+    val f = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Does any parquet footer exist under `f`? The guard every whole-tree
+    * read shares: an all-tombstoned compact publishes a bare-_SUCCESS
+    * generation schema inference cannot read — such a tree must serve
+    * canonical-empty frames, not AnalysisExceptions. Jobless driver walk. */
+  def hasParquetFooter(f: java.io.File): Boolean = {
+    val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+    kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
+      kids.exists(k => k.isDirectory && hasParquetFooter(k))
+  }
+
   /** Recursively HARDLINK `src` into `dest` — the snapshot primitive:
     * O(#files) metadata work, zero data copied, and because every publish
     * in this package replaces files by whole-directory rename (never

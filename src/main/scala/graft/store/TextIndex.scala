@@ -978,8 +978,14 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     require(window >= 1, "window must be at least 1")
     require(positionsEverywhere(),
       s"TextIndex at $path has batches without positional postings — rebuild to serve highlights")
-    val ranked = query(terms, k)
-    val ids = ranked.select("doc_id").collect().map(_.getLong(0)).toSeq
+    // ONE ranking execution: collect the k-row answer and join against
+    // the local frame — re-using the lazy query() plan as the join side
+    // would re-run the whole pruned scan + aggregation + top-k
+    val rankedDf = query(terms, k)
+    val rankedRows = rankedDf.collect()
+    val ranked = spark.createDataFrame(
+      java.util.Arrays.asList(rankedRows: _*), rankedDf.schema)
+    val ids = rankedRows.map(_.getLong(0)).toSeq
     val uniq = terms.distinct
     val buckets = uniq.map(bucketOf).distinct
     val pruned = spark.read.parquet(postingsPath)
@@ -1064,19 +1070,23 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case Some(t) => prunedPostingsOf(scoreTerms ++ x)
         .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
     }
-    var scored = base.filter(col("term").isin(scoreTerms: _*))
-      .withColumn("cq", cqColumn(idf, avgdl))
-    if (m.nonEmpty) {
-      val mustDocs = base.filter(col("term").isin(m: _*))
-        .groupBy("doc_id").agg(countDistinct(col("term")).as("nm"))
-        .filter(col("nm") === m.length).select("doc_id")
-      scored = scored.join(mustDocs, Seq("doc_id"), "left_semi")
-    }
-    if (x.nonEmpty)
-      scored = scored.join(
-        base.filter(col("term").isin(x: _*)).select("doc_id").distinct(),
-        Seq("doc_id"), "left_anti")
-    rankedResult(scored, k)
+    // ONE scan, ONE aggregation — the score sum over the scoring terms,
+    // MUST coverage by distinct-count, and the negation bit by flag-max
+    // all fold in the same (doc, dl) group, so the pruned postings read
+    // really does run once (three independent subtrees would re-scan it
+    // per clause)
+    base
+      .withColumn("cq",
+        when(col("term").isin(scoreTerms: _*), cqColumn(idf, avgdl))
+          .otherwise(lit(0L)))
+      .groupBy("doc_id", "dl")
+      .agg(sum(col("cq")).as("sq"),
+        countDistinct(when(col("term").isin(m: _*), col("term"))).as("mh"),
+        max(when(col("term").isin(x: _*), 1).otherwise(0)).as("xh"))
+      .filter(col("mh") === m.length && col("xh") === 0)
+      .orderBy(desc("sq"), asc("doc_id")).limit(k)
+      .select(col("doc_id"), col("dl"),
+        round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"))
   }
 
   /** [[booleanQuery]] from the classic one-line syntax: `+term` is MUST,

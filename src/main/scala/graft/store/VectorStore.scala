@@ -969,6 +969,15 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
   private def decryptStr(c: Column): Column =
     aes_decrypt(c, keyCol, lit("GCM")).cast(StringType)
 
+  /** Pre-mutation fence, installed by [[Envelope.open]]: refuses writes
+    * from a handle whose data key is no longer (or is about to stop
+    * being) THE key — a stale handle appending old-key ciphertext into a
+    * rotated collection is the mixed keyspace the envelope design rules
+    * out. Runs INSIDE the per-collection lease, so it serializes against
+    * [[Envelope.rotateData]]'s per-collection rotateKey commits (which
+    * take the same lease). No-op for directly-keyed stores. */
+  @volatile private[store] var mutationFence: () => Unit = () => ()
+
   /** Single-writer lease for the encrypted twin's mutators — beside the
     * collection dir for the same swap reason as Collection's. */
   private def withEncLease[T](name: String, op: String)(body: => T): T =
@@ -977,7 +986,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       // rootKey distinct from a plain Collection at the same basePath+name:
       // they hold DIFFERENT lease files, so thread-reentrancy must not
       // conflate them (a holder of one would silently skip the other)
-      op, s"enc:${path(name)}")(body)
+      op, s"enc:${path(name)}") { mutationFence(); body }
 
   // tombstones and the compaction marker live BESIDE the collection dir:
   // compact() and rotateKey() swap the whole dir, which would silently
@@ -1012,28 +1021,45 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     // COMMITTED batch dirs, so a crashed half-written streaming append is
     // never served (flat layouts have no batch dirs and read whole-tree —
     // they are swapped atomically)
-    val batchDirs = StoreIO.committedBatchDirs(path(name))
-    def hasParquet(f: java.io.File): Boolean = {
-      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
-      kids.exists(k => k.isFile && k.getName.endsWith(".parquet")) ||
-        kids.exists(k => k.isDirectory && hasParquet(k))
-    }
-    val raw =
-      if (batchDirs.isEmpty) spark.read.parquet(path(name))
-      else if (batchDirs.exists(hasParquet))
-        spark.read.option("basePath", path(name))
-          .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
-      else
-        // an all-tombstoned compact publishes a bare-_SUCCESS batch=0 —
-        // no footer to infer from, and a fully-purged collection must
-        // serve EMPTY answers, not AnalysisExceptions
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "id STRING, cell LONG, doc_ct BINARY, emb_ct BINARY, " +
-              "codes_ct BINARY, batch LONG"))
+    val raw = rawTree(name)
     encTombstones(name).fold(raw)(ts =>
       raw.join(broadcast(ts), Seq("id"), "left_anti"))
+  }
+
+  private def encSchemaPath(name: String) = s"$basePath/__enc_schema_$name"
+
+  /** The canonical-empty frame a fully-purged collection serves: schema
+    * from the sidecar [[compact]] published beside the footerless merged
+    * generation; the pre-sidecar core columns as the fallback for trees
+    * compacted before the sidecar existed. */
+  private def encEmptyFrame(name: String): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        StoreIO.readStringFile(encSchemaPath(name)).getOrElse(
+          "id STRING, cell LONG, doc_ct BINARY, emb_ct BINARY, " +
+            "codes_ct BINARY, batch LONG")))
+
+  /** The whole committed ciphertext tree as a frame — canonical-empty
+    * ([[encEmptyFrame]]) when no committed generation holds a parquet
+    * footer: an all-tombstoned compact publishes a bare-_SUCCESS
+    * generation that schema inference cannot read, and a fully-purged
+    * collection must serve EMPTY answers, not AnalysisExceptions. Shared
+    * by [[liveRaw]] and [[rotateKey]] (a purged collection's SIDECARS
+    * still rotate on DEK compromise). */
+  private def rawTree(name: String): DataFrame = {
+    val batchDirs = StoreIO.committedBatchDirs(path(name))
+    if (batchDirs.isEmpty) {
+      if (StoreIO.hasParquetFooter(new java.io.File(path(name))))
+        spark.read.parquet(path(name))
+      else encEmptyFrame(name)
+    } else {
+      val withFooter = batchDirs.filter(StoreIO.hasParquetFooter)
+      if (withFooter.nonEmpty)
+        spark.read.option("basePath", path(name))
+          .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
+      else encEmptyFrame(name)
+    }
   }
 
   private def writeTombstoneBatch(name: String, ids: DataFrame): Unit = {
@@ -1151,6 +1177,12 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           StoreIO.Staged(s"${path(name)}__stage", path(name),
             st => folded.write.mode("overwrite").partitionBy("cell")
               .parquet(s"$st/batch=0")),
+          // schema sidecar: an all-tombstoned merge writes a footerless
+          // bare-_SUCCESS generation — record the row schema (incl. the
+          // batch partition column) so the purged tree can still serve
+          // canonical-empty frames and rotate its sidecars
+          StoreIO.Staged(s"${encSchemaPath(name)}__stage", encSchemaPath(name),
+            st => StoreIO.writeStringFile(st, live.schema.toDDL)),
           StoreIO.Staged(s"${encAppendHwmPath(name)}__stage", encAppendHwmPath(name),
             st => StoreIO.writeLongFile(st, maxBatch))) ++ radStages,
           encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq ++ radCleanup)
@@ -1158,7 +1190,9 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     } else if (tsDirs.nonEmpty) {
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${path(name)}__stage", path(name),
-          st => live.write.mode("overwrite").parquet(st))),
+          st => live.write.mode("overwrite").parquet(st)),
+        StoreIO.Staged(s"${encSchemaPath(name)}__stage", encSchemaPath(name),
+          st => StoreIO.writeStringFile(st, live.schema.toDDL))),
         encMarker(name), cleanup = tsDirs.map(_.getPath).toSeq)
     }
   }
@@ -1988,11 +2022,10 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     // committed batch dirs only (the liveRaw discipline): a crashed
     // half-written streaming append must not get rotated INTO the store.
     // Pending tombstones still ride along — no tombstone anti-join here.
-    val rotBatchDirs = StoreIO.committedBatchDirs(path(name))
-    val raw =
-      if (rotBatchDirs.isEmpty) spark.read.parquet(path(name))
-      else spark.read.option("basePath", path(name))
-        .parquet(rotBatchDirs.map(_.getPath).toIndexedSeq: _*)
+    // the shared committed-tree read ([[rawTree]]): canonical-empty when
+    // fully purged — a purged indexed collection still rotates its
+    // SIDECARS (centroids, quantizer grids, radii) on DEK compromise
+    val raw = rawTree(name)
     val indexed = raw.columns.contains("cell")
     // codes_ct rotates as the base64 TEXT it encrypts (decryptStr yields
     // the base64 string back) — the code bytes themselves are untouched

@@ -337,18 +337,22 @@ object StreamOps {
     * routing stage of a production ingest: subscriptions fire AS docs
     * arrive, never by re-scanning the corpus. */
   def percolate(spark: SparkSession, srcDir: String, profiles: DataFrame,
-                outDir: String, checkpoint: String): StreamingQuery =
+                outDir: String, checkpoint: String): StreamingQuery = {
+    // registry validation ONCE at stream start — not a Spark job per batch
+    graft.operators.Percolate.validate(profiles)
     spark.readStream
       .schema(DocSourceSchema)
       .parquet(srcDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Percolate.matches(batch, profiles)
+        graft.operators.Percolate
+          .matchesValidated(batch, profiles, "doc_id", "text")
           .write.mode("overwrite").parquet(s"$outDir/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** [[maintainIvfIndex]]'s ENCRYPTED twin — streaming ingest into the
     * reference's secure path (cyborgdb_store.py:1-11): each micro-batch

@@ -138,6 +138,46 @@ class EnvelopeSpec extends AnyFunSuite with SparkTest {
     assert(answers(Envelope.open(spark, base, Master), "c2") == want2)
   }
 
+  test("stale-handle fence: a pre-rotation store handle refuses writes after rotateData") {
+    val base = tmp("env_fence")
+    val es = Envelope.open(spark, base, Master)
+    es.storeIndexed(rowsOf(1 to 60), "c", numCells = 4)
+    val es2 = Envelope.rotateData(spark, base, Master, Seq("c"))
+    // the OLD handle's DEK rotated away: mutations refuse loudly instead
+    // of landing old-key ciphertext into the rotated collection
+    val ex = intercept[IllegalArgumentException](
+      es.delete("c", Seq("id1")))
+    assert(ex.getMessage.contains("stale envelope handle"))
+    // the fresh handle mutates fine; reads on the old handle were never
+    // the hazard (they fail at decrypt, loudly)
+    es2.delete("c", Seq("id1"))
+    assert(!es2.queryIndexed("c", probe(5), k = 60, nprobe = 4).collect()
+      .exists(_.getString(0) == "id1"))
+    // mid-rotation (pending intent), even a CURRENT-dek handle refuses
+    val es3 = Envelope.open(spark, base, Master)
+    Envelope.stageDataRotation(base, Master, Seq("c")): Unit
+    val ex2 = intercept[IllegalArgumentException](es3.delete("c", Seq("id2")))
+    assert(ex2.getMessage.contains("rotation is in progress"))
+    Envelope.open(spark, base, Master): Unit // resume + promote cleans up
+  }
+
+  test("verifies never throws; purge-everything composes with data rotation") {
+    // missing envelope / wrong-length master: false, not an exception
+    assert(!Envelope.verifies(tmp("env_none"), Master))
+    assert(!Envelope.verifies(tmp("env_none2"), "short"))
+    // a fully-purged indexed collection still data-rotates (sidecars
+    // re-encrypt; the footerless row tree serves empty under the new DEK)
+    val base = tmp("env_purged")
+    val es = Envelope.open(spark, base, Master)
+    es.storeIndexed(rowsOf(1 to 40), "c", numCells = 4)
+    es.delete("c", (1 to 40).map(i => s"id$i"))
+    es.compact("c")
+    val es2 = Envelope.rotateData(spark, base, Master, Seq("c"))
+    assert(es2.queryIndexed("c", probe(5), k = 3, nprobe = 4).isEmpty)
+    assert(es2.extractSecure("c").isEmpty)
+    assert(Envelope.verifies(base, Master))
+  }
+
   test("rotateData validates names BEFORE the durable intent lands") {
     val base = tmp("env_names")
     val es = Envelope.open(spark, base, Master)

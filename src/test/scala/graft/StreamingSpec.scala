@@ -785,5 +785,18 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .toDF("profile_id", "must", "any", "must_not")
     intercept[IllegalArgumentException](
       graft.operators.Percolate.matches(docs.select("doc_id", "text"), bad).collect())
+    // a duplicated MUST term must not demand two distinct matches (the
+    // oracle's list_has_all semantics) — dup and deduped twins fire on
+    // the SAME docs
+    val dup = Seq(
+      (7L, Seq("table", "table"), Seq.empty[String], Seq.empty[String]),
+      (8L, Seq("table"), Seq.empty[String], Seq.empty[String]))
+      .toDF("profile_id", "must", "any", "must_not")
+    val dupPairs = pairs(graft.operators.Percolate.matches(
+      docs.select("doc_id", "text"), dup))
+    val via7 = dupPairs.collect { case (d, 7L) => d }
+    val via8 = dupPairs.collect { case (d, 8L) => d }
+    assert(via7.nonEmpty && via7 == via8,
+      "a duplicated MUST term must match exactly like its deduped twin")
   }
 }
