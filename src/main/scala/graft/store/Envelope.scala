@@ -109,14 +109,14 @@ object Envelope {
   private def fencedStore(spark: SparkSession, basePath: String,
                           master: String, dek: String): EncryptedStore = {
     val st = new EncryptedStore(spark, basePath, dek)
-    st.mutationFence = () => {
+    st.mutationFence = Some(() => {
       require(!java.nio.file.Files.exists(dekNextFile(basePath)),
         s"a data-key rotation is in progress at $basePath — re-open() when it completes")
       val cur = unwrap(master,
         java.nio.file.Files.readAllBytes(dekFile(basePath)), "the data key")
       require(cur == dek,
         s"stale envelope handle — the data key at $basePath rotated; re-open()")
-    }
+    })
     st
   }
 

@@ -976,7 +976,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * out. Runs INSIDE the per-collection lease, so it serializes against
     * [[Envelope.rotateData]]'s per-collection rotateKey commits (which
     * take the same lease). No-op for directly-keyed stores. */
-  @volatile private[store] var mutationFence: () => Unit = () => ()
+  @volatile private[store] var mutationFence: Option[() => Unit] = None
 
   /** Single-writer lease for the encrypted twin's mutators — beside the
     * collection dir for the same swap reason as Collection's. */
@@ -986,7 +986,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
       // rootKey distinct from a plain Collection at the same basePath+name:
       // they hold DIFFERENT lease files, so thread-reentrancy must not
       // conflate them (a holder of one would silently skip the other)
-      op, s"enc:${path(name)}") { mutationFence(); body }
+      op, s"enc:${path(name)}") { mutationFence.foreach(_()); body }
 
   // tombstones and the compaction marker live BESIDE the collection dir:
   // compact() and rotateKey() swap the whole dir, which would silently
@@ -2014,6 +2014,12 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * swap only a store opened with `newKey` can read the collection. */
   def rotateKey(name: String, newKey: String): EncryptedStore =
       withEncLease(name, "EncryptedStore.rotateKey") {
+    // an envelope-managed handle must rotate through Envelope.rotateData:
+    // a direct per-collection rotation would change the ciphertext key
+    // UNDER the wrapped DEK, bricking every future Envelope.open
+    require(mutationFence.isEmpty,
+      "this store is envelope-managed — rotate the data key via Envelope.rotateData " +
+        "(a direct rotateKey would diverge from the wrapped DEK)")
     require(Set(16, 24, 32).contains(newKey.length), "AES key must be 16/24/32 bytes")
     StoreIO.recover(encMarker(name))
     val next = new EncryptedStore(spark, basePath, newKey)

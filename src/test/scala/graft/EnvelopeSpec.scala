@@ -159,6 +159,11 @@ class EnvelopeSpec extends AnyFunSuite with SparkTest {
     val ex2 = intercept[IllegalArgumentException](es3.delete("c", Seq("id2")))
     assert(ex2.getMessage.contains("rotation is in progress"))
     Envelope.open(spark, base, Master): Unit // resume + promote cleans up
+    // an envelope-managed handle cannot bypass the envelope with a direct
+    // per-collection rotation (it would diverge from the wrapped DEK)
+    val ex3 = intercept[IllegalArgumentException](
+      Envelope.open(spark, base, Master).rotateKey("c", "0123456789abcdef"))
+    assert(ex3.getMessage.contains("envelope-managed"))
   }
 
   test("verifies never throws; purge-everything composes with data rotation") {
