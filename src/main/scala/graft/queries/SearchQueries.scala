@@ -589,6 +589,66 @@ object SearchQueries {
            |FROM q ORDER BY sq DESC, doc_id LIMIT $PrefixK""".stripMargin
       }),
 
+    // The FULL search-box grammar in one query: a quoted MUST-phrase
+    // filters on exact consecutive positions (and its terms join the
+    // scoring), a bare SHOULD term broadens the ranking, a -term excludes.
+    // The phrase constraint is a doc_id semi-join of q_phrase's
+    // df-bounded occurrence frame onto q_boolean's one-scan aggregation.
+    // The oracle composes the q_text_index scoring replay with q_phrase's
+    // positional replay and the clause predicates.
+    Q(
+      "q_boolean_phrase",
+      "search-box grammar: '\"table hash\" vector -slow' — phrase filter + BM25",
+      (s, dir) => {
+        val base = java.nio.file.Files.createTempDirectory("graft_tidx_bp").toString
+        val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
+        idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+        idx.booleanQueryString(
+          "\"" + PhraseTerms.mkString(" ") + "\" vector -slow", BoolK)
+      },
+      Some {
+        val scoreTerms = (PhraseTerms :+ "vector").distinct
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val idfCase = scoreTerms.map { t =>
+          val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+          val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+          s"WHEN term = '$t' THEN $idf"
+        }.mkString("CASE ", " ", " END")
+        val termList = scoreTerms.map(t => s"'$t'").mkString(", ")
+        val slotRows = PhraseTerms.zipWithIndex
+          .map { case (t, j) => s"('$t', $j)" }.mkString(", ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |tf AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |       FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+           |c AS (SELECT doc_id, dl,
+           |        CAST(round(($idfCase) *
+           |          ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+           |           (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+           |          * 1048576.0) AS BIGINT) AS cq
+           |      FROM tf),
+           |q AS (SELECT doc_id, dl, CAST(sum(cq) AS BIGINT) AS sq
+           |      FROM c GROUP BY doc_id, dl),
+           |i AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i1, toks FROM d),
+           |tok AS (SELECT doc_id, CAST(i1 AS INT) - 1 AS pp,
+           |               toks[CAST(i1 AS INT)] AS term FROM i),
+           |sl AS (SELECT t.doc_id, t.pp - v.j AS start, v.j
+           |       FROM tok t JOIN (VALUES $slotRows) AS v(term, j) ON t.term = v.term),
+           |pdocs AS (SELECT DISTINCT doc_id FROM (
+           |            SELECT doc_id, start FROM sl
+           |            GROUP BY doc_id, start
+           |            HAVING count(DISTINCT j) = ${PhraseTerms.length})),
+           |f AS (SELECT q.doc_id, q.dl, q.sq FROM q
+           |      JOIN d ON q.doc_id = d.doc_id
+           |      WHERE q.doc_id IN (SELECT doc_id FROM pdocs)
+           |        AND NOT list_contains(d.toks, 'slow'))
+           |SELECT doc_id, dl, round(CAST(sq AS DOUBLE) / 1048576.0, 4) AS bm25q
+           |FROM f ORDER BY sq DESC, doc_id LIMIT $BoolK""".stripMargin
+      }),
+
     // Snippet/highlight OFFSETS over the disk index — the last stage of a
     // search UI: for each of the BM25 top-10 docs, the best 16-token
     // window (max DISTINCT query terms, ties to the earliest start),

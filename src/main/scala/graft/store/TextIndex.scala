@@ -800,7 +800,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     }
   }
 
-  def phraseQuery(phrase: Seq[String], k: Int): DataFrame = {
+  /** (doc_id, n_occ) of every live doc containing the exact phrase at
+    * least once — [[phraseQuery]]'s frame before its ranking cut, and the
+    * MUST-phrase membership side of [[booleanQuery]]. df-bounded by the
+    * phrase terms' posting volume. */
+  private def phraseOccurrences(phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phrase needs at least one term")
     val terms = phrase.distinct
     val buckets = terms.map(bucketOf).distinct
@@ -826,9 +830,12 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .agg(countDistinct(col("j")).as("hits"))
       .filter(col("hits") === phrase.length)
       .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+  }
+
+  def phraseQuery(phrase: Seq[String], k: Int): DataFrame =
+    phraseOccurrences(phrase)
       .orderBy(desc("n_occ"), asc("doc_id"))
       .limit(k)
-  }
 
   /** Ranked PROXIMITY search (the `NEAR/n` operator): docs where `termA`
     * and `termB` co-occur within `window` token positions, ranked by the
@@ -1056,13 +1063,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * countDistinct(term) == |must| over the live postings, so pending
     * deletes are honored by the same anti-join as scoring. */
   def booleanQuery(must: Seq[String], should: Seq[String] = Nil,
-                   mustNot: Seq[String] = Nil, k: Int = 10): DataFrame = {
+                   mustNot: Seq[String] = Nil, k: Int = 10,
+                   phrases: Seq[Seq[String]] = Nil): DataFrame = {
     val m = must.distinct; val s = should.distinct; val x = mustNot.distinct
-    require(m.nonEmpty || s.nonEmpty,
-      "boolean query needs at least one MUST or SHOULD term")
-    require((m ++ s).intersect(x).isEmpty,
-      s"terms ${ (m ++ s).intersect(x).mkString(", ") } are both scored and MUST_NOT")
-    val scoreTerms = (m ++ s).distinct
+    // MUST-phrase clauses (the quoted segments of a search box): a result
+    // doc contains every phrase EXACTLY at least once; the phrases' terms
+    // join the scoring terms, so a phrase both filters and contributes
+    val ph = phrases.map(_.filter(_.nonEmpty)).filter(_.nonEmpty)
+    require(m.nonEmpty || s.nonEmpty || ph.nonEmpty,
+      "boolean query needs at least one MUST or SHOULD term (or a phrase)")
+    require((m ++ s ++ ph.flatten).intersect(x).isEmpty,
+      s"terms ${ (m ++ s ++ ph.flatten).intersect(x).mkString(", ") } are both scored and MUST_NOT")
+    val scoreTerms = (m ++ s ++ ph.flatten).distinct
     val (n, avgdl, ts) = liveCorpusStats()
     val idf = idfMapOf(scoreTerms, n, ts)
     val base = ts match {
@@ -1075,7 +1087,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     // all fold in the same (doc, dl) group, so the pruned postings read
     // really does run once (three independent subtrees would re-scan it
     // per clause)
-    base
+    val agg = base
       .withColumn("cq",
         when(col("term").isin(scoreTerms: _*), cqColumn(idf, avgdl))
           .otherwise(lit(0L)))
@@ -1084,24 +1096,37 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         countDistinct(when(col("term").isin(m: _*), col("term"))).as("mh"),
         max(when(col("term").isin(x: _*), 1).otherwise(0)).as("xh"))
       .filter(col("mh") === m.length && col("xh") === 0)
+    // each phrase constraint semi-joins its occurrence frame (df-bounded
+    // by the phrase terms' posting volume, keyed on doc_id)
+    val constrained = ph.foldLeft(agg)((acc, p) =>
+      acc.join(phraseOccurrences(p).select("doc_id"), Seq("doc_id"), "left_semi"))
+    constrained
       .orderBy(desc("sq"), asc("doc_id")).limit(k)
       .select(col("doc_id"), col("dl"),
         round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"))
   }
 
   /** [[booleanQuery]] from the classic one-line syntax: `+term` is MUST,
-    * `-term` is MUST_NOT, a bare term is SHOULD ("+table stream -hash").
-    * Terms must already be tokenizer-normalized (the index stores what
+    * `-term` is MUST_NOT, a bare term is SHOULD, and a `"quoted
+    * segment"` is a MUST-phrase (`+table "data stream" -hash`). Terms
+    * must already be tokenizer-normalized (the index stores what
     * [[graft.functions.TextFunctions.tokens]] produced). */
   def booleanQueryString(q: String, k: Int = 10): DataFrame = {
-    val toks = q.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val quote = "\"([^\"]*)\"".r
+    val phrases = quote.findAllMatchIn(q)
+      .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty).toSeq
+    val toks = quote.replaceAllIn(q, " ").trim.split("\\s+")
+      .filter(t => t.nonEmpty && t != "+" && t != "-").toSeq
     booleanQuery(
       toks.filter(_.startsWith("+")).map(_.drop(1)),
       toks.filterNot(t => t.startsWith("+") || t.startsWith("-")),
-      toks.filter(_.startsWith("-")).map(_.drop(1)), k)
+      toks.filter(_.startsWith("-")).map(_.drop(1)), k, phrases)
   }
 
-  /** [[booleanQuery]] served from the resident tier — [[hotQuery]]'s sum
+  /** [[booleanQuery]] served from the resident tier (term clauses only —
+    * phrase clauses serve through the Spark path, or compose caller-side
+    * with [[hotPhraseQuery]]) — [[hotQuery]]'s sum
     * loop over the pre-quantized postings plus membership predicates from
     * the same loaded lists (a doc qualifies iff every MUST term's posting
     * set contains it and no MUST_NOT term's does); tombstoned docs are

@@ -442,6 +442,32 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](idx.booleanQuery(Seq("table"), Nil, Seq("table"), 5))
   }
 
+  test("boolean phrase clause: quoted segments filter on exact positions and join the scoring") {
+    val idx = freshIndex()
+    val ph = SearchQueries.PhraseTerms
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val got = rows(idx.booleanQuery(Nil, Seq("vector"), Seq("slow"), 10, phrases = Seq(ph)))
+    assert(got.nonEmpty, "the fixture phrase occurs — matches must exist")
+    // every result contains the exact phrase: the independent phrase
+    // probe's doc set is the authority
+    val phraseDocs = idx.phraseQuery(ph, 100000).collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => phraseDocs.contains(r._1)),
+      "every result must contain the exact phrase")
+    // equivalence: the phrase clause IS a membership filter over the
+    // phrase-less ranking with the phrase terms added to the scoring
+    val expected = rows(idx.booleanQuery(Nil, (ph :+ "vector").distinct, Seq("slow"), 100000))
+      .filter(r => phraseDocs.contains(r._1)).take(10)
+    assert(got == expected, "phrase clause must equal filter-over-unbounded-ranking")
+    // the parser maps quoted segments (incl. a dangling '+' before one)
+    val viaParser = rows(idx.booleanQueryString(
+      "\"" + ph.mkString(" ") + "\" vector -slow", 10))
+    assert(viaParser == got, "quoted syntax must map to the phrase clause")
+    // a phrase term that is also MUST_NOT is rejected
+    intercept[IllegalArgumentException](
+      idx.booleanQuery(Nil, Nil, Seq(ph.head), 5, phrases = Seq(ph)))
+  }
+
   test("boolean retrieval: pure-SHOULD is query(); hot equals cold incl. after deletes") {
     val idx = freshIndex()
     val terms = SearchQueries.QueryTerms
