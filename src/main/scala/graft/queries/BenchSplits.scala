@@ -91,6 +91,17 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_boolean_phrase" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_bp_split").toString
+      val idx = new TextIndex(s, base, numBuckets = 8)
+      val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
+      val (_, tp) = timed(
+        idx.booleanQueryString(
+          "\"" + SearchQueries.PhraseTerms.mkString(" ") + "\" vector -slow",
+          SearchQueries.BoolK)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
     "q_ann_exact_pruned" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_exq_split").toString
       val idx = new IvfIndex(s, base, numCells = 16)
