@@ -34,10 +34,21 @@ import org.apache.spark.sql.functions._
  */
 object Percolate {
 
+  /** NULL clause arrays (a registry loaded from parquet with nullable
+    * columns) normalize to empty — size(NULL) is NULL, which would slip
+    * past [[validate]] AND make the nm comparison never-true: the
+    * silently-dead subscription both guards exist to prevent. */
+  private def nullsafe(profiles: DataFrame): DataFrame =
+    profiles.select(col("profile_id"),
+      coalesce(col("must"), array()).as("must"),
+      coalesce(col("any"), array()).as("any"),
+      coalesce(col("must_not"), array()).as("must_not"))
+
   /** Reject profiles with no positive term — registration-time, one tiny
     * job over the registry (NOT per matched batch). */
   def validate(profiles: DataFrame): Unit =
-    require(profiles.filter(size(col("must")) + size(col("any")) === 0)
+    require(nullsafe(profiles)
+      .filter(size(col("must")) + size(col("any")) === 0)
       .limit(1).isEmpty,
       "every profile needs at least one positive (must/any) term — " +
         "a pure-negation profile could never fire (a dead subscription)")
@@ -53,8 +64,9 @@ object Percolate {
 
   /** [[matches]] without the registry re-validation — the streaming twin
     * validates once at stream start and calls this per micro-batch. */
-  private[graft] def matchesValidated(docs: DataFrame, profiles: DataFrame,
+  private[graft] def matchesValidated(docs: DataFrame, rawProfiles: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    val profiles = nullsafe(rawProfiles)
     val tf = graft.functions.TextFunctions
     val docTerms = docs
       .select(col(idCol), explode(array_distinct(tf.tokens(col(textCol)))).as("term"))

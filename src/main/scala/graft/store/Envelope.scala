@@ -136,8 +136,18 @@ object Envelope {
     def steady(): EncryptedStore = fencedStore(spark, basePath, master,
       unwrap(master, java.nio.file.Files.readAllBytes(f), "the data key"))
     if (java.nio.file.Files.exists(f) &&
-        !java.nio.file.Files.exists(dekNextFile(basePath)))
-      return steady()
+        !java.nio.file.Files.exists(dekNextFile(basePath))) {
+      val st = steady()
+      // re-check AFTER the key read: a rotateData that staged its intent
+      // between our two checks must not hand this caller an old-DEK
+      // handle mid-rotation — fall into the leased path, which either
+      // resumes the crashed rotation or fails loudly on the live one's
+      // lease (a handle opened BEFORE the intent landed is the inherent
+      // long-lived-handle case: its writes are fenced, its reads fail
+      // loudly on GCM once its DEK rotates away)
+      if (!java.nio.file.Files.exists(dekNextFile(basePath)))
+        return st
+    }
     withEnvLease(basePath, "Envelope.open") {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(basePath)): Unit
       if (java.nio.file.Files.exists(dekNextFile(basePath)))
@@ -238,12 +248,13 @@ object Envelope {
     // would misclassify it as pending and wedge the resume on a
     // new-key-under-old-dek decrypt
     val dataDir = new java.io.File(s"$basePath/$name")
-    val batchDirs = StoreIO.committedBatchDirs(dataDir.getPath).filter(hasParquet)
+    val committed = StoreIO.committedBatchDirs(dataDir.getPath)
+    val withFooter = committed.filter(hasParquet)
     val fromRows =
-      if (batchDirs.nonEmpty)
+      if (withFooter.nonEmpty)
         probe(spark.read.option("basePath", dataDir.getPath)
-          .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*), "doc_ct")
-      else if (StoreIO.committedBatchDirs(dataDir.getPath).isEmpty && hasParquet(dataDir))
+          .parquet(withFooter.map(_.getPath).toIndexedSeq: _*), "doc_ct")
+      else if (committed.isEmpty && hasParquet(dataDir))
         // flat (non-batch-keyed) layout — swapped atomically as a whole
         probe(spark.read.parquet(dataDir.getPath), "doc_ct")
       else None

@@ -944,12 +944,19 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     round(contrib * lit(Scale.toDouble)).cast("long")
   }
 
-  private def rankedResult(scored: DataFrame, k: Int): DataFrame =
-    scored
-      .groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq"))
+  /** The shared (sq desc, doc asc) top-k + de-quantization tail — ONE
+    * copy, so [[query]] and [[booleanQuery]] can never drift apart on the
+    * arithmetic the `booleanQuery(Nil, terms) == query(terms)` invariant
+    * pins. Input: an aggregated (doc_id, dl, sq) frame. */
+  private def rankedTail(aggregated: DataFrame, k: Int): DataFrame =
+    aggregated
       .orderBy(desc("sq"), asc("doc_id")).limit(k)
       .select(col("doc_id"), col("dl"),
         round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"))
+
+  private def rankedResult(scored: DataFrame, k: Int): DataFrame =
+    rankedTail(
+      scored.groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq")), k)
 
   /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
     * only shuffle is the per-doc sum over the pruned matching postings
@@ -1064,16 +1071,25 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * deletes are honored by the same anti-join as scoring. */
   def booleanQuery(must: Seq[String], should: Seq[String] = Nil,
                    mustNot: Seq[String] = Nil, k: Int = 10,
-                   phrases: Seq[Seq[String]] = Nil): DataFrame = {
+                   phrases: Seq[Seq[String]] = Nil,
+                   notPhrases: Seq[Seq[String]] = Nil): DataFrame = {
     val m = must.distinct; val s = should.distinct; val x = mustNot.distinct
     // MUST-phrase clauses (the quoted segments of a search box): a result
     // doc contains every phrase EXACTLY at least once; the phrases' terms
-    // join the scoring terms, so a phrase both filters and contributes
+    // join the scoring terms, so a phrase both filters and contributes.
+    // NOT-phrases exclude docs containing the exact phrase — the
+    // consecutive-position twin of MUST_NOT (their terms do NOT score,
+    // and MAY also appear as scored terms: excluding "data stream" while
+    // ranking on "stream" is a coherent ask, unlike a scored MUST_NOT
+    // term).
     val ph = phrases.map(_.filter(_.nonEmpty)).filter(_.nonEmpty)
+    val nx = notPhrases.map(_.filter(_.nonEmpty)).filter(_.nonEmpty)
     require(m.nonEmpty || s.nonEmpty || ph.nonEmpty,
       "boolean query needs at least one MUST or SHOULD term (or a phrase)")
     require((m ++ s ++ ph.flatten).intersect(x).isEmpty,
       s"terms ${ (m ++ s ++ ph.flatten).intersect(x).mkString(", ") } are both scored and MUST_NOT")
+    require(!nx.exists(p => ph.contains(p)),
+      "a phrase cannot be both MUST and MUST_NOT")
     val scoreTerms = (m ++ s ++ ph.flatten).distinct
     val (n, avgdl, ts) = liveCorpusStats()
     val idf = idfMapOf(scoreTerms, n, ts)
@@ -1096,32 +1112,39 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         countDistinct(when(col("term").isin(m: _*), col("term"))).as("mh"),
         max(when(col("term").isin(x: _*), 1).otherwise(0)).as("xh"))
       .filter(col("mh") === m.length && col("xh") === 0)
-    // each phrase constraint semi-joins its occurrence frame (df-bounded
-    // by the phrase terms' posting volume, keyed on doc_id)
-    val constrained = ph.foldLeft(agg)((acc, p) =>
+    // each phrase constraint (semi-)joins its occurrence frame (df-bounded
+    // by the phrase terms' posting volume, keyed on doc_id); negated
+    // phrases anti-join the same frame
+    val mustConstrained = ph.foldLeft(agg)((acc, p) =>
       acc.join(phraseOccurrences(p).select("doc_id"), Seq("doc_id"), "left_semi"))
-    constrained
-      .orderBy(desc("sq"), asc("doc_id")).limit(k)
-      .select(col("doc_id"), col("dl"),
-        round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"))
+    val constrained = nx.foldLeft(mustConstrained)((acc, p) =>
+      acc.join(phraseOccurrences(p).select("doc_id"), Seq("doc_id"), "left_anti"))
+    rankedTail(constrained, k)
   }
 
   /** [[booleanQuery]] from the classic one-line syntax: `+term` is MUST,
-    * `-term` is MUST_NOT, a bare term is SHOULD, and a `"quoted
-    * segment"` is a MUST-phrase (`+table "data stream" -hash`). Terms
-    * must already be tokenizer-normalized (the index stores what
+    * `-term` is MUST_NOT, a bare term is SHOULD, a `"quoted segment"` is
+    * a MUST-phrase, and `-"quoted segment"` EXCLUDES the exact phrase
+    * (`+table "data stream" -"slow scan" -hash`). Terms must already be
+    * tokenizer-normalized (the index stores what
     * [[graft.functions.TextFunctions.tokens]] produced). */
   def booleanQueryString(q: String, k: Int = 10): DataFrame = {
-    val quote = "\"([^\"]*)\"".r
-    val phrases = quote.findAllMatchIn(q)
-      .map(_.group(1).trim.split("\\s+").filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty).toSeq
+    // the sign binds to the quote: -"a b" EXCLUDES the phrase, +"a b" and
+    // bare "a b" require it (silently treating a negated phrase as MUST —
+    // the naive strip-quotes-first parse — would invert the user's intent)
+    val quote = "([+-]?)\"([^\"]*)\"".r
+    val signed = quote.findAllMatchIn(q)
+      .map(mm => (mm.group(1),
+        mm.group(2).trim.split("\\s+").filter(_.nonEmpty).toSeq))
+      .filter(_._2.nonEmpty).toSeq
     val toks = quote.replaceAllIn(q, " ").trim.split("\\s+")
       .filter(t => t.nonEmpty && t != "+" && t != "-").toSeq
     booleanQuery(
       toks.filter(_.startsWith("+")).map(_.drop(1)),
       toks.filterNot(t => t.startsWith("+") || t.startsWith("-")),
-      toks.filter(_.startsWith("-")).map(_.drop(1)), k, phrases)
+      toks.filter(_.startsWith("-")).map(_.drop(1)), k,
+      phrases = signed.collect { case (sign, p) if sign != "-" => p },
+      notPhrases = signed.collect { case ("-", p) => p })
   }
 
   /** [[booleanQuery]] served from the resident tier (term clauses only —

@@ -1048,6 +1048,12 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * by [[liveRaw]] and [[rotateKey]] (a purged collection's SIDECARS
     * still rotate on DEK compromise). */
   private def rawTree(name: String): DataFrame = {
+    // empty-is-canonical applies only to a collection that EXISTS: an
+    // all-tombstoned compact always leaves the collection dir (bare
+    // _SUCCESS) — a missing dir is a typo'd name and must stay the loud
+    // PATH_NOT_FOUND it always was, not an empty answer
+    if (!new java.io.File(path(name)).exists())
+      return spark.read.parquet(path(name))
     val batchDirs = StoreIO.committedBatchDirs(path(name))
     if (batchDirs.isEmpty) {
       if (StoreIO.hasParquetFooter(new java.io.File(path(name))))

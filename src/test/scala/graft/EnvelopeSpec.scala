@@ -181,6 +181,9 @@ class EnvelopeSpec extends AnyFunSuite with SparkTest {
     assert(es2.queryIndexed("c", probe(5), k = 3, nprobe = 4).isEmpty)
     assert(es2.extractSecure("c").isEmpty)
     assert(Envelope.verifies(base, Master))
+    // empty-is-canonical applies only to collections that EXIST: a typo'd
+    // name stays a loud error, never an empty answer
+    intercept[Exception](es2.extractSecure("tpyo").collect())
   }
 
   test("rotateData validates names BEFORE the durable intent lands") {

@@ -798,5 +798,22 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     val via8 = dupPairs.collect { case (d, 8L) => d }
     assert(via7.nonEmpty && via7 == via8,
       "a duplicated MUST term must match exactly like its deduped twin")
+    // NULL clause arrays (a parquet-loaded registry) normalize to empty:
+    // a NULL-must any-only profile FIRES like its empty-must twin, and a
+    // NULL-positive pure-negation profile is still rejected
+    val nullMust = Seq(
+      (11L, null.asInstanceOf[Seq[String]], Seq("vector"), Seq.empty[String]),
+      (12L, Seq.empty[String], Seq("vector"), Seq.empty[String]))
+      .toDF("profile_id", "must", "any", "must_not")
+    val nm = pairs(graft.operators.Percolate.matches(
+      docs.select("doc_id", "text"), nullMust))
+    assert(nm.collect { case (d, 11L) => d } == nm.collect { case (d, 12L) => d },
+      "a NULL must array must behave exactly like an empty one")
+    assert(nm.exists(_._2 == 11L), "the NULL-must profile must fire")
+    val nullPos = Seq(
+      (13L, null.asInstanceOf[Seq[String]], null.asInstanceOf[Seq[String]], Seq("the")))
+      .toDF("profile_id", "must", "any", "must_not")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.matches(docs.select("doc_id", "text"), nullPos))
   }
 }

@@ -466,6 +466,21 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     // a phrase term that is also MUST_NOT is rejected
     intercept[IllegalArgumentException](
       idx.booleanQuery(Nil, Nil, Seq(ph.head), 5, phrases = Seq(ph)))
+    // -"quoted" EXCLUDES the exact phrase (the naive parse would
+    // silently invert it into a MUST) — excluded docs are exactly the
+    // phrase docs, and the remainder ranks like a should-query minus them
+    val negGot = rows(idx.booleanQueryString(
+      "vector -\"" + ph.mkString(" ") + "\"", 10))
+    assert(negGot.nonEmpty && negGot.forall(r => !phraseDocs.contains(r._1)),
+      "a negated phrase must exclude every doc containing it")
+    val negWant = rows(idx.booleanQuery(Nil, Seq("vector"), Nil, 100000))
+      .filterNot(r => phraseDocs.contains(r._1)).take(10)
+    assert(negGot == negWant,
+      "negated-phrase ranking must equal exclusion over the unbounded ranking")
+    // a phrase cannot be both required and excluded
+    intercept[IllegalArgumentException](
+      idx.booleanQuery(Nil, Seq("vector"), Nil, 5,
+        phrases = Seq(ph), notPhrases = Seq(ph)))
   }
 
   test("boolean retrieval: pure-SHOULD is query(); hot equals cold incl. after deletes") {
