@@ -26,6 +26,28 @@ object Bench {
   private[graft] def sustainedOutlier(now: Double, base: Double): Boolean =
     base > 0 && now > 2.0 * base && now - base > 0.25
 
+  /** Probe-level exoneration for a vs_committed flag (r8 verdict: the
+    * four flagged queries were all index-BUILD-inclusive compounds on a
+    * contended box, but three had no subtimings so the guard could not
+    * tell a small-file-IO build inflation from a serving regression).
+    * When BOTH the current run and the committed artifact carry a
+    * build-phase subtiming for the flagged query, compare the SERVING
+    * (non-build) phase sum with the same sustained-outlier rule: if the
+    * probe still matches the committed number, the compound flag is
+    * build-side noise, not a serving regression. Returns
+    * (probe_now, probe_committed, exonerated); None when either side
+    * lacks a build subtiming (no basis to exonerate). */
+  private[graft] def probeVerdict(nowPhases: Option[Map[String, Double]],
+      basePhases: Option[Map[String, Double]]): Option[(Double, Double, Boolean)] =
+    for {
+      now <- nowPhases if now.contains("build")
+      base <- basePhases if base.contains("build")
+    } yield {
+      val pn = now.filterNot(_._1 == "build").values.sum
+      val pb = base.filterNot(_._1 == "build").values.sum
+      (pn, pb, !sustainedOutlier(pn, pb))
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,19 +102,24 @@ object Bench {
     // zero-dependency JSON reader; absent/unreadable -> guard disarmed
     // (first run, renamed queries are simply unlisted).
     val baselinePath = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE", "bench_queries.json")
-    val committed: Map[String, Double] = {
+    // one parse, two extractions: per-query medians (the flag baseline)
+    // and per-query build/probe subtimings (the flag EXONERATION baseline)
+    val (committed, committedSubs): (Map[String, Double], Map[String, Map[String, Double]]) = {
       import graft.functions.ChromaWhere._
+      def nums(qs: Vector[(String, J)]): Map[String, Double] = qs.collect {
+        case (k, JDbl(v)) => k -> v
+        case (k, JInt(v)) => k -> v.toDouble
+      }.toMap
       try parseJson(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(baselinePath)),
         java.nio.charset.StandardCharsets.UTF_8)) match {
-        case JObj(fs) => fs.collectFirst { case ("queries", JObj(qs)) =>
-          qs.collect {
-            case (k, JDbl(v)) => k -> v
-            case (k, JInt(v)) => k -> v.toDouble
-          }.toMap
-        }.getOrElse(Map.empty)
-        case _ => Map.empty
-      } catch { case _: Throwable => Map.empty }
+        case JObj(fs) =>
+          (fs.collectFirst { case ("queries", JObj(qs)) => nums(qs) }.getOrElse(Map.empty),
+           fs.collectFirst { case ("subtimings", JObj(ss)) =>
+             ss.collect { case (name, JObj(ph)) => name -> nums(ph) }.toMap
+           }.getOrElse(Map.empty))
+        case _ => (Map.empty, Map.empty)
+      } catch { case _: Throwable => (Map.empty, Map.empty) }
     }
     val vsCommitted = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
     def run(name: String): Double = {
@@ -183,8 +210,15 @@ object Bench {
       s""""steal_pct":${pct(stealPct)},"busy_pct":${pct(busyPct)},""" +
       s""""respread":${respread.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
     val vsJson = {
+      val subsNow: Map[String, Map[String, Double]] =
+        subs.map { case (n, ph) => n -> ph.toMap }.toMap
       val flagged = vsCommitted.sortBy(_._1).map { case (n, now, base) =>
-        "\"" + n + s"""":{"now":${pct(now)},"committed":${pct(base)}}"""
+        val probe = Bench.probeVerdict(subsNow.get(n), committedSubs.get(n)) match {
+          case Some((pn, pb, ok)) =>
+            s""","probe_now":${pct(pn)},"probe_committed":${pct(pb)},"probe_exonerated":$ok"""
+          case None => ""
+        }
+        "\"" + n + s"""":{"now":${pct(now)},"committed":${pct(base)}$probe}"""
       }.mkString("{", ",", "}")
       s"""{"baseline_queries":${committed.size},"flagged":$flagged}"""
     }

@@ -44,14 +44,25 @@ object Percolate {
       coalesce(col("any"), array()).as("any"),
       coalesce(col("must_not"), array()).as("must_not"))
 
-  /** Reject profiles with no positive term — registration-time, one tiny
-    * job over the registry (NOT per matched batch). */
-  def validate(profiles: DataFrame): Unit =
+  /** Reject profiles with no positive term, and registries with a
+    * duplicated profile_id — two rows sharing an id would MERGE their
+    * clause terms in the (doc, profile) aggregation and duplicate the
+    * broadcast meta join, yielding wrong or duplicated alert pairs with
+    * no error (the stores' requireUniqueKeys discipline, applied here).
+    * Registration-time, two tiny jobs over the registry (NOT per matched
+    * batch). */
+  def validate(profiles: DataFrame): Unit = {
     require(nullsafe(profiles)
       .filter(size(col("must")) + size(col("any")) === 0)
       .limit(1).isEmpty,
       "every profile needs at least one positive (must/any) term — " +
         "a pure-negation profile could never fire (a dead subscription)")
+    require(profiles
+      .groupBy(col("profile_id")).count().filter(col("count") > 1)
+      .limit(1).isEmpty,
+      "profile_id must be unique across the registry — duplicate rows " +
+        "would merge their clauses into one unintended profile")
+  }
 
   /** Match `docs` (idCol, textCol) against `profiles`
     * (profile_id LONG, must ARRAY<STRING>, any ARRAY<STRING>,

@@ -1,8 +1,8 @@
 package graft.queries
 
-import graft.operators.KnnGraph
+import graft.operators.{KnnGraph, Percolate}
 import graft.queries.Registry.tbl
-import graft.store.{IvfIndex, TextIndex}
+import graft.store.{Envelope, IvfIndex, TextIndex}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -99,6 +99,63 @@ object BenchSplits {
         idx.booleanQueryString(
           "\"" + SearchQueries.PhraseTerms.mkString(" ") + "\" vector -slow",
           SearchQueries.BoolK)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    "q_prefix" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_px_split").toString
+      val idx = new TextIndex(s, base, numBuckets = 8)
+      val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
+      val (_, tp) = timed(
+        idx.prefixQuery(SearchQueries.PrefixStr, SearchQueries.PrefixK,
+          SearchQueries.PrefixMax)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    "q_snippet" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_sn_split").toString
+      val idx = new TextIndex(s, base, numBuckets = 8)
+      val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
+      val (_, tp) = timed(
+        idx.highlight(SearchQueries.QueryTerms, k = 10,
+          window = SearchQueries.SnippetWindow)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    // Percolation has no index build — its two cost centers are the corpus
+    // parquet scan (small-file-IO-sensitive, the suspected contention
+    // victim in the r8 driver run) and the term-join matching. "build"
+    // here = materialize the scanned doc frame; "probe" = the match over
+    // the cached frame — so a flagged q_percolate can be attributed to IO
+    // vs compute like the index queries.
+    "q_percolate" -> { (s, dir) =>
+      val docs = tbl(s, dir, "documents").select("doc_id", "text").persist()
+      val (_, tb) = timed(docs.count())
+      val (_, tp) = timed(
+        Percolate.matches(docs, SearchQueries.percProfilesDf(s))
+          .orderBy("doc_id", "profile_id")
+          .write.format("noop").mode("overwrite").save())
+      docs.unpersist()
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    "q_envelope_search" -> { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_env_split").toString
+      val master = "envelope-master-0123456789abcdef"
+      val master2 = "ENVELOPE-master-0123456789abcdef"
+      val rows = tbl(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          concat(lit("doc for vector "), col("vec_id")).as("doc"),
+          col("embedding").as("emb"))
+      val (_, tb) = timed {
+        val enc = Envelope.open(s, base, master)
+        enc.storeIndexed(rows, "vectors", numCells = 8)
+        Envelope.rotateMaster(base, master, master2)
+      }
+      val qe = tbl(s, dir, "embeddings").filter(col("vec_id") === 17)
+        .head().getAs[Seq[Float]]("embedding").toArray
+      val (_, tp) = timed(
+        Envelope.open(s, base, master2)
+          .queryIndexed("vectors", qe, k = 5, nprobe = 8)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },

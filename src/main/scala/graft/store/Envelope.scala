@@ -46,8 +46,16 @@ object Envelope {
   private def dekNextFile(basePath: String) =
     java.nio.file.Paths.get(basePath, "__dek_next")
 
-  private def requireKey(k: String, what: String): Unit =
-    require(Set(16, 24, 32).contains(k.length), s"$what must be 16/24/32 bytes")
+  /** AES key sizes are BYTE counts and wrap/unwrap feed the master through
+    * UTF-8 — a 16-CHAR non-ASCII master would pass a char-length check yet
+    * produce >16 key bytes and die with an opaque InvalidKeyException
+    * inside Cipher.init, so validate the encoded byte length. */
+  private def requireKey(k: String, what: String): Unit = {
+    val bytes = k.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    require(Set(16, 24, 32).contains(bytes),
+      s"$what must be 16/24/32 UTF-8 BYTES (got $bytes bytes from ${k.length} chars" +
+        (if (bytes != k.length) " — non-ASCII characters widen under UTF-8)" else ")"))
+  }
 
   /** One base-wide lease for envelope metadata mutations — distinct from
     * the per-collection mutator leases (a master rotation and a collection

@@ -793,7 +793,14 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val c = posCheck
     if (c != null && c._1 == key) c._2
     else {
-      val ok = dirs.nonEmpty && dirs.forall(d =>
+      // a fully-purged compacted generation is a bare-_SUCCESS dir with no
+      // parquet footer — schema inference on it would throw a raw
+      // AnalysisException; skip footerless dirs (they hold zero postings,
+      // so they can neither violate nor satisfy positions-everywhere) and
+      // let an ALL-footerless tree fail the nonEmpty arm, surfacing the
+      // designed rebuild message instead
+      val footered = dirs.filter(StoreIO.hasParquetFooter)
+      val ok = footered.nonEmpty && footered.forall(d =>
         spark.read.parquet(d.getPath).schema.fieldNames.contains("pos"))
       posCheck = (key, ok)
       ok

@@ -24,6 +24,27 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.sustainedOutlier(now = 0.8, base = 0.4), "exactly 2x: not strictly over")
   }
 
+  test("probe-level exoneration: build-inclusive flags clear when the serving phase held") {
+    def ph(build: Double, probe: Double) = Some(Map("build" -> build, "probe" -> probe))
+    // the r8 shape: q_phrase 1.86->7.04 s compound, but the probe half held
+    assert(Bench.probeVerdict(ph(6.5, 0.54), ph(1.4, 0.46)) === Some((0.54, 0.46, true)),
+      "build inflated 4.6x, probe within noise: exonerated")
+    assert(Bench.probeVerdict(ph(2.0, 2.1), ph(1.4, 0.46)) === Some((2.1, 0.46, false)),
+      "probe itself a sustained outlier: NOT exonerated")
+    assert(Bench.probeVerdict(None, ph(1.4, 0.46)).isEmpty,
+      "no current subtimings: no basis to exonerate")
+    assert(Bench.probeVerdict(ph(6.5, 0.54), None).isEmpty,
+      "no committed subtimings: no basis to exonerate")
+    assert(Bench.probeVerdict(Some(Map("probe" -> 0.5)), ph(1.4, 0.46)).isEmpty,
+      "no build phase on the current side: the compound has no build to blame")
+    // multi-phase serving (e.g. a future build+probe+rerank split) sums all
+    // non-build phases on both sides
+    val Some((pn, pb, ok)) = Bench.probeVerdict(
+      Some(Map("build" -> 9.0, "probe" -> 0.3, "rerank" -> 0.2)),
+      Some(Map("build" -> 1.0, "probe" -> 0.25, "rerank" -> 0.2)))
+    assert(math.abs(pn - 0.5) < 1e-9 && math.abs(pb - 0.45) < 1e-9 && ok)
+  }
+
   test("even-count medians take the lower middle (the reps=1 confirmation run can clear a flag)") {
     // the guard adds one batch of reps on a suspected outlier; with
     // SPARK_GRAFT_BENCH_REPS=1 that leaves TWO samples, and the

@@ -47,6 +47,19 @@ class EnvelopeSpec extends AnyFunSuite with SparkTest {
       .toMap
   }
 
+  test("key length validates UTF-8 BYTES, not chars — a non-ASCII master fails diagnosably") {
+    val base = tmp("env_utf8")
+    // 16 chars, but 'é' widens to 2 UTF-8 bytes -> 17 key bytes: must fail
+    // in requireKey with the byte-count message, not deep inside
+    // Cipher.init with an opaque InvalidKeyException
+    val nonAscii = "é" + "a" * 15
+    assert(nonAscii.length == 16)
+    val ex = intercept[IllegalArgumentException](Envelope.open(spark, base, nonAscii))
+    assert(ex.getMessage.contains("BYTES") && ex.getMessage.contains("17"), ex.getMessage)
+    // a 16-BYTE ascii master of the same char length still opens fine
+    Envelope.open(spark, tmp("env_ascii"), "a" * 16).store(rowsOf(1 to 3), "c")
+  }
+
   test("open initializes and reopens one keyspace; a wrong master fails loudly") {
     val base = tmp("env_open")
     val es = Envelope.open(spark, base, Master)

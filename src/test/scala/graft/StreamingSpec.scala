@@ -815,5 +815,15 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .toDF("profile_id", "must", "any", "must_not")
     intercept[IllegalArgumentException](
       graft.operators.Percolate.matches(docs.select("doc_id", "text"), nullPos))
+    // two rows sharing a profile_id would MERGE their clause terms in the
+    // (doc, profile) aggregation — wrong alert pairs with no error — so
+    // registration rejects the registry loudly
+    val dupId = Seq(
+      (21L, Seq("table"), Seq.empty[String], Seq.empty[String]),
+      (21L, Seq("scan"), Seq.empty[String], Seq.empty[String]))
+      .toDF("profile_id", "must", "any", "must_not")
+    val e = intercept[IllegalArgumentException](
+      graft.operators.Percolate.matches(docs.select("doc_id", "text"), dupId))
+    assert(e.getMessage.contains("unique"), e.getMessage)
   }
 }

@@ -506,4 +506,25 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(idx.hotBooleanQuery(must, should, not, 10) == after,
       "hot boolean must reload after a delete")
   }
+
+  test("all-tombstoned compacted index: positional surfaces fail diagnosably, not schema inference") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_tidx_purged").toString
+    val idx = new TextIndex(spark, base, numBuckets = 4)
+    idx.build(Seq((1L, "table hash scan"), (2L, "table hash merge"))
+      .toDF("doc_id", "text"))
+    assert(idx.phraseQuery(Seq("table", "hash"), 5).count() == 2)
+    // purge EVERYTHING, then compact: the merged generation is a
+    // bare-_SUCCESS dir with no parquet footer. Schema inference on it
+    // would throw a raw AnalysisException; the positional surfaces must
+    // instead fail with the designed rebuild require.
+    idx.delete(Seq(1L, 2L))
+    idx.compact()
+    val ex = intercept[IllegalArgumentException](
+      idx.phraseQuery(Seq("table", "hash"), 5))
+    assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+    intercept[IllegalArgumentException](idx.nearQuery("table", "hash", 3, 5))
+    intercept[IllegalArgumentException](
+      idx.highlight(Seq("table"), k = 5, window = 8))
+  }
 }
