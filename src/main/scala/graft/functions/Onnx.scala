@@ -12,17 +12,23 @@ package graft.functions
  *
  * The evaluator executes the graph as a straight-line program over named
  * tensors (ONNX graphs are topologically sorted by spec) and supports the
- * operator set of an embedding-bag encoder: Gather (axis 0), ReduceMean
- * (axis 0/1 with keepdims=0), MatMul, Add, Relu, Identity. That covers
- * "embedding lookup → mean pool → dense projection (+bias, activation)"
- * — the pooling half of a sentence-transformer; full attention stacks
- * need a real runtime and stay out of scope for a zero-dependency JVM
- * build, which is exactly why the seam exists.
+ * TRANSFORMER-ENCODER operator set — what a BERT-family export (the
+ * reference's all-MiniLM-L6-v2, /root/reference/src/embeddings.py:3)
+ * actually contains: batched MatMul/Gemm, Transpose, Softmax,
+ * LayerNormalization (+ its ReduceMean/Sub/Pow/Sqrt/Div decomposition),
+ * Erf/Gelu/Tanh/Sigmoid/Relu, elementwise arithmetic with full numpy
+ * broadcasting, and the shape machinery real exports are wrapped in
+ * (Shape/Reshape/Concat/Unsqueeze/Squeeze/Slice/Expand/Cast/Constant/
+ * ConstantOfShape/Where/Equal), over float32 and int64 tensors. The
+ * embedding-bag subset of earlier rounds (Gather/ReduceMean/MatMul/Add/
+ * Relu) is unchanged, so existing artifacts evaluate identically.
  *
  * Tokenization contract: [[OnnxEmbedder]] feeds the engine-wide token
- * kernel's hashes (mod the artifact's vocab) as the id sequence — the
- * artifact supplies LEARNED weights; a WordPiece vocab file would slot
- * into the same id pipeline.
+ * kernel's hashes (mod the artifact's vocab) as the id sequence;
+ * [[OnnxTransformerEmbedder]] feeds real WordPiece ids ([[WordPiece]])
+ * through the BERT input triple (input_ids / attention_mask /
+ * token_type_ids) and mean-pools the hidden states — the
+ * sentence-transformers recipe.
  */
 object Onnx {
 
@@ -85,10 +91,27 @@ object Onnx {
     }
   }
 
-  final case class Node(op: String, inputs: Seq[String], outputs: Seq[String])
+  /** ONNX node attribute — the subset inference graphs carry: single
+    * int/float, int list, embedded tensor (Constant / ConstantOfShape). */
+  final case class Attr(i: Option[Long] = None, f: Option[Float] = None,
+                        ints: Seq[Long] = Nil, t: Option[Tensor] = None)
 
+  final case class Node(op: String, inputs: Seq[String], outputs: Seq[String],
+                        attrs: Map[String, Attr] = Map.empty) {
+    def attrI(name: String, dflt: Long): Long =
+      attrs.get(name).flatMap(_.i).getOrElse(dflt)
+    def attrF(name: String, dflt: Float): Float =
+      attrs.get(name).flatMap(_.f).getOrElse(dflt)
+    def attrInts(name: String): Option[Seq[Long]] =
+      attrs.get(name).map(a => if (a.ints.nonEmpty) a.ints else a.i.toSeq)
+  }
+
+  /** `inputName`/`outputName` keep the single-input embedding-bag contract;
+    * `inputNames` carries every non-initializer graph input in declaration
+    * order (a BERT export declares three). */
   final case class Graph(nodes: Seq[Node], inits: Map[String, Tensor],
-                         inputName: String, outputName: String)
+                         inputName: String, outputName: String,
+                         inputNames: Seq[String] = Nil)
 
   /** Parse a serialized ModelProto (the subset above). */
   def parseModel(bytes: Array[Byte]): Graph = {
@@ -119,24 +142,50 @@ object Onnx {
       case (12, 2) => if (output == null) output = parseValueInfoName(r.sub())
       case (_, w) => r.skip(w)
     }
-    // the graph INPUT is the first declared input that is not an
-    // initializer (ONNX lists weights as inputs in older opsets)
-    input = pendingInputs.result().find(!initNames(_)).orNull
+    // the graph INPUTS are the declared inputs that are not initializers
+    // (ONNX lists weights as inputs in older opsets)
+    val realInputs = pendingInputs.result().filterNot(initNames)
+    input = realInputs.headOption.orNull
     require(input != null && output != null, "graph needs an input and an output")
-    Graph(nodes.result(), inits.result(), input, output)
+    Graph(nodes.result(), inits.result(), input, output, realInputs)
   }
 
   private def parseNode(r: Reader): Node = {
     val ins = Seq.newBuilder[String]
     val outs = Seq.newBuilder[String]
+    val attrs = Map.newBuilder[String, Attr]
     var op = ""
     while (r.hasMore) r.tag() match {
       case (1, 2) => ins += r.utf8() // NodeProto.input
       case (2, 2) => outs += r.utf8() // NodeProto.output
       case (4, 2) => op = r.utf8() // NodeProto.op_type
+      case (5, 2) => attrs += parseAttr(r.sub()) // NodeProto.attribute
       case (_, w) => r.skip(w)
     }
-    Node(op, ins.result(), outs.result())
+    Node(op, ins.result(), outs.result(), attrs.result())
+  }
+
+  /** AttributeProto: name=1, f=2, i=3, t=5, ints=8 (the inference subset;
+    * strings/graphs/typed lists skip). */
+  private def parseAttr(r: Reader): (String, Attr) = {
+    var name = ""
+    var a = Attr()
+    while (r.hasMore) r.tag() match {
+      case (1, 2) => name = r.utf8()
+      case (2, 5) => a = a.copy(f = Some(java.lang.Float.intBitsToFloat(r.fixed32())))
+      case (3, 0) =>
+        // protobuf int64 is two's-complement varint — sign-extend
+        a = a.copy(i = Some(r.varint()))
+      case (5, 2) => a = a.copy(t = Some(parseTensor(r.sub())._2))
+      case (8, 0) => a = a.copy(ints = a.ints :+ r.varint())
+      case (8, 2) =>
+        val s = r.sub()
+        val b = Seq.newBuilder[Long]
+        while (s.hasMore) b += s.varint()
+        a = a.copy(ints = a.ints ++ b.result())
+      case (_, w) => r.skip(w)
+    }
+    (name, a)
   }
 
   /** TensorProto: dims=1, data_type=2, float_data=4, int64_data=7,
@@ -198,22 +247,63 @@ object Onnx {
 
   // ------------------------------------------------------------ evaluate
 
-  /** Execute the graph on one input tensor. Straight-line interpretation:
-    * each node reads named tensors and binds its output; ONNX graphs are
-    * topologically sorted by spec. */
-  def run(g: Graph, input: Tensor): Tensor = {
+  /** Single-input convenience (the embedding-bag contract). */
+  def run(g: Graph, input: Tensor): Tensor = run(g, Map(g.inputName -> input))
+
+  /** Execute the graph on named input tensors. Straight-line
+    * interpretation: each node reads named tensors and binds its outputs;
+    * ONNX graphs are topologically sorted by spec. */
+  def run(g: Graph, inputs: Map[String, Tensor]): Tensor = {
     val env = scala.collection.mutable.HashMap[String, Tensor](g.inits.toSeq: _*)
-    env(g.inputName) = input
+    inputs.foreach { case (k, v) => env(k) = v }
+    def in(n: Node, i: Int): Tensor = env.getOrElse(n.inputs(i),
+      sys.error(s"${n.op}: input '${n.inputs(i)}' never produced"))
+    def inOpt(n: Node, i: Int): Option[Tensor] =
+      if (n.inputs.length > i && n.inputs(i).nonEmpty) Some(in(n, i)) else None
     g.nodes.foreach { n =>
       val out = n.op match {
-        case "Identity" => env(n.inputs.head)
-        case "Relu" =>
-          val a = env(n.inputs.head)
-          Tensor(a.dims, a.data.map(v => if (v > 0f) v else 0f))
-        case "Add" => add(env(n.inputs(0)), env(n.inputs(1)))
-        case "MatMul" => matmul(env(n.inputs(0)), env(n.inputs(1)))
-        case "Gather" => gather(env(n.inputs(0)), env(n.inputs(1)))
-        case "ReduceMean" => reduceMeanAxis0(env(n.inputs.head))
+        case "Identity" => in(n, 0)
+        case "Relu" => mapF(in(n, 0))(v => math.max(v, 0.0))
+        case "Tanh" => mapF(in(n, 0))(math.tanh)
+        case "Sigmoid" => mapF(in(n, 0))(v => 1.0 / (1.0 + math.exp(-v)))
+        case "Sqrt" => mapF(in(n, 0))(math.sqrt)
+        case "Neg" =>
+          val a = in(n, 0)
+          if (a.isInt) Tensor.ofLongs(a.dims, a.longs.map(-_)) else mapF(a)(-_)
+        case "Erf" => mapF(in(n, 0))(erf)
+        case "Gelu" => // exact (erf) form; 'approximate' attr is a string and
+          // HF exports decompose the tanh variant into primitives anyway
+          mapF(in(n, 0))(x => 0.5 * x * (1.0 + erf(x / math.sqrt(2.0))))
+        case "Floor" => mapF(in(n, 0))(math.floor)
+        case "Round" => mapF(in(n, 0))(math.rint) // ONNX: half to even
+        case "Add" => binary(n.op, in(n, 0), in(n, 1))(_ + _)(_ + _)
+        case "Sub" => binary(n.op, in(n, 0), in(n, 1))(_ - _)(_ - _)
+        case "Mul" => binary(n.op, in(n, 0), in(n, 1))(_ * _)(_ * _)
+        case "Div" => binary(n.op, in(n, 0), in(n, 1))(_ / _)(_ / _)
+        case "Pow" => binary(n.op, in(n, 0), in(n, 1))(math.pow)((a, b) =>
+          math.pow(a.toDouble, b.toDouble).toLong)
+        case "Equal" => compare(in(n, 0), in(n, 1))
+        case "Where" => where(in(n, 0), in(n, 1), in(n, 2))
+        case "MatMul" => matmul(in(n, 0), in(n, 1))
+        case "Gemm" => gemm(n, in(n, 0), in(n, 1), inOpt(n, 2))
+        case "Gather" => gather(in(n, 0), in(n, 1), n.attrI("axis", 0).toInt)
+        case "ReduceMean" => reduce(n, in(n, 0), inOpt(n, 1), mean = true)
+        case "ReduceSum" => reduce(n, in(n, 0), inOpt(n, 1), mean = false)
+        case "Softmax" => softmax(in(n, 0), n.attrI("axis", -1).toInt)
+        case "LayerNormalization" =>
+          layerNorm(in(n, 0), in(n, 1), inOpt(n, 2),
+            n.attrI("axis", -1).toInt, n.attrF("epsilon", 1e-5f))
+        case "Transpose" => transpose(in(n, 0), n.attrInts("perm"))
+        case "Shape" => shapeOf(in(n, 0), n)
+        case "Reshape" => reshape(in(n, 0), in(n, 1))
+        case "Concat" => concat(n.inputs.map(env(_)), n.attrI("axis", 0).toInt)
+        case "Unsqueeze" => unsqueeze(in(n, 0), axesOf(n, inOpt(n, 1)))
+        case "Squeeze" => squeeze(in(n, 0), axesOf(n, inOpt(n, 1)))
+        case "Slice" => slice(in(n, 0), in(n, 1), in(n, 2), inOpt(n, 3), inOpt(n, 4))
+        case "Expand" => expand(in(n, 0), in(n, 1))
+        case "Cast" => cast(in(n, 0), n.attrI("to", 1).toInt)
+        case "Constant" => constant(n)
+        case "ConstantOfShape" => constantOfShape(n, in(n, 0))
         case other => sys.error(s"unsupported op $other")
       }
       env(n.outputs.head) = out
@@ -222,72 +312,603 @@ object Onnx {
       sys.error(s"graph never produced output ${g.outputName}"))
   }
 
-  /** [n, d] x [d, m] -> [n, m]; a rank-1 left side is treated as [1, d]. */
-  private def matmul(a: Tensor, b: Tensor): Tensor = {
-    val (n, d) = if (a.dims.length == 1) (1, a.dims(0)) else (a.dims(0), a.dims(1))
-    require(b.dims.length == 2 && b.dims(0) == d,
-      s"matmul shape mismatch: ${a.dims.toSeq} x ${b.dims.toSeq}")
-    val m = b.dims(1)
-    val out = new Array[Float](n * m)
+  // ------------------------------------------------------ op kernels
+
+  /** Abramowitz & Stegun 7.1.26 — max abs error 1.5e-7, far inside
+    * float32's output granularity. */
+  private[functions] def erf(x: Double): Double = {
+    val sign = if (x < 0) -1.0 else 1.0
+    val ax = math.abs(x)
+    val t = 1.0 / (1.0 + 0.3275911 * ax)
+    val y = 1.0 - (((((1.061405429 * t - 1.453152027) * t) + 1.421413741) * t
+      - 0.284496736) * t + 0.254829592) * t * math.exp(-ax * ax)
+    sign * y
+  }
+
+  private def mapF(a: Tensor)(f: Double => Double): Tensor = {
+    require(!a.isInt, "elementwise float op on an int64 tensor")
+    Tensor(a.dims, a.data.map(v => f(v.toDouble).toFloat))
+  }
+
+  // -------- broadcasting (numpy rules: align right, 1s stretch)
+
+  private def bcastDims(a: Array[Int], b: Array[Int], op: String): Array[Int] = {
+    val r = math.max(a.length, b.length)
+    Array.tabulate(r) { i =>
+      val ad = if (i + a.length - r >= 0) a(i + a.length - r) else 1
+      val bd = if (i + b.length - r >= 0) b(i + b.length - r) else 1
+      require(ad == bd || ad == 1 || bd == 1,
+        s"$op broadcast mismatch: ${a.toSeq} vs ${b.toSeq}")
+      math.max(ad, bd)
+    }
+  }
+
+  /** Flat index into `src` (dims right-aligned against `out`, 1s repeat)
+    * for the multi-index `ix` of the output. */
+  private def srcFlat(ix: Array[Int], outRank: Int, src: Array[Int]): Int = {
+    var flat = 0
     var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < m) {
-        var acc = 0.0
-        var k = 0
-        while (k < d) { acc += a.data(i * d + k).toDouble * b.data(k * m + j); k += 1 }
-        out(i * m + j) = acc.toFloat
-        j += 1
+    val off = outRank - src.length
+    while (i < src.length) {
+      val d = if (src(i) == 1) 0 else ix(off + i)
+      flat = flat * src(i) + d
+      i += 1
+    }
+    flat
+  }
+
+  /** Iterate output multi-indices of `dims`, calling f(flatOut, ix). */
+  private def eachIndex(dims: Array[Int])(f: (Int, Array[Int]) => Unit): Unit = {
+    val n = dims.product
+    val ix = new Array[Int](dims.length)
+    var flat = 0
+    while (flat < n) {
+      f(flat, ix)
+      var d = dims.length - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        ix(d) += 1
+        if (ix(d) == dims(d)) ix(d) = 0 else carry = false
+        d -= 1
       }
-      i += 1
+      flat += 1
     }
-    Tensor(if (a.dims.length == 1) Array(m) else Array(n, m), out)
   }
 
-  /** Elementwise with row-broadcast: [n, m] + [m] (bias) or same-shape. */
-  private def add(a: Tensor, b: Tensor): Tensor =
-    if (a.size == b.size)
-      Tensor(a.dims, Array.tabulate(a.size)(i => a.data(i) + b.data(i)))
-    else {
-      val m = b.size
-      require(a.size % m == 0, s"add broadcast mismatch ${a.dims.toSeq}+${b.dims.toSeq}")
-      Tensor(a.dims, Array.tabulate(a.size)(i => a.data(i) + b.data(i % m)))
+  /** Elementwise binary with full broadcast; float pairs run `ff` (double
+    * accumulate, float cast), int64 pairs run `lf` (shape arithmetic). */
+  private def binary(op: String, a: Tensor, b: Tensor)
+                    (ff: (Double, Double) => Double)
+                    (lf: (Long, Long) => Long): Tensor = {
+    require(a.isInt == b.isInt, s"$op: mixed float/int64 operands (Cast first)")
+    val dims = bcastDims(a.dims, b.dims, op)
+    if (a.isInt) {
+      val out = new Array[Long](dims.product)
+      eachIndex(dims) { (flat, ix) =>
+        out(flat) = lf(a.longs(srcFlat(ix, dims.length, a.dims)),
+          b.longs(srcFlat(ix, dims.length, b.dims)))
+      }
+      Tensor.ofLongs(dims, out)
+    } else {
+      val out = new Array[Float](dims.product)
+      eachIndex(dims) { (flat, ix) =>
+        out(flat) = ff(a.data(srcFlat(ix, dims.length, a.dims)).toDouble,
+          b.data(srcFlat(ix, dims.length, b.dims)).toDouble).toFloat
+      }
+      Tensor(dims, out)
     }
-
-  /** Gather rows (axis 0): data [v, d], int64 indices [n] -> [n, d]. */
-  private def gather(data: Tensor, idx: Tensor): Tensor = {
-    require(idx.isInt, "Gather indices must be int64")
-    require(data.dims.length == 2, "Gather expects a 2-D table")
-    val d = data.dims(1)
-    val n = idx.longs.length
-    val out = new Array[Float](n * d)
-    var i = 0
-    while (i < n) {
-      val row = idx.longs(i).toInt
-      System.arraycopy(data.data, row * d, out, i * d, d)
-      i += 1
-    }
-    Tensor(Array(n, d), out)
   }
 
-  /** Mean over axis 0 with keepdims=0: [n, d] -> [d]. Empty input pools
-    * to zeros (an empty text must embed, not crash). */
-  private def reduceMeanAxis0(a: Tensor): Tensor = {
-    require(a.dims.length == 2, "ReduceMean expects 2-D input")
-    val n = a.dims(0); val d = a.dims(1)
-    val out = new Array[Float](d)
-    if (n > 0) {
-      val acc = new Array[Double](d)
+  /** Equal -> int64 0/1 tensor (ONNX bool carried as int64 here). */
+  private def compare(a: Tensor, b: Tensor): Tensor = {
+    require(a.isInt == b.isInt, "Equal: mixed float/int64 operands")
+    val dims = bcastDims(a.dims, b.dims, "Equal")
+    val out = new Array[Long](dims.product)
+    eachIndex(dims) { (flat, ix) =>
+      val eq =
+        if (a.isInt) a.longs(srcFlat(ix, dims.length, a.dims)) ==
+          b.longs(srcFlat(ix, dims.length, b.dims))
+        else a.data(srcFlat(ix, dims.length, a.dims)) ==
+          b.data(srcFlat(ix, dims.length, b.dims))
+      out(flat) = if (eq) 1L else 0L
+    }
+    Tensor.ofLongs(dims, out)
+  }
+
+  /** Where(cond != 0, x, y) with three-way broadcast. */
+  private def where(c: Tensor, x: Tensor, y: Tensor): Tensor = {
+    require(c.isInt, "Where condition must be bool/int64")
+    require(x.isInt == y.isInt, "Where branches must share a type")
+    val dims = bcastDims(bcastDims(c.dims, x.dims, "Where"), y.dims, "Where")
+    if (x.isInt) {
+      val out = new Array[Long](dims.product)
+      eachIndex(dims) { (flat, ix) =>
+        out(flat) =
+          if (c.longs(srcFlat(ix, dims.length, c.dims)) != 0L)
+            x.longs(srcFlat(ix, dims.length, x.dims))
+          else y.longs(srcFlat(ix, dims.length, y.dims))
+      }
+      Tensor.ofLongs(dims, out)
+    } else {
+      val out = new Array[Float](dims.product)
+      eachIndex(dims) { (flat, ix) =>
+        out(flat) =
+          if (c.longs(srcFlat(ix, dims.length, c.dims)) != 0L)
+            x.data(srcFlat(ix, dims.length, x.dims))
+          else y.data(srcFlat(ix, dims.length, y.dims))
+      }
+      Tensor(dims, out)
+    }
+  }
+
+  // -------- matmul family
+
+  /** Full ONNX MatMul: rank-1 sides promote ([d]x[d,m], [n,d]x[d]), higher
+    * ranks batch with broadcast on the batch dims ([H,n,k]x[H,k,m],
+    * [1,H,n,k]x[k,m], ...). Double accumulation, float cast per cell. */
+  private def matmul(a: Tensor, b: Tensor): Tensor = {
+    require(!a.isInt && !b.isInt, "MatMul is float-only")
+    val a2 = if (a.dims.length == 1) Array(1, a.dims(0)) else a.dims
+    val b2 = if (b.dims.length == 1) Array(b.dims(0), 1) else b.dims
+    val (n, k) = (a2(a2.length - 2), a2(a2.length - 1))
+    val (k2, m) = (b2(b2.length - 2), b2(b2.length - 1))
+    require(k == k2, s"matmul shape mismatch: ${a.dims.toSeq} x ${b.dims.toSeq}")
+    val batch = bcastDims(a2.dropRight(2), b2.dropRight(2), "MatMul")
+    val outDims = batch ++ Array(n, m)
+    val out = new Array[Float](outDims.product)
+    val nb = batch.product.max(1)
+    var bi = 0
+    // decompose the batch flat index into a multi-index once per matrix
+    val bix = new Array[Int](batch.length)
+    while (bi < nb) {
+      val aOff = srcFlat(bix, batch.length, a2.dropRight(2)) * n * k
+      val bOff = srcFlat(bix, batch.length, b2.dropRight(2)) * k2 * m
+      val oOff = bi * n * m
       var i = 0
       while (i < n) {
         var j = 0
-        while (j < d) { acc(j) += a.data(i * d + j); j += 1 }
+        while (j < m) {
+          var acc = 0.0
+          var kk = 0
+          while (kk < k) {
+            acc += a.data(aOff + i * k + kk).toDouble * b.data(bOff + kk * m + j)
+            kk += 1
+          }
+          out(oOff + i * m + j) = acc.toFloat
+          j += 1
+        }
         i += 1
       }
-      var j = 0
-      while (j < d) { out(j) = (acc(j) / n).toFloat; j += 1 }
+      // increment bix
+      var d = batch.length - 1
+      var carry = true
+      while (d >= 0 && carry) {
+        bix(d) += 1
+        if (bix(d) == batch(d)) bix(d) = 0 else carry = false
+        d -= 1
+      }
+      bi += 1
     }
-    Tensor(Array(d), out)
+    val finalDims =
+      if (a.dims.length == 1 && b.dims.length == 1) Array(1)
+      else if (a.dims.length == 1) outDims.patch(outDims.length - 2, Nil, 1)
+      else if (b.dims.length == 1) outDims.dropRight(1)
+      else outDims
+    Tensor(finalDims, out)
+  }
+
+  /** Gemm: alpha * A' x B' + beta * C (C broadcast); 2-D only per spec. */
+  private def gemm(n: Node, a0: Tensor, b0: Tensor, c: Option[Tensor]): Tensor = {
+    val a = if (n.attrI("transA", 0) == 1L) transpose(a0, Some(Seq(1L, 0L))) else a0
+    val b = if (n.attrI("transB", 0) == 1L) transpose(b0, Some(Seq(1L, 0L))) else b0
+    val alpha = n.attrF("alpha", 1f).toDouble
+    val beta = n.attrF("beta", 1f).toDouble
+    val ab = matmul(a, b)
+    c match {
+      case None => if (alpha == 1.0) ab else mapF(ab)(_ * alpha)
+      case Some(cc) =>
+        binary("Gemm", if (alpha == 1.0) ab else mapF(ab)(_ * alpha),
+          if (beta == 1.0) cc else mapF(cc)(_ * beta))(_ + _)(_ + _)
+    }
+  }
+
+  // -------- gather / reduce / softmax / layernorm
+
+  /** Gather along `axis`: output = data[:axis] ++ idx.shape ++ data[axis+1:];
+    * negative indices wrap. Works for float and int64 data (real exports
+    * gather from Shape outputs). */
+  private def gather(data: Tensor, idx: Tensor, axis0: Int): Tensor = {
+    require(idx.isInt, "Gather indices must be int64")
+    val axis = if (axis0 < 0) axis0 + data.dims.length else axis0
+    val pre = data.dims.take(axis)
+    val post = data.dims.drop(axis + 1)
+    val axLen = data.dims(axis)
+    val inner = post.product
+    val outer = pre.product
+    val nIdx = idx.size
+    val outDims = pre ++ idx.dims ++ post
+    def rows(i: Int): Int = {
+      val r = idx.longs(i)
+      val w = (if (r < 0) r + axLen else r).toInt
+      require(w >= 0 && w < axLen, s"Gather index $r out of range [0,$axLen)")
+      w
+    }
+    if (data.isInt) {
+      val out = new Array[Long](outer * nIdx * inner)
+      var o = 0
+      while (o < outer) {
+        var i = 0
+        while (i < nIdx) {
+          System.arraycopy(data.longs, (o * axLen + rows(i)) * inner,
+            out, (o * nIdx + i) * inner, inner)
+          i += 1
+        }
+        o += 1
+      }
+      Tensor.ofLongs(outDims, out)
+    } else {
+      val out = new Array[Float](outer * nIdx * inner)
+      var o = 0
+      while (o < outer) {
+        var i = 0
+        while (i < nIdx) {
+          System.arraycopy(data.data, (o * axLen + rows(i)) * inner,
+            out, (o * nIdx + i) * inner, inner)
+          i += 1
+        }
+        o += 1
+      }
+      Tensor(outDims, out)
+    }
+  }
+
+  private def axesOf(n: Node, second: Option[Tensor]): Option[Seq[Long]] =
+    n.attrInts("axes").orElse(second.map(_.longs.toSeq))
+
+  /** ReduceMean / ReduceSum over `axes` (attr in opset <=17, second input
+    * in 18+), keepdims honored. LEGACY CONTRACT: an attr-less, input-less
+    * reduce over a 2-D tensor keeps the embedding-bag behavior every
+    * shipped artifact relies on — mean over axis 0 with keepdims=0, empty
+    * input pooling to zeros (an empty text must embed, not crash). */
+  private def reduce(n: Node, a: Tensor, second: Option[Tensor],
+                     mean: Boolean): Tensor = {
+    require(!a.isInt, "Reduce* is float-only here")
+    val axesOpt = axesOf(n, second).filter(_.nonEmpty)
+    if (axesOpt.isEmpty && a.dims.length == 2 && mean &&
+        !n.attrs.contains("keepdims")) {
+      val nRows = a.dims(0); val d = a.dims(1)
+      val out = new Array[Float](d)
+      if (nRows > 0) {
+        val acc = new Array[Double](d)
+        var i = 0
+        while (i < nRows) {
+          var j = 0
+          while (j < d) { acc(j) += a.data(i * d + j); j += 1 }
+          i += 1
+        }
+        var j = 0
+        while (j < d) { out(j) = (acc(j) / nRows).toFloat; j += 1 }
+      }
+      return Tensor(Array(d), out)
+    }
+    val keep = n.attrI("keepdims", 1) == 1L
+    val axes = axesOpt.getOrElse(a.dims.indices.map(_.toLong))
+      .map(x => (if (x < 0) x + a.dims.length else x).toInt).toSet
+    val outDimsKeep = a.dims.zipWithIndex.map { case (d, i) => if (axes(i)) 1 else d }
+    val acc = new Array[Double](outDimsKeep.product)
+    val cnt = axes.toSeq.map(a.dims(_)).product.max(1)
+    eachIndex(a.dims) { (flat, ix) =>
+      acc(srcFlat(ix, a.dims.length, outDimsKeep)) += a.data(flat)
+    }
+    val out = acc.map(v => (if (mean) v / cnt else v).toFloat)
+    val outDims =
+      if (keep) outDimsKeep
+      else {
+        val d = a.dims.zipWithIndex.collect { case (d, i) if !axes(i) => d }
+        if (d.isEmpty) Array(1) else d
+      }
+    Tensor(outDims, out)
+  }
+
+  /** Opset-13 Softmax: exp-normalize along `axis` (default last), max
+    * subtracted per slice for stability; double accumulation. */
+  private def softmax(a: Tensor, axis0: Int): Tensor = {
+    require(!a.isInt, "Softmax is float-only")
+    val axis = if (axis0 < 0) axis0 + a.dims.length else axis0
+    val axLen = a.dims(axis)
+    val inner = a.dims.drop(axis + 1).product
+    val outer = a.dims.take(axis).product
+    val out = new Array[Float](a.size)
+    var o = 0
+    while (o < outer) {
+      var in0 = 0
+      while (in0 < inner) {
+        val base = o * axLen * inner + in0
+        var mx = Double.NegativeInfinity
+        var i = 0
+        while (i < axLen) {
+          mx = math.max(mx, a.data(base + i * inner).toDouble); i += 1
+        }
+        var sum = 0.0
+        val e = new Array[Double](axLen)
+        i = 0
+        while (i < axLen) {
+          e(i) = math.exp(a.data(base + i * inner).toDouble - mx)
+          sum += e(i); i += 1
+        }
+        i = 0
+        while (i < axLen) {
+          out(base + i * inner) = (e(i) / sum).toFloat; i += 1
+        }
+        in0 += 1
+      }
+      o += 1
+    }
+    Tensor(a.dims, out)
+  }
+
+  /** LayerNormalization (opset 17): normalize over dims [axis..rank),
+    * scale/bias shaped like the normalized tail. */
+  private def layerNorm(x: Tensor, scale: Tensor, bias: Option[Tensor],
+                        axis0: Int, eps: Float): Tensor = {
+    require(!x.isInt, "LayerNormalization is float-only")
+    val axis = if (axis0 < 0) axis0 + x.dims.length else axis0
+    val inner = x.dims.drop(axis).product
+    val outer = x.dims.take(axis).product
+    require(scale.size == inner, s"LayerNorm scale size ${scale.size} != $inner")
+    bias.foreach(b => require(b.size == inner, "LayerNorm bias size mismatch"))
+    val out = new Array[Float](x.size)
+    var o = 0
+    while (o < outer) {
+      val base = o * inner
+      var sum = 0.0
+      var i = 0
+      while (i < inner) { sum += x.data(base + i); i += 1 }
+      val mu = sum / inner
+      var varAcc = 0.0
+      i = 0
+      while (i < inner) {
+        val d = x.data(base + i) - mu; varAcc += d * d; i += 1
+      }
+      val inv = 1.0 / math.sqrt(varAcc / inner + eps)
+      i = 0
+      while (i < inner) {
+        val v = (x.data(base + i) - mu) * inv * scale.data(i) +
+          bias.map(_.data(i).toDouble).getOrElse(0.0)
+        out(base + i) = v.toFloat
+        i += 1
+      }
+      o += 1
+    }
+    Tensor(x.dims, out)
+  }
+
+  // -------- shape machinery
+
+  private def transpose(a: Tensor, perm0: Option[Seq[Long]]): Tensor = {
+    val r = a.dims.length
+    val perm = perm0.map(_.map(_.toInt).toArray)
+      .getOrElse(Array.tabulate(r)(i => r - 1 - i))
+    require(perm.length == r && perm.sorted.sameElements(0 until r),
+      s"Transpose perm ${perm.toSeq} invalid for rank $r")
+    val outDims = perm.map(a.dims(_))
+    val inStrides = new Array[Int](r)
+    var s = 1
+    var i = r - 1
+    while (i >= 0) { inStrides(i) = s; s *= a.dims(i); i -= 1 }
+    if (a.isInt) {
+      val out = new Array[Long](a.size)
+      eachIndex(outDims) { (flat, ix) =>
+        var src = 0
+        var d = 0
+        while (d < r) { src += ix(d) * inStrides(perm(d)); d += 1 }
+        out(flat) = a.longs(src)
+      }
+      Tensor.ofLongs(outDims, out)
+    } else {
+      val out = new Array[Float](a.size)
+      eachIndex(outDims) { (flat, ix) =>
+        var src = 0
+        var d = 0
+        while (d < r) { src += ix(d) * inStrides(perm(d)); d += 1 }
+        out(flat) = a.data(src)
+      }
+      Tensor(outDims, out)
+    }
+  }
+
+  private def shapeOf(a: Tensor, n: Node): Tensor = {
+    val r = a.dims.length
+    def clamp(v: Long): Int =
+      math.max(0, math.min(r, if (v < 0) v + r else v)).toInt
+    val start = clamp(n.attrI("start", 0))
+    val end = clamp(n.attrI("end", r))
+    Tensor.ofLongs(Array(math.max(0, end - start)),
+      a.dims.slice(start, end).map(_.toLong))
+  }
+
+  private def reshape(a: Tensor, shape: Tensor): Tensor = {
+    require(shape.isInt, "Reshape shape must be int64")
+    val spec = shape.longs
+    val dims = new Array[Int](spec.length)
+    var negAt = -1
+    var known = 1L
+    var i = 0
+    while (i < spec.length) {
+      spec(i) match {
+        case -1L => require(negAt < 0, "Reshape: multiple -1 dims"); negAt = i
+        case 0L => dims(i) = a.dims(i); known *= dims(i)
+        case d => dims(i) = d.toInt; known *= d
+      }
+      i += 1
+    }
+    if (negAt >= 0) dims(negAt) = (a.size / math.max(known, 1L)).toInt
+    require(dims.product == a.size,
+      s"Reshape ${a.dims.toSeq} -> ${spec.toSeq}: element count mismatch")
+    if (a.isInt) Tensor.ofLongs(dims, a.longs) else Tensor(dims, a.data)
+  }
+
+  private def concat(ts: Seq[Tensor], axis0: Int): Tensor = {
+    val r = ts.head.dims.length
+    val axis = if (axis0 < 0) axis0 + r else axis0
+    val outDims = ts.head.dims.clone()
+    outDims(axis) = ts.map(_.dims(axis)).sum
+    val inner = ts.head.dims.drop(axis + 1).product
+    val outer = ts.head.dims.take(axis).product
+    if (ts.head.isInt) {
+      val out = new Array[Long](outDims.product)
+      var o = 0
+      while (o < outer) {
+        var pos = 0
+        ts.foreach { t =>
+          val len = t.dims(axis) * inner
+          System.arraycopy(t.longs, o * len, out,
+            o * outDims(axis) * inner + pos, len)
+          pos += len
+        }
+        o += 1
+      }
+      Tensor.ofLongs(outDims, out)
+    } else {
+      val out = new Array[Float](outDims.product)
+      var o = 0
+      while (o < outer) {
+        var pos = 0
+        ts.foreach { t =>
+          val len = t.dims(axis) * inner
+          System.arraycopy(t.data, o * len, out,
+            o * outDims(axis) * inner + pos, len)
+          pos += len
+        }
+        o += 1
+      }
+      Tensor(outDims, out)
+    }
+  }
+
+  private def unsqueeze(a: Tensor, axes: Option[Seq[Long]]): Tensor = {
+    val ax = axes.getOrElse(sys.error("Unsqueeze needs axes")).map(_.toInt)
+    val outRank = a.dims.length + ax.length
+    val norm = ax.map(x => if (x < 0) x + outRank else x).sorted
+    val dims = scala.collection.mutable.ArrayBuffer(a.dims.toSeq: _*)
+    norm.foreach(i => dims.insert(i, 1))
+    if (a.isInt) Tensor.ofLongs(dims.toArray, a.longs) else Tensor(dims.toArray, a.data)
+  }
+
+  private def squeeze(a: Tensor, axes: Option[Seq[Long]]): Tensor = {
+    val drop: Set[Int] = axes match {
+      case Some(ax) => ax.map(x => (if (x < 0) x + a.dims.length else x).toInt).toSet
+      case None => a.dims.zipWithIndex.collect { case (1, i) => i }.toSet
+    }
+    drop.foreach(i => require(a.dims(i) == 1, s"Squeeze axis $i is ${a.dims(i)}"))
+    val dims = a.dims.zipWithIndex.collect { case (d, i) if !drop(i) => d }
+    val dd = if (dims.isEmpty) Array(1) else dims
+    if (a.isInt) Tensor.ofLongs(dd, a.longs) else Tensor(dd, a.data)
+  }
+
+  private def slice(a: Tensor, starts: Tensor, ends: Tensor,
+                    axesT: Option[Tensor], stepsT: Option[Tensor]): Tensor = {
+    val r = a.dims.length
+    val axes = axesT.map(_.longs.map(x => (if (x < 0) x + r else x).toInt))
+      .getOrElse(Array.tabulate(starts.longs.length)(identity))
+    val steps = stepsT.map(_.longs.map(_.toInt))
+      .getOrElse(Array.fill(axes.length)(1))
+    val begin = Array.tabulate(r)(_ => 0)
+    val stop = a.dims.clone()
+    val step = Array.fill(r)(1)
+    var i = 0
+    while (i < axes.length) {
+      val ax = axes(i)
+      val dim = a.dims(ax)
+      val st = steps(i)
+      require(st != 0, "Slice step 0")
+      def norm(v: Long, lo: Int, hi: Int): Int = {
+        val w = if (v < 0) v + dim else v
+        math.max(lo, math.min(hi, w)).toInt
+      }
+      if (st > 0) {
+        begin(ax) = norm(starts.longs(i), 0, dim)
+        stop(ax) = norm(ends.longs(i), 0, dim)
+      } else {
+        begin(ax) = norm(starts.longs(i), 0, dim - 1)
+        stop(ax) = math.max(-1, math.min(dim - 1,
+          (if (ends.longs(i) < 0) ends.longs(i) + dim else ends.longs(i)))).toInt
+      }
+      step(ax) = st
+      i += 1
+    }
+    val outDims = Array.tabulate(r) { d =>
+      if (step(d) > 0) math.max(0, (stop(d) - begin(d) + step(d) - 1) / step(d))
+      else math.max(0, (begin(d) - stop(d) - step(d) - 1) / (-step(d)))
+    }
+    val inStrides = new Array[Int](r)
+    var s = 1
+    var d = r - 1
+    while (d >= 0) { inStrides(d) = s; s *= a.dims(d); d -= 1 }
+    if (a.isInt) {
+      val out = new Array[Long](outDims.product)
+      eachIndex(outDims) { (flat, ix) =>
+        var src = 0
+        var dd = 0
+        while (dd < r) { src += (begin(dd) + ix(dd) * step(dd)) * inStrides(dd); dd += 1 }
+        out(flat) = a.longs(src)
+      }
+      Tensor.ofLongs(outDims, out)
+    } else {
+      val out = new Array[Float](outDims.product)
+      eachIndex(outDims) { (flat, ix) =>
+        var src = 0
+        var dd = 0
+        while (dd < r) { src += (begin(dd) + ix(dd) * step(dd)) * inStrides(dd); dd += 1 }
+        out(flat) = a.data(src)
+      }
+      Tensor(outDims, out)
+    }
+  }
+
+  private def expand(a: Tensor, shape: Tensor): Tensor = {
+    require(shape.isInt, "Expand shape must be int64")
+    val dims = bcastDims(a.dims, shape.longs.map(_.toInt), "Expand")
+    if (a.isInt) {
+      val out = new Array[Long](dims.product)
+      eachIndex(dims)((flat, ix) => out(flat) = a.longs(srcFlat(ix, dims.length, a.dims)))
+      Tensor.ofLongs(dims, out)
+    } else {
+      val out = new Array[Float](dims.product)
+      eachIndex(dims)((flat, ix) => out(flat) = a.data(srcFlat(ix, dims.length, a.dims)))
+      Tensor(dims, out)
+    }
+  }
+
+  /** Cast to=1 float; 6/7/9/13 (int32/int64/bool/uint64) -> int64. */
+  private def cast(a: Tensor, to: Int): Tensor = to match {
+    case 1 | 11 =>
+      if (a.isInt) Tensor(a.dims, a.longs.map(_.toFloat)) else a
+    case 6 | 7 | 9 | 13 =>
+      if (a.isInt) a
+      else Tensor.ofLongs(a.dims, a.data.map(v =>
+        if (to == 9) (if (v != 0f) 1L else 0L) else v.toLong))
+    case other => sys.error(s"unsupported Cast target $other")
+  }
+
+  private def constant(n: Node): Tensor =
+    n.attrs.get("value").flatMap(_.t)
+      .orElse(n.attrs.get("value_int").flatMap(_.i)
+        .map(v => Tensor.ofLongs(Array(1), Array(v))))
+      .orElse(n.attrs.get("value_ints").map(_.ints)
+        .filter(_.nonEmpty).map(v => Tensor.ofLongs(Array(v.length), v.toArray)))
+      .orElse(n.attrs.get("value_float").flatMap(_.f)
+        .map(v => Tensor(Array(1), Array(v))))
+      .getOrElse(sys.error("Constant node without a supported value attribute"))
+
+  private def constantOfShape(n: Node, shape: Tensor): Tensor = {
+    require(shape.isInt, "ConstantOfShape input must be int64")
+    val dims = shape.longs.map(_.toInt)
+    n.attrs.get("value").flatMap(_.t) match {
+      case Some(v) if v.isInt => Tensor.ofLongs(dims, Array.fill(dims.product)(v.longs(0)))
+      case Some(v) => Tensor(dims, Array.fill(dims.product)(v.data(0)))
+      case None => Tensor(dims, new Array[Float](dims.product))
+    }
   }
 }
 
@@ -332,5 +953,68 @@ object OnnxEmbedder {
   def fromEnv(): Option[Embedder] = sys.env.get(EnvVar).map { v =>
     val i = v.lastIndexOf(':')
     apply(v.substring(0, i), v.substring(i + 1).toInt)
+  }
+}
+
+/** The SENTENCE-TRANSFORMER recipe over a BERT-family ONNX export — the
+  * reference's actual embedder shape (all-MiniLM-L6-v2,
+  * /root/reference/src/embeddings.py:3): WordPiece-encode, feed the
+  * `input_ids` / `attention_mask` / `token_type_ids` triple (whichever of
+  * the three the graph declares), take `last_hidden_state` `[1, n, h]`,
+  * MEAN-POOL over the token axis, L2-normalize. Model + vocab load once
+  * per executor JVM through the [[BatchedModelEmbedder]] seam. */
+object OnnxTransformerEmbedder {
+  val EnvVar = "GRAFT_ONNX_ST_MODEL"
+
+  def apply(modelPath: String, vocabPath: String, dim: Int,
+            maxLen: Int = 256, batchSize: Int = 16): Embedder =
+    new BatchedModelEmbedder[(Onnx.Graph, WordPiece)](
+      name = s"onnx-st:$modelPath:$vocabPath",
+      dim = dim,
+      loadModel = () => (
+        Onnx.parseModel(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(modelPath))),
+        WordPiece.fromFile(vocabPath)),
+      encodeBatch = (m, texts) => texts.map(t => encodeOne(m._1, m._2, t, dim, maxLen)),
+      batchSize = batchSize)
+
+  private[functions] def encodeOne(g: Onnx.Graph, wp: WordPiece, text: String,
+                                   dim: Int, maxLen: Int): Array[Float] = {
+    val ids = wp.encode(text, maxLen)
+    val n = ids.length
+    val inputs = g.inputNames.map {
+      case name @ "input_ids" =>
+        name -> Onnx.Tensor.ofLongs(Array(1, n), ids)
+      case name @ "attention_mask" =>
+        name -> Onnx.Tensor.ofLongs(Array(1, n), Array.fill(n)(1L))
+      case name @ "token_type_ids" =>
+        name -> Onnx.Tensor.ofLongs(Array(1, n), new Array[Long](n))
+      case other => sys.error(s"transformer graph declares unexpected input '$other'")
+    }.toMap
+    val hidden = Onnx.run(g, inputs)
+    val h = hidden.dims.last
+    require(h == dim, s"artifact hidden size $h, embedder constructed with $dim")
+    require(hidden.size == n * h,
+      s"expected [1,$n,$h] hidden states, got ${hidden.dims.toSeq}")
+    // mean pool over tokens (mask is all-ones for a single unpadded text)
+    val acc = new Array[Double](h)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < h) { acc(j) += hidden.data(i * h + j); j += 1 }
+      i += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < h) { acc(j) /= n; norm += acc(j) * acc(j); j += 1 }
+    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    Array.tabulate(h)(k => (acc(k) * inv).toFloat)
+  }
+
+  /** `GRAFT_ONNX_ST_MODEL` = `<model.onnx>:<vocab.txt>:<dim>`. */
+  def fromEnv(): Option[Embedder] = sys.env.get(EnvVar).map { v =>
+    val parts = v.split(':')
+    require(parts.length == 3, s"$EnvVar wants <model.onnx>:<vocab.txt>:<dim>")
+    apply(parts(0), parts(1), parts(2).toInt)
   }
 }

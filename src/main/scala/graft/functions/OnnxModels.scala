@@ -36,10 +36,90 @@ object OnnxWrite {
     w.str(8, name)
   }
 
-  def node(op: String, ins: Seq[String], outName: String)(w: W): Unit = {
+  def int64Tensor(name: String, dims: Seq[Int], data: Array[Long])(w: W): Unit = {
+    dims.foreach(d => w.int(1, d.toLong))
+    w.int(2, 7L) // data_type = INT64
+    val bb = java.nio.ByteBuffer.allocate(8 * data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    data.foreach(bb.putLong)
+    w.bytes(9, bb.array()) // raw_data
+    w.str(8, name)
+  }
+
+  /** Node attribute values the transformer graphs carry. */
+  sealed trait AV
+  final case class AI(v: Long) extends AV
+  final case class AF(v: Float) extends AV
+  final case class AInts(v: Seq[Long]) extends AV
+
+  def node(op: String, ins: Seq[String], outName: String,
+           attrs: Seq[(String, AV)] = Nil)(w: W): Unit = {
     ins.foreach(w.str(1, _))
     w.str(2, outName)
     w.str(4, op)
+    attrs.foreach { case (name, av) =>
+      w.msg(5) { a => // NodeProto.attribute
+        a.str(1, name)
+        av match {
+          case AI(v) =>
+            // two's-complement varint for negatives (axis = -1)
+            a.tag(3, 0); a.varint(v)
+            a.int(20, 2L) // AttributeProto.type = INT
+          case AF(v) =>
+            a.tag(2, 5)
+            val bits = java.lang.Float.floatToIntBits(v)
+            a.out.write(bits & 0xff); a.out.write((bits >>> 8) & 0xff)
+            a.out.write((bits >>> 16) & 0xff); a.out.write((bits >>> 24) & 0xff)
+            a.int(20, 1L) // FLOAT
+          case AInts(vs) =>
+            vs.foreach { v => a.tag(8, 0); a.varint(v) }
+            a.int(20, 7L) // INTS
+        }
+      }
+    }
+  }
+
+  /** ONE SELF-ATTENTION BLOCK as an ONNX graph — the transformer op set
+    * (batched/transposed MatMul, Softmax, attribute-carrying nodes) in the
+    * dyadic-weight discipline: after Softmax (the only transcendental
+    * stage) the attention weights QUANTIZE to k/1024 via
+    * Mul·Floor·Div, so every downstream sum is integer-exact again and
+    * the q_onnx_attention DuckDB oracle can replay the block relationally
+    * (floor is evaluation-order-free where round-half would not be).
+    * scale = 1/sqrt(h) with h = 16, so the scaling is an exact power of
+    * two. */
+  def attention(table: Array[Float], vocab: Int, h: Int,
+                wq: Array[Float], wk: Array[Float], wv: Array[Float],
+                wo: Array[Float], dim: Int): Array[Byte] = {
+    require(h == 16, "scale 0.25 is exact only for h = 16")
+    val w = new W()
+    w.msg(7) { g => // ModelProto.graph
+      g.msg(1)(node("Gather", Seq("table", "ids"), "x"))
+      g.msg(1)(node("MatMul", Seq("x", "wq"), "q"))
+      g.msg(1)(node("MatMul", Seq("x", "wk"), "k"))
+      g.msg(1)(node("MatMul", Seq("x", "wv"), "v"))
+      g.msg(1)(node("Transpose", Seq("k"), "kt", Seq("perm" -> AInts(Seq(1, 0)))))
+      g.msg(1)(node("MatMul", Seq("q", "kt"), "s"))
+      g.msg(1)(node("Mul", Seq("s", "scale"), "sc"))
+      g.msg(1)(node("Softmax", Seq("sc"), "a", Seq("axis" -> AI(-1))))
+      g.msg(1)(node("Mul", Seq("a", "c1024"), "a1024"))
+      g.msg(1)(node("Floor", Seq("a1024"), "af"))
+      g.msg(1)(node("Div", Seq("af", "c1024"), "aq"))
+      g.msg(1)(node("MatMul", Seq("aq", "v"), "ctx"))
+      g.msg(1)(node("ReduceMean", Seq("ctx"), "pooled",
+        Seq("axes" -> AInts(Seq(0)), "keepdims" -> AI(0))))
+      g.msg(1)(node("MatMul", Seq("pooled", "wo"), "out"))
+      g.msg(5)(floatTensor("table", Seq(vocab, h), table))
+      g.msg(5)(floatTensor("wq", Seq(h, h), wq))
+      g.msg(5)(floatTensor("wk", Seq(h, h), wk))
+      g.msg(5)(floatTensor("wv", Seq(h, h), wv))
+      g.msg(5)(floatTensor("wo", Seq(h, dim), wo))
+      g.msg(5)(floatTensor("scale", Seq(1), Array(0.25f)))
+      g.msg(5)(floatTensor("c1024", Seq(1), Array(1024f)))
+      g.msg(11)(v => v.str(1, "ids"))
+      g.msg(12)(v => v.str(1, "out"))
+    }
+    w.out.toByteArray
   }
 
   /** Embedding-bag encoder graph: Gather(table, ids) → ReduceMean →
@@ -113,4 +193,46 @@ object OnnxModels {
   /** VALUES rows `(i, k)` for one weight region (oracle-side weights). */
   def valuesSql(off: Long, n: Int): String =
     (0 until n).map(i => s"($i, ${k(off + i)})").mkString(", ")
+
+  // ----------------------------------------------- attention demo model
+
+  /** q_onnx_attention's output width. */
+  val AttDim = 8
+  /** Weight-region offsets, shared with the oracle's VALUES tables. */
+  val WqOff = 400000L
+  val WkOff = 500000L
+  val WvOff = 600000L
+  val WoOff = 700000L
+
+  lazy val wq: Array[Float] = mat(WqOff, Hid * Hid)
+  lazy val wk: Array[Float] = mat(WkOff, Hid * Hid)
+  lazy val wv: Array[Float] = mat(WvOff, Hid * Hid)
+  lazy val wo: Array[Float] = mat(WoOff, Hid * AttDim)
+
+  lazy val attentionModelBytes: Array[Byte] =
+    OnnxWrite.attention(table, Vocab, Hid, wq, wk, wv, wo, AttDim)
+
+  /** Self-attention demo embedder over the dyadic artifact; ids are the
+    * engine token kernel's hashes mod Vocab (the [[OnnxEmbedder]] id
+    * pipeline, pinned explicitly because this graph holds five 2-D
+    * tables). */
+  lazy val attentionEmbedder: Embedder = {
+    val p = java.nio.file.Files.createTempFile("graft_onnx_attn", ".onnx")
+    java.nio.file.Files.write(p, attentionModelBytes)
+    p.toFile.deleteOnExit()
+    val path = p.toString
+    new BatchedModelEmbedder[Onnx.Graph](
+      name = s"onnx-attn:$path",
+      dim = AttDim,
+      loadModel = () => Onnx.parseModel(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))),
+      encodeBatch = (g, texts) => texts.map { t =>
+        val toks = TextHashOps.tokenize(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t))
+        val ids = Array.tabulate(toks.numElements()) { i =>
+          TextHashOps.polyHash(toks.getUTF8String(i)) % Vocab
+        }
+        Onnx.run(g, Onnx.Tensor.ofLongs(Array(ids.length), ids)).data
+      })
+  }
 }

@@ -14,49 +14,71 @@ import org.apache.spark.sql.functions._
  * Profile semantics per doc (the [[graft.store.TextIndex.booleanQuery]]
  * clause model, minus ranking — percolation is a match, not a score):
  * every DISTINCT `must` term present, at least one `any` term present
- * when the clause is non-empty, no `must_not` term present. A profile
- * needs at least one positive (must/any) term — a pure-negation profile
- * can never fire (no positive term ever joins it to a doc), which is a
- * silently-dead subscription, so registration rejects it loudly.
+ * when the clause is non-empty, no `must_not` term present, and — when
+ * the registry carries a `phrases` column (ARRAY<ARRAY<STRING>>) — every
+ * quoted phrase present at CONSECUTIVE positions (the q_phrase
+ * occurrence model, run standing). A profile needs at least one positive
+ * (must/any/phrase) clause — a pure-negation profile can never fire (no
+ * positive term ever joins it to a doc), which is a silently-dead
+ * subscription, so registration rejects it loudly.
  *
  * Scale shape (docs N can be 100 TB, profiles P is a registry — thousands):
- * NEVER a doc × profile cross join, and the corpus is read ONCE.
- * Documents tokenize once and explode to DISTINCT (doc, term) pairs; the
- * join key is the TERM, so only doc tokens that appear in some profile
- * clause survive the single join (the inverted-index trick run
- * data-side); ONE (doc, profile) aggregation then decides all three
- * clauses at once — must coverage by distinct-count, any-match and
- * negation by flag-max — and the profile metadata (clause sizes)
- * broadcasts. Stateless per batch, so the streaming twin
- * ([[graft.streaming.StreamOps.percolate]]) is the same function applied
- * per micro-batch (profiles validated ONCE at stream start, not per
- * batch).
+ * NEVER a doc × profile cross join, and the corpus tokenizes once per
+ * stage. Stage 1 (terms): documents explode to DISTINCT (doc, term)
+ * pairs; the join key is the TERM, so only doc tokens that appear in some
+ * profile clause survive the single join (the inverted-index trick run
+ * data-side); ONE (doc, profile) aggregation then decides all clauses at
+ * once — must coverage and phrase-TERM coverage by distinct-count,
+ * any-match and negation by flag-max — and the profile metadata (clause
+ * sizes) broadcasts. Stage 2 (positions) runs ONLY for candidates whose
+ * profile has phrases: the positional explode is pruned to candidate
+ * DOCS (semi-join) and to phrase TERMS (broadcast slot join), so its
+ * volume is df-bounded by the phrases' terms, never the corpus; the
+ * (doc, profile, phrase, start) aggregation counts slots exactly like
+ * [[graft.store.TextIndex.phraseQuery]]. Stateless per batch, so the
+ * streaming twin ([[graft.streaming.StreamOps.percolate]]) is the same
+ * function applied per micro-batch (profiles validated ONCE at stream
+ * start, not per batch).
  */
 object Percolate {
+
+  private val EmptyPhrases = "array<array<string>>"
 
   /** NULL clause arrays (a registry loaded from parquet with nullable
     * columns) normalize to empty — size(NULL) is NULL, which would slip
     * past [[validate]] AND make the nm comparison never-true: the
-    * silently-dead subscription both guards exist to prevent. */
-  private def nullsafe(profiles: DataFrame): DataFrame =
-    profiles.select(col("profile_id"),
+    * silently-dead subscription both guards exist to prevent. A registry
+    * without a `phrases` column gets an empty one (the pre-phrase
+    * registry format). */
+  private def nullsafe(profiles: DataFrame): DataFrame = {
+    val withPh =
+      if (profiles.columns.contains("phrases")) profiles
+      else profiles.withColumn("phrases", lit(null).cast(EmptyPhrases))
+    withPh.select(col("profile_id"),
       coalesce(col("must"), array()).as("must"),
       coalesce(col("any"), array()).as("any"),
-      coalesce(col("must_not"), array()).as("must_not"))
+      coalesce(col("must_not"), array()).as("must_not"),
+      coalesce(col("phrases"), array().cast(EmptyPhrases)).as("phrases"))
+  }
 
-  /** Reject profiles with no positive term, and registries with a
-    * duplicated profile_id — two rows sharing an id would MERGE their
-    * clause terms in the (doc, profile) aggregation and duplicate the
-    * broadcast meta join, yielding wrong or duplicated alert pairs with
-    * no error (the stores' requireUniqueKeys discipline, applied here).
-    * Registration-time, two tiny jobs over the registry (NOT per matched
-    * batch). */
+  /** Reject profiles with no positive clause, phrases with no terms, and
+    * registries with a duplicated profile_id — two rows sharing an id
+    * would MERGE their clause terms in the (doc, profile) aggregation and
+    * duplicate the broadcast meta join, yielding wrong or duplicated
+    * alert pairs with no error (the stores' requireUniqueKeys discipline,
+    * applied here). Registration-time, tiny jobs over the registry (NOT
+    * per matched batch). */
   def validate(profiles: DataFrame): Unit = {
-    require(nullsafe(profiles)
-      .filter(size(col("must")) + size(col("any")) === 0)
+    val p = nullsafe(profiles)
+    require(p
+      .filter(size(col("must")) + size(col("any")) + size(col("phrases")) === 0)
       .limit(1).isEmpty,
-      "every profile needs at least one positive (must/any) term — " +
+      "every profile needs at least one positive (must/any/phrase) clause — " +
         "a pure-negation profile could never fire (a dead subscription)")
+    require(p
+      .filter(exists(col("phrases"), ph => size(ph) === 0))
+      .limit(1).isEmpty,
+      "a phrase clause needs at least one term")
     require(profiles
       .groupBy(col("profile_id")).count().filter(col("count") > 1)
       .limit(1).isEmpty,
@@ -66,7 +88,8 @@ object Percolate {
 
   /** Match `docs` (idCol, textCol) against `profiles`
     * (profile_id LONG, must ARRAY<STRING>, any ARRAY<STRING>,
-    * must_not ARRAY<STRING>). Returns (idCol, profile_id) pairs. */
+    * must_not ARRAY<STRING>[, phrases ARRAY<ARRAY<STRING>>]).
+    * Returns (idCol, profile_id) pairs. */
   def matches(docs: DataFrame, profiles: DataFrame,
               idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     validate(profiles)
@@ -83,11 +106,12 @@ object Percolate {
       .select(col(idCol), explode(array_distinct(tf.tokens(col(textCol)))).as("term"))
     // one unified clause-terms frame: kind 'm' rows count toward the
     // all-musts requirement, 'a' toward the any-match bit, 'x' toward the
-    // negation bit — ONE term join + ONE (doc, profile) aggregation
-    // decides the whole profile, and the corpus-side frame is read once.
-    // Clause arrays dedupe BEFORE the size/count comparison: a duplicated
-    // must term must not demand two distinct matches (the oracle's
-    // list_has_all semantics).
+    // negation bit, 'q' toward phrase-TERM coverage (a necessary
+    // condition that prunes the positional stage) — ONE term join + ONE
+    // (doc, profile) aggregation decides the whole term stage, and the
+    // corpus-side frame is read once. Clause arrays dedupe BEFORE the
+    // size/count comparison: a duplicated must term must not demand two
+    // distinct matches (the oracle's list_has_all semantics).
     val posTerms = profiles
       .select(col("profile_id"),
         explode(array_distinct(col("must"))).as("term"), lit("m").as("kind"))
@@ -95,17 +119,59 @@ object Percolate {
         explode(array_distinct(col("any"))).as("term"), lit("a").as("kind")))
       .unionByName(profiles.select(col("profile_id"),
         explode(array_distinct(col("must_not"))).as("term"), lit("x").as("kind")))
+      .unionByName(profiles.select(col("profile_id"),
+        explode(array_distinct(flatten(col("phrases")))).as("term"),
+        lit("q").as("kind")))
     val meta = profiles.select(col("profile_id"),
-      size(array_distinct(col("must"))).as("nm"), size(col("any")).as("na"))
-    docTerms.join(broadcast(posTerms), Seq("term"))
+      size(array_distinct(col("must"))).as("nm"), size(col("any")).as("na"),
+      size(array_distinct(flatten(col("phrases")))).as("nq"),
+      size(col("phrases")).as("np"))
+    val stage1 = docTerms.join(broadcast(posTerms), Seq("term"))
       .groupBy(col(idCol), col("profile_id"))
       .agg(
         countDistinct(when(col("kind") === "m", col("term"))).as("mh"),
         max(when(col("kind") === "a", 1).otherwise(0)).as("ah"),
-        max(when(col("kind") === "x", 1).otherwise(0)).as("xh"))
+        max(when(col("kind") === "x", 1).otherwise(0)).as("xh"),
+        countDistinct(when(col("kind") === "q", col("term"))).as("qh"))
       .join(broadcast(meta), Seq("profile_id"))
       .filter(col("mh") === col("nm") &&
-        (col("na") === 0 || col("ah") === 1) && col("xh") === 0)
+        (col("na") === 0 || col("ah") === 1) && col("xh") === 0 &&
+        col("qh") === col("nq"))
+      .select(col(idCol), col("profile_id"), col("np"))
+    val noPhrase = stage1.filter(col("np") === 0)
       .select(col(idCol), col("profile_id"))
+    val needPhrase = stage1.filter(col("np") > 0)
+      .select(col(idCol), col("profile_id"), col("np"))
+    // positional verify, candidates only: slot frame (profile, phrase,
+    // slot j, term) broadcasts; the positional doc explode is pruned to
+    // candidate docs AND phrase terms, so its volume is bounded by the
+    // phrase terms' df over the candidates — the q_phrase occurrence
+    // model ((doc, start) groups covering all |phrase| slots), extended
+    // by the profile/phrase keys
+    val slots = profiles
+      .select(col("profile_id"),
+        posexplode(col("phrases")).as(Seq("phrase_idx", "ph")))
+      .select(col("profile_id"), col("phrase_idx"), size(col("ph")).as("plen"),
+        posexplode(col("ph")).as(Seq("j", "term")))
+    val candDocs = needPhrase.select(col(idCol)).distinct()
+    val docPos = docs.join(candDocs, Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(tf.tokens(col(textCol))).as(Seq("pos", "term")))
+    val occurred = docPos.join(broadcast(slots), Seq("term"))
+      .join(needPhrase.select(col(idCol), col("profile_id")),
+        Seq(idCol, "profile_id"), "left_semi")
+      .select(col(idCol), col("profile_id"), col("phrase_idx"), col("plen"),
+        (col("pos") - col("j")).as("start"), col("j"))
+      .groupBy(col(idCol), col("profile_id"), col("phrase_idx"), col("plen"),
+        col("start"))
+      .agg(countDistinct(col("j")).as("hits"))
+      .filter(col("hits") === col("plen"))
+      .select(col(idCol), col("profile_id"), col("phrase_idx")).distinct()
+    val verified = occurred
+      .groupBy(col(idCol), col("profile_id"))
+      .agg(count(lit(1)).as("pf"))
+      .join(needPhrase, Seq(idCol, "profile_id"))
+      .filter(col("pf") === col("np"))
+      .select(col(idCol), col("profile_id"))
+    noPhrase.unionByName(verified)
   }
 }

@@ -41,6 +41,12 @@ object AnnQueries {
     * eval quadratic and was the suite's only non-linear shape. */
   val RecallPanelCap = 1603L // 3, 28, 53, … , 1578 → 64 probe ids
 
+  /** q_ann_calibrate's probe-depth ladder and recall target, shared with
+    * the oracle SQL. The ladder ends at NumCentroids so the full-probe
+    * rung is exact (recall 1.0) and a 'chosen' depth always exists. */
+  val CalLadder: Seq[Int] = Seq(1, 2, 4, 8, NumCentroids)
+  val CalTarget = 0.9
+
   /** Sign-bit packing for binary quantization (q_ann_binary /
     * q_ann_binary_recall): bit j of half `off` = [embedding[off+j+1] > 0],
     * j in [0,32) — strict > so ±0.0f agree on both engines; halves of 32
@@ -142,6 +148,72 @@ object AnnQueries {
                        k: Int, nprobe: Int, shortlist: Int): org.apache.spark.sql.DataFrame =
     majorityVote(idx.queryBatchQuantizedDF(probes, k, nprobe, shortlist,
       include = Seq("nlabel")))
+
+  /** Measured exact-vs-routed crossover for bulk labeling, in PAIR
+    * distances SAVED by routing (SURVEY §8.3 routedlabel, r8): a 64-probe
+    * batch over ~120k rows (~7.7M pairs) costs ~3.4 s exact vs ~1.1-1.6 s
+    * routed warm — i.e. the routed machinery's ~1 s fixed overhead (codes
+    * scan + shortlist agg + rerank join jobs) pays for itself once the
+    * scan it avoids exceeds ~2M pair distances. Below that, one ProbeJoin
+    * job wins. */
+  val AutoRouteCrossoverPairs: Long = 2_000_000L
+
+  /** The route decision, as a pure function of the size estimates so the
+    * crossover is spec-checkable: routing saves `P·N·(1 − nprobe/numCells)`
+    * of the exact arm's pair distances (a full-depth probe saves nothing —
+    * it scans everything through MORE machinery, so exact always wins
+    * there). */
+  def chooseLabelRoute(p: Long, n: Long, numCells: Int, nprobe: Int,
+                       crossoverPairs: Long = AutoRouteCrossoverPairs): String = {
+    require(p >= 0 && n >= 0 && numCells > 0 && nprobe > 0)
+    val f = math.min(1.0, nprobe.toDouble / numCells)
+    if (p.toDouble * n.toDouble * (1.0 - f) < crossoverPairs.toDouble) "exact"
+    else "routed"
+  }
+
+  /** The EXACT arm of the auto-router: the q_knn_classifier ProbeJoin +
+    * map-side-bounded GroupedTopK + majority vote, run over the INDEX's
+    * live rows (tombstone-corrected), so it answers over the identical
+    * corpus as the routed arm. Labels must sit in [0, 16) — the nid*16
+    * packing that keeps the top-k tie-break (dist, nid) while carrying
+    * the label through the aggregator (the fixture contract routed
+    * labeling already has). */
+  def exactKnnVotes(idx: graft.store.IvfIndex,
+                    probes: org.apache.spark.sql.DataFrame,
+                    k: Int): org.apache.spark.sql.DataFrame = {
+    val labeled = idx.liveInclude(Seq("nlabel"))
+      .select(col("id").as("nid"), col("emb").as("ne"),
+        col("nlabel").cast("long").as("nlabel"))
+    val p = probes.select(col("probe_id").as("pid"), col("qe").as("pe"))
+    val knn = graft.operators.ProbeJoin.cross(labeled, p)
+      .withColumn("dist", VF.l2Sq(col("ne"), col("pe")))
+      .groupBy("pid")
+      .agg(GroupedTopK.topK(k)(col("dist"),
+        col("nid") * 16 + col("nlabel")).as("topk"))
+      .select(col("pid").as("probe_id"), explode(col("topk")).as("sc"))
+      .select(col("probe_id"), pmod(col("sc.id"), lit(16L)).as("nlabel"))
+    majorityVote(knn)
+  }
+
+  /** ROUTE-CHOICE AUTOMATION for bulk labeling (the r8 verdict's measured
+    * crossover, encoded): estimate (P, N) with two bounded counts, pick
+    * the exact ProbeJoin scan or the fully distributed routed-DF path by
+    * [[chooseLabelRoute]], and serve the IDENTICAL majority vote either
+    * way (routed ≡ exact at full probe depth — spec-pinned). Returns
+    * (route, votes). */
+  def routedKnnVotesAuto(idx: graft.store.IvfIndex,
+                         probes: org.apache.spark.sql.DataFrame,
+                         k: Int, nprobe: Int, shortlist: Int,
+                         crossoverPairs: Long = AutoRouteCrossoverPairs)
+      : (String, org.apache.spark.sql.DataFrame) = {
+    val route = chooseLabelRoute(probes.count(), idx.stats().liveRows,
+      idx.numCells, nprobe, crossoverPairs)
+    val votes = route match {
+      case "exact" => exactKnnVotes(idx, probes, k)
+      case _ => routedKnnVotesDF(idx, probes, k, nprobe, shortlist)
+    }
+    (route, votes)
+  }
 
   /** The shared per-probe majority vote over (probe_id, ..., nlabel) rows
     * (most frequent label of the k nearest; vote ties to the smallest
@@ -259,6 +331,106 @@ object AnnQueries {
            |SELECT e.doc_id, round(${OracleSql.cosine("e.emb", "probe.qe")}, 6) AS cos
            |FROM evec e CROSS JOIN probe WHERE e.doc_id <> 0
            |ORDER BY ${OracleSql.cosine("e.emb", "probe.qe")} DESC, e.doc_id LIMIT 5""".stripMargin
+      }),
+
+    // ONE SELF-ATTENTION BLOCK through the ONNX transformer op set
+    // (batched MatMul, Transpose, Softmax-with-axis, attribute-carrying
+    // ReduceMean) — the op family the reference's MiniLM encoder is built
+    // from (/root/reference/src/embeddings.py:3). Weights stay DYADIC and
+    // the post-softmax attention weights QUANTIZE to k/1024 (floor), so
+    // everything but the softmax itself is integer-exact and the oracle
+    // replays the block relationally: Q/K/V projections as integer
+    // numerators, scores as BIGINT sums float-cast exactly like the
+    // evaluator, softmax with the same max-subtraction, context and output
+    // projections as exact sums. The only cross-engine freedom is exp()'s
+    // last ulp, absorbed by the floor quantization and the final round(6).
+    Q(
+      "q_onnx_attention",
+      "ONNX self-attention block (dyadic weights), oracle-replayed relationally",
+      (s, dir) => {
+        val docs = tbl(s, dir, "documents").filter(col("doc_id") < 5)
+          .select(col("doc_id"), col("text"))
+        graft.functions.OnnxModels.attentionEmbedder.embed(docs, "text", "emb")
+          .select(col("doc_id"), posexplode(col("emb")).as(Seq("j", "v")))
+          .select(col("doc_id"), col("j"),
+            round(col("v").cast("double"), 6).as("av"))
+          .orderBy("doc_id", "j")
+      },
+      Some {
+        import graft.functions.{OnnxModels => M}
+        val ph = OracleText.polyHash("tkn")
+        val h = M.Hid // 16
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents
+           |  WHERE doc_id < 5),
+           |ix AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM t),
+           |tok AS (SELECT doc_id, CAST(i1 AS BIGINT) - 1 AS p,
+           |               toks[CAST(i1 AS INT)] AS tkn
+           |        FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i1, toks
+           |              FROM t)),
+           |tid AS MATERIALIZED (
+           |  SELECT doc_id, p, CAST($ph % ${M.Vocab} AS BIGINT) AS id FROM tok),
+           |tb(ti, tk) AS (VALUES ${M.valuesSql(0L, M.Vocab * h)}),
+           |wqt(wi, wk) AS (VALUES ${M.valuesSql(M.WqOff, h * h)}),
+           |wkt(wi, wk) AS (VALUES ${M.valuesSql(M.WkOff, h * h)}),
+           |wvt(wi, wk) AS (VALUES ${M.valuesSql(M.WvOff, h * h)}),
+           |wot(wi, wk) AS (VALUES ${M.valuesSql(M.WoOff, h * M.AttDim)}),
+           |d16(d) AS (SELECT unnest(range(0, $h))),
+           |d8(j8) AS (SELECT unnest(range(0, ${M.AttDim}))),
+           |x AS MATERIALIZED ( -- Gather: x[p,d] numerator (value = xk/1024)
+           |  SELECT tid.doc_id, tid.p, d16.d, CAST(tb.tk AS BIGINT) AS xk
+           |  FROM tid CROSS JOIN d16 JOIN tb ON tb.ti = tid.id * $h + d16.d),
+           |qm AS MATERIALIZED ( -- Q projection numerator (value = nq/2^20, float-exact)
+           |  SELECT x.doc_id, x.p, d2.j, CAST(sum(x.xk * w.wk) AS BIGINT) AS nq
+           |  FROM x CROSS JOIN d16 AS d2(j) JOIN wqt w ON w.wi = x.d * $h + d2.j
+           |  GROUP BY 1, 2, 3),
+           |km AS MATERIALIZED (
+           |  SELECT x.doc_id, x.p, d2.j, CAST(sum(x.xk * w.wk) AS BIGINT) AS nk
+           |  FROM x CROSS JOIN d16 AS d2(j) JOIN wkt w ON w.wi = x.d * $h + d2.j
+           |  GROUP BY 1, 2, 3),
+           |vm AS MATERIALIZED (
+           |  SELECT x.doc_id, x.p, d2.j, CAST(sum(x.xk * w.wk) AS BIGINT) AS nv
+           |  FROM x CROSS JOIN d16 AS d2(j) JOIN wvt w ON w.wi = x.d * $h + d2.j
+           |  GROUP BY 1, 2, 3),
+           |sco AS MATERIALIZED ( -- QK^T: BIGINT-exact sum, float-cast, exact *0.25
+           |  SELECT qm.doc_id, qm.p AS pi, km.p AS pj,
+           |         CAST(CAST(CAST(sum(qm.nq * km.nk) AS DOUBLE) / 1099511627776.0
+           |                   AS REAL) * 0.25 AS REAL) AS sc
+           |  FROM qm JOIN km ON km.doc_id = qm.doc_id AND km.j = qm.j
+           |  GROUP BY 1, 2, 3),
+           |smx AS (SELECT doc_id, pi, pj, CAST(sc AS DOUBLE) AS sc,
+           |               max(CAST(sc AS DOUBLE)) OVER (PARTITION BY doc_id, pi) AS mx
+           |        FROM sco),
+           |sme AS (SELECT doc_id, pi, pj, exp(sc - mx) AS e,
+           |               sum(exp(sc - mx)) OVER (PARTITION BY doc_id, pi) AS se
+           |        FROM smx),
+           |aq AS MATERIALIZED ( -- softmax then floor-quantize to k/1024
+           |  SELECT doc_id, pi, pj,
+           |         CAST(floor(CAST(CAST(e / se AS REAL) AS DOUBLE) * 1024.0)
+           |              AS BIGINT) AS ak
+           |  FROM sme),
+           |ctx AS MATERIALIZED ( -- context: BIGINT-exact again, float-cast
+           |  SELECT aq.doc_id, aq.pi AS p, vm.j AS d,
+           |         CAST(CAST(sum(aq.ak * vm.nv) AS DOUBLE) / 1073741824.0
+           |              AS REAL) AS cv
+           |  FROM aq JOIN vm ON vm.doc_id = aq.doc_id AND vm.p = aq.pj
+           |  GROUP BY 1, 2, 3),
+           |pooled AS MATERIALIZED ( -- ReduceMean over tokens (empty doc -> zeros)
+           |  SELECT ix.doc_id, d16.d,
+           |         CAST(CASE WHEN ix.n = 0 OR c.sv IS NULL THEN 0.0
+           |              ELSE c.sv / ix.n END AS REAL) AS pv
+           |  FROM ix CROSS JOIN d16
+           |  LEFT JOIN (SELECT doc_id, d, sum(CAST(cv AS DOUBLE)) AS sv
+           |             FROM ctx GROUP BY 1, 2) c
+           |    ON c.doc_id = ix.doc_id AND c.d = d16.d),
+           |outv AS ( -- output projection (float x dyadic: exact products)
+           |  SELECT p.doc_id, d8.j8,
+           |         CAST(sum(CAST(p.pv AS DOUBLE) * CAST(w.wk AS DOUBLE)) / 1024
+           |              AS REAL) AS ov
+           |  FROM pooled p CROSS JOIN d8 JOIN wot w ON w.wi = p.d * ${M.AttDim} + d8.j8
+           |  GROUP BY 1, 2)
+           |SELECT doc_id, CAST(j8 AS INT) AS j, round(CAST(ov AS DOUBLE), 6) AS av
+           |FROM outv ORDER BY doc_id, j""".stripMargin
       }),
 
     // IVF cell-probe ANN: argmin-assign to 16 literal centroids (narrow),
@@ -1279,6 +1451,134 @@ object AnnQueries {
            |      GROUP BY e2.pid)
            |SELECT pid, hits, round(hits / 10.0, 2) AS recall
            |FROM h ORDER BY pid""".stripMargin
+      }),
+
+    // RECALL-TARGET SERVING POLICY — q_ann_recall's measurement swept over
+    // a probe-depth ladder, emitting the smallest nprobe whose panel
+    // recall@10 meets the 0.9 target: the calibration a deployment runs
+    // once to turn "nprobe = ?" into "recall >= R"
+    // (IvfIndex.calibrateNprobe / attachIvfIndex(recallTarget=) are the
+    // serving-path twins, spec-pinned against this harness). ONE scored
+    // panel x corpus broadcast theta-join feeds every arm: candidates
+    // carry their cell's RANK in the probe's centroid order (a broadcast
+    // panel x 16 frame), the exact arm is the unfiltered GroupedTopK, and
+    // depth p's arm is the GroupedTopK among rank <= p — nested cuts of
+    // one persisted frame, never a per-depth corpus rescan. hits are
+    // exact integers; the full-probe rung serves every cell, so recall
+    // 1.0 is always present and 'chosen' always exists.
+    Q(
+      "q_ann_calibrate",
+      "nprobe calibration sweep: smallest probe depth with panel recall@10 >= 0.9",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id") < NumCentroids)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+        val assigned = e.withColumn("cell",
+          VF.nearestCentroid(col("embedding"), cents)).persist()
+        // the fixed-count panel (q_ann_recall's discipline) collected
+        // driver-side: 64 probes of 64 floats — index-metadata scale
+        val panel: Array[(Long, Array[Float])] = assigned
+          .filter(col("vec_id") % 25 === 3 && col("vec_id") < RecallPanelCap)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        def l2(a: Array[Float], b: Array[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+        import s.implicits._
+        val crank = panel.flatMap { case (pid, pe) =>
+          cents.map { case (cid, c) => (l2(c, pe), cid) }.sorted.zipWithIndex
+            .map { case ((_, cid), r) => (pid, cid, r + 1) }
+        }.toSeq.toDF("pid", "cell", "crank")
+        val probesDf = panel.map { case (pid, pe) => (pid, pe.toSeq) }
+          .toSeq.toDF("pid", "pe")
+        val scored = assigned.crossJoin(broadcast(probesDf))
+          .filter(col("vec_id") =!= col("pid"))
+          .select(col("pid"), col("vec_id"), col("cell"),
+            VF.l2Sq(col("embedding"), col("pe")).as("dist"))
+          .join(broadcast(crank), Seq("pid", "cell"))
+          .persist()
+        def ids(c: org.apache.spark.sql.Column) =
+          transform(c, s0 => s0.getField("id"))
+        val exact = scored.groupBy("pid")
+          .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("ex"))
+          .select(col("pid"), ids(col("ex")).as("ex"))
+        val arms = CalLadder.map { p =>
+          scored.filter(col("crank") <= p).groupBy("pid")
+            .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("iv"))
+            .select(lit(p).as("nprobe"), col("pid"), ids(col("iv")).as("iv"))
+        }.reduce(_ unionByName _)
+        val ladderDf = CalLadder.map(Tuple1(_)).toDF("nprobe")
+        val perP = exact.crossJoin(broadcast(ladderDf))
+          .join(arms, Seq("nprobe", "pid"), "left")
+          .withColumn("h", size(array_intersect(col("ex"),
+            coalesce(col("iv"), array().cast("array<bigint>")))))
+          .groupBy("nprobe")
+          .agg(sum(col("h").cast("long")).as("hits"),
+            count(lit(1)).as("probes"))
+          .withColumn("recall",
+            round(col("hits") / (col("probes") * 10.0), 4))
+        val best = perP.filter(col("recall") >= CalTarget)
+          .agg(min("nprobe").as("best"))
+        freeAfter(
+          perP.crossJoin(broadcast(best))
+            .select(col("nprobe"), col("hits"), col("probes"), col("recall"),
+              (col("nprobe") === col("best")).as("chosen"))
+            .orderBy("nprobe"),
+          assigned, scored)
+      },
+      Some {
+        val dAssign = OracleSql.l2Sq("e.embedding", "c.cemb")
+        val dRank = OracleSql.l2Sq("c.cemb", "p.pe")
+        val lad = CalLadder.map(p => s"($p)").mkString(", ")
+        s"""WITH cent AS MATERIALIZED (
+           |  SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+           |  WHERE vec_id < $NumCentroids),
+           |ranked AS (
+           |  SELECT e.vec_id, e.embedding, c.cid,
+           |         row_number() OVER (PARTITION BY e.vec_id
+           |                            ORDER BY $dAssign, c.cid) AS rn
+           |  FROM embeddings e CROSS JOIN cent c),
+           |assign AS MATERIALIZED (
+           |  SELECT vec_id, embedding, cid AS cell FROM ranked WHERE rn = 1),
+           |p AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings
+           |      WHERE vec_id % 25 = 3 AND vec_id < $RecallPanelCap),
+           |cr AS MATERIALIZED (
+           |  SELECT p.pid, c.cid AS cell,
+           |         row_number() OVER (PARTITION BY p.pid
+           |                            ORDER BY $dRank, c.cid) AS crank
+           |  FROM p CROSS JOIN cent c),
+           |d AS MATERIALIZED (
+           |  SELECT p.pid, a.vec_id AS nid, cr.crank,
+           |         ${OracleSql.l2Sq("a.embedding", "p.pe")} AS dist
+           |  FROM assign a CROSS JOIN p
+           |  JOIN cr ON cr.pid = p.pid AND cr.cell = a.cell
+           |  WHERE a.vec_id <> p.pid),
+           |ex AS (SELECT pid, nid FROM (
+           |         SELECT pid, nid, row_number() OVER (PARTITION BY pid
+           |                                             ORDER BY dist, nid) AS rn
+           |         FROM d) WHERE rn <= 10),
+           |lad(np) AS (VALUES $lad),
+           |iv AS (SELECT np, pid, nid FROM (
+           |         SELECT lad.np, d.pid, d.nid,
+           |                row_number() OVER (PARTITION BY lad.np, d.pid
+           |                                   ORDER BY d.dist, d.nid) AS rn
+           |         FROM lad CROSS JOIN d WHERE d.crank <= lad.np) WHERE rn <= 10),
+           |h AS (SELECT lad.np, e2.pid, CAST(count(i.nid) AS BIGINT) AS hits
+           |      FROM lad CROSS JOIN ex e2
+           |      LEFT JOIN iv i ON i.np = lad.np AND i.pid = e2.pid AND i.nid = e2.nid
+           |      GROUP BY lad.np, e2.pid),
+           |agg AS (SELECT np AS nprobe, CAST(sum(hits) AS BIGINT) AS hits,
+           |               CAST(count(*) AS BIGINT) AS probes
+           |        FROM h GROUP BY np),
+           |best AS (SELECT min(nprobe) AS b FROM agg
+           |         WHERE round(CAST(hits AS DOUBLE) / (probes * 10.0), 4) >= $CalTarget)
+           |SELECT a.nprobe, a.hits, a.probes,
+           |       round(CAST(a.hits AS DOUBLE) / (a.probes * 10.0), 4) AS recall,
+           |       a.nprobe = best.b AS chosen
+           |FROM agg a CROSS JOIN best ORDER BY a.nprobe""".stripMargin
       }),
 
     // Binary (sign-bit) quantization ANN — the 1-bit end of the quantization

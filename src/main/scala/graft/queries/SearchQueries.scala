@@ -78,6 +78,17 @@ object SearchQueries {
   /** q_snippet's highlight window (tokens). Shared with the oracle SQL. */
   val SnippetWindow = 16
 
+  /** q_rag_retrieve: chunk geometry (q_chunk_overlap's), shortlist and
+    * answer sizes, and the standing probe panel — corpus-frequent tokens
+    * so every probe retrieves non-trivially at every fixture scale.
+    * Shared with the oracle SQL. */
+  val RagWindow = 64
+  val RagStride = 48
+  val RagChunkK = 30
+  val RagDocK = 5
+  val RagProbes: Seq[String] = Seq(
+    "vector merge window stream", "table hash scan", "customer filter batch")
+
   /** q_percolate's standing profile registry — every clause shape
     * exercised (must-only, any-only, must+any, multi-must, with and
     * without negation), all over corpus-frequent tokens. Shared with the
@@ -92,6 +103,23 @@ object SearchQueries {
   def percProfilesDf(s: SparkSession): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     PercProfiles.toDF("profile_id", "must", "any", "must_not")
+  }
+
+  /** q_percolate_phrase's registry — every clause SHAPE with phrases:
+    * phrase+must, phrase+any+negation, pure-phrase multi-phrase (incl. a
+    * single-term phrase), and a phrase-less profile in the same registry
+    * (the term path must coexist). All phrases are corpus-frequent
+    * bigrams, so matching is non-trivial at every fixture scale. Shared
+    * with the oracle SQL and the streaming-twin spec. */
+  val PercPhraseProfiles: Seq[(Long, Seq[String], Seq[String], Seq[String], Seq[Seq[String]])] = Seq(
+    (1L, Seq("vector"), Nil, Nil, Seq(Seq("table", "hash"))),
+    (2L, Nil, Seq("stream", "merge"), Seq("slow"), Seq(Seq("table", "scan"))),
+    (3L, Nil, Nil, Nil, Seq(Seq("the", "table"), Seq("hash"))),
+    (4L, Seq("batch"), Nil, Seq("fast"), Nil))
+
+  def percPhraseProfilesDf(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    PercPhraseProfiles.toDF("profile_id", "must", "any", "must_not", "phrases")
   }
 
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
@@ -745,6 +773,69 @@ object SearchQueries {
            |ORDER BY doc_id, profile_id""".stripMargin
       }),
 
+    // PERCOLATION WITH PHRASE CLAUSES — standing profiles gain quoted
+    // phrases (the q_boolean_phrase grammar, run in reverse): a profile
+    // fires only when its term clauses pass AND every phrase occurs at
+    // consecutive positions. Matching stays term-keyed — the positional
+    // stage runs ONLY on (doc, profile) pairs that survived the term
+    // stage, pruned to candidate docs and phrase terms, never a
+    // doc x profile cross join. The oracle replays the clause semantics
+    // on the token arrays and the occurrence model on slot-shifted
+    // positions.
+    Q(
+      "q_percolate_phrase",
+      "reverse search with quoted phrases: term stage + positional verify",
+      (s, dir) => {
+        graft.operators.Percolate.matches(
+            tbl(s, dir, "documents").select("doc_id", "text"),
+            percPhraseProfilesDf(s))
+          .orderBy("doc_id", "profile_id")
+      },
+      Some {
+        def arr(ts: Seq[String]) =
+          if (ts.isEmpty) "[]::VARCHAR[]"
+          else ts.map(t => s"'$t'").mkString("[", ", ", "]")
+        val prRows = PercPhraseProfiles.map { case (pid, m, a, x, ph) =>
+          s"(CAST($pid AS BIGINT), ${arr(m)}, ${arr(a)}, ${arr(x)}, ${ph.length})"
+        }.mkString(",\n  ")
+        val slotRows = PercPhraseProfiles.flatMap { case (pid, _, _, _, ph) =>
+          ph.zipWithIndex.flatMap { case (terms, pi) =>
+            terms.zipWithIndex.map { case (t, j) =>
+              s"(CAST($pid AS BIGINT), $pi, ${terms.length}, $j, '$t')"
+            }
+          }
+        }.mkString(",\n  ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |dd AS (SELECT doc_id, list_distinct(toks) AS dt FROM d),
+           |pr(profile_id, m, a, x, np) AS (VALUES
+           |  $prRows),
+           |term_ok AS (
+           |  SELECT dd.doc_id, pr.profile_id, pr.np FROM dd CROSS JOIN pr
+           |  WHERE list_has_all(dd.dt, pr.m)
+           |    AND (len(pr.a) = 0 OR list_has_any(dd.dt, pr.a))
+           |    AND NOT list_has_any(dd.dt, pr.x)),
+           |tok AS (SELECT doc_id, CAST(i1 AS BIGINT) - 1 AS pos,
+           |               toks[CAST(i1 AS INT)] AS term
+           |        FROM (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS i1, toks
+           |              FROM d)),
+           |sl(profile_id, phrase_idx, plen, j, term) AS (VALUES
+           |  $slotRows),
+           |occ AS (SELECT t.doc_id, s.profile_id, s.phrase_idx
+           |        FROM tok t JOIN sl s ON s.term = t.term
+           |        GROUP BY t.doc_id, s.profile_id, s.phrase_idx, s.plen,
+           |                 t.pos - s.j
+           |        HAVING count(DISTINCT s.j) = s.plen),
+           |pok AS (SELECT doc_id, profile_id,
+           |               CAST(count(DISTINCT phrase_idx) AS INT) AS pf
+           |        FROM occ GROUP BY 1, 2)
+           |SELECT tk.doc_id, tk.profile_id
+           |FROM term_ok tk
+           |LEFT JOIN pok ON pok.doc_id = tk.doc_id AND pok.profile_id = tk.profile_id
+           |WHERE tk.np = 0 OR coalesce(pok.pf, 0) = tk.np
+           |ORDER BY tk.doc_id, tk.profile_id""".stripMargin
+      }),
+
     // Hybrid retrieval: BM25 keyword shortlist + hash-embedding cosine
     // shortlist for the SAME query string, fused by reciprocal-rank fusion
     // rrf = Σ 1/(60+rank). Each leg is a bounded TakeOrderedAndProject
@@ -1034,6 +1125,114 @@ object SearchQueries {
           |  AND (source = 'src3' OR source = 'src7' OR CAST(n_chars AS DOUBLE) < 120.0)
           |  AND contains(text, 'data') AND NOT contains(text, 'xyzzy')
           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // CHUNK -> DOCUMENT RAG SERVING — the actual retrieval shape of a RAG
+    // deployment: retrieve CHUNKS (q_chunk_overlap's 64-token windows,
+    // hash-embedded), then aggregate to PARENT documents — max-pool the
+    // chunk scores per doc, keep the best chunk's offset (what the prompt
+    // assembler actually needs), rank docs. Scale shape: the corpus pass
+    // is ONE narrow scan (chunking + embedding are per-row codegen) into
+    // ONE GroupedTopK shuffle per probe — the shuffle carries the ANSWER
+    // (<= 30 chunks x probes x tasks), never the chunk volume; (doc_id,
+    // chunk_id) pack into one long for the aggregator and unpack with
+    // shift/mask after. Doc pooling and ranking touch <= 30 rows per
+    // probe. Nothing is ever doc x chunk.
+    Q(
+      "q_rag_retrieve",
+      "RAG serving: chunk top-30 per probe, max-pooled to parent docs with offsets",
+      (s, dir) => {
+        import s.implicits._
+        val chunks = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .withColumn("n", size(col("toks")))
+          .select(col("doc_id"),
+            posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+              lit(RagStride))).as(Seq("chunk_id", "strt")),
+            col("toks"))
+          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+            TF.hashEmbed(slice(col("toks"), col("strt") + 1, lit(RagWindow)),
+              EmbDim).as("emb"))
+        val probes = RagProbes.zipWithIndex
+          .map { case (t, i) => ((i + 1).toLong, t) }.toDF("qid", "qtext")
+          .select(col("qid"),
+            TF.hashEmbed(TF.tokens(col("qtext")), EmbDim).as("qe"))
+        val top = chunks.crossJoin(broadcast(probes))
+          .select(col("qid"),
+            (shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
+            VF.cosine(col("emb"), col("qe")).as("cos"))
+          .groupBy("qid")
+          .agg(graft.operators.GroupedTopK.topK(RagChunkK)(
+            -col("cos"), col("cid")).as("tk"))
+          .select(col("qid"), explode(col("tk")).as("sc"))
+          .select(col("qid"), (-col("sc.score")).as("cos"),
+            shiftright(col("sc.id"), 20).as("doc_id"),
+            col("sc.id").bitwiseAND(lit((1L << 20) - 1)).as("chunk_id"))
+        val pooled = top.groupBy("qid", "doc_id")
+          .agg(max(struct(col("cos"), (-col("chunk_id")).as("nc"))).as("b"),
+            count(lit(1)).as("n_chunks"))
+          .select(col("qid"), col("doc_id"), col("b.cos").as("score"),
+            (-col("b.nc")).as("chunk_id"), col("n_chunks"))
+        val w = Window.partitionBy("qid")
+          .orderBy(desc("score"), asc("doc_id"))
+        pooled.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= RagDocK)
+          .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+            (col("chunk_id") * RagStride).as("strt"), col("n_chunks"),
+            round(col("score"), 6).as("score"))
+          .orderBy("qid", "rank")
+      },
+      Some {
+        val th = OracleText.tokenHashes(
+          s"list_slice(toks, strt + 1, strt + $RagWindow)")
+        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val qRows = RagProbes.zipWithIndex
+          .map { case (t, i) => s"(CAST(${i + 1} AS BIGINT), '$t')" }.mkString(", ")
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |s AS (SELECT doc_id, toks,
+           |        unnest(range(0, greatest(len(toks), 1), $RagStride)) AS strt
+           |      FROM t),
+           |ch AS MATERIALIZED (
+           |  SELECT doc_id, CAST(strt // $RagStride AS BIGINT) AS chunk_id,
+           |         $th AS th
+           |  FROM s),
+           |chc AS (SELECT doc_id, chunk_id, ${cnt("th")} AS cnt FROM ch),
+           |che AS MATERIALIZED (SELECT doc_id, chunk_id, $emb AS emb FROM chc),
+           |q(qid, qtext) AS (VALUES $qRows),
+           |qt AS (SELECT qid, ${OracleText.tokenHashes(OracleText.tokens("qtext"))} AS th FROM q),
+           |qc AS (SELECT qid, ${cnt("th")} AS cnt FROM qt),
+           |qe AS (SELECT qid, $emb AS qe FROM qc),
+           |sc AS MATERIALIZED (
+           |  SELECT qe.qid, c.doc_id, c.chunk_id,
+           |         ${OracleSql.cosine("c.emb", "qe.qe")} AS cos
+           |  FROM che c CROSS JOIN qe),
+           |top AS (SELECT qid, doc_id, chunk_id, cos FROM (
+           |          SELECT qid, doc_id, chunk_id, cos,
+           |                 row_number() OVER (PARTITION BY qid
+           |                   ORDER BY cos DESC, doc_id * 1048576 + chunk_id ASC) AS rn
+           |          FROM sc) WHERE rn <= $RagChunkK),
+           |pool AS (SELECT qid, doc_id, max(cos) AS score,
+           |                CAST(count(*) AS BIGINT) AS n_chunks
+           |         FROM top GROUP BY 1, 2),
+           |best AS (SELECT qid, doc_id, chunk_id FROM (
+           |           SELECT qid, doc_id, chunk_id,
+           |                  row_number() OVER (PARTITION BY qid, doc_id
+           |                    ORDER BY cos DESC, chunk_id ASC) AS brn
+           |           FROM top) WHERE brn = 1),
+           |r AS (SELECT p.qid, p.doc_id, b.chunk_id, p.n_chunks, p.score,
+           |             row_number() OVER (PARTITION BY p.qid
+           |               ORDER BY p.score DESC, p.doc_id ASC) AS rank
+           |      FROM pool p JOIN best b ON b.qid = p.qid AND b.doc_id = p.doc_id)
+           |SELECT qid, CAST(rank AS INT) AS rank, doc_id, chunk_id,
+           |       chunk_id * $RagStride AS strt, n_chunks,
+           |       round(score, 6) AS score
+           |FROM r WHERE rank <= $RagDocK ORDER BY qid, rank""".stripMargin
       })
   )
 }

@@ -42,7 +42,7 @@ object IvfIndex {
   val PqK: Int = 256
 }
 
-final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
+final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
 
   private def centroidPath = s"$path/_centroids"
   private def sq8Path = s"$path/_sq8"
@@ -559,6 +559,16 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
       val live = liveIds.count()
       IndexStats(live, phys - live, dirs.length)
     }
+  }
+
+  /** The tombstone-corrected live frame (id, emb, include…) — the EXACT
+    * arm of the auto-routed bulk labeler ([[graft.queries.AnnQueries]]
+    * `routedKnnVotesAuto`) scans this directly, so both arms answer over
+    * the identical corpus the index serves. */
+  private[graft] def liveInclude(include: Seq[String]): DataFrame = {
+    val live = tombstones().fold(dataTree())(ts =>
+      dataTree().join(broadcast(ts), Seq("id"), "left_anti"))
+    live.select(col("id") +: col("emb") +: include.map(col): _*)
   }
 
   def compact(): Unit = {
@@ -1235,6 +1245,112 @@ final class IvfIndex(spark: SparkSession, val path: String, numCells: Int) {
                  where: Option[Column] = None,
                  include: Seq[String] = Nil): DataFrame =
     queryCells(qe, k, exactCandidateCells(qe, k, probe0, where), where, include)
+
+  // ------------------------------------------------- recall calibration
+
+  /** Recall@`k` of every probe depth in `ladder` against the EXACT scan,
+    * over a bounded probe panel — the q_ann_recall measurement swept so a
+    * deployment PICKS its serving depth instead of guessing. ONE scored
+    * panel × corpus pass feeds every arm: each candidate row joins its
+    * cell's RANK in the probe's centroid order (a broadcast
+    * panel × numCells frame — index-metadata scale), the exact arm is the
+    * unfiltered top-k, and depth p's arm is the top-k among rank ≤ p —
+    * nested candidate sets cut from the same persisted frame, never a
+    * per-depth corpus rescan. Returns (nprobe, hits, probes, recall)
+    * ordered by nprobe; recall = hits / (|panel| · k).
+    *
+    * `excludeSelf`: drop candidates whose id equals the probe id — the
+    * self-panel convention ([[calibrateNprobe]] draws probes from the
+    * corpus, and a guaranteed self-hit in both arms would inflate every
+    * depth equally). */
+  def calibrationSweep(panel: Seq[(Long, Array[Float])], k: Int,
+                       ladder: Seq[Int],
+                       excludeSelf: Boolean = false): DataFrame = {
+    require(panel.nonEmpty, "calibration needs a non-empty probe panel")
+    require(panel.length <= 4096, "calibration panel is index-metadata scale")
+    val steps = ladder.distinct.sorted
+    require(steps.nonEmpty && steps.head >= 1 && steps.last <= numCells,
+      s"ladder must sit in [1, $numCells]")
+    val cents = centroids()
+    val crankRows = panel.flatMap { case (pid, pe) =>
+      ExactPrune.orderedCells(cents, pe).zipWithIndex
+        .map { case ((_, cid), r) => (pid, cid, r + 1) }
+    }
+    val crank = spark.createDataFrame(crankRows.toSeq)
+      .toDF("pid", "cell", "crank")
+    val probesDf = spark.createDataFrame(
+      panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe")
+    val live = tombstones().fold(dataTree())(ts =>
+      dataTree().join(broadcast(ts), Seq("id"), "left_anti"))
+    val base = live.select(col("id"), col("emb"), col("cell"))
+      .crossJoin(broadcast(probesDf))
+    val scored = (if (excludeSelf) base.filter(col("id") =!= col("pid")) else base)
+      .select(col("pid"), col("id"),
+        VF.l2Sq(col("emb"), col("pe")).as("dist"), col("cell"))
+      .join(broadcast(crank), Seq("pid", "cell"))
+      .persist()
+    import graft.operators.GroupedTopK
+    def ids(c: Column) = transform(c, s0 => s0.getField("id"))
+    val exact = scored.groupBy("pid")
+      .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("ex"))
+      .select(col("pid"), ids(col("ex")).as("ex"))
+    val arms = steps.map { p =>
+      scored.filter(col("crank") <= p).groupBy("pid")
+        .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("iv"))
+        .select(lit(p).as("nprobe"), col("pid"), ids(col("iv")).as("iv"))
+    }.reduce(_ unionByName _)
+    // LEFT join per (depth, probe): a probe whose nearest cells hold no
+    // candidate (excludeSelf can empty a singleton cell) must count as
+    // zero hits, not silently drop from the denominator
+    val ladderDf = spark.createDataFrame(steps.map(Tuple1(_))).toDF("nprobe")
+    val out = exact.crossJoin(broadcast(ladderDf))
+      .join(arms, Seq("nprobe", "pid"), "left")
+      .withColumn("h", size(array_intersect(col("ex"),
+        coalesce(col("iv"), array().cast("array<bigint>")))))
+      .groupBy("nprobe")
+      .agg(sum(col("h").cast("long")).as("hits"),
+        count(lit(1)).as("probes"))
+      .select(col("nprobe"), col("hits"), col("probes"),
+        round(col("hits") / (col("probes") * k.toDouble), 4).as("recall"))
+      .orderBy("nprobe")
+    // |ladder| rows: checkpoint the tiny result, release the scored frame
+    val mat = out.localCheckpoint()
+    scored.unpersist()
+    mat
+  }
+
+  /** The SMALLEST ladder depth whose panel recall@`k` meets `target` —
+    * the serving-policy knob: "hit recall ≥ R" instead of "nprobe = 4".
+    * The panel is a deterministic hash-ordered sample of the live rows
+    * (capped at `panelCap` — the fixed-COUNT panel discipline, so the
+    * sweep costs one bounded panel × corpus pass at any corpus size), and
+    * the default ladder is the power-of-two runs up to `numCells`; the
+    * full-probe rung serves every cell, so recall 1.0 is always present
+    * and any target ≤ 1 terminates. */
+  def calibrateNprobe(k: Int, target: Double, panelCap: Int = 64,
+                      ladder: Seq[Int] = Nil): Int = {
+    require(target > 0 && target <= 1.0, s"recall target must be in (0, 1]: $target")
+    val steps =
+      if (ladder.nonEmpty) ladder
+      else (Iterator.iterate(1)(_ * 2).takeWhile(_ < numCells).toSeq :+ numCells)
+    val sweep = calibrationSweep(calibrationPanel(panelCap), k, steps,
+        excludeSelf = true)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    sweep.collectFirst { case (p, rec) if rec >= target => p }
+      .getOrElse(steps.max)
+  }
+
+  /** [[calibrateNprobe]]'s probe panel: the `panelCap` live rows first in
+    * deterministic xxhash64-of-id order — a fixed-COUNT pseudo-random
+    * sample (the q_ann_recall panel discipline), exposed so specs and
+    * tooling can replay the exact panel the policy saw. */
+  def calibrationPanel(panelCap: Int): Seq[(Long, Array[Float])] = {
+    val live = tombstones().fold(dataTree())(ts =>
+      dataTree().join(broadcast(ts), Seq("id"), "left_anti"))
+    live.select(col("id"), col("emb"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(panelCap)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+  }
 
   /** EXACT range search: every live row within PLAIN L2 distance
     * `radius` of the probe — the third classic vector-search surface

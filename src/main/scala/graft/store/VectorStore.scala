@@ -640,17 +640,35 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       * [[detachIndex]]; reopen-and-reattach with [[attach]]. */
     /** `codes`/`pqM` select the index's quantizer (IvfIndex.build) — a
       * quantized-routed collection can serve through SQ8 (default) or PQ
-      * codes; the routed query path dispatches on the frozen sidecar. */
+      * codes; the routed query path dispatches on the frozen sidecar.
+      *
+      * `recallTarget`: serve by POLICY instead of a hand-picked depth —
+      * after the build, [[IvfIndex.calibrateNprobe]] sweeps probe depths
+      * on a bounded self-panel (`calibrateK`/`calibratePanel`) and the
+      * collection routes through the smallest depth whose measured
+      * recall@k meets the target; the `nprobe` argument is ignored. One
+      * bounded panel × corpus pass at attach time, zero serving-path
+      * cost. */
     def attachIvfIndex(indexPath: String, numCells: Int, nprobe: Int,
                        quantizedShortlist: Option[Int] = None,
-                       codes: String = "sq8", pqM: Int = 8): IvfIndex = {
+                       codes: String = "sq8", pqM: Int = 8,
+                       recallTarget: Option[Double] = None,
+                       calibrateK: Int = 10, calibratePanel: Int = 64): IvfIndex = {
       val rows = indexRowsOf(df)
       requireUniqueKeys(rows)
       val idx = new IvfIndex(spark, indexPath, numCells)
       idx.build(rows, codes = codes, pqM = pqM)
-      attach(VectorStore.AttachedIvf(idx, nprobe, quantizedShortlist))
+      val depth = recallTarget
+        .map(t => idx.calibrateNprobe(calibrateK, t, calibratePanel))
+        .getOrElse(nprobe)
+      attach(VectorStore.AttachedIvf(idx, depth, quantizedShortlist))
       idx
     }
+
+    /** The attached index configuration, if any — lets a caller observe
+      * the routing policy (e.g. the calibrated nprobe) without reaching
+      * into store internals. */
+    def attachedConfig: Option[VectorStore.AttachedIndex] = attachedIdx.get(name)
 
     /** [[attachIvfIndex]]'s graph twin. */
     def attachGraphIndex(indexPath: String, k: Int,

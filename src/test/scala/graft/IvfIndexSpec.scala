@@ -45,6 +45,54 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       got.length == 5, "IVF results come from within the probed cells, ranked")
   }
 
+  test("recall calibration: sweep equals an independent serving-path replay; policy picks the smallest qualifying depth") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cal").toString
+    val vectors = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = vectors.count().toInt
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors)
+    val ladder = Seq(1, 2, 4, 8)
+    val panel = idx.calibrationPanel(12)
+    assert(panel.length == 12 && panel.map(_._1).distinct.length == 12)
+    val sweep = idx.calibrationSweep(panel, k = 10, ladder, excludeSelf = true)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sweep.map(_._1).toSeq == ladder, "one row per rung, ordered")
+    assert(sweep.forall(_._3 == 12L), "every rung sweeps the full panel")
+    assert(sweep.last._4 == 1.0, "the full-probe rung IS the exact arm")
+    assert(sweep.map(_._2).toSeq == sweep.map(_._2).toSeq.sorted,
+      "candidate sets nest, so hits are monotone in depth")
+    // independent replay through the PARTITION-PRUNED serving path: an
+    // exact-top-10 member is recalled at depth p iff its cell is among
+    // the probe's p nearest (query(nprobe=p) returns exactly that
+    // candidate set; query(nprobe=numCells) is the exact arm)
+    for ((p, hits, _, recall) <- sweep) {
+      val want = panel.map { case (pid, pe) =>
+        val exact10 = idx.query(pe, k = 11, nprobe = 8).collect()
+          .map(_.getLong(0)).filter(_ != pid).take(10)
+        val cand = idx.query(pe, k = n + 1, nprobe = p).collect()
+          .map(_.getLong(0)).toSet
+        exact10.count(cand).toLong
+      }.sum
+      assert(hits == want, s"depth $p: sweep=$hits, serving-path replay=$want")
+      val wantRecall = new java.math.BigDecimal(want.toDouble / 120.0)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(recall == wantRecall, s"depth $p recall")
+    }
+    // the policy knob: the SMALLEST rung whose measured recall meets the
+    // target, replayed from the same sweep rows
+    val chosen = idx.calibrateNprobe(k = 10, target = 0.9, panelCap = 12,
+      ladder = ladder)
+    val expect = sweep.collectFirst { case (p, _, _, r) if r >= 0.9 => p }.get
+    assert(chosen == expect, s"target 0.9: chose $chosen, sweep says $expect")
+    assert(ladder.contains(chosen))
+    // a target of 1.0 always resolves (the full-probe rung is exact)
+    assert(idx.calibrateNprobe(k = 10, target = 1.0, panelCap = 12,
+      ladder = ladder) ==
+      sweep.collectFirst { case (p, _, _, r) if r >= 1.0 => p }.get)
+    intercept[IllegalArgumentException](idx.calibrateNprobe(10, 1.5, 12, ladder))
+  }
+
   test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_hot").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")

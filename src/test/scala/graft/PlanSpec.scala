@@ -75,10 +75,14 @@ class PlanSpec extends AnyFunSuite with SparkTest {
         p.contains("PartitionFilters: [isnotnull(bucket"),
         s"$q must prune to its terms' bucket partitions:\n$p")
     }
-    // percolation joins on the TERM, never doc x profile
-    val pp = plan("q_percolate")
-    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoop"),
-      s"q_percolate must never plan a doc x profile cross join:\n$pp")
+    // percolation joins on the TERM, never doc x profile — and the phrase
+    // variant's positional stage stays equi-joined (candidate-doc
+    // semi-join + slot term join), still no cross join anywhere
+    Seq("q_percolate", "q_percolate_phrase").foreach { q =>
+      val pp = plan(q)
+      assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoop"),
+        s"$q must never plan a doc x profile cross join:\n$pp")
+    }
   }
 
   test("fraction-probe queries drop the broadcast once probes exceed the limit") {

@@ -53,6 +53,71 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
       "filtered routed query must equal the filtered brute-force path")
   }
 
+  test("attachIvfIndex(recallTarget=) routes through the calibrated depth, not a guessed one") {
+    val store = new VectorStore(spark, tmp("vs_cal"))
+    val c = store.createOrGet("col")
+    c.add(rows)
+    val idx = c.attachIvfIndex(tmp("vs_cal_idx"), numCells = 8, nprobe = 1,
+      recallTarget = Some(0.9), calibrateK = 10, calibratePanel = 16)
+    // the attached depth is the policy's answer (nprobe=1 was ignored),
+    // reproducible from the same deterministic panel + ladder
+    val expect = idx.calibrateNprobe(k = 10, target = 0.9, panelCap = 16)
+    c.attachedConfig match {
+      case Some(VectorStore.AttachedIvf(_, np, _)) =>
+        assert(np == expect, s"attached depth $np, calibration says $expect")
+        assert(np > 1 || expect == 1, "the nprobe argument must not leak through")
+      case other => fail(s"expected an attached IVF config, got $other")
+    }
+    // and the routed query serves at that depth: equal to the explicit
+    // index query at the calibrated nprobe, mapped back to string ids
+    val routed = got(c.query(probe, k = 5))
+    val direct = idx.query(probe, k = 5, nprobe = expect).collect()
+      .map(_.getLong(0)).toSeq
+    val mapped = rows.select(col("id"), xxhash64(col("id")).as("h"))
+      .filter(col("h").isin(direct: _*)).select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(routed.map(_._1).toSet == mapped,
+      "routed answers must be the calibrated-depth index answers")
+  }
+
+  test("routedKnnVotesAuto: chooser correct on both sides of the crossover; identical votes either way") {
+    import graft.queries.AnnQueries
+    // the PURE chooser, on both sides of the measured crossover (SURVEY
+    // §8.3 routedlabel: ~2M saved pair distances pay for the routed
+    // machinery's fixed overhead)
+    assert(AnnQueries.chooseLabelRoute(p = 64, n = 10000, numCells = 16,
+      nprobe = 4) == "exact", "480k saved pairs: below the crossover")
+    assert(AnnQueries.chooseLabelRoute(p = 64, n = 120000, numCells = 16,
+      nprobe = 4) == "routed", "5.76M saved pairs: above the crossover")
+    assert(AnnQueries.chooseLabelRoute(p = 1000000, n = 1000000,
+      numCells = 16, nprobe = 16) == "exact",
+      "full-depth routing saves nothing — exact always wins there")
+    // identical answers on both arms, over a real index at full depth
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val labeled = e.select(col("vec_id").as("id"), col("embedding").as("emb"),
+      col("label").cast("long").as("nlabel"))
+    val idx = new graft.store.IvfIndex(spark, tmp("auto_idx"), numCells = 4)
+    idx.build(labeled)
+    val probes = e.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("qe"))
+    def votes(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+    val exact = votes(AnnQueries.exactKnnVotes(idx, probes, k = 5))
+    assert(exact.nonEmpty)
+    assert(exact == votes(AnnQueries.routedKnnVotesDF(idx, probes, 5,
+      nprobe = 4, shortlist = 64)),
+      "exact arm must equal the routed DF arm at full probe depth")
+    // auto: this fixture sits below the crossover -> exact route
+    val (route, auto) = AnnQueries.routedKnnVotesAuto(idx, probes, 5,
+      nprobe = 4, shortlist = 64)
+    assert(route == "exact" && votes(auto) == exact)
+    // force the other side of the crossover: same answers via the routed arm
+    val (r2, auto2) = AnnQueries.routedKnnVotesAuto(idx, probes, 5,
+      nprobe = 4, shortlist = 64, crossoverPairs = 0L)
+    assert(r2 == "routed" && votes(auto2) == exact)
+  }
+
   test("routed graph query equals the explicit index query mapped back to string ids") {
     val store = new VectorStore(spark, tmp("vs_g"))
     val c = store.createOrGet("col")

@@ -826,4 +826,54 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       graft.operators.Percolate.matches(docs.select("doc_id", "text"), dupId))
     assert(e.getMessage.contains("unique"), e.getMessage)
   }
+
+  test("percolate with phrase clauses: stream equals batch; phrase semantics pinned") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val profiles = graft.queries.SearchQueries.percPhraseProfilesDf(spark)
+    val srcDir = tmp(); val outDir = tmp(); val ckpt = tmp()
+    docs.write.mode("overwrite").parquet(srcDir)
+    StreamOps.percolate(spark, srcDir, profiles, outDir, ckpt).awaitTermination()
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "profile_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = pairs(spark.read.parquet(outDir))
+    val want = pairs(graft.operators.Percolate.matches(
+      docs.select("doc_id", "text"), profiles))
+    assert(got == want, "streamed phrase alerts must equal the batch percolation")
+    assert(want.exists(_._2 == 3L), "the pure-phrase multi-phrase profile must fire")
+    assert(want.exists(_._2 == 4L), "the phrase-less profile coexists in the registry")
+    // phrase ORDER matters: a doc holding both words non-consecutively
+    // must not fire — pin with a tiny synthetic corpus
+    val tiny = Seq(
+      (1L, "the vector table hash join"), // consecutive "table hash" + must 'vector'
+      (2L, "the vector hash of a table"), // both words, never consecutive
+      (3L, "table hash again"), // phrase yes, must 'vector' missing
+      (4L, "")).toDF("doc_id", "text")
+    val ph = Seq((9L, Seq("vector"), Seq.empty[String], Seq.empty[String],
+      Seq(Seq("table", "hash"))))
+      .toDF("profile_id", "must", "any", "must_not", "phrases")
+    assert(pairs(graft.operators.Percolate.matches(tiny, ph)) == Set((1L, 9L)),
+      "only the consecutive occurrence satisfies a phrase clause")
+    // a repeated-term phrase demands BOTH slots covered per occurrence
+    val rep = Seq((11L, Seq.empty[String], Seq.empty[String], Seq.empty[String],
+      Seq(Seq("the", "table", "the"))))
+      .toDF("profile_id", "must", "any", "must_not", "phrases")
+    val repDocs = Seq(
+      (1L, "the table the end"), // exact occurrence
+      (2L, "the table and the")).toDF("doc_id", "text") // slots never align
+    assert(pairs(graft.operators.Percolate.matches(repDocs, rep)) == Set((1L, 11L)))
+    // a pure-negation profile stays rejected even with the phrases column
+    val bad = Seq((12L, Seq.empty[String], Seq.empty[String], Seq("the"),
+      Seq.empty[Seq[String]]))
+      .toDF("profile_id", "must", "any", "must_not", "phrases")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.matches(tiny, bad))
+    // an EMPTY phrase (no terms) is a contradiction-free never-matcher: reject
+    val empty = Seq((13L, Seq("table"), Seq.empty[String], Seq.empty[String],
+      Seq(Seq.empty[String])))
+      .toDF("profile_id", "must", "any", "must_not", "phrases")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.matches(tiny, empty))
+  }
 }

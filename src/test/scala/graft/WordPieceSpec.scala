@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.WordPiece
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The published BERT tokenization algorithm, pinned case by case:
+  * basic normalization (lowercase, accent strip, punctuation isolation),
+  * greedy longest-prefix wordpiece with ## continuations, UNK fallback,
+  * CLS/SEP wrapping and truncation. */
+class WordPieceSpec extends AnyFunSuite {
+
+  private val wp = WordPiece.fromTokens(Seq(
+    "[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "un", "##aff", "##able", "##ix", "run", "##ning", "hello", "world",
+    "don", "'", "t", "2", "##0", "over", "##the", "café") ++ // 'café' kept post-accent-strip? no: vocab holds 'cafe' below
+    Seq("cafe", "中", "国"))
+
+  test("basic: lowercase, accent strip, punctuation and CJK isolation") {
+    assert(WordPiece.basicTokenize("Hello, World!") ==
+      Seq("hello", ",", "world", "!"))
+    assert(WordPiece.basicTokenize("Café") == Seq("cafe"),
+      "NFD + strip combining marks removes the accent")
+    assert(WordPiece.basicTokenize("don't") == Seq("don", "'", "t"))
+    assert(WordPiece.basicTokenize("a\tb\nc") == Seq("a", "b", "c"))
+    assert(WordPiece.basicTokenize("中国rocks") == Seq("中", "国", "rocks"),
+      "each CJK ideograph is its own token")
+    assert(WordPiece.basicTokenize("") == Nil)
+  }
+
+  test("wordpiece: greedy longest-prefix with ## continuations; UNK on no cover") {
+    assert(wp.wordpiece("unaffable") == Seq("un", "##aff", "##able"))
+    assert(wp.wordpiece("running") == Seq("run", "##ning"))
+    assert(wp.wordpiece("unfix") == Seq("[UNK]"),
+      "no piece covers the 'f' -> the WHOLE word is UNK, never a partial cover")
+    assert(wp.wordpiece("hello") == Seq("hello"))
+    assert(wp.wordpiece("zzz") == Seq("[UNK]"))
+    assert(wp.wordpiece("a" * 201) == Seq("[UNK]"), "over-long words short-circuit")
+  }
+
+  test("encode: CLS/SEP wrap, id mapping, truncation") {
+    val ids = wp.encode("Hello world, don't!")
+    // [CLS] hello world , [UNK] ' t ! [SEP] — ',' and '!' are not in vocab -> UNK
+    assert(ids.head == 2L && ids.last == 3L)
+    assert(ids.toSeq == Seq(2L, 10, 11, 1, 12, 13, 14, 1, 3))
+    val t = wp.encode("hello " * 50, maxLen = 8)
+    assert(t.length == 8 && t.head == 2L && t.last == 3L,
+      "truncation keeps room for CLS and SEP")
+  }
+}
