@@ -103,14 +103,28 @@ object KnnGraph {
     * metadata eligibility to the FULL candidate set before taking top-k. */
   def beamVisited(graph: DataFrame, vectors: DataFrame, qe: Array[Float],
                   beamWidth: Int, hops: Int, entries: Seq[Long]): Map[Long, Double] = {
-    require(entries.nonEmpty, "beam search needs at least one entry point")
     val qlit = org.apache.spark.sql.functions.typedlit(qe)
+    beamVisitedBy(graph,
+      vectors.select(col("id"), VF.l2Sq(col("emb"), qlit).as("dist")),
+      beamWidth, hops, entries)
+  }
+
+  /** [[beamVisited]] with the scoring ABSTRACTED into the `scored` frame,
+    * which must project exactly (id LONG, dist DOUBLE) in that order —
+    * the walk schedule (entry fetch, (dist, id) beam
+    * selection, sorted frontier expansion, early fixed-point stop) is
+    * byte-identical whatever the distance is, which is what lets the
+    * quantized serving path ([[graft.store.GraphIndex]] walking SQ8 code
+    * distances) share ONE walk definition with the exact path instead of
+    * a drifting copy. */
+  def beamVisitedBy(graph: DataFrame, scored: DataFrame,
+                    beamWidth: Int, hops: Int, entries: Seq[Long]): Map[Long, Double] = {
+    require(entries.nonEmpty, "beam search needs at least one entry point")
     // point-read + score ONLY the requested ids: the In-filter reaches the
-    // source scan, and l2Sq runs on just the fetched rows
+    // source scan, and the scoring column runs on just the fetched rows
     def fetch(ids: Seq[Long]): Seq[(Long, Double)] =
       if (ids.isEmpty) Seq.empty
-      else vectors.filter(col("id").isin(ids: _*))
-        .select(col("id"), VF.l2Sq(col("emb"), qlit).as("dist"))
+      else scored.filter(col("id").isin(ids: _*))
         .collect().toSeq.map(r => (r.getLong(0), r.getDouble(1)))
     val visited = scala.collection.mutable.HashMap[Long, Double]()
     visited ++= fetch(entries.distinct.sorted)

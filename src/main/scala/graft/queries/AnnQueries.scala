@@ -1502,22 +1502,22 @@ object AnnQueries {
           .persist()
         def ids(c: org.apache.spark.sql.Column) =
           transform(c, s0 => s0.getField("id"))
+        // one exact-arm GroupedTopK decides every depth: an exact-top-10
+        // member is recalled at depth p iff its cell ranks ≤ p for the
+        // probe (candidates nest; fewer than k candidates can precede a
+        // globally-top-k row in any subset) — the IvfIndex.calibrationSweep
+        // equivalence, which the oracle's per-depth intersection replays
+        // independently
         val exact = scored.groupBy("pid")
           .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("ex"))
-          .select(col("pid"), ids(col("ex")).as("ex"))
-        val arms = CalLadder.map { p =>
-          scored.filter(col("crank") <= p).groupBy("pid")
-            .agg(GroupedTopK.topK(10)(col("dist"), col("vec_id")).as("iv"))
-            .select(lit(p).as("nprobe"), col("pid"), ids(col("iv")).as("iv"))
-        }.reduce(_ unionByName _)
+          .select(col("pid"), explode(ids(col("ex"))).as("vec_id"))
+        val withRank = scored.select("pid", "vec_id", "crank")
+          .join(broadcast(exact), Seq("pid", "vec_id"), "left_semi")
         val ladderDf = CalLadder.map(Tuple1(_)).toDF("nprobe")
-        val perP = exact.crossJoin(broadcast(ladderDf))
-          .join(arms, Seq("nprobe", "pid"), "left")
-          .withColumn("h", size(array_intersect(col("ex"),
-            coalesce(col("iv"), array().cast("array<bigint>")))))
+        val perP = withRank.crossJoin(broadcast(ladderDf))
           .groupBy("nprobe")
-          .agg(sum(col("h").cast("long")).as("hits"),
-            count(lit(1)).as("probes"))
+          .agg(sum(when(col("crank") <= col("nprobe"), 1L).otherwise(0L)).as("hits"))
+          .withColumn("probes", lit(panel.length.toLong))
           .withColumn("recall",
             round(col("hits") / (col("probes") * 10.0), 4))
         val best = perP.filter(col("recall") >= CalTarget)

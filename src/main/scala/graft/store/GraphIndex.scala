@@ -105,6 +105,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * from the same frame, in the same crash-consistent commit. */
   private def graphRevPath = s"$path/graphRev"
   private def entriesPath = s"$path/entries"
+  private def sq8Path = s"$path/_sq8"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
@@ -228,19 +229,36 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val ve = v.select(col("id"), col("emb"))
       var g = KnnGraph.build(ve, bucketFns, k)
       (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, ve, k))
+      // SQ8 quantizer sidecar, frozen until the next rebuild (the
+      // IvfIndex discipline): per-dim (min, max) over the build input —
+      // dim rows of driver metadata. Inserted vectors later encode
+      // through the SAME frozen stats at serving time (codes are derived,
+      // never stored, so inserts need no re-encode pass).
+      val sq8 = ve.select(posexplode(col("emb")).as(Seq("d", "x")))
+        .groupBy("d")
+        .agg(min(col("x").cast("double")).as("mn"),
+          max(col("x").cast("double")).as("mx"))
+        .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+        .sortBy(_._1)
+      val sq8Df = spark.createDataFrame(sq8.toSeq).toDF("d", "mn", "mx")
       // same crash-consistent publish as insert: a REBUILD over a live
       // index (the periodic entry-retrain / compaction story) must never
       // delete the old data before the new data is fully staged, and all
-      // three outputs must move together
-      publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve))
+      // outputs must move together
+      publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve),
+        extra = Seq(StoreIO.Staged(s"${path}/__stage_sq8", sq8Path,
+          st => sq8Df.write.mode("overwrite").parquet(st))))
     } finally v.unpersist(): Unit
   }: Unit
 
   /** Replace all three dirs as one commit, data landing at epoch 0. The
     * input views already exclude tombstoned rows, so the snapshotted
     * tombstone dirs clear in the SAME commit (their ids fence via the hwm
-    * so a replayed delete cannot resurrect them against re-added rows). */
-  private def publishFull(v: DataFrame, g: DataFrame, entries: DataFrame): Unit = {
+    * so a replayed delete cannot resurrect them against re-added rows).
+    * `extra` joins the same commit (build's quantizer sidecar); compact
+    * passes none, preserving the frozen quantizer. */
+  private def publishFull(v: DataFrame, g: DataFrame, entries: DataFrame,
+                          extra: Seq[StoreIO.Staged] = Nil): Unit = {
     val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
     val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
       .foldLeft(tombstoneHwm())(math.max)
@@ -253,7 +271,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         st => sortedBy(g.select(col("dst"), col("src")), "dst")
           .write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
-        st => entries.write.mode("overwrite").parquet(st))) ++
+        st => entries.write.mode("overwrite").parquet(st))) ++ extra ++
       (if (allTsDirs.isEmpty) Seq.empty
        else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
          st => StoreIO.writeLongFile(st, newHwm)))),
@@ -449,7 +467,10 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     val eps = epochs().sorted.mkString(",")
     val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")
     def mt(p: String) = new java.io.File(p).lastModified()
-    s"$eps|$ts|${tombstoneHwm()}|${mt(vecPath)}|${mt(graphPath)}|${mt(entriesPath)}"
+    // the SQ8 sidecar is part of the serving identity: the codes tier's
+    // resident bytes derive from it, so a rebuilt quantizer must flip the
+    // fingerprint exactly like a data commit (0 = absent, pre-codes)
+    s"$eps|$ts|${tombstoneHwm()}|${mt(vecPath)}|${mt(graphPath)}|${mt(entriesPath)}|${mt(sq8Path)}"
   }
 
   private def hotState(): HotState = {
@@ -534,8 +555,22 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       }
       acc
     }
+    walkVisited(id => Option(h.adj.get(id)).getOrElse(Array.empty[Long]),
+      h.vecs.containsKey(_), dist, starts, beamWidth, hops, stats)
+  }
+
+  /** ONE in-memory walk definition for every hot tier — raw floats
+    * ([[hotVisited]]) and SQ8 codes ([[hotQueryQuantized]]) differ only
+    * in the `dist` function, so the schedule (entry admission, (dist, id)
+    * beam selection, sorted frontier expansion, fixed-point early stop)
+    * can never drift between them — the same guarantee
+    * [[graft.operators.KnnGraph.beamVisitedBy]] gives the Spark paths. */
+  private def walkVisited(adjOf: Long => Array[Long], has: Long => Boolean,
+                          dist: Long => Double, starts: Seq[Long],
+                          beamWidth: Int, hops: Int,
+                          stats: StatsAcc = null): Seq[(Long, Double)] = {
     val visited = scala.collection.mutable.HashMap[Long, Double]()
-    starts.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
+    starts.foreach(id => if (has(id)) visited(id) = dist(id))
     def topIds(): Seq[Long] =
       visited.toSeq.sortBy { case (id, d) => (d, id) }
         .take(stats.topK).map(_._1)
@@ -546,10 +581,10 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val beam = visited.toSeq.sortBy { case (id, d) => (d, id) }
         .take(beamWidth).map(_._1)
       val fresh = beam
-        .flatMap(b => Option(h.adj.get(b)).getOrElse(Array.empty[Long]))
-        .distinct.filterNot(visited.contains).sorted
+        .flatMap(b => adjOf(b).toSeq)
+        .distinct.filterNot(visited.contains(_)).sorted
       open = fresh.nonEmpty
-      fresh.foreach(id => if (h.vecs.containsKey(id)) visited(id) = dist(id))
+      fresh.foreach(id => if (has(id)) visited(id) = dist(id))
       hop += 1
       if (stats != null && open) {
         stats.hops = hop
@@ -630,6 +665,151 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
           Option(h.payload.get(id)).map { case (cid, doc, _) => (cid, doc, d) }
         }
         .sortBy { case (cid, _, d) => (d, cid) })
+  }
+
+  // ------------------------------------- quantized serving (SQ8 codes)
+
+  /** The frozen SQ8 quantizer stats (`build()`'s sidecar). None on an
+    * index persisted before codes existed — quantized surfaces then fail
+    * loudly with a rebuild hint rather than inventing a quantizer. */
+  private def sq8Stats(): Option[(Array[Double], Array[Double])] =
+    if (!new java.io.File(s"$sq8Path/_SUCCESS").exists()) None
+    else {
+      val rows = spark.read.parquet(sq8Path).collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+      Some((rows.map(_._2), rows.map(_._3)))
+    }
+
+  private def requireSq8(): (Array[Double], Array[Double]) =
+    sq8Stats().getOrElse(sys.error(
+      s"GraphIndex at $path has no _sq8 quantizer sidecar — rebuild with build() to add it"))
+
+  /** Bounded exact finish shared by the quantized cold and hot paths: the
+    * true-float top-k of the `rerank` best code-distance candidates, via
+    * ONE In-pushed point read — cost bounded by the ANSWER, never the
+    * corpus. */
+  private def exactRerank(qe: Array[Float], shortIds: Seq[Long],
+                          topK: Int): DataFrame =
+    vectors.filter(col("id").isin(shortIds: _*))
+      .select(col("id"), VF.l2Sq(col("emb"), typedlit(qe)).as("dist"))
+      .orderBy(asc("dist"), asc("id")).limit(topK)
+
+  /** [[query]] over SQ8 CODE distances with a bounded exact rerank: the
+    * SAME walk schedule ([[KnnGraph.beamVisitedBy]]) scored by integer L2
+    * over codes derived from the frozen build-time quantizer (1 byte/dim —
+    * the scan-traffic/memory story), then the top-`rerank` candidates
+    * re-score with true floats. At FULL beam width the walk visits every
+    * reachable node whatever the metric, so full-beam + full-rerank is
+    * bit-equal to the exact [[query]] (spec-pinned); at serving depths the
+    * quantized walk trades recall for a 4x smaller resident/scan
+    * footprint, measured in GraphIndexSpec. */
+  def queryQuantized(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
+                     rerank: Int = 64,
+                     entries: Seq[Long] = Seq.empty): DataFrame = {
+    require(rerank >= topK, "rerank must be at least topK")
+    val (mn, mx) = requireSq8()
+    val qb = graft.functions.Sq8Encode.encode(qe, mn, mx)
+    val starts = if (entries.nonEmpty) entries else defaultEntries()
+    val scored = vectors.select(col("id"),
+      VF.sq8L2(VF.sq8Encode(col("emb"), mn, mx), lit(qb))
+        .cast("double").as("dist"))
+    val visited = KnnGraph.beamVisitedBy(graph, scored, beamWidth, hops, starts)
+    val shortIds = visited.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(rerank).map(_._1)
+    exactRerank(qe, shortIds, topK)
+  }
+
+  /** JVM-resident CODES + adjacency — the hot tier for a graph whose raw
+    * floats exceed `graft.hot.maxBytes`: 1 byte/dim instead of 4, so ~4x
+    * more corpus serves hot under the same admission budget (the
+    * [[IvfIndex.hotQueryQuantized]] story on the graph walk). Codes are
+    * DERIVED at load time from the frozen sidecar stats — identical bytes
+    * to the cold path's codegen encode, so hot ≡ cold bit-for-bit. */
+  private final class HotCodesState(
+      val key: String,
+      val adj: java.util.HashMap[java.lang.Long, Array[Long]],
+      val codes: java.util.HashMap[java.lang.Long, Array[Byte]],
+      val entries: Seq[Long],
+      val mn: Array[Double], val mx: Array[Double],
+      val estBytes: Long)
+
+  @volatile private var hotCodes: HotCodesState = null
+  // code-bytes estimate cached per publish fingerprint (two narrow count
+  // jobs — don't re-pay them per refused probe); the BUDGET is re-read
+  // per probe so a raised/lowered graft.hot.maxBytes takes effect
+  // immediately, like the raw tier's per-probe hotFits()
+  @volatile private var hotCodesEst: (String, Long) = null
+
+  /** Signed-byte integer L2 — the driver-side twin of the codegen
+    * [[graft.functions.Sq8L2Distance]] loop (identical arithmetic). */
+  private def sq8l2(a: Array[Byte], b: Array[Byte]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = (a(i) - b(i)).toLong; acc += d * d; i += 1 }
+    acc
+  }
+
+  private def hotCodesState(): Option[HotCodesState] = {
+    val key = hotKey()
+    val h0 = hotCodes
+    if (h0 != null && h0.key == key)
+      return if (h0.estBytes <= StoreIO.hotBudgetBytes()) Some(h0) else None
+    val e0 = hotCodesEst
+    if (e0 != null && e0._1 == key && e0._2 > StoreIO.hotBudgetBytes()) return None
+    val (mn, mx) = sq8Stats() match {
+      case Some(s) => s
+      case None => hotCodesEst = (key, Long.MaxValue); return None // pre-codes index
+    }
+    // ADMISSION MATH COUNTS CODE BYTES + EDGES: resident cost per row is
+    // the code (1 byte/dim) + the 8-byte id + ~40 B of JVM entry
+    // overhead, plus 8 B per adjacency edge — the raw floats never stay
+    // resident (they stream through the encode), which is the point:
+    // ~4x more corpus under the same budget. Two narrow count jobs per
+    // publish fingerprint.
+    val est =
+      if (e0 != null && e0._1 == key) e0._2
+      else {
+        val v = vectors.count() * (mn.length + 48L) + graph.count() * 8L
+        hotCodesEst = (key, v); v
+      }
+    if (est > StoreIO.hotBudgetBytes()) return None
+    val adj = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    graph.select("src", "dst").collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (s0, rows) => adj.put(s0, rows.map(_.getLong(1)).sorted) }
+    val codes = new java.util.HashMap[java.lang.Long, Array[Byte]]()
+    vectors.select("id", "emb").collect().foreach { r =>
+      codes.put(r.getLong(0),
+        graft.functions.Sq8Encode.encode(r.getSeq[Float](1).toArray, mn, mx))
+    }
+    val h = new HotCodesState(key, adj, codes,
+      entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq,
+      mn, mx, est)
+    hotCodes = h
+    Some(h)
+  }
+
+  /** [[queryQuantized]] with the walk served from JVM-resident CODES: the
+    * SAME walk ([[walkVisited]]) over the same integer-L2 distances, zero
+    * Spark jobs until the bounded exact rerank. Bit-equal to
+    * [[queryQuantized]] at every depth (spec-pinned). None when the index
+    * has no quantizer sidecar or the resident code+edge bytes exceed
+    * `graft.hot.maxBytes`. */
+  def hotQueryQuantized(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
+                        rerank: Int = 64,
+                        entries: Seq[Long] = Seq.empty): Option[Seq[(Long, Double)]] = {
+    require(rerank >= topK, "rerank must be at least topK")
+    hotCodesState().map { h =>
+      val qb = graft.functions.Sq8Encode.encode(qe, h.mn, h.mx)
+      val starts = (if (entries.nonEmpty) entries else h.entries).distinct.sorted
+      val visited = walkVisited(
+        id => Option(h.adj.get(id)).getOrElse(Array.empty[Long]),
+        h.codes.containsKey(_),
+        id => sq8l2(h.codes.get(id), qb).toDouble,
+        starts, beamWidth, hops)
+      val shortIds = visited.take(rerank).map(_._1)
+      exactRerank(qe, shortIds, topK)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
   }
 
   /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot

@@ -1291,27 +1291,27 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       .persist()
     import graft.operators.GroupedTopK
     def ids(c: Column) = transform(c, s0 => s0.getField("id"))
+    // ONE exact-arm aggregation decides EVERY depth: candidates nest
+    // (rank ≤ p ⊆ rank ≤ p+1) and the exact top-k are the k globally best
+    // of the same pool under the same (dist, id) total order, so an exact
+    // member e is in depth p's top-k IFF rank(e) ≤ p — fewer than k
+    // candidates can precede a globally-top-k row in ANY subset. Hence
+    // hits(p) = |{e ∈ exact top-k : cellRank(e) ≤ p}|: one GroupedTopK
+    // pass + one broadcast join of the panel×k answer back to its ranks —
+    // the sweep costs ~one scored panel pass, never per-depth rescans
+    // (IvfIndexSpec replays every depth through the partition-pruned
+    // serving path to pin this equivalence).
     val exact = scored.groupBy("pid")
       .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("ex"))
-      .select(col("pid"), ids(col("ex")).as("ex"))
-    val arms = steps.map { p =>
-      scored.filter(col("crank") <= p).groupBy("pid")
-        .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("iv"))
-        .select(lit(p).as("nprobe"), col("pid"), ids(col("iv")).as("iv"))
-    }.reduce(_ unionByName _)
-    // LEFT join per (depth, probe): a probe whose nearest cells hold no
-    // candidate (excludeSelf can empty a singleton cell) must count as
-    // zero hits, not silently drop from the denominator
+      .select(col("pid"), explode(ids(col("ex"))).as("id"))
+    val withRank = scored.select("pid", "id", "crank")
+      .join(broadcast(exact), Seq("pid", "id"), "left_semi")
     val ladderDf = spark.createDataFrame(steps.map(Tuple1(_))).toDF("nprobe")
-    val out = exact.crossJoin(broadcast(ladderDf))
-      .join(arms, Seq("nprobe", "pid"), "left")
-      .withColumn("h", size(array_intersect(col("ex"),
-        coalesce(col("iv"), array().cast("array<bigint>")))))
+    val out = withRank.crossJoin(broadcast(ladderDf))
       .groupBy("nprobe")
-      .agg(sum(col("h").cast("long")).as("hits"),
-        count(lit(1)).as("probes"))
-      .select(col("nprobe"), col("hits"), col("probes"),
-        round(col("hits") / (col("probes") * k.toDouble), 4).as("recall"))
+      .agg(sum(when(col("crank") <= col("nprobe"), 1L).otherwise(0L)).as("hits"))
+      .select(col("nprobe"), col("hits"), lit(panel.length.toLong).as("probes"),
+        round(col("hits") / (panel.length * k).toDouble, 4).as("recall"))
       .orderBy("nprobe")
     // |ladder| rows: checkpoint the tiny result, release the scored frame
     val mat = out.localCheckpoint()

@@ -268,6 +268,59 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     (toks, postings)
   }
 
+  /** IN-PLACE POSITIONAL UPGRADE: re-derive postings WITH positions for
+    * ONLY the generations that lack a `pos` column, from the caller's
+    * source frame (doc_id, text) — the index stores no raw text, so the
+    * corpus of record must supply it. Until now a pre-positions index
+    * needed a FULL rebuild to serve phrase/NEAR (mixed generations refuse
+    * loudly — correct but corpus-priced); this re-tokenizes just the old
+    * generations' doc sets (each batch's `_doclens` twin names them, and
+    * the semi-join prunes the source before any explode), so cost tracks
+    * the OLD generations, never the corpus.
+    *
+    * Safety: the re-derived rows must reproduce each generation's
+    * (term, doc_id, tf, dl) EXACTLY — a drifted corpus of record (changed
+    * or missing text) refuses before anything publishes, because silently
+    * replacing postings with different tf/dl would corrupt scoring. On
+    * success every upgraded dir replaces itself in ONE crash-consistent
+    * commit; `_termstats`/`_stats`/`_doclens` are untouched (identical
+    * rows, positions only ADD a column), so BM25 is bit-identical before
+    * and after and the positional surfaces simply start serving. Returns
+    * the number of upgraded generations. */
+  def upgradePositions(docs: DataFrame): Int =
+    WriterLease.withLease(path, "TextIndex.upgradePositions") {
+      val preDirs = StoreIO.committedBatchDirs(postingsPath).filter(d =>
+        StoreIO.hasParquetFooter(d) &&
+          !spark.read.parquet(d.getPath).schema.fieldNames.contains("pos"))
+      if (preDirs.isEmpty) 0
+      else {
+        val caches = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        try {
+          val stages = preDirs.map { d =>
+            val bname = d.getName
+            val ids = spark.read.parquet(s"$doclensPath/$bname").select("doc_id")
+            val slice = docs.join(ids, Seq("doc_id"), "left_semi")
+            val (toks, postings) = postingFrames(slice)
+            caches += toks; caches += postings
+            val key = Seq("term", "doc_id", "dl", "tf")
+            val orig = spark.read.parquet(d.getPath)
+              .selectExpr("term", "doc_id", "CAST(dl AS INT) AS dl", "tf")
+            val fresh = postings
+              .selectExpr("term", "doc_id", "CAST(dl AS INT) AS dl", "tf")
+            require(orig.exceptAll(fresh).isEmpty && fresh.exceptAll(orig).isEmpty,
+              s"source frame does not reproduce generation $bname's postings " +
+                s"($key must match row for row) — wrong or drifted corpus of record; " +
+                "refusing to publish")
+            StoreIO.Staged(s"$path/__stage_upgrade_${bname.stripPrefix("batch=")}",
+              s"$postingsPath/$bname",
+              st => postings.write.mode("overwrite").partitionBy("bucket").parquet(st))
+          }
+          StoreIO.commitStaged(stages.toSeq, marker)
+          preDirs.length
+        } finally caches.foreach(_.unpersist())
+      }
+    }
+
   private def writeBatch(docs: DataFrame, b: Long): Unit = {
     val (toks, postings) = postingFrames(docs)
     try {

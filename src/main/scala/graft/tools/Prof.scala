@@ -74,8 +74,134 @@ object Prof {
     case Some("exactserve") => exactserve(args.drop(1))
     case Some("encexact") => encexact(args.drop(1))
     case Some("textserve") => textserve(args.drop(1))
+    case Some("r9") => r9(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9")
+  }
+
+  /** Round-9 surfaces at scale: recall calibration (cost ≈ one panel
+    * scan), GraphIndex SQ8 hot serving (budget pinned inside the
+    * codes-fit window), chunk→doc RAG retrieval, and the in-place
+    * positional upgrade (cost tracks the OLD generations, not the
+    * corpus — measured at two pre-gen fractions over one fixed corpus). */
+  private def r9(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    import org.apache.spark.sql.expressions.Window
+
+    // ---- calibration: sweep cost vs ONE exact panel pass
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cells = math.max(16, (n / 2048L).toInt)
+    val ibase = java.nio.file.Files.createTempDirectory("scale_r9_ivf").toString
+    val idx = new IvfIndex(s, ibase, cells)
+    time(s"r9_cal_build_${cells}cells", nTag)(idx.build(vectors))
+    val panel = idx.calibrationPanel(64)
+    // the reference cost: one exact panel x corpus scored pass
+    time("r9_cal_exact_panel_pass", nTag) {
+      val probesDf = s.createDataFrame(
+        panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe")
+      println("PROF r9_cal_exact_rows rows=" +
+        vectors.crossJoin(broadcast(probesDf))
+          .select(col("pid"), VF.l2Sq(col("emb"), col("pe")).as("d"))
+          .groupBy("pid").agg(min("d")).count())
+    }
+    time("r9_cal_sweep_5depths", nTag)(
+      println("PROF r9_cal_sweep rows=" +
+        idx.calibrationSweep(panel, k = 10,
+          ladder = Seq(1, 2, 4, 8, cells), excludeSelf = true).count()))
+    time("r9_cal_choose", nTag)(
+      println(s"PROF r9_cal_chosen nprobe=${idx.calibrateNprobe(10, 0.9, 64)}"))
+
+    // ---- GraphIndex SQ8 hot serving inside the codes-fit window
+    val gbase = java.nio.file.Files.createTempDirectory("scale_r9_g").toString
+    val bits = scaledBits(n)
+    val gidx = new GraphIndex(s, gbase, k = 8,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
+    time("r9_graph_build", nTag)(gidx.build(vectors))
+    val qe = vectors.filter(col("id") === 17).head().getSeq[Float](1).toArray
+    def tree(root: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      walk(new java.io.File(root))
+    }
+    val dim = qe.length
+    val est = n * (dim + 48L) + gidx.graph.count() * 8L
+    val raw = tree(s"$gbase/vectors") + tree(s"$gbase/graph")
+    println(s"PROF r9_graph_window codes_est=$est raw_tree=$raw $nTag")
+    val prevBudget = System.getProperty("graft.hot.maxBytes")
+    System.setProperty("graft.hot.maxBytes", est.toString) // inside the window
+    try {
+      time("r9_graph_hotq_cold", nTag)(
+        require(gidx.hotQueryQuantized(qe, 5, 8, 4, rerank = 64).isDefined))
+      (1 to 2).foreach { i =>
+        time(s"r9_graph_hotq_warm$i", nTag)(
+          gidx.hotQueryQuantized(qe, 5, 8, 4, rerank = 64): Unit)
+      }
+    } finally {
+      if (prevBudget == null) System.clearProperty("graft.hot.maxBytes")
+      else System.setProperty("graft.hot.maxBytes", prevBudget)
+    }
+    time("r9_graph_coldq", nTag)(
+      gidx.queryQuantized(qe, 5, 8, 4, rerank = 64).collect(): Unit)
+
+    // ---- chunk -> doc RAG retrieval (the q_rag_retrieve pipeline)
+    val sq = graft.queries.SearchQueries
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    def ragOnce(): Long = {
+      import s.implicits._
+      val chunks = docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        .withColumn("nn", size(col("toks")))
+        .select(col("doc_id"),
+          posexplode(sequence(lit(0), greatest(col("nn") - 1, lit(0)),
+            lit(sq.RagStride))).as(Seq("chunk_id", "strt")),
+          col("toks"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          TF.hashEmbed(slice(col("toks"), col("strt") + 1, lit(sq.RagWindow)),
+            sq.EmbDim).as("emb"))
+      val probes = sq.RagProbes.zipWithIndex
+        .map { case (t, i) => ((i + 1).toLong, t) }.toDF("qid", "qtext")
+        .select(col("qid"), TF.hashEmbed(TF.tokens(col("qtext")), sq.EmbDim).as("qe"))
+      chunks.crossJoin(broadcast(probes))
+        .select(col("qid"),
+          (shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
+          VF.cosine(col("emb"), col("qe")).as("cos"))
+        .groupBy("qid")
+        .agg(graft.operators.GroupedTopK.topK(sq.RagChunkK)(
+          -col("cos"), col("cid")).as("tk"))
+        .count()
+    }
+    time("r9_rag_cold", s"(docs=$nd)")(println(s"PROF r9_rag_rows rows=${ragOnce()}"))
+    (1 to 2).foreach(i => time(s"r9_rag_warm$i", s"(docs=$nd)")(ragOnce(): Unit))
+
+    // ---- positional upgrade: cost tracks the PRE-GEN fraction, corpus fixed
+    Seq(10L, 50L).foreach { pct =>
+      val tb = java.nio.file.Files.createTempDirectory(s"scale_r9_upg$pct").toString
+      val tidx = new graft.store.TextIndex(s, tb, numBuckets = 64)
+      val old = docs.filter(pmod(col("doc_id"), lit(100)) < pct)
+      val rest = docs.filter(pmod(col("doc_id"), lit(100)) >= pct)
+      tidx.build(old)
+      tidx.appendBatch(rest, 1L)
+      // strip pos from batch=0 (simulate a pre-positions generation)
+      val b0 = new java.io.File(s"$tb/postings/batch=0")
+      val st = java.nio.file.Files.createTempDirectory("scale_r9_upg_st").toString
+      s.read.parquet(b0.getPath).drop("pos")
+        .write.mode("overwrite").partitionBy("bucket").parquet(st)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(b0)
+      require(new java.io.File(st).renameTo(b0))
+      time(s"r9_upgrade_${pct}pct_pregen", s"(docs=$nd)")(
+        println(s"PROF r9_upgraded gens=${tidx.upgradePositions(docs)}"))
+    }
+    s.stop()
   }
 
   /** Boolean / prefix / percolate at scale (r8): the three new text

@@ -316,6 +316,93 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
       s"beam should navigate below the median distance ${median}, got ${hit.getDouble(1)}")
   }
 
+  test("SQ8 quantized serving: full-depth == exact; hot == cold; admission counts code bytes") {
+    def withBudget[A](bytes: Long)(body: => A): A = {
+      val prev = System.getProperty("graft.hot.maxBytes")
+      System.setProperty("graft.hot.maxBytes", bytes.toString)
+      try body
+      finally {
+        if (prev == null) System.clearProperty("graft.hot.maxBytes")
+        else System.setProperty("graft.hot.maxBytes", prev)
+      }
+    }
+    def treeBytes(root: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk).sum
+      walk(new java.io.File(root))
+    }
+    val small = all.filter(col("id") <= 300).persist()
+    val n = small.count().toInt
+    val base = java.nio.file.Files.createTempDirectory("graft_gidx_q").toString
+    val idx = new GraphIndex(spark, base, K,
+      Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    idx.build(small, refineRounds = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // FULL beam + full rerank: the walk visits every reachable node under
+    // ANY metric, so the quantized path is bit-equal to the exact walk
+    val exactFull = rows(idx.query(probe, topK = 5, beamWidth = n, hops = n))
+    val quantFull = rows(idx.queryQuantized(probe, topK = 5, beamWidth = n,
+      hops = n, rerank = n))
+    assert(quantFull == exactFull,
+      "full-beam + full-rerank quantized must be bit-equal to the exact walk")
+    // hot == cold bit-for-bit at several serving depths (the hot-tier
+    // discipline: same walk, same integer distances, same exact rerank)
+    for ((bw, hp, rr) <- Seq((4, 3, 8), (8, 4, 16), (2, 6, 5))) {
+      val cold = rows(idx.queryQuantized(probe, 5, bw, hp, rerank = rr))
+      val hot = idx.hotQueryQuantized(probe, 5, bw, hp, rerank = rr)
+      assert(hot.isDefined && hot.get == cold, s"bw=$bw hops=$hp rerank=$rr")
+    }
+    // recall at a serving depth vs brute force (recorded, not asserted —
+    // SQ8 distortion at 64 dims is measured, not promised)
+    val brute = small.withColumn("d", VF.l2Sq(col("emb"), typedlit(probe)))
+      .orderBy(asc("d"), asc("id")).limit(5).collect().map(_.getLong(0)).toSet
+    val served = rows(idx.queryQuantized(probe, 5, beamWidth = 8, hops = 6,
+      rerank = 32)).map(_._1)
+    val servedRaw = rows(idx.query(probe, 5, beamWidth = 8, hops = 6)).map(_._1)
+    info(s"recall@5 at bw=8 hops=6: quantized=${served.count(brute)}/5 " +
+      s"raw=${servedRaw.count(brute)}/5 (near-uniform fixture: the walk " +
+      s"itself is the recall limit; quantization must not trail the raw walk far)")
+    // ADMISSION COUNTS CODE BYTES: the spec pins the admission math
+    // (codes + id/entry overhead + 8 B/edge) and places the budget INSIDE
+    // the codes-fit window — above the code bytes, below the raw on-disk
+    // tree a floats-resident tier needs
+    val dim = probe.length
+    val nEdges = idx.graph.count()
+    val est = n.toLong * (dim + 48L) + nEdges * 8L
+    val rawTree = treeBytes(s"$base/vectors") + treeBytes(s"$base/graph")
+    assert(est < rawTree, s"the window must exist: est=$est rawTree=$rawTree")
+    withBudget(est) {
+      assert(idx.hotQueryQuantized(probe, 5, 4, 3, rerank = 8).isDefined,
+        "codes fit exactly at the estimate: must serve hot")
+    }
+    withBudget(est - 1) {
+      assert(idx.hotQueryQuantized(probe, 5, 4, 3, rerank = 8).isEmpty,
+        "one byte under the code estimate: must refuse")
+    }
+    // mutation invalidation: a delete changes the publish key; the hot
+    // tier reloads and stays bit-equal to cold, and the dead id is gone
+    val dead = quantFull.head._1
+    idx.delete(Seq(dead))
+    val coldAfter = rows(idx.queryQuantized(probe, 5, 8, 4, rerank = 16))
+    val hotAfter = idx.hotQueryQuantized(probe, 5, 8, 4, rerank = 16)
+    assert(hotAfter.isDefined && hotAfter.get == coldAfter)
+    assert(!coldAfter.exists(_._1 == dead), "a tombstoned id must stop serving")
+    // a pre-codes index (no sidecar) refuses diagnosably
+    val sidecar = new java.io.File(s"$base/_sq8")
+    val stash = new java.io.File(s"$base/_sq8_stash")
+    assert(sidecar.renameTo(stash))
+    try {
+      val ex = intercept[RuntimeException](
+        idx.queryQuantized(probe, 5, 4, 3).collect())
+      assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+      assert(idx.hotQueryQuantized(probe, 5, 4, 3).isEmpty,
+        "the hot tier refuses (None) rather than inventing a quantizer")
+    } finally { stash.renameTo(sidecar): Unit }
+    small.unpersist(): Unit
+  }
+
   test("hotQueryStats: identical answers to hotQuery, sane walk diagnostics") {
     val idx = new GraphIndex(spark,
       java.nio.file.Files.createTempDirectory("graft_gidx_ws").toString,

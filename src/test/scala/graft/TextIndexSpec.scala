@@ -197,20 +197,49 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       idx.phraseQuery(Seq("big", "data"), 10).collect()
     }
     assert(ex.getMessage.contains("positional postings"), ex.getMessage)
-    // compact DOWNGRADES a mixed merge to deterministically non-positional
-    // (positions for doc 1 are unrecoverable without its text), so the
-    // phrase probe keeps refusing until a rebuild — never a silent answer
-    idx.compact()
-    assert(idx.query(Seq("big", "data"), 10).count() == 2)
-    val ex2 = intercept[IllegalArgumentException] {
-      idx.phraseQuery(Seq("big", "data"), 10).collect()
-    }
-    assert(ex2.getMessage.contains("positional postings"), ex2.getMessage)
-    // a rebuild restores the positional generation
-    idx.build(Seq((1L, "big data engine"), (2L, "big data pipeline"))
-      .toDF("doc_id", "text"))
-    assert(idx.phraseQuery(Seq("big", "data"), 10).collect()
-      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // IN-PLACE UPGRADE: re-derive ONLY the pre-positions generation from
+    // the corpus of record — phrase serving starts, scoring bit-identical
+    val corpus = Seq((1L, "big data engine"), (2L, "big data pipeline"))
+      .toDF("doc_id", "text")
+    val scoresBefore = idx.query(Seq("big", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(idx.upgradePositions(corpus) == 1, "exactly the old generation upgrades")
+    assert(idx.query(Seq("big", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq == scoresBefore,
+      "BM25 must be bit-identical across the upgrade")
+    val upgraded = idx.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // ... and equals a fresh positional rebuild bit-for-bit
+    val fresh = new TextIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_tidx_upg_ref").toString,
+      numBuckets = 4)
+    fresh.build(corpus)
+    assert(upgraded == fresh.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "upgraded index must serve phrases exactly like a fresh positional rebuild")
+    // idempotent: nothing left to upgrade
+    assert(idx.upgradePositions(corpus) == 0)
+
+    // a DRIFTED corpus of record refuses BEFORE publishing anything
+    val base2 = java.nio.file.Files.createTempDirectory("graft_tidx_upg2").toString
+    val idx2 = new TextIndex(spark, base2, numBuckets = 4)
+    idx2.build(Seq((1L, "big data engine")).toDF("doc_id", "text"))
+    val b02 = new java.io.File(s"$base2/postings/batch=0")
+    val stage2 = java.nio.file.Files.createTempDirectory("graft_tidx_upg2_st").toString
+    spark.read.parquet(b02.getPath).drop("pos")
+      .write.mode("overwrite").partitionBy("bucket").parquet(stage2)
+    rm(b02)
+    assert(new java.io.File(stage2).renameTo(b02))
+    val drifted = Seq((1L, "big data engine REWRITTEN since indexing"))
+      .toDF("doc_id", "text")
+    val ex3 = intercept[IllegalArgumentException](idx2.upgradePositions(drifted))
+    assert(ex3.getMessage.contains("corpus of record"), ex3.getMessage)
+    intercept[IllegalArgumentException](idx2.phraseQuery(Seq("big", "data"), 10))
+    // the true text upgrades it after all
+    assert(idx2.upgradePositions(
+      Seq((1L, "big data engine")).toDF("doc_id", "text")) == 1)
+    assert(idx2.phraseQuery(Seq("big", "data"), 10).collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
   }
 
   test("incremental appends + compact rank exactly like one full build") {
