@@ -566,31 +566,16 @@ object Onnx {
     n.attrInts("axes").orElse(second.map(_.longs.toSeq))
 
   /** ReduceMean / ReduceSum over `axes` (attr in opset <=17, second input
-    * in 18+), keepdims honored. LEGACY CONTRACT: an attr-less, input-less
-    * reduce over a 2-D tensor keeps the embedding-bag behavior every
-    * shipped artifact relies on — mean over axis 0 with keepdims=0, empty
-    * input pooling to zeros (an empty text must embed, not crash). */
+    * in 18+), keepdims honored; axes absent = reduce ALL axes, keepdims
+    * default 1 — the ONNX spec exactly (the pre-r9 embedding-bag
+    * carve-out silently shadowed the spec's reduce-all on 2-D input; the
+    * shipped artifact writers now emit explicit axes=[0], keepdims=0).
+    * Empty reduced extents mean-pool to zeros (an empty text must embed,
+    * not crash). */
   private def reduce(n: Node, a: Tensor, second: Option[Tensor],
                      mean: Boolean): Tensor = {
     require(!a.isInt, "Reduce* is float-only here")
     val axesOpt = axesOf(n, second).filter(_.nonEmpty)
-    if (axesOpt.isEmpty && a.dims.length == 2 && mean &&
-        !n.attrs.contains("keepdims")) {
-      val nRows = a.dims(0); val d = a.dims(1)
-      val out = new Array[Float](d)
-      if (nRows > 0) {
-        val acc = new Array[Double](d)
-        var i = 0
-        while (i < nRows) {
-          var j = 0
-          while (j < d) { acc(j) += a.data(i * d + j); j += 1 }
-          i += 1
-        }
-        var j = 0
-        while (j < d) { out(j) = (acc(j) / nRows).toFloat; j += 1 }
-      }
-      return Tensor(Array(d), out)
-    }
     val keep = n.attrI("keepdims", 1) == 1L
     val axes = axesOpt.getOrElse(a.dims.indices.map(_.toLong))
       .map(x => (if (x < 0) x + a.dims.length else x).toInt).toSet
@@ -1011,10 +996,14 @@ object OnnxTransformerEmbedder {
     Array.tabulate(h)(k => (acc(k) * inv).toFloat)
   }
 
-  /** `GRAFT_ONNX_ST_MODEL` = `<model.onnx>:<vocab.txt>:<dim>`. */
+  /** `GRAFT_ONNX_ST_MODEL` = `<model.onnx>:<vocab.txt>:<dim>` — parsed
+    * from the RIGHT (dim, then vocab) so a model path containing ':'
+    * (version-tagged directories) stays configurable. */
   def fromEnv(): Option[Embedder] = sys.env.get(EnvVar).map { v =>
-    val parts = v.split(':')
-    require(parts.length == 3, s"$EnvVar wants <model.onnx>:<vocab.txt>:<dim>")
-    apply(parts(0), parts(1), parts(2).toInt)
+    val di = v.lastIndexOf(':')
+    require(di > 0, s"$EnvVar wants <model.onnx>:<vocab.txt>:<dim>")
+    val vi = v.lastIndexOf(':', di - 1)
+    require(vi > 0, s"$EnvVar wants <model.onnx>:<vocab.txt>:<dim>")
+    apply(v.substring(0, vi), v.substring(vi + 1, di), v.substring(di + 1).toInt)
   }
 }

@@ -130,7 +130,10 @@ object OnnxWrite {
     val w = new W()
     w.msg(7) { g => // ModelProto.graph
       g.msg(1)(node("Gather", Seq("table", "ids"), "gathered"))
-      g.msg(1)(node("ReduceMean", Seq("gathered"), "pooled"))
+      // explicit axes/keepdims: the spec default for an attr-less
+      // ReduceMean is reduce-ALL-axes keepdims=1, not the token-axis pool
+      g.msg(1)(node("ReduceMean", Seq("gathered"), "pooled",
+        Seq("axes" -> AInts(Seq(0)), "keepdims" -> AI(0))))
       g.msg(1)(node("MatMul", Seq("pooled", "w1"), "h"))
       g.msg(1)(node("Add", Seq("h", "b1"), "hb"))
       g.msg(1)(node("Relu", Seq("hb"), "hr"))

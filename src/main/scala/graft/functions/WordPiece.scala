@@ -21,10 +21,13 @@ package graft.functions
 final class WordPiece(vocab: Map[String, Long]) {
   require(vocab.contains(WordPiece.Unk), s"vocab must contain ${WordPiece.Unk}")
 
-  /** Greedy sub-word split of one basic token (already lowercased). */
+  /** Greedy sub-word split of one basic token (already lowercased).
+    * The over-long cutoff is 100 chars — BertTokenizer's
+    * max_input_chars_per_word, so 100+-char junk tokens become [UNK]
+    * exactly like the reference pipeline. */
   def wordpiece(word: String): Seq[String] = {
     if (word.isEmpty) return Nil
-    if (word.length > 200) return Seq(WordPiece.Unk)
+    if (word.length > 100) return Seq(WordPiece.Unk)
     val pieces = Seq.newBuilder[String]
     var start = 0
     while (start < word.length) {
@@ -72,10 +75,10 @@ object WordPiece {
       (cp >= 0xF900 && cp <= 0xFAFF) || (cp >= 0x20000 && cp <= 0x2A6DF)
 
   /** BERT's punctuation class: ASCII symbol ranges plus Unicode P*. */
-  private def isPunct(c: Char): Boolean =
-    (c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
-      (c >= 91 && c <= 96) || (c >= 123 && c <= 126) || {
-        val t = Character.getType(c)
+  private def isPunct(cp: Int): Boolean =
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+      (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+        val t = Character.getType(cp)
         t == Character.DASH_PUNCTUATION || t == Character.START_PUNCTUATION ||
           t == Character.END_PUNCTUATION || t == Character.CONNECTOR_PUNCTUATION ||
           t == Character.OTHER_PUNCTUATION || t == Character.INITIAL_QUOTE_PUNCTUATION ||
@@ -83,17 +86,24 @@ object WordPiece {
       }
 
   /** Lowercase, strip accents (NFD + drop Mn), isolate punctuation and
-    * CJK ideographs, split on whitespace. */
+    * CJK ideographs, split on whitespace. Iterates CODE POINTS, not
+    * chars — a supplementary-plane ideograph (CJK Ext-B) arrives as a
+    * surrogate pair and must still be isolated as one token. */
   def basicTokenize(text: String): Seq[String] = {
     val nfd = java.text.Normalizer.normalize(text.toLowerCase(java.util.Locale.ROOT),
       java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length + 16)
-    nfd.foreach { c =>
-      if (Character.getType(c) == Character.NON_SPACING_MARK) () // strip accent
-      else if (Character.isWhitespace(c)) sb.append(' ') // incl. \t \n \r
-      else if (Character.isISOControl(c)) ()
-      else if (isPunct(c) || isCjk(c.toInt)) { sb.append(' '); sb.append(c); sb.append(' ') }
-      else sb.append(c)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) == Character.NON_SPACING_MARK) () // strip accent
+      else if (Character.isWhitespace(cp)) sb.append(' ') // incl. \t \n \r
+      else if (Character.isISOControl(cp)) ()
+      else if (isPunct(cp) || isCjk(cp)) {
+        sb.append(' '); sb.appendCodePoint(cp); sb.append(' ')
+      }
+      else sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     sb.toString.split("\\s+").toSeq.filter(_.nonEmpty)
   }

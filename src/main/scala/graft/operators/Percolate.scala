@@ -58,7 +58,12 @@ object Percolate {
       coalesce(col("must"), array()).as("must"),
       coalesce(col("any"), array()).as("any"),
       coalesce(col("must_not"), array()).as("must_not"),
-      coalesce(col("phrases"), array().cast(EmptyPhrases)).as("phrases"))
+      // INNER nulls normalize too: phrases = [NULL] would slip past the
+      // size-0 validation (size(NULL) is NULL) yet flatten() the whole
+      // column to NULL in the term stage, making nq = -1 and silently
+      // deadening the profile — normalized to [[]], validate rejects it
+      transform(coalesce(col("phrases"), array().cast(EmptyPhrases)),
+        ph => coalesce(ph, array())).as("phrases"))
   }
 
   /** Reject profiles with no positive clause, phrases with no terms, and

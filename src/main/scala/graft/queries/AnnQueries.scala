@@ -184,6 +184,13 @@ object AnnQueries {
     val labeled = idx.liveInclude(Seq("nlabel"))
       .select(col("id").as("nid"), col("emb").as("ne"),
         col("nlabel").cast("long").as("nlabel"))
+    // the nid*16 packing decodes by pmod 16 — an out-of-range label would
+    // decode to a WRONG label silently (and diverge from the routed arm's
+    // plain include column); fail loudly instead. One bounded scan at
+    // bulk-labeling call time, not probe time.
+    require(labeled.filter(col("nlabel") < 0 || col("nlabel") >= 16)
+      .limit(1).isEmpty,
+      "exactKnnVotes packs labels into 4 bits — labels must sit in [0, 16)")
     val p = probes.select(col("probe_id").as("pid"), col("qe").as("pe"))
     val knn = graft.operators.ProbeJoin.cross(labeled, p)
       .withColumn("dist", VF.l2Sq(col("ne"), col("pe")))

@@ -1280,9 +1280,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       .toDF("pid", "cell", "crank")
     val probesDf = spark.createDataFrame(
       panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe")
-    val live = tombstones().fold(dataTree())(ts =>
-      dataTree().join(broadcast(ts), Seq("id"), "left_anti"))
-    val base = live.select(col("id"), col("emb"), col("cell"))
+    val base = liveInclude(Seq("cell"))
       .crossJoin(broadcast(probesDf))
     val scored = (if (excludeSelf) base.filter(col("id") =!= col("pid")) else base)
       .select(col("pid"), col("id"),
@@ -1337,7 +1335,12 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
         excludeSelf = true)
       .collect().map(r => (r.getInt(0), r.getDouble(3)))
     sweep.collectFirst { case (p, rec) if rec >= target => p }
-      .getOrElse(steps.max)
+      .getOrElse(sys.error(
+        s"no ladder depth reaches recall $target (deepest rung " +
+          s"${steps.max} measured ${sweep.last._2}) — include numCells " +
+          "(the exact rung, recall 1.0) in the ladder or lower the target; " +
+          "silently serving below the requested recall is the failure this " +
+          "policy knob exists to prevent"))
   }
 
   /** [[calibrateNprobe]]'s probe panel: the `panelCap` live rows first in
@@ -1345,9 +1348,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * sample (the q_ann_recall panel discipline), exposed so specs and
     * tooling can replay the exact panel the policy saw. */
   def calibrationPanel(panelCap: Int): Seq[(Long, Array[Float])] = {
-    val live = tombstones().fold(dataTree())(ts =>
-      dataTree().join(broadcast(ts), Seq("id"), "left_anti"))
-    live.select(col("id"), col("emb"))
+    liveInclude(Nil)
       .orderBy(xxhash64(col("id")), col("id")).limit(panelCap)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
   }

@@ -91,6 +91,16 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       ladder = ladder) ==
       sweep.collectFirst { case (p, _, _, r) if r >= 1.0 => p }.get)
     intercept[IllegalArgumentException](idx.calibrateNprobe(10, 1.5, 12, ladder))
+    // a TRUNCATED ladder that never reaches the target fails loudly —
+    // silently serving below the requested recall is the failure the
+    // policy knob exists to prevent
+    val truncated = ladder.takeWhile(p =>
+      sweep.collectFirst { case (`p`, _, _, r) => r }.get < 1.0)
+    if (truncated.nonEmpty) {
+      val ex = intercept[RuntimeException](
+        idx.calibrateNprobe(10, 1.0, 12, truncated))
+      assert(ex.getMessage.contains("ladder"), ex.getMessage)
+    }
   }
 
   test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {

@@ -48,6 +48,16 @@ object TinyOnnx {
     w.str(4, op)
   }
 
+  /** Token-axis mean with EXPLICIT spec attrs (axes=[0], keepdims=0) —
+    * an attr-less ReduceMean means reduce-ALL-axes per the ONNX spec. */
+  private def reduceMeanAxis0(in: String, outName: String)(w: W): Unit = {
+    w.str(1, in)
+    w.str(2, outName)
+    w.str(4, "ReduceMean")
+    w.msg(5) { a => a.str(1, "axes"); a.int(8, 0L); a.int(20, 7L) }
+    w.msg(5) { a => a.str(1, "keepdims"); a.int(3, 0L); a.int(20, 2L) }
+  }
+
   /** Embedding-bag encoder: Gather(table, ids) → ReduceMean → MatMul+bias
     * → Relu → MatMul. Deterministic pseudo-random weights from `seed`. */
   def model(vocab: Int, hid: Int, mid: Int, dim: Int, seed: Int): Array[Byte] = {
@@ -57,7 +67,7 @@ object TinyOnnx {
     val w = new W()
     w.msg(7) { g => // ModelProto.graph
       g.msg(1)(node("Gather", Seq("table", "ids"), "gathered"))
-      g.msg(1)(node("ReduceMean", Seq("gathered"), "pooled"))
+      g.msg(1)(reduceMeanAxis0("gathered", "pooled"))
       g.msg(1)(node("MatMul", Seq("pooled", "w1"), "h"))
       g.msg(1)(node("Add", Seq("h", "b1"), "hb"))
       g.msg(1)(node("Relu", Seq("hb"), "hr"))

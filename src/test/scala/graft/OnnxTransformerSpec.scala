@@ -329,6 +329,38 @@ class OnnxTransformerSpec extends AnyFunSuite with SparkTest {
     assert(graph.inputNames == Seq("input_ids", "attention_mask", "token_type_ids"))
   }
 
+  test("attr-less ReduceMean follows the ONNX spec: reduce ALL axes, keepdims=1") {
+    // the pre-r9 embedding-bag carve-out silently returned the axis-0 mean
+    // [d] here; the shipped writers now emit explicit axes, and the
+    // spec-default behavior must hold for real exports
+    val w = new TinyBert.W()
+    w.msg(7) { g =>
+      g.msg(1) { n => n.str(1, "x"); n.str(2, "out"); n.str(4, "ReduceMean") }
+      g.msg(11)(v => v.str(1, "x"))
+      g.msg(12)(v => v.str(1, "out"))
+    }
+    val gg = Onnx.parseModel(w.out.toByteArray)
+    val out = Onnx.run(gg,
+      Map("x" -> Onnx.Tensor(Array(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))))
+    assert(out.dims.toSeq == Seq(1, 1), s"keepdims=1 reduce-all, got ${out.dims.toSeq}")
+    assert(math.abs(out.data(0) - 3.5f) < 1e-6f)
+    // and the explicit-attrs token-axis pool (the embedding-bag shape)
+    val w2 = new TinyBert.W()
+    w2.msg(7) { g =>
+      g.msg(1) { n =>
+        n.str(1, "x"); n.str(2, "out"); n.str(4, "ReduceMean")
+        n.msg(5) { a => a.str(1, "axes"); a.int(8, 0L); a.int(20, 7L) }
+        n.msg(5) { a => a.str(1, "keepdims"); a.int(3, 0L); a.int(20, 2L) }
+      }
+      g.msg(11)(v => v.str(1, "x"))
+      g.msg(12)(v => v.str(1, "out"))
+    }
+    val g2 = Onnx.parseModel(w2.out.toByteArray)
+    val out2 = Onnx.run(g2,
+      Map("x" -> Onnx.Tensor(Array(2, 3), Array(1f, 2f, 3f, 4f, 5f, 6f))))
+    assert(out2.dims.toSeq == Seq(3) && out2.data.toSeq == Seq(2.5f, 3.5f, 4.5f))
+  }
+
   test("transformer embedder: WordPiece ids -> mean-pooled, L2-normalized vector") {
     val vocabTokens = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
       "the", "quick", "brown", "fox", "jump", "##s", "##ed", "over", "lazy", "dog",

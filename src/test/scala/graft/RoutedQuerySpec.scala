@@ -116,6 +116,16 @@ class RoutedQuerySpec extends AnyFunSuite with SparkTest {
     val (r2, auto2) = AnnQueries.routedKnnVotesAuto(idx, probes, 5,
       nprobe = 4, shortlist = 64, crossoverPairs = 0L)
     assert(r2 == "routed" && votes(auto2) == exact)
+    // labels outside the 4-bit packing range fail LOUDLY in the exact arm
+    // (a silent pmod-16 decode would return wrong votes that diverge from
+    // the routed arm's plain label column)
+    val wide = e.select(col("vec_id").as("id"), col("embedding").as("emb"),
+      (col("label").cast("long") + 20L).as("nlabel"))
+    val idxWide = new graft.store.IvfIndex(spark, tmp("auto_idx_wide"), numCells = 4)
+    idxWide.build(wide)
+    val ex = intercept[IllegalArgumentException](
+      AnnQueries.exactKnnVotes(idxWide, probes, k = 5))
+    assert(ex.getMessage.contains("[0, 16)"), ex.getMessage)
   }
 
   test("routed graph query equals the explicit index query mapped back to string ids") {

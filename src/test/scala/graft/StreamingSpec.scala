@@ -875,5 +875,14 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .toDF("profile_id", "must", "any", "must_not", "phrases")
     intercept[IllegalArgumentException](
       graft.operators.Percolate.matches(tiny, empty))
+    // a NULL INNER phrase (nullable parquet registry) normalizes to an
+    // empty phrase and is rejected the same way — it would otherwise slip
+    // past validation yet NULL the flattened term frame, silently
+    // deadening the profile
+    val nullInner = Seq((14L, Seq("table"), Seq.empty[String], Seq.empty[String],
+      Seq(null.asInstanceOf[Seq[String]])))
+      .toDF("profile_id", "must", "any", "must_not", "phrases")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.matches(tiny, nullInner))
   }
 }

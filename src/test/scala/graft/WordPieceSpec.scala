@@ -24,6 +24,11 @@ class WordPieceSpec extends AnyFunSuite {
     assert(WordPiece.basicTokenize("a\tb\nc") == Seq("a", "b", "c"))
     assert(WordPiece.basicTokenize("中国rocks") == Seq("中", "国", "rocks"),
       "each CJK ideograph is its own token")
+    // supplementary-plane ideograph (U+20000, a surrogate pair): still
+    // isolated as ONE token — the tokenizer walks code points, not chars
+    val extB = new String(Character.toChars(0x20000))
+    assert(WordPiece.basicTokenize(s"ab${extB}cd") == Seq("ab", extB, "cd"),
+      "CJK Ext-B ideographs isolate like BMP ones")
     assert(WordPiece.basicTokenize("") == Nil)
   }
 
@@ -34,7 +39,8 @@ class WordPieceSpec extends AnyFunSuite {
       "no piece covers the 'f' -> the WHOLE word is UNK, never a partial cover")
     assert(wp.wordpiece("hello") == Seq("hello"))
     assert(wp.wordpiece("zzz") == Seq("[UNK]"))
-    assert(wp.wordpiece("a" * 201) == Seq("[UNK]"), "over-long words short-circuit")
+    assert(wp.wordpiece("a" * 101) == Seq("[UNK]"),
+      "over-100-char words short-circuit to UNK (BertTokenizer's max_input_chars_per_word)")
   }
 
   test("encode: CLS/SEP wrap, id mapping, truncation") {
