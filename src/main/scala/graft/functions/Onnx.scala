@@ -261,6 +261,12 @@ object Onnx {
     def inOpt(n: Node, i: Int): Option[Tensor] =
       if (n.inputs.length > i && n.inputs(i).nonEmpty) Some(in(n, i)) else None
     g.nodes.foreach { n =>
+      // the one multi-output op inference encoders carry (fused-QKV
+      // exports split one projection into three): bind every output
+      if (n.op == "Split") {
+        n.outputs.zip(split(n, in(n, 0), inOpt(n, 1)))
+          .foreach { case (name, t) => env(name) = t }
+      } else {
       val out = n.op match {
         case "Identity" => in(n, 0)
         case "Relu" => mapF(in(n, 0))(v => math.max(v, 0.0))
@@ -282,8 +288,15 @@ object Onnx {
         case "Div" => binary(n.op, in(n, 0), in(n, 1))(_ / _)(_ / _)
         case "Pow" => binary(n.op, in(n, 0), in(n, 1))(math.pow)((a, b) =>
           math.pow(a.toDouble, b.toDouble).toLong)
-        case "Equal" => compare(in(n, 0), in(n, 1))
+        case "Min" => n.inputs.map(env(_)).reduceLeft((a, b) =>
+          binary("Min", a, b)(math.min)(math.min))
+        case "Max" => n.inputs.map(env(_)).reduceLeft((a, b) =>
+          binary("Max", a, b)(math.max)(math.max))
+        case "Equal" => compare(in(n, 0), in(n, 1))(_ == _)(_ == _)
+        case "Greater" => compare(in(n, 0), in(n, 1))(_ > _)(_ > _)
+        case "Less" => compare(in(n, 0), in(n, 1))(_ < _)(_ < _)
         case "Where" => where(in(n, 0), in(n, 1), in(n, 2))
+        case "Range" => range(in(n, 0), in(n, 1), in(n, 2))
         case "MatMul" => matmul(in(n, 0), in(n, 1))
         case "Gemm" => gemm(n, in(n, 0), in(n, 1), inOpt(n, 2))
         case "Gather" => gather(in(n, 0), in(n, 1), n.attrI("axis", 0).toInt)
@@ -307,6 +320,7 @@ object Onnx {
         case other => sys.error(s"unsupported op $other")
       }
       env(n.outputs.head) = out
+      }
     }
     env.getOrElse(g.outputName,
       sys.error(s"graph never produced output ${g.outputName}"))
@@ -399,20 +413,86 @@ object Onnx {
     }
   }
 
-  /** Equal -> int64 0/1 tensor (ONNX bool carried as int64 here). */
-  private def compare(a: Tensor, b: Tensor): Tensor = {
-    require(a.isInt == b.isInt, "Equal: mixed float/int64 operands")
-    val dims = bcastDims(a.dims, b.dims, "Equal")
+  /** Equal/Greater/Less -> int64 0/1 tensor (ONNX bool carried as int64
+    * here), full broadcast. */
+  private def compare(a: Tensor, b: Tensor)
+                     (fp: (Float, Float) => Boolean)
+                     (lp: (Long, Long) => Boolean): Tensor = {
+    require(a.isInt == b.isInt, "comparison: mixed float/int64 operands")
+    val dims = bcastDims(a.dims, b.dims, "compare")
     val out = new Array[Long](dims.product)
     eachIndex(dims) { (flat, ix) =>
-      val eq =
-        if (a.isInt) a.longs(srcFlat(ix, dims.length, a.dims)) ==
-          b.longs(srcFlat(ix, dims.length, b.dims))
-        else a.data(srcFlat(ix, dims.length, a.dims)) ==
-          b.data(srcFlat(ix, dims.length, b.dims))
-      out(flat) = if (eq) 1L else 0L
+      val hit =
+        if (a.isInt) lp(a.longs(srcFlat(ix, dims.length, a.dims)),
+          b.longs(srcFlat(ix, dims.length, b.dims)))
+        else fp(a.data(srcFlat(ix, dims.length, a.dims)),
+          b.data(srcFlat(ix, dims.length, b.dims)))
+      out(flat) = if (hit) 1L else 0L
     }
     Tensor.ofLongs(dims, out)
+  }
+
+  /** Split along `axis` into |outputs| parts (equal when no sizes input —
+    * the fused-QKV export shape). */
+  private def split(n: Node, a: Tensor, sizes: Option[Tensor]): Seq[Tensor] = {
+    val r = a.dims.length
+    val axis = { val x = n.attrI("axis", 0).toInt; if (x < 0) x + r else x }
+    val nOut = n.outputs.length
+    val parts: Seq[Int] = sizes.map(_.longs.map(_.toInt).toSeq).getOrElse {
+      val d = a.dims(axis)
+      require(nOut > 0 && d % nOut == 0,
+        s"Split: axis extent $d not divisible into $nOut equal parts")
+      Seq.fill(nOut)(d / nOut)
+    }
+    require(parts.sum == a.dims(axis), "Split sizes must cover the axis")
+    val inner = a.dims.drop(axis + 1).product
+    val outer = a.dims.take(axis).product
+    val axLen = a.dims(axis)
+    var off = 0
+    parts.map { p =>
+      val dims = a.dims.clone(); dims(axis) = p
+      val t =
+        if (a.isInt) {
+          val out = new Array[Long](outer * p * inner)
+          var o = 0
+          while (o < outer) {
+            System.arraycopy(a.longs, (o * axLen + off) * inner,
+              out, o * p * inner, p * inner)
+            o += 1
+          }
+          Tensor.ofLongs(dims, out)
+        } else {
+          val out = new Array[Float](outer * p * inner)
+          var o = 0
+          while (o < outer) {
+            System.arraycopy(a.data, (o * axLen + off) * inner,
+              out, o * p * inner, p * inner)
+            o += 1
+          }
+          Tensor(dims, out)
+        }
+      off += p
+      t
+    }
+  }
+
+  /** Range(start, limit, delta) — scalar inputs, 1-D output; int64 when
+    * the inputs are (the position-ids shape), float otherwise. */
+  private def range(start: Tensor, limit: Tensor, delta: Tensor): Tensor = {
+    require(start.isInt == limit.isInt && limit.isInt == delta.isInt,
+      "Range: inputs must share a type")
+    if (start.isInt) {
+      val (s, l, d) = (start.longs(0), limit.longs(0), delta.longs(0))
+      require(d != 0, "Range: delta 0")
+      val cnt = math.max(0L, ((l - s) + d + (if (d > 0) -1 else 1)) / d).toInt
+      Tensor.ofLongs(Array(cnt), Array.tabulate(cnt)(i => s + i * d))
+    } else {
+      val (s, l, d) = (start.data(0).toDouble, limit.data(0).toDouble,
+        delta.data(0).toDouble)
+      require(d != 0, "Range: delta 0")
+      val cnt = math.max(0L, math.ceil((l - s) / d).toLong).toInt
+      Tensor(Array(cnt), Array.tabulate(cnt)(i => (s + i * d).toFloat))
+    }
   }
 
   /** Where(cond != 0, x, y) with three-way broadcast. */

@@ -122,6 +122,55 @@ object SearchQueries {
     PercPhraseProfiles.toDF("profile_id", "must", "any", "must_not", "phrases")
   }
 
+  /** The standing RAG probe panel as (qid, qtext, qe) — qid is 1-based
+    * position in [[RagProbes]]. */
+  private def ragProbesDf(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    RagProbes.zipWithIndex
+      .map { case (t, i) => ((i + 1).toLong, t) }.toDF("qid", "qtext")
+      .select(col("qid"), col("qtext"),
+        TF.hashEmbed(TF.tokens(col("qtext")), EmbDim).as("qe"))
+  }
+
+  /** The shared chunk→doc ranking pipeline of q_rag_retrieve /
+    * q_rag_answer: top-[[RagChunkK]] chunks per probe through ONE
+    * GroupedTopK shuffle ((doc, chunk) packed into the aggregator id),
+    * max-pooled to parent docs keeping the best chunk, ranked per probe.
+    * Returns (qid, rank ≤ [[RagDocK]], doc_id, chunk_id, n_chunks,
+    * score — unrounded). */
+  private def ragRanked(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val chunks = tbl(s, dir, "documents")
+      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(RagStride))).as(Seq("chunk_id", "strt")),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        TF.hashEmbed(slice(col("toks"), col("strt") + 1, lit(RagWindow)),
+          EmbDim).as("emb"))
+    val top = chunks.crossJoin(broadcast(ragProbesDf(s).select("qid", "qe")))
+      .select(col("qid"),
+        (shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
+        VF.cosine(col("emb"), col("qe")).as("cos"))
+      .groupBy("qid")
+      .agg(graft.operators.GroupedTopK.topK(RagChunkK)(
+        -col("cos"), col("cid")).as("tk"))
+      .select(col("qid"), explode(col("tk")).as("sc"))
+      .select(col("qid"), (-col("sc.score")).as("cos"),
+        shiftright(col("sc.id"), 20).as("doc_id"),
+        col("sc.id").bitwiseAND(lit((1L << 20) - 1)).as("chunk_id"))
+    val pooled = top.groupBy("qid", "doc_id")
+      .agg(max(struct(col("cos"), (-col("chunk_id")).as("nc"))).as("b"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("qid"), col("doc_id"), col("b.cos").as("score"),
+        (-col("b.nc")).as("chunk_id"), col("n_chunks"))
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score"), asc("doc_id"))
+    pooled.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RagDocK)
+  }
+
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
     * sum so the oracle can add in the identical order. idf/avgdl arrive as
     * driver literals (index metadata); tf/dl are per-row. Each term's tf is
@@ -1141,47 +1190,12 @@ object SearchQueries {
     Q(
       "q_rag_retrieve",
       "RAG serving: chunk top-30 per probe, max-pooled to parent docs with offsets",
-      (s, dir) => {
-        import s.implicits._
-        val chunks = tbl(s, dir, "documents")
-          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-          .withColumn("n", size(col("toks")))
-          .select(col("doc_id"),
-            posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
-              lit(RagStride))).as(Seq("chunk_id", "strt")),
-            col("toks"))
-          .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-            TF.hashEmbed(slice(col("toks"), col("strt") + 1, lit(RagWindow)),
-              EmbDim).as("emb"))
-        val probes = RagProbes.zipWithIndex
-          .map { case (t, i) => ((i + 1).toLong, t) }.toDF("qid", "qtext")
-          .select(col("qid"),
-            TF.hashEmbed(TF.tokens(col("qtext")), EmbDim).as("qe"))
-        val top = chunks.crossJoin(broadcast(probes))
-          .select(col("qid"),
-            (shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
-            VF.cosine(col("emb"), col("qe")).as("cos"))
-          .groupBy("qid")
-          .agg(graft.operators.GroupedTopK.topK(RagChunkK)(
-            -col("cos"), col("cid")).as("tk"))
-          .select(col("qid"), explode(col("tk")).as("sc"))
-          .select(col("qid"), (-col("sc.score")).as("cos"),
-            shiftright(col("sc.id"), 20).as("doc_id"),
-            col("sc.id").bitwiseAND(lit((1L << 20) - 1)).as("chunk_id"))
-        val pooled = top.groupBy("qid", "doc_id")
-          .agg(max(struct(col("cos"), (-col("chunk_id")).as("nc"))).as("b"),
-            count(lit(1)).as("n_chunks"))
-          .select(col("qid"), col("doc_id"), col("b.cos").as("score"),
-            (-col("b.nc")).as("chunk_id"), col("n_chunks"))
-        val w = Window.partitionBy("qid")
-          .orderBy(desc("score"), asc("doc_id"))
-        pooled.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= RagDocK)
+      (s, dir) =>
+        ragRanked(s, dir)
           .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
             (col("chunk_id") * RagStride).as("strt"), col("n_chunks"),
             round(col("score"), 6).as("score"))
-          .orderBy("qid", "rank")
-      },
+          .orderBy("qid", "rank"),
       Some {
         val th = OracleText.tokenHashes(
           s"list_slice(toks, strt + 1, strt + $RagWindow)")
@@ -1233,6 +1247,101 @@ object SearchQueries {
            |       chunk_id * $RagStride AS strt, n_chunks,
            |       round(score, 6) AS score
            |FROM r WHERE rank <= $RagDocK ORDER BY qid, rank""".stripMargin
+      }),
+
+    // RAG END-TO-END: the assembled PROMPT — what actually reaches the
+    // LLM. q_rag_retrieve's ranked (doc, best-chunk offset) answer joins
+    // back to the corpus for exactly the [[RagDocK]] best chunks' token
+    // windows (a broadcast of the 15-row answer under the doc scan — the
+    // context read is bounded by the ANSWER, never the corpus), and each
+    // probe's contexts fold into one deterministic prompt string (rank
+    // order pinned by sort_array — collect_list alone is
+    // partition-order-nondeterministic). The q_prompt_assembly discipline
+    // composed with real retrieval; the oracle replays retrieval, window
+    // slicing, and the string assembly.
+    Q(
+      "q_rag_answer",
+      "RAG end-to-end: ranked best-chunk contexts assembled into the LLM prompt",
+      (s, dir) => {
+        val ranked = ragRanked(s, dir)
+          .select(col("qid"), col("rank"), col("doc_id"),
+            (col("chunk_id") * RagStride).as("strt"))
+        val docs = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+        val ctx = docs.join(broadcast(ranked), Seq("doc_id"))
+          .select(col("qid"), col("rank"),
+            concat(col("rank").cast("string"), lit(". "),
+              array_join(slice(col("toks"), col("strt") + 1, lit(RagWindow)),
+                " ")).as("line"))
+        ctx.groupBy("qid")
+          .agg(sort_array(collect_list(struct(col("rank"), col("line"))))
+            .as("lines"))
+          .join(broadcast(ragProbesDf(s).select("qid", "qtext")), Seq("qid"))
+          .select(col("qid"),
+            concat(lit("Context:\n"),
+              array_join(transform(col("lines"), x => x.getField("line")), "\n"),
+              lit("\nQuestion: "), col("qtext"), lit("\nAnswer:")).as("prompt"))
+          .orderBy("qid")
+      },
+      Some {
+        val th = OracleText.tokenHashes(
+          s"list_slice(toks, strt + 1, strt + $RagWindow)")
+        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val qRows = RagProbes.zipWithIndex
+          .map { case (t, i) => s"(CAST(${i + 1} AS BIGINT), '$t')" }.mkString(", ")
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |s AS (SELECT doc_id, toks,
+           |        unnest(range(0, greatest(len(toks), 1), $RagStride)) AS strt
+           |      FROM t),
+           |ch AS MATERIALIZED (
+           |  SELECT doc_id, CAST(strt // $RagStride AS BIGINT) AS chunk_id,
+           |         $th AS th
+           |  FROM s),
+           |chc AS (SELECT doc_id, chunk_id, ${cnt("th")} AS cnt FROM ch),
+           |che AS MATERIALIZED (SELECT doc_id, chunk_id, $emb AS emb FROM chc),
+           |q(qid, qtext) AS (VALUES $qRows),
+           |qt AS (SELECT qid, qtext, ${OracleText.tokenHashes(OracleText.tokens("qtext"))} AS th FROM q),
+           |qc AS (SELECT qid, qtext, ${cnt("th")} AS cnt FROM qt),
+           |qe AS (SELECT qid, qtext, $emb AS qe FROM qc),
+           |sc AS MATERIALIZED (
+           |  SELECT qe.qid, c.doc_id, c.chunk_id,
+           |         ${OracleSql.cosine("c.emb", "qe.qe")} AS cos
+           |  FROM che c CROSS JOIN qe),
+           |top AS (SELECT qid, doc_id, chunk_id, cos FROM (
+           |          SELECT qid, doc_id, chunk_id, cos,
+           |                 row_number() OVER (PARTITION BY qid
+           |                   ORDER BY cos DESC, doc_id * 1048576 + chunk_id ASC) AS rn
+           |          FROM sc) WHERE rn <= $RagChunkK),
+           |pool AS (SELECT qid, doc_id, max(cos) AS score FROM top GROUP BY 1, 2),
+           |best AS (SELECT qid, doc_id, chunk_id FROM (
+           |           SELECT qid, doc_id, chunk_id,
+           |                  row_number() OVER (PARTITION BY qid, doc_id
+           |                    ORDER BY cos DESC, chunk_id ASC) AS brn
+           |           FROM top) WHERE brn = 1),
+           |r AS (SELECT p.qid, p.doc_id, b.chunk_id,
+           |             row_number() OVER (PARTITION BY p.qid
+           |               ORDER BY p.score DESC, p.doc_id ASC) AS rank
+           |      FROM pool p JOIN best b ON b.qid = p.qid AND b.doc_id = p.doc_id),
+           |ctx AS (SELECT r.qid, r.rank,
+           |               CAST(r.rank AS VARCHAR) || '. ' ||
+           |               array_to_string(list_slice(t.toks,
+           |                 r.chunk_id * $RagStride + 1,
+           |                 r.chunk_id * $RagStride + $RagWindow), ' ') AS line
+           |        FROM r JOIN t ON t.doc_id = r.doc_id
+           |        WHERE r.rank <= $RagDocK)
+           |SELECT c.qid,
+           |       'Context:' || chr(10) ||
+           |       string_agg(c.line, chr(10) ORDER BY c.rank) ||
+           |       chr(10) || 'Question: ' || q.qtext || chr(10) || 'Answer:' AS prompt
+           |FROM ctx c JOIN q ON q.qid = c.qid
+           |GROUP BY c.qid, q.qtext
+           |ORDER BY c.qid""".stripMargin
       })
   )
 }

@@ -812,6 +812,71 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     }
   }
 
+  // ------------------------------------------------ recall calibration
+
+  /** Recall@`k` of every BEAM WIDTH in `ladder` against the exact scan,
+    * over a bounded probe panel — [[graft.store.IvfIndex.calibrationSweep]]'s
+    * graph twin, with one structural difference: beam walks do NOT nest
+    * across widths (a wider beam can visit a different set), so each rung
+    * runs its own walk — but walks are in-memory hot-tier work
+    * (O(hops·beam·k) map lookups each), so the sweep's Spark cost is still
+    * ONE scored panel × corpus pass for the exact arm. Probes are corpus
+    * members; both arms exclude the self row. Returns
+    * (beam_width, hits, probes, recall) ordered by beam_width. */
+  def calibrationSweep(panel: Seq[(Long, Array[Float])], k: Int,
+                       ladder: Seq[Int], hops: Int): DataFrame = {
+    require(panel.nonEmpty && panel.length <= 4096,
+      "calibration panel is index-metadata scale")
+    val steps = ladder.distinct.sorted
+    require(steps.nonEmpty && steps.head >= 1, "ladder must be positive")
+    import graft.operators.GroupedTopK
+    val probesDf = broadcast(spark.createDataFrame(
+      panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe"))
+    val exact: Map[Long, Seq[Long]] = vectors.select(col("id"), col("emb"))
+      .crossJoin(probesDf)
+      .filter(col("id") =!= col("pid"))
+      .select(col("pid"), col("id"), VF.l2Sq(col("emb"), col("pe")).as("dist"))
+      .groupBy("pid")
+      .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("ex"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq).toMap
+    val rows = steps.map { bw =>
+      val hits = panel.map { case (pid, pe) =>
+        val got = hotQuery(pe, k + 1, bw, hops)
+          .collect { case (id, _) if id != pid => id }.take(k).toSet
+        exact.getOrElse(pid, Nil).count(got)
+      }.sum
+      (bw, hits.toLong, panel.length.toLong,
+        new java.math.BigDecimal(hits.toDouble / (panel.length * k))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    spark.createDataFrame(rows).toDF("beam_width", "hits", "probes", "recall")
+  }
+
+  /** The SMALLEST ladder beam width whose panel recall@`k` meets
+    * `target` — the graph serving-policy knob. Unlike IVF, the graph has
+    * NO guaranteed-exact rung (a walk can only reach what the graph
+    * connects to its entries), so an unreachable target fails LOUDLY with
+    * the deepest measured recall instead of silently serving below it. */
+  def calibrateBeam(k: Int, target: Double, panelCap: Int = 64,
+                    ladder: Seq[Int] = Seq(2, 4, 8, 16, 32),
+                    hops: Int = 6): Int = {
+    require(target > 0 && target <= 1.0, s"recall target must be in (0, 1]: $target")
+    val panel = vectors.select(col("id"), col("emb"))
+      .orderBy(xxhash64(col("id")), col("id")).limit(panelCap)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val sweep = calibrationSweep(panel, k, ladder, hops)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    sweep.collectFirst { case (bw, rec) if rec >= target => bw }
+      .getOrElse(sys.error(
+        s"no beam width in ${ladder.sorted} reaches recall $target " +
+          s"(deepest rung measured ${sweep.last._2}) — widen the ladder, " +
+          "raise hops, densify the graph (higher k / refineRounds), or " +
+          "lower the target; silently serving below the requested recall " +
+          "is the failure this policy knob exists to prevent"))
+  }
+
   /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot
     * path): one state check, rows tagged by query index. */
   private[store] def hotServeBatch(probes: Seq[(Long, Array[Float])], k: Int,

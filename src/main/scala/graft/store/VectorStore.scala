@@ -670,15 +670,24 @@ final class VectorStore(spark: SparkSession, val basePath: String) {
       * into store internals. */
     def attachedConfig: Option[VectorStore.AttachedIndex] = attachedIdx.get(name)
 
-    /** [[attachIvfIndex]]'s graph twin. */
+    /** [[attachIvfIndex]]'s graph twin. `recallTarget` picks the serving
+      * BEAM WIDTH by measurement ([[GraphIndex.calibrateBeam]] — the
+      * `beamWidth` argument is then ignored); the graph has no
+      * guaranteed-exact rung, so an unreachable target fails loudly at
+      * attach time rather than silently under-serving forever. */
     def attachGraphIndex(indexPath: String, k: Int,
         bucketFns: Seq[Column => Column], beamWidth: Int, hops: Int,
-        refineRounds: Int = 1): GraphIndex = {
+        refineRounds: Int = 1,
+        recallTarget: Option[Double] = None,
+        calibrateK: Int = 10, calibratePanel: Int = 64): GraphIndex = {
       val rows = indexRowsOf(df)
       requireUniqueKeys(rows)
       val idx = new GraphIndex(spark, indexPath, k, bucketFns)
       idx.build(rows, refineRounds)
-      attach(VectorStore.AttachedGraph(idx, beamWidth, hops, refineRounds))
+      val bw = recallTarget
+        .map(t => idx.calibrateBeam(calibrateK, t, calibratePanel, hops = hops))
+        .getOrElse(beamWidth)
+      attach(VectorStore.AttachedGraph(idx, bw, hops, refineRounds))
       idx
     }
 

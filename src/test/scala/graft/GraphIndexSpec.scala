@@ -403,6 +403,54 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     small.unpersist(): Unit
   }
 
+  test("beam calibration: sweep equals an independent hot-walk replay; policy picks the smallest qualifying width; unreachable targets fail loudly") {
+    val small = all.filter(col("id") <= 400).persist()
+    val idx = new GraphIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_gidx_cal").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    idx.build(small, refineRounds = 1)
+    val ladder = Seq(2, 4, 8, 16)
+    val sweep = idx.calibrationSweep(
+      panel = small.orderBy(xxhash64(col("id")), col("id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+      k = 5, ladder, hops = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(sweep.map(_._1).toSeq == ladder && sweep.forall(_._3 == 10L))
+    // independent replay: per probe and rung, the hot walk (minus self)
+    // intersected with the brute top-5 (minus self)
+    val panel = small.orderBy(xxhash64(col("id")), col("id")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    for ((bw, hits, _, recall) <- sweep) {
+      val want = panel.map { case (pid, pe) =>
+        val brute = small.filter(col("id") =!= pid)
+          .withColumn("d", VF.l2Sq(col("emb"), typedlit(pe)))
+          .orderBy(asc("d"), asc("id")).limit(5)
+          .collect().map(_.getLong(0)).toSet
+        idx.hotQuery(pe, 6, bw, 6).collect { case (id, _) if id != pid => id }
+          .take(5).count(brute)
+      }.sum
+      assert(hits == want.toLong, s"beam $bw: sweep=$hits replay=$want")
+      assert(recall == new java.math.BigDecimal(want.toDouble / 50.0)
+        .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    // the policy: smallest rung meeting a reachable target, from the sweep
+    val reachable = sweep.last._4 // widest rung's measured recall
+    if (reachable > 0) {
+      val chosen = idx.calibrateBeam(k = 5, target = reachable, panelCap = 10,
+        ladder = ladder, hops = 6)
+      val expect = sweep.collectFirst { case (bw, _, _, r) if r >= reachable => bw }.get
+      assert(chosen == expect, s"target $reachable: chose $chosen, sweep says $expect")
+    }
+    // an unreachable target fails loudly (the graph has no exact rung)
+    if (reachable < 1.0) {
+      val ex = intercept[RuntimeException](
+        idx.calibrateBeam(k = 5, target = 1.0, panelCap = 10,
+          ladder = ladder, hops = 6))
+      assert(ex.getMessage.contains("beam width"), ex.getMessage)
+    }
+    small.unpersist(): Unit
+  }
+
   test("hotQueryStats: identical answers to hotQuery, sane walk diagnostics") {
     val idx = new GraphIndex(spark,
       java.nio.file.Files.createTempDirectory("graft_gidx_ws").toString,

@@ -329,6 +329,68 @@ class OnnxTransformerSpec extends AnyFunSuite with SparkTest {
     assert(graph.inputNames == Seq("input_ids", "attention_mask", "token_type_ids"))
   }
 
+  test("export-robustness ops: Split (fused QKV), Range, Min/Max, Greater") {
+    def micro(build: TinyBert.W => Unit): Onnx.Graph = {
+      val w = new TinyBert.W()
+      w.msg(7)(build)
+      Onnx.parseModel(w.out.toByteArray)
+    }
+    def lt(name: String, dims: Seq[Int], v: Array[Long])(w: TinyBert.W): Unit = {
+      w.msg(5) { t =>
+        dims.foreach(d => t.int(1, d.toLong))
+        t.int(2, 7L)
+        val bb = java.nio.ByteBuffer.allocate(8 * v.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        v.foreach(bb.putLong)
+        t.bytes(9, bb.array())
+        t.str(8, name)
+      }
+    }
+    // Split along the last axis into 3 equal parts — the fused-QKV shape
+    val gSplit = micro { g =>
+      g.msg(1) { n =>
+        n.str(1, "x"); n.str(2, "q"); n.str(2, "k"); n.str(2, "v")
+        n.str(4, "Split")
+        n.msg(5) { a => a.str(1, "axis"); a.int(3, 1L); a.int(20, 2L) }
+      }
+      g.msg(1) { n => n.str(1, "k"); n.str(2, "out"); n.str(4, "Identity") }
+      g.msg(11)(b => b.str(1, "x"))
+      g.msg(12)(b => b.str(1, "out"))
+    }
+    val mid = Onnx.run(gSplit, Map("x" ->
+      Onnx.Tensor(Array(2, 6), Array.tabulate(12)(_.toFloat))))
+    assert(mid.dims.toSeq == Seq(2, 2) &&
+      mid.data.toSeq == Seq(2f, 3f, 8f, 9f), "middle third of each row")
+    // Range over int64 scalars (position ids), then Min/Max/Greater
+    val gRange = micro { g =>
+      lt("s", Seq(), Array(0L))(g); lt("d", Seq(), Array(1L))(g)
+      g.msg(1) { n =>
+        n.str(1, "s"); n.str(1, "limit"); n.str(1, "d")
+        n.str(2, "out"); n.str(4, "Range")
+      }
+      g.msg(11)(b => b.str(1, "limit"))
+      g.msg(12)(b => b.str(1, "out"))
+    }
+    val r = Onnx.run(gRange, Map("limit" -> Onnx.Tensor.ofLongs(Array(), Array(5L))))
+    assert(r.longs.toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    val gMinMax = micro { g =>
+      g.msg(1) { n => n.str(1, "a"); n.str(1, "b"); n.str(2, "mn"); n.str(4, "Min") }
+      g.msg(1) { n => n.str(1, "a"); n.str(1, "b"); n.str(2, "mx"); n.str(4, "Max") }
+      g.msg(1) { n => n.str(1, "mx"); n.str(1, "mn"); n.str(2, "gt"); n.str(4, "Greater") }
+      g.msg(1) { n =>
+        n.str(1, "gt"); n.str(2, "out"); n.str(4, "Cast")
+        n.msg(5) { a => a.str(1, "to"); a.int(3, 1L); a.int(20, 2L) }
+      }
+      g.msg(11)(b => b.str(1, "a"))
+      g.msg(11)(b => b.str(1, "b"))
+      g.msg(12)(b => b.str(1, "out"))
+    }
+    val mm = Onnx.run(gMinMax, Map(
+      "a" -> Onnx.Tensor(Array(3), Array(1f, 5f, 3f)),
+      "b" -> Onnx.Tensor(Array(3), Array(2f, 4f, 3f))))
+    assert(mm.data.toSeq == Seq(1f, 1f, 0f), "max > min except on ties")
+  }
+
   test("attr-less ReduceMean follows the ONNX spec: reduce ALL axes, keepdims=1") {
     // the pre-r9 embedding-bag carve-out silently returned the axis-0 mean
     // [d] here; the shipped writers now emit explicit axes, and the
