@@ -1342,6 +1342,133 @@ object SearchQueries {
            |FROM ctx c JOIN q ON q.qid = c.qid
            |GROUP BY c.qid, q.qtext
            |ORDER BY c.qid""".stripMargin
+      }),
+
+    // RETRIEVAL QUALITY METRICS — the numbers a RAG deployment monitors:
+    // MRR and binary nDCG@5 of the DEPLOYED doc ranking (ragRanked, the
+    // q_rag_retrieve pipeline) against a deterministic relevance oracle
+    // (a doc is relevant to a probe iff it contains EVERY probe term).
+    // The discount constants 1/log2(i+1) are Scala doubles interpolated
+    // into BOTH engines as literals (the q_ann_range exact-boundary
+    // trick), so no SQL log() can drift — DCG is a sum of selected
+    // literals and IDCG a CASE over the same partial sums. One corpus
+    // scan computes per-probe relevance totals; the ranked side is the
+    // 15-row answer.
+    Q(
+      "q_rag_eval",
+      "retrieval quality: MRR and binary nDCG@5 of the RAG doc ranking",
+      (s, dir) => {
+        import s.implicits._
+        val cs: Seq[Double] =
+          (1 to RagDocK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        val psum: Seq[Double] = cs.scanLeft(0.0)(_ + _) // psum(k) = Σ first k
+        val qterms = RagProbes.zipWithIndex
+          .map { case (t, i) => ((i + 1).toLong, t.split(" ").toSeq) }
+          .toDF("qid", "qterms")
+        val rel = tbl(s, dir, "documents")
+          .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
+          .crossJoin(broadcast(qterms))
+          .select(col("qid"), col("doc_id"),
+            (size(array_except(col("qterms"), col("toks"))) === 0).as("rel"))
+          .persist()
+        val nrel = rel.groupBy("qid")
+          .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"))
+        val dcgTerm = (1 to RagDocK).map(i =>
+          when(col("rank") === i && col("rel"), lit(cs(i - 1))).otherwise(lit(0.0)))
+          .reduce(_ + _)
+        val per = ragRanked(s, dir).select(col("qid"), col("rank"), col("doc_id"))
+          .join(rel, Seq("qid", "doc_id"))
+          .groupBy("qid")
+          .agg(sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+            min(when(col("rel"), col("rank"))).as("first_rel"),
+            sum(dcgTerm).as("dcg"))
+        val idcg = (1 to RagDocK).foldLeft(lit(0.0)) { (acc, k) =>
+          when(least(col("n_rel"), lit(RagDocK.toLong)) === k, lit(psum(k)))
+            .otherwise(acc)
+        }
+        Registry.releaseLater(
+          nrel.join(per, Seq("qid"), "left")
+            .select(col("qid"), col("n_rel"),
+              coalesce(col("hits"), lit(0L)).as("hits"),
+              coalesce(col("first_rel"), lit(0)).as("first_rel"),
+              round(when(col("first_rel").isNull, 0.0)
+                .otherwise(lit(1.0) / col("first_rel")), 6).as("mrr"),
+              round(when(idcg === 0.0, 0.0)
+                .otherwise(coalesce(col("dcg"), lit(0.0)) / idcg), 6).as("ndcg"))
+            .orderBy("qid"),
+          rel)
+      },
+      Some {
+        val cs: Seq[Double] =
+          (1 to RagDocK).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+        val psum: Seq[Double] = cs.scanLeft(0.0)(_ + _)
+        val th = OracleText.tokenHashes(
+          s"list_slice(toks, strt + 1, strt + $RagWindow)")
+        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val qRows = RagProbes.zipWithIndex.map { case (t, i) =>
+          val arr = t.split(" ").map(w => s"'$w'").mkString("[", ", ", "]")
+          s"(CAST(${i + 1} AS BIGINT), '$t', $arr)"
+        }.mkString(", ")
+        val dcgCase = (1 to RagDocK)
+          .map(i => s"WHEN rank = $i THEN ${cs(i - 1)}").mkString("CASE ", " ", " ELSE 0.0 END")
+        val idcgCase = (1 to RagDocK)
+          .map(k => s"WHEN least(n_rel, $RagDocK) = $k THEN ${psum(k)}")
+          .mkString("CASE ", " ", " ELSE 0.0 END")
+        s"""WITH t AS MATERIALIZED (
+           |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+           |s AS (SELECT doc_id, toks,
+           |        unnest(range(0, greatest(len(toks), 1), $RagStride)) AS strt
+           |      FROM t),
+           |ch AS MATERIALIZED (
+           |  SELECT doc_id, CAST(strt // $RagStride AS BIGINT) AS chunk_id,
+           |         $th AS th
+           |  FROM s),
+           |chc AS (SELECT doc_id, chunk_id, ${cnt("th")} AS cnt FROM ch),
+           |che AS MATERIALIZED (SELECT doc_id, chunk_id, $emb AS emb FROM chc),
+           |q(qid, qtext, qterms) AS (VALUES $qRows),
+           |qt AS (SELECT qid, ${OracleText.tokenHashes(OracleText.tokens("qtext"))} AS th FROM q),
+           |qc AS (SELECT qid, ${cnt("th")} AS cnt FROM qt),
+           |qe AS (SELECT qid, $emb AS qe FROM qc),
+           |sc AS MATERIALIZED (
+           |  SELECT qe.qid, c.doc_id, c.chunk_id,
+           |         ${OracleSql.cosine("c.emb", "qe.qe")} AS cos
+           |  FROM che c CROSS JOIN qe),
+           |top AS (SELECT qid, doc_id, chunk_id, cos FROM (
+           |          SELECT qid, doc_id, chunk_id, cos,
+           |                 row_number() OVER (PARTITION BY qid
+           |                   ORDER BY cos DESC, doc_id * 1048576 + chunk_id ASC) AS rn
+           |          FROM sc) WHERE rn <= $RagChunkK),
+           |pool AS (SELECT qid, doc_id, max(cos) AS score FROM top GROUP BY 1, 2),
+           |r AS (SELECT qid, doc_id, rank FROM (
+           |        SELECT qid, doc_id,
+           |               row_number() OVER (PARTITION BY qid
+           |                 ORDER BY score DESC, doc_id ASC) AS rank
+           |        FROM pool) WHERE rank <= $RagDocK),
+           |rel AS MATERIALIZED (
+           |  SELECT q.qid, t.doc_id, list_has_all(t.toks, q.qterms) AS rel
+           |  FROM t CROSS JOIN q),
+           |nrel AS (SELECT qid, CAST(sum(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel
+           |         FROM rel GROUP BY qid),
+           |per AS (SELECT r.qid,
+           |               CAST(sum(CASE WHEN rel.rel THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           |               min(CASE WHEN rel.rel THEN r.rank END) AS first_rel,
+           |               sum(CASE WHEN rel.rel THEN $dcgCase ELSE 0.0 END) AS dcg
+           |        FROM r JOIN rel ON rel.qid = r.qid AND rel.doc_id = r.doc_id
+           |        GROUP BY r.qid)
+           |SELECT n.qid, n.n_rel,
+           |       coalesce(p.hits, 0) AS hits,
+           |       CAST(coalesce(p.first_rel, 0) AS INT) AS first_rel,
+           |       round(CASE WHEN p.first_rel IS NULL THEN 0.0
+           |                  ELSE 1.0 / p.first_rel END, 6) AS mrr,
+           |       round(CASE WHEN ($idcgCase) = 0.0 THEN 0.0
+           |                  ELSE coalesce(p.dcg, 0.0) / ($idcgCase) END, 6) AS ndcg
+           |FROM nrel n LEFT JOIN per p ON p.qid = n.qid
+           |ORDER BY n.qid""".stripMargin
       })
   )
 }
