@@ -216,4 +216,112 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     val topAll = (near ++ far).sortBy(l2).take(3).map(_.toSeq)
     assert(topNear == topAll, "strictly farther points must not enter the top-k")
   }
+
+  test("WordPiece (r9): reconstruction, determinism, and greedy-prefix maximality over random vocabs") {
+    import graft.functions.WordPiece
+    val r = rng(17)
+    val letters = "abcde"
+    def randWord(n: Int): String =
+      (0 until n).map(_ => letters(r.nextInt(letters.length))).mkString
+    (1 to 60).foreach { _ =>
+      // random vocab: some whole words, some continuations, all 1-char
+      // pieces present so every word decomposes (no UNK path here)
+      val pieces = Set.newBuilder[String]
+      letters.foreach { c => pieces += c.toString; pieces += s"##$c" }
+      (1 to r.nextInt(20)).foreach(_ => pieces += randWord(r.nextInt(4) + 2))
+      (1 to r.nextInt(20)).foreach(_ => pieces += s"##${randWord(r.nextInt(4) + 2)}")
+      val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ pieces.result().toSeq.sorted
+      val wp = WordPiece.fromTokens(vocab)
+      val inVocab = vocab.toSet
+      (1 to 20).foreach { _ =>
+        val word = randWord(r.nextInt(12) + 1)
+        val out = wp.wordpiece(word)
+        assert(out == wp.wordpiece(word), "deterministic")
+        assert(out.nonEmpty)
+        if (out != Seq("[UNK]")) {
+          // every emitted piece is a vocab member with correct ## marking
+          assert(out.head.take(2) != "##" && out.tail.forall(_.startsWith("##")))
+          assert(out.forall(inVocab), s"$word -> $out")
+          // stripping continuations reconstructs the word exactly
+          assert(out.head + out.tail.map(_.drop(2)).mkString == word,
+            s"$word -> $out must reconstruct")
+          // greedy maximality: no LONGER vocab piece matches at each start
+          var pos = 0
+          out.foreach { p =>
+            val len = if (pos == 0) p.length else p.length - 2
+            ((len + 1) to (word.length - pos)).foreach { l =>
+              val cand = (if (pos > 0) "##" else "") + word.substring(pos, pos + l)
+              assert(!inVocab(cand),
+                s"$word at $pos took '$p' but longer '$cand' is in the vocab")
+            }
+            pos += len
+          }
+        }
+      }
+    }
+  }
+
+  test("Onnx (r9): broadcast elementwise ops match a naive shape-expansion reference") {
+    import graft.functions.Onnx
+    val r = rng(23)
+    // hermetic micro-graph: Add(a, b) with random broadcastable shapes
+    def addGraph(): Onnx.Graph = {
+      val w = new TinyBert.W()
+      w.msg(7) { g =>
+        g.msg(1) { n => n.str(1, "a"); n.str(1, "b"); n.str(2, "out"); n.str(4, "Add") }
+        g.msg(11)(v => v.str(1, "a"))
+        g.msg(11)(v => v.str(1, "b"))
+        g.msg(12)(v => v.str(1, "out"))
+      }
+      Onnx.parseModel(w.out.toByteArray)
+    }
+    val g = addGraph()
+    (1 to 80).foreach { _ =>
+      // out shape of rank 1..4, each side keeps or collapses dims to 1,
+      // possibly dropping leading dims entirely (right-aligned broadcast)
+      val outDims = Array.fill(r.nextInt(4) + 1)(r.nextInt(3) + 1)
+      def side(): Array[Int] = {
+        val kept = outDims.drop(r.nextInt(outDims.length))
+        kept.map(d => if (r.nextBoolean()) d else 1)
+      }
+      val (da, db0) = (side(), side())
+      // ensure at least the broadcast target is reachable: one side must
+      // carry each out dim — regenerate b against the residual
+      val db = outDims.zipWithIndex.map { case (d, i) =>
+        val ai = i + da.length - outDims.length
+        if (ai >= 0 && da(ai) == d) if (r.nextBoolean()) d else 1 else d
+      }.drop(r.nextInt(outDims.length))
+      def tensor(dims: Array[Int]) =
+        Onnx.Tensor(dims, Array.fill(dims.product)(r.nextInt(100) / 10f))
+      val (ta, tb) = (tensor(da), tensor(if (db.isEmpty) Array(1) else db))
+      val got = Onnx.run(g, Map("a" -> ta, "b" -> tb))
+      // naive reference: expand both sides index by index
+      def at(t: Onnx.Tensor, ix: Array[Int]): Float = {
+        val off = ix.length - t.dims.length
+        var flat = 0
+        var i = 0
+        while (i < t.dims.length) {
+          flat = flat * t.dims(i) + (if (t.dims(i) == 1) 0 else ix(off + i))
+          i += 1
+        }
+        t.data(flat)
+      }
+      assert(got.dims.toSeq == outDims.toSeq ||
+        got.dims.product == got.data.length, "shape sanity")
+      val ix = new Array[Int](got.dims.length)
+      var flat = 0
+      while (flat < got.size) {
+        val want = (at(ta, ix).toDouble + at(tb, ix).toDouble).toFloat
+        assert(got.data(flat) == want, s"at ${ix.toSeq}: ${got.data(flat)} vs $want")
+        var d = got.dims.length - 1
+        var carry = true
+        while (d >= 0 && carry) {
+          ix(d) += 1
+          if (ix(d) == got.dims(d)) ix(d) = 0 else carry = false
+          d -= 1
+        }
+        flat += 1
+      }
+    }
+  }
 }
