@@ -21,7 +21,15 @@ package graft.functions
  * (Shape/Reshape/Concat/Unsqueeze/Squeeze/Slice/Expand/Cast/Constant/
  * ConstantOfShape/Where/Equal), over float32 and int64 tensors. The
  * embedding-bag subset of earlier rounds (Gather/ReduceMean/MatMul/Add/
- * Relu) is unchanged, so existing artifacts evaluate identically.
+ * Relu) is otherwise unchanged, with ONE spec-alignment break: attr-less
+ * ReduceMean now reduces ALL axes with keepdims=1 (the ONNX default)
+ * instead of the old axis-0/keepdims=0 carve-out, so a pre-r9 .onnx
+ * artifact that relied on the old default (e.g. an external
+ * GRAFT_ONNX_MODEL file) fails loudly at the following MatMul's shape
+ * check and must be re-exported with explicit axes/keepdims attributes
+ * (the in-tree writer has emitted them explicitly since the same change;
+ * it regenerates its artifact bytes per JVM, so nothing in-tree persists
+ * the old encoding).
  *
  * Tokenization contract: [[OnnxEmbedder]] feeds the engine-wide token
  * kernel's hashes (mod the artifact's vocab) as the id sequence;

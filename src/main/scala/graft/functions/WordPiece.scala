@@ -12,7 +12,8 @@ package graft.functions
  *     punctuation with spaces, split on whitespace.
  *  2. WORDPIECE: greedy longest-prefix-first match against the vocab;
  *     non-initial pieces carry the `##` continuation prefix; a word with
- *     no decomposition (or longer than 200 chars) becomes `[UNK]`.
+ *     no decomposition (or longer than 100 chars — BertTokenizer's
+ *     max_input_chars_per_word) becomes `[UNK]`.
  *
  * `encode` wraps the pieces in `[CLS] ... [SEP]` and maps to ids — the
  * exact input contract of a BERT-family ONNX export

@@ -841,11 +841,36 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       .collect()
       .map(r => r.getLong(0) ->
         r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq).toMap
+    // ADMISSION-GATED rung walks: hotQuery pins ALL raw floats +
+    // adjacency + payload on the driver, so an index over the
+    // `graft.hot.maxBytes` budget (exactly the case the SQ8 codes tier
+    // exists for) must NOT be calibrated through it — the sweep would OOM
+    // the driver at attach time and pin a raw-float tier the operator
+    // sized the budget to avoid. Over budget, each rung runs the batched
+    // Spark walk instead ([[queryBatch]] — ONE shared walk schedule for
+    // the whole panel per rung, hops In-pruned scans, never panel·hops):
+    // the walk schedule is the same spec-pinned definition, so the
+    // measured recall is identical; only the residency differs.
+    val rungAnswers: Int => Map[Long, Seq[Long]] =
+      if (hotFits()) bw =>
+        panel.map { case (pid, pe) =>
+          pid -> hotQuery(pe, k + 1, bw, hops)
+            .collect { case (id, _) if id != pid => id }.take(k).toSeq
+        }.toMap
+      else bw =>
+        queryBatch(panel, k + 1, bw, hops)
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (pid, rows) =>
+            pid -> rows.sortBy(_.getInt(3))
+              .collect { case r if r.getLong(1) != pid => r.getLong(1) }
+              .take(k).toSeq
+          }
     val rows = steps.map { bw =>
-      val hits = panel.map { case (pid, pe) =>
-        val got = hotQuery(pe, k + 1, bw, hops)
-          .collect { case (id, _) if id != pid => id }.take(k).toSet
-        exact.getOrElse(pid, Nil).count(got)
+      val got = rungAnswers(bw)
+      val hits = panel.map { case (pid, _) =>
+        val g = got.getOrElse(pid, Nil).toSet
+        exact.getOrElse(pid, Nil).count(g)
       }.sum
       (bw, hits.toLong, panel.length.toLong,
         new java.math.BigDecimal(hits.toDouble / (panel.length * k))

@@ -4,24 +4,36 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /**
  * The bench cross-run guard's decision function (Bench.sustainedOutlier):
- * a query is flagged against the COMMITTED artifact only when it is both
- * >2x slower AND >0.25 s absolute — sub-second queries jitter past 2x on
- * scheduler noise alone, and an absent/failed committed number disarms.
- * (The end-to-end flag firing is demonstrated by running Bench with a
- * planted baseline — recorded in SURVEY §8.3.)
+ * a query is flagged against the COMMITTED artifact only when it exceeds
+ * TWICE the committed time by more than the absolute noise floor
+ * (Bench.NoiseFloorSec = 0.5 s) — sub-second queries jitter past 2x on
+ * scheduler noise alone (the r9 q_dedup_simhash artifact flag), and an
+ * absent/failed committed number disarms. (The end-to-end flag firing is
+ * demonstrated by running Bench with a planted baseline — recorded in
+ * SURVEY §8.3.)
  */
 class BenchGuardSpec extends AnyFunSuite {
-  test("sustained-outlier decision: ratio AND absolute floor AND armed baseline") {
+  test("sustained-outlier decision: 2x + absolute noise floor, armed baseline") {
+    assert(Bench.NoiseFloorSec == 0.5, "the floor the r10 verdict prescribed is pinned")
     assert(Bench.sustainedOutlier(now = 2.75, base = 0.72), "the r7 q_sessionize case must flag")
+    assert(!Bench.sustainedOutlier(now = 1.25, base = 0.59),
+      "the r9 q_dedup_simhash case: 2.1x on a 0.59 s query lands under 2x+0.5 s — " +
+        "scheduler jitter a query with no build phase can never exonerate")
     assert(!Bench.sustainedOutlier(now = 1.3, base = 0.72), "under 2x: not an outlier")
     assert(!Bench.sustainedOutlier(now = 0.20, base = 0.05),
-      "4x on a 50 ms query is scheduler noise, absolute floor holds it back")
-    assert(Bench.sustainedOutlier(now = 0.50, base = 0.05),
-      "10x and +0.45 s clears both gates even from a small base")
+      "4x on a 50 ms query is scheduler noise, the floor holds it back")
+    assert(!Bench.sustainedOutlier(now = 0.50, base = 0.05),
+      "10x but only +0.45 s: still under the 0.5 s floor")
+    assert(Bench.sustainedOutlier(now = 0.65, base = 0.05),
+      "13x and 0.55 s past the 2x line: a small base can still flag on real loss")
     assert(!Bench.sustainedOutlier(now = 5.0, base = -1.0), "no committed number disarms")
     assert(!Bench.sustainedOutlier(now = 5.0, base = 0.0), "zero committed disarms")
-    assert(Bench.sustainedOutlier(now = 1.0, base = 0.4), "2.5x and +0.6 s: flags")
-    assert(!Bench.sustainedOutlier(now = 0.8, base = 0.4), "exactly 2x: not strictly over")
+    assert(!Bench.sustainedOutlier(now = 1.0, base = 0.4),
+      "2.5x but only 0.2 s past the 2x line: under the floor")
+    assert(Bench.sustainedOutlier(now = 1.5, base = 0.4), "3.75x and +0.7 s past 2x: flags")
+    assert(!Bench.sustainedOutlier(now = 0.8, base = 0.4), "exactly 2x: not over")
+    assert(!Bench.sustainedOutlier(now = 2.9, base = 1.2),
+      "2.4x on a 1.2 s query but exactly on the 2x+0.5 boundary: not strictly over")
   }
 
   test("probe-level exoneration: build-inclusive flags clear when the serving phase held") {

@@ -316,16 +316,17 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
       s"beam should navigate below the median distance ${median}, got ${hit.getDouble(1)}")
   }
 
-  test("SQ8 quantized serving: full-depth == exact; hot == cold; admission counts code bytes") {
-    def withBudget[A](bytes: Long)(body: => A): A = {
-      val prev = System.getProperty("graft.hot.maxBytes")
-      System.setProperty("graft.hot.maxBytes", bytes.toString)
-      try body
-      finally {
-        if (prev == null) System.clearProperty("graft.hot.maxBytes")
-        else System.setProperty("graft.hot.maxBytes", prev)
-      }
+  private def withBudget[A](bytes: Long)(body: => A): A = {
+    val prev = System.getProperty("graft.hot.maxBytes")
+    System.setProperty("graft.hot.maxBytes", bytes.toString)
+    try body
+    finally {
+      if (prev == null) System.clearProperty("graft.hot.maxBytes")
+      else System.setProperty("graft.hot.maxBytes", prev)
     }
+  }
+
+  test("SQ8 quantized serving: full-depth == exact; hot == cold; admission counts code bytes") {
     def treeBytes(root: String): Long = {
       def walk(f: java.io.File): Long =
         if (f.isFile) f.length()
@@ -447,6 +448,36 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
         idx.calibrateBeam(k = 5, target = 1.0, panelCap = 10,
           ladder = ladder, hops = 6))
       assert(ex.getMessage.contains("beam width"), ex.getMessage)
+    }
+    small.unpersist(): Unit
+  }
+
+  test("calibration over the hot budget: identical sweep via the Spark batched walk, no driver residency") {
+    // the r9 ADVICE case: attachGraphIndex(recallTarget=) on an index
+    // whose raw floats exceed graft.hot.maxBytes must not pin them on the
+    // driver at attach time — the sweep falls back to the batched Spark
+    // walk (same spec-pinned walk schedule), so the measured ladder is
+    // bit-identical and nothing raw-float becomes resident.
+    val small = all.filter(col("id") <= 300).persist()
+    val idx = new GraphIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_gidx_calbud").toString,
+      K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    idx.build(small, refineRounds = 1)
+    val panel = small.orderBy(xxhash64(col("id")), col("id")).limit(8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def sweep() = idx.calibrationSweep(panel, k = 5, Seq(2, 4, 8), hops = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val hot = withBudget(Long.MaxValue)(sweep())
+    val cold = withBudget(1L)(sweep())
+    assert(hot == cold, s"over-budget sweep must match the hot sweep: $hot vs $cold")
+    // the policy knob composes with the gate the same way
+    val target = hot.last._4
+    if (target > 0) {
+      val choseHot = withBudget(Long.MaxValue)(
+        idx.calibrateBeam(k = 5, target = target, panelCap = 8, ladder = Seq(2, 4, 8), hops = 6))
+      val choseCold = withBudget(1L)(
+        idx.calibrateBeam(k = 5, target = target, panelCap = 8, ladder = Seq(2, 4, 8), hops = 6))
+      assert(choseHot == choseCold)
     }
     small.unpersist(): Unit
   }
