@@ -48,17 +48,19 @@ object Bench {
     * build-phase subtiming for the flagged query, compare the SERVING
     * (non-build) phase sum with the same sustained-outlier rule: if the
     * probe still matches the committed number, the compound flag is
-    * build-side noise, not a serving regression. Returns
-    * (probe_now, probe_committed, exonerated); None when either side
-    * lacks a build subtiming (no basis to exonerate). */
+    * build-side noise, not a serving regression. Every phase whose name
+    * starts with `build` counts as build-side (q_rag_indexed's
+    * `build_calibrate` sweep is attach-time corpus-scale work, not
+    * serving). Returns (probe_now, probe_committed, exonerated); None
+    * when either side lacks a build subtiming (no basis to exonerate). */
   private[graft] def probeVerdict(nowPhases: Option[Map[String, Double]],
       basePhases: Option[Map[String, Double]]): Option[(Double, Double, Boolean)] =
     for {
       now <- nowPhases if now.contains("build")
       base <- basePhases if base.contains("build")
     } yield {
-      val pn = now.filterNot(_._1 == "build").values.sum
-      val pb = base.filterNot(_._1 == "build").values.sum
+      val pn = now.filterNot(_._1.startsWith("build")).values.sum
+      val pb = base.filterNot(_._1.startsWith("build")).values.sum
       (pn, pb, !sustainedOutlier(pn, pb))
     }
 

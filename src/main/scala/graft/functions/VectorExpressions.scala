@@ -465,6 +465,37 @@ case class PqEncode(child: Expression, books: Array[Float], m: Int, k: Int)
  * math at scan time. Accumulation is a fixed left-to-right subspace loop, so
  * the score is deterministic.
  */
+object PqEncode {
+  /** Driver-side twin of the codegen argmin loop — the graph hot tier
+    * derives resident codes through the SAME arithmetic as the scan
+    * encode (the [[Sq8Encode.encode]] discipline), so hot ≡ cold
+    * bit-for-bit. `books` is the flattened code-sorted tensor
+    * ([[graft.operators.ProductQuantizer.flatten]]). */
+  def encode(a: Array[Float], books: Array[Float], m: Int, k: Int): Array[Byte] = {
+    val subDim = books.length / (m * k)
+    require(a.length == m * subDim, s"pq_encode: dim ${a.length} != m*subDim ${m * subDim}")
+    val out = new Array[Byte](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var acc = 0.0; var d = 0
+        val base = (mi * k + c) * subDim
+        while (d < subDim) {
+          val df = a(mi * subDim + d).toDouble - books(base + d).toDouble
+          acc += df * df; d += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      out(mi) = best.toByte
+      mi += 1
+    }
+    out
+  }
+}
+
 case class PqAdc(child: Expression, lut: Array[Double], k: Int)
     extends UnaryExpression {
   require(k > 1 && k <= 256 && lut.length % k == 0, "LUT must be m*k doubles")
@@ -503,6 +534,20 @@ case class PqAdc(child: Expression, lut: Array[Double], k: Int)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object PqAdc {
+  /** Driver-side twin of the codegen lookup sum — identical accumulation
+    * order, so a hot-tier walk scores the exact doubles the cold scan
+    * would. */
+  def eval(codes: Array[Byte], lut: Array[Double], k: Int): Double = {
+    var acc = 0.0; var mi = 0
+    while (mi < codes.length) {
+      acc += lut(mi * k + (codes(mi) & 0xFF))
+      mi += 1
+    }
+    acc
+  }
 }
 
 /**

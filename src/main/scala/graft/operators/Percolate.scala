@@ -179,4 +179,87 @@ object Percolate {
       .select(col(idCol), col("profile_id"))
     noPhrase.unionByName(verified)
   }
+
+  // ------------------------------------------------ semantic percolation
+
+  /** Sliding-window chunk frame, hash-embedded: `window`-token chunks at
+    * stride `stride` per document (the q_chunk_overlap geometry), each a
+    * unit-norm `dim`-wide embedding — ONE narrow per-row codegen pass,
+    * shared by the RAG pipelines and [[semanticMatches]]. A document
+    * shorter than one stride still yields chunk 0 (possibly token-less —
+    * the zero vector, cosine −1.0 sentinel). */
+  def chunkEmbed(docs: DataFrame, window: Int, stride: Int, dim: Int,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tf = graft.functions.TextFunctions
+    docs
+      .select(col(idCol).as("doc_id"), tf.tokens(col(textCol)).as("toks"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"),
+        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
+          lit(stride))).as(Seq("chunk_id", "strt")),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        tf.hashEmbed(slice(col("toks"), col("strt") + 1, lit(window)),
+          dim).as("emb"))
+  }
+
+  /** Reject semantic registries that could never alert or would merge
+    * alerts: a zero-norm standing vector scores the cosine −1.0 sentinel
+    * against EVERY chunk (a dead subscription unless θ ≤ −1, which is a
+    * fire-on-everything misconfiguration either way), and duplicated
+    * profile_ids would merge two subscriptions' alerts into one id.
+    * Registration-time, tiny jobs over the registry. */
+  def validateSemantic(profiles: DataFrame): Unit = {
+    val vf = graft.functions.VectorFunctions
+    require(profiles
+      .filter(vf.norm(col("pe")) <= 0).limit(1).isEmpty,
+      "every standing vector needs a non-zero norm — a zero vector's " +
+        "cosine is the -1.0 sentinel against every chunk (a dead subscription)")
+    require(profiles
+      .filter(col("theta") > 1.0 || col("theta") <= -1.0).limit(1).isEmpty,
+      "theta must sit in (-1, 1]: above 1 can never fire, at or below -1 " +
+        "fires on every chunk including the zero-vector sentinel")
+    require(profiles
+      .groupBy(col("profile_id")).count().filter(col("count") > 1)
+      .limit(1).isEmpty,
+      "profile_id must be unique across the registry")
+  }
+
+  /** SEMANTIC percolation — [[matches]] lifted to embedding space: a
+    * registry of STANDING query vectors (profile_id, pe ARRAY<FLOAT>,
+    * theta DOUBLE) alerts on every document one of whose chunks lands
+    * within cosine ≥ θ of the standing vector — "notify subscription X
+    * when something ABOUT X arrives", catching paraphrases that share no
+    * boolean term. Returns (profile_id, doc_id, score = max chunk
+    * cosine ≥ θ, n_hits = matching chunk count).
+    *
+    * Scale shape (docs N can be 100 TB, profiles P is a registry): the
+    * corpus chunks+embeds ONCE per batch ([[chunkEmbed]], narrow
+    * codegen), the registry BROADCASTS, and the θ filter runs inside the
+    * scoring stage BEFORE the (profile, doc) aggregation — the shuffle
+    * carries only above-threshold alerts, never corpus × profiles.
+    * Stateless per batch, so the streaming twin
+    * ([[graft.streaming.StreamOps.semanticPercolate]]) is this function
+    * per micro-batch — stream ≡ batch by construction, spec-pinned. */
+  def semanticMatches(docs: DataFrame, profiles: DataFrame,
+                      window: Int, stride: Int, dim: Int,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    validateSemantic(profiles)
+    semanticMatchesValidated(docs, profiles, window, stride, dim, idCol, textCol)
+  }
+
+  /** [[semanticMatches]] without the registry re-validation — the
+    * streaming twin validates once at stream start. */
+  private[graft] def semanticMatchesValidated(docs: DataFrame, profiles: DataFrame,
+      window: Int, stride: Int, dim: Int,
+      idCol: String, textCol: String): DataFrame = {
+    val vf = graft.functions.VectorFunctions
+    chunkEmbed(docs, window, stride, dim, idCol, textCol)
+      .crossJoin(broadcast(profiles.select("profile_id", "pe", "theta")))
+      .select(col("profile_id"), col("doc_id"),
+        vf.cosine(col("emb"), col("pe")).as("cos"), col("theta"))
+      .filter(col("cos") >= col("theta"))
+      .groupBy("profile_id", "doc_id")
+      .agg(max(col("cos")).as("score"), count(lit(1)).as("n_hits"))
+  }
 }

@@ -62,6 +62,21 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_rag_indexed" -> { (s, dir) =>
+      // three phases: the corpus pass (chunk+embed+build), the bounded
+      // calibration sweep, and the serving probe — the number that must
+      // stay ~flat as the corpus grows (the exact arm q_rag_retrieve is
+      // the linear-cost comparison)
+      val (idx, tb) = timed(SearchQueries.ragBuildIndex(s, dir))
+      val (probes, _) = timed(SearchQueries.ragProbePanel(s))
+      val (depth, tc) = timed(SearchQueries.ragCalibrate(idx, probes))
+      val (_, tp) = timed(
+        SearchQueries.ragServeIndexed(s, idx, probes, depth)
+          .write.format("noop").mode("overwrite").save())
+      // the build_ prefix keeps the calibration sweep (attach-time,
+      // corpus-scale work) OUT of Bench.probeVerdict's serving-phase sum
+      Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
+    },
     "q_phrase" -> { (s, dir) =>
       val base = java.nio.file.Files.createTempDirectory("graft_phr_split").toString
       val idx = new TextIndex(s, base, numBuckets = 8)

@@ -122,6 +122,24 @@ object SearchQueries {
     PercPhraseProfiles.toDF("profile_id", "must", "any", "must_not", "phrases")
   }
 
+  /** q_percolate_semantic's standing registry: (profile_id, text, θ) —
+    * per-profile thresholds spanning the fixture corpora's chunk-cosine
+    * range (tight near one probe's top scores, loose on another, plus a
+    * near-unreachable θ that pins the quiet-subscription path). Shared
+    * with the oracle SQL and the streaming-twin spec. */
+  val SemPercProfiles: Seq[(Long, String, Double)] = Seq(
+    (1L, "vector merge window stream", 0.66),
+    (2L, "table hash scan", 0.60),
+    (3L, "customer filter batch", 0.50),
+    (4L, "vector merge window stream", 0.95))
+
+  def semPercProfilesDf(s: SparkSession): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    SemPercProfiles.toDF("profile_id", "ptext", "theta")
+      .select(col("profile_id"),
+        TF.hashEmbed(TF.tokens(col("ptext")), EmbDim).as("pe"), col("theta"))
+  }
+
   /** The standing RAG probe panel as (qid, qtext, qe) — qid is 1-based
     * position in [[RagProbes]]. */
   private def ragProbesDf(s: SparkSession): org.apache.spark.sql.DataFrame = {
@@ -132,24 +150,45 @@ object SearchQueries {
         TF.hashEmbed(TF.tokens(col("qtext")), EmbDim).as("qe"))
   }
 
+  /** The RAG chunk frame: [[RagWindow]]-token windows at stride
+    * [[RagStride]] per document, hash-embedded — ONE narrow corpus pass
+    * (chunking + embedding are per-row codegen). Shared by the exact
+    * serving arm ([[ragRanked]]) and the persisted-index arm
+    * ([[ragRankedIndexed]]). */
+  private[graft] def ragChunks(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.Percolate.chunkEmbed(
+      tbl(s, dir, "documents").select("doc_id", "text"),
+      RagWindow, RagStride, EmbDim)
+
+  /** The doc-pooling/ranking tail every RAG serving arm shares: `top` =
+    * (qid, cos, doc_id, chunk_id) — the top-[[RagChunkK]] chunks per
+    * probe, however they were retrieved. Max-pools chunk scores to parent
+    * docs keeping the best chunk's offset, ranks docs per probe. Returns
+    * (qid, rank ≤ [[RagDocK]], doc_id, chunk_id, n_chunks, score —
+    * unrounded). Touches ≤ [[RagChunkK]] rows per probe. */
+  private def ragPoolRank(top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pooled = top.groupBy("qid", "doc_id")
+      .agg(max(struct(col("cos"), (-col("chunk_id")).as("nc"))).as("b"),
+        count(lit(1)).as("n_chunks"))
+      .select(col("qid"), col("doc_id"), col("b.cos").as("score"),
+        (-col("b.nc")).as("chunk_id"), col("n_chunks"))
+    val w = Window.partitionBy("qid")
+      .orderBy(desc("score"), asc("doc_id"))
+    pooled.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= RagDocK)
+  }
+
   /** The shared chunk→doc ranking pipeline of q_rag_retrieve /
     * q_rag_answer: top-[[RagChunkK]] chunks per probe through ONE
     * GroupedTopK shuffle ((doc, chunk) packed into the aggregator id),
-    * max-pooled to parent docs keeping the best chunk, ranked per probe.
-    * Returns (qid, rank ≤ [[RagDocK]], doc_id, chunk_id, n_chunks,
-    * score — unrounded). */
-  private def ragRanked(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
-    val chunks = tbl(s, dir, "documents")
-      .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
-      .withColumn("n", size(col("toks")))
-      .select(col("doc_id"),
-        posexplode(sequence(lit(0), greatest(col("n") - 1, lit(0)),
-          lit(RagStride))).as(Seq("chunk_id", "strt")),
-        col("toks"))
-      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
-        TF.hashEmbed(slice(col("toks"), col("strt") + 1, lit(RagWindow)),
-          EmbDim).as("emb"))
-    val top = chunks.crossJoin(broadcast(ragProbesDf(s).select("qid", "qe")))
+    * max-pooled to parent docs keeping the best chunk, ranked per probe
+    * ([[ragPoolRank]]). This arm re-embeds and exact-scans the whole
+    * chunk corpus per execution — the CORRECTNESS arm;
+    * [[ragRankedIndexed]] is the serving shape that probes a persisted
+    * chunk index instead. */
+  private[graft] def ragRanked(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val top = ragChunks(s, dir)
+      .crossJoin(broadcast(ragProbesDf(s).select("qid", "qe")))
       .select(col("qid"),
         (shiftleft(col("doc_id"), 20) + col("chunk_id")).as("cid"),
         VF.cosine(col("emb"), col("qe")).as("cos"))
@@ -160,15 +199,165 @@ object SearchQueries {
       .select(col("qid"), (-col("sc.score")).as("cos"),
         shiftright(col("sc.id"), 20).as("doc_id"),
         col("sc.id").bitwiseAND(lit((1L << 20) - 1)).as("chunk_id"))
-    val pooled = top.groupBy("qid", "doc_id")
-      .agg(max(struct(col("cos"), (-col("chunk_id")).as("nc"))).as("b"),
-        count(lit(1)).as("n_chunks"))
-      .select(col("qid"), col("doc_id"), col("b.cos").as("score"),
-        (-col("b.nc")).as("chunk_id"), col("n_chunks"))
-    val w = Window.partitionBy("qid")
-      .orderBy(desc("score"), asc("doc_id"))
-    pooled.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= RagDocK)
+    ragPoolRank(top)
+  }
+
+  /** L2→cosine shortlist slack of the indexed arm: the index serves by
+    * squared L2 and the ranking contract is cosine; over UNIT vectors
+    * cos = 1 − d²/2 exactly in real arithmetic, so the two orders can
+    * disagree only within float-rounding ties (exactly-equal embeddings
+    * give exactly-equal values under BOTH metrics and break to the same
+    * cid). Eight extra shortlist slots make a boundary flip require nine
+    * independent 1-ulp inversions — structurally impossible for count-
+    * derived embeddings. */
+  private[graft] val RagCosMargin = 8
+  private[graft] val RagIndexCells = 16
+
+  /** [[ragRanked]] served through a PERSISTED chunk index — the 100 TB
+    * serving shape (the reference's own serving path is an index probe,
+    * /root/reference/src/cod.py:123-129, not a corpus scan): the chunk
+    * frame lands ONCE in an [[graft.store.IvfIndex]] keyed by the packed
+    * (doc_id, chunk_id) long, the probe panel calibrates its own serving
+    * depth (smallest rung the sweep MEASURED as exact for these probes —
+    * the recall-target policy at target 1.0; the numCells rung scans
+    * every cell, so the fallback is exact by construction), and serving
+    * is a cell-pruned batched probe + bounded cosine re-rank — never a
+    * corpus re-embed. Zero-norm chunks (token-less windows past a short
+    * doc's end) stay OUT of the index: their cosine is the −1.0 sentinel,
+    * so they can never enter a cosine top-k of any corpus with
+    * ≥ [[RagChunkK]] real chunks, but a zero vector sits at unit L2
+    * distance from every unit embedding and would pollute the L2
+    * shortlist. Final frame ≡ [[ragRanked]] (spec-pinned; same oracle). */
+  /** q_rag_indexed's BUILD phase: the chunk frame landed once in a
+    * fresh IVF index keyed by the packed (doc_id, chunk_id) long. CELLS
+    * SCALE WITH THE CORPUS (the engine-wide IVF discipline — constant
+    * expected cell SIZE, so a fixed probe depth scans a fixed byte
+    * volume at any corpus scale); the doc count is free parquet footer
+    * metadata, ~1.6 chunks/doc on the fixtures, target ~2k chunks/cell.
+    * The cell count never changes the ANSWER — exactness comes from the
+    * calibration policy, whatever the layout. */
+  private[graft] def ragBuildIndex(s: SparkSession, dir: String): graft.store.IvfIndex = {
+    val base = java.nio.file.Files.createTempDirectory("graft_rag_idx").toString
+    val nDocs = tbl(s, dir, "documents").count()
+    val cells = math.min(512L, math.max(RagIndexCells.toLong, nDocs / 1280L)).toInt
+    val idx = new graft.store.IvfIndex(s, base, numCells = cells)
+    idx.build(ragChunks(s, dir)
+      .filter(VF.norm(col("emb")) > 0)
+      .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
+        col("emb")))
+    idx
+  }
+
+  /** The standing probe panel as driver arrays (index-metadata scale). */
+  private[graft] def ragProbePanel(s: SparkSession): Seq[(Long, Array[Float])] =
+    ragProbesDf(s).select("qid", "qe").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+
+  /** q_rag_indexed's CALIBRATE phase: the smallest power-of-two depth
+    * the sweep MEASURED as exact for these probes at the margined
+    * shortlist size (the recall-target-1.0 policy; the numCells rung
+    * scans every cell, so the fallback is exact by construction). */
+  private[graft] def ragCalibrate(idx: graft.store.IvfIndex,
+      probes: Seq[(Long, Array[Float])]): Int = {
+    val kk = RagChunkK + RagCosMargin
+    val ladder = Iterator.iterate(1)(_ * 2)
+      .takeWhile(_ < idx.numCells).toSeq :+ idx.numCells
+    idx.calibrationSweep(probes, kk, ladder).collect()
+      .collectFirst { case r if r.getLong(1) == probes.length.toLong * kk => r.getInt(0) }
+      .getOrElse(idx.numCells)
+  }
+
+  /** q_rag_indexed's PROBE phase: cell-pruned batched L2 shortlist
+    * (exact at the calibrated depth), bounded cosine re-rank
+    * (≤ [[RagChunkK]]+[[RagCosMargin]] rows per probe), then the shared
+    * pooling tail. */
+  private[graft] def ragServeIndexed(s: SparkSession, idx: graft.store.IvfIndex,
+      probes: Seq[(Long, Array[Float])], nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val kk = RagChunkK + RagCosMargin
+    val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
+    val top = idx.queryBatch(probes, kk, nprobe, include = Seq("emb"))
+      .withColumnRenamed("probe_id", "qid")
+      .join(broadcast(ragProbesDf(s).select("qid", "qe")), Seq("qid"))
+      .select(col("qid"), col("id").as("cid"),
+        VF.cosine(col("emb"), col("qe")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= RagChunkK)
+      .select(col("qid"), col("cos"),
+        shiftright(col("cid"), 20).as("doc_id"),
+        col("cid").bitwiseAND(lit((1L << 20) - 1)).as("chunk_id"))
+    ragPoolRank(top)
+  }
+
+  private[graft] def ragRankedIndexed(s: SparkSession, dir: String,
+      forceDepth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val idx = ragBuildIndex(s, dir)
+    val probes = ragProbePanel(s)
+    ragServeIndexed(s, idx, probes, forceDepth.getOrElse(ragCalibrate(idx, probes)))
+  }
+
+  /** The q_rag_retrieve output contract over either serving arm's ranked
+    * frame: offsets derived, score rounded, total order. */
+  private def ragRetrieveFrame(ranked: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ranked
+      .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * RagStride).as("strt"), col("n_chunks"),
+        round(col("score"), 6).as("score"))
+      .orderBy("qid", "rank")
+
+  /** ONE oracle for both RAG retrieval arms — the indexed arm's contract
+    * IS q_rag_retrieve's (the index changes where the bytes come from,
+    * never the answer). */
+  private lazy val ragRetrieveOracle: String = {
+    val th = OracleText.tokenHashes(
+      s"list_slice(toks, strt + 1, strt + $RagWindow)")
+    def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+      s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+    val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      "list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+    val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+      s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+    val qRows = RagProbes.zipWithIndex
+      .map { case (t, i) => s"(CAST(${i + 1} AS BIGINT), '$t')" }.mkString(", ")
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |        unnest(range(0, greatest(len(toks), 1), $RagStride)) AS strt
+       |      FROM t),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id, CAST(strt // $RagStride AS BIGINT) AS chunk_id,
+       |         $th AS th
+       |  FROM s),
+       |chc AS (SELECT doc_id, chunk_id, ${cnt("th")} AS cnt FROM ch),
+       |che AS MATERIALIZED (SELECT doc_id, chunk_id, $emb AS emb FROM chc),
+       |q(qid, qtext) AS (VALUES $qRows),
+       |qt AS (SELECT qid, ${OracleText.tokenHashes(OracleText.tokens("qtext"))} AS th FROM q),
+       |qc AS (SELECT qid, ${cnt("th")} AS cnt FROM qt),
+       |qe AS (SELECT qid, $emb AS qe FROM qc),
+       |sc AS MATERIALIZED (
+       |  SELECT qe.qid, c.doc_id, c.chunk_id,
+       |         ${OracleSql.cosine("c.emb", "qe.qe")} AS cos
+       |  FROM che c CROSS JOIN qe),
+       |top AS (SELECT qid, doc_id, chunk_id, cos FROM (
+       |          SELECT qid, doc_id, chunk_id, cos,
+       |                 row_number() OVER (PARTITION BY qid
+       |                   ORDER BY cos DESC, doc_id * 1048576 + chunk_id ASC) AS rn
+       |          FROM sc) WHERE rn <= $RagChunkK),
+       |pool AS (SELECT qid, doc_id, max(cos) AS score,
+       |                CAST(count(*) AS BIGINT) AS n_chunks
+       |         FROM top GROUP BY 1, 2),
+       |best AS (SELECT qid, doc_id, chunk_id FROM (
+       |           SELECT qid, doc_id, chunk_id,
+       |                  row_number() OVER (PARTITION BY qid, doc_id
+       |                    ORDER BY cos DESC, chunk_id ASC) AS brn
+       |           FROM top) WHERE brn = 1),
+       |r AS (SELECT p.qid, p.doc_id, b.chunk_id, p.n_chunks, p.score,
+       |             row_number() OVER (PARTITION BY p.qid
+       |               ORDER BY p.score DESC, p.doc_id ASC) AS rank
+       |      FROM pool p JOIN best b ON b.qid = p.qid AND b.doc_id = p.doc_id)
+       |SELECT qid, CAST(rank AS INT) AS rank, doc_id, chunk_id,
+       |       chunk_id * $RagStride AS strt, n_chunks,
+       |       round(score, 6) AS score
+       |FROM r WHERE rank <= $RagDocK ORDER BY qid, rank""".stripMargin
   }
 
   /** Append a BM25 score column for QueryTerms, as a fixed left-to-right
@@ -1190,12 +1379,41 @@ object SearchQueries {
     Q(
       "q_rag_retrieve",
       "RAG serving: chunk top-30 per probe, max-pooled to parent docs with offsets",
+      (s, dir) => ragRetrieveFrame(ragRanked(s, dir)),
+      Some(ragRetrieveOracle)),
+
+    // INDEX-ROUTED RAG serving — the same contract as q_rag_retrieve
+    // (same oracle), served the way a 100 TB deployment must: the chunk
+    // corpus lands ONCE in a persisted IVF index, the probe panel
+    // calibrates its own serving depth (the recall-target policy at
+    // target 1.0 — the sweep MEASURES which rung is exact for these
+    // probes), and each execution's probe is a cell-pruned batched scan
+    // plus a bounded cosine re-rank. The exact arm re-embeds the corpus
+    // per query; this arm's per-query cost is the probed cells' bytes.
+    Q(
+      "q_rag_indexed",
+      "RAG serving through a persisted calibrated chunk IVF index: pruned probe + bounded re-rank",
+      (s, dir) => ragRetrieveFrame(ragRankedIndexed(s, dir)),
+      Some(ragRetrieveOracle)),
+
+    // SEMANTIC PERCOLATION (batch twin): standing EMBEDDING-space probes
+    // alert on every document one of whose chunks lands within cosine θ
+    // of a standing vector — boolean percolation's paraphrase-proof
+    // sibling (q_percolate matches terms; this matches MEANING-space
+    // under the same hash embedder). The θ filter runs inside the
+    // scoring stage: the shuffle carries only alerts. The streaming twin
+    // (StreamOps.semanticPercolate) applies the same matcher per
+    // micro-batch — stream ≡ batch spec-pinned.
+    Q(
+      "q_percolate_semantic",
+      "standing embedding probes alert on docs with a chunk within cosine theta",
       (s, dir) =>
-        ragRanked(s, dir)
-          .select(col("qid"), col("rank"), col("doc_id"), col("chunk_id"),
-            (col("chunk_id") * RagStride).as("strt"), col("n_chunks"),
-            round(col("score"), 6).as("score"))
-          .orderBy("qid", "rank"),
+        graft.operators.Percolate.semanticMatches(
+          tbl(s, dir, "documents").select("doc_id", "text"),
+          semPercProfilesDf(s), RagWindow, RagStride, EmbDim)
+          .select(col("profile_id"), col("doc_id"),
+            round(col("score"), 6).as("score"), col("n_hits"))
+          .orderBy("profile_id", "doc_id"),
       Some {
         val th = OracleText.tokenHashes(
           s"list_slice(toks, strt + 1, strt + $RagWindow)")
@@ -1205,8 +1423,9 @@ object SearchQueries {
           "list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
         val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
           s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
-        val qRows = RagProbes.zipWithIndex
-          .map { case (t, i) => s"(CAST(${i + 1} AS BIGINT), '$t')" }.mkString(", ")
+        val pRows = SemPercProfiles
+          .map { case (pid, t, th0) => s"(CAST($pid AS BIGINT), '$t', CAST($th0 AS DOUBLE))" }
+          .mkString(", ")
         s"""WITH t AS MATERIALIZED (
            |  SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents),
            |s AS (SELECT doc_id, toks,
@@ -1218,35 +1437,17 @@ object SearchQueries {
            |  FROM s),
            |chc AS (SELECT doc_id, chunk_id, ${cnt("th")} AS cnt FROM ch),
            |che AS MATERIALIZED (SELECT doc_id, chunk_id, $emb AS emb FROM chc),
-           |q(qid, qtext) AS (VALUES $qRows),
-           |qt AS (SELECT qid, ${OracleText.tokenHashes(OracleText.tokens("qtext"))} AS th FROM q),
-           |qc AS (SELECT qid, ${cnt("th")} AS cnt FROM qt),
-           |qe AS (SELECT qid, $emb AS qe FROM qc),
-           |sc AS MATERIALIZED (
-           |  SELECT qe.qid, c.doc_id, c.chunk_id,
-           |         ${OracleSql.cosine("c.emb", "qe.qe")} AS cos
-           |  FROM che c CROSS JOIN qe),
-           |top AS (SELECT qid, doc_id, chunk_id, cos FROM (
-           |          SELECT qid, doc_id, chunk_id, cos,
-           |                 row_number() OVER (PARTITION BY qid
-           |                   ORDER BY cos DESC, doc_id * 1048576 + chunk_id ASC) AS rn
-           |          FROM sc) WHERE rn <= $RagChunkK),
-           |pool AS (SELECT qid, doc_id, max(cos) AS score,
-           |                CAST(count(*) AS BIGINT) AS n_chunks
-           |         FROM top GROUP BY 1, 2),
-           |best AS (SELECT qid, doc_id, chunk_id FROM (
-           |           SELECT qid, doc_id, chunk_id,
-           |                  row_number() OVER (PARTITION BY qid, doc_id
-           |                    ORDER BY cos DESC, chunk_id ASC) AS brn
-           |           FROM top) WHERE brn = 1),
-           |r AS (SELECT p.qid, p.doc_id, b.chunk_id, p.n_chunks, p.score,
-           |             row_number() OVER (PARTITION BY p.qid
-           |               ORDER BY p.score DESC, p.doc_id ASC) AS rank
-           |      FROM pool p JOIN best b ON b.qid = p.qid AND b.doc_id = p.doc_id)
-           |SELECT qid, CAST(rank AS INT) AS rank, doc_id, chunk_id,
-           |       chunk_id * $RagStride AS strt, n_chunks,
-           |       round(score, 6) AS score
-           |FROM r WHERE rank <= $RagDocK ORDER BY qid, rank""".stripMargin
+           |p(pid, ptext, theta) AS (VALUES $pRows),
+           |pt AS (SELECT pid, theta, ${OracleText.tokenHashes(OracleText.tokens("ptext"))} AS th FROM p),
+           |pc AS (SELECT pid, theta, ${cnt("th")} AS cnt FROM pt),
+           |pe AS (SELECT pid, theta, $emb AS pe FROM pc),
+           |sc AS (SELECT pe.pid AS profile_id, c.doc_id,
+           |              ${OracleSql.cosine("c.emb", "pe.pe")} AS cos, pe.theta
+           |       FROM che c CROSS JOIN pe)
+           |SELECT profile_id, doc_id, round(max(cos), 6) AS score,
+           |       CAST(count(*) AS BIGINT) AS n_hits
+           |FROM sc WHERE cos >= theta GROUP BY 1, 2
+           |ORDER BY profile_id, doc_id""".stripMargin
       }),
 
     // RAG END-TO-END: the assembled PROMPT — what actually reaches the

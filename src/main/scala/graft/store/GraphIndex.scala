@@ -48,6 +48,13 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
  * down to the scan). [[compact]] folds all epochs back into one.
  */
 object GraphIndex {
+  /** PQ codewords per subspace — fixed at 256 so every code is ONE byte
+    * (the [[IvfIndex.PqK]] convention; shared so codebooks trained by
+    * either index pack identically). */
+  val PqK: Int = IvfIndex.PqK
+  /** Lloyd rounds for the PQ codebook training ([[IvfIndex.TrainIters]]). */
+  val TrainIters: Int = IvfIndex.TrainIters
+
   /** Walk diagnostics for one probe — the r6-verdict hop-count question
     * ("does routing from fixed entries degrade as the graph grows?"),
     * answerable by measurement instead of speculation:
@@ -106,6 +113,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
   private def graphRevPath = s"$path/graphRev"
   private def entriesPath = s"$path/entries"
   private def sq8Path = s"$path/_sq8"
+  private def pqPath = s"$path/_pq"
   private def tombstonePath = s"$path/_tombstones"
   private def hwmPath = s"$path/_ts_hwm"
   private def marker = s"$path/_commit"
@@ -221,9 +229,23 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * trainer), each contributing its MEDOID (closest real vector to the
     * centroid, ties to the lowest id) as a persisted entry. Medoids spread
     * across the data's own cluster structure, so a walk starts near every
-    * mode instead of wherever the caller guessed. */
-  def build(input: DataFrame, refineRounds: Int = 1): Unit =
+    * mode instead of wherever the caller guessed.
+    *
+    * `codes = "pq"` ADDITIONALLY trains `pqM`-subspace 256-codeword
+    * product-quantizer codebooks over the build input and freezes them as
+    * a `_pq` sidecar beside the always-written `_sq8` stats — the PQ
+    * serving tier ([[queryPq]]/[[hotQueryPq]]) packs a vector into `pqM`
+    * bytes (32x under 4·dim raw floats at dim 64, 8x under SQ8), so the
+    * same `graft.hot.maxBytes` admission budget serves 8x more corpus
+    * hot than the SQ8 tier. Unlike [[IvfIndex.build]]'s either/or
+    * quantizer, the graph keeps BOTH sidecars: codes are derived at
+    * serving time from frozen stats, never stored per row, so the extra
+    * sidecar costs one training pass at build and dim+pqM·256 rows of
+    * metadata forever. */
+  def build(input: DataFrame, refineRounds: Int = 1,
+            codes: String = "sq8", pqM: Int = 8): Unit =
       WriterLease.withLease(path, "GraphIndex.build") {
+    require(codes == "sq8" || codes == "pq", s"codes must be sq8 or pq, got $codes")
     val v = input.persist()
     try {
       val ve = v.select(col("id"), col("emb"))
@@ -245,9 +267,22 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       // index (the periodic entry-retrain / compaction story) must never
       // delete the old data before the new data is fully staged, and all
       // outputs must move together
+      val pqStaged =
+        if (codes != "pq") Nil
+        else {
+          val books = graft.operators.ProductQuantizer.train(
+            ve.orderBy("id"), "emb", pqM, GraphIndex.PqK, GraphIndex.TrainIters)
+          val rows = for {
+            (cb, mi) <- books.zipWithIndex
+            (code, cw) <- cb
+          } yield (mi, code, cw.toSeq)
+          val pqDf = spark.createDataFrame(rows.toSeq).toDF("mi", "code", "cw")
+          Seq(StoreIO.Staged(s"${path}/__stage_pq", pqPath,
+            st => pqDf.write.mode("overwrite").parquet(st)))
+        }
       publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve),
-        extra = Seq(StoreIO.Staged(s"${path}/__stage_sq8", sq8Path,
-          st => sq8Df.write.mode("overwrite").parquet(st))))
+        extra = StoreIO.Staged(s"${path}/__stage_sq8", sq8Path,
+          st => sq8Df.write.mode("overwrite").parquet(st)) +: pqStaged)
     } finally v.unpersist(): Unit
   }: Unit
 
@@ -467,10 +502,10 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     val eps = epochs().sorted.mkString(",")
     val ts = StoreIO.committedBatchDirs(tombstonePath).map(_.getName).mkString(",")
     def mt(p: String) = new java.io.File(p).lastModified()
-    // the SQ8 sidecar is part of the serving identity: the codes tier's
-    // resident bytes derive from it, so a rebuilt quantizer must flip the
-    // fingerprint exactly like a data commit (0 = absent, pre-codes)
-    s"$eps|$ts|${tombstoneHwm()}|${mt(vecPath)}|${mt(graphPath)}|${mt(entriesPath)}|${mt(sq8Path)}"
+    // the quantizer sidecars are part of the serving identity: the codes
+    // tiers' resident bytes derive from them, so a rebuilt quantizer must
+    // flip the fingerprint exactly like a data commit (0 = absent)
+    s"$eps|$ts|${tombstoneHwm()}|${mt(vecPath)}|${mt(graphPath)}|${mt(entriesPath)}|${mt(sq8Path)}|${mt(pqPath)}"
   }
 
   private def hotState(): HotState = {
@@ -684,6 +719,21 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     sq8Stats().getOrElse(sys.error(
       s"GraphIndex at $path has no _sq8 quantizer sidecar — rebuild with build() to add it"))
 
+  /** Frozen PQ codebooks (code-sorted per subspace) — None unless the
+    * index was built with `codes = "pq"`. */
+  private def pqBooks(): Option[graft.operators.ProductQuantizer.Codebooks] =
+    if (!new java.io.File(s"$pqPath/_SUCCESS").exists()) None
+    else Some(
+      spark.read.parquet(pqPath).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (_, rs) => rs.sortBy(_._2).map(r => (r._2, r._3)) })
+
+  private def requirePq(): graft.operators.ProductQuantizer.Codebooks =
+    pqBooks().getOrElse(sys.error(
+      s"GraphIndex at $path has no _pq codebook sidecar — rebuild with " +
+        "build(codes = \"pq\") to add it"))
+
   /** Bounded exact finish shared by the quantized cold and hot paths: the
     * true-float top-k of the `rerank` best code-distance candidates, via
     * ONE In-pushed point read — cost bounded by the ANSWER, never the
@@ -713,6 +763,32 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     val scored = vectors.select(col("id"),
       VF.sq8L2(VF.sq8Encode(col("emb"), mn, mx), lit(qb))
         .cast("double").as("dist"))
+    val visited = KnnGraph.beamVisitedBy(graph, scored, beamWidth, hops, starts)
+    val shortIds = visited.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(rerank).map(_._1)
+    exactRerank(qe, shortIds, topK)
+  }
+
+  /** [[queryQuantized]]'s PQ twin: the SAME walk schedule scored by the
+    * asymmetric-distance lookup over `pqM`-byte product-quantizer codes
+    * derived from the frozen `_pq` codebooks (the driver computes the
+    * m×256 LUT once per probe and folds it into the plan), then the
+    * bounded exact rerank. At FULL beam width the walk visits every
+    * reachable node whatever the metric, so full-beam + full-rerank is
+    * bit-equal to the exact [[query]] (spec-pinned); at serving depths
+    * PQ's coarser distances trade recall for an 8x smaller resident
+    * footprint than SQ8 (32x under raw floats). */
+  def queryPq(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
+              rerank: Int = 64,
+              entries: Seq[Long] = Seq.empty): DataFrame = {
+    require(rerank >= topK, "rerank must be at least topK")
+    val books = requirePq()
+    val flat = graft.operators.ProductQuantizer.flatten(books)
+    val lut = graft.operators.ProductQuantizer.adcLut(qe, books)
+    val starts = if (entries.nonEmpty) entries else defaultEntries()
+    val scored = vectors.select(col("id"),
+      VF.pqAdc(VF.pqEncode(col("emb"), flat, books.length, GraphIndex.PqK),
+        lut, GraphIndex.PqK).as("dist"))
     val visited = KnnGraph.beamVisitedBy(graph, scored, beamWidth, hops, starts)
     val shortIds = visited.toSeq.sortBy { case (id, d) => (d, id) }
       .take(rerank).map(_._1)
@@ -805,6 +881,92 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         id => Option(h.adj.get(id)).getOrElse(Array.empty[Long]),
         h.codes.containsKey(_),
         id => sq8l2(h.codes.get(id), qb).toDouble,
+        starts, beamWidth, hops)
+      val shortIds = visited.take(rerank).map(_._1)
+      exactRerank(qe, shortIds, topK)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+  }
+
+  // --------------------------------------- quantized serving (PQ codes)
+
+  /** JVM-resident PQ CODES + adjacency — [[HotCodesState]]'s 8x-smaller
+    * sibling: `pqM` bytes/vector instead of 1 byte/dim, so the same
+    * `graft.hot.maxBytes` admission budget serves 8x more corpus hot
+    * than SQ8 (32x more than raw floats). Codes derive at load time from
+    * the frozen `_pq` codebooks through the SAME argmin arithmetic as
+    * the scan encode ([[graft.functions.PqEncode.encode]]), so hot ≡
+    * cold bit-for-bit. */
+  private final class HotPqState(
+      val key: String,
+      val adj: java.util.HashMap[java.lang.Long, Array[Long]],
+      val codes: java.util.HashMap[java.lang.Long, Array[Byte]],
+      val entries: Seq[Long],
+      val books: graft.operators.ProductQuantizer.Codebooks,
+      val estBytes: Long)
+
+  @volatile private var hotPq: HotPqState = null
+  @volatile private var hotPqEst: (String, Long) = null
+
+  private def hotPqState(): Option[HotPqState] = {
+    val key = hotKey()
+    val h0 = hotPq
+    if (h0 != null && h0.key == key)
+      return if (h0.estBytes <= StoreIO.hotBudgetBytes()) Some(h0) else None
+    val e0 = hotPqEst
+    if (e0 != null && e0._1 == key && e0._2 > StoreIO.hotBudgetBytes()) return None
+    val books = pqBooks() match {
+      case Some(b) => b
+      case None => hotPqEst = (key, Long.MaxValue); return None // no _pq sidecar
+    }
+    // ADMISSION MATH COUNTS PQ CODE BYTES + EDGES: resident cost per row
+    // is the pqM-byte code + the 8-byte id + ~40 B of JVM entry overhead,
+    // plus 8 B per adjacency edge — the raw floats stream through the
+    // load-time encode and never stay resident. Two narrow count jobs per
+    // publish fingerprint (the HotCodesState discipline).
+    val est =
+      if (e0 != null && e0._1 == key) e0._2
+      else {
+        val v = vectors.count() * (books.length + 48L) + graph.count() * 8L
+        hotPqEst = (key, v); v
+      }
+    if (est > StoreIO.hotBudgetBytes()) return None
+    val flat = graft.operators.ProductQuantizer.flatten(books)
+    val adj = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    graph.select("src", "dst").collect()
+      .groupBy(_.getLong(0))
+      .foreach { case (s0, rows) => adj.put(s0, rows.map(_.getLong(1)).sorted) }
+    val codes = new java.util.HashMap[java.lang.Long, Array[Byte]]()
+    vectors.select("id", "emb").collect().foreach { r =>
+      codes.put(r.getLong(0),
+        graft.functions.PqEncode.encode(r.getSeq[Float](1).toArray, flat,
+          books.length, GraphIndex.PqK))
+    }
+    val h = new HotPqState(key, adj, codes,
+      entryPoints.select("id").orderBy("id").collect().map(_.getLong(0)).toSeq,
+      books, est)
+    hotPq = h
+    Some(h)
+  }
+
+  /** [[queryPq]] with the walk served from JVM-resident PQ codes: the
+    * SAME walk ([[walkVisited]]) over the same ADC doubles
+    * ([[graft.functions.PqAdc.eval]] — identical accumulation order to
+    * the codegen lookup), zero Spark jobs until the bounded exact rerank.
+    * Bit-equal to [[queryPq]] at every depth (spec-pinned). None when the
+    * index has no `_pq` sidecar or the resident code+edge bytes exceed
+    * `graft.hot.maxBytes`. */
+  def hotQueryPq(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
+                 rerank: Int = 64,
+                 entries: Seq[Long] = Seq.empty): Option[Seq[(Long, Double)]] = {
+    require(rerank >= topK, "rerank must be at least topK")
+    hotPqState().map { h =>
+      val lut = graft.operators.ProductQuantizer.adcLut(qe, h.books)
+      val starts = (if (entries.nonEmpty) entries else h.entries).distinct.sorted
+      val visited = walkVisited(
+        id => Option(h.adj.get(id)).getOrElse(Array.empty[Long]),
+        h.codes.containsKey(_),
+        id => graft.functions.PqAdc.eval(h.codes.get(id), lut, GraphIndex.PqK),
         starts, beamWidth, hops)
       val shortIds = visited.take(rerank).map(_._1)
       exactRerank(qe, shortIds, topK)

@@ -1746,7 +1746,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * |union cells|, not Q scans — the embedding-join shape a training
     * pipeline runs (score a whole batch of leaked/query vectors at once). */
   def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
-                 where: Option[Column] = None): DataFrame = {
+                 where: Option[Column] = None,
+                 include: Seq[String] = Nil): DataFrame = {
     require(probes.nonEmpty, "queryBatch needs at least one probe")
     val cents = centroids()
     val probeCells: Seq[(Long, Array[Float], Seq[Long])] = probes.map { case (pid, qe) =>
@@ -1768,8 +1769,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col("probe_id"), col("id"), col("cell").cast("long").as("cell"),
-        col("distance"), col("rn"))
+      .select(col("probe_id") +: col("id") +: include.map(col) :+
+        col("cell").cast("long").as("cell") :+ col("distance") :+ col("rn"): _*)
   }
 }
 

@@ -1279,8 +1279,17 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * `pqM` bytes/vector — the 32× ciphertext-scan story). Either way the
     * quantizer sidecar stores ENCRYPTED: plaintext codebooks/grids beside
     * ciphertext would hand the attacker the quantized geometry. */
+  /** `recallTarget`: serve by POLICY instead of a hand-picked depth —
+    * after the build commit, [[calibrateNprobe]] sweeps probe depths on
+    * a decrypt-bounded self-panel (`calibrateK`/`calibratePanel`) and
+    * the chosen depth persists encrypted beside the sidecars;
+    * [[queryIndexedAuto]] then routes through it. The plaintext
+    * `attachIvfIndex(recallTarget=)` knob, writer-side (only a key
+    * holder can measure recall). */
   def storeIndexed(rows: DataFrame, name: String, numCells: Int,
-                   codes: String = "sq8", pqM: Int = 8): Unit =
+                   codes: String = "sq8", pqM: Int = 8,
+                   recallTarget: Option[Double] = None,
+                   calibrateK: Int = 10, calibratePanel: Int = 64): Unit =
     withEncLease(name, "EncryptedStore.storeIndexed") {
       require(codes == "sq8" || codes == "pq", s"codes must be sq8 or pq, got $codes")
       val v = rows.select(col("id").cast(StringType).as("id"),
@@ -1361,11 +1370,15 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           encMarker(name),
           // a REBUILD resets the append fence (the old generation's folded
           // batch ids must not fence a new stream starting from batch 0),
-          // sweeps the other quantizer's sidecar, and sweeps pending
-          // tombstone dirs — the rebuild's input defines the new truth
-          // (IvfIndex.build's contract)
-          cleanup = Seq(encAppendHwmPath(name), otherSidecar) ++
+          // sweeps the other quantizer's sidecar, sweeps pending tombstone
+          // dirs, and sweeps a stale serving policy (a depth calibrated
+          // against the OLD cells says nothing about the new layout) —
+          // the rebuild's input defines the new truth (IvfIndex.build's
+          // contract)
+          cleanup = Seq(encAppendHwmPath(name), otherSidecar, encPolicyPath(name)) ++
             StoreIO.committedBatchDirs(tombstonePath(name)).map(_.getPath))
+        recallTarget.foreach(t =>
+          persistPolicyUnleased(name, calibrateK, t, calibratePanel): Unit)
       } finally v.unpersist(): Unit
     }
 
@@ -1649,6 +1662,161 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           .orderBy(asc("distance"), asc("id")).limit(k)
     }
   }
+
+  // --------------------------------------- encrypted recall calibration
+
+  /** The EXACT top-`k` members of an encrypted probe WITH their cells —
+    * the sweep's per-probe exact arm, decrypt-bounded exactly like
+    * [[queryIndexedExact]] (probe `probe0` cells for τ, decrypt only the
+    * triangle-inequality survivors; a pre-radii store degrades to the
+    * full decrypt — still exact). `excludeId` drops the self row (the
+    * self-panel convention). Returns (id, cell, distance) sorted
+    * (distance, id). */
+  private def encExactMembers(name: String, qe: Array[Float], k: Int,
+      probe0: Int, excludeId: Option[String]): Seq[(String, Long, Double)] = {
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    def cellsTop(cells: Seq[Long]): Seq[(String, Long, Double)] = {
+      if (cells.isEmpty) return Nil
+      val base = encScanCells(name, qe, cells)
+      excludeId.fold(base)(x => base.filter(col("id") =!= lit(x)))
+        .orderBy(asc("distance"), asc("id")).limit(k)
+        .select(col("id"), col("cell").cast("long"), col("distance"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    val ordered = ExactPrune.orderedCells(cents, qe)
+    encRadiiOf(name) match {
+      case None => cellsTop(ordered.map(_._2))
+      case Some(rm) =>
+        val p0 = ExactPrune.clampProbe(probe0, ordered.length)
+        val probed = ordered.take(p0).map(_._2)
+        val top = cellsTop(probed)
+        // τ from the EXCLUDED probe is an upper bound on the excluded
+        // problem's kth distance — exclusion can only widen τ, so the
+        // survivor set still provably contains the exact answer
+        val tau = ExactPrune.tauOf(top.map(_._3), k)
+        val rest = ExactPrune.survivors(ordered.drop(p0), rm, tau)
+        (top ++ cellsTop(rest)).sortBy { case (id, _, d) => (d, id) }.take(k)
+    }
+  }
+
+  /** [[graft.store.IvfIndex.calibrationPanel]]'s encrypted twin — the
+    * SAME rows the plaintext twin would draw: the store's trainer spine
+    * is kid = xxhash64(string id), so ordering by (xxhash64(kid), kid)
+    * selects row-for-row the panel an [[IvfIndex]] built over the
+    * xxhash64-keyed rows would (EncryptedIndexSpec pins the equivalence).
+    * Decrypts exactly `panelCap` embedding cells. */
+  def calibrationPanel(name: String, panelCap: Int): Seq[(String, Array[Float])] = {
+    val kid = xxhash64(col("id"))
+    liveRaw(name)
+      .orderBy(xxhash64(kid), kid).limit(panelCap)
+      .select(col("id"),
+        from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+      .collect().map(r => (r.getString(0), r.getSeq[Float](1).toArray)).toSeq
+  }
+
+  /** Recall@`k` of every probe depth in `ladder` against the EXACT
+    * answer, on CIPHERTEXT — [[graft.store.IvfIndex.calibrationSweep]]'s
+    * encrypted twin, runnable only by a key holder (the writer): the
+    * per-probe exact arm is the triangle-pruned exact probe
+    * ([[encExactMembers]] — decrypts candidate cells only, never the
+    * corpus), and every depth's hits come from the SAME nesting lemma as
+    * the plaintext sweep — an exact member e is in depth p's top-k IFF
+    * its cell's rank in the probe's centroid order is ≤ p, so hits(p) is
+    * pure driver arithmetic over the members' cells. Total decrypt
+    * volume: panel × (probe0 + surviving) cells. Exact integer hit
+    * counts; returns (nprobe, hits, probes, recall) ordered by nprobe. */
+  def calibrationSweep(name: String, panel: Seq[(String, Array[Float])], k: Int,
+                       ladder: Seq[Int],
+                       excludeSelf: Boolean = false): DataFrame = {
+    require(panel.nonEmpty, "calibration needs a non-empty probe panel")
+    require(panel.length <= 4096, "calibration panel is index-metadata scale")
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val steps = ladder.distinct.sorted
+    require(steps.nonEmpty && steps.head >= 1 && steps.last <= cents.length,
+      s"ladder must sit in [1, ${cents.length}]")
+    val perProbe: Seq[Seq[Int]] = panel.map { case (pid, pe) =>
+      val crank: Map[Long, Int] = ExactPrune.orderedCells(cents, pe)
+        .zipWithIndex.map { case ((_, cid), r) => cid -> (r + 1) }.toMap
+      encExactMembers(name, pe, k, probe0 = 4,
+        excludeId = if (excludeSelf) Some(pid) else None)
+        .map { case (_, cell, _) => crank(cell) }
+    }
+    val rows = steps.map { p =>
+      val hits = perProbe.map(_.count(_ <= p)).sum
+      (p, hits.toLong, panel.length.toLong,
+        new java.math.BigDecimal(hits.toDouble / (panel.length * k))
+          .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+    spark.createDataFrame(rows).toDF("nprobe", "hits", "probes", "recall")
+  }
+
+  /** The SMALLEST ladder depth whose panel recall@`k` meets `target` —
+    * [[graft.store.IvfIndex.calibrateNprobe]]'s encrypted twin (the
+    * self-panel, the default power-of-two ladder whose numCells rung is
+    * exact by construction, the fail-loud unreachable-target contract).
+    * Only a key holder can run it; serving itself stays on ciphertext. */
+  def calibrateNprobe(name: String, k: Int, target: Double,
+                      panelCap: Int = 64, ladder: Seq[Int] = Nil): Int = {
+    require(target > 0 && target <= 1.0, s"recall target must be in (0, 1]: $target")
+    val numCells = centroidsOf(name).length
+    require(numCells > 0, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val steps =
+      if (ladder.nonEmpty) ladder
+      else (Iterator.iterate(1)(_ * 2).takeWhile(_ < numCells).toSeq :+ numCells)
+    val sweep = calibrationSweep(name, calibrationPanel(name, panelCap), k, steps,
+        excludeSelf = true)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    sweep.collectFirst { case (p, rec) if rec >= target => p }
+      .getOrElse(sys.error(
+        s"no ladder depth reaches recall $target (deepest rung " +
+          s"${steps.max} measured ${sweep.last._2}) — include numCells " +
+          "(the exact rung, recall 1.0) in the ladder or lower the target"))
+  }
+
+  private def encPolicyPath(name: String) = s"$basePath/__enc_policy/$name"
+
+  /** The persisted calibrated serving depth, if [[storeIndexed]] was
+    * given a `recallTarget` (or [[persistCalibratedNprobe]] ran) —
+    * encrypted like every sidecar; None on a store with no policy. */
+  def calibratedNprobe(name: String): Option[Int] =
+    if (!new java.io.File(s"${encPolicyPath(name)}/_SUCCESS").exists()) None
+    else Some(
+      spark.read.parquet(encPolicyPath(name))
+        .select(decryptStr(col("nprobe_ct")).cast("int")).head().getInt(0))
+
+  private def persistPolicyUnleased(name: String, k: Int, target: Double,
+                                    panelCap: Int): Int = {
+    val depth = calibrateNprobe(name, k, target, panelCap)
+    val df = spark.createDataFrame(Seq(Tuple1(depth.toString)))
+      .toDF("nprobe_j")
+      .select(encrypt(col("nprobe_j")).as("nprobe_ct"))
+    StoreIO.commitStaged(Seq(
+      StoreIO.Staged(s"${encPolicyPath(name)}__stage", encPolicyPath(name),
+        st => df.write.mode("overwrite").parquet(st))),
+      encMarker(name))
+    depth
+  }
+
+  /** Calibrate and persist the routed serving depth for `name` — the
+    * policy half of `storeIndexed(recallTarget = ...)`, callable on its
+    * own to (re)calibrate an existing store after drift or appends. */
+  def persistCalibratedNprobe(name: String, k: Int, target: Double,
+                              panelCap: Int = 64): Int =
+    withEncLease(name, "EncryptedStore.persistCalibratedNprobe") {
+      persistPolicyUnleased(name, k, target, panelCap)
+    }
+
+  /** [[queryIndexed]] at the PERSISTED calibrated depth — serve by
+    * policy ("recall ≥ R") instead of a hand-picked nprobe, the
+    * plaintext `attachIvfIndex(recallTarget=)` routing on ciphertext.
+    * Fails loudly when no policy was ever calibrated. */
+  def queryIndexedAuto(name: String, queryEmb: Array[Float], k: Int): DataFrame =
+    queryIndexed(name, queryEmb, k,
+      calibratedNprobe(name).getOrElse(sys.error(
+        s"$name has no calibrated serving policy — storeIndexed(recallTarget = ...) " +
+          "or persistCalibratedNprobe() first")))
 
   /** The cells an encrypted range probe must decrypt: centroid lower
     * bound within `radius` (every cell without radii metadata). */

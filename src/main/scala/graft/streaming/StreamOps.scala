@@ -354,6 +354,39 @@ object StreamOps {
       .start()
   }
 
+  /** SEMANTIC streaming percolation — [[percolate]] lifted to embedding
+    * space: every arriving micro-batch chunks + hash-embeds and is
+    * matched against the STANDING query-vector registry
+    * ([[graft.operators.Percolate.semanticMatches]] — profiles
+    * (profile_id, pe, theta) broadcast, θ filtered before the
+    * aggregation), emitting (profile_id, doc_id, score, n_hits) alerts
+    * under batch-keyed dirs (a replayed checkpointed batch rewrites its
+    * own dir → exactly-once output contents). Stateless per batch — a
+    * document's verdicts depend only on its own chunks — so stream ≡
+    * batch is by construction, and spec-pinned anyway. This is the
+    * "alert when something ABOUT X arrives" stage of a production
+    * ingest: paraphrase-proof subscriptions fire AS docs arrive, never
+    * by re-scanning the corpus. */
+  def semanticPercolate(spark: SparkSession, srcDir: String, profiles: DataFrame,
+                        window: Int, stride: Int, dim: Int,
+                        outDir: String, checkpoint: String): StreamingQuery = {
+    // registry validation ONCE at stream start — not a Spark job per batch
+    graft.operators.Percolate.validateSemantic(profiles)
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Percolate
+          .semanticMatchesValidated(batch, profiles, window, stride, dim,
+            "doc_id", "text")
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** [[maintainIvfIndex]]'s ENCRYPTED twin — streaming ingest into the
     * reference's secure path (cyborgdb_store.py:1-11): each micro-batch
     * hash-embeds, then

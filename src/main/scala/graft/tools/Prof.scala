@@ -75,8 +75,9 @@ object Prof {
     case Some("encexact") => encexact(args.drop(1))
     case Some("textserve") => textserve(args.drop(1))
     case Some("r9") => r9(args.drop(1))
+    case Some("r10") => r10(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10")
   }
 
   /** Round-9 surfaces at scale: recall calibration (cost ≈ one panel
@@ -84,6 +85,41 @@ object Prof {
     * codes-fit window), chunk→doc RAG retrieval, and the in-place
     * positional upgrade (cost tracks the OLD generations, not the
     * corpus — measured at two pre-gen fractions over one fixed corpus). */
+  /** Round-10 stress rows: index-routed RAG serving (q_rag_indexed's
+    * pipeline) — the claim under test is that WARM ROUTED retrieval is
+    * ~flat across 20x/100x (probed-cell bytes, never the corpus) while
+    * the exact arm (r9_rag_*) grows linearly with chunk volume. Build
+    * and calibration are attach-time, reported separately. */
+  private def r10(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val sq = graft.queries.SearchQueries
+    val nd = s.read.parquet(s"$dir/documents.parquet").count()
+    val nTag = s"(docs=$nd)"
+    val (idx, probes) = time("r10_rag_build", nTag)(
+      (sq.ragBuildIndex(s, dir), sq.ragProbePanel(s)))
+    println(s"PROF r10_rag_chunks n=${sq.ragChunks(s, dir).count()} $nTag")
+    val depth = time("r10_rag_calibrate", nTag)(sq.ragCalibrate(idx, probes))
+    println(s"PROF r10_rag_depth nprobe=$depth of ${idx.numCells} $nTag")
+    def serveOnce(d: Int): Unit =
+      sq.ragServeIndexed(s, idx, probes, d)
+        .write.format("noop").mode("overwrite").save()
+    time("r10_rag_serve_cold", nTag)(serveOnce(depth))
+    (1 to 2).foreach(i => time(s"r10_rag_serve_warm$i", nTag)(serveOnce(depth)))
+    // the DEPLOYMENT policy (recall ~0.9, the attachIvfIndex(recallTarget=)
+    // shape): constant rung count over constant-size cells = flat bytes —
+    // the serving number that must NOT grow 20x -> 100x
+    val kk = sq.RagChunkK + sq.RagCosMargin
+    val ladder = Iterator.iterate(1)(_ * 2).takeWhile(_ < idx.numCells).toSeq :+ idx.numCells
+    val d90 = idx.calibrationSweep(probes, kk, ladder).collect()
+      .collectFirst { case r if r.getDouble(3) >= 0.9 => r.getInt(0) }
+      .getOrElse(idx.numCells)
+    println(s"PROF r10_rag_depth90 nprobe=$d90 of ${idx.numCells} $nTag")
+    time("r10_rag_serve90_cold", nTag)(serveOnce(d90))
+    (1 to 2).foreach(i => time(s"r10_rag_serve90_warm$i", nTag)(serveOnce(d90)))
+    s.stop()
+  }
+
   private def r9(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale20")
     val s = session(32)

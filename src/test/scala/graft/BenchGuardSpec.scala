@@ -55,6 +55,12 @@ class BenchGuardSpec extends AnyFunSuite {
       Some(Map("build" -> 9.0, "probe" -> 0.3, "rerank" -> 0.2)),
       Some(Map("build" -> 1.0, "probe" -> 0.25, "rerank" -> 0.2)))
     assert(math.abs(pn - 0.5) < 1e-9 && math.abs(pb - 0.45) < 1e-9 && ok)
+    // build-PREFIXED phases are build-side: q_rag_indexed's attach-time
+    // calibration sweep must not pollute the serving sum
+    val Some((cn, cb, cok)) = Bench.probeVerdict(
+      Some(Map("build" -> 9.0, "build_calibrate" -> 4.0, "probe" -> 0.3)),
+      Some(Map("build" -> 1.0, "build_calibrate" -> 0.9, "probe" -> 0.28)))
+    assert(math.abs(cn - 0.3) < 1e-9 && math.abs(cb - 0.28) < 1e-9 && cok)
   }
 
   test("even-count medians take the lower middle (the reps=1 confirmation run can clear a flag)") {

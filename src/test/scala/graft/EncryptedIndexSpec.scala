@@ -453,4 +453,61 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     assert(es.selfJoinIndexed("c", radius = 100.0).isEmpty)
     assert(es.extractSecure("c").isEmpty)
   }
+
+  test("recall-target calibration: encrypted sweep == plaintext sweep on the same data; policy persists, routes, and sweeps on rebuild") {
+    val base = tmp("enc_cal")
+    val es = new EncryptedStore(spark, base, Key)
+    val rows = rowsOf(1 to 400)
+    es.storeIndexed(rows, "c", numCells = 8)
+    // the plaintext twin over the SAME rows on the SAME trainer spine
+    // (kid = xxhash64(string id)) — identical deterministic centroids,
+    // so the sweeps are comparable hit-for-hit
+    val plain = new graft.store.IvfIndex(spark, tmp("enc_cal_plain"), 8)
+    plain.build(rows.select(xxhash64(col("id")).as("id"), col("emb")))
+    val ladder = Seq(1, 2, 4, 8)
+    def sweepRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // an EXTERNAL panel shared verbatim by both twins
+    val panelE = (500 to 507).map(i => (s"p$i", probe(i)))
+    val panelP = panelE.zipWithIndex.map { case ((_, pe), i) => (i.toLong, pe) }
+    val se = sweepRows(es.calibrationSweep("c", panelE, k = 5, ladder))
+    val sp = sweepRows(plain.calibrationSweep(panelP, k = 5, ladder))
+    assert(se == sp,
+      s"encrypted sweep must equal the plaintext sweep hit-for-hit: $se vs $sp")
+    assert(se.last._4 == 1.0, "the numCells rung is exact by construction")
+    assert(se.map(_._2) == se.map(_._2).sorted, "hits are monotone in depth")
+    // the self-panel POLICY picks the same depth as the plaintext twin
+    // (same panel rows by construction — the kid-order discipline)
+    val dE = es.calibrateNprobe("c", k = 5, target = 0.9, panelCap = 16)
+    val dP = plain.calibrateNprobe(k = 5, target = 0.9, panelCap = 16)
+    assert(dE == dP, s"calibrated depth: encrypted $dE vs plaintext $dP")
+    // storeIndexed(recallTarget=) persists the policy; auto-routing uses it
+    es.storeIndexed(rows, "c2", numCells = 8,
+      recallTarget = Some(0.9), calibrateK = 5, calibratePanel = 16)
+    val d2 = es.calibratedNprobe("c2")
+    assert(d2.contains(dE), s"same data, same panel discipline: $d2 vs $dE")
+    val auto = got(es.queryIndexedAuto("c2", probe(7), k = 8))
+    assert(auto == got(es.queryIndexed("c2", probe(7), k = 8, nprobe = dE)) &&
+      auto.nonEmpty)
+    // the policy survives a reopen (persisted ciphertext, not session state)
+    val reopened = new EncryptedStore(spark, base, Key)
+    assert(reopened.calibratedNprobe("c2").contains(dE))
+    // a REBUILD without a target sweeps the stale policy (old-cell depths
+    // say nothing about the new layout) and auto-routing fails loudly
+    es.storeIndexed(rows, "c2", numCells = 8)
+    assert(es.calibratedNprobe("c2").isEmpty)
+    val ex = intercept[RuntimeException](
+      es.queryIndexedAuto("c2", probe(7), k = 5))
+    assert(ex.getMessage.contains("no calibrated serving policy"), ex.getMessage)
+    // an unreachable target fails loudly (guarded: only when the shallow
+    // rung really is short of the target on this fixture)
+    val shallow = sweepRows(es.calibrationSweep("c",
+      es.calibrationPanel("c", 16), k = 5, Seq(1), excludeSelf = true))
+    if (shallow.last._4 < 1.0) {
+      val ex2 = intercept[RuntimeException](
+        es.calibrateNprobe("c", k = 5, target = 1.0, panelCap = 16, ladder = Seq(1)))
+      assert(ex2.getMessage.contains("no ladder depth"), ex2.getMessage)
+    }
+  }
 }

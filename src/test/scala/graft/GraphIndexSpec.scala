@@ -404,6 +404,83 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     small.unpersist(): Unit
   }
 
+  test("PQ quantized serving: full-depth == exact; hot == cold; admission counts PQ code bytes") {
+    val small = all.filter(col("id") <= 300).persist()
+    val n = small.count().toInt
+    val base = java.nio.file.Files.createTempDirectory("graft_gidx_pq").toString
+    val idx = new GraphIndex(spark, base, K,
+      Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
+    val pqM = 8
+    idx.build(small, refineRounds = 1, codes = "pq", pqM = pqM)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // FULL beam + full rerank: the walk visits every reachable node under
+    // ANY metric, so the PQ path is bit-equal to the exact walk
+    val exactFull = rows(idx.query(probe, topK = 5, beamWidth = n, hops = n))
+    val pqFull = rows(idx.queryPq(probe, topK = 5, beamWidth = n,
+      hops = n, rerank = n))
+    assert(pqFull == exactFull,
+      "full-beam + full-rerank PQ must be bit-equal to the exact walk")
+    // the SQ8 sidecar coexists: the same build serves both quantized tiers
+    assert(rows(idx.queryQuantized(probe, 5, n, n, rerank = n)) == exactFull,
+      "a pq-built index keeps the SQ8 tier serving")
+    // hot == cold bit-for-bit at several serving depths (same walk, same
+    // driver-twin ADC doubles, same exact rerank)
+    for ((bw, hp, rr) <- Seq((4, 3, 8), (8, 4, 16), (2, 6, 5))) {
+      val cold = rows(idx.queryPq(probe, 5, bw, hp, rerank = rr))
+      val hot = idx.hotQueryPq(probe, 5, bw, hp, rerank = rr)
+      assert(hot.isDefined && hot.get == cold, s"bw=$bw hops=$hp rerank=$rr")
+    }
+    // recall at a serving depth vs brute force (recorded, not asserted)
+    val brute = small.withColumn("d", VF.l2Sq(col("emb"), typedlit(probe)))
+      .orderBy(asc("d"), asc("id")).limit(5).collect().map(_.getLong(0)).toSet
+    val served = rows(idx.queryPq(probe, 5, beamWidth = 8, hops = 6,
+      rerank = 32)).map(_._1)
+    info(s"recall@5 at bw=8 hops=6 rerank=32: pq=${served.count(brute)}/5 " +
+      s"(PQ at m=$pqM over 64 dims is the coarsest tier; the bounded " +
+      s"exact rerank is what recovers precision)")
+    // ADMISSION COUNTS PQ CODE BYTES: pqM bytes/vector — the budget
+    // window sits BELOW the SQ8 estimate (dim bytes/vector), which is
+    // the whole point of the tier
+    val dim = probe.length
+    val nEdges = idx.graph.count()
+    val est = n.toLong * (pqM + 48L) + nEdges * 8L
+    val sq8Est = n.toLong * (dim + 48L) + nEdges * 8L
+    assert(est < sq8Est, "the PQ window must undercut the SQ8 estimate")
+    withBudget(est) {
+      assert(idx.hotQueryPq(probe, 5, 4, 3, rerank = 8).isDefined,
+        "codes fit exactly at the estimate: must serve hot")
+      assert(idx.hotQueryQuantized(probe, 5, 4, 3, rerank = 8).isEmpty,
+        "the same budget refuses the fatter SQ8 tier — 8x more corpus " +
+          "serves hot through PQ under one admission knob")
+    }
+    withBudget(est - 1) {
+      assert(idx.hotQueryPq(probe, 5, 4, 3, rerank = 8).isEmpty,
+        "one byte under the code estimate: must refuse")
+    }
+    // mutation invalidation: a delete flips the publish key; hot reloads
+    // and stays bit-equal to cold, and the dead id is gone
+    val dead = pqFull.head._1
+    idx.delete(Seq(dead))
+    val coldAfter = rows(idx.queryPq(probe, 5, 8, 4, rerank = 16))
+    val hotAfter = idx.hotQueryPq(probe, 5, 8, 4, rerank = 16)
+    assert(hotAfter.isDefined && hotAfter.get == coldAfter)
+    assert(!coldAfter.exists(_._1 == dead), "a tombstoned id must stop serving")
+    // an index without the _pq sidecar refuses diagnosably (and the
+    // plain-SQ8 build is exactly such an index)
+    val sidecar = new java.io.File(s"$base/_pq")
+    val stash = new java.io.File(s"$base/_pq_stash")
+    assert(sidecar.renameTo(stash))
+    try {
+      val ex = intercept[RuntimeException](
+        idx.queryPq(probe, 5, 4, 3).collect())
+      assert(ex.getMessage.contains("rebuild"), ex.getMessage)
+      assert(idx.hotQueryPq(probe, 5, 4, 3).isEmpty,
+        "the hot tier refuses (None) rather than inventing codebooks")
+    } finally { stash.renameTo(sidecar): Unit }
+    small.unpersist(): Unit
+  }
+
   test("beam calibration: sweep equals an independent hot-walk replay; policy picks the smallest qualifying width; unreachable targets fail loudly") {
     val small = all.filter(col("id") <= 400).persist()
     val idx = new GraphIndex(spark,

@@ -885,4 +885,53 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](
       graft.operators.Percolate.matches(tiny, nullInner))
   }
+
+  test("semantic percolation: stream equals batch incl. replay; dead registries rejected") {
+    import graft.queries.SearchQueries
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val profiles = SearchQueries.semPercProfilesDf(spark)
+    val srcDir = tmp(); val outDir = tmp(); val ckpt = tmp()
+    // TWO source files so the stream sees real micro-batch boundaries
+    docs.filter(col("doc_id") % 2 === 0).write.mode("overwrite").parquet(srcDir)
+    docs.filter(col("doc_id") % 2 =!= 0).write.mode("append").parquet(srcDir)
+    StreamOps.semanticPercolate(spark, srcDir, profiles,
+      SearchQueries.RagWindow, SearchQueries.RagStride, SearchQueries.EmbDim,
+      outDir, ckpt).awaitTermination()
+    def alerts(df: org.apache.spark.sql.DataFrame) =
+      df.select("profile_id", "doc_id", "score", "n_hits").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+    val got = alerts(spark.read.parquet(outDir))
+    val want = alerts(graft.operators.Percolate.semanticMatches(
+      docs.select("doc_id", "text"), profiles,
+      SearchQueries.RagWindow, SearchQueries.RagStride, SearchQueries.EmbDim))
+    assert(got == want, "streamed semantic alerts must equal the batch matcher")
+    assert(want.nonEmpty && want.map(_._1).size > 1,
+      "the fixture registry must fire on more than one profile")
+    assert(want.forall { case (pid, _, score, n) =>
+      n >= 1 && score >= SearchQueries.SemPercProfiles
+        .find(_._1 == pid).get._3
+    }, "every alert's max score must clear its own profile's theta")
+    // a replayed stream (fresh checkpoint, same source) rewrites the same
+    // batch-keyed dirs — identical alert set
+    StreamOps.semanticPercolate(spark, srcDir, profiles,
+      SearchQueries.RagWindow, SearchQueries.RagStride, SearchQueries.EmbDim,
+      outDir, tmp()).awaitTermination()
+    assert(alerts(spark.read.parquet(outDir)) == want, "replay must be idempotent")
+    // dead registries are rejected loudly at registration
+    val zero = Seq((9L, Array.fill(4)(0f).toSeq, 0.5)).toDF("profile_id", "pe", "theta")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.semanticMatches(
+        docs.select("doc_id", "text"), zero, 8, 4, 4))
+    val badTheta = Seq((9L, Seq(1f, 0f), 1.5)).toDF("profile_id", "pe", "theta")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.semanticMatches(
+        docs.select("doc_id", "text"), badTheta, 8, 4, 2))
+    val dup = Seq((9L, Seq(1f, 0f), 0.5), (9L, Seq(0f, 1f), 0.5))
+      .toDF("profile_id", "pe", "theta")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.semanticMatches(
+        docs.select("doc_id", "text"), dup, 8, 4, 2))
+  }
 }
