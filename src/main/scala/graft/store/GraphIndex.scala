@@ -235,9 +235,12 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * product-quantizer codebooks over the build input and freezes them as
     * a `_pq` sidecar beside the always-written `_sq8` stats — the PQ
     * serving tier ([[queryPq]]/[[hotQueryPq]]) packs a vector into `pqM`
-    * bytes (32x under 4·dim raw floats at dim 64, 8x under SQ8), so the
-    * same `graft.hot.maxBytes` admission budget serves 8x more corpus
-    * hot than the SQ8 tier. Unlike [[IvfIndex.build]]'s either/or
+    * bytes (8x under SQ8's dim bytes, 32x under raw floats), so the same
+    * `graft.hot.maxBytes` admission budget serves several times more
+    * corpus hot than the SQ8 tier (the code-byte ratio is 8x; the
+    * resident-entry overhead — ids, map entries, edges — dilutes the
+    * whole-budget ratio to ~2x at the 64-dim fixtures and ~8x at a real
+    * 384-dim deployment). Unlike [[IvfIndex.build]]'s either/or
     * quantizer, the graph keeps BOTH sidecars: codes are derived at
     * serving time from frozen stats, never stored per row, so the extra
     * sidecar costs one training pass at build and dim+pqM·256 rows of
@@ -890,10 +893,11 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
 
   // --------------------------------------- quantized serving (PQ codes)
 
-  /** JVM-resident PQ CODES + adjacency — [[HotCodesState]]'s 8x-smaller
-    * sibling: `pqM` bytes/vector instead of 1 byte/dim, so the same
-    * `graft.hot.maxBytes` admission budget serves 8x more corpus hot
-    * than SQ8 (32x more than raw floats). Codes derive at load time from
+  /** JVM-resident PQ CODES + adjacency — [[HotCodesState]]'s smaller
+    * sibling: `pqM` bytes/vector instead of 1 byte/dim (8x fewer code
+    * bytes at dim 64; the whole-budget admission win is ~2x at 64 dims
+    * and approaches 8x at a real 384-dim deployment, where the code
+    * bytes dominate the per-entry overhead). Codes derive at load time from
     * the frozen `_pq` codebooks through the SAME argmin arithmetic as
     * the scan encode ([[graft.functions.PqEncode.encode]]), so hot ≡
     * cold bit-for-bit. */

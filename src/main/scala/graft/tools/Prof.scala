@@ -76,8 +76,10 @@ object Prof {
     case Some("textserve") => textserve(args.drop(1))
     case Some("r9") => r9(args.drop(1))
     case Some("r10") => r10(args.drop(1))
+    case Some("onnx") => onnx(args.drop(1))
+    case Some("graphpq") => graphpq(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10|onnx|graphpq")
   }
 
   /** Round-9 surfaces at scale: recall calibration (cost ≈ one panel
@@ -85,6 +87,104 @@ object Prof {
     * codes-fit window), chunk→doc RAG retrieval, and the in-place
     * positional upgrade (cost tracks the OLD generations, not the
     * corpus — measured at two pre-gen fractions over one fixed corpus). */
+  /** GraphIndex PQ serving at scale: build with `codes = "pq"`, pin the
+    * hot budget INSIDE the PQ-codes-fit window (above the PQ estimate,
+    * below the SQ8 estimate — the budget at which ONLY the PQ tier
+    * admits), and measure cold/warm hot serving plus the cold Spark
+    * walk. Pass criteria across /tmp/scale20 vs /tmp/scale100: warm PQ
+    * hot serving ~flat (walk-bounded, corpus-invariant), admission math
+    * 8x under the SQ8 tier's. */
+  private def graphpq(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val vectors = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val n = vectors.count()
+    val nTag = s"(n=$n)"
+    val bits = scaledBits(n)
+    val gbase = java.nio.file.Files.createTempDirectory("scale_r10_gpq").toString
+    val pqM = 8
+    val gidx = new GraphIndex(s, gbase, k = 8,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
+    time("r10_graphpq_build", nTag)(gidx.build(vectors, codes = "pq", pqM = pqM))
+    val qe = vectors.filter(col("id") === 17).head().getSeq[Float](1).toArray
+    val nEdges = gidx.graph.count()
+    val estPq = n * (pqM + 48L) + nEdges * 8L
+    val estSq8 = n * (qe.length + 48L) + nEdges * 8L
+    println(s"PROF r10_graphpq_window pq_est=$estPq sq8_est=$estSq8 $nTag")
+    val prev = System.getProperty("graft.hot.maxBytes")
+    System.setProperty("graft.hot.maxBytes", estPq.toString)
+    try {
+      require(gidx.hotQueryQuantized(qe, 5, 8, 4, rerank = 64).isEmpty,
+        "inside the window the SQ8 tier must refuse")
+      time("r10_graphpq_hot_cold", nTag)(
+        require(gidx.hotQueryPq(qe, 5, 8, 4, rerank = 64).isDefined))
+      (1 to 2).foreach { i =>
+        time(s"r10_graphpq_hot_warm$i", nTag)(
+          gidx.hotQueryPq(qe, 5, 8, 4, rerank = 64): Unit)
+      }
+    } finally {
+      if (prev == null) System.clearProperty("graft.hot.maxBytes")
+      else System.setProperty("graft.hot.maxBytes", prev)
+    }
+    time("r10_graphpq_coldq", nTag)(
+      gidx.queryPq(qe, 5, 8, 4, rerank = 64).collect(): Unit)
+    s.stop()
+  }
+
+  /** Transformer-embed throughput envelope (r9 verdict stretch): batched
+    * [[graft.functions.OnnxTransformerEmbedder]] encode throughput on the
+    * hermetic mini-BERT (TinyBert — one real transformer block, h=8) over
+    * a corpus-derived WordPiece vocab, at three batch sizes on a fixed
+    * 20k-doc slice plus one full-corpus row. The number that decides the
+    * 100 TB ingest design: executor-side transformer inference per doc vs
+    * one-time pre-computed embeddings (a real MiniLM at h=384/6 layers
+    * costs ~3 orders more FLOPs per token than this block — scale the
+    * measured docs/s down by (384/8)²·6 for the deployment estimate). */
+  private def onnx(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    val nTag = s"(docs=$nd)"
+    // corpus-frequent WordPiece vocab (whole words; misses UNK) — the
+    // tokenizer exercises real greedy matching over real text
+    val top = docs.select(explode(TF.tokens(col("text"))).as("t"))
+      .groupBy("t").count().orderBy(desc("count"), asc("t")).limit(1000)
+      .collect().map(_.getString(0))
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ top
+    val vp = java.nio.file.Files.createTempFile("graft_onnx_vocab", ".txt")
+    java.nio.file.Files.write(vp, vocab.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val w = graft.functions.TinyBert.weights(
+      vocabN = vocab.length, maxLen = 64, h = 8, heads = 2, seed = 11)
+    val mp = java.nio.file.Files.createTempFile("graft_onnx_bert", ".onnx")
+    java.nio.file.Files.write(mp, graft.functions.TinyBert.model(w))
+    val sliceN = math.min(20000L, nd)
+    val slice = docs.orderBy("doc_id").limit(sliceN.toInt).persist()
+    slice.count(): Unit
+    for (bs <- Seq(8, 32, 128)) {
+      val emb = graft.functions.OnnxTransformerEmbedder(
+        mp.toString, vp.toString, dim = 8, maxLen = 64, batchSize = bs)
+      val t0 = System.nanoTime()
+      emb.embed(slice, "text", "e")
+        .write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"PROF onnx_embed_bs$bs%-18s $sec%8.2f s " +
+        f"(${sliceN / sec}%.0f docs/s over $sliceN docs, 32 threads)")
+    }
+    slice.unpersist(): Unit
+    // the full-corpus scaling row at the middle batch size
+    val emb = graft.functions.OnnxTransformerEmbedder(
+      mp.toString, vp.toString, dim = 8, maxLen = 64, batchSize = 32)
+    val t0 = System.nanoTime()
+    emb.embed(docs, "text", "e")
+      .write.format("noop").mode("overwrite").save()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"PROF onnx_embed_corpus    $sec%8.2f s (${nd / sec}%.0f docs/s) $nTag")
+    s.stop()
+  }
+
   /** Round-10 stress rows: index-routed RAG serving (q_rag_indexed's
     * pipeline) — the claim under test is that WARM ROUTED retrieval is
     * ~flat across 20x/100x (probed-cell bytes, never the corpus) while

@@ -451,7 +451,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
       assert(idx.hotQueryPq(probe, 5, 4, 3, rerank = 8).isDefined,
         "codes fit exactly at the estimate: must serve hot")
       assert(idx.hotQueryQuantized(probe, 5, 4, 3, rerank = 8).isEmpty,
-        "the same budget refuses the fatter SQ8 tier — 8x more corpus " +
+        "the same budget refuses the fatter SQ8 tier — more corpus " +
           "serves hot through PQ under one admission knob")
     }
     withBudget(est - 1) {

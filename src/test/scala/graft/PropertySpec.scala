@@ -4,6 +4,7 @@ import graft.attack.Inversion
 import graft.functions.TextHashOps
 import graft.operators.GroupedTopK
 import graft.operators.GroupedTopK.Scored
+import graft.functions.TinyBert
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Property-style invariants over seeded random inputs (SURVEY §5.3).

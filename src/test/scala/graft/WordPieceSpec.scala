@@ -43,6 +43,37 @@ class WordPieceSpec extends AnyFunSuite {
       "over-100-char words short-circuit to UNK (BertTokenizer's max_input_chars_per_word)")
   }
 
+  test("published reference vectors (BERT tokenization test suite) over the in-tree vocab artifact") {
+    // The PUBLISHED parity cases — the reference vectors from the BERT
+    // repo's tokenization test (reproduced in the HF BertTokenizer test
+    // suite), run against an in-tree vocab.txt artifact through the real
+    // file-loading path, so tokenizer parity is demonstrable in CI
+    // without the 90 MB MiniLM model (the env-gated OnnxTransformerSpec
+    // end-to-end check remains for WEIGHT parity).
+    val ref = WordPiece.fromFile(
+      getClass.getResource("/wordpiece_ref_vocab.txt").getPath)
+    // FullTokenizer case: lowercase + accent strip + punctuation split +
+    // greedy wordpiece, end to end
+    assert(ref.tokenize("UNwantéd,running") ==
+      Seq("un", "##want", "##ed", ",", "runn", "##ing"))
+    assert(ref.tokenize("") == Nil)
+    // encode ids are the artifact's line numbers, CLS/SEP-wrapped
+    assert(ref.encode("UNwantéd,running").toSeq ==
+      Seq(1L, 7L, 4L, 5L, 10L, 8L, 9L, 2L))
+    // WordpieceTokenizer cases (published vocab slice, per basic token)
+    assert(ref.wordpiece("unwanted") == Seq("un", "##want", "##ed"))
+    assert(ref.wordpiece("running") == Seq("runn", "##ing"))
+    assert(ref.wordpiece("unwantedx") == Seq("[UNK]"),
+      "one uncovered char UNKs the whole word")
+    // BasicTokenizer cases
+    assert(WordPiece.basicTokenize(" \tHeLLo!how  \n Are yoU?  ") ==
+      Seq("hello", "!", "how", "are", "you", "?"))
+    assert(WordPiece.basicTokenize("ah博推zz") ==
+      Seq("ah", "博", "推", "zz"),
+      "CJK ideographs isolate as single tokens")
+    assert(WordPiece.basicTokenize("Héllo") == Seq("hello"))
+  }
+
   test("encode: CLS/SEP wrap, id mapping, truncation") {
     val ids = wp.encode("Hello world, don't!")
     // [CLS] hello world , [UNK] ' t ! [SEP] — ',' and '!' are not in vocab -> UNK
