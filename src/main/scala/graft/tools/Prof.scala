@@ -78,8 +78,9 @@ object Prof {
     case Some("r10") => r10(args.drop(1))
     case Some("onnx") => onnx(args.drop(1))
     case Some("graphpq") => graphpq(args.drop(1))
+    case Some("semperc") => semperc(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10|onnx|graphpq")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10|onnx|graphpq|semperc")
   }
 
   /** Round-9 surfaces at scale: recall calibration (cost ≈ one panel
@@ -87,6 +88,26 @@ object Prof {
     * codes-fit window), chunk→doc RAG retrieval, and the in-place
     * positional upgrade (cost tracks the OLD generations, not the
     * corpus — measured at two pre-gen fractions over one fixed corpus). */
+  /** Semantic percolation at scale (the q_percolate_semantic matcher):
+    * one chunk+embed corpus pass × broadcast registry, θ filtered before
+    * the (profile, doc) aggregation. Pass criteria across /tmp/scale20
+    * vs /tmp/scale100: time tracks the corpus ~linearly (the chunk scan)
+    * with alert volume riding along — never doc×profile. */
+  private def semperc(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val sq = graft.queries.SearchQueries
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val nd = docs.count()
+    val nTag = s"(docs=$nd)"
+    val profiles = sq.semPercProfilesDf(s)
+    def once(): Long = graft.operators.Percolate.semanticMatches(
+      docs, profiles, sq.RagWindow, sq.RagStride, sq.EmbDim).count()
+    time("semperc_cold", nTag)(println(s"PROF semperc_alerts n=${once()} $nTag"))
+    (1 to 2).foreach(i => time(s"semperc_warm$i", nTag)(once(): Unit))
+    s.stop()
+  }
+
   /** GraphIndex PQ serving at scale: build with `codes = "pq"`, pin the
     * hot budget INSIDE the PQ-codes-fit window (above the PQ estimate,
     * below the SQ8 estimate — the budget at which ONLY the PQ tier
