@@ -241,10 +241,17 @@ object SearchQueries {
     val nDocs = tbl(s, dir, "documents").count()
     val cells = math.min(512L, math.max(RagIndexCells.toLong, nDocs / 1280L)).toInt
     val idx = new graft.store.IvfIndex(s, base, numCells = cells)
+    // train on a ~512-rows-per-cell sample: k-means quality saturates
+    // there (IvfIndex.DefaultTrainCap's rationale) while farthest-first
+    // seeding is O(cells · trainRows) — at 795k chunks / 390 cells the
+    // full-input build measured 708 s, almost all seeding+Lloyd. The
+    // layout shifts with the centroids but the ANSWER never does: the
+    // calibration policy re-measures exactness on whatever layout lands.
     idx.build(ragChunks(s, dir)
       .filter(VF.norm(col("emb")) > 0)
       .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
-        col("emb")))
+        col("emb")),
+      trainSampleCap = math.max(cells * 512L, 1L << 16))
     idx
   }
 
