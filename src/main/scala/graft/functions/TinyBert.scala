@@ -193,8 +193,15 @@ object TinyBert {
 
   // ------------------------------------------------- independent reference
 
-  /** erf via its Maclaurin series in double (an INDEPENDENT formula from
-    * the evaluator's rational approximation; both are ≤1.5e-7 from truth). */
+  /** erf via its Maclaurin series in double — an INDEPENDENT formula from
+    * the evaluator's rational approximation. Accuracy caveat: the
+    * alternating series cancels catastrophically as |x| grows (absolute
+    * error ~e^(x²)·1e-16 — ≤1.5e-7 only for |x| ≲ 4, worsening to ~1e-3
+    * by the ±5.5 cutoff), so the reference is trustworthy only while
+    * pre-Gelu activations keep |x| = |f1|/√2 inside that band. The
+    * generated [[weights]] (small random tiles) do; a caller reusing this
+    * reference against real-export-scale activations should compare with
+    * a tolerance that reflects the band, not the 1.5e-7 headline. */
   def erfSeries(x: Double): Double = {
     if (x > 5.5) return 1.0
     if (x < -5.5) return -1.0

@@ -397,29 +397,12 @@ case class PqEncode(child: Expression, books: Array[Float], m: Int, k: Int)
 
   private def subDim: Int = books.length / (m * k)
 
-  override def nullSafeEval(v: Any): Any = {
-    val a = v.asInstanceOf[ArrayData].toFloatArray()
-    require(a.length == m * subDim, s"pq_encode: dim ${a.length} != m*subDim ${m * subDim}")
-    val out = new Array[Byte](m)
-    var mi = 0
-    while (mi < m) {
-      var best = 0; var bestD = Double.MaxValue
-      var c = 0
-      while (c < k) {
-        var acc = 0.0; var d = 0
-        val base = (mi * k + c) * subDim
-        while (d < subDim) {
-          val df = a(mi * subDim + d).toDouble - books(base + d).toDouble
-          acc += df * df; d += 1
-        }
-        if (acc < bestD) { bestD = acc; best = c }
-        c += 1
-      }
-      out(mi) = best.toByte
-      mi += 1
-    }
-    out
-  }
+  // ONE interpreted argmin loop (the shared object twin): the hot tiers
+  // derive resident codes through PqEncode.encode, so the interpreted
+  // expression path must be the same code, not a hand-kept copy whose
+  // drift would break the hot == cold bit-equality (Sq8Encode discipline)
+  override def nullSafeEval(v: Any): Any =
+    PqEncode.encode(v.asInstanceOf[ArrayData].toFloatArray(), books, m, k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bRef = ctx.addReferenceObj("pqbooks", books, "float[]")
@@ -507,12 +490,7 @@ case class PqAdc(child: Expression, lut: Array[Double], k: Int)
   override def nullSafeEval(v: Any): Any = {
     val codes = v.asInstanceOf[Array[Byte]]
     require(codes.length * k == lut.length, s"pq_adc: ${codes.length} codes vs ${lut.length / k}-subspace LUT")
-    var acc = 0.0; var mi = 0
-    while (mi < codes.length) {
-      acc += lut(mi * k + (codes(mi) & 0xFF))
-      mi += 1
-    }
-    acc
+    PqAdc.eval(codes, lut, k) // the shared object twin — never a copy
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {

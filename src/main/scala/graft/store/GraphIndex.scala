@@ -273,8 +273,22 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val pqStaged =
         if (codes != "pq") Nil
         else {
+          // train on a bounded DETERMINISTIC sample (the IvfIndex
+          // trainSampleCap discipline): codebook quality saturates at a
+          // few hundred rows per codeword, while full-input training is
+          // pqM·TrainIters corpus passes plus a corpus-wide sort for the
+          // 256 seed rows
+          val cap = GraphIndex.PqK * 512L
+          val n = ve.count()
+          val trainSet =
+            if (n <= cap) ve
+            else {
+              val m = math.ceil(n.toDouble / cap).toLong
+              val thinned = ve.filter(pmod(xxhash64(col("id")), lit(m)) === 0)
+              if (thinned.count() >= GraphIndex.PqK) thinned else ve
+            }
           val books = graft.operators.ProductQuantizer.train(
-            ve.orderBy("id"), "emb", pqM, GraphIndex.PqK, GraphIndex.TrainIters)
+            trainSet.orderBy("id"), "emb", pqM, GraphIndex.PqK, GraphIndex.TrainIters)
           val rows = for {
             (cb, mi) <- books.zipWithIndex
             (code, cw) <- cb
@@ -283,9 +297,15 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
           Seq(StoreIO.Staged(s"${path}/__stage_pq", pqPath,
             st => pqDf.write.mode("overwrite").parquet(st)))
         }
+      // a rebuild DEFINES the new truth: an sq8 rebuild over a previously
+      // pq-built index sweeps the stale _pq sidecar in the same commit —
+      // codebooks trained on the replaced corpus must not keep serving
+      // the new one (the IvfIndex rebuild contract; hotKey()'s
+      // mt(pqPath) premise is that any rebuild touches the sidecar)
       publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve),
         extra = StoreIO.Staged(s"${path}/__stage_sq8", sq8Path,
-          st => sq8Df.write.mode("overwrite").parquet(st)) +: pqStaged)
+          st => sq8Df.write.mode("overwrite").parquet(st)) +: pqStaged,
+        sweep = if (codes != "pq") Seq(pqPath) else Nil)
     } finally v.unpersist(): Unit
   }: Unit
 
@@ -296,7 +316,8 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * `extra` joins the same commit (build's quantizer sidecar); compact
     * passes none, preserving the frozen quantizer. */
   private def publishFull(v: DataFrame, g: DataFrame, entries: DataFrame,
-                          extra: Seq[StoreIO.Staged] = Nil): Unit = {
+                          extra: Seq[StoreIO.Staged] = Nil,
+                          sweep: Seq[String] = Nil): Unit = {
     val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
     val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
       .foldLeft(tombstoneHwm())(math.max)
@@ -313,7 +334,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       (if (allTsDirs.isEmpty) Seq.empty
        else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
          st => StoreIO.writeLongFile(st, newHwm)))),
-      marker, cleanup = allTsDirs.map(_.getPath).toSeq)
+      marker, cleanup = allTsDirs.map(_.getPath).toSeq ++ sweep)
     entryCache = null
   }
 

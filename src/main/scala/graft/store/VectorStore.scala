@@ -1671,22 +1671,33 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * triangle-inequality survivors; a pre-radii store degrades to the
     * full decrypt — still exact). `excludeId` drops the self row (the
     * self-panel convention). Returns (id, cell, distance) sorted
-    * (distance, id). */
+    * (distance, xxhash64(id)). */
   private def encExactMembers(name: String, qe: Array[Float], k: Int,
       probe0: Int, excludeId: Option[String]): Seq[(String, Long, Double)] = {
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    def cellsTop(cells: Seq[Long]): Seq[(String, Long, Double)] = {
+    // ties break by kid = xxhash64(string id) — the SAME total order the
+    // plaintext twin's exact arm uses (GroupedTopK over the long kid
+    // spine), so the spec-pinned "encrypted sweep ≡ plaintext sweep
+    // hit-for-hit" contract survives distance ties landing in different
+    // cells; breaking by string id here would count a different member
+    def cellsTop(cells: Seq[Long]): Seq[(String, Long, Long, Double)] = {
       if (cells.isEmpty) return Nil
       val base = encScanCells(name, qe, cells)
       excludeId.fold(base)(x => base.filter(col("id") =!= lit(x)))
-        .orderBy(asc("distance"), asc("id")).limit(k)
-        .select(col("id"), col("cell").cast("long"), col("distance"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+        .orderBy(col("distance").asc, xxhash64(col("id")).asc).limit(k)
+        .select(col("id"), xxhash64(col("id")), col("cell").cast("long"),
+          col("distance"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
     }
+    def topK(ms: Seq[(String, Long, Long, Double)]): Seq[(String, Long, Double)] =
+      ms.sortBy { case (_, kid, _, d) => (d, kid) }.take(k)
+        .map { case (id, _, cell, d) => (id, cell, d) }
     val ordered = ExactPrune.orderedCells(cents, qe)
     encRadiiOf(name) match {
-      case None => cellsTop(ordered.map(_._2))
+      case None => topK(cellsTop(ordered.map(_._2)))
       case Some(rm) =>
         val p0 = ExactPrune.clampProbe(probe0, ordered.length)
         val probed = ordered.take(p0).map(_._2)
@@ -1694,9 +1705,9 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         // τ from the EXCLUDED probe is an upper bound on the excluded
         // problem's kth distance — exclusion can only widen τ, so the
         // survivor set still provably contains the exact answer
-        val tau = ExactPrune.tauOf(top.map(_._3), k)
+        val tau = ExactPrune.tauOf(top.map(_._4), k)
         val rest = ExactPrune.survivors(ordered.drop(p0), rm, tau)
-        (top ++ cellsTop(rest)).sortBy { case (id, _, d) => (d, id) }.take(k)
+        topK(top ++ cellsTop(rest))
     }
   }
 

@@ -478,6 +478,17 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
       assert(idx.hotQueryPq(probe, 5, 4, 3).isEmpty,
         "the hot tier refuses (None) rather than inventing codebooks")
     } finally { stash.renameTo(sidecar): Unit }
+    // a plain (sq8) REBUILD over the pq-built index SWEEPS the stale
+    // codebooks in the same commit — serving the new corpus through
+    // old-geometry codes would degrade recall with no error (the
+    // IvfIndex rebuild contract: the rebuild's input defines the truth)
+    idx.build(small, refineRounds = 0)
+    assert(!new java.io.File(s"$base/_pq").exists(),
+      "an sq8 rebuild must sweep the stale _pq sidecar")
+    intercept[RuntimeException](idx.queryPq(probe, 5, 4, 3).collect())
+    assert(idx.hotQueryPq(probe, 5, 4, 3).isEmpty)
+    assert(rows(idx.queryQuantized(probe, 5, 4, 3)).nonEmpty,
+      "the freshly trained SQ8 tier serves the rebuilt corpus")
     small.unpersist(): Unit
   }
 
