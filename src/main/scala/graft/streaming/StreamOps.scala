@@ -292,6 +292,49 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming maintenance of a RAG CHUNK index — [[maintainIvfIndex]]
+    * at q_rag_indexed's granularity: each arriving micro-batch
+    * chunk+embeds its documents ([[graft.operators.Percolate.chunkEmbed]],
+    * the serving pipeline's geometry), drops zero-norm (token-less)
+    * chunks exactly like the build, and appends the packed
+    * (doc_id << 20 | chunk_id)-keyed rows under the batch-keyed
+    * replay-idempotent discipline — so the PERSISTED index the RAG
+    * serving path probes stays fresh under ingest instead of demanding
+    * rebuilds.
+    *
+    * `recalibrateEvery` > 0 re-runs the recall-target policy after every
+    * N batches: appended chunks land in FROZEN cells, so the recall a
+    * serving depth was calibrated for can drift below target with no
+    * error — the policy re-measures on a fresh self-panel and hands the
+    * (possibly deeper) calibrated depth to `onDepth`, the serving side's
+    * routing knob. Target 1.0 always terminates (the numCells rung is
+    * exact by construction). */
+  def maintainChunkIndex(spark: SparkSession, srcDir: String,
+      index: graft.store.IvfIndex, window: Int, stride: Int, dim: Int,
+      checkpoint: String,
+      recalibrateEvery: Int = 0, recallTarget: Double = 1.0,
+      calibrateK: Int = 10, calibratePanel: Int = 64,
+      onDepth: Int => Unit = _ => ()): StreamingQuery = {
+    val vf = graft.functions.VectorFunctions
+    spark.readStream
+      .schema(DocSourceSchema)
+      .parquet(srcDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val chunks = graft.operators.Percolate
+          .chunkEmbed(batch.select("doc_id", "text"), window, stride, dim)
+          .filter(vf.norm(col("emb")) > 0)
+          .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
+            col("emb"))
+        index.appendBatch(chunks, id)
+        if (recalibrateEvery > 0 && (id + 1) % recalibrateEvery == 0)
+          onDepth(index.calibrateNprobe(calibrateK, recallTarget, calibratePanel))
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** SEMANTIC decontamination of a streaming document ingest: each
     * micro-batch hash-embeds and DROPS every row within PLAIN L2 `radius`
     * of ANY live row of the benchmark index

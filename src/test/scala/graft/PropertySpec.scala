@@ -325,4 +325,39 @@ class PropertySpec extends AnyFunSuite with SparkTest {
       }
     }
   }
+
+  test("PQ (r10): expression encode/ADC equals the driver twins on random vectors") {
+    // the hot == cold foundation: the executor-side expression path and
+    // the driver-side twins (PqEncode.encode / PqAdc.eval, what the graph
+    // hot tier runs) must agree bit-for-bit on arbitrary inputs, not just
+    // the fixtures -- a drift here is a silent recall change, not a crash
+    import graft.functions.{PqAdc, PqEncode, VectorFunctions => VF}
+    import graft.operators.ProductQuantizer
+    import org.apache.spark.sql.functions._
+    val r = rng(41)
+    val (m, k, subDim) = (4, 16, 4)
+    val dim = m * subDim
+    val books: ProductQuantizer.Codebooks = Array.tabulate(m)(_ =>
+      Array.tabulate(k)(c => (c.toLong,
+        Array.fill(subDim)((r.nextDouble() - 0.5).toFloat * 2f))))
+    val flat = ProductQuantizer.flatten(books)
+    val qe = Array.fill(dim)((r.nextDouble() - 0.5).toFloat * 2f)
+    val lut = ProductQuantizer.adcLut(qe, books)
+    val vecs = Seq.fill(300)(Array.fill(dim)((r.nextDouble() - 0.5).toFloat * 2f))
+    import spark.implicits._
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }
+      .toDF("id", "emb")
+      .select(col("id"), col("emb").cast("array<float>").as("emb"))
+    val got = df
+      .select(col("id"), VF.pqEncode(col("emb"), flat, m, k).as("c"))
+      .withColumn("d", VF.pqAdc(col("c"), lut, k))
+      .collect().map(x => (x.getLong(0), x.getAs[Array[Byte]](1), x.getDouble(2)))
+      .sortBy(_._1)
+    got.foreach { case (i, codes, d) =>
+      val wantCodes = PqEncode.encode(vecs(i.toInt), flat, m, k)
+      assert(codes.toSeq == wantCodes.toSeq, s"row $i: codes diverge")
+      val wantD = PqAdc.eval(wantCodes, lut, k)
+      assert(d == wantD, s"row $i: ADC $d != driver twin $wantD (bit equality)")
+    }
+  }
 }

@@ -886,6 +886,55 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       graft.operators.Percolate.matches(tiny, nullInner))
   }
 
+  test("maintainChunkIndex: streamed chunk appends == batch-built chunk index; recalibration hook fires with a qualifying depth") {
+    import graft.queries.SearchQueries
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val (w, st, dim) =
+      (SearchQueries.RagWindow, SearchQueries.RagStride, SearchQueries.EmbDim)
+    def keyedChunks(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Percolate.chunkEmbed(d, w, st, dim)
+        .filter(graft.functions.VectorFunctions.norm(col("emb")) > 0)
+        .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
+          col("emb"))
+    // reference: one batch build over everything (answer parity at full
+    // depth — layouts may differ since centroids train on the build input)
+    val ref = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    ref.build(keyedChunks(docs))
+    val probe = SearchQueries.ragProbePanel(spark).head._2
+    def ans(idx: graft.store.IvfIndex) =
+      idx.query(probe, k = 10, nprobe = 8).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val want = ans(ref)
+    // incremental: build over the first half of DOCS, stream the rest in
+    // two files through the real maintenance entry point
+    val inc = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    inc.build(keyedChunks(docs.filter(col("doc_id") % 2 === 0)))
+    val srcDir = tmp()
+    val rest = docs.filter(col("doc_id") % 2 =!= 0)
+    rest.filter(col("doc_id") % 4 === 1).write.mode("overwrite").parquet(srcDir)
+    rest.filter(col("doc_id") % 4 === 3).write.mode("append").parquet(srcDir)
+    val depths = scala.collection.mutable.ArrayBuffer.empty[Int]
+    StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, tmp(),
+      recalibrateEvery = 1, recallTarget = 1.0, calibrateK = 5,
+      calibratePanel = 8, onDepth = depths += _).awaitTermination()
+    assert(ans(inc) == want,
+      "a streamed-maintained chunk index must answer like the batch build")
+    // the recalibration hook fired and every handed depth meets the target
+    assert(depths.nonEmpty, "recalibrateEvery = 1 must fire per batch")
+    depths.foreach { d =>
+      val sweep = inc.calibrationSweep(inc.calibrationPanel(8), 5, Seq(d),
+        excludeSelf = true).collect().head
+      assert(sweep.getDouble(3) >= 1.0,
+        s"handed depth $d must measure at the requested recall")
+    }
+    // replay (fresh checkpoint, same source) is idempotent: the appends
+    // land under the same batch dirs, the index serves the same answer
+    StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, tmp())
+      .awaitTermination()
+    assert(ans(inc) == want, "replayed maintenance must not duplicate rows")
+  }
+
   test("semantic percolation: stream equals batch incl. replay; dead registries rejected") {
     import graft.queries.SearchQueries
     import spark.implicits._
