@@ -260,29 +260,28 @@ object SearchQueries {
     ragProbesDf(s).select("qid", "qe").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
 
-  /** q_rag_indexed's CALIBRATE phase: the smallest power-of-two depth
-    * the sweep MEASURED as exact for these probes at the margined
-    * shortlist size (the recall-target-1.0 policy; the numCells rung
-    * scans every cell, so the fallback is exact by construction). */
+  /** q_rag_indexed's CALIBRATE phase: PER-PROBE exact depths at the
+    * margined shortlist size ([[graft.store.IvfIndex.exactDepths]] —
+    * probe p's depth is the max cell rank over its exact top-kk members,
+    * the smallest provably-exact probe for THAT probe; a global policy
+    * would carry every probe to the worst probe's depth). Exactness is
+    * unconditional: a probe with under kk candidates reports numCells
+    * (the full scan). */
   private[graft] def ragCalibrate(idx: graft.store.IvfIndex,
-      probes: Seq[(Long, Array[Float])]): Int = {
-    val kk = RagChunkK + RagCosMargin
-    val ladder = Iterator.iterate(1)(_ * 2)
-      .takeWhile(_ < idx.numCells).toSeq :+ idx.numCells
-    idx.calibrationSweep(probes, kk, ladder).collect()
-      .collectFirst { case r if r.getLong(1) == probes.length.toLong * kk => r.getInt(0) }
-      .getOrElse(idx.numCells)
-  }
+      probes: Seq[(Long, Array[Float])]): Map[Long, Int] =
+    idx.exactDepths(probes, RagChunkK + RagCosMargin)
 
   /** q_rag_indexed's PROBE phase: cell-pruned batched L2 shortlist
-    * (exact at the calibrated depth), bounded cosine re-rank
+    * (exact at the per-probe calibrated depths), bounded cosine re-rank
     * (≤ [[RagChunkK]]+[[RagCosMargin]] rows per probe), then the shared
     * pooling tail. */
   private[graft] def ragServeIndexed(s: SparkSession, idx: graft.store.IvfIndex,
-      probes: Seq[(Long, Array[Float])], nprobe: Int): org.apache.spark.sql.DataFrame = {
+      probes: Seq[(Long, Array[Float])],
+      depths: Map[Long, Int]): org.apache.spark.sql.DataFrame = {
     val kk = RagChunkK + RagCosMargin
     val w = Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))
-    val top = idx.queryBatch(probes, kk, nprobe, include = Seq("emb"))
+    val top = idx.queryBatch(probes, kk, nprobe = idx.numCells,
+      include = Seq("emb"), depthOf = depths)
       .withColumnRenamed("probe_id", "qid")
       .join(broadcast(ragProbesDf(s).select("qid", "qe")), Seq("qid"))
       .select(col("qid"), col("id").as("cid"),
@@ -299,7 +298,10 @@ object SearchQueries {
       forceDepth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val idx = ragBuildIndex(s, dir)
     val probes = ragProbePanel(s)
-    ragServeIndexed(s, idx, probes, forceDepth.getOrElse(ragCalibrate(idx, probes)))
+    val depths = forceDepth
+      .map(d => probes.map { case (pid, _) => pid -> d }.toMap)
+      .getOrElse(ragCalibrate(idx, probes))
+    ragServeIndexed(s, idx, probes, depths)
   }
 
   /** The q_rag_retrieve output contract over either serving arm's ranked

@@ -1317,6 +1317,55 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     mat
   }
 
+  /** PER-PROBE exact serving depths from the same one-pass machinery as
+    * [[calibrationSweep]]: probe p's exact depth is the MAX cell rank
+    * over its exact top-`k` members — by the nesting lemma, the
+    * smallest depth whose probed candidate set provably contains the
+    * whole exact top-k. A global policy must carry every probe to the
+    * WORST probe's depth; per-probe depths let an easy probe prune hard
+    * while a straddling one probes deep (q_rag_indexed's serving knob).
+    * Probes with fewer than `k` candidates report `numCells` (only the
+    * full scan is provably exact). Returns (pid, depth) for every panel
+    * probe, one scored panel × corpus pass. */
+  def exactDepths(panel: Seq[(Long, Array[Float])], k: Int,
+                  excludeSelf: Boolean = false): Map[Long, Int] = {
+    require(panel.nonEmpty, "calibration needs a non-empty probe panel")
+    require(panel.length <= 4096, "calibration panel is index-metadata scale")
+    val cents = centroids()
+    val crankRows = panel.flatMap { case (pid, pe) =>
+      ExactPrune.orderedCells(cents, pe).zipWithIndex
+        .map { case ((_, cid), r) => (pid, cid, r + 1) }
+    }
+    val crank = spark.createDataFrame(crankRows.toSeq)
+      .toDF("pid", "cell", "crank")
+    val probesDf = spark.createDataFrame(
+      panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe")
+    val base = liveInclude(Seq("cell"))
+      .crossJoin(broadcast(probesDf))
+    val scored0 = (if (excludeSelf) base.filter(col("id") =!= col("pid")) else base)
+      .select(col("pid"), col("id"),
+        VF.l2Sq(col("emb"), col("pe")).as("dist"), col("cell"))
+      .join(broadcast(crank), Seq("pid", "cell"))
+    // the exact arm reads the scored frame twice (top-k agg, rank join)
+    val scored = scored0.persist()
+    try {
+      import graft.operators.GroupedTopK
+      val exact = scored.groupBy("pid")
+        .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("ex"))
+        .select(col("pid"), size(col("ex")).as("nex"),
+          explode_outer(transform(col("ex"), s0 => s0.getField("id"))).as("id"))
+      val rows = exact
+        .join(scored.select("pid", "id", "crank"), Seq("pid", "id"), "left")
+        .groupBy("pid")
+        .agg(max(col("nex")).as("nex"), max(col("crank")).as("d"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.getInt(1) < k) numCells else r.getInt(2)))
+        .toMap
+      panel.map { case (pid, _) => pid -> rows.getOrElse(pid, numCells) }.toMap
+    } finally { scored.unpersist(): Unit }
+  }
+
   /** The SMALLEST ladder depth whose panel recall@`k` meets `target` —
     * the serving-policy knob: "hit recall ≥ R" instead of "nprobe = 4".
     * The panel is a deterministic hash-ordered sample of the live rows
@@ -1745,13 +1794,19 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * amortizes scan + scheduling across probes: Q probes cost one scan of
     * |union cells|, not Q scans — the embedding-join shape a training
     * pipeline runs (score a whole batch of leaked/query vectors at once). */
+  /** `depthOf` overrides the UNIFORM `nprobe` per probe (the
+    * [[exactDepths]] policy: an easy probe prunes hard while a
+    * cell-straddling one probes deep — absent ids fall back to
+    * `nprobe`). */
   def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
                  where: Option[Column] = None,
-                 include: Seq[String] = Nil): DataFrame = {
+                 include: Seq[String] = Nil,
+                 depthOf: Map[Long, Int] = Map.empty): DataFrame = {
     require(probes.nonEmpty, "queryBatch needs at least one probe")
     val cents = centroids()
     val probeCells: Seq[(Long, Array[Float], Seq[Long])] = probes.map { case (pid, qe) =>
-      (pid, qe, cents.map { case (cid, c) => (l2(c, qe), cid) }.sorted.take(nprobe).map(_._2).toSeq)
+      (pid, qe, cents.map { case (cid, c) => (l2(c, qe), cid) }.sorted
+        .take(depthOf.getOrElse(pid, nprobe)).map(_._2).toSeq)
     }
     val unionCells = probeCells.flatMap(_._3).distinct
     val probeDf = spark.createDataFrame(

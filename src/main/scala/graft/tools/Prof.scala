@@ -220,13 +220,14 @@ object Prof {
     val (idx, probes) = time("r10_rag_build", nTag)(
       (sq.ragBuildIndex(s, dir), sq.ragProbePanel(s)))
     println(s"PROF r10_rag_chunks n=${sq.ragChunks(s, dir).count()} $nTag")
-    val depth = time("r10_rag_calibrate", nTag)(sq.ragCalibrate(idx, probes))
-    println(s"PROF r10_rag_depth nprobe=$depth of ${idx.numCells} $nTag")
-    def serveOnce(d: Int): Unit =
+    val depths = time("r10_rag_calibrate", nTag)(sq.ragCalibrate(idx, probes))
+    println(s"PROF r10_rag_depths ${depths.toSeq.sortBy(_._1)
+      .map { case (p, d) => s"q$p=$d" }.mkString(",")} of ${idx.numCells} $nTag")
+    def serveOnce(d: Map[Long, Int]): Unit =
       sq.ragServeIndexed(s, idx, probes, d)
         .write.format("noop").mode("overwrite").save()
-    time("r10_rag_serve_cold", nTag)(serveOnce(depth))
-    (1 to 2).foreach(i => time(s"r10_rag_serve_warm$i", nTag)(serveOnce(depth)))
+    time("r10_rag_serve_cold", nTag)(serveOnce(depths))
+    (1 to 2).foreach(i => time(s"r10_rag_serve_warm$i", nTag)(serveOnce(depths)))
     // the DEPLOYMENT policy (recall ~0.9, the attachIvfIndex(recallTarget=)
     // shape): constant rung count over constant-size cells = flat bytes —
     // the serving number that must NOT grow 20x -> 100x
@@ -236,8 +237,9 @@ object Prof {
       .collectFirst { case r if r.getDouble(3) >= 0.9 => r.getInt(0) }
       .getOrElse(idx.numCells)
     println(s"PROF r10_rag_depth90 nprobe=$d90 of ${idx.numCells} $nTag")
-    time("r10_rag_serve90_cold", nTag)(serveOnce(d90))
-    (1 to 2).foreach(i => time(s"r10_rag_serve90_warm$i", nTag)(serveOnce(d90)))
+    val d90m = probes.map { case (pid, _) => pid -> d90 }.toMap
+    time("r10_rag_serve90_cold", nTag)(serveOnce(d90m))
+    (1 to 2).foreach(i => time(s"r10_rag_serve90_warm$i", nTag)(serveOnce(d90m)))
     s.stop()
   }
 

@@ -103,6 +103,46 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("exactDepths: per-probe depths serve exactly, are minimal, and agree with the sweep") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_pd").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors)
+    val k = 5
+    val panel = Seq(3L, 17L, 101L).map { pid =>
+      (pid + 10000L, // external probe ids, disjoint from the corpus
+        vectors.filter(col("id") === pid).head().getSeq[Float](1).toArray)
+    }
+    val depths = idx.exactDepths(panel, k)
+    assert(depths.keySet == panel.map(_._1).toSet && depths.values.forall(d => d >= 1 && d <= 8))
+    def servedAt(d: Map[Long, Int]): Map[Long, Seq[(Long, Double)]] =
+      idx.queryBatch(panel, k, nprobe = 8, depthOf = d).collect()
+        .groupBy(_.getLong(0))
+        .map { case (p, rs) => p -> rs.sortBy(_.getInt(4))
+          .map(r => (r.getLong(1), r.getDouble(3))).toSeq }
+    val got = servedAt(depths)
+    panel.foreach { case (pid, pe) =>
+      val brute = vectors.withColumn("d", VF.l2Sq(col("emb"), typedlit(pe)))
+        .orderBy(asc("d"), asc("id")).limit(k).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(got(pid) == brute, s"probe $pid at depth ${depths(pid)} must be exact")
+      // MINIMAL: one rung shallower misses at least one exact member
+      if (depths(pid) > 1) {
+        val shallow = servedAt(depths.updated(pid, depths(pid) - 1))
+        assert(shallow(pid) != brute,
+          s"probe $pid: depth ${depths(pid)} claimed minimal but -1 still exact")
+      }
+    }
+    // sweep consistency over the FULL ladder: the smallest full-recall
+    // rung is exactly the worst per-probe depth
+    val sweep = idx.calibrationSweep(panel, k, 1 to 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val fullAt = sweep.collectFirst { case (p, h) if h == panel.length.toLong * k => p }.get
+    assert(fullAt == depths.values.max,
+      s"sweep full-recall rung $fullAt vs max per-probe depth ${depths.values.max}")
+  }
+
   test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_hot").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
