@@ -217,12 +217,13 @@ object SearchQueries {
     * serving shape (the reference's own serving path is an index probe,
     * /root/reference/src/cod.py:123-129, not a corpus scan): the chunk
     * frame lands ONCE in an [[graft.store.IvfIndex]] keyed by the packed
-    * (doc_id, chunk_id) long, the probe panel calibrates its own serving
-    * depth (smallest rung the sweep MEASURED as exact for these probes —
-    * the recall-target policy at target 1.0; the numCells rung scans
-    * every cell, so the fallback is exact by construction), and serving
-    * is a cell-pruned batched probe + bounded cosine re-rank — never a
-    * corpus re-embed. Zero-norm chunks (token-less windows past a short
+    * (doc_id, chunk_id) long, EACH standing probe calibrates its own
+    * provably-minimal exact depth ([[graft.store.IvfIndex.exactDepths]]
+    * — max cell rank over that probe's exact top-kk members; a probe
+    * with under kk candidates falls back to numCells, the full scan,
+    * still exact), and serving is a cell-pruned batched probe at the
+    * per-probe depths + bounded cosine re-rank — never a corpus
+    * re-embed. Zero-norm chunks (token-less windows past a short
     * doc's end) stay OUT of the index: their cosine is the −1.0 sentinel,
     * so they can never enter a cosine top-k of any corpus with
     * ≥ [[RagChunkK]] real chunks, but a zero vector sits at unit L2

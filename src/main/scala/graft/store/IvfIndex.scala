@@ -1263,17 +1263,22 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * self-panel convention ([[calibrateNprobe]] draws probes from the
     * corpus, and a guaranteed self-hit in both arms would inflate every
     * depth equally). */
-  def calibrationSweep(panel: Seq[(Long, Array[Float])], k: Int,
-                       ladder: Seq[Int],
-                       excludeSelf: Boolean = false): DataFrame = {
+  /** The scored panel frame (pid, id, dist, crank) BOTH calibration
+    * surfaces ([[calibrationSweep]], [[exactDepths]]) cut from — one
+    * definition so their rank conventions can never diverge. The cell
+    * rank uses the SAME (squared distance, cid) total order the serving
+    * paths take cells by ([[probeCellsOf]] / [[queryBatch]]): the sweep's
+    * hits and the per-probe depths are statements about exactly those
+    * candidate sets, and a sqrt-ranked crank would agree everywhere
+    * EXCEPT 1-ulp rounding ties — slack a provably-minimal per-probe
+    * depth does not have. */
+  private def scoredPanel(panel: Seq[(Long, Array[Float])],
+                          excludeSelf: Boolean): DataFrame = {
     require(panel.nonEmpty, "calibration needs a non-empty probe panel")
     require(panel.length <= 4096, "calibration panel is index-metadata scale")
-    val steps = ladder.distinct.sorted
-    require(steps.nonEmpty && steps.head >= 1 && steps.last <= numCells,
-      s"ladder must sit in [1, $numCells]")
     val cents = centroids()
     val crankRows = panel.flatMap { case (pid, pe) =>
-      ExactPrune.orderedCells(cents, pe).zipWithIndex
+      cents.map { case (cid, c) => (l2(c, pe), cid) }.sorted.zipWithIndex
         .map { case ((_, cid), r) => (pid, cid, r + 1) }
     }
     val crank = spark.createDataFrame(crankRows.toSeq)
@@ -1282,11 +1287,19 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe")
     val base = liveInclude(Seq("cell"))
       .crossJoin(broadcast(probesDf))
-    val scored = (if (excludeSelf) base.filter(col("id") =!= col("pid")) else base)
+    (if (excludeSelf) base.filter(col("id") =!= col("pid")) else base)
       .select(col("pid"), col("id"),
         VF.l2Sq(col("emb"), col("pe")).as("dist"), col("cell"))
       .join(broadcast(crank), Seq("pid", "cell"))
-      .persist()
+  }
+
+  def calibrationSweep(panel: Seq[(Long, Array[Float])], k: Int,
+                       ladder: Seq[Int],
+                       excludeSelf: Boolean = false): DataFrame = {
+    val steps = ladder.distinct.sorted
+    require(steps.nonEmpty && steps.head >= 1 && steps.last <= numCells,
+      s"ladder must sit in [1, $numCells]")
+    val scored = scoredPanel(panel, excludeSelf).persist()
     import graft.operators.GroupedTopK
     def ids(c: Column) = transform(c, s0 => s0.getField("id"))
     // ONE exact-arm aggregation decides EVERY depth: candidates nest
@@ -1329,25 +1342,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * probe, one scored panel × corpus pass. */
   def exactDepths(panel: Seq[(Long, Array[Float])], k: Int,
                   excludeSelf: Boolean = false): Map[Long, Int] = {
-    require(panel.nonEmpty, "calibration needs a non-empty probe panel")
-    require(panel.length <= 4096, "calibration panel is index-metadata scale")
-    val cents = centroids()
-    val crankRows = panel.flatMap { case (pid, pe) =>
-      ExactPrune.orderedCells(cents, pe).zipWithIndex
-        .map { case ((_, cid), r) => (pid, cid, r + 1) }
-    }
-    val crank = spark.createDataFrame(crankRows.toSeq)
-      .toDF("pid", "cell", "crank")
-    val probesDf = spark.createDataFrame(
-      panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe")
-    val base = liveInclude(Seq("cell"))
-      .crossJoin(broadcast(probesDf))
-    val scored0 = (if (excludeSelf) base.filter(col("id") =!= col("pid")) else base)
-      .select(col("pid"), col("id"),
-        VF.l2Sq(col("emb"), col("pe")).as("dist"), col("cell"))
-      .join(broadcast(crank), Seq("pid", "cell"))
     // the exact arm reads the scored frame twice (top-k agg, rank join)
-    val scored = scored0.persist()
+    val scored = scoredPanel(panel, excludeSelf).persist()
     try {
       import graft.operators.GroupedTopK
       val exact = scored.groupBy("pid")
@@ -1793,8 +1789,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * for probe. Per-probe top-k is a window over candidates. Batching
     * amortizes scan + scheduling across probes: Q probes cost one scan of
     * |union cells|, not Q scans — the embedding-join shape a training
-    * pipeline runs (score a whole batch of leaked/query vectors at once). */
-  /** `depthOf` overrides the UNIFORM `nprobe` per probe (the
+    * pipeline runs (score a whole batch of leaked/query vectors at once).
+    * `depthOf` overrides the UNIFORM `nprobe` per probe (the
     * [[exactDepths]] policy: an easy probe prunes hard while a
     * cell-straddling one probes deep — absent ids fall back to
     * `nprobe`). */

@@ -302,19 +302,28 @@ object StreamOps {
     * serving path probes stays fresh under ingest instead of demanding
     * rebuilds.
     *
-    * `recalibrateEvery` > 0 re-runs the recall-target policy after every
-    * N batches: appended chunks land in FROZEN cells, so the recall a
-    * serving depth was calibrated for can drift below target with no
-    * error — the policy re-measures on a fresh self-panel and hands the
-    * (possibly deeper) calibrated depth to `onDepth`, the serving side's
-    * routing knob. Target 1.0 always terminates (the numCells rung is
-    * exact by construction). */
+    * `recalibrateEvery` > 0 re-runs the recall policy after every N
+    * batches: appended chunks land in FROZEN cells, so the depths a
+    * serving side calibrated BEFORE the appends can silently stop being
+    * exact (a new chunk entering a probe's top-k may sit in a cell
+    * ranked deeper than the stale depth). Two refresh shapes, matching
+    * the two serving policies:
+    *  - `standingProbes` non-empty (the q_rag_indexed shape): re-derive
+    *    the PER-PROBE exact depths for exactly those probes
+    *    ([[graft.store.IvfIndex.exactDepths]]) and hand the fresh map to
+    *    `onDepths` — the serving side's `queryBatch(depthOf=)` knob;
+    *  - otherwise: re-run the global recall-target policy on a fresh
+    *    self-panel ([[graft.store.IvfIndex.calibrateNprobe]]) and hand
+    *    the depth to `onDepth`. Target 1.0 always terminates (the
+    *    numCells rung is exact by construction). */
   def maintainChunkIndex(spark: SparkSession, srcDir: String,
       index: graft.store.IvfIndex, window: Int, stride: Int, dim: Int,
       checkpoint: String,
       recalibrateEvery: Int = 0, recallTarget: Double = 1.0,
       calibrateK: Int = 10, calibratePanel: Int = 64,
-      onDepth: Int => Unit = _ => ()): StreamingQuery = {
+      onDepth: Int => Unit = _ => (),
+      standingProbes: Seq[(Long, Array[Float])] = Nil,
+      onDepths: Map[Long, Int] => Unit = _ => ()): StreamingQuery = {
     val vf = graft.functions.VectorFunctions
     spark.readStream
       .schema(DocSourceSchema)
@@ -327,8 +336,12 @@ object StreamOps {
           .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
             col("emb"))
         index.appendBatch(chunks, id)
-        if (recalibrateEvery > 0 && (id + 1) % recalibrateEvery == 0)
-          onDepth(index.calibrateNprobe(calibrateK, recallTarget, calibratePanel))
+        if (recalibrateEvery > 0 && (id + 1) % recalibrateEvery == 0) {
+          if (standingProbes.nonEmpty)
+            onDepths(index.exactDepths(standingProbes, calibrateK))
+          else
+            onDepth(index.calibrateNprobe(calibrateK, recallTarget, calibratePanel))
+        }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

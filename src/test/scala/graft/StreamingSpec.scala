@@ -915,24 +915,51 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     rest.filter(col("doc_id") % 4 === 1).write.mode("overwrite").parquet(srcDir)
     rest.filter(col("doc_id") % 4 === 3).write.mode("append").parquet(srcDir)
     val depths = scala.collection.mutable.ArrayBuffer.empty[Int]
-    StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, tmp(),
+    val ckpt0 = tmp()
+    StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, ckpt0,
       recalibrateEvery = 1, recallTarget = 1.0, calibrateK = 5,
       calibratePanel = 8, onDepth = depths += _).awaitTermination()
     assert(ans(inc) == want,
       "a streamed-maintained chunk index must answer like the batch build")
-    // the recalibration hook fired and every handed depth meets the target
-    assert(depths.nonEmpty, "recalibrateEvery = 1 must fire per batch")
-    depths.foreach { d =>
-      val sweep = inc.calibrationSweep(inc.calibrationPanel(8), 5, Seq(d),
-        excludeSelf = true).collect().head
-      assert(sweep.getDouble(3) >= 1.0,
-        s"handed depth $d must measure at the requested recall")
-    }
+    // the recalibration hook fired, and the LAST handed depth (the one a
+    // serving side would currently route with) measures at target on the
+    // final index state — EARLIER depths going stale under later appends
+    // is the drift the knob exists to refresh, not a bug to assert away
+    assert(depths.nonEmpty, "recalibrateEvery = 1 must fire")
+    val sweep = inc.calibrationSweep(inc.calibrationPanel(8), 5,
+      Seq(depths.last), excludeSelf = true).collect().head
+    assert(sweep.getDouble(3) >= 1.0,
+      s"the final handed depth ${depths.last} must measure at the requested recall")
     // replay (fresh checkpoint, same source) is idempotent: the appends
     // land under the same batch dirs, the index serves the same answer
     StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, tmp())
       .awaitTermination()
     assert(ans(inc) == want, "replayed maintenance must not duplicate rows")
+    // the PER-PROBE refresh path (the q_rag_indexed serving policy):
+    // genuinely NEW docs stream in, the standing probe gets fresh
+    // exactDepths, and serving at the handed map stays exact against
+    // brute force over the grown corpus
+    val standing = Seq(1001L -> probe)
+    var perProbe = Map.empty[Long, Int]
+    val extra = docs.filter(col("doc_id") % 8 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    // the new docs ARRIVE on the same source, and the stream RESUMES its
+    // original checkpoint — batch ids stay monotone per index (two
+    // independent checkpoints into one index would reuse batch dirs)
+    extra.coalesce(1).write.mode("append").parquet(srcDir)
+    StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, ckpt0,
+      recalibrateEvery = 1, calibrateK = 10,
+      standingProbes = standing,
+      onDepths = m => perProbe = m).awaitTermination()
+    assert(perProbe.keySet == Set(1001L), "per-probe hook hands the standing ids")
+    val served = inc.queryBatch(standing, k = 10, nprobe = 8, depthOf = perProbe)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSeq
+    val brute = keyedChunks(docs.unionByName(extra))
+      .withColumn("d", graft.functions.VectorFunctions.l2Sq(col("emb"), typedlit(probe)))
+      .orderBy(asc("d"), asc("id")).limit(10).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(served == brute,
+      "serving at the refreshed per-probe depths must stay exact after appends")
   }
 
   test("semantic percolation: stream equals batch incl. replay; dead registries rejected") {
