@@ -1,0 +1,184 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Bounded per-group top-k WITH PAYLOAD — the native generalization of
+ * [[graft.operators.GroupedTopK]] to rows that must carry more than a
+ * packable long (an `include` column set, a cell id, an embedding).
+ *
+ * Why this exists: the window formulation
+ * (`row_number over (partition by g order by score) <= k`) shuffles EVERY
+ * candidate row to its group's reducer — at a batched-probe serving
+ * surface that is Σ per-probe probed-cell rows crossing the wire per
+ * panel, the "shuffle the candidates" shape the engine measured and
+ * rejected for its exact serving paths (SURVEY §8, q_ann_recall).
+ * [[graft.operators.GroupedTopK]] fixes the volume but its typed-Aggregator
+ * buffer carries only (score, id) — payload columns had to be re-joined
+ * or bit-packed into the id. This TypedImperativeAggregate keeps the
+ * map-side-bounded shuffle (each task ships at most k entries per group,
+ * serialized as UnsafeRows) while carrying an ARBITRARY payload struct
+ * through the aggregation, so the shuffle carries k × groups × tasks
+ * ANSWER rows, payload included, and nothing ever re-scans or re-joins.
+ *
+ * Ordering is the total order (score asc, id asc) — ids are unique within
+ * a group in every caller, so insertion and merge order cannot change the
+ * result (safe under AQE re-planning and speculative tasks). Null scores
+ * or ids never enter the buffer (a null candidate is no candidate).
+ *
+ * Result: `array<struct<score double, id long, payload P>>` sorted
+ * ascending — the [[graft.operators.GroupedTopK]] output contract plus the
+ * payload field.
+ */
+case class TopKRows(
+    score: Expression,
+    id: Expression,
+    payload: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKRows.Buffer] {
+
+  require(k >= 1, s"top-k needs k >= 1, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id, payload)
+  override def nullable: Boolean = false
+
+  private def entryType: StructType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false),
+    StructField("payload", payload.dataType, nullable = payload.nullable)))
+
+  override def dataType: DataType = ArrayType(entryType, containsNull = false)
+
+  override def createAggregationBuffer(): TopKRows.Buffer =
+    new TopKRows.Buffer(k)
+
+  override def update(b: TopKRows.Buffer, input: InternalRow): TopKRows.Buffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val sv = s.asInstanceOf[Double]
+      val iv = i.asInstanceOf[Long]
+      // evaluate (and copy) the payload ONLY for rows that enter the
+      // buffer — candidates past the current kth are pure comparisons
+      if (b.admits(sv, iv))
+        b.insert(sv, iv, InternalRow.copyValue(payload.eval(input)))
+    }
+    b
+  }
+
+  override def merge(b: TopKRows.Buffer, o: TopKRows.Buffer): TopKRows.Buffer = {
+    o.foreach((s, i, p) => if (b.admits(s, i)) b.insert(s, i, p))
+    b
+  }
+
+  override def eval(b: TopKRows.Buffer): Any =
+    new GenericArrayData(b.sortedEntries.map { case (s, i, p) =>
+      InternalRow(s, i, p)
+    })
+
+  private lazy val serProj = UnsafeProjection.create(
+    Array[DataType](DoubleType, LongType, payload.dataType))
+
+  override def serialize(b: TopKRows.Buffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(3)
+    b.foreach { (s, i, p) =>
+      row.update(0, s); row.update(1, i); row.update(2, p)
+      val u = serProj(row)
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, null)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKRows.Buffer = {
+    val b = new TopKRows.Buffer(k)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    while (in.available() > 0) {
+      val len = in.readInt()
+      val buf = new Array[Byte](len)
+      in.readFully(buf)
+      val u = new UnsafeRow(3)
+      u.pointTo(buf, len)
+      // the UnsafeRow's payload view points into `buf`, which is owned by
+      // this entry alone — still, copy so buffer entries never alias
+      // serialization scratch
+      b.insert(u.getDouble(0), u.getLong(1),
+        InternalRow.copyValue(u.get(2, payload.dataType)))
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKRows =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKRows =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKRows =
+    copy(score = newChildren(0), id = newChildren(1), payload = newChildren(2))
+
+  override def prettyName: String = "top_k_rows"
+}
+
+object TopKRows {
+
+  /** Bounded buffer: the k smallest (score, id) entries, max-heap so the
+    * current worst is O(1) to consult and O(log k) to evict. */
+  final class Buffer(k: Int) {
+    // max-heap by (score, id): peek() is the WORST kept entry
+    private val heap = new java.util.PriorityQueue[Entry](k,
+      (a: Entry, b: Entry) => {
+        val c = java.lang.Double.compare(b.score, a.score)
+        if (c != 0) c else java.lang.Long.compare(b.id, a.id)
+      })
+
+    /** Would (s, i) enter the top-k right now? Cheap pre-check so callers
+      * can skip payload evaluation for rejected candidates. */
+    def admits(s: Double, i: Long): Boolean = {
+      if (heap.size < k) return true
+      val w = heap.peek()
+      s < w.score || (s == w.score && i < w.id)
+    }
+
+    def insert(s: Double, i: Long, p: Any): Unit = {
+      if (heap.size < k) heap.add(new Entry(s, i, p))
+      else {
+        val w = heap.peek()
+        if (s < w.score || (s == w.score && i < w.id)) {
+          heap.poll()
+          heap.add(new Entry(s, i, p))
+        }
+      }
+    }
+
+    def foreach(f: (Double, Long, Any) => Unit): Unit = {
+      val it = heap.iterator()
+      while (it.hasNext) { val e = it.next(); f(e.score, e.id, e.payload) }
+    }
+
+    def sortedEntries: Array[(Double, Long, Any)] = {
+      val arr = new Array[(Double, Long, Any)](heap.size)
+      val it = heap.iterator()
+      var i = 0
+      while (it.hasNext) { val e = it.next(); arr(i) = (e.score, e.id, e.payload); i += 1 }
+      java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]],
+        (x: AnyRef, y: AnyRef) => {
+          val a = x.asInstanceOf[(Double, Long, Any)]
+          val b = y.asInstanceOf[(Double, Long, Any)]
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        })
+      arr
+    }
+  }
+
+  private final class Entry(val score: Double, val id: Long, val payload: Any)
+}

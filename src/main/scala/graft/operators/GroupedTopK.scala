@@ -44,4 +44,18 @@ object GroupedTopK {
   /** Column aggregate: smallest-k (score, id) pairs per group, ascending. */
   def topK(k: Int)(score: Column, id: Column): Column =
     udaf(new TopKAgg(k), ExpressionEncoder[Scored]()).apply(score, id)
+
+  /** [[topK]] carrying an arbitrary payload struct through the bounded
+    * buffer ([[graft.functions.TopKRows]] — a native
+    * TypedImperativeAggregate): the shuffle still moves at most
+    * k × groups × tasks entries, each now `(score, id, payload)`, so a
+    * serving path whose answer needs `include` columns never re-joins or
+    * bit-packs them. Output `array<struct<score, id, payload>>` sorted by
+    * the same (score, id) total order. */
+  def topKRows(k: Int)(score: Column, id: Column, payload: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.functions.TopKRows(
+      Bridge.expression(score), Bridge.expression(id),
+      Bridge.expression(payload), k).toAggregateExpression())
+  }
 }

@@ -190,6 +190,12 @@ object Percolate {
     * the zero vector, cosine −1.0 sentinel). */
   def chunkEmbed(docs: DataFrame, window: Int, stride: Int, dim: Int,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // fail at the API boundary: stride <= 0 would reach Spark's
+    // sequence(step) as an opaque runtime error (or a degenerate
+    // single-chunk frame), window <= 0 would hash-embed every chunk to
+    // the zero vector — both misconfigurations, neither should get a job
+    require(window >= 1, s"chunk window must be at least 1 token, got $window")
+    require(stride >= 1, s"chunk stride must be at least 1 token, got $stride")
     val tf = graft.functions.TextFunctions
     docs
       .select(col(idCol).as("doc_id"), tf.tokens(col(textCol)).as("toks"))

@@ -146,7 +146,7 @@ object AnalyticsQueries {
       "q_ivf_index",
       "k-means-trained cell-partitioned IVF index, probe 4 of 16 cells, top-5",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_q").toString
+        val base = graft.store.Scratch.dir("graft_ivf_q")
         val idx = new IvfIndex(s, base, numCells = 16)
         val vectors = tbl(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -175,7 +175,7 @@ object AnalyticsQueries {
       "q_ivf_sq8_probe",
       "SQ8 codes probe of the trained IVF index: int8 shortlist + exact rerank, top-5",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8q").toString
+        val base = graft.store.Scratch.dir("graft_ivf_sq8q")
         val idx = new IvfIndex(s, base, numCells = 16)
         val vectors = tbl(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -226,7 +226,7 @@ object AnalyticsQueries {
       "q_ann_exact_pruned",
       "exact top-5 kNN via triangle-inequality cell pruning on the IVF index",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_exq").toString
+        val base = graft.store.Scratch.dir("graft_ivf_exq")
         val idx = new IvfIndex(s, base, numCells = 16)
         val vectors = tbl(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -253,7 +253,7 @@ object AnalyticsQueries {
       "q_ann_range",
       "exact radius search: every vector within L2 distance 1.2 of the probe",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_rngq").toString
+        val base = graft.store.Scratch.dir("graft_ivf_rngq")
         val idx = new IvfIndex(s, base, numCells = 16)
         val vectors = tbl(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -283,7 +283,7 @@ object AnalyticsQueries {
       "q_ann_self_join",
       "exact near-dup self-join: every pair within L2 1.2 in a 1/8 corpus slice",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_sjq").toString
+        val base = graft.store.Scratch.dir("graft_ivf_sjq")
         val idx = new IvfIndex(s, base, numCells = 16)
         val vectors = tbl(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -309,7 +309,7 @@ object AnalyticsQueries {
       "q_ann_range_join",
       "index range join: all corpus rows within L2 1.2 of each of ~1% probes",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_ivf_rjq").toString
+        val base = graft.store.Scratch.dir("graft_ivf_rjq")
         val idx = new IvfIndex(s, base, numCells = 16)
         val vectors = tbl(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("emb"))

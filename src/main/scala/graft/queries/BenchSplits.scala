@@ -30,7 +30,7 @@ object BenchSplits {
   /** name -> phases (ordered). Values are seconds. */
   val splits: Map[String, (SparkSession, String) => Seq[(String, Double)]] = Map(
     "q_text_index" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_tidx_split").toString
+      val base = graft.store.Scratch.dir("graft_tidx_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -39,7 +39,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_ivf_index" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_ivf_split").toString
+      val base = graft.store.Scratch.dir("graft_ivf_split")
       val idx = new IvfIndex(s, base, numCells = 16)
       val vectors = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -51,7 +51,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_ivf_sq8_probe" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_sq8_split").toString
+      val base = graft.store.Scratch.dir("graft_sq8_split")
       val idx = new IvfIndex(s, base, numCells = 16)
       val vectors = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -78,7 +78,7 @@ object BenchSplits {
       Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
     },
     "q_phrase" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_phr_split").toString
+      val base = graft.store.Scratch.dir("graft_phr_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -87,7 +87,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_near" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_near_split").toString
+      val base = graft.store.Scratch.dir("graft_near_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -97,7 +97,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_boolean" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_bool_split").toString
+      val base = graft.store.Scratch.dir("graft_bool_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -107,7 +107,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_boolean_phrase" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_bp_split").toString
+      val base = graft.store.Scratch.dir("graft_bp_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -118,7 +118,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_prefix" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_px_split").toString
+      val base = graft.store.Scratch.dir("graft_px_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -128,7 +128,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_snippet" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_sn_split").toString
+      val base = graft.store.Scratch.dir("graft_sn_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
       val (_, tb) = timed(idx.build(tbl(s, dir, "documents").select("doc_id", "text")))
       val (_, tp) = timed(
@@ -154,7 +154,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_envelope_search" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_env_split").toString
+      val base = graft.store.Scratch.dir("graft_env_split")
       val master = "envelope-master-0123456789abcdef"
       val master2 = "ENVELOPE-master-0123456789abcdef"
       val rows = tbl(s, dir, "embeddings")
@@ -175,7 +175,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_ann_exact_pruned" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_exq_split").toString
+      val base = graft.store.Scratch.dir("graft_exq_split")
       val idx = new IvfIndex(s, base, numCells = 16)
       val vectors = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -187,7 +187,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_ann_range" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_rng_split").toString
+      val base = graft.store.Scratch.dir("graft_rng_split")
       val idx = new IvfIndex(s, base, numCells = 16)
       val vectors = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -199,7 +199,7 @@ object BenchSplits {
       Seq("build" -> tb, "probe" -> tp)
     },
     "q_ann_self_join" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_sj_split").toString
+      val base = graft.store.Scratch.dir("graft_sj_split")
       val idx = new IvfIndex(s, base, numCells = 16)
       val vectors = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("emb"))
@@ -210,7 +210,7 @@ object BenchSplits {
       Seq("build" -> tb, "join" -> tp)
     },
     "q_ann_range_join" -> { (s, dir) =>
-      val base = java.nio.file.Files.createTempDirectory("graft_rj_split").toString
+      val base = graft.store.Scratch.dir("graft_rj_split")
       val idx = new IvfIndex(s, base, numCells = 16)
       val vectors = tbl(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("emb"))

@@ -238,7 +238,7 @@ object SearchQueries {
     * The cell count never changes the ANSWER — exactness comes from the
     * calibration policy, whatever the layout. */
   private[graft] def ragBuildIndex(s: SparkSession, dir: String): graft.store.IvfIndex = {
-    val base = java.nio.file.Files.createTempDirectory("graft_rag_idx").toString
+    val base = graft.store.Scratch.dir("graft_rag_idx")
     val nDocs = tbl(s, dir, "documents").count()
     val cells = math.min(512L, math.max(RagIndexCells.toLong, nDocs / 1280L)).toInt
     val idx = new graft.store.IvfIndex(s, base, numCells = cells)
@@ -679,7 +679,7 @@ object SearchQueries {
       "q_text_index",
       "disk inverted index: bucket-pruned postings scan, quantized BM25 top-10",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+        val base = graft.store.Scratch.dir("graft_tidx")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.query(QueryTerms, 10)
@@ -724,7 +724,7 @@ object SearchQueries {
       "q_phrase",
       "exact-phrase ranked search from bucket-pruned positional postings",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx_ph").toString
+        val base = graft.store.Scratch.dir("graft_tidx_ph")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.phraseQuery(PhraseTerms, PhraseK)
@@ -754,7 +754,7 @@ object SearchQueries {
       "q_near",
       "proximity (NEAR/3) ranked search from bucket-pruned positional postings",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx_nr").toString
+        val base = graft.store.Scratch.dir("graft_tidx_nr")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.nearQuery(NearTerms._1, NearTerms._2, window = NearWindow, k = NearK)
@@ -787,7 +787,7 @@ object SearchQueries {
       "q_boolean",
       "boolean retrieval (MUST/SHOULD/MUST_NOT) with quantized BM25 ranking",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx_bq").toString
+        val base = graft.store.Scratch.dir("graft_tidx_bq")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.booleanQuery(BoolMust, BoolShould, BoolNot, BoolK)
@@ -835,7 +835,7 @@ object SearchQueries {
       "q_prefix",
       "prefix (autocomplete) search: df-capped term expansion + quantized BM25",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx_px").toString
+        val base = graft.store.Scratch.dir("graft_tidx_px")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.prefixQuery(PrefixStr, PrefixK, PrefixMax)
@@ -876,7 +876,7 @@ object SearchQueries {
       "q_boolean_phrase",
       "search-box grammar: '\"table hash\" vector -slow' — phrase filter + BM25",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx_bp").toString
+        val base = graft.store.Scratch.dir("graft_tidx_bp")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.booleanQueryString(
@@ -936,7 +936,7 @@ object SearchQueries {
       "q_snippet",
       "highlight offsets: best window per ranked doc from positional postings",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_tidx_sn").toString
+        val base = graft.store.Scratch.dir("graft_tidx_sn")
         val idx = new graft.store.TextIndex(s, base, numBuckets = 8)
         idx.build(tbl(s, dir, "documents").select("doc_id", "text"))
         idx.highlight(QueryTerms, k = 10, window = SnippetWindow)

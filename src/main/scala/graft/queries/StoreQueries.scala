@@ -25,7 +25,7 @@ object StoreQueries {
       "q_store_roundtrip",
       "vector store ingest (with dup-id rejection) + top-5 L2 query",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_store").toString
+        val base = graft.store.Scratch.dir("graft_store")
         val store = new VectorStore(s, base)
         val coll = store.createOrGet("docs")
         val rows = tbl(s, dir, "documents")
@@ -67,7 +67,7 @@ object StoreQueries {
       "q_store_upsert",
       "collection CRUD: add, upsert, update (unknown ids ignored), delete",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_crud").toString
+        val base = graft.store.Scratch.dir("graft_crud")
         val store = new VectorStore(s, base)
         val coll = store.createOrGet("docs")
         val docs = tbl(s, dir, "documents")
@@ -106,7 +106,7 @@ object StoreQueries {
       "q_encrypt_roundtrip",
       "AES-GCM encrypt embeddings at rest, decrypt, verify exact identity",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_enc").toString
+        val base = graft.store.Scratch.dir("graft_enc")
         val enc = new EncryptedStore(s, base, TestKey)
         val rows = tbl(s, dir, "embeddings")
           .select(col("vec_id").cast("string").as("id"),
@@ -137,7 +137,7 @@ object StoreQueries {
       "q_envelope_search",
       "wrapped-DEK envelope store: master rotation then exact kNN under the new master",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_envq").toString
+        val base = graft.store.Scratch.dir("graft_envq")
         val master = "envelope-master-0123456789abcdef" // 32 bytes
         val master2 = "ENVELOPE-master-0123456789abcdef"
         val enc = graft.store.Envelope.open(s, base, master)
@@ -176,7 +176,7 @@ object StoreQueries {
       "q_encrypt_search",
       "encrypted cell-pruned ANN: storeIndexed + full-probe queryIndexed == exact kNN",
       (s, dir) => {
-        val base = java.nio.file.Files.createTempDirectory("graft_encidx").toString
+        val base = graft.store.Scratch.dir("graft_encidx")
         val enc = new EncryptedStore(s, base, TestKey)
         val rows = tbl(s, dir, "embeddings")
           .select(col("vec_id").cast("string").as("id"),

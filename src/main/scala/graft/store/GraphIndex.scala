@@ -944,15 +944,20 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       case Some(b) => b
       case None => hotPqEst = (key, Long.MaxValue); return None // no _pq sidecar
     }
-    // ADMISSION MATH COUNTS PQ CODE BYTES + EDGES: resident cost per row
-    // is the pqM-byte code + the 8-byte id + ~40 B of JVM entry overhead,
-    // plus 8 B per adjacency edge — the raw floats stream through the
-    // load-time encode and never stay resident. Two narrow count jobs per
-    // publish fingerprint (the HotCodesState discipline).
+    // ADMISSION MATH COUNTS PQ CODE BYTES + EDGES + CODEBOOKS: resident
+    // cost per row is the pqM-byte code + the 8-byte id + ~40 B of JVM
+    // entry overhead, plus 8 B per adjacency edge, plus the flattened
+    // codebook tensor (m·PqK·subDim floats) that stays pinned in
+    // HotPqState for ADC — ~400 KB at dim 384, which the SQ8 tier's ~1 KB
+    // (mn/mx) sidecar convention would otherwise undercount
+    // disproportionately near tight budgets. The raw floats stream
+    // through the load-time encode and never stay resident. Two narrow
+    // count jobs per publish fingerprint (the HotCodesState discipline).
+    val bookBytes = 4L * books.map(_.map(_._2.length.toLong).sum).sum
     val est =
       if (e0 != null && e0._1 == key) e0._2
       else {
-        val v = vectors.count() * (books.length + 48L) + graph.count() * 8L
+        val v = vectors.count() * (books.length + 48L) + graph.count() * 8L + bookBytes
         hotPqEst = (key, v); v
       }
     if (est > StoreIO.hotBudgetBytes()) return None

@@ -40,6 +40,17 @@ object IvfIndex {
   /** PQ codewords per subspace — fixed at 256 so every code is ONE byte
     * (the `codes = "pq"` build option). */
   val PqK: Int = 256
+
+  /** State of a persisted per-probe depth policy ([[IvfIndex.depthPolicy]])
+    * relative to the index content it was calibrated against. */
+  sealed trait PolicyStatus
+  /** No committed policy for this (panel, k). */
+  case object PolicyAbsent extends PolicyStatus
+  /** Policy calibrated against exactly the current index content. */
+  case object PolicyFresh extends PolicyStatus
+  /** The index content changed since calibration (append/delete/retrain) —
+    * the stored depths no longer carry the exactness proof. */
+  case object PolicyStale extends PolicyStatus
 }
 
 final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
@@ -205,7 +216,12 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
            st => StoreIO.writeLongFile(st, newHwm)))),
         marker,
-        cleanup = (staleBatches ++ staleRadii ++ allTsDirs).map(_.getPath).toSeq :+ otherSidecar)
+        // a rebuild sweeps any persisted depth policy outright (the
+        // encPolicyPath discipline): depths calibrated against the OLD
+        // cell layout say nothing about the new one, and the swept sidecar
+        // reads as PolicyAbsent — self-healing callers recalibrate
+        cleanup = (staleBatches ++ staleRadii ++ allTsDirs).map(_.getPath).toSeq :+
+          otherSidecar :+ depthsPath)
     } finally v.unpersist(): Unit
   }
 
@@ -1398,6 +1414,97 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
   }
 
+  // ------------------------------------ persisted per-probe depth policy
+
+  private def depthsPath = s"$path/_depths"
+
+  /** Panel identity for the policy sidecar: k plus a per-probe hash of
+    * (pid, embedding float bits), order-independent. A policy is only
+    * meaningful for EXACTLY the panel+k it was calibrated for — depths
+    * exact at another k, or for other probes, guarantee nothing. */
+  private def panelFp(panel: Seq[(Long, Array[Float])], k: Int): Long =
+    panel.map { case (pid, pe) =>
+      pid * 1000003L + java.util.Arrays.hashCode(pe).toLong
+    }.sorted.foldLeft(k.toLong)((acc, h) => acc * 6364136223846793005L + h)
+
+  /** Calibrate [[exactDepths]] for a STANDING probe panel and persist the
+    * map as a `_depths` sidecar beside the cells — the step that turns a
+    * chunk index into a REOPENABLE serving artifact (the encrypted twin's
+    * `storeIndexed(recallTarget=)` discipline): a server process reopening
+    * the path serves at the committed depths without re-running the
+    * panel × corpus calibration pass. The sidecar records the panel+k
+    * fingerprint AND the index content fingerprint, so [[depthPolicy]] can
+    * FENCE staleness — depths calibrated before an append/retrain carry no
+    * exactness proof afterwards. `precomputed` lets a caller that just ran
+    * [[exactDepths]] (the streamed-maintenance hook) persist without a
+    * second calibration pass — it MUST be that exact panel's fresh result. */
+  def persistDepthPolicy(panel: Seq[(Long, Array[Float])], k: Int,
+                         precomputed: Option[Map[Long, Int]] = None): Map[Long, Int] =
+    WriterLease.withLease(path, "IvfIndex.persistDepthPolicy") {
+      val depths = precomputed.getOrElse(exactDepths(panel, k))
+      require(panel.map(_._1).toSet == depths.keySet,
+        "precomputed depths must cover exactly the panel's probe ids")
+      val rows = spark.createDataFrame(depths.toSeq).toDF("pid", "depth")
+      val meta = spark.createDataFrame(
+          Seq((k, panelFp(panel, k), hotKey())))
+        .toDF("k", "panel_fp", "data_fp")
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"${depthsPath}__stage", depthsPath, st => {
+          rows.coalesce(1).write.mode("overwrite").parquet(s"$st/rows")
+          meta.coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+        })), marker)
+      depths
+    }
+
+  /** Freshness of the committed policy for (panel, k): [[IvfIndex.PolicyAbsent]]
+    * when none exists (or one exists for a DIFFERENT panel or k — not this
+    * panel's policy at all), [[IvfIndex.PolicyFresh]] when the index content
+    * fingerprint still matches, [[IvfIndex.PolicyStale]] after any
+    * content-changing commit. Driver-side file metadata + one tiny parquet
+    * read — no corpus jobs. */
+  def depthPolicyStatus(panel: Seq[(Long, Array[Float])], k: Int): IvfIndex.PolicyStatus = {
+    if (!new java.io.File(s"$depthsPath/meta/_SUCCESS").exists()) return IvfIndex.PolicyAbsent
+    val m = spark.read.parquet(s"$depthsPath/meta").head()
+    if (m.getInt(0) != k || m.getLong(1) != panelFp(panel, k)) IvfIndex.PolicyAbsent
+    else if (m.getString(2) == hotKey()) IvfIndex.PolicyFresh
+    else IvfIndex.PolicyStale
+  }
+
+  /** The committed per-probe depths for (panel, k) — REFUSES (fail-loud)
+    * unless the policy is [[IvfIndex.PolicyFresh]]: serving at stale depths
+    * silently drops the indexed ≡ exact contract, the failure the fence
+    * exists to prevent. Callers that prefer self-healing use
+    * [[depthPolicyOrRecalibrate]]. */
+  def depthPolicy(panel: Seq[(Long, Array[Float])], k: Int): Map[Long, Int] =
+    depthPolicyStatus(panel, k) match {
+      case IvfIndex.PolicyFresh =>
+        spark.read.parquet(s"$depthsPath/rows")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      case IvfIndex.PolicyStale => sys.error(
+        s"depth policy at $depthsPath is STALE — the index content changed " +
+          "since calibration (append/delete/retrain), so the stored depths " +
+          "no longer guarantee exact serving; persistDepthPolicy() again or " +
+          "route through depthPolicyOrRecalibrate()")
+      case IvfIndex.PolicyAbsent => sys.error(
+        s"no committed depth policy for this panel at k=$k under $depthsPath " +
+          "— persistDepthPolicy() first")
+    }
+
+  /** [[depthPolicy]] with LOUD self-healing: a fresh policy reads straight
+    * from the sidecar (zero calibration jobs — the reopen path); an absent
+    * or stale one re-runs [[exactDepths]] and re-persists, logging the
+    * recalibration so drift is never silent. The returned map is always
+    * provably exact for the CURRENT index content. */
+  def depthPolicyOrRecalibrate(panel: Seq[(Long, Array[Float])], k: Int): Map[Long, Int] =
+    depthPolicyStatus(panel, k) match {
+      case IvfIndex.PolicyFresh => depthPolicy(panel, k)
+      case status =>
+        System.err.println(s"[graft] IvfIndex at $path: depth policy " +
+          s"$status for k=$k panel — recalibrating ${panel.length} probes " +
+          "and re-persisting")
+        persistDepthPolicy(panel, k)
+    }
+
   /** EXACT range search: every live row within PLAIN L2 distance
     * `radius` of the probe — the third classic vector-search surface
     * after top-k and filtered top-k. Cells whose centroid lower bound
@@ -1780,24 +1887,14 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     }
   }
 
-  /** Batched probe: top-k per probe for MANY query vectors in ONE pruned
-    * scan. Each probe contributes its nprobe nearest cells; the index is
-    * read once over the UNION of needed cells (still partition pruning),
-    * probes broadcast with their cell lists, and a row is scored against a
-    * probe only when the row's cell is in that probe's probe set — exactly
-    * the per-probe candidate set of [[query]], so results match it probe
-    * for probe. Per-probe top-k is a window over candidates. Batching
-    * amortizes scan + scheduling across probes: Q probes cost one scan of
-    * |union cells|, not Q scans — the embedding-join shape a training
-    * pipeline runs (score a whole batch of leaked/query vectors at once).
-    * `depthOf` overrides the UNIFORM `nprobe` per probe (the
-    * [[exactDepths]] policy: an easy probe prunes hard while a
-    * cell-straddling one probes deep — absent ids fall back to
-    * `nprobe`). */
-  def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
-                 where: Option[Column] = None,
-                 include: Seq[String] = Nil,
-                 depthOf: Map[Long, Int] = Map.empty): DataFrame = {
+  /** The scored per-probe candidate frame BOTH batched-probe tails cut
+    * from — cell routing, union-cell partition pruning, tombstone
+    * anti-join, `where`, probe pairing, distance — so the serving
+    * formulation and its retained window oracle can never diverge on
+    * WHICH rows are candidates, only on how the top-k is cut. */
+  private def batchCandidates(probes: Seq[(Long, Array[Float])], nprobe: Int,
+                              where: Option[Column],
+                              depthOf: Map[Long, Int]): DataFrame = {
     require(probes.nonEmpty, "queryBatch needs at least one probe")
     val cents = centroids()
     val probeCells: Seq[(Long, Array[Float], Seq[Long])] = probes.map { case (pid, qe) =>
@@ -1808,8 +1905,6 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     val probeDf = spark.createDataFrame(
       probeCells.map { case (pid, qe, cells) => (pid, qe.toSeq, cells) })
       .toDF("probe_id", "qe", "probe_cells")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
     val pruned = dataTree()
       .filter(col("cell").isin(unionCells: _*))
     val base = tombstones().fold(pruned)(ts =>
@@ -1818,6 +1913,65 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       .join(broadcast(probeDf),
         array_contains(col("probe_cells"), col("cell").cast("long")))
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
+  }
+
+  /** Batched probe: top-k per probe for MANY query vectors in ONE pruned
+    * scan. Each probe contributes its nprobe nearest cells; the index is
+    * read once over the UNION of needed cells (still partition pruning),
+    * probes broadcast with their cell lists, and a row is scored against a
+    * probe only when the row's cell is in that probe's probe set — exactly
+    * the per-probe candidate set of [[query]], so results match it probe
+    * for probe. Batching amortizes scan + scheduling across probes: Q
+    * probes cost one scan of |union cells|, not Q scans — the
+    * embedding-join shape a training pipeline runs (score a whole batch of
+    * leaked/query vectors at once).
+    *
+    * The per-probe top-k cut SHUFFLES ANSWERS, NOT CANDIDATES:
+    * [[graft.operators.GroupedTopK.topKRows]] keyed by probe_id keeps a
+    * bounded k-entry buffer per probe per map task (payload = the
+    * `include` columns + cell, carried through the aggregator struct), so
+    * the exchange moves at most k × probes × tasks rows. The window
+    * formulation this replaced — `row_number over (partition by probe_id)`
+    * — shipped the FULL cell-pruned candidate volume (Σ per-probe
+    * probed-cell rows) to the reducers; it survives verbatim as
+    * [[queryBatchWindowed]], the spec's bit-equality oracle and the §8.3
+    * before/after baseline. At a 1024-probe training panel over 100 TB the
+    * difference is "shuffle the probed corpus" vs "shuffle the answer".
+    *
+    * `depthOf` overrides the UNIFORM `nprobe` per probe (the
+    * [[exactDepths]] policy: an easy probe prunes hard while a
+    * cell-straddling one probes deep — absent ids fall back to
+    * `nprobe`). */
+  def queryBatch(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+                 where: Option[Column] = None,
+                 include: Seq[String] = Nil,
+                 depthOf: Map[Long, Int] = Map.empty): DataFrame = {
+    val payload = struct(
+      include.map(col) :+ col("cell").cast("long").as("cell"): _*)
+    batchCandidates(probes, nprobe, where, depthOf)
+      .groupBy("probe_id")
+      .agg(graft.operators.GroupedTopK.topKRows(k)(
+        col("distance"), col("id"), payload).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id") +: col("e.id").as("id") +:
+        include.map(c => col(s"e.payload.$c").as(c)) :+
+        col("e.payload.cell").as("cell") :+ col("e.score").as("distance") :+
+        (col("pos") + 1).cast("int").as("rn"): _*)
+  }
+
+  /** The REJECTED window formulation of [[queryBatch]], retained verbatim
+    * as the bit-equality oracle its spec pins the serving tail against and
+    * as the §8.3 before/after measurement baseline (the *Hof-twin
+    * discipline). Correct and cell-pruned, but the window exchange
+    * carries the full candidate volume — do not serve through it. */
+  private[graft] def queryBatchWindowed(probes: Seq[(Long, Array[Float])], k: Int,
+                                        nprobe: Int,
+                                        where: Option[Column] = None,
+                                        include: Seq[String] = Nil,
+                                        depthOf: Map[Long, Int] = Map.empty): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+    batchCandidates(probes, nprobe, where, depthOf)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("probe_id") +: col("id") +: include.map(col) :+

@@ -310,8 +310,16 @@ object StreamOps {
     * the two serving policies:
     *  - `standingProbes` non-empty (the q_rag_indexed shape): re-derive
     *    the PER-PROBE exact depths for exactly those probes
-    *    ([[graft.store.IvfIndex.exactDepths]]) and hand the fresh map to
-    *    `onDepths` — the serving side's `queryBatch(depthOf=)` knob;
+    *    ([[graft.store.IvfIndex.exactDepths]]) at `standingK` — the
+    *    SERVING shortlist size, REQUIRED explicitly in this shape because
+    *    depths exact at some other k guarantee nothing about the serving
+    *    arm's indexed ≡ exact contract (q_rag_indexed's is
+    *    RagChunkK + RagCosMargin) — and hand the fresh map to
+    *    `onDepths` — the serving side's `queryBatch(depthOf=)` knob.
+    *    When the index carries a persisted depth policy for this panel
+    *    ([[graft.store.IvfIndex.persistDepthPolicy]]), the refresh also
+    *    rewrites the sidecar, so a policy-routed server
+    *    ([[graft.store.IvfIndex.depthPolicy]]) never reads stale depths;
     *  - otherwise: re-run the global recall-target policy on a fresh
     *    self-panel ([[graft.store.IvfIndex.calibrateNprobe]]) and hand
     *    the depth to `onDepth`. Target 1.0 always terminates (the
@@ -323,7 +331,13 @@ object StreamOps {
       calibrateK: Int = 10, calibratePanel: Int = 64,
       onDepth: Int => Unit = _ => (),
       standingProbes: Seq[(Long, Array[Float])] = Nil,
+      standingK: Int = 0,
       onDepths: Map[Long, Int] => Unit = _ => ()): StreamingQuery = {
+    require(standingProbes.isEmpty || recalibrateEvery <= 0 || standingK >= 1,
+      "standingK (the SERVING shortlist size the per-probe depths must be " +
+        "exact at) is required when recalibrating standing probes — a depth " +
+        "map exact at a different k silently breaks the indexed == exact " +
+        "serving contract")
     val vf = graft.functions.VectorFunctions
     spark.readStream
       .schema(DocSourceSchema)
@@ -337,9 +351,14 @@ object StreamOps {
             col("emb"))
         index.appendBatch(chunks, id)
         if (recalibrateEvery > 0 && (id + 1) % recalibrateEvery == 0) {
-          if (standingProbes.nonEmpty)
-            onDepths(index.exactDepths(standingProbes, calibrateK))
-          else
+          if (standingProbes.nonEmpty) {
+            val fresh = index.exactDepths(standingProbes, standingK)
+            // write-through: a persisted policy for this panel must never
+            // outlive the appends that staled it
+            if (index.depthPolicyStatus(standingProbes, standingK) != graft.store.IvfIndex.PolicyAbsent)
+              index.persistDepthPolicy(standingProbes, standingK, precomputed = Some(fresh))
+            onDepths(fresh)
+          } else
             onDepth(index.calibrateNprobe(calibrateK, recallTarget, calibratePanel))
         }
       }

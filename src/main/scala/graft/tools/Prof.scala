@@ -123,7 +123,7 @@ object Prof {
     val n = vectors.count()
     val nTag = s"(n=$n)"
     val bits = scaledBits(n)
-    val gbase = java.nio.file.Files.createTempDirectory("scale_r10_gpq").toString
+    val gbase = graft.store.Scratch.dir("scale_r10_gpq")
     val pqM = 8
     val gidx = new GraphIndex(s, gbase, k = 8,
       Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
@@ -254,7 +254,7 @@ object Prof {
     val nTag = s"(n=$n)"
     val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
     val cells = math.max(16, (n / 2048L).toInt)
-    val ibase = java.nio.file.Files.createTempDirectory("scale_r9_ivf").toString
+    val ibase = graft.store.Scratch.dir("scale_r9_ivf")
     val idx = new IvfIndex(s, ibase, cells)
     time(s"r9_cal_build_${cells}cells", nTag)(idx.build(vectors))
     val panel = idx.calibrationPanel(64)
@@ -275,7 +275,7 @@ object Prof {
       println(s"PROF r9_cal_chosen nprobe=${idx.calibrateNprobe(10, 0.9, 64)}"))
 
     // ---- GraphIndex SQ8 hot serving inside the codes-fit window
-    val gbase = java.nio.file.Files.createTempDirectory("scale_r9_g").toString
+    val gbase = graft.store.Scratch.dir("scale_r9_g")
     val bits = scaledBits(n)
     val gidx = new GraphIndex(s, gbase, k = 8,
       Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
@@ -340,7 +340,7 @@ object Prof {
 
     // ---- positional upgrade: cost tracks the PRE-GEN fraction, corpus fixed
     Seq(10L, 50L).foreach { pct =>
-      val tb = java.nio.file.Files.createTempDirectory(s"scale_r9_upg$pct").toString
+      val tb = graft.store.Scratch.dir(s"scale_r9_upg$pct")
       val tidx = new graft.store.TextIndex(s, tb, numBuckets = 64)
       val old = docs.filter(pmod(col("doc_id"), lit(100)) < pct)
       val rest = docs.filter(pmod(col("doc_id"), lit(100)) >= pct)
@@ -348,7 +348,7 @@ object Prof {
       tidx.appendBatch(rest, 1L)
       // strip pos from batch=0 (simulate a pre-positions generation)
       val b0 = new java.io.File(s"$tb/postings/batch=0")
-      val st = java.nio.file.Files.createTempDirectory("scale_r9_upg_st").toString
+      val st = graft.store.Scratch.dir("scale_r9_upg_st")
       s.read.parquet(b0.getPath).drop("pos")
         .write.mode("overwrite").partitionBy("bucket").parquet(st)
       def rm(f: java.io.File): Unit = {
@@ -376,7 +376,7 @@ object Prof {
     val nd = docs.count()
     val nTag = s"(docs=$nd)"
     val sq = graft.queries.SearchQueries
-    val tbase = java.nio.file.Files.createTempDirectory("scale_tidx_ts").toString
+    val tbase = graft.store.Scratch.dir("scale_tidx_ts")
     val tidx = new graft.store.TextIndex(s, tbase, 64)
     time("ts_build_64buckets", nTag)(tidx.build(docs))
     time("ts_boolean_cold", nTag)(println(s"PROF ts_bool_rows rows=" +
@@ -429,7 +429,7 @@ object Prof {
           pmod(col("id") * 31 + j.cast("long") * 7, lit(11L)).cast("double") / 11.0)
           .cast("float")))
       .select("id", "emb")
-    val base = java.nio.file.Files.createTempDirectory("scale_exidx").toString
+    val base = graft.store.Scratch.dir("scale_exidx")
     val idx = new IvfIndex(s, base, C)
     time("exact_build", nTag)(idx.build(clustered))
     val qe = clustered.filter(col("id") === 5).select("emb")
@@ -477,7 +477,7 @@ object Prof {
     // the honest row: uniform fixture vectors are near-equidistant —
     // τ cannot beat any cell's lower bound and the exact probe IS brute
     val uniform = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
-    val ubase = java.nio.file.Files.createTempDirectory("scale_exidx_u").toString
+    val ubase = graft.store.Scratch.dir("scale_exidx_u")
     val uidx = new IvfIndex(s, ubase, math.max(16, (n / 2048L).toInt))
     time("uniform_build", nTag)(uidx.build(uniform))
     val uqe = uniform.filter(col("id") === 5).select("emb")
@@ -507,7 +507,7 @@ object Prof {
     val cells = math.max(16, (n / 2048L).toInt)
     val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
-    val base = java.nio.file.Files.createTempDirectory("scale_pqidx").toString
+    val base = graft.store.Scratch.dir("scale_pqidx")
     val idx = new graft.store.IvfIndex(s, base, cells)
     time("pq_build", nTag)(idx.build(corpus, codes = "pq", pqM = 8))
     time("pq_raw_cold", nTag)(idx.query(qe, 5, 4).collect())
@@ -543,7 +543,7 @@ object Prof {
     val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val nd = docs.count()
     val nTag = s"(docs=$nd)"
-    val tbase = java.nio.file.Files.createTempDirectory("scale_tidx_ph").toString
+    val tbase = graft.store.Scratch.dir("scale_tidx_ph")
     val tidx = new graft.store.TextIndex(s, tbase, 64)
     time("phr_build_64buckets", nTag)(tidx.build(docs))
     val ph = graft.queries.SearchQueries.PhraseTerms
@@ -589,7 +589,7 @@ object Prof {
     val cells = math.max(16, (n / 2048L).toInt)
     val qe = e.filter(col("vec_id") === 17)
       .head().getAs[Seq[Float]]("embedding").toArray
-    val base = java.nio.file.Files.createTempDirectory("scale_retrain").toString
+    val base = graft.store.Scratch.dir("scale_retrain")
     val idx = new IvfIndex(s, base, cells)
     time(s"rt_build_${cells}cells", nTag)(idx.build(corpus))
     time("rt_probe_preflood", nTag)(idx.query(qe, 5, 4).collect())
@@ -648,7 +648,7 @@ object Prof {
       println(s"PROF lbl_exact_rows rows=${out.count()}")
     }
     val cells = math.max(16, (n / 2048L).toInt)
-    val base = java.nio.file.Files.createTempDirectory("scale_lbl").toString
+    val base = graft.store.Scratch.dir("scale_lbl")
     val idx = new IvfIndex(s, base, cells)
     time(s"lbl_index_build_${cells}cells", nTag)(idx.build(labeled))
     time("lbl_routed_cold", nTag) {
@@ -703,7 +703,7 @@ object Prof {
       concat(lit("doc "), col("vec_id")).as("doc"), col("embedding").as("emb"))
     val qe = e.filter(col("vec_id") === 17)
       .head().getAs[Seq[Float]]("embedding").toArray
-    val base = java.nio.file.Files.createTempDirectory("scale_enc").toString
+    val base = graft.store.Scratch.dir("scale_enc")
     val es = new graft.store.EncryptedStore(s, base, "0123456789abcdef")
     time(s"enc_build_${cells}cells", nTag)(es.storeIndexed(rows, "c", cells))
     time("enc_query_brute", nTag)(es.query("c", qe, 5).collect())
@@ -748,7 +748,7 @@ object Prof {
           .cast("float")))
       .select(format_string("id%09d", col("kid")).as("id"),
         concat(lit("doc "), col("kid")).as("doc"), col("emb"))
-    val base = java.nio.file.Files.createTempDirectory("scale_encex").toString
+    val base = graft.store.Scratch.dir("scale_encex")
     val es = new graft.store.EncryptedStore(s, base, "0123456789abcdef")
     time("encexact_build", nTag)(es.storeIndexed(clustered, "c", C))
     val qe = clustered.filter(col("id") === "id000000005")
@@ -838,7 +838,7 @@ object Prof {
     val nTag = s"(n=$n)"
     val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
-    val base = java.nio.file.Files.createTempDirectory("scale_ivf").toString
+    val base = graft.store.Scratch.dir("scale_ivf")
     val idx = new IvfIndex(s, base, 16)
     time("ivf_build_trained", nTag)(idx.build(corpus))
     val sizes = s.read.parquet(s"$base/data").groupBy("cell").count()
@@ -887,7 +887,7 @@ object Prof {
     val tiles = (0 until 6).map { j =>
       transform(col("embedding"), x => (x * lit(1.0f / (j + 1))).cast("float"))
     }
-    val out = java.nio.file.Files.createTempDirectory("dim384").toString
+    val out = graft.store.Scratch.dir("dim384")
     time("d384_expand_write", nTag)(
       e64.select(col("vec_id"), concat(tiles: _*).as("embedding"))
         .write.mode("overwrite").parquet(s"$out/embeddings.parquet"))
@@ -900,7 +900,7 @@ object Prof {
           .orderBy(desc("c"), asc("vec_id")).limit(5).collect())
     }
     val cells = math.max(16, (n / 2048L).toInt)
-    val base = java.nio.file.Files.createTempDirectory("dim384_ivf").toString
+    val base = graft.store.Scratch.dir("dim384_ivf")
     val idx = new IvfIndex(s, base, cells)
     time("d384_ivf_build", nTag)(
       idx.build(e.select(col("vec_id").as("id"), col("embedding").as("emb"))))
@@ -930,7 +930,7 @@ object Prof {
     val cells = math.max(16, (n / 2048L).toInt)
     val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
-    val base = java.nio.file.Files.createTempDirectory("scale_sq8idx").toString
+    val base = graft.store.Scratch.dir("scale_sq8idx")
     val idx = new graft.store.IvfIndex(s, base, cells)
     time("sq8_build", nTag)(idx.build(corpus))
     time("sq8_raw_cold", nTag)(idx.query(qe, 5, 4).collect())
@@ -972,7 +972,7 @@ object Prof {
     val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
     val bits = scaledBits(n)
-    val base = java.nio.file.Files.createTempDirectory("scale_gidx").toString
+    val base = graft.store.Scratch.dir("scale_gidx")
     val idx = new GraphIndex(s, base, 4,
       Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 4)
     time("gidx_build", nTag)(idx.build(corpus, refineRounds = 1))
@@ -1038,7 +1038,7 @@ object Prof {
     val qe = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head().getSeq[Float](0).toArray
     val bits = scaledBits(n)
-    val base = java.nio.file.Files.createTempDirectory("scale_delstress").toString
+    val base = graft.store.Scratch.dir("scale_delstress")
     val idx = new GraphIndex(s, base, 4,
       Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 4)
     time("gidx_build", s"(n=$n)")(idx.build(corpus, refineRounds = 1))
@@ -1135,7 +1135,7 @@ object Prof {
     // disk inverted index: build is linear in token volume; the query scan
     // is bucket-pruned, so its cost tracks the QUERY TERMS' posting volume
     // (a df-proportional slice), not the corpus
-    val tbase = java.nio.file.Files.createTempDirectory("scale_tidx").toString
+    val tbase = graft.store.Scratch.dir("scale_tidx")
     val tidx = new graft.store.TextIndex(s, tbase, 64)
     time("tidx_build_64buckets", s"(docs=$nd)")(tidx.build(docs))
     time("tidx_query_cold", s"(docs=$nd)")(

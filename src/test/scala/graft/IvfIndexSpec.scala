@@ -143,6 +143,57 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       s"sweep full-recall rung $fullAt vs max per-probe depth ${depths.values.max}")
   }
 
+  test("queryBatch shuffles answers, not candidates: bit-equal to the window oracle at every depth, payload carried, no Window in the plan") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_qb").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 16)
+    idx.build(vectors)
+    val probes = Seq(2L, 9L, 33L, 71L, 140L, 256L).map { pid =>
+      (pid + 5000L,
+        vectors.filter(col("id") === pid).head().getSeq[Float](1).toArray)
+    }
+    // mixed per-probe depths: some pinned shallow, some deep, some absent
+    // (falling back to nprobe) — every depthOf code path
+    val depthOf = Map(probes(0)._1 -> 1, probes(2)._1 -> 16, probes(4)._1 -> 3)
+    def rows(df: org.apache.spark.sql.DataFrame, withEmb: Boolean) =
+      df.collect().map { r =>
+        (r.getLong(0), r.getLong(1),
+          if (withEmb) r.getSeq[Float](2).toSeq else Nil,
+          r.getLong(if (withEmb) 3 else 2),
+          r.getDouble(if (withEmb) 4 else 3),
+          r.getInt(if (withEmb) 5 else 4))
+      }.toSeq.sortBy(t => (t._1, t._6))
+    for (np <- Seq(1, 4, 16); include <- Seq(Nil, Seq("emb"))) {
+      val got = rows(idx.queryBatch(probes, k = 5, nprobe = np,
+        include = include, depthOf = depthOf), include.nonEmpty)
+      val oracle = rows(idx.queryBatchWindowed(probes, k = 5, nprobe = np,
+        include = include, depthOf = depthOf), include.nonEmpty)
+      assert(got == oracle,
+        s"nprobe=$np include=$include: aggregated tail must be bit-equal " +
+          "to the window formulation (same candidates, same (distance, id) " +
+          "total order, payload intact)")
+    }
+    // where-filter parity on both tails
+    val pred = col("id") % 2 === 0
+    assert(rows(idx.queryBatch(probes, 5, 4, where = Some(pred)), withEmb = false) ==
+      rows(idx.queryBatchWindowed(probes, 5, 4, where = Some(pred)), withEmb = false))
+    // THE SHAPE CLAIM: the serving tail aggregates map-side (the exchange
+    // carries <= k x probes x tasks buffered entries), never a window over
+    // the full cell-pruned candidate volume
+    val servePlan = idx.queryBatch(probes, k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!servePlan.contains("Window"),
+      s"queryBatch must not rank candidates through a window exchange:\n$servePlan")
+    assert(servePlan.contains("top_k_rows"),
+      s"queryBatch must cut top-k through the bounded native aggregate:\n$servePlan")
+    val oraclePlan = idx.queryBatchWindowed(probes, k = 5, nprobe = 4)
+      .queryExecution.executedPlan.toString
+    assert(oraclePlan.contains("Window"),
+      "the retained oracle IS the window formulation — if this stops " +
+        "holding the spec is comparing the serving tail to itself")
+  }
+
   test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_hot").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")

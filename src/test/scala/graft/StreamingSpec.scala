@@ -948,7 +948,7 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
     // independent checkpoints into one index would reuse batch dirs)
     extra.coalesce(1).write.mode("append").parquet(srcDir)
     StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, ckpt0,
-      recalibrateEvery = 1, calibrateK = 10,
+      recalibrateEvery = 1, standingK = 10,
       standingProbes = standing,
       onDepths = m => perProbe = m).awaitTermination()
     assert(perProbe.keySet == Set(1001L), "per-probe hook hands the standing ids")
@@ -960,6 +960,23 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(served == brute,
       "serving at the refreshed per-probe depths must stay exact after appends")
+    // the API boundary refuses a standing-probe recalibration without an
+    // explicit serving k: depths exact at a DEFAULT k would silently break
+    // the indexed == exact contract at the caller's real shortlist size
+    intercept[IllegalArgumentException](
+      StreamOps.maintainChunkIndex(spark, srcDir, inc, w, st, dim, tmp(),
+        recalibrateEvery = 1, standingProbes = standing))
+  }
+
+  test("chunkEmbed rejects non-positive window/stride at the API boundary") {
+    import spark.implicits._
+    val docs = Seq((1L, "one two three")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.chunkEmbed(docs, window = 0, stride = 4, dim = 8))
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.chunkEmbed(docs, window = 16, stride = 0, dim = 8))
+    intercept[IllegalArgumentException](
+      graft.operators.Percolate.chunkEmbed(docs, window = 16, stride = -3, dim = 8))
   }
 
   test("semantic percolation: stream equals batch incl. replay; dead registries rejected") {
