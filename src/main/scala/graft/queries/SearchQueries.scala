@@ -269,8 +269,30 @@ object SearchQueries {
     * unconditional: a probe with under kk candidates reports numCells
     * (the full scan). */
   private[graft] def ragCalibrate(idx: graft.store.IvfIndex,
-      probes: Seq[(Long, Array[Float])]): Map[Long, Int] =
-    idx.exactDepths(probes, RagChunkK + RagCosMargin)
+      probes: Seq[(Long, Array[Float])]): Map[Long, Int] = {
+    // calibrate AND persist, then read back through the fenced route
+    // (PolicyFresh — a tiny sidecar read, no second calibration pass):
+    // the in-query build exercises the same reopenable-artifact path a
+    // serving process uses, so q_rag_indexed's oracle gates the
+    // persist+readback roundtrip too
+    idx.persistDepthPolicy(probes, RagChunkK + RagCosMargin)
+    idx.depthPolicy(probes, RagChunkK + RagCosMargin)
+  }
+
+  /** RAG serving across REOPENS — the production surface the sidecar
+    * exists for: a server process reopening the persisted chunk index
+    * routes the standing panel through [[graft.store.IvfIndex.depthPolicy]]'s
+    * committed depths (zero calibration jobs when fresh) and
+    * self-heals LOUDLY when ingest appended past the calibration
+    * ([[graft.store.IvfIndex.depthPolicyOrRecalibrate]]) — stale depths
+    * must never serve silently. Same ranked frame as [[ragServeIndexed]]
+    * at fresh depths (spec-pinned, RagIndexedSpec). */
+  private[graft] def ragServePersisted(s: SparkSession,
+      idx: graft.store.IvfIndex): org.apache.spark.sql.DataFrame = {
+    val probes = ragProbePanel(s)
+    ragServeIndexed(s, idx, probes,
+      idx.depthPolicyOrRecalibrate(probes, RagChunkK + RagCosMargin))
+  }
 
   /** q_rag_indexed's PROBE phase: cell-pruned batched L2 shortlist
     * (exact at the per-probe calibrated depths), bounded cosine re-rank

@@ -1786,6 +1786,51 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           "(the exact rung, recall 1.0) in the ladder or lower the target"))
   }
 
+  /** PER-PROBE exact serving depths on CIPHERTEXT —
+    * [[graft.store.IvfIndex.exactDepths]]'s encrypted twin, the policy the
+    * plaintext side gained in r10 rebuilt for the key holder: probe p's
+    * depth is the MAX cell rank (in p's centroid order) over its exact
+    * top-`k` members, the smallest depth whose probed candidate set
+    * provably contains the whole exact top-k (the nesting lemma —
+    * candidates nest across depths, so an exact member is served at depth
+    * d iff its cell ranks ≤ d). A GLOBAL policy ([[calibrateNprobe]])
+    * carries every probe to the worst probe's depth — on ciphertext that
+    * is not just wasted scan but wasted AES-GCM: a straddling probe
+    * forces every probe's DECRYPT to its depth. Here each probe decrypts
+    * exactly its own provably-needed cells.
+    *
+    * The exact arm is the decrypt-bounded triangle-pruned probe
+    * ([[encExactMembers]] — probe `probe0` cells for τ, decrypt only the
+    * surviving cells), so total decrypt volume is
+    * panel × (probe0 + surviving) cells, never the corpus. Probes with
+    * fewer than `k` candidates report numCells (only the full scan is
+    * provably exact — the plaintext convention). `excludeSelfIds` maps a
+    * probe id to the ROW id whose self-hit the exact arm must drop (the
+    * self-panel convention; serving panels leave it empty).
+    *
+    * Returns (probe id → depth) ready for
+    * [[queryIndexedBatch]]/[[queryIndexedBatchQuantized]]'s `depthOf` —
+    * depth-for-depth equal to the plaintext twin's [[graft.store.IvfIndex.exactDepths]]
+    * on the same kid-keyed data (spec-pinned, EncryptedIndexSpec). Key
+    * holders only; serving itself stays on ciphertext. */
+  def exactDepths(name: String, panel: Seq[(Long, Array[Float])], k: Int,
+                  probe0: Int = 4,
+                  excludeSelfIds: Map[Long, String] = Map.empty): Map[Long, Int] = {
+    require(panel.nonEmpty, "exactDepths needs a non-empty probe panel")
+    require(panel.length <= 4096, "calibration panel is index-metadata scale")
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val numCells = cents.length
+    panel.map { case (pid, pe) =>
+      val crank: Map[Long, Int] = ExactPrune.orderedCells(cents, pe)
+        .zipWithIndex.map { case ((_, cid), r) => cid -> (r + 1) }.toMap
+      val members = encExactMembers(name, pe, k, probe0,
+        excludeId = excludeSelfIds.get(pid))
+      pid -> (if (members.length < k) numCells
+              else members.map { case (_, cell, _) => crank(cell) }.max)
+    }.toMap
+  }
+
   private def encPolicyPath(name: String) = s"$basePath/__enc_policy/$name"
 
   /** The persisted calibrated serving depth, if [[storeIndexed]] was
@@ -2048,10 +2093,11 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
 
   private def encProbeCells(cents: Array[(Long, Array[Float])],
                             probes: Seq[(Long, Array[Float])],
-                            nprobe: Int): Seq[(Long, Array[Float], Seq[Long])] =
+                            nprobe: Int,
+                            depthOf: Map[Long, Int] = Map.empty): Seq[(Long, Array[Float], Seq[Long])] =
     probes.map { case (pid, qe) =>
       (pid, qe, cents.map { case (cid, c) => (encL2sq(c, qe), cid) }
-        .sorted.take(nprobe).map(_._2).toSeq)
+        .sorted.take(depthOf.getOrElse(pid, nprobe)).map(_._2).toSeq)
     }
 
   /** Batched [[queryIndexed]] — Q probes share ONE decrypt pass over the
@@ -2061,16 +2107,25 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * AES-GCM decrypt into the join and re-decrypt each row once per
     * matching PROBE, the per-pair-recompute trap), then each row is scored
     * only against probes whose cell set contains it and cut to top-k by a
-    * probe-keyed window. Per-probe results are [[queryIndexed]]'s
-    * (spec-pinned). A bulk encrypted workload pays ~one probe's decrypt
-    * cost for the whole batch instead of Q× it. Returns
+    * probe-keyed window over the ALREADY-MATERIALIZED decrypted candidates
+    * (on the encrypted twin the scale cost is AES-GCM work, paid once at
+    * the checkpoint; the plaintext 100 TB serving shape —
+    * [[graft.store.IvfIndex.queryBatch]]'s answer-volume aggregate — is
+    * where uncapped candidate exchanges actually bite). Per-probe results
+    * are [[queryIndexed]]'s (spec-pinned). A bulk encrypted workload pays
+    * ~one probe's decrypt cost for the whole batch instead of Q× it.
+    * `depthOf` overrides the UNIFORM `nprobe` per probe — the
+    * [[exactDepths]] policy: each probe DECRYPTS exactly its own
+    * provably-needed cells instead of riding the worst probe's depth
+    * (absent ids fall back to `nprobe`). Returns
     * (probe_id, id, doc, distance, rn). */
   def queryIndexedBatch(name: String, probes: Seq[(Long, Array[Float])], k: Int,
-                        nprobe: Int): DataFrame = {
+                        nprobe: Int,
+                        depthOf: Map[Long, Int] = Map.empty): DataFrame = {
     require(probes.nonEmpty, "queryIndexedBatch needs at least one probe")
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    val probeCells = encProbeCells(cents, probes, nprobe)
+    val probeCells = encProbeCells(cents, probes, nprobe, depthOf)
     val unionCells = probeCells.flatMap(_._3).distinct
     val probeDf = spark.createDataFrame(
       probeCells.map { case (pid, qe, cells) => (pid, qe.toSeq, cells) })
@@ -2100,15 +2155,17 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * bounded pass — and finishes every probe exactly. With `shortlist` >=
     * the probed cells' population the result is EXACTLY
     * [[queryIndexedBatch]]'s (spec-pinned). The id collect is bounded by
-    * Q × `shortlist`. */
+    * Q × `shortlist`. `depthOf` is the [[exactDepths]] per-probe override,
+    * bounding each probe's codes_ct decrypt to its own cells. */
   def queryIndexedBatchQuantized(name: String, probes: Seq[(Long, Array[Float])],
                                  k: Int, nprobe: Int,
-                                 shortlist: Int = 256): DataFrame = {
+                                 shortlist: Int = 256,
+                                 depthOf: Map[Long, Int] = Map.empty): DataFrame = {
     require(probes.nonEmpty, "queryIndexedBatchQuantized needs at least one probe")
     require(shortlist >= k, "shortlist must be at least k")
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    val probeCells = encProbeCells(cents, probes, nprobe)
+    val probeCells = encProbeCells(cents, probes, nprobe, depthOf)
     val unionCells = probeCells.flatMap(_._3).distinct
     // per-probe quantized scorer, dispatched on the frozen sidecar (the
     // IvfIndex.queryBatchQuantized discipline on ciphertext)

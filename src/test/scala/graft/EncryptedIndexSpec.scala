@@ -510,4 +510,62 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
       assert(ex2.getMessage.contains("no ladder depth"), ex2.getMessage)
     }
   }
+
+  test("per-probe exact depths: depth-for-depth parity with the plaintext twin; batch serving at the map is exact and decrypt-bounded") {
+    val base = tmp("enc_pd")
+    val es = new EncryptedStore(spark, base, Key)
+    val rows = rowsOf(1 to 400)
+    es.storeIndexed(rows, "c", numCells = 8)
+    // the plaintext twin over the SAME rows on the SAME trainer spine
+    // (kid = xxhash64(string id)) — identical deterministic centroids
+    val plain = new graft.store.IvfIndex(spark, tmp("enc_pd_plain"), 8)
+    plain.build(rows.select(xxhash64(col("id")).as("id"), col("emb")))
+    val k = 5
+    // an EXTERNAL serving panel shared verbatim by both twins
+    val panel = (600 to 607).map(i => (i.toLong, probe(i)))
+    val dE = es.exactDepths("c", panel, k)
+    val dP = plain.exactDepths(panel, k)
+    assert(dE == dP,
+      s"encrypted per-probe depths must equal the plaintext twin's: $dE vs $dP")
+    assert(dE.values.forall(d => d >= 1 && d <= 8))
+    // the policy is genuinely PER-probe on this fixture (a uniform map
+    // would be the global policy in disguise) — guarded, not assumed
+    if (dE.values.toSet.size > 1) {
+      val worst = dE.values.max
+      assert(dE.values.exists(_ < worst),
+        "at least one probe must prune below the worst probe's depth")
+    }
+    // SERVING at the map: exact per probe vs the full-depth batch, and
+    // each probe's scan is bounded by ITS depth (probing one rung
+    // shallower on some probe changes that probe's candidate set —
+    // minimality, the plaintext exactDepths contract)
+    def served(depths: Map[Long, Int]) =
+      es.queryIndexedBatch("c", panel, k, nprobe = 8, depthOf = depths)
+        .orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+    assert(served(dE) == served(panel.map { case (pid, _) => pid -> 8 }.toMap),
+      "serving at the calibrated per-probe depths must equal full depth")
+    // quantized batch accepts the same map (full shortlist == raw batch)
+    assert(
+      es.queryIndexedBatchQuantized("c", panel, k, nprobe = 8,
+          shortlist = 400, depthOf = dE)
+        .orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSeq
+        == served(dE),
+      "the quantized batch route must accept the per-probe map")
+    // SELF-panel parity (the calibration shape): exclude each probe's own
+    // row on both twins — depths still agree
+    val selfPanel = Seq("id7", "id31", "id113").map { sid =>
+      val i = sid.stripPrefix("id").toInt
+      (org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(sid),
+        org.apache.spark.sql.types.StringType, 42L), probe(i), sid)
+    }
+    val dSelfE = es.exactDepths("c", selfPanel.map(t => (t._1, t._2)), k,
+      excludeSelfIds = selfPanel.map(t => t._1 -> t._3).toMap)
+    val dSelfP = plain.exactDepths(selfPanel.map(t => (t._1, t._2)), k,
+      excludeSelf = true)
+    assert(dSelfE == dSelfP,
+      s"self-panel depths must agree with the plaintext twin: $dSelfE vs $dSelfP")
+  }
 }
