@@ -77,6 +77,17 @@ object BenchSplits {
       // corpus-scale work) OUT of Bench.probeVerdict's serving-phase sum
       Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
     },
+    "q_hybrid_indexed" -> { (s, dir) =>
+      // both persisted arms built in-query (bench-honest), the fused
+      // probe is the number that must stay ~flat as the corpus grows
+      val ((tidx, vidx), tb) = timed(SearchQueries.hybridBuildIndexes(s, dir))
+      val (qe, _) = timed(SearchQueries.hybridProbe(s))
+      val (depths, tc) = timed(SearchQueries.hybridCalibrate(vidx, qe))
+      val (_, tp) = timed(
+        SearchQueries.hybridServeIndexed(s, tidx, vidx, qe, depths)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
+    },
     "q_phrase" -> { (s, dir) =>
       val base = graft.store.Scratch.dir("graft_phr_split")
       val idx = new TextIndex(s, base, numBuckets = 8)

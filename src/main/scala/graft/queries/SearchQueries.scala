@@ -294,6 +294,82 @@ object SearchQueries {
       idx.depthPolicyOrRecalibrate(probes, RagChunkK + RagCosMargin))
   }
 
+  // ------------------------------------------------ indexed hybrid (RRF)
+
+  /** q_hybrid_indexed's PERSISTED arms: the postings TextIndex (quantized
+    * BM25) and a DOC-level embedding IVF — the same two shortlists
+    * q_hybrid_rrf derives from exact corpus scans, served from disk
+    * artifacts instead. Zero-norm docs stay OUT of the embedding index
+    * (the q_rag_indexed exclusion invariant: a zero vector's cosine is
+    * the −1.0 sentinel — below any real doc — but its unit L2 distance
+    * would pollute the L2 shortlist). Cells scale with the corpus
+    * (~2k docs/cell, capped 512 — constant expected cell size). */
+  private[graft] def hybridBuildIndexes(s: SparkSession, dir: String)
+      : (graft.store.TextIndex, graft.store.IvfIndex) = {
+    val tidx = new graft.store.TextIndex(s, graft.store.Scratch.dir("graft_hyb_tidx"),
+      numBuckets = 8)
+    tidx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+    val nDocs = tbl(s, dir, "documents").count()
+    val cells = math.min(512L, math.max(16L, nDocs / 2048L)).toInt
+    val vidx = new graft.store.IvfIndex(s, graft.store.Scratch.dir("graft_hyb_ivf"),
+      numCells = cells)
+    vidx.build(tokenized(s, dir)
+      .select(col("doc_id").as("id"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
+      .filter(VF.norm(col("emb")) > 0),
+      trainSampleCap = math.max(cells * 512L, 1L << 16))
+    (tidx, vidx)
+  }
+
+  /** q_hybrid_indexed's serving pipeline over built arms — split out so
+    * the bench can time build / calibrate / probe separately and specs
+    * can force depths. kw ranks are INTEGER-exact
+    * ([[graft.store.TextIndex.queryRanked]] — position in the quantized
+    * (sq desc, doc_id) total order); sem ranks come from the per-probe
+    * exact-depth L2 shortlist re-ranked by cosine (unit vectors:
+    * cos = 1 − d²/2, the [[RagCosMargin]] slack argument), so both
+    * fusion inputs are exactly the persisted arms' answers. */
+  private[graft] def hybridServeIndexed(s: SparkSession,
+      tidx: graft.store.TextIndex, vidx: graft.store.IvfIndex,
+      qe: Array[Float], depths: Map[Long, Int]): org.apache.spark.sql.DataFrame = {
+    val kw = tidx.queryRanked(QueryTerms, ShortlistK)
+      .select(col("doc_id"), col("rank").as("rank_kw"))
+    val kk = ShortlistK + RagCosMargin
+    val wS = Window.orderBy(desc("cos"), asc("doc_id"))
+    val sem = vidx.queryBatch(Seq(0L -> qe), kk, nprobe = vidx.numCells,
+        include = Seq("emb"), depthOf = depths)
+      .select(col("id").as("doc_id"),
+        VF.cosine(col("emb"), typedlit(qe.toSeq)).as("cos"))
+      .orderBy(desc("cos"), asc("doc_id")).limit(ShortlistK)
+      .withColumn("rank_sem", row_number().over(wS))
+      .select(col("doc_id"), col("rank_sem"))
+    kw.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rank_kw").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rank_sem").cast("double")), lit(0.0)))
+      .orderBy(desc("rrf"), asc("doc_id"))
+      .limit(10)
+      .select(col("doc_id"),
+        coalesce(col("rank_kw"), lit(0)).as("rank_kw"),
+        coalesce(col("rank_sem"), lit(0)).as("rank_sem"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
+  /** The standing hybrid probe (the query string's hash embedding). */
+  private[graft] def hybridProbe(s: SparkSession): Array[Float] = {
+    import s.implicits._
+    Seq(QueryTerms.mkString(" ")).toDF("text")
+      .select(TF.hashEmbed(TF.tokens(col("text")), EmbDim).as("e"))
+      .head().getSeq[Float](0).toArray
+  }
+
+  private[graft] def hybridCalibrate(vidx: graft.store.IvfIndex,
+      qe: Array[Float]): Map[Long, Int] = {
+    // persist + fenced read-back, the ragCalibrate discipline — the
+    // in-query build exercises the reopenable-artifact path
+    vidx.persistDepthPolicy(Seq(0L -> qe), ShortlistK + RagCosMargin)
+    vidx.depthPolicy(Seq(0L -> qe), ShortlistK + RagCosMargin)
+  }
+
   /** q_rag_indexed's PROBE phase: cell-pruned batched L2 shortlist
     * (exact at the per-probe calibrated depths), bounded cosine re-rank
     * (≤ [[RagChunkK]]+[[RagCosMargin]] rows per probe), then the shared
@@ -1158,6 +1234,79 @@ object SearchQueries {
            |kw AS (
            |  SELECT doc_id, row_number() OVER (ORDER BY ${bm25Sql("toks", "dl")} DESC, doc_id) AS rank_kw
            |  FROM d ORDER BY ${bm25Sql("toks", "dl")} DESC, doc_id LIMIT $ShortlistK),
+           |qt AS (SELECT ${OracleText.tokenHashes(OracleText.tokens(s"'$qText'"))} AS th),
+           |qc AS (SELECT ${cnt("th")} AS cnt FROM qt),
+           |q AS (SELECT $emb AS qe FROM qc),
+           |dt AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |dc AS MATERIALIZED (SELECT doc_id, ${cnt("th")} AS cnt FROM dt),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM dc),
+           |sem AS (
+           |  SELECT e.doc_id, row_number() OVER (ORDER BY $cos DESC, e.doc_id) AS rank_sem
+           |  FROM e CROSS JOIN q ORDER BY $cos DESC, e.doc_id LIMIT $ShortlistK),
+           |fused AS (
+           |  SELECT coalesce(kw.doc_id, sem.doc_id) AS doc_id,
+           |         coalesce(kw.rank_kw, 0) AS rank_kw,
+           |         coalesce(sem.rank_sem, 0) AS rank_sem,
+           |         coalesce(1.0 / ($RrfK.0 + CAST(kw.rank_kw AS DOUBLE)), 0.0) +
+           |         coalesce(1.0 / ($RrfK.0 + CAST(sem.rank_sem AS DOUBLE)), 0.0) AS rrf
+           |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
+           |SELECT doc_id, rank_kw, rank_sem, round(rrf, 6) AS rrf
+           |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // q_hybrid_rrf served from the PERSISTED arms — the 100 TB hybrid
+    // serving shape: the kw shortlist probes the postings TextIndex
+    // (bucket-pruned, quantized INTEGER scores -> ranks immune to 1-ulp
+    // float drift, the q_text_index discipline), the sem shortlist probes
+    // the doc-embedding IVF at the probe's own calibrated exact depth
+    // (cell-pruned; cosine re-rank over the margined L2 shortlist), and
+    // the RRF fusion is identical — ranks are integers, so fusion is
+    // exact. Both corpus scans of q_hybrid_rrf are gone from serving;
+    // they moved into the (separately timed) index builds. The oracle is
+    // q_hybrid_rrf's contract with the kw arm scored through the
+    // quantized pipeline the PERSISTED index actually ranks by.
+    Q(
+      "q_hybrid_indexed",
+      "hybrid RRF served from persisted arms: TextIndex BM25 + doc-IVF cosine at calibrated depth",
+      (s, dir) => {
+        val (tidx, vidx) = hybridBuildIndexes(s, dir)
+        val qe = hybridProbe(s)
+        hybridServeIndexed(s, tidx, vidx, qe, hybridCalibrate(vidx, qe))
+      },
+      Some {
+        val qText = QueryTerms.mkString(" ")
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val cos = OracleSql.cosine("e.emb", "q.qe")
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val idfCase = QueryTerms.map { t =>
+          val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+          val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+          s"WHEN term = '$t' THEN $idf"
+        }.mkString("CASE ", " ", " END")
+        val termList = QueryTerms.map(t => s"'$t'").mkString(", ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |tfq AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+           |        FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+           |cq AS (SELECT doc_id, dl,
+           |         CAST(round(($idfCase) *
+           |           ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+           |            (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+           |           * 1048576.0) AS BIGINT) AS c
+           |       FROM tfq),
+           |sq AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS sq
+           |       FROM cq GROUP BY doc_id),
+           |kw AS (
+           |  SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS rank_kw
+           |  FROM sq ORDER BY sq DESC, doc_id LIMIT $ShortlistK),
            |qt AS (SELECT ${OracleText.tokenHashes(OracleText.tokens(s"'$qText'"))} AS th),
            |qc AS (SELECT ${cnt("th")} AS cnt FROM qt),
            |q AS (SELECT $emb AS qe FROM qc),

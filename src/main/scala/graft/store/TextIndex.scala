@@ -1035,6 +1035,34 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     rankedResult(scored.withColumn("cq", cqColumn(idf, avgdl)), k)
   }
 
+  /** [[query]] with the INTEGER-EXACT rank attached — the hybrid-fusion
+    * arm (q_hybrid_indexed): rank = position in the (sq desc, doc_id asc)
+    * total order over the QUANTIZED integer scores, computed BEFORE the
+    * de-quantizing presentation rounding (two sq values a hair apart can
+    * round to the same 4-dp bm25q, so ranking the rounded column would be
+    * ambiguous exactly where ranks must never be). The window runs over
+    * the already-cut k-row answer, not the corpus. Returns
+    * (doc_id, dl, bm25q, rank) in rank order. */
+  def queryRanked(terms: Seq[String], k: Int): DataFrame = {
+    val (n, avgdl, ts) = liveCorpusStats()
+    val idf = idfMapOf(terms, n, ts)
+    val scored = ts match {
+      case None => prunedPostingsOf(terms)
+      case Some(t) => prunedPostingsOf(terms)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val aggregated = scored.withColumn("cq", cqColumn(idf, avgdl))
+      .groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq"))
+      .orderBy(desc("sq"), asc("doc_id")).limit(k)
+    aggregated
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("sq"), asc("doc_id"))))
+      .select(col("doc_id"), col("dl"),
+        round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"),
+        col("rank"))
+  }
+
   /** Highlight OFFSETS for [[query]]'s top-k — the snippet stage of a
     * search UI, served from the index alone (the index stores no text;
     * offsets are what a UI fetches-and-marks with): for each ranked doc,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.SearchQueries
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Indexed hybrid retrieval (q_hybrid_indexed): RRF fusion of the two
+ * PERSISTED arms — postings TextIndex (quantized BM25) + doc-embedding
+ * IVF at the probe's calibrated exact depth — must reproduce
+ * q_hybrid_rrf's exact-scan fusion. Ranks are integers, so fusion is
+ * exact once each arm's shortlist matches; the sem arm's match is the
+ * RagCosMargin L2→cosine argument over unit vectors, the kw arm's is the
+ * quantized-integer ranking the TextIndex oracle already pins
+ * (q_text_index). The kw arms SCORE differently by construction
+ * (quantized longs vs exact doubles) — rank agreement on the fixtures is
+ * asserted, and the oracle gates it independently at sf0.01.
+ */
+class HybridIndexedSpec extends AnyFunSuite with SparkTest {
+
+  private def rows(name: String, dir: String): Seq[(Long, Int, Int, Double)] =
+    graft.queries.Registry.queries(name)(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+
+  test("routed fusion == exact fusion, frame for frame") {
+    val exact = rows("q_hybrid_rrf", sf0001)
+    val routed = rows("q_hybrid_indexed", sf0001)
+    assert(exact.nonEmpty, "fixture sanity")
+    assert(routed == exact,
+      "persisted-arm fusion must reproduce the exact-scan fusion")
+  }
+
+  test("sem arm: calibrated depth == full depth; kw arm: queryRanked ranks the query() answer 1..k") {
+    val (tidx, vidx) = SearchQueries.hybridBuildIndexes(spark, sf0001)
+    val qe = SearchQueries.hybridProbe(spark)
+    val depths = SearchQueries.hybridCalibrate(vidx, qe)
+    assert(depths.keySet == Set(0L) &&
+      depths(0L) >= 1 && depths(0L) <= vidx.numCells)
+    def fused(d: Map[Long, Int]) =
+      SearchQueries.hybridServeIndexed(spark, tidx, vidx, qe, d)
+        .collect().map(_.toSeq).toSeq
+    assert(fused(depths) == fused(Map(0L -> vidx.numCells)),
+      "the calibrated per-probe depth was MEASURED exact — full depth " +
+        "must not change the fusion")
+    // queryRanked == query() + the 1..k rank in the same integer order
+    val plain = tidx.query(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).toSeq
+    val ranked = tidx.queryRanked(SearchQueries.QueryTerms, 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2), r.getInt(3))).toSeq
+    assert(ranked.map(t => (t._1, t._2, t._3)) == plain,
+      "queryRanked must rank exactly query()'s answer")
+    assert(ranked.map(_._4) == (1 to ranked.length).toSeq,
+      "ranks are the 1..k positions of the (sq desc, doc_id) order")
+  }
+}
