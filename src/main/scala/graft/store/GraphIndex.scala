@@ -427,10 +427,19 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * id) pairs), so Q probes cost hops scans, not Q·hops. Results match
     * [[query]] probe for probe: same entries, same per-probe beam and
     * visited evolution, same l2Sq kernel. Output: (probe_id, id, dist, rn)
-    * — the [[IvfIndex.queryBatch]] surface. */
+    * — the [[IvfIndex.queryBatch]] surface.
+    *
+    * `beamOf` overrides the UNIFORM `beamWidth` per probe (the
+    * [[exactBeams]] policy — the graph twin of
+    * [[IvfIndex.queryBatch]]'s `depthOf`): an easy probe walks a narrow
+    * beam while a hard one widens, inside the SAME shared schedule —
+    * per hop still ONE graph read over the union of every probe's beam,
+    * so per-probe widths change each probe's frontier, never the number
+    * of scans. Absent ids fall back to `beamWidth`. */
   def queryBatch(probes: Seq[(Long, Array[Float])], topK: Int, beamWidth: Int,
                  hops: Int, entries: Seq[Long] = Seq.empty,
-                 where: Option[Column] = None): DataFrame = {
+                 where: Option[Column] = None,
+                 beamOf: Map[Long, Int] = Map.empty): DataFrame = {
     require(probes.nonEmpty, "queryBatch needs at least one probe")
     require(probes.map(_._1).distinct.length == probes.length,
       "probe ids must be unique")
@@ -459,7 +468,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     while (hop < hops && open) {
       val beams = probes.map { case (pid, _) =>
         pid -> visited(pid).toSeq.sortBy { case (id, d) => (d, id) }
-          .take(beamWidth).map(_._1)
+          .take(beamOf.getOrElse(pid, beamWidth)).map(_._1)
       }
       val allSrcs = beams.flatMap(_._2).distinct.sorted
       val adj: Map[Long, Seq[Long]] =
@@ -656,13 +665,17 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
 
   /** Batched hot probes against ONE state load — [[queryBatch]]'s output
     * shape (probe_id, id, dist, rn) with [[hotQuery]]'s per-probe answers
-    * (≡ [[query]]'s ≡ [[queryBatch]]'s, all spec-pinned). */
+    * (≡ [[query]]'s ≡ [[queryBatch]]'s, all spec-pinned). `beamOf` is the
+    * per-probe width override, identical semantics to [[queryBatch]]'s —
+    * hot and cold serve the same per-probe policy surface. */
   def hotQueryBatch(probes: Seq[(Long, Array[Float])], topK: Int, beamWidth: Int,
-                    hops: Int): Seq[(Long, Long, Double, Int)] =
+                    hops: Int,
+                    beamOf: Map[Long, Int] = Map.empty): Seq[(Long, Long, Double, Int)] =
     probes.flatMap { case (pid, qe) =>
-      hotQuery(qe, topK, beamWidth, hops).zipWithIndex.map { case ((id, d), i) =>
-        (pid, id, d, i + 1)
-      }
+      hotQuery(qe, topK, beamOf.getOrElse(pid, beamWidth), hops)
+        .zipWithIndex.map { case ((id, d), i) =>
+          (pid, id, d, i + 1)
+        }
     }
 
   /** Admission check for ROUTED hot serving: the on-disk index tree must
@@ -1092,6 +1105,88 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
           "raise hops, densify the graph (higher k / refineRounds), or " +
           "lower the target; silently serving below the requested recall " +
           "is the failure this policy knob exists to prevent"))
+  }
+
+  /** PER-PROBE serving beam widths — the graph twin of
+    * [[IvfIndex.exactDepths]], with the honesty caveat the graph imposes:
+    * beam walks do NOT nest across widths and the graph has no
+    * guaranteed-exact rung, so these are MEASURED-minimal widths, not
+    * provably-minimal ones. Probe p's beam is the smallest `ladder` rung
+    * whose walk (at `hops`) recalls p's ENTIRE exact top-`k`; a probe no
+    * rung serves fully gets `ladder.max` WITH a stderr note (the
+    * [[calibrateBeam]] fail-loud philosophy, per probe — silently
+    * under-serving one probe is the failure the policy exists to
+    * prevent; densify the graph or widen the ladder to clear it).
+    *
+    * A GLOBAL beam ([[calibrateBeam]]) targets panel-average recall — it
+    * can leave one straddling probe short while over-walking every easy
+    * one. Per-probe widths give each probe exactly its measured need,
+    * served through `beamOf` on [[queryBatch]]/[[hotQueryBatch]].
+    *
+    * Cost: ONE exact arm (scored panel × corpus pass, GroupedTopK) plus
+    * per-rung walks for still-unassigned probes — hot-tier map lookups
+    * when the index fits the budget, the batched Spark walk otherwise
+    * (the [[calibrationSweep]] admission discipline). `excludeSelf`
+    * drops the probe's own row from BOTH arms (the self-panel
+    * convention; serving panels leave it false). */
+  def exactBeams(panel: Seq[(Long, Array[Float])], k: Int,
+                 ladder: Seq[Int] = Seq(2, 4, 8, 16, 32), hops: Int = 6,
+                 excludeSelf: Boolean = false): Map[Long, Int] = {
+    require(panel.nonEmpty && panel.length <= 4096,
+      "calibration panel is index-metadata scale")
+    val steps = ladder.distinct.sorted
+    require(steps.nonEmpty && steps.head >= 1, "ladder must be positive")
+    import graft.operators.GroupedTopK
+    val probesDf = broadcast(spark.createDataFrame(
+      panel.map { case (pid, pe) => (pid, pe.toSeq) }).toDF("pid", "pe"))
+    val scoredBase = vectors.select(col("id"), col("emb"))
+      .crossJoin(probesDf)
+    val exact: Map[Long, Seq[Long]] =
+      (if (excludeSelf) scoredBase.filter(col("id") =!= col("pid")) else scoredBase)
+        .select(col("pid"), col("id"), VF.l2Sq(col("emb"), col("pe")).as("dist"))
+        .groupBy("pid")
+        .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("ex"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1)).toSeq).toMap
+    val kWalk = if (excludeSelf) k + 1 else k
+    def walkAnswers(subset: Seq[(Long, Array[Float])], bw: Int): Map[Long, Set[Long]] =
+      if (hotFits())
+        subset.map { case (pid, pe) =>
+          pid -> hotQuery(pe, kWalk, bw, hops)
+            .collect { case (id, _) if !excludeSelf || id != pid => id }
+            .take(k).toSet
+        }.toMap
+      else
+        queryBatch(subset, kWalk, bw, hops)
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (pid, rows) =>
+            pid -> rows.sortBy(_.getInt(3))
+              .collect { case r if !excludeSelf || r.getLong(1) != pid => r.getLong(1) }
+              .take(k).toSet
+          }
+    val assigned = scala.collection.mutable.HashMap[Long, Int]()
+    var remaining = panel
+    steps.foreach { bw =>
+      if (remaining.nonEmpty) {
+        val got = walkAnswers(remaining, bw)
+        val (done, left) = remaining.partition { case (pid, _) =>
+          exact.getOrElse(pid, Nil).forall(got.getOrElse(pid, Set.empty))
+        }
+        done.foreach { case (pid, _) => assigned(pid) = bw }
+        remaining = left
+      }
+    }
+    if (remaining.nonEmpty) {
+      System.err.println(s"[graft] GraphIndex at $path: " +
+        s"${remaining.length}/${panel.length} probes not fully recalled at " +
+        s"the widest rung ${steps.last} (hops=$hops) — assigning ladder.max; " +
+        "densify the graph (higher k / refineRounds), raise hops, or widen " +
+        "the ladder for a fully-exact per-probe policy")
+      remaining.foreach { case (pid, _) => assigned(pid) = steps.last }
+    }
+    panel.map { case (pid, _) => pid -> assigned(pid) }.toMap
   }
 
   /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot

@@ -90,6 +90,71 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("per-probe beam policy: exactBeams serves each assigned probe's exact top-k; hot == cold at per-probe widths") {
+    // the beam-calibration fixture shape (small, denser-relative graph):
+    // on the FULL sf001 corpus a K=4 graph legitimately tops out below
+    // recall 1.0 — exactBeams is a MEASURED policy, and the spec keeps
+    // that honesty: probes assigned a rung serve exactly; probes on the
+    // ladder.max fallback were reported loudly, not asserted away
+    val small = all.filter(col("id") <= 400).persist()
+    val idx = new GraphIndex(spark,
+      java.nio.file.Files.createTempDirectory("graft_gidx_pb").toString,
+      10, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 8)
+    idx.build(small, refineRounds = 2)
+    val k = 3
+    val ladder = Seq(2, 4, 8, 16, 32)
+    val panel = Seq(10L, 25L, 40L, 55L, 70L).map { pid =>
+      (pid + 9000L, small.filter(col("id") === pid).head().getSeq[Float](1).toArray)
+    }
+    val beams = idx.exactBeams(panel, k, ladder, hops = 8)
+    assert(beams.keySet == panel.map(_._1).toSet)
+    assert(beams.values.forall(ladder.contains))
+    val served = idx.queryBatch(panel, k, beamWidth = 2, hops = 8,
+        beamOf = beams)
+      .collect().groupBy(_.getLong(0))
+      .map { case (pid, rs) => pid -> rs.sortBy(_.getInt(3)).map(_.getLong(1)).toSet }
+    // a probe the walk CAN fully recall somewhere on the ladder serves
+    // its exact top-k at its assigned width; whether the fallback probes
+    // (if any) are short is re-measured, never assumed either way
+    val fullyServed = panel.filter { case (pid, pe) =>
+      val exact = small.withColumn("d", VF.l2Sq(col("emb"), typedlit(pe)))
+        .orderBy(asc("d"), asc("id")).limit(k).collect().map(_.getLong(0)).toSet
+      val widest = idx.query(pe, k, beamWidth = ladder.max, hops = 8)
+        .collect().map(_.getLong(0)).toSet
+      if (widest == exact) {
+        assert(served(pid) == exact,
+          s"probe $pid: top-$k at beam ${beams(pid)} must BE the exact top-$k")
+        true
+      } else {
+        assert(beams(pid) == ladder.max,
+          s"probe $pid unreachable even at the widest rung must carry ladder.max")
+        false
+      }
+    }
+    assert(fullyServed.nonEmpty,
+      "fixture sanity: at least one probe must be fully servable")
+    // hot == cold at the same per-probe widths, row for row — the policy
+    // surface is identical on both tiers
+    val cold = idx.queryBatch(panel, k, beamWidth = 2, hops = 8,
+        beamOf = beams)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    val hot = idx.hotQueryBatch(panel, k, beamWidth = 2, hops = 8,
+        beamOf = beams)
+      .sortBy(t => (t._1, t._4))
+    assert(hot == cold, "hotQueryBatch(beamOf) must equal queryBatch(beamOf)")
+    // per-probe widths really are per-probe: each probe's batched answer
+    // equals its SOLO walk at ITS width (not at the fallback)
+    panel.foreach { case (pid, pe) =>
+      val solo = idx.query(pe, k, beamWidth = beams(pid), hops = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val fromBatch = cold.filter(_._1 == pid).map(t => (t._2, t._3))
+      assert(fromBatch == solo,
+        s"probe $pid: batched walk at width ${beams(pid)} must equal the solo walk")
+    }
+    small.unpersist(): Unit
+  }
+
   test("metadata-filtered query: predicate reaches the vector scan; answers restricted") {
     val withMeta = all.withColumn("meta",
       when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
@@ -405,7 +470,16 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("PQ quantized serving: full-depth == exact; hot == cold; admission counts PQ code bytes") {
-    val small = all.filter(col("id") <= 300).persist()
+    // sized so the budget-window story is TRUE with the codebook tensor
+    // counted: below ~1200 rows the pinned 64 KB of ADC codebooks
+    // dominates the 56 B/row code saving and PQ does not undercut SQ8 at
+    // all — exactly the regime the admission math must expose, so the
+    // fixture unions four deterministically-shifted copies of the 500-row
+    // corpus to sit on the far side of the crossover
+    val small = (0 until 4).map { j =>
+      all.select((col("id") + lit(j * 10000L)).as("id"),
+        expr(s"transform(emb, (x, i) -> CASE WHEN i = $j THEN x + CAST(0.5 AS FLOAT) ELSE x END)").as("emb"))
+    }.reduce(_ unionByName _).persist()
     val n = small.count().toInt
     val base = java.nio.file.Files.createTempDirectory("graft_gidx_pq").toString
     val idx = new GraphIndex(spark, base, K,
@@ -439,12 +513,14 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     info(s"recall@5 at bw=8 hops=6 rerank=32: pq=${served.count(brute)}/5 " +
       s"(PQ at m=$pqM over 64 dims is the coarsest tier; the bounded " +
       s"exact rerank is what recovers precision)")
-    // ADMISSION COUNTS PQ CODE BYTES: pqM bytes/vector — the budget
-    // window sits BELOW the SQ8 estimate (dim bytes/vector), which is
-    // the whole point of the tier
+    // ADMISSION COUNTS PQ CODE BYTES + THE RESIDENT CODEBOOKS: pqM
+    // bytes/vector plus the pinned m·PqK·subDim float tensor (the ADC
+    // lookup source, ~64 KB at dim 64) — the budget window still sits
+    // BELOW the SQ8 estimate at any corpus where the tier matters
     val dim = probe.length
     val nEdges = idx.graph.count()
-    val est = n.toLong * (pqM + 48L) + nEdges * 8L
+    val bookBytes = 4L * pqM * GraphIndex.PqK * (dim / pqM)
+    val est = n.toLong * (pqM + 48L) + nEdges * 8L + bookBytes
     val sq8Est = n.toLong * (dim + 48L) + nEdges * 8L
     assert(est < sq8Est, "the PQ window must undercut the SQ8 estimate")
     withBudget(est) {
