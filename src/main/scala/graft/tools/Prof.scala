@@ -76,6 +76,7 @@ object Prof {
     case Some("textserve") => textserve(args.drop(1))
     case Some("r9") => r9(args.drop(1))
     case Some("r10") => r10(args.drop(1))
+    case Some("r11") => r11(args.drop(1))
     case Some("onnx") => onnx(args.drop(1))
     case Some("graphpq") => graphpq(args.drop(1))
     case Some("semperc") => semperc(args.drop(1))
@@ -211,6 +212,82 @@ object Prof {
     * ~flat across 20x/100x (probed-cell bytes, never the corpus) while
     * the exact arm (r9_rag_*) grows linearly with chunk volume. Build
     * and calibration are attach-time, reported separately. */
+  /** r11: training-pipeline PROBE PANELS (256 / 1024 probes) — the
+    * evidence behind the queryBatch answer-shuffle rewrite. For each
+    * panel size: the exchange volumes of the two formulations (the
+    * retained window oracle ships the FULL cell-pruned candidate set;
+    * the GroupedTopK tail ships ≤ k × probes × tasks answers), cold/warm
+    * wall time of both, per-probe exactDepths at panel scale, and the
+    * graph twin's per-probe-beam batched serving at a 256 panel. */
+  private def r11(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cells = math.max(16, (n / 2048L).toInt)
+    val idx = new IvfIndex(s, graft.store.Scratch.dir("scale_r11_ivf"), cells)
+    time(s"r11_build_${cells}cells", nTag)(idx.build(vectors))
+    val pool = vectors.orderBy(xxhash64(col("id")), col("id")).limit(1024)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1).toArray)).toSeq
+    val k = 10
+    val np = 4
+    for (p <- Seq(256, 1024)) {
+      val panel = pool.take(p)
+      // exchange volumes: the window formulation ranks (and therefore
+      // shuffles) every cell-pruned candidate; k=MaxValue keeps them all,
+      // so this count IS the candidate volume crossing that exchange
+      val cand = idx.queryBatchWindowed(panel, Int.MaxValue, np).count()
+      println(s"PROF r11_exchange_$p candidates=$cand answers=${k.toLong * p} " +
+        s"ratio=${cand / (k.toLong * p)}x $nTag")
+      def run(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+        time(s"r11_${tag}_$p", nTag)(
+          f.write.format("noop").mode("overwrite").save())
+      run("qb_window_cold")(idx.queryBatchWindowed(panel, k, np))
+      run("qb_window_warm")(idx.queryBatchWindowed(panel, k, np))
+      run("qb_agg_cold")(idx.queryBatch(panel, k, np))
+      run("qb_agg_warm")(idx.queryBatch(panel, k, np))
+    }
+    // per-probe exact depths AT PANEL SCALE (the q_rag_indexed policy on
+    // a training-size panel), then serving at the map
+    val panel256 = pool.take(256)
+    val depths = time("r11_depths_256", nTag)(idx.exactDepths(panel256, k))
+    println(s"PROF r11_depths_hist ${depths.values.groupBy(identity)
+      .map { case (d, v) => s"$d:${v.size}" }.toSeq.sorted.mkString(",")} " +
+      s"of $cells cells $nTag")
+    time("r11_qb_agg_depths_256", nTag)(
+      idx.queryBatch(panel256, k, cells, depthOf = depths)
+        .write.format("noop").mode("overwrite").save())
+    // graph twin: per-probe beam policy at a 256 panel, hot and cold.
+    // The stress fixture REPLICATES each base row 20x/100x — every
+    // neighborhood is a pile of exact-distance ties, so "recall the
+    // tie-broken exact id set" is ill-posed for ANY walk (the exact arm's
+    // 5 smallest-id copies are indistinguishable from the other copies by
+    // geometry). A deterministic per-id perturbation restores distinct
+    // geometry without changing the scale shape.
+    val gvectors = vectors.select(col("id"),
+      expr("transform(emb, (x, i) -> CASE WHEN i = CAST(id % 64 AS INT) " +
+        "THEN x + CAST(id % 997 AS FLOAT) * CAST(1e-4 AS FLOAT) " +
+        "ELSE x END)").as("emb"))
+    val gpanel = gvectors.orderBy(xxhash64(col("id")), col("id")).limit(256)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1).toArray)).toSeq
+    val bits = scaledBits(n)
+    val gidx = new GraphIndex(s, graft.store.Scratch.dir("scale_r11_g"), k = 8,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
+    time("r11_graph_build", nTag)(gidx.build(gvectors))
+    val beams = time("r11_graph_beams_256", nTag)(
+      gidx.exactBeams(gpanel, 5, ladder = Seq(2, 8, 32, 128), hops = 8))
+    println(s"PROF r11_beams_hist ${beams.values.groupBy(identity)
+      .map { case (b, v) => s"$b:${v.size}" }.toSeq.sorted.mkString(",")} $nTag")
+    time("r11_graph_hot_256", nTag)(
+      gidx.hotQueryBatch(gpanel, 5, 4, 6, beamOf = beams).length: Unit)
+    time("r11_graph_batch_256", nTag)(
+      gidx.queryBatch(gpanel, 5, 4, 6, beamOf = beams)
+        .write.format("noop").mode("overwrite").save())
+    s.stop()
+  }
+
   private def r10(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale20")
     val s = session(32)

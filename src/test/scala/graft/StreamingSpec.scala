@@ -968,6 +968,73 @@ class StreamingSpec extends AnyFunSuite with SparkTest {
         recalibrateEvery = 1, standingProbes = standing))
   }
 
+  test("end-to-end streamed RAG serving: ingest arrives, depths refresh through the persisted policy, policy-routed serving stays exact at every checkpoint") {
+    import graft.queries.SearchQueries
+    val (w, st, dim) =
+      (SearchQueries.RagWindow, SearchQueries.RagStride, SearchQueries.EmbDim)
+    val kk = SearchQueries.RagChunkK + SearchQueries.RagCosMargin
+    def keyedChunks(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Percolate.chunkEmbed(d, w, st, dim)
+        .filter(graft.functions.VectorFunctions.norm(col("emb")) > 0)
+        .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
+          col("emb"))
+    val allDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    // the EXACT arm over any doc set: ragRanked against a scratch dir
+    // holding exactly those documents
+    def exactOver(docs: org.apache.spark.sql.DataFrame) = {
+      val d = tmp()
+      docs.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+      SearchQueries.ragRanked(spark, d)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("n_chunks"), r.getAs[Double]("score"))).toSeq.sorted
+    // T0: a server builds the chunk index over the initial corpus and
+    // persists the standing panel's depth policy (the q_rag_indexed build)
+    val initial = allDocs.filter(col("doc_id") % 2 === 0)
+    val idx = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    idx.build(keyedChunks(initial))
+    val probes = SearchQueries.ragProbePanel(spark)
+    idx.persistDepthPolicy(probes, kk)
+    assert(rows(SearchQueries.ragServePersisted(spark, idx)) ==
+      rows(exactOver(initial)),
+      "T0: policy-routed serving must equal the exact arm pre-ingest")
+    // ingest arrives in two waves on ONE source + checkpoint; after each
+    // wave the maintenance stream appends chunks AND refreshes the
+    // persisted policy (write-through), so a serving process routing via
+    // ragServePersisted reads FRESH depths with zero calibration jobs and
+    // stays exact against the grown corpus — the production story
+    val srcDir = tmp(); val ckpt = tmp()
+    val waves = Seq(
+      allDocs.filter(col("doc_id") % 4 === 1),
+      allDocs.filter(col("doc_id") % 4 === 3))
+    var landed = initial
+    waves.zipWithIndex.foreach { case (wave, i) =>
+      wave.coalesce(1).write.mode("append").parquet(srcDir)
+      StreamOps.maintainChunkIndex(spark, srcDir, idx, w, st, dim, ckpt,
+        recalibrateEvery = 1, standingProbes = probes, standingK = kk)
+        .awaitTermination()
+      landed = landed.unionByName(wave)
+      assert(idx.depthPolicyStatus(probes, kk) == graft.store.IvfIndex.PolicyFresh,
+        s"wave $i: the write-through must leave a FRESH committed policy")
+      assert(rows(SearchQueries.ragServePersisted(spark, idx)) ==
+        rows(exactOver(landed)),
+        s"wave $i: serving during ingest must equal the exact arm over " +
+          "everything landed so far")
+    }
+    // the final streamed state serves exactly like a POST-INGEST batch
+    // rebuild (fresh index over all docs, fresh calibration) — layouts
+    // differ, answers must not
+    val rebuilt = new graft.store.IvfIndex(spark, tmp(), numCells = 8)
+    rebuilt.build(keyedChunks(landed))
+    rebuilt.persistDepthPolicy(probes, kk)
+    assert(rows(SearchQueries.ragServePersisted(spark, idx)) ==
+      rows(SearchQueries.ragServePersisted(spark, rebuilt)),
+      "serve-during-ingest must equal the post-ingest batch rebuild")
+  }
+
   test("chunkEmbed rejects non-positive window/stride at the API boundary") {
     import spark.implicits._
     val docs = Seq((1L, "one two three")).toDF("doc_id", "text")
