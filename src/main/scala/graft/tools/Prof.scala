@@ -259,6 +259,31 @@ object Prof {
     time("r11_qb_agg_depths_256", nTag)(
       idx.queryBatch(panel256, k, cells, depthOf = depths)
         .write.format("noop").mode("overwrite").save())
+    // indexed hybrid: both persisted arms built once, then the fused
+    // serve — the number that must stay ~flat (the kw probe prunes to
+    // its terms' buckets, the sem probe to its calibrated cells) while
+    // the exact q_hybrid_rrf arm re-scans the corpus per execution
+    val sq = graft.queries.SearchQueries
+    val ndocs = s.read.parquet(s"$dir/documents.parquet").count()
+    val hTag = s"(docs=$ndocs)"
+    val ((tidx, vidx), _) = {
+      val t0 = System.nanoTime()
+      val r = sq.hybridBuildIndexes(s, dir)
+      println(f"PROF r11_hyb_build              ${(System.nanoTime() - t0) / 1e9}%8.2f s $hTag")
+      (r, ())
+    }
+    val hqe = sq.hybridProbe(s)
+    val hdepths = time("r11_hyb_calibrate", hTag)(sq.hybridCalibrate(vidx, hqe))
+    println(s"PROF r11_hyb_depth ${hdepths(0L)} of ${vidx.numCells} cells $hTag")
+    def hybOnce(): Unit =
+      sq.hybridServeIndexed(s, tidx, vidx, hqe, hdepths)
+        .write.format("noop").mode("overwrite").save()
+    time("r11_hyb_serve_cold", hTag)(hybOnce())
+    (1 to 2).foreach(i => time(s"r11_hyb_serve_warm$i", hTag)(hybOnce()))
+    time("r11_hyb_exact_rrf", hTag)(
+      graft.queries.Registry.queries("q_hybrid_rrf")(s, dir)
+        .write.format("noop").mode("overwrite").save())
+
     // graph twin: per-probe beam policy at a 256 panel, hot and cold.
     // The stress fixture REPLICATES each base row 20x/100x — every
     // neighborhood is a pile of exact-distance ties, so "recall the
