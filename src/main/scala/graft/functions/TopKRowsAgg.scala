@@ -140,22 +140,26 @@ object TopKRows {
         if (c != 0) c else java.lang.Long.compare(b.id, a.id)
       })
 
+    // strictly-better under the SAME total order the heap comparator and
+    // final sort use (Double.compare: -0.0 < 0.0, NaN last) — raw IEEE
+    // `<`/`==` here would let an early NaN block every later real
+    // candidate and would tie -0.0 with 0.0, making the result depend on
+    // arrival order and diverge from Spark's window-sort oracle
+    private def beats(s: Double, i: Long, w: Entry): Boolean = {
+      val c = java.lang.Double.compare(s, w.score)
+      c < 0 || (c == 0 && i < w.id)
+    }
+
     /** Would (s, i) enter the top-k right now? Cheap pre-check so callers
       * can skip payload evaluation for rejected candidates. */
-    def admits(s: Double, i: Long): Boolean = {
-      if (heap.size < k) return true
-      val w = heap.peek()
-      s < w.score || (s == w.score && i < w.id)
-    }
+    def admits(s: Double, i: Long): Boolean =
+      heap.size < k || beats(s, i, heap.peek())
 
     def insert(s: Double, i: Long, p: Any): Unit = {
       if (heap.size < k) heap.add(new Entry(s, i, p))
-      else {
-        val w = heap.peek()
-        if (s < w.score || (s == w.score && i < w.id)) {
-          heap.poll()
-          heap.add(new Entry(s, i, p))
-        }
+      else if (beats(s, i, heap.peek())) {
+        heap.poll()
+        heap.add(new Entry(s, i, p))
       }
     }
 

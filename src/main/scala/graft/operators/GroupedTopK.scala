@@ -23,14 +23,18 @@ object GroupedTopK {
   case class Scored(score: Double, id: Long)
 
   class TopKAgg(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    // strictly-better under the SAME total order sortBy uses
+    // (Double total ordering: -0.0 < 0.0, NaN last) — raw IEEE `<`/`==`
+    // would let a NaN buffer tail block every later real candidate
+    private def beats(a: Scored, w: Scored): Boolean = {
+      val c = java.lang.Double.compare(a.score, w.score)
+      c < 0 || (c == 0 && a.id < w.id)
+    }
+
     private def insert(buf: Seq[Scored], a: Scored): Seq[Scored] =
       if (buf.length < k) (buf :+ a).sortBy(s => (s.score, s.id))
-      else {
-        val last = buf.last
-        if (a.score < last.score || (a.score == last.score && a.id < last.id))
-          (buf.init :+ a).sortBy(s => (s.score, s.id))
-        else buf
-      }
+      else if (beats(a, buf.last)) (buf.init :+ a).sortBy(s => (s.score, s.id))
+      else buf
 
     override def zero: Seq[Scored] = Vector.empty
     override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = insert(b, a)

@@ -253,6 +253,14 @@ object SearchQueries {
       .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
         col("emb")),
       trainSampleCap = math.max(cells * 512L, 1L << 16))
+    // the exclusion invariant's PRECONDITION, checked loudly at build
+    // (the "≥ RagChunkK real chunks" clause above): with fewer indexed
+    // chunks than the answer size, the exact arm's cosine top-k reaches
+    // the −1.0 sentinel rows the index excludes
+    val indexed = idx.stats().liveRows
+    require(indexed >= RagChunkK,
+      s"RAG chunk index holds $indexed nonzero-norm chunks < RagChunkK=$RagChunkK — " +
+        "the zero-norm exclusion invariant no longer guarantees indexed == exact on this corpus")
     idx
   }
 
@@ -317,6 +325,14 @@ object SearchQueries {
       .select(col("doc_id").as("id"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
       .filter(VF.norm(col("emb")) > 0),
       trainSampleCap = math.max(cells * 512L, 1L << 16))
+    // the exclusion invariant's PRECONDITION, checked loudly at build:
+    // the exact arm ranks zero-norm docs too (at the −1.0 sentinel), so
+    // routed ≡ exact only holds while the cosine top-ShortlistK cannot
+    // reach the sentinel — i.e. ≥ ShortlistK indexed (nonzero-norm) docs
+    val indexed = vidx.stats().liveRows
+    require(indexed >= ShortlistK,
+      s"hybrid embedding index holds $indexed nonzero-norm docs < ShortlistK=$ShortlistK — " +
+        "the zero-norm exclusion invariant no longer guarantees routed == exact on this corpus")
     (tidx, vidx)
   }
 

@@ -1014,17 +1014,12 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .select(col("doc_id"), col("dl"),
         round(col("sq").cast("double") / lit(Scale.toDouble), 4).as("bm25q"))
 
-  private def rankedResult(scored: DataFrame, k: Int): DataFrame =
-    rankedTail(
-      scored.groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq")), k)
-
-  /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
-    * only shuffle is the per-doc sum over the pruned matching postings
-    * ([[prunedPostingsOf]]). Corpus stats sum exactly across batches;
-    * tombstoned postings drop from the scored scan (anti-join); the
-    * zero-pending path is byte-identical to the original plan.
-    * Returns (doc_id, dl, bm25q) ordered by the exact integer score. */
-  def query(terms: Seq[String], k: Int): DataFrame = {
+  /** The aggregated (doc_id, dl, sq) quantized-score frame for `terms` —
+    * ONE copy of the whole scoring pipeline (live corpus stats, idf map,
+    * tombstone anti-join, per-doc cq sum), so [[query]] and
+    * [[queryRanked]] can never drift on the arithmetic the
+    * "queryRanked ranks exactly query()'s answer" contract pins. */
+  private def aggregatedSq(terms: Seq[String]): DataFrame = {
     val (n, avgdl, ts) = liveCorpusStats()
     val idf = idfMapOf(terms, n, ts)
     val scored = ts match {
@@ -1032,8 +1027,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case Some(t) => prunedPostingsOf(terms)
         .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
     }
-    rankedResult(scored.withColumn("cq", cqColumn(idf, avgdl)), k)
+    scored.withColumn("cq", cqColumn(idf, avgdl))
+      .groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq"))
   }
+
+  /** Top-k docs for `terms` by quantized BM25 across every batch dir. The
+    * only shuffle is the per-doc sum over the pruned matching postings
+    * ([[prunedPostingsOf]]). Corpus stats sum exactly across batches;
+    * tombstoned postings drop from the scored scan (anti-join); the
+    * zero-pending path is byte-identical to the original plan.
+    * Returns (doc_id, dl, bm25q) ordered by the exact integer score. */
+  def query(terms: Seq[String], k: Int): DataFrame =
+    rankedTail(aggregatedSq(terms), k)
 
   /** [[query]] with the INTEGER-EXACT rank attached — the hybrid-fusion
     * arm (q_hybrid_indexed): rank = position in the (sq desc, doc_id asc)
@@ -1044,15 +1049,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * the already-cut k-row answer, not the corpus. Returns
     * (doc_id, dl, bm25q, rank) in rank order. */
   def queryRanked(terms: Seq[String], k: Int): DataFrame = {
-    val (n, avgdl, ts) = liveCorpusStats()
-    val idf = idfMapOf(terms, n, ts)
-    val scored = ts match {
-      case None => prunedPostingsOf(terms)
-      case Some(t) => prunedPostingsOf(terms)
-        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
-    }
-    val aggregated = scored.withColumn("cq", cqColumn(idf, avgdl))
-      .groupBy("doc_id", "dl").agg(sum(col("cq")).as("sq"))
+    val aggregated = aggregatedSq(terms)
       .orderBy(desc("sq"), asc("doc_id")).limit(k)
     aggregated
       .withColumn("rank", row_number().over(

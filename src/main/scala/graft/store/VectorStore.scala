@@ -1748,8 +1748,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     require(steps.nonEmpty && steps.head >= 1 && steps.last <= cents.length,
       s"ladder must sit in [1, ${cents.length}]")
     val perProbe: Seq[Seq[Int]] = panel.map { case (pid, pe) =>
-      val crank: Map[Long, Int] = ExactPrune.orderedCells(cents, pe)
-        .zipWithIndex.map { case ((_, cid), r) => cid -> (r + 1) }.toMap
+      val crank = encCellRank(cents, pe)
       encExactMembers(name, pe, k, probe0 = 4,
         excludeId = if (excludeSelf) Some(pid) else None)
         .map { case (_, cell, _) => crank(cell) }
@@ -1822,8 +1821,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
     val numCells = cents.length
     panel.map { case (pid, pe) =>
-      val crank: Map[Long, Int] = ExactPrune.orderedCells(cents, pe)
-        .zipWithIndex.map { case ((_, cid), r) => cid -> (r + 1) }.toMap
+      val crank = encCellRank(cents, pe)
       val members = encExactMembers(name, pe, k, probe0,
         excludeId = excludeSelfIds.get(pid))
       pid -> (if (members.length < k) numCells
@@ -2090,6 +2088,19 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
 
   private def encL2sq(a: Array[Float], b: Array[Float]): Double =
     ExactPrune.l2sq(a, b)
+
+  /** Cell rank in the SAME (squared distance, cid) total order the
+    * serving path takes cells by ([[encProbeCells]]) — the calibrated
+    * depths are statements about exactly those candidate sets. A
+    * sqrt-ranked crank ([[ExactPrune.orderedCells]], fine for the τ
+    * probes where order only affects cost) would agree everywhere
+    * EXCEPT 1-ulp rounding ties — slack a provably-minimal per-probe
+    * depth does not have (the plaintext twin's scoredPanel convention,
+    * IvfIndex.scala). */
+  private def encCellRank(cents: Array[(Long, Array[Float])],
+                          pe: Array[Float]): Map[Long, Int] =
+    cents.map { case (cid, c) => (encL2sq(c, pe), cid) }.sorted
+      .zipWithIndex.map { case ((_, cid), r) => cid -> (r + 1) }.toMap
 
   private def encProbeCells(cents: Array[(Long, Array[Float])],
                             probes: Seq[(Long, Array[Float])],

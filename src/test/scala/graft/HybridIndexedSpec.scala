@@ -52,4 +52,27 @@ class HybridIndexedSpec extends AnyFunSuite with SparkTest {
     assert(ranked.map(_._4) == (1 to ranked.length).toSeq,
       "ranks are the 1..k positions of the (sq desc, doc_id) order")
   }
+
+  test("build guard: a corpus with too few nonzero-norm docs refuses loudly") {
+    // 17 real docs + 13 empty-text (zero-norm) docs: enough to seat the
+    // 16 IVF centroids, but under ShortlistK=20 indexed docs — the exact
+    // arm's cosine top-20 would reach the −1.0 sentinel rows the index
+    // excludes, so routed == exact no longer holds and the build must say
+    // so instead of serving a silently-divergent fusion
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tiny_fx").toFile
+    try {
+      val docs = spark.createDataFrame(
+        (1L to 17L).map(i => (i, s"alpha beta gamma delta doc$i")) ++
+          (18L to 30L).map(i => (i, ""))).toDF("doc_id", "text")
+      docs.write.mode("overwrite").parquet(s"${tmp.getAbsolutePath}/documents.parquet")
+      val e = intercept[IllegalArgumentException](
+        SearchQueries.hybridBuildIndexes(spark, tmp.getAbsolutePath))
+      assert(e.getMessage.contains("nonzero-norm"), e.getMessage)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp)
+    }
+  }
 }

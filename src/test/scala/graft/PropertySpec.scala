@@ -156,6 +156,38 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("TopKAgg: NaN scores sort last and never block later real candidates") {
+    val agg = new GroupedTopK.TopKAgg(3)
+    // NaN arrives FIRST while the buffer is underfull — under raw IEEE
+    // comparisons it would become an unevictable tail (s < NaN and
+    // s == NaN are both false); under the total order every real score
+    // beats it
+    val rows = Seq(Scored(Double.NaN, 9L), Scored(5.0, 1L), Scored(3.0, 2L),
+      Scored(4.0, 3L), Scored(1.0, 4L))
+    val got = agg.finish(rows.foldLeft(agg.zero)(agg.reduce))
+    assert(got == Seq(Scored(1.0, 4L), Scored(3.0, 2L), Scored(4.0, 3L)))
+    // with fewer reals than k the NaN survives, sorted last
+    val few = Seq(Scored(Double.NaN, 9L), Scored(2.0, 1L))
+    val gotFew = agg.finish(few.foldLeft(agg.zero)(agg.reduce))
+    assert(gotFew.map(_.id) == Seq(1L, 9L))
+  }
+
+  test("TopKRows.Buffer: total order on NaN and -0.0 matches the sort") {
+    val b = new graft.functions.TopKRows.Buffer(2)
+    b.insert(Double.NaN, 9L, null)
+    b.insert(0.0, 5L, null)
+    // -0.0 < 0.0 under Double.compare: it must both be admitted and evict
+    // the NaN first, then rank before 0.0
+    assert(b.admits(-0.0, 7L))
+    b.insert(-0.0, 7L, null)
+    assert(b.sortedEntries.map(t => (t._1, t._2)).toSeq == Seq((-0.0, 7L), (0.0, 5L)))
+    // a full buffer of reals rejects an equal-score higher id and a NaN
+    assert(!b.admits(0.0, 6L))
+    assert(!b.admits(Double.NaN, 1L))
+    // equal score, LOWER id is admitted (the (score, id) tie-break)
+    assert(b.admits(0.0, 4L))
+  }
+
   test("tokenize kernel: tokens are nonempty lowercase alnum; idempotent under rejoin") {
     val r = rng(7)
     val alphabet = "aA1 .!é中-_\t"
