@@ -36,12 +36,18 @@ object ProbeJoin {
 
   val LimitKey = "graft.probe.broadcastLimit"
 
+  /** ONE copy of the limit resolution — every broadcast-vs-distributed
+    * probe-pairing decision ([[cross]], IvfIndex.cellRoutedJoin) reads
+    * the same knob and default. */
+  def broadcastLimit(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption(LimitKey).map(_.toLong).getOrElse(65536L)
+
   /** @param probeCount the probe-side row count when the caller already
     *                    knows it; -1 triggers a count (one narrow scan —
     *                    the broadcast route needed the same pass anyway). */
   def cross(corpus: DataFrame, probes: DataFrame, probeCount: Long = -1L): DataFrame = {
     val spark = corpus.sparkSession
-    val limit = spark.conf.getOption(LimitKey).map(_.toLong).getOrElse(65536L)
+    val limit = broadcastLimit(spark)
     val p = if (probeCount >= 0) probeCount else probes.count()
     if (p <= limit) corpus.crossJoin(broadcast(probes))
     else {

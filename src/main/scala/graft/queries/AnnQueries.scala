@@ -1133,6 +1133,53 @@ object AnnQueries {
            |ORDER BY probe_id, rnk""".stripMargin
       }),
 
+    // DF-probe batched serving at per-probe exact depths — the
+    // training-pipeline embedding-join against a PERSISTED index when the
+    // probe side is a FRAME (a corpus fraction), not a driver panel:
+    // IvfIndex.queryBatchDF routes cells AND cuts top-k map-side
+    // (GroupedTopK at both exchanges — depth x P routing entries and
+    // k x P x tasks answers, never P x numCells or the candidate volume),
+    // the probe frame equi-joins the pruned scan on cell (no broadcast
+    // side that grows with P), and the only driver collect is the
+    // <= numCells union-cell list. Depths ride IN the frame as a column
+    // (exactDepths' policy routed through data, not a driver map), so the
+    // answers are provably the EXACT per-probe top-5 — the oracle is the
+    // plain brute-force kNN, independent of the trained layout.
+    Q(
+      "q_ann_batch_df",
+      "probe FRAME served at in-frame exact depths: DF routing + answer-shuffle top-5 per probe",
+      (s, dir) => {
+        val PanelIds = Seq(3L, 17L, 101L, 257L, 350L, 499L)
+        val base = graft.store.Scratch.dir("graft_ann_batchdf")
+        val idx = new graft.store.IvfIndex(s, base, numCells = 16)
+        val vectors = tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("emb"))
+        idx.build(vectors)
+        val panel = vectors.filter(col("id").isin(PanelIds: _*))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+          .sortBy(_._1).toSeq
+        val depths = idx.exactDepths(panel, k = 5)
+        val probesDf = s.createDataFrame(panel.map { case (pid, qe) =>
+          (pid, qe.toSeq, depths(pid)) }).toDF("probe_id", "qe", "depth")
+        idx.queryBatchDF(probesDf, k = 5, nprobe = 4)
+          .select(col("probe_id"), col("rn"), col("id").as("vec_id"),
+            round(col("distance"), 6).as("dist"))
+          .orderBy("probe_id", "rn")
+      },
+      Some {
+        val d = OracleSql.l2Sq("e.embedding", "p.qe")
+        s"""WITH probes AS MATERIALIZED (
+           |  SELECT vec_id AS probe_id, embedding AS qe FROM embeddings
+           |  WHERE vec_id IN (3, 17, 101, 257, 350, 499)),
+           |scored AS (
+           |  SELECT p.probe_id, e.vec_id, $d AS dist_raw,
+           |         row_number() OVER (PARTITION BY p.probe_id ORDER BY $d, e.vec_id) AS rn
+           |  FROM embeddings e CROSS JOIN probes p)
+           |SELECT probe_id, CAST(rn AS INT) AS rn, vec_id, round(dist_raw, 6) AS dist
+           |FROM scored WHERE rn <= 5
+           |ORDER BY probe_id, rn""".stripMargin
+      }),
+
     // Johnson-Lindenstrauss random projection 64 -> 16 dims: distances are
     // preserved within (1±eps) whp, so the projected-space L2 scan ranks a
     // shortlist at 1/4 the memory traffic, and exact L2 re-ranks only the

@@ -1798,8 +1798,12 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * as a static filter). Fully distributed pipeline:
     *
     *  1. cell routing: probes × the broadcast centroid frame (numCells
-    *     rows), per-probe top-nprobe cells by a probe-keyed window —
-    *     P·numCells narrow pairs;
+    *     rows), per-probe top-nprobe cells reduced MAP-SIDE
+    *     ([[routeCellsDF]] — the routing exchange carries ≤ nprobe × P
+    *     entries, never the P·numCells pair frame a probe-keyed window
+    *     would ship); the route is depth-BLIND (uniform nprobe, the
+    *     [[queryBatchQuantized]] contract) even if the frame carries a
+    *     `depth` column;
     *  2. phase 1: the codes-only pruned scan EQUI-JOINS the probe-cell
     *     frame on `cell` (a shuffle join — no broadcast side that grows
     *     with P, the ProbeJoin lesson), scores SQ8 codes against the
@@ -1818,23 +1822,111 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     *
     * Per-probe results equal [[queryBatchQuantized]]'s (spec-pinned);
     * `include` carries neighbor metadata like the Seq route. */
+  /** Cell ROUTING for a probe FRAME — (probe_id, qe, cell), each probe
+    * paired with its top-`depth` nearest cells in the engine-wide
+    * (squared centroid distance, cell) total order. The per-probe cut is
+    * [[graft.operators.GroupedTopK]], NOT a probe-keyed window: a window
+    * would shuffle the full P × numCells routing frame to the reducers,
+    * while the aggregate ships ≤ depth × P entries — at a corpus-fraction
+    * probe frame the routing exchange is itself answer-volume.
+    *
+    * With `useDepth`, a `depth` int column on `probes` is the per-probe
+    * policy ([[exactDepths]] / [[depthPolicy]] handed through a frame
+    * instead of a driver map): null entries fall back to `nprobe`, values
+    * clamp to [0, numCells] — a non-positive depth routes that probe to
+    * zero cells (it answers empty, exactly the Seq route's `take(depth)`
+    * behavior). Depth-blind callers (the quantized route, whose Seq twin
+    * has no per-probe override) pass `useDepth = false`, so a stray
+    * `depth` column on a reused frame can never silently change their
+    * uniform-nprobe contract. */
+  private[graft] def routeCellsDF(probes: DataFrame, nprobe: Int,
+                                  useDepth: Boolean = false): DataFrame = {
+    val cents = centroids()
+    val centDf = spark.createDataFrame(
+      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }).toDF("cell", "cemb")
+    val uniform = math.min(math.max(nprobe, 0), numCells)
+    val depthCol =
+      if (useDepth)
+        least(greatest(coalesce(col("depth").cast("int"), lit(nprobe)), lit(0)),
+          lit(numCells))
+      else lit(uniform)
+    val sized = probes.select(col("probe_id"),
+      col("qe").cast("array<float>").as("qe"), depthCol.as("pdepth"))
+    // the aggregate's k must be a constant: the largest requested depth.
+    // Without a depth column it is the uniform clamp — no job; with one,
+    // ONE bounded job over the probe frame (a max over ints, null on an
+    // empty frame → serve empty through depth 1)
+    val maxDepth =
+      if (!useDepth) math.max(1, uniform)
+      else {
+        val row = sized.agg(max(col("pdepth"))).head()
+        if (row.isNullAt(0)) 1 else math.max(1, row.getInt(0))
+      }
+    sized
+      .crossJoin(broadcast(centDf))
+      .withColumn("cdist", VF.l2Sq(col("qe"), col("cemb").cast("array<float>")))
+      .groupBy("probe_id")
+      .agg(graft.operators.GroupedTopK.topK(maxDepth)(col("cdist"), col("cell"))
+          .as("cells"),
+        first(col("qe")).as("qe"), first(col("pdepth")).as("pdepth"))
+      .select(col("probe_id"), col("qe"), col("pdepth"),
+        posexplode(col("cells")).as(Seq("pos", "sc")))
+      .filter(col("pos") < col("pdepth"))
+      .select(col("probe_id"), col("qe"), col("sc.id").as("cell"))
+  }
+
+  /** Equi-join a cell-pruned corpus scan (carries `id` and a long `cell`)
+    * with a per-probe routing frame keyed by `cell` — WITHOUT collapsing
+    * parallelism to the ≤ numCells distinct join keys. A plain shuffle
+    * join on `cell` hash-partitions BOTH sides by a key with at most
+    * numCells values: every (corpus row × probe) pair for a cell is
+    * generated — and its top-k partials aggregated — by ONE task, so a
+    * 32-core scan degrades to ~numCells-way parallelism (measured 8×
+    * slower than the Seq route at a 4096-probe panel over 19 cells).
+    *
+    *  - probe side ≤ the ProbeJoin broadcast limit: broadcast it — the
+    *    corpus never moves and the join runs at scan parallelism (the
+    *    Seq route's shape, with the frame in place of a driver panel).
+    *  - above the limit: SALT — the corpus side widens its key to
+    *    (cell, xxhash64(id) % S) and the probe side replicates across
+    *    the S-value salt space, spreading each cell's pair generation
+    *    and map-side top-k partials over S tasks. Probe-side shuffle
+    *    volume is S × the routing frame — bounded, and the corpus
+    *    (the side that is 100 TB) still moves only once. The join is
+    *    HINTED shuffle_hash: a sort-merge join re-iterates the buffered
+    *    probe group once per corpus row (measured ~9× slower than the
+    *    broadcast route at a 16384-probe panel), while the hash relation
+    *    gives the same per-row bucket lookup the broadcast route enjoys.
+    *
+    * Row set identical on both routes (every (row, probe) cell pair
+    * appears exactly once), so serving answers never depend on the
+    * route taken. */
+  private def cellRoutedJoin(corpus: DataFrame, probeSide: DataFrame,
+                             probeRows: Long): DataFrame = {
+    val limit = graft.operators.ProbeJoin.broadcastLimit(spark)
+    if (probeRows <= limit) corpus.join(broadcast(probeSide), Seq("cell"))
+    else {
+      // size the salt space to what parallelism needs, not a fixed fanout:
+      // (numCells × S) keys should comfortably cover the partition count —
+      // replicating ×32 when the cell count alone already exceeds the
+      // partitions would pay probe-shuffle volume for nothing
+      val parts = math.max(2, spark.sparkContext.defaultParallelism)
+      val s = math.max(2, math.ceil(2.0 * parts / math.max(1, numCells)).toInt)
+      corpus
+        .withColumn("__salt", pmod(xxhash64(col("id")), lit(s.toLong)).cast("int"))
+        .join(probeSide.withColumn("__salt",
+          explode(sequence(lit(0), lit(s - 1)))).hint("shuffle_hash"),
+          Seq("cell", "__salt"))
+        .drop("__salt")
+    }
+  }
+
   def queryBatchQuantizedDF(probes: DataFrame, k: Int, nprobe: Int,
                             shortlist: Int = 256,
                             include: Seq[String] = Nil): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
-    val cents = centroids()
-    val centDf = spark.createDataFrame(
-      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }).toDF("cell", "cemb")
-    val wC = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("cdist"), asc("cell"))
     val qeF = col("qe").cast("array<float>")
-    val probeCells = probes.select(col("probe_id"), col("qe"))
-      .crossJoin(broadcast(centDf))
-      .withColumn("cdist", VF.l2Sq(qeF, col("cemb").cast("array<float>")))
-      .withColumn("crn", row_number().over(wC))
-      .filter(col("crn") <= nprobe)
-      .select(col("probe_id"), col("qe"), col("cell"))
-      .persist()
+    val probeCells = routeCellsDF(probes, nprobe).persist()
     try {
       // the distinct probed cells are ≤ numCells — a driver-BOUNDED
       // collect that turns back into a static partition-pruning filter
@@ -1856,27 +1948,40 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
           (probeCells,
             VF.pqAdcDirect(col("codes"), qeF, flattenBooks(books), IvfIndex.PqK))
       }
-      val shortPairs = livePruned()
-        .select(col("id"), col("cell").cast("long").as("cell"), col("codes"))
-        .join(probeSide, Seq("cell"))
+      // the routing frame is persisted: its row count (≤ nprobe × P) is a
+      // cached-scan job, and it picks the broadcast-vs-salted join route
+      val probeCellRows = probeCells.count()
+      val shortPairs = cellRoutedJoin(
+        livePruned()
+          .select(col("id"), col("cell").cast("long").as("cell"), col("codes")),
+        probeSide, probeCellRows)
         .withColumn("qdist", qdistCol)
         .groupBy("probe_id")
         .agg(graft.operators.GroupedTopK.topK(shortlist)(col("qdist"), col("id")).as("topk"))
         .select(col("probe_id"), explode(col("topk")).as("sc"))
         .select(col("probe_id"), col("sc.id").as("id"))
         .persist()
-      val wK = org.apache.spark.sql.expressions.Window
-        .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-      val out = livePruned()
-        .withColumn("cell", col("cell").cast("long"))
-        .join(shortPairs.select("id").distinct(), Seq("id"), "left_semi")
-        .join(probeCells.select("probe_id", "qe", "cell"), Seq("cell"))
+      // the exact re-rank's top-k cut reduces map-side too: the refine
+      // frame is shortlist-bounded per probe, but a probe-keyed window
+      // would still ship shortlist × P rows to the reducers — the same
+      // answers-not-candidates tail queryBatch/queryBatchDF serve through
+      // cuts it to ≤ k × P × tasks buffered entries
+      val payload = struct(include.map(col) :+ col("cell"): _*)
+      val out = cellRoutedJoin(
+        livePruned()
+          .withColumn("cell", col("cell").cast("long"))
+          .join(shortPairs.select("id").distinct(), Seq("id"), "left_semi"),
+        probeCells.select("probe_id", "qe", "cell"), probeCellRows)
         .join(shortPairs, Seq("probe_id", "id"), "left_semi")
         .withColumn("distance", VF.l2Sq(col("emb"), qeF))
-        .withColumn("rn", row_number().over(wK))
-        .filter(col("rn") <= k)
-        .select(col("probe_id") +: col("id") +: include.map(col) :+
-          col("cell") :+ col("distance") :+ col("rn"): _*)
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(k)(
+          col("distance"), col("id"), payload).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("probe_id") +: col("e.id").as("id") +:
+          include.map(c => col(s"e.payload.$c").as(c)) :+
+          col("e.payload.cell").as("cell") :+ col("e.score").as("distance") :+
+          (col("pos") + 1).cast("int").as("rn"): _*)
       // materialize before releasing the shared probe frames (the caller
       // gets a plan over the checkpointed result, not the freed caches)
       val ck = out.localCheckpoint()
@@ -1957,6 +2062,67 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
         include.map(c => col(s"e.payload.$c").as(c)) :+
         col("e.payload.cell").as("cell") :+ col("e.score").as("distance") :+
         (col("pos") + 1).cast("int").as("rn"): _*)
+  }
+
+  /** [[queryBatch]] with the probes as a DATAFRAME — the EXACT-distance
+    * twin of [[queryBatchQuantizedDF]], for probe frames a driver panel
+    * cannot hold (the embedding-join a training pipeline runs at a
+    * corpus-FRACTION probe count): NOTHING probe-sized ever touches the
+    * driver. Cell routing reduces map-side ([[routeCellsDF]] — the
+    * aggregate ships depth × P routing entries, not the P × numCells
+    * candidate frame a probe-keyed window would), the probed corpus is
+    * ONE partition-pruned scan of the union cells (the only collect,
+    * ≤ numCells longs of index metadata), the probe frame EQUI-JOINS on
+    * `cell` (a shuffle join — no broadcast side that grows with P, the
+    * ProbeJoin lesson), and the top-k cut is the same
+    * answers-not-candidates [[graft.operators.GroupedTopK.topKRows]]
+    * tail [[queryBatch]] serves through.
+    *
+    * An optional `depth` int column on `probes` is the per-probe depth
+    * policy routed through a frame instead of a driver map (null falls
+    * back to `nprobe`; clamped to [0, numCells] — a non-positive depth
+    * routes that probe to zero cells and it answers empty, the Seq
+    * route's `take(depth)` behavior) — how a serving job applies
+    * [[depthPolicy]]'s sidecar to a probe frame it never collects.
+    * Output ≡ [[queryBatch]] probe-for-probe at equal depths
+    * (spec-pinned, IvfIndexSpec); probe_id must be unique within the
+    * frame. */
+  def queryBatchDF(probes: DataFrame, k: Int, nprobe: Int,
+                   where: Option[Column] = None,
+                   include: Seq[String] = Nil): DataFrame = {
+    val routed = routeCellsDF(probes, nprobe,
+      useDepth = probes.columns.contains("depth")).persist()
+    try {
+      // the distinct probed cells are ≤ numCells — a driver-BOUNDED
+      // collect that turns back into a static partition-pruning filter
+      val unionCells = routed.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val pruned = dataTree()
+        .filter(col("cell").cast("long").isin(unionCells: _*))
+      val base = tombstones().fold(pruned)(ts =>
+        pruned.join(broadcast(ts), Seq("id"), "left_anti"))
+      val payload = struct(
+        include.map(col) :+ col("cell").cast("long").as("cell"): _*)
+      // the routing frame is persisted: its row count (≤ depth × P) is a
+      // cached-scan job, and it picks the broadcast-vs-salted join route
+      val routedRows = routed.count()
+      val out = cellRoutedJoin(
+        where.foldLeft(base)(_ filter _)
+          .withColumn("cell", col("cell").cast("long")),
+        routed, routedRows)
+        .withColumn("distance", VF.l2Sq(col("emb"), col("qe")))
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(k)(
+          col("distance"), col("id"), payload).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("probe_id") +: col("e.id").as("id") +:
+          include.map(c => col(s"e.payload.$c").as(c)) :+
+          col("e.payload.cell").as("cell") :+ col("e.score").as("distance") :+
+          (col("pos") + 1).cast("int").as("rn"): _*)
+      // materialize before releasing the routing cache (the caller gets a
+      // plan over the checkpointed bounded answer, not the freed frame)
+      out.localCheckpoint()
+    } finally { routed.unpersist(): Unit }
   }
 
   /** The REJECTED window formulation of [[queryBatch]], retained verbatim

@@ -80,8 +80,68 @@ object Prof {
     case Some("onnx") => onnx(args.drop(1))
     case Some("graphpq") => graphpq(args.drop(1))
     case Some("semperc") => semperc(args.drop(1))
+    case Some("paneldf") => paneldf(args.drop(1))
     case other =>
-      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10|onnx|graphpq|semperc")
+      sys.error(s"unknown family $other — use queries|shingle|scale|serve|sq8serve|dim384|mine|delstress|bpe|qualitytrain|encserve|retrain|routedlabel|phrase|pqserve|exactserve|encexact|textserve|r9|r10|onnx|graphpq|semperc|paneldf")
+  }
+
+  /** DF-probe batched serving at corpus-FRACTION panels
+    * ([[graft.store.IvfIndex.queryBatchDF]] — the embedding-join shape
+    * when the probe side is a FRAME the driver never collects). Pass
+    * criteria across /tmp/scale20 vs /tmp/scale100: the DF route tracks
+    * the Seq route where both exist (≤ 4096 probes), keeps scaling past
+    * the driver-panel ceiling (16384), and per-probe cost stays ~flat as
+    * the corpus grows (cells scale with the corpus, so nprobe=4 probes a
+    * shrinking corpus fraction). */
+  private def paneldf(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val cells = math.max(16, (n / 2048L).toInt)
+    val idx = new IvfIndex(s, graft.store.Scratch.dir("scale_paneldf_ivf"), cells)
+    time(s"paneldf_build_${cells}cells", nTag)(idx.build(vectors))
+    val k = 10
+    val np = 4
+    for (p <- Seq(1024, 4096, 16384)) {
+      // the probe FRAME: a deterministic corpus fraction, frozen so the
+      // reps measure serving, not re-sampling; NEVER collected
+      val probesDf = vectors.orderBy(xxhash64(col("id")), col("id")).limit(p)
+        .select((col("id") + 1000000L).as("probe_id"), col("emb").as("qe"))
+        .localCheckpoint()
+      def run(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit =
+        time(s"paneldf_${tag}_$p", nTag)(
+          f.write.format("noop").mode("overwrite").save())
+      run("df_cold")(idx.queryBatchDF(probesDf, k, np))
+      run("df_warm")(idx.queryBatchDF(probesDf, k, np))
+      if (p == 16384) {
+        // the above-broadcast-limit shape: force the salted equi-join
+        // (corpus side salted, routing frame replicated across the salt
+        // space) — the route a million-probe frame would take
+        s.conf.set(graft.operators.ProbeJoin.LimitKey, "1024")
+        try run("df_salted")(idx.queryBatchDF(probesDf, k, np))
+        finally s.conf.unset(graft.operators.ProbeJoin.LimitKey)
+      }
+      if (p <= 4096) {
+        // the Seq route's ceiling: the whole panel as driver arrays
+        val panel = probesDf.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        run("seq_warm")(idx.queryBatch(panel, k, np))
+      }
+    }
+    // the in-frame depth policy: exactDepths at its panel cap, routed
+    // through the frame's depth column instead of a driver map
+    val panel1024 = vectors.orderBy(xxhash64(col("id")), col("id")).limit(1024)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1).toArray)).toSeq
+    val depths = time("paneldf_depths_1024", nTag)(idx.exactDepths(panel1024, k))
+    val probesDepthDf = s.createDataFrame(panel1024.map { case (pid, qe) =>
+      (pid, qe.toSeq, depths(pid)) }).toDF("probe_id", "qe", "depth")
+    time("paneldf_df_depths_1024", nTag)(
+      idx.queryBatchDF(probesDepthDf, k, cells)
+        .write.format("noop").mode("overwrite").save())
+    s.stop()
   }
 
   /** Round-9 surfaces at scale: recall calibration (cost ≈ one panel

@@ -194,6 +194,67 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
         "holding the spec is comparing the serving tail to itself")
   }
 
+  test("queryBatchDF: a probe FRAME serves exactly like the Seq route — depth column, where, include; routing never windows") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_qbdf").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 16)
+    idx.build(vectors)
+    val pids = Seq(2L, 9L, 33L, 71L, 140L, 256L)
+    val probesSeq = pids.map { pid =>
+      (pid + 5000L,
+        vectors.filter(col("id") === pid).head().getSeq[Float](1).toArray)
+    }
+    // mixed per-probe depths: pinned shallow, full, mid, and absent rows
+    // (null depth -> the nprobe fallback) — the policy column routed
+    // through the frame instead of a driver map
+    val depthOf = Map(probesSeq(0)._1 -> 1, probesSeq(2)._1 -> 16,
+      probesSeq(4)._1 -> 3)
+    val probesDf = spark.createDataFrame(probesSeq.map { case (pid, qe) =>
+      (pid, qe.toSeq, depthOf.get(pid)) }).toDF("probe_id", "qe", "depth")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq
+        .sortBy(r => (r.head.asInstanceOf[Long], r.last.asInstanceOf[Int]))
+    for (np <- Seq(1, 4, 16); include <- Seq[Seq[String]](Nil, Seq("emb"))) {
+      val got = rows(idx.queryBatchDF(probesDf, k = 5, nprobe = np,
+        include = include))
+      val want = rows(idx.queryBatch(probesSeq, k = 5, nprobe = np,
+        include = include, depthOf = depthOf))
+      assert(got == want,
+        s"nprobe=$np include=$include: the DF route must serve the Seq " +
+          "route's exact answers at the frame's own depth column")
+    }
+    // where parity + the no-depth-column fallback (uniform nprobe)
+    val pred = col("id") % 2 === 0
+    assert(rows(idx.queryBatchDF(probesDf, 5, 4, where = Some(pred))) ==
+      rows(idx.queryBatch(probesSeq, 5, 4, where = Some(pred), depthOf = depthOf)))
+    assert(rows(idx.queryBatchDF(probesDf.drop("depth"), 5, 4)) ==
+      rows(idx.queryBatch(probesSeq, 5, 4)))
+    // an EMPTY probe frame answers empty (an upstream filter may leave
+    // none), never an NPE from the depth aggregate over zero rows
+    assert(idx.queryBatchDF(probesDf.filter(lit(false)), 5, 4).count() == 0)
+    // the SALTED join route (probe frames past the broadcast limit):
+    // forcing the limit to 1 swaps broadcast for the salted equi-join —
+    // answers must be identical (every (row, probe) cell pair appears
+    // exactly once on both routes)
+    spark.conf.set(graft.operators.ProbeJoin.LimitKey, "1")
+    try {
+      assert(rows(idx.queryBatchDF(probesDf, 5, 4)) ==
+        rows(idx.queryBatch(probesSeq, 5, 4, depthOf = depthOf)),
+        "salted cell join must serve the broadcast route's exact answers")
+    } finally spark.conf.unset(graft.operators.ProbeJoin.LimitKey)
+    // THE SHAPE CLAIM on the routing half (the serving tail is queryBatch's
+    // own plan-asserted top_k_rows aggregate; the DF result is
+    // checkpointed, so assert the pre-checkpoint routing plan directly):
+    // per-probe cell selection reduces map-side — the exchange carries
+    // <= depth x probes routing entries, never the P x numCells frame a
+    // probe-keyed window would ship
+    val routePlan = idx.routeCellsDF(probesDf, 4)
+      .queryExecution.executedPlan.toString
+    assert(!routePlan.contains("Window"),
+      s"routeCellsDF must not rank cells through a window exchange:\n$routePlan")
+  }
+
   test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {
     val base = java.nio.file.Files.createTempDirectory("graft_ivf_hot").toString
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
@@ -792,6 +853,21 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
           rows(idx.queryBatchQuantized(probesSeq, k = 4, nprobe = 3, shortlist = depth)),
           s"$kind at depth $depth: DF route must equal the Seq route")
       }
+      // the quantized route is depth-BLIND: a stray `depth` column on a
+      // frame reused from the exact route's policy must not change the
+      // uniform-nprobe contract (its Seq twin has no per-probe override)
+      assert(rows(idx.queryBatchQuantizedDF(probesDf.withColumn("depth", lit(1)),
+        k = 4, nprobe = 3, shortlist = 48)) ==
+        rows(idx.queryBatchQuantized(probesSeq, k = 4, nprobe = 3, shortlist = 48)),
+        s"$kind: queryBatchQuantizedDF must ignore a depth column")
+      // past the broadcast limit both phase joins take the salted route —
+      // answers must not depend on the route taken
+      spark.conf.set(graft.operators.ProbeJoin.LimitKey, "1")
+      try {
+        assert(rows(idx.queryBatchQuantizedDF(probesDf, k = 4, nprobe = 3, shortlist = 48)) ==
+          rows(idx.queryBatchQuantized(probesSeq, k = 4, nprobe = 3, shortlist = 48)),
+          s"$kind: the salted-route DF answers must equal the Seq route")
+      } finally spark.conf.unset(graft.operators.ProbeJoin.LimitKey)
       // the fraction-of-corpus labeling deliverable: DF votes == Seq votes
       val vDf = graft.queries.AnnQueries
         .routedKnnVotesDF(idx, probesDf, k = 5, nprobe = 8, shortlist = n)
