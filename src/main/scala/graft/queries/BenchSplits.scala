@@ -88,6 +88,26 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
     },
+    "q_ann_batch_df" -> { (s, dir) =>
+      // the registered query is build-dominated (in-query IVF build +
+      // per-probe exact calibration before a 30-row serve); the split
+      // lets probeVerdict attribute any compound drift to the phase
+      val base = graft.store.Scratch.dir("graft_abdf_split")
+      val idx = new IvfIndex(s, base, numCells = 16)
+      val vectors = tbl(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val (_, tb) = timed(idx.build(vectors))
+      val panel = vectors.filter(col("id").isin(Seq(3L, 17L, 101L, 257L, 350L, 499L): _*))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      val (depths, tc) = timed(idx.exactDepths(panel, k = 5))
+      val probesDf = s.createDataFrame(panel.map { case (pid, qe) =>
+        (pid, qe.toSeq, depths(pid)) }).toDF("probe_id", "qe", "depth")
+      val (_, tp) = timed(
+        idx.queryBatchDF(probesDf, k = 5, nprobe = 4)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
+    },
     "q_phrase" -> { (s, dir) =>
       val base = graft.store.Scratch.dir("graft_phr_split")
       val idx = new TextIndex(s, base, numBuckets = 8)
