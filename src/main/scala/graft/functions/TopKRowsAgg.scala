@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /**
@@ -25,12 +25,15 @@ import org.apache.spark.sql.types._
  * through the aggregation, so the shuffle carries k × groups × tasks
  * ANSWER rows, payload included, and nothing ever re-scans or re-joins.
  *
- * Ordering is the total order (score asc, id asc) — ids are unique within
- * a group in every caller, so insertion and merge order cannot change the
- * result (safe under AQE re-planning and speculative tasks). Null scores
- * or ids never enter the buffer (a null candidate is no candidate).
+ * Ordering is the total order (score asc, id asc) under the id type's OWN
+ * ordering — LONG ids break ties numerically, STRING ids (the encrypted
+ * store's spine) lexically, matching the window-sort oracle on either
+ * spine. Ids are unique within a group in every caller, so insertion and
+ * merge order cannot change the result (safe under AQE re-planning and
+ * speculative tasks). Null scores or ids never enter the buffer (a null
+ * candidate is no candidate).
  *
- * Result: `array<struct<score double, id long, payload P>>` sorted
+ * Result: `array<struct<score double, id I, payload P>>` sorted
  * ascending — the [[graft.operators.GroupedTopK]] output contract plus the
  * payload field.
  */
@@ -45,29 +48,45 @@ case class TopKRows(
 
   require(k >= 1, s"top-k needs k >= 1, got $k")
 
+  // runs post-resolution (the constructor must not touch dataType — copy()
+  // during analysis rebuilds the node over still-unresolved children)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(id.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"top_k_rows needs an orderable id type, got ${id.dataType}")
+
   override def children: Seq[Expression] = Seq(score, id, payload)
   override def nullable: Boolean = false
 
   private def entryType: StructType = StructType(Seq(
     StructField("score", DoubleType, nullable = false),
-    StructField("id", LongType, nullable = false),
+    StructField("id", id.dataType, nullable = false),
     StructField("payload", payload.dataType, nullable = payload.nullable)))
 
   override def dataType: DataType = ArrayType(entryType, containsNull = false)
 
+  // the id type's interpreted total order (Long ⇒ numeric, String/UTF8String
+  // ⇒ lexical binary) — the SAME order a window's `order by id` sort uses,
+  // so the aggregate and its windowed oracle can never disagree on ties
+  @transient private lazy val idOrd: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(id.dataType)
+
   override def createAggregationBuffer(): TopKRows.Buffer =
-    new TopKRows.Buffer(k)
+    new TopKRows.Buffer(k, idOrd)
 
   override def update(b: TopKRows.Buffer, input: InternalRow): TopKRows.Buffer = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
       val sv = s.asInstanceOf[Double]
-      val iv = i.asInstanceOf[Long]
       // evaluate (and copy) the payload ONLY for rows that enter the
-      // buffer — candidates past the current kth are pure comparisons
-      if (b.admits(sv, iv))
-        b.insert(sv, iv, InternalRow.copyValue(payload.eval(input)))
+      // buffer — candidates past the current kth are pure comparisons.
+      // The id copies too: a UTF8String id evaluated off an unsafe input
+      // row aliases scan scratch that the next row overwrites.
+      if (b.admits(sv, i))
+        b.insert(sv, InternalRow.copyValue(i),
+          InternalRow.copyValue(payload.eval(input)))
     }
     b
   }
@@ -83,7 +102,7 @@ case class TopKRows(
     })
 
   private lazy val serProj = UnsafeProjection.create(
-    Array[DataType](DoubleType, LongType, payload.dataType))
+    Array[DataType](DoubleType, id.dataType, payload.dataType))
 
   override def serialize(b: TopKRows.Buffer): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -100,7 +119,7 @@ case class TopKRows(
   }
 
   override def deserialize(bytes: Array[Byte]): TopKRows.Buffer = {
-    val b = new TopKRows.Buffer(k)
+    val b = new TopKRows.Buffer(k, idOrd)
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     while (in.available() > 0) {
       val len = in.readInt()
@@ -108,10 +127,11 @@ case class TopKRows(
       in.readFully(buf)
       val u = new UnsafeRow(3)
       u.pointTo(buf, len)
-      // the UnsafeRow's payload view points into `buf`, which is owned by
-      // this entry alone — still, copy so buffer entries never alias
+      // the UnsafeRow's id/payload views point into `buf`, which is owned
+      // by this entry alone — still, copy so buffer entries never alias
       // serialization scratch
-      b.insert(u.getDouble(0), u.getLong(1),
+      b.insert(u.getDouble(0),
+        InternalRow.copyValue(u.get(1, id.dataType)),
         InternalRow.copyValue(u.get(2, payload.dataType)))
     }
     b
@@ -132,12 +152,12 @@ object TopKRows {
 
   /** Bounded buffer: the k smallest (score, id) entries, max-heap so the
     * current worst is O(1) to consult and O(log k) to evict. */
-  final class Buffer(k: Int) {
+  final class Buffer(k: Int, idOrd: Ordering[Any]) {
     // max-heap by (score, id): peek() is the WORST kept entry
     private val heap = new java.util.PriorityQueue[Entry](k,
       (a: Entry, b: Entry) => {
         val c = java.lang.Double.compare(b.score, a.score)
-        if (c != 0) c else java.lang.Long.compare(b.id, a.id)
+        if (c != 0) c else idOrd.compare(b.id, a.id)
       })
 
     // strictly-better under the SAME total order the heap comparator and
@@ -145,17 +165,17 @@ object TopKRows {
     // `<`/`==` here would let an early NaN block every later real
     // candidate and would tie -0.0 with 0.0, making the result depend on
     // arrival order and diverge from Spark's window-sort oracle
-    private def beats(s: Double, i: Long, w: Entry): Boolean = {
+    private def beats(s: Double, i: Any, w: Entry): Boolean = {
       val c = java.lang.Double.compare(s, w.score)
-      c < 0 || (c == 0 && i < w.id)
+      c < 0 || (c == 0 && idOrd.compare(i, w.id) < 0)
     }
 
     /** Would (s, i) enter the top-k right now? Cheap pre-check so callers
       * can skip payload evaluation for rejected candidates. */
-    def admits(s: Double, i: Long): Boolean =
+    def admits(s: Double, i: Any): Boolean =
       heap.size < k || beats(s, i, heap.peek())
 
-    def insert(s: Double, i: Long, p: Any): Unit = {
+    def insert(s: Double, i: Any, p: Any): Unit = {
       if (heap.size < k) heap.add(new Entry(s, i, p))
       else if (beats(s, i, heap.peek())) {
         heap.poll()
@@ -163,26 +183,26 @@ object TopKRows {
       }
     }
 
-    def foreach(f: (Double, Long, Any) => Unit): Unit = {
+    def foreach(f: (Double, Any, Any) => Unit): Unit = {
       val it = heap.iterator()
       while (it.hasNext) { val e = it.next(); f(e.score, e.id, e.payload) }
     }
 
-    def sortedEntries: Array[(Double, Long, Any)] = {
-      val arr = new Array[(Double, Long, Any)](heap.size)
+    def sortedEntries: Array[(Double, Any, Any)] = {
+      val arr = new Array[(Double, Any, Any)](heap.size)
       val it = heap.iterator()
       var i = 0
       while (it.hasNext) { val e = it.next(); arr(i) = (e.score, e.id, e.payload); i += 1 }
       java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]],
         (x: AnyRef, y: AnyRef) => {
-          val a = x.asInstanceOf[(Double, Long, Any)]
-          val b = y.asInstanceOf[(Double, Long, Any)]
+          val a = x.asInstanceOf[(Double, Any, Any)]
+          val b = y.asInstanceOf[(Double, Any, Any)]
           val c = java.lang.Double.compare(a._1, b._1)
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          if (c != 0) c else idOrd.compare(a._2, b._2)
         })
       arr
     }
   }
 
-  private final class Entry(val score: Double, val id: Long, val payload: Any)
+  private final class Entry(val score: Double, val id: Any, val payload: Any)
 }

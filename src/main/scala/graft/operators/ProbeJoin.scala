@@ -37,8 +37,15 @@ object ProbeJoin {
   val LimitKey = "graft.probe.broadcastLimit"
 
   /** ONE copy of the limit resolution — every broadcast-vs-distributed
-    * probe-pairing decision ([[cross]], IvfIndex.cellRoutedJoin) reads
-    * the same knob and default. */
+    * probe-pairing decision ([[cross]], `CellRoute.routedJoin`) reads the
+    * same knob and default. UNIT NOTE: the knob counts the rows the
+    * broadcast would actually ship, which differs per caller — [[cross]]
+    * compares PROBE rows (its broadcast side is the probe frame), while
+    * the cell-routed DF serving joins compare routed ENTRIES (≤ depth ×
+    * probes — their broadcast side is the routing frame). A limit tuned
+    * for [[cross]] therefore flips the DF routes to the salted equi-join
+    * ~depth× earlier in probe count: conservative (both routes are exact
+    * and the salted join stays scan-parallel), never unsafe. */
   def broadcastLimit(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption(LimitKey).map(_.toLong).getOrElse(65536L)
 

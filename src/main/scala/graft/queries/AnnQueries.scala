@@ -1161,7 +1161,7 @@ object AnnQueries {
         val depths = idx.exactDepths(panel, k = 5)
         val probesDf = s.createDataFrame(panel.map { case (pid, qe) =>
           (pid, qe.toSeq, depths(pid)) }).toDF("probe_id", "qe", "depth")
-        idx.queryBatchDF(probesDf, k = 5, nprobe = 4)
+        idx.queryBatchDF(probesDf, k = 5, nprobe = 4, useDepth = true)
           .select(col("probe_id"), col("rn"), col("id").as("vec_id"),
             round(col("distance"), 6).as("dist"))
           .orderBy("probe_id", "rn")

@@ -577,6 +577,15 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     }
   }
 
+  /** Does the index hold at least `n` live rows? BOUNDED: one id-only
+    * scan that short-circuits after `n` rows (limit + count) — the
+    * build-time precondition shape (`SearchQueries`' zero-norm-exclusion
+    * guards compare against a 20-40-row constant), where [[stats]]'s two
+    * corpus-scale count jobs would read the whole tree at 100 TB just to
+    * answer "≥ 30?". */
+  def liveAtLeast(n: Int): Boolean =
+    n <= 0 || liveInclude(Nil).select("id").limit(n).count() >= n
+
   /** The tombstone-corrected live frame (id, emb, include…) — the EXACT
     * arm of the auto-routed bulk labeler ([[graft.queries.AnnQueries]]
     * `routedKnnVotesAuto`) scans this directly, so both arms answer over
@@ -1713,19 +1722,43 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
 
   /** [[queryBatch]] through the SQ8 codes — the bulk-scoring twin of
     * [[queryQuantized]]: Q probes share ONE codes-only scan of the union
-    * of their probe cells (each row Hamming^W integer-L2-scored only
-    * against probes whose cell set contains it), per-probe shortlists cut
-    * by a window, then ONE In-pushed exact rerank of the union shortlist
-    * finishes every probe. The id collect is bounded by Q × `shortlist`.
-    * With `shortlist` >= the probed cells' population the result is
-    * EXACTLY [[queryBatch]]'s (spec-pinned). `include` carries stored
-    * metadata columns of the NEIGHBOR rows into the result (read during
-    * the exact rerank, which touches the full rows anyway) — the routed
-    * bulk-labeling path (`AnnQueries.routedKnnVotes`) pulls neighbor
-    * labels through it instead of a second corpus join. */
+    * of their probe cells (each row integer-L2-scored only against probes
+    * whose cell set contains it), per-probe shortlists cut map-side by
+    * [[graft.operators.GroupedTopK]], then ONE In-pushed exact rerank of
+    * the union shortlist finishes every probe through the same
+    * answers-not-candidates [[graft.operators.GroupedTopK.topKRows]] tail
+    * [[queryBatch]] serves through — neither exchange ever carries the
+    * candidate volume (the r11 §8.3 measurement: a probe-keyed window is
+    * a constant ~855× exchange multiplier over the answer). The window
+    * formulation survives as [[queryBatchQuantizedWindowed]], the spec's
+    * bit-equality oracle, cut from the SAME candidate frames. The id
+    * collect is bounded by Q × `shortlist`. With `shortlist` >= the
+    * probed cells' population the result is EXACTLY [[queryBatch]]'s
+    * (spec-pinned). `include` carries stored metadata columns of the
+    * NEIGHBOR rows into the result (read during the exact rerank, which
+    * touches the full rows anyway) — the routed bulk-labeling path
+    * (`AnnQueries.routedKnnVotes`) pulls neighbor labels through it
+    * instead of a second corpus join. */
   def queryBatchQuantized(probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
                           shortlist: Int = 256,
-                          include: Seq[String] = Nil): DataFrame = {
+                          include: Seq[String] = Nil): DataFrame =
+    quantBatchImpl(probes, k, nprobe, shortlist, include, windowed = false)
+
+  /** The REJECTED window formulation of [[queryBatchQuantized]], retained
+    * as its bit-equality spec oracle (the queryBatchWindowed discipline):
+    * same candidate frames, same shortlist/rerank membership, but both
+    * per-probe cuts ship the full candidate volume through probe-keyed
+    * windows — do not serve through it. */
+  private[graft] def queryBatchQuantizedWindowed(
+      probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      shortlist: Int = 256,
+      include: Seq[String] = Nil): DataFrame =
+    quantBatchImpl(probes, k, nprobe, shortlist, include, windowed = true)
+
+  private def quantBatchImpl(probes: Seq[(Long, Array[Float])], k: Int,
+                             nprobe: Int, shortlist: Int,
+                             include: Seq[String],
+                             windowed: Boolean): DataFrame = {
     require(probes.nonEmpty, "queryBatchQuantized needs at least one probe")
     require(shortlist >= k, "shortlist must be at least k")
     val cents = centroids()
@@ -1760,24 +1793,36 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       tombstones().fold(pruned)(ts =>
         pruned.join(broadcast(ts), Seq("id"), "left_anti"))
     }
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
-    val short = livePruned()
+    // SQ8's integer L2 casts exactly into double (bounded by dim·255² —
+    // far under 2^53), so ordering over the cast equals ordering over the
+    // raw long, and both cut routes see one scored frame
+    val shortCand = livePruned()
       .select(col("id"), col("cell"), col("codes"))
       .join(broadcast(probeDf),
         array_contains(col("probe_cells"), col("cell").cast("long")))
-      .withColumn("qdist", qdistCol)
-      .withColumn("rn", row_number().over(wS))
-      .filter(col("rn") <= shortlist)
-      .select(col("probe_id"), col("id"))
-      .collect()
+      .withColumn("qdist", qdistCol.cast("double"))
+    val short =
+      if (windowed) {
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
+        shortCand
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= shortlist)
+          .select(col("probe_id"), col("id"))
+          .collect()
+      } else
+        shortCand
+          .groupBy("probe_id")
+          .agg(graft.operators.GroupedTopK.topK(shortlist)(
+            col("qdist"), col("id")).as("topk"))
+          .select(col("probe_id"), explode(col("topk")).as("sc"))
+          .select(col("probe_id"), col("sc.id").as("id"))
+          .collect()
     val shortIds = short.map(_.getLong(1)).distinct.toSeq
     val pairKeep = short.map(r => (r.getLong(0), r.getLong(1))).toSet
     val keepUdfFree = spark.createDataFrame(pairKeep.toSeq.sortBy(identity))
       .toDF("probe_id", "id")
-    val wK = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-    livePruned()
+    val rerankCand = livePruned()
       .filter(col("id").isin(shortIds: _*))
       .join(broadcast(probeDf),
         array_contains(col("probe_cells"), col("cell").cast("long")))
@@ -1785,10 +1830,27 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       // in another probe's cells without having made its shortlist)
       .join(broadcast(keepUdfFree), Seq("probe_id", "id"), "left_semi")
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
-      .withColumn("rn", row_number().over(wK))
-      .filter(col("rn") <= k)
-      .select(col("probe_id") +: col("id") +: include.map(col) :+
-        col("cell").cast("long").as("cell") :+ col("distance") :+ col("rn"): _*)
+    if (windowed) {
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+      rerankCand
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= k)
+        .select(col("probe_id") +: col("id") +: include.map(col) :+
+          col("cell").cast("long").as("cell") :+ col("distance") :+ col("rn"): _*)
+    } else {
+      val payload = struct(
+        include.map(col) :+ col("cell").cast("long").as("cell"): _*)
+      rerankCand
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(k)(
+          col("distance"), col("id"), payload).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("probe_id") +: col("e.id").as("id") +:
+          include.map(c => col(s"e.payload.$c").as(c)) :+
+          col("e.payload.cell").as("cell") :+ col("e.score").as("distance") :+
+          (col("pos") + 1).cast("int").as("rn"): _*)
+    }
   }
 
   /** [[queryBatchQuantized]] with the probes as a DATAFRAME — the
@@ -1822,104 +1884,21 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     *
     * Per-probe results equal [[queryBatchQuantized]]'s (spec-pinned);
     * `include` carries neighbor metadata like the Seq route. */
-  /** Cell ROUTING for a probe FRAME — (probe_id, qe, cell), each probe
-    * paired with its top-`depth` nearest cells in the engine-wide
-    * (squared centroid distance, cell) total order. The per-probe cut is
-    * [[graft.operators.GroupedTopK]], NOT a probe-keyed window: a window
-    * would shuffle the full P × numCells routing frame to the reducers,
-    * while the aggregate ships ≤ depth × P entries — at a corpus-fraction
-    * probe frame the routing exchange is itself answer-volume.
-    *
-    * With `useDepth`, a `depth` int column on `probes` is the per-probe
-    * policy ([[exactDepths]] / [[depthPolicy]] handed through a frame
-    * instead of a driver map): null entries fall back to `nprobe`, values
-    * clamp to [0, numCells] — a non-positive depth routes that probe to
-    * zero cells (it answers empty, exactly the Seq route's `take(depth)`
-    * behavior). Depth-blind callers (the quantized route, whose Seq twin
-    * has no per-probe override) pass `useDepth = false`, so a stray
-    * `depth` column on a reused frame can never silently change their
-    * uniform-nprobe contract. */
+  /** Cell ROUTING for a probe FRAME — see [[CellRoute.routeCells]] (ONE
+    * copy shared with the encrypted DF route): (probe_id, qe, cell), the
+    * per-probe cut map-side-bounded, the depth policy an explicit
+    * `useDepth` opt-in (a stray `depth` column on a reused frame can
+    * never silently change a depth-blind route's uniform-nprobe
+    * contract), duplicate probe_id and non-integral depth columns
+    * refused loudly. */
   private[graft] def routeCellsDF(probes: DataFrame, nprobe: Int,
-                                  useDepth: Boolean = false): DataFrame = {
-    val cents = centroids()
-    val centDf = spark.createDataFrame(
-      cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }).toDF("cell", "cemb")
-    val uniform = math.min(math.max(nprobe, 0), numCells)
-    val depthCol =
-      if (useDepth)
-        least(greatest(coalesce(col("depth").cast("int"), lit(nprobe)), lit(0)),
-          lit(numCells))
-      else lit(uniform)
-    val sized = probes.select(col("probe_id"),
-      col("qe").cast("array<float>").as("qe"), depthCol.as("pdepth"))
-    // the aggregate's k must be a constant: the largest requested depth.
-    // Without a depth column it is the uniform clamp — no job; with one,
-    // ONE bounded job over the probe frame (a max over ints, null on an
-    // empty frame → serve empty through depth 1)
-    val maxDepth =
-      if (!useDepth) math.max(1, uniform)
-      else {
-        val row = sized.agg(max(col("pdepth"))).head()
-        if (row.isNullAt(0)) 1 else math.max(1, row.getInt(0))
-      }
-    sized
-      .crossJoin(broadcast(centDf))
-      .withColumn("cdist", VF.l2Sq(col("qe"), col("cemb").cast("array<float>")))
-      .groupBy("probe_id")
-      .agg(graft.operators.GroupedTopK.topK(maxDepth)(col("cdist"), col("cell"))
-          .as("cells"),
-        first(col("qe")).as("qe"), first(col("pdepth")).as("pdepth"))
-      .select(col("probe_id"), col("qe"), col("pdepth"),
-        posexplode(col("cells")).as(Seq("pos", "sc")))
-      .filter(col("pos") < col("pdepth"))
-      .select(col("probe_id"), col("qe"), col("sc.id").as("cell"))
-  }
+                                  useDepth: Boolean = false): DataFrame =
+    CellRoute.routeCells(spark, probes, centroids(), numCells, nprobe, useDepth)
 
-  /** Equi-join a cell-pruned corpus scan (carries `id` and a long `cell`)
-    * with a per-probe routing frame keyed by `cell` — WITHOUT collapsing
-    * parallelism to the ≤ numCells distinct join keys. A plain shuffle
-    * join on `cell` hash-partitions BOTH sides by a key with at most
-    * numCells values: every (corpus row × probe) pair for a cell is
-    * generated — and its top-k partials aggregated — by ONE task, so a
-    * 32-core scan degrades to ~numCells-way parallelism (measured 8×
-    * slower than the Seq route at a 4096-probe panel over 19 cells).
-    *
-    *  - probe side ≤ the ProbeJoin broadcast limit: broadcast it — the
-    *    corpus never moves and the join runs at scan parallelism (the
-    *    Seq route's shape, with the frame in place of a driver panel).
-    *  - above the limit: SALT — the corpus side widens its key to
-    *    (cell, xxhash64(id) % S) and the probe side replicates across
-    *    the S-value salt space, spreading each cell's pair generation
-    *    and map-side top-k partials over S tasks. Probe-side shuffle
-    *    volume is S × the routing frame — bounded, and the corpus
-    *    (the side that is 100 TB) still moves only once. The join is
-    *    HINTED shuffle_hash: a sort-merge join re-iterates the buffered
-    *    probe group once per corpus row (measured ~9× slower than the
-    *    broadcast route at a 16384-probe panel), while the hash relation
-    *    gives the same per-row bucket lookup the broadcast route enjoys.
-    *
-    * Row set identical on both routes (every (row, probe) cell pair
-    * appears exactly once), so serving answers never depend on the
-    * route taken. */
+  /** Broadcast-or-salted cell equi-join — see [[CellRoute.routedJoin]]. */
   private def cellRoutedJoin(corpus: DataFrame, probeSide: DataFrame,
-                             probeRows: Long): DataFrame = {
-    val limit = graft.operators.ProbeJoin.broadcastLimit(spark)
-    if (probeRows <= limit) corpus.join(broadcast(probeSide), Seq("cell"))
-    else {
-      // size the salt space to what parallelism needs, not a fixed fanout:
-      // (numCells × S) keys should comfortably cover the partition count —
-      // replicating ×32 when the cell count alone already exceeds the
-      // partitions would pay probe-shuffle volume for nothing
-      val parts = math.max(2, spark.sparkContext.defaultParallelism)
-      val s = math.max(2, math.ceil(2.0 * parts / math.max(1, numCells)).toInt)
-      corpus
-        .withColumn("__salt", pmod(xxhash64(col("id")), lit(s.toLong)).cast("int"))
-        .join(probeSide.withColumn("__salt",
-          explode(sequence(lit(0), lit(s - 1)))).hint("shuffle_hash"),
-          Seq("cell", "__salt"))
-        .drop("__salt")
-    }
-  }
+                             probeRows: Long): DataFrame =
+    CellRoute.routedJoin(corpus, probeSide, probeRows, numCells)
 
   def queryBatchQuantizedDF(probes: DataFrame, k: Int, nprobe: Int,
                             shortlist: Int = 256,
@@ -2078,20 +2057,24 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * answers-not-candidates [[graft.operators.GroupedTopK.topKRows]]
     * tail [[queryBatch]] serves through.
     *
-    * An optional `depth` int column on `probes` is the per-probe depth
-    * policy routed through a frame instead of a driver map (null falls
-    * back to `nprobe`; clamped to [0, numCells] — a non-positive depth
-    * routes that probe to zero cells and it answers empty, the Seq
-    * route's `take(depth)` behavior) — how a serving job applies
-    * [[depthPolicy]]'s sidecar to a probe frame it never collects.
+    * With `useDepth = true`, the `depth` INTEGER column on `probes` is
+    * the per-probe depth policy routed through a frame instead of a
+    * driver map (null falls back to `nprobe`; clamped to [0, numCells] —
+    * a non-positive depth routes that probe to zero cells and it answers
+    * empty, the Seq route's `take(depth)` behavior) — how a serving job
+    * applies [[depthPolicy]]'s sidecar to a probe frame it never
+    * collects. The opt-in is EXPLICIT: without it a semantically
+    * unrelated `depth` column on a reused frame is ignored (uniform
+    * nprobe), and with it a non-integral depth column refuses loudly —
+    * probing depth is recall policy and must never shift silently.
     * Output ≡ [[queryBatch]] probe-for-probe at equal depths
     * (spec-pinned, IvfIndexSpec); probe_id must be unique within the
-    * frame. */
+    * frame (refused loudly by the routing). */
   def queryBatchDF(probes: DataFrame, k: Int, nprobe: Int,
                    where: Option[Column] = None,
-                   include: Seq[String] = Nil): DataFrame = {
-    val routed = routeCellsDF(probes, nprobe,
-      useDepth = probes.columns.contains("depth")).persist()
+                   include: Seq[String] = Nil,
+                   useDepth: Boolean = false): DataFrame = {
+    val routed = routeCellsDF(probes, nprobe, useDepth).persist()
     try {
       // the distinct probed cells are ≤ numCells — a driver-BOUNDED
       // collect that turns back into a static partition-pruning filter

@@ -217,7 +217,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
         .sortBy(r => (r.head.asInstanceOf[Long], r.last.asInstanceOf[Int]))
     for (np <- Seq(1, 4, 16); include <- Seq[Seq[String]](Nil, Seq("emb"))) {
       val got = rows(idx.queryBatchDF(probesDf, k = 5, nprobe = np,
-        include = include))
+        include = include, useDepth = true))
       val want = rows(idx.queryBatch(probesSeq, k = 5, nprobe = np,
         include = include, depthOf = depthOf))
       assert(got == want,
@@ -226,20 +226,39 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
     }
     // where parity + the no-depth-column fallback (uniform nprobe)
     val pred = col("id") % 2 === 0
-    assert(rows(idx.queryBatchDF(probesDf, 5, 4, where = Some(pred))) ==
+    assert(rows(idx.queryBatchDF(probesDf, 5, 4, where = Some(pred),
+        useDepth = true)) ==
       rows(idx.queryBatch(probesSeq, 5, 4, where = Some(pred), depthOf = depthOf)))
     assert(rows(idx.queryBatchDF(probesDf.drop("depth"), 5, 4)) ==
       rows(idx.queryBatch(probesSeq, 5, 4)))
+    // the depth policy is an explicit OPT-IN: without useDepth a stray
+    // depth column on a reused frame is ignored (uniform nprobe), never a
+    // silent recall change
+    assert(rows(idx.queryBatchDF(probesDf, 5, 4)) ==
+      rows(idx.queryBatch(probesSeq, 5, 4)),
+      "a depth column without useDepth must not change probing depth")
+    // ... and with the opt-in, a non-integral depth column REFUSES
+    // loudly instead of cast-nulling into the nprobe fallback
+    val badDepth = probesDf.withColumn("depth", col("depth").cast("string"))
+    val eDepth = intercept[IllegalArgumentException](
+      idx.queryBatchDF(badDepth, 5, 4, useDepth = true).count())
+    assert(eDepth.getMessage.contains("integral"))
+    // duplicate probe_id rows REFUSE loudly — first(qe) group resolution
+    // would otherwise blend two probes' candidates into one merged top-k
+    val eDup = intercept[IllegalArgumentException](
+      idx.queryBatchDF(probesDf.unionByName(probesDf.limit(1)), 5, 4).count())
+    assert(eDup.getMessage.contains("duplicate probe_id"))
     // an EMPTY probe frame answers empty (an upstream filter may leave
     // none), never an NPE from the depth aggregate over zero rows
-    assert(idx.queryBatchDF(probesDf.filter(lit(false)), 5, 4).count() == 0)
+    assert(idx.queryBatchDF(probesDf.filter(lit(false)), 5, 4,
+      useDepth = true).count() == 0)
     // the SALTED join route (probe frames past the broadcast limit):
     // forcing the limit to 1 swaps broadcast for the salted equi-join —
     // answers must be identical (every (row, probe) cell pair appears
     // exactly once on both routes)
     spark.conf.set(graft.operators.ProbeJoin.LimitKey, "1")
     try {
-      assert(rows(idx.queryBatchDF(probesDf, 5, 4)) ==
+      assert(rows(idx.queryBatchDF(probesDf, 5, 4, useDepth = true)) ==
         rows(idx.queryBatch(probesSeq, 5, 4, depthOf = depthOf)),
         "salted cell join must serve the broadcast route's exact answers")
     } finally spark.conf.unset(graft.operators.ProbeJoin.LimitKey)
@@ -593,6 +612,43 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       .map(r0 => (r0.head, r0(1))).toSet
     assert(q.intersect(r).size >= (r.size * 3) / 4,
       s"depth-32 batch recall collapsed: ${q.intersect(r).size}/${r.size}")
+  }
+
+  test("queryBatchQuantized shuffles answers, not candidates: bit-equal to its windowed twin at every depth, no Window in the serving plans") {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8bw").toString
+    val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("emb"))
+    val idx = new IvfIndex(spark, base, numCells = 8)
+    idx.build(vectors)
+    val n = vectors.count().toInt
+    val probes = vectors.orderBy("id").limit(6).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
+    // the r11 measurement applied to this path's own siblings: the SAME
+    // candidate frames (shared impl), only the cut differs — so serving
+    // must be bit-equal to the retained window formulation at bounded AND
+    // full shortlist depth, include payload intact
+    for (shortlist <- Seq(4, 32, n); include <- Seq[Seq[String]](Nil, Seq("emb"))) {
+      assert(rows(idx.queryBatchQuantized(probes, k = 4, nprobe = 3,
+          shortlist = shortlist, include = include)) ==
+        rows(idx.queryBatchQuantizedWindowed(probes, k = 4, nprobe = 3,
+          shortlist = shortlist, include = include)),
+        s"shortlist=$shortlist include=$include: aggregated cuts must be " +
+          "bit-equal to the window formulation")
+    }
+    // THE SHAPE CLAIM on the final (rerank) frame: answers cut through the
+    // native bounded aggregate, never a probe-keyed window; the retained
+    // twin IS the window formulation
+    val servePlan = idx.queryBatchQuantized(probes, k = 4, nprobe = 3,
+      shortlist = 32).queryExecution.executedPlan.toString
+    assert(!servePlan.contains("Window"),
+      s"quantized batch serving must not window the rerank:\n$servePlan")
+    assert(servePlan.contains("top_k_rows"))
+    val oraclePlan = idx.queryBatchQuantizedWindowed(probes, k = 4, nprobe = 3,
+      shortlist = 32).queryExecution.executedPlan.toString
+    assert(oraclePlan.contains("Window"),
+      "the retained oracle IS the window formulation")
   }
 
   test("routed bulk labeling: routedKnnVotes at full depth equals the exact kNN vote") {

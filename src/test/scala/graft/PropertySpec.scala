@@ -173,7 +173,9 @@ class PropertySpec extends AnyFunSuite with SparkTest {
   }
 
   test("TopKRows.Buffer: total order on NaN and -0.0 matches the sort") {
-    val b = new graft.functions.TopKRows.Buffer(2)
+    val longOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(org.apache.spark.sql.types.LongType)
+    val b = new graft.functions.TopKRows.Buffer(2, longOrd)
     b.insert(Double.NaN, 9L, null)
     b.insert(0.0, 5L, null)
     // -0.0 < 0.0 under Double.compare: it must both be admitted and evict
@@ -186,6 +188,18 @@ class PropertySpec extends AnyFunSuite with SparkTest {
     assert(!b.admits(Double.NaN, 1L))
     // equal score, LOWER id is admitted (the (score, id) tie-break)
     assert(b.admits(0.0, 4L))
+    // the STRING spine (the encrypted store's ids): ties order lexically,
+    // matching a window's `order by id` on a string column
+    val strOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(org.apache.spark.sql.types.StringType)
+    val s = new graft.functions.TopKRows.Buffer(2, strOrd)
+    def u(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    s.insert(1.0, u("id-10"), null)
+    s.insert(1.0, u("id-2"), null)
+    assert(s.admits(1.0, u("id-1")))   // "id-1" < "id-10" lexically
+    assert(!s.admits(1.0, u("id-3")))  // "id-3" > "id-2" > "id-10"? no: "id-10" < "id-2" < "id-3"
+    s.insert(1.0, u("id-1"), null)
+    assert(s.sortedEntries.map(_._2.toString).toSeq == Seq("id-1", "id-10"))
   }
 
   test("tokenize kernel: tokens are nonempty lowercase alnum; idempotent under rejoin") {
