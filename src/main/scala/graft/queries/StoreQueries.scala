@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
 object StoreQueries {
   import Registry.tbl
 
-  private val TestKey = "0123456789abcdef" // 16-byte AES key (test fixture)
+  private[queries] val TestKey = "0123456789abcdef" // 16-byte AES key (test fixture)
 
   val all: Seq[Q] = Seq(
 
@@ -172,6 +172,53 @@ object StoreQueries {
     // source table alone, checking the whole encrypt → partition →
     // prune → decrypt → score pipeline end to end. (EncryptedIndexSpec
     // pins the pruned-probe plan shape and the CRUD matrix.)
+    // Encrypted DF-PROBE batched serving (r12): the probe side is a FRAME
+    // the driver never collects, routed map-side against the encrypted
+    // centroid sidecar (CellRoute — the plaintext queryBatchDF discipline
+    // on ciphertext), phase 1 decrypting only routed-cell codes_ct, phase
+    // 2 only shortlist-survivor emb_ct, both per-probe cuts the bounded
+    // answers-not-candidates aggregate. Full probe depth + full shortlist
+    // makes every probe's answer the EXACT kNN, which the oracle
+    // recomputes from plaintext alone — gating routing, bounded decrypt,
+    // the string-id TopKRows tie order, and the fused pipeline end to end.
+    Q(
+      "q_encrypt_batch_df",
+      "encrypted DF-probe batch: frame routing + bounded decrypt, full depth == exact kNN per probe",
+      (s, dir) => {
+        val base = graft.store.Scratch.dir("graft_encbdf")
+        val enc = new EncryptedStore(s, base, TestKey)
+        val rows = tbl(s, dir, "embeddings")
+          .select(col("vec_id").cast("string").as("id"),
+            concat(lit("doc for vector "), col("vec_id")).as("doc"),
+            col("embedding").as("emb"))
+        enc.storeIndexed(rows, "vectors", numCells = 8)
+        val probesDf = tbl(s, dir, "embeddings")
+          .filter(col("vec_id").isin(3L, 17L, 101L, 257L))
+          .select(col("vec_id").as("probe_id"), col("embedding").as("qe"))
+        enc.queryIndexedBatchDF("vectors", probesDf, k = 5, nprobe = 8,
+            shortlist = 1 << 20)
+          .select(col("probe_id"), col("rn"), col("id"), col("doc"),
+            round(col("distance"), 6).as("dist"))
+          .orderBy("probe_id", "rn")
+      },
+      Some {
+        val d = OracleSql.l2Sq("e.embedding", "p.qe")
+        s"""WITH probes AS MATERIALIZED (
+           |  SELECT vec_id AS probe_id, embedding AS qe FROM embeddings
+           |  WHERE vec_id IN (3, 17, 101, 257)),
+           |scored AS (
+           |  SELECT p.probe_id, e.vec_id, $d AS dist_raw,
+           |         row_number() OVER (PARTITION BY p.probe_id
+           |           ORDER BY $d ASC, CAST(e.vec_id AS VARCHAR) ASC) AS rnk
+           |  FROM embeddings e CROSS JOIN probes p)
+           |SELECT probe_id, CAST(rnk AS INT) AS rn,
+           |       CAST(vec_id AS VARCHAR) AS id,
+           |       'doc for vector ' || vec_id AS doc,
+           |       round(dist_raw, 6) AS dist
+           |FROM scored WHERE rnk <= 5
+           |ORDER BY probe_id, rn""".stripMargin
+      }),
+
     Q(
       "q_encrypt_search",
       "encrypted cell-pruned ANN: storeIndexed + full-probe queryIndexed == exact kNN",

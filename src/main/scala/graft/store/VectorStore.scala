@@ -2117,13 +2117,18 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * the probe join — projection collapse would otherwise inline the
     * AES-GCM decrypt into the join and re-decrypt each row once per
     * matching PROBE, the per-pair-recompute trap), then each row is scored
-    * only against probes whose cell set contains it and cut to top-k by a
-    * probe-keyed window over the ALREADY-MATERIALIZED decrypted candidates
-    * (on the encrypted twin the scale cost is AES-GCM work, paid once at
-    * the checkpoint; the plaintext 100 TB serving shape —
-    * [[graft.store.IvfIndex.queryBatch]]'s answer-volume aggregate — is
-    * where uncapped candidate exchanges actually bite). Per-probe results
-    * are [[queryIndexed]]'s (spec-pinned). A bulk encrypted workload pays
+    * only against probes whose cell set contains it and cut to top-k by
+    * the answers-not-candidates
+    * [[graft.operators.GroupedTopK.topKRows]] tail (string-id spine —
+    * ids order lexically, matching the windowed oracle): the exchange
+    * carries at most k × probes × tasks ANSWER rows whose payload is the
+    * still-ENCRYPTED doc_ct, so decrypted embeddings never transit
+    * shuffle files at all and doc decryption is answer-bounded. The
+    * rejected window formulation — which shipped the full decrypted
+    * candidate volume to the reducers — survives as
+    * [[queryIndexedBatchWindowed]], the spec's bit-equality oracle, cut
+    * from the SAME candidate frame. Per-probe results are
+    * [[queryIndexed]]'s (spec-pinned). A bulk encrypted workload pays
     * ~one probe's decrypt cost for the whole batch instead of Q× it.
     * `depthOf` overrides the UNIFORM `nprobe` per probe — the
     * [[exactDepths]] policy: each probe DECRYPTS exactly its own
@@ -2132,7 +2137,22 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     * (probe_id, id, doc, distance, rn). */
   def queryIndexedBatch(name: String, probes: Seq[(Long, Array[Float])], k: Int,
                         nprobe: Int,
-                        depthOf: Map[Long, Int] = Map.empty): DataFrame = {
+                        depthOf: Map[Long, Int] = Map.empty): DataFrame =
+    encBatchImpl(name, probes, k, nprobe, depthOf, windowed = false)
+
+  /** The REJECTED window formulation of [[queryIndexedBatch]], retained
+    * as its bit-equality spec oracle (the queryBatchWindowed discipline):
+    * same probed cells, same decrypted candidate checkpoint, but the
+    * per-probe cut ships every decrypted candidate row through a
+    * probe-keyed window — do not serve through it. */
+  private[graft] def queryIndexedBatchWindowed(
+      name: String, probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      depthOf: Map[Long, Int] = Map.empty): DataFrame =
+    encBatchImpl(name, probes, k, nprobe, depthOf, windowed = true)
+
+  private def encBatchImpl(name: String, probes: Seq[(Long, Array[Float])],
+                           k: Int, nprobe: Int, depthOf: Map[Long, Int],
+                           windowed: Boolean): DataFrame = {
     require(probes.nonEmpty, "queryIndexedBatch needs at least one probe")
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
@@ -2147,40 +2167,68 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         col("doc_ct"),
         from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-    dec.join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
+    val cand = dec
+      .join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("id"), decryptStr(col("doc_ct")).as("doc"),
-        col("distance"), col("rn"))
+    if (windowed) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+      cand
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("probe_id"), col("id"), decryptStr(col("doc_ct")).as("doc"),
+          col("distance"), col("rn"))
+    } else
+      cand
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(k)(
+          col("distance"), col("id"), col("doc_ct")).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("probe_id"), col("e.id").as("id"),
+          decryptStr(col("e.payload")).as("doc"),
+          col("e.score").as("distance"), (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Batched [[queryIndexedQuantized]] — the `q_ann_ivf_batch` shape on
     * ciphertext: phase 1 decrypts only the compact codes_ct of the UNION
     * of probed cells ONCE (materialized, same per-pair-recompute guard as
     * [[queryIndexedBatch]]), ranks per probe by exact integer L2 and cuts
-    * per-probe shortlists by a window; phase 2 decrypts the full
-    * embedding for the union of shortlist survivors only — one In-pushed
-    * bounded pass — and finishes every probe exactly. With `shortlist` >=
-    * the probed cells' population the result is EXACTLY
+    * per-probe shortlists map-side through the
+    * [[graft.operators.GroupedTopK.topKRows]] tail; phase 2 decrypts the
+    * full embedding for the union of shortlist survivors only — one
+    * In-pushed bounded pass — and finishes every probe exactly through
+    * the same answer-volume tail (doc_ct payload — decrypted embeddings
+    * never transit shuffle files, doc decryption is answer-bounded; the
+    * [[queryIndexedBatch]] exposure argument). The rejected window cuts
+    * survive as [[queryIndexedBatchQuantizedWindowed]], the spec's
+    * bit-equality oracle over the SAME candidate frames. With
+    * `shortlist` >= the probed cells' population the result is EXACTLY
     * [[queryIndexedBatch]]'s (spec-pinned). The id collect is bounded by
     * Q × `shortlist`. `depthOf` is the [[exactDepths]] per-probe override,
     * bounding each probe's codes_ct decrypt to its own cells. */
   def queryIndexedBatchQuantized(name: String, probes: Seq[(Long, Array[Float])],
                                  k: Int, nprobe: Int,
                                  shortlist: Int = 256,
-                                 depthOf: Map[Long, Int] = Map.empty): DataFrame = {
-    require(probes.nonEmpty, "queryIndexedBatchQuantized needs at least one probe")
-    require(shortlist >= k, "shortlist must be at least k")
-    val cents = centroidsOf(name)
-    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
-    val probeCells = encProbeCells(cents, probes, nprobe, depthOf)
-    val unionCells = probeCells.flatMap(_._3).distinct
-    // per-probe quantized scorer, dispatched on the frozen sidecar (the
-    // IvfIndex.queryBatchQuantized discipline on ciphertext)
-    val (probeDf, qdistCol) = sq8StatsOf(name) match {
+                                 depthOf: Map[Long, Int] = Map.empty): DataFrame =
+    encBatchQuantImpl(name, probes, k, nprobe, shortlist, depthOf, windowed = false)
+
+  /** The REJECTED window formulation of [[queryIndexedBatchQuantized]],
+    * retained as its bit-equality spec oracle — both per-probe cuts ship
+    * candidate volume through probe-keyed windows; do not serve through
+    * it. */
+  private[graft] def queryIndexedBatchQuantizedWindowed(
+      name: String, probes: Seq[(Long, Array[Float])], k: Int, nprobe: Int,
+      shortlist: Int = 256,
+      depthOf: Map[Long, Int] = Map.empty): DataFrame =
+    encBatchQuantImpl(name, probes, k, nprobe, shortlist, depthOf, windowed = true)
+
+  /** The per-probe quantized scorer frame, dispatched on the frozen
+    * sidecar (the IvfIndex.queryBatchQuantized discipline on ciphertext):
+    * an SQ8 probe carries its encoded query bytes, a PQ probe its m·256
+    * ADC lookup table. Shared by the Seq and DF batch routes. */
+  private def encQuantProbeFrame(name: String,
+      probeCells: Seq[(Long, Array[Float], Seq[Long])]): (DataFrame, Column) =
+    sq8StatsOf(name) match {
       case Some((mn, mx)) =>
         (spark.createDataFrame(
           probeCells.map { case (pid, qe, cells) =>
@@ -2197,20 +2245,45 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           }).toDF("probe_id", "qe", "probe_cells", "qlut"),
           VF.pqAdcPair(col("codes"), col("qlut"), IvfIndex.PqK))
     }
+
+  private def encBatchQuantImpl(name: String, probes: Seq[(Long, Array[Float])],
+                                k: Int, nprobe: Int, shortlist: Int,
+                                depthOf: Map[Long, Int],
+                                windowed: Boolean): DataFrame = {
+    require(probes.nonEmpty, "queryIndexedBatchQuantized needs at least one probe")
+    require(shortlist >= k, "shortlist must be at least k")
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val probeCells = encProbeCells(cents, probes, nprobe, depthOf)
+    val unionCells = probeCells.flatMap(_._3).distinct
+    val (probeDf, qdistCol) = encQuantProbeFrame(name, probeCells)
     val codes = liveRaw(name)
       .filter(col("cell").isin(unionCells: _*))
       .select(col("id"), col("cell").cast("long").as("cell"),
         unbase64(decryptStr(col("codes_ct"))).as("codes"))
       .localCheckpoint()
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
-    val short = codes
+    // SQ8's integer L2 casts exactly into double (bounded by dim·255²),
+    // so ordering over the cast equals ordering over the raw long
+    val shortCand = codes
       .join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
-      .withColumn("qdist", qdistCol)
-      .withColumn("rn", row_number().over(wS))
-      .filter(col("rn") <= shortlist)
-      .select(col("probe_id"), col("id"))
-      .collect()
+      .withColumn("qdist", qdistCol.cast("double"))
+    val short =
+      if (windowed) {
+        val wS = org.apache.spark.sql.expressions.Window
+          .partitionBy("probe_id").orderBy(asc("qdist"), asc("id"))
+        shortCand
+          .withColumn("rn", row_number().over(wS))
+          .filter(col("rn") <= shortlist)
+          .select(col("probe_id"), col("id"))
+          .collect()
+      } else
+        shortCand
+          .groupBy("probe_id")
+          .agg(graft.operators.GroupedTopK.topKRows(shortlist)(
+            col("qdist"), col("id"), lit(0)).as("tk"))
+          .select(col("probe_id"), explode(col("tk")).as("e"))
+          .select(col("probe_id"), col("e.id").as("id"))
+          .collect()
     val shortIds = short.map(_.getString(1)).distinct.toSeq
     val keep = spark.createDataFrame(
       short.map(r => (r.getLong(0), r.getString(1))).toSeq.distinct.sortBy(identity))
@@ -2222,17 +2295,135 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         col("doc_ct"),
         from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
       .localCheckpoint()
-    val wK = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
-    dec.join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
+    val rerankCand = dec
+      .join(broadcast(probeDf), array_contains(col("probe_cells"), col("cell")))
       // restrict the rerank to each probe's OWN shortlist (a row may sit
       // in another probe's cells without having made its shortlist)
       .join(broadcast(keep), Seq("probe_id", "id"), "left_semi")
       .withColumn("distance", VF.l2Sq(col("emb"), col("qe").cast("array<float>")))
-      .withColumn("rn", row_number().over(wK))
-      .filter(col("rn") <= k)
-      .select(col("probe_id"), col("id"), decryptStr(col("doc_ct")).as("doc"),
-        col("distance"), col("rn"))
+    if (windowed) {
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(asc("distance"), asc("id"))
+      rerankCand
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= k)
+        .select(col("probe_id"), col("id"), decryptStr(col("doc_ct")).as("doc"),
+          col("distance"), col("rn"))
+    } else
+      rerankCand
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(k)(
+          col("distance"), col("id"), col("doc_ct")).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("probe_id"), col("e.id").as("id"),
+          decryptStr(col("e.payload")).as("doc"),
+          col("e.score").as("distance"), (col("pos") + 1).cast("int").as("rn"))
+  }
+
+  /** [[queryIndexedBatchQuantized]] with the probes as a DATAFRAME — the
+    * encrypted twin of [[graft.store.IvfIndex.queryBatchDF]], for probe
+    * frames a driver panel cannot hold (an encrypted serving job at a
+    * corpus-FRACTION probe count): NOTHING probe-sized ever touches the
+    * driver, and DECRYPT STAYS BOUNDED — AES-GCM work, the encrypted
+    * twin's scale cost, is paid exactly twice and never per pair:
+    *
+    *  1. cell routing against the decrypted centroid sidecar (numCells
+    *     rows of key-holder metadata broadcast under the probe scan;
+    *     [[CellRoute.routeCells]] — the routing exchange ships ≤ depth × P
+    *     entries, per-probe cut map-side, duplicate probe_id refused);
+    *  2. phase 1 decrypts ONLY the compact codes_ct of the routed cells,
+    *     ONCE (materialized — the per-pair-recompute guard), scores each
+    *     row against its routed probes through the broadcast-or-salted
+    *     cell equi-join ([[CellRoute.routedJoin]] — no broadcast side
+    *     that grows with P, no key-collapse to numCells tasks), and cuts
+    *     per-probe shortlists through the bounded
+    *     [[graft.operators.GroupedTopK.topKRows]] aggregate (string-id
+    *     spine) — the exchange carries ≤ shortlist × P × tasks entries,
+    *     never the candidate volume;
+    *  3. phase 2 decrypts the full emb_ct ONLY for the DISTINCT shortlist
+    *     survivors (a distributed semi-join, not an In literal — bounded
+    *     by the answer, never the corpus), reranks exactly against each
+    *     probe's own shortlist, and cuts top-k through the same tail with
+    *     the doc CIPHERTEXT as payload — doc decryption is answer-bounded
+    *     and decrypted embeddings never transit shuffle files.
+    *
+    * With `shortlist` ≥ the routed cells' population, per-probe answers ≡
+    * [[queryIndexedBatch]]'s at equal depths (spec-pinned,
+    * EncryptedIndexSpec). `useDepth` opts in to a `depth` INTEGER column
+    * on `probes` as the per-probe policy ([[exactDepths]] routed through
+    * the frame — null → nprobe, clamped to [0, numCells], non-integral
+    * refused loudly). Key holders only; probe_id must be unique (refused
+    * loudly). Output (probe_id, id, doc, distance, rn). */
+  def queryIndexedBatchDF(name: String, probes: DataFrame, k: Int, nprobe: Int,
+                          shortlist: Int = 256,
+                          useDepth: Boolean = false): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val cents = centroidsOf(name)
+    require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
+    val numCells = cents.length
+    val routed = CellRoute.routeCells(spark, probes, cents, numCells,
+      nprobe, useDepth).persist()
+    try {
+      // the distinct routed cells are ≤ numCells — a driver-BOUNDED
+      // collect that turns back into a static partition-pruning filter
+      val unionCells = routed.select("cell").distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // phase 1 decrypt: codes_ct of the routed cells only, ONCE
+      val codes = liveRaw(name)
+        .filter(col("cell").isin(unionCells: _*))
+        .select(col("id"), col("cell").cast("long").as("cell"),
+          unbase64(decryptStr(col("codes_ct"))).as("codes"))
+        .localCheckpoint()
+      val (probeSide, qdistCol) = sq8StatsOf(name) match {
+        case Some((mn, mx)) =>
+          (routed.withColumn("qcodes", VF.sq8Encode(col("qe"), mn, mx)),
+            VF.sq8L2(col("codes"), col("qcodes")).cast("double"))
+        case None =>
+          // no per-probe LUT without a driver pass — the direct ADC kernel
+          // reconstructs lookups from the codebook tensor (the
+          // queryBatchQuantizedDF convention): O(dim) compute per pair but
+          // still only m decrypted code bytes read per row
+          val books = pqBooksOf(name).getOrElse(
+            sys.error(s"$name has no encrypted codes sidecar — storeIndexed() first"))
+          (routed, VF.pqAdcDirect(col("codes"), col("qe"),
+            graft.operators.ProductQuantizer.flatten(books), IvfIndex.PqK))
+      }
+      // the routing frame is persisted: its row count (≤ depth × P) is a
+      // cached-scan job, and it picks the broadcast-vs-salted join route
+      val routedRows = routed.count()
+      val shortPairs = CellRoute.routedJoin(codes, probeSide, routedRows, numCells)
+        .withColumn("qdist", qdistCol)
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(shortlist)(
+          col("qdist"), col("id"), lit(0)).as("tk"))
+        .select(col("probe_id"), explode(col("tk")).as("e"))
+        .select(col("probe_id"), col("e.id").as("id"))
+        .persist()
+      // phase 2 decrypt: emb_ct of the DISTINCT shortlist survivors only
+      val dec = liveRaw(name)
+        .filter(col("cell").isin(unionCells: _*))
+        .join(shortPairs.select("id").distinct(), Seq("id"), "left_semi")
+        .select(col("id"), col("cell").cast("long").as("cell"), col("doc_ct"),
+          from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb"))
+        .localCheckpoint()
+      val out = CellRoute.routedJoin(dec, routed, routedRows, numCells)
+        // restrict the rerank to each probe's OWN shortlist (a row may sit
+        // in another probe's cells without having made its shortlist)
+        .join(shortPairs, Seq("probe_id", "id"), "left_semi")
+        .withColumn("distance", VF.l2Sq(col("emb"), col("qe")))
+        .groupBy("probe_id")
+        .agg(graft.operators.GroupedTopK.topKRows(k)(
+          col("distance"), col("id"), col("doc_ct")).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("probe_id"), col("e.id").as("id"),
+          decryptStr(col("e.payload")).as("doc"),
+          col("e.score").as("distance"), (col("pos") + 1).cast("int").as("rn"))
+      // materialize before releasing the shared frames (the caller gets a
+      // plan over the checkpointed bounded answer, not the freed caches)
+      val ck = out.localCheckpoint()
+      shortPairs.unpersist()
+      ck
+    } finally { routed.unpersist(): Unit }
   }
 
   /** Incremental encrypted append with duplicate-id rejection — the

@@ -256,6 +256,101 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     assert(qb == qLoop, "bounded-depth quantized batch must equal the per-probe quantized loop")
   }
 
+  test("queryIndexedBatchDF: an encrypted probe FRAME serves the Seq routes' exact answers — depth opt-in, salted join, bounded decrypt") {
+    val base = tmp("enc_batch_df")
+    val es = new EncryptedStore(spark, base, Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6)
+    val panel: Seq[(Long, Array[Float])] = Seq(7L, 31L, 113L, 250L).map(i => (i, probe(i.toInt)))
+    val depthOf = Map(7L -> 1, 113L -> 6)
+    val probesDf = spark.createDataFrame(panel.map { case (pid, qe) =>
+      (pid, qe.toSeq, depthOf.get(pid)) }).toDF("probe_id", "qe", "depth")
+    def batchRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))).toSeq
+    // full shortlist ≡ the raw encrypted batch at uniform and in-frame depths
+    for (np <- Seq(2, 6)) {
+      assert(batchRows(es.queryIndexedBatchDF("c", probesDf.drop("depth"),
+          k = 5, nprobe = np, shortlist = 300)) ==
+        batchRows(es.queryIndexedBatch("c", panel, k = 5, nprobe = np)),
+        s"nprobe=$np: the DF route at full shortlist must equal the raw batch")
+      assert(batchRows(es.queryIndexedBatchDF("c", probesDf, k = 5, nprobe = np,
+          shortlist = 300, useDepth = true)) ==
+        batchRows(es.queryIndexedBatch("c", panel, k = 5, nprobe = np,
+          depthOf = depthOf)),
+        s"nprobe=$np: the in-frame depth policy must serve the driver-map answers")
+    }
+    // bounded shortlist ≡ the quantized Seq route (same two-phase trade)
+    assert(batchRows(es.queryIndexedBatchDF("c", probesDf.drop("depth"),
+        k = 5, nprobe = 2, shortlist = 32)) ==
+      batchRows(es.queryIndexedBatchQuantized("c", panel, k = 5, nprobe = 2,
+        shortlist = 32)),
+      "bounded-shortlist DF route must equal the quantized Seq batch")
+    // the depth policy is an explicit opt-in: a stray depth column without
+    // useDepth must not change probing depth
+    assert(batchRows(es.queryIndexedBatchDF("c", probesDf, k = 5, nprobe = 2,
+        shortlist = 300)) ==
+      batchRows(es.queryIndexedBatch("c", panel, k = 5, nprobe = 2)),
+      "a depth column without useDepth must be ignored")
+    // the SALTED join route (probe frames past the broadcast limit) must
+    // serve identical answers
+    spark.conf.set(graft.operators.ProbeJoin.LimitKey, "1")
+    try {
+      assert(batchRows(es.queryIndexedBatchDF("c", probesDf, k = 5, nprobe = 6,
+          shortlist = 300, useDepth = true)) ==
+        batchRows(es.queryIndexedBatch("c", panel, k = 5, nprobe = 6,
+          depthOf = depthOf)),
+        "salted cell join must serve the broadcast route's exact answers")
+    } finally spark.conf.unset(graft.operators.ProbeJoin.LimitKey)
+    // an empty probe frame answers empty, never an NPE
+    assert(es.queryIndexedBatchDF("c", probesDf.filter(lit(false)), 5, 2).count() == 0)
+  }
+
+  test("encrypted batch serving shuffles answers, not decrypted candidates: bit-equal to the windowed twins, no Window in the serving plans") {
+    val base = tmp("enc_batch_tail")
+    val es = new EncryptedStore(spark, base, Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6)
+    val probes: Seq[(Long, Array[Float])] = Seq(7L, 31L, 113L, 250L).map(i => (i, probe(i.toInt)))
+    val depthOf = Map(7L -> 1, 113L -> 6)
+    def batchRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))).toSeq
+    // the r11 §8.3 measurement applied to the encrypted twins: the SAME
+    // candidate frames (shared impls), only the cut differs — serving must
+    // be bit-equal to the retained window formulations at every depth
+    // combination, including the per-probe depthOf policy (string-id tie
+    // order: TopKRows under the STRING spine ≡ the window's `order by id`)
+    for (np <- Seq(2, 6); d <- Seq(Map.empty[Long, Int], depthOf)) {
+      assert(batchRows(es.queryIndexedBatch("c", probes, k = 5, nprobe = np, depthOf = d)) ==
+        batchRows(es.queryIndexedBatchWindowed("c", probes, k = 5, nprobe = np, depthOf = d)),
+        s"nprobe=$np depthOf=$d: the raw encrypted tail must be bit-equal to its window oracle")
+      for (shortlist <- Seq(5, 32, 300)) {
+        assert(batchRows(es.queryIndexedBatchQuantized("c", probes, k = 5,
+            nprobe = np, shortlist = shortlist, depthOf = d)) ==
+          batchRows(es.queryIndexedBatchQuantizedWindowed("c", probes, k = 5,
+            nprobe = np, shortlist = shortlist, depthOf = d)),
+          s"nprobe=$np shortlist=$shortlist depthOf=$d: the quantized " +
+            "encrypted tail must be bit-equal to its window oracle")
+      }
+    }
+    // THE SHAPE CLAIM: both serving frames cut top-k through the bounded
+    // native aggregate whose exchange carries k × probes × tasks ANSWER
+    // rows with the doc CIPHERTEXT as payload — never a probe-keyed window
+    // over the full decrypted candidate volume (which on this twin ships
+    // DECRYPTED embeddings through shuffle files)
+    val rawPlan = es.queryIndexedBatch("c", probes, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!rawPlan.contains("Window") && rawPlan.contains("top_k_rows"),
+      s"encrypted batch serving must not window decrypted candidates:\n$rawPlan")
+    val quantPlan = es.queryIndexedBatchQuantized("c", probes, k = 5,
+      nprobe = 2, shortlist = 32).queryExecution.executedPlan.toString
+    assert(!quantPlan.contains("Window") && quantPlan.contains("top_k_rows"),
+      s"encrypted quantized batch serving must not window the rerank:\n$quantPlan")
+    val oraclePlan = es.queryIndexedBatchWindowed("c", probes, k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(oraclePlan.contains("Window"),
+      "the retained oracle IS the window formulation")
+  }
+
   test("streaming encrypted ingest: stream == batch (decrypted), replay-idempotent, fenced, tombstoned") {
     import graft.functions.{TextFunctions => TF}
     def docRows(r: Range) = r.map(i =>
