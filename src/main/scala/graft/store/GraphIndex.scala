@@ -495,6 +495,117 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     out.toDF("probe_id", "id", "dist", "rn")
   }
 
+  /** [[queryBatch]] with the probes as a DATAFRAME and the walk state as
+    * FRAMES — the graph twin of [[IvfIndex.queryBatchDF]], for panels a
+    * driver cannot hold: [[queryBatch]] keeps per-probe `visited` HashMaps
+    * on the driver and collects scored pairs every hop (O(panel × visited)
+    * driver memory — fine at calibration panels, driver-bound at a
+    * training-pipeline panel), while here NOTHING per-probe ever
+    * materializes on the driver. Per hop:
+    *
+    *  1. the per-probe beam is a map-side-bounded
+    *     [[graft.operators.GroupedTopK]] cut of the visited frame (≤ beam
+    *     × P entries through the exchange — never the visited volume);
+    *  2. expansion is ONE equi-join of the beam against the persisted
+    *     resolved edge frame (the corpus-side scan is paid once per hop
+    *     for the WHOLE panel — the [[queryBatch]] amortization, without
+    *     its per-hop driver collect), deduped and anti-joined against
+    *     visited;
+    *  3. fresh nodes score through one equi-join against the live
+    *     vectors, and the visited frame grows by a localCheckpoint'd
+    *     union (lineage stays hop-bounded).
+    *
+    * The walk schedule is the SAME definition the driver walk runs (entry
+    * admission, (dist, id) beam selection, frontier-empty early stop), so
+    * per-probe answers ≡ [[queryBatch]] ≡ [[query]] (spec-pinned,
+    * GraphIndexSpec). `useBeam` opts in to a `beam` INTEGER column on
+    * `probes` as the per-probe width policy ([[exactBeams]] /
+    * [[beamPolicy]] routed through the frame — null → `beamWidth`;
+    * non-integral refused loudly; the [[IvfIndex.queryBatchDF]] `depth`
+    * discipline). probe_id must be unique (refused loudly). Driver state:
+    * hop counters and one boolean per hop — never probe-sized. */
+  def queryBatchDF(probes: DataFrame, topK: Int, beamWidth: Int, hops: Int,
+                   entries: Seq[Long] = Seq.empty,
+                   where: Option[Column] = None,
+                   useBeam: Boolean = false): DataFrame = {
+    import graft.operators.GroupedTopK
+    val starts = (if (entries.nonEmpty) entries else defaultEntries()).distinct.sorted
+    if (useBeam) {
+      require(probes.columns.contains("beam"),
+        "useBeam = true needs an integer `beam` column on the probe frame")
+      val dt = probes.schema("beam").dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(dt),
+        s"the `beam` policy column must be integral, got $dt — a cast-nulled " +
+          "width would silently fall back to the uniform beam and change recall")
+    }
+    val beamCol =
+      if (useBeam)
+        greatest(coalesce(col("beam").cast("long"), lit(beamWidth.toLong)), lit(1L))
+          .cast("int")
+      else lit(math.max(1, beamWidth))
+    val p = probes.select(col("probe_id"),
+      col("qe").cast("array<float>").as("qe"), beamCol.as("pbeam")).persist()
+    val g = graph.select(col("src"), col("dst")).persist()
+    val ve = vectors.select(col("id"), col("emb")).persist()
+    try {
+      // ONE bounded aggregation: the beam aggregate's constant k plus the
+      // duplicate-probe guard (the CellRoute.routeCells discipline)
+      val stat = p.agg(max(col("pbeam")).as("mx"), count(lit(1)).as("n"),
+        count_distinct(col("probe_id")).as("nd")).head()
+      require(stat.getLong(1) == stat.getLong(2),
+        s"probe frame has duplicate probe_id rows (${stat.getLong(1)} rows, " +
+          s"${stat.getLong(2)} distinct ids) — per-probe walk state would merge")
+      val maxBeam = if (stat.isNullAt(0)) 1 else math.max(1, stat.getInt(0))
+      import spark.implicits._
+      val entriesDf = starts.toDF("id")
+      // hop 0: every probe admits the live entry points (ids without a
+      // live vector drop — the driver walk's `has` guard)
+      var visited = p.select("probe_id", "qe").crossJoin(broadcast(entriesDf))
+        .join(ve, Seq("id"))
+        .select(col("probe_id"), col("id"),
+          VF.l2Sq(col("emb"), col("qe")).as("dist"))
+        .localCheckpoint()
+      var hop = 0
+      var open = true
+      while (hop < hops && open) {
+        val beam = visited
+          .groupBy("probe_id")
+          .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
+          .join(p.select("probe_id", "pbeam"), Seq("probe_id"))
+          .select(col("probe_id"), col("pbeam"),
+            posexplode(col("b")).as(Seq("pos", "sc")))
+          .filter(col("pos") < col("pbeam"))
+          .select(col("probe_id"), col("sc.id").as("src"))
+        val scored = beam.join(g, Seq("src"))
+          .select(col("probe_id"), col("dst").as("id")).distinct()
+          .join(visited.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti")
+          .join(ve, Seq("id"))
+          .join(p.select("probe_id", "qe"), Seq("probe_id"))
+          .select(col("probe_id"), col("id"),
+            VF.l2Sq(col("emb"), col("qe")).as("dist"))
+          .localCheckpoint()
+        open = !scored.isEmpty
+        if (open) visited = visited.unionByName(scored).localCheckpoint()
+        hop += 1
+      }
+      // eligibility restricts the ANSWER SET of the unfiltered walk's
+      // visited pool (the [[query]]/`eligible` convention), pushed to the
+      // vector scan as a semi-join instead of a driver-side id set
+      val pool = where.fold(visited)(pred =>
+        visited.join(vectors.filter(pred).select("id"), Seq("id"), "left_semi"))
+      pool
+        .groupBy("probe_id")
+        .agg(GroupedTopK.topK(topK)(col("dist"), col("id")).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+        .select(col("probe_id"), col("sc.id").as("id"),
+          col("sc.score").as("dist"), (col("pos") + 1).cast("int").as("rn"))
+        .localCheckpoint()
+    } finally Seq(p, g, ve).foreach(_.unpersist(): Unit)
+  }
+
   // ------------------------------------------------------- hot serving
 
   /** JVM-resident serving state: the RESOLVED adjacency, the live
@@ -1188,6 +1299,115 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     }
     panel.map { case (pid, _) => pid -> assigned(pid) }.toMap
   }
+
+  // ------------------------------------ persisted per-probe beam policy
+
+  private def beamsPath = s"$path/_beams"
+
+  /** Panel identity for the policy sidecar — the
+    * [[IvfIndex.persistDepthPolicy]] fingerprint discipline, widened to
+    * the knobs a beam policy is ALSO a statement about: (k, hops, the
+    * ladder) plus a per-probe hash of (pid, embedding float bits),
+    * order-independent. Beams measured at other hops, another ladder, or
+    * for other probes guarantee nothing. */
+  private def beamPanelFp(panel: Seq[(Long, Array[Float])], k: Int,
+                          ladder: Seq[Int], hops: Int): Long = {
+    val knobs = ladder.distinct.sorted
+      .foldLeft(k.toLong * 1000003L + hops)((a, b) => a * 31L + b)
+    panel.map { case (pid, pe) =>
+      pid * 1000003L + java.util.Arrays.hashCode(pe).toLong
+    }.sorted.foldLeft(knobs)((acc, h) => acc * 6364136223846793005L + h)
+  }
+
+  /** Calibrate [[exactBeams]] for a STANDING probe panel and persist the
+    * map as a `_beams` sidecar beside the graph — the graph twin of
+    * [[IvfIndex.persistDepthPolicy]], turning the index into a REOPENABLE
+    * serving artifact: a server process reopening the path serves the
+    * panel at the committed per-probe widths with zero calibration jobs.
+    * The sidecar records the panel+knob fingerprint AND the publish
+    * fingerprint ([[hotKey]] — epochs, tombstones, the replay fence,
+    * sidecar mtimes), so [[beamPolicy]] can FENCE staleness: every
+    * [[insert]]/[[deleteBatch]]/[[compact]]/[[build]] commit sweeps the
+    * policy stale (beam widths measured on the old graph carry no recall
+    * evidence on the new one — the honesty caveat is sharper here than on
+    * IVF, where depths are PROVABLY exact; beams are measured-minimal).
+    * `precomputed` lets a caller that just ran [[exactBeams]] persist
+    * without a second calibration pass — it MUST be that exact panel's
+    * fresh result. */
+  def persistBeamPolicy(panel: Seq[(Long, Array[Float])], k: Int,
+                        ladder: Seq[Int] = Seq(2, 4, 8, 16, 32), hops: Int = 6,
+                        precomputed: Option[Map[Long, Int]] = None): Map[Long, Int] =
+    WriterLease.withLease(path, "GraphIndex.persistBeamPolicy") {
+      val beams = precomputed.getOrElse(exactBeams(panel, k, ladder, hops))
+      require(panel.map(_._1).toSet == beams.keySet,
+        "precomputed beams must cover exactly the panel's probe ids")
+      val rows = spark.createDataFrame(beams.toSeq).toDF("pid", "beam")
+      val meta = spark.createDataFrame(
+          Seq((beamPanelFp(panel, k, ladder, hops), hotKey())))
+        .toDF("panel_fp", "data_fp")
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"${beamsPath}__stage", beamsPath, st => {
+          rows.coalesce(1).write.mode("overwrite").parquet(s"$st/rows")
+          meta.coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+        })), marker)
+      beams
+    }
+
+  /** Freshness of the committed beam policy for (panel, k, ladder, hops):
+    * [[IvfIndex.PolicyAbsent]] when none exists (or one exists for a
+    * DIFFERENT panel or knob set), [[IvfIndex.PolicyFresh]] while the
+    * publish fingerprint still matches, [[IvfIndex.PolicyStale]] after
+    * any graph-changing commit. Driver-side file metadata + one tiny
+    * parquet read — no corpus jobs. */
+  def beamPolicyStatus(panel: Seq[(Long, Array[Float])], k: Int,
+                       ladder: Seq[Int] = Seq(2, 4, 8, 16, 32),
+                       hops: Int = 6): IvfIndex.PolicyStatus = {
+    if (!new java.io.File(s"$beamsPath/meta/_SUCCESS").exists())
+      return IvfIndex.PolicyAbsent
+    val m = spark.read.parquet(s"$beamsPath/meta").head()
+    if (m.getLong(0) != beamPanelFp(panel, k, ladder, hops)) IvfIndex.PolicyAbsent
+    else if (m.getString(1) == hotKey()) IvfIndex.PolicyFresh
+    else IvfIndex.PolicyStale
+  }
+
+  /** The committed per-probe beam widths for (panel, k, ladder, hops) —
+    * REFUSES (fail-loud) unless the policy is [[IvfIndex.PolicyFresh]]:
+    * serving at beams measured on a graph that has since changed silently
+    * drops the measured-recall evidence, the failure the fence exists to
+    * prevent. Callers that prefer self-healing use
+    * [[beamPolicyOrRecalibrate]]. */
+  def beamPolicy(panel: Seq[(Long, Array[Float])], k: Int,
+                 ladder: Seq[Int] = Seq(2, 4, 8, 16, 32),
+                 hops: Int = 6): Map[Long, Int] =
+    beamPolicyStatus(panel, k, ladder, hops) match {
+      case IvfIndex.PolicyFresh =>
+        spark.read.parquet(s"$beamsPath/rows")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      case IvfIndex.PolicyStale => sys.error(
+        s"beam policy at $beamsPath is STALE — the graph changed since " +
+          "calibration (insert/delete/compact/build), so the stored widths " +
+          "carry no recall evidence; persistBeamPolicy() again or route " +
+          "through beamPolicyOrRecalibrate()")
+      case IvfIndex.PolicyAbsent => sys.error(
+        s"no committed beam policy for this panel/knobs under $beamsPath " +
+          "— persistBeamPolicy() first")
+    }
+
+  /** [[beamPolicy]] with LOUD self-healing: a fresh policy reads straight
+    * from the sidecar (zero calibration jobs — the reopen path); an
+    * absent or stale one re-runs [[exactBeams]] and re-persists, logging
+    * the recalibration so drift is never silent. */
+  def beamPolicyOrRecalibrate(panel: Seq[(Long, Array[Float])], k: Int,
+                              ladder: Seq[Int] = Seq(2, 4, 8, 16, 32),
+                              hops: Int = 6): Map[Long, Int] =
+    beamPolicyStatus(panel, k, ladder, hops) match {
+      case IvfIndex.PolicyFresh => beamPolicy(panel, k, ladder, hops)
+      case status =>
+        System.err.println(s"[graft] GraphIndex at $path: beam policy " +
+          s"$status for k=$k panel — recalibrating ${panel.length} probes " +
+          "and re-persisting")
+        persistBeamPolicy(panel, k, ladder, hops)
+    }
 
   /** [[hotServe]] over a probe batch (the `Collection.queryBatch` hot
     * path): one state check, rows tagged by query index. */

@@ -90,6 +90,102 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("queryBatchDF: the frontier-as-frames walk equals the driver walk probe for probe — beam column opt-in, where, guards") {
+    val probes = Seq(10L, 20L, 30L, 40L).map { pid =>
+      (pid + 7000L) -> all.filter(col("id") === pid).head().getSeq[Float](1).toArray
+    }
+    val beamOf = Map(probes(0)._1 -> 2, probes(2)._1 -> 8)
+    val probesDf = spark.createDataFrame(probes.map { case (pid, qe) =>
+      (pid, qe.toSeq, beamOf.get(pid)) }).toDF("probe_id", "qe", "beam")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sortBy(t => (t._1, t._4))
+    for (bw <- Seq(2, 4); hops <- Seq(1, 4)) {
+      assert(rows(sharedIdx.queryBatchDF(probesDf, topK = 5, beamWidth = bw,
+          hops = hops, useBeam = true)) ==
+        rows(sharedIdx.queryBatch(probes, topK = 5, beamWidth = bw,
+          hops = hops, beamOf = beamOf)),
+        s"bw=$bw hops=$hops: the frame walk must serve the driver walk's " +
+          "exact answers at the frame's own beam column")
+    }
+    // beam policy is an explicit opt-in: a stray beam column is ignored
+    assert(rows(sharedIdx.queryBatchDF(probesDf, 5, 4, hops = 4)) ==
+      rows(sharedIdx.queryBatch(probes, 5, 4, hops = 4)),
+      "a beam column without useBeam must not change walk widths")
+    // where restricts the ANSWER SET identically on both walks
+    val pred = col("id") % 2 === 0
+    assert(rows(sharedIdx.queryBatchDF(probesDf, 5, 4, hops = 4,
+        where = Some(pred), useBeam = true)) ==
+      rows(sharedIdx.queryBatch(probes, 5, 4, hops = 4,
+        where = Some(pred), beamOf = beamOf)))
+    // guards: non-integral beam column and duplicate probe ids refuse loudly
+    val eBeam = intercept[IllegalArgumentException](
+      sharedIdx.queryBatchDF(probesDf.withColumn("beam", lit("wide")), 5, 4,
+        hops = 2, useBeam = true).count())
+    assert(eBeam.getMessage.contains("integral"))
+    val eDup = intercept[IllegalArgumentException](
+      sharedIdx.queryBatchDF(probesDf.unionByName(probesDf.limit(1)), 5, 4,
+        hops = 2).count())
+    assert(eDup.getMessage.contains("duplicate probe_id"))
+    // an empty probe frame answers empty, never an NPE
+    assert(sharedIdx.queryBatchDF(probesDf.filter(lit(false)), 5, 4, hops = 2)
+      .count() == 0)
+  }
+
+  test("beam policy sidecar: reopen serves the committed widths with zero calibration; any graph commit sweeps it stale; self-healing is loud") {
+    val base = java.nio.file.Files.createTempDirectory("graft_gidx_bp").toString
+    val small = all.filter(col("id") <= 350).persist()
+    val idx = new GraphIndex(spark, base, 10,
+      Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 8)
+    idx.build(small, refineRounds = 2)
+    val k = 3
+    val ladder = Seq(2, 4, 8, 16, 32)
+    val panel = Seq(10L, 25L, 40L).map { pid =>
+      (pid + 9000L, small.filter(col("id") === pid).head().getSeq[Float](1).toArray)
+    }
+    assert(idx.beamPolicyStatus(panel, k, ladder, hops = 8) ==
+      graft.store.IvfIndex.PolicyAbsent)
+    intercept[RuntimeException](idx.beamPolicy(panel, k, ladder, hops = 8))
+    val persisted = idx.persistBeamPolicy(panel, k, ladder, hops = 8)
+    assert(persisted == idx.exactBeams(panel, k, ladder, hops = 8),
+      "the persisted policy IS exactBeams' measurement")
+    // a REOPENED handle (a fresh server process) reads the committed map
+    // through the fence — no calibration jobs
+    val idx2 = new GraphIndex(spark, base, 10,
+      Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 8)
+    assert(idx2.beamPolicyStatus(panel, k, ladder, hops = 8) ==
+      graft.store.IvfIndex.PolicyFresh)
+    assert(idx2.beamPolicy(panel, k, ladder, hops = 8) == persisted)
+    // a DIFFERENT panel / knob set is not this policy at all
+    assert(idx2.beamPolicyStatus(panel.take(2), k, ladder, hops = 8) ==
+      graft.store.IvfIndex.PolicyAbsent)
+    assert(idx2.beamPolicyStatus(panel, k, ladder, hops = 6) ==
+      graft.store.IvfIndex.PolicyAbsent)
+    // ANY graph-changing commit sweeps the policy stale — widths measured
+    // on the old graph carry no recall evidence on the new one
+    idx2.insert(all.filter(col("id") > 350 && col("id") <= 360))
+    assert(idx2.beamPolicyStatus(panel, k, ladder, hops = 8) ==
+      graft.store.IvfIndex.PolicyStale)
+    val eStale = intercept[RuntimeException](idx2.beamPolicy(panel, k, ladder, hops = 8))
+    assert(eStale.getMessage.contains("STALE"))
+    // self-healing recalibrates ON THE CURRENT GRAPH and re-persists
+    val healed = idx2.beamPolicyOrRecalibrate(panel, k, ladder, hops = 8)
+    assert(healed == idx2.exactBeams(panel, k, ladder, hops = 8))
+    assert(idx2.beamPolicyStatus(panel, k, ladder, hops = 8) ==
+      graft.store.IvfIndex.PolicyFresh)
+    // the healed policy serves: batched answers at the committed widths
+    // equal each probe's solo walk at ITS width
+    val cold = idx2.queryBatch(panel, k, beamWidth = 2, hops = 8, beamOf = healed)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    panel.foreach { case (pid, pe) =>
+      val solo = idx2.query(pe, k, beamWidth = healed(pid), hops = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(cold.filter(_._1 == pid).map(t => (t._2, t._3)) == solo)
+    }
+    small.unpersist(): Unit
+  }
+
   test("per-probe beam policy: exactBeams serves each assigned probe's exact top-k; hot == cold at per-probe widths") {
     // the beam-calibration fixture shape (small, denser-relative graph):
     // on the FULL sf001 corpus a K=4 graph legitimately tops out below
