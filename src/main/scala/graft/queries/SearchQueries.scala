@@ -256,10 +256,12 @@ object SearchQueries {
     // the exclusion invariant's PRECONDITION, checked loudly at build
     // (the "≥ RagChunkK real chunks" clause above): with fewer indexed
     // chunks than the answer size, the exact arm's cosine top-k reaches
-    // the −1.0 sentinel rows the index excludes
-    val indexed = idx.stats().liveRows
-    require(indexed >= RagChunkK,
-      s"RAG chunk index holds $indexed nonzero-norm chunks < RagChunkK=$RagChunkK — " +
+    // the −1.0 sentinel rows the index excludes. liveAtLeast
+    // short-circuits after RagChunkK rows — the comparison is against a
+    // small constant, so a stats() full count would be two corpus-scale
+    // jobs for a 30-row question
+    require(idx.liveAtLeast(RagChunkK),
+      s"RAG chunk index holds fewer than RagChunkK=$RagChunkK nonzero-norm chunks — " +
         "the zero-norm exclusion invariant no longer guarantees indexed == exact on this corpus")
     idx
   }
@@ -328,10 +330,11 @@ object SearchQueries {
     // the exclusion invariant's PRECONDITION, checked loudly at build:
     // the exact arm ranks zero-norm docs too (at the −1.0 sentinel), so
     // routed ≡ exact only holds while the cosine top-ShortlistK cannot
-    // reach the sentinel — i.e. ≥ ShortlistK indexed (nonzero-norm) docs
-    val indexed = vidx.stats().liveRows
-    require(indexed >= ShortlistK,
-      s"hybrid embedding index holds $indexed nonzero-norm docs < ShortlistK=$ShortlistK — " +
+    // reach the sentinel — i.e. ≥ ShortlistK indexed (nonzero-norm) docs.
+    // liveAtLeast short-circuits after ShortlistK rows (the constant-
+    // comparison guard must not cost two corpus-scale count jobs)
+    require(vidx.liveAtLeast(ShortlistK),
+      s"hybrid embedding index holds fewer than ShortlistK=$ShortlistK nonzero-norm docs — " +
         "the zero-norm exclusion invariant no longer guarantees routed == exact on this corpus")
     (tidx, vidx)
   }
@@ -346,8 +349,9 @@ object SearchQueries {
     * fusion inputs are exactly the persisted arms' answers. */
   private[graft] def hybridServeIndexed(s: SparkSession,
       tidx: graft.store.TextIndex, vidx: graft.store.IvfIndex,
-      qe: Array[Float], depths: Map[Long, Int]): org.apache.spark.sql.DataFrame = {
-    val kw = tidx.queryRanked(QueryTerms, ShortlistK)
+      qe: Array[Float], depths: Map[Long, Int],
+      terms: Seq[String] = QueryTerms): org.apache.spark.sql.DataFrame = {
+    val kw = tidx.queryRanked(terms, ShortlistK)
       .select(col("doc_id"), col("rank").as("rank_kw"))
     val kk = ShortlistK + RagCosMargin
     val wS = Window.orderBy(desc("cos"), asc("doc_id"))
@@ -384,6 +388,62 @@ object SearchQueries {
     // in-query build exercises the reopenable-artifact path
     vidx.persistDepthPolicy(Seq(0L -> qe), ShortlistK + RagCosMargin)
     vidx.depthPolicy(Seq(0L -> qe), ShortlistK + RagCosMargin)
+  }
+
+  /** [[hybridCalibrate]] for a standing PANEL: per-probe exact depths
+    * persisted as the `_depths` sidecar and read back through the fence
+    * — one policy artifact serves the whole panel across reopens. */
+  private[graft] def hybridCalibrateBatch(vidx: graft.store.IvfIndex,
+      panel: Seq[(Long, Seq[String], Array[Float])]): Map[Long, Int] = {
+    val probes = panel.map(p => (p._1, p._3))
+    vidx.persistDepthPolicy(probes, ShortlistK + RagCosMargin)
+    vidx.depthPolicy(probes, ShortlistK + RagCosMargin)
+  }
+
+  /** BATCHED hybrid serving — [[hybridServeIndexed]] for a PANEL of
+    * standing hybrid queries (probe_id, terms, embedding), the serving
+    * shape a fleet of standing alerts/routes runs: the keyword arm is ONE
+    * bucket+term-pruned postings pass over the union of every probe's
+    * terms ([[graft.store.TextIndex.queryRankedBatch]] — per-probe ranks
+    * cut map-side, integer-exact), the sem arm ONE cell-pruned
+    * multi-probe batch at per-probe persisted depths
+    * ([[graft.store.IvfIndex.queryBatch]] — the answers-not-candidates
+    * tail) with the bounded cosine re-rank, and RRF fuses per probe.
+    * Every probe-keyed window here runs over ALREADY-CUT answer rows
+    * (≤ ShortlistK+RagCosMargin per probe per arm), never candidates.
+    * Per-probe frames ≡ [[hybridServeIndexed]] at the same terms/depth
+    * (spec-pinned, HybridIndexedSpec). Output
+    * (probe_id, doc_id, rank_kw, rank_sem, rrf), top-10 per probe. */
+  private[graft] def hybridServeIndexedBatch(s: SparkSession,
+      tidx: graft.store.TextIndex, vidx: graft.store.IvfIndex,
+      panel: Seq[(Long, Seq[String], Array[Float])],
+      depths: Map[Long, Int]): org.apache.spark.sql.DataFrame = {
+    val kw = tidx.queryRankedBatch(panel.map(p => (p._1, p._2)), ShortlistK)
+      .select(col("probe_id"), col("doc_id"), col("rank").as("rank_kw"))
+    val kk = ShortlistK + RagCosMargin
+    val probeDf = broadcast(s.createDataFrame(
+      panel.map(p => (p._1, p._3.toSeq))).toDF("probe_id", "hqe"))
+    val wS = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("doc_id"))
+    val sem = vidx.queryBatch(panel.map(p => (p._1, p._3)), kk,
+        nprobe = vidx.numCells, include = Seq("emb"), depthOf = depths)
+      .join(probeDf, Seq("probe_id"))
+      .select(col("probe_id"), col("id").as("doc_id"),
+        VF.cosine(col("emb"), col("hqe")).as("cos"))
+      .withColumn("rank_sem", row_number().over(wS))
+      .filter(col("rank_sem") <= ShortlistK)
+      .select(col("probe_id"), col("doc_id"), col("rank_sem"))
+    val wF = Window.partitionBy("probe_id").orderBy(desc("rrf"), asc("doc_id"))
+    kw.join(sem, Seq("probe_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rank_kw").cast("double")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK.toDouble) + col("rank_sem").cast("double")), lit(0.0)))
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= 10)
+      .select(col("probe_id"), col("doc_id"),
+        coalesce(col("rank_kw"), lit(0)).as("rank_kw"),
+        coalesce(col("rank_sem"), lit(0)).as("rank_sem"),
+        round(col("rrf"), 6).as("rrf"))
+      .orderBy(asc("probe_id"), desc("rrf"), asc("doc_id"))
   }
 
   /** q_rag_indexed's PROBE phase: cell-pruned batched L2 shortlist

@@ -1060,6 +1060,52 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         col("rank"))
   }
 
+  /** [[queryRanked]] for a PANEL of standing term-sets — the keyword arm
+    * of batched hybrid serving (`hybridServeIndexedBatch`): Q probes
+    * share ONE bucket+term-pruned postings scan over the UNION of their
+    * terms (each posting row scores only for probes whose term set
+    * contains its term — a broadcast (probe, term) pair join, bounded by
+    * Σ terms), one corpus-stats/idf pass, and the per-probe top-k cut is
+    * the map-side-bounded [[graft.operators.GroupedTopK.topKRows]]
+    * aggregate over the quantized scores (`dl` rides as payload), so the
+    * exchange carries ≤ k × probes × tasks ANSWER rows — never the
+    * per-probe matching-doc volume. Ranks are INTEGER-exact positions in
+    * each probe's (sq desc, doc_id asc) total order, identical to
+    * [[queryRanked]] probe for probe (spec-pinned — idf, avgdl and the
+    * per-posting cq are per-term quantities, so the union scan changes
+    * nothing). Probe ids must be unique. Returns
+    * (probe_id, doc_id, dl, bm25q, rank) in per-probe rank order. */
+  def queryRankedBatch(panel: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    require(panel.nonEmpty, "queryRankedBatch needs at least one probe")
+    require(panel.map(_._1).distinct.length == panel.length,
+      "probe ids must be unique")
+    val unionTerms = panel.flatMap(_._2).distinct
+    val (n, avgdl, ts) = liveCorpusStats()
+    val idf = idfMapOf(unionTerms, n, ts)
+    val scored = ts match {
+      case None => prunedPostingsOf(unionTerms)
+      case Some(t) => prunedPostingsOf(unionTerms)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val pairs = spark.createDataFrame(
+      panel.flatMap { case (pid, terms) => terms.distinct.map(t => (pid, t)) })
+      .toDF("probe_id", "term")
+    // negated quantized score: GroupedTopK's ascending (score, id) order
+    // becomes each probe's exact (sq desc, doc_id asc) ranking order —
+    // sq is a bounded integer sum, exact in double
+    scored.withColumn("cq", cqColumn(idf, avgdl))
+      .join(broadcast(pairs), Seq("term"))
+      .groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq"))
+      .groupBy("probe_id")
+      .agg(graft.operators.GroupedTopK.topKRows(k)(
+        -col("sq").cast("double"), col("doc_id"), col("dl")).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e.id").as("doc_id"),
+        col("e.payload").as("dl"),
+        round(-col("e.score") / lit(Scale.toDouble), 4).as("bm25q"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Highlight OFFSETS for [[query]]'s top-k — the snippet stage of a
     * search UI, served from the index alone (the index stores no text;
     * offsets are what a UI fetches-and-marks with): for each ranked doc,

@@ -53,6 +53,45 @@ class HybridIndexedSpec extends AnyFunSuite with SparkTest {
       "ranks are the 1..k positions of the (sq desc, doc_id) order")
   }
 
+  test("batched hybrid serving: the panel surface equals per-probe hybridServeIndexed at its own terms and persisted depth") {
+    import graft.functions.{TextFunctions => TF}
+    val (tidx, vidx) = SearchQueries.hybridBuildIndexes(spark, sf0001)
+    def embOf(text: String): Array[Float] = {
+      import spark.implicits._
+      Seq(text).toDF("text")
+        .select(TF.hashEmbed(TF.tokens(col("text")), SearchQueries.EmbDim).as("e"))
+        .head().getSeq[Float](0).toArray
+    }
+    // three standing hybrid queries with DIFFERENT term sets — the panel
+    // a fleet of standing alerts runs
+    val panel = Seq(
+      101L -> Seq("vector", "merge", "window", "stream"),
+      102L -> Seq("stream", "shuffle", "encrypt"),
+      103L -> Seq("merge", "partition", "query")
+    ).map { case (pid, terms) => (pid, terms, embOf(terms.mkString(" "))) }
+    val depths = SearchQueries.hybridCalibrateBatch(vidx, panel)
+    assert(depths.keySet == panel.map(_._1).toSet)
+    val batch = SearchQueries.hybridServeIndexedBatch(spark, tidx, vidx, panel, depths)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toSeq
+    panel.foreach { case (pid, terms, qe) =>
+      val solo = SearchQueries.hybridServeIndexed(spark, tidx, vidx, qe,
+          Map(0L -> depths(pid)), terms)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSeq
+      val fromBatch = batch.filter(_._1 == pid).map(t => (t._2, t._3, t._4, t._5))
+      assert(fromBatch == solo,
+        s"probe $pid: batched fusion must equal the per-probe serve at its " +
+          s"own terms and persisted depth\nbatch: $fromBatch\nsolo:  $solo")
+    }
+    // one policy artifact serves the panel across a REOPEN with zero
+    // recalibration (the _depths sidecar carries the whole panel)
+    val reopened = new graft.store.IvfIndex(spark, vidx.path, vidx.numCells)
+    assert(reopened.depthPolicy(panel.map(p => (p._1, p._3)),
+      SearchQueries.ShortlistK + SearchQueries.RagCosMargin) == depths)
+  }
+
   test("build guard: a corpus with too few nonzero-norm docs refuses loudly") {
     // 17 real docs + 13 empty-text (zero-norm) docs: enough to seat the
     // 16 IVF centroids, but under ShortlistK=20 indexed docs — the exact
