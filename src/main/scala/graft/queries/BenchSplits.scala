@@ -104,7 +104,7 @@ object BenchSplits {
       val probesDf = s.createDataFrame(panel.map { case (pid, qe) =>
         (pid, qe.toSeq, depths(pid)) }).toDF("probe_id", "qe", "depth")
       val (_, tp) = timed(
-        idx.queryBatchDF(probesDf, k = 5, nprobe = 4)
+        idx.queryBatchDF(probesDf, k = 5, nprobe = 4, useDepth = true)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
     },
@@ -202,6 +202,25 @@ object BenchSplits {
       val (_, tp) = timed(
         Envelope.open(s, base, master2)
           .queryIndexed("vectors", qe, k = 5, nprobe = 8)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
+    "q_encrypt_search" -> { (s, dir) =>
+      // build = encrypt + train + cell-partitioned land; probe = the
+      // pruned decrypt search — the number that must stay ~flat (the
+      // r11 verdict's missing split: a drift inside the compound was
+      // unattributable between AES-GCM ingest and serving)
+      val base = graft.store.Scratch.dir("graft_encq_split")
+      val enc = new graft.store.EncryptedStore(s, base, StoreQueries.TestKey)
+      val rows = tbl(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          concat(lit("doc for vector "), col("vec_id")).as("doc"),
+          col("embedding").as("emb"))
+      val (_, tb) = timed(enc.storeIndexed(rows, "vectors", numCells = 8))
+      val qe = tbl(s, dir, "embeddings").filter(col("vec_id") === 17)
+        .head().getAs[Seq[Float]]("embedding").toArray
+      val (_, tp) = timed(
+        enc.queryIndexed("vectors", qe, k = 5, nprobe = 8)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },

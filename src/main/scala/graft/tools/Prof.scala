@@ -77,6 +77,7 @@ object Prof {
     case Some("r9") => r9(args.drop(1))
     case Some("r10") => r10(args.drop(1))
     case Some("r11") => r11(args.drop(1))
+    case Some("r12") => r12(args.drop(1))
     case Some("onnx") => onnx(args.drop(1))
     case Some("graphpq") => graphpq(args.drop(1))
     case Some("semperc") => semperc(args.drop(1))
@@ -139,7 +140,7 @@ object Prof {
     val probesDepthDf = s.createDataFrame(panel1024.map { case (pid, qe) =>
       (pid, qe.toSeq, depths(pid)) }).toDF("probe_id", "qe", "depth")
     time("paneldf_df_depths_1024", nTag)(
-      idx.queryBatchDF(probesDepthDf, k, cells)
+      idx.queryBatchDF(probesDepthDf, k, cells, useDepth = true)
         .write.format("noop").mode("overwrite").save())
     s.stop()
   }
@@ -279,6 +280,124 @@ object Prof {
     * the GroupedTopK tail ships ≤ k × probes × tasks answers), cold/warm
     * wall time of both, per-probe exactDepths at panel scale, and the
     * graph twin's per-probe-beam batched serving at a 256 panel. */
+  /** Round-12 surfaces at scale: (1) the encrypted DF-probe route
+    * (`EncryptedStore.queryIndexedBatchDF` — panel as a frame, decrypt
+    * bounded to routed-cell codes + shortlist-survivor embeddings) vs the
+    * Seq batch at its driver-panel ceiling, with the Seq windowed twin as
+    * the exchange baseline; (2) the graph frontier-as-frames walk
+    * (`GraphIndex.queryBatchDF`) at 256/1024-probe panels vs the
+    * driver-HashMap walk — the driver-state ceiling the frame walk
+    * removes; (3) batched hybrid serving at a 256-probe standing panel vs
+    * the per-probe loop. */
+  private def r12(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val n = e.count()
+    val nTag = s"(n=$n)"
+    val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // ---------------- encrypted DF-probe serving (verdict #2)
+    val cells = math.max(16, (n / 2048L).toInt)
+    val es = new graft.store.EncryptedStore(s,
+      graft.store.Scratch.dir("scale_r12_enc"), "0123456789abcdef")
+    val rows = vectors.select(col("id").cast("string").as("id"),
+      concat(lit("doc "), col("id")).as("doc"), col("emb"))
+    time(s"r12_enc_build_${cells}cells", nTag)(es.storeIndexed(rows, "c", numCells = cells))
+    val pool = vectors.orderBy(xxhash64(col("id")), col("id")).limit(4096)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1).toArray)).toSeq
+    val k = 10
+    val np = 4
+    val p256 = pool.take(256)
+    time("r12_enc_seq_agg_256", nTag)(noop(es.queryIndexedBatch("c", p256, k, np)))
+    time("r12_enc_seq_win_256", nTag)(noop(es.queryIndexedBatchWindowed("c", p256, k, np)))
+    for (p <- Seq(1024, 4096)) {
+      val probesDf = s.createDataFrame(
+        pool.take(p).map { case (pid, qe) => (pid, qe.toSeq) })
+        .toDF("probe_id", "qe").localCheckpoint()
+      time(s"r12_enc_df_cold_$p", nTag)(
+        noop(es.queryIndexedBatchDF("c", probesDf, k, np, shortlist = 64)))
+      time(s"r12_enc_df_warm_$p", nTag)(
+        noop(es.queryIndexedBatchDF("c", probesDf, k, np, shortlist = 64)))
+    }
+    // decrypt volume, stated: phase 1 decrypts the compact codes_ct of
+    // the routed cells only — each probe needs np/cells of the corpus,
+    // union-bounded by n rows ONCE (never once per probe) — and phase 2
+    // the full emb_ct of the DISTINCT shortlist survivors only
+    println(f"PROF r12_enc_decrypt codes_rows<=$n%d once " +
+      f"(${100.0 * np / cells}%.1f%%/probe, union-bounded) " +
+      s"emb_rows<=${math.min(n, 64L * 4096)} distinct survivors $nTag")
+
+    // ---------------- graph frontier-as-frames walk (verdict #4)
+    val gvectors = vectors.select(col("id"),
+      expr("transform(emb, (x, i) -> CASE WHEN i = CAST(id % 64 AS INT) " +
+        "THEN x + CAST(id % 997 AS FLOAT) * CAST(1e-4 AS FLOAT) " +
+        "ELSE x END)").as("emb"))
+    val gpool = gvectors.orderBy(xxhash64(col("id")), col("id")).limit(1024)
+      .collect().map(r => (r.getLong(0) + 1000000L, r.getSeq[Float](1).toArray)).toSeq
+    val bits = scaledBits(n)
+    val gidx = new GraphIndex(s, graft.store.Scratch.dir("scale_r12_g"), k = 8,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
+    time("r12_graph_build", nTag)(gidx.build(gvectors))
+    for (p <- Seq(256, 1024)) {
+      val panel = gpool.take(p)
+      time(s"r12_graph_driver_$p", nTag)(
+        noop(gidx.queryBatch(panel, 5, beamWidth = 4, hops = 6)))
+      val probesDf = s.createDataFrame(
+        panel.map { case (pid, qe) => (pid, qe.toSeq) })
+        .toDF("probe_id", "qe").localCheckpoint()
+      time(s"r12_graph_df_cold_$p", nTag)(
+        noop(gidx.queryBatchDF(probesDf, 5, beamWidth = 4, hops = 6)))
+      time(s"r12_graph_df_warm_$p", nTag)(
+        noop(gidx.queryBatchDF(probesDf, 5, beamWidth = 4, hops = 6)))
+    }
+
+    // ---------------- batched hybrid serving (verdict #5)
+    val sq = graft.queries.SearchQueries
+    val ndocs = s.read.parquet(s"$dir/documents.parquet").count()
+    val hTag = s"(docs=$ndocs)"
+    val (tidx, vidx) = {
+      val t0 = System.nanoTime()
+      val r = sq.hybridBuildIndexes(s, dir)
+      println(f"PROF r12_hyb_build              ${(System.nanoTime() - t0) / 1e9}%8.2f s $hTag")
+      r
+    }
+    // 256 standing hybrid queries over the corpus' own frequent terms —
+    // deterministic term picks, embedding = the terms' hash embedding
+    val vocab = s.read.parquet(s"$dir/documents.parquet")
+      .select(explode(TF.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(desc("count"), asc("tok"))
+      .limit(64).collect().map(_.getString(0)).toSeq
+    def embOf(text: String): Array[Float] = {
+      import s.implicits._
+      Seq(text).toDF("text")
+        .select(TF.hashEmbed(TF.tokens(col("text")), sq.EmbDim).as("e"))
+        .head().getSeq[Float](0).toArray
+    }
+    val hpanel = (0 until 256).map { i =>
+      val terms = Seq(vocab(i % 64), vocab((i * 7 + 1) % 64),
+        vocab((i * 13 + 2) % 64), vocab((i * 29 + 3) % 64)).distinct
+      (i.toLong + 1L, terms, embOf(terms.mkString(" ")))
+    }
+    val hdepths = time("r12_hyb_calibrate_256", hTag)(
+      sq.hybridCalibrateBatch(vidx, hpanel))
+    time("r12_hyb_batch_cold_256", hTag)(
+      noop(sq.hybridServeIndexedBatch(s, tidx, vidx, hpanel, hdepths)))
+    time("r12_hyb_batch_warm_256", hTag)(
+      noop(sq.hybridServeIndexedBatch(s, tidx, vidx, hpanel, hdepths)))
+    // the per-probe loop at 16 probes — the ceiling the batch removes
+    // (extrapolate ×16 for the 256-panel loop cost)
+    val loop16 = hpanel.take(16)
+    time("r12_hyb_loop_16", hTag)(
+      loop16.foreach { case (pid, terms, qe) =>
+        noop(sq.hybridServeIndexed(s, tidx, vidx, qe,
+          Map(0L -> hdepths(pid)), terms))
+      })
+    s.stop()
+  }
+
   private def r11(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale20")
     val s = session(32)
