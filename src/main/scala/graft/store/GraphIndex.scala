@@ -512,8 +512,9 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     *     its per-hop driver collect), deduped and anti-joined against
     *     visited;
     *  3. fresh nodes score through one equi-join against the live
-    *     vectors, and the visited frame grows by a localCheckpoint'd
-    *     union (lineage stays hop-bounded).
+    *     vectors, and the visited frame grows as a UNION of per-hop
+    *     localCheckpoint'd frames (each hop materializes only its own
+    *     fresh rows; lineage stays hop-bounded).
     *
     * The walk schedule is the SAME definition the driver walk runs (entry
     * admission, (dist, id) beam selection, frontier-empty early stop), so
@@ -588,7 +589,10 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
             VF.l2Sq(col("emb"), col("qe")).as("dist"))
           .localCheckpoint()
         open = !scored.isEmpty
-        if (open) visited = visited.unionByName(scored).localCheckpoint()
+        // visited stays a UNION of per-hop checkpointed frames — lineage
+        // is hop-bounded without re-materializing the whole visited set
+        // every hop (each hop pays one checkpoint: its own fresh rows)
+        if (open) visited = visited.unionByName(scored)
         hop += 1
       }
       // eligibility restricts the ANSWER SET of the unfiltered walk's

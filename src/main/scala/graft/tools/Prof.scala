@@ -78,6 +78,7 @@ object Prof {
     case Some("r10") => r10(args.drop(1))
     case Some("r11") => r11(args.drop(1))
     case Some("r12") => r12(args.drop(1))
+    case Some("trainday") => trainday(args.drop(1))
     case Some("onnx") => onnx(args.drop(1))
     case Some("graphpq") => graphpq(args.drop(1))
     case Some("semperc") => semperc(args.drop(1))
@@ -291,6 +292,10 @@ object Prof {
     * the per-probe loop. */
   private def r12(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/scale20")
+    // optional section selector (enc|graph|hyb) so each family fits a
+    // bounded wall-clock window at 100x
+    val section = args.drop(1).headOption.getOrElse("all")
+    def want(tag: String) = section == "all" || section == tag
     val s = session(32)
     val e = s.read.parquet(s"$dir/embeddings.parquet")
     val n = e.count()
@@ -300,6 +305,7 @@ object Prof {
       df.write.format("noop").mode("overwrite").save()
 
     // ---------------- encrypted DF-probe serving (verdict #2)
+    if (want("enc")) {
     val cells = math.max(16, (n / 2048L).toInt)
     val es = new graft.store.EncryptedStore(s,
       graft.store.Scratch.dir("scale_r12_enc"), "0123456789abcdef")
@@ -330,7 +336,9 @@ object Prof {
       f"(${100.0 * np / cells}%.1f%%/probe, union-bounded) " +
       s"emb_rows<=${math.min(n, 64L * 4096)} distinct survivors $nTag")
 
+    }
     // ---------------- graph frontier-as-frames walk (verdict #4)
+    if (want("graph")) {
     val gvectors = vectors.select(col("id"),
       expr("transform(emb, (x, i) -> CASE WHEN i = CAST(id % 64 AS INT) " +
         "THEN x + CAST(id % 997 AS FLOAT) * CAST(1e-4 AS FLOAT) " +
@@ -354,7 +362,9 @@ object Prof {
         noop(gidx.queryBatchDF(probesDf, 5, beamWidth = 4, hops = 6)))
     }
 
+    }
     // ---------------- batched hybrid serving (verdict #5)
+    if (want("hyb")) {
     val sq = graft.queries.SearchQueries
     val ndocs = s.read.parquet(s"$dir/documents.parquet").count()
     val hTag = s"(docs=$ndocs)"
@@ -370,17 +380,19 @@ object Prof {
       .select(explode(TF.tokens(col("text"))).as("tok"))
       .groupBy("tok").count().orderBy(desc("count"), asc("tok"))
       .limit(64).collect().map(_.getString(0)).toSeq
-    def embOf(text: String): Array[Float] = {
-      import s.implicits._
-      Seq(text).toDF("text")
-        .select(TF.hashEmbed(TF.tokens(col("text")), sq.EmbDim).as("e"))
-        .head().getSeq[Float](0).toArray
+    val v = vocab.length // synthetic stress text has a small vocabulary
+    val termSeqs = (0 until 256).map { i =>
+      (i.toLong + 1L, Seq(vocab(i % v), vocab((i * 7 + 1) % v),
+        vocab((i * 13 + 2) % v), vocab((i * 29 + 3) % v)).distinct)
     }
-    val hpanel = (0 until 256).map { i =>
-      val terms = Seq(vocab(i % 64), vocab((i * 7 + 1) % 64),
-        vocab((i * 13 + 2) % 64), vocab((i * 29 + 3) % 64)).distinct
-      (i.toLong + 1L, terms, embOf(terms.mkString(" ")))
-    }
+    // all 256 probe embeddings in ONE job (a per-probe embOf loop is 256
+    // driver-side jobs — panel construction would dwarf the measurement)
+    val embMap = s.createDataFrame(
+        termSeqs.map { case (pid, terms) => (pid, terms.mkString(" ")) })
+      .toDF("pid", "text")
+      .select(col("pid"), TF.hashEmbed(TF.tokens(col("text")), sq.EmbDim).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val hpanel = termSeqs.map { case (pid, terms) => (pid, terms, embMap(pid)) }
     val hdepths = time("r12_hyb_calibrate_256", hTag)(
       sq.hybridCalibrateBatch(vidx, hpanel))
     time("r12_hyb_batch_cold_256", hTag)(
@@ -395,6 +407,48 @@ object Prof {
         noop(sq.hybridServeIndexed(s, tidx, vidx, qe,
           Map(0L -> hdepths(pid)), terms))
       })
+    }
+    s.stop()
+  }
+
+  /** The composed "training-data day" ([[graft.streaming.TrainingDay]])
+    * at stress scale — per-stage wall clock for the streamed curation
+    * gate, the capped index build, the per-wave maintenance (chunk+embed+
+    * append + policy write-through), the close-of-day near-dup band gate
+    * + chunk tombstones + recalibration, and one policy-routed serve.
+    * Pass criteria 20× vs 100×: every stage ≤ ~linear in its own input
+    * (the gate and maintenance in the WAVE, the band gate in the corpus),
+    * and the serve stays ~flat (cell-pruned at per-probe depths). */
+  private def trainday(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val s = session(32)
+    val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val n = docs.count()
+    val nTag = s"(docs=$n)"
+    val sq = graft.queries.SearchQueries
+    // benchmark grams: every ~997th doc's 8-grams (an eval-suite-sized
+    // contamination set); three ingest waves by doc_id mod 3
+    val benchGrams = docs.filter(col("doc_id") % 997 === 0)
+      .select(explode(TF.shingleHashSet(TF.tokens(col("text")), 8)).as("g"))
+      .distinct().collect().map(_.getLong(0))
+    val waves = Seq(0, 1, 2).map(m => docs.filter(col("doc_id") % 3 === m))
+    val probes = sq.ragProbePanel(s)
+    val kk = sq.RagChunkK + sq.RagCosMargin
+    val cells = math.min(512L, math.max(16L, n / 2560L)).toInt
+    val (idx, _, report) = graft.streaming.TrainingDay.run(s, waves,
+      benchGrams, minQuality = 0.50, lateness = "10 minutes",
+      standingProbes = probes, standingK = kk,
+      numCells = cells, window = sq.RagWindow, stride = sq.RagStride,
+      dim = sq.EmbDim)
+    report.timings.foreach { case (tag, sec) =>
+      println(f"PROF trainday_$tag%-24s $sec%8.2f s $nTag")
+    }
+    println(s"PROF trainday_counts arrived=${report.arrived.mkString(",")} " +
+      s"accepted=${report.accepted.mkString(",")} " +
+      s"dropped=${report.nearDupDropped} chunks=${report.liveChunks} $nTag")
+    time("trainday_serve", nTag)(
+      sq.ragServePersisted(s, idx)
+        .write.format("noop").mode("overwrite").save())
     s.stop()
   }
 
