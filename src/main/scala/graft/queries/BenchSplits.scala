@@ -88,6 +88,24 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
     },
+    "q_hybrid_batch" -> { (s, dir) =>
+      // the panel twin of q_hybrid_indexed's split: build both persisted
+      // arms, calibrate the panel's depths once, then the fused panel
+      // probe — the number that must stay ~flat per probe
+      val ((tidx, vidx), tb) = timed(SearchQueries.hybridBuildIndexes(s, dir))
+      val embs = s.createDataFrame(
+          SearchQueries.HybridPanelTerms.map { case (pid, t) => (pid, t.mkString(" ")) })
+        .toDF("pid", "text")
+        .select(col("pid"), graft.functions.TextFunctions.hashEmbed(
+          graft.functions.TextFunctions.tokens(col("text")), SearchQueries.EmbDim).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val panel = SearchQueries.HybridPanelTerms.map { case (pid, t) => (pid, t, embs(pid)) }
+      val (depths, tc) = timed(SearchQueries.hybridCalibrateBatch(vidx, panel))
+      val (_, tp) = timed(
+        SearchQueries.hybridServeIndexedBatch(s, tidx, vidx, panel, depths)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
+    },
     "q_ann_batch_df" -> { (s, dir) =>
       // the registered query is build-dominated (in-query IVF build +
       // per-probe exact calibration before a 30-row serve); the split

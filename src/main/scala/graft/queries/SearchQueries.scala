@@ -375,12 +375,23 @@ object SearchQueries {
   }
 
   /** The standing hybrid probe (the query string's hash embedding). */
-  private[graft] def hybridProbe(s: SparkSession): Array[Float] = {
+  private[graft] def hybridProbe(s: SparkSession): Array[Float] =
+    hybridProbeOf(s, QueryTerms.mkString(" "))
+
+  private[graft] def hybridProbeOf(s: SparkSession, text: String): Array[Float] = {
     import s.implicits._
-    Seq(QueryTerms.mkString(" ")).toDF("text")
+    Seq(text).toDF("text")
       .select(TF.hashEmbed(TF.tokens(col("text")), EmbDim).as("e"))
       .head().getSeq[Float](0).toArray
   }
+
+  /** q_hybrid_batch's standing panel: three hybrid queries with DISTINCT
+    * term sets (probe 1 is q_hybrid_indexed's own query, so the batch
+    * surface provably reproduces the single-probe row inside a panel). */
+  private[graft] val HybridPanelTerms: Seq[(Long, Seq[String])] = Seq(
+    1L -> QueryTerms,
+    2L -> Seq("stream", "shuffle", "encrypt"),
+    3L -> Seq("merge", "partition", "query"))
 
   private[graft] def hybridCalibrate(vidx: graft.store.IvfIndex,
       qe: Array[Float]): Map[Long, Int] = {
@@ -1401,6 +1412,94 @@ object SearchQueries {
            |  FROM kw FULL OUTER JOIN sem ON kw.doc_id = sem.doc_id)
            |SELECT doc_id, rank_kw, rank_sem, round(rrf, 6) AS rrf
            |FROM fused ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin
+      }),
+
+    // BATCHED hybrid serving (r12): the standing PANEL surface — three
+    // hybrid queries with distinct term sets served in ONE union-term
+    // postings pass (per-probe integer-exact ranks cut map-side) + ONE
+    // multi-probe IVF batch at per-probe PERSISTED depths, RRF fused per
+    // probe. The oracle replays the q_hybrid_indexed recipe PER PROBE
+    // (shared tokenized corpus CTEs, per-probe idf/tf/rank/fusion blocks)
+    // from plaintext alone, so the hash gates the panel machinery —
+    // queryRankedBatch's one-pass ranks, queryBatch's answer-shuffled sem
+    // arm at the sidecar's depths, and the per-probe fusion — end to end.
+    Q(
+      "q_hybrid_batch",
+      "batched hybrid RRF: a standing panel served from persisted arms, one pass per arm",
+      (s, dir) => {
+        val (tidx, vidx) = hybridBuildIndexes(s, dir)
+        val embs = s.createDataFrame(
+            HybridPanelTerms.map { case (pid, terms) => (pid, terms.mkString(" ")) })
+          .toDF("pid", "text")
+          .select(col("pid"), TF.hashEmbed(TF.tokens(col("text")), EmbDim).as("e"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val panel = HybridPanelTerms.map { case (pid, terms) =>
+          (pid, terms, embs(pid)) }
+        hybridServeIndexedBatch(s, tidx, vidx, panel,
+          hybridCalibrateBatch(vidx, panel))
+      },
+      Some {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val perProbe = HybridPanelTerms.map { case (pid, terms) =>
+          val qText = terms.mkString(" ")
+          val idfCase = terms.map { t =>
+            val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+            val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+            s"WHEN term = '$t' THEN $idf"
+          }.mkString("CASE ", " ", " END")
+          val termList = terms.map(t => s"'$t'").mkString(", ")
+          val cos = OracleSql.cosine("e.emb", s"q$pid.qe")
+          s"""tfq$pid AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             |        FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+             |cq$pid AS (SELECT doc_id, dl,
+             |         CAST(round(($idfCase) *
+             |           ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+             |            (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+             |           * 1048576.0) AS BIGINT) AS c
+             |       FROM tfq$pid),
+             |sq$pid AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS sq
+             |       FROM cq$pid GROUP BY doc_id),
+             |kw$pid AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS rank_kw
+             |  FROM sq$pid ORDER BY sq DESC, doc_id LIMIT $ShortlistK),
+             |qt$pid AS (SELECT ${OracleText.tokenHashes(OracleText.tokens(s"'$qText'"))} AS th),
+             |qc$pid AS (SELECT ${cnt("th")} AS cnt FROM qt$pid),
+             |q$pid AS (SELECT $emb AS qe FROM qc$pid),
+             |sem$pid AS (
+             |  SELECT e.doc_id, row_number() OVER (ORDER BY $cos DESC, e.doc_id) AS rank_sem
+             |  FROM e CROSS JOIN q$pid ORDER BY $cos DESC, e.doc_id LIMIT $ShortlistK),
+             |fused$pid AS (
+             |  SELECT CAST($pid AS BIGINT) AS probe_id,
+             |         coalesce(kw$pid.doc_id, sem$pid.doc_id) AS doc_id,
+             |         coalesce(kw$pid.rank_kw, 0) AS rank_kw,
+             |         coalesce(sem$pid.rank_sem, 0) AS rank_sem,
+             |         coalesce(1.0 / ($RrfK.0 + CAST(kw$pid.rank_kw AS DOUBLE)), 0.0) +
+             |         coalesce(1.0 / ($RrfK.0 + CAST(sem$pid.rank_sem AS DOUBLE)), 0.0) AS rrf
+             |  FROM kw$pid FULL OUTER JOIN sem$pid ON kw$pid.doc_id = sem$pid.doc_id),
+             |top$pid AS (
+             |  SELECT probe_id, doc_id, rank_kw, rank_sem, round(rrf, 6) AS rrf
+             |  FROM fused$pid ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
+        }.mkString(",\n")
+        val unions = HybridPanelTerms
+          .map { case (pid, _) => s"SELECT * FROM top$pid" }
+          .mkString(" UNION ALL ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS MATERIALIZED (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |dt AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |dc AS MATERIALIZED (SELECT doc_id, ${cnt("th")} AS cnt FROM dt),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM dc),
+           |$perProbe
+           |$unions
+           |ORDER BY probe_id, rrf DESC, doc_id""".stripMargin
       }),
 
     // MMR diversity re-rank (Carbonell & Goldstein 1998) — the standard
