@@ -43,6 +43,25 @@ private[store] object StoreIO {
     walk(new java.io.File(root))
   }
 
+  /** Recursive LISTING fingerprint under `root` (names + mtimes + sizes,
+    * name-sorted) — the publish-identity walk of the hot tiers and the
+    * policy-sidecar fences: part filenames carry per-write UUIDs, so a
+    * same-mtime-tick republish can never alias the previous state (the
+    * exactness argument mtime-of-dir fingerprints lack). Driver-side
+    * metadata walk, no Spark job; empty string when absent. */
+  def treeFp(root: String): String = {
+    val b = new StringBuilder
+    def walk(x: java.io.File): Unit = {
+      b.append(x.getName).append(':').append(x.lastModified).append(':')
+        .append(if (x.isFile) x.length else -1L).append(';')
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty).sortBy(_.getName).foreach(walk)
+    }
+    val f = new java.io.File(root)
+    if (f.exists()) walk(f)
+    b.toString
+  }
+
   /** The hot-tier admission budget in bytes (default 1 GiB), read from
     * the JVM property `graft.hot.maxBytes`. The hot tiers pin a whole
     * index (Graph/IVF) or a growing term cache (Text) in JVM memory —

@@ -1829,6 +1829,118 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     }.toMap
   }
 
+  // ------------------------------ persisted per-probe depth policy
+
+  private def encDepthsPath(name: String) = s"$basePath/__enc_depths/$name"
+
+  /** Publish fingerprint of collection `name` — the
+    * [[graft.store.IvfIndex]] hot-tier discipline on the encrypted
+    * collection: a recursive LISTING walk (names + mtimes + sizes) over
+    * the data tree, the tombstones, the append fence, and every geometry
+    * sidecar, so any add/append/delete/compact/retrain — and a key
+    * rotation, which rewrites every file — flips it. Driver-side
+    * metadata, no Spark jobs. */
+  private def encContentFp(name: String): String =
+    Seq(path(name), tombstonePath(name), encCentroidPath(name),
+      encSq8Path(name), encPqPath(name), encRadiiPath(name))
+      .map(StoreIO.treeFp).mkString("|") + s"|${encAppendHwm(name)}"
+
+  /** [[graft.store.IvfIndex.panelFp]]'s convention on the encrypted twin:
+    * k plus a per-probe hash of (pid, embedding float bits),
+    * order-independent. */
+  private def encPanelFp(panel: Seq[(Long, Array[Float])], k: Int): Long =
+    panel.map { case (pid, pe) =>
+      pid * 1000003L + java.util.Arrays.hashCode(pe).toLong
+    }.sorted.foldLeft(k.toLong)((acc, h) => acc * 6364136223846793005L + h)
+
+  /** Calibrate [[exactDepths]] for a STANDING probe panel and persist the
+    * map as an ENCRYPTED `__enc_depths` sidecar —
+    * [[graft.store.IvfIndex.persistDepthPolicy]]'s twin on ciphertext,
+    * completing the reopenable-serving symmetry: a key-holding server
+    * reopening the store serves the panel at the committed per-probe
+    * depths with zero calibration (and zero corpus decrypt). The depth
+    * VALUES encrypt like every sidecar (a plaintext map would leak each
+    * probe's geometric difficulty); the meta row carries only hashes
+    * (panel fingerprint + the publish fingerprint the fence compares).
+    * Any content-changing commit — including [[rotateKey]], whose
+    * re-encryption makes the old ciphertext unreadable ANYWAY — flips
+    * the fence to stale, and the stale path never decrypts, so a policy
+    * persisted under a rotated-away key can refuse or re-persist but
+    * never crash mid-decrypt. `precomputed` must be this exact panel's
+    * fresh [[exactDepths]] result. */
+  def persistDepthPolicy(name: String, panel: Seq[(Long, Array[Float])], k: Int,
+                         probe0: Int = 4,
+                         precomputed: Option[Map[Long, Int]] = None): Map[Long, Int] =
+    withEncLease(name, "EncryptedStore.persistDepthPolicy") {
+      val depths = precomputed.getOrElse(exactDepths(name, panel, k, probe0))
+      require(panel.map(_._1).toSet == depths.keySet,
+        "precomputed depths must cover exactly the panel's probe ids")
+      val rows = spark.createDataFrame(
+          depths.toSeq.map { case (pid, d) => (pid, d.toString) })
+        .toDF("pid", "depth_j")
+        .select(col("pid"), encrypt(col("depth_j")).as("depth_ct"))
+      val meta = spark.createDataFrame(
+          Seq((k, encPanelFp(panel, k), encContentFp(name))))
+        .toDF("k", "panel_fp", "data_fp")
+      StoreIO.commitStaged(Seq(
+        StoreIO.Staged(s"${encDepthsPath(name)}__stage", encDepthsPath(name), st => {
+          rows.coalesce(1).write.mode("overwrite").parquet(s"$st/rows")
+          meta.coalesce(1).write.mode("overwrite").parquet(s"$st/meta")
+        })), encMarker(name))
+      depths
+    }
+
+  /** Freshness of the committed policy for (panel, k) — the
+    * [[graft.store.IvfIndex.depthPolicyStatus]] fence on ciphertext.
+    * Driver-side metadata plus one tiny parquet read; the ENCRYPTED rows
+    * are never touched here, so the check works under any key. */
+  def depthPolicyStatus(name: String, panel: Seq[(Long, Array[Float])],
+                        k: Int): IvfIndex.PolicyStatus = {
+    if (!new java.io.File(s"${encDepthsPath(name)}/meta/_SUCCESS").exists())
+      return IvfIndex.PolicyAbsent
+    val m = spark.read.parquet(s"${encDepthsPath(name)}/meta").head()
+    if (m.getInt(0) != k || m.getLong(1) != encPanelFp(panel, k)) IvfIndex.PolicyAbsent
+    else if (m.getString(2) == encContentFp(name)) IvfIndex.PolicyFresh
+    else IvfIndex.PolicyStale
+  }
+
+  /** The committed per-probe depths — REFUSES unless
+    * [[IvfIndex.PolicyFresh]] (serving at stale depths silently drops the
+    * exactness evidence; a stale-after-rotation policy must refuse BEFORE
+    * any decrypt is attempted). Key holders only (the depth values
+    * decrypt). */
+  def depthPolicy(name: String, panel: Seq[(Long, Array[Float])],
+                  k: Int): Map[Long, Int] =
+    depthPolicyStatus(name, panel, k) match {
+      case IvfIndex.PolicyFresh =>
+        spark.read.parquet(s"${encDepthsPath(name)}/rows")
+          .select(col("pid"), decryptStr(col("depth_ct")).cast("int").as("d"))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      case IvfIndex.PolicyStale => sys.error(
+        s"encrypted depth policy for $name is STALE — the collection " +
+          "changed since calibration (append/delete/compact/retrain/rotate), " +
+          "so the stored depths no longer guarantee exact serving; " +
+          "persistDepthPolicy() again or route through depthPolicyOrRecalibrate()")
+      case IvfIndex.PolicyAbsent => sys.error(
+        s"no committed encrypted depth policy for this panel at k=$k for " +
+          s"$name — persistDepthPolicy() first")
+    }
+
+  /** [[depthPolicy]] with LOUD self-healing — a fresh policy reads from
+    * the sidecar (|panel| decrypts, zero calibration jobs); an absent or
+    * stale one re-runs [[exactDepths]] on the CURRENT ciphertext and
+    * re-persists under THIS store's key. */
+  def depthPolicyOrRecalibrate(name: String, panel: Seq[(Long, Array[Float])],
+                               k: Int, probe0: Int = 4): Map[Long, Int] =
+    depthPolicyStatus(name, panel, k) match {
+      case IvfIndex.PolicyFresh => depthPolicy(name, panel, k)
+      case status =>
+        System.err.println(s"[graft] EncryptedStore collection $name: depth " +
+          s"policy $status for k=$k panel — recalibrating ${panel.length} " +
+          "probes and re-persisting")
+        persistDepthPolicy(name, panel, k, probe0)
+    }
+
   private def encPolicyPath(name: String) = s"$basePath/__enc_policy/$name"
 
   /** The persisted calibrated serving depth, if [[storeIndexed]] was

@@ -305,6 +305,56 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     assert(es.queryIndexedBatchDF("c", probesDf.filter(lit(false)), 5, 2).count() == 0)
   }
 
+  test("encrypted depth-policy sidecar: reopen serves committed depths with zero calibration; any commit and a key rotation fence it stale BEFORE decrypt; self-healing is loud") {
+    import graft.store.IvfIndex.{PolicyAbsent, PolicyFresh, PolicyStale}
+    val base = tmp("enc_depths")
+    val es = new EncryptedStore(spark, base, Key)
+    es.storeIndexed(rowsOf(1 to 300), "c", numCells = 6)
+    val panel: Seq[(Long, Array[Float])] = Seq(7L, 31L, 113L).map(i => (i, probe(i.toInt)))
+    val k = 5
+    assert(es.depthPolicyStatus("c", panel, k) == PolicyAbsent)
+    intercept[RuntimeException](es.depthPolicy("c", panel, k))
+    val persisted = es.persistDepthPolicy("c", panel, k)
+    assert(persisted == es.exactDepths("c", panel, k),
+      "the persisted policy IS exactDepths' measurement")
+    // a REOPENED handle (a fresh server process under the same key) reads
+    // the committed ENCRYPTED map through the fence — zero calibration
+    val es2 = new EncryptedStore(spark, base, Key)
+    assert(es2.depthPolicyStatus("c", panel, k) == PolicyFresh)
+    assert(es2.depthPolicy("c", panel, k) == persisted)
+    // serving at the committed per-probe depths == full-probe serving
+    // (each probe decrypts only its own provably-needed cells)
+    def batchRows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("probe_id", "rn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3), r.getInt(4))).toSeq
+    assert(batchRows(es2.queryIndexedBatch("c", panel, k, nprobe = 2, depthOf = persisted)) ==
+      batchRows(es2.queryIndexedBatch("c", panel, k, nprobe = 6)),
+      "committed depths must serve the full-probe answers")
+    // a different panel or k is not this policy at all
+    assert(es2.depthPolicyStatus("c", panel.take(2), k) == PolicyAbsent)
+    assert(es2.depthPolicyStatus("c", panel, k + 1) == PolicyAbsent)
+    // any content commit sweeps it stale; strict refuses, healing re-measures
+    val es0 = new EncryptedStore(spark, base, Key)
+    es0.appendIndexedBatch(rowsOf(301 to 320), "c", batchId = 0)
+    assert(es2.depthPolicyStatus("c", panel, k) == PolicyStale)
+    val eStale = intercept[RuntimeException](es2.depthPolicy("c", panel, k))
+    assert(eStale.getMessage.contains("STALE"))
+    val healed = es2.depthPolicyOrRecalibrate("c", panel, k)
+    assert(healed == es2.exactDepths("c", panel, k))
+    assert(es2.depthPolicyStatus("c", panel, k) == PolicyFresh)
+    // key rotation rewrites every file: the fence reads STALE from
+    // metadata alone — the old-key ciphertext is never decrypted — and
+    // the rotated store re-persists under ITS key; content is unchanged,
+    // so the re-measured depths equal the pre-rotation policy
+    val es3 = es2.rotateKey("c", "fedcba9876543210")
+    assert(es3.depthPolicyStatus("c", panel, k) == PolicyStale)
+    intercept[RuntimeException](es3.depthPolicy("c", panel, k))
+    val rotated = es3.depthPolicyOrRecalibrate("c", panel, k)
+    assert(rotated == healed, "rotation changes no content — depths must agree")
+    assert(es3.depthPolicyStatus("c", panel, k) == PolicyFresh)
+    assert(es3.depthPolicy("c", panel, k) == rotated)
+  }
+
   test("encrypted batch serving shuffles answers, not decrypted candidates: bit-equal to the windowed twins, no Window in the serving plans") {
     val base = tmp("enc_batch_tail")
     val es = new EncryptedStore(spark, base, Key)
