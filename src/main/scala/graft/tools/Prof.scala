@@ -317,6 +317,16 @@ object Prof {
     val k = 10
     val np = 4
     val p256 = pool.take(256)
+    // exchange volume + EXPOSURE: the windowed twin ranks (and therefore
+    // shuffles) every cell-pruned candidate WITH ITS DECRYPTED EMBEDDING;
+    // k=MaxValue keeps them all, so this count IS the row volume crossing
+    // that exchange, and candidates × dim × 4B is the plaintext embedding
+    // bytes written to shuffle files. The serving tail ships k × P answer
+    // rows whose payload is still ciphertext — plaintext-through-shuffle
+    // is ZERO by construction.
+    val cand = es.queryIndexedBatchWindowed("c", p256, Int.MaxValue, np).count()
+    println(s"PROF r12_enc_exchange_256 candidates=$cand answers=${k.toLong * 256} " +
+      s"ratio=${cand / (k.toLong * 256)}x plaintext_emb_bytes=${cand * 64L * 4L} $nTag")
     time("r12_enc_seq_agg_256", nTag)(noop(es.queryIndexedBatch("c", p256, k, np)))
     time("r12_enc_seq_win_256", nTag)(noop(es.queryIndexedBatchWindowed("c", p256, k, np)))
     for (p <- Seq(1024, 4096)) {
