@@ -147,7 +147,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
   private def tombstones(): Option[DataFrame] = {
     val dirs = liveTombstoneDirs()
     if (dirs.isEmpty) None
-    else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath): _*)
+    else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath).toIndexedSeq: _*)
       .select("id").dropDuplicates("id"))
   }
 

@@ -434,7 +434,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
   private def tombstones(): Option[DataFrame] = {
     val dirs = liveTombstoneDirs()
     if (dirs.isEmpty) None
-    else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath): _*)
+    else Some(spark.read.schema("id LONG").parquet(dirs.map(_.getPath).toIndexedSeq: _*)
       .select("id").dropDuplicates("id"))
   }
 
@@ -760,12 +760,12 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     // and original rows (or a dropped row and its tombstone) can never end
     // up separated.
     val merged = spark.read.option("basePath", dataPath)
-      .parquet(batchDirs.map(_.getPath): _*)
+      .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
       .drop("batch")
       .dropDuplicates("id")
     val purged = if (tsDirs.isEmpty) merged
     else merged.join(
-      broadcast(spark.read.schema("id LONG").parquet(tsDirs.map(_.getPath): _*)
+      broadcast(spark.read.schema("id LONG").parquet(tsDirs.map(_.getPath).toIndexedSeq: _*)
         .select("id").dropDuplicates("id")),
       Seq("id"), "left_anti")
     // fold the radii with the data: recomputed over the merged rows

@@ -178,7 +178,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val dirs = liveTombstoneDirs()
     if (dirs.isEmpty) None
     else Some(spark.read.schema("doc_id LONG, dl INT")
-      .parquet(dirs.map(_.getPath): _*)
+      .parquet(dirs.map(_.getPath).toIndexedSeq: _*)
       .groupBy("doc_id").agg(max("dl").as("dl")))
   }
 
@@ -216,7 +216,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType.fromDDL("doc_id LONG, dl INT"))
       else spark.read.schema("doc_id LONG, dl INT")
-        .parquet(dlDirs.map(_.getPath): _*)
+        .parquet(dlDirs.map(_.getPath).toIndexedSeq: _*)
         .groupBy("doc_id").agg(max("dl").cast("int").as("dl"))
     known
       .join(broadcast(del), Seq("doc_id"), "left_semi")
@@ -402,7 +402,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val batchIds = batchDirs.map(_.getName.stripPrefix("batch=").toLong)
     val mergedId = math.min(batchIds.min, 0L) - 1L
     val mergedRaw = spark.read.option("basePath", postingsPath)
-      .parquet(batchDirs.map(_.getPath): _*)
+      .parquet(batchDirs.map(_.getPath).toIndexedSeq: _*)
       .drop("batch")
       .dropDuplicates("term", "doc_id")
     // MIXED generations (a pre-positions build under positions-carrying
@@ -420,7 +420,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case Array() => mergedAll
       case dirs => mergedAll.join(
         broadcast(spark.read.schema("doc_id LONG, dl INT")
-          .parquet(dirs.map(_.getPath): _*).select("doc_id").dropDuplicates("doc_id")),
+          .parquet(dirs.map(_.getPath).toIndexedSeq: _*).select("doc_id").dropDuplicates("doc_id")),
         Seq("doc_id"), "left_anti")
     }).persist()
     try {

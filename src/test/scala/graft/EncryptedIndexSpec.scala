@@ -346,6 +346,15 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
     // metadata alone — the old-key ciphertext is never decrypted — and
     // the rotated store re-persists under ITS key; content is unchanged,
     // so the re-measured depths equal the pre-rotation policy
+    // the committed policy RIDES THE FRAME too: depthPolicy -> depth
+    // column -> the encrypted DF-probe route serves the full-probe
+    // answers with each probe's decrypt bounded to its own cells
+    val probesDf = spark.createDataFrame(panel.map { case (pid, qe) =>
+      (pid, qe.toSeq, healed(pid)) }).toDF("probe_id", "qe", "depth")
+    assert(batchRows(es2.queryIndexedBatchDF("c", probesDf, k, nprobe = 2,
+        shortlist = 320, useDepth = true)) ==
+      batchRows(es2.queryIndexedBatch("c", panel, k, nprobe = 6)),
+      "the persisted policy routed through the frame must serve full-probe answers")
     val es3 = es2.rotateKey("c", "fedcba9876543210")
     assert(es3.depthPolicyStatus("c", panel, k) == PolicyStale)
     intercept[RuntimeException](es3.depthPolicy("c", panel, k))

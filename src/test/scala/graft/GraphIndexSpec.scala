@@ -183,6 +183,18 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       assert(cold.filter(_._1 == pid).map(t => (t._2, t._3)) == solo)
     }
+    // the committed policy RIDES THE FRAME too (the IVF depth-column
+    // discipline): beamPolicy -> beam column -> the frontier walk serves
+    // the driver walk's exact per-probe answers
+    val probesDf = spark.createDataFrame(panel.map { case (pid, qe) =>
+      (pid, qe.toSeq, healed(pid)) }).toDF("probe_id", "qe", "beam")
+    val framed = idx2.queryBatchDF(probesDf, k, beamWidth = 2, hops = 8,
+        useBeam = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    assert(framed == cold,
+      "the persisted beam policy routed through the frame must serve the " +
+        "driver-map answers")
     small.unpersist(): Unit
   }
 
