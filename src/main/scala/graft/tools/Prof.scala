@@ -373,6 +373,34 @@ object Prof {
     }
 
     }
+    // ---------------- the graph-walk crossover (frame walk's raison
+    // d'être): at training-panel sizes the driver walk's O(panel ×
+    // visited) state and per-hop collects stop being free
+    if (want("graphbig")) {
+    val gvectors = vectors.select(col("id"),
+      expr("transform(emb, (x, i) -> CASE WHEN i = CAST(id % 64 AS INT) " +
+        "THEN x + CAST(id % 997 AS FLOAT) * CAST(1e-4 AS FLOAT) " +
+        "ELSE x END)").as("emb"))
+    val bits = scaledBits(n)
+    val gidx = new GraphIndex(s, graft.store.Scratch.dir("scale_r12_gb"), k = 8,
+      Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
+    time("r12_graphbig_build", nTag)(gidx.build(gvectors))
+    // the probe FRAME never collects; the driver walk REQUIRES the panel
+    // as driver arrays — that asymmetry is the measurement
+    val bigFrame = gvectors
+      .orderBy(xxhash64(col("id")), col("id")).limit(16384)
+      .select((col("id") + 1000000L).as("probe_id"), col("emb").as("qe"))
+      .localCheckpoint()
+    for (p <- Seq(4096, 16384)) {
+      val probesDf = bigFrame.orderBy("probe_id").limit(p).localCheckpoint()
+      time(s"r12_graphbig_df_$p", nTag)(
+        noop(gidx.queryBatchDF(probesDf, 5, beamWidth = 4, hops = 6)))
+      val panel = probesDf.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      time(s"r12_graphbig_driver_$p", nTag)(
+        noop(gidx.queryBatch(panel, 5, beamWidth = 4, hops = 6)))
+    }
+    }
     // ---------------- batched hybrid serving (verdict #5)
     if (want("hyb")) {
     val sq = graft.queries.SearchQueries
