@@ -153,8 +153,14 @@ object TopKRows {
   /** Bounded buffer: the k smallest (score, id) entries, max-heap so the
     * current worst is O(1) to consult and O(log k) to evict. */
   final class Buffer(k: Int, idOrd: Ordering[Any]) {
-    // max-heap by (score, id): peek() is the WORST kept entry
-    private val heap = new java.util.PriorityQueue[Entry](k,
+    // max-heap by (score, id): peek() is the WORST kept entry. The
+    // initial capacity is a HINT (the queue grows on demand) — capping it
+    // matters because callers legally pass huge k as "effectively
+    // unbounded" (a full-depth shortlist of 1<<20), and an eager k-sized
+    // pointer array per group per task buffer would cost MBs apiece
+    // before a single candidate arrives
+    private val heap = new java.util.PriorityQueue[Entry](
+      math.max(1, math.min(k, 1024)),
       (a: Entry, b: Entry) => {
         val c = java.lang.Double.compare(b.score, a.score)
         if (c != 0) c else idOrd.compare(b.id, a.id)
