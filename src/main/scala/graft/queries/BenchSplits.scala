@@ -106,6 +106,26 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
     },
+    "q_hybrid_batch_df" -> { (s, dir) =>
+      // the frame-panel twin: same build/calibrate phases, the probe is
+      // the DF route (panel + persisted depths as frame columns)
+      val ((tidx, vidx), tb) = timed(SearchQueries.hybridBuildIndexes(s, dir))
+      val embs = s.createDataFrame(
+          SearchQueries.HybridPanelTerms.map { case (pid, t) => (pid, t.mkString(" ")) })
+        .toDF("pid", "text")
+        .select(col("pid"), graft.functions.TextFunctions.hashEmbed(
+          graft.functions.TextFunctions.tokens(col("text")), SearchQueries.EmbDim).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val panel = SearchQueries.HybridPanelTerms.map { case (pid, t) => (pid, t, embs(pid)) }
+      val (depths, tc) = timed(SearchQueries.hybridCalibrateBatch(vidx, panel))
+      val panelDf = s.createDataFrame(panel.map { case (pid, t, qe) =>
+          (pid, t, qe.toSeq, depths(pid)) })
+        .toDF("probe_id", "terms", "qe", "depth")
+      val (_, tp) = timed(
+        SearchQueries.hybridServeIndexedBatchDF(s, tidx, vidx, panelDf, useDepth = true)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "build_calibrate" -> tc, "probe" -> tp)
+    },
     "q_ann_batch_df" -> { (s, dir) =>
       // the registered query is build-dominated (in-query IVF build +
       // per-probe exact calibration before a 30-row serve); the split
@@ -290,6 +310,25 @@ object BenchSplits {
         idx.rangeJoin(probes, AnalyticsQueries.RangeRadius)
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "join" -> tp)
+    },
+    // The r12 verdict's unclearable flag: q_maxsim_rerank measured 10.8x
+    // on a contended box but had no registered decomposition, so the guard
+    // could not localize the drift. `build` = stage-1 candidate generation
+    // (the corpus-scale tokenize+embed+cosine+top-50 pass a production
+    // system precomputes as an index); `probe` = the MaxSim rerank over
+    // the 50 candidates — shortlist-bounded, the number that must stay
+    // flat at any corpus size. Persist+count is the timing fence.
+    "q_maxsim_rerank" -> { (s, dir) =>
+      val (cand, tb) = timed {
+        val c = SearchQueries.maxsimCandidates(s, dir).persist()
+        c.count()
+        c
+      }
+      val (_, tp) = timed(
+        SearchQueries.maxsimRerank(cand)
+          .write.format("noop").mode("overwrite").save())
+      cand.unpersist()
+      Seq("build" -> tb, "probe" -> tp)
     },
     "q_ann_graph_search" -> { (s, dir) =>
       val e = tbl(s, dir, "embeddings")

@@ -429,7 +429,10 @@ object SearchQueries {
       tidx: graft.store.TextIndex, vidx: graft.store.IvfIndex,
       panel: Seq[(Long, Seq[String], Array[Float])],
       depths: Map[Long, Int]): org.apache.spark.sql.DataFrame = {
-    val kw = tidx.queryRankedBatch(panel.map(p => (p._1, p._2)), ShortlistK)
+    // the kw arm serves through the MaxScore df-bound (r13): ranks are
+    // spec-pinned identical to queryRankedBatch, and a high-df standing
+    // term no longer fans its full posting list out across the panel
+    val kw = tidx.queryRankedBatchBounded(panel.map(p => (p._1, p._2)), ShortlistK)
       .select(col("probe_id"), col("doc_id"), col("rank").as("rank_kw"))
     val kk = ShortlistK + RagCosMargin
     val probeDf = broadcast(s.createDataFrame(
@@ -443,6 +446,15 @@ object SearchQueries {
       .withColumn("rank_sem", row_number().over(wS))
       .filter(col("rank_sem") <= ShortlistK)
       .select(col("probe_id"), col("doc_id"), col("rank_sem"))
+    rrfFusePerProbe(kw, sem)
+  }
+
+  /** The per-probe RRF fusion tail shared by [[hybridServeIndexedBatch]]
+    * and [[hybridServeIndexedBatchDF]] — every window here runs over
+    * ALREADY-CUT answer rows (≤ ShortlistK per probe per arm), never
+    * candidates; one copy so the routes can never drift. */
+  private def rrfFusePerProbe(kw: org.apache.spark.sql.DataFrame,
+      sem: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wF = Window.partitionBy("probe_id").orderBy(desc("rrf"), asc("doc_id"))
     kw.join(sem, Seq("probe_id", "doc_id"), "full_outer")
       .withColumn("rrf",
@@ -455,6 +467,46 @@ object SearchQueries {
         coalesce(col("rank_sem"), lit(0)).as("rank_sem"),
         round(col("rrf"), 6).as("rrf"))
       .orderBy(asc("probe_id"), desc("rrf"), asc("doc_id"))
+  }
+
+  /** [[hybridServeIndexedBatch]] with the PANEL as a DATAFRAME — the
+    * hybrid lane for a standing-alert fleet BIGGER than a driver panel
+    * (the r12 verdict's top missing surface): `panel` carries
+    * (probe_id LONG, terms ARRAY<STRING>, qe ARRAY<FLOAT>[, depth INT])
+    * and NOTHING probe-sized ever touches the driver. The kw arm is
+    * [[graft.store.TextIndex.queryRankedBatchDF]] (one bucket-pruned
+    * union-term postings pass, per-probe integer-exact ranks cut
+    * map-side); the sem arm is [[graft.store.IvfIndex.queryBatchDF]]
+    * (map-side cell routing, broadcast-or-salted cell join, the
+    * answers-not-candidates tail) with the persisted per-probe depth
+    * policy routed through the frame's `depth` column (`useDepth` — the
+    * explicit opt-in discipline of every DF serving route); the bounded
+    * cosine re-rank and RRF fuse per probe over ANSWER rows only.
+    * Per-probe frames ≡ [[hybridServeIndexedBatch]] at the same
+    * terms/depths (spec-pinned, HybridIndexedSpec). */
+  private[graft] def hybridServeIndexedBatchDF(s: SparkSession,
+      tidx: graft.store.TextIndex, vidx: graft.store.IvfIndex,
+      panel: org.apache.spark.sql.DataFrame,
+      useDepth: Boolean = false): org.apache.spark.sql.DataFrame = {
+    val kw = tidx.queryRankedBatchDF(panel.select("probe_id", "terms"), ShortlistK)
+      .select(col("probe_id"), col("doc_id"), col("rank").as("rank_kw"))
+    val kk = ShortlistK + RagCosMargin
+    val semProbes =
+      if (useDepth) panel.select("probe_id", "qe", "depth")
+      else panel.select("probe_id", "qe")
+    val wS = Window.partitionBy("probe_id").orderBy(desc("cos"), asc("doc_id"))
+    val sem = vidx.queryBatchDF(semProbes, kk, nprobe = vidx.numCells,
+        include = Seq("emb"), useDepth = useDepth)
+      // answer rows (≤ kk × P) join the panel for the probe's embedding —
+      // keyed on probe_id (high-cardinality: no parallelism collapse)
+      .join(panel.select(col("probe_id"),
+        col("qe").cast("array<float>").as("hqe")), Seq("probe_id"))
+      .select(col("probe_id"), col("id").as("doc_id"),
+        VF.cosine(col("emb"), col("hqe")).as("cos"))
+      .withColumn("rank_sem", row_number().over(wS))
+      .filter(col("rank_sem") <= ShortlistK)
+      .select(col("probe_id"), col("doc_id"), col("rank_sem"))
+    rrfFusePerProbe(kw, sem)
   }
 
   /** q_rag_indexed's PROBE phase: cell-pruned batched L2 shortlist
@@ -606,6 +658,75 @@ object SearchQueries {
     (n, avgdl, idf)
   }
 
+
+  /** q_hybrid_batch's oracle — shared VERBATIM with q_hybrid_batch_df
+    * (hash equality across the Seq and frame routes is the lossless-route
+    * proof, re-checked at sf0.01 every round). Replays the
+    * q_hybrid_indexed recipe PER PROBE from plaintext alone. */
+  private lazy val hybridBatchOracleSql: String = {
+        val th = OracleText.tokenHashes(OracleText.tokens("text"))
+        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
+          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
+        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
+        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
+          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
+        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
+        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
+        val perProbe = HybridPanelTerms.map { case (pid, terms) =>
+          val qText = terms.mkString(" ")
+          val idfCase = terms.map { t =>
+            val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
+            val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
+            s"WHEN term = '$t' THEN $idf"
+          }.mkString("CASE ", " ", " END")
+          val termList = terms.map(t => s"'$t'").mkString(", ")
+          val cos = OracleSql.cosine("e.emb", s"q$pid.qe")
+          s"""tfq$pid AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
+             |        FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
+             |cq$pid AS (SELECT doc_id, dl,
+             |         CAST(round(($idfCase) *
+             |           ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
+             |            (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
+             |           * 1048576.0) AS BIGINT) AS c
+             |       FROM tfq$pid),
+             |sq$pid AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS sq
+             |       FROM cq$pid GROUP BY doc_id),
+             |kw$pid AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS rank_kw
+             |  FROM sq$pid ORDER BY sq DESC, doc_id LIMIT $ShortlistK),
+             |qt$pid AS (SELECT ${OracleText.tokenHashes(OracleText.tokens(s"'$qText'"))} AS th),
+             |qc$pid AS (SELECT ${cnt("th")} AS cnt FROM qt$pid),
+             |q$pid AS (SELECT $emb AS qe FROM qc$pid),
+             |sem$pid AS (
+             |  SELECT e.doc_id, row_number() OVER (ORDER BY $cos DESC, e.doc_id) AS rank_sem
+             |  FROM e CROSS JOIN q$pid ORDER BY $cos DESC, e.doc_id LIMIT $ShortlistK),
+             |fused$pid AS (
+             |  SELECT CAST($pid AS BIGINT) AS probe_id,
+             |         coalesce(kw$pid.doc_id, sem$pid.doc_id) AS doc_id,
+             |         coalesce(kw$pid.rank_kw, 0) AS rank_kw,
+             |         coalesce(sem$pid.rank_sem, 0) AS rank_sem,
+             |         coalesce(1.0 / ($RrfK.0 + CAST(kw$pid.rank_kw AS DOUBLE)), 0.0) +
+             |         coalesce(1.0 / ($RrfK.0 + CAST(sem$pid.rank_sem AS DOUBLE)), 0.0) AS rrf
+             |  FROM kw$pid FULL OUTER JOIN sem$pid ON kw$pid.doc_id = sem$pid.doc_id),
+             |top$pid AS (
+             |  SELECT probe_id, doc_id, rank_kw, rank_sem, round(rrf, 6) AS rrf
+             |  FROM fused$pid ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
+        }.mkString(",\n")
+        val unions = HybridPanelTerms
+          .map { case (pid, _) => s"SELECT * FROM top$pid" }
+          .mkString(" UNION ALL ")
+        s"""WITH d AS MATERIALIZED (
+           |  SELECT doc_id, toks, len(toks) AS dl FROM (
+           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
+           |p AS MATERIALIZED (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+           |dt AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
+           |dc AS MATERIALIZED (SELECT doc_id, ${cnt("th")} AS cnt FROM dt),
+           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM dc),
+           |$perProbe
+           |$unions
+           |ORDER BY probe_id, rrf DESC, doc_id""".stripMargin
+  }
+
   private def tokenized(s: SparkSession, dir: String) =
     tbl(s, dir, "documents")
       .select(col("doc_id"), TF.tokens(col("text")).as("toks"))
@@ -632,6 +753,44 @@ object SearchQueries {
       val z = ((g + (d + 1) * 1000003L) * 2654435761L) % 4294967296L % 2001L - 1000L
       (z.toDouble / 1000.0).toFloat
     }
+  }
+
+  /** Stage-1 of q_maxsim_rerank — CANDIDATE GENERATION: the corpus-scale
+    * pass (tokenize, pooled hash-embedding, cosine against the standing
+    * query, TakeOrdered top-50). This is the phase that scales with the
+    * corpus — a production late-interaction system precomputes it as an
+    * index — so the bench split labels it `build` and [[maxsimRerank]]
+    * `probe` (the number that must stay flat at any corpus size). */
+  private[graft] def maxsimCandidates(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val qe: Array[Float] = Seq(QueryTerms.mkString(" ")).toDF("t")
+      .select(TF.hashEmbed(TF.tokens(col("t")), EmbDim).as("e"))
+      .head().getSeq[Float](0).toArray
+    tokenized(s, dir)
+      .select(col("doc_id"), col("toks"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
+      .withColumn("rel", VF.cosine(col("emb"), typedlit(qe)))
+      .orderBy(desc("rel"), asc("doc_id")).limit(50)
+      .select(col("doc_id"), col("rel"), col("toks"))
+  }
+
+  /** Stage-2 of q_maxsim_rerank — the per-token MaxSim rerank over the
+    * candidate frame ONLY: cost bounded by shortlist × doc length at ANY
+    * corpus size. */
+  private[graft] def maxsimRerank(cand: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks50 = cand
+      .select(col("doc_id"), col("rel"), explode(array_distinct(col("toks"))).as("tok"))
+      .withColumn("dv", tokVecCol(col("tok")))
+    val maxes = QueryTerms.zipWithIndex.map { case (t, i) =>
+      max(VF.cosine(col("dv"), typedlit(tokVecLocal(t)))).as(s"m$i")
+    }
+    val score = QueryTerms.indices.map(i => col(s"m$i")).reduce(_ + _)
+    toks50.groupBy("doc_id", "rel")
+      .agg(maxes.head, maxes.tail: _*)
+      .withColumn("score_raw", score)
+      .orderBy(desc("score_raw"), asc("doc_id"))
+      .limit(10)
+      .select(col("doc_id"), round(col("rel"), 6).as("rel"),
+        round(col("score_raw"), 6).as("maxsim"))
   }
 
   /** [[tokVecCol]] in DuckDB SQL over a hash expression `g`. */
@@ -1438,69 +1597,34 @@ object SearchQueries {
         hybridServeIndexedBatch(s, tidx, vidx, panel,
           hybridCalibrateBatch(vidx, panel))
       },
-      Some {
-        val th = OracleText.tokenHashes(OracleText.tokens("text"))
-        def cnt(h: String) = s"list_transform(range(0, $EmbDim), j -> " +
-          s"CAST(len(list_filter($h, h -> h % $EmbDim = j)) AS DOUBLE))"
-        val nsq = "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(cnt, c -> c*c)), (x, y) -> x + y)"
-        val emb = s"CASE WHEN $nsq = 0 THEN list_transform(cnt, c -> CAST(c AS FLOAT)) " +
-          s"ELSE list_transform(cnt, c -> CAST(c / sqrt($nsq) AS FLOAT)) END"
-        val n = "(SELECT CAST(count(*) AS BIGINT) FROM d)"
-        val avgdl = s"(SELECT CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) FROM d) / CAST($n AS DOUBLE)"
-        val perProbe = HybridPanelTerms.map { case (pid, terms) =>
-          val qText = terms.mkString(" ")
-          val idfCase = terms.map { t =>
-            val df = s"(SELECT CAST(count(*) AS BIGINT) FROM d WHERE list_contains(toks, '$t'))"
-            val idf = s"ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)"
-            s"WHEN term = '$t' THEN $idf"
-          }.mkString("CASE ", " ", " END")
-          val termList = terms.map(t => s"'$t'").mkString(", ")
-          val cos = OracleSql.cosine("e.emb", s"q$pid.qe")
-          s"""tfq$pid AS (SELECT term, doc_id, dl, CAST(count(*) AS BIGINT) AS tf
-             |        FROM p WHERE term IN ($termList) GROUP BY 1, 2, 3),
-             |cq$pid AS (SELECT doc_id, dl,
-             |         CAST(round(($idfCase) *
-             |           ((CAST(tf AS DOUBLE) * ${K1 + 1.0}) /
-             |            (CAST(tf AS DOUBLE) + $K1 * (${1.0 - B} + $B * CAST(dl AS DOUBLE) / ($avgdl))))
-             |           * 1048576.0) AS BIGINT) AS c
-             |       FROM tfq$pid),
-             |sq$pid AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS sq
-             |       FROM cq$pid GROUP BY doc_id),
-             |kw$pid AS (
-             |  SELECT doc_id, row_number() OVER (ORDER BY sq DESC, doc_id) AS rank_kw
-             |  FROM sq$pid ORDER BY sq DESC, doc_id LIMIT $ShortlistK),
-             |qt$pid AS (SELECT ${OracleText.tokenHashes(OracleText.tokens(s"'$qText'"))} AS th),
-             |qc$pid AS (SELECT ${cnt("th")} AS cnt FROM qt$pid),
-             |q$pid AS (SELECT $emb AS qe FROM qc$pid),
-             |sem$pid AS (
-             |  SELECT e.doc_id, row_number() OVER (ORDER BY $cos DESC, e.doc_id) AS rank_sem
-             |  FROM e CROSS JOIN q$pid ORDER BY $cos DESC, e.doc_id LIMIT $ShortlistK),
-             |fused$pid AS (
-             |  SELECT CAST($pid AS BIGINT) AS probe_id,
-             |         coalesce(kw$pid.doc_id, sem$pid.doc_id) AS doc_id,
-             |         coalesce(kw$pid.rank_kw, 0) AS rank_kw,
-             |         coalesce(sem$pid.rank_sem, 0) AS rank_sem,
-             |         coalesce(1.0 / ($RrfK.0 + CAST(kw$pid.rank_kw AS DOUBLE)), 0.0) +
-             |         coalesce(1.0 / ($RrfK.0 + CAST(sem$pid.rank_sem AS DOUBLE)), 0.0) AS rrf
-             |  FROM kw$pid FULL OUTER JOIN sem$pid ON kw$pid.doc_id = sem$pid.doc_id),
-             |top$pid AS (
-             |  SELECT probe_id, doc_id, rank_kw, rank_sem, round(rrf, 6) AS rrf
-             |  FROM fused$pid ORDER BY rrf DESC, doc_id LIMIT 10)""".stripMargin
-        }.mkString(",\n")
-        val unions = HybridPanelTerms
-          .map { case (pid, _) => s"SELECT * FROM top$pid" }
-          .mkString(" UNION ALL ")
-        s"""WITH d AS MATERIALIZED (
-           |  SELECT doc_id, toks, len(toks) AS dl FROM (
-           |    SELECT doc_id, ${OracleText.tokens("text")} AS toks FROM documents)),
-           |p AS MATERIALIZED (SELECT doc_id, dl, unnest(toks) AS term FROM d),
-           |dt AS MATERIALIZED (SELECT doc_id, $th AS th FROM documents),
-           |dc AS MATERIALIZED (SELECT doc_id, ${cnt("th")} AS cnt FROM dt),
-           |e AS MATERIALIZED (SELECT doc_id, $emb AS emb FROM dc),
-           |$perProbe
-           |$unions
-           |ORDER BY probe_id, rrf DESC, doc_id""".stripMargin
-      }),
+      Some(hybridBatchOracleSql)),
+
+    // The DF-PROBE twin of q_hybrid_batch — the same standing panel served
+    // with the probes as a FRAME end to end (terms through
+    // queryRankedBatchDF's union postings pass, embeddings + the persisted
+    // depth policy through queryBatchDF's `depth` column): the oracle is
+    // q_hybrid_batch's VERBATIM, so the hash equality IS the proof the
+    // frame route serves the Seq route's exact answers (the
+    // q_bm25_maxscore oracle-reuse discipline).
+    Q(
+      "q_hybrid_batch_df",
+      "batched hybrid RRF with the panel as a DataFrame — identical answer to q_hybrid_batch",
+      (s, dir) => {
+        val (tidx, vidx) = hybridBuildIndexes(s, dir)
+        val embs = s.createDataFrame(
+            HybridPanelTerms.map { case (pid, terms) => (pid, terms.mkString(" ")) })
+          .toDF("pid", "text")
+          .select(col("pid"), TF.hashEmbed(TF.tokens(col("text")), EmbDim).as("e"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+        val panel = HybridPanelTerms.map { case (pid, terms) =>
+          (pid, terms, embs(pid)) }
+        val depths = hybridCalibrateBatch(vidx, panel)
+        val panelDf = s.createDataFrame(panel.map { case (pid, terms, qe) =>
+          (pid, terms, qe.toSeq, depths(pid)) })
+          .toDF("probe_id", "terms", "qe", "depth")
+        hybridServeIndexedBatchDF(s, tidx, vidx, panelDf, useDepth = true)
+      },
+      Some(hybridBatchOracleSql)),
 
     // MMR diversity re-rank (Carbonell & Goldstein 1998) — the standard
     // post-ANN stage the reference never reaches. Cluster side produces the
@@ -1625,31 +1749,7 @@ object SearchQueries {
     Q(
       "q_maxsim_rerank",
       "two-stage retrieval: pooled-embedding top-50 candidates + MaxSim rerank to top-10",
-      (s, dir) => {
-        import s.implicits._
-        val qe: Array[Float] = Seq(QueryTerms.mkString(" ")).toDF("t")
-          .select(TF.hashEmbed(TF.tokens(col("t")), EmbDim).as("e"))
-          .head().getSeq[Float](0).toArray
-        val cand = tokenized(s, dir)
-          .select(col("doc_id"), col("toks"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
-          .withColumn("rel", VF.cosine(col("emb"), typedlit(qe)))
-          .orderBy(desc("rel"), asc("doc_id")).limit(50)
-          .select(col("doc_id"), col("rel"), col("toks"))
-        val toks50 = cand
-          .select(col("doc_id"), col("rel"), explode(array_distinct(col("toks"))).as("tok"))
-          .withColumn("dv", tokVecCol(col("tok")))
-        val maxes = QueryTerms.zipWithIndex.map { case (t, i) =>
-          max(VF.cosine(col("dv"), typedlit(tokVecLocal(t)))).as(s"m$i")
-        }
-        val score = QueryTerms.indices.map(i => col(s"m$i")).reduce(_ + _)
-        toks50.groupBy("doc_id", "rel")
-          .agg(maxes.head, maxes.tail: _*)
-          .withColumn("score_raw", score)
-          .orderBy(desc("score_raw"), asc("doc_id"))
-          .limit(10)
-          .select(col("doc_id"), round(col("rel"), 6).as("rel"),
-            round(col("score_raw"), 6).as("maxsim"))
-      },
+      (s, dir) => maxsimRerank(maxsimCandidates(s, dir)),
       Some {
         val th = OracleText.tokenHashes(OracleText.tokens("text"))
         val cnt = s"list_transform(range(0, $EmbDim), j -> " +

@@ -3,7 +3,7 @@ package graft.store
 import graft.functions.{VectorFunctions => VF}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /**
  * ONE copy of the frame-probe routing geometry the DF serving routes rest
@@ -39,8 +39,11 @@ private[store] object CellRoute {
     * `probe_id` must be UNIQUE within the frame — duplicates would blend
     * two probes' candidates into one merged top-k through the
     * first(qe)/first(pdepth) group resolution, so the routing REFUSES
-    * loudly (one bounded aggregation over the probe frame, which also
-    * computes the constant max depth the routing aggregate needs). */
+    * loudly. The guard rides INSIDE the routing aggregate (each unique
+    * probe row crosses exactly |centroids| rows, so an oversized group is
+    * a duplicate — checked by assert_true, zero extra jobs); only the
+    * in-frame depth policy pays a pre-routing scan (the bounded max the
+    * aggregate's constant k needs). */
   def routeCells(spark: SparkSession, probes: DataFrame,
                  cents: Array[(Long, Array[Float])], numCells: Int,
                  nprobe: Int, useDepth: Boolean): DataFrame = {
@@ -62,28 +65,36 @@ private[store] object CellRoute {
       else lit(uniform)
     val sized = probes.select(col("probe_id"),
       col("qe").cast("array<float>").as("qe"), depthCol.as("pdepth"))
-    // ONE bounded aggregation over the probe frame: the aggregate's k must
-    // be a constant (the largest requested depth — the uniform clamp when
-    // no policy rides the frame), and the same pass fails loudly on
-    // duplicate probe_id rows. Null max (empty frame) → serve empty
-    // through depth 1.
-    val stat = sized.agg(max(col("pdepth")).as("mx"),
-      count(lit(1)).as("n"), count_distinct(col("probe_id")).as("nd")).head()
-    require(stat.getLong(1) == stat.getLong(2),
-      s"probe frame has duplicate probe_id rows (${stat.getLong(1)} rows, " +
-        s"${stat.getLong(2)} distinct ids) — the routing group-by would blend " +
-        "distinct probes' candidates into one merged top-k")
+    // the aggregate's k must be a constant — the largest requested depth.
+    // Depth-blind routes know it statically (the uniform clamp), so they
+    // pay ZERO pre-routing jobs; only an in-frame policy needs the one
+    // bounded max scan. Null max (empty frame) → serve empty through
+    // depth 1.
     val maxDepth =
       if (!useDepth) math.max(1, uniform)
-      else if (stat.isNullAt(0)) 1
-      else math.max(1, stat.getInt(0))
+      else {
+        val mx = sized.agg(max(col("pdepth"))).head()
+        if (mx.isNullAt(0)) 1 else math.max(1, mx.getInt(0))
+      }
     sized
       .crossJoin(broadcast(centDf))
       .withColumn("cdist", VF.l2Sq(col("qe"), col("cemb").cast("array<float>")))
       .groupBy("probe_id")
       .agg(graft.operators.GroupedTopK.topK(maxDepth)(col("cdist"), col("cell"))
           .as("cells"),
-        first(col("qe")).as("qe"), first(col("pdepth")).as("pdepth"))
+        first(col("qe")).as("qe"), first(col("pdepth")).as("pdepth"),
+        count(lit(1)).as("__nr"))
+      // duplicate-id guard folded into the routing aggregate itself (zero
+      // extra jobs — the r12 version paid a separate driver-blocking stat
+      // pass per serving call): a UNIQUE probe row crosses exactly
+      // |centroids| rows, so any larger group is a duplicated probe_id
+      // whose first(qe)/first(pdepth) resolution would blend two probes'
+      // candidates into one merged top-k — refuse loudly instead
+      .filter(isnull(assert_true(col("__nr") === lit(cents.length.toLong),
+        concat(lit("duplicate probe_id rows in the probe frame (probe_id="),
+          col("probe_id").cast("string"),
+          lit(") — the routing group-by would blend distinct probes' " +
+            "candidates into one merged top-k")))))
       .select(col("probe_id"), col("qe"), col("pdepth"),
         posexplode(col("cells")).as(Seq("pos", "sc")))
       .filter(col("pos") < col("pdepth"))
@@ -120,22 +131,34 @@ private[store] object CellRoute {
     * appears exactly once), so serving answers never depend on the
     * route taken. */
   def routedJoin(corpus: DataFrame, probeSide: DataFrame,
-                 probeRows: Long, numCells: Int): DataFrame = {
-    val spark = corpus.sparkSession
+                 probeRows: Long, numCells: Int): DataFrame =
+    keyedProbeJoin(corpus, probeSide, probeRows, numCells, "cell", col("id"))
+
+  /** [[routedJoin]] generalized over the join key — the same
+    * broadcast-or-salt switchover for ANY low-cardinality equi-join of a
+    * corpus-scale side against a probe-derived side (the TextIndex
+    * batched postings×pairs join keys on `term` and salts on `doc_id`;
+    * the IVF routes key on `cell` and salt on `id`). `numKeys` sizes the
+    * salt space: it is the parallelism ceiling a plain shuffle join would
+    * collapse to. */
+  private[store] def keyedProbeJoin(bigSide: DataFrame, probeSide: DataFrame,
+                                    probeRows: Long, numKeys: Int,
+                                    key: String, saltOn: Column): DataFrame = {
+    val spark = bigSide.sparkSession
     val limit = graft.operators.ProbeJoin.broadcastLimit(spark)
-    if (probeRows <= limit) corpus.join(broadcast(probeSide), Seq("cell"))
+    if (probeRows <= limit) bigSide.join(broadcast(probeSide), Seq(key))
     else {
       // size the salt space to what parallelism needs, not a fixed fanout:
-      // (numCells × S) keys should comfortably cover the partition count —
-      // replicating ×32 when the cell count alone already exceeds the
+      // (numKeys × S) keys should comfortably cover the partition count —
+      // replicating ×32 when the key count alone already exceeds the
       // partitions would pay probe-shuffle volume for nothing
       val parts = math.max(2, spark.sparkContext.defaultParallelism)
-      val s = math.max(2, math.ceil(2.0 * parts / math.max(1, numCells)).toInt)
-      corpus
-        .withColumn("__salt", pmod(xxhash64(col("id")), lit(s.toLong)).cast("int"))
+      val s = math.max(2, math.ceil(2.0 * parts / math.max(1, numKeys)).toInt)
+      bigSide
+        .withColumn("__salt", pmod(xxhash64(saltOn), lit(s.toLong)).cast("int"))
         .join(probeSide.withColumn("__salt",
           explode(sequence(lit(0), lit(s - 1)))).hint("shuffle_hash"),
-          Seq("cell", "__salt"))
+          Seq(key, "__salt"))
         .drop("__salt")
     }
   }

@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
  *     DENORMALIZED into the posting row so scoring never joins a
  *     doc-length table — the query is a pruned narrow scan + one doc-key
  *     aggregation.
- *   `path/_termstats/batch=N/bucket=B/` — (term, df): per-term document
- *     frequency, bucket-pruned at query time, summed across batches and
- *     collected driver-side (≤ q rows) into idf literals.
+ *   `path/_termstats/batch=N/bucket=B/` — (term, df, max_tf, min_dl):
+ *     per-term document frequency plus the impact-bound inputs, bucket-
+ *     pruned at query time, summed/max'd/min'd across batches and
+ *     collected driver-side (≤ q rows) into idf literals and MaxScore
+ *     upper bounds.
  *   `path/_stats/batch=N/` — one row (n_docs, sum_dl) per batch: exact
  *     integers, summed across batches, so the derived avgdl double is
  *     identical on any engine.
@@ -82,6 +84,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def bucketOf(term: String): Long =
     TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(term)) % numBuckets
 
+  /** Per-(bucket, term) sidecar stats from a postings frame — ONE copy for
+    * build/append/compact so the three generations can never drift: df
+    * (the idf input) plus the IMPACT-BOUND inputs (max tf, min dl) the
+    * bounded batch route ([[queryRankedBatchBounded]]) prunes with. The
+    * BM25 saturation is increasing in tf and decreasing in dl, so
+    * sat(max_tf, min_dl) dominates every posting's saturation — what
+    * impact-ordered posting lists store, kept as two longs of
+    * vocabulary-bounded metadata instead of a reordered list. */
+  private def termStatsOf(postings: DataFrame): DataFrame =
+    postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"),
+      max(col("tf")).as("max_tf"), min(col("dl")).as("min_dl"))
+
   /** Build from (doc_id LONG, text STRING): tokenize, explode to postings
     * with per-(term, doc) tf and denormalized dl, bucket by term hash.
     * One explode + one (term, doc) aggregation — the standard posting
@@ -108,7 +122,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=0",
             st => postings.write.mode("overwrite").partitionBy("bucket").parquet(st)),
           StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=0",
-            st => postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+            st => termStatsOf(postings)
               .write.mode("overwrite").partitionBy("bucket").parquet(st)),
           StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=0",
             st => toks.agg(count(lit(1)).as("n_docs"),
@@ -329,7 +343,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       // df from the SAME cached frame (a read-back of the just-written dir
       // throws on an EMPTY micro-batch — partitionBy of zero rows leaves a
       // bare _SUCCESS dir Spark cannot infer a schema from)
-      postings.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+      termStatsOf(postings)
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$termstatsPath/batch=$b")
       // coalesce: sum() of zero rows is NULL, and corpus stats must stay
       // exact non-null integers for the cross-batch sum
@@ -433,7 +447,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=$mergedId",
           st => merged.write.mode("overwrite").partitionBy("bucket").parquet(st)),
         StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=$mergedId",
-          st => merged.groupBy("bucket", "term").agg(count(lit(1)).as("df"))
+          st => termStatsOf(merged)
             .write.mode("overwrite").partitionBy("bucket").parquet(st)),
         StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=$mergedId",
           st => merged.select(col("doc_id"), col("dl")).distinct()
@@ -741,7 +755,10 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         .filter(col("bucket") === bucketOf(t) && col("term") === t)
         .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
       val df = (dfRaw - deadCnt).toDouble
-      val idf = math.log((h.n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+      // StrictMath.log — the SAME function Spark's `log` expression calls
+      // (catalyst UnaryLogExpression), so the hot tier, the Seq route, and
+      // the frame route quantize bit-identical cq from identical idf
+      val idf = StrictMath.log((h.n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
       val docIds = new Array[Long](live.length)
       val dls = new Array[Int](live.length)
       val cqs = new Array[Long](live.length)
@@ -989,20 +1006,29 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     terms.map { t =>
       val df = (dfMap.getOrElse(t, 0L) - deadDf.getOrElse(t, 0L)).toDouble
-      t -> math.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
+      // StrictMath.log == Spark's `log` expression (bit-identical idf on
+      // the driver and frame routes — the queryRankedBatchDF parity pin)
+      t -> StrictMath.log((n.toDouble - df + 0.5) / (df + 0.5) + 1.0)
     }.toMap
   }
 
   /** The quantized per-posting contribution — ONE expression tree shared
     * by [[query]] and [[booleanQuery]] (and mirrored op-for-op by the hot
-    * tier), so every ranked surface scores identically. */
-  private def cqColumn(idf: Map[String, Double], avgdl: Double): org.apache.spark.sql.Column = {
+    * tier), so every ranked surface scores identically. `idfCol` is the
+    * per-term idf however the route carries it: a broadcast-literal map
+    * lookup on the driver-panel routes ([[cqColumn]]) or a joined frame
+    * column on [[queryRankedBatchDF]] — the arithmetic AFTER the lookup is
+    * this one tree either way. */
+  private def cqExpr(idfCol: org.apache.spark.sql.Column, avgdl: Double): org.apache.spark.sql.Column = {
     val tf = col("tf").cast("double")
-    val contrib = element_at(typedlit(idf), col("term")) *
+    val contrib = idfCol *
       ((tf * lit(K1 + 1.0)) /
         (tf + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl").cast("double") / lit(avgdl))))
     round(contrib * lit(Scale.toDouble)).cast("long")
   }
+
+  private def cqColumn(idf: Map[String, Double], avgdl: Double): org.apache.spark.sql.Column =
+    cqExpr(element_at(typedlit(idf), col("term")), avgdl)
 
   /** The shared (sq desc, doc asc) top-k + de-quantization tail — ONE
     * copy, so [[query]] and [[booleanQuery]] can never drift apart on the
@@ -1093,8 +1119,233 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     // negated quantized score: GroupedTopK's ascending (score, id) order
     // becomes each probe's exact (sq desc, doc_id asc) ranking order —
     // sq is a bounded integer sum, exact in double
-    scored.withColumn("cq", cqColumn(idf, avgdl))
-      .join(broadcast(pairs), Seq("term"))
+    rankedBatchTail(
+      scored.withColumn("cq", cqColumn(idf, avgdl))
+        .join(broadcast(pairs), Seq("term"))
+        .groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq")),
+      k)
+  }
+
+  /** The shared per-probe top-k + de-quantization tail of every batched
+    * ranked route — the map-side-bounded
+    * [[graft.operators.GroupedTopK.topKRows]] aggregate over a
+    * (probe_id, doc_id, dl, sq) frame (≤ k × probes × tasks ANSWER rows
+    * through the exchange), one copy so [[queryRankedBatch]],
+    * [[queryRankedBatchDF]] and [[queryRankedBatchBounded]] can never
+    * drift on the arithmetic their parity contracts pin. */
+  private def rankedBatchTail(perDocSq: DataFrame, k: Int): DataFrame =
+    perDocSq
+      .groupBy("probe_id")
+      .agg(graft.operators.GroupedTopK.topKRows(k)(
+        -col("sq").cast("double"), col("doc_id"), col("dl")).as("tk"))
+      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("probe_id"), col("e.id").as("doc_id"),
+        col("e.payload").as("dl"),
+        round(-col("e.score") / lit(Scale.toDouble), 4).as("bm25q"),
+        (col("pos") + 1).cast("int").as("rank"))
+
+  /** [[queryRankedBatch]] with the MaxScore df-bound — the batched twin
+    * of the q_bm25_maxscore discipline, so a HIGH-DF standing term cannot
+    * drag the panel's postings fanout toward a corpus scan (the r12 §8.3
+    * worst case: one union-term pass grew 3.6× for 5× docs on a 31-token
+    * vocabulary where every term is common). Answer-identical to
+    * [[queryRankedBatch]] probe for probe (spec-pinned):
+    *
+    *  1. **θ pass** — each probe's RAREST term (max live idf, ties to the
+    *     first term) has the smallest posting list; its docs are scored
+    *     EXACTLY (postings joined by doc_id — no probe fanout on high-df
+    *     terms) and the probe's k-th best score is a LOWER bound θ_p on
+    *     the true k-th best.
+    *  2. **essential classification** (driver, panel-sized) — per-term
+    *     quantized impact bounds ub_t from the `_termstats` sidecar
+    *     (idf · sat(max_tf, min_dl), ceil'd +1 quantum so driver double
+    *     math can never under-dominate the executors' by an ulp); the
+    *     maximal ub-ascending prefix with Σ ub < θ_p is NONESSENTIAL — a
+    *     doc containing only nonessential terms scores < θ_p and can
+    *     never enter the top-k (any doc scoring ≥ θ_p must carry an
+    *     essential term).
+    *  3. **survivor pass** — only ESSENTIAL (probe, term) pairs fan out
+    *     over postings (the low-df, high-impact set); the survivors score
+    *     exactly through the same doc-keyed join and the shared
+    *     [[rankedBatchTail]].
+    *
+    * A probe with fewer than k rarest-term matches gets no θ (no pruning
+    * — every term essential, degenerating to [[queryRankedBatch]]'s
+    * exact shape). Requires an index whose `_termstats` carries the
+    * impact-bound columns (any build/append/compact from this version);
+    * refuses loudly on a pre-upgrade sidecar. */
+  def queryRankedBatchBounded(panel: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+    require(panel.nonEmpty, "queryRankedBatchBounded needs at least one probe")
+    require(panel.map(_._1).distinct.length == panel.length,
+      "probe ids must be unique")
+    val unionTerms = panel.flatMap(_._2).distinct
+    val (n, avgdl, ts) = liveCorpusStats()
+    val idf = idfMapOf(unionTerms, n, ts)
+    val bounds = impactBounds(unionTerms)
+    val ub: Map[String, Long] = unionTerms.map { t =>
+      t -> bounds.get(t).fold(0L) { case (mtf, mdl) =>
+        val tf = mtf.toDouble
+        val sat = (tf * (K1 + 1.0)) /
+          (tf + K1 * ((1.0 - B) + B * mdl.toDouble / avgdl))
+        math.ceil(idf(t) * sat * Scale.toDouble).toLong + 1L
+      }
+    }.toMap
+    val live = ts match {
+      case None => prunedPostingsOf(unionTerms)
+      case Some(t) => prunedPostingsOf(unionTerms)
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    val scored = live.withColumn("cq", cqColumn(idf, avgdl))
+    val pairs = spark.createDataFrame(
+      panel.flatMap { case (pid, terms) => terms.distinct.map(t => (pid, t)) })
+      .toDF("probe_id", "term")
+    // exact Σ cq over the probe's own terms for a (probe_id, doc_id)
+    // frame: postings join by DOC KEY (high-cardinality — no probe fanout
+    // on high-df terms, no parallelism collapse), then the probe's term
+    // membership as a broadcast semi-join
+    def exactScores(probeDocs: DataFrame): DataFrame =
+      scored.join(probeDocs, Seq("doc_id"))
+        .join(broadcast(pairs), Seq("probe_id", "term"), "left_semi")
+        .groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq"))
+    // pass 1 — θ_p
+    val rarestPairs = spark.createDataFrame(
+      panel.map { case (pid, terms) =>
+        (pid, terms.distinct.sortBy(t => (-idf(t), t)).head) })
+      .toDF("probe_id", "term")
+    val candDocs = scored.select("term", "doc_id")
+      .join(broadcast(rarestPairs), Seq("term"))
+      .select("probe_id", "doc_id")
+    val thetaOf: Map[Long, Long] = exactScores(candDocs)
+      .groupBy("probe_id")
+      .agg(graft.operators.GroupedTopK.topK(k)(
+        -col("sq").cast("double"), col("doc_id")).as("t"))
+      .select(col("probe_id"), posexplode(col("t")).as(Seq("pos", "sc")))
+      .filter(col("pos") === k - 1)
+      .select(col("probe_id"), (-col("sc.score")).cast("long").as("theta"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // pass 2 — essential classification (panel-sized driver work)
+    val essentialPairs: Seq[(Long, String)] = panel.flatMap { case (pid, terms) =>
+      val ts0 = terms.distinct
+      thetaOf.get(pid) match {
+        case None => ts0.map(t => (pid, t))
+        case Some(theta) =>
+          val asc = ts0.sortBy(t => (ub(t), t))
+          val cums = asc.scanLeft(0L)((a, t) => a + ub(t)).tail
+          val nonEss = asc.zip(cums).takeWhile(_._2 < theta).map(_._1).toSet
+          ts0.filterNot(nonEss).map(t => (pid, t))
+      }
+    }
+    // pass 3 — survivors (docs carrying ≥1 essential term) score exactly
+    val essDf = spark.createDataFrame(essentialPairs).toDF("probe_id", "term")
+    val survivors = scored.select("term", "doc_id")
+      .join(broadcast(essDf), Seq("term"))
+      .select("probe_id", "doc_id").distinct()
+    rankedBatchTail(exactScores(survivors), k)
+  }
+
+  /** Per-term impact-bound metadata (max tf, min dl) across every
+    * committed batch — monotone merges (max of maxes, min of mins), so
+    * the union dominates each batch's postings; tombstoned postings only
+    * SHRINK the live set, so stale bounds stay valid upper bounds until
+    * [[compact]] tightens them. Vocabulary-bounded collect (≤ q rows). */
+  private def impactBounds(terms: Seq[String]): Map[String, (Long, Int)] = {
+    val raw = spark.read.parquet(termstatsPath)
+    require(raw.columns.contains("max_tf") && raw.columns.contains("min_dl"),
+      s"TextIndex at $path has a pre-impact-bound `_termstats` sidecar — " +
+        "rebuild (or compact) to serve the bounded batch route")
+    val buckets = terms.map(bucketOf).distinct
+    raw.filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+  }
+
+  /** [[queryRankedBatch]] with the panel as a DATAFRAME — the keyword arm
+    * for a standing fleet BIGGER than a driver panel
+    * (`hybridServeIndexedBatchDF`): NOTHING probe-sized ever touches the
+    * driver. `panel` carries (probe_id LONG, terms ARRAY<STRING>); output
+    * and ranks are identical to [[queryRankedBatch]] probe for probe
+    * (spec-pinned, TextIndexSpec — idf on this route computes in-frame
+    * via Spark's `log`, which is the same StrictMath.log [[idfMapOf]]
+    * calls, so the quantized cq longs are bit-equal across routes).
+    *
+    * Scale shape: the (probe, term) pairs stay a FRAME (exploded once);
+    * the postings scan is still bucket-PARTITION-pruned (the distinct
+    * buckets of the panel's union terms are ≤ numBuckets — the one
+    * bounded collect) with the term filter as a vocabulary-bounded join;
+    * per-term live idf is a frame join, never a driver map; the
+    * postings×pairs fanout routes through
+    * [[CellRoute.keyedProbeJoin]] (broadcast under the ProbeJoin limit,
+    * salted shuffle_hash above it — a plain shuffle join on `term`
+    * collapses to ≤ |vocabulary| tasks exactly like the cell join did);
+    * and the per-probe cut is the same map-side [[graft.operators.GroupedTopK.topKRows]]
+    * tail, ≤ k × probes × tasks ANSWER rows through the exchange.
+    * Duplicate probe_id rows refuse loudly (one bounded aggregation over
+    * the panel — duplicated pairs would silently double shared terms' cq
+    * into the merged sum). */
+  def queryRankedBatchDF(panel: DataFrame, k: Int): DataFrame = {
+    require(panel.columns.contains("probe_id") && panel.columns.contains("terms"),
+      "queryRankedBatchDF needs (probe_id, terms) columns on the panel frame")
+    val (n, avgdl, ts) = liveCorpusStats()
+    val g = panel.agg(count(lit(1)).as("n"),
+      count_distinct(col("probe_id")).as("nd")).head()
+    require(g.getLong(0) == g.getLong(1),
+      s"panel frame has duplicate probe_id rows (${g.getLong(0)} rows, " +
+        s"${g.getLong(1)} distinct ids) — shared terms' contributions would " +
+        "silently double into one merged ranking")
+    val pairs = panel.select(col("probe_id"),
+      explode(array_distinct(col("terms"))).as("term"))
+    val bucketCol = pmod(TF.polyHash(col("term")), lit(numBuckets.toLong))
+    // ONE bounded pass over the pairs frame: the ≤ numBuckets distinct
+    // buckets (the collect that keeps the postings scan PARTITION-pruned —
+    // a join alone cannot prune directory listing), the vocabulary size
+    // (the keyedProbeJoin salt ceiling) and the pair count (its
+    // broadcast-vs-salt switch input)
+    val stat = pairs.agg(collect_set(bucketCol).as("bks"),
+      count_distinct(col("term")).as("nt"), count(lit(1)).as("np")).head()
+    val buckets = stat.getSeq[Long](0)
+    val nTerms = stat.getLong(1)
+    val pairRows = stat.getLong(2)
+    if (buckets.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "probe_id LONG, doc_id LONG, dl INT, bm25q DOUBLE, rank INT"))
+    val termsDf = pairs.select("term").distinct()
+    // live per-term idf AS A FRAME: summed committed df, the tombstone
+    // ddf correction, then the idfMapOf arithmetic op for op (long
+    // subtraction, then double) through Spark's StrictMath-backed log
+    val dfBase = spark.read.parquet(termstatsPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(termsDf.hint("broadcast"), Seq("term"), "left_semi")
+      .groupBy("term").agg(sum(col("df")).as("df"))
+    val prunedScan = spark.read.parquet(postingsPath)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(termsDf.hint("broadcast"), Seq("term"), "left_semi")
+    val dfLive = ts match {
+      case None => dfBase.withColumn("dfl", col("df"))
+      case Some(t) =>
+        val ddf = prunedScan
+          .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_semi")
+          .groupBy("term").agg(count(lit(1)).as("ddf"))
+        dfBase.join(ddf, Seq("term"), "left_outer")
+          .withColumn("dfl", col("df") - coalesce(col("ddf"), lit(0L)))
+    }
+    val idfDf = dfLive.select(col("term"),
+      log((lit(n.toDouble) - col("dfl").cast("double") + lit(0.5)) /
+        (col("dfl").cast("double") + lit(0.5)) + lit(1.0)).as("idf"))
+    val live = ts match {
+      case None => prunedScan
+      case Some(t) => prunedScan
+        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    }
+    // idf joins as a vocabulary-bounded frame (broadcast — it is never
+    // larger than the panel's distinct terms), cq is the shared tree
+    val scored = live.join(idfDf.hint("broadcast"), Seq("term"))
+      .withColumn("cq", cqExpr(col("idf"), avgdl))
+    val fanned = CellRoute.keyedProbeJoin(scored, pairs,
+      probeRows = pairRows, numKeys = math.max(1, nTerms.toInt),
+      key = "term", saltOn = col("doc_id"))
+    fanned
       .groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq"))
       .groupBy("probe_id")
       .agg(graft.operators.GroupedTopK.topKRows(k)(

@@ -92,6 +92,46 @@ class HybridIndexedSpec extends AnyFunSuite with SparkTest {
       SearchQueries.ShortlistK + SearchQueries.RagCosMargin) == depths)
   }
 
+  test("DF-probe batched hybrid serving == the Seq panel route probe for probe, depths routed through the frame") {
+    import graft.functions.{TextFunctions => TF}
+    val (tidx, vidx) = SearchQueries.hybridBuildIndexes(spark, sf0001)
+    def embOf(text: String): Array[Float] = {
+      import spark.implicits._
+      Seq(text).toDF("text")
+        .select(TF.hashEmbed(TF.tokens(col("text")), SearchQueries.EmbDim).as("e"))
+        .head().getSeq[Float](0).toArray
+    }
+    val panel = Seq(
+      201L -> Seq("vector", "merge", "window", "stream"),
+      202L -> Seq("stream", "shuffle", "encrypt"),
+      203L -> Seq("merge", "partition", "query")
+    ).map { case (pid, terms) => (pid, terms, embOf(terms.mkString(" "))) }
+    val depths = SearchQueries.hybridCalibrateBatch(vidx, panel)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toSeq
+    val seqRoute = rows(
+      SearchQueries.hybridServeIndexedBatch(spark, tidx, vidx, panel, depths))
+    // the persisted per-probe depth policy rides the frame's `depth`
+    // column — the panel never touches the driver on the serving path
+    val panelDf = spark.createDataFrame(panel.map { case (pid, terms, qe) =>
+        (pid, terms, qe.toSeq, depths(pid)) })
+      .toDF("probe_id", "terms", "qe", "depth")
+    val dfRoute = rows(
+      SearchQueries.hybridServeIndexedBatchDF(spark, tidx, vidx, panelDf,
+        useDepth = true))
+    assert(seqRoute.nonEmpty, "fixture sanity")
+    assert(dfRoute == seqRoute,
+      s"frame panel must serve the Seq panel's exact fusion\ndf:  $dfRoute\nseq: $seqRoute")
+    // depth-blind call (useDepth = false): full-depth probing was measured
+    // exact at calibration, so the fusion must not change — and a stray
+    // depth column must be IGNORED without the opt-in
+    val shallow = panelDf.withColumn("depth", lit(0))
+    assert(rows(SearchQueries.hybridServeIndexedBatchDF(
+        spark, tidx, vidx, shallow, useDepth = false)) == seqRoute,
+      "without useDepth the stray depth column must not change probing")
+  }
+
   test("build guard: a corpus with too few nonzero-norm docs refuses loudly") {
     // 17 real docs + 13 empty-text (zero-norm) docs: enough to seat the
     // 16 IVF centroids, but under ShortlistK=20 indexed docs — the exact

@@ -244,10 +244,14 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       idx.queryBatchDF(badDepth, 5, 4, useDepth = true).count())
     assert(eDepth.getMessage.contains("integral"))
     // duplicate probe_id rows REFUSE loudly — first(qe) group resolution
-    // would otherwise blend two probes' candidates into one merged top-k
-    val eDup = intercept[IllegalArgumentException](
+    // would otherwise blend two probes' candidates into one merged top-k.
+    // The guard rides inside the routing aggregate (assert_true — zero
+    // extra jobs), so the refusal surfaces as the job's runtime failure.
+    val eDup = intercept[Throwable](
       idx.queryBatchDF(probesDf.unionByName(probesDf.limit(1)), 5, 4).count())
-    assert(eDup.getMessage.contains("duplicate probe_id"))
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(eDup).contains("duplicate probe_id"))
     // an EMPTY probe frame answers empty (an upstream filter may leave
     // none), never an NPE from the depth aggregate over zero rows
     assert(idx.queryBatchDF(probesDf.filter(lit(false)), 5, 4,

@@ -556,4 +556,87 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     intercept[IllegalArgumentException](
       idx.highlight(Seq("table"), k = 5, window = 8))
   }
+
+  test("queryRankedBatchDF == queryRankedBatch probe for probe: fresh, after deletes, and on the salted join route") {
+    val idx = freshIndex()
+    val panel: Seq[(Long, Seq[String])] = Seq(
+      11L -> SearchQueries.QueryTerms,
+      12L -> Seq("stream", "shuffle", "encrypt"),
+      13L -> Seq("merge", "partition", "query"),
+      14L -> Seq("vector", "stream")) // overlaps both 11 and 12
+    val panelDf = spark.createDataFrame(panel).toDF("probe_id", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue, r.getDouble(3), r.getInt(4)))
+        .toSeq.sortBy(t => (t._1, t._5))
+    def seqRoute() = rows(idx.queryRankedBatch(panel, 10))
+    def dfRoute() = rows(idx.queryRankedBatchDF(panelDf, 10))
+    // fresh index: the frame route's in-frame idf (Spark's StrictMath log)
+    // must reproduce the driver-map route's quantized ranking exactly
+    val fresh = seqRoute()
+    assert(fresh.nonEmpty, "fixture sanity")
+    assert(dfRoute() == fresh,
+      "frame route must serve the Seq route's exact ranked answers")
+    // ... and per probe it is queryRanked's own answer
+    panel.foreach { case (pid, terms) =>
+      val solo = idx.queryRanked(terms, 10).collect()
+        .map(r => (r.getLong(0), r.getAs[Number](1).longValue,
+          r.getDouble(2), r.getInt(3))).toSeq
+      assert(fresh.filter(_._1 == pid).map(t => (t._2, t._3, t._4, t._5)) == solo,
+        s"probe $pid: batch ranks must equal queryRanked")
+    }
+    // tombstones correct idf/df/stats identically on both routes
+    val dead = fresh.head._2
+    idx.delete(Seq(dead))
+    val afterDelete = seqRoute()
+    assert(!afterDelete.exists(_._2 == dead))
+    assert(dfRoute() == afterDelete,
+      "frame route must apply the tombstone corrections the Seq route does")
+    // the salted keyedProbeJoin route (pairs past the broadcast limit)
+    // must be answer-identical to the broadcast route
+    spark.conf.set(graft.operators.ProbeJoin.LimitKey, "1")
+    try assert(dfRoute() == afterDelete,
+      "salted term join must serve the broadcast route's exact answers")
+    finally spark.conf.unset(graft.operators.ProbeJoin.LimitKey)
+    // duplicate probe_id rows refuse loudly — duplicated (probe, term)
+    // pairs would silently double shared terms' contributions
+    val eDup = intercept[IllegalArgumentException](
+      idx.queryRankedBatchDF(panelDf.unionByName(panelDf.limit(1)), 10).count())
+    assert(eDup.getMessage.contains("duplicate probe_id"))
+  }
+
+  test("queryRankedBatchBounded == queryRankedBatch: fresh, tiny-k, k past the corpus, and after deletes") {
+    val idx = freshIndex()
+    val panel: Seq[(Long, Seq[String])] = Seq(
+      21L -> SearchQueries.QueryTerms,
+      22L -> Seq("stream", "shuffle", "encrypt"),
+      23L -> Seq("merge", "partition", "query"),
+      24L -> Seq("vector")) // single-term probe: rarest == only term
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue, r.getDouble(3), r.getInt(4)))
+        .toSeq.sortBy(t => (t._1, t._5))
+    // k = 1 maximizes θ (tightest pruning) — the case most likely to
+    // over-prune if a bound is wrong; k = 10 is the serving shape; a k
+    // past every matching doc count disables θ (no k-th candidate) and
+    // must degenerate to the exact shape
+    for (k <- Seq(1, 10, 100000)) {
+      val plain = rows(idx.queryRankedBatch(panel, k))
+      assert(rows(idx.queryRankedBatchBounded(panel, k)) == plain,
+        s"bounded route must serve the exact ranking at k=$k")
+      if (k == 10) assert(plain.nonEmpty, "fixture sanity")
+    }
+    // tombstones shift idf/df/avgdl; stale impact bounds must stay UPPER
+    // bounds (the live set only shrank) and the answers stay exact
+    val dead = rows(idx.queryRankedBatch(panel, 10)).head._2
+    idx.delete(Seq(dead))
+    val after = rows(idx.queryRankedBatch(panel, 10))
+    assert(!after.exists(_._2 == dead))
+    assert(rows(idx.queryRankedBatchBounded(panel, 10)) == after,
+      "bounded route must apply tombstone corrections exactly")
+    // ... and after compact (bounds recomputed from the purged postings)
+    idx.compact()
+    assert(rows(idx.queryRankedBatchBounded(panel, 10)) == after,
+      "bounded route must serve identically from the compacted generation")
+  }
 }
