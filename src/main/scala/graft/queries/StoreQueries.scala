@@ -243,6 +243,82 @@ object StoreQueries {
            |       round($dist, 6) AS dist
            |FROM embeddings e CROSS JOIN probe
            |ORDER BY $dist ASC, CAST(e.vec_id AS VARCHAR) ASC LIMIT 5""".stripMargin
+      }),
+
+    // Graph serving over an AES-GCM encrypted corpus (r13): q_ann_graph_
+    // search's exact recipe — same 2-table LSH kNN graph, same beam/hops/
+    // entries — but the corpus is CIPHERTEXT at rest and the shared walk
+    // ([[graft.store.GraphWalk]]) decrypts only the frontier's fresh nodes
+    // per hop plus the k answer docs. The oracle replays the identical
+    // build+walk from plaintext (the recursive-CTE walk), so the hash
+    // equality proves the encrypted walk changes WHERE the bytes live,
+    // never the answer — the reference's defense motive
+    // (/root/reference/src/cyborgdb_store.py:1-2) on the graph family.
+    Q(
+      "q_encrypt_graph",
+      "beam search over an AES-GCM encrypted corpus: per-hop bounded decrypts, plaintext-walk answers",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"),
+            concat(lit("doc for vector "), col("vec_id")).as("doc"),
+            col("embedding").as("emb"))
+        val qe: Array[Float] = e.filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val eg = new graft.store.EncryptedGraph(
+          s, graft.store.Scratch.dir("graft_encg"), TestKey)
+        eg.build(corpus, k = 4,
+          Seq(AnnQueries.lshBucketFn(0), AnnQueries.lshBucketFn(200)),
+          refineRounds = 0)
+        eg.queryBatch(Seq(0L -> qe), topK = 5, beamWidth = 4, hops = 3,
+            entries = Seq(1L, 2L), includeDoc = true)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"),
+            col("doc"))
+          .orderBy(asc("dist"), asc("vec_id"))
+      },
+      Some {
+        val dEdge = OracleSql.l2Sq("a.embedding", "b.embedding")
+        val dQ = OracleSql.l2Sq("c.embedding", "probe.qe")
+        s"""WITH RECURSIVE
+           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+           |sigs AS (
+           |  SELECT vec_id, embedding,
+           |         ${AnnQueries.bucketSqlOff("embedding", 0)} AS b0,
+           |         ${AnnQueries.bucketSqlOff("embedding", 200)} AS b1
+           |  FROM embeddings WHERE vec_id <> 0),
+           |cand AS (
+           |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
+           |  FROM sigs a JOIN sigs b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+           |  UNION ALL
+           |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
+           |  FROM sigs a JOIN sigs b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id),
+           |edges AS (SELECT src, dst, min(dist) AS dist FROM cand GROUP BY src, dst),
+           |graph AS (
+           |  SELECT src, dst FROM (
+           |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+           |    FROM edges) WHERE rn <= 4),
+           |dists AS (
+           |  SELECT c.vec_id, $dQ AS dist FROM embeddings c CROSS JOIN probe WHERE c.vec_id <> 0),
+           |walk AS (
+           |  SELECT 0 AS hop, [CAST(1 AS BIGINT), CAST(2 AS BIGINT)] AS visited
+           |  UNION ALL
+           |  SELECT s.hop + 1, w.visited
+           |  FROM walk s, LATERAL (
+           |    SELECT list_sort(list_distinct(s.visited || coalesce((
+           |      SELECT list(DISTINCT g.dst)
+           |      FROM graph g
+           |      WHERE NOT list_contains(s.visited, g.dst)
+           |        AND g.src IN (SELECT d.vec_id FROM dists d
+           |                      WHERE list_contains(s.visited, d.vec_id)
+           |                      ORDER BY d.dist, d.vec_id LIMIT 4)
+           |    ), []))) AS visited
+           |  ) w
+           |  WHERE s.hop < 3)
+           |SELECT d.vec_id, round(d.dist, 6) AS dist,
+           |       'doc for vector ' || d.vec_id AS doc
+           |FROM dists d, (SELECT visited FROM walk WHERE hop = 3) f
+           |WHERE list_contains(f.visited, d.vec_id)
+           |ORDER BY d.dist, d.vec_id LIMIT 5""".stripMargin
       })
   )
 }

@@ -246,7 +246,8 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * sidecar costs one training pass at build and dim+pqM·256 rows of
     * metadata forever. */
   def build(input: DataFrame, refineRounds: Int = 1,
-            codes: String = "sq8", pqM: Int = 8): Unit =
+            codes: String = "sq8", pqM: Int = 8,
+            symmetric: Boolean = false): Unit =
       WriterLease.withLease(path, "GraphIndex.build") {
     require(codes == "sq8" || codes == "pq", s"codes must be sq8 or pq, got $codes")
     val v = input.persist()
@@ -254,6 +255,20 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val ve = v.select(col("id"), col("emb"))
       var g = KnnGraph.build(ve, bucketFns, k)
       (0 until refineRounds).foreach(_ => g = KnnGraph.refine(g, ve, k))
+      // NSW-style bidirectional wiring (opt-in): a DIRECTED kNN graph
+      // leaves low-in-degree nodes unreachable from the entry points —
+      // every node picks k out-neighbors, but nothing guarantees anyone
+      // picks IT (measured on a chunk corpus with duplicate cliques: 2 of
+      // 281 nodes had out-edges only, and no beam width or hop count could
+      // ever reach them). Adding each edge's reverse caps degree at 2k and
+      // makes every edge-bearing node in-reachable — what HNSW's insert
+      // discipline (bidirectional connect) gives incrementally, applied to
+      // the batch build. AFTER refine: a refine round re-cuts each src to
+      // top-k and would undo the symmetrization.
+      if (symmetric)
+        g = g.select(col("src"), col("dst"), col("dist"))
+          .unionByName(g.select(col("dst").as("src"), col("src").as("dst"), col("dist")))
+          .groupBy("src", "dst").agg(min(col("dist")).as("dist"))
       // SQ8 quantizer sidecar, frozen until the next rebuild (the
       // IvfIndex discipline): per-dim (min, max) over the build input —
       // dim rows of driver metadata. Inserted vectors later encode
@@ -377,20 +392,8 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
   /** Medoids of `numEntries` deterministically-trained k-means cells:
     * farthest-first seeds + quantized Lloyd (bit-reproducible), then one
     * window picks each cell's closest vector. */
-  private def trainEntryPoints(ve: DataFrame): DataFrame = {
-    val kE = math.min(numEntries.toLong, ve.count()).toInt
-    val seeds = KMeans.farthestFirstSeeds(ve, "id", "emb", kE)
-    val cents = KMeans.trainQuantized(ve, "id", "emb", kE, IvfIndex.TrainIters, Some(seeds))
-    val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
-      .toDF("cell", "cemb")
-    val w = Window.partitionBy("cell").orderBy(asc("d"), asc("id"))
-    ve.withColumn("cell", VF.nearestCentroid(col("emb"), cents))
-      .join(broadcast(centDf), "cell")
-      .withColumn("d", VF.l2Sq(col("emb"), col("cemb").cast("array<float>")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("cell"), col("id"))
-  }
+  private def trainEntryPoints(ve: DataFrame): DataFrame =
+    GraphWalk.medoidEntries(spark, ve, numEntries)
 
   /** Eligibility fetch for a metadata-filtered query: BOTH the predicate
     * and the candidate-id In-filter reach the parquet vector scan
@@ -440,59 +443,13 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
                  hops: Int, entries: Seq[Long] = Seq.empty,
                  where: Option[Column] = None,
                  beamOf: Map[Long, Int] = Map.empty): DataFrame = {
-    require(probes.nonEmpty, "queryBatch needs at least one probe")
-    require(probes.map(_._1).distinct.length == probes.length,
-      "probe ids must be unique")
     val starts = (if (entries.nonEmpty) entries else defaultEntries()).distinct.sorted
-    val g = graph
-    val v = vectors
-    val probeDf = broadcast(
-      spark.createDataFrame(probes.map { case (pid, qe) => (pid, qe.toSeq) })
-        .toDF("probe_id", "qe"))
-    val visited = scala.collection.mutable.HashMap[Long, scala.collection.mutable.HashMap[Long, Double]]()
-    probes.foreach { case (pid, _) => visited(pid) = scala.collection.mutable.HashMap() }
-    def score(pairs: Seq[(Long, Long)]): Unit = if (pairs.nonEmpty) {
-      val ids = pairs.map(_._2).distinct.sorted
-      val pairDf = broadcast(spark.createDataFrame(pairs).toDF("probe_id", "id"))
-      v.filter(col("id").isin(ids: _*))
-        .join(pairDf, "id")
-        .join(probeDf, "probe_id")
-        .select(col("probe_id"), col("id"),
-          VF.l2Sq(col("emb"), col("qe").cast("array<float>")).as("dist"))
-        .collect()
-        .foreach(r => visited(r.getLong(0))(r.getLong(1)) = r.getDouble(2))
-    }
-    score(for { (pid, _) <- probes; e <- starts } yield (pid, e))
-    var hop = 0
-    var open = true
-    while (hop < hops && open) {
-      val beams = probes.map { case (pid, _) =>
-        pid -> visited(pid).toSeq.sortBy { case (id, d) => (d, id) }
-          .take(beamOf.getOrElse(pid, beamWidth)).map(_._1)
-      }
-      val allSrcs = beams.flatMap(_._2).distinct.sorted
-      val adj: Map[Long, Seq[Long]] =
-        if (allSrcs.isEmpty) Map.empty
-        else g.filter(col("src").isin(allSrcs: _*)).select("src", "dst").collect()
-          .groupBy(_.getLong(0)).map { case (s, rows) => s -> rows.map(_.getLong(1)).toSeq }
-      val fresh = for {
-        (pid, beam) <- beams
-        id <- beam.flatMap(adj.getOrElse(_, Seq.empty)).distinct
-        if !visited(pid).contains(id)
-      } yield (pid, id)
-      open = fresh.nonEmpty
-      score(fresh)
-      hop += 1
-    }
-    val ok = eligible(visited.valuesIterator.flatMap(_.keysIterator).toSeq.distinct, where)
-    val out = for {
-      (pid, _) <- probes
-      ((id, d), i) <- visited(pid).toSeq
-        .filter { case (id, _) => ok(id) }
-        .sortBy { case (id, d) => (d, id) }.take(topK).zipWithIndex
-    } yield (pid, id, d, i + 1)
-    import spark.implicits._
-    out.toDF("probe_id", "id", "dist", "rn")
+    // the walk schedule itself is the SHARED [[GraphWalk.batch]] — the
+    // encrypted twin runs the identical code over decrypt-on-read vectors,
+    // so plaintext/encrypted parity holds by construction
+    GraphWalk.batch(spark, graph, vectors.select(col("id"), col("emb")),
+      probes, topK, beamWidth, hops, starts, beamOf,
+      ids => eligible(ids, where))
   }
 
   /** [[queryBatch]] with the probes as a DATAFRAME and the walk state as
@@ -512,9 +469,12 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     *     its per-hop driver collect), deduped and anti-joined against
     *     visited;
     *  3. fresh nodes score through one equi-join against the live
-    *     vectors, and the visited frame grows as a UNION of per-hop
-    *     localCheckpoint'd frames (each hop materializes only its own
-    *     fresh rows; lineage stays hop-bounded).
+    *     vectors IN THE SAME fused pass that discovers them — a hop is
+    *     one lazy plan with zero jobs of its own; the visited frame
+    *     materializes once per SEGMENT of a few hops (localCheckpoint +
+    *     one cached count that doubles as the early stop), so the
+    *     per-hop job constant is ~1/3 of the per-hop-checkpoint
+    *     formulation while lineage stays segment-bounded.
     *
     * The walk schedule is the SAME definition the driver walk runs (entry
     * admission, (dist, id) beam selection, frontier-empty early stop), so
@@ -569,6 +529,22 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         .select(col("probe_id"), col("id"),
           VF.l2Sq(col("emb"), col("qe")).as("dist"))
         .localCheckpoint()
+      // Per-hop constant (the r12 §8.3 finding — frames 2-3× the driver
+      // walk's wall-clock at fixture scale): each hop used to pay its own
+      // localCheckpoint + isEmpty JOBS. Now a hop is one LAZY fused plan
+      // (beam cut → edge expansion → dedupe → anti-join → score in a
+      // single pass) that only persist()s — no job — and the walk
+      // materializes once per SEGMENT of CkptEvery hops: one checkpoint +
+      // one cached count, with the early stop decided from the segment's
+      // growth (a dead frontier expands to already-visited nodes only, so
+      // extra intra-segment hops add zero rows and the answers stay
+      // ≡ the driver walk hop for hop — GraphIndexSpec). persist() makes
+      // the intra-segment self-references (next hop's beam AND anti-join
+      // both read this hop's fresh rows) compute-once instead of
+      // re-deriving the subplan per reference.
+      val CkptEvery = 3
+      var segmentDeltas = List.empty[org.apache.spark.sql.DataFrame]
+      var prevCount = -1L
       var hop = 0
       var open = true
       while (hop < hops && open) {
@@ -587,13 +563,19 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
           .join(p.select("probe_id", "qe"), Seq("probe_id"))
           .select(col("probe_id"), col("id"),
             VF.l2Sq(col("emb"), col("qe")).as("dist"))
-          .localCheckpoint()
-        open = !scored.isEmpty
-        // visited stays a UNION of per-hop checkpointed frames — lineage
-        // is hop-bounded without re-materializing the whole visited set
-        // every hop (each hop pays one checkpoint: its own fresh rows)
-        if (open) visited = visited.unionByName(scored)
+          .persist()
+        segmentDeltas ::= scored
+        visited = visited.unionByName(scored)
         hop += 1
+        if (hop % CkptEvery == 0 || hop == hops) {
+          val v2 = visited.localCheckpoint()
+          val c = v2.count() // cached blocks — no recompute
+          segmentDeltas.foreach(_.unpersist(): Unit)
+          segmentDeltas = Nil
+          open = c != prevCount
+          prevCount = c
+          visited = v2
+        }
       }
       // eligibility restricts the ANSWER SET of the unfiltered walk's
       // visited pool (the [[query]]/`eligible` convention), pushed to the
@@ -1308,6 +1290,19 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
 
   private def beamsPath = s"$path/_beams"
 
+  /** Publish identity for the POLICY fence — [[StoreIO.treeFp]] over every
+    * data/sidecar tree plus the replay fence, NOT [[hotKey]]: hotKey
+    * fingerprints sidecars by directory mtime (millisecond ticks), so a
+    * rebuild that rewrites vecPath/graphPath without changing epoch dir
+    * names could alias within one tick and leave a stale policy reading
+    * fresh. treeFp walks part FILENAMES (per-write UUIDs) + sizes, so a
+    * same-tick republish always flips the fingerprint — the discipline
+    * the encrypted depth-policy fence (`encContentFp`,
+    * VectorStore.scala) was built on. Driver-side metadata walk only. */
+  private def policyKey(): String =
+    Seq(vecPath, graphPath, entriesPath, sq8Path, pqPath, tombstonePath)
+      .map(StoreIO.treeFp).mkString("|") + s"|${tombstoneHwm()}"
+
   /** Panel identity for the policy sidecar — the
     * [[IvfIndex.persistDepthPolicy]] fingerprint discipline, widened to
     * the knobs a beam policy is ALSO a statement about: (k, hops, the
@@ -1315,13 +1310,8 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * order-independent. Beams measured at other hops, another ladder, or
     * for other probes guarantee nothing. */
   private def beamPanelFp(panel: Seq[(Long, Array[Float])], k: Int,
-                          ladder: Seq[Int], hops: Int): Long = {
-    val knobs = ladder.distinct.sorted
-      .foldLeft(k.toLong * 1000003L + hops)((a, b) => a * 31L + b)
-    panel.map { case (pid, pe) =>
-      pid * 1000003L + java.util.Arrays.hashCode(pe).toLong
-    }.sorted.foldLeft(knobs)((acc, h) => acc * 6364136223846793005L + h)
-  }
+                          ladder: Seq[Int], hops: Int): Long =
+    GraphWalk.beamPanelFp(panel, k, ladder, hops)
 
   /** Calibrate [[exactBeams]] for a STANDING probe panel and persist the
     * map as a `_beams` sidecar beside the graph — the graph twin of
@@ -1329,8 +1319,8 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * serving artifact: a server process reopening the path serves the
     * panel at the committed per-probe widths with zero calibration jobs.
     * The sidecar records the panel+knob fingerprint AND the publish
-    * fingerprint ([[hotKey]] — epochs, tombstones, the replay fence,
-    * sidecar mtimes), so [[beamPolicy]] can FENCE staleness: every
+    * fingerprint ([[policyKey]] — a treeFp walk of every data/sidecar
+    * tree plus the replay fence), so [[beamPolicy]] can FENCE staleness: every
     * [[insert]]/[[deleteBatch]]/[[compact]]/[[build]] commit sweeps the
     * policy stale (beam widths measured on the old graph carry no recall
     * evidence on the new one — the honesty caveat is sharper here than on
@@ -1347,7 +1337,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         "precomputed beams must cover exactly the panel's probe ids")
       val rows = spark.createDataFrame(beams.toSeq).toDF("pid", "beam")
       val meta = spark.createDataFrame(
-          Seq((beamPanelFp(panel, k, ladder, hops), hotKey())))
+          Seq((beamPanelFp(panel, k, ladder, hops), policyKey())))
         .toDF("panel_fp", "data_fp")
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"${beamsPath}__stage", beamsPath, st => {
@@ -1370,7 +1360,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       return IvfIndex.PolicyAbsent
     val m = spark.read.parquet(s"$beamsPath/meta").head()
     if (m.getLong(0) != beamPanelFp(panel, k, ladder, hops)) IvfIndex.PolicyAbsent
-    else if (m.getString(1) == hotKey()) IvfIndex.PolicyFresh
+    else if (m.getString(1) == policyKey()) IvfIndex.PolicyFresh
     else IvfIndex.PolicyStale
   }
 
@@ -1460,7 +1450,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     * inserts (the streaming-maintenance shape); `walkChunk` bounds
     * driver state by walking at most that many probes at a time. */
   def insert(batch: DataFrame, beamWidth: Int = 8, hops: Int = 4,
-             walkChunk: Int = 4096): Unit =
+             walkChunk: Int = 4096, symmetric: Boolean = false): Unit =
       WriterLease.withLease(path, "GraphIndex.insert") {
     val oldV = vectors
     // replay/overlap safety: ids already indexed are skipped (the same
@@ -1520,20 +1510,53 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val w = Window.partitionBy("src").orderBy(asc("dist"), asc("dst"))
       val proposals = newEdges.select(
         col("dst").as("src"), col("src").as("dst"), col("dist"))
+      val walkedAll = walked.reduce(_ unionByName _)
+      // symmetric mode adopts through the RAW walk edges too — their old
+      // dsts must join the touched set, or the adoption union below would
+      // become those srcs' COMPLETE epoch set and wipe their other edges
       val touched = proposals.select("src")
-        .unionByName(newEdges.select("src")).distinct()
+        .unionByName(newEdges.select("src"))
+        .unionByName(
+          if (symmetric) walkedAll.select(col("dst").as("src"))
+          else newEdges.select("src").limit(0))
+        .distinct()
       // current edges of touched srcs only: the semi-join (broadcast — the
       // touched set is batch-bounded) keeps WHOLE src groups from the raw
       // epoch tree, so resolving after the restriction is exact
       val current = stripSentinel(resolveLatest(
         rawGraph.join(broadcast(touched), Seq("src"), "left_semi")))
-      val refreshed = current
-        .unionByName(proposals)
-        .unionByName(newEdges)
-        .groupBy("src", "dst").agg(min("dist").as("dist"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= k)
-        .select("src", "dst", "dist")
+      // SYMMETRIC adoption (opt-in — the [[build]] `symmetric` twin): the
+      // competitive top-k cut can REJECT every reverse proposal for a new
+      // node (a tied duplicate clique loses the asc-dst tie-break
+      // everywhere; a dense region's old nodes already hold k closer
+      // edges), leaving the whole inserted clique in-UNREACHABLE — its
+      // intra dist-0 edges crowd the walk edges out of its own out-cut
+      // too. Symmetric mode guarantees adoption instead: every new→old
+      // edge (the out-cut's AND the raw walk's — the walk-nearest old
+      // node adopts even when intra edges crowded it out of the new
+      // node's own set) lands REVERSED and UNCUT, and existing nodes'
+      // edge sets are NEVER re-cut (a re-cut could evict a previous
+      // wave's adoption edge and re-orphan its node). Degree grows past k
+      // on adopting nodes — the NSW bidirectional-link trade; the walk
+      // reads variable degree fine and [[compact]] folds epochs without
+      // pruning edges.
+      val refreshed =
+        if (!symmetric)
+          current
+            .unionByName(proposals)
+            .unionByName(newEdges)
+            .groupBy("src", "dst").agg(min("dist").as("dist"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") <= k)
+            .select("src", "dst", "dist")
+        else
+          current
+            .unionByName(newEdges)
+            .unionByName(newEdges.select(
+              col("dst").as("src"), col("src").as("dst"), col("dist")))
+            .unionByName(walkedAll.select(
+              col("dst").as("src"), col("src").as("dst"), col("dist")))
+            .groupBy("src", "dst").agg(min("dist").as("dist"))
       // the delta stages live OUTSIDE the partitioned trees (see
       // StoreIO.Staged) and an insert deletes nothing — the commit only
       // ADDS the two epoch dirs, together or not at all
