@@ -65,12 +65,34 @@ object TrainingDay {
       .select("doc_id").distinct()
   }
 
+  /** Deterministic LSH hyperplane for the graph arm's bucketing —
+    * [[graft.queries.AnnQueries.plane]]'s recipe generalized to the day's
+    * `dim` (scramble32(p·dim+d) reduced to [-1, 1]). */
+  private def planeOf(p: Int, dim: Int): Seq[Float] =
+    Seq.tabulate(dim) { d =>
+      val h = ((p.toLong * dim + d) * 2654435761L) % 4294967296L
+      (((h % 2001) - 1000).toDouble / 1000.0).toFloat
+    }
+
+  private def bucketFn(off: Int, dim: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    e => (0 until 6).map { p =>
+      when(VF.dot(e, typedlit(planeOf(off + p, dim))) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Run the day. `waves` are (doc_id, text[, lang, source, n_chars])
     * frames with globally-unique doc_ids; wave 0 is the pre-day corpus
-    * the index builds over (curated through the SAME gate). `onWave(i, index,
-    * curatedSoFar)` fires after each wave's maintenance checkpoint (and
-    * once more after the close-of-day compaction with `i = waves.length`)
-    * — the spec's serving-exactness hook. Returns the index (policy
+    * the indexes build over (curated through the SAME gate). `onWave(i,
+    * index, graphIndex, curatedSoFar)` fires after each wave's maintenance
+    * checkpoint (and once more after the close-of-day compaction with
+    * `i = waves.length`) — the spec's serving-exactness hook. BOTH serving
+    * families maintain under the same day (r13): the IVF chunk index
+    * through the streamed maintenance with its `_depths` write-through,
+    * and a [[graft.store.GraphIndex]] through per-wave [[graft.store.GraphIndex.insert]]
+    * + close-of-day [[graft.store.GraphIndex.deleteBatch]] (tombstone +
+    * in-neighbor repair), each mutation re-persisting the `_beams` policy
+    * the mutation just fenced stale — so policy-routed serving is exact at
+    * every checkpoint on both arms. Returns both indexes (policies
     * committed and FRESH for `standingProbes` at `standingK`), the final
     * curated survivor documents, and the [[DayReport]]. */
   def run(spark: SparkSession,
@@ -78,7 +100,15 @@ object TrainingDay {
           benchGrams: Array[Long], minQuality: Double, lateness: String,
           standingProbes: Seq[(Long, Array[Float])], standingK: Int,
           numCells: Int, window: Int, stride: Int, dim: Int,
-          onWave: (Int, graft.store.IvfIndex, DataFrame) => Unit = (_, _, _) => ()): (graft.store.IvfIndex, DataFrame, DayReport) = {
+          // the graph arm's knobs: a DENSER graph than the serving default
+          // (chunk embeddings carry heavy duplicate/tie cliques — stride
+          // windows repeat text — and a sparse graph cannot recall a tied
+          // boundary's exact ids), its own serving k (a graph panel's
+          // contract, independent of the IVF arm's shortlist), and a
+          // ladder wide enough for the calibration to measure exactness
+          graphK: Int = 12, graphServeK: Int = 5, graphHops: Int = 6,
+          graphLadder: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+          onWave: (Int, graft.store.IvfIndex, graft.store.GraphIndex, DataFrame) => Unit = (_, _, _, _) => ()): (graft.store.IvfIndex, graft.store.GraphIndex, DataFrame, DayReport) = {
     require(waves.nonEmpty, "a day needs at least one wave")
     require(standingProbes.nonEmpty && standingK >= 1,
       "the day serves a standing panel — probes and the serving k are required")
@@ -102,6 +132,17 @@ object TrainingDay {
       graft.operators.Percolate.chunkEmbed(d.select("doc_id", "text"),
           window, stride, dim)
         .filter(VF.norm(col("emb")) > 0)
+        // loud pack-overflow guard: the close-of-day deleteBatch keys
+        // tombstones by this packed id, so a doc_id >= 2^43 or a document
+        // yielding >= 2^20 chunks would silently alias ANOTHER document's
+        // chunk ids and tombstone the wrong live chunks — refuse instead
+        .filter(isnull(assert_true(
+          col("doc_id") >= 0 && col("doc_id") < lit(1L << 43) &&
+            col("chunk_id") < lit(1L << 20),
+          concat(lit("chunk id packing overflow: doc_id="),
+            col("doc_id").cast("string"),
+            lit(" chunk_id="), col("chunk_id").cast("string"),
+            lit(" — shiftleft(doc_id,20)+chunk_id would alias another document's chunks")))))
         .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"),
           col("emb"))
     // align every wave to the streamed gate's source schema + event time
@@ -133,21 +174,21 @@ object TrainingDay {
     var arrived = Vector.empty[Long]
     var acceptedCounts = Vector.empty[Long]
     var curated: DataFrame = null
-    def appendCurated(wave: DataFrame, toIngest: Boolean): Long = {
+    def appendCurated(wave: DataFrame, toIngest: Boolean): (DataFrame, Long) = {
       val acceptedIds = spark.read.parquet(gateOut).select("doc_id")
       val waveCurated = wave.join(acceptedIds, Seq("doc_id"), "left_semi")
       waveCurated.coalesce(1).write.mode("append").parquet(curatedDir)
       if (toIngest)
         waveCurated.coalesce(1).write.mode("append").parquet(ingestDir)
       curated = spark.read.parquet(curatedDir)
-      waveCurated.count()
+      (waveCurated, waveCurated.count())
     }
     // T0: the pre-day corpus curates through the same gate, then the
     // index builds over its chunks and the panel's policy commits
     val w0 = landRaw(waves.head)
     arrived :+= w0.count()
     timed("gate_wave0")(runGate())
-    acceptedCounts :+= appendCurated(w0, toIngest = false)
+    acceptedCounts :+= appendCurated(w0, toIngest = false)._2
     val idx = new graft.store.IvfIndex(spark, graft.store.Scratch.dir("day_idx"), numCells)
     // the ragBuildIndex training-cap discipline: k-means quality saturates
     // at ~512 rows/cell while full-input farthest-first seeding is
@@ -157,24 +198,46 @@ object TrainingDay {
     timed("index_build")(idx.build(keyedChunks(curated),
       trainSampleCap = math.max(numCells * 512L, 1L << 16)))
     timed("calibrate_persist")(idx.persistDepthPolicy(standingProbes, standingK))
-    onWave(0, idx, curated)
+    // the graph arm (r13): same chunk spine, the OTHER serving family —
+    // built once over wave 0, then maintained by per-wave inserts under
+    // the `_beams` fence (each mutation stales the policy; the day
+    // re-persists in the same stage, so serving never routes stale)
+    val gidx = new graft.store.GraphIndex(spark,
+      graft.store.Scratch.dir("day_gidx"), graphK,
+      Seq(bucketFn(0, dim), bucketFn(200, dim)), numEntries = 8)
+    // symmetric wiring: chunk corpora carry duplicate cliques whose
+    // directed kNN edges can leave exact-top-k ids in-unreachable — the
+    // day's exactness contract needs every edge-bearing node reachable
+    timed("graph_build")(gidx.build(keyedChunks(curated), symmetric = true))
+    timed("graph_calibrate_persist")(
+      gidx.persistBeamPolicy(standingProbes, graphServeK, ladder = graphLadder, hops = graphHops))
+    onWave(0, idx, gidx, curated)
     // the day's ingest waves: gate stream resumes its checkpoint, the
     // maintenance stream appends chunks + writes the policy through
     waves.toIndexedSeq.zipWithIndex.drop(1).foreach { case (wave, i) =>
       val w = landRaw(wave)
       arrived :+= w.count()
       timed(s"gate_wave$i")(runGate())
-      acceptedCounts :+= appendCurated(w, toIngest = true)
+      val waveCurated = appendCurated(w, toIngest = true)
+      acceptedCounts :+= waveCurated._2
       timed(s"maintain_wave$i")(
         StreamOps.maintainChunkIndex(spark, ingestDir, idx, window, stride, dim,
           chunkCkpt, recalibrateEvery = 1,
           standingProbes = standingProbes, standingK = standingK)
           .awaitTermination())
-      onWave(i, idx, curated)
+      // graph arm: HNSW-style incremental insert of the wave's chunks
+      // (search-then-connect over the existing graph — candidate cost
+      // O(hops · |wave| · beam · k), invariant in corpus size), then the
+      // fenced-stale beam policy re-persists
+      timed(s"graph_insert_wave$i")(
+        gidx.insert(keyedChunks(waveCurated._1), symmetric = true))
+      timed(s"graph_policy_wave$i")(
+        gidx.persistBeamPolicy(standingProbes, graphServeK, ladder = graphLadder, hops = graphHops))
+      onWave(i, idx, gidx, curated)
     }
     // close of day: the batch-side near-dup compaction — dropped docs'
-    // chunks tombstone out in ONE delete batch, then the policy
-    // re-persists (a delete stales it; serving must never route stale)
+    // chunks tombstone out in ONE delete batch per arm (the graph delete
+    // also repairs every in-neighbor), then both policies re-persist
     val (dropped, nDropped) = timed("neardup_gate") {
       val d = bandDropped(curated).persist()
       (d, d.count())
@@ -187,12 +250,20 @@ object TrainingDay {
         curated = curated.join(dropped, Seq("doc_id"), "left_anti")
           .localCheckpoint()
       }
+      timed("graph_delete") {
+        val dropDocs0 = spark.read.parquet(curatedDir)
+          .join(dropped, Seq("doc_id"), "left_semi")
+        gidx.deleteBatch(keyedChunks(dropDocs0).select("id"),
+          batchId = waves.length.toLong + 1000L)
+      }
       timed("recalibrate_persist")(idx.persistDepthPolicy(standingProbes, standingK))
+      timed("graph_recalibrate_persist")(
+        gidx.persistBeamPolicy(standingProbes, graphServeK, ladder = graphLadder, hops = graphHops))
     }
     dropped.unpersist()
-    onWave(waves.length, idx, curated)
+    onWave(waves.length, idx, gidx, curated)
     val liveChunks = idx.stats().liveRows
-    (idx, curated,
+    (idx, gidx, curated,
       DayReport(arrived, acceptedCounts, nDropped, liveChunks, timings.toSeq))
   }
 }

@@ -78,6 +78,7 @@ object Prof {
     case Some("r10") => r10(args.drop(1))
     case Some("r11") => r11(args.drop(1))
     case Some("r12") => r12(args.drop(1))
+    case Some("r13") => r13(args.drop(1))
     case Some("trainday") => trainday(args.drop(1))
     case Some("onnx") => onnx(args.drop(1))
     case Some("graphpq") => graphpq(args.drop(1))
@@ -325,8 +326,11 @@ object Prof {
     // rows whose payload is still ciphertext — plaintext-through-shuffle
     // is ZERO by construction.
     val cand = es.queryIndexedBatchWindowed("c", p256, Int.MaxValue, np).count()
+    // dim measured from the data, not assumed — a non-64-dim corpus must
+    // not silently misreport the exposure bytes
+    val embDim = e.select(size(col("embedding"))).head().getInt(0)
     println(s"PROF r12_enc_exchange_256 candidates=$cand answers=${k.toLong * 256} " +
-      s"ratio=${cand / (k.toLong * 256)}x plaintext_emb_bytes=${cand * 64L * 4L} $nTag")
+      s"ratio=${cand / (k.toLong * 256)}x plaintext_emb_bytes=${cand * embDim.toLong * 4L} $nTag")
     time("r12_enc_seq_agg_256", nTag)(noop(es.queryIndexedBatch("c", p256, k, np)))
     time("r12_enc_seq_win_256", nTag)(noop(es.queryIndexedBatchWindowed("c", p256, k, np)))
     for (p <- Seq(1024, 4096)) {
@@ -449,6 +453,137 @@ object Prof {
     s.stop()
   }
 
+  /** The r13 surfaces at stress scale — sections:
+    *   hybdf — the MaxScore-bounded batched kw arm vs the unbounded pass
+    *           (the r12 §8.3 worst case: 31-token vocabulary, every
+    *           standing term common), and the DF-probe hybrid route at
+    *           256/1024/4096 standing panels vs the Seq route;
+    *   gwalk — the segment-checkpoint frame walk vs the driver walk at
+    *           1024/4096/16384 probes (crossover re-measure);
+    *   encg  — EncryptedGraph build + batched serving with the decrypt
+    *           volume stated (fresh-frontier rows, never the corpus). */
+  private def r13(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/scale20")
+    val section = args.drop(1).headOption.getOrElse("all")
+    def want(tag: String) = section == "all" || section == tag
+    val s = session(32)
+    val sq = graft.queries.SearchQueries
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    if (want("hybdf")) {
+      val ndocs = s.read.parquet(s"$dir/documents.parquet").count()
+      val hTag = s"(docs=$ndocs)"
+      val (tidx, vidx) = time("r13_hyb_build", hTag)(sq.hybridBuildIndexes(s, dir))
+      val vocab = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").count().orderBy(desc("count"), asc("tok"))
+        .limit(64).collect().map(_.getString(0)).toSeq
+      val v = vocab.length
+      def termSeqs(p: Int) = (0 until p).map { i =>
+        (i.toLong + 1L, Seq(vocab(i % v), vocab((i * 7 + 1) % v),
+          vocab((i * 13 + 2) % v), vocab((i * 29 + 3) % v)).distinct)
+      }
+      // the kw arm ALONE, 256 standing panels over the worst-case common
+      // vocabulary: the unbounded union pass vs the MaxScore-bounded one
+      val ts256 = termSeqs(256)
+      time("r13_kw_unbounded_256", hTag)(
+        noop(tidx.queryRankedBatch(ts256, sq.ShortlistK)))
+      time("r13_kw_bounded_256", hTag)(
+        noop(tidx.queryRankedBatchBounded(ts256, sq.ShortlistK)))
+      // panels as FRAMES: the DF hybrid route at growing standing fleets
+      // (uniform depth 4 on both routes so serving cost, not per-probe
+      // calibration, is the measured number)
+      def embsOf(ts: Seq[(Long, Seq[String])]): Map[Long, Array[Float]] =
+        s.createDataFrame(ts.map { case (pid, t) => (pid, t.mkString(" ")) })
+          .toDF("pid", "text")
+          .select(col("pid"), TF.hashEmbed(TF.tokens(col("text")), sq.EmbDim).as("e"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val seq256 = {
+        val em = embsOf(ts256)
+        ts256.map { case (pid, t) => (pid, t, em(pid)) }
+      }
+      val d256 = ts256.map { case (pid, _) => pid -> 4 }.toMap
+      time("r13_hyb_seq_256", hTag)(
+        noop(sq.hybridServeIndexedBatch(s, tidx, vidx, seq256, d256)))
+      for (p <- Seq(256, 1024, 4096)) {
+        val ts = termSeqs(p)
+        val em = embsOf(ts)
+        val panelDf = s.createDataFrame(ts.map { case (pid, t) =>
+            (pid, t, em(pid).toSeq, 4) })
+          .toDF("probe_id", "terms", "qe", "depth").localCheckpoint()
+        time(s"r13_hyb_df_cold_$p", hTag)(
+          noop(sq.hybridServeIndexedBatchDF(s, tidx, vidx, panelDf, useDepth = true)))
+        time(s"r13_hyb_df_warm_$p", hTag)(
+          noop(sq.hybridServeIndexedBatchDF(s, tidx, vidx, panelDf, useDepth = true)))
+      }
+    }
+
+    if (want("gwalk")) {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
+      val nTag = s"(n=$n)"
+      val vectors = e.select(col("vec_id").as("id"), col("embedding").as("emb"))
+      val gvectors = vectors.select(col("id"),
+        expr("transform(emb, (x, i) -> CASE WHEN i = CAST(id % 64 AS INT) " +
+          "THEN x + CAST(id % 997 AS FLOAT) * CAST(1e-4 AS FLOAT) " +
+          "ELSE x END)").as("emb"))
+      val bits = scaledBits(n)
+      val gidx = new GraphIndex(s, graft.store.Scratch.dir("scale_r13_gw"), k = 8,
+        Seq(bucketFn(0, bits), bucketFn(200, bits)), numEntries = 8)
+      time("r13_gwalk_build", nTag)(gidx.build(gvectors))
+      val bigFrame = gvectors
+        .orderBy(xxhash64(col("id")), col("id")).limit(16384)
+        .select((col("id") + 1000000L).as("probe_id"), col("emb").as("qe"))
+        .localCheckpoint()
+      for (p <- Seq(1024, 4096, 16384)) {
+        val probesDf = bigFrame.orderBy("probe_id").limit(p).localCheckpoint()
+        time(s"r13_gwalk_df_$p", nTag)(
+          noop(gidx.queryBatchDF(probesDf, 5, beamWidth = 4, hops = 6)))
+        val panel = probesDf.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        time(s"r13_gwalk_driver_$p", nTag)(
+          noop(gidx.queryBatch(panel, 5, beamWidth = 4, hops = 6)))
+      }
+    }
+
+    if (want("encg")) {
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = e.count()
+      val nTag = s"(n=$n)"
+      val corpus = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          concat(lit("doc "), col("vec_id")).as("doc"),
+          col("embedding").as("emb"))
+      val bits = scaledBits(n)
+      val eg = new graft.store.EncryptedGraph(s,
+        graft.store.Scratch.dir("scale_r13_encg"), "0123456789abcdef")
+      time("r13_encg_build", nTag)(
+        eg.build(corpus, k = 8, Seq(bucketFn(0, bits), bucketFn(200, bits)),
+          numEntries = 8))
+      val pool = e.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(1024)
+        .collect().map(r => (r.getLong(0) + 1000000L,
+          r.getSeq[Float](1).toArray)).toSeq
+      for (p <- Seq(256, 1024)) {
+        time(s"r13_encg_serve_$p", nTag)(
+          noop(eg.queryBatch(pool.take(p), 5, beamWidth = 4, hops = 6)))
+      }
+      // decrypt volume, stated: the walk decrypts each hop's DISTINCT
+      // fresh ids once per scoring job — bounded by the visited set, a
+      // corpus-invariant function of hops × beam × degree, never n.
+      // topK = MaxValue returns the whole visited set: its (probe, id)
+      // pair count and distinct-id count ARE the exposure numbers.
+      val visited = eg.queryBatch(pool.take(256), Int.MaxValue,
+        beamWidth = 4, hops = 6)
+      val pairs = visited.count()
+      val ids = visited.select("id").distinct().count()
+      println(s"PROF r13_encg_decrypt_256 visited_pairs=$pairs " +
+        s"distinct_ids_decrypted<=$ids corpus=$n " +
+        f"(${100.0 * ids / n}%.2f%% of the corpus ever decrypts) $nTag")
+    }
+    s.stop()
+  }
+
   /** The composed "training-data day" ([[graft.streaming.TrainingDay]])
     * at stress scale — per-stage wall clock for the streamed curation
     * gate, the capped index build, the per-wave maintenance (chunk+embed+
@@ -473,7 +608,7 @@ object Prof {
     val probes = sq.ragProbePanel(s)
     val kk = sq.RagChunkK + sq.RagCosMargin
     val cells = math.min(512L, math.max(16L, n / 2560L)).toInt
-    val (idx, _, report) = graft.streaming.TrainingDay.run(s, waves,
+    val (idx, gidx, _, report) = graft.streaming.TrainingDay.run(s, waves,
       benchGrams, minQuality = 0.50, lateness = "10 minutes",
       standingProbes = probes, standingK = kk,
       numCells = cells, window = sq.RagWindow, stride = sq.RagStride,
@@ -486,6 +621,13 @@ object Prof {
       s"dropped=${report.nearDupDropped} chunks=${report.liveChunks} $nTag")
     time("trainday_serve", nTag)(
       sq.ragServePersisted(s, idx)
+        .write.format("noop").mode("overwrite").save())
+    // the graph arm's policy-routed serve (r13): the walk's own wall
+    // clock at the day's standing panel — must stay ~flat like the IVF
+    // serve (beam-bounded point reads, never corpus scans)
+    time("trainday_graph_serve", nTag)(
+      gidx.queryBatch(probes, 5, beamWidth = 1, hops = 6,
+          beamOf = gidx.beamPolicy(probes, 5, Seq(2, 4, 8, 16, 32, 64)))
         .write.format("noop").mode("overwrite").save())
     s.stop()
   }

@@ -57,12 +57,39 @@ class TrainingDaySpec extends AnyFunSuite with SparkTest {
       df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rank"),
         r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
         r.getAs[Long]("n_chunks"), r.getAs[Double]("score"))).toSeq.sorted
+    // the graph arm's exact twin: brute top-kk chunks by L2 per probe
+    def keyedChunks0(d: org.apache.spark.sql.DataFrame) =
+      graft.operators.Percolate.chunkEmbed(d.select("doc_id", "text"), w, st, dim)
+        .filter(graft.functions.VectorFunctions.norm(col("emb")) > 0)
+        .select((shiftleft(col("doc_id"), 20) + col("chunk_id")).as("id"), col("emb"))
+    // the graph arm serves its own panel contract: top-gk per probe at the
+    // day's persisted beam widths (gk < kk — a graph panel's k is its own
+    // knob, and chunk embeddings' duplicate cliques make deep exact recall
+    // a density question, not a serving one)
+    val gk = 5
+    val gLadder = Seq(2, 4, 8, 16, 32, 64)
+    def exactGraph(docs: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Double)] = {
+      val chunks = keyedChunks0(docs).persist()
+      val out = probes.flatMap { case (pid, qe) =>
+        chunks.select(col("id"),
+            graft.functions.VectorFunctions.l2Sq(col("emb"), typedlit(qe.toSeq)).as("dist"))
+          .orderBy(asc("dist"), asc("id")).limit(gk)
+          .collect().map(r => (pid, r.getLong(0), r.getDouble(1)))
+      }.sorted
+      chunks.unpersist()
+      out
+    }
+    def graphServed(g: graft.store.GraphIndex): Seq[(Long, Long, Double)] =
+      g.queryBatch(probes, gk, beamWidth = 1, hops = 6,
+          beamOf = g.beamPolicy(probes, gk, gLadder))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
     var checkpoints = 0
-    val (idx, survivors, report) = TrainingDay.run(spark, waves,
+    val (idx, gidx, survivors, report) = TrainingDay.run(spark, waves,
       benchGrams, minQuality = 0.50, lateness = "10 minutes",
       standingProbes = probes, standingK = kk,
       numCells = 8, window = w, stride = st, dim = dim,
-      onWave = (i, dayIdx, curated) => {
+      onWave = (i, dayIdx, dayGraph, curated) => {
         checkpoints += 1
         // serving DURING the day routes through the persisted policy
         // (fresh — zero recalibration) and must equal the exact arm over
@@ -72,6 +99,13 @@ class TrainingDaySpec extends AnyFunSuite with SparkTest {
         assert(rows(SearchQueries.ragServePersisted(spark, dayIdx)) ==
           rows(exactOver(curated)),
           s"checkpoint $i: policy-routed serving must equal the exact arm")
+        // the graph arm under the same checkpoint: `_beams` fresh (every
+        // insert/delete re-persisted it) and policy-routed walks recall
+        // the exact top-kk over everything curated so far
+        assert(dayGraph.beamPolicyStatus(probes, gk, gLadder) == graft.store.IvfIndex.PolicyFresh,
+          s"checkpoint $i: the committed beam policy must be FRESH")
+        assert(graphServed(dayGraph) == exactGraph(curated),
+          s"checkpoint $i: beam-policy-routed graph serving must equal the exact arm")
       })
     assert(checkpoints == waves.length + 1,
       "a checkpoint per wave plus the close-of-day state")
@@ -116,5 +150,11 @@ class TrainingDaySpec extends AnyFunSuite with SparkTest {
     // live chunk accounting: the index serves exactly the survivors' chunks
     assert(report.liveChunks == keyedChunks(survivors).count(),
       "tombstoned chunks must not count as live")
+    // the GRAPH day ≡ exact over the survivors (insert/delete/repair under
+    // the beam fence composed to the same answers a fresh graph gives —
+    // both arms are policy-calibrated to exactness, so equality is through
+    // the exact twin, layout-independent)
+    assert(graphServed(gidx) == exactGraph(survivors),
+      "the maintained graph must serve the survivor corpus exactly")
   }
 }
