@@ -488,7 +488,11 @@ object SearchQueries {
       tidx: graft.store.TextIndex, vidx: graft.store.IvfIndex,
       panel: org.apache.spark.sql.DataFrame,
       useDepth: Boolean = false): org.apache.spark.sql.DataFrame = {
-    val kw = tidx.queryRankedBatchDF(panel.select("probe_id", "terms"), ShortlistK)
+    // the kw arm is the ADAPTIVE MaxScore-bounded frame route: on skewed
+    // standing vocabularies the essential-only fanout collapses the
+    // exchange; on uniform ones it falls back to the single unbounded
+    // pass — ranks identical either way (spec-pinned)
+    val kw = tidx.queryRankedBatchBoundedDF(panel.select("probe_id", "terms"), ShortlistK)
       .select(col("probe_id"), col("doc_id"), col("rank").as("rank_kw"))
     val kk = ShortlistK + RagCosMargin
     val semProbes =

@@ -81,6 +81,19 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   /** Quantization scale: 2^20 ≈ 1e-6 score resolution. */
   val Scale = 1048576L
 
+  /** θ-seed candidate cap per probe ([[queryRankedBatchBounded]]): the
+    * impact-ordered prefix of the rarest term scored exactly to seed the
+    * pruning threshold. Any exactly-scored subset yields a VALID θ (a
+    * subset's k-th best only under-estimates), so the cap trades pruning
+    * tightness for a bounded seed cost. */
+  private val ThetaCap = 1024
+
+  /** Engagement threshold for the adaptive bound: the (optimistic, then
+    * measured) essential fanout's Σ df must be at most this fraction of
+    * the full fanout's before the bounded path runs — below it the bound
+    * pays for itself, above it the single unbounded pass wins. */
+  private val EngageFrac = 0.5
+
   private def bucketOf(term: String): Long =
     TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(term)) % numBuckets
 
@@ -1148,115 +1161,167 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * of the q_bm25_maxscore discipline, so a HIGH-DF standing term cannot
     * drag the panel's postings fanout toward a corpus scan (the r12 §8.3
     * worst case: one union-term pass grew 3.6× for 5× docs on a 31-token
-    * vocabulary where every term is common). Answer-identical to
-    * [[queryRankedBatch]] probe for probe (spec-pinned):
-    *
-    *  1. **θ pass** — each probe's RAREST term (max live idf, ties to the
-    *     first term) has the smallest posting list; its docs are scored
-    *     EXACTLY (postings joined by doc_id — no probe fanout on high-df
-    *     terms) and the probe's k-th best score is a LOWER bound θ_p on
-    *     the true k-th best.
-    *  2. **essential classification** (driver, panel-sized) — per-term
-    *     quantized impact bounds ub_t from the `_termstats` sidecar
-    *     (idf · sat(max_tf, min_dl), ceil'd +1 quantum so driver double
-    *     math can never under-dominate the executors' by an ulp); the
-    *     maximal ub-ascending prefix with Σ ub < θ_p is NONESSENTIAL — a
-    *     doc containing only nonessential terms scores < θ_p and can
-    *     never enter the top-k (any doc scoring ≥ θ_p must carry an
-    *     essential term).
-    *  3. **survivor pass** — only ESSENTIAL (probe, term) pairs fan out
-    *     over postings (the low-df, high-impact set); the survivors score
-    *     exactly through the same doc-keyed join and the shared
-    *     [[rankedBatchTail]].
-    *
-    * A probe with fewer than k rarest-term matches gets no θ (no pruning
-    * — every term essential, degenerating to [[queryRankedBatch]]'s
-    * exact shape). Requires an index whose `_termstats` carries the
-    * impact-bound columns (any build/append/compact from this version);
-    * refuses loudly on a pre-upgrade sidecar. */
+    * vocabulary where every term is common). Thin wrapper over
+    * [[queryRankedBatchBoundedDF]] — ONE implementation serves the driver
+    * panel and the frame panel, so the routes cannot drift. */
   def queryRankedBatchBounded(panel: Seq[(Long, Seq[String])], k: Int): DataFrame = {
     require(panel.nonEmpty, "queryRankedBatchBounded needs at least one probe")
-    require(panel.map(_._1).distinct.length == panel.length,
-      "probe ids must be unique")
-    val unionTerms = panel.flatMap(_._2).distinct
-    val (n, avgdl, ts) = liveCorpusStats()
-    val idf = idfMapOf(unionTerms, n, ts)
-    val bounds = impactBounds(unionTerms)
-    val ub: Map[String, Long] = unionTerms.map { t =>
-      t -> bounds.get(t).fold(0L) { case (mtf, mdl) =>
-        val tf = mtf.toDouble
-        val sat = (tf * (K1 + 1.0)) /
-          (tf + K1 * ((1.0 - B) + B * mdl.toDouble / avgdl))
-        math.ceil(idf(t) * sat * Scale.toDouble).toLong + 1L
-      }
-    }.toMap
-    val live = ts match {
-      case None => prunedPostingsOf(unionTerms)
-      case Some(t) => prunedPostingsOf(unionTerms)
-        .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
+    queryRankedBatchBoundedDF(
+      spark.createDataFrame(panel).toDF("probe_id", "terms"), k)
+  }
+
+  /** The MaxScore-bounded BATCHED ranked route with the panel as a FRAME
+    * — answer-identical to [[queryRankedBatch]]/[[queryRankedBatchDF]]
+    * probe for probe (spec-pinned), ADAPTIVE: the bound engages only when
+    * it can actually shrink the fanout, so the route never loses to the
+    * single unbounded pass by more than the cost of asking. Nothing
+    * probe-sized touches the driver.
+    *
+    *  0. **optimistic pre-check** (frame stats only, no postings work) —
+    *     even a PERFECT θ can at best leave each probe's max-ub term
+    *     essential; if Σ df over those optimal-essential pairs already
+    *     exceeds [[EngageFrac]] × the full fanout's Σ df, no θ can win:
+    *     serve the unbounded single pass (measured r13: on the uniform
+    *     31-token stress vocabulary, where EXACT ranks genuinely require
+    *     df-proportional work, the always-on bound ran 4-6× SLOWER than
+    *     the pass it was bounding — adaptivity is what makes the bound a
+    *     pure win).
+    *  1. **θ pass** — each probe's rarest live term (max in-frame idf,
+    *     ties to the first term) contributes its top-[[ThetaCap]] postings
+    *     by OWN contribution, capped PER TERM (≤ |distinct rarest terms|
+    *     bounded aggregates — probes picking the same rarest term share
+    *     one cap), scored EXACTLY; the probe's k-th best is θ_p, a LOWER
+    *     bound on the true k-th (an exactly-scored subset's k-th only
+    *     under-estimates — pruning weakens, never breaks).
+    *  2. **essential classification (in frames)** — per-term quantized
+    *     impact bounds ub_t from the `_termstats` (max_tf, min_dl)
+    *     columns (sat monotone in both, ceil'd +1 quantum); one
+    *     probe-side window marks the maximal ub-ascending prefix with
+    *     Σ ub < θ_p NONESSENTIAL — a doc carrying only nonessential terms
+    *     scores < θ_p and cannot enter the top-k. A second df-sum check
+    *     against the MEASURED essential set falls back to the unbounded
+    *     pass when real θs pruned too little.
+    *  3. **survivor pass** — only ESSENTIAL (probe, term) pairs fan out
+    *     (through the salted [[CellRoute.keyedProbeJoin]]); survivors
+    *     score exactly through candidate-bounded (probe, doc, term)
+    *     TRIPLES joined on the composite (term, doc_id) key — joining
+    *     postings by doc_id instead (the first r13 draft) regenerated the
+    *     full per-probe fanout as the join intermediate — and cut through
+    *     the shared [[rankedBatchTail]].
+    *
+    * A probe with no θ (fewer than k capped candidates) keeps every term
+    * essential. Requires `_termstats` with the impact-bound columns (any
+    * build/append/compact from this version); refuses loudly on a
+    * pre-upgrade sidecar. */
+  def queryRankedBatchBoundedDF(panel: DataFrame, k: Int): DataFrame = {
+    val scan = panelScan(panel) match {
+      case None => return emptyRankedFrame()
+      case Some(s) => s
     }
-    val scored = live.withColumn("cq", cqColumn(idf, avgdl))
-    val pairs = spark.createDataFrame(
-      panel.flatMap { case (pid, terms) => terms.distinct.map(t => (pid, t)) })
-      .toDF("probe_id", "term")
-    // exact Σ cq over the probe's own terms for a (probe_id, doc_id)
-    // frame: postings join by DOC KEY (high-cardinality — no probe fanout
-    // on high-df terms, no parallelism collapse), then the probe's term
-    // membership as a broadcast semi-join
+    val tsRaw = spark.read.parquet(termstatsPath)
+    require(tsRaw.columns.contains("max_tf") && tsRaw.columns.contains("min_dl"),
+      s"TextIndex at $path has a pre-impact-bound `_termstats` sidecar — " +
+        "rebuild (or compact) to serve the bounded batch route")
+    // per-term impact upper bound AS A FRAME: monotone merges across
+    // batches (max of maxes, min of mins) dominate every posting;
+    // tombstoned postings only shrink the live set, so stale bounds stay
+    // valid upper bounds until compact() tightens them
+    val mtf = col("mtf").cast("double")
+    val satUb = (mtf * lit(K1 + 1.0)) /
+      (mtf + lit(K1) * (lit(1.0 - B) + lit(B) * col("mdl").cast("double") / lit(scan.avgdl)))
+    val ubDf = tsRaw.filter(col("bucket").isin(scan.buckets: _*))
+      .join(scan.termsDf.hint("broadcast"), Seq("term"), "left_semi")
+      .groupBy("term").agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
+      .join(scan.idfDf, Seq("term"))
+      .select(col("term"),
+        (ceil(col("idf") * satUb * lit(Scale.toDouble)).cast("long") + lit(1L)).as("ub"))
+    // ---- 0. optimistic pre-check: Σ df if only each probe's max-ub term
+    // stayed essential vs the full fanout's Σ df — frame stats only
+    val dfDf = scan.dfDf
+    def dfSumOf(somePairs: DataFrame): Long = {
+      val r = somePairs.join(dfDf.hint("broadcast"), Seq("term"))
+        .agg(coalesce(sum(col("dfl")), lit(0L))).head()
+      r.getLong(0)
+    }
+    val totalDf = dfSumOf(scan.pairs)
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("ub"), asc("term"))
+    val pairUb = scan.pairs.join(ubDf, Seq("term"))
+    val optimistic = pairUb.withColumn("rn", row_number().over(wU))
+      .filter(col("rn") === 1).select("probe_id", "term")
+    if (dfSumOf(optimistic) > EngageFrac * totalDf)
+      return unboundedFanout(scan, k)
+    val scored = scan.scored.select("term", "doc_id", "dl", "cq")
+    // exact Σ cq for a (probe_id, doc_id) frame — candidate-bounded
+    // triples, never a df-shaped intermediate
     def exactScores(probeDocs: DataFrame): DataFrame =
-      scored.join(probeDocs, Seq("doc_id"))
-        .join(broadcast(pairs), Seq("probe_id", "term"), "left_semi")
+      probeDocs
+        .join(scan.pairs, Seq("probe_id"))
+        .join(scored, Seq("term", "doc_id"))
         .groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq"))
-    // pass 1 — θ_p
-    val rarestPairs = spark.createDataFrame(
-      panel.map { case (pid, terms) =>
-        (pid, terms.distinct.sortBy(t => (-idf(t), t)).head) })
-      .toDF("probe_id", "term")
-    val candDocs = scored.select("term", "doc_id")
-      .join(broadcast(rarestPairs), Seq("term"))
+    // ---- 1. θ_p from the rarest terms' impact-capped prefixes
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(desc("idf"), asc("term"))
+    val rarestPairs = scan.pairs.join(scan.idfDf, Seq("term"))
+      .withColumn("rn", row_number().over(wR))
+      .filter(col("rn") === 1)
+      .select("probe_id", "term")
+    val termCaps = scored
+      .join(rarestPairs.select("term").distinct().hint("broadcast"),
+        Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(graft.operators.GroupedTopK.topK(math.max(k, ThetaCap))(
+        -col("cq").cast("double"), col("doc_id")).as("c"))
+      .select(col("term"), explode(col("c")).as("sc"))
+      .select(col("term"), col("sc.id").as("doc_id"))
+    val candDocs = termCaps.join(rarestPairs, Seq("term"))
       .select("probe_id", "doc_id")
-    val thetaOf: Map[Long, Long] = exactScores(candDocs)
+    val thetaDf = exactScores(candDocs)
       .groupBy("probe_id")
       .agg(graft.operators.GroupedTopK.topK(k)(
         -col("sq").cast("double"), col("doc_id")).as("t"))
       .select(col("probe_id"), posexplode(col("t")).as(Seq("pos", "sc")))
       .filter(col("pos") === k - 1)
       .select(col("probe_id"), (-col("sc.score")).cast("long").as("theta"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // pass 2 — essential classification (panel-sized driver work)
-    val essentialPairs: Seq[(Long, String)] = panel.flatMap { case (pid, terms) =>
-      val ts0 = terms.distinct
-      thetaOf.get(pid) match {
-        case None => ts0.map(t => (pid, t))
-        case Some(theta) =>
-          val asc = ts0.sortBy(t => (ub(t), t))
-          val cums = asc.scanLeft(0L)((a, t) => a + ub(t)).tail
-          val nonEss = asc.zip(cums).takeWhile(_._2 < theta).map(_._1).toSet
-          ts0.filterNot(nonEss).map(t => (pid, t))
-      }
-    }
-    // pass 3 — survivors (docs carrying ≥1 essential term) score exactly
-    val essDf = spark.createDataFrame(essentialPairs).toDF("probe_id", "term")
-    val survivors = scored.select("term", "doc_id")
-      .join(broadcast(essDf), Seq("term"))
-      .select("probe_id", "doc_id").distinct()
-    rankedBatchTail(exactScores(survivors), k)
+    // ---- 2. essential classification: one probe-side window over the
+    // pairs (probe-frame volume, never candidates); a term with no bounds
+    // row has no postings and drops harmlessly from the fanout
+    val wE = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(asc("ub"), asc("term"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val essStat = pairUb
+      .withColumn("cum", sum(col("ub")).over(wE))
+      .join(thetaDf, Seq("probe_id"), "left_outer")
+      .filter(col("theta").isNull || col("cum") >= col("theta"))
+      .select("probe_id", "term")
+      .persist()
+    try {
+      val es = essStat.agg(count(lit(1)).as("np"),
+        count_distinct(col("term")).as("nt")).head()
+      // the MEASURED check: real θs pruned too little → unbounded pass
+      if (dfSumOf(essStat) > EngageFrac * totalDf)
+        return unboundedFanout(scan, k)
+      // ---- 3. survivors: the ESSENTIAL-only fanout discovers every doc
+      // that can still reach θ; exact triple scoring + the shared tail
+      val survivors = CellRoute.keyedProbeJoin(
+          scored.select("term", "doc_id"), essStat,
+          probeRows = es.getLong(0), numKeys = math.max(1, es.getLong(1).toInt),
+          key = "term", saltOn = col("doc_id"))
+        .select("probe_id", "doc_id").distinct()
+      rankedBatchTail(exactScores(survivors), k).localCheckpoint()
+    } finally { essStat.unpersist(): Unit }
   }
 
-  /** Per-term impact-bound metadata (max tf, min dl) across every
-    * committed batch — monotone merges (max of maxes, min of mins), so
-    * the union dominates each batch's postings; tombstoned postings only
-    * SHRINK the live set, so stale bounds stay valid upper bounds until
-    * [[compact]] tightens them. Vocabulary-bounded collect (≤ q rows). */
-  private def impactBounds(terms: Seq[String]): Map[String, (Long, Int)] = {
-    val raw = spark.read.parquet(termstatsPath)
-    require(raw.columns.contains("max_tf") && raw.columns.contains("min_dl"),
-      s"TextIndex at $path has a pre-impact-bound `_termstats` sidecar — " +
-        "rebuild (or compact) to serve the bounded batch route")
-    val buckets = terms.map(bucketOf).distinct
-    raw.filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-      .groupBy("term").agg(max(col("max_tf")).as("mtf"), min(col("min_dl")).as("mdl"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
+  /** The unbounded single-pass fanout + tail — [[queryRankedBatchDF]]'s
+    * body over a prepared [[PanelScan]]; also the bounded route's
+    * fallback when the MaxScore bound cannot shrink the fanout. */
+  private def unboundedFanout(scan: PanelScan, k: Int): DataFrame = {
+    val fanned = CellRoute.keyedProbeJoin(scan.scored, scan.pairs,
+      probeRows = scan.pairRows, numKeys = math.max(1, scan.nTerms.toInt),
+      key = "term", saltOn = col("doc_id"))
+    rankedBatchTail(
+      fanned.groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq")),
+      k)
   }
 
   /** [[queryRankedBatch]] with the panel as a DATAFRAME — the keyword arm
@@ -1283,8 +1348,37 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * the panel — duplicated pairs would silently double shared terms' cq
     * into the merged sum). */
   def queryRankedBatchDF(panel: DataFrame, k: Int): DataFrame = {
+    val scan = panelScan(panel) match {
+      case None => return emptyRankedFrame()
+      case Some(s) => s
+    }
+    unboundedFanout(scan, k)
+  }
+
+  /** The empty answer frame of every batched ranked route. */
+  private def emptyRankedFrame(): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "probe_id LONG, doc_id LONG, dl INT, bm25q DOUBLE, rank INT"))
+
+  /** The shared HEAD of the frame-panel ranked routes
+    * ([[queryRankedBatchDF]] / [[queryRankedBatchBoundedDF]]): the
+    * duplicate-probe guard, the exploded (probe, term) pairs, the ONE
+    * bounded stats pass (distinct buckets ≤ numBuckets for PARTITION
+    * pruning, the vocabulary size for the salt ceiling, the pair count
+    * for the broadcast-vs-salt switch), per-term LIVE idf as a frame
+    * (summed committed df, tombstone ddf correction, the [[idfMapOf]]
+    * arithmetic op for op through Spark's StrictMath-backed `log`), and
+    * the live cq-scored pruned postings. None when the panel carries no
+    * terms (serve empty). */
+  private final case class PanelScan(pairs: DataFrame, termsDf: DataFrame,
+      idfDf: DataFrame, dfDf: DataFrame, scored: DataFrame, buckets: Seq[Long],
+      nTerms: Long, pairRows: Long, n: Long, avgdl: Double)
+
+  private def panelScan(panel: DataFrame): Option[PanelScan] = {
     require(panel.columns.contains("probe_id") && panel.columns.contains("terms"),
-      "queryRankedBatchDF needs (probe_id, terms) columns on the panel frame")
+      "a frame panel needs (probe_id, terms) columns")
     val (n, avgdl, ts) = liveCorpusStats()
     val g = panel.agg(count(lit(1)).as("n"),
       count_distinct(col("probe_id")).as("nd")).head()
@@ -1295,25 +1389,11 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val pairs = panel.select(col("probe_id"),
       explode(array_distinct(col("terms"))).as("term"))
     val bucketCol = pmod(TF.polyHash(col("term")), lit(numBuckets.toLong))
-    // ONE bounded pass over the pairs frame: the ≤ numBuckets distinct
-    // buckets (the collect that keeps the postings scan PARTITION-pruned —
-    // a join alone cannot prune directory listing), the vocabulary size
-    // (the keyedProbeJoin salt ceiling) and the pair count (its
-    // broadcast-vs-salt switch input)
     val stat = pairs.agg(collect_set(bucketCol).as("bks"),
       count_distinct(col("term")).as("nt"), count(lit(1)).as("np")).head()
     val buckets = stat.getSeq[Long](0)
-    val nTerms = stat.getLong(1)
-    val pairRows = stat.getLong(2)
-    if (buckets.isEmpty)
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "probe_id LONG, doc_id LONG, dl INT, bm25q DOUBLE, rank INT"))
+    if (buckets.isEmpty) return None
     val termsDf = pairs.select("term").distinct()
-    // live per-term idf AS A FRAME: summed committed df, the tombstone
-    // ddf correction, then the idfMapOf arithmetic op for op (long
-    // subtraction, then double) through Spark's StrictMath-backed log
     val dfBase = spark.read.parquet(termstatsPath)
       .filter(col("bucket").isin(buckets: _*))
       .join(termsDf.hint("broadcast"), Seq("term"), "left_semi")
@@ -1330,6 +1410,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         dfBase.join(ddf, Seq("term"), "left_outer")
           .withColumn("dfl", col("df") - coalesce(col("ddf"), lit(0L)))
     }
+    val dfDf = dfLive.select("term", "dfl")
     val idfDf = dfLive.select(col("term"),
       log((lit(n.toDouble) - col("dfl").cast("double") + lit(0.5)) /
         (col("dfl").cast("double") + lit(0.5)) + lit(1.0)).as("idf"))
@@ -1338,23 +1419,10 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case Some(t) => prunedScan
         .join(broadcast(t.select("doc_id")), Seq("doc_id"), "left_anti")
     }
-    // idf joins as a vocabulary-bounded frame (broadcast — it is never
-    // larger than the panel's distinct terms), cq is the shared tree
     val scored = live.join(idfDf.hint("broadcast"), Seq("term"))
       .withColumn("cq", cqExpr(col("idf"), avgdl))
-    val fanned = CellRoute.keyedProbeJoin(scored, pairs,
-      probeRows = pairRows, numKeys = math.max(1, nTerms.toInt),
-      key = "term", saltOn = col("doc_id"))
-    fanned
-      .groupBy("probe_id", "doc_id", "dl").agg(sum(col("cq")).as("sq"))
-      .groupBy("probe_id")
-      .agg(graft.operators.GroupedTopK.topKRows(k)(
-        -col("sq").cast("double"), col("doc_id"), col("dl")).as("tk"))
-      .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "e")))
-      .select(col("probe_id"), col("e.id").as("doc_id"),
-        col("e.payload").as("dl"),
-        round(-col("e.score") / lit(Scale.toDouble), 4).as("bm25q"),
-        (col("pos") + 1).cast("int").as("rank"))
+    Some(PanelScan(pairs, termsDf, idfDf, dfDf, scored, buckets,
+      stat.getLong(1), stat.getLong(2), n, avgdl))
   }
 
   /** Highlight OFFSETS for [[query]]'s top-k — the snippet stage of a

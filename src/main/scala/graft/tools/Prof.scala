@@ -485,12 +485,30 @@ object Prof {
           vocab((i * 13 + 2) % v), vocab((i * 29 + 3) % v)).distinct)
       }
       // the kw arm ALONE, 256 standing panels over the worst-case common
-      // vocabulary: the unbounded union pass vs the MaxScore-bounded one
+      // vocabulary: the unbounded union pass vs the ADAPTIVE bounded one
+      // (uniform vocab → the bound cannot shrink the fanout → the
+      // adaptive route must track the unbounded pass + the cost of asking)
       val ts256 = termSeqs(256)
       time("r13_kw_unbounded_256", hTag)(
         noop(tidx.queryRankedBatch(ts256, sq.ShortlistK)))
       time("r13_kw_bounded_256", hTag)(
         noop(tidx.queryRankedBatchBounded(ts256, sq.ShortlistK)))
+      // the SKEWED panel — each probe carries the corpus' one rare term
+      // ('dup', ~35× rarer) beside three common ones: θ from the rare
+      // term's docs makes the commons nonessential, the bound ENGAGES,
+      // and the fanout collapses to the rare df
+      val rare = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(TF.tokens(col("text"))).as("tok"))
+        .groupBy("tok").count().orderBy(asc("count"), asc("tok"))
+        .limit(1).collect().head.getString(0)
+      val tsSkew = (0 until 256).map { i =>
+        (i.toLong + 1L, Seq(rare, vocab(i % v), vocab((i * 7 + 1) % v),
+          vocab((i * 13 + 2) % v)).distinct)
+      }
+      time("r13_kw_unbounded_skew_256", hTag)(
+        noop(tidx.queryRankedBatch(tsSkew, sq.ShortlistK)))
+      time("r13_kw_bounded_skew_256", hTag)(
+        noop(tidx.queryRankedBatchBounded(tsSkew, sq.ShortlistK)))
       // panels as FRAMES: the DF hybrid route at growing standing fleets
       // (uniform depth 4 on both routes so serving cost, not per-probe
       // calibration, is the measured number)

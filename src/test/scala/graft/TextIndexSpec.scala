@@ -626,6 +626,26 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
         s"bounded route must serve the exact ranking at k=$k")
       if (k == 10) assert(plain.nonEmpty, "fixture sanity")
     }
+    // the ENGAGED path, forced: a corpus where one query term is rare and
+    // the rest blanket every doc — the adaptive rule must take the
+    // bounded branch (rare-term θ makes the common terms nonessential)
+    // and still serve the exact ranking
+    {
+      import spark.implicits._
+      val base2 = java.nio.file.Files.createTempDirectory("graft_tidx_skew").toString
+      val idx2 = new graft.store.TextIndex(spark, base2, 4)
+      val docs = (1L to 400L).map { i =>
+        val rare = if (i % 97 == 0) " zzrare" else ""
+        (i, s"alpha beta gamma delta common$rare text line number $i")
+      }
+      idx2.build(docs.toDF("doc_id", "text"))
+      val skewPanel: Seq[(Long, Seq[String])] = Seq(
+        31L -> Seq("zzrare", "alpha", "beta", "gamma"),
+        32L -> Seq("zzrare", "delta", "common"))
+      assert(rows(idx2.queryRankedBatchBounded(skewPanel, 3)) ==
+        rows(idx2.queryRankedBatch(skewPanel, 3)),
+        "the engaged bounded path must serve the exact ranking")
+    }
     // tombstones shift idf/df/avgdl; stale impact bounds must stay UPPER
     // bounds (the live set only shrank) and the answers stay exact
     val dead = rows(idx.queryRankedBatch(panel, 10)).head._2
