@@ -94,6 +94,14 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * pays for itself, above it the single unbounded pass wins. */
   private val EngageFrac = 0.5
 
+  /** Absolute fanout floor for the adaptive bound (total Σ df across the
+    * panel's pairs): under it the single unbounded pass wins outright and
+    * the route skips every bounding job. JVM property so specs can force
+    * the engaged branch on fixture-sized corpora. */
+  private def boundFloor: Long =
+    java.lang.Long.parseLong(
+      System.getProperty("graft.kw.boundFloor", (1L << 20).toString))
+
   private def bucketOf(term: String): Long =
     TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(term)) % numBuckets
 
@@ -1218,6 +1226,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case None => return emptyRankedFrame()
       case Some(s) => s
     }
+    // absolute fanout floor: when the WHOLE union fanout is small, the
+    // single unbounded pass beats any bounding machinery outright (the
+    // sf0.1 bench panel paid 4× in pure asking cost before this gate) —
+    // one cheap df-sum decides before any θ/bounds work, and a
+    // pre-impact-bound sidecar never refuses a panel it would not have
+    // bounded anyway
+    val totalDf = {
+      val r = scan.pairs.join(scan.dfDf.hint("broadcast"), Seq("term"))
+        .agg(coalesce(sum(col("dfl")), lit(0L))).head()
+      r.getLong(0)
+    }
+    if (totalDf < boundFloor) return unboundedFanout(scan, k)
     val tsRaw = spark.read.parquet(termstatsPath)
     require(tsRaw.columns.contains("max_tf") && tsRaw.columns.contains("min_dl"),
       s"TextIndex at $path has a pre-impact-bound `_termstats` sidecar — " +
@@ -1243,7 +1263,6 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         .agg(coalesce(sum(col("dfl")), lit(0L))).head()
       r.getLong(0)
     }
-    val totalDf = dfSumOf(scan.pairs)
     val wU = org.apache.spark.sql.expressions.Window
       .partitionBy("probe_id").orderBy(desc("ub"), asc("term"))
     val pairUb = scan.pairs.join(ubDf, Seq("term"))

@@ -606,6 +606,10 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryRankedBatchBounded == queryRankedBatch: fresh, tiny-k, k past the corpus, and after deletes") {
+    // keep the BOUNDED machinery under test on the fixture corpus (the
+    // production fanout floor would route everything here unbounded)
+    System.setProperty("graft.kw.boundFloor", "0")
+    try {
     val idx = freshIndex()
     val panel: Seq[(Long, Seq[String])] = Seq(
       21L -> SearchQueries.QueryTerms,
@@ -642,6 +646,8 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       val skewPanel: Seq[(Long, Seq[String])] = Seq(
         31L -> Seq("zzrare", "alpha", "beta", "gamma"),
         32L -> Seq("zzrare", "delta", "common"))
+      // (the enclosing test already forces the fanout floor to 0, so the
+      // engaged branch really runs on this fixture-sized corpus)
       assert(rows(idx2.queryRankedBatchBounded(skewPanel, 3)) ==
         rows(idx2.queryRankedBatch(skewPanel, 3)),
         "the engaged bounded path must serve the exact ranking")
@@ -658,5 +664,6 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     idx.compact()
     assert(rows(idx.queryRankedBatchBounded(panel, 10)) == after,
       "bounded route must serve identically from the compacted generation")
+    } finally System.clearProperty("graft.kw.boundFloor")
   }
 }
