@@ -469,12 +469,13 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     *     its per-hop driver collect), deduped and anti-joined against
     *     visited;
     *  3. fresh nodes score through one equi-join against the live
-    *     vectors IN THE SAME fused pass that discovers them — a hop is
-    *     one lazy plan with zero jobs of its own; the visited frame
-    *     materializes once per SEGMENT of a few hops (localCheckpoint +
-    *     one cached count that doubles as the early stop), so the
-    *     per-hop job constant is ~1/3 of the per-hop-checkpoint
-    *     formulation while lineage stays segment-bounded.
+    *     vectors; the CORPUS sides (graph by src, vectors by id, probes
+    *     by probe_id) are hash-partitioned once and cached, so per-hop
+    *     joins shuffle only the bounded walk-side frames; the beam
+    *     derives from a running top-maxBeam BEAM STATE (≤ maxBeam × P
+    *     rows — identical to aggregating all visited, by monotonicity);
+    *     and visited stays a list of per-hop checkpointed frames
+    *     pre-hashed on the dedupe key.
     *
     * The walk schedule is the SAME definition the driver walk runs (entry
     * admission, (dist, id) beam selection, frontier-empty early stop), so
@@ -507,10 +508,31 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         greatest(coalesce(col("beam").cast("long"), lit(beamWidth.toLong)), lit(1L))
           .cast("int")
       else lit(math.max(1, beamWidth))
+    // The per-hop constant, attacked where it actually lives (the r12
+    // §8.3 finding — frames 2-3× the driver walk at 16k probes; an r13
+    // draft that only BATCHED the jobs per 3-hop segment measured 9×
+    // WORSE: un-materialized persisted hops race their own concurrent
+    // first computations inside the segment job, so each hop recomputed
+    // per reference). Three structural cuts instead, each hop still
+    // materialized:
+    //  1. the CORPUS sides are hash-partitioned ONCE (g by src, ve by id,
+    //     p by probe_id) and cached — cached frames retain
+    //     outputPartitioning, so every hop's joins shuffle only the
+    //     bounded walk-side frame, never the graph or vectors again;
+    //  2. the per-hop beam derives from a RUNNING BEAM STATE (top-maxBeam
+    //     per probe, folded with each hop's fresh rows — identical to
+    //     top-maxBeam of all visited by monotonicity), ≤ maxBeam × P rows,
+    //     instead of re-aggregating the whole visited set;
+    //  3. visited stays a LIST of per-hop checkpointed frames pre-hashed
+    //     on (probe_id, id): the dedupe anti-joins shuffle only the
+    //     candidate side against each bounded delta.
     val p = probes.select(col("probe_id"),
-      col("qe").cast("array<float>").as("qe"), beamCol.as("pbeam")).persist()
-    val g = graph.select(col("src"), col("dst")).persist()
-    val ve = vectors.select(col("id"), col("emb")).persist()
+      col("qe").cast("array<float>").as("qe"), beamCol.as("pbeam"))
+      .repartition(col("probe_id")).persist()
+    val g = graph.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    val ve = vectors.select(col("id"), col("emb"))
+      .repartition(col("id")).persist()
     try {
       // ONE bounded aggregation: the beam aggregate's constant k plus the
       // duplicate-probe guard (the CellRoute.routeCells discipline)
@@ -524,31 +546,22 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       val entriesDf = starts.toDF("id")
       // hop 0: every probe admits the live entry points (ids without a
       // live vector drop — the driver walk's `has` guard)
-      var visited = p.select("probe_id", "qe").crossJoin(broadcast(entriesDf))
+      val hop0 = p.select("probe_id", "qe").crossJoin(broadcast(entriesDf))
         .join(ve, Seq("id"))
         .select(col("probe_id"), col("id"),
           VF.l2Sq(col("emb"), col("qe")).as("dist"))
+        .repartition(col("probe_id"), col("id"))
         .localCheckpoint()
-      // Per-hop constant (the r12 §8.3 finding — frames 2-3× the driver
-      // walk's wall-clock at fixture scale): each hop used to pay its own
-      // localCheckpoint + isEmpty JOBS. Now a hop is one LAZY fused plan
-      // (beam cut → edge expansion → dedupe → anti-join → score in a
-      // single pass) that only persist()s — no job — and the walk
-      // materializes once per SEGMENT of CkptEvery hops: one checkpoint +
-      // one cached count, with the early stop decided from the segment's
-      // growth (a dead frontier expands to already-visited nodes only, so
-      // extra intra-segment hops add zero rows and the answers stay
-      // ≡ the driver walk hop for hop — GraphIndexSpec). persist() makes
-      // the intra-segment self-references (next hop's beam AND anti-join
-      // both read this hop's fresh rows) compute-once instead of
-      // re-deriving the subplan per reference.
-      val CkptEvery = 3
-      var segmentDeltas = List.empty[org.apache.spark.sql.DataFrame]
-      var prevCount = -1L
+      var deltas: List[org.apache.spark.sql.DataFrame] = List(hop0)
+      // running beam state: exactly top-maxBeam of the visited set per
+      // probe (induction: top-maxBeam(top-maxBeam(V) ∪ fresh) =
+      // top-maxBeam(V ∪ fresh)), so per-probe beams — and therefore the
+      // whole walk — stay ≡ the driver schedule
+      var beamState = hop0
       var hop = 0
       var open = true
       while (hop < hops && open) {
-        val beam = visited
+        val beam = beamState
           .groupBy("probe_id")
           .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
           .join(p.select("probe_id", "pbeam"), Seq("probe_id"))
@@ -556,27 +569,31 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
             posexplode(col("b")).as(Seq("pos", "sc")))
           .filter(col("pos") < col("pbeam"))
           .select(col("probe_id"), col("sc.id").as("src"))
-        val scored = beam.join(g, Seq("src"))
+        val cand = beam.join(g, Seq("src"))
           .select(col("probe_id"), col("dst").as("id")).distinct()
-          .join(visited.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti")
+        val fresh = deltas.foldLeft(cand)((c, d) =>
+          c.join(d.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti"))
+        val scored = fresh
           .join(ve, Seq("id"))
           .join(p.select("probe_id", "qe"), Seq("probe_id"))
           .select(col("probe_id"), col("id"),
             VF.l2Sq(col("emb"), col("qe")).as("dist"))
-          .persist()
-        segmentDeltas ::= scored
-        visited = visited.unionByName(scored)
-        hop += 1
-        if (hop % CkptEvery == 0 || hop == hops) {
-          val v2 = visited.localCheckpoint()
-          val c = v2.count() // cached blocks — no recompute
-          segmentDeltas.foreach(_.unpersist(): Unit)
-          segmentDeltas = Nil
-          open = c != prevCount
-          prevCount = c
-          visited = v2
+          .repartition(col("probe_id"), col("id"))
+          .localCheckpoint()
+        open = !scored.isEmpty
+        if (open) {
+          deltas ::= scored
+          beamState = beamState.unionByName(scored)
+            .groupBy("probe_id")
+            .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
+            .select(col("probe_id"), explode(col("b")).as("sc"))
+            .select(col("probe_id"), col("sc.id").as("id"),
+              col("sc.score").as("dist"))
+            .localCheckpoint()
         }
+        hop += 1
       }
+      val visited = deltas.reduce(_ unionByName _)
       // eligibility restricts the ANSWER SET of the unfiltered walk's
       // visited pool (the [[query]]/`eligible` convention), pushed to the
       // vector scan as a semi-join instead of a driver-side id set

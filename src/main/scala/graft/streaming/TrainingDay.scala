@@ -74,8 +74,16 @@ object TrainingDay {
       (((h % 2001) - 1000).toDouble / 1000.0).toFloat
     }
 
-  private def bucketFn(off: Int, dim: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    e => (0 until 6).map { p =>
+  /** Sign-LSH bucketing with the width SCALED to the chunk count
+    * ([[graft.operators.KnnGraph.build]]'s calibration note: the block
+    * join is quadratic in block size, so fixed 6-bit buckets at the 20×
+    * stress corpus' 150k chunks cost ~690 s of graph build and ~900 s per
+    * insert wave — measured r13 — while ~n/10-sized buckets keep it
+    * linear-ish). Bits are chosen ONCE from the wave-0 chunk count and
+    * frozen into the index's bucketFns; later waves only ever grow the
+    * corpus a small factor within the day. */
+  private def bucketFn(off: Int, dim: Int, bits: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+    e => (0 until bits).map { p =>
       when(VF.dot(e, typedlit(planeOf(off + p, dim))) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
@@ -202,9 +210,12 @@ object TrainingDay {
     // built once over wave 0, then maintained by per-wave inserts under
     // the `_beams` fence (each mutation stales the policy; the day
     // re-persists in the same stage, so serving never routes stale)
+    val wave0Chunks = keyedChunks(curated).count()
+    val gBits = math.max(6,
+      (math.log(math.max(10.0, wave0Chunks.toDouble / 10.0)) / math.log(2.0)).ceil.toInt)
     val gidx = new graft.store.GraphIndex(spark,
       graft.store.Scratch.dir("day_gidx"), graphK,
-      Seq(bucketFn(0, dim), bucketFn(200, dim)), numEntries = 8)
+      Seq(bucketFn(0, dim, gBits), bucketFn(200, dim, gBits)), numEntries = 8)
     // symmetric wiring: chunk corpora carry duplicate cliques whose
     // directed kNN edges can leave exact-top-k ids in-unreachable — the
     // day's exactness contract needs every edge-bearing node reachable
