@@ -605,6 +605,28 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(eDup.getMessage.contains("duplicate probe_id"))
   }
 
+  test("frame-panel ranked plan: answer-bounded top_k_rows tail, no candidate windows, bucket partition pruning") {
+    val idx = freshIndex()
+    val panelDf = spark.createDataFrame(Seq(
+        (51L, Seq("vector", "merge")), (52L, Seq("stream", "scan"))))
+      .toDF("probe_id", "terms")
+    val plan = idx.queryRankedBatchDF(panelDf, 5)
+      .queryExecution.executedPlan.toString
+    // the per-probe cut is the map-side-bounded aggregate — a probe-keyed
+    // window here would shuffle the full per-probe posting fanout
+    assert(plan.contains("top_k_rows") && !plan.contains("Window"),
+      s"frame-panel ranking must cut through top_k_rows, never a window:\n$plan")
+    // the postings scan stays PARTITION-pruned to the panel's buckets
+    // (the collected ≤ numBuckets values reach the scan as a static
+    // partition filter, not a post-scan predicate)
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"frame-panel postings scan must partition-prune on bucket:\n$plan")
+    // (the bounded route's tail is the SAME rankedBatchTail by
+    // construction; its probe-side windows are panel-frame volume and its
+    // returned frame is checkpointed, so the shape is pinned here via the
+    // shared-code route rather than a second opaque plan string)
+  }
+
   test("queryRankedBatchBounded == queryRankedBatch: fresh, tiny-k, k past the corpus, and after deletes") {
     // keep the BOUNDED machinery under test on the fixture corpus (the
     // production fanout floor would route everything here unbounded)
