@@ -16,6 +16,55 @@ object StoreQueries {
 
   private[queries] val TestKey = "0123456789abcdef" // 16-byte AES key (test fixture)
 
+  /** ONE copy of the encrypted-graph walk oracle — `q_encrypt_graph` and
+    * `q_encrypt_graph_df` (the frame-probe route) share it VERBATIM, so a
+    * hash match on both proves the two routes serve the same answers (the
+    * q_hybrid_batch / q_hybrid_batch_df discipline). */
+  private lazy val encGraphOracleSql: String = {
+    val dEdge = OracleSql.l2Sq("a.embedding", "b.embedding")
+    val dQ = OracleSql.l2Sq("c.embedding", "probe.qe")
+    s"""WITH RECURSIVE
+       |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |sigs AS (
+       |  SELECT vec_id, embedding,
+       |         ${AnnQueries.bucketSqlOff("embedding", 0)} AS b0,
+       |         ${AnnQueries.bucketSqlOff("embedding", 200)} AS b1
+       |  FROM embeddings WHERE vec_id <> 0),
+       |cand AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
+       |  FROM sigs a JOIN sigs b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
+       |  UNION ALL
+       |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
+       |  FROM sigs a JOIN sigs b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id),
+       |edges AS (SELECT src, dst, min(dist) AS dist FROM cand GROUP BY src, dst),
+       |graph AS (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+       |    FROM edges) WHERE rn <= 4),
+       |dists AS (
+       |  SELECT c.vec_id, $dQ AS dist FROM embeddings c CROSS JOIN probe WHERE c.vec_id <> 0),
+       |walk AS (
+       |  SELECT 0 AS hop, [CAST(1 AS BIGINT), CAST(2 AS BIGINT)] AS visited
+       |  UNION ALL
+       |  SELECT s.hop + 1, w.visited
+       |  FROM walk s, LATERAL (
+       |    SELECT list_sort(list_distinct(s.visited || coalesce((
+       |      SELECT list(DISTINCT g.dst)
+       |      FROM graph g
+       |      WHERE NOT list_contains(s.visited, g.dst)
+       |        AND g.src IN (SELECT d.vec_id FROM dists d
+       |                      WHERE list_contains(s.visited, d.vec_id)
+       |                      ORDER BY d.dist, d.vec_id LIMIT 4)
+       |    ), []))) AS visited
+       |  ) w
+       |  WHERE s.hop < 3)
+       |SELECT d.vec_id, round(d.dist, 6) AS dist,
+       |       'doc for vector ' || d.vec_id AS doc
+       |FROM dists d, (SELECT visited FROM walk WHERE hop = 3) f
+       |WHERE list_contains(f.visited, d.vec_id)
+       |ORDER BY d.dist, d.vec_id LIMIT 5""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // S4-S6/P1-P3 + kNN: ingest documents (hash-embedded) into a parquet
@@ -276,49 +325,36 @@ object StoreQueries {
             col("doc"))
           .orderBy(asc("dist"), asc("vec_id"))
       },
-      Some {
-        val dEdge = OracleSql.l2Sq("a.embedding", "b.embedding")
-        val dQ = OracleSql.l2Sq("c.embedding", "probe.qe")
-        s"""WITH RECURSIVE
-           |probe AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-           |sigs AS (
-           |  SELECT vec_id, embedding,
-           |         ${AnnQueries.bucketSqlOff("embedding", 0)} AS b0,
-           |         ${AnnQueries.bucketSqlOff("embedding", 200)} AS b1
-           |  FROM embeddings WHERE vec_id <> 0),
-           |cand AS (
-           |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
-           |  FROM sigs a JOIN sigs b ON a.b0 = b.b0 AND a.vec_id <> b.vec_id
-           |  UNION ALL
-           |  SELECT a.vec_id AS src, b.vec_id AS dst, $dEdge AS dist
-           |  FROM sigs a JOIN sigs b ON a.b1 = b.b1 AND a.vec_id <> b.vec_id),
-           |edges AS (SELECT src, dst, min(dist) AS dist FROM cand GROUP BY src, dst),
-           |graph AS (
-           |  SELECT src, dst FROM (
-           |    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
-           |    FROM edges) WHERE rn <= 4),
-           |dists AS (
-           |  SELECT c.vec_id, $dQ AS dist FROM embeddings c CROSS JOIN probe WHERE c.vec_id <> 0),
-           |walk AS (
-           |  SELECT 0 AS hop, [CAST(1 AS BIGINT), CAST(2 AS BIGINT)] AS visited
-           |  UNION ALL
-           |  SELECT s.hop + 1, w.visited
-           |  FROM walk s, LATERAL (
-           |    SELECT list_sort(list_distinct(s.visited || coalesce((
-           |      SELECT list(DISTINCT g.dst)
-           |      FROM graph g
-           |      WHERE NOT list_contains(s.visited, g.dst)
-           |        AND g.src IN (SELECT d.vec_id FROM dists d
-           |                      WHERE list_contains(s.visited, d.vec_id)
-           |                      ORDER BY d.dist, d.vec_id LIMIT 4)
-           |    ), []))) AS visited
-           |  ) w
-           |  WHERE s.hop < 3)
-           |SELECT d.vec_id, round(d.dist, 6) AS dist,
-           |       'doc for vector ' || d.vec_id AS doc
-           |FROM dists d, (SELECT visited FROM walk WHERE hop = 3) f
-           |WHERE list_contains(f.visited, d.vec_id)
-           |ORDER BY d.dist, d.vec_id LIMIT 5""".stripMargin
-      })
+      Some(encGraphOracleSql)),
+
+    // The SAME encrypted walk with the probe as a FRAME (r14):
+    // EncryptedGraph.queryBatchDF — the shared GraphWalk.batchDF schedule
+    // over decrypt-on-read vectors, per-hop decrypts bounded by an id
+    // semi-join below the decrypt projection. The oracle is
+    // q_encrypt_graph's VERBATIM, so a hash match on both proves the
+    // frame route serves the Seq route's exact answers.
+    Q(
+      "q_encrypt_graph_df",
+      "frame-probe beam search over an AES-GCM encrypted corpus: shared frame walk, semi-join-bounded decrypts",
+      (s, dir) => {
+        val e = tbl(s, dir, "embeddings")
+        val corpus = e.filter(col("vec_id") =!= 0)
+          .select(col("vec_id").as("id"),
+            concat(lit("doc for vector "), col("vec_id")).as("doc"),
+            col("embedding").as("emb"))
+        val eg = new graft.store.EncryptedGraph(
+          s, graft.store.Scratch.dir("graft_encg_df"), TestKey)
+        eg.build(corpus, k = 4,
+          Seq(AnnQueries.lshBucketFn(0), AnnQueries.lshBucketFn(200)),
+          refineRounds = 0)
+        val panelDf = e.filter(col("vec_id") === 0)
+          .select(lit(0L).as("probe_id"), col("embedding").as("qe"))
+        eg.queryBatchDF(panelDf, topK = 5, beamWidth = 4, hops = 3,
+            entries = Seq(1L, 2L), includeDoc = true)
+          .select(col("id").as("vec_id"), round(col("dist"), 6).as("dist"),
+            col("doc"))
+          .orderBy(asc("dist"), asc("vec_id"))
+      },
+      Some(encGraphOracleSql))
   )
 }

@@ -89,7 +89,11 @@ private[store] object CellRoute {
       // pass per serving call): a UNIQUE probe row crosses exactly
       // |centroids| rows, so any larger group is a duplicated probe_id
       // whose first(qe)/first(pdepth) resolution would blend two probes'
-      // candidates into one merged top-k — refuse loudly instead
+      // candidates into one merged top-k — refuse loudly instead.
+      // Cost of the executor-side refusal: on a cluster the failing task
+      // retries spark.task.maxFailures times before the job dies, and the
+      // surfaced type is a wrapped SparkException — callers must match on
+      // the MESSAGE, never the exception type (IvfIndexSpec's discipline)
       .filter(isnull(assert_true(col("__nr") === lit(cents.length.toLong),
         concat(lit("duplicate probe_id rows in the probe frame (probe_id="),
           col("probe_id").cast("string"),

@@ -125,6 +125,51 @@ final class EncryptedGraph(spark: SparkSession, val path: String, key: String) {
     }
   }
 
+  /** [[queryBatch]] with the probes as a DATAFRAME — the ciphertext twin
+    * of [[GraphIndex.queryBatchDF]], for standing fleets past a driver
+    * panel: the schedule is the SHARED [[GraphWalk.batchDF]] (one frame
+    * walk, so plaintext/ciphertext parity holds by construction), and the
+    * decrypt stays frontier-bounded IN FRAMES — the cached corpus side is
+    * the CIPHERTEXT (id, emb_ct) hash-partitioned by id; per hop the
+    * walk's fresh ids left-semi-join it FIRST (reusing the cache's id
+    * partitioning, so the corpus never reshuffles) and only the survivors
+    * flow through the decrypt projection. Per hop only fresh frontier
+    * nodes decrypt — the [[queryBatch]] bounded-decrypt argument with the
+    * id In-filter replaced by an id semi-join. `useBeam` opts in to an
+    * integral `beam` column as the per-probe width policy
+    * ([[beamPolicy]] routed through the frame). `includeDoc` decrypts the
+    * DOCUMENT payload for ANSWER rows only (a semi-join bounds the doc
+    * decrypt to the k × probes answer ids). Output
+    * (probe_id, id, dist, rn[, doc]). */
+  def queryBatchDF(probes: DataFrame, topK: Int, beamWidth: Int, hops: Int,
+                   entries: Seq[Long] = Seq.empty,
+                   useBeam: Boolean = false,
+                   includeDoc: Boolean = false): DataFrame = {
+    val starts = (if (entries.nonEmpty) entries else defaultEntries()).distinct.sorted
+    val beamCol = GraphWalk.beamPolicyCol(probes, beamWidth, useBeam)
+    val p = probes.select(col("probe_id"),
+      col("qe").cast("array<float>").as("qe"), beamCol.as("pbeam"))
+    val cipherC = cipher.select(col("id"), col("emb_ct"))
+      .repartition(col("id")).persist()
+    try {
+      val answers = GraphWalk.batchDF(spark, graph, p, topK, hops, starts,
+        ids => cipherC.join(ids, Seq("id"), "left_semi")
+          .select(col("id"),
+            from_json(decryptStr(col("emb_ct")), ArrayType(FloatType)).as("emb")),
+        identity)
+      if (!includeDoc) answers
+      else {
+        // the walk's output is checkpointed and ≤ topK × probes rows; the
+        // semi-join bounds the doc decrypt to exactly the answer ids
+        val docs = cipher
+          .join(answers.select("id").distinct(), Seq("id"), "left_semi")
+          .select(col("id"), decryptStr(col("doc_ct")).as("doc"))
+        answers.join(docs, Seq("id"), "left_outer")
+          .select(col("probe_id"), col("id"), col("dist"), col("rn"), col("doc"))
+      }
+    } finally cipherC.unpersist(): Unit
+  }
+
   /** Single-probe convenience (the oracle query's surface). */
   def query(qe: Array[Float], topK: Int, beamWidth: Int, hops: Int,
             entries: Seq[Long] = Seq.empty): DataFrame =

@@ -490,28 +490,15 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
                    entries: Seq[Long] = Seq.empty,
                    where: Option[Column] = None,
                    useBeam: Boolean = false): DataFrame = {
-    import graft.operators.GroupedTopK
     val starts = (if (entries.nonEmpty) entries else defaultEntries()).distinct.sorted
-    if (useBeam) {
-      require(probes.columns.contains("beam"),
-        "useBeam = true needs an integer `beam` column on the probe frame")
-      val dt = probes.schema("beam").dataType
-      require(Seq[org.apache.spark.sql.types.DataType](
-          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
-          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
-        .contains(dt),
-        s"the `beam` policy column must be integral, got $dt — a cast-nulled " +
-          "width would silently fall back to the uniform beam and change recall")
-    }
-    val beamCol =
-      if (useBeam)
-        greatest(coalesce(col("beam").cast("long"), lit(beamWidth.toLong)), lit(1L))
-          .cast("int")
-      else lit(math.max(1, beamWidth))
-    // The per-hop constant, attacked where it actually lives (the r12
-    // §8.3 finding — frames 2-3× the driver walk at 16k probes; an r13
-    // draft that only BATCHED the jobs per 3-hop segment measured 9×
-    // WORSE: un-materialized persisted hops race their own concurrent
+    val beamCol = GraphWalk.beamPolicyCol(probes, beamWidth, useBeam)
+    // The schedule itself is the SHARED [[GraphWalk.batchDF]] (r14: the
+    // encrypted twin runs the identical frame walk over decrypt-on-read
+    // vectors, the [[GraphWalk.batch]] discipline applied to the scale
+    // lane). The per-hop constant is attacked where it actually lives
+    // (the r12 §8.3 finding — frames 2-3× the driver walk at 16k probes;
+    // an r13 draft that only BATCHED the jobs per 3-hop segment measured
+    // 9× WORSE: un-materialized persisted hops race their own concurrent
     // first computations inside the segment job, so each hop recomputed
     // per reference). Three structural cuts instead, each hop still
     // materialized:
@@ -528,85 +515,19 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
     //     candidate side against each bounded delta.
     val p = probes.select(col("probe_id"),
       col("qe").cast("array<float>").as("qe"), beamCol.as("pbeam"))
-      .repartition(col("probe_id")).persist()
-    val g = graph.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
     val ve = vectors.select(col("id"), col("emb"))
       .repartition(col("id")).persist()
     try {
-      // ONE bounded aggregation: the beam aggregate's constant k plus the
-      // duplicate-probe guard (the CellRoute.routeCells discipline)
-      val stat = p.agg(max(col("pbeam")).as("mx"), count(lit(1)).as("n"),
-        count_distinct(col("probe_id")).as("nd")).head()
-      require(stat.getLong(1) == stat.getLong(2),
-        s"probe frame has duplicate probe_id rows (${stat.getLong(1)} rows, " +
-          s"${stat.getLong(2)} distinct ids) — per-probe walk state would merge")
-      val maxBeam = if (stat.isNullAt(0)) 1 else math.max(1, stat.getInt(0))
-      import spark.implicits._
-      val entriesDf = starts.toDF("id")
-      // hop 0: every probe admits the live entry points (ids without a
-      // live vector drop — the driver walk's `has` guard)
-      val hop0 = p.select("probe_id", "qe").crossJoin(broadcast(entriesDf))
-        .join(ve, Seq("id"))
-        .select(col("probe_id"), col("id"),
-          VF.l2Sq(col("emb"), col("qe")).as("dist"))
-        .repartition(col("probe_id"), col("id"))
-        .localCheckpoint()
-      var deltas: List[org.apache.spark.sql.DataFrame] = List(hop0)
-      // running beam state: exactly top-maxBeam of the visited set per
-      // probe (induction: top-maxBeam(top-maxBeam(V) ∪ fresh) =
-      // top-maxBeam(V ∪ fresh)), so per-probe beams — and therefore the
-      // whole walk — stay ≡ the driver schedule
-      var beamState = hop0
-      var hop = 0
-      var open = true
-      while (hop < hops && open) {
-        val beam = beamState
-          .groupBy("probe_id")
-          .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
-          .join(p.select("probe_id", "pbeam"), Seq("probe_id"))
-          .select(col("probe_id"), col("pbeam"),
-            posexplode(col("b")).as(Seq("pos", "sc")))
-          .filter(col("pos") < col("pbeam"))
-          .select(col("probe_id"), col("sc.id").as("src"))
-        val cand = beam.join(g, Seq("src"))
-          .select(col("probe_id"), col("dst").as("id")).distinct()
-        val fresh = deltas.foldLeft(cand)((c, d) =>
-          c.join(d.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti"))
-        val scored = fresh
-          .join(ve, Seq("id"))
-          .join(p.select("probe_id", "qe"), Seq("probe_id"))
-          .select(col("probe_id"), col("id"),
-            VF.l2Sq(col("emb"), col("qe")).as("dist"))
-          .repartition(col("probe_id"), col("id"))
-          .localCheckpoint()
-        open = !scored.isEmpty
-        if (open) {
-          deltas ::= scored
-          beamState = beamState.unionByName(scored)
-            .groupBy("probe_id")
-            .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
-            .select(col("probe_id"), explode(col("b")).as("sc"))
-            .select(col("probe_id"), col("sc.id").as("id"),
-              col("sc.score").as("dist"))
-            .localCheckpoint()
-        }
-        hop += 1
-      }
-      val visited = deltas.reduce(_ unionByName _)
-      // eligibility restricts the ANSWER SET of the unfiltered walk's
-      // visited pool (the [[query]]/`eligible` convention), pushed to the
-      // vector scan as a semi-join instead of a driver-side id set
-      val pool = where.fold(visited)(pred =>
-        visited.join(vectors.filter(pred).select("id"), Seq("id"), "left_semi"))
-      pool
-        .groupBy("probe_id")
-        .agg(GroupedTopK.topK(topK)(col("dist"), col("id")).as("tk"))
-        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
-        .select(col("probe_id"), col("sc.id").as("id"),
-          col("sc.score").as("dist"), (col("pos") + 1).cast("int").as("rn"))
-        .localCheckpoint()
-    } finally Seq(p, g, ve).foreach(_.unpersist(): Unit)
+      GraphWalk.batchDF(spark, graph, p, topK, hops, starts,
+        // plaintext twin: the cached corpus frame IS the emb side — the
+        // walk's equi-join restricts it, no pre-filter needed
+        _ => ve,
+        // eligibility restricts the ANSWER SET of the unfiltered walk's
+        // visited pool (the [[query]]/`eligible` convention), pushed to
+        // the vector scan as a semi-join instead of a driver-side id set
+        visited => where.fold(visited)(pred =>
+          visited.join(vectors.filter(pred).select("id"), Seq("id"), "left_semi")))
+    } finally ve.unpersist(): Unit
   }
 
   // ------------------------------------------------------- hot serving

@@ -86,6 +86,136 @@ private[store] object GraphWalk {
     out.toDF("probe_id", "id", "dist", "rn")
   }
 
+  /** The batched FRAME walk — ONE copy of [[GraphIndex.queryBatchDF]]'s
+    * schedule, shared with [[EncryptedGraph.queryBatchDF]] so the
+    * ciphertext frame route pins beam-for-beam equality with the
+    * plaintext one BY CONSTRUCTION (the [[batch]] discipline, applied to
+    * the scale lane). Nothing probe-sized ever touches the driver; per
+    * hop the beam is a running top-maxBeam state, expansion one
+    * equi-join against the cached adjacency, and visited a list of
+    * per-hop checkpointed deltas (the r13 restructure — frames ~flat in
+    * the panel size).
+    *
+    * `probes` carries (probe_id LONG, qe ARRAY<FLOAT>, pbeam INT) —
+    * callers validate/route their beam policy into `pbeam` first.
+    * `embOf(ids)` returns an (id, emb) frame covering AT LEAST the
+    * requested distinct ids (the walk equi-joins, so a superset is
+    * harmless): the plaintext twin ignores `ids` and hands its cached
+    * corpus frame back; the ENCRYPTED twin left-semi-joins its cached
+    * ciphertext by id FIRST and decrypts only the survivors — the id
+    * filter sits below the decrypt projection, so per hop only the
+    * frontier's fresh nodes ever decrypt (the [[batch]] bounded-decrypt
+    * argument, frame-shaped: the semi join reuses the ciphertext cache's
+    * id partitioning, so the corpus never reshuffles either).
+    * `poolFilter` restricts the ANSWER SET of the walk's visited pool
+    * (metadata `where` on the plaintext twin; identity on the encrypted
+    * one, whose metadata is ciphertext). Output (probe_id, id, dist, rn),
+    * checkpointed (the per-hop frames it derives from are swept by GC
+    * after the cut). */
+  def batchDF(spark: SparkSession, graph: DataFrame, probes: DataFrame,
+              topK: Int, hops: Int, starts: Seq[Long],
+              embOf: DataFrame => DataFrame,
+              poolFilter: DataFrame => DataFrame): DataFrame = {
+    import graft.operators.GroupedTopK
+    val p = probes.select(col("probe_id"), col("qe"), col("pbeam"))
+      .repartition(col("probe_id")).persist()
+    val g = graph.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    try {
+      // ONE bounded aggregation: the beam aggregate's constant k plus the
+      // duplicate-probe guard (the CellRoute.routeCells discipline)
+      val stat = p.agg(max(col("pbeam")).as("mx"), count(lit(1)).as("n"),
+        count_distinct(col("probe_id")).as("nd")).head()
+      require(stat.getLong(1) == stat.getLong(2),
+        s"probe frame has duplicate probe_id rows (${stat.getLong(1)} rows, " +
+          s"${stat.getLong(2)} distinct ids) — per-probe walk state would merge")
+      val maxBeam = if (stat.isNullAt(0)) 1 else math.max(1, stat.getInt(0))
+      import spark.implicits._
+      val entriesDf = starts.toDF("id")
+      // hop 0: every probe admits the live entry points (ids without a
+      // live vector drop — the driver walk's `has` guard)
+      val hop0 = p.select("probe_id", "qe").crossJoin(broadcast(entriesDf))
+        .join(embOf(entriesDf), Seq("id"))
+        .select(col("probe_id"), col("id"),
+          VF.l2Sq(col("emb"), col("qe")).as("dist"))
+        .repartition(col("probe_id"), col("id"))
+        .localCheckpoint()
+      var deltas: List[DataFrame] = List(hop0)
+      // running beam state: exactly top-maxBeam of the visited set per
+      // probe (induction: top-maxBeam(top-maxBeam(V) ∪ fresh) =
+      // top-maxBeam(V ∪ fresh)), so per-probe beams — and therefore the
+      // whole walk — stay ≡ the driver schedule
+      var beamState = hop0
+      var hop = 0
+      var open = true
+      while (hop < hops && open) {
+        val beam = beamState
+          .groupBy("probe_id")
+          .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
+          .join(p.select("probe_id", "pbeam"), Seq("probe_id"))
+          .select(col("probe_id"), col("pbeam"),
+            posexplode(col("b")).as(Seq("pos", "sc")))
+          .filter(col("pos") < col("pbeam"))
+          .select(col("probe_id"), col("sc.id").as("src"))
+        val cand = beam.join(g, Seq("src"))
+          .select(col("probe_id"), col("dst").as("id")).distinct()
+        val fresh = deltas.foldLeft(cand)((c, d) =>
+          c.join(d.select("probe_id", "id"), Seq("probe_id", "id"), "left_anti"))
+        val scored = fresh
+          .join(embOf(fresh.select("id").distinct()), Seq("id"))
+          .join(p.select("probe_id", "qe"), Seq("probe_id"))
+          .select(col("probe_id"), col("id"),
+            VF.l2Sq(col("emb"), col("qe")).as("dist"))
+          .repartition(col("probe_id"), col("id"))
+          .localCheckpoint()
+        open = !scored.isEmpty
+        if (open) {
+          deltas ::= scored
+          beamState = beamState.unionByName(scored)
+            .groupBy("probe_id")
+            .agg(GroupedTopK.topK(maxBeam)(col("dist"), col("id")).as("b"))
+            .select(col("probe_id"), explode(col("b")).as("sc"))
+            .select(col("probe_id"), col("sc.id").as("id"),
+              col("sc.score").as("dist"))
+            .localCheckpoint()
+        }
+        hop += 1
+      }
+      val visited = deltas.reduce(_ unionByName _)
+      poolFilter(visited)
+        .groupBy("probe_id")
+        .agg(GroupedTopK.topK(topK)(col("dist"), col("id")).as("tk"))
+        .select(col("probe_id"), posexplode(col("tk")).as(Seq("pos", "sc")))
+        .select(col("probe_id"), col("sc.id").as("id"),
+          col("sc.score").as("dist"), (col("pos") + 1).cast("int").as("rn"))
+        .localCheckpoint()
+    } finally Seq(p, g).foreach(_.unpersist(): Unit)
+  }
+
+  /** Validate + route a per-probe width policy into a `pbeam` column —
+    * the shared head of both frame walks ([[GraphIndex.queryBatchDF]] /
+    * [[EncryptedGraph.queryBatchDF]]): `useBeam` opts in to an integral
+    * `beam` column (null → `beamWidth`; non-integral types refused
+    * loudly — a cast-nulled width would silently fall back to the
+    * uniform beam and change recall). */
+  def beamPolicyCol(probes: DataFrame, beamWidth: Int, useBeam: Boolean): org.apache.spark.sql.Column = {
+    if (useBeam) {
+      require(probes.columns.contains("beam"),
+        "useBeam = true needs an integer `beam` column on the probe frame")
+      val dt = probes.schema("beam").dataType
+      require(Seq[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+          org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+        .contains(dt),
+        s"the `beam` policy column must be integral, got $dt — a cast-nulled " +
+          "width would silently fall back to the uniform beam and change recall")
+    }
+    if (useBeam)
+      greatest(coalesce(col("beam").cast("long"), lit(beamWidth.toLong)), lit(1L))
+        .cast("int")
+    else lit(math.max(1, beamWidth))
+  }
+
   /** Panel identity for a beam-policy sidecar — (k, hops, ladder) plus a
     * per-probe hash of (pid, embedding float bits), order-independent.
     * Shared by the plaintext and encrypted `_beams` fences so a policy can

@@ -96,11 +96,12 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
 
   /** Absolute fanout floor for the adaptive bound (total Σ df across the
     * panel's pairs): under it the single unbounded pass wins outright and
-    * the route skips every bounding job. JVM property so specs can force
-    * the engaged branch on fixture-sized corpora. */
+    * the route skips every bounding job. Read from `spark.conf` (the
+    * [[graft.operators.ProbeJoin.LimitKey]] discipline) so specs force
+    * the engaged branch per SparkSession instead of mutating JVM-global
+    * state that leaks across suites sharing the JVM. */
   private def boundFloor: Long =
-    java.lang.Long.parseLong(
-      System.getProperty("graft.kw.boundFloor", (1L << 20).toString))
+    spark.conf.get("graft.kw.boundFloor", (1L << 20).toString).toLong
 
   private def bucketOf(term: String): Long =
     TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(term)) % numBuckets
@@ -1008,12 +1009,29 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
   }
 
+  /** Committed (tombstone-uncorrected) df per queried term: ONE
+    * bucket+term-pruned collect over the vocabulary-bounded `_termstats`
+    * sidecar. Committed df DOMINATES live df (tombstones only shrink a
+    * posting list), so sums over this map are valid upper bounds for the
+    * adaptive-gate arithmetic — and the same collect feeds [[idfMapOf]],
+    * so the [[queryRankedBatchBounded]] floor gate costs no job beyond
+    * what the unbounded pass already pays. */
+  private def committedDfMapOf(terms: Seq[String]): Map[String, Long] = {
+    val buckets = terms.map(bucketOf).distinct
+    spark.read.parquet(termstatsPath)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+  }
+
   /** idf per term with the tombstone df correction: df of each QUERIED
     * term shrinks by its tombstoned postings — counted inside the same
-    * bucket+term-pruned scan the scoring uses. */
+    * bucket+term-pruned scan the scoring uses. `dfMap0` hands through a
+    * committed-df map a caller already collected ([[committedDfMapOf]])
+    * so the adaptive gate and the scoring idf share one sidecar job. */
   private def idfMapOf(terms: Seq[String], n: Long,
-                       ts: Option[DataFrame]): Map[String, Double] = {
-    val buckets = terms.map(bucketOf).distinct
+                       ts: Option[DataFrame],
+                       dfMap0: Option[Map[String, Long]] = None): Map[String, Double] = {
     val deadDf: Map[String, Long] = ts match {
       case None => Map.empty
       case Some(t) => prunedPostingsOf(terms)
@@ -1021,10 +1039,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         .groupBy("term").agg(count(lit(1)).as("ddf"))
         .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("ddf")).toMap
     }
-    val dfMap: Map[String, Long] = spark.read.parquet(termstatsPath)
-      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val dfMap: Map[String, Long] = dfMap0.getOrElse(committedDfMapOf(terms))
     terms.map { t =>
       val df = (dfMap.getOrElse(t, 0L) - deadDf.getOrElse(t, 0L)).toDouble
       // StrictMath.log == Spark's `log` expression (bit-identical idf on
@@ -1122,13 +1137,20 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * per-posting cq are per-term quantities, so the union scan changes
     * nothing). Probe ids must be unique. Returns
     * (probe_id, doc_id, dl, bm25q, rank) in per-probe rank order. */
-  def queryRankedBatch(panel: Seq[(Long, Seq[String])], k: Int): DataFrame = {
+  def queryRankedBatch(panel: Seq[(Long, Seq[String])], k: Int): DataFrame =
+    rankedBatchSeq(panel, k, None)
+
+  /** [[queryRankedBatch]]'s body with an optional pre-collected
+    * committed-df map — the zero-extra-jobs hand-through from
+    * [[queryRankedBatchBounded]]'s floor gate. */
+  private def rankedBatchSeq(panel: Seq[(Long, Seq[String])], k: Int,
+                             dfMap0: Option[Map[String, Long]]): DataFrame = {
     require(panel.nonEmpty, "queryRankedBatch needs at least one probe")
     require(panel.map(_._1).distinct.length == panel.length,
       "probe ids must be unique")
     val unionTerms = panel.flatMap(_._2).distinct
     val (n, avgdl, ts) = liveCorpusStats()
-    val idf = idfMapOf(unionTerms, n, ts)
+    val idf = idfMapOf(unionTerms, n, ts, dfMap0)
     val scored = ts match {
       case None => prunedPostingsOf(unionTerms)
       case Some(t) => prunedPostingsOf(unionTerms)
@@ -1169,12 +1191,26 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * of the q_bm25_maxscore discipline, so a HIGH-DF standing term cannot
     * drag the panel's postings fanout toward a corpus scan (the r12 §8.3
     * worst case: one union-term pass grew 3.6× for 5× docs on a 31-token
-    * vocabulary where every term is common). Thin wrapper over
-    * [[queryRankedBatchBoundedDF]] — ONE implementation serves the driver
-    * panel and the frame panel, so the routes cannot drift. */
+    * vocabulary where every term is common).
+    *
+    * The adaptive floor gate costs NO extra job on a driver panel: the
+    * committed-df map it sums is the SAME collect the unbounded pass's
+    * idf needs (handed through [[rankedBatchSeq]]), and committed df
+    * dominates live df so a sub-floor verdict can only be conservative.
+    * (r13 ran the gate as a separate frame df-sum job through the DF
+    * wrapper: +0.9 s on the bench panel — "bench-scale panels pay ~0" is
+    * now true by construction.) Above the floor it delegates to
+    * [[queryRankedBatchBoundedDF]] — ONE bounding implementation serves
+    * the driver panel and the frame panel, so the routes cannot drift. */
   def queryRankedBatchBounded(panel: Seq[(Long, Seq[String])], k: Int): DataFrame = {
     require(panel.nonEmpty, "queryRankedBatchBounded needs at least one probe")
-    queryRankedBatchBoundedDF(
+    require(panel.map(_._1).distinct.length == panel.length,
+      "probe ids must be unique")
+    val dfMap = committedDfMapOf(panel.flatMap(_._2).distinct)
+    val totalDf = panel.iterator.flatMap(_._2.distinct.iterator)
+      .map(dfMap.getOrElse(_, 0L)).sum
+    if (totalDf < boundFloor) rankedBatchSeq(panel, k, Some(dfMap))
+    else queryRankedBatchBoundedDF(
       spark.createDataFrame(panel).toDF("probe_id", "terms"), k)
   }
 
@@ -1229,19 +1265,34 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     // absolute fanout floor: when the WHOLE union fanout is small, the
     // single unbounded pass beats any bounding machinery outright (the
     // sf0.1 bench panel paid 4× in pure asking cost before this gate) —
-    // one cheap df-sum decides before any θ/bounds work, and a
-    // pre-impact-bound sidecar never refuses a panel it would not have
-    // bounded anyway
+    // one cheap df-sum over the COMMITTED sidecar df decides before any
+    // θ/bounds work (committed dominates live, so a sub-floor verdict is
+    // conservative and the gate never scans postings for a tombstone
+    // correction), and a pre-impact-bound sidecar never refuses a panel
+    // it would not have bounded anyway
     val totalDf = {
-      val r = scan.pairs.join(scan.dfDf.hint("broadcast"), Seq("term"))
-        .agg(coalesce(sum(col("dfl")), lit(0L))).head()
+      val r = scan.pairs.join(scan.dfCommitted.hint("broadcast"), Seq("term"))
+        .agg(coalesce(sum(col("dfc")), lit(0L))).head()
       r.getLong(0)
     }
     if (totalDf < boundFloor) return unboundedFanout(scan, k)
+    // the sidecar guard validates EVERY committed batch dir's own footer,
+    // not the merged read schema (which Spark samples from one footer): a
+    // mixed-generation sidecar — pre-impact-bound build + post-upgrade
+    // appends — would pass a merged check yet read NULL (or worse,
+    // PARTIAL: only the new batches' maxes) bounds for terms living in
+    // old batches, silently under-bounding them out of the essential set
+    // and dropping true top-k docs. Footer reads only — no data scan.
+    val preUpgrade = StoreIO.committedBatchDirs(termstatsPath).filterNot { d =>
+      val fields = spark.read.parquet(d.getPath).schema.fieldNames.toSet
+      fields.contains("max_tf") && fields.contains("min_dl")
+    }
+    require(preUpgrade.isEmpty,
+      s"TextIndex at $path has pre-impact-bound `_termstats` batches " +
+        s"(${preUpgrade.map(_.getName).mkString(", ")}) — their terms " +
+        "would serve NULL or non-dominating impact bounds; rebuild (or " +
+        "compact) to serve the bounded batch route")
     val tsRaw = spark.read.parquet(termstatsPath)
-    require(tsRaw.columns.contains("max_tf") && tsRaw.columns.contains("min_dl"),
-      s"TextIndex at $path has a pre-impact-bound `_termstats` sidecar — " +
-        "rebuild (or compact) to serve the bounded batch route")
     // per-term impact upper bound AS A FRAME: monotone merges across
     // batches (max of maxes, min of mins) dominate every posting;
     // tombstoned postings only shrink the live set, so stale bounds stay
@@ -1256,11 +1307,13 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .select(col("term"),
         (ceil(col("idf") * satUb * lit(Scale.toDouble)).cast("long") + lit(1L)).as("ub"))
     // ---- 0. optimistic pre-check: Σ df if only each probe's max-ub term
-    // stayed essential vs the full fanout's Σ df — frame stats only
-    val dfDf = scan.dfDf
+    // stayed essential vs the full fanout's Σ df — frame stats only, over
+    // the COMMITTED df (same basis as totalDf, so the EngageFrac ratio
+    // compares like with like and never pays a tombstone postings scan)
+    val dfc = scan.dfCommitted
     def dfSumOf(somePairs: DataFrame): Long = {
-      val r = somePairs.join(dfDf.hint("broadcast"), Seq("term"))
-        .agg(coalesce(sum(col("dfl")), lit(0L))).head()
+      val r = somePairs.join(dfc.hint("broadcast"), Seq("term"))
+        .agg(coalesce(sum(col("dfc")), lit(0L))).head()
       r.getLong(0)
     }
     val wU = org.apache.spark.sql.expressions.Window
@@ -1314,21 +1367,32 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .filter(col("theta").isNull || col("cum") >= col("theta"))
       .select("probe_id", "term")
       .persist()
-    try {
-      val es = essStat.agg(count(lit(1)).as("np"),
-        count_distinct(col("term")).as("nt")).head()
-      // the MEASURED check: real θs pruned too little → unbounded pass
-      if (dfSumOf(essStat) > EngageFrac * totalDf)
-        return unboundedFanout(scan, k)
-      // ---- 3. survivors: the ESSENTIAL-only fanout discovers every doc
-      // that can still reach θ; exact triple scoring + the shared tail
-      val survivors = CellRoute.keyedProbeJoin(
-          scored.select("term", "doc_id"), essStat,
-          probeRows = es.getLong(0), numKeys = math.max(1, es.getLong(1).toInt),
-          key = "term", saltOn = col("doc_id"))
-        .select("probe_id", "doc_id").distinct()
-      rankedBatchTail(exactScores(survivors), k).localCheckpoint()
-    } finally { essStat.unpersist(): Unit }
+    // ONE action covers the salt-sizing stats AND the measured check
+    // (real θs pruned too little → unbounded pass); the inner join with
+    // the df frame can only drop pairs whose term has no postings, which
+    // is harmless for both uses (they'd contribute nothing to either)
+    val es = essStat.join(dfc.hint("broadcast"), Seq("term"))
+      .agg(count(lit(1)).as("np"), count_distinct(col("term")).as("nt"),
+        coalesce(sum(col("dfc")), lit(0L)).as("sdf")).head()
+    if (es.getLong(2) > EngageFrac * totalDf) {
+      essStat.unpersist()
+      return unboundedFanout(scan, k)
+    }
+    // ---- 3. survivors: the ESSENTIAL-only fanout discovers every doc
+    // that can still reach θ; exact triple scoring + the shared tail.
+    // The CHECKPOINT sits on the survivor ids — the one frame whose
+    // lineage pins essStat — so essStat unpersists here and the exact
+    // scoring + tail stay LAZY like every other serving route (the r13
+    // shape checkpointed the full answer, eagerly materializing the
+    // whole computation at call time for callers that compose further)
+    val survivors = CellRoute.keyedProbeJoin(
+        scored.select("term", "doc_id"), essStat,
+        probeRows = es.getLong(0), numKeys = math.max(1, es.getLong(1).toInt),
+        key = "term", saltOn = col("doc_id"))
+      .select("probe_id", "doc_id").distinct()
+      .localCheckpoint()
+    essStat.unpersist()
+    rankedBatchTail(exactScores(survivors), k)
   }
 
   /** The unbounded single-pass fanout + tail — [[queryRankedBatchDF]]'s
@@ -1392,26 +1456,40 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * the live cq-scored pruned postings. None when the panel carries no
     * terms (serve empty). */
   private final case class PanelScan(pairs: DataFrame, termsDf: DataFrame,
-      idfDf: DataFrame, dfDf: DataFrame, scored: DataFrame, buckets: Seq[Long],
+      idfDf: DataFrame, dfDf: DataFrame, dfCommitted: DataFrame,
+      scored: DataFrame, buckets: Seq[Long],
       nTerms: Long, pairRows: Long, n: Long, avgdl: Double)
 
   private def panelScan(panel: DataFrame): Option[PanelScan] = {
     require(panel.columns.contains("probe_id") && panel.columns.contains("terms"),
       "a frame panel needs (probe_id, terms) columns")
     val (n, avgdl, ts) = liveCorpusStats()
-    val g = panel.agg(count(lit(1)).as("n"),
-      count_distinct(col("probe_id")).as("nd")).head()
-    require(g.getLong(0) == g.getLong(1),
-      s"panel frame has duplicate probe_id rows (${g.getLong(0)} rows, " +
-        s"${g.getLong(1)} distinct ids) — shared terms' contributions would " +
-        "silently double into one merged ranking")
-    val pairs = panel.select(col("probe_id"),
-      explode(array_distinct(col("terms"))).as("term"))
+    // ONE bounded stats action over the exploded panel covers BOTH the
+    // duplicate-probe guard and the bucket/vocabulary stats (the r13
+    // shape paid a separate panel-agg job for the guard): posexplode_outer
+    // yields exactly one pos=0 row per non-empty panel row and one
+    // pos-NULL row per termless one, so counting them recovers the panel
+    // row count in the SAME pass that collects the ≤ numBuckets
+    // partition-pruning values and the salt-sizing counts (a
+    // monotonically_increasing_id row tag does NOT work here — Spark
+    // evaluates the nondeterministic id after the Generate, tagging
+    // exploded rows, not panel rows)
     val bucketCol = pmod(TF.polyHash(col("term")), lit(numBuckets.toLong))
-    val stat = pairs.agg(collect_set(bucketCol).as("bks"),
-      count_distinct(col("term")).as("nt"), count(lit(1)).as("np")).head()
-    val buckets = stat.getSeq[Long](0)
+    val pairs0 = panel.select(col("probe_id"),
+      posexplode_outer(array_distinct(col("terms"))).as(Seq("pos", "term")))
+    val stat = pairs0.agg(
+      count(when(col("pos") === 0 || col("pos").isNull, lit(1))).as("nrows"),
+      count_distinct(col("probe_id")).as("nprobes"),
+      collect_set(when(col("term").isNotNull, bucketCol)).as("bks"),
+      count_distinct(col("term")).as("nt"),
+      count(col("term")).as("np")).head()
+    require(stat.getLong(0) == stat.getLong(1),
+      s"panel frame has duplicate probe_id rows (${stat.getLong(0)} rows, " +
+        s"${stat.getLong(1)} distinct ids) — shared terms' contributions would " +
+        "silently double into one merged ranking")
+    val buckets = stat.getSeq[Long](2)
     if (buckets.isEmpty) return None
+    val pairs = pairs0.filter(col("term").isNotNull).select("probe_id", "term")
     val termsDf = pairs.select("term").distinct()
     val dfBase = spark.read.parquet(termstatsPath)
       .filter(col("bucket").isin(buckets: _*))
@@ -1440,8 +1518,9 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     }
     val scored = live.join(idfDf.hint("broadcast"), Seq("term"))
       .withColumn("cq", cqExpr(col("idf"), avgdl))
-    Some(PanelScan(pairs, termsDf, idfDf, dfDf, scored, buckets,
-      stat.getLong(1), stat.getLong(2), n, avgdl))
+    Some(PanelScan(pairs, termsDf, idfDf, dfDf,
+      dfBase.select(col("term"), col("df").as("dfc")), scored, buckets,
+      stat.getLong(3), stat.getLong(4), n, avgdl))
   }
 
   /** Highlight OFFSETS for [[query]]'s top-k — the snippet stage of a

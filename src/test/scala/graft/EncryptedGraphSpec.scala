@@ -79,6 +79,48 @@ class EncryptedGraphSpec extends AnyFunSuite with SparkTest {
     c.unpersist()
   }
 
+  test("frame-probe route == Seq route probe for probe; beam policy routes through the frame; doc decrypt answer-bounded") {
+    val c = corpus().persist()
+    val egPath = java.nio.file.Files.createTempDirectory("graft_encg_df").toString
+    val eg = new EncryptedGraph(spark, egPath, Key)
+    eg.build(c, k = 4, bucketFns, refineRounds = 1)
+    val panel = probePanel(8)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("probe_id", "id", "dist", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(t => (t._1, t._4))
+    val panelDf = spark.createDataFrame(
+      panel.map { case (pid, qe) => (pid, qe.toSeq) }).toDF("probe_id", "qe")
+    val seqRoute = rows(eg.queryBatch(panel, topK = 5, beamWidth = 4, hops = 4))
+    assert(seqRoute.nonEmpty, "fixture sanity")
+    assert(rows(eg.queryBatchDF(panelDf, topK = 5, beamWidth = 4, hops = 4)) == seqRoute,
+      "the ciphertext frame walk must serve the Seq route's exact answers")
+    // the persisted beam policy routes through the frame's `beam` column
+    // exactly like the Seq route's beamOf map
+    val beams = eg.persistBeamPolicy(panel, 5)
+    val withBeam = panelDf.withColumn("beam",
+      element_at(typedlit(beams), col("probe_id")))
+    assert(rows(eg.queryBatchDF(withBeam, 5, beamWidth = 1, hops = 6, useBeam = true)) ==
+      rows(eg.queryBatch(panel, 5, beamWidth = 1, hops = 6, beamOf = beams)),
+      "the frame-routed beam policy must walk identically to beamOf")
+    // non-integral beam column refuses loudly (a cast-nulled width would
+    // silently change recall)
+    val eBad = intercept[IllegalArgumentException](
+      eg.queryBatchDF(panelDf.withColumn("beam", lit(2.5)), 5, 4, 4, useBeam = true))
+    assert(eBad.getMessage.contains("integral"))
+    // duplicate probe ids refuse loudly through the shared walk guard
+    val eDup = intercept[IllegalArgumentException](
+      eg.queryBatchDF(panelDf.unionByName(panelDf.limit(1)), 5, 4, 4).count())
+    assert(eDup.getMessage.contains("duplicate probe_id"))
+    // answer docs decrypt answer-bounded and roundtrip exactly
+    val withDocs = eg.queryBatchDF(panelDf.limit(2), topK = 3, beamWidth = 4,
+      hops = 4, includeDoc = true).collect()
+    assert(withDocs.nonEmpty &&
+      withDocs.forall(r => r.getString(4) == s"doc for vector ${r.getLong(1)}"),
+      "answer doc payloads must decrypt to the stored documents")
+    c.unpersist()
+  }
+
   test("beam policy: persist/read/route; rebuild AND key rotation fence it stale from metadata alone") {
     val c = corpus().persist()
     val egPath = java.nio.file.Files.createTempDirectory("graft_encg_pol").toString

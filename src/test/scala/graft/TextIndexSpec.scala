@@ -629,8 +629,10 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("queryRankedBatchBounded == queryRankedBatch: fresh, tiny-k, k past the corpus, and after deletes") {
     // keep the BOUNDED machinery under test on the fixture corpus (the
-    // production fanout floor would route everything here unbounded)
-    System.setProperty("graft.kw.boundFloor", "0")
+    // production fanout floor would route everything here unbounded);
+    // session-scoped conf, not a JVM global — suites sharing the JVM
+    // never see it
+    spark.conf.set("graft.kw.boundFloor", "0")
     try {
     val idx = freshIndex()
     val panel: Seq[(Long, Seq[String])] = Seq(
@@ -686,6 +688,6 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     idx.compact()
     assert(rows(idx.queryRankedBatchBounded(panel, 10)) == after,
       "bounded route must serve identically from the compacted generation")
-    } finally System.clearProperty("graft.kw.boundFloor")
+    } finally spark.conf.unset("graft.kw.boundFloor")
   }
 }
