@@ -262,6 +262,29 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_encrypt_graph_df" -> { (s, dir) =>
+      // build = kNN-graph train + AES-GCM land; probe = the frame walk
+      // with semi-join-bounded decrypts — the new compound lands with a
+      // decomposition from its first round, so any future drift is
+      // attributable on day one
+      val e = tbl(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("id"),
+          concat(lit("doc for vector "), col("vec_id")).as("doc"),
+          col("embedding").as("emb"))
+      val eg = new graft.store.EncryptedGraph(
+        s, graft.store.Scratch.dir("graft_encgdf_split"), StoreQueries.TestKey)
+      val (_, tb) = timed(eg.build(corpus, k = 4,
+        Seq(AnnQueries.lshBucketFn(0), AnnQueries.lshBucketFn(200)),
+        refineRounds = 0))
+      val panelDf = e.filter(col("vec_id") === 0)
+        .select(lit(0L).as("probe_id"), col("embedding").as("qe"))
+      val (_, tp) = timed(
+        eg.queryBatchDF(panelDf, topK = 5, beamWidth = 4, hops = 3,
+            entries = Seq(1L, 2L), includeDoc = true)
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
     "q_ann_exact_pruned" -> { (s, dir) =>
       val base = graft.store.Scratch.dir("graft_exq_split")
       val idx = new IvfIndex(s, base, numCells = 16)

@@ -88,11 +88,27 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * tightness for a bounded seed cost. */
   private val ThetaCap = 1024
 
-  /** Engagement threshold for the adaptive bound: the (optimistic, then
+  /** Engagement threshold for the adaptive bound: the (predicted, then
     * measured) essential fanout's Σ df must be at most this fraction of
     * the full fanout's before the bounded path runs — below it the bound
     * pays for itself, above it the single unbounded pass wins. */
   private val EngageFrac = 0.5
+
+  /** Df-dispersion test for the engagement gate: a probe is SKEWED — θ
+    * from its rarest term can plausibly mark the rest nonessential — only
+    * when that rarest term is at least this factor rarer than the probe's
+    * mean term df. MaxScore pruning is an idf-separation play (ub ∝ idf ∝
+    * −log df): on a df-uniform probe every term's impact bound is ~equal,
+    * θ ends up under any term's cumulative prefix, and the "bounded" pass
+    * degenerates to the full fanout AFTER paying the θ seed scan — the
+    * r14 100× measurement of exactly that: the r13 optimistic max-ub
+    * check (Σ df of each probe's single max-ub term, structurally ~1/q of
+    * a q-term uniform panel's fanout) passed EngageFrac and burned 55 s
+    * of θ work before the measured check fell back (bounded 176 s vs
+    * unbounded 121 s). Dispersion is computable from the committed df
+    * frame BEFORE any postings or sidecar work, so a uniform panel now
+    * falls back at pure gate cost. */
+  private val DfSkew = 4.0
 
   /** Absolute fanout floor for the adaptive bound (total Σ df across the
     * panel's pairs): under it the single unbounded pass wins outright and
@@ -1207,9 +1223,26 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     require(panel.map(_._1).distinct.length == panel.length,
       "probe ids must be unique")
     val dfMap = committedDfMapOf(panel.flatMap(_._2).distinct)
-    val totalDf = panel.iterator.flatMap(_._2.distinct.iterator)
-      .map(dfMap.getOrElse(_, 0L)).sum
-    if (totalDf < boundFloor) rankedBatchSeq(panel, k, Some(dfMap))
+    // the gate is pure driver arithmetic over the map idf needs anyway:
+    // Σ df (the fanout floor) and the df-DISPERSION prediction of what a
+    // perfect θ could keep essential — a SKEWED probe (rarest term ≥
+    // [[DfSkew]]× rarer than its mean) contributes its rare df, a uniform
+    // one its whole fanout (θ cannot separate ~equal impact bounds).
+    // Either fallback serves the plain driver-panel pass with the SAME
+    // answers (spec-pinned) at zero bounding cost.
+    var totalDf = 0L
+    var unavoidable = 0L
+    panel.foreach { case (_, terms) =>
+      val dfs = terms.distinct.flatMap(dfMap.get).filter(_ > 0L)
+      if (dfs.nonEmpty) {
+        val pdf = dfs.sum
+        val mindf = dfs.min
+        totalDf += pdf
+        unavoidable += (if (mindf * DfSkew * dfs.length <= pdf.toDouble) mindf else pdf)
+      }
+    }
+    if (totalDf < boundFloor || unavoidable > EngageFrac * totalDf)
+      rankedBatchSeq(panel, k, Some(dfMap))
     else queryRankedBatchBoundedDF(
       spark.createDataFrame(panel).toDF("probe_id", "terms"), k)
   }
@@ -1221,15 +1254,19 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * single unbounded pass by more than the cost of asking. Nothing
     * probe-sized touches the driver.
     *
-    *  0. **optimistic pre-check** (frame stats only, no postings work) —
-    *     even a PERFECT θ can at best leave each probe's max-ub term
-    *     essential; if Σ df over those optimal-essential pairs already
-    *     exceeds [[EngageFrac]] × the full fanout's Σ df, no θ can win:
-    *     serve the unbounded single pass (measured r13: on the uniform
-    *     31-token stress vocabulary, where EXACT ranks genuinely require
-    *     df-proportional work, the always-on bound ran 4-6× SLOWER than
-    *     the pass it was bounding — adaptivity is what makes the bound a
-    *     pure win).
+    *  0. **one gate job** (committed-df frame stats only — no sidecar
+    *     read, no postings work): the absolute fanout floor, plus the
+    *     df-DISPERSION prediction ([[DfSkew]]) — probes whose rarest
+    *     term is not meaningfully rarer than their mean cannot be
+    *     θ-pruned (uniform impact bounds) and contribute their whole
+    *     fanout to the unavoidable sum; if that sum exceeds
+    *     [[EngageFrac]] × the full fanout's Σ df, serve the unbounded
+    *     single pass (measured: on the uniform 31-token stress
+    *     vocabulary, where EXACT ranks genuinely require df-proportional
+    *     work, the always-on bound ran 4-6× slower than the pass it was
+    *     bounding, and the r13 optimistic max-ub gate still paid the θ
+    *     seed scan before falling back — 176 vs 121 s at 100×;
+    *     dispersion rejects those panels at pure gate cost).
     *  1. **θ pass** — each probe's rarest live term (max in-frame idf,
     *     ties to the first term) contributes its top-[[ThetaCap]] postings
     *     by OWN contribution, capped PER TERM (≤ |distinct rarest terms|
@@ -1262,20 +1299,35 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       case None => return emptyRankedFrame()
       case Some(s) => s
     }
-    // absolute fanout floor: when the WHOLE union fanout is small, the
-    // single unbounded pass beats any bounding machinery outright (the
-    // sf0.1 bench panel paid 4× in pure asking cost before this gate) —
-    // one cheap df-sum over the COMMITTED sidecar df decides before any
-    // θ/bounds work (committed dominates live, so a sub-floor verdict is
-    // conservative and the gate never scans postings for a tombstone
-    // correction), and a pre-impact-bound sidecar never refuses a panel
-    // it would not have bounded anyway
-    val totalDf = {
-      val r = scan.pairs.join(scan.dfCommitted.hint("broadcast"), Seq("term"))
-        .agg(coalesce(sum(col("dfc")), lit(0L))).head()
-      r.getLong(0)
-    }
-    if (totalDf < boundFloor) return unboundedFanout(scan, k)
+    // ONE gate job over the COMMITTED sidecar df (committed dominates
+    // live, so every verdict here is conservative and the gate never
+    // scans postings for a tombstone correction; a pre-impact-bound
+    // sidecar never refuses a panel it would not have bounded anyway):
+    //  - the absolute fanout floor — when the WHOLE union fanout is
+    //    small, the single unbounded pass beats any bounding machinery
+    //    outright (the sf0.1 bench panel paid 4× in pure asking cost
+    //    before this gate);
+    //  - the df-DISPERSION prediction ([[DfSkew]]) — a probe whose
+    //    rarest term is not meaningfully rarer than its mean cannot be
+    //    θ-pruned (uniform impact bounds), so it contributes its whole
+    //    fanout to the unavoidable sum; only genuinely skewed probes
+    //    contribute their rare df. A uniform panel now falls back HERE,
+    //    before any sidecar read or θ seed scan (the r13 optimistic
+    //    max-ub check paid the θ pass first: 176 vs 121 s at 100×).
+    val gate = scan.pairs.join(scan.dfCommitted.hint("broadcast"), Seq("term"))
+      .filter(col("dfc") > 0L)
+      .groupBy("probe_id")
+      .agg(sum(col("dfc")).as("pdf"), min(col("dfc")).as("mindf"),
+        count(lit(1)).as("nt"))
+      .agg(coalesce(sum(col("pdf")), lit(0L)).as("total"),
+        coalesce(sum(when(
+          col("mindf").cast("double") * lit(DfSkew) * col("nt").cast("double")
+            <= col("pdf").cast("double"),
+          col("mindf")).otherwise(col("pdf"))), lit(0L)).as("unavoidable"))
+      .head()
+    val totalDf = gate.getLong(0)
+    if (totalDf < boundFloor || gate.getLong(1) > EngageFrac * totalDf)
+      return unboundedFanout(scan, k)
     // the sidecar guard validates EVERY committed batch dir's own footer,
     // not the merged read schema (which Spark samples from one footer): a
     // mixed-generation sidecar — pre-impact-bound build + post-upgrade
@@ -1306,23 +1358,8 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
       .join(scan.idfDf, Seq("term"))
       .select(col("term"),
         (ceil(col("idf") * satUb * lit(Scale.toDouble)).cast("long") + lit(1L)).as("ub"))
-    // ---- 0. optimistic pre-check: Σ df if only each probe's max-ub term
-    // stayed essential vs the full fanout's Σ df — frame stats only, over
-    // the COMMITTED df (same basis as totalDf, so the EngageFrac ratio
-    // compares like with like and never pays a tombstone postings scan)
     val dfc = scan.dfCommitted
-    def dfSumOf(somePairs: DataFrame): Long = {
-      val r = somePairs.join(dfc.hint("broadcast"), Seq("term"))
-        .agg(coalesce(sum(col("dfc")), lit(0L))).head()
-      r.getLong(0)
-    }
-    val wU = org.apache.spark.sql.expressions.Window
-      .partitionBy("probe_id").orderBy(desc("ub"), asc("term"))
     val pairUb = scan.pairs.join(ubDf, Seq("term"))
-    val optimistic = pairUb.withColumn("rn", row_number().over(wU))
-      .filter(col("rn") === 1).select("probe_id", "term")
-    if (dfSumOf(optimistic) > EngageFrac * totalDf)
-      return unboundedFanout(scan, k)
     val scored = scan.scored.select("term", "doc_id", "dl", "cq")
     // exact Σ cq for a (probe_id, doc_id) frame — candidate-bounded
     // triples, never a df-shaped intermediate
@@ -1380,19 +1417,20 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     }
     // ---- 3. survivors: the ESSENTIAL-only fanout discovers every doc
     // that can still reach θ; exact triple scoring + the shared tail.
-    // The CHECKPOINT sits on the survivor ids — the one frame whose
-    // lineage pins essStat — so essStat unpersists here and the exact
-    // scoring + tail stay LAZY like every other serving route (the r13
-    // shape checkpointed the full answer, eagerly materializing the
-    // whole computation at call time for callers that compose further)
+    // The route returns an EAGER answer-level checkpoint (k × probes
+    // rows) — deliberately NOT a lazy frame over a survivors-level
+    // checkpoint: the survivors variant was built (r14) to keep the tail
+    // lazy and OOM'd a 48 GB heap on the 100× warm 256-panel — the
+    // candidate-scale (probe, doc) block storage is exactly what the
+    // answers-not-candidates discipline exists to avoid. Eagerness here
+    // is the price of unpersisting essStat without pinning candidates.
     val survivors = CellRoute.keyedProbeJoin(
         scored.select("term", "doc_id"), essStat,
         probeRows = es.getLong(0), numKeys = math.max(1, es.getLong(1).toInt),
         key = "term", saltOn = col("doc_id"))
       .select("probe_id", "doc_id").distinct()
-      .localCheckpoint()
-    essStat.unpersist()
-    rankedBatchTail(exactScores(survivors), k)
+    try rankedBatchTail(exactScores(survivors), k).localCheckpoint()
+    finally essStat.unpersist(): Unit
   }
 
   /** The unbounded single-pass fanout + tail — [[queryRankedBatchDF]]'s

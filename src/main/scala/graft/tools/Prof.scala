@@ -471,7 +471,7 @@ object Prof {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
-    if (want("hybdf")) {
+    if (want("hybdf") || section == "kw") {
       val ndocs = s.read.parquet(s"$dir/documents.parquet").count()
       val hTag = s"(docs=$ndocs)"
       val (tidx, vidx) = time("r13_hyb_build", hTag)(sq.hybridBuildIndexes(s, dir))
@@ -509,6 +509,7 @@ object Prof {
         noop(tidx.queryRankedBatch(tsSkew, sq.ShortlistK)))
       time("r13_kw_bounded_skew_256", hTag)(
         noop(tidx.queryRankedBatchBounded(tsSkew, sq.ShortlistK)))
+      if (section == "kw") { s.stop(); return }
       // panels as FRAMES: the DF hybrid route at growing standing fleets
       // (uniform depth 4 on both routes so serving cost, not per-probe
       // calibration, is the measured number)
@@ -532,7 +533,10 @@ object Prof {
           .toDF("probe_id", "terms", "qe", "depth").localCheckpoint()
         time(s"r13_hyb_df_cold_$p", hTag)(
           noop(sq.hybridServeIndexedBatchDF(s, tidx, vidx, panelDf, useDepth = true)))
-        time(s"r13_hyb_df_warm_$p", hTag)(
+        // the 4096-probe warm repeat is skipped: at 100× the cold number
+        // alone is a ~20 min measurement and the smaller panels already
+        // carry the warm-vs-cold signal
+        if (p <= 1024) time(s"r13_hyb_df_warm_$p", hTag)(
           noop(sq.hybridServeIndexedBatchDF(s, tidx, vidx, panelDf, useDepth = true)))
       }
     }
