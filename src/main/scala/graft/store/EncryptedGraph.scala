@@ -82,7 +82,7 @@ final class EncryptedGraph(spark: SparkSession, val path: String, key: String) {
           StoreIO.Staged(s"${graphPath}__stage", graphPath,
             st => gOut.write.mode("overwrite").parquet(st)),
           StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
-            st => ent.write.mode("overwrite").parquet(st))), marker)
+            st => ent.coalesce(1).write.mode("overwrite").parquet(st))), marker)
       } finally v.unpersist(): Unit
     }
 

@@ -310,7 +310,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
           } yield (mi, code, cw.toSeq)
           val pqDf = spark.createDataFrame(rows.toSeq).toDF("mi", "code", "cw")
           Seq(StoreIO.Staged(s"${path}/__stage_pq", pqPath,
-            st => pqDf.write.mode("overwrite").parquet(st)))
+            st => pqDf.coalesce(1).write.mode("overwrite").parquet(st)))
         }
       // a rebuild DEFINES the new truth: an sq8 rebuild over a previously
       // pq-built index sweeps the stale _pq sidecar in the same commit —
@@ -319,7 +319,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
       // mt(pqPath) premise is that any rebuild touches the sidecar)
       publishFull(sortedBy(v, "id"), sortedBy(g, "src"), trainEntryPoints(ve),
         extra = StoreIO.Staged(s"${path}/__stage_sq8", sq8Path,
-          st => sq8Df.write.mode("overwrite").parquet(st)) +: pqStaged,
+          st => sq8Df.coalesce(1).write.mode("overwrite").parquet(st)) +: pqStaged,
         sweep = if (codes != "pq") Seq(pqPath) else Nil)
     } finally v.unpersist(): Unit
   }: Unit
@@ -345,7 +345,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         st => sortedBy(g.select(col("dst"), col("src")), "dst")
           .write.mode("overwrite").parquet(s"$st/epoch=0")),
       StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
-        st => entries.write.mode("overwrite").parquet(st))) ++ extra ++
+        st => entries.coalesce(1).write.mode("overwrite").parquet(st))) ++ extra ++
       (if (allTsDirs.isEmpty) Seq.empty
        else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
          st => StoreIO.writeLongFile(st, newHwm)))),
@@ -1728,7 +1728,7 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
         "delete would leave the index without any entry point — rebuild instead")
       Seq(StoreIO.Staged(s"$path/__stage_entries_$batchId", entriesPath,
         st => spark.createDataFrame(newEntries.toSeq).toDF("cell", "id")
-          .write.mode("overwrite").parquet(st)))
+          .coalesce(1).write.mode("overwrite").parquet(st)))
     }
   }
 

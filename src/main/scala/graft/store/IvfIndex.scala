@@ -158,7 +158,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
           val sq8Df = spark.createDataFrame(sq8.toSeq).toDF("d", "mn", "mx")
           val mn = sq8.map(_._2); val mx = sq8.map(_._3)
           (StoreIO.Staged(s"$path/__stage_sq8", sq8Path,
-            st => sq8Df.write.mode("overwrite").parquet(st)),
+            st => sq8Df.coalesce(1).write.mode("overwrite").parquet(st)),
             VF.sq8Encode(col("emb"), mn, mx), pqPath)
         } else {
           val books = graft.operators.ProductQuantizer.train(
@@ -178,7 +178,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
           }
           val pqDf = spark.createDataFrame(rows.toSeq).toDF("mi", "code", "cw", "base_err")
           (StoreIO.Staged(s"$path/__stage_pq", pqPath,
-            st => pqDf.write.mode("overwrite").parquet(st)),
+            st => pqDf.coalesce(1).write.mode("overwrite").parquet(st)),
             encodeCol, sq8Path)
         }
       // release the thinned training sample only AFTER the codes dispatch:
@@ -193,9 +193,14 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       val allTsDirs = StoreIO.committedBatchDirs(tombstonePath)
       val newHwm = allTsDirs.map(_.getName.stripPrefix("batch=").toLong)
         .foldLeft(tombstoneHwm())(math.max)
+      // metadata sidecars (centroids, sq8/pq stats, radii) are bounded by
+      // numCells / dim / m·256 rows at ANY corpus scale — coalesce(1) so
+      // each lands as ONE file instead of a file per createDataFrame
+      // partition (32 one-row files per sidecar at the bench, paying file
+      // commits on write and listing + footer reads on every open)
       StoreIO.commitStaged(Seq(
         StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
-          st => centDf.write.mode("overwrite").parquet(st)),
+          st => centDf.coalesce(1).write.mode("overwrite").parquet(st)),
         codesStage,
         StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
           st => v.withColumn("cell", cellCol(cents, col("emb")))
@@ -211,7 +216,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
         StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=0",
           st => cellRadiiOf(spark.read.schema("emb ARRAY<FLOAT>, cell LONG")
             .parquet(s"$path/__stage_build"), cents)
-            .write.mode("overwrite").parquet(st))) ++
+            .coalesce(1).write.mode("overwrite").parquet(st))) ++
         (if (allTsDirs.isEmpty) Seq.empty
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
            st => StoreIO.writeLongFile(st, newHwm)))),
@@ -402,7 +407,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       // probes then scan every cell until the batch replays or the next
       // compact)
       cellRadiiOf(assigned, cents)
-        .write.mode("overwrite").parquet(s"$radiiPath/batch=${batchId + 1}")
+        .coalesce(1).write.mode("overwrite").parquet(s"$radiiPath/batch=${batchId + 1}")
       assigned
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dataPath/batch=${batchId + 1}")
@@ -789,7 +794,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
         // radii generation must come out EMPTY, not crash the commit
         st => cellRadiiOf(spark.read.schema("emb ARRAY<FLOAT>, cell LONG")
           .parquet(s"$path/__stage_data"), cents)
-          .write.mode("overwrite").parquet(st))) ++
+          .coalesce(1).write.mode("overwrite").parquet(st))) ++
       (if (allTsDirs.isEmpty) Seq.empty else Seq(hwmStage)),
       marker,
       cleanup = (batchDirs ++ oldRadii ++ allTsDirs).map(_.getPath).toSeq)

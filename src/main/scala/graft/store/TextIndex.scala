@@ -122,6 +122,23 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def bucketOf(term: String): Long =
     TextHashOps.polyHash(org.apache.spark.unsafe.types.UTF8String.fromString(term)) % numBuckets
 
+  /** Cluster a bucket-partitioned tree's rows before the partitionBy
+    * write (guide §2.4/§6): without this every write task spills a file
+    * into every bucket dir it touches — tasks × numBuckets files of a few
+    * KB each (256 per build at the bench's 32 partitions × 8 buckets),
+    * paying per-file open/commit on the write and listing + footer reads
+    * on every later probe. Hash-clustering on (bucket, salt) makes the
+    * file count track the cluster count instead; the deterministic salt
+    * (xxhash64 of the salt column — never rand(), guide §2.5) keeps a hot
+    * stopword bucket splittable across tasks at scale, and the
+    * no-explicit-N repartition stays AQE-coalescible, so the partition
+    * count follows data volume rather than a local-mode constant. */
+  private def bucketClustered(rows: DataFrame, saltCol: String): DataFrame = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    val subSplit = math.max(1L, 4L * p / numBuckets)
+    rows.repartition(col("bucket"), pmod(xxhash64(col(saltCol)), lit(subSplit)))
+  }
+
   /** Per-(bucket, term) sidecar stats from a postings frame — ONE copy for
     * build/append/compact so the three generations can never drift: df
     * (the idf input) plus the IMPACT-BOUND inputs (max tf, min dl) the
@@ -158,9 +175,10 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           } ++ allTsDirs.map(_.getPath)
         StoreIO.commitStaged(Seq(
           StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=0",
-            st => postings.write.mode("overwrite").partitionBy("bucket").parquet(st)),
+            st => bucketClustered(postings, "doc_id")
+              .write.mode("overwrite").partitionBy("bucket").parquet(st)),
           StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=0",
-            st => termStatsOf(postings)
+            st => bucketClustered(termStatsOf(postings), "term")
               .write.mode("overwrite").partitionBy("bucket").parquet(st)),
           StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=0",
             st => toks.agg(count(lit(1)).as("n_docs"),
@@ -365,7 +383,8 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
                 "refusing to publish")
             StoreIO.Staged(s"$path/__stage_upgrade_${bname.stripPrefix("batch=")}",
               s"$postingsPath/$bname",
-              st => postings.write.mode("overwrite").partitionBy("bucket").parquet(st))
+              st => bucketClustered(postings, "doc_id")
+                .write.mode("overwrite").partitionBy("bucket").parquet(st))
           }
           StoreIO.commitStaged(stages.toSeq, marker)
           preDirs.length
@@ -376,12 +395,12 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
   private def writeBatch(docs: DataFrame, b: Long): Unit = {
     val (toks, postings) = postingFrames(docs)
     try {
-      postings.write.mode("overwrite").partitionBy("bucket")
+      bucketClustered(postings, "doc_id").write.mode("overwrite").partitionBy("bucket")
         .parquet(s"$postingsPath/batch=$b")
       // df from the SAME cached frame (a read-back of the just-written dir
       // throws on an EMPTY micro-batch — partitionBy of zero rows leaves a
       // bare _SUCCESS dir Spark cannot infer a schema from)
-      termStatsOf(postings)
+      bucketClustered(termStatsOf(postings), "term")
         .write.mode("overwrite").partitionBy("bucket").parquet(s"$termstatsPath/batch=$b")
       // coalesce: sum() of zero rows is NULL, and corpus stats must stay
       // exact non-null integers for the cross-batch sum
@@ -483,9 +502,10 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
         } ++ allTsDirs.map(_.getPath)
       StoreIO.commitStaged((if (allTsDirs.isEmpty) Seq.empty else Seq(hwmStage)) ++ Seq(
         StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=$mergedId",
-          st => merged.write.mode("overwrite").partitionBy("bucket").parquet(st)),
+          st => bucketClustered(merged, "doc_id")
+            .write.mode("overwrite").partitionBy("bucket").parquet(st)),
         StoreIO.Staged(s"$path/__stage_termstats", s"$termstatsPath/batch=$mergedId",
-          st => termStatsOf(merged)
+          st => bucketClustered(termStatsOf(merged), "term")
             .write.mode("overwrite").partitionBy("bucket").parquet(st)),
         StoreIO.Staged(s"$path/__stage_stats", s"$statsPath/batch=$mergedId",
           st => merged.select(col("doc_id"), col("dl")).distinct()

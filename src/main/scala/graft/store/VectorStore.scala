@@ -1323,7 +1323,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
               .toDF("mn_j", "mx_j")
               .select(encrypt(col("mn_j")).as("mn_ct"), encrypt(col("mx_j")).as("mx_ct"))
             (StoreIO.Staged(s"${encSq8Path(name)}__stage", encSq8Path(name),
-              st => sq8Df.write.mode("overwrite").parquet(st)),
+              st => sq8Df.coalesce(1).write.mode("overwrite").parquet(st)),
               encrypt(base64(VF.sq8Encode(col("emb"), mn, mx))).as("codes_ct"),
               encPqPath(name))
           } else {
@@ -1342,13 +1342,13 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
               .select(col("m"), encrypt(col("books_j")).as("books_ct"),
                 encrypt(col("base_err_j")).as("base_err_ct"))
             (StoreIO.Staged(s"${encPqPath(name)}__stage", encPqPath(name),
-              st => pqDf.write.mode("overwrite").parquet(st)),
+              st => pqDf.coalesce(1).write.mode("overwrite").parquet(st)),
               encrypt(base64(VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK))).as("codes_ct"),
               encSq8Path(name))
           }
         StoreIO.commitStaged(Seq(
           StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
-            st => centDf.write.mode("overwrite").parquet(st)),
+            st => centDf.coalesce(1).write.mode("overwrite").parquet(st)),
           codesStage,
           // per-cell pruning radii for the exact surfaces, encrypted —
           // recomputed from the CACHED plaintext (reading them back off
@@ -1357,7 +1357,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           StoreIO.Staged(s"${encRadiiPath(name)}__stage", encRadiiPath(name),
             st => encCellRadii(
               v.withColumn("cell", VF.nearestCentroid(col("emb"), cents)), cents)
-              .write.mode("overwrite").parquet(s"$st/batch=0")),
+              .coalesce(1).write.mode("overwrite").parquet(s"$st/batch=0")),
           StoreIO.Staged(s"${path(name)}__stage", path(name),
             // batch=0 level so streaming appendIndexedBatch shares one
             // uniform (batch, cell) tree with the build
@@ -1482,7 +1482,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           // which [[encRadiiOf]] treats as pruning-disabled — sound either
           // way, this order degrades less
           encCellRadii(assigned, cents)
-            .write.mode("overwrite").parquet(s"${encRadiiPath(name)}/batch=${batchId + 1}")
+            .coalesce(1).write.mode("overwrite").parquet(s"${encRadiiPath(name)}/batch=${batchId + 1}")
           assigned
             .select(col("id"), col("cell"),
               encrypt(col("doc")).as("doc_ct"),
@@ -1565,7 +1565,7 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
         val rdf = spark.createDataFrame(rm.toSeq).toDF("cell", "rmax")
           .select(col("cell"), reEncryptor.encrypt(col("rmax")).as("rmax_ct"))
         (Seq(StoreIO.Staged(s"${encRadiiPath(name)}__stage", encRadiiPath(name),
-          st => rdf.write.mode("overwrite").parquet(s"$st/batch=0"))), Seq.empty)
+          st => rdf.coalesce(1).write.mode("overwrite").parquet(s"$st/batch=0"))), Seq.empty)
       case None => (Seq.empty, Seq(encRadiiPath(name)))
     }
   }
