@@ -44,20 +44,25 @@ private[store] object CellRoute {
     * a duplicate — checked by assert_true, zero extra jobs); only the
     * in-frame depth policy pays a pre-routing scan (the bounded max the
     * aggregate's constant k needs). */
+  /** The `depth` policy column's shape contract — ONE copy shared by the
+    * routing and the small-panel dispatch, so the refusal fires with the
+    * same message on either lane. */
+  def requireDepthColumn(probes: DataFrame): Unit = {
+    require(probes.columns.contains("depth"),
+      "useDepth = true needs an integer `depth` column on the probe frame")
+    val dt = probes.schema("depth").dataType
+    require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"the `depth` policy column must be integral, got $dt — a cast-nulled " +
+        "depth would silently fall back to uniform nprobe and change recall")
+  }
+
   def routeCells(spark: SparkSession, probes: DataFrame,
                  cents: Array[(Long, Array[Float])], numCells: Int,
                  nprobe: Int, useDepth: Boolean): DataFrame = {
     val centDf = spark.createDataFrame(
       cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }).toDF("cell", "cemb")
     val uniform = math.min(math.max(nprobe, 0), numCells)
-    if (useDepth) {
-      require(probes.columns.contains("depth"),
-        "useDepth = true needs an integer `depth` column on the probe frame")
-      val dt = probes.schema("depth").dataType
-      require(Seq[DataType](ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"the `depth` policy column must be integral, got $dt — a cast-nulled " +
-          "depth would silently fall back to uniform nprobe and change recall")
-    }
+    if (useDepth) requireDepthColumn(probes)
     val depthCol =
       if (useDepth)
         least(greatest(coalesce(col("depth").cast("long"), lit(nprobe.toLong)),

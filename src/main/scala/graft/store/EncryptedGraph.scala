@@ -149,6 +149,20 @@ final class EncryptedGraph(spark: SparkSession, val path: String, key: String) {
     val beamCol = GraphWalk.beamPolicyCol(probes, beamWidth, useBeam)
     val p = probes.select(col("probe_id"),
       col("qe").cast("array<float>").as("qe"), beamCol.as("pbeam"))
+    // driver-sized panels serve through the driver walk — identical
+    // answers (the queryBatch ≡ queryBatchDF parity pin) and the same
+    // frontier-bounded decrypt (the In-filter form), none of the frame
+    // lane's per-hop action constant ([[PanelDispatch]])
+    PanelDispatch.smallPanel(spark, p) match {
+      case Some(rows) if rows.nonEmpty =>
+        PanelDispatch.requireUniqueProbes(rows)
+        return queryBatch(
+          rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+          topK, beamWidth, hops, starts,
+          beamOf = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap,
+          includeDoc = includeDoc)
+      case _ => ()
+    }
     val cipherC = cipher.select(col("id"), col("emb_ct"))
       .repartition(col("id")).persist()
     try {

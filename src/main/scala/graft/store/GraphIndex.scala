@@ -492,6 +492,22 @@ final class GraphIndex(spark: SparkSession, val path: String, k: Int,
                    useBeam: Boolean = false): DataFrame = {
     val starts = (if (entries.nonEmpty) entries else defaultEntries()).distinct.sorted
     val beamCol = GraphWalk.beamPolicyCol(probes, beamWidth, useBeam)
+    // driver-sized panels serve through the driver walk — identical
+    // answers (the queryBatch ≡ queryBatchDF parity pin), none of the
+    // frame lane's per-hop action constant ([[PanelDispatch]])
+    PanelDispatch.smallPanel(spark,
+        probes.select(col("probe_id"), col("qe").cast("array<float>").as("qe"),
+          beamCol.as("pbeam"))) match {
+      // an EMPTY panel stays on the frame lane (the Seq twin refuses
+      // empty panels; the frame walk serves the empty answer frame)
+      case Some(rows) if rows.nonEmpty =>
+        PanelDispatch.requireUniqueProbes(rows)
+        return queryBatch(
+          rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+          topK, beamWidth, hops, starts, where,
+          beamOf = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap)
+      case _ => ()
+    }
     // The schedule itself is the SHARED [[GraphWalk.batchDF]] (r14: the
     // encrypted twin runs the identical frame walk over decrypt-on-read
     // vectors, the [[GraphWalk.batch]] discipline applied to the scale

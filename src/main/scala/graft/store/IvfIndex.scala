@@ -2079,6 +2079,30 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
                    where: Option[Column] = None,
                    include: Seq[String] = Nil,
                    useDepth: Boolean = false): DataFrame = {
+    // driver-sized panels serve through the Seq twin — identical answers
+    // (the queryBatch ≡ queryBatchDF parity pin), none of the frame
+    // lane's routing/checkpoint action constant ([[PanelDispatch]]). The
+    // depth-column contract is validated the same way on either lane.
+    if (useDepth) CellRoute.requireDepthColumn(probes)
+    val panelCols =
+      if (useDepth)
+        probes.select(col("probe_id"), col("qe").cast("array<float>").as("qe"),
+          col("depth").cast("long").as("depth"))
+      else probes.select(col("probe_id"), col("qe").cast("array<float>").as("qe"))
+    PanelDispatch.smallPanel(spark, panelCols) match {
+      case Some(rows) if rows.nonEmpty =>
+        PanelDispatch.requireUniqueProbes(rows)
+        // null depth falls back to nprobe (omitted from the map); the Seq
+        // route's take(depth) reproduces the frame clamp at the edges
+        val depthOf: Map[Long, Int] =
+          if (!useDepth) Map.empty
+          else rows.iterator.filterNot(_.isNullAt(2)).map(r =>
+            r.getLong(0) -> math.min(r.getLong(2), numCells.toLong).toInt).toMap
+        return queryBatch(
+          rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq,
+          k, nprobe, where, include, depthOf)
+      case _ => ()
+    }
     val routed = routeCellsDF(probes, nprobe, useDepth).persist()
     try {
       // the distinct probed cells are ≤ numCells — a driver-BOUNDED

@@ -1263,7 +1263,10 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     }
     if (totalDf < boundFloor || unavoidable > EngageFrac * totalDf)
       rankedBatchSeq(panel, k, Some(dfMap))
-    else queryRankedBatchBoundedDF(
+    else boundedBatchDF(
+      // the bounded BODY, not the public frame route — the public route's
+      // small-panel dispatch would bounce an engaged driver panel back
+      // here forever
       spark.createDataFrame(panel).toDF("probe_id", "terms"), k)
   }
 
@@ -1314,7 +1317,21 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * essential. Requires `_termstats` with the impact-bound columns (any
     * build/append/compact from this version); refuses loudly on a
     * pre-upgrade sidecar. */
-  def queryRankedBatchBoundedDF(panel: DataFrame, k: Int): DataFrame = {
+  def queryRankedBatchBoundedDF(panel: DataFrame, k: Int): DataFrame =
+    PanelDispatch.smallPanel(spark,
+        panel.select(col("probe_id"), col("terms").cast("array<string>").as("terms"))) match {
+      // driver-sized panels take the driver-gated route — identical
+      // answers (the bounded ≡ plain ≡ frame parity pins) with the gate
+      // as pure driver arithmetic; an ENGAGED driver panel re-enters the
+      // bounded BODY below, never this dispatch ([[PanelDispatch]])
+      case Some(rows) if rows.nonEmpty =>
+        PanelDispatch.requireUniqueProbes(rows)
+        queryRankedBatchBounded(
+          rows.map(r => (r.getLong(0), r.getSeq[String](1))).toSeq, k)
+      case _ => boundedBatchDF(panel, k)
+    }
+
+  private def boundedBatchDF(panel: DataFrame, k: Int): DataFrame = {
     val scan = panelScan(panel) match {
       case None => return emptyRankedFrame()
       case Some(s) => s
@@ -1489,6 +1506,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     * the panel — duplicated pairs would silently double shared terms' cq
     * into the merged sum). */
   def queryRankedBatchDF(panel: DataFrame, k: Int): DataFrame = {
+    // driver-sized panels serve through the Seq twin — identical answers
+    // (the queryRankedBatch ≡ queryRankedBatchDF parity pin), one
+    // postings pass either way but none of the frame lane's per-serve
+    // stats/idf-join plumbing ([[PanelDispatch]])
+    PanelDispatch.smallPanel(spark,
+        panel.select(col("probe_id"), col("terms").cast("array<string>").as("terms"))) match {
+      case Some(rows) if rows.nonEmpty =>
+        PanelDispatch.requireUniqueProbes(rows)
+        return rankedBatchSeq(
+          rows.map(r => (r.getLong(0), r.getSeq[String](1))).toSeq, k, None)
+      case _ => ()
+    }
     val scan = panelScan(panel) match {
       case None => return emptyRankedFrame()
       case Some(s) => s

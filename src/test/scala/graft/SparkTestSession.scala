@@ -11,6 +11,12 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // pin the FRAME lanes in every suite: the DF serving routes dispatch
+    // driver-sized panels to their Seq twins by default (PanelDispatch),
+    // which would turn every frame-route parity/plan assertion into a
+    // trivially-true Seq-vs-Seq check — tests that want the dispatch set
+    // the conf per-test (PanelDispatchSpec)
+    .config(graft.store.PanelDispatch.FloorKey, "0")
     .getOrCreate()
 }
 
