@@ -104,7 +104,12 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     require(trainSampleCap > 0, "trainSampleCap must be positive")
     require(codes == "sq8" || codes == "pq", s"codes must be sq8 or pq, got $codes")
     // training + final assignment scan the input TrainIters + 1 times —
-    // cache it for the duration of the build
+    // cache it for the duration of the build. NOT spread to cores first
+    // (measured r14): the input is already-materialized float vectors —
+    // light per-byte compute — so raising a small build's parallelism just
+    // multiplies per-task scheduling overhead across the Lloyd/stat
+    // passes (warm build 2.5 → 3.4 s when tried); compute-heavy UPSTREAM
+    // derivations (chunk+embed, tokenize) spread at their own scan.
     val v = vectors.persist()
     try {
       // centroid TRAINING runs on a bounded, DETERMINISTIC sample above
@@ -203,8 +208,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
           st => centDf.coalesce(1).write.mode("overwrite").parquet(st)),
         codesStage,
         StoreIO.Staged(s"$path/__stage_build", s"$dataPath/batch=0",
-          st => v.withColumn("cell", cellCol(cents, col("emb")))
-            .withColumn("codes", codesCol)
+          st => cellClustered(v.withColumn("cell", cellCol(cents, col("emb")))
+            .withColumn("codes", codesCol))
             .write.mode("overwrite").partitionBy("cell").parquet(st)),
         // per-cell pruning radii — the metadata [[queryExact]] and
         // [[rangeSearch]] bound cells with; numCells rows, derived from
@@ -228,6 +233,18 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
         cleanup = (staleBatches ++ staleRadii ++ allTsDirs).map(_.getPath).toSeq :+
           otherSidecar :+ depthsPath)
     } finally v.unpersist(): Unit
+  }
+
+  /** Cluster an assigned frame on (cell, deterministic salt) before a
+    * partitionBy("cell") write — the TextIndex.bucketClustered discipline
+    * for the cell tree: without it every write task spills a file into
+    * every cell dir it touches (tasks × numCells few-KB files after
+    * spreadToCores raised the build's parallelism). AQE-coalescible (no
+    * explicit N), salt keeps a hot cell splittable at scale. */
+  private def cellClustered(assigned: DataFrame): DataFrame = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    val subSplit = math.max(1L, 4L * p / math.max(numCells, 1))
+    assigned.repartition(col("cell"), pmod(xxhash64(col("id")), lit(subSplit)))
   }
 
   /** (cell, rmax) of an assigned frame — the triangle-inequality pruning
@@ -408,7 +425,7 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       // compact)
       cellRadiiOf(assigned, cents)
         .coalesce(1).write.mode("overwrite").parquet(s"$radiiPath/batch=${batchId + 1}")
-      assigned
+      cellClustered(assigned)
         .write.mode("overwrite").partitionBy("cell")
         .parquet(s"$dataPath/batch=${batchId + 1}")
     } finally assigned.unpersist(): Unit
@@ -781,7 +798,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     val cents = centroids()
     StoreIO.commitStaged(Seq(
       StoreIO.Staged(s"$path/__stage_data", s"$dataPath/batch=$mergedId",
-        st => purged.write.mode("overwrite").partitionBy("cell").parquet(st)),
+        st => cellClustered(purged)
+          .write.mode("overwrite").partitionBy("cell").parquet(st)),
       // schema sidecar: an all-tombstoned merge stages a footerless
       // bare-_SUCCESS generation — record the EXACT row schema (metadata
       // payload columns included) so [[dataTree]]'s canonical-empty frame
