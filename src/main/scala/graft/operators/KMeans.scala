@@ -46,8 +46,11 @@ object KMeans {
   val DriverSeedBound: Long = 131072L
 
   def farthestFirstSeeds(vectors: DataFrame, idCol: String, embCol: String,
-                         k: Int): Array[(Long, Array[Float])] = {
-    val n = vectors.count()
+                         k: Int, knownN: Option[Long] = None): Array[(Long, Array[Float])] = {
+    // callers that already counted the (cached) input hand the count
+    // through — the dispatch needs only the driver-vs-distributed verdict,
+    // and a redundant count job is pure driver latency on a warm build
+    val n = knownN.getOrElse(vectors.count())
     if (n <= DriverSeedBound) farthestFirstDriver(
       vectors.select(col(idCol).cast("long"), col(embCol)).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), k)
@@ -161,7 +164,10 @@ object KMeans {
   def trainQuantized(vectors: DataFrame, idCol: String, embCol: String,
                      k: Int, iters: Int,
                      seeds: Option[Array[(Long, Array[Float])]] = None): Array[(Long, Array[Float])] = {
-    val dim = vectors.select(size(col(embCol))).head().getInt(0)
+    // provided seeds carry the dimensionality — the head() probe is only
+    // for the seedless path
+    val dim = seeds.filter(_.nonEmpty).map(_.head._2.length)
+      .getOrElse(vectors.select(size(col(embCol))).head().getInt(0))
     var cb: Array[(Long, Array[Float])] = seeds.getOrElse {
       vectors
         .orderBy(idCol).limit(k)

@@ -26,6 +26,28 @@ object Registry {
   def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact row count of a parquet table from its FOOTER metadata — what a
+    * `count()` job computes, without the job: parquet row-group headers
+    * carry exact counts, so the builds that size an index from the corpus
+    * count (cells ~ nDocs / target) read a few KB of driver-side metadata
+    * instead of scheduling a scan (guide §5 — the driver should do almost
+    * no data work, and metadata reads are not data work). Same listing
+    * cost shape as the scan's own planning at any corpus size. */
+  def tblRows(spark: SparkSession, dir: String, name: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    def files(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(files)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+      else Seq.empty
+    files(fs.getFileStatus(root)).map { f =>
+      val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try rd.getRecordCount finally rd.close()
+    }.sum
+  }
+
   /** Materialize a BOUNDED query result (top-k / per-group-capped — never
     * corpus-sized) through its caches, then release them: queries persist()
     * intermediates that several downstream branches read, but the returned

@@ -239,7 +239,8 @@ object SearchQueries {
     * calibration policy, whatever the layout. */
   private[graft] def ragBuildIndex(s: SparkSession, dir: String): graft.store.IvfIndex = {
     val base = graft.store.Scratch.dir("graft_rag_idx")
-    val nDocs = tbl(s, dir, "documents").count()
+    // footer metadata, not a count() job — nDocs only sizes the cell count
+    val nDocs = Registry.tblRows(s, dir, "documents")
     val cells = math.min(512L, math.max(RagIndexCells.toLong, nDocs / 1280L)).toInt
     val idx = new graft.store.IvfIndex(s, base, numCells = cells)
     // train on a ~512-rows-per-cell sample: k-means quality saturates
@@ -318,15 +319,29 @@ object SearchQueries {
       : (graft.store.TextIndex, graft.store.IvfIndex) = {
     val tidx = new graft.store.TextIndex(s, graft.store.Scratch.dir("graft_hyb_tidx"),
       numBuckets = 8)
-    tidx.build(tbl(s, dir, "documents").select("doc_id", "text"))
-    val nDocs = tbl(s, dir, "documents").count()
+    // nDocs sizes the cell count only — footer metadata, not a count() job
+    val nDocs = Registry.tblRows(s, dir, "documents")
     val cells = math.min(512L, math.max(16L, nDocs / 2048L)).toInt
     val vidx = new graft.store.IvfIndex(s, graft.store.Scratch.dir("graft_hyb_ivf"),
       numCells = cells)
-    vidx.build(tokenized(s, dir)
-      .select(col("doc_id").as("id"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
-      .filter(VF.norm(col("emb")) > 0),
-      trainSampleCap = math.max(cells * 512L, 1L << 16))
+    // the two persisted arms are INDEPENDENT job chains over different
+    // scratch dirs — build them from two driver threads (guide §2.6:
+    // actions are only sequential because the driver calls them
+    // sequentially) so one arm's driver-side gaps (planning, sidecar
+    // commits) backfill with the other arm's tasks. Each build owns its
+    // own caches/lease; nothing is shared between the threads.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+    val tidxDone = pool.submit(new java.util.concurrent.Callable[Unit] {
+      def call(): Unit =
+        tidx.build(tbl(s, dir, "documents").select("doc_id", "text"))
+    })
+    try {
+      vidx.build(tokenized(s, dir)
+        .select(col("doc_id").as("id"), TF.hashEmbed(col("toks"), EmbDim).as("emb"))
+        .filter(VF.norm(col("emb")) > 0),
+        trainSampleCap = math.max(cells * 512L, 1L << 16))
+      tidxDone.get()
+    } finally pool.shutdown()
     // the exclusion invariant's PRECONDITION, checked loudly at build:
     // the exact arm ranks zero-norm docs too (at the −1.0 sentinel), so
     // routed ≡ exact only holds while the cosine top-ShortlistK cannot

@@ -237,8 +237,9 @@ private[store] object GraphWalk {
     * trains before encryption lands, the [[EncryptedStore.storeIndexed]]
     * k-means discipline). */
   def medoidEntries(spark: SparkSession, ve: DataFrame, numEntries: Int): DataFrame = {
-    val kE = math.min(numEntries.toLong, ve.count()).toInt
-    val seeds = graft.operators.KMeans.farthestFirstSeeds(ve, "id", "emb", kE)
+    val n = ve.count()
+    val kE = math.min(numEntries.toLong, n).toInt
+    val seeds = graft.operators.KMeans.farthestFirstSeeds(ve, "id", "emb", kE, Some(n))
     val cents = graft.operators.KMeans.trainQuantized(
       ve, "id", "emb", kE, IvfIndex.TrainIters, Some(seeds))
     val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })

@@ -138,7 +138,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       // farthest-first seeds survive domain-sorted ingest (first-k-rows
       // seeding traps every seed in one cluster); quantized Lloyd then
       // keeps the whole pipeline bit-reproducible for the oracle
-      val seeds = graft.operators.KMeans.farthestFirstSeeds(trainSet, "id", "emb", numCells)
+      val seeds = graft.operators.KMeans.farthestFirstSeeds(trainSet, "id", "emb", numCells,
+        knownN = if (trainSet eq v) Some(n) else None)
       val cents = graft.operators.KMeans.trainQuantized(
         trainSet, "id", "emb", numCells, IvfIndex.TrainIters, Some(seeds))
       val centDf = spark.createDataFrame(cents.toSeq.map { case (cid, c) => (cid, c.toSeq) })
@@ -212,15 +213,15 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
             .withColumn("codes", codesCol))
             .write.mode("overwrite").partitionBy("cell").parquet(st)),
         // per-cell pruning radii — the metadata [[queryExact]] and
-        // [[rangeSearch]] bound cells with; numCells rows, derived from
-        // the ALREADY-STAGED data (stage writers run in order before any
-        // rename, and the whole commit is atomic under the marker) so the
-        // assignment pass is never re-run; the narrow explicit schema
-        // keeps an empty build readable (a bare-_SUCCESS staged dir
-        // defeats schema inference)
+        // [[rangeSearch]] bound cells with; numCells rows, computed from
+        // the CACHED build input + the same assignment column (the
+        // EncryptedStore.storeIndexed convention): re-reading the staged
+        // dir cost a per-file listing+footer pass (~1 s of a 2.5 s bench
+        // build); the assignment recompute is one narrow codegen pass
+        // over the cache, the same cost shape at any corpus size
         StoreIO.Staged(s"$path/__stage_radii", s"$radiiPath/batch=0",
-          st => cellRadiiOf(spark.read.schema("emb ARRAY<FLOAT>, cell LONG")
-            .parquet(s"$path/__stage_build"), cents)
+          st => cellRadiiOf(v.withColumn("cell", cellCol(cents, col("emb"))),
+            cents)
             .coalesce(1).write.mode("overwrite").parquet(st))) ++
         (if (allTsDirs.isEmpty) Seq.empty
          else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
