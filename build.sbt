@@ -30,3 +30,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.warehouse.dir=/tmp/graft_warehouse",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The test suite's scratch (every spec's temp index trees, Spark block
+// manager dirs, staged dynamic-partition writes) lives under target/, NOT
+// the host /tmp: the r14 driver run died mid-suite with `Mkdirs failed to
+// create file:/tmp/...` — a host-environment failure (/tmp is shared with
+// whatever else the box runs, and on many hosts is a small tmpfs) that a
+// 30-minute 370-test run must not be hostage to. Created right before the
+// forked JVM starts (Tests.Setup survives a preceding `clean`).
+Test / javaOptions ++= {
+  val tmp = (target.value / "tmp").getAbsolutePath
+  Seq(s"-Djava.io.tmpdir=$tmp", s"-Dspark.local.dir=$tmp",
+    s"-Dspark.sql.warehouse.dir=$tmp/graft_warehouse")
+}
+Test / testOptions += Tests.Setup(() => IO.createDirectory(target.value / "tmp"))

@@ -258,6 +258,165 @@ case class NearestCentroid(
 }
 
 /**
+ * Fused projected squared-L2 distance — the q_ann_jl kernel as ONE codegen
+ * expression: sum_j (dot(emb, planes[j]) - q[j])^2 over a literal projection
+ * matrix. The unfused form (16 separate `dot(col, typedlit(plane)) - lit(q)`
+ * terms left-folded through Add) generated 16 inlined loops plus a 31-node
+ * double-arithmetic tree per row and carried 16 array literals through the
+ * plan; this is one loop nest over two codegen reference objects — the
+ * generated source is O(1) in the projection dimension (the NearestCentroid
+ * discipline). Accumulation order matches the unfused tree bit for bit:
+ * per plane a sequential left-to-right dot in DOUBLE, then the squared
+ * differences left-folded in plane order.
+ */
+case class ProjectedL2(
+    child: Expression,
+    planes: Array[Array[Float]],
+    q: Array[Double]) extends UnaryExpression {
+  require(planes.length == q.length && planes.nonEmpty,
+    "projection planes and projected query must align and be non-empty")
+
+  override def prettyName: String = "proj_l2"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    var acc = 0.0
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < w.length) { dot += a(i).toDouble * w(i).toDouble; i += 1 }
+      val d = dot - q(p)
+      acc += d * d
+      p += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("projPlanes", planes, "float[][]")
+    val qRef = ctx.addReferenceObj("projQ", q, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val dot = ctx.freshName("dot")
+      val w = ctx.freshName("w"); val d = ctx.freshName("d")
+      s"""
+         |double $acc = 0.0;
+         |for (int $p = 0; $p < $pRef.length; $p++) {
+         |  float[] $w = $pRef[$p];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $w.length; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $w[$i];
+         |  }
+         |  double $d = $dot - $qRef[$p];
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Fused sign-random-projection LSH bucket — the [[ProjectedL2]] treatment of
+ * the 6-plane signature: bit p set iff dot(emb, planes[p]) >= 0. The unfused
+ * form (6 `when(dot(col, typedlit(plane)) >= 0, 1L << p)` branches summed)
+ * generated 6 inlined loops plus branch trees per row; this is one loop nest
+ * over a codegen reference object. Identical arithmetic (sequential DOUBLE
+ * dot per plane) and identical bit math (the summed when-branches set
+ * disjoint bits, so sum == or). Callers wrap with coalesce(_, 0L) where the
+ * old when/otherwise tree mapped a NULL embedding to bucket 0.
+ */
+case class LshSignBucket(child: Expression, planes: Array[Array[Float]])
+    extends UnaryExpression {
+  require(planes.nonEmpty && planes.length <= 63, "1..63 planes")
+
+  override def prettyName: String = "lsh_bucket"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData].toFloatArray()
+    var bucket = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      var dot = 0.0
+      var i = 0
+      while (i < w.length) { dot += a(i).toDouble * w(i).toDouble; i += 1 }
+      if (dot >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val w = ctx.freshName("w")
+      s"""
+         |${ev.value} = 0L;
+         |for (int $p = 0; $p < $pRef.length; $p++) {
+         |  float[] $w = $pRef[$p];
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $w.length; $i++) {
+         |    $dot += (double) $a.getFloat($i) * (double) $w[$i];
+         |  }
+         |  if ($dot >= 0.0) ${ev.value} |= (1L << $p);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
+ * Pack an m-byte PQ code BINARY into one LONG: sum_m code[m] << (4*m) — the
+ * q_ann_pq display/code word (nibble codes, k <= 16, so 4 bits per subspace
+ * never overlap and sum == or). Mirrors the unfused `c_m * (1L << 4m)`
+ * left-fold over the per-subspace NearestCentroid columns it replaces.
+ */
+case class PqCodePack(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "pq_code_pack"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val codes = v.asInstanceOf[Array[Byte]]
+    var acc = 0L
+    var mi = 0
+    while (mi < codes.length) {
+      acc += (codes(mi) & 0xFF).toLong << (4 * mi)
+      mi += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mi = ctx.freshName("mi")
+      s"""
+         |${ev.value} = 0L;
+         |for (int $mi = 0; $mi < $a.length; $mi++) {
+         |  ${ev.value} += ((long) (((int) $a[$mi]) & 0xFF)) << (4 * $mi);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/**
  * Scalar (int8) quantization encode — the storage side of the SQ8 scan path
  * in the persistent IVF index: each float maps through frozen per-dimension
  * (min, max) index metadata to a code in [0, 255], stored shifted by -128 as

@@ -40,6 +40,22 @@ object VectorFunctions {
   def nearestCentroid(emb: Column, cents: Array[(Long, Array[Float])]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(emb), cents.map(_._1), cents.map(_._2)))
 
+  /** Fused projected squared L2: sum_j (dot(emb, planes(j)) - q(j))^2 as ONE
+    * codegen loop nest (q_ann_jl's kernel) — bitwise equal to the unfused
+    * `(dot(emb, lit(w_j)) - lit(q_j))^2` left-folded Add tree. */
+  def projL2(emb: Column, planes: Array[Array[Float]], q: Array[Double]): Column =
+    Bridge.column(ProjectedL2(Bridge.expression(emb), planes, q))
+
+  /** Fused sign-random-projection LSH bucket over literal planes — bit p set
+    * iff dot(emb, planes(p)) >= 0; NULL embeddings map to bucket 0 (the
+    * when/otherwise tree this replaces summed its branch fallbacks to 0). */
+  def lshBucket(emb: Column, planes: Array[Array[Float]]): Column =
+    coalesce(Bridge.column(LshSignBucket(Bridge.expression(emb), planes)), lit(0L))
+
+  /** Pack m nibble PQ codes (BINARY) into one LONG code word. */
+  def pqPack(codes: Column): Column =
+    Bridge.column(PqCodePack(Bridge.expression(codes)))
+
   /** SQ8 quantization encode: ARRAY<FLOAT> -> BINARY codes through frozen
     * per-dim (min, max) index metadata (persistent IVF scan path). */
   def sq8Encode(emb: Column, mn: Array[Double], mx: Array[Double]): Column =

@@ -90,17 +90,19 @@ object AnnQueries {
     s"CAST(coalesce(list_sum(list_transform(range(0, $NumPlanes), p -> " +
       s"CASE WHEN ${dotPlaneSql(emb, s"(p + $off)")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), 0) AS BIGINT)"
 
-  /** Column form of [[bucketSqlOff]]'s table (same float/double math). */
+  /** Column form of [[bucketSqlOff]]'s table (same float/double math) — ONE
+    * fused codegen kernel ([[graft.functions.LshSignBucket]]) instead of 6
+    * summed `when(dot(col, typedlit(plane)))` branches: identical bits
+    * (disjoint powers of two, sum == or), identical sequential-DOUBLE dots,
+    * NULL embeddings still bucket 0 (the otherwise-0 sum), but the plan
+    * carries one reference object instead of 6 inlined loops + 6 array
+    * literals per call site (guide §4: shrink the hot-path expression tree). */
   private[queries] def lshBucketFn(off: Int): org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-    emb => (0 until NumPlanes).map { p =>
-      when(VF.dot(emb, typedlit(plane(off + p))) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    emb => VF.lshBucket(emb, Array.tabulate(NumPlanes)(p => plane(off + p)))
 
   /** 6-bit LSH bucket as a Column over `embedding` (narrow, codegen). */
   private[queries] def lshBucketCol: org.apache.spark.sql.Column =
-    (0 until NumPlanes).map { p =>
-      when(VF.dot(col("embedding"), typedlit(plane(p))) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    lshBucketFn(0)(col("embedding"))
 
   /** 6-bit LSH bucket, driver-side Scala (same float/double math). */
   def bucketOf(emb: Array[Float]): Long = {
@@ -512,20 +514,28 @@ object AnnQueries {
           while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
           acc
         }
-        // per-subspace codebooks and the probe's distance lookup table
-        val codebooks = Array.tabulate(M)(m => cents.map { case (cid, c) => (cid, sub(c, m)) })
-        val lut: Array[Array[Double]] = Array.tabulate(M)(m =>
-          codebooks(m).map { case (_, c) => l2sq(sub(qe, m), c) })
-        val coded = (0 until M).foldLeft(e) { (df, m) =>
-          df.withColumn(s"c$m",
-            VF.nearestCentroid(slice(col("embedding"), m * SubDim + 1, SubDim), codebooks(m)))
+        // per-subspace codebooks and the probe's distance lookup table,
+        // flattened to the PqEncode/PqAdc tensor layout ((m*k + code)*subDim
+        // + d / m*k + code): the 8 per-subspace NearestCentroid(slice())
+        // columns + 8 element_at(typedlit(lut)) lookups + 8-term code-pack
+        // fold into THREE fused codegen kernels over reference objects
+        // (guide §4). Bitwise identical: PqEncode's per-subspace argmin is
+        // NearestCentroid's (strict <, ties to the lowest code; centroid
+        // ids here ARE 0..15 in code order), PqAdc's left-to-right subspace
+        // accumulation is the element_at sum's, PqCodePack's shifts are the
+        // `c_m * (1L << 4m)` sum's.
+        val k = NumCentroids
+        val books: Array[Float] = Array.tabulate(M * k * SubDim) { i =>
+          val d = i % SubDim; val c = (i / SubDim) % k; val m = i / (SubDim * k)
+          cents(c)._2(m * SubDim + d)
         }
-        val adist = (0 until M).map(m =>
-          element_at(typedlit(lut(m)), col(s"c$m").cast("int") + 1)).reduce(_ + _)
-        val pqcode = (0 until M).map(m => col(s"c$m") * lit(1L << (4 * m))).reduce(_ + _)
-        coded
-          .withColumn("adist_raw", adist)
-          .withColumn("pqcode", pqcode)
+        val lutFlat: Array[Double] = Array.tabulate(M * k) { i =>
+          val c = i % k; val m = i / k
+          l2sq(sub(qe, m), sub(cents(c)._2, m))
+        }
+        e.withColumn("pqcodes", VF.pqEncode(col("embedding"), books, M, k))
+          .withColumn("adist_raw", VF.pqAdc(col("pqcodes"), lutFlat, k))
+          .withColumn("pqcode", VF.pqPack(col("pqcodes")))
           .filter(col("vec_id") =!= 0)
           .orderBy(asc("adist_raw"), asc("vec_id"))
           .limit(5)
@@ -1202,10 +1212,12 @@ object AnnQueries {
         }
         val planes = Array.tabulate(ProjDim)(j => plane(PlaneOff + j))
         val qProj = planes.map(w => dotD(qe, w))
-        val pdist = (0 until ProjDim).map { j =>
-          val d = VF.dot(col("embedding"), typedlit(planes(j))) - lit(qProj(j))
-          d * d
-        }.reduce(_ + _)
+        // ONE fused codegen kernel (graft.functions.ProjectedL2) instead of
+        // 16 summed (dot(col, typedlit(plane)) - lit(q))^2 terms — bitwise
+        // identical accumulation (plane-order left fold over sequential
+        // DOUBLE dots), but the plan carries two reference objects instead
+        // of 16 inlined loops + 16 array literals (guide §4)
+        val pdist = VF.projL2(col("embedding"), planes, qProj)
         val shortlist = e.filter(col("vec_id") =!= 0)
           .withColumn("pdist_raw", pdist)
           .orderBy(asc("pdist_raw"), asc("vec_id"))

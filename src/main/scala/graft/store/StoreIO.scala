@@ -43,6 +43,27 @@ private[store] object StoreIO {
     walk(new java.io.File(root))
   }
 
+  /** Exact PHYSICAL row count under `root` from parquet footer metadata —
+    * the [[graft.queries.Registry.tblRows]] discipline on a store tree: an
+    * upper bound on any LIVE subset (tombstoned and uncommitted rows only
+    * ever shrink the served set), read as driver-side metadata with no
+    * Spark job. The small-panel dispatch uses it as the sound static test
+    * for "shortlist ≥ every probe's routed candidate population" (full-
+    * shortlist parity preconditions). 0 when absent. */
+  def footerRowCount(root: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def walk(f: java.io.File): Long =
+      if (f.isFile && f.getName.endsWith(".parquet")) {
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f.getPath), conf))
+        try rd.getRecordCount finally rd.close()
+      } else if (f.isDirectory)
+        Option(f.listFiles()).map(_.foldLeft(0L)(_ + walk(_))).getOrElse(0L)
+      else 0L
+    walk(new java.io.File(root))
+  }
+
   /** Recursive LISTING fingerprint under `root` (names + mtimes + sizes,
     * name-sorted) — the publish-identity walk of the hot tiers and the
     * policy-sidecar fences: part filenames carry per-write UUIDs, so a
@@ -283,7 +304,7 @@ private[store] object StoreIO {
     * compaction: [[recover]] finishes the deletion at the next open. */
   def commitStaged(outs: Seq[Staged], marker: String,
                    cleanup: Seq[String] = Seq.empty): Unit = {
-    outs.foreach(o => o.write(o.stage))
+    outs.foreach(o => runStageWriter(o))
     // the marker must appear ATOMICALLY: a torn marker listing only some
     // dests would make recover() publish a partial commit — stage it and
     // ATOMIC_MOVE into place
@@ -298,6 +319,39 @@ private[store] object StoreIO {
     outs.foreach(o => swapFrom(o.stage, o.dest))
     cleanup.foreach(p => rmTree(new java.io.File(p)))
     java.nio.file.Files.deleteIfExists(mk): Unit
+  }
+
+  /** Run one stage writer, annotating ENVIRONMENT failures with filesystem
+    * diagnostics. The r14 driver run died inside a staged dynamic-partition
+    * write with a bare `Mkdirs failed to create file:/tmp/...` and nothing
+    * to distinguish a commit-protocol bug from an exhausted /tmp — the
+    * failure signatures below are all host-environment conditions (never
+    * spec-expected), so ONLY they get wrapped; every other failure (require
+    * refusals, analysis errors, plain task failures) propagates untouched
+    * for the message-matching callers. */
+  private def runStageWriter(o: Staged): Unit =
+    try o.write(o.stage)
+    catch {
+      case e: Throwable if isEnvFailure(e) =>
+        // nearest existing ancestor of the stage dir carries the fs stats
+        var f = new java.io.File(o.stage).getAbsoluteFile
+        while (f != null && !f.exists()) f = f.getParentFile
+        val fsInfo = Option(f).map { d =>
+          s"fs at $d: usable=${d.getUsableSpace / (1 << 20)} MiB of " +
+            s"${d.getTotalSpace / (1 << 20)} MiB"
+        }.getOrElse("stage filesystem not reachable")
+        throw new java.io.IOException(
+          s"staged write failed with a host-environment error " +
+            s"(stage=${o.stage}, dest=${o.dest}; $fsInfo; " +
+            s"tmpdir=${System.getProperty("java.io.tmpdir")}): ${e.getMessage}", e)
+    }
+
+  /** Does the failure chain carry a known environment signature? */
+  private def isEnvFailure(e: Throwable): Boolean = {
+    val sigs = Seq("Mkdirs failed", "No space left on device",
+      "Too many open files", "Disk quota exceeded")
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16)
+      .exists(t => Option(t.getMessage).exists(m => sigs.exists(m.contains)))
   }
 
   /** Finish an interrupted [[commitStaged]]: the marker only ever exists

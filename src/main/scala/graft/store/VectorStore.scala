@@ -2473,6 +2473,41 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
     val cents = centroidsOf(name)
     require(cents.nonEmpty, s"$name has no encrypted centroid sidecar — storeIndexed() first")
     val numCells = cents.length
+    // driver-sized panels serve through the Seq twins ([[PanelDispatch]] —
+    // the queryBatchDF discipline; this route was the one r14 exemption and
+    // the bench's single most expensive query). The twin is picked by the
+    // shortlist regime, both parities spec-pinned (EncryptedIndexSpec):
+    //  - `shortlist` ≥ the collection's PHYSICAL row count (free parquet-
+    //    footer metadata, an upper bound on every probe's routed
+    //    population): [[queryIndexedBatch]] — one bounded decrypt pass, the
+    //    cheapest twin, answer-identical by the full-shortlist pin;
+    //  - bounded shortlist: [[queryIndexedBatchQuantized]] — the SAME
+    //    two-phase quantized-shortlist trade ("bounded-shortlist DF route
+    //    must equal the quantized Seq batch"), so recall policy never
+    //    shifts with panel size.
+    // The depth-column contract is validated the same way on either lane.
+    if (useDepth) CellRoute.requireDepthColumn(probes)
+    val panelCols =
+      if (useDepth)
+        probes.select(col("probe_id"), col("qe").cast("array<float>").as("qe"),
+          col("depth").cast("long").as("depth"))
+      else probes.select(col("probe_id"), col("qe").cast("array<float>").as("qe"))
+    PanelDispatch.smallPanel(spark, panelCols) match {
+      case Some(rows) if rows.nonEmpty =>
+        PanelDispatch.requireUniqueProbes(rows)
+        // null depth falls back to nprobe (omitted from the map); the Seq
+        // route's take(depth) reproduces the frame clamp at the edges
+        val depthOf: Map[Long, Int] =
+          if (!useDepth) Map.empty
+          else rows.iterator.filterNot(_.isNullAt(2)).map(r =>
+            r.getLong(0) -> math.min(r.getLong(2), numCells.toLong).toInt).toMap
+        val panel = rows.map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        return if (StoreIO.footerRowCount(path(name)) <= shortlist.toLong)
+          queryIndexedBatch(name, panel, k, nprobe, depthOf)
+        else
+          queryIndexedBatchQuantized(name, panel, k, nprobe, shortlist, depthOf)
+      case _ => ()
+    }
     val routed = CellRoute.routeCells(spark, probes, cents, numCells,
       nprobe, useDepth).persist()
     try {

@@ -156,7 +156,7 @@ class ChromaWhereSpec extends AnyFunSuite with SparkTest {
   }
 
   test("Collection getJson/queryJson/deleteJson: the chroma client surface end to end") {
-    val base = java.nio.file.Files.createTempDirectory("graft_chroma_where").toString
+    val base = graft.store.Scratch.dir("graft_chroma_where")
     val store = new VectorStore(spark, base)
     val c = store.createOrGet("cw")
     val rows = spark.read.parquet(s"$sf0001/documents.parquet")

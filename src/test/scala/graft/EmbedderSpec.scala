@@ -88,7 +88,7 @@ class EmbedderSpec extends AnyFunSuite with SparkTest {
 
   test("weights-file embedder: real artifact on disk drives the seam end-to-end") {
     import graft.functions.WeightFileEmbedder
-    val path = java.nio.file.Files.createTempDirectory("graft_wf")
+    val path = java.nio.file.Paths.get(graft.store.Scratch.dir("graft_wf"))
       .resolve("model.gftw").toString
     WeightFileEmbedder.write(path, dim = 24, buckets = 97,
       (b, d) => (((b * 31 + d * 7) % 17) - 8) / 8.0f)
@@ -116,7 +116,7 @@ class EmbedderSpec extends AnyFunSuite with SparkTest {
       assert(n == 0.0 || math.abs(n - 1.0) < 1e-3, s"not normalized: $n")
     }
     // corrupted artifacts fail loudly, not with garbage embeddings
-    val bad = java.nio.file.Files.createTempDirectory("graft_wf_bad")
+    val bad = java.nio.file.Paths.get(graft.store.Scratch.dir("graft_wf_bad"))
       .resolve("bad.gftw")
     java.nio.file.Files.write(bad, Array.fill[Byte](40)(3))
     intercept[IllegalArgumentException](WeightFileEmbedder(bad.toString))

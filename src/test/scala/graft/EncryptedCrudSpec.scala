@@ -17,7 +17,7 @@ class EncryptedCrudSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_enccrud").toString
+    graft.store.Scratch.dir("graft_enccrud")
 
   private def rows(r: Range) = r.map(i =>
     (s"id$i", s"secret document $i",

@@ -40,10 +40,10 @@ class EncryptedGraphSpec extends AnyFunSuite with SparkTest {
   test("encrypted walk == plaintext GraphIndex walk beam for beam; docs decrypt answer-bounded; nothing semantic at rest") {
     val c = corpus().persist()
     val gi = new GraphIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_encg_plain").toString,
+      graft.store.Scratch.dir("graft_encg_plain"),
       k = 4, bucketFns)
     gi.build(c.select("id", "emb"), refineRounds = 1)
-    val egPath = java.nio.file.Files.createTempDirectory("graft_encg_ct").toString
+    val egPath = graft.store.Scratch.dir("graft_encg_ct")
     val eg = new EncryptedGraph(spark, egPath, Key)
     eg.build(c, k = 4, bucketFns, refineRounds = 1)
     val panel = probePanel(8)
@@ -81,7 +81,7 @@ class EncryptedGraphSpec extends AnyFunSuite with SparkTest {
 
   test("frame-probe route == Seq route probe for probe; beam policy routes through the frame; doc decrypt answer-bounded") {
     val c = corpus().persist()
-    val egPath = java.nio.file.Files.createTempDirectory("graft_encg_df").toString
+    val egPath = graft.store.Scratch.dir("graft_encg_df")
     val eg = new EncryptedGraph(spark, egPath, Key)
     eg.build(c, k = 4, bucketFns, refineRounds = 1)
     val panel = probePanel(8)
@@ -123,7 +123,7 @@ class EncryptedGraphSpec extends AnyFunSuite with SparkTest {
 
   test("beam policy: persist/read/route; rebuild AND key rotation fence it stale from metadata alone") {
     val c = corpus().persist()
-    val egPath = java.nio.file.Files.createTempDirectory("graft_encg_pol").toString
+    val egPath = graft.store.Scratch.dir("graft_encg_pol")
     var eg = new EncryptedGraph(spark, egPath, Key)
     eg.build(c, k = 4, bucketFns, refineRounds = 1)
     val panel = probePanel(6)

@@ -18,7 +18,7 @@ class EncryptedIndexSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   private val Key = "0123456789abcdef"
 

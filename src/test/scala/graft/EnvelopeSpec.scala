@@ -16,7 +16,7 @@ class EnvelopeSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   private val Master = "master-key-0123456789abcdef01234" // 32 bytes
   private val Master2 = "MASTER-key-0123456789abcdef01234"

@@ -24,7 +24,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     .filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
 
   test("persisted graph answers like the in-memory build; shape invariants hold") {
-    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx").toString,
+    val idx = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx"),
       K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(all, refineRounds = 1)
     val g = idx.graph
@@ -44,7 +44,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     val clustered = all.withColumn("emb",
       expr("transform(emb, (x, i) -> CASE WHEN i = 0 THEN x + CAST(8.0 * (id % 3) AS FLOAT) ELSE x END)"))
       .persist()
-    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_ep").toString,
+    val idx = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx_ep"),
       K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     idx.build(clustered, refineRounds = 1)
     val eps = idx.entryPoints.collect()
@@ -69,7 +69,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   private lazy val sharedIdx: GraphIndex = {
-    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_sh").toString,
+    val idx = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx_sh"),
       K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     idx.build(all, refineRounds = 1)
     idx
@@ -133,7 +133,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("beam policy sidecar: reopen serves the committed widths with zero calibration; any graph commit sweeps it stale; self-healing is loud") {
-    val base = java.nio.file.Files.createTempDirectory("graft_gidx_bp").toString
+    val base = graft.store.Scratch.dir("graft_gidx_bp")
     val small = all.filter(col("id") <= 350).persist()
     val idx = new GraphIndex(spark, base, 10,
       Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 8)
@@ -206,7 +206,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     // ladder.max fallback were reported loudly, not asserted away
     val small = all.filter(col("id") <= 400).persist()
     val idx = new GraphIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_gidx_pb").toString,
+      graft.store.Scratch.dir("graft_gidx_pb"),
       10, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 8)
     idx.build(small, refineRounds = 2)
     val k = 3
@@ -266,7 +266,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   test("metadata-filtered query: predicate reaches the vector scan; answers restricted") {
     val withMeta = all.withColumn("meta",
       when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
-    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_f").toString,
+    val idx = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx_f"),
       K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     idx.build(withMeta, refineRounds = 0)
     val pred = col("meta") === "even"
@@ -287,7 +287,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("an insert interrupted between its two swaps is finished at next open") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_rec").toString
+    val dir = graft.store.Scratch.dir("graft_gidx_rec")
     val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(all.filter(col("id") <= 100), refineRounds = 0)
     val nBefore = idx.vectors.count()
@@ -314,7 +314,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("insert publishes a batch-bounded delta; untouched epoch-0 files never rewrite") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_delta").toString
+    val dir = graft.store.Scratch.dir("graft_gidx_delta")
     val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(all.filter(col("id") <= 300), refineRounds = 0)
     def fileSig(sub: String): Set[(String, Long)] = {
@@ -346,7 +346,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
 
   test("insert wires new nodes from the serving beam walk plus intra-batch candidates") {
     import org.apache.spark.sql.expressions.Window
-    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_walk").toString
+    val dir = graft.store.Scratch.dir("graft_gidx_walk")
     val fns = Seq(bucketOf(0) _, bucketOf(200) _)
     val idx = new GraphIndex(spark, dir, K, fns)
     idx.build(all.filter(col("id") <= 100), refineRounds = 0)
@@ -387,7 +387,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   test("a bare (id, emb) batch inserts into a metadata-bearing index as NULL metadata") {
     val withMeta = all.withColumn("meta",
       when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
-    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_nm").toString,
+    val idx = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx_nm"),
       K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 2)
     idx.build(withMeta.filter(col("id") <= 300), refineRounds = 0)
     // the streaming maintenance path produces exactly this shape
@@ -405,7 +405,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("compact folds every epoch into one; answers unchanged") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_gidx_cpt").toString
+    val dir = graft.store.Scratch.dir("graft_gidx_cpt")
     val idx = new GraphIndex(spark, dir, K, Seq(bucketOf(0) _, bucketOf(200) _),
       numEntries = 3)
     idx.build(all.filter(col("id") % 2 === 0), refineRounds = 0)
@@ -442,7 +442,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     val n = all.count()
     val half = all.filter(col("id") % 2 === 0)
     val rest = all.filter(col("id") % 2 =!= 0)
-    val idx = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_inc").toString,
+    val idx = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx_inc"),
       K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(half, refineRounds = 1)
     val (b1, b2) = (rest.filter(col("id") % 4 === 1), rest.filter(col("id") % 4 === 3))
@@ -464,7 +464,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     assert(noIn < newIds.count() / 4,
       s"$noIn of ${newIds.count()} inserted nodes unreachable — reverse wiring failed")
     // query quality tracks a from-scratch rebuild on the full data
-    val rebuilt = new GraphIndex(spark, java.nio.file.Files.createTempDirectory("graft_gidx_rb").toString,
+    val rebuilt = new GraphIndex(spark, graft.store.Scratch.dir("graft_gidx_rb"),
       K, Seq(bucketOf(0) _, bucketOf(200) _))
     rebuilt.build(all, refineRounds = 1)
     def best(ix: GraphIndex): Double =
@@ -508,7 +508,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     }
     val small = all.filter(col("id") <= 300).persist()
     val n = small.count().toInt
-    val base = java.nio.file.Files.createTempDirectory("graft_gidx_q").toString
+    val base = graft.store.Scratch.dir("graft_gidx_q")
     val idx = new GraphIndex(spark, base, K,
       Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     idx.build(small, refineRounds = 1)
@@ -589,7 +589,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
         expr(s"transform(emb, (x, i) -> CASE WHEN i = $j THEN x + CAST(0.5 AS FLOAT) ELSE x END)").as("emb"))
     }.reduce(_ unionByName _).persist()
     val n = small.count().toInt
-    val base = java.nio.file.Files.createTempDirectory("graft_gidx_pq").toString
+    val base = graft.store.Scratch.dir("graft_gidx_pq")
     val idx = new GraphIndex(spark, base, K,
       Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     val pqM = 8
@@ -679,7 +679,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
   test("beam calibration: sweep equals an independent hot-walk replay; policy picks the smallest qualifying width; unreachable targets fail loudly") {
     val small = all.filter(col("id") <= 400).persist()
     val idx = new GraphIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_gidx_cal").toString,
+      graft.store.Scratch.dir("graft_gidx_cal"),
       K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     idx.build(small, refineRounds = 1)
     val ladder = Seq(2, 4, 8, 16)
@@ -732,7 +732,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
     // bit-identical and nothing raw-float becomes resident.
     val small = all.filter(col("id") <= 300).persist()
     val idx = new GraphIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_gidx_calbud").toString,
+      graft.store.Scratch.dir("graft_gidx_calbud"),
       K, Seq(bucketOf(0) _, bucketOf(200) _), numEntries = 3)
     idx.build(small, refineRounds = 1)
     val panel = small.orderBy(xxhash64(col("id")), col("id")).limit(8)
@@ -756,7 +756,7 @@ class GraphIndexSpec extends AnyFunSuite with SparkTest {
 
   test("hotQueryStats: identical answers to hotQuery, sane walk diagnostics") {
     val idx = new GraphIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_gidx_ws").toString,
+      graft.store.Scratch.dir("graft_gidx_ws"),
       K, Seq(bucketOf(0) _, bucketOf(200) _))
     idx.build(all, refineRounds = 1)
     val plain = idx.hotQuery(probe, topK = 5, beamWidth = 4, hops = 6)

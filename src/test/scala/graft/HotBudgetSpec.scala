@@ -16,7 +16,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class HotBudgetSpec extends AnyFunSuite with SparkTest {
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   private def withBudget[A](bytes: Long)(body: => A): A = {
     val prev = System.getProperty("graft.hot.maxBytes")

@@ -30,7 +30,7 @@ class HotInvalidationSpec extends AnyFunSuite with SparkTest {
     Array.tabulate(64)(j => ((i * 37 + j * 11) % 101).toFloat / 101f)
 
   test("IvfIndex: instance A's warm hot tier sees instance B's append and delete") {
-    val base = java.nio.file.Files.createTempDirectory("graft_hotinv_ivf").toString
+    val base = graft.store.Scratch.dir("graft_hotinv_ivf")
     val a = new graft.store.IvfIndex(spark, base, numCells = 4)
     a.build(vecs(1 to 200))
     val warm = a.hotQuery(probe(7), k = 5, nprobe = 4)
@@ -60,7 +60,7 @@ class HotInvalidationSpec extends AnyFunSuite with SparkTest {
           typedlit(graft.queries.AnnQueries.plane(p))) >= 0, lit(1L << p))
           .otherwise(lit(0L))
       }.reduce(_ + _)
-    val base = java.nio.file.Files.createTempDirectory("graft_hotinv_g").toString
+    val base = graft.store.Scratch.dir("graft_hotinv_g")
     val a = new graft.store.GraphIndex(spark, base, 4, Seq(bucket))
     a.build(vecs(1 to 150), refineRounds = 1)
     a.hotQuery(probe(5), topK = 3, beamWidth = 4, hops = 6) // warm A

@@ -138,7 +138,7 @@ class HybridIndexedSpec extends AnyFunSuite with SparkTest {
     // arm's cosine top-20 would reach the −1.0 sentinel rows the index
     // excludes, so routed == exact no longer holds and the build must say
     // so instead of serving a silently-divergent fusion
-    val tmp = java.nio.file.Files.createTempDirectory("graft_tiny_fx").toFile
+    val tmp = new java.io.File(graft.store.Scratch.dir("graft_tiny_fx"))
     try {
       val docs = spark.createDataFrame(
         (1L to 17L).map(i => (i, s"alpha beta gamma delta doc$i")) ++

@@ -32,7 +32,7 @@ class IndexDeleteSpec extends AnyFunSuite with SparkTest {
     vecs.filter(col("id") === id).head().getSeq[Float](1).toArray
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   private def ids(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
     df.select("id", "distance").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq

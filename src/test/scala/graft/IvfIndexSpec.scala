@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
 class IvfIndexSpec extends AnyFunSuite with SparkTest {
 
   test("cell-partitioned IVF: partition pruning + correct within-cell top-k") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val base = graft.store.Scratch.dir("graft_ivf")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 16)
@@ -46,7 +46,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("recall calibration: sweep equals an independent serving-path replay; policy picks the smallest qualifying depth") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cal").toString
+    val base = graft.store.Scratch.dir("graft_ivf_cal")
     val vectors = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val n = vectors.count().toInt
@@ -104,7 +104,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("exactDepths: per-probe depths serve exactly, are minimal, and agree with the sweep") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_pd").toString
+    val base = graft.store.Scratch.dir("graft_ivf_pd")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -144,7 +144,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryBatch shuffles answers, not candidates: bit-equal to the window oracle at every depth, payload carried, no Window in the plan") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_qb").toString
+    val base = graft.store.Scratch.dir("graft_ivf_qb")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 16)
@@ -195,7 +195,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryBatchDF: a probe FRAME serves exactly like the Seq route — depth column, where, include; routing never windows") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_qbdf").toString
+    val base = graft.store.Scratch.dir("graft_ivf_qbdf")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 16)
@@ -279,7 +279,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("hot serving tier: hotQuery equals the pruned scan; every mutation invalidates it") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_hot").toString
+    val base = graft.store.Scratch.dir("graft_ivf_hot")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -316,7 +316,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("metadata survives build->append->compact; filtered queries push the predicate") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_meta").toString
+    val base = graft.store.Scratch.dir("graft_ivf_meta")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
       .withColumn("meta", when(col("id") % 2 === 0, lit("even")).otherwise(lit("odd")))
@@ -371,7 +371,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryBatch: one pruned scan answers every probe exactly like query()") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    val base = graft.store.Scratch.dir("graft_ivf_batch")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 16)
@@ -393,7 +393,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("compact merges streaming batch dirs; queries unchanged") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    val base = graft.store.Scratch.dir("graft_ivf_compact")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -429,7 +429,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("trained centroids balance the cells (and beat untrained seeding)") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_bal").toString
+    val base = graft.store.Scratch.dir("graft_ivf_bal")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val k = 16
@@ -470,7 +470,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("rebuild is idempotent; query deterministic") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
+    val base = graft.store.Scratch.dir("graft_ivf2")
     val vectors = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -483,7 +483,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("SQ8 codes path: full-depth == raw probe, codes-only scan, 4x smaller column") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8").toString
+    val base = graft.store.Scratch.dir("graft_ivf_sq8")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 16)
@@ -565,7 +565,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("capped training: deterministic sample, balanced cells, exact probes intact") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_cap").toString
+    val base = graft.store.Scratch.dir("graft_ivf_cap")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val n = vectors.count().toInt
@@ -596,7 +596,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryBatchQuantized at full depth equals queryBatch probe for probe") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8b").toString
+    val base = graft.store.Scratch.dir("graft_ivf_sq8b")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -619,7 +619,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryBatchQuantized shuffles answers, not candidates: bit-equal to its windowed twin at every depth, no Window in the serving plans") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sq8bw").toString
+    val base = graft.store.Scratch.dir("graft_ivf_sq8bw")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -657,7 +657,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
 
   test("routed bulk labeling: routedKnnVotes at full depth equals the exact kNN vote") {
     import org.apache.spark.sql.expressions.Window
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_lbl").toString
+    val base = graft.store.Scratch.dir("graft_ivf_lbl")
     val e = spark.read.parquet(s"$sf001/embeddings.parquet")
     val labeled = e.filter(col("vec_id") % 50 =!= 7)
       .select(col("vec_id").as("id"), col("embedding").as("emb"),
@@ -715,10 +715,10 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
       }.sum
     }
 
-    val pqBase = java.nio.file.Files.createTempDirectory("graft_ivf_pq").toString
+    val pqBase = graft.store.Scratch.dir("graft_ivf_pq")
     val pq = new IvfIndex(spark, pqBase, numCells = 8)
     pq.build(vectors, codes = "pq", pqM = 8)
-    val sqBase = java.nio.file.Files.createTempDirectory("graft_ivf_pq_sq").toString
+    val sqBase = graft.store.Scratch.dir("graft_ivf_pq_sq")
     val sq = new IvfIndex(spark, sqBase, numCells = 8)
     sq.build(vectors)
 
@@ -813,7 +813,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
         else System.setProperty("graft.hot.maxBytes", prev)
       }
     }
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_hotq").toString
+    val base = graft.store.Scratch.dir("graft_ivf_hotq")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -864,7 +864,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("PQ drift signal: reconstruction-error ratio flags a flood; retrain re-fits the codebooks") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_pqdrift").toString
+    val base = graft.store.Scratch.dir("graft_ivf_pqdrift")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -901,7 +901,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
         .orderBy("probe_id", "rn").collect().map(_.toSeq).toSeq
 
     for (kind <- Seq("sq8", "pq")) {
-      val base = java.nio.file.Files.createTempDirectory(s"graft_ivf_df_$kind").toString
+      val base = graft.store.Scratch.dir(s"graft_ivf_df_$kind")
       val idx = new IvfIndex(spark, base, numCells = 8)
       idx.build(vectors, codes = kind)
       // bounded AND full depth: the DF route's GroupedTopK shortlist and
@@ -940,7 +940,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("retrain collapses drift-induced cell skew and SQ8 clipping; answers preserved") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val base = graft.store.Scratch.dir("graft_ivf_rt")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -984,7 +984,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("pre-base_err PQ sidecar: maintenance degrades gracefully, retrain upgrades the schema") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_pqlegacy").toString
+    val base = graft.store.Scratch.dir("graft_ivf_pqlegacy")
     val vectors = spark.read.parquet(s"$sf001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("emb"))
     val idx = new IvfIndex(spark, base, numCells = 8)
@@ -1035,7 +1035,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("queryExact / rangeSearch: exact answers with provable cell pruning") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_exact").toString
+    val base = graft.store.Scratch.dir("graft_ivf_exact")
     val idx = new IvfIndex(spark, base, numCells = 8)
     idx.build(clusteredRows(0 until 800))
     val qe = Array.tabulate(16)(j => 10f * 3 + ((5 * 31 + j * 7) % 11).toFloat / 11f)
@@ -1071,7 +1071,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("exact surfaces stay sound under appends, deletes, compact, and missing radii") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_exact2").toString
+    val base = graft.store.Scratch.dir("graft_ivf_exact2")
     val idx = new IvfIndex(spark, base, numCells = 8)
     idx.build(clusteredRows(0 until 400))
     // appended mass lands FAR outside its assigned cell's build-time
@@ -1116,7 +1116,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("hot exact surfaces: bit-equal to the Spark paths, invalidated by every mutation") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_hotex").toString
+    val base = graft.store.Scratch.dir("graft_ivf_hotex")
     val idx = new IvfIndex(spark, base, numCells = 8)
     idx.build(clusteredRows(0 until 400))
     val qe = Array.tabulate(16)(j => 10f * 3 + ((5 * 31 + j * 7) % 11).toFloat / 11f)
@@ -1163,7 +1163,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("compact with every row tombstoned publishes an empty generation, not a crash") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_allts").toString
+    val base = graft.store.Scratch.dir("graft_ivf_allts")
     val idx = new IvfIndex(spark, base, numCells = 4)
     idx.build(clusteredRows(0 until 64))
     idx.delete((0L until 64L).toSeq)
@@ -1191,7 +1191,7 @@ class IvfIndexSpec extends AnyFunSuite with SparkTest {
   }
 
   test("selfJoinWithin / rangeJoin: exact answers with cell-pair pruning") {
-    val base = java.nio.file.Files.createTempDirectory("graft_ivf_sj").toString
+    val base = graft.store.Scratch.dir("graft_ivf_sj")
     val idx = new IvfIndex(spark, base, numCells = 8)
     // ground truth from the SAME fixture helper the index is built from —
     // a hand-copied formula could silently diverge from what was indexed

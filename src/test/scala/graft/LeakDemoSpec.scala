@@ -28,7 +28,7 @@ class LeakDemoSpec extends AnyFunSuite with SparkTest {
       graft.functions.TextFunctions.tokens(col("doc")), 64))
 
   test("plaintext store leaks: extracted vector -> kNN recovers the document") {
-    val base = java.nio.file.Files.createTempDirectory("leak_demo").toString
+    val base = graft.store.Scratch.dir("leak_demo")
     val store = new VectorStore(spark, base)
     val coll = store.createOrGet("leak_test")
     coll.add(embedded)
@@ -75,7 +75,7 @@ class LeakDemoSpec extends AnyFunSuite with SparkTest {
   }
 
   test("encrypted store blocks the same leak path") {
-    val base = java.nio.file.Files.createTempDirectory("leak_demo_enc").toString
+    val base = graft.store.Scratch.dir("leak_demo_enc")
     val enc = new EncryptedStore(spark, base, "0123456789abcdef")
     enc.store(embedded.select("id", "doc", "emb"), "leak_test_secure")
 

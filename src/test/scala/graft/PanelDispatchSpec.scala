@@ -27,7 +27,7 @@ class PanelDispatchSpec extends AnyFunSuite with SparkTest {
 
   test("IvfIndex.queryBatchDF dispatches small panels to the Seq twin — identical answers, depth column honored") {
     val idx = new IvfIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_pd_ivf").toString, numCells = 8)
+      graft.store.Scratch.dir("graft_pd_ivf"), numCells = 8)
     idx.build(emb)
     val probesDf = emb.filter(col("id").isin(3L, 17L, 101L))
       .select(col("id").as("probe_id"), col("emb").as("qe"),
@@ -47,7 +47,7 @@ class PanelDispatchSpec extends AnyFunSuite with SparkTest {
 
   test("TextIndex batched frame routes dispatch small panels to the Seq twins — identical answers") {
     val idx = new TextIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_pd_tidx").toString, numBuckets = 4)
+      graft.store.Scratch.dir("graft_pd_tidx"), numBuckets = 4)
     idx.build(spark.read.parquet(s"$sf001/documents.parquet")
       .select(col("doc_id"), col("text")))
     val panel = Seq(1L -> Seq("vector", "index"), 2L -> Seq("query", "search", "merge"))
@@ -67,7 +67,7 @@ class PanelDispatchSpec extends AnyFunSuite with SparkTest {
           lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     val idx = new GraphIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_pd_g").toString,
+      graft.store.Scratch.dir("graft_pd_g"),
       4, Seq(bucketOf(0), bucketOf(200)))
     idx.build(emb, refineRounds = 0)
     val probesDf = emb.filter(col("id").isin(10L, 20L))
@@ -90,6 +90,38 @@ class PanelDispatchSpec extends AnyFunSuite with SparkTest {
     }
   }
 
+  test("EncryptedStore.queryIndexedBatchDF dispatches small panels to the shortlist-regime Seq twin — identical answers in both regimes; driver-side guard fires") {
+    val es = new graft.store.EncryptedStore(spark,
+      graft.store.Scratch.dir("graft_pd_encb"), "0123456789abcdef")
+    es.storeIndexed(emb.select(concat(lit("id"), col("id")).as("id"),
+      concat(lit("d"), col("id")).as("doc"), col("emb")), "c", numCells = 6)
+    val probesDf = emb.filter(col("id").isin(3L, 17L, 101L))
+      .select(col("id").as("probe_id"), col("emb").as("qe"),
+        (col("id") % 4 + 2).cast("int").as("depth"))
+    // full-shortlist regime (physical rows ≤ shortlist → the raw Seq twin)
+    val framedFull = rows(es.queryIndexedBatchDF("c", probesDf, k = 5,
+      nprobe = 4, shortlist = 1 << 20, useDepth = true))
+    // bounded regime (→ the quantized Seq twin, same two-phase trade)
+    val framedBounded = rows(es.queryIndexedBatchDF("c", probesDf, k = 5,
+      nprobe = 4, shortlist = 8, useDepth = true))
+    withDispatch {
+      assert(rows(es.queryIndexedBatchDF("c", probesDf, k = 5, nprobe = 4,
+        shortlist = 1 << 20, useDepth = true)) == framedFull)
+      assert(rows(es.queryIndexedBatchDF("c", probesDf, k = 5, nprobe = 4,
+        shortlist = 8, useDepth = true)) == framedBounded)
+      // duplicate probe ids refuse on the dispatch lane (driver-side guard,
+      // same message contract as the in-frame refusal)
+      val eDup = intercept[Exception](
+        es.queryIndexedBatchDF("c", probesDf.unionByName(probesDf.limit(1)),
+          k = 5, nprobe = 4, shortlist = 1 << 20).count())
+      assert(eDup.getMessage.contains("duplicate probe_id"))
+      // an empty panel serves the empty frame (the Seq twin refuses empty —
+      // the dispatch must leave it on the frame lane)
+      assert(es.queryIndexedBatchDF("c", probesDf.filter(lit(false)),
+        k = 5, nprobe = 4).count() == 0)
+    }
+  }
+
   test("EncryptedGraph.queryBatchDF dispatches small panels to the driver walk — identical answers, docs included") {
     val bucketOf = (off: Int) => (e: org.apache.spark.sql.Column) =>
       (0 until 6).map { p =>
@@ -97,7 +129,7 @@ class PanelDispatchSpec extends AnyFunSuite with SparkTest {
           lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
     val eg = new graft.store.EncryptedGraph(spark,
-      java.nio.file.Files.createTempDirectory("graft_pd_eg").toString,
+      graft.store.Scratch.dir("graft_pd_eg"),
       "0123456789abcdef")
     eg.build(emb.withColumn("doc", concat(lit("d"), col("id"))),
       k = 4, Seq(bucketOf(0), bucketOf(200)), refineRounds = 0)

@@ -87,7 +87,7 @@ class RagIndexedSpec extends AnyFunSuite with SparkTest {
   }
 
   test("zero-norm chunks: excluded from the index, invisible in every answer") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_rag_zero").toString
+    val dir = graft.store.Scratch.dir("graft_rag_zero")
     // 60 real docs plus one empty-text doc: its only chunk hash-embeds to
     // the zero vector (no tokens), which the exact arm scores at the
     // cosine -1.0 sentinel and the index build drops entirely

@@ -15,7 +15,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RoutedQuerySpec extends AnyFunSuite with SparkTest {
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   private lazy val rows = spark.read.parquet(s"$sf001/embeddings.parquet")
     .select(col("vec_id").cast("string").as("id"),

@@ -21,7 +21,7 @@ class SnapshotIndexSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   // 64-dim: AnnQueries.plane's width (the graph test's LSH bucketing)
   private def rowsOf(r: Range) = r.map(i => (s"id$i", s"doc $i",

@@ -9,7 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SourcesSpec extends AnyFunSuite with SparkTest {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_src").toString
+    graft.store.Scratch.dir("graft_src")
 
   test("S1: text-file corpus scan, one doc per line, trimmed (main.py:6-9)") {
     val dir = tmp()

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class StoreSpec extends AnyFunSuite with SparkTest {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_test_store").toString
+    graft.store.Scratch.dir("graft_test_store")
 
   private def docRows = spark.read.parquet(s"$sf0001/documents.parquet")
     .select(col("doc_id").cast("string").as("id"), col("text").as("doc"),

@@ -12,7 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite with SparkTest {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_stream").toString
+    graft.store.Scratch.dir("graft_stream")
 
   test("AvailableNow document ingest embeds and lands every row") {
     // file stream source wants a DIRECTORY of files

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   private def freshIndex(buckets: Int = 8): TextIndex = {
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_spec").toString
+    val base = graft.store.Scratch.dir("graft_tidx_spec")
     val idx = new TextIndex(spark, base, buckets)
     idx.build(spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text"))
     idx
@@ -76,7 +76,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("phrase query: consecutive-position matches only, pruned scan, deletes/appends honored") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_phr").toString
+    val base = graft.store.Scratch.dir("graft_tidx_phr")
     val idx = new TextIndex(spark, base, numBuckets = 8)
     idx.build(Seq(
       (1L, "big data engine runs big data jobs"),   // "big data" x2
@@ -117,7 +117,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("proximity query: windowed position pairs only, ranked, pruned scan") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_near").toString
+    val base = graft.store.Scratch.dir("graft_tidx_near")
     val idx = new TextIndex(spark, base, numBuckets = 8)
     idx.build(Seq(
       (1L, "big gap gap gap data"),  // distance 4 > window 3: no pair
@@ -141,7 +141,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("hot phrase/proximity serving equals the Spark probes; mutations invalidate") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_hotpos").toString
+    val base = graft.store.Scratch.dir("graft_tidx_hotpos")
     val idx = new TextIndex(spark, base, numBuckets = 8)
     idx.build(Seq(
       (1L, "big data engine runs big data jobs"),
@@ -173,12 +173,12 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("phrase query refuses a mixed-generation index instead of silently dropping old docs") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_mixg").toString
+    val base = graft.store.Scratch.dir("graft_tidx_mixg")
     val idx = new TextIndex(spark, base, numBuckets = 4)
     idx.build(Seq((1L, "big data engine")).toDF("doc_id", "text"))
     // simulate a PRE-positions generation: rewrite batch=0 without pos
     val b0 = new java.io.File(s"$base/postings/batch=0")
-    val stage = java.nio.file.Files.createTempDirectory("graft_tidx_mixg_st").toString
+    val stage = graft.store.Scratch.dir("graft_tidx_mixg_st")
     spark.read.parquet(b0.getPath).drop("pos")
       .write.mode("overwrite").partitionBy("bucket").parquet(stage)
     def rm(f: java.io.File): Unit = {
@@ -211,7 +211,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     // ... and equals a fresh positional rebuild bit-for-bit
     val fresh = new TextIndex(spark,
-      java.nio.file.Files.createTempDirectory("graft_tidx_upg_ref").toString,
+      graft.store.Scratch.dir("graft_tidx_upg_ref"),
       numBuckets = 4)
     fresh.build(corpus)
     assert(upgraded == fresh.phraseQuery(Seq("big", "data"), 10).collect()
@@ -221,11 +221,11 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     assert(idx.upgradePositions(corpus) == 0)
 
     // a DRIFTED corpus of record refuses BEFORE publishing anything
-    val base2 = java.nio.file.Files.createTempDirectory("graft_tidx_upg2").toString
+    val base2 = graft.store.Scratch.dir("graft_tidx_upg2")
     val idx2 = new TextIndex(spark, base2, numBuckets = 4)
     idx2.build(Seq((1L, "big data engine")).toDF("doc_id", "text"))
     val b02 = new java.io.File(s"$base2/postings/batch=0")
-    val stage2 = java.nio.file.Files.createTempDirectory("graft_tidx_upg2_st").toString
+    val stage2 = graft.store.Scratch.dir("graft_tidx_upg2_st")
     spark.read.parquet(b02.getPath).drop("pos")
       .write.mode("overwrite").partitionBy("bucket").parquet(stage2)
     rm(b02)
@@ -244,7 +244,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("incremental appends + compact rank exactly like one full build") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_inc").toString
+    val base = graft.store.Scratch.dir("graft_tidx_inc")
     val idx = new TextIndex(spark, base, 8)
     idx.build(docs.filter(col("doc_id") < 200))
     idx.appendBatch(docs.filter(col("doc_id") >= 200 && col("doc_id") < 400), 0L)
@@ -279,7 +279,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     // hash-embeds make L2-ascending order == cosine-descending order
     val emb = docs.select(col("doc_id").as("id"),
       TF.hashEmbed(TF.tokens(col("text")), 64).as("emb"))
-    val ibase = java.nio.file.Files.createTempDirectory("graft_tidx_ivf").toString
+    val ibase = graft.store.Scratch.dir("graft_tidx_ivf")
     val ivf = new graft.store.IvfIndex(spark, ibase, 8)
     ivf.build(emb)
     import spark.implicits._
@@ -304,7 +304,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
       // token-less docs: empty text and punctuation-only text — these own a
       // sentinel posting so compaction's stats recompute still counts them
       .unionByName(Seq((9001L, ""), (9002L, "!!! ...")).toDF("doc_id", "text"))
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_zero").toString
+    val base = graft.store.Scratch.dir("graft_tidx_zero")
     val idx = new TextIndex(spark, base, 8)
     idx.build(docs.filter(col("doc_id") < 300))
     idx.appendBatch(docs.filter(col("doc_id") >= 300), 0L)
@@ -325,7 +325,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("replayed orphan batch heals at compaction") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_orphan").toString
+    val base = graft.store.Scratch.dir("graft_tidx_orphan")
     val idx = new TextIndex(spark, base, 8)
     idx.build(docs.filter(col("doc_id") < 400))
     val tail = docs.filter(col("doc_id") >= 400)
@@ -345,7 +345,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("orphan-replayed postings: phrase/NEAR stay exact and duplicate-free, hot == Spark") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet").select("doc_id", "text")
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_orphpos").toString
+    val base = graft.store.Scratch.dir("graft_tidx_orphpos")
     val idx = new TextIndex(spark, base, 8)
     idx.build(docs.filter(col("doc_id") < 400))
     val tail = docs.filter(col("doc_id") >= 400)
@@ -538,7 +538,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
 
   test("all-tombstoned compacted index: positional surfaces fail diagnosably, not schema inference") {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_tidx_purged").toString
+    val base = graft.store.Scratch.dir("graft_tidx_purged")
     val idx = new TextIndex(spark, base, numBuckets = 4)
     idx.build(Seq((1L, "table hash scan"), (2L, "table hash merge"))
       .toDF("doc_id", "text"))
@@ -660,7 +660,7 @@ class TextIndexSpec extends AnyFunSuite with SparkTest {
     // and still serve the exact ranking
     {
       import spark.implicits._
-      val base2 = java.nio.file.Files.createTempDirectory("graft_tidx_skew").toString
+      val base2 = graft.store.Scratch.dir("graft_tidx_skew")
       val idx2 = new graft.store.TextIndex(spark, base2, 4)
       val docs = (1L to 400L).map { i =>
         val rare = if (i % 97 == 0) " zzrare" else ""

@@ -19,7 +19,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class TrainingDaySpec extends AnyFunSuite with SparkTest {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_day").toString
+    graft.store.Scratch.dir("graft_day")
 
   test("one training-data day: gated streamed ingest, write-through policy serving, close-of-day near-dup compaction — exact at every checkpoint") {
     val (w, st, dim) =

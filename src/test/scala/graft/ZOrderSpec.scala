@@ -7,7 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class ZOrderSpec extends AnyFunSuite with SparkTest {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    graft.store.Scratch.dir("graft_zorder")
 
   /** Reference Morton code on the driver. */
   private def morton(a: Int, b: Int, bits: Int): Long = {

@@ -37,7 +37,7 @@ class GraphDeleteScanSpec extends AnyFunSuite with SparkTest {
     vecs.filter(col("id") === id).head().getSeq[Float](1).toArray
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   private val K = 4
 

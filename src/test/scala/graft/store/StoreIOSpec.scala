@@ -14,7 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class StoreIOSpec extends AnyFunSuite with SparkTest {
 
   private def tmp(): String =
-    java.nio.file.Files.createTempDirectory("graft_sio").toString
+    graft.store.Scratch.dir("graft_sio")
 
   private def write(n: Int, dest: String): Unit = {
     import spark.implicits._

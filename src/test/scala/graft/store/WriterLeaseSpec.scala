@@ -15,7 +15,7 @@ class WriterLeaseSpec extends AnyFunSuite with SparkTest {
   import spark.implicits._
 
   private def tmp(tag: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+    graft.store.Scratch.dir(s"graft_$tag")
 
   /** Acquire from a DIFFERENT thread — a foreign writer. (Same-thread
     * acquires are reentrant by design: a manually-held lease plus a
