@@ -74,19 +74,24 @@ object Percolate {
     * applied here). Registration-time, tiny jobs over the registry (NOT
     * per matched batch). */
   def validate(profiles: DataFrame): Unit = {
+    // ONE aggregate job computes every violation flag (was three limit(1)
+    // probes + a groupBy count — four driver-blocking registry jobs per
+    // match call, ~0.3 s of pure scheduling at any registry size); the
+    // refusals fire in the original order with the original messages
     val p = nullsafe(profiles)
-    require(p
-      .filter(size(col("must")) + size(col("any")) + size(col("phrases")) === 0)
-      .limit(1).isEmpty,
+    val r = p.agg(
+      coalesce(sum(when(
+        size(col("must")) + size(col("any")) + size(col("phrases")) === 0,
+        1L).otherwise(0L)), lit(0L)).as("dead"),
+      coalesce(sum(when(exists(col("phrases"), ph => size(ph) === 0),
+        1L).otherwise(0L)), lit(0L)).as("empty_ph"),
+      (count(lit(1)) - countDistinct(col("profile_id"))).as("dups")).head()
+    require(r.getLong(0) == 0,
       "every profile needs at least one positive (must/any/phrase) clause — " +
         "a pure-negation profile could never fire (a dead subscription)")
-    require(p
-      .filter(exists(col("phrases"), ph => size(ph) === 0))
-      .limit(1).isEmpty,
+    require(r.getLong(1) == 0,
       "a phrase clause needs at least one term")
-    require(profiles
-      .groupBy(col("profile_id")).count().filter(col("count") > 1)
-      .limit(1).isEmpty,
+    require(r.getLong(2) == 0,
       "profile_id must be unique across the registry — duplicate rows " +
         "would merge their clauses into one unintended profile")
   }
@@ -131,7 +136,7 @@ object Percolate {
       size(array_distinct(col("must"))).as("nm"), size(col("any")).as("na"),
       size(array_distinct(flatten(col("phrases")))).as("nq"),
       size(col("phrases")).as("np"))
-    val stage1 = docTerms.join(broadcast(posTerms), Seq("term"))
+    val stage1Plan = docTerms.join(broadcast(posTerms), Seq("term"))
       .groupBy(col(idCol), col("profile_id"))
       .agg(
         countDistinct(when(col("kind") === "m", col("term"))).as("mh"),
@@ -143,6 +148,21 @@ object Percolate {
         (col("na") === 0 || col("ah") === 1) && col("xh") === 0 &&
         col("qh") === col("nq"))
       .select(col(idCol), col("profile_id"), col("np"))
+    // a registry with NO phrase clauses needs no positional stage at all —
+    // short-circuit BEFORE the union wires it in: the lazy verified branch
+    // referenced the stage-1 plan three more times (candidate-doc semi-join,
+    // occurrence semi-join, final join), so a term-only registry paid the
+    // corpus tokenize+join+aggregate up to 4x for provably-empty branches.
+    // One registry-scale probe job decides (the registry is P rows — a
+    // driver-broadcast relation, never the corpus).
+    if (profiles.filter(size(col("phrases")) > 0).limit(1).isEmpty)
+      return stage1Plan.select(col(idCol), col("profile_id"))
+    // phrase registries: the term stage feeds BOTH the no-phrase answers
+    // and three positional-stage references — materialize it once. The
+    // checkpointed volume is the term-qualified candidate pairs (the
+    // percolator's alert volume plus phrase-pending candidates), bounded
+    // by matches, never corpus x profiles.
+    val stage1 = stage1Plan.localCheckpoint()
     val noPhrase = stage1.filter(col("np") === 0)
       .select(col(idCol), col("profile_id"))
     val needPhrase = stage1.filter(col("np") > 0)

@@ -262,6 +262,31 @@ object BenchSplits {
           .write.format("noop").mode("overwrite").save())
       Seq("build" -> tb, "probe" -> tp)
     },
+    "q_encrypt_batch_df" -> { (s, dir) =>
+      // the bench's most expensive query gains attribution (r15): build =
+      // encrypted storeIndexed (k-means train + SQ8 stats + AES-GCM
+      // cell-partitioned land), probe = the DF-probe batched serving
+      // (small panels dispatch to the Seq twins; at full shortlist the
+      // raw queryIndexedBatch)
+      val base = graft.store.Scratch.dir("graft_encbdf_split")
+      val enc = new graft.store.EncryptedStore(s, base, StoreQueries.TestKey)
+      val rows = tbl(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          concat(lit("doc for vector "), col("vec_id")).as("doc"),
+          col("embedding").as("emb"))
+      val (_, tb) = timed(enc.storeIndexed(rows, "vectors", numCells = 8))
+      val probesDf = tbl(s, dir, "embeddings")
+        .filter(col("vec_id").isin(3L, 17L, 101L, 257L))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qe"))
+      val (_, tp) = timed(
+        enc.queryIndexedBatchDF("vectors", probesDf, k = 5, nprobe = 8,
+            shortlist = 1 << 20)
+          .select(col("probe_id"), col("rn"), col("id"), col("doc"),
+            round(col("distance"), 6).as("dist"))
+          .orderBy("probe_id", "rn")
+          .write.format("noop").mode("overwrite").save())
+      Seq("build" -> tb, "probe" -> tp)
+    },
     "q_encrypt_graph_df" -> { (s, dir) =>
       // build = kNN-graph train + AES-GCM land; probe = the frame walk
       // with semi-join-bounded decrypts — the new compound lands with a

@@ -76,13 +76,16 @@ final class EncryptedGraph(spark: SparkSession, val path: String, key: String) {
         val enc = v.select(col("id"),
           encrypt(col("doc")).as("doc_ct"),
           encrypt(to_json(col("emb"))).as("emb_ct"))
-        StoreIO.commitStaged(Seq(
+        StoreIO.commitStagedParallel(Seq(
           StoreIO.Staged(s"${vecPath}__stage", vecPath,
             st => enc.write.mode("overwrite").parquet(st)),
           StoreIO.Staged(s"${graphPath}__stage", graphPath,
             st => gOut.write.mode("overwrite").parquet(st)),
           StoreIO.Staged(s"${entriesPath}__stage", entriesPath,
-            st => ent.coalesce(1).write.mode("overwrite").parquet(st))), marker)
+            // three independent writers (ciphertext rows, adjacency,
+            // entries) over disjoint stage dirs — overlap them (§2.6)
+            st => ent.coalesce(1).write.mode("overwrite").parquet(st))), marker,
+          maxParallel = 3)
       } finally v.unpersist(): Unit
     }
 

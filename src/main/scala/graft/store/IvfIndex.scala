@@ -204,7 +204,10 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
       // each lands as ONE file instead of a file per createDataFrame
       // partition (32 one-row files per sidecar at the bench, paying file
       // commits on write and listing + footer reads on every open)
-      StoreIO.commitStaged(Seq(
+      // independent writers over the MATERIALIZED build cache (v.count()
+      // above) and driver-local sidecar frames — overlap them (§2.6);
+      // compact() stays sequential (its radii stage reads __stage_data)
+      StoreIO.commitStagedParallel(Seq(
         StoreIO.Staged(s"$path/__stage_centroids", centroidPath,
           st => centDf.coalesce(1).write.mode("overwrite").parquet(st)),
         codesStage,
@@ -232,7 +235,8 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
         // cell layout say nothing about the new one, and the swept sidecar
         // reads as PolicyAbsent — self-healing callers recalibrate
         cleanup = (staleBatches ++ staleRadii ++ allTsDirs).map(_.getPath).toSeq :+
-          otherSidecar :+ depthsPath)
+          otherSidecar :+ depthsPath,
+        maxParallel = 4)
     } finally v.unpersist(): Unit
   }
 
@@ -1391,24 +1395,28 @@ final class IvfIndex(spark: SparkSession, val path: String, val numCells: Int) {
     * probe, one scored panel × corpus pass. */
   def exactDepths(panel: Seq[(Long, Array[Float])], k: Int,
                   excludeSelf: Boolean = false): Map[Long, Int] = {
-    // the exact arm reads the scored frame twice (top-k agg, rank join)
-    val scored = scoredPanel(panel, excludeSelf).persist()
-    try {
-      import graft.operators.GroupedTopK
-      val exact = scored.groupBy("pid")
-        .agg(GroupedTopK.topK(k)(col("dist"), col("id")).as("ex"))
-        .select(col("pid"), size(col("ex")).as("nex"),
-          explode_outer(transform(col("ex"), s0 => s0.getField("id"))).as("id"))
-      val rows = exact
-        .join(scored.select("pid", "id", "crank"), Seq("pid", "id"), "left")
-        .groupBy("pid")
-        .agg(max(col("nex")).as("nex"), max(col("crank")).as("d"))
-        .collect()
-        .map(r => r.getLong(0) ->
-          (if (r.getInt(1) < k) numCells else r.getInt(2)))
-        .toMap
-      panel.map { case (pid, _) => pid -> rows.getOrElse(pid, numCells) }.toMap
-    } finally { scored.unpersist(): Unit }
+    import graft.operators.GroupedTopK
+    // ONE bounded aggregation decides every probe's depth (guide §1.3 —
+    // this runs as the calibrate arm of every index-compound bench query):
+    // the exact top-k selection (same (dist, id) total order as the old
+    // GroupedTopK.topK arm) carries each member's cell rank through the
+    // aggregate as the topKRows payload, and the depth is their max. The
+    // old formulation persisted the scored panel×corpus frame and read it
+    // TWICE (top-k aggregate + a rank re-join) — two corpus-scale passes
+    // and a cache pin per calibration; the payload fold is one pass with
+    // the identical members (spec-pinned against the sweep in IvfIndexSpec)
+    // and an identical max over the same per-(pid, id) unique ranks.
+    val rows = scoredPanel(panel, excludeSelf)
+      .groupBy("pid")
+      .agg(GroupedTopK.topKRows(k)(col("dist"), col("id"), col("crank")).as("tk"))
+      .select(col("pid"), size(col("tk")).as("nex"),
+        array_max(transform(col("tk"),
+          e => e.getField("payload").cast("int"))).as("d"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.getInt(1) < k) numCells else r.getInt(2)))
+      .toMap
+    panel.map { case (pid, _) => pid -> rows.getOrElse(pid, numCells) }.toMap
   }
 
   /** The SMALLEST ladder depth whose panel recall@`k` meets `target` —

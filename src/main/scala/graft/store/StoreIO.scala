@@ -302,9 +302,48 @@ private[store] object StoreIO {
     * publish and the input deletion can no longer leave merged AND
     * original data co-resident (doubling every aggregate) until the next
     * compaction: [[recover]] finishes the deletion at the next open. */
+  /** [[commitStaged]] with the STAGE WRITERS overlapped from a bounded
+    * driver thread pool (guide §2.6: actions are only sequential because
+    * the driver calls them sequentially) — one writer's driver-side gaps
+    * (planning, codegen, file commit) backfill with another's tasks.
+    * OPT-IN PER CALL SITE, never the default: some commits chain their
+    * stages (IvfIndex.compact's radii stage reads the just-staged merged
+    * parquet), and only the caller knows its writers are independent.
+    * The crash-consistency protocol is unchanged — the marker appears only
+    * after EVERY writer returned, and a failure in any writer surfaces
+    * only after all in-flight writers have been awaited (an abandoned
+    * running writer would race session shutdown). */
+  def commitStagedParallel(outs: Seq[Staged], marker: String,
+                           cleanup: Seq[String] = Seq.empty,
+                           maxParallel: Int = 4): Unit = {
+    val par = math.min(maxParallel, outs.length)
+    if (par <= 1) return commitStaged(outs, marker, cleanup)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+    try {
+      val futs = outs.map(o => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = runStageWriter(o)
+      }))
+      val errs = futs.flatMap(f =>
+        try { f.get(); None }
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            Some(Option(e.getCause).getOrElse(e))
+        })
+      errs.headOption.foreach(e => throw e)
+    } finally pool.shutdown()
+    finishCommit(outs, marker, cleanup)
+  }
+
   def commitStaged(outs: Seq[Staged], marker: String,
                    cleanup: Seq[String] = Seq.empty): Unit = {
     outs.foreach(o => runStageWriter(o))
+    finishCommit(outs, marker, cleanup)
+  }
+
+  /** The atomic publish shared by the sequential and overlapped commit
+    * paths: marker staged and ATOMIC_MOVEd, then swaps, then cleanup. */
+  private def finishCommit(outs: Seq[Staged], marker: String,
+                           cleanup: Seq[String]): Unit = {
     // the marker must appear ATOMICALLY: a torn marker listing only some
     // dests would make recover() publish a partial commit — stage it and
     // ATOMIC_MOVE into place

@@ -173,7 +173,18 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
             StoreIO.committedBatchDirs(root)
               .filter(_.getName != "batch=0").map(_.getPath)
           } ++ allTsDirs.map(_.getPath)
-        StoreIO.commitStaged(Seq(
+        // the four tree writers are independent reads of the PERSISTED
+        // toks/postings frames (disjoint stage dirs, no cross-stage reads)
+        // — overlap them so each writer's planning/commit gaps backfill
+        // with another's tasks (guide §2.6). MATERIALIZE the caches first:
+        // racing writers over an unmaterialized cache each compute the
+        // whole tokenize+group pipeline (neither sees the other's
+        // in-progress blocks — the "Block already exists" churn), so the
+        // overlap would buy wall time only to spend it on duplicate CPU;
+        // one bounded count() fills postings AND (transitively) toks, and
+        // every writer then cache-reads.
+        postings.count(): Unit
+        StoreIO.commitStagedParallel(Seq(
           StoreIO.Staged(s"$path/__stage_postings", s"$postingsPath/batch=0",
             st => bucketClustered(postings, "doc_id")
               .write.mode("overwrite").partitionBy("bucket").parquet(st)),
@@ -190,7 +201,7 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
           (if (allTsDirs.isEmpty) Seq.empty
            else Seq(StoreIO.Staged(s"$path/__stage_ts_hwm", hwmPath,
              st => StoreIO.writeLongFile(st, newHwm)))),
-          marker, cleanup = stale.toSeq)
+          marker, cleanup = stale.toSeq, maxParallel = 4)
       } finally { postings.unpersist(); toks.unpersist(): Unit }
     }
 

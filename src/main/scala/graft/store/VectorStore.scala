@@ -1346,7 +1346,10 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
               encrypt(base64(VF.pqEncode(col("emb"), flat, pqM, IvfIndex.PqK))).as("codes_ct"),
               encSq8Path(name))
           }
-        StoreIO.commitStaged(Seq(
+        // independent writers over the MATERIALIZED plaintext cache
+        // (farthestFirstSeeds counted v) and driver-local sidecar frames —
+        // overlap them (guide §2.6)
+        StoreIO.commitStagedParallel(Seq(
           StoreIO.Staged(s"${encCentroidPath(name)}__stage", encCentroidPath(name),
             st => centDf.coalesce(1).write.mode("overwrite").parquet(st)),
           codesStage,
@@ -1376,7 +1379,8 @@ final class EncryptedStore(spark: SparkSession, basePath: String, key: String) {
           // the rebuild's input defines the new truth (IvfIndex.build's
           // contract)
           cleanup = Seq(encAppendHwmPath(name), otherSidecar, encPolicyPath(name)) ++
-            StoreIO.committedBatchDirs(tombstonePath(name)).map(_.getPath))
+            StoreIO.committedBatchDirs(tombstonePath(name)).map(_.getPath),
+          maxParallel = 4)
         recallTarget.foreach(t =>
           persistPolicyUnleased(name, calibrateK, t, calibratePanel): Unit)
       } finally v.unpersist(): Unit
