@@ -42,4 +42,13 @@ Test / javaOptions ++= {
   Seq(s"-Djava.io.tmpdir=$tmp", s"-Dspark.local.dir=$tmp",
     s"-Dspark.sql.warehouse.dir=$tmp/graft_warehouse")
 }
-Test / testOptions += Tests.Setup(() => IO.createDirectory(target.value / "tmp"))
+// The warehouse must start EMPTY with the fresh in-memory catalog every
+// test-JVM run: managed tables (BucketingSpec) leave their data dirs
+// behind while the catalog that knew them dies with the JVM, so the next
+// run's CREATE TABLE hits LOCATION_ALREADY_EXISTS — a latent collision at
+// any warehouse path (the old /tmp/graft_warehouse had it too; it only
+// never fired because each sandbox ran the suite once).
+Test / testOptions += Tests.Setup { () =>
+  IO.delete(target.value / "tmp" / "graft_warehouse")
+  IO.createDirectory(target.value / "tmp")
+}

@@ -149,12 +149,16 @@ object Percolate {
         col("qh") === col("nq"))
       .select(col(idCol), col("profile_id"), col("np"))
     // a registry with NO phrase clauses needs no positional stage at all —
-    // short-circuit BEFORE the union wires it in: the lazy verified branch
-    // referenced the stage-1 plan three more times (candidate-doc semi-join,
-    // occurrence semi-join, final join), so a term-only registry paid the
-    // corpus tokenize+join+aggregate up to 4x for provably-empty branches.
-    // One registry-scale probe job decides (the registry is P rows — a
-    // driver-broadcast relation, never the corpus).
+    // short-circuit BEFORE the union wires it in. For a LOCAL-relation
+    // registry the optimizer already proves the positional branch empty
+    // (posexplode of all-empty phrase arrays → PropagateEmptyRelation
+    // prunes the union), but a registry loaded from storage gives the
+    // planner no such proof, and the lazy verified branch would reference
+    // the stage-1 plan three more times (candidate-doc semi-join,
+    // occurrence semi-join, final join) — the corpus term stage paid up to
+    // 4x for provably-empty branches. One registry-scale probe job decides
+    // (the registry is P rows — a driver-broadcast relation, never the
+    // corpus).
     if (profiles.filter(size(col("phrases")) > 0).limit(1).isEmpty)
       return stage1Plan.select(col(idCol), col("profile_id"))
     // phrase registries: the term stage feeds BOTH the no-phrase answers

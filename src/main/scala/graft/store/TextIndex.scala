@@ -1651,8 +1651,13 @@ final class TextIndex(spark: SparkSession, path: String, numBuckets: Int) {
     val pruned = spark.read.parquet(postingsPath)
       .filter(col("bucket").isin(buckets: _*) && col("term").isin(uniq: _*) &&
         col("doc_id").isin(ids: _*))
+    // no dedup pass: orphan-replay duplicate postings duplicate
+    // (doc, term, p) rows, but every consumer below is duplicate-blind —
+    // countDistinct(term) per (doc_id, s) counts a term once however many
+    // rows vote for it — so the old .distinct() exchange bought nothing
+    // (one full Exchange of the positional frame removed, guide §2.4)
     val pos = pruned
-      .select(col("doc_id"), col("term"), explode(col("pos")).as("p")).distinct()
+      .select(col("doc_id"), col("term"), explode(col("pos")).as("p"))
     // every window start that sees this hit; best per doc = (max distinct
     // terms, earliest start) via one aggregation + a min-struct fold
     val wins = pos

@@ -76,4 +76,30 @@ class InversionSpec extends AnyFunSuite with SparkTest {
     val texts = r1.map(_(2).asInstanceOf[String]).toSeq
     assert(texts.distinct.length == texts.length, "dedup-keep-max leaves no dup texts")
   }
+
+  test("q_attack_invert's fixture output is PINNED row for row — RNG-schedule drift must fail loudly") {
+    // The one registered query with no DuckDB oracle: the driver can only
+    // check its row count, so a seeded-RNG change that shifts the output
+    // (r14 inherited exactly that — the keyed breedPlan rewrite silently
+    // moved the sf-fixture answer from 8 to 7 rows with both loops
+    // spec-equal to EACH OTHER) is invisible unless the expected output is
+    // COMMITTED. These literals are the sf0.001 fixture answer of the
+    // registered query verbatim (same target doc, same Params incl. seed
+    // 42); any change here is a semantic change to the attack query and
+    // must be made CONSCIOUSLY by re-pinning, never discovered by the
+    // driver's row-count drift.
+    val out = graft.queries.Registry.queries("q_attack_invert")(spark, sf0001)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSeq
+    val expected = Seq(
+      (1, 0.571429, "scmn"),
+      (2, 0.505076, "window merge window merge"),
+      (3, 0.466569, "uove1pt nbkp3xikn m7rgej aeo"),
+      (4, 0.428571, "filte"),
+      (5, 0.428571, "scanescoan"),
+      (6, 0.428571, "thb09bqupq8amysf"),
+      (7, 0.412393, "scan batch fillwkrwsca0n"),
+      (8, 0.329914, "arkf jtlch srrtljoiz1sdplrjlswh"))
+    assert(out == expected,
+      s"q_attack_invert's seeded fixture output drifted:\n got $out")
+  }
 }
